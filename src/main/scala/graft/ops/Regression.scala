@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.agg.{OlsAgg, OlsBuf, OlsFinalizer, OlsSummary}
+import graft.stats.{Dist, LinAlg}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Fitted linear model carried as a plain value — the Spark equivalent of
+  * the reference's model-as-aggregate-state (`OlsState(...)` consumed by
+  * `evalMLMethod`, tests/unit_test/udf_test/7_predict.sql; StarRocks JSON
+  * model through a CTE, regression.py:266-302). We fit with one aggregate
+  * pass, collect the O(k²) summary to the driver, and predict via a
+  * codegen-friendly column expression — the broadcast is implicit in the
+  * literal coefficients. */
+case class OlsModel(summary: OlsSummary, xtxInv: Array[Array[Double]]) {
+  def coefficients: Array[Double] = summary.coefficients
+  def intercept: Double = if (summary.use_bias) summary.coefficients.last else 0.0
+}
+
+object Regression {
+  import graft.agg.AggEncoders._
+
+  /** One-pass OLS with full inference. `ols(y, xs…, useBias)`. */
+  def olsAggColumn(y: Column, xs: Seq[Column], useBias: Boolean = true,
+                   weight: Column = lit(1.0)): Column = {
+    val agg = udaf(new OlsAgg(xs.length, useBias),
+      ExpressionEncoder[(Double, Array[Double], Double)]())
+    agg(y.cast("double"), array(xs.map(_.cast("double")): _*), weight.cast("double"))
+  }
+
+  /** Fit and collect the model (drives the same aggregate, keeps (XᵀX)⁻¹
+    * for interval prediction). */
+  def fitOls(df: DataFrame, y: Column, xs: Seq[Column], useBias: Boolean = true,
+             weight: Column = lit(1.0)): OlsModel = {
+    val kb = xs.length + (if (useBias) 1 else 0)
+    val bufAgg = udaf(new OlsBufAgg(xs.length, useBias),
+      ExpressionEncoder[(Double, Array[Double], Double)]())
+    val row = df.select(bufAgg(y.cast("double"),
+      array(xs.map(_.cast("double")): _*), weight.cast("double")).as("b"))
+      .select("b.*").head()
+    val buf = OlsBuf(
+      graft.stats.DeltaStats(row.getLong(0), row.getSeq[Double](1).toArray, row.getSeq[Double](2).toArray),
+      graft.stats.DeltaStats(row.getLong(3), row.getSeq[Double](4).toArray, row.getSeq[Double](5).toArray),
+      row.getSeq[Double](6).toArray, row.getDouble(7))
+    OlsModel(OlsFinalizer.summary(buf, xs.length, useBias), OlsFinalizer.xtxInv(buf))
+  }
+
+  /** `eval_ml_method(model, xs…)` — predicted value ŷ = xᵀβ (+ intercept).
+    * Pure column expression → whole-stage codegen, no UDF. */
+  def predict(model: OlsModel, xs: Seq[Column]): Column = {
+    val c = model.summary.coefficients
+    val terms = xs.zipWithIndex.map { case (x, i) => x.cast("double") * lit(c(i)) }
+    val base = terms.reduce(_ + _)
+    if (model.summary.use_bias) base + lit(c.last) else base
+  }
+
+  /** Interval prediction (OlsIntervalState, 11_ols_interval.sql):
+    * se(x₀) = σ·sqrt(x₀ᵀ(XᵀX)⁻¹x₀ [+1 for prediction interval]);
+    * bounds = ŷ ∓ t(1−α/2, df)·se. Returns struct(fit, lower, upper). */
+  def predictInterval(model: OlsModel, xs: Seq[Column],
+                      interval: String = "confidence", alpha: Double = 0.05): Column = {
+    val s = model.summary
+    val kb = s.k + (if (s.use_bias) 1 else 0)
+    val df_ = (s.n - s.k - 1).toDouble
+    val tq = Dist.tQuantile(1 - alpha / 2, df_)
+    val sigma = s.residual_stderr
+    val addOne = interval == "prediction"
+    val inv = model.xtxInv
+    // x₀ᵀ(XᵀX)⁻¹x₀ expanded as a quadratic column expression
+    val xcols: Seq[Column] = xs.map(_.cast("double")) ++
+      (if (s.use_bias) Seq(lit(1.0)) else Seq.empty)
+    var quad: Column = lit(0.0)
+    for (i <- 0 until kb; j <- 0 until kb if inv(i)(j) != 0.0)
+      quad = quad + xcols(i) * xcols(j) * lit(inv(i)(j))
+    if (addOne) quad = quad + lit(1.0)
+    val fit = predict(model, xs)
+    val se = lit(sigma) * sqrt(quad)
+    struct(fit.as("fit"), (fit - lit(tq) * se).as("lower"), (fit + lit(tq) * se).as("upper"))
+  }
+
+  /** Difference-in-differences: OLS of y ~ treatment + time + treatment·time
+    * [+ X…] (reference calcite DIDParser.java:40-43; regression.py:780-862). */
+  def did(df: DataFrame, y: Column, treatment: Column, time: Column,
+          xs: Seq[Column] = Seq.empty): OlsModel =
+    fitOls(df, y, Seq(treatment, time, treatment * time) ++ xs, useBias = true)
+
+  /** 2SLS instrumental-variable regression `y ~ (t ~ z) + x…`
+    * (IvRegressionParser.java:33-131; regression.py:865-953):
+    * stage 1 fits t on (z, x), stage 2 fits y on (t̂, x) with the sandwich
+    * variance using the stage-2 design built from t̂. */
+  def ivRegression(df: DataFrame, y: Column, t: Column, z: Column,
+                   xs: Seq[Column] = Seq.empty): OlsSummary = {
+    val stage1 = fitOls(df, t, Seq(z) ++ xs, useBias = true)
+    val tHat = predict(stage1, Seq(z) ++ xs)
+    val withTHat = df.withColumn("__t_hat", tHat)
+    fitOls(withTHat, y, Seq(col("__t_hat")) ++ xs, useBias = true).summary
+  }
+}
+
+/** Internal: surfaces the raw OlsBuf as a struct so the driver can rebuild
+  * the model with (XᵀX)⁻¹ (needed for intervals/IV), not just the summary. */
+private[graft] class OlsBufAgg(k: Int, useBias: Boolean)
+    extends Aggregator[(Double, Array[Double], Double), OlsBuf, OlsBufOut] {
+  private val kb = k + (if (useBias) 1 else 0)
+  def zero: OlsBuf = OlsBuf.zero(kb)
+  def reduce(b: OlsBuf, a: (Double, Array[Double], Double)): OlsBuf = {
+    if (a._2 != null && a._2.length == k) {
+      val xs = if (useBias) a._2 :+ 1.0 else a._2
+      b.update(a._1, xs, a._3)
+    }
+    b
+  }
+  def merge(b1: OlsBuf, b2: OlsBuf): OlsBuf = b1.merge(b2)
+  def finish(b: OlsBuf): OlsBufOut = OlsBufOut(
+    b.x.count, b.x.sumX, b.x.sumXY, b.y.count, b.y.sumX, b.y.sumXY, b.xty, b.weightSum)
+  def bufferEncoder: Encoder[OlsBuf] = Encoders.product[OlsBuf]
+  def outputEncoder: Encoder[OlsBufOut] = Encoders.product[OlsBufOut]
+}
+
+private[graft] case class OlsBufOut(
+    xn: Long, xSumX: Array[Double], xSumXY: Array[Double],
+    yn: Long, ySumX: Array[Double], ySumXY: Array[Double],
+    xty: Array[Double], weightSum: Double)
