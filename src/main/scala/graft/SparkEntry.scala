@@ -179,6 +179,41 @@ object SparkEntry {
         .select(round(col("r.estimate"), 6).as("estimate"),
           round(col("r.stderr"), 6).as("stderr"))
     }),
+    "q23_mann_whitney" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      li.select(functions.mann_whitney_utest(col("l_quantity"), col("treat")).as("r"))
+        .select(round(col("r.u_statistic"), 4).as("u_statistic"))
+    }),
+    "q24_ks_test" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      li.select(functions.kolmogorov_smirnov_test(col("l_quantity"), col("treat")).as("r"))
+        .select(round(col("r.d_statistic"), 6).as("d_statistic"))
+    }),
+    "q25_group_set" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      graft.ops.GroupSet.groupSet(li, col("l_quantity"), col("treat"),
+        Seq("returnflag" -> col("l_returnflag"), "linestatus" -> col("l_linestatus")))
+        .select(col("treatment"), col("col_name"), col("col_value"), col("cnt"),
+          round(col("sum_y"), 2).as("sum_y"), round(col("sum_y2"), 2).as("sum_y2"))
+    }),
+    "q26_srm_groups" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.select(functions.srm(col("l_quantity"), col("l_returnflag"), Seq(1.0, 1.0, 1.0)).as("r"))
+        .select(posexplode(col("r.groups")).as(Seq("pos", "grp")), col("r.observed"), round(col("r.chisq"), 4).as("chisq"))
+        .select(col("grp"), round(element_at(col("observed"), col("pos") + 1), 2).as("observed"), col("chisq"))
+    }),
+    "q27_xexpt" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      li.select(functions.xexpt_ttest_2samp(col("l_orderkey"), col("treat"),
+        Seq(col("l_extendedprice"), col("l_quantity"))).as("r"))
+        .select(col("r.groupname0"), col("r.groupname1"),
+          round(col("r.numerator0"), 0).as("numerator0"),
+          round(col("r.numerator1"), 0).as("numerator1"),
+          round(col("r.denominator0"), 0).as("denominator0"),
+          round(col("r.denominator1"), 0).as("denominator1"),
+          round(col("r.mean0"), 6).as("mean0"),
+          round(col("r.mean1"), 6).as("mean1"))
+    }),
     // ------------------------------------------------- data-pipeline (north star)
     "q19_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
@@ -330,6 +365,57 @@ object SparkEntry {
       """SELECT round(avg(l_quantity) - 25.0, 6) AS estimate,
         |  round(sqrt(var_samp(l_quantity) / count(*)), 6) AS stderr
         |FROM lineitem""".stripMargin,
+    "q23_mann_whitney" ->
+      """WITH byv AS (
+        |  SELECT l_quantity AS v, count(*) AS cnt,
+        |    sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS cnt0
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT *, sum(cnt) OVER (ORDER BY v) AS cum FROM byv),
+        |s AS (SELECT sum(cnt0 * ((cum - cnt) + cum + 1) / 2.0) AS r1,
+        |             sum(cnt0) AS n1, sum(cnt) - sum(cnt0) AS n2 FROM r)
+        |SELECT round(n1 * n2 - (n1 * n2 + n1 * (n1 + 1) / 2.0 - r1), 4) AS u_statistic FROM s""".stripMargin,
+    "q24_ks_test" ->
+      """WITH byv AS (
+        |  SELECT l_quantity AS v,
+        |    sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(c0) AS n1, sum(c1) AS n2 FROM byv),
+        |cum AS (SELECT sum(c0) OVER (ORDER BY v) AS cum0,
+        |               sum(c1) OVER (ORDER BY v) AS cum1 FROM byv)
+        |SELECT round(max(abs(cum0 / n1 - cum1 / n2)), 6) AS d_statistic FROM cum, tot""".stripMargin,
+    "q25_group_set" ->
+      """SELECT treatment, col_name, col_value, count(*) AS cnt,
+        |  round(sum(y), 2) AS sum_y, round(sum(y * y), 2) AS sum_y2
+        |FROM (
+        |  SELECT l_orderkey % 2 AS treatment, 'returnflag' AS col_name,
+        |         l_returnflag AS col_value, l_quantity AS y FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey % 2, 'linestatus', l_linestatus, l_quantity FROM lineitem)
+        |GROUP BY treatment, col_name, col_value""".stripMargin,
+    "q26_srm_groups" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag AS grp, sum(l_quantity) AS observed
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(observed) AS total, count(*) AS k FROM sums),
+        |ch AS (SELECT round(sum((observed - total / k) * (observed - total / k) / (total / k)), 4) AS chisq
+        |       FROM sums, tot)
+        |SELECT grp, round(observed, 2) AS observed, chisq FROM sums, ch""".stripMargin,
+    "q27_xexpt" ->
+      """WITH g AS (
+        |  SELECT l_orderkey % 2 AS treat,
+        |    sum(l_extendedprice) AS num, sum(l_quantity) AS den
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  max(CASE WHEN treat = 0 THEN treat END) AS groupname0,
+        |  max(CASE WHEN treat = 1 THEN treat END) AS groupname1,
+        |  round(max(CASE WHEN treat = 0 THEN num END), 0) AS numerator0,
+        |  round(max(CASE WHEN treat = 1 THEN num END), 0) AS numerator1,
+        |  round(max(CASE WHEN treat = 0 THEN den END), 0) AS denominator0,
+        |  round(max(CASE WHEN treat = 1 THEN den END), 0) AS denominator1,
+        |  round(max(CASE WHEN treat = 0 THEN num END) / max(CASE WHEN treat = 0 THEN den END), 6) AS mean0,
+        |  round(max(CASE WHEN treat = 1 THEN num END) / max(CASE WHEN treat = 1 THEN den END), 6) AS mean1
+        |FROM g""".stripMargin,
     "q19_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |  count(*) - count(DISTINCT md5(text)) AS n_dupes

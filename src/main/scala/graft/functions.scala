@@ -1,7 +1,6 @@
 package graft
 
 import graft.agg._
-import graft.expr.ExprTree
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
@@ -57,6 +56,53 @@ object functions {
     val agg = udaf(new Ttest2SampPseAgg(expr, alternative, cuped, alpha, cols.length),
       ExpressionEncoder[(Array[Double], Int, Long)]())
     agg(doubles(cols), treatment.cast("int"), stratum.cast("long"))
+  }
+
+  /** Sample-ratio-mismatch chi-square (reference `SRM(x, groupby, ratio)`).
+    * Returns struct(groups, observed, expected, chisq, p_value). */
+  def srm(value: Column, group: Column, ratios: Seq[Double]): Column = {
+    val agg = udaf(new SrmAgg(ratios.toArray), ExpressionEncoder[(String, Double)]())
+    agg(group.cast("string"), value.cast("double"))
+  }
+
+  /** Mann-Whitney U test (reference `mann_whitney_utest`). Returns
+    * struct(u_statistic, p_value). Collect-based parity variant; see
+    * ops.RankTests.mannWhitneyU for the distributed path. */
+  def mann_whitney_utest(value: Column, treatment: Column,
+                         alternative: String = "two-sided",
+                         continuityCorrection: Boolean = true): Column = {
+    val agg = udaf(new MannWhitneyAgg(alternative, continuityCorrection),
+      ExpressionEncoder[(Double, Int)]())
+    agg(value.cast("double"), treatment.cast("int"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov test. Returns struct(d_statistic, p_value). */
+  def kolmogorov_smirnov_test(value: Column, treatment: Column,
+                              alternative: String = "two-sided",
+                              method: String = "auto"): Column = {
+    val agg = udaf(new KsAgg(alternative, method), ExpressionEncoder[(Double, Int)]())
+    agg(value.cast("double"), treatment.cast("int"))
+  }
+
+  /** One-pass Gram matrix XᵀX, optionally inverted (reference
+    * `matrix_multiplication([cols], std, invert)`). */
+  def matrix_multiplication(cols: Seq[Column], invert: Boolean = false): Column = {
+    val agg = udaf(new MatrixMulAgg(cols.length, invert),
+      ExpressionEncoder[Array[Double]]())
+    agg(doubles(cols))
+  }
+
+  /** Experiment-platform t-test (reference `xexpt_ttest_2samp`): avg or sum
+    * metric over (numerator, denominator[, numerator_pre, denominator_pre]),
+    * unit-bucketed by uin, with power/MDE/recommended-samples output. */
+  def xexpt_ttest_2samp(uin: Column, treatment: Column, cols: Seq[Column],
+                        cuped: String = "", alpha: Double = 0.05,
+                        mde: Double = 0.005, power: Double = 0.8,
+                        metricType: String = "avg",
+                        ratios: (Double, Double) = (1.0, 1.0)): Column = {
+    val agg = udaf(new XexptAgg(cols.length, cuped, alpha, mde, power, metricType,
+      Array(ratios._1, ratios._2)), ExpressionEncoder[(Array[Double], Long, Long)]())
+    agg(doubles(cols), uin.cast("long"), treatment.cast("long"))
   }
 
   /** One-pass OLS with full inference; returns the summary struct.

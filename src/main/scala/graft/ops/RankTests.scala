@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.agg.{KsResult, MannWhitneyResult}
+import graft.stats.{Dist, TtestCommon}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed rank-based tests — the scale path for SURVEY §2b #7/#8.
+  *
+  * Unlike the reference's collect-all-samples aggregate states
+  * (mann_whitney.h:60-68), these compute ranks with a shuffle-by-value
+  * aggregation: group rows by distinct value (combining both samples),
+  * then a window over the value order yields cumulative counts — O(distinct
+  * values) state, no driver collection, no single-node sort. The final
+  * statistic reduces a handful of scalars. Identical math to
+  * [[graft.agg.MannWhitneyAgg]] / [[graft.agg.KsAgg]] (verified in tests).
+  */
+object RankTests {
+
+  /** Mann-Whitney U with average ranks + tie correction + normal approx. */
+  def mannWhitneyU(df: DataFrame, value: Column, treatment: Column,
+                   alternative: String = "two-sided",
+                   continuityCorrection: Boolean = true): MannWhitneyResult = {
+    val alt = TtestCommon.alternative(alternative)
+    val byValue = df
+      .filter(!isnan(value) && value.isNotNull)
+      .select(value.cast("double").as("v"), treatment.cast("int").as("t"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("cnt0"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // avg rank of a tie-group = (left + right + 1)/2 with left = rows before,
+    // right = rows through this group (1-based)
+    val ranked = byValue
+      .withColumn("cumCnt", sum(col("cnt")).over(w))
+      .withColumn("avgRank", (col("cumCnt") - col("cnt") + col("cumCnt") + 1) / 2.0)
+    val agg = ranked.agg(
+      sum(col("cnt0") * col("avgRank")).as("r1"),
+      sum(col("cnt")).as("n"),
+      sum(col("cnt0")).as("n1"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tieNum"),
+      max(col("cnt")).as("maxTie")).head()
+    val r1 = agg.getAs[Double]("r1")
+    val n = agg.getAs[Long]("n").toDouble
+    val n1 = agg.getAs[Long]("n1").toDouble
+    val n2 = n - n1
+    if (n1 == 0 || n2 == 0 || agg.getAs[Long]("maxTie") == agg.getAs[Long]("n"))
+      return MannWhitneyResult(Double.NaN, Double.NaN)
+    val tieCorrection = 1.0 - agg.getAs[Long]("tieNum").toDouble / (n * n * n - n)
+    val u1 = n1 * n2 + n1 * (n1 + 1.0) / 2.0 - r1
+    val u2 = n1 * n2 - u1
+    val meanrank = n1 * n2 / 2.0 + (if (continuityCorrection) 0.5 else 0.0)
+    val sd = math.sqrt(tieCorrection * n1 * n2 * (n1 + n2 + 1) / 12.0)
+    if (sd.isNaN || sd.isInfinite || math.abs(sd) < 1e-7) return MannWhitneyResult(u2, Double.NaN)
+    val u = alt match {
+      case TtestCommon.TwoSided => math.max(u1, u2)
+      case TtestCommon.Less => u1
+      case TtestCommon.Greater => u2
+    }
+    var z = (u - meanrank) / sd
+    if (alt == TtestCommon.TwoSided) z = math.abs(z)
+    val cdf = Dist.normCdf(z)
+    val p = if (alt == TtestCommon.TwoSided) 2.0 - 2.0 * cdf else 1.0 - cdf
+    MannWhitneyResult(u2, p)
+  }
+
+  /** Two-sample KS: D from windowed CDF difference; p-value asymptotic
+    * (Durbin/Hodges — the distributed variant always uses the large-sample
+    * path; at the scale this variant exists for, n >> 10000 anyway). */
+  def ksTest(df: DataFrame, value: Column, treatment: Column,
+             alternative: String = "two-sided"): KsResult = {
+    val alt = TtestCommon.alternative(alternative)
+    val byValue = df
+      .filter(!isnan(value) && value.isNotNull)
+      .select(value.cast("double").as("v"), treatment.cast("int").as("t"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("t") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("t") =!= 0, 1L).otherwise(0L)).as("c1"))
+    byValue.cache()
+    val tot = byValue.agg(sum(col("c0")).as("n1"), sum(col("c1")).as("n2")).head()
+    val n1 = tot.getAs[Long]("n1")
+    val n2 = tot.getAs[Long]("n2")
+    if (n1 == 0 || n2 == 0) { byValue.unpersist(); return KsResult(Double.NaN, Double.NaN) }
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mm = byValue
+      .withColumn("s", sum(col("c0")).over(w) / lit(n1.toDouble) -
+        sum(col("c1")).over(w) / lit(n2.toDouble))
+      .agg(max(col("s")).as("maxS"), min(col("s")).as("minS")).head()
+    byValue.unpersist()
+    val maxS = mm.getAs[Double]("maxS")
+    val minS = mm.getAs[Double]("minS")
+    val d = alt match {
+      case TtestCommon.TwoSided => math.max(math.abs(maxS), math.abs(minS))
+      case TtestCommon.Greater => maxS
+      case TtestCommon.Less => -minS
+    }
+    KsResult(d, graft.agg.KsMath.asymptoticPValue(d, n1, n2, alt))
+  }
+}

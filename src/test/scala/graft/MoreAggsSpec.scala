@@ -1,0 +1,150 @@
+package graft
+
+import graft.agg.{KsMath, MannWhitneyMath}
+import graft.ops.{GroupSet, RankTests}
+import graft.stats.TtestCommon
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MoreAggsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  private lazy val rows: Seq[(Double, Int, String)] = {
+    val rng = new scala.util.Random(31)
+    (1 to 3000).map { i =>
+      val t = i % 2
+      // integer-ish values to force ties
+      val v = math.floor((rng.nextGaussian() + (if (t == 1) 0.3 else 0.0)) * 4) / 2.0
+      (v, t, if (rng.nextDouble() < 0.52) "a" else "b")
+    }
+  }
+  private lazy val df = spark.createDataFrame(rows).toDF("v", "t", "g").repartition(4)
+
+  test("srm chisq and p match local computation") {
+    val r = df.select(functions.srm($"v" + 10.0, $"g", Seq(1.0, 1.0)).as("r")).select($"r.*").head()
+    val sums = rows.groupBy(_._3).view.mapValues(_.map(_._1 + 10.0).sum).toMap
+    val obs = Seq(sums("a"), sums("b"))
+    val exp = obs.sum / 2
+    val chisq = obs.map(o => (o - exp) * (o - exp) / exp).sum
+    assert(approx(r.getAs[Double]("chisq"), chisq, 1e-9))
+    val p = 1 - graft.stats.Dist.chiSqCdf(chisq, 1)
+    assert(approx(r.getAs[Double]("p_value"), p, 1e-9))
+    assert(r.getSeq[String](r.fieldIndex("groups")) == Seq("a", "b"))
+  }
+
+  test("mann-whitney agg matches scipy-convention local math with ties") {
+    val r = df.select(functions.mann_whitney_utest($"v", $"t").as("r")).select($"r.*").head()
+    val x0 = rows.filter(_._2 == 0).map(_._1).toArray
+    val x1 = rows.filter(_._2 == 1).map(_._1).toArray
+    val local = MannWhitneyMath.test(x0, x1, TtestCommon.TwoSided, continuity = true)
+    assert(approx(r.getAs[Double]("u_statistic"), local.u_statistic, 1e-12))
+    assert(approx(r.getAs[Double]("p_value"), local.p_value, 1e-12))
+    // detectable shift → small p
+    assert(local.p_value < 0.01)
+  }
+
+  test("distributed mann-whitney == collect-based aggregate") {
+    val viaAgg = df.select(functions.mann_whitney_utest($"v", $"t").as("r")).select($"r.*").head()
+    val viaRank = RankTests.mannWhitneyU(df, $"v", $"t")
+    assert(approx(viaAgg.getAs[Double]("u_statistic"), viaRank.u_statistic, 1e-9))
+    assert(approx(viaAgg.getAs[Double]("p_value"), viaRank.p_value, 1e-9))
+  }
+
+  test("ks agg: exact and asymptotic p-values behave, distributed matches D") {
+    val r = df.select(functions.kolmogorov_smirnov_test($"v", $"t").as("r")).select($"r.*").head()
+    val d = r.getAs[Double]("d_statistic")
+    assert(d > 0 && d < 1)
+    val viaRank = RankTests.ksTest(df, $"v", $"t")
+    assert(approx(viaRank.d_statistic, d, 1e-9), s"${viaRank.d_statistic} vs $d")
+    // asymptotic close to exact at n=1500/group
+    val asymp = df.select(functions.kolmogorov_smirnov_test($"v", $"t", method = "asymp").as("r"))
+      .select($"r.*").head().getAs[Double]("p_value")
+    assert(math.abs(asymp - r.getAs[Double]("p_value")) < 0.05)
+  }
+
+  test("ks exact p matches known scipy value on small fixture") {
+    // scipy.stats.ks_2samp([1,2,3,4], [1.5,2.5,3.5], method='exact') -> D=0.25, p=1.0
+    val res = KsMath.test(Array(1, 2, 3, 4), Array(1.5, 2.5, 3.5), TtestCommon.TwoSided, "exact")
+    assert(approx(res.d_statistic, 0.25, 1e-12))
+    assert(approx(res.p_value, 1.0, 1e-9))
+    // exhaustive-permutation ground truth: D=0.5, p = 3638/12870 = 0.2826728827
+    val res2 = KsMath.test(Array(1, 2, 3, 4, 5, 6, 7, 8),
+      Array(5, 6, 7, 8, 9, 10, 11, 12), TtestCommon.TwoSided, "exact")
+    assert(approx(res2.d_statistic, 0.5, 1e-12))
+    assert(math.abs(res2.p_value - 3638.0 / 12870.0) < 1e-9)
+  }
+
+  test("matrix_multiplication returns XtX and its inverse") {
+    def mat(row: org.apache.spark.sql.Row): collection.Seq[collection.Seq[Double]] =
+      row.getAs[collection.Seq[collection.Seq[Double]]](0)
+    val m = mat(df.select(functions.matrix_multiplication(Seq($"v", lit(1.0))).as("r"))
+      .select($"r.*").head())
+    val sxx = rows.map(r => r._1 * r._1).sum
+    val sx = rows.map(_._1).sum
+    assert(approx(m(0)(0), sxx, 1e-9) && approx(m(0)(1), sx, 1e-9) &&
+      approx(m(1)(1), rows.length.toDouble, 1e-9))
+    val inv = mat(df.select(functions.matrix_multiplication(Seq($"v", lit(1.0)), invert = true).as("r"))
+      .select($"r.*").head())
+    // inv * m == I
+    val prod00 = inv(0)(0) * m(0)(0) + inv(0)(1) * m(1)(0)
+    val prod01 = inv(0)(0) * m(0)(1) + inv(0)(1) * m(1)(1)
+    assert(approx(prod00, 1.0, 1e-9) && math.abs(prod01) < 1e-9)
+  }
+
+  test("group_set one-pass stats match per-column groupBy") {
+    val d2 = df.withColumn("g2", ($"v" > 0).cast("string"))
+    val gs = GroupSet.groupSet(d2, $"v", $"t", Seq("g" -> $"g", "g2" -> $"g2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    val direct = d2.groupBy($"t", $"g").agg(count(lit(1)).as("c"), sum($"v").as("s"))
+      .collect()
+    direct.foreach { r =>
+      val key = (r.getInt(0).toLong, "g", r.getString(1))
+      val (c, sv) = gs(key)
+      assert(c == r.getLong(2) && approx(sv, r.getDouble(3), 1e-9))
+    }
+  }
+
+  test("xexpt avg-metric matches plain CUPED ratio ttest direction and is finite") {
+    val rng = new scala.util.Random(91)
+    val expt = (1 to 8000).map { i =>
+      val uin = i.toLong
+      val tr = i % 2
+      val den = 1.0
+      val denPre = 1.0
+      val numPre = 5.0 + rng.nextGaussian()
+      val num = numPre * 0.8 + 0.05 * tr + rng.nextGaussian() * 0.3
+      (uin, tr, num, den, numPre, denPre)
+    }
+    val d = spark.createDataFrame(expt).toDF("uin", "t", "num", "den", "num_pre", "den_pre")
+    val r = d.select(functions.xexpt_ttest_2samp($"uin", $"t",
+      Seq($"num", $"den", $"num_pre", $"den_pre"), cuped = "x3/x4").as("r"))
+      .select($"r.*").head()
+    assert(r.getAs[Long]("groupname0") == 0 && r.getAs[Long]("groupname1") == 1)
+    assert(r.getAs[Double]("denominator0") == 4000.0)
+    assert(r.getAs[Double]("diff") > 0)
+    assert(r.getAs[Double]("p_value") >= 0 && r.getAs[Double]("p_value") <= 1)
+    assert(r.getAs[Double]("power") > 0 && r.getAs[Double]("power") <= 1)
+    assert(r.getAs[Double]("recommend_samples") > 0)
+    // CUPED xexpt should be more sensitive than non-CUPED
+    val r2 = d.select(functions.xexpt_ttest_2samp($"uin", $"t", Seq($"num", $"den")).as("r"))
+      .select($"r.*").head()
+    assert(r.getAs[Double]("p_value") <= r2.getAs[Double]("p_value"))
+  }
+
+  test("xexpt sum-metric runs with ratios") {
+    val rng = new scala.util.Random(17)
+    val expt = (1 to 4000).map { i =>
+      (i.toLong, i % 2, 2.0 + rng.nextGaussian() * 0.5, 1.0)
+    }
+    val d = spark.createDataFrame(expt).toDF("uin", "t", "num", "den")
+    val r = d.select(functions.xexpt_ttest_2samp($"uin", $"t", Seq($"num", $"den"),
+      metricType = "sum", ratios = (1.0, 1.0)).as("r")).select($"r.*").head()
+    assert(!r.getAs[Double]("t_statistic").isNaN)
+    assert(r.getAs[Double]("denominator0") == 1.0) // ratio echoed for sum metric
+  }
+}
