@@ -214,6 +214,35 @@ object SparkEntry {
           round(col("r.mean0"), 6).as("mean0"),
           round(col("r.mean1"), 6).as("mean1"))
     }),
+    "q28_lift_gain" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      graft.ops.Uplift.liftGain(li, col("l_discount"), col("l_quantity"), col("treat"),
+        k = 10, tieBreak = Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(round(col("ratio"), 6).as("ratio"), round(col("lift"), 6).as("lift"),
+          round(col("gain"), 6).as("gain"), round(col("ate"), 6).as("ate"),
+          round(col("random_gain"), 6).as("random_gain"))
+    }),
+    "q29_exact_matching" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      val m = graft.ops.Matching.exactMatching(li, col("treat"),
+        Seq(col("l_returnflag"), col("l_linestatus")))
+      m.filter(col("matching_index") > 0)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_matched"))
+    }),
+    "q30_smd" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      graft.ops.Matching.smd(li, col("treat"), Seq("l_quantity", "l_discount"))
+        .select(col("covariate"), round(col("smd"), 6).as("smd"))
+    }),
+    "q31_student_ttest" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      val r = graft.ops.SimpleTests.studentTtest(li, col("l_extendedprice"), col("treat"))
+      val w = graft.ops.SimpleTests.welchTtest(li, col("l_extendedprice"), col("treat"))
+      Seq(("student", r.statistic), ("welch", w.statistic)).toDF("test", "stat_raw")
+        .select(col("test"), round(col("stat_raw"), 6).as("statistic"))
+    }),
     // ------------------------------------------------- data-pipeline (north star)
     "q19_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
@@ -416,6 +445,69 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 0 THEN num END) / max(CASE WHEN treat = 0 THEN den END), 6) AS mean0,
         |  round(max(CASE WHEN treat = 1 THEN num END) / max(CASE WHEN treat = 1 THEN den END), 6) AS mean1
         |FROM g""".stripMargin,
+    "q28_lift_gain" ->
+      """WITH ranked AS (
+        |  SELECT l_discount AS ite, l_quantity AS y, l_orderkey % 2 AS t,
+        |    ntile(10) OVER (ORDER BY l_discount DESC, l_orderkey, l_linenumber) AS gid,
+        |    row_number() OVER (ORDER BY l_discount DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem),
+        |buckets AS (
+        |  SELECT gid, max(rn) AS max_rn,
+        |    sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS sum0,
+        |    sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS sum1,
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS cnt0,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS cnt1
+        |  FROM ranked GROUP BY gid),
+        |curve AS (
+        |  SELECT max_rn * 1.0 / (max(max_rn) OVER ()) AS ratio,
+        |    (sum(sum1) OVER w1) * 1.0 / (sum(cnt1) OVER w1) -
+        |    (sum(sum0) OVER w1) * 1.0 / (sum(cnt0) OVER w1) AS lift,
+        |    (sum(sum1) OVER ()) * 1.0 / (sum(cnt1) OVER ()) -
+        |    (sum(sum0) OVER ()) * 1.0 / (sum(cnt0) OVER ()) AS ate
+        |  FROM buckets
+        |  WINDOW w1 AS (ORDER BY max_rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT round(ratio, 6) AS ratio, round(lift, 6) AS lift,
+        |  round(lift * ratio, 6) AS gain, round(ate, 6) AS ate,
+        |  round(ate * ratio, 6) AS random_gain
+        |FROM curve""".stripMargin,
+    "q29_exact_matching" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, sum(2 * least(c0, c1)) AS n_matched
+        |FROM cells WHERE least(c0, c1) > 0 GROUP BY 1""".stripMargin,
+    "q30_smd" ->
+      """WITH g AS (
+        |  SELECT
+        |    avg(CASE WHEN l_orderkey % 2 = 1 THEN l_quantity END) AS m1q,
+        |    avg(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity END) AS m0q,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 1 THEN l_quantity END) AS v1q,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity END) AS v0q,
+        |    avg(CASE WHEN l_orderkey % 2 = 1 THEN l_discount END) AS m1d,
+        |    avg(CASE WHEN l_orderkey % 2 = 0 THEN l_discount END) AS m0d,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 1 THEN l_discount END) AS v1d,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 0 THEN l_discount END) AS v0d
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS covariate, round((m1q - m0q) / sqrt((v1q + v0q) / 2), 6) AS smd FROM g
+        |UNION ALL
+        |SELECT 'l_discount', round((m1d - m0d) / sqrt((v1d + v0d) / 2), 6) FROM g""".stripMargin,
+    "q31_student_ttest" ->
+      """WITH g AS (
+        |  SELECT
+        |    sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+        |    avg(CASE WHEN l_orderkey % 2 = 0 THEN l_extendedprice END) AS m0,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 0 THEN l_extendedprice END) AS v0,
+        |    sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+        |    avg(CASE WHEN l_orderkey % 2 = 1 THEN l_extendedprice END) AS m1,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 1 THEN l_extendedprice END) AS v1
+        |  FROM lineitem)
+        |SELECT 'student' AS test,
+        |  round((m1 - m0) / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2) * (1.0 / n0 + 1.0 / n1)), 6) AS statistic
+        |FROM g
+        |UNION ALL
+        |SELECT 'welch', round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) FROM g""".stripMargin,
     "q19_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |  count(*) - count(DISTINCT md5(text)) AS n_dupes

@@ -1,0 +1,123 @@
+package graft.api
+
+import graft.agg.{KsResult, MannWhitneyResult}
+import graft.ops._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** User-facing DSL parity with the reference Python SDK
+  * (dataframe.py:384-1033): the relational surface is Spark's own
+  * DataFrame API (select/drop/withColumn/filter/groupBy/orderBy/limit/
+  * join/union/sample/randomSplit are identical concepts); this implicit
+  * class adds the statistical verbs and the few reference-specific
+  * conveniences on top. `import graft.api.implicits._` to enable.
+  */
+object implicits {
+  implicit class RichDataFrame(val df: DataFrame) {
+
+    // ------------------------------------------------ reference DSL extras
+
+    /** describe: one aggregate pass of count/avg/std/min/quantiles/max per
+      * numeric column (dataframe.py:610-669), long format. */
+    def describeAll(cols: Seq[String]): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).cast("double").as(s"cnt_$c"),
+          avg(col(c)).as(s"avg_$c"),
+          stddev_samp(col(c)).as(s"std_$c"),
+          min(col(c)).cast("double").as(s"min_$c"),
+          expr(s"percentile($c, array(0.25, 0.5, 0.75, 0.9, 0.99))").as(s"q_$c"),
+          max(col(c)).cast("double").as(s"max_$c"))
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      cols.map { c =>
+        val q = r.getSeq[Double](r.fieldIndex(s"q_$c"))
+        (c, r.getAs[Double](s"cnt_$c"), r.getAs[Double](s"avg_$c"),
+          r.getAs[Double](s"std_$c"), r.getAs[Double](s"min_$c"),
+          q(0), q(1), q(2), q(3), q(4), r.getAs[Double](s"max_$c"))
+      }.toDF("column", "count", "avg", "std", "min",
+        "p25", "p50", "p75", "p90", "p99", "max")
+    }
+
+    /** train/test split by fraction (dataframe.py:857-874). */
+    def trainTestSplit(testSize: Double, seed: Long = 42L): (DataFrame, DataFrame) = {
+      val Array(train, test) = df.randomSplit(Array(1.0 - testSize, testSize), seed)
+      (train, test)
+    }
+
+    // ------------------------------------------------ statistics verbs
+
+    def deltaMethod(metric: String, isStd: Boolean = true): Double =
+      df.select(graft.functions.deltaMethod(metric, isStd)).head().getDouble(0)
+
+    def ttest1Samp(metric: String, alternative: String = "two-sided",
+                   mu: Double = 0.0, cuped: String = ""): DataFrame =
+      df.select(graft.functions.ttest1Samp(metric, alternative, mu, cuped).as("r"))
+        .select(col("r.*"))
+
+    def ttest2Samp(metric: String, treatment: String,
+                   alternative: String = "two-sided", cuped: String = ""): DataFrame =
+      df.select(graft.functions.ttest2Samp(metric, col(treatment), alternative, cuped).as("r"))
+        .select(col("r.*"))
+
+    def srm(value: String, group: String, ratios: Seq[Double]): DataFrame =
+      df.select(graft.functions.srm(col(value), col(group), ratios).as("r"))
+        .select(col("r.*"))
+
+    def mannWhitneyUTest(value: String, treatment: String,
+                         alternative: String = "two-sided"): MannWhitneyResult =
+      RankTests.mannWhitneyU(df, col(value), col(treatment), alternative)
+
+    def kolmogorovSmirnovTest(value: String, treatment: String,
+                              alternative: String = "two-sided"): KsResult =
+      RankTests.ksTest(df, col(value), col(treatment), alternative)
+
+    def ols(y: String, xs: Seq[String], useBias: Boolean = true): DataFrame =
+      df.select(graft.functions.ols(col(y), xs.map(col), useBias).as("m"))
+        .select(col("m.*"))
+
+    def wls(y: String, xs: Seq[String], weight: String, useBias: Boolean = true): DataFrame =
+      df.select(graft.functions.wls(col(y), xs.map(col), col(weight), useBias).as("m"))
+        .select(col("m.*"))
+
+    def did(y: String, treatment: String, time: String, xs: Seq[String] = Seq.empty): DataFrame = {
+      val m = Regression.did(df, col(y), col(treatment), col(time), xs.map(col)).summary
+      summaryToDf(df, m)
+    }
+
+    def ivRegression(y: String, t: String, z: String, xs: Seq[String] = Seq.empty): DataFrame =
+      summaryToDf(df, Regression.ivRegression(df, col(y), col(t), col(z), xs.map(col)))
+
+    def liftGain(ite: String, y: String, treatment: String, k: Int = 100): DataFrame =
+      Uplift.liftGain(df, col(ite), col(y), col(treatment), k)
+
+    def caliperMatching(treatment: String, score: String, caliper: Double,
+                        exactCols: Seq[String] = Seq.empty, k: Int = 1): DataFrame =
+      Matching.caliperMatching(df, col(treatment), col(score), caliper, exactCols.map(col), k)
+
+    def exactMatching(treatment: String, exactCols: Seq[String], k: Int = 1): DataFrame =
+      Matching.exactMatching(df, col(treatment), exactCols.map(col), k)
+
+    def smd(treatment: String, cols: Seq[String]): DataFrame =
+      Matching.smd(df, col(treatment), cols)
+
+    def cutBins(colName: String, bins: Seq[Double], ifString: Boolean = true): DataFrame =
+      df.withColumn(s"${colName}_bin", Features.cutBins(col(colName), bins, ifString))
+
+    def oneHot(cols: Seq[String]): DataFrame = Features.oneHot(df, cols)
+
+    def groupSet(y: String, treatment: String, groupCols: Seq[String]): DataFrame =
+      GroupSet.groupSet(df, col(y), col(treatment), groupCols.map(c => c -> col(c)))
+  }
+
+  private def summaryToDf(df: DataFrame, s: graft.agg.OlsSummary): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = (0 until s.k).map(i => s"x${i + 1}") ++
+      (if (s.use_bias) Seq("(Intercept)") else Seq.empty)
+    names.indices.map { i =>
+      (names(i), s.coefficients(i), s.stderr(i), s.t_values(i), s.p_values(i))
+    }.toDF("term", "estimate", "stderr", "t_value", "p_value")
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import graft.api.implicits._
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  private lazy val uplift: Seq[(Double, Double, Int)] = {
+    val rng = new scala.util.Random(53)
+    (1 to 5000).map { _ =>
+      val ite = rng.nextDouble()             // "predicted" effect
+      val t = rng.nextInt(2)
+      // real effect correlated with ite → top buckets should show lift
+      val y = (if (t == 1) ite * 2.0 else 0.0) + rng.nextGaussian() * 0.5
+      (ite, y, t)
+    }
+  }
+  private lazy val upliftDf = spark.createDataFrame(uplift).toDF("ite", "y", "t").repartition(4)
+
+  test("liftGain: monotone ratio, correct ATE, top-bucket lift > ate") {
+    val curve = Uplift.liftGain(upliftDf, $"ite", $"y", $"t", k = 10).collect()
+    assert(curve.length == 10)
+    val ratios = curve.map(_.getAs[Double]("ratio"))
+    assert(ratios.zip(ratios.tail).forall { case (a, b) => a < b })
+    assert(approx(ratios.last, 1.0))
+    // ATE from curve == closed form
+    val full = uplift
+    val ate = full.filter(_._3 == 1).map(_._2).sum / full.count(_._3 == 1) -
+      full.filter(_._3 == 0).map(_._2).sum / full.count(_._3 == 0)
+    assert(approx(curve.head.getAs[Double]("ate"), ate, 1e-9))
+    // top 10% bucket lift should exceed overall ate (ite is informative)
+    assert(curve.head.getAs[Double]("lift") > ate)
+    // last point of lift == ate
+    assert(approx(curve.last.getAs[Double]("lift"), ate, 1e-9))
+    val a = Uplift.auuc(upliftDf, $"ite", $"y", $"t", k = 10)
+    val randomArea = ate / 2.0
+    assert(a > randomArea, s"auuc $a should beat random $randomArea")
+  }
+
+  test("cutBins labels and ordinals") {
+    val d = Seq(5.0, 15.0, 25.0, 35.0, 45.0).toDF("x")
+    val lab = d.select(Features.cutBins($"x", Seq(10, 20, 30, 40)).as("b")).collect().map(_.getString(0))
+    assert(lab.toSeq == Seq("(-inf,10)", "[10,20)", "[20,30)", "[30,40)", "[40,inf)"))
+    val ord = d.select(Features.cutBins($"x", Seq(10, 20, 30, 40), ifString = false).as("b"))
+      .collect().map(_.getInt(0))
+    assert(ord.toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("cutBinsQuantile produces requested bins") {
+    val d = (1 to 1000).map(_.toDouble).toDF("x")
+    val (binned, splits) = Features.cutBinsQuantile(d, "x", 4)
+    assert(splits.length == 3)
+    val counts = binned.groupBy($"x_bin").count().collect().map(_.getLong(1))
+    assert(counts.length == 4 && counts.forall(c => c > 200 && c < 300))
+  }
+
+  test("oneHot expands categories") {
+    val d = Seq("a", "b", "a", "c").toDF("cat")
+    val oh = Features.oneHot(d, Seq("cat"))
+    assert(oh.columns.toSet == Set("cat", "cat_a", "cat_b", "cat_c"))
+    assert(oh.agg(sum($"cat_a")).head().getLong(0) == 2L)
+  }
+
+  test("caliper matching: 1:1 within caliper buckets, balanced indexes") {
+    val rng = new scala.util.Random(71)
+    val rows = (1 to 2000).map { _ =>
+      val t = rng.nextInt(2)
+      val score = if (t == 1) 0.4 + rng.nextDouble() * 0.4 else rng.nextDouble() * 0.6
+      (t, score)
+    }
+    val d = spark.createDataFrame(rows).toDF("t", "score")
+    val matched = Matching.caliperMatching(d, $"t", $"score", caliper = 0.1)
+    matched.cache()
+    val m = matched.filter($"matching_index" > 0)
+    // every index appears exactly once per treatment arm
+    val byIdx = m.groupBy($"matching_index")
+      .agg(sum(when($"t" === 1, 1).otherwise(0)).as("n1"),
+        sum(when($"t" === 0, 1).otherwise(0)).as("n0")).collect()
+    assert(byIdx.nonEmpty)
+    assert(byIdx.forall(r => r.getLong(1) == 1 && r.getLong(2) == 1))
+    // matched pairs share a score bucket
+    val pairBuckets = m.withColumn("b", floor($"score" / 0.1))
+      .groupBy($"matching_index").agg(countDistinct($"b").as("nb")).collect()
+    assert(pairBuckets.forall(_.getLong(1) == 1L))
+    matched.unpersist()
+  }
+
+  test("exact matching matches on covariate tuples") {
+    val rows = Seq((1, "x"), (1, "x"), (0, "x"), (0, "y"), (1, "y"), (0, "z"))
+    val d = spark.createDataFrame(rows).toDF("t", "g")
+    val m = Matching.exactMatching(d, $"t", Seq($"g"))
+    val matched = m.filter($"matching_index" > 0).select($"g", $"t").collect()
+    // "x": 1 pair (2 treated vs 1 control → 1 pair); "y": 1 pair; "z": none
+    assert(matched.count(_.getString(0) == "x") == 2)
+    assert(matched.count(_.getString(0) == "y") == 2)
+    assert(!matched.exists(_.getString(0) == "z"))
+  }
+
+  test("smd standardizes group differences") {
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 4000).map { _ =>
+      val t = rng.nextInt(2)
+      (t, rng.nextGaussian() + t * 0.5, rng.nextGaussian() * 2.0)
+    }
+    val d = spark.createDataFrame(rows).toDF("t", "shifted", "balanced")
+    val out = Matching.smd(d, $"t", Seq("shifted", "balanced")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("shifted") - 0.5) < 0.1)
+    assert(math.abs(out("balanced")) < 0.1)
+  }
+
+  test("student/welch/z tests match commons-math conventions") {
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 3000).map { _ =>
+      val t = rng.nextInt(2)
+      (t, rng.nextGaussian() * (1 + t) + 0.1 * t)
+    }
+    val d = spark.createDataFrame(rows).toDF("t", "v")
+    val x0 = rows.filter(_._1 == 0).map(_._2).toArray
+    val x1 = rows.filter(_._1 == 1).map(_._2).toArray
+    val tt = new org.apache.commons.math3.stat.inference.TTest()
+    val st = SimpleTests.studentTtest(d, $"v", $"t")
+    assert(approx(math.abs(st.statistic), math.abs(tt.homoscedasticT(x1, x0)), 1e-9))
+    assert(approx(st.p_value, tt.homoscedasticTTest(x1, x0), 1e-9))
+    val wt = SimpleTests.welchTtest(d, $"v", $"t")
+    assert(approx(math.abs(wt.statistic), math.abs(tt.t(x1, x0)), 1e-9))
+    assert(approx(wt.p_value, tt.tTest(x1, x0), 1e-9))
+    val zt = SimpleTests.meanZTest(d, $"v", $"t", 1.0, 4.0)
+    assert(zt.p_value >= 0 && zt.p_value <= 1)
+  }
+
+  test("describeAll one-pass summary") {
+    val d = (1 to 100).map(_.toDouble).toDF("x")
+    val out = d.describeAll(Seq("x")).head()
+    assert(out.getAs[Double]("count") == 100.0)
+    assert(approx(out.getAs[Double]("avg"), 50.5))
+    assert(approx(out.getAs[Double]("p50"), 50.5))
+    assert(out.getAs[Double]("min") == 1.0 && out.getAs[Double]("max") == 100.0)
+  }
+
+  test("RichDataFrame DSL verbs work end to end") {
+    val r = upliftDf.ttest2Samp("avg(y)", "t")
+    assert(r.columns.contains("estimate"))
+    val (train, test) = upliftDf.trainTestSplit(0.3)
+    assert(train.count() + test.count() == 5000)
+  }
+}
