@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.stats.Dist
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed bootstrap / permutation engine.
+  *
+  * The reference computes B replicates of an inner aggregate in one pass,
+  * with per-node row counts + a shared seed pinned up front so every node
+  * draws its share of each replicate deterministically
+  * (AggregateFunctionBootStrap.h:85-136, 188-215; StarRocks
+  * distributed_node_row_number.h:37-105). Spark partitions are not stable
+  * across runs, so we get determinism a different way: the multiplicity of
+  * row r in replicate b is a pure function of (id(r), b, seed) —
+  * xxhash64 → uniform → Poisson inverse-CDF, all as codegen'd column
+  * expressions. No RNG state, no shuffle-order sensitivity, reproducible
+  * on any cluster layout. Poisson(λ=frac) bootstrap is the standard
+  * large-n approximation of the multinomial draw (replicate totals vary
+  * by O(√n), irrelevant at scale and already accepted by the reference's
+  * binomial-splitting approach).
+  *
+  * Cost model: explode(B) amplifies rows B× before the aggregate, but
+  * map-side partial aggregation reduces each partition to B×k cells, so
+  * the shuffle is tiny; the scan stays single-pass.
+  */
+object Bootstrap {
+
+  /** u ∈ [0,1) deterministic per (idCols, rep, seed). */
+  private def uniform(idCols: Seq[Column], rep: Column, seed: Long): Column =
+    (xxhash64((idCols :+ rep :+ lit(seed)): _*).cast("double") / lit(2.0 * Long.MaxValue)) + lit(0.5)
+
+  /** Poisson(λ) multiplicity from a uniform, as a when-chain over the
+    * inverse CDF (closed thresholds computed on the driver; tail clamped
+    * at mean+10σ). Stays inside whole-stage codegen. */
+  def poissonMultiplicity(u: Column, lambda: Double): Column = {
+    require(lambda > 0 && lambda <= 100, "lambda in (0, 100]")
+    val maxK = math.max(8, (lambda + 10 * math.sqrt(lambda)).toInt)
+    var cdf = math.exp(-lambda)
+    var pk = cdf
+    var c: Column = when(u < cdf, 0)
+    for (k <- 1 to maxK) {
+      pk = pk * lambda / k
+      cdf += pk
+      c = c.when(u < cdf, k)
+    }
+    c.otherwise(maxK + 1)
+  }
+
+  /** Explode df into B replicates with a deterministic bootstrap `weight`
+    * column (rows with weight 0 are dropped). `idCols` identify a row
+    * stably (any unique-ish key set; falls back to all columns). */
+  def replicated(df: DataFrame, b: Int, frac: Double = 1.0, seed: Long = 42L,
+                 idCols: Seq[Column] = Seq.empty): DataFrame = {
+    val ids = if (idCols.nonEmpty) idCols else df.columns.map(col).toSeq
+    val withRep = df.withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+    withRep
+      .withColumn("weight", poissonMultiplicity(uniform(ids, col("rep"), seed), frac))
+      .filter(col("weight") > 0)
+  }
+
+  /** Bootstrap distribution of weighted aggregates: one pass, returns a
+    * B-row frame (rep, <agg columns>). aggs receive the weight column. */
+  def bootstrapAgg(df: DataFrame, b: Int, frac: Double = 1.0, seed: Long = 42L,
+                   idCols: Seq[Column] = Seq.empty)
+                  (aggs: (Column => Seq[(String, Column)])): DataFrame = {
+    val rep = replicated(df, b, frac, seed, idCols)
+    val w = col("weight").cast("double")
+    val named = aggs(w).map { case (n, c) => c.as(n) }
+    rep.groupBy(col("rep")).agg(named.head, named.tail: _*)
+  }
+
+  /** Bootstrap mean/std/percentile CI of a statistic column from the
+    * per-replicate frame. */
+  case class BootSummary(mean: Double, std: Double, lower: Double, upper: Double)
+  def summarize(reps: DataFrame, statCol: String, alpha: Double = 0.05): BootSummary = {
+    val r = reps.agg(
+      avg(col(statCol)).as("m"), stddev_samp(col(statCol)).as("s"),
+      expr(s"percentile($statCol, array(${alpha / 2}, ${1 - alpha / 2}))").as("ci")).head()
+    val ci = r.getSeq[Double](2)
+    BootSummary(r.getDouble(0), r.getDouble(1), ci(0), ci(1))
+  }
+
+  // ---------------------------------------------------------------- permutation
+
+  /** Permutation test (AggregateFunctionPermutation.h:48-263): B replicas
+    * with treatment re-randomized per replica; two-sided p = share of
+    * permuted |diff-in-means| ≥ |observed|. Optional mde shifts treated
+    * outcomes to probe sensitivity. Returns (observed, p_value, reps df). */
+  def permutationTest(df: DataFrame, y: Column, treatment: Column, b: Int = 1000,
+                      seed: Long = 42L, mde: Double = 0.0,
+                      idCols: Seq[Column] = Seq.empty): (Double, Double, DataFrame) = {
+    val idNamed = idCols.zipWithIndex.map { case (c, i) => c.as(s"__id_$i") }
+    val base = df.select(Seq(y.cast("double").as("y"),
+      treatment.cast("int").as("t")) ++ idNamed: _*)
+    val obsRow = base.agg(
+      (sum(when(col("t") === 1, col("y"))) / sum(when(col("t") === 1, 1))).as("m1"),
+      (sum(when(col("t") === 0, col("y"))) / sum(when(col("t") === 0, 1))).as("m0"),
+      (sum(when(col("t") === 1, 1)) / count(lit(1)).cast("double")).as("p1")).head()
+    val observed = obsRow.getAs[Double]("m1") - obsRow.getAs[Double]("m0") + mde
+    val p1 = obsRow.getAs[Double]("p1")
+    val ids = if (idCols.nonEmpty) idNamed.indices.map(i => col(s"__id_$i"))
+              else Seq(col("y"), col("t"))
+    val reps = base
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("tp", (uniform(ids, col("rep"), seed) < p1).cast("int"))
+      .withColumn("yy", when(col("tp") === 1, col("y") + lit(mde)).otherwise(col("y")))
+      .groupBy(col("rep"))
+      .agg((sum(when(col("tp") === 1, col("yy"))) / sum(when(col("tp") === 1, 1)) -
+        sum(when(col("tp") === 0, col("yy"))) / sum(when(col("tp") === 0, 1))).as("stat"))
+    val pval = reps.agg(
+      avg(when(abs(col("stat")) >= math.abs(observed), 1.0).otherwise(0.0))).head().getDouble(0)
+    (observed, pval, reps)
+  }
+
+  // ---------------------------------------------------------------- estimators
+
+  case class EffectEstimate(estimate: Double, stderr: Double, lower: Double,
+                            upper: Double, p_value: Double)
+
+  /** Difference-in-means ATE with bootstrap CI (statistics.py:1054-1119's
+    * ATEestimator over BootStrapMulti sums). */
+  def ateEstimator(df: DataFrame, y: Column, treatment: Column, b: Int = 500,
+                   alpha: Double = 0.05, seed: Long = 42L): EffectEstimate = {
+    val base = df.select(y.cast("double").as("y"), treatment.cast("int").as("t"))
+    val obs = base.agg(
+      (sum(when(col("t") === 1, col("y"))) / sum(when(col("t") === 1, 1)) -
+        sum(when(col("t") === 0, col("y"))) / sum(when(col("t") === 0, 1))).as("ate")).head().getDouble(0)
+    val reps = bootstrapAgg(base, b, seed = seed) { w =>
+      Seq("stat" -> ((sum(when(col("t") === 1, col("y") * w)) / sum(when(col("t") === 1, w))) -
+        (sum(when(col("t") === 0, col("y") * w)) / sum(when(col("t") === 0, w)))))
+    }
+    finishEffect(obs, reps, alpha)
+  }
+
+  /** Inverse-propensity-weighted ATE with bootstrap CI
+    * (statistics.py:1122-1217). `propensity` is a precomputed e(x) column. */
+  def ipwEstimator(df: DataFrame, y: Column, treatment: Column, propensity: Column,
+                   b: Int = 500, alpha: Double = 0.05, seed: Long = 42L): EffectEstimate = {
+    val base = df.select(y.cast("double").as("y"), treatment.cast("int").as("t"),
+      propensity.cast("double").as("e"))
+    def ipw(w: Column): Column =
+      sum(col("t") * col("y") * w / col("e")) / sum(w) -
+        sum((lit(1) - col("t")) * col("y") * w / (lit(1) - col("e"))) / sum(w)
+    val obs = base.agg(ipw(lit(1.0)).as("v")).head().getDouble(0)
+    val reps = bootstrapAgg(base, b, seed = seed)(w => Seq("stat" -> ipw(w)))
+    finishEffect(obs, reps, alpha)
+  }
+
+  private def finishEffect(obs: Double, reps: DataFrame, alpha: Double): EffectEstimate = {
+    val s = summarize(reps, "stat", alpha)
+    val z = obs / s.std
+    val p = if (z.isNaN) Double.NaN else 2.0 * (1.0 - Dist.normCdf(math.abs(z)))
+    EffectEstimate(obs, s.std, s.lower, s.upper, p)
+  }
+}
