@@ -243,6 +243,34 @@ object SparkEntry {
       Seq(("student", r.statistic), ("welch", w.statistic)).toDF("test", "stat_raw")
         .select(col("test"), round(col("stat_raw"), 6).as("statistic"))
     }),
+    "q32_dml" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val li = t(s, d, "lineitem")
+      val m = graft.ops.Dml.linearDml(li, col("l_extendedprice"), col("l_quantity"),
+        Seq(col("l_discount")), cv = 2, foldKey = col("l_orderkey"))
+      Seq(m.ate).toDF("theta_raw").select(round(col("theta_raw"), 6).as("theta"))
+    }),
+    "q33_quantile_bucket" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_linenumber") % 2).cast("int"))
+      graft.ops.QuantileTest.quantileTestWithBuckets(li, col("l_extendedprice"),
+        col("treat"), pmod(col("l_orderkey"), lit(8)), Seq(0.25, 0.5, 0.75))
+        .select(col("percentile"),
+          round(col("q0"), 2).as("q0"), round(col("q1"), 2).as("q1"),
+          round(col("diff"), 2).as("diff"), round(col("stderr"), 2).as("stderr"))
+    }),
+    "q34_logistic" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // returns: high-price indicator ~ quantity + discount (IRLS, one agg
+      // pass per iteration); no SQL oracle — rows-only check
+      val li = t(s, d, "lineitem")
+        .withColumn("y", (col("l_extendedprice") > 30000.0).cast("double"))
+      val fit = graft.ops.MlWrappers.logisticIrls(li, col("y"),
+        Seq(col("l_quantity"), col("l_discount")), maxIter = 20)
+      Seq((fit.coefficients(0), fit.coefficients(1), fit.intercept, fit.converged))
+        .toDF("b_quantity", "b_discount", "intercept", "converged")
+    }),
     // ------------------------------------------------- data-pipeline (north star)
     "q19_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
@@ -508,6 +536,36 @@ object SparkEntry {
         |FROM g
         |UNION ALL
         |SELECT 'welch', round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) FROM g""".stripMargin,
+    "q32_dml" ->
+      """WITH base AS (
+        |  SELECT l_extendedprice AS y, l_quantity AS t, l_discount AS x,
+        |    l_orderkey % 2 AS f FROM lineitem),
+        |m AS (SELECT f AS mf, regr_slope(y, x) AS sy, regr_intercept(y, x) AS iy,
+        |             regr_slope(t, x) AS st, regr_intercept(t, x) AS it
+        |      FROM base GROUP BY f),
+        |r AS (SELECT y - (m.sy * x + m.iy) AS yr, t - (m.st * x + m.it) AS tr
+        |      FROM base JOIN m ON m.mf = 1 - base.f)
+        |SELECT round(sum(yr * tr) / sum(tr * tr), 6) AS theta FROM r""".stripMargin,
+    "q33_quantile_bucket" ->
+      """WITH qc AS (
+        |  SELECT l_orderkey % 8 AS b, l_linenumber % 2 AS t,
+        |    quantile_cont(l_extendedprice, 0.25) AS q25,
+        |    quantile_cont(l_extendedprice, 0.5) AS q50,
+        |    quantile_cont(l_extendedprice, 0.75) AS q75
+        |  FROM lineitem GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT b, t, 0.25 AS percentile, q25 AS q FROM qc
+        |  UNION ALL SELECT b, t, 0.5, q50 FROM qc
+        |  UNION ALL SELECT b, t, 0.75, q75 FROM qc),
+        |wide AS (
+        |  SELECT b, percentile,
+        |    max(CASE WHEN t = 0 THEN q END) AS q0,
+        |    max(CASE WHEN t = 1 THEN q END) AS q1
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT percentile, round(avg(q0), 2) AS q0, round(avg(q1), 2) AS q1,
+        |  round(avg(q1 - q0), 2) AS diff,
+        |  round(stddev_samp(q1 - q0) / sqrt(count(*)), 2) AS stderr
+        |FROM wide GROUP BY percentile""".stripMargin,
     "q19_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |  count(*) - count(DISTINCT md5(text)) AS n_dupes

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.agg.OlsSummary
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Double machine learning (reference calcite LinearDMLParser.java:1-176,
+  * NonParamDMLParser.java:1-197; python uplift.py:2163-2410).
+  *
+  * The reference compiles DML into one giant generated CTE SQL: fold
+  * assignment by row hash, an `OlsState` nuisance model per fold,
+  * residualization, then a final Ols. Spark-first, the same computation is a
+  * driver-orchestrated sequence of aggregate passes over one cached frame:
+  *
+  *   1. fold = pmod(foldKey, cv)              — deterministic, no shuffle
+  *   2. per fold f: fit y~X and t~X on the complement (2·cv tiny agg passes,
+  *      each a single O(k²)-state aggregate — the scan is the only cost)
+  *   3. residuals as a codegen'd when-chain over fold (no join: models are
+  *      literal coefficients baked into the expression)
+  *   4. final OLS of ỹ on t̃ (LinearDML adds t̃·X columns for heterogeneous
+  *      effects) — one more pass
+  *
+  * At 100 TB the frame should be cached (or the fold column cheap to
+  * recompute); every pass is a full scan + O(k²) shuffle, nothing else.
+  */
+object Dml {
+
+  /** Cross-fitted residualized frame: adds `__fold`, `__y_res`, `__t_res`.
+    * `foldKey` must be a deterministic numeric column (e.g. a key column);
+    * pass `xxhash64(pk)` for hash-random folds. */
+  def residualize(df: DataFrame, y: Column, t: Column, xs: Seq[Column],
+                  cv: Int, foldKey: Column): DataFrame = {
+    require(cv >= 2, "cv must be >= 2")
+    val withFold = df.withColumn("__fold", pmod(foldKey.cast("long"), lit(cv)).cast("int"))
+    val perFold = (0 until cv).map { f =>
+      val train = withFold.filter(col("__fold") =!= f)
+      val my = Regression.fitOls(train, y, xs)
+      val mt = Regression.fitOls(train, t, xs)
+      (f, my, mt)
+    }
+    // residual expressions: each row predicted by the model that did NOT see it
+    val yHat = perFold.foldLeft(lit(Double.NaN)) { case (acc, (f, my, _)) =>
+      when(col("__fold") === f, Regression.predict(my, xs)).otherwise(acc)
+    }
+    val tHat = perFold.foldLeft(lit(Double.NaN)) { case (acc, (f, _, mt)) =>
+      when(col("__fold") === f, Regression.predict(mt, xs)).otherwise(acc)
+    }
+    withFold
+      .withColumn("__y_res", y.cast("double") - yHat)
+      .withColumn("__t_res", t.cast("double") - tHat)
+  }
+
+  /** Fitted DML model: θ(x) = β₀ + βᵀx (NonParam: θ constant = β₀). */
+  case class DmlModel(finalStage: OlsSummary, featureNames: Seq[String]) {
+    /** Constant-effect ATE = coefficient on t̃ (first final-stage column). */
+    def ate: Double = finalStage.coefficients(0)
+    def ateStderr: Double = finalStage.stderr(0)
+    def atePValue: Double = finalStage.p_values(0)
+  }
+
+  /** LinearDML: final stage regresses ỹ on [t̃, t̃·x₁ … t̃·xₖ] (no intercept —
+    * E[ỹ|t̃=0] = 0 by construction). θ(x) = β₀ + Σ βᵢxᵢ. */
+  def linearDml(df: DataFrame, y: Column, t: Column, xs: Seq[Column],
+                cv: Int = 2, foldKey: Column = null,
+                heterogeneous: Seq[Column] = Seq.empty): DmlModel = {
+    val key = Option(foldKey).getOrElse(xxhash64(y, t))
+    val res = residualize(df, y, t, xs, cv, key)
+    val finalXs = col("__t_res") +: heterogeneous.map(h => col("__t_res") * h.cast("double"))
+    val m = Regression.fitOls(res, col("__y_res"), finalXs, useBias = false)
+    DmlModel(m.summary, "t" +: heterogeneous.indices.map(i => s"t*x$i"))
+  }
+
+  /** NonParamDML with a constant effect — final stage ỹ ~ t̃ alone. */
+  def nonParamDml(df: DataFrame, y: Column, t: Column, xs: Seq[Column],
+                  cv: Int = 2, foldKey: Column = null): DmlModel =
+    linearDml(df, y, t, xs, cv, foldKey, heterogeneous = Seq.empty)
+
+  /** Per-row effect θ(x) as a column, given the heterogeneous features used
+    * at fit time (uplift.py:2263 `effect`). */
+  def effect(model: DmlModel, heterogeneous: Seq[Column]): Column = {
+    val c = model.finalStage.coefficients
+    require(heterogeneous.length + 1 == c.length,
+      s"model has ${c.length} final-stage coefficients, got ${heterogeneous.length} features")
+    heterogeneous.zipWithIndex.foldLeft(lit(c(0))) { case (acc, (h, i)) =>
+      acc + h.cast("double") * lit(c(i + 1))
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.ml.classification.{LogisticRegression => MlLogisticRegression}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{LinearRegression => MlLinearRegression}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gradient-based / regularized model fits.
+  *
+  * The reference ships modified ClickHouse `stochasticLinearRegression` /
+  * `stochasticLogisticRegression` (method ∈ {SGD…,'Lasso'}; CH
+  * AggregateFunctionMLMethod.h:1-436, test 13_lasso.sql) and a Python IRLS
+  * logistic driven by repeated `MatrixMultiplication` passes
+  * (regression.py:45-255). Spark-first: the SGD/Lasso surface maps onto
+  * `spark.ml`'s L-BFGS/OWL-QN optimizers (elasticNet gives Lasso exactly),
+  * and IRLS maps onto our own weighted one-pass OLS aggregate — one scan per
+  * iteration, O(k²) driver state, no per-row driver traffic.
+  */
+object MlWrappers {
+
+  case class LinearFit(coefficients: Array[Double], intercept: Double) {
+    def predict(xs: Seq[Column]): Column =
+      xs.zipWithIndex.map { case (x, i) => x.cast("double") * lit(coefficients(i)) }
+        .reduce(_ + _) + lit(intercept)
+  }
+
+  /** `stochastic_linear_regression(..., 'Lasso')` equivalent: linear fit
+    * with L1 (lasso) / L2 (ridge) regularization. */
+  def stochasticLinearRegression(df: DataFrame, y: Column, xs: Seq[Column],
+                                 l1: Double = 0.0, l2: Double = 0.0,
+                                 maxIter: Int = 100): LinearFit = {
+    val (reg, elastic) =
+      if (l1 == 0 && l2 == 0) (0.0, 0.0)
+      else (l1 + l2, if (l1 + l2 == 0) 0.0 else l1 / (l1 + l2))
+    val prepared = assemble(df, y, xs)
+    val m = new MlLinearRegression()
+      .setRegParam(reg).setElasticNetParam(elastic).setMaxIter(maxIter)
+      .setLabelCol("__label").setFeaturesCol("__features")
+      .fit(prepared)
+    LinearFit(m.coefficients.toArray, m.intercept)
+  }
+
+  case class LogisticFit(coefficients: Array[Double], intercept: Double,
+                         iterations: Int, converged: Boolean) {
+    /** P(y=1|x) = σ(xᵀβ + b) as a codegen'd column. */
+    def predictProba(xs: Seq[Column]): Column = {
+      val lin = xs.zipWithIndex.map { case (x, i) => x.cast("double") * lit(coefficients(i)) }
+        .reduce(_ + _) + lit(intercept)
+      lit(1.0) / (lit(1.0) + exp(-lin))
+    }
+  }
+
+  /** `stochastic_logistic_regression` equivalent via spark.ml (L-BFGS /
+    * OWL-QN for L1). */
+  def stochasticLogisticRegression(df: DataFrame, y: Column, xs: Seq[Column],
+                                   l1: Double = 0.0, l2: Double = 0.0,
+                                   maxIter: Int = 100): LogisticFit = {
+    val (reg, elastic) =
+      if (l1 == 0 && l2 == 0) (0.0, 0.0)
+      else (l1 + l2, if (l1 + l2 == 0) 0.0 else l1 / (l1 + l2))
+    val m = new MlLogisticRegression()
+      .setRegParam(reg).setElasticNetParam(elastic).setMaxIter(maxIter)
+      .setLabelCol("__label").setFeaturesCol("__features")
+      .fit(assemble(df, y, xs))
+    LogisticFit(m.coefficients.toArray, m.intercept, m.summary.totalIterations, true)
+  }
+
+  /** IRLS logistic with the reference's loop shape (regression.py:143-200):
+    * each iteration is ONE weighted-OLS aggregate pass — working response
+    * z = η + (y−p)/(p(1−p)), weight w = p(1−p), both codegen'd expressions
+    * built from the previous iterate's literal coefficients. */
+  def logisticIrls(df: DataFrame, y: Column, xs: Seq[Column],
+                   maxIter: Int = 25, tol: Double = 1e-8): LogisticFit = {
+    val k = xs.length
+    var beta = Array.fill(k + 1)(0.0) // xs coefs ++ intercept
+    var converged = false
+    var it = 0
+    val yd = y.cast("double")
+    while (it < maxIter && !converged) {
+      val eta = xs.zipWithIndex.map { case (x, i) => x.cast("double") * lit(beta(i)) }
+        .reduce(_ + _) + lit(beta(k))
+      val p0 = lit(1.0) / (lit(1.0) + exp(-eta))
+      // clamp away from 0/1 so weights stay positive-definite
+      val p = least(greatest(p0, lit(1e-10)), lit(1.0 - 1e-10))
+      val w = p * (lit(1.0) - p)
+      val z = eta + (yd - p) / w
+      val m = Regression.fitOls(df, z, xs, useBias = true, weight = w)
+      val next = m.summary.coefficients // xs ++ bias
+      val delta = next.zip(beta).map { case (a, b) => math.abs(a - b) }.max
+      beta = next
+      converged = delta < tol
+      it += 1
+    }
+    LogisticFit(beta.take(k), beta(k), it, converged)
+  }
+
+  /** AUC of a score column against binary labels via the Mann-Whitney
+    * rank-sum identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀), computed with the
+    * same shuffle-by-value average-rank aggregation as RankTests — O(distinct
+    * scores) state, no driver collection (replaces the reference's
+    * sampled-AUC eval, regression.py:203-255). */
+  def auc(df: DataFrame, score: Column, label: Column): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val byValue = df
+      .select(score.cast("double").as("v"), label.cast("int").as("y"))
+      .filter(!isnan(col("v")) && col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("cnt1"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = byValue
+      .withColumn("cumCnt", sum(col("cnt")).over(w))
+      .withColumn("avgRank", (col("cumCnt") - col("cnt") + col("cumCnt") + 1) / 2.0)
+      .agg(sum(col("cnt1") * col("avgRank")).as("r1"),
+        sum(col("cnt1")).as("n1"), sum(col("cnt")).as("n")).head()
+    val r1 = r.getAs[Double]("r1")
+    val n1 = r.getAs[Long]("n1").toDouble
+    val n0 = r.getAs[Long]("n").toDouble - n1
+    if (n1 == 0 || n0 == 0) Double.NaN
+    else (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n0)
+  }
+
+  private def assemble(df: DataFrame, y: Column, xs: Seq[Column]): DataFrame = {
+    val named = df.select(y.cast("double").as("__label") +:
+      xs.zipWithIndex.map { case (c, i) => c.cast("double").as(s"__x$i") }: _*)
+    new VectorAssembler()
+      .setInputCols(xs.indices.map(i => s"__x$i").toArray)
+      .setOutputCol("__features")
+      .transform(named)
+  }
+}

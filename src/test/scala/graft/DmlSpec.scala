@@ -1,0 +1,125 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DmlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def approx(a: Double, b: Double, tol: Double): Boolean =
+    math.abs(a - b) <= tol
+
+  // Confounded DGP: x drives both t and y; true constant effect θ = 2.
+  private lazy val dgp: Seq[(Long, Double, Double, Double)] = {
+    val rng = new scala.util.Random(7)
+    (1L to 8000L).map { i =>
+      val x = rng.nextGaussian()
+      val t = 0.8 * x + rng.nextGaussian() // continuous treatment
+      val y = 2.0 * t + 3.0 * x + rng.nextGaussian() * 0.5
+      (i, y, t, x)
+    }
+  }
+  private lazy val df = spark.createDataFrame(dgp).toDF("id", "y", "t", "x").repartition(5)
+
+  test("linearDml recovers the true effect under confounding") {
+    val naive = Regression.fitOls(df, $"y", Seq($"t")).summary.coefficients(0)
+    assert(math.abs(naive - 2.0) > 0.3, s"naive OLS should be confounded, got $naive")
+    val m = Dml.linearDml(df, $"y", $"t", Seq($"x"), cv = 3, foldKey = $"id")
+    assert(approx(m.ate, 2.0, 0.05), s"dml ate ${m.ate}")
+    assert(m.ateStderr > 0 && m.atePValue < 1e-6)
+  }
+
+  test("linearDml heterogeneous effect recovers theta(x) slope") {
+    val rng = new scala.util.Random(11)
+    val het = (1L to 8000L).map { i =>
+      val x = rng.nextGaussian()
+      val t = 0.5 * x + rng.nextGaussian()
+      val theta = 1.0 + 0.5 * x
+      val y = theta * t + 2.0 * x + rng.nextGaussian() * 0.3
+      (i, y, t, x)
+    }
+    val hdf = spark.createDataFrame(het).toDF("id", "y", "t", "x").repartition(5)
+    val m = Dml.linearDml(hdf, $"y", $"t", Seq($"x"), cv = 3, foldKey = $"id",
+      heterogeneous = Seq($"x"))
+    val c = m.finalStage.coefficients
+    assert(approx(c(0), 1.0, 0.05), s"base effect ${c(0)}")
+    assert(approx(c(1), 0.5, 0.05), s"x-interaction ${c(1)}")
+    // effect column evaluates theta(x) at x = 2
+    val eff = hdf.limit(1).select(Dml.effect(m, Seq(lit(2.0))).as("e")).head().getDouble(0)
+    assert(approx(eff, c(0) + 2 * c(1), 1e-12))
+  }
+
+  test("quantileTestBucket: null effect has CI covering 0, shift detected") {
+    val rng = new scala.util.Random(5)
+    val rows = (1L to 20000L).map { i =>
+      val t = (i % 2).toInt
+      val v = rng.nextGaussian() + (if (t == 1) 0.5 else 0.0)
+      (i, v, t)
+    }
+    val d = spark.createDataFrame(rows).toDF("uin", "v", "t").repartition(4)
+    val r = QuantileTest.quantileTestBucket(d, $"v", $"t", $"uin", Seq(0.25, 0.5, 0.75),
+      numBuckets = 16).collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      val diff = row.getAs[Double]("diff")
+      assert(approx(diff, 0.5, 0.15), s"p${row.getAs[Double]("percentile")} diff $diff")
+      assert(row.getAs[Double]("lower") < diff && diff < row.getAs[Double]("upper"))
+      assert(row.getAs[Double]("lower") > 0.0, "shift should be significant")
+    }
+  }
+
+  test("logisticIrls matches spark.ml logistic on the same data") {
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 6000).map { _ =>
+      val x1 = rng.nextGaussian(); val x2 = rng.nextGaussian()
+      val p = 1.0 / (1.0 + math.exp(-(0.7 * x1 - 1.2 * x2 + 0.3)))
+      (if (rng.nextDouble() < p) 1.0 else 0.0, x1, x2)
+    }
+    val d = spark.createDataFrame(rows).toDF("y", "x1", "x2").repartition(4)
+    val irls = MlWrappers.logisticIrls(d, $"y", Seq($"x1", $"x2"))
+    val ml = MlWrappers.stochasticLogisticRegression(d, $"y", Seq($"x1", $"x2"))
+    assert(irls.converged)
+    irls.coefficients.zip(ml.coefficients).foreach { case (a, b) =>
+      assert(approx(a, b, 1e-4), s"irls $a vs ml $b") }
+    assert(approx(irls.intercept, ml.intercept, 1e-4))
+    // AUC of the true-score model is well above chance and below 1
+    val scored = d.withColumn("s", irls.predictProba(Seq($"x1", $"x2")))
+    val a = MlWrappers.auc(scored, $"s", $"y")
+    assert(a > 0.7 && a < 1.0, s"auc $a")
+  }
+
+  test("lasso shrinks a null coefficient toward zero") {
+    val rng = new scala.util.Random(9)
+    val rows = (1 to 4000).map { _ =>
+      val x1 = rng.nextGaussian(); val x2 = rng.nextGaussian()
+      (3.0 * x1 + rng.nextGaussian() * 0.5, x1, x2) // x2 irrelevant
+    }
+    val d = spark.createDataFrame(rows).toDF("y", "x1", "x2").repartition(4)
+    val fit = MlWrappers.stochasticLinearRegression(d, $"y", Seq($"x1", $"x2"), l1 = 0.5)
+    assert(math.abs(fit.coefficients(0) - 3.0) < 0.5, s"signal coef ${fit.coefficients(0)}")
+    assert(math.abs(fit.coefficients(1)) < 0.02, s"null coef should shrink, got ${fit.coefficients(1)}")
+  }
+
+  test("longterm recursive forecast propagates a known linear transition") {
+    val rng = new scala.util.Random(13)
+    // s(t+1) = 0.8*s(t) + effect; treatment adds +1 to period0 surrogate
+    val rows = (1L to 6000L).map { i =>
+      val t = (i % 2).toInt
+      val s0 = rng.nextGaussian() + t * 1.0
+      val s1 = 0.8 * s0 + rng.nextGaussian() * 0.1
+      val s2 = 0.8 * s1 + rng.nextGaussian() * 0.1
+      (i, t, s0, s1, s2)
+    }
+    val d = spark.createDataFrame(rows).toDF("id", "t", "s0", "s1", "s2").repartition(4)
+    val r = Longterm.recursiveForecast(d,
+      Seq(Seq($"s0"), Seq($"s1"), Seq($"s2")), $"t", horizon = 2, bootstrapB = 50)
+    // observed effect decays 1.0 → 0.8 → 0.64; forecast continues → ~0.51, ~0.41
+    assert(approx(r.effects(0).estimate, math.pow(0.8, 3), 0.1),
+      s"h1 ${r.effects(0).estimate}")
+    assert(approx(r.effects(1).estimate, math.pow(0.8, 4), 0.1),
+      s"h2 ${r.effects(1).estimate}")
+    assert(r.effects.forall(e => e.stderr > 0))
+  }
+}
