@@ -290,6 +290,52 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    "q35_token_stats" -> ((s, d) => {
+      val ops = graft.ops.TextOps
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(ops.tokenCount(col("text"))).as("bpe_tokens"),
+          round(avg(ops.charsPerToken(col("text"))), 6).as("avg_chars_per_token"))
+    }),
+    "q36_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 50)
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard", graft.ops.TextOps.ngramJaccard(col("ta"), col("tb"), 2))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "q37_minhash_pairs" -> ((s, d) => {
+      graft.ops.Dedup.minHashLsh(t(s, d, "documents"), col("doc_id"), col("text"),
+        numHashes = 64, bands = 32, shingleN = 2, threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "q38_simhash_pairs" -> ((s, d) => {
+      // simhash not expressible in ANSI SQL → rows-only driver check
+      graft.ops.Dedup.simHashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+        maxHamming = 16)
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+    }),
+    "q39_embed_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val planted = e.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      graft.ops.Dedup.embeddingNearDup(e.unionByName(planted),
+        col("vec_id"), col("embedding"), threshold = 0.99, bits = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+    "q40_dedup_pipeline" -> ((s, d) => {
+      // full dedup pipeline on a corpus with planted exact dups:
+      // exact-fingerprint dedup (xxhash64 → rows-only check)
+      val docs = t(s, d, "documents")
+      val planted = docs.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val out = graft.ops.Dedup.exactDedup(docs.unionByName(planted),
+        col("text"), col("doc_id"))
+      out.agg(count(lit(1)).as("n_after"),
+        sum(when(col("doc_id") >= 10000, 1L).otherwise(0L)).as("n_planted_kept"))
+    }),
     "q22_embedding_knn" -> ((s, d) => {
       // brute-force cosine top-3 neighbors for 5 probe vectors — the exact
       // baseline an IVF/LSH variant must reproduce (north-star ANN)
@@ -580,6 +626,46 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "q35_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]'))) AS bpe_tokens,
+        |  round(avg(length(text)::DOUBLE / greatest(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')), 1)), 6) AS avg_chars_per_token
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q36_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (SELECT doc_id,
+        |        list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS sh
+        |      FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.3""".stripMargin,
+    "q37_minhash_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS sh
+        |      FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.9""".stripMargin,
+    "q39_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 50)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99""".stripMargin,
     "q22_embedding_knn" ->
       """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |  round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim

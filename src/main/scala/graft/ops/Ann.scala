@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact; O(probes × corpus) — the
+  * corpus side stays distributed, probes broadcast). Scale path: IVF —
+  * k-means centroids trained on a driver-side sample, every vector assigned
+  * to its nearest centroid (one codegen'd argmin pass), queries probe only
+  * the `nprobe` nearest cells. At 1000 executors the cell assignment
+  * becomes the partition key, so a probe touches nprobe/cells of the data.
+  */
+object Ann {
+
+  /** cosine(a, b) as a column expression over two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force top-k by cosine. `probes` must be small (it is
+    * broadcast); corpus stays distributed. Returns (query_id, neighbor_id,
+    * sim, rk). */
+  def bruteForceKnn(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    probes: DataFrame, probeId: Column, probeVec: Column,
+                    k: Int): DataFrame = {
+    val c = corpus.select(corpusId.cast("long").as("neighbor_id"),
+      corpusVec.cast("array<double>").as("v"))
+    val p = probes.select(probeId.cast("long").as("query_id"),
+      probeVec.cast("array<double>").as("q"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(p), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
+  }
+
+  /** IVF index: centroids trained by Lloyd's k-means on a sample collected
+    * to the driver (sampleSize rows — the index is tiny next to the corpus;
+    * the corpus itself is never collected). */
+  case class IvfIndex(centroids: Array[Array[Double]]) {
+    def numCells: Int = centroids.length
+  }
+
+  def trainIvf(corpus: DataFrame, vec: Column, numCells: Int,
+               sampleSize: Int = 10000, iters: Int = 10, seed: Long = 42L): IvfIndex = {
+    val sample = corpus.select(vec.cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("v").cast("string"), lit(seed)))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= numCells, s"sample ${sample.length} < cells $numCells")
+    val dim = sample.head.length
+    val rng = new scala.util.Random(seed)
+    var centroids = rng.shuffle(sample.toSeq).take(numCells).map(_.clone).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(numCells)(new Array[Double](dim))
+      val counts = new Array[Long](numCells)
+      sample.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = sums.zip(counts).zipWithIndex.map { case ((s, n), i) =>
+        if (n == 0) centroids(i) else s.map(_ / n)
+      }
+    }
+    IvfIndex(centroids)
+  }
+
+  private def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = cs(i)(j) - v(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Cell assignment as a codegen'd argmin over centroid literals. */
+  def cellOf(index: IvfIndex, vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val dists = index.centroids.zipWithIndex.map { case (c, i) =>
+      val lit2 = array(c.map(lit): _*)
+      struct(aggregate(zip_with(v, lit2, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("d"), lit(i).as("cell"))
+    }
+    array_min(array(dists: _*)).getField("cell")
+  }
+
+  /** IVF top-k: probes search only their `nprobe` nearest cells. Exact
+    * within probed cells; recall < 1 only when a true neighbor lives in an
+    * unprobed cell. */
+  def ivfKnn(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             probes: DataFrame, probeId: Column, probeVec: Column,
+             index: IvfIndex, k: Int, nprobe: Int): DataFrame = {
+    val assigned = corpus.select(corpusId.cast("long").as("neighbor_id"),
+      corpusVec.cast("array<double>").as("v"),
+      cellOf(index, corpusVec).as("cell"))
+    // per-probe probed cells: nprobe nearest centroids, as an array column
+    val cellDists = index.centroids.zipWithIndex.map { case (c, i) =>
+      val lit2 = array(c.map(lit): _*)
+      struct(aggregate(zip_with(probeVec.cast("array<double>"), lit2,
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x).as("d"),
+        lit(i).as("cell"))
+    }
+    val probedCells = slice(array_sort(array(cellDists: _*)), 1, nprobe)
+    val p = probes.select(probeId.cast("long").as("query_id"),
+      probeVec.cast("array<double>").as("q"),
+      transform(probedCells, s => s.getField("cell")).as("cells"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(p),
+        array_contains(col("cells"), col("cell")) && col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
+  }
+}

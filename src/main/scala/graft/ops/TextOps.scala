@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, language ID, quality scoring, document fingerprinting. All are
+  * pure column expressions (whole-stage codegen, no UDFs) so they run at
+  * scan speed over 100 TB of documents — the scan is the only cost, filters
+  * on the derived columns push into the same stage.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * non-space symbols each count as one token — a deterministic proxy for
+    * subword tokenizer counts (≈ GPT-2 pre-tokenizer word splitting). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]"), lit(0)))
+
+  /** Characters per token — a cheap fertility proxy. */
+  def charsPerToken(text: Column): Column =
+    length(text).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  // ---------------------------------------------------------------- language ID
+
+  /** Stopword lists for the n-gram/stopword language heuristic. Tiny on
+    * purpose: they ride into codegen as literals. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pour", "dans", "une", "que", "des"),
+    "es" -> Seq("el", "la", "los", "las", "es", "para", "con", "una", "que", "por"))
+
+  /** Script detection by Unicode-range character share. */
+  def scriptShare(text: Column, rangeRegex: String): Column =
+    (length(text) - length(regexp_replace(text, rangeRegex, ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Language ID: CJK/Cyrillic/Arabic by script share, latin languages by
+    * stopword hit rate; "und" (undetermined) when nothing scores. */
+  def langId(text: Column): Column = {
+    val lower = lowerCase(text)
+    val tokens = split(lower, "[^\\p{L}]+")
+    def hits(lang: String): Column = {
+      val sw = stopwords(lang)
+      size(array_intersect(array_distinct(tokens), array(sw.map(lit): _*))) +
+        sw.map(w => when(array_contains(tokens, w), 1).otherwise(0)).reduce(_ + _)
+    }
+    val scored = stopwords.keys.toSeq.sorted.map(l => struct(hits(l).as("score"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*))
+    when(scriptShare(text, "[\\p{script=Han}]") > 0.2, "zh")
+      .when(scriptShare(text, "[\\p{script=Hiragana}\\p{script=Katakana}]") > 0.2, "ja")
+      .when(scriptShare(text, "[\\p{script=Hangul}]") > 0.2, "ko")
+      .when(scriptShare(text, "[\\p{script=Cyrillic}]") > 0.2, "ru")
+      .when(scriptShare(text, "[\\p{script=Arabic}]") > 0.2, "ar")
+      .when(best.getField("score") >= 2, best.getField("lang"))
+      .otherwise("und")
+  }
+
+  private def lowerCase(c: Column): Column = lower(c)
+
+  // ---------------------------------------------------------------- quality
+
+  /** Punctuation share of all characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Uppercase share of letters. */
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Lu}]", ""))).cast("double") /
+      greatest(length(regexp_replace(text, "[^\\p{L}]", "")), lit(1)).cast("double")
+
+  /** English-stopword share of tokens (a fluency proxy; C4/Gopher-style). */
+  def stopwordRatio(text: Column): Column = {
+    val tokens = split(lower(text), "[^\\p{L}]+")
+    val sw = stopwords("en")
+    sw.map(w => size(filter(tokens, t => t === w))).reduce(_ + _).cast("double") /
+      greatest(size(tokens), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1] — Gopher-rule-style gates expressed as
+    * soft multiplicative penalties: reasonable length, low punctuation noise,
+    * some stopwords, sane mean word length. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lenOk = when(n.between(50, 100000), 1.0)
+      .when(n.between(10, 49), 0.5).otherwise(0.1)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.3)
+    val swOk = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.5)
+    val cpt = charsPerToken(text)
+    val wordLenOk = when(cpt.between(2.0, 12.0), 1.0).otherwise(0.4)
+    round(lenOk * punctOk * swOk * wordLenOk, 6)
+  }
+
+  // ---------------------------------------------------------------- fingerprints
+
+  /** Exact-content fingerprint after whitespace/case normalization. */
+  def contentFingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (distinct), the input to minhash/Jaccard. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(lower(trim(text)), "\\s+")
+    when(size(w) < n, array_distinct(array(array_join(w, " "))))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " "))))
+  }
+
+  /** SimHash-64 over token hashes: bit b of the fingerprint is the sign of
+    * Σ_tokens (±1 depending on bit b of xxhash64(token)). 64 aggregate()
+    * higher-order calls, still one codegen'd projection. */
+  def simHash(text: Column): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(0L)
+    }
+    bits.reduce[Column]((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhashes (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact word-n-gram Jaccard similarity between two texts. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 1): Column = {
+    val sa = shingles(a, n); val sb = shingles(b, n)
+    size(array_intersect(sa, sb)).cast("double") /
+      greatest(size(array_union(sa, sb)), lit(1)).cast("double")
+  }
+}

@@ -1,0 +1,194 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- text
+
+  test("tokenCount: BPE-ish pre-tokenization counts") {
+    val d = Seq(
+      ("hello world", 2), ("don't stop", 4), ("a1b2", 4), ("  ", 0),
+      ("x=1+2", 5)).toDF("text", "expect")
+    val r = d.select(TextOps.tokenCount($"text").as("n"), $"expect").collect()
+    r.foreach(row => assert(row.getInt(0) == row.getInt(1), row.toString))
+  }
+
+  test("langId identifies scripted and latin languages") {
+    val d = Seq(
+      "the cat sat on the mat and looked at the dog for a while",
+      "der Hund ist nicht mit der Katze und das ist ein Problem",
+      "le chat est dans la maison et les oiseaux sont pour toi",
+      "el perro es para la casa y los gatos son una familia",
+      "这是一个中文句子用来测试语言识别功能",
+      "это русское предложение для проверки",
+      "zzz qqq xxx").toDF("text")
+    val r = d.select(TextOps.langId($"text").as("l")).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "de", "fr", "es", "zh", "ru", "und"), r.toSeq)
+  }
+
+  test("qualityScore rewards clean prose, punishes noise") {
+    val good = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the green field for a long time with great joy ") * 3
+    val noisy = "!!! ??? *** ### $$$ %%% ^^^ &&& ((( ))) @@@ !!!"
+    val d = Seq(good, noisy).toDF("text")
+    val r = d.select(TextOps.qualityScore($"text").as("q")).collect().map(_.getDouble(0))
+    assert(r(0) > 0.9, s"good text scored ${r(0)}")
+    assert(r(1) < 0.2, s"noisy text scored ${r(1)}")
+  }
+
+  test("shingles and ngramJaccard") {
+    val d = Seq(("a b c d", "a b c d"), ("a b c d", "b c d e"), ("a b", "c d"))
+      .toDF("x", "y")
+    val r = d.select(TextOps.ngramJaccard($"x", $"y", 2).as("j")).collect().map(_.getDouble(0))
+    assert(r(0) == 1.0)
+    assert(r(1) == 0.5) // {ab,bc,cd} vs {bc,cd,de}: 2 shared / 4 union
+    assert(r(2) == 0.0)
+  }
+
+  test("simHash: near-identical texts within small hamming distance, different texts far") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = a.replace("today", "tonight") // one token changed
+    val c = "completely unrelated content about database query optimization and shuffles"
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+      .withColumn("sh", TextOps.simHash($"text"))
+    val m = d.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m(1L), m(2L)) <= 12, s"near-dup hamming ${ham(m(1L), m(2L))}")
+    assert(ham(m(1L), m(3L)) > 12, s"unrelated hamming ${ham(m(1L), m(3L))}")
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  private lazy val docs: Seq[(Long, String)] = {
+    val rng = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    val originals = (0L until 60L).map { i =>
+      i -> (0 until 40).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    // 10 near-duplicates: copy with one word changed; 5 exact duplicates
+    val nearDups = (0L until 10L).map { i =>
+      val (oid, t) = originals(i.toInt)
+      (100L + i) -> (t.split(" ").init.mkString(" ") + " sigma")
+    }
+    val exactDups = (0L until 5L).map { i => (200L + i) -> originals(i.toInt)._2 }
+    originals ++ nearDups ++ exactDups
+  }
+  private lazy val docsDf = docs.toDF("id", "text").repartition(4)
+
+  test("exactDedup keeps one row per distinct content, keeps smallest id") {
+    val out = Dedup.exactDedup(docsDf, $"text", $"id")
+    assert(out.count() == 70) // 75 rows - 5 exact dups
+    // the kept copy of each duplicated text is the original (id < 200)
+    assert(out.filter($"id" >= 200L).count() == 0)
+  }
+
+  test("minHashLsh finds near and exact duplicate pairs with correct jaccard") {
+    val pairs = Dedup.minHashLsh(docsDf, $"id", $"text",
+      numHashes = 32, bands = 16, shingleN = 3, threshold = 0.5).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 5 exact-dup pairs present with jaccard 1.0
+    (0 until 5).foreach { i =>
+      assert(pairSet.contains((i.toLong, 200L + i)), s"missing exact pair $i")
+    }
+    pairs.filter(r => r.getLong(0) < 60L && r.getLong(1) >= 200L)
+      .foreach(r => assert(r.getDouble(2) == 1.0))
+    // most near-dup pairs found (1-word change at 40 words, 3-shingles → j≈0.85)
+    val nearFound = (0 until 10).count(i => pairSet.contains((i.toLong, 100L + i)))
+    assert(nearFound >= 8, s"found only $nearFound/10 near-dup pairs")
+    // no false positives among unrelated originals
+    assert(!pairs.exists(r => r.getLong(0) < 60 && r.getLong(1) < 60))
+  }
+
+  test("minHashDedup drops duplicates, keeps originals") {
+    val out = Dedup.minHashDedup(docsDf, $"id", $"text",
+      numHashes = 32, bands = 16, shingleN = 3, threshold = 0.5)
+    val kept = out.select("id").collect().map(_.getLong(0)).toSet
+    (0L until 60L).foreach(i => assert(kept.contains(i), s"original $i dropped"))
+    assert((200L until 205L).forall(!kept.contains(_)), "exact dups not dropped")
+  }
+
+  test("simHashPairs finds the exact-duplicate pairs") {
+    val pairs = Dedup.simHashPairs(docsDf, $"id", $"text", maxHamming = 3).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(pairSet.contains((i.toLong, 200L + i)), s"missing exact pair $i") }
+  }
+
+  // ---------------------------------------------------------------- embeddings
+
+  private lazy val vecs: Seq[(Long, Array[Double])] = {
+    val rng = new scala.util.Random(23)
+    val base = (0L until 80L).map { i =>
+      i -> Array.fill(16)(rng.nextGaussian())
+    }
+    // 8 near-dups: tiny perturbation of the first 8
+    val dups = (0L until 8L).map { i =>
+      (100L + i) -> base(i.toInt)._2.map(_ + rng.nextGaussian() * 0.01)
+    }
+    base ++ dups
+  }
+  private lazy val vecsDf = vecs.toDF("id", "v").repartition(4)
+
+  test("embeddingNearDup: brute force finds the 8 planted pairs; LSH keeps recall") {
+    val exact = Dedup.embeddingNearDup(vecsDf, $"id", $"v", threshold = 0.99, bits = 0)
+    val ep = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ep.size == 8, s"expected 8 planted pairs, got ${ep.size}")
+    (0L until 8L).foreach(i => assert(ep.contains((i, 100L + i))))
+    val lsh = Dedup.embeddingNearDup(vecsDf, $"id", $"v", threshold = 0.99, bits = 4)
+    val lp = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lp.subsetOf(ep), "LSH must not invent pairs")
+    assert(lp.size >= 6, s"LSH recall too low: ${lp.size}/8")
+  }
+
+  test("ivfKnn matches brute force at full probe count, high recall at half") {
+    val probes = vecsDf.filter($"id" < 5)
+    val brute = Ann.bruteForceKnn(vecsDf, $"id", $"v", probes, $"id", $"v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Ann.trainIvf(vecsDf, $"v", numCells = 8, sampleSize = 88, seed = 1L)
+    val full = Ann.ivfKnn(vecsDf, $"id", $"v", probes, $"id", $"v", idx, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "nprobe=numCells must equal brute force")
+    val half = Ann.ivfKnn(vecsDf, $"id", $"v", probes, $"id", $"v", idx, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = half.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"ivf recall $recall")
+  }
+
+  // ---------------------------------------------------------------- multimodal
+
+  test("decodeFeatures: deterministic stub features, batch plumbing, null safety") {
+    val rows = (1L to 100L).map { i =>
+      (i, Array.fill(32)((i % 7).toByte), "png", 640, 480)
+    } :+ ((101L, Array.empty[Byte], "png", 0, 0))
+    val d = rows.toDF("id", "content", "format", "width", "height").repartition(3)
+    val out = Multimodal.decodeFeatures(d, featureDim = 8, batchSize = 16)
+    val collected = out.collect()
+    assert(collected.length == 101)
+    val ok = collected.filter(_.getBoolean(2))
+    assert(ok.length == 100)
+    assert(ok.forall(_.getSeq[Float](1).length == 8))
+    // determinism: same content → same features
+    val byId = collected.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(1L) == byId(8L), "same bytes must give same features") // 1%7 == 8%7
+    assert(byId(1L) != byId(2L))
+    // empty content flagged, not crashed
+    assert(!collected.find(_.getLong(0) == 101L).get.getBoolean(2))
+  }
+
+  test("sampleFrames and resizePlan") {
+    val d = Seq((1L, 1000L), (2L, 250L), (3L, 0L)).toDF("id", "dur")
+    val frames = Multimodal.sampleFrames(d, $"id", $"dur", everyMs = 250L)
+    assert(frames.filter($"id" === 1L).count() == 4) // 0,250,500,750
+    assert(frames.filter($"id" === 3L).count() == 0)
+    val rp = Seq((1920, 1080), (640, 480)).toDF("w", "h")
+      .select(Multimodal.resizePlan($"w", $"h", 1024).as("p")).collect()
+    assert(rp(0).getStruct(0).getInt(0) == 1024 && rp(0).getStruct(0).getBoolean(2))
+    assert(rp(1).getStruct(0).getInt(0) == 640 && !rp(1).getStruct(0).getBoolean(2))
+  }
+}
