@@ -271,6 +271,19 @@ object SparkEntry {
       Seq((fit.coefficients(0), fit.coefficients(1), fit.intercept, fit.converged))
         .toDF("b_quantity", "b_discount", "intercept", "converged")
     }),
+    "q41_causal_tree" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // heterogeneous-effect discovery on lineitem (synthetic treatment);
+      // tree structure is search-dependent → rows-only driver check
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      val m = graft.ops.CausalTree.fit(li, col("l_extendedprice"), col("treat"),
+        Seq("l_quantity" -> col("l_quantity"), "l_discount" -> col("l_discount")),
+        maxDepth = 3, minNodeSize = 50)
+      val leaves = (0 until m.numNodes).filter(m.isLeaf)
+      Seq((m.numNodes, leaves.size, leaves.map(m.n).sum))
+        .toDF("n_nodes", "n_leaves", "n_rows_in_leaves")
+    }),
     // ------------------------------------------------- data-pipeline (north star)
     "q19_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")

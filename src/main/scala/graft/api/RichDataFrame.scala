@@ -109,6 +109,51 @@ object implicits {
 
     def groupSet(y: String, treatment: String, groupCols: Seq[String]): DataFrame =
       GroupSet.groupSet(df, col(y), col(treatment), groupCols.map(c => c -> col(c)))
+
+    // ------------------------------------------------------------ causal ML
+    def linearDml(y: String, t: String, xs: Seq[String], cv: Int = 2,
+                  heterogeneous: Seq[String] = Seq.empty): Dml.DmlModel =
+      Dml.linearDml(df, col(y), col(t), xs.map(col), cv,
+        heterogeneous = heterogeneous.map(col))
+
+    def causalTree(y: String, t: String, features: Seq[String],
+                   maxDepth: Int = 4, minNodeSize: Long = 100): CausalTree.Model =
+      CausalTree.fit(df, col(y), col(t), features.map(f => f -> col(f)),
+        maxDepth, minNodeSize)
+
+    def causalForest(y: String, t: String, features: Seq[String],
+                     numTrees: Int = 20, maxDepth: Int = 4): CausalForest.Model =
+      CausalForest.fit(df, col(y), col(t), features.map(f => f -> col(f)),
+        numTrees, maxDepth)
+
+    def bootstrap(b: Int, seed: Long = 42L)
+                 (aggs: Column => Seq[(String, Column)]): DataFrame =
+      Bootstrap.bootstrapAgg(df, b, seed = seed)(aggs)
+
+    def permutationTest(y: String, t: String, b: Int = 1000): (Double, Double) = {
+      val (obs, p, _) = Bootstrap.permutationTest(df, col(y), col(t), b)
+      (obs, p)
+    }
+
+    def quantileTestBucket(value: String, treatment: String, uin: String,
+                           percentiles: Seq[Double]): DataFrame =
+      QuantileTest.quantileTestBucket(df, col(value), col(treatment), col(uin), percentiles)
+
+    // ------------------------------------------------------------ pipeline
+    def exactDedup(text: String, keep: String): DataFrame =
+      Dedup.exactDedup(df, col(text), col(keep))
+
+    def minHashDedup(id: String, text: String, threshold: Double = 0.8): DataFrame =
+      Dedup.minHashDedup(df, col(id), col(text), threshold = threshold)
+
+    def withTextStats(text: String): DataFrame = df
+      .withColumn("token_count", TextOps.tokenCount(col(text)))
+      .withColumn("lang_id", TextOps.langId(col(text)))
+      .withColumn("quality_score", TextOps.qualityScore(col(text)))
+      .withColumn("fingerprint", TextOps.contentFingerprint(col(text)))
+
+    def knn(id: String, vec: String, probes: DataFrame, k: Int): DataFrame =
+      Ann.bruteForceKnn(df, col(id), col(vec), probes, probes(id), probes(vec), k)
   }
 
   private def summaryToDf(df: DataFrame, s: graft.agg.OlsSummary): DataFrame = {

@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** GRF-style honest causal forest (reference CH CausalForestTrainer.cpp /
+  * CausalForestTree.cpp, SR causal_forest.h:54-2241; python
+  * uplift.py:1898-2160).
+  *
+  * The reference trains by iterated aggregate passes — one SQL per depth
+  * level, forest state round-tripping through a model table as JSON. The
+  * Spark shape keeps the good part (level-synchronous: ONE aggregation pass
+  * grows EVERY tree one level) and drops the serialization loop: forest
+  * state lives on the driver between passes; rows fan out to their member
+  * trees with a deterministic per-(row, tree) hash (Bernoulli
+  * `sampleFraction`, honest half-split), so any executor layout reproduces
+  * the same forest.
+  *
+  * Per level: scan → explode to (tree, row) memberships → when-chain node
+  * assignment per tree → groupBy(tree, node, feature, bin, arm) histogram
+  * (≤ trees·nodes·mtry·bins·2 cells — collected, not the data). Depth D,
+  * any B: D+1 scans with ×B·fraction row amplification — compute, not
+  * shuffle, since map-side partial aggregation collapses each partition to
+  * histogram cells.
+  */
+object CausalForest {
+
+  case class Model(trees: IndexedSeq[CausalTree.Model]) {
+    def numTrees: Int = trees.length
+
+    /** Forest effect = average of per-tree effects (nested when-chains;
+      * all codegen, no joins). */
+    def effectColumn(features: Seq[Column]): Column =
+      trees.map(_.effectColumn(features)).reduce(_ + _) / lit(trees.length.toDouble)
+  }
+
+  private case class Cell(tree: Int, node: Int, feat: Int, bin: Int, t: Int,
+                          cnt: Long, sum: Double)
+
+  def fit(df: DataFrame, y: Column, treatment: Column,
+          features: Seq[(String, Column)], numTrees: Int = 20,
+          maxDepth: Int = 4, minNodeSize: Long = 50, bins: Int = 16,
+          mtry: Int = 0, sampleFraction: Double = 0.5,
+          honest: Boolean = true, seed: Long = 42L): Model = {
+    require(features.nonEmpty && numTrees > 0)
+    val k = features.size
+    val useMtry = if (mtry <= 0 || mtry > k) k else mtry
+    val featNames = features.map(_._1)
+    val rng = new scala.util.Random(seed)
+    // per-tree feature subsets per level are redrawn each level (GRF draws
+    // per split; per (tree, level) is the vectorized compromise)
+    val base0 = df.select(
+      (y.cast("double").as("__y") +: treatment.cast("int").as("__t") +:
+        features.zipWithIndex.map { case ((_, c), i) => c.cast("double").as(s"__f$i") }): _*)
+      .filter(col("__y").isNotNull && !isnan(col("__y")))
+    val rowHash = xxhash64(struct(base0.columns.map(col): _*), lit(seed))
+    val base = base0.withColumn("__rh", rowHash)
+    base.cache()
+    try {
+      // global quantile bins once (shared across trees — histogram style)
+      val probs = (1 until bins).map(_.toDouble / bins).toArray
+      val boundaries: Array[Array[Double]] = (0 until k).map { i =>
+        base.stat.approxQuantile(s"__f$i", probs, 0.001).distinct.sorted
+      }.toArray
+      def binExpr(i: Int): Column = {
+        val bs = boundaries(i)
+        var c: Column = lit(bs.length)
+        for (b <- bs.indices.reverse) c = when(col(s"__f$i") <= bs(b), b).otherwise(c)
+        c
+      }
+
+      // tree growth state
+      val feat = Array.fill(numTrees)(scala.collection.mutable.ArrayBuffer(-1))
+      val thr = Array.fill(numTrees)(scala.collection.mutable.ArrayBuffer(Double.NaN))
+      val lch = Array.fill(numTrees)(scala.collection.mutable.ArrayBuffer(-1))
+      val rch = Array.fill(numTrees)(scala.collection.mutable.ArrayBuffer(-1))
+      var open: Set[(Int, Int)] = (0 until numTrees).map(b => (b, 0)).toSet
+
+      def nodeExpr(b: Int): Column = {
+        def go(i: Int): Column =
+          if (feat(b)(i) < 0) lit(i)
+          else when(col(s"__f${feat(b)(i)}") <= thr(b)(i), go(lch(b)(i))).otherwise(go(rch(b)(i)))
+        go(0)
+      }
+      /** member trees of a row: Bernoulli(sampleFraction) per (row, tree),
+        * split-half only (honesty), as an array column to explode. */
+      def membership(half: Int): Column = {
+        val entries = (0 until numTrees).map { b =>
+          val u = pmod(xxhash64(col("__rh"), lit(b)), lit(1000000L)).cast("double") / 1000000.0
+          val inHalf = pmod(xxhash64(col("__rh"), lit(b + 7919)), lit(2)).cast("int")
+          when(u < sampleFraction && (lit(!honest).cast("boolean") || inHalf === half),
+            struct(lit(b).as("tree"), typedNode(b)))
+            .otherwise(lit(null))
+        }
+        filter(array(entries: _*), _.isNotNull)
+      }
+      def typedNode(b: Int): Column = nodeExpr(b).as("node")
+
+      var depth = 0
+      while (depth < maxDepth && open.nonEmpty) {
+        val mtryDraw: Array[Array[Int]] =
+          Array.fill(numTrees)(rng.shuffle((0 until k).toList).take(useMtry).toArray)
+        val featStructsPerTree: Map[Int, Column] = (0 until numTrees).map { b =>
+          b -> array(mtryDraw(b).map(i =>
+            struct(lit(i).as("feat"), binExpr(i).as("bin"))).toIndexedSeq: _*)
+        }.toMap
+        val featSel = (0 until numTrees).foldLeft(lit(null).cast(
+          "array<struct<feat:int,bin:int>>")) { (acc, b) =>
+          when(col("__tn.tree") === b, featStructsPerTree(b)).otherwise(acc)
+        }
+        val openTrees = open.map(_._1)
+        val hist = base
+          .withColumn("__tn", explode(membership(0)))
+          .filter(col("__tn.tree").isin(openTrees.toSeq: _*))
+          .withColumn("__fb", explode(featSel))
+          .groupBy(col("__tn.tree").as("tree"), col("__tn.node").as("node"),
+            col("__fb.feat"), col("__fb.bin"), col("__t"))
+          .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("s"))
+          .collect()
+          .map(r => Cell(r.getAs[Int]("tree"), r.getAs[Int]("node"),
+            r.getAs[Int]("feat"), r.getAs[Int]("bin"), r.getAs[Int]("__t"),
+            r.getAs[Long]("cnt"), r.getAs[Double]("s")))
+          .groupBy(c => (c.tree, c.node))
+
+        val nextOpen = scala.collection.mutable.Set[(Int, Int)]()
+        for ((b, node) <- open) {
+          hist.get((b, node)).flatMap(cells =>
+            bestSplitCells(cells, mtryDraw(b), minNodeSize)).foreach { case (f, bi) =>
+            feat(b)(node) = f; thr(b)(node) = boundaries(f)(bi)
+            val l = feat(b).length
+            feat(b) += -1; thr(b) += Double.NaN; lch(b) += -1; rch(b) += -1
+            feat(b) += -1; thr(b) += Double.NaN; lch(b) += -1; rch(b) += -1
+            lch(b)(node) = l; rch(b)(node) = l + 1
+            nextOpen += ((b, l)); nextOpen += ((b, l + 1))
+          }
+        }
+        open = nextOpen.toSet
+        depth += 1
+      }
+
+      // estimation pass (honest half = 1): per-(tree, leaf, arm) moments
+      val est = base
+        .withColumn("__tn", explode(membership(if (honest) 1 else 0)))
+        .groupBy(col("__tn.tree").as("tree"), col("__tn.node").as("node"), col("__t"))
+        .agg(count(lit(1)).as("cnt"), avg(col("__y")).as("m"))
+        .collect()
+        .map(r => (r.getAs[Int]("tree"), r.getAs[Int]("node"), r.getAs[Int]("__t")) ->
+          (r.getAs[Long]("cnt"), r.getAs[Double]("m")))
+        .toMap
+
+      val trees = (0 until numTrees).map { b =>
+        val nN = feat(b).length
+        val eff = Array.fill(nN)(0.0); val nArr = Array.fill(nN)(0L)
+        for (i <- 0 until nN if feat(b)(i) < 0) {
+          (est.get((b, i, 0)), est.get((b, i, 1))) match {
+            case (Some((n0, m0)), Some((n1, m1))) if n0 > 0 && n1 > 0 =>
+              eff(i) = m1 - m0; nArr(i) = n0 + n1
+            case _ => // starved leaf keeps effect 0 (forest-averaged out)
+          }
+        }
+        CausalTree.Model(feat(b).toArray, thr(b).toArray, lch(b).toArray,
+          rch(b).toArray, eff, Array.fill(nN)(Double.NaN),
+          Array.fill(nN)(Double.NaN), nArr, featNames)
+      }
+      Model(trees)
+    } finally base.unpersist()
+  }
+
+  /** Athey-Imbens gain over candidate features' bins. */
+  private def bestSplitCells(cells: Array[Cell], feats: Array[Int],
+                             minNodeSize: Long): Option[(Int, Int)] = {
+    val f0 = feats.head
+    val pc = Array.fill(2)(0L); val ps = Array.fill(2)(0.0)
+    cells.filter(_.feat == f0).foreach { c => pc(c.t) += c.cnt; ps(c.t) += c.sum }
+    if (pc(0) == 0 || pc(1) == 0) return None
+    val parentTau = ps(1) / pc(1) - ps(0) / pc(0)
+    var bestGain = (pc(0) + pc(1)).toDouble * parentTau * parentTau + 1e-12
+    var best: Option[(Int, Int)] = None
+    for (f <- feats) {
+      val fc = cells.filter(_.feat == f)
+      if (fc.nonEmpty) {
+        val maxBin = fc.map(_.bin).max
+        val lc = Array.fill(2)(0L); val ls = Array.fill(2)(0.0)
+        for (b <- 0 until maxBin) {
+          fc.filter(_.bin == b).foreach { c => lc(c.t) += c.cnt; ls(c.t) += c.sum }
+          val rc0 = pc(0) - lc(0); val rc1 = pc(1) - lc(1)
+          if (lc(0) >= minNodeSize && lc(1) >= minNodeSize &&
+              rc0 >= minNodeSize && rc1 >= minNodeSize) {
+            val tl = ls(1) / lc(1) - ls(0) / lc(0)
+            val tr = (ps(1) - ls(1)) / rc1 - (ps(0) - ls(0)) / rc0
+            val gain = (lc(0) + lc(1)) * tl * tl + (rc0 + rc1) * tr * tr
+            if (gain > bestGain) { bestGain = gain; best = Some((f, b)) }
+          }
+        }
+      }
+    }
+    best
+  }
+}

