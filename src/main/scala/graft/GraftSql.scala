@@ -1,0 +1,147 @@
+package graft
+
+import graft.ops.{Ann, TextOps}
+import graft.stats.Dist
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL surface: registers every graft function in the session's
+  * FunctionRegistry so `spark.sql("SELECT ttest_2samp(...) FROM t")` works —
+  * the reference's Entry point B (`SqlGateWayConn.sql`, SURVEY §3B). The
+  * reference needs a forked Calcite to rewrite these calls; here each name
+  * is a builder from SQL argument expressions to the same Column the Scala
+  * DSL produces, so Catalyst plans both entry points identically.
+  *
+  * String/number parameters must be literals (they configure the aggregate
+  * before planning — same restriction the engine UDFs have).
+  */
+object GraftSql {
+
+  private def toCol(e: Expression): Column = ColumnBridge.column(e)
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case Literal(null, _) => ""
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+  private def dblArg(e: Expression, what: String): Double = e match {
+    case Literal(v, _) if v != null => v.toString.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+  private def dblArrayArg(e: Expression, what: String): Seq[Double] = {
+    require(e.foldable, s"$what must be a foldable array literal")
+    (e.eval(), e.dataType) match {
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(elem, _)) =>
+        a.toObjectArray(elem).toSeq.map {
+          case d: java.lang.Number => d.doubleValue()
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"$what must contain numbers, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array literal, got $other")
+    }
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def fn(name: String)(builder: Seq[Expression] => Column): Unit =
+      reg.createOrReplaceTempFunction(name,
+        (exprs: Seq[Expression]) => ex(builder(exprs)), "scala_udf")
+
+    // ---------------------------------------------------------- aggregates
+    // delta_method('x1/x2', is_std, x1, x2, ...)
+    fn("delta_method") { a =>
+      functions.delta_method(strArg(a(0), "expr"), boolArg(a(1), "is_std"),
+        a.drop(2).map(toCol))
+    }
+    // ttest_1samp('x1/x2', 'two-sided', mu, x...)  (+_cuped variant)
+    fn("ttest_1samp") { a =>
+      functions.ttest_1samp(strArg(a(0), "expr"), strArg(a(1), "alternative"),
+        dblArg(a(2), "mu"))(a.drop(3).map(toCol): _*)
+    }
+    fn("ttest_1samp_cuped") { a =>
+      functions.ttest_1samp(strArg(a(0), "expr"), strArg(a(1), "alternative"),
+        dblArg(a(2), "mu"), strArg(a(3), "cuped"))(a.drop(4).map(toCol): _*)
+    }
+    // ttest_2samp('x1/x2', 'two-sided', treatment, x...)
+    fn("ttest_2samp") { a =>
+      functions.ttest_2samp(strArg(a(0), "expr"), toCol(a(2)),
+        strArg(a(1), "alternative"))(a.drop(3).map(toCol): _*)
+    }
+    fn("ttest_2samp_cuped") { a =>
+      functions.ttest_2samp(strArg(a(0), "expr"), toCol(a(3)),
+        strArg(a(1), "alternative"), strArg(a(2), "cuped"))(a.drop(4).map(toCol): _*)
+    }
+    // srm(x, groupby, array(r0, r1, ...))
+    fn("srm") { a =>
+      functions.srm(toCol(a(0)), toCol(a(1)), dblArrayArg(a(2), "ratios"))
+    }
+    fn("mann_whitney_utest") { a =>
+      functions.mann_whitney_utest(toCol(a(0)), toCol(a(1)))
+    }
+    fn("kolmogorov_smirnov_test") { a =>
+      functions.kolmogorov_smirnov_test(toCol(a(0)), toCol(a(1)))
+    }
+    // ols(y, x...), ols_nobias(y, x...), wls(y, weight, x...)
+    fn("ols") { a => functions.ols(toCol(a.head), a.tail.map(toCol)) }
+    fn("ols_nobias") { a =>
+      functions.ols(toCol(a.head), a.tail.map(toCol), useBias = false) }
+    fn("wls") { a =>
+      functions.wls(toCol(a(0)), a.drop(2).map(toCol), toCol(a(1))) }
+    // matrix_multiplication(invert, x...)
+    fn("matrix_multiplication") { a =>
+      functions.matrix_multiplication(a.tail.map(toCol), boolArg(a.head, "invert")) }
+    // xexpt_ttest_2samp(uin, treatment, numerator, denominator)
+    fn("xexpt_ttest_2samp") { a =>
+      functions.xexpt_ttest_2samp(toCol(a(0)), toCol(a(1)), a.drop(2).map(toCol)) }
+
+    // ---------------------------------------------------------- scalar math
+    val cdfTUdf = udf((x: Double, df: Double) => Dist.tCdf(x, df))
+    spark.udf.register("cdf", cdfTUdf) // reference cdf.cpp: Student-t CDF
+    spark.udf.register("cdf_norm", udf((x: Double) => Dist.normCdf(x)))
+    spark.udf.register("erf", udf((x: Double) => org.apache.commons.math3.special.Erf.erf(x)))
+    spark.udf.register("erfc", udf((x: Double) => org.apache.commons.math3.special.Erf.erfc(x)))
+    spark.udf.register("lgamma", udf((x: Double) => org.apache.commons.math3.special.Gamma.logGamma(x)))
+    spark.udf.register("tgamma", udf((x: Double) => org.apache.commons.math3.special.Gamma.gamma(x)))
+
+    // vector ops over array columns (reference functions.py L*Norm/Distance)
+    fn("l1_norm") { a =>
+      aggregate(transform(toCol(a(0)), x => abs(x)), lit(0.0), (s, x) => s + x) }
+    fn("l2_norm") { a =>
+      sqrt(aggregate(transform(toCol(a(0)), x => x * x), lit(0.0), (s, x) => s + x)) }
+    fn("linf_norm") { a => array_max(transform(toCol(a(0)), x => abs(x))) }
+    fn("lp_norm") { a =>
+      val p = dblArg(a(1), "p")
+      pow(aggregate(transform(toCol(a(0)), x => pow(abs(x), p)), lit(0.0),
+        (s, x) => s + x), 1.0 / p) }
+    fn("l2_distance") { a =>
+      sqrt(aggregate(zip_with(toCol(a(0)), toCol(a(1)), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x)) }
+    fn("cosine_similarity") { a => Ann.cosine(toCol(a(0)), toCol(a(1))) }
+    fn("cosine_distance") { a => lit(1.0) - Ann.cosine(toCol(a(0)), toCol(a(1))) }
+
+    // ---------------------------------------------------------- text / pipeline
+    fn("token_count") { a => TextOps.tokenCount(toCol(a(0))) }
+    fn("ws_token_count") { a => TextOps.wsTokenCount(toCol(a(0))) }
+    fn("lang_id") { a => TextOps.langId(toCol(a(0))) }
+    fn("quality_score") { a => TextOps.qualityScore(toCol(a(0))) }
+    fn("simhash64") { a => TextOps.simHash(toCol(a(0))) }
+    fn("content_fingerprint") { a => TextOps.contentFingerprint(toCol(a(0))) }
+    fn("ngram_jaccard") { a =>
+      TextOps.ngramJaccard(toCol(a(0)), toCol(a(1)), dblArg(a(2), "n").toInt) }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftSqlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val setup: Unit = {
+    GraftSql.register(spark)
+    val rng = new scala.util.Random(41)
+    (1 to 4000).map { i =>
+      val t = i % 2
+      val x = rng.nextGaussian()
+      val y = 1.0 + 0.5 * t + 2.0 * x + rng.nextGaussian()
+      (y, t, x, i.toLong)
+    }.toDF("y", "t", "x", "uin").createOrReplaceTempView("exp_data")
+  }
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  test("sql ttest_2samp matches the DSL result") {
+    setup
+    val sqlRow = spark.sql(
+      "SELECT ttest_2samp('x1', 'two-sided', t, y) AS r FROM exp_data")
+      .select($"r.estimate", $"r.p_value").head()
+    val dslRow = spark.table("exp_data")
+      .select(functions.ttest_2samp("x1", $"t")($"y").as("r"))
+      .select($"r.estimate", $"r.p_value").head()
+    assert(approx(sqlRow.getDouble(0), dslRow.getDouble(0)))
+    assert(approx(sqlRow.getDouble(1), dslRow.getDouble(1)))
+  }
+
+  test("sql delta_method and ols run and agree with DSL") {
+    setup
+    val dm = spark.sql(
+      "SELECT delta_method('x1/x2', false, y, x) AS v FROM exp_data").head().getDouble(0)
+    val dmDsl = spark.table("exp_data")
+      .select(functions.delta_method("x1/x2", isStd = false, Seq($"y", $"x")).as("v"))
+      .head().getDouble(0)
+    assert(approx(dm, dmDsl))
+    val coef = spark.sql("SELECT ols(y, t, x) AS m FROM exp_data")
+      .select(element_at($"m.coefficients", 1), element_at($"m.coefficients", 2)).head()
+    assert(approx(coef.getDouble(0), 0.5, 0.15) || math.abs(coef.getDouble(0) - 0.5) < 0.15)
+    assert(math.abs(coef.getDouble(1) - 2.0) < 0.1)
+  }
+
+  test("sql group-by usage: ttest per group") {
+    setup
+    val rows = spark.sql(
+      """SELECT t % 2 AS g, delta_method('x1', false, y) AS v
+        |FROM exp_data GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(rows.length == 2 && rows.forall(_.getDouble(1) > 0))
+  }
+
+  test("scalar math and vector sql functions") {
+    setup
+    val r = spark.sql(
+      """SELECT cdf(1.96, 1000.0) AS c, cdf_norm(1.96) AS n, erf(1.0) AS e,
+        |  l2_norm(array(3.0, 4.0)) AS l2,
+        |  cosine_similarity(array(1.0, 0.0), array(1.0, 0.0)) AS cs,
+        |  l2_distance(array(0.0, 0.0), array(3.0, 4.0)) AS d2,
+        |  lp_norm(array(1.0, 1.0), 2.0) AS lp
+        |FROM (SELECT 1)""".stripMargin).head()
+    assert(math.abs(r.getAs[Double]("c") - 0.975) < 0.001)
+    assert(math.abs(r.getAs[Double]("n") - 0.975) < 0.001)
+    assert(math.abs(r.getAs[Double]("e") - 0.8427) < 0.001)
+    assert(approx(r.getAs[Double]("l2"), 5.0))
+    assert(approx(r.getAs[Double]("cs"), 1.0))
+    assert(approx(r.getAs[Double]("d2"), 5.0))
+    assert(approx(r.getAs[Double]("lp"), math.sqrt(2.0)))
+  }
+
+  test("text sql functions") {
+    setup
+    val r = spark.sql(
+      """SELECT token_count('hello world x=1') AS tc,
+        |  lang_id('the cat and the dog is in the house for a while') AS l,
+        |  ngram_jaccard('a b c d', 'b c d e', 2) AS j,
+        |  content_fingerprint('  Hello   World ') = content_fingerprint('hello world') AS same
+        |FROM (SELECT 1)""".stripMargin).head()
+    assert(r.getAs[Int]("tc") == 5)
+    assert(r.getAs[String]("l") == "en")
+    assert(approx(r.getAs[Double]("j"), 0.5))
+    assert(r.getAs[Boolean]("same"))
+  }
+
+  test("srm over sql with ratio literals") {
+    setup
+    val r = spark.sql(
+      "SELECT srm(y, CAST(t AS STRING), array(1.0, 1.0)) AS r FROM exp_data")
+      .select($"r.chisq", $"r.p_value").head()
+    assert(r.getDouble(0) >= 0 && r.getDouble(1) <= 1.0)
+  }
+}
