@@ -321,7 +321,7 @@ object SparkEntry {
     }),
     "q37_minhash_pairs" -> ((s, d) => {
       graft.ops.Dedup.minHashLsh(t(s, d, "documents"), col("doc_id"), col("text"),
-        numHashes = 64, bands = 32, shingleN = 2, threshold = 0.9)
+        numHashes = 96, bands = 16, shingleN = 2, threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
     "q38_simhash_pairs" -> ((s, d) => {

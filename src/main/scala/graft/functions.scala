@@ -163,4 +163,39 @@ object functions {
     val (ySym, cSym, cs) = parseMetrics(metric, cuped)
     ttest_2samp(ySym, treatment, alternative, cSym, alpha)(cs.map(col): _*)
   }
+
+  /** Vectorized variant (reference `ttests_2samp`, starrocks
+    * ttests_2samp.h): one aggregate struct per requested alpha, all in ONE
+    * pass — a Seq of columns to splat into a select. */
+  def ttests2Samp(metric: String, treatment: Column,
+                  alternative: String = "two-sided", cuped: String = "",
+                  alphas: Seq[Double] = Seq(DefaultAlpha)): Seq[Column] = {
+    val (ySym, cSym, cs) = parseMetrics(metric, cuped)
+    alphas.map(a =>
+      ttest_2samp(ySym, treatment, alternative, cSym, a)(cs.map(col): _*)
+        .as(s"alpha_$a"))
+  }
+
+  // ------------------------------------------------- scalar parity helpers
+  // (reference functions.py:800-1760 names without a built-in Spark twin)
+
+  /** murmur_hash3_32 — Spark's `hash` IS 32-bit Murmur3. */
+  def murmur_hash3_32(cols: Column*): Column = hash(cols: _*)
+  /** 64-bit hash; Spark's codegen'd 64-bit hash is xxHash64 (documented
+    * substitution for the reference's murmur_hash3_64). */
+  def murmur_hash3_64(cols: Column*): Column = xxhash64(cols: _*)
+  /** rand_cannonical = uniform [0,1) (reference rand()/2^32). */
+  def rand_canonical(seed: Long = 42L): Column = rand(seed)
+  def int_exp2(x: Column): Column = pow(lit(2.0), x).cast("long")
+  def int_exp10(x: Column): Column = pow(lit(10.0), x).cast("long")
+  private val gcdUdf = udf((a: Long, b: Long) => {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  })
+  def gcd(a: Column, b: Column): Column = gcdUdf(a.cast("long"), b.cast("long"))
+  def lcm(a: Column, b: Column): Column = {
+    val g = gcdUdf(a.cast("long"), b.cast("long"))
+    when(g === 0, 0L).otherwise(abs(a.cast("long") * b.cast("long")) / g)
+  }
 }

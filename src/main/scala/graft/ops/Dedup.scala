@@ -22,32 +22,45 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** k seeded minhashes of the shingle set, as one array column.
-    * minhash_i = min over shingles of xxhash64(shingle, i). */
-  def minHashes(text: Column, numHashes: Int, shingleN: Int): Column = {
-    val sh = TextOps.shingles(text, shingleN)
-    val arr = (0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }
-    array(arr: _*)
+  /** k minhashes of a precomputed shingle array via double hashing
+    * (Kirsch-Mitzenmacher): two string-hash passes produce (h1, h2) per
+    * shingle, then minhash_i = min over shingles of h1 + i·h2 — arithmetic,
+    * not k string hashes. */
+  def minHashesFromShingles(sh: Column, numHashes: Int): Column = {
+    // 30-bit masks keep h1 + i·h2 far from Long overflow (ANSI mode); the
+    // mod-prime wraparound is essential — without it the min is dominated by
+    // argmin(h2) for large i, correlating every coordinate
+    val p = 2147483647L // 2^31 - 1
+    val h1 = transform(sh, s => xxhash64(s).bitwiseAND(0x3FFFFFFFL))
+    val h2 = transform(sh, s => xxhash64(s, lit(1)).bitwiseAND(0x3FFFFFFFL))
+    array((0 until numHashes).map { i =>
+      array_min(zip_with(h1, h2, (a, b) => pmod(a + lit(i.toLong) * b, lit(p))))
+    }: _*)
   }
 
   /** MinHash+LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numHashes), bucket-join on (band, band-hash), emit each colliding pair
-    * once, then verify with exact n-gram Jaccard. Returns (id_a, id_b,
-    * jaccard) with id_a < id_b and jaccard >= threshold.
+    * once, then verify with exact n-gram Jaccard over the PRECOMPUTED
+    * shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold.
     *
-    * Scale: the only wide exchange is groupBy band-hash (small keys); the
-    * per-bucket self-join is quadratic ONLY within a bucket, and
-    * deduplicates candidates before the (text, text) verify join. */
+    * Scale shape: shingles + signature are computed once and cached (a
+    * self-join would otherwise recompute them per side); the only wide
+    * exchange is the (band, bandhash) bucket join on small keys; work is
+    * quadratic only within a bucket. Choose rows-per-band ≈
+    * log(1/bands)/log(threshold): the default 96/16 (r=6) puts the LSH
+    * S-curve midpoint at ~0.63, giving miss probability < 1e-5 at j=0.9
+    * while keeping sub-threshold collisions (and thus verify cost) low. */
   def minHashLsh(df: DataFrame, id: Column, text: Column,
-                 numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                 numHashes: Int = 96, bands: Int = 16, shingleN: Int = 3,
                  threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val base = df.select(id.cast("long").as("id"), text.as("text"))
-    val sig = base.withColumn("sig", minHashes(col("text"), numHashes, shingleN))
-    val banded = sig.select(col("id"),
+    val withSh = df.select(id.cast("long").as("id"),
+        TextOps.shingles(text, shingleN).as("sh"))
+      .withColumn("sig", minHashesFromShingles(col("sh"), numHashes))
+    withSh.persist()
+    val banded = withSh.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string"))))))
@@ -59,20 +72,23 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    // verify with exact Jaccard over the original texts
-    val ta = base.select(col("id").as("id_a"), col("text").as("text_a"))
-    val tb = base.select(col("id").as("id_b"), col("text").as("text_b"))
-    cands.join(ta, "id_a").join(tb, "id_b")
-      .withColumn("jaccard", TextOps.ngramJaccard(col("text_a"), col("text_b"), shingleN))
+    // verify with exact Jaccard over cached shingle sets
+    val sa = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val out = cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    out
   }
 
   /** Rows to drop under MinHash dedup: from each connected candidate pair,
     * drop the larger id (union-find-free greedy — every duplicate cluster
     * keeps its minimum id; pairs are transitive enough at high thresholds). */
   def minHashDedup(df: DataFrame, id: Column, text: Column,
-                   numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                   numHashes: Int = 96, bands: Int = 16, shingleN: Int = 3,
                    threshold: Double = 0.8): DataFrame = {
     val dupes = minHashLsh(df, id, text, numHashes, bands, shingleN, threshold)
       .select(col("id_b").as("__drop")).distinct()
@@ -86,6 +102,7 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val base = df.select(id.cast("long").as("id"),
       TextOps.simHash(text).as("sh"))
+    base.persist() // simhash is 64 array-aggregates per row; never recompute
     val chunked = base.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*))
@@ -124,6 +141,7 @@ object Dedup {
         }.reduce[Column]((a, c) => a.bitwiseOR(c))
         base.withColumn("bucket", bucket)
       }
+    withBucket.persist() // both sides of the pair join read this
     val l = withBucket.as("l"); val r = withBucket.as("r")
     val dot = aggregate(zip_with(col("l.v"), col("r.v"), (a, b) => a * b),
       lit(0.0), (acc, x) => acc + x)

@@ -38,8 +38,12 @@ object Matching {
         coalesce(sum(col("pairs")).over(
           Window.orderBy(col("__cell")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__cell"), col("pairs"), col("offset"))
-    // pass 2: assign indexes inside each cell
-    val wT = Window.partitionBy(col("__cell"), col("__t")).orderBy(rand(seed))
+    // pass 2: assign indexes inside each cell. Order by a content hash, not
+    // rand(): rand() draws per-partition streams, so the matched pairs would
+    // change with the cluster layout; the hash gives the same "random" order
+    // on any layout.
+    val wT = Window.partitionBy(col("__cell"), col("__t"))
+      .orderBy(xxhash64(struct(df.columns.map(col): _*), lit(seed)))
     withCell.join(broadcast(cells), Seq("__cell"), "left")
       .withColumn("__rn", row_number().over(wT))
       .withColumn("matching_index",
