@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the BASELINE.md "parity spirit" target: single-pass
+  * aggregates (OLS / t-test family) over 100M generated rows on local[*].
+  * Not part of the driver bench — run manually:
+  * `SPARK_GRAFT_PROBE_ROWS=100000000 sbt "runMain graft.ScaleProbe"`. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROWS", "100000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // deterministic synthetic: y = 2 x1 - x2 + 0.5 x3 + noise-ish hash term
+    val df = spark.range(rows).select(
+      col("id"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(1000L)).cast("double") / 500.0 - 1.0).as("x1"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(1000L)).cast("double") / 500.0 - 1.0).as("x2"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(1000L)).cast("double") / 500.0 - 1.0).as("x3"),
+      (col("id") % 2).cast("int").as("t"))
+      .withColumn("y", col("x1") * 2.0 - col("x2") + col("x3") * 0.5 +
+        (pmod(xxhash64(col("id"), lit(4)), lit(1000L)).cast("double") / 1000.0))
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"PROBE $label rows=$rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("warmup count")(df.count())
+    time("ols y ~ x1+x2+x3") {
+      val r = df.select(functions.ols(col("y"), Seq(col("x1"), col("x2"), col("x3"))).as("m"))
+        .select("m.coefficients").head()
+      val c = r.getSeq[Double](0)
+      assert(math.abs(c.head - 2.0) < 0.01, s"coef ${c.head}")
+    }
+    time("ttest_2samp y by t") {
+      df.select(functions.ttest_2samp("x1", col("t"))(col("y")).as("r"))
+        .select("r.p_value").head()
+    }
+    time("delta_method var(avg(y)/avg(x1+2))") {
+      df.select(functions.delta_method("x1/x2", isStd = false,
+        Seq(col("y"), col("x1") + lit(2.0))).as("v")).head()
+    }
+    spark.stop()
+  }
+}

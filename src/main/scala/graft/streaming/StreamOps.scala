@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming surface for the engine: continuous experiment
+  * metrics over an event stream.
+  *
+  * The reference is purely batch (SURVEY §1: no streaming surface), but a
+  * 100 TB training-data/experimentation pipeline ingests continuously, so
+  * the streaming module provides the always-on versions of the core
+  * operators: watermarked windowed metric aggregation, streaming two-sample
+  * t-tests (the same single-pass moment state the batch aggregate uses —
+  * sums/counts per arm are associative, so they fold per window), and
+  * stateful sessionization via flatMapGroupsWithState.
+  *
+  * All outputs are append/update-mode compatible: aggregations key on
+  * (window, …) with an event-time watermark bounding state.
+  */
+object StreamOps {
+
+  /** Watermarked per-window metric aggregation: count/sum/avg of `value`
+    * per (window, group). Works on `readStream` frames with an event-time
+    * column. */
+  def windowedMetrics(events: DataFrame, eventTime: Column, group: Column,
+                      value: Column, windowDuration: String,
+                      watermarkDelay: String): DataFrame =
+    events
+      .withColumn("__et", eventTime.cast("timestamp"))
+      .withWatermark("__et", watermarkDelay)
+      .groupBy(window(col("__et"), windowDuration), group.as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(value.cast("double")).as("sum_value"),
+        avg(value.cast("double")).as("avg_value"))
+
+  /** Streaming two-sample t-test per window: per-(window, arm) moment
+    * state (n, Σy, Σy²) folds associatively under late/out-of-order
+    * arrivals; the Welch statistic is computed in the projection, so each
+    * update-mode emission carries the current test result for its window. */
+  def windowedTtest(events: DataFrame, eventTime: Column, treatment: Column,
+                    value: Column, windowDuration: String,
+                    watermarkDelay: String): DataFrame = {
+    val v = value.cast("double")
+    val moments = events
+      .withColumn("__et", eventTime.cast("timestamp"))
+      .withWatermark("__et", watermarkDelay)
+      .groupBy(window(col("__et"), windowDuration))
+      .agg(
+        sum(when(treatment === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(treatment === 1, v).otherwise(0.0)).as("s1"),
+        sum(when(treatment === 1, v * v).otherwise(0.0)).as("q1"),
+        sum(when(treatment === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(treatment === 0, v).otherwise(0.0)).as("s0"),
+        sum(when(treatment === 0, v * v).otherwise(0.0)).as("q0"))
+    val m1 = col("s1") / col("n1"); val m0 = col("s0") / col("n0")
+    val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val v0 = (col("q0") - col("s0") * col("s0") / col("n0")) / (col("n0") - 1)
+    val se = sqrt(v1 / col("n1") + v0 / col("n0"))
+    moments.select(col("window"), col("n0"), col("n1"),
+      m0.as("mean0"), m1.as("mean1"),
+      (m1 - m0).as("estimate"), se.as("stderr"),
+      ((m1 - m0) / se).as("t_statistic"))
+  }
+
+  case class SessionEvent(userId: Long, ts: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(userId: Long, start: Long, end: Long, n: Long,
+                        sum: Double, durationMs: Long)
+
+  /** Gap-based sessionization with flatMapGroupsWithState: a session closes
+    * after `gapMs` of inactivity (in-batch gap always; idle-state expiry via
+    * the configured timeout — ProcessingTimeTimeout in production, NoTimeout
+    * for deterministic tests); emits one row per closed session. The
+    * canonical custom-state streaming pattern the engine exposes for
+    * per-entity accumulation beyond windowed aggs. */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent], gapMs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeout) {
+        case (uid, evts, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start, s.last, s.n, s.sum, s.last - s.start))
+          } else {
+            val sorted = evts.toSeq.sortBy(_.ts)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts - s.last <= gapMs =>
+                  cur = Some(s.copy(last = e.ts, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  out += SessionOut(uid, s.start, s.last, s.n, s.sum, s.last - s.start)
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
+                state.setTimeoutDuration(gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("windowedMetrics aggregates an event stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val df = input.toDF().toDF("ts_s", "etype", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = StreamOps.windowedMetrics(df, col("ts"), col("etype"), col("value"),
+      "10 seconds", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("wm")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, "click", 1.0), (3L, "click", 2.0), (12L, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm").collect()
+      val click = rows.find(_.getAs[String]("group") == "click").get
+      assert(click.getAs[Long]("n") == 2 && click.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("windowedTtest emits running two-sample stats per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Int, Double)]
+    val df = input.toDF().toDF("ts_s", "t", "y")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = StreamOps.windowedTtest(df, col("ts"), col("t"), col("y"),
+      "60 seconds", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("wt")
+      .outputMode("update").start()
+    try {
+      val rng = new scala.util.Random(3)
+      val batch = (1 to 400).map { i =>
+        val t = i % 2
+        (5L + (i % 50), t, 1.0 * t + rng.nextGaussian())
+      }
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val r = spark.table("wt").collect().last
+      assert(r.getAs[Long]("n0") == 200 && r.getAs[Long]("n1") == 200)
+      assert(math.abs(r.getAs[Double]("estimate") - 1.0) < 0.3)
+      assert(r.getAs[Double]("t_statistic") > 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap (batch semantics check)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.SessionEvent]
+    val out = StreamOps.sessionize(input.toDS(), gapMs = 1000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts separated by > gap; user 2: one burst
+      input.addData(
+        StreamOps.SessionEvent(1L, 0L, 1.0), StreamOps.SessionEvent(1L, 500L, 2.0),
+        StreamOps.SessionEvent(1L, 5000L, 3.0),
+        StreamOps.SessionEvent(2L, 100L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess").as[StreamOps.SessionOut].collect()
+      // first burst of user 1 closed by the in-batch gap
+      val closed = rows.filter(r => r.userId == 1L && r.n == 2)
+      assert(closed.length == 1 && closed.head.sum == 3.0
+        && closed.head.durationMs == 500L)
+    } finally q.stop()
+  }
+}
