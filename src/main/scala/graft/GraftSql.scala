@@ -131,6 +131,22 @@ object GraftSql {
     fn("l2_distance") { a =>
       sqrt(aggregate(zip_with(toCol(a(0)), toCol(a(1)), (x, y) => (x - y) * (x - y)),
         lit(0.0), (s, x) => s + x)) }
+    fn("l2_squared_distance") { a =>
+      aggregate(zip_with(toCol(a(0)), toCol(a(1)), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x) }
+    fn("l1_distance") { a =>
+      aggregate(zip_with(toCol(a(0)), toCol(a(1)), (x, y) => abs(x - y)),
+        lit(0.0), (s, x) => s + x) }
+    fn("linf_distance") { a =>
+      array_max(zip_with(toCol(a(0)), toCol(a(1)), (x, y) => abs(x - y))) }
+    fn("l2_normalize") { a =>
+      val v = toCol(a(0))
+      val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (s, x) => s + x))
+      transform(v, x => x / n) }
+    fn("l1_normalize") { a =>
+      val v = toCol(a(0))
+      val n = aggregate(transform(v, x => abs(x)), lit(0.0), (s, x) => s + x)
+      transform(v, x => x / n) }
     fn("cosine_similarity") { a => Ann.cosine(toCol(a(0)), toCol(a(1))) }
     fn("cosine_distance") { a => lit(1.0) - Ann.cosine(toCol(a(0)), toCol(a(1))) }
 

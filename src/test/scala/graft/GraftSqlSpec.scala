@@ -87,6 +87,33 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("same"))
   }
 
+  test("ttests2Samp: one pass, one struct per alpha, nested CIs") {
+    setup
+    val cols = functions.ttests2Samp("avg(y)", $"t", alphas = Seq(0.05, 0.01))
+    val row = spark.table("exp_data").select(cols: _*).head()
+    val r5 = row.getStruct(0); val r1 = row.getStruct(1)
+    assert(approx(r5.getAs[Double]("estimate"), r1.getAs[Double]("estimate")))
+    // 99% CI strictly wider than 95% CI
+    assert(r1.getAs[Double]("lower") < r5.getAs[Double]("lower"))
+    assert(r1.getAs[Double]("upper") > r5.getAs[Double]("upper"))
+  }
+
+  test("vector distance/normalize sql functions") {
+    setup
+    val r = spark.sql(
+      """SELECT l1_distance(array(1.0D, 2.0D), array(3.0D, 0.0D)) AS d1,
+        |  linf_distance(array(1.0D, 2.0D), array(3.0D, 0.0D)) AS di,
+        |  l2_squared_distance(array(0.0D), array(3.0D)) AS d2s,
+        |  l2_normalize(array(3.0D, 4.0D)) AS n2,
+        |  l1_normalize(array(1.0D, 3.0D)) AS n1
+        |FROM (SELECT 1)""".stripMargin).head()
+    assert(approx(r.getAs[Double]("d1"), 4.0))
+    assert(approx(r.getAs[Double]("di"), 2.0))
+    assert(approx(r.getAs[Double]("d2s"), 9.0))
+    assert(r.getSeq[Double](3).zip(Seq(0.6, 0.8)).forall { case (a, b) => approx(a, b) })
+    assert(r.getSeq[Double](4).zip(Seq(0.25, 0.75)).forall { case (a, b) => approx(a, b) })
+  }
+
   test("srm over sql with ratio literals") {
     setup
     val r = spark.sql(
