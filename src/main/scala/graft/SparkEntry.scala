@@ -447,9 +447,9 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q13_pivot_counts" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS cnt_a,
-        |  sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cnt_n,
-        |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cnt_r
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_r
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q14_delta_method" ->
       """SELECT l_returnflag, round(var_samp(l_quantity) / count(*), 8) AS dm_var
@@ -563,7 +563,7 @@ object SparkEntry {
         |    sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS c0,
         |    sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS c1
         |  FROM lineitem GROUP BY 1, 2)
-        |SELECT l_returnflag, sum(2 * least(c0, c1)) AS n_matched
+        |SELECT l_returnflag, CAST(sum(2 * least(c0, c1)) AS BIGINT) AS n_matched
         |FROM cells WHERE least(c0, c1) > 0 GROUP BY 1""".stripMargin,
     "q30_smd" ->
       """WITH g AS (
@@ -631,8 +631,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q20_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(regexp_split_to_array(text, '\s+'))) AS total_tokens,
-        |  sum(n_chars) AS total_chars
+        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
     "q21_events_agg" ->
       """SELECT event_type, count(*) AS n_events,
@@ -641,7 +641,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "q35_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]'))) AS bpe_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]'))) AS BIGINT) AS bpe_tokens,
         |  round(avg(length(text)::DOUBLE / greatest(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')), 1)), 6) AS avg_chars_per_token
         |FROM documents GROUP BY lang""".stripMargin,
     "q36_ngram_jaccard" ->

@@ -1,0 +1,130 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.types._
+
+/** Fused per-row hash kernels for the dedup operators.
+  *
+  * The column-composition versions traverse the token/shingle array once PER
+  * OUTPUT COORDINATE (96 `array_min(zip_with(...))` expressions for a MinHash
+  * signature, 64 `aggregate()` folds for a SimHash) — ~100x more array
+  * traversals than necessary. These expressions make ONE pass over the array
+  * per row and compute every coordinate in a tight JIT'd loop, while staying
+  * inside whole-stage codegen (the generated code calls the static kernels
+  * below). Bit-for-bit identical to the composed versions (same xxhash64
+  * seeding, same Kirsch-Mitzenmacher double hashing, same mod-prime wrap) —
+  * verified in PipelineOpsSpec.
+  */
+object HashOps {
+  /** 2^31 - 1; see Dedup.minHashesFromShingles for why the mod-prime wrap
+    * is essential. */
+  val MinHashPrime: Long = 2147483647L
+  private val Mask = 0x3FFFFFFFL
+  private val Seed = 42L // Spark's default xxhash64 seed
+
+  /** MinHash signature: mins(i) = min over shingles of (h1 + i*h2) mod p,
+    * h1/h2 from one xxhash64 of the shingle bytes (h2 chains the full h1
+    * exactly like the composed xxhash64(s, lit(1))). */
+  def minHashSig(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k)) // array_min([]) = null
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      // xxhash64(null) leaves the seed untouched — mirror that
+      val h1full = if (arr.isNullAt(j)) Seed
+        else XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
+      val h1 = h1full & Mask
+      val h2 = XXH64.hashInt(1, h1full) & Mask
+      var v = h1 // == (h1 + 0*h2) mod p since h1 < 2^30 < p
+      var i = 0
+      while (i < k) {
+        if (v < mins(i)) mins(i) = v
+        v += h2 // both < p, so one conditional subtract == mod p
+        if (v >= MinHashPrime) v -= MinHashPrime
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** SimHash-64: bit b of the result is the sign of Σ_tokens ±1 by bit b of
+    * xxhash64(token). Null tokens vote -1 on every bit (when(null...) falls
+    * to otherwise in the composed form). */
+  def simHash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) {
+        var b = 0
+        while (b < 64) { votes(b) -= 1; b += 1 }
+      } else {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** One-pass MinHash signature of an array<string> of shingles. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireStringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.minHashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashOps.minHashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** One-pass SimHash-64 of an array<string> of tokens. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireStringArray(child, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.simHash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashOps.simHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object HashExprs {
+  def minHashSig(shingles: Column, numHashes: Int): Column =
+    ExprBridge.column(MinHashSig(ExprBridge.expression(shingles), numHashes))
+  def simHash64(tokens: Column): Column =
+    ExprBridge.column(SimHash64(ExprBridge.expression(tokens)))
+
+  private[expr] def requireStringArray(child: Expression, name: String): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<string> input, got ${other.catalogString}")
+    }
+}

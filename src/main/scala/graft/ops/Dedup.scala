@@ -5,11 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
-  * and embedding-cosine near-dup. Scale shape for all variants: shuffle is
-  * keyed on a small fingerprint (never the document text beyond the first
-  * pass), candidate verification touches only bucket-colliding pairs, and
-  * every hash is a deterministic function of content + seed, so results are
-  * identical on any partition layout.
+  * and embedding-cosine near-dup. Scale shape for all variants: candidate
+  * generation is a groupBy on a small bucket key (band-hash / simhash chunk
+  * / LSH bucket) with pairs expanded INSIDE each bucket — never an all-pairs
+  * join, never a cached copy of the corpus — and every hash is a
+  * deterministic function of content + seed, so results are identical on
+  * any partition layout. Verification touches only colliding pairs.
   */
 object Dedup {
 
@@ -23,65 +24,74 @@ object Dedup {
   }
 
   /** k minhashes of a precomputed shingle array via double hashing
-    * (Kirsch-Mitzenmacher): two string-hash passes produce (h1, h2) per
-    * shingle, then minhash_i = min over shingles of h1 + i·h2 — arithmetic,
-    * not k string hashes. */
-  def minHashesFromShingles(sh: Column, numHashes: Int): Column = {
-    // 30-bit masks keep h1 + i·h2 far from Long overflow (ANSI mode); the
-    // mod-prime wraparound is essential — without it the min is dominated by
-    // argmin(h2) for large i, correlating every coordinate
-    val p = 2147483647L // 2^31 - 1
-    val h1 = transform(sh, s => xxhash64(s).bitwiseAND(0x3FFFFFFFL))
-    val h2 = transform(sh, s => xxhash64(s, lit(1)).bitwiseAND(0x3FFFFFFFL))
-    array((0 until numHashes).map { i =>
-      array_min(zip_with(h1, h2, (a, b) => pmod(a + lit(i.toLong) * b, lit(p))))
-    }: _*)
+    * (Kirsch-Mitzenmacher): one xxhash64 pass per shingle produces (h1, h2),
+    * then minhash_i = min over shingles of (h1 + i·h2) mod p — arithmetic,
+    * not k string hashes. The mod-prime wraparound is essential: without it
+    * the min is dominated by argmin(h2) for large i, correlating every
+    * coordinate. Fused into ONE traversal of the shingle array per row
+    * ([[graft.expr.MinHashSig]]) — the k-separate-array-expressions
+    * composition costs k× more traversals (~2 ms/doc at k=96). */
+  def minHashesFromShingles(sh: Column, numHashes: Int): Column =
+    graft.expr.HashExprs.minHashSig(sh, numHashes)
+
+  /** All unordered (id_a < id_b) pairs within a bucket's id list — expanded
+    * inside the bucket row, so candidate generation needs NO self-join. */
+  private def bucketPairs(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, greatest(size(sorted) - i - 1, lit(0))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
   }
 
   /** MinHash+LSH candidate pairs: band the signature (bands × rowsPerBand =
-    * numHashes), bucket-join on (band, band-hash), emit each colliding pair
-    * once, then verify with exact n-gram Jaccard over the PRECOMPUTED
-    * shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b and
-    * jaccard >= threshold.
+    * numHashes), group by (band, band-hash), emit each colliding pair once,
+    * then verify with exact n-gram Jaccard over recomputed shingle sets.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     *
-    * Scale shape: shingles + signature are computed once and cached (a
-    * self-join would otherwise recompute them per side); the only wide
-    * exchange is the (band, bandhash) bucket join on small keys; work is
-    * quadratic only within a bucket. Choose rows-per-band ≈
-    * log(1/bands)/log(threshold): the default 96/16 (r=6) puts the LSH
-    * S-curve midpoint at ~0.63, giving miss probability < 1e-5 at j=0.9
-    * while keeping sub-threshold collisions (and thus verify cost) low. */
+    * Scale shape: one scan computes shingles + signatures (checkpointed,
+    * see `materialize`); candidates come from a groupBy on (band, bandhash)
+    * — small keys — with pairs expanded within each bucket, so there is no
+    * self-join. Work is quadratic only within a bucket. Choose
+    * rows-per-band ≈ log(1/bands)/log(threshold): the default
+    * 96/16 (r=6) puts the LSH S-curve midpoint at ~0.63, giving miss
+    * probability < 1e-5 at j=0.9 while keeping sub-threshold collisions (and
+    * thus verify cost) low. */
   def minHashLsh(df: DataFrame, id: Column, text: Column,
                  numHashes: Int = 96, bands: Int = 16, shingleN: Int = 3,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8,
+                 materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSh = df.select(id.cast("long").as("id"),
+    // the shingle projection feeds banding AND both verify sides; shingling
+    // (regex split + distinct n-grams) dominates the per-doc cost, so
+    // compute it ONCE. A lazy localCheckpoint materializes on first use and
+    // is auto-cleaned when the result is dropped — no persist leak. Pass
+    // materialize=false at extreme corpus scale to trade recompute (3 scans)
+    // for zero executor storage.
+    val slim0 = df.select(id.cast("long").as("id"),
         TextOps.shingles(text, shingleN).as("sh"))
       .withColumn("sig", minHashesFromShingles(col("sh"), numHashes))
-    withSh.persist()
-    val banded = withSh.select(col("id"),
+    val slim = if (materialize) slim0.localCheckpoint(false) else slim0
+    val banded = slim.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string"))))))
         .as(Seq("band", "bandhash")))
-    // candidate pairs from same (band, bandhash) buckets, deduped across bands
-    val l = banded.as("l"); val r = banded.as("r")
-    val cands = l.join(r,
-        col("l.band") === col("r.band") && col("l.bandhash") === col("r.bandhash") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val cands = banded.groupBy(col("band"), col("bandhash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    // verify with exact Jaccard over cached shingle sets
-    val sa = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val sb = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    val out = cands.join(sa, "id_a").join(sb, "id_b")
+    // verify with exact Jaccard over the materialized shingle sets
+    val sa = slim.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = slim.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    out
   }
 
   /** Rows to drop under MinHash dedup: from each connected candidate pair,
@@ -97,23 +107,24 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates from matching
     * any of 4 16-bit chunks (catches all pairs within Hamming distance 3 by
-    * pigeonhole when ≤ 3 chunks differ), verified by Hamming distance. */
+    * pigeonhole when ≤ 3 chunks differ), verified by Hamming distance.
+    * Candidates come from a groupBy on (chunk, chunkval) with (id, sh) pairs
+    * expanded inside each bucket — one scan, no self-join, no cache. */
   def simHashPairs(df: DataFrame, id: Column, text: Column,
                    maxHamming: Int = 3): DataFrame = {
-    val base = df.select(id.cast("long").as("id"),
-      TextOps.simHash(text).as("sh"))
-    base.persist() // simhash is 64 array-aggregates per row; never recompute
-    val chunked = base.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk", "chunkval")))
-    val l = chunked.as("l"); val r = chunked.as("r")
-    l.join(r, col("l.chunk") === col("r.chunk") &&
-        col("l.chunkval") === col("r.chunkval") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        TextOps.hammingDistance(col("l.sh"), col("r.sh")).as("hamming"))
+    val chunked = df.select(id.cast("long").as("id"), TextOps.simHash(text).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("chunk", "chunkval")))
+    val pairs = chunked.groupBy(col("chunk"), col("chunkval"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(bucketPairs(col("members"))).as("p"))
+      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
+        TextOps.hammingDistance(col("p.id_a.sh"), col("p.id_b.sh")).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+    pairs.filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding near-dup pairs above a cosine threshold, with random-
@@ -121,16 +132,21 @@ object Dedup {
     * (deterministic per dim via xxhash64-derived pseudo-gaussians); pairs
     * must share a bit-prefix bucket before the exact cosine verify. For
     * recall ~1 at high thresholds use few bits; bits=0 is exact brute
-    * force. */
+    * force. Candidate ids pair up inside each bucket (groupBy, no
+    * self-join); vectors rejoin from the source only for colliding pairs. */
   def embeddingNearDup(df: DataFrame, id: Column, embedding: Column,
                        threshold: Double = 0.95, bits: Int = 0): DataFrame = {
     val base = df.select(id.cast("long").as("id"),
       embedding.cast("array<double>").as("v"))
-    val withBucket =
-      if (bits == 0) base.withColumn("bucket", lit(0L))
-      else {
-        // pseudo-random hyperplane h_b[d] = centered hash of (b, d)
+    val cands =
+      if (bits == 0) {
+        // exact brute force: join streams the cross product across tasks
+        // (a single collect_list bucket would funnel the table into one row)
+        base.select(col("id").as("id_a")).join(
+          base.select(col("id").as("id_b")), col("id_a") < col("id_b"))
+      } else {
         val bucket = (0 until bits).map { b =>
+          // pseudo-random hyperplane h_b[d] = centered hash of (b, d)
           val dot = aggregate(
             zip_with(col("v"),
               transform(sequence(lit(0), size(col("v")) - 1),
@@ -139,16 +155,20 @@ object Dedup {
             lit(0.0), (acc, x) => acc + x)
           when(dot > 0, lit(1L << b)).otherwise(0L)
         }.reduce[Column]((a, c) => a.bitwiseOR(c))
-        base.withColumn("bucket", bucket)
+        base.select(col("id"), bucket.as("bucket"))
+          .groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(bucketPairs(col("ids"))).as("p"))
+          .select(col("p.id_a"), col("p.id_b"))
       }
-    withBucket.persist() // both sides of the pair join read this
-    val l = withBucket.as("l"); val r = withBucket.as("r")
-    val dot = aggregate(zip_with(col("l.v"), col("r.v"), (a, b) => a * b),
+    val va = base.select(col("id").as("id_a"), col("v").as("va"))
+    val vb = base.select(col("id").as("id_b"), col("v").as("vb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (a, b) => a * b),
       lit(0.0), (acc, x) => acc + x)
     def norm(c: Column) = sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cosine", dot / (norm(col("l.v")) * norm(col("r.v"))))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", dot / (norm(col("va")) * norm(col("vb"))))
       .filter(col("cosine") >= threshold)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -101,19 +101,17 @@ object MlWrappers {
     * scores) state, no driver collection (replaces the reference's
     * sampled-AUC eval, regression.py:203-255). */
   def auc(df: DataFrame, score: Column, label: Column): Double = {
-    import org.apache.spark.sql.expressions.Window
     val byValue = df
       .select(score.cast("double").as("v"), label.cast("int").as("y"))
       .filter(!isnan(col("v")) && col("v").isNotNull)
       .groupBy(col("v"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("y") === 1, 1L).otherwise(0L)).as("cnt1"))
-    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val r = byValue
-      .withColumn("cumCnt", sum(col("cnt")).over(w))
-      .withColumn("avgRank", (col("cumCnt") - col("cnt") + col("cumCnt") + 1) / 2.0)
-      .agg(sum(col("cnt1") * col("avgRank")).as("r1"),
-        sum(col("cnt1")).as("n1"), sum(col("cnt")).as("n")).head()
+    val r = RangeCumSum.withCumSums(byValue, Seq(col("v")), Seq("cnt")) { (cum, _) =>
+      cum.withColumn("avgRank", (col("cum_cnt") - col("cnt") + col("cum_cnt") + 1) / 2.0)
+        .agg(sum(col("cnt1") * col("avgRank")).as("r1"),
+          sum(col("cnt1")).as("n1"), sum(col("cnt")).as("n")).head()
+    }
     val r1 = r.getAs[Double]("r1")
     val n1 = r.getAs[Long]("n1").toDouble
     val n0 = r.getAs[Long]("n").toDouble - n1

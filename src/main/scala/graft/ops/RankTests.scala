@@ -3,16 +3,16 @@ package graft.ops
 import graft.agg.{KsResult, MannWhitneyResult}
 import graft.stats.{Dist, TtestCommon}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed rank-based tests — the scale path for SURVEY §2b #7/#8.
   *
   * Unlike the reference's collect-all-samples aggregate states
   * (mann_whitney.h:60-68), these compute ranks with a shuffle-by-value
-  * aggregation: group rows by distinct value (combining both samples),
-  * then a window over the value order yields cumulative counts — O(distinct
-  * values) state, no driver collection, no single-node sort. The final
+  * aggregation: group rows by distinct value (combining both samples), then
+  * a two-phase range-partitioned cumulative sum ([[RangeCumSum]]) yields
+  * global cumulative counts with full parallelism — O(distinct values)
+  * state, no driver collection, no single-partition sort. The final
   * statistic reduces a handful of scalars. Identical math to
   * [[graft.agg.MannWhitneyAgg]] / [[graft.agg.KsAgg]] (verified in tests).
   */
@@ -29,18 +29,17 @@ object RankTests {
       .groupBy(col("v"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("t") === 0, 1L).otherwise(0L)).as("cnt0"))
-    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // avg rank of a tie-group = (left + right + 1)/2 with left = rows before,
     // right = rows through this group (1-based)
-    val ranked = byValue
-      .withColumn("cumCnt", sum(col("cnt")).over(w))
-      .withColumn("avgRank", (col("cumCnt") - col("cnt") + col("cumCnt") + 1) / 2.0)
-    val agg = ranked.agg(
-      sum(col("cnt0") * col("avgRank")).as("r1"),
-      sum(col("cnt")).as("n"),
-      sum(col("cnt0")).as("n1"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tieNum"),
-      max(col("cnt")).as("maxTie")).head()
+    val agg = RangeCumSum.withCumSums(byValue, Seq(col("v")), Seq("cnt")) { (cum, _) =>
+      cum.withColumn("avgRank", (col("cum_cnt") - col("cnt") + col("cum_cnt") + 1) / 2.0)
+        .agg(
+          sum(col("cnt0") * col("avgRank")).as("r1"),
+          sum(col("cnt")).as("n"),
+          sum(col("cnt0")).as("n1"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tieNum"),
+          max(col("cnt")).as("maxTie")).head()
+    }
     val r1 = agg.getAs[Double]("r1")
     val n = agg.getAs[Long]("n").toDouble
     val n1 = agg.getAs[Long]("n1").toDouble
@@ -77,19 +76,20 @@ object RankTests {
       .groupBy(col("v"))
       .agg(sum(when(col("t") === 0, 1L).otherwise(0L)).as("c0"),
         sum(when(col("t") =!= 0, 1L).otherwise(0L)).as("c1"))
-    byValue.cache()
-    val tot = byValue.agg(sum(col("c0")).as("n1"), sum(col("c1")).as("n2")).head()
-    val n1 = tot.getAs[Long]("n1")
-    val n2 = tot.getAs[Long]("n2")
-    if (n1 == 0 || n2 == 0) { byValue.unpersist(); return KsResult(Double.NaN, Double.NaN) }
-    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val mm = byValue
-      .withColumn("s", sum(col("c0")).over(w) / lit(n1.toDouble) -
-        sum(col("c1")).over(w) / lit(n2.toDouble))
-      .agg(max(col("s")).as("maxS"), min(col("s")).as("minS")).head()
-    byValue.unpersist()
-    val maxS = mm.getAs[Double]("maxS")
-    val minS = mm.getAs[Double]("minS")
+    val (n1, n2, maxS, minS) =
+      RangeCumSum.withCumSums(byValue, Seq(col("v")), Seq("c0", "c1")) { (cum, totals) =>
+        val tn1 = totals("c0").toLong
+        val tn2 = totals("c1").toLong
+        if (tn1 == 0 || tn2 == 0) (tn1, tn2, Double.NaN, Double.NaN)
+        else {
+          val mm = cum
+            .withColumn("s", col("cum_c0") / lit(tn1.toDouble) -
+              col("cum_c1") / lit(tn2.toDouble))
+            .agg(max(col("s")).as("maxS"), min(col("s")).as("minS")).head()
+          (tn1, tn2, mm.getAs[Double]("maxS"), mm.getAs[Double]("minS"))
+        }
+      }
+    if (n1 == 0 || n2 == 0) return KsResult(Double.NaN, Double.NaN)
     val d = alt match {
       case TtestCommon.TwoSided => math.max(math.abs(maxS), math.abs(minS))
       case TtestCommon.Greater => maxS

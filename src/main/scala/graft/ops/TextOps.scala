@@ -113,18 +113,11 @@ object TextOps {
   }
 
   /** SimHash-64 over token hashes: bit b of the fingerprint is the sign of
-    * Σ_tokens (±1 depending on bit b of xxhash64(token)). 64 aggregate()
-    * higher-order calls, still one codegen'd projection. */
-  def simHash(text: Column): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(0L)
-    }
-    bits.reduce[Column]((a, b) => a.bitwiseOR(b))
-  }
+    * Σ_tokens (±1 depending on bit b of xxhash64(token)). One fused pass
+    * over the token array per row ([[graft.expr.HashOps.simHash64]]) — the
+    * 64-separate-folds composition costs 64× more array traversals. */
+  def simHash(text: Column): Column =
+    graft.expr.HashExprs.simHash64(split(lower(trim(text)), "\\s+"))
 
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

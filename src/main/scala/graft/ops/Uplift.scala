@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Uplift evaluation: lift/gain curves and AUUC — pure SQL-rewrite in the
@@ -9,45 +8,68 @@ import org.apache.spark.sql.functions._
   * pure DataFrame composition here.
   *
   * Rows are ranked by predicted individual treatment effect (descending),
-  * cut into K near-equal buckets, and the cumulative treated-vs-control
-  * outcome difference is reported per cumulative traffic ratio:
-  * lift(r) = cumΣY₁/cumN₁ − cumΣY₀/cumN₀, gain(r) = lift(r)·r,
+  * cut into K near-equal buckets (exact ntile semantics), and the cumulative
+  * treated-vs-control outcome difference is reported per cumulative traffic
+  * ratio: lift(r) = cumΣY₁/cumN₁ − cumΣY₀/cumN₀, gain(r) = lift(r)·r,
   * ate = overall lift, random_gain(r) = ate·r.
   *
-  * Scale: one narrow shuffle for the global rank (sort by ite), then a
-  * K-row aggregate; the window over K buckets is driver-trivial.
+  * Scale: the global rank comes from [[RangeCumSum.withRowNumber]] — a
+  * range repartition plus per-partition row numbers with collected offsets —
+  * so there is NO single-partition window anywhere; the bucket id is then
+  * pure arithmetic on the rank (exact ntile: the first n%k buckets get
+  * ⌈n/k⌉ rows). The K-row bucket table is collected and the cumulative
+  * curve finished on the driver (bounded by k, not by data size).
   */
 object Uplift {
 
   def liftGain(df: DataFrame, ite: Column, y: Column, treatment: Column,
                k: Int = 100, tieBreak: Seq[Column] = Seq.empty): DataFrame = {
-    val order = col("mm_ite").desc +: tieBreak.zipWithIndex.map { case (_, i) => col(s"tb_$i").asc }
-    val ranked = df.select(Seq(ite.cast("double").as("mm_ite"),
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sel = df.select(Seq(ite.cast("double").as("mm_ite"),
         y.cast("double").as("mm_y"), treatment.cast("int").as("mm_t")) ++
         tieBreak.zipWithIndex.map { case (c, i) => c.as(s"tb_$i") }: _*)
-      .withColumn("gid", ntile(k).over(Window.orderBy(order: _*)))
-      .withColumn("rn", row_number().over(Window.orderBy(order: _*)))
-    val buckets = ranked.groupBy(col("gid")).agg(
-      max(col("rn")).as("max_rn"),
-      sum(when(col("mm_t") === 0, col("mm_y")).otherwise(0.0)).as("sum0"),
-      sum(when(col("mm_t") === 1, col("mm_y")).otherwise(0.0)).as("sum1"),
-      sum(when(col("mm_t") === 0, 1L).otherwise(0L)).as("cnt0"),
-      sum(when(col("mm_t") === 1, 1L).otherwise(0L)).as("cnt1"))
-    val total = Window.partitionBy()
-    val w1 = Window.orderBy(col("ratio"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    buckets
-      .withColumn("ratio", col("max_rn") / max(col("max_rn")).over(total))
-      .withColumn("lift",
-        sum(col("sum1")).over(w1) / sum(col("cnt1")).over(w1) -
-          sum(col("sum0")).over(w1) / sum(col("cnt0")).over(w1))
-      .withColumn("gain", col("lift") * col("ratio"))
-      .withColumn("ate",
-        sum(col("sum1")).over(total) / sum(col("cnt1")).over(total) -
-          sum(col("sum0")).over(total) / sum(col("cnt0")).over(total))
-      .withColumn("random_gain", col("ate") * col("ratio"))
-      .select(col("ratio"), col("lift"), col("gain"), col("ate"), col("random_gain"))
-      .orderBy(col("ratio"))
+    val order = col("mm_ite").desc +: tieBreak.indices.map(i => col(s"tb_$i").asc)
+    val buckets = RangeCumSum.withRowNumber(sel, order, "__rn") { (ranked, n) =>
+      if (n == 0) Array.empty[(Long, Double, Double, Long, Long)]
+      else {
+        // exact ntile(k): q = n/k rows per bucket, first r = n%k buckets get
+        // one extra. Integer DIV keeps the boundary exact at any n.
+        val q = n / k
+        val r = n % k
+        val gid =
+          if (q == 0) col("__rn")
+          else when(col("__rn") <= r * (q + 1),
+              expr(s"CAST((__rn - 1) DIV ${q + 1} AS BIGINT) + 1"))
+            .otherwise(expr(s"CAST((__rn - 1 - ${r * (q + 1)}) DIV $q AS BIGINT) + ${r + 1}"))
+        ranked.withColumn("gid", gid)
+          .groupBy(col("gid"))
+          .agg(max(col("__rn")).as("max_rn"),
+            sum(when(col("mm_t") === 0, col("mm_y")).otherwise(0.0)).as("sum0"),
+            sum(when(col("mm_t") === 1, col("mm_y")).otherwise(0.0)).as("sum1"),
+            sum(when(col("mm_t") === 0, 1L).otherwise(0L)).as("cnt0"),
+            sum(when(col("mm_t") === 1, 1L).otherwise(0L)).as("cnt1"))
+          .orderBy(col("gid"))
+          .collect()
+          .map(b => (b.getAs[Long]("max_rn"), b.getAs[Double]("sum0"),
+            b.getAs[Double]("sum1"), b.getAs[Long]("cnt0"), b.getAs[Long]("cnt1")))
+      }
+    }
+    if (buckets.isEmpty)
+      return Seq.empty[(Double, Double, Double, Double, Double)]
+        .toDF("ratio", "lift", "gain", "ate", "random_gain")
+    val n = buckets.map(_._1).max.toDouble
+    val totS0 = buckets.map(_._2).sum; val totS1 = buckets.map(_._3).sum
+    val totC0 = buckets.map(_._4).sum; val totC1 = buckets.map(_._5).sum
+    val ate = totS1 / totC1 - totS0 / totC0
+    var s0 = 0.0; var s1 = 0.0; var c0 = 0L; var c1 = 0L
+    val curve = buckets.map { case (maxRn, b0, b1, k0, k1) =>
+      s0 += b0; s1 += b1; c0 += k0; c1 += k1
+      val ratio = maxRn / n
+      val lift = s1 / c1 - s0 / c0
+      (ratio, lift, lift * ratio, ate, ate * ratio)
+    }
+    curve.toSeq.toDF("ratio", "lift", "gain", "ate", "random_gain")
   }
 
   /** Area under the uplift (gain) curve by trapezoid over the K buckets,
@@ -57,6 +79,7 @@ object Uplift {
     val curve = liftGain(df, ite, y, treatment, k)
       .select(col("ratio"), col("gain"), col("random_gain"))
       .collect()
+      .sortBy(_.getDouble(0))
     var area = 0.0
     var prevR = 0.0; var prevG = 0.0
     curve.foreach { r =>

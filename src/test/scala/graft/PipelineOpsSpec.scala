@@ -62,6 +62,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ham(m(1L), m(3L)) > 12, s"unrelated hamming ${ham(m(1L), m(3L))}")
   }
 
+  test("fused MinHashSig/SimHash64 match the column-composed definitions bit for bit") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "alpha beta gamma delta", "single", "a b a b a b", "", "  padded   text  ")
+    val d = texts.toDF("text")
+      .withColumn("sh", TextOps.shingles($"text", 2))
+      .withColumn("toks", split(lower(trim($"text")), "\\s+"))
+    // composed reference versions (the pre-fusion implementations)
+    val p = 2147483647L
+    val h1 = transform($"sh", s => xxhash64(s).bitwiseAND(0x3FFFFFFFL))
+    val h2 = transform($"sh", s => xxhash64(s, lit(1)).bitwiseAND(0x3FFFFFFFL))
+    val composedSig = array((0 until 32).map { i =>
+      array_min(zip_with(h1, h2, (a, b) => pmod(a + lit(i.toLong) * b, lit(p))))
+    }: _*)
+    val hashes = transform($"toks", t => xxhash64(t))
+    val composedSim = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(0L)
+    }.reduce[org.apache.spark.sql.Column]((a, b) => a.bitwiseOR(b))
+    val r = d.select(
+      Dedup.minHashesFromShingles($"sh", 32).as("fusedSig"), composedSig.as("refSig"),
+      TextOps.simHash($"text").as("fusedSim"), composedSim.as("refSim")).collect()
+    r.foreach { row =>
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1), s"minhash mismatch: $row")
+      assert(row.getLong(2) == row.getLong(3), s"simhash mismatch: $row")
+    }
+  }
+
   // ---------------------------------------------------------------- dedup
 
   private lazy val docs: Seq[(Long, String)] = {
