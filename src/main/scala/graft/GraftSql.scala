@@ -86,6 +86,25 @@ object GraftSql {
       functions.ttest_2samp(strArg(a(0), "expr"), toCol(a(3)),
         strArg(a(1), "alternative"), strArg(a(2), "cuped"))(a.drop(4).map(toCol): _*)
     }
+    // ttest_2samp_pse('x1/x2', 'two-sided', treatment, stratum, x...)
+    fn("ttest_2samp_pse") { a =>
+      functions.ttest_2samp_pse(strArg(a(0), "expr"), toCol(a(2)), toCol(a(3)),
+        strArg(a(1), "alternative"))(a.drop(4).map(toCol): _*)
+    }
+    fn("ttest_2samp_pse_cuped") { a =>
+      functions.ttest_2samp_pse(strArg(a(0), "expr"), toCol(a(3)), toCol(a(4)),
+        strArg(a(1), "alternative"), strArg(a(2), "cuped"))(a.drop(5).map(toCol): _*)
+    }
+    // ttests_2samp('x1/x2', 'two-sided', array(alpha...), treatment, x...)
+    // — one struct per alpha in a single pass, surfaced as an array of
+    // structs (the Scala DSL splats them into a select instead)
+    fn("ttests_2samp") { a =>
+      val (ySym, _, cs) = functions.parseMetrics(strArg(a(0), "expr"), "")
+      val alphas = dblArrayArg(a(2), "alphas")
+      array(alphas.map(al =>
+        functions.ttest_2samp(ySym, toCol(a(3)), strArg(a(1), "alternative"),
+          "", al)(a.drop(4).map(toCol): _*)): _*)
+    }
     // srm(x, groupby, array(r0, r1, ...))
     fn("srm") { a =>
       functions.srm(toCol(a(0)), toCol(a(1)), dblArrayArg(a(2), "ratios"))
@@ -108,6 +127,17 @@ object GraftSql {
     // xexpt_ttest_2samp(uin, treatment, numerator, denominator)
     fn("xexpt_ttest_2samp") { a =>
       functions.xexpt_ttest_2samp(toCol(a(0)), toCol(a(1)), a.drop(2).map(toCol)) }
+    // CUPED variant: xexpt_ttest_2samp_cuped('x3/x4', uin, treatment,
+    //   numerator, denominator, numerator_pre, denominator_pre)
+    fn("xexpt_ttest_2samp_cuped") { a =>
+      functions.xexpt_ttest_2samp(toCol(a(1)), toCol(a(2)), a.drop(3).map(toCol),
+        cuped = strArg(a(0), "cuped")) }
+    // sum-metric variant: xexpt_ttest_2samp_sum(uin, treatment, num, den,
+    //   ratio0, ratio1)
+    fn("xexpt_ttest_2samp_sum") { a =>
+      functions.xexpt_ttest_2samp(toCol(a(0)), toCol(a(1)),
+        a.slice(2, 4).map(toCol), metricType = "sum",
+        ratios = (dblArg(a(4), "ratio0"), dblArg(a(5), "ratio1"))) }
 
     // ---------------------------------------------------------- scalar math
     val cdfTUdf = udf((x: Double, df: Double) => Dist.tCdf(x, df))

@@ -262,14 +262,38 @@ object SparkEntry {
     "q34_logistic" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      // returns: high-price indicator ~ quantity + discount (IRLS, one agg
-      // pass per iteration); no SQL oracle — rows-only check
+      // high-price indicator ~ quantity + discount (IRLS, one agg pass per
+      // iteration). Oracle: the MLE is unique and the fit deterministic, so
+      // the sf0.01 coefficients are pinned as literals (rounded to 6, far
+      // above the partition-order float noise).
       val li = t(s, d, "lineitem")
         .withColumn("y", (col("l_extendedprice") > 30000.0).cast("double"))
       val fit = graft.ops.MlWrappers.logisticIrls(li, col("y"),
         Seq(col("l_quantity"), col("l_discount")), maxIter = 20)
       Seq((fit.coefficients(0), fit.coefficients(1), fit.intercept, fit.converged))
-        .toDF("b_quantity", "b_discount", "intercept", "converged")
+        .toDF("b_raw", "d_raw", "i_raw", "converged")
+        .select(round(col("b_raw"), 6).as("b_quantity"),
+          round(col("d_raw"), 6).as("b_discount"),
+          round(col("i_raw"), 6).as("intercept"), col("converged"))
+    }),
+    "q42_causal_forest" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // honest causal forest with leaf stderr + variable importance; forest
+      // structure is search-dependent → rows-only driver check
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      val m = graft.ops.CausalForest.fit(li, col("l_extendedprice"), col("treat"),
+        Seq("l_quantity" -> col("l_quantity"), "l_discount" -> col("l_discount")),
+        numTrees = 4, maxDepth = 2, minNodeSize = 200, bins = 8)
+      val scored = li.limit(1000).select(
+        m.effectColumn(Seq(col("l_quantity"), col("l_discount"))).as("eff"),
+        m.stderrColumn(Seq(col("l_quantity"), col("l_discount"))).as("se"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("se") > 0.0, 1L).otherwise(0L)).as("n_with_se"))
+        .head()
+      Seq((m.numTrees, m.variableImportance.length,
+        scored.getAs[Long]("n_scored"), scored.getAs[Long]("n_with_se")))
+        .toDF("n_trees", "n_features", "n_scored", "n_with_se")
     }),
     "q41_causal_tree" -> ((s, d) => {
       val spark = s
@@ -629,6 +653,29 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |  count(*) - count(DISTINCT md5(text)) AS n_dupes
         |FROM documents""".stripMargin,
+    "q34_logistic" ->
+      // pinned sf0.01 MLE (unique optimum; fit verified partition-order
+      // stable at 6 decimals). The driver's gate runs at sf0.01 only.
+      """SELECT CAST(0.000425 AS DOUBLE) AS b_quantity,
+        |  CAST(0.214367 AS DOUBLE) AS b_discount,
+        |  CAST(0.924714 AS DOUBLE) AS intercept,
+        |  TRUE AS converged""".stripMargin,
+    "q40_dedup_pipeline" ->
+      // same dedup semantics as Dedup.exactDedup: one survivor per
+      // normalized-content fingerprint, smallest doc_id wins; every planted
+      // copy (doc_id >= 10000) loses to its original
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM all_docs),
+        |kept AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f)
+        |SELECT count(*) AS n_after,
+        |  CAST(sum(CASE WHEN keep_id >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_kept
+        |FROM kept""".stripMargin,
     "q20_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens,

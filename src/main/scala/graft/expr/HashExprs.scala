@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
 /** Fused per-row hash kernels for the dedup operators.
@@ -117,9 +117,9 @@ case class SimHash64(child: Expression)
 
 object HashExprs {
   def minHashSig(shingles: Column, numHashes: Int): Column =
-    ExprBridge.column(MinHashSig(ExprBridge.expression(shingles), numHashes))
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
   def simHash64(tokens: Column): Column =
-    ExprBridge.column(SimHash64(ExprBridge.expression(tokens)))
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
 
   private[expr] def requireStringArray(child: Expression, name: String): TypeCheckResult =
     child.dataType match {

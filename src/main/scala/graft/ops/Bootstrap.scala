@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.stats.Dist
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -47,17 +48,47 @@ object Bootstrap {
     c.otherwise(maxK + 1)
   }
 
+  /** Exact stable row identity when the caller has none: content hash of
+    * every column PLUS a within-duplicate-group counter, so two identical
+    * rows get DISTINCT identities (hashing content alone would give
+    * duplicate rows perfectly correlated draws in every replicate,
+    * understating resampling variance on discrete data). The counter
+    * window partitions by the hash — parallel, no global sort; which
+    * physical duplicate gets which counter is layout-dependent, but the
+    * duplicates are indistinguishable so every aggregate is invariant. */
+  private[graft] def withStableIds(df: DataFrame): (DataFrame, Seq[Column]) = {
+    val all = df.columns.map(col).toSeq
+    val d = df.withColumn("__rid", xxhash64(all: _*))
+      .withColumn("__dup", row_number().over(
+        Window.partitionBy(col("__rid")).orderBy(monotonically_increasing_id())))
+    (d, Seq(col("__rid"), col("__dup")))
+  }
+
   /** Explode df into B replicates with a deterministic bootstrap `weight`
     * column (rows with weight 0 are dropped). `idCols` identify a row
-    * stably (any unique-ish key set; falls back to all columns). */
+    * stably (pass a real key to skip the stable-id derivation shuffle). */
   def replicated(df: DataFrame, b: Int, frac: Double = 1.0, seed: Long = 42L,
                  idCols: Seq[Column] = Seq.empty): DataFrame = {
-    val ids = if (idCols.nonEmpty) idCols else df.columns.map(col).toSeq
-    val withRep = df.withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+    val (base, ids) =
+      if (idCols.nonEmpty) (df, idCols) else withStableIds(df)
+    val withRep = base.withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
     withRep
       .withColumn("weight", poissonMultiplicity(uniform(ids, col("rep"), seed), frac))
       .filter(col("weight") > 0)
+      .drop("__rid", "__dup")
   }
+
+  /** Like [[replicated]] but physically duplicates each row `weight` times,
+    * so ANY inner aggregate — quantiles, rank statistics, our UDAFs — runs
+    * unweighted per replicate (the reference's generic
+    * `BootStrap('anyAgg', n, B)` surface, AggregateFunctionBootStrap.h:375-497).
+    * Costs ~B×frac row amplification before the aggregate; map-side partial
+    * aggregation keeps the shuffle at B×state cells. */
+  def replicatedRows(df: DataFrame, b: Int, frac: Double = 1.0, seed: Long = 42L,
+                     idCols: Seq[Column] = Seq.empty): DataFrame =
+    replicated(df, b, frac, seed, idCols)
+      .withColumn("__dup_i", explode(sequence(lit(1), col("weight"))))
+      .drop("__dup_i", "weight")
 
   /** Bootstrap distribution of weighted aggregates: one pass, returns a
     * B-row frame (rep, <agg columns>). aggs receive the weight column. */
@@ -69,6 +100,40 @@ object Bootstrap {
     val named = aggs(w).map { case (n, c) => c.as(n) }
     rep.groupBy(col("rep")).agg(named.head, named.tail: _*)
   }
+
+  /** Bootstrap distribution of ARBITRARY aggregates (quantiles, UDAFs, rank
+    * stats — anything expressible as an aggregate Column): physically
+    * replicates rows per [[replicatedRows]] and aggregates each replicate
+    * unweighted. One pass, returns a B-row frame (rep, <agg columns>). */
+  def bootstrapAny(df: DataFrame, b: Int, frac: Double = 1.0, seed: Long = 42L,
+                   idCols: Seq[Column] = Seq.empty)
+                  (aggs: Seq[(String, Column)]): DataFrame = {
+    val rep = replicatedRows(df, b, frac, seed, idCols)
+    val named = aggs.map { case (n, c) => c.as(n) }
+    rep.groupBy(col("rep")).agg(named.head, named.tail: _*)
+  }
+
+  /** `BootStrapOls` equivalent (AggregateFunctionBootStrap.h:375-497): the
+    * bootstrap distribution of OLS coefficients in ONE pass, by feeding the
+    * replicate weight into the weighted OLS aggregate (WLS with integer
+    * weights IS resampled OLS). Returns a B-row frame
+    * (rep, coefficients array — xs order, intercept last if useBias). */
+  def bootstrapOls(df: DataFrame, y: Column, xs: Seq[Column], b: Int,
+                   useBias: Boolean = true, frac: Double = 1.0,
+                   seed: Long = 42L, idCols: Seq[Column] = Seq.empty): DataFrame = {
+    val rep = replicated(df, b, frac, seed, idCols)
+    rep.groupBy(col("rep"))
+      .agg(Regression.olsAggColumn(y, xs, useBias,
+        weight = col("weight").cast("double")).getField("coefficients")
+        .as("coefficients"))
+  }
+
+  /** Per-coefficient bootstrap CI from a [[bootstrapOls]] frame. */
+  def summarizeCoefficients(reps: DataFrame, kb: Int,
+                            alpha: Double = 0.05): Seq[BootSummary] =
+    (0 until kb).map { i =>
+      summarize(reps.select(element_at(col("coefficients"), i + 1).as("c")), "c", alpha)
+    }
 
   /** Bootstrap mean/std/percentile CI of a statistic column from the
     * per-replicate frame. */
@@ -83,31 +148,46 @@ object Bootstrap {
 
   // ---------------------------------------------------------------- permutation
 
+  /** Default permutation statistic: difference in means. */
+  val diffInMeans: (Column, Column) => Column = (y, t) =>
+    sum(when(t === 1, y)) / sum(when(t === 1, 1)) -
+      sum(when(t === 0, y)) / sum(when(t === 0, 1))
+
   /** Permutation test (AggregateFunctionPermutation.h:48-263): B replicas
     * with treatment re-randomized per replica; two-sided p = share of
-    * permuted |diff-in-means| ≥ |observed|. Optional mde shifts treated
-    * outcomes to probe sensitivity. Returns (observed, p_value, reps df). */
+    * permuted |stat| ≥ |observed|. The inner statistic is ANY aggregate
+    * builder (y, t) => Column — diff-in-means by default, but a
+    * Mann-Whitney U, a quantile difference, or any UDAF works (the
+    * reference re-runs an arbitrary named aggregate per permutation,
+    * Permutation.h:48-263). `mde` shifts treated outcomes to probe
+    * sensitivity: absolute (`mdeType="abs"`, y+mde) or relative
+    * (`mdeType="rel"`, y·(1+mde)) — Permutation.h:207-263's shift types.
+    * Returns (observed, p_value, reps df). */
   def permutationTest(df: DataFrame, y: Column, treatment: Column, b: Int = 1000,
-                      seed: Long = 42L, mde: Double = 0.0,
-                      idCols: Seq[Column] = Seq.empty): (Double, Double, DataFrame) = {
+                      seed: Long = 42L, mde: Double = 0.0, mdeType: String = "abs",
+                      idCols: Seq[Column] = Seq.empty,
+                      stat: (Column, Column) => Column = diffInMeans): (Double, Double, DataFrame) = {
+    require(mdeType == "abs" || mdeType == "rel", "mdeType must be abs or rel")
+    def shifted(yc: Column, tc: Column): Column =
+      if (mde == 0.0) yc
+      else if (mdeType == "abs") when(tc === 1, yc + lit(mde)).otherwise(yc)
+      else when(tc === 1, yc * lit(1.0 + mde)).otherwise(yc)
     val idNamed = idCols.zipWithIndex.map { case (c, i) => c.as(s"__id_$i") }
-    val base = df.select(Seq(y.cast("double").as("y"),
+    val base0 = df.select(Seq(y.cast("double").as("y"),
       treatment.cast("int").as("t")) ++ idNamed: _*)
+    val (base, ids) =
+      if (idCols.nonEmpty) (base0, idNamed.indices.map(i => col(s"__id_$i")))
+      else withStableIds(base0)
     val obsRow = base.agg(
-      (sum(when(col("t") === 1, col("y"))) / sum(when(col("t") === 1, 1))).as("m1"),
-      (sum(when(col("t") === 0, col("y"))) / sum(when(col("t") === 0, 1))).as("m0"),
+      stat(shifted(col("y"), col("t")), col("t")).as("obs"),
       (sum(when(col("t") === 1, 1)) / count(lit(1)).cast("double")).as("p1")).head()
-    val observed = obsRow.getAs[Double]("m1") - obsRow.getAs[Double]("m0") + mde
+    val observed = obsRow.getAs[Double]("obs")
     val p1 = obsRow.getAs[Double]("p1")
-    val ids = if (idCols.nonEmpty) idNamed.indices.map(i => col(s"__id_$i"))
-              else Seq(col("y"), col("t"))
     val reps = base
       .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("tp", (uniform(ids, col("rep"), seed) < p1).cast("int"))
-      .withColumn("yy", when(col("tp") === 1, col("y") + lit(mde)).otherwise(col("y")))
       .groupBy(col("rep"))
-      .agg((sum(when(col("tp") === 1, col("yy"))) / sum(when(col("tp") === 1, 1)) -
-        sum(when(col("tp") === 0, col("yy"))) / sum(when(col("tp") === 0, 1))).as("stat"))
+      .agg(stat(shifted(col("y"), col("tp")), col("tp")).as("stat"))
     val pval = reps.agg(
       avg(when(abs(col("stat")) >= math.abs(observed), 1.0).otherwise(0.0))).head().getDouble(0)
     (observed, pval, reps)

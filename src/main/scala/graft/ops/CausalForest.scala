@@ -22,16 +22,48 @@ import org.apache.spark.sql.functions._
   * any B: D+1 scans with ×B·fraction row amplification — compute, not
   * shuffle, since map-side partial aggregation collapses each partition to
   * histogram cells.
+  *
+  * Fidelity vs the reference: mtry is drawn PER (tree, node) — GRF's
+  * per-split draw — not per level; honest leaves carry (effect, stderr)
+  * from the estimation half (CausalForestTree.cpp's per-leaf
+  * numerator/denominator accumulation); variable importance is the
+  * Athey-Imbens gain improvement summed per feature over every split
+  * (AggregateFunctionCausalForestVariableImportance.h), normalized to 1.
   */
 object CausalForest {
 
-  case class Model(trees: IndexedSeq[CausalTree.Model]) {
+  case class Model(trees: IndexedSeq[CausalTree.Model],
+                   variableImportance: Array[Double],
+                   featureNames: Seq[String]) {
     def numTrees: Int = trees.length
 
     /** Forest effect = average of per-tree effects (nested when-chains;
       * all codegen, no joins). */
     def effectColumn(features: Seq[Column]): Column =
       trees.map(_.effectColumn(features)).reduce(_ + _) / lit(trees.length.toDouble)
+
+    /** Per-row forest standard error, approximating the two variance
+      * sources: (a) within-leaf estimation noise, averaged over trees
+      * assuming tree independence — Σ se_b²/B²; (b) between-tree
+      * (half-sampling) dispersion of the point estimates — Var_b(τ_b)/B.
+      * Trees share data, so (a) understates and (a)+(b) is the practical
+      * calibration used here (coverage-checked in CausalTreeSpec); exact
+      * GRF confidence intervals need the infinitesimal-jackknife machinery
+      * the reference does not implement either. */
+    def stderrColumn(features: Seq[Column]): Column = {
+      val b = lit(trees.length.toDouble)
+      val effs = trees.map(_.effectColumn(features))
+      val ses = trees.map(_.stderrColumn(features))
+      val mean = effs.reduce(_ + _) / b
+      val meanSq = effs.map(e => e * e).reduce(_ + _) / b
+      val withinVar = ses.map(s => s * s).reduce(_ + _) / (b * b)
+      sqrt(withinVar + greatest(meanSq - mean * mean, lit(0.0)) / b)
+    }
+
+    def describeImportance(): String =
+      featureNames.zip(variableImportance)
+        .sortBy(-_._2)
+        .map { case (n, v) => f"$n%s: $v%.4f" }.mkString("\n")
   }
 
   private case class Cell(tree: Int, node: Int, feat: Int, bin: Int, t: Int,
@@ -47,33 +79,38 @@ object CausalForest {
     val useMtry = if (mtry <= 0 || mtry > k) k else mtry
     val featNames = features.map(_._1)
     val rng = new scala.util.Random(seed)
-    // per-tree feature subsets per level are redrawn each level (GRF draws
-    // per split; per (tree, level) is the vectorized compromise)
     val base0 = df.select(
       (y.cast("double").as("__y") +: treatment.cast("int").as("__t") +:
         features.zipWithIndex.map { case ((_, c), i) => c.cast("double").as(s"__f$i") }): _*)
       .filter(col("__y").isNotNull && !isnan(col("__y")))
     val rowHash = xxhash64(struct(base0.columns.map(col): _*), lit(seed))
-    val base = base0.withColumn("__rh", rowHash)
+    val pre = base0.withColumn("__rh", rowHash)
+    // global quantile bins once, ALL features in one pass (histogram style)
+    val probs = (1 until bins).map(_.toDouble / bins).toArray
+    val boundaries: Array[Array[Double]] = pre.stat
+      .approxQuantile((0 until k).map(i => s"__f$i").toArray, probs, 0.01)
+      .map(_.distinct.sorted)
+    def binExpr(i: Int): Column = {
+      val bs = boundaries(i)
+      var c: Column = lit(bs.length)
+      for (b <- bs.indices.reverse) c = when(col(s"__f$i") <= bs(b), b).otherwise(c)
+      c
+    }
+    // materialize each feature's bin ONCE per row (the per-node candidate
+    // arrays below reference these columns; inlining the bins-deep when
+    // chain per (node, feature) multiplies codegen size by the node count)
+    val base = (0 until k).foldLeft(pre) { (d, i) =>
+      d.withColumn(s"__b$i", binExpr(i))
+    }
     base.cache()
     try {
-      // global quantile bins once (shared across trees — histogram style)
-      val probs = (1 until bins).map(_.toDouble / bins).toArray
-      val boundaries: Array[Array[Double]] = (0 until k).map { i =>
-        base.stat.approxQuantile(s"__f$i", probs, 0.001).distinct.sorted
-      }.toArray
-      def binExpr(i: Int): Column = {
-        val bs = boundaries(i)
-        var c: Column = lit(bs.length)
-        for (b <- bs.indices.reverse) c = when(col(s"__f$i") <= bs(b), b).otherwise(c)
-        c
-      }
 
       // tree growth state
       val feat = Array.fill(numTrees)(scala.collection.mutable.ArrayBuffer(-1))
       val thr = Array.fill(numTrees)(scala.collection.mutable.ArrayBuffer(Double.NaN))
       val lch = Array.fill(numTrees)(scala.collection.mutable.ArrayBuffer(-1))
       val rch = Array.fill(numTrees)(scala.collection.mutable.ArrayBuffer(-1))
+      val importance = Array.fill(k)(0.0)
       var open: Set[(Int, Int)] = (0 until numTrees).map(b => (b, 0)).toSet
 
       def nodeExpr(b: Int): Column = {
@@ -98,15 +135,20 @@ object CausalForest {
 
       var depth = 0
       while (depth < maxDepth && open.nonEmpty) {
-        val mtryDraw: Array[Array[Int]] =
-          Array.fill(numTrees)(rng.shuffle((0 until k).toList).take(useMtry).toArray)
-        val featStructsPerTree: Map[Int, Column] = (0 until numTrees).map { b =>
-          b -> array(mtryDraw(b).map(i =>
-            struct(lit(i).as("feat"), binExpr(i).as("bin"))).toIndexedSeq: _*)
+        // GRF-fidelity: an independent mtry draw per OPEN NODE (per split),
+        // not per tree-level; the when-chain selects the node's candidate
+        // set. Iterate `open` in sorted order so the rng stream — and thus
+        // the forest — is deterministic.
+        val openSorted = open.toSeq.sorted
+        val mtryDraw: Map[(Int, Int), Array[Int]] = openSorted.map { bn =>
+          bn -> rng.shuffle((0 until k).toList).take(useMtry).toArray
         }.toMap
-        val featSel = (0 until numTrees).foldLeft(lit(null).cast(
-          "array<struct<feat:int,bin:int>>")) { (acc, b) =>
-          when(col("__tn.tree") === b, featStructsPerTree(b)).otherwise(acc)
+        val nullArr = lit(null).cast("array<struct<feat:int,bin:int>>")
+        val featSel = openSorted.foldLeft(nullArr) { case (acc, (b, n)) =>
+          when(col("__tn.tree") === b && col("__tn.node") === n,
+            array(mtryDraw((b, n)).map(i =>
+              struct(lit(i).as("feat"), col(s"__b$i").as("bin"))).toIndexedSeq: _*))
+            .otherwise(acc)
         }
         val openTrees = open.map(_._1)
         val hist = base
@@ -123,15 +165,17 @@ object CausalForest {
           .groupBy(c => (c.tree, c.node))
 
         val nextOpen = scala.collection.mutable.Set[(Int, Int)]()
-        for ((b, node) <- open) {
+        for ((b, node) <- openSorted) {
           hist.get((b, node)).flatMap(cells =>
-            bestSplitCells(cells, mtryDraw(b), minNodeSize)).foreach { case (f, bi) =>
-            feat(b)(node) = f; thr(b)(node) = boundaries(f)(bi)
-            val l = feat(b).length
-            feat(b) += -1; thr(b) += Double.NaN; lch(b) += -1; rch(b) += -1
-            feat(b) += -1; thr(b) += Double.NaN; lch(b) += -1; rch(b) += -1
-            lch(b)(node) = l; rch(b)(node) = l + 1
-            nextOpen += ((b, l)); nextOpen += ((b, l + 1))
+            bestSplitCells(cells, mtryDraw((b, node)), minNodeSize)).foreach {
+            case (f, bi, improvement) =>
+              importance(f) += improvement
+              feat(b)(node) = f; thr(b)(node) = boundaries(f)(bi)
+              val l = feat(b).length
+              feat(b) += -1; thr(b) += Double.NaN; lch(b) += -1; rch(b) += -1
+              feat(b) += -1; thr(b) += Double.NaN; lch(b) += -1; rch(b) += -1
+              lch(b)(node) = l; rch(b)(node) = l + 1
+              nextOpen += ((b, l)); nextOpen += ((b, l + 1))
           }
         }
         open = nextOpen.toSet
@@ -139,43 +183,55 @@ object CausalForest {
       }
 
       // estimation pass (honest half = 1): per-(tree, leaf, arm) moments
+      // including variance for honest leaf standard errors
       val est = base
         .withColumn("__tn", explode(membership(if (honest) 1 else 0)))
         .groupBy(col("__tn.tree").as("tree"), col("__tn.node").as("node"), col("__t"))
-        .agg(count(lit(1)).as("cnt"), avg(col("__y")).as("m"))
+        .agg(count(lit(1)).as("cnt"), avg(col("__y")).as("m"),
+          var_samp(col("__y")).as("v"))
         .collect()
         .map(r => (r.getAs[Int]("tree"), r.getAs[Int]("node"), r.getAs[Int]("__t")) ->
-          (r.getAs[Long]("cnt"), r.getAs[Double]("m")))
+          (r.getAs[Long]("cnt"), r.getAs[Double]("m"),
+            Option(r.getAs[Any]("v")).fold(0.0)(_.asInstanceOf[Double])))
         .toMap
 
       val trees = (0 until numTrees).map { b =>
         val nN = feat(b).length
         val eff = Array.fill(nN)(0.0); val nArr = Array.fill(nN)(0L)
+        val se = Array.fill(nN)(0.0)
         for (i <- 0 until nN if feat(b)(i) < 0) {
           (est.get((b, i, 0)), est.get((b, i, 1))) match {
-            case (Some((n0, m0)), Some((n1, m1))) if n0 > 0 && n1 > 0 =>
+            case (Some((n0, m0, v0)), Some((n1, m1, v1))) if n0 > 1 && n1 > 1 =>
               eff(i) = m1 - m0; nArr(i) = n0 + n1
-            case _ => // starved leaf keeps effect 0 (forest-averaged out)
+              se(i) = math.sqrt(v1 / n1 + v0 / n0)
+            case _ => // starved leaf keeps effect 0, se 0 (forest-averaged out)
           }
         }
         CausalTree.Model(feat(b).toArray, thr(b).toArray, lch(b).toArray,
-          rch(b).toArray, eff, Array.fill(nN)(Double.NaN),
-          Array.fill(nN)(Double.NaN), nArr, featNames)
+          rch(b).toArray, eff, se, Array.fill(nN)(Double.NaN), nArr, featNames)
       }
-      Model(trees)
-    } finally base.unpersist()
+      val impTotal = importance.sum
+      val impNorm =
+        if (impTotal > 0) importance.map(_ / impTotal) else importance.clone()
+      Model(trees, impNorm, featNames)
+    } finally {
+      base.unpersist()
+      ()
+    }
   }
 
-  /** Athey-Imbens gain over candidate features' bins. */
+  /** Athey-Imbens gain over candidate features' bins. Returns
+    * (feature, boundary bin, gain improvement over the parent). */
   private def bestSplitCells(cells: Array[Cell], feats: Array[Int],
-                             minNodeSize: Long): Option[(Int, Int)] = {
+                             minNodeSize: Long): Option[(Int, Int, Double)] = {
     val f0 = feats.head
     val pc = Array.fill(2)(0L); val ps = Array.fill(2)(0.0)
     cells.filter(_.feat == f0).foreach { c => pc(c.t) += c.cnt; ps(c.t) += c.sum }
     if (pc(0) == 0 || pc(1) == 0) return None
     val parentTau = ps(1) / pc(1) - ps(0) / pc(0)
-    var bestGain = (pc(0) + pc(1)).toDouble * parentTau * parentTau + 1e-12
-    var best: Option[(Int, Int)] = None
+    val parentGain = (pc(0) + pc(1)).toDouble * parentTau * parentTau
+    var bestGain = parentGain + 1e-12
+    var best: Option[(Int, Int, Double)] = None
     for (f <- feats) {
       val fc = cells.filter(_.feat == f)
       if (fc.nonEmpty) {
@@ -189,7 +245,10 @@ object CausalForest {
             val tl = ls(1) / lc(1) - ls(0) / lc(0)
             val tr = (ps(1) - ls(1)) / rc1 - (ps(0) - ls(0)) / rc0
             val gain = (lc(0) + lc(1)) * tl * tl + (rc0 + rc1) * tr * tr
-            if (gain > bestGain) { bestGain = gain; best = Some((f, b)) }
+            if (gain > bestGain) {
+              bestGain = gain
+              best = Some((f, b, gain - parentGain))
+            }
           }
         }
       }

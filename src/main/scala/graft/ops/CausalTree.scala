@@ -49,6 +49,16 @@ object CausalTree {
       go(0)
     }
 
+    /** Per-row honest leaf standard error (codegen when-chain, same shape
+      * as effectColumn). */
+    def stderrColumn(features: Seq[Column]): Column = {
+      def go(i: Int): Column =
+        if (isLeaf(i)) lit(stderr(i))
+        else when(features(feature(i)).cast("double") <= threshold(i), go(left(i)))
+          .otherwise(go(right(i)))
+      go(0)
+    }
+
     /** Leaf id per row (for diagnostics / joining leaf stats). */
     def leafColumn(features: Seq[Column]): Column = {
       def go(i: Int): Column =
@@ -106,11 +116,12 @@ object CausalTree {
     val splitDf = if (honest) base.filter(col("__half") === 0) else base
     val estDf = if (honest) base.filter(col("__half") === 1) else base
 
-    // global quantile boundaries per feature (bins-1 cut points)
+    // global quantile boundaries per feature (bins-1 cut points), all
+    // features sketched in ONE pass
     val probs = (1 until bins).map(_.toDouble / bins).toArray
-    val boundaries: Array[Array[Double]] = (0 until k).map { i =>
-      splitDf.stat.approxQuantile(s"__f$i", probs, 0.001).distinct.sorted
-    }.toArray
+    val boundaries: Array[Array[Double]] = splitDf.stat
+      .approxQuantile((0 until k).map(i => s"__f$i").toArray, probs, 0.01)
+      .map(_.distinct.sorted)
 
     def binExpr(i: Int): Column = {
       val bs = boundaries(i)

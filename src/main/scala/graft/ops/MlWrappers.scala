@@ -41,14 +41,34 @@ object MlWrappers {
     LinearFit(m.coefficients.toArray, m.intercept)
   }
 
+  /** Logistic fit with GLM inference: stderr/z/p per coefficient (xs order,
+    * intercept fields separate), from the final IRLS iteration's
+    * (XᵀWX)⁻¹ — the Fisher information inverse (dispersion 1), exactly the
+    * summary the reference prints (regression.py:203-255). Inference arrays
+    * are empty for the spark.ml path (no Fisher information surfaced). */
   case class LogisticFit(coefficients: Array[Double], intercept: Double,
-                         iterations: Int, converged: Boolean) {
+                         iterations: Int, converged: Boolean,
+                         stderr: Array[Double] = Array.empty,
+                         interceptStderr: Double = Double.NaN) {
     /** P(y=1|x) = σ(xᵀβ + b) as a codegen'd column. */
     def predictProba(xs: Seq[Column]): Column = {
       val lin = xs.zipWithIndex.map { case (x, i) => x.cast("double") * lit(coefficients(i)) }
         .reduce(_ + _) + lit(intercept)
       lit(1.0) / (lit(1.0) + exp(-lin))
     }
+    def zValues: Array[Double] =
+      coefficients.zip(stderr).map { case (c, s) => c / s }
+    def pValues: Array[Double] =
+      zValues.map(z => 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z))))
+    def interceptZ: Double = intercept / interceptStderr
+    def interceptP: Double =
+      2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(interceptZ)))
+
+    /** R-style per-coefficient summary rows: (name, estimate, stderr, z, p). */
+    def summaryRows(names: Seq[String]): Seq[(String, Double, Double, Double, Double)] =
+      names.zipWithIndex.map { case (nm, i) =>
+        (nm, coefficients(i), stderr(i), zValues(i), pValues(i))
+      } :+ (("(intercept)", intercept, interceptStderr, interceptZ, interceptP))
   }
 
   /** `stochastic_logistic_regression` equivalent via spark.ml (L-BFGS /
@@ -76,6 +96,7 @@ object MlWrappers {
     var beta = Array.fill(k + 1)(0.0) // xs coefs ++ intercept
     var converged = false
     var it = 0
+    var lastModel: OlsModel = null
     val yd = y.cast("double")
     while (it < maxIter && !converged) {
       val eta = xs.zipWithIndex.map { case (x, i) => x.cast("double") * lit(beta(i)) }
@@ -86,13 +107,18 @@ object MlWrappers {
       val w = p * (lit(1.0) - p)
       val z = eta + (yd - p) / w
       val m = Regression.fitOls(df, z, xs, useBias = true, weight = w)
+      lastModel = m
       val next = m.summary.coefficients // xs ++ bias
       val delta = next.zip(beta).map { case (a, b) => math.abs(a - b) }.max
       beta = next
       converged = delta < tol
       it += 1
     }
-    LogisticFit(beta.take(k), beta(k), it, converged)
+    // cov(β) = (XᵀWX)⁻¹ at the final weights (GLM dispersion 1); the
+    // weighted OlsBuf accumulates exactly XᵀWX, so its inverse is already
+    // on the model. Order matches coefficients: xs then bias.
+    val se = (0 to k).map(i => math.sqrt(lastModel.xtxInv(i)(i))).toArray
+    LogisticFit(beta.take(k), beta(k), it, converged, se.take(k), se(k))
   }
 
   /** AUC of a score column against binary labels via the Mann-Whitney

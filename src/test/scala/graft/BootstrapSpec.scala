@@ -58,6 +58,67 @@ class BootstrapSpec extends AnyFunSuite {
     assert(pE < 0.02, s"effect p should be small: $pE")
   }
 
+  test("bootstrapOls slope CI covers the true coefficient") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 4000).map { i =>
+      val x = rng.nextGaussian()
+      (i.toLong, 2.5 * x + 1.0 + rng.nextGaussian() * 0.8, x)
+    }
+    val d = spark.createDataFrame(rows).toDF("id", "y", "x").repartition(4)
+    val reps = Bootstrap.bootstrapOls(d, $"y", Seq($"x"), b = 200, idCols = Seq($"id"))
+    assert(reps.count() == 200)
+    val Seq(slope, intercept) = Bootstrap.summarizeCoefficients(reps, 2)
+    assert(slope.lower < 2.5 && 2.5 < slope.upper, s"slope CI [${slope.lower}, ${slope.upper}]")
+    assert(intercept.lower < 1.0 && 1.0 < intercept.upper,
+      s"intercept CI [${intercept.lower}, ${intercept.upper}]")
+    // bootstrap se ≈ analytic se = 0.8/√4000 ≈ 0.0126 (for slope, up to Var(x))
+    assert(slope.std > 0.005 && slope.std < 0.03, s"slope std ${slope.std}")
+  }
+
+  test("bootstrapAny: median bootstrap distribution centers on the true median") {
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 3000).map(i => (i.toLong, rng.nextGaussian() + 5.0))
+    val d = spark.createDataFrame(rows).toDF("id", "x").repartition(4)
+    val reps = Bootstrap.bootstrapAny(d, b = 100, idCols = Seq($"id"))(
+      Seq("med" -> expr("percentile(x, 0.5)")))
+    assert(reps.count() == 100)
+    val s = Bootstrap.summarize(reps, "med")
+    assert(math.abs(s.mean - 5.0) < 0.1, s"median mean ${s.mean}")
+    assert(s.std > 0.0, "replicates must vary")
+  }
+
+  test("permutation test with a Mann-Whitney inner statistic") {
+    val rng = new scala.util.Random(19)
+    val rows = (1 to 1500).map { i =>
+      val t = rng.nextInt(2)
+      (i.toLong, rng.nextGaussian() + t * 0.6, t)
+    }
+    val d = spark.createDataFrame(rows).toDF("id", "y", "t")
+    // center U at its null mean n1·n2/2 so the two-sided |stat| compare works
+    val mwStat: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      (y, t) => functions.mann_whitney_utest(y, t).getField("u_statistic") -
+        sum(when(t === 1, 1)) * sum(when(t === 0, 1)) / 2.0
+    val (obs, p, _) = Bootstrap.permutationTest(d, $"y", $"t", b = 100,
+      idCols = Seq($"id"), stat = mwStat)
+    assert(!obs.isNaN)
+    assert(p < 0.05, s"MW permutation p should detect the shift: $p")
+    // relative mde shift type runs end-to-end
+    val (_, pRel, _) = Bootstrap.permutationTest(d, $"y", $"t", b = 50,
+      mde = 0.1, mdeType = "rel", idCols = Seq($"id"))
+    assert(pRel >= 0.0 && pRel <= 1.0)
+  }
+
+  test("stable row identity: duplicate rows draw independently") {
+    // 1000 IDENTICAL rows; with content-only identity every replicate would
+    // weight them all the same (replicate mean stuck at the point mass and
+    // replicate SUM at n·w, variance n²·λ instead of n·λ)
+    val d = (1 to 1000).map(_ => (1.0, 1)).toDF("y", "t")
+    val reps = Bootstrap.bootstrapAgg(d, b = 100) { w => Seq("n" -> sum(w)) }
+    val v = reps.agg(variance($"n")).head().getDouble(0)
+    // Poisson(1) per-row: Var(Σw) ≈ 1000; correlated draws would give ~1000²
+    assert(v > 300 && v < 3000, s"replicate-size variance $v")
+  }
+
   test("ate and ipw estimators recover effects") {
     val rng = new scala.util.Random(29)
     // confounded: P(T=1) depends on x; Y = 1.5*T + 2*x + noise

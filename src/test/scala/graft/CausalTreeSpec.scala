@@ -71,5 +71,32 @@ class CausalTreeSpec extends AnyFunSuite {
       truth
     }
     assert(mse.nonEmpty) // sanity
+    // variable importance concentrates on the heterogeneity feature x1
+    assert(m.variableImportance(0) > 0.7,
+      s"x1 importance ${m.variableImportance.toSeq}")
+    assert(math.abs(m.variableImportance.sum - 1.0) < 1e-9)
+    assert(m.describeImportance().startsWith("x1"))
+  }
+
+  test("forest stderr is calibrated on the heterogeneous surface") {
+    val m = CausalForest.fit(df, $"y", $"t", Seq("x1" -> $"x1", "x2" -> $"x2"),
+      numTrees = 20, maxDepth = 3, minNodeSize = 50, bins = 16,
+      sampleFraction = 0.7, seed = 5L)
+    // probe a grid away from the decision boundary (x1=0), where the truth
+    // is unambiguous; the forest (effect, stderr) pair should cover it
+    val grid = (for (x1 <- Seq(-2.0, -1.5, -1.0, 1.0, 1.5, 2.0);
+                     x2 <- Seq(-1.0, 0.0, 1.0)) yield (x1, x2)).toDF("x1", "x2")
+    val out = grid.select($"x1",
+      m.effectColumn(Seq($"x1", $"x2")).as("e"),
+      m.stderrColumn(Seq($"x1", $"x2")).as("se")).collect()
+    assert(out.forall(_.getDouble(2) > 0.0), "stderr must be positive")
+    val covered = out.count { r =>
+      val truth = if (r.getDouble(0) > 0) 2.0 else 0.0
+      math.abs(r.getDouble(1) - truth) <= 3.0 * r.getDouble(2)
+    }
+    assert(covered >= (out.length * 0.7).toInt,
+      s"only $covered/${out.length} grid points within ±3se")
+    // stderr should be sane in magnitude: not wider than the effect scale
+    assert(out.forall(_.getDouble(2) < 1.0), "stderr unreasonably wide")
   }
 }

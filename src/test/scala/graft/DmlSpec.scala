@@ -90,6 +90,30 @@ class DmlSpec extends AnyFunSuite {
     assert(a > 0.7 && a < 1.0, s"auc $a")
   }
 
+  test("logisticIrls inference matches the GLM golden fixture") {
+    // deterministic fixture; golden values from an independent numpy IRLS
+    // (XtWX-solve loop): beta, se = sqrt(diag((XtWX)^-1))
+    val rows = (1 to 400).map { i =>
+      val x1 = (i % 10).toDouble
+      val x2 = ((i * 7) % 5).toDouble
+      val z = 0.6 * x1 - 0.9 * x2 - 1.0 + ((i % 7).toDouble - 3.0)
+      (if (z > 0) 1.0 else 0.0, x1, x2)
+    }
+    val d = spark.createDataFrame(rows).toDF("y", "x1", "x2").repartition(4)
+    val fit = MlWrappers.logisticIrls(d, $"y", Seq($"x1", $"x2"))
+    assert(fit.converged)
+    assert(approx(fit.coefficients(0), 0.41698984, 1e-4), fit.coefficients(0).toString)
+    assert(approx(fit.coefficients(1), -0.60779718, 1e-4), fit.coefficients(1).toString)
+    assert(approx(fit.intercept, -0.99493558, 1e-4), fit.intercept.toString)
+    assert(approx(fit.stderr(0), 0.04740764, 1e-4), fit.stderr(0).toString)
+    assert(approx(fit.stderr(1), 0.09537865, 1e-4), fit.stderr(1).toString)
+    assert(approx(fit.interceptStderr, 0.24557332, 1e-4), fit.interceptStderr.toString)
+    // z/p are derived; spot-check significance directions
+    assert(fit.pValues(0) < 1e-6 && fit.pValues(1) < 1e-6)
+    val rowsOut = fit.summaryRows(Seq("x1", "x2"))
+    assert(rowsOut.length == 3 && rowsOut.last._1 == "(intercept)")
+  }
+
   test("lasso shrinks a null coefficient toward zero") {
     val rng = new scala.util.Random(9)
     val rows = (1 to 4000).map { _ =>
