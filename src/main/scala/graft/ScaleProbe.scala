@@ -49,6 +49,33 @@ object ScaleProbe {
       df.select(functions.delta_method("x1/x2", isStd = false,
         Seq(col("y"), col("x1") + lit(2.0))).as("v")).head()
     }
+
+    // the distributed rank/lift paths (RangeCumSum: no single-partition
+    // window anywhere) on rows with ~all-distinct continuous values — the
+    // shape that breaks a global Window.orderBy. Capped at 10M rows: the
+    // by-value table is O(distinct), i.e. O(n) here.
+    val rankRows = math.min(rows, 10000000L)
+    val cont = spark.range(rankRows).select(
+      (col("id") % 2).cast("int").as("t"),
+      (pmod(xxhash64(col("id"), lit(9)), lit(1000000000L)).cast("double") / 1e6 +
+        (col("id") % 2).cast("double") * 0.5).as("v"),
+      (pmod(xxhash64(col("id"), lit(10)), lit(1000L)).cast("double") / 1000.0).as("score"))
+    time(s"mann_whitney distributed ($rankRows rows, ~distinct values)") {
+      val r = graft.ops.RankTests.mannWhitneyU(cont, col("v"), col("t"))
+      assert(!r.u_statistic.isNaN)
+    }
+    time(s"ks_test distributed ($rankRows rows)") {
+      val r = graft.ops.RankTests.ksTest(cont, col("v"), col("t"))
+      assert(r.d_statistic > 0)
+    }
+    time(s"auc distributed ($rankRows rows)") {
+      val a = graft.ops.MlWrappers.auc(cont, col("score"), col("t"))
+      assert(!a.isNaN)
+    }
+    time(s"lift_gain distributed ($rankRows rows, k=100)") {
+      val r = graft.ops.Uplift.liftGain(cont, col("score"), col("v"), col("t"), k = 100)
+      assert(r.count() == 100)
+    }
     spark.stop()
   }
 }

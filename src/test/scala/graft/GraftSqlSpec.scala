@@ -121,4 +121,81 @@ class GraftSqlSpec extends AnyFunSuite {
       .select($"r.chisq", $"r.p_value").head()
     assert(r.getDouble(0) >= 0 && r.getDouble(1) <= 1.0)
   }
+
+  test("ttest_2samp_pse and ttests_2samp sql names") {
+    setup
+    val pse = spark.sql(
+      "SELECT ttest_2samp_pse('x1', 'two-sided', t, CAST((uin DIV 2) % 4 AS BIGINT), y) AS r FROM exp_data")
+      .select($"r.estimate", $"r.p_value").head()
+    assert(!pse.getDouble(0).isNaN && pse.getDouble(1) <= 1.0)
+    val multi = spark.sql(
+      "SELECT ttests_2samp('x1', 'two-sided', array(0.05, 0.01), t, y) AS rs FROM exp_data")
+      .selectExpr("rs[0].estimate AS e05", "rs[0].lower AS l05",
+        "rs[1].lower AS l01").head()
+    assert(approx(multi.getDouble(0), 0.5, 0.2))
+    assert(multi.getDouble(2) < multi.getDouble(1), "99% CI wider than 95%")
+  }
+
+  test("xexpt cuped and sum-metric sql names run") {
+    setup
+    val c = spark.sql(
+      """SELECT xexpt_ttest_2samp_cuped('x3/x4', uin, t, y, 1.0 + x - x, x, 1.0 + x - x) AS r
+        |FROM exp_data""".stripMargin).select($"r.mean0", $"r.p_value").head()
+    assert(!c.getDouble(0).isNaN)
+    val s = spark.sql(
+      "SELECT xexpt_ttest_2samp_sum(uin, t, y, 1.0 + x - x, 1.0, 1.0) AS r FROM exp_data")
+      .select($"r.mean0").head()
+    assert(!s.getDouble(0).isNaN)
+  }
+
+  test("gateway verbs: lift, matching, dml, iv, cut_bins dispatch; passthrough works") {
+    setup
+    val lift = GraftGateway.sql(spark, "SELECT lift(x, y, t, 10) FROM exp_data")
+    assert(lift.columns.toSeq == Seq("ratio", "lift", "gain", "ate", "random_gain"))
+    assert(lift.count() == 10)
+    val m = GraftGateway.sql(spark,
+      "SELECT exact_matching(t, CAST(uin % 3 AS STRING)) FROM exp_data")
+    assert(m.columns.contains("matching_index"))
+    assert(m.filter($"matching_index" > 0).count() > 0)
+    val dml = GraftGateway.sql(spark, "SELECT linear_dml(y, t, x) FROM exp_data").head()
+    assert(math.abs(dml.getAs[Double]("ate") - 0.5) < 0.2, dml.toString)
+    val iv = GraftGateway.sql(spark,
+      "SELECT iv_regression(y, t, t) FROM exp_data WHERE uin > 0")
+    assert(iv.columns.toSeq ==
+      Seq("term", "estimate", "stderr", "t_value", "p_value"))
+    val bins = GraftGateway.sql(spark, "SELECT cut_bins(x, 4) FROM exp_data")
+    assert(bins.columns.contains("x_bin"))
+    // non-verb query passes through to spark.sql untouched
+    val pass = GraftGateway.sql(spark, "SELECT count(*) AS n FROM exp_data").head()
+    assert(pass.getLong(0) == 4000L)
+  }
+
+  test("models round-trip through tables (ModelIo)") {
+    setup
+    val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
+    val d = spark.table("exp_data")
+    val ols = graft.ops.Regression.fitOls(d, $"y", Seq($"x", $"t"))
+    graft.ops.ModelIo.saveOls(spark, ols, s"$dir/ols")
+    val ols2 = graft.ops.ModelIo.loadOls(spark, s"$dir/ols")
+    assert(ols2.coefficients.toSeq == ols.coefficients.toSeq)
+    assert(ols2.xtxInv.map(_.toSeq).toSeq == ols.xtxInv.map(_.toSeq).toSeq)
+
+    val lf = graft.ops.MlWrappers.logisticIrls(
+      d.withColumn("yb", ($"y" > 1.0).cast("double")), $"yb", Seq($"x"))
+    graft.ops.ModelIo.saveLogistic(spark, lf, s"$dir/logit")
+    val lf2 = graft.ops.ModelIo.loadLogistic(spark, s"$dir/logit")
+    assert(lf2.coefficients.toSeq == lf.coefficients.toSeq &&
+      lf2.intercept == lf.intercept && lf2.stderr.toSeq == lf.stderr.toSeq)
+
+    val forest = graft.ops.CausalForest.fit(d, $"y", $"t",
+      Seq("x" -> $"x"), numTrees = 3, maxDepth = 2, minNodeSize = 100, bins = 8)
+    graft.ops.ModelIo.saveCausalForest(spark, forest, s"$dir/forest")
+    val forest2 = graft.ops.ModelIo.loadCausalForest(spark, s"$dir/forest")
+    assert(forest2.numTrees == forest.numTrees)
+    assert(forest2.variableImportance.toSeq == forest.variableImportance.toSeq)
+    val probe = Seq(0.5, -0.5).toDF("x")
+    val e1 = probe.select(forest.effectColumn(Seq($"x"))).collect().map(_.getDouble(0))
+    val e2 = probe.select(forest2.effectColumn(Seq($"x"))).collect().map(_.getDouble(0))
+    assert(e1.toSeq == e2.toSeq)
+  }
 }
