@@ -335,11 +335,16 @@ object SparkEntry {
           round(avg(ops.charsPerToken(col("text"))), 6).as("avg_chars_per_token"))
     }),
     "q36_ngram_jaccard" -> ((s, d) => {
+      // shingle each doc ONCE before the pair join — shingling inside the
+      // join projection would re-split every text once per pair (49× here)
       val docs = t(s, d, "documents").filter(col("doc_id") < 50)
-      val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
-      val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+        .select(col("doc_id"), graft.ops.TextOps.shingles(col("text"), 2).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("jaccard", graft.ops.TextOps.ngramJaccard(col("ta"), col("tb"), 2))
+        .withColumn("jaccard",
+          size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            greatest(size(array_union(col("sa"), col("sb"))), lit(1)).cast("double"))
         .filter(col("jaccard") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),

@@ -94,14 +94,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Rows to drop under MinHash dedup: from each connected candidate pair,
-    * drop the larger id (union-find-free greedy — every duplicate cluster
-    * keeps its minimum id; pairs are transitive enough at high thresholds). */
+  /** Connected components over an undirected edge list (id_a, id_b) by
+    * iterated min-label propagation: label(v) starts as v; each round every
+    * vertex takes the min label in its closed neighborhood; fixpoint when no
+    * label changes. Rounds = graph diameter (near-dup clusters are shallow —
+    * a chain of D duplicates converges in ⌈log2 D⌉ rounds because labels
+    * jump through the current minimum, the "small-star" effect). All work is
+    * groupBy on the EDGE set, which for dedup is orders of magnitude smaller
+    * than the corpus, so the per-round shuffle is tiny at 100 TB.
+    * Returns (id, component) with component = min id of the cluster. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .localCheckpoint(true)
+    var labels = edges.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // each edge proposes its endpoints' current min label to both ends
+      val withLabels = edges
+        .join(labels.withColumnRenamed("id", "id_a").withColumnRenamed("component", "ca"), "id_a")
+        .join(labels.withColumnRenamed("id", "id_b").withColumnRenamed("component", "cb"), "id_b")
+        .withColumn("m", least(col("ca"), col("cb")))
+      val proposals = withLabels.select(col("id_a").as("id"), col("m"))
+        .union(withLabels.select(col("id_b").as("id"), col("m")))
+        // label-as-vertex shortcut: the min also propagates to the current
+        // label itself, halving the effective diameter each round
+        .union(withLabels.select(col("ca").as("id"), col("m")))
+        .union(withLabels.select(col("cb").as("id"), col("m")))
+        .groupBy(col("id")).agg(min(col("m")).as("proposed"))
+      val next = labels.join(proposals, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("proposed"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Rows to keep under MinHash dedup: candidate pairs form a near-dup
+    * graph; each connected component keeps exactly its minimum id (true
+    * transitive closure via [[connectedComponents]], not greedy pair-drop —
+    * greedy keeps BOTH ends of a pair like (1,2),(3,2) after dropping 2,
+    * splitting one cluster into two survivors). */
   def minHashDedup(df: DataFrame, id: Column, text: Column,
                    numHashes: Int = 96, bands: Int = 16, shingleN: Int = 3,
                    threshold: Double = 0.8): DataFrame = {
-    val dupes = minHashLsh(df, id, text, numHashes, bands, shingleN, threshold)
-      .select(col("id_b").as("__drop")).distinct()
+    val pairs = minHashLsh(df, id, text, numHashes, bands, shingleN, threshold)
+    val dupes = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__drop"))
     df.join(dupes, id.cast("long") === col("__drop"), "left_anti")
   }
 
@@ -132,10 +180,15 @@ object Dedup {
     * (deterministic per dim via xxhash64-derived pseudo-gaussians); pairs
     * must share a bit-prefix bucket before the exact cosine verify. For
     * recall ~1 at high thresholds use few bits; bits=0 is exact brute
-    * force. Candidate ids pair up inside each bucket (groupBy, no
+    * force. `tables` > 1 adds OR-amplification: that many independent
+    * hyperplane sets, a pair is a candidate if it collides in ANY table —
+    * recall 1-(1-p^bits)^tables, so at 100 TB raise `bits` (smaller
+    * buckets, sub-quadratic verify) and compensate recall with `tables`.
+    * Candidate ids pair up inside each (table, bucket) group (groupBy, no
     * self-join); vectors rejoin from the source only for colliding pairs. */
   def embeddingNearDup(df: DataFrame, id: Column, embedding: Column,
-                       threshold: Double = 0.95, bits: Int = 0): DataFrame = {
+                       threshold: Double = 0.95, bits: Int = 0,
+                       tables: Int = 1): DataFrame = {
     val base = df.select(id.cast("long").as("id"),
       embedding.cast("array<double>").as("v"))
     val cands =
@@ -145,21 +198,25 @@ object Dedup {
         base.select(col("id").as("id_a")).join(
           base.select(col("id").as("id_b")), col("id_a") < col("id_b"))
       } else {
-        val bucket = (0 until bits).map { b =>
-          // pseudo-random hyperplane h_b[d] = centered hash of (b, d)
+        def bucket(table: Int): Column = (0 until bits).map { b =>
+          // pseudo-random hyperplane h_tb[d] = centered hash of (t, b, d)
           val dot = aggregate(
             zip_with(col("v"),
               transform(sequence(lit(0), size(col("v")) - 1),
-                d => (pmod(xxhash64(lit(b), d), lit(1000000L)).cast("double") / 500000.0) - 1.0),
+                d => (pmod(xxhash64(lit(table), lit(b), d), lit(1000000L)).cast("double") / 500000.0) - 1.0),
               (x, h) => x * h),
             lit(0.0), (acc, x) => acc + x)
           when(dot > 0, lit(1L << b)).otherwise(0L)
         }.reduce[Column]((a, c) => a.bitwiseOR(c))
-        base.select(col("id"), bucket.as("bucket"))
-          .groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
+        base.select(col("id"),
+            posexplode(array((0 until tables).map(bucket): _*))
+              .as(Seq("table", "bucket")))
+          .groupBy(col("table"), col("bucket"))
+          .agg(collect_list(col("id")).as("ids"))
           .filter(size(col("ids")) > 1)
           .select(explode(bucketPairs(col("ids"))).as("p"))
           .select(col("p.id_a"), col("p.id_b"))
+          .distinct()
       }
     val va = base.select(col("id").as("id_a"), col("v").as("va"))
     val vb = base.select(col("id").as("id_b"), col("v").as("vb"))

@@ -141,6 +141,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((200L until 205L).forall(!kept.contains(_)), "exact dups not dropped")
   }
 
+  test("connectedComponents closes transitive chains; minHashDedup keeps one per cluster") {
+    // star through 3: greedy drop-larger-of-each-pair would keep 1 AND 2
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L),
+      (13L, 14L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    // 5-long chain collapses to min id
+    (10L to 14L).foreach(i => assert(comp(i) == 10L, s"chain member $i -> ${comp(i)}"))
+  }
+
   test("simHashPairs finds the exact-duplicate pairs") {
     val pairs = Dedup.simHashPairs(docsDf, $"id", $"text", maxHamming = 3).collect()
     val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -172,6 +183,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val lp = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lp.subsetOf(ep), "LSH must not invent pairs")
     assert(lp.size >= 6, s"LSH recall too low: ${lp.size}/8")
+    // OR-amplification: more tables at the same bits can only add recall
+    val amp = Dedup.embeddingNearDup(vecsDf, $"id", $"v", threshold = 0.99,
+      bits = 8, tables = 4)
+    val ap = amp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ap.subsetOf(ep), "amplified LSH must not invent pairs")
+    assert(ap.size == 8, s"4-table recall should be full: ${ap.size}/8")
   }
 
   test("ivfKnn matches brute force at full probe count, high recall at half") {
