@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   * SELECT linear_dml(y, t, x1[, x2, ...])    FROM tbl [WHERE ...]
   * SELECT iv_regression(y, t, z[, x...])     FROM tbl [WHERE ...]
   * SELECT cut_bins(x, b)                     FROM tbl [WHERE ...]
+  * SELECT group_set(y, t, g1, g2, ...)       FROM tbl [WHERE ...]
+  * SELECT boot_strap(aggExpr, B)             FROM tbl [WHERE ...]
+  * SELECT permutation(y, t, B[, mde, type])  FROM tbl [WHERE ...]
   * }}}
   * Anything else falls through to `spark.sql` unchanged, so this is a
   * drop-in `sql()` replacement, exactly like the reference gateway.
@@ -41,7 +44,8 @@ object GraftGateway {
   }
 
   private val verbs = Set("lift", "exact_matching", "caliper_matching",
-    "smd", "linear_dml", "iv_regression", "cut_bins")
+    "smd", "linear_dml", "iv_regression", "cut_bins", "group_set",
+    "boot_strap", "permutation")
   private def handles(v: String): Boolean = verbs(v.toLowerCase)
 
   /** split on top-level commas (args are column names / literals; no nested
@@ -93,6 +97,22 @@ object GraftGateway {
       case "cut_bins" =>
         require(a.length == 2, "cut_bins(x, num_bins)")
         Features.cutBinsQuantile(df, a(0), num(a(1)).toInt)._1
+      case "group_set" =>
+        require(a.length >= 3, "group_set(y, t, g...)")
+        GroupSet.groupSet(df, expr(a(0)), expr(a(1)),
+          a.drop(2).map(g => g -> expr(g)))
+      case "boot_strap" =>
+        // any inner aggregate by SQL string — the reference's
+        // BootStrap('aggName', ...) generality (BootStrap.h:375-497)
+        require(a.length >= 2, "boot_strap(aggExpr, B)")
+        Bootstrap.bootstrapAny(df, num(a(1)).toInt)(Seq("stat" -> expr(a(0))))
+      case "permutation" =>
+        require(a.length >= 3, "permutation(y, t, B[, mde, mde_type])")
+        val (obs, p, _) = Bootstrap.permutationTest(df, expr(a(0)), expr(a(1)),
+          b = num(a(2)).toInt,
+          mde = if (a.length > 3) num(a(3)) else 0.0,
+          mdeType = if (a.length > 4) a(4).stripPrefix("'").stripSuffix("'") else "abs")
+        Seq((obs, p)).toDF("observed", "p_value")
       case other => throw new IllegalArgumentException(s"unknown verb $other")
     }
   }

@@ -139,6 +139,62 @@ object GraftSql {
         a.slice(2, 4).map(toCol), metricType = "sum",
         ratios = (dblArg(a(4), "ratio0"), dblArg(a(5), "ratio1"))) }
 
+    // classic 2-sample tests (reference re-exports engine built-ins,
+    // registerAggregateFunctions.cpp:49-51): closed forms over conditional
+    // aggregates, p-value via a tiny UDF on the two aggregated scalars
+    val tTwoSided = udf((t: Double, d: Double) => Dist.tTwoSidedP(t, d))
+    val zTwoSided = udf((z: Double) =>
+      if (z.isNaN) Double.NaN else 2.0 * (1.0 - Dist.normCdf(math.abs(z))))
+    def condStats(x: Column, t: Column): (Column, Column, Column, Column, Column, Column) =
+      (sum(when(t === 0, 1L).otherwise(0L)).cast("double"),
+        avg(when(t === 0, x)), var_samp(when(t === 0, x)),
+        sum(when(t =!= 0, 1L).otherwise(0L)).cast("double"),
+        avg(when(t =!= 0, x)), var_samp(when(t =!= 0, x)))
+    // student_ttest(x, treatment) -> struct(statistic, p_value)
+    fn("student_ttest") { a =>
+      val (n0, m0, v0, n1, m1, v1) = condStats(toCol(a(0)), toCol(a(1)))
+      val dfree = n0 + n1 - lit(2.0)
+      val sp2 = ((n0 - lit(1.0)) * v0 + (n1 - lit(1.0)) * v1) / dfree
+      val t = (m1 - m0) / sqrt(sp2 * (lit(1.0) / n0 + lit(1.0) / n1))
+      struct(t.as("statistic"), tTwoSided(t, dfree).as("p_value"))
+    }
+    // welch_ttest(x, treatment) -> struct(statistic, p_value)
+    fn("welch_ttest") { a =>
+      val (n0, m0, v0, n1, m1, v1) = condStats(toCol(a(0)), toCol(a(1)))
+      val va = v0 / n0; val vb = v1 / n1
+      val t = (m1 - m0) / sqrt(va + vb)
+      val dfree = (va + vb) * (va + vb) /
+        (va * va / (n0 - lit(1.0)) + vb * vb / (n1 - lit(1.0)))
+      struct(t.as("statistic"), tTwoSided(t, dfree).as("p_value"))
+    }
+    // mean_z_test(x, treatment, var0, var1) -> struct(statistic, p_value)
+    fn("mean_z_test") { a =>
+      val (n0, m0, _, n1, m1, _) = condStats(toCol(a(0)), toCol(a(1)))
+      val z = (m1 - m0) /
+        sqrt(lit(dblArg(a(2), "var0")) / n0 + lit(dblArg(a(3), "var1")) / n1)
+      struct(z.as("statistic"), zTwoSided(z).as("p_value"))
+    }
+
+    // eval_ml_method(coefficients, x...): model-as-value prediction
+    // (reference evalMLMethod/eval_ml_method, ols_eval.h:37-124): dot of the
+    // feature row with a coefficient ARRAY (from ModelIo tables or a
+    // literal); intercept last when the array is one longer than the
+    // feature list — the OlsModel/bootstrapOls layout.
+    def dotCoef(a: Seq[Expression]): Column = {
+      val coef = toCol(a.head)
+      val xs = a.tail.map(toCol)
+      val dot = xs.zipWithIndex
+        .map { case (x, i) => x.cast("double") * element_at(coef, i + 1) }
+        .reduce(_ + _)
+      dot + when(size(coef) === xs.length + 1, element_at(coef, xs.length + 1))
+        .otherwise(lit(0.0))
+    }
+    fn("eval_ml_method") { a => dotCoef(a) }
+    // logistic variant: sigmoid of the linear predictor
+    fn("eval_ml_method_logistic") { a =>
+      lit(1.0) / (lit(1.0) + exp(-dotCoef(a)))
+    }
+
     // ---------------------------------------------------------- scalar math
     val cdfTUdf = udf((x: Double, df: Double) => Dist.tCdf(x, df))
     spark.udf.register("cdf", cdfTUdf) // reference cdf.cpp: Student-t CDF

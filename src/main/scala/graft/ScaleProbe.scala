@@ -76,6 +76,36 @@ object ScaleProbe {
       val r = graft.ops.Uplift.liftGain(cont, col("score"), col("v"), col("t"), k = 100)
       assert(r.count() == 100)
     }
+
+    // dedup path at corpus scale: 1M synthetic ~40-word docs, 1% planted
+    // near-dups. Candidate generation must stay bucket-local (no all-pairs):
+    // wall-clock here is dominated by the two signature scans.
+    val docRows = math.min(rows, 1000000L)
+    val words = (d: org.apache.spark.sql.Column, salt: Int) =>
+      transform(sequence(lit(0), lit(39)),
+        i => concat(lit("w"), pmod(xxhash64(d, i, lit(salt)), lit(50000L))))
+    val docs = spark.range(docRows).select(
+      col("id"),
+      // dup docs (id % 100 == 99) copy the word stream of id - 1
+      concat_ws(" ", when(col("id") % 100 === 99, words(col("id") - 1, 7))
+        .otherwise(words(col("id"), 7))).as("text"))
+    time(s"minhash_lsh dedup candidates ($docRows docs)") {
+      val pairs = graft.ops.Dedup.minHashLsh(docs, col("id"), col("text"),
+        numHashes = 96, bands = 16, shingleN = 2, threshold = 0.9)
+      val n = pairs.count()
+      assert(n >= docRows / 100 * 95 / 100, s"recall too low: $n pairs")
+    }
+    time(s"connected components (${docRows / 100} chain edges, depth 50)") {
+      // 50-long duplicate chains: worst-case diameter for label propagation
+      val edges = spark.range(docRows / 100)
+        .select((col("id") + lit(1)).as("id_b"))
+        .filter(col("id_b") % 50 =!= 0)
+        .select((col("id_b") - 1).as("id_a"), col("id_b"))
+      val comp = graft.ops.Dedup.connectedComponents(edges)
+      // every chain collapses to its head: component count = #chains
+      val heads = comp.select(col("component")).distinct().count()
+      assert(heads == docRows / 100 / 50, s"$heads components")
+    }
     spark.stop()
   }
 }

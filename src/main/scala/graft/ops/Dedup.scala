@@ -95,13 +95,15 @@ object Dedup {
   }
 
   /** Connected components over an undirected edge list (id_a, id_b) by
-    * iterated min-label propagation: label(v) starts as v; each round every
-    * vertex takes the min label in its closed neighborhood; fixpoint when no
-    * label changes. Rounds = graph diameter (near-dup clusters are shallow —
-    * a chain of D duplicates converges in ⌈log2 D⌉ rounds because labels
-    * jump through the current minimum, the "small-star" effect). All work is
-    * groupBy on the EDGE set, which for dedup is orders of magnitude smaller
-    * than the corpus, so the per-round shuffle is tiny at 100 TB.
+    * min-label propagation with pointer jumping: each round (1) every
+    * vertex takes the min label in its closed neighborhood (one edge hop),
+    * then (2) path-halves — label(v) := label(label(v)) via a self-join of
+    * the label table (labels are always vertex ids, so the lookup hits).
+    * The halving step doubles the distance information travels per round,
+    * so a component of diameter D converges in O(log D) rounds, each round
+    * a constant-size plan (localCheckpoint truncates lineage). All shuffles
+    * are on the EDGE set / vertex set of the near-dup graph, which is
+    * orders of magnitude smaller than the corpus at 100 TB.
     * Returns (id, component) with component = min id of the cluster. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
@@ -113,21 +115,24 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // each edge proposes its endpoints' current min label to both ends
+      // (1) each edge proposes its endpoints' current min label to both ends
       val withLabels = edges
         .join(labels.withColumnRenamed("id", "id_a").withColumnRenamed("component", "ca"), "id_a")
         .join(labels.withColumnRenamed("id", "id_b").withColumnRenamed("component", "cb"), "id_b")
         .withColumn("m", least(col("ca"), col("cb")))
       val proposals = withLabels.select(col("id_a").as("id"), col("m"))
         .union(withLabels.select(col("id_b").as("id"), col("m")))
-        // label-as-vertex shortcut: the min also propagates to the current
-        // label itself, halving the effective diameter each round
-        .union(withLabels.select(col("ca").as("id"), col("m")))
-        .union(withLabels.select(col("cb").as("id"), col("m")))
         .groupBy(col("id")).agg(min(col("m")).as("proposed"))
-      val next = labels.join(proposals, Seq("id"), "left")
+      val relaxed = labels.join(proposals, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("proposed"), col("component")))
+            .as("component"))
+      // (2) pointer jumping: follow the label one step (label(label(v)))
+      val next = relaxed.as("x")
+        .join(relaxed.select(col("id").as("lid"), col("component").as("lcomp")),
+          col("x.component") === col("lid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.component"), coalesce(col("lcomp"), col("x.component")))
             .as("component"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")

@@ -30,10 +30,13 @@ object ModelIo {
     spark.read.parquet(path).as(Encoders.product[CausalTree.Model]).head()
 
   /** Forest rows: one row per tree plus the forest-level importance vector
-    * replicated (parquet has no side-channel; one column, same value). */
-  private case class ForestRow(idx: Int, tree: CausalTree.Model,
-                               variableImportance: Array[Double],
-                               featureNames: Seq[String])
+    * replicated (parquet has no side-channel; one column, same value).
+    * Public: a private nested case class defeats the codegen'd encoder
+    * (janino cannot resolve its accessors) and forces an interpreted
+    * fallback with an ERROR in the logs. */
+  case class ForestRow(idx: Int, tree: CausalTree.Model,
+                       variableImportance: Array[Double],
+                       featureNames: Seq[String])
 
   def saveCausalForest(spark: SparkSession, m: CausalForest.Model, path: String): Unit = {
     val rows = m.trees.zipWithIndex.map { case (t, i) =>

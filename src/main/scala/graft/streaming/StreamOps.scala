@@ -63,6 +63,21 @@ object StreamOps {
       ((m1 - m0) / se).as("t_statistic"))
   }
 
+  /** Streaming exact dedup for a continuously-ingested corpus: drops every
+    * re-occurrence of a normalized-content fingerprint arriving within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`, so per-key state
+    * is evicted once the watermark passes it — bounded state at any
+    * ingest rate; the batch [[graft.ops.Dedup.exactDedup]] is the
+    * full-corpus equivalent). */
+  def streamingDedup(docs: DataFrame, eventTime: Column, text: Column,
+                     watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("__fp", graft.ops.TextOps.contentFingerprint(text))
+      .withColumn("__et", eventTime.cast("timestamp"))
+      .withWatermark("__et", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp", "__et")
+
   case class SessionEvent(userId: Long, ts: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(userId: Long, start: Long, end: Long, n: Long,

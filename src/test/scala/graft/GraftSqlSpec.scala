@@ -170,6 +170,65 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(pass.getLong(0) == 4000L)
   }
 
+  test("student/welch/mean_z sql names match the ops closed forms") {
+    setup
+    val d = spark.table("exp_data")
+    val s = spark.sql("SELECT student_ttest(y, t) AS r FROM exp_data")
+      .select($"r.statistic", $"r.p_value").head()
+    val sRef = graft.ops.SimpleTests.studentTtest(d, $"y", $"t")
+    assert(approx(s.getDouble(0), sRef.statistic, 1e-9))
+    assert(approx(s.getDouble(1), sRef.p_value, 1e-9))
+    val w = spark.sql("SELECT welch_ttest(y, t) AS r FROM exp_data")
+      .select($"r.statistic", $"r.p_value").head()
+    val wRef = graft.ops.SimpleTests.welchTtest(d, $"y", $"t")
+    assert(approx(w.getDouble(0), wRef.statistic, 1e-9))
+    assert(approx(w.getDouble(1), wRef.p_value, 1e-9))
+    val z = spark.sql("SELECT mean_z_test(y, t, 1.0, 1.0) AS r FROM exp_data")
+      .select($"r.statistic", $"r.p_value").head()
+    val zRef = graft.ops.SimpleTests.meanZTest(d, $"y", $"t", 1.0, 1.0)
+    assert(approx(z.getDouble(0), zRef.statistic, 1e-9))
+    assert(approx(z.getDouble(1), zRef.p_value, 1e-9))
+  }
+
+  test("eval_ml_method predicts from a stored coefficient array") {
+    setup
+    val d = spark.table("exp_data")
+    val m = graft.ops.Regression.fitOls(d, $"y", Seq($"x", $"t"))
+    // predict via SQL with the model row cross-joined in
+    Seq(Tuple1(m.coefficients)).toDF("coef").createOrReplaceTempView("model")
+    val preds = spark.sql(
+      "SELECT eval_ml_method(coef, x, t) AS yhat, x, t FROM exp_data CROSS JOIN model")
+      .limit(5).collect()
+    preds.foreach { r =>
+      val expect = m.coefficients(0) * r.getDouble(1) +
+        m.coefficients(1) * r.getInt(2) + m.coefficients(2)
+      assert(approx(r.getDouble(0), expect, 1e-9))
+    }
+    // logistic variant is the sigmoid of the same linear predictor
+    val lg = spark.sql(
+      "SELECT eval_ml_method_logistic(array(1.0d, 0.0d), x) AS p, x FROM exp_data")
+      .limit(3).collect()
+    lg.foreach(r => assert(approx(r.getDouble(0),
+      1.0 / (1.0 + math.exp(-r.getDouble(1))), 1e-9)))
+  }
+
+  test("gateway verbs: group_set, boot_strap, permutation") {
+    setup
+    val gs = GraftGateway.sql(spark,
+      "SELECT group_set(y, t, CAST(uin % 3 AS STRING)) FROM exp_data")
+    assert(gs.columns.toSeq ==
+      Seq("treatment", "col_name", "col_value", "cnt", "sum_y", "sum_y2"))
+    assert(gs.count() == 6) // 2 treatments x 3 group values
+    val bs = GraftGateway.sql(spark, "SELECT boot_strap(avg(y), 50) FROM exp_data")
+    assert(bs.columns.toSeq == Seq("rep", "stat") && bs.count() == 50)
+    val overall = spark.table("exp_data").agg(avg($"y")).head().getDouble(0)
+    val bsm = bs.agg(avg($"stat")).head().getDouble(0)
+    assert(approx(bsm, overall, 0.1), s"bootstrap mean $bsm vs $overall")
+    val perm = GraftGateway.sql(spark,
+      "SELECT permutation(y, t, 200) FROM exp_data").head()
+    assert(perm.getDouble(1) < 0.05, "true effect should reject under permutation")
+  }
+
   test("models round-trip through tables (ModelIo)") {
     setup
     val dir = java.nio.file.Files.createTempDirectory("graft_models").toString

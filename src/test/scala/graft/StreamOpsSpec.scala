@@ -52,6 +52,26 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup drops repeated content within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = StreamOps.streamingDedup(df, col("ts"), col("text"), "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, 1L, "the quick brown fox"),
+        (2L, 2L, "The  Quick Brown  FOX"), // same normalized content
+        (3L, 3L, "something else entirely"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap (batch semantics check)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
