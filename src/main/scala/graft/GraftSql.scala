@@ -56,11 +56,15 @@ object GraftSql {
     }
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  /** Every SQL name as a session-independent (name, FunctionBuilder) pair —
+    * consumed by [[register]] (temp functions on a live session) and by
+    * [[GraftExtensions]] (SparkSessionExtensions.injectFunction, so
+    * `--conf spark.sql.extensions=graft.GraftExtensions` ships the whole
+    * surface into every new session with no code call). */
+  lazy val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Expression] => Expression)]
     def fn(name: String)(builder: Seq[Expression] => Column): Unit =
-      reg.createOrReplaceTempFunction(name,
-        (exprs: Seq[Expression]) => ex(builder(exprs)), "scala_udf")
+      out += (name -> ((exprs: Seq[Expression]) => ex(builder(exprs))))
 
     // ---------------------------------------------------------- aggregates
     // delta_method('x1/x2', is_std, x1, x2, ...)
@@ -197,12 +201,17 @@ object GraftSql {
 
     // ---------------------------------------------------------- scalar math
     val cdfTUdf = udf((x: Double, df: Double) => Dist.tCdf(x, df))
-    spark.udf.register("cdf", cdfTUdf) // reference cdf.cpp: Student-t CDF
-    spark.udf.register("cdf_norm", udf((x: Double) => Dist.normCdf(x)))
-    spark.udf.register("erf", udf((x: Double) => org.apache.commons.math3.special.Erf.erf(x)))
-    spark.udf.register("erfc", udf((x: Double) => org.apache.commons.math3.special.Erf.erfc(x)))
-    spark.udf.register("lgamma", udf((x: Double) => org.apache.commons.math3.special.Gamma.logGamma(x)))
-    spark.udf.register("tgamma", udf((x: Double) => org.apache.commons.math3.special.Gamma.gamma(x)))
+    fn("cdf") { a => cdfTUdf(toCol(a(0)), toCol(a(1))) } // reference cdf.cpp: Student-t CDF
+    val cdfNormUdf = udf((x: Double) => Dist.normCdf(x))
+    fn("cdf_norm") { a => cdfNormUdf(toCol(a(0))) }
+    val erfUdf = udf((x: Double) => org.apache.commons.math3.special.Erf.erf(x))
+    fn("erf") { a => erfUdf(toCol(a(0))) }
+    val erfcUdf = udf((x: Double) => org.apache.commons.math3.special.Erf.erfc(x))
+    fn("erfc") { a => erfcUdf(toCol(a(0))) }
+    val lgammaUdf = udf((x: Double) => org.apache.commons.math3.special.Gamma.logGamma(x))
+    fn("lgamma") { a => lgammaUdf(toCol(a(0))) }
+    val tgammaUdf = udf((x: Double) => org.apache.commons.math3.special.Gamma.gamma(x))
+    fn("tgamma") { a => tgammaUdf(toCol(a(0))) }
 
     // vector ops over array columns (reference functions.py L*Norm/Distance)
     fn("l1_norm") { a =>
@@ -245,5 +254,29 @@ object GraftSql {
     fn("content_fingerprint") { a => TextOps.contentFingerprint(toCol(a(0))) }
     fn("ngram_jaccard") { a =>
       TextOps.ngramJaccard(toCol(a(0)), toCol(a(1)), dblArg(a(2), "n").toInt) }
+    out.toSeq
   }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+}
+
+/** `SparkSessionExtensions` hook: set
+  * `spark.sql.extensions=graft.GraftExtensions` (spark-submit --conf or
+  * builder config) and every new session resolves the full graft SQL
+  * surface without any code call — the idiomatic packaging for a Spark
+  * function library (the reference needs its forked-Calcite gateway
+  * deployed in front of the engine for the same effect). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftSql.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.GraftSql", name),
+        (children: Seq[Expression]) => b(children)))
+    }
 }

@@ -13,6 +13,7 @@ object SparkTestSession {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 }
 

@@ -170,6 +170,21 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(pass.getLong(0) == 4000L)
   }
 
+  test("GraftExtensions injects the sql surface into a fresh session") {
+    setup
+    // newSession() has a FRESH temp-function registry — GraftSql.register
+    // was never called on it, so resolution can only come from the
+    // spark.sql.extensions=graft.GraftExtensions injection
+    val s2 = spark.newSession()
+    val r = s2.sql("SELECT erf(0.5) AS e, cdf(1.96, 1e9) AS c").head()
+    assert(approx(r.getDouble(0), org.apache.commons.math3.special.Erf.erf(0.5), 1e-12))
+    assert(approx(r.getDouble(1), 0.975, 1e-3))
+    s2.range(10).selectExpr("CAST(id AS DOUBLE) AS y", "CAST(id % 2 AS INT) AS t")
+      .createOrReplaceTempView("tiny")
+    val tt = s2.sql("SELECT welch_ttest(y, t) AS r FROM tiny").select("r.statistic").head()
+    assert(!tt.getDouble(0).isNaN)
+  }
+
   test("student/welch/mean_z sql names match the ops closed forms") {
     setup
     val d = spark.table("exp_data")
