@@ -99,7 +99,16 @@ object Ann {
 
   /** IVF top-k: probes search only their `nprobe` nearest cells. Exact
     * within probed cells; recall < 1 only when a true neighbor lives in an
-    * unprobed cell. */
+    * unprobed cell.
+    *
+    * Scale shape: probe cells are EXPLODED so the probe-corpus match is an
+    * equi-join on the cell id — Catalyst broadcasts the probe side when it
+    * is small and falls back to a shuffle join co-partitioned by cell for
+    * large probe sets (a broadcast-nested-loop over the corpus would scan
+    * every (row, probe) pair). A hot k-means cell is one join partition;
+    * AQE's skew-join splitting handles it at runtime. A vector lives in
+    * exactly one cell and a probe's cells are distinct, so no dedup pass
+    * is needed after the join. */
   def ivfKnn(corpus: DataFrame, corpusId: Column, corpusVec: Column,
              probes: DataFrame, probeId: Column, probeVec: Column,
              index: IvfIndex, k: Int, nprobe: Int): DataFrame = {
@@ -116,10 +125,10 @@ object Ann {
     val probedCells = slice(array_sort(array(cellDists: _*)), 1, nprobe)
     val p = probes.select(probeId.cast("long").as("query_id"),
       probeVec.cast("array<double>").as("q"),
-      transform(probedCells, s => s.getField("cell")).as("cells"))
+      explode(transform(probedCells, s => s.getField("cell"))).as("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    assigned.join(broadcast(p),
-        array_contains(col("cells"), col("cell")) && col("neighbor_id") =!= col("query_id"))
+    assigned.join(p, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q"), col("v")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
