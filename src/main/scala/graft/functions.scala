@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object functions {
 
-  private def doubles(cols: Seq[Column]): Column =
-    array(cols.map(_.cast("double")): _*)
+  /** Pack the argument columns as array<double>, NULL when any component
+    * (or any `extra` column) is null — the aggregates skip null inputs, so
+    * incomplete rows are dropped listwise exactly like the reference
+    * engines' aggregate NULL-skipping (and R's lm na.omit). Without the
+    * guard a null component would decode as 0.0 and contaminate the fit. */
+  private def doublesRequiring(cols: Seq[Column], extra: Column*): Column = {
+    val arr = array(cols.map(_.cast("double")): _*)
+    val conds = cols.map(_.cast("double").isNotNull) ++ extra.map(_.isNotNull)
+    if (conds.isEmpty) arr else when(conds.reduce(_ && _), arr)
+  }
+  private def doubles(cols: Seq[Column]): Column = doublesRequiring(cols)
 
   private val DefaultAlpha = graft.stats.TtestCommon.DefaultAlpha
 
@@ -46,7 +55,7 @@ object functions {
                  (cols: Column*): Column = {
     val agg = udaf(new Ttest2SampAgg(expr, alternative, cuped, alpha, cols.length),
       ExpressionEncoder[(Array[Double], Int)]())
-    agg(doubles(cols), treatment.cast("int"))
+    agg(doublesRequiring(cols, treatment), treatment.cast("int"))
   }
 
   /** Post-stratified two-sample t-test; `stratum` is the PSE column. */
@@ -55,14 +64,15 @@ object functions {
                       alpha: Double = DefaultAlpha)(cols: Column*): Column = {
     val agg = udaf(new Ttest2SampPseAgg(expr, alternative, cuped, alpha, cols.length),
       ExpressionEncoder[(Array[Double], Int, Long)]())
-    agg(doubles(cols), treatment.cast("int"), stratum.cast("long"))
+    agg(doublesRequiring(cols, treatment, stratum), treatment.cast("int"),
+      stratum.cast("long"))
   }
 
   /** Sample-ratio-mismatch chi-square (reference `SRM(x, groupby, ratio)`).
     * Returns struct(groups, observed, expected, chisq, p_value). */
   def srm(value: Column, group: Column, ratios: Seq[Double]): Column = {
     val agg = udaf(new SrmAgg(ratios.toArray), ExpressionEncoder[(String, Double)]())
-    agg(group.cast("string"), value.cast("double"))
+    agg(when(value.isNotNull, group.cast("string")), value.cast("double"))
   }
 
   /** Mann-Whitney U test (reference `mann_whitney_utest`). Returns
@@ -73,7 +83,8 @@ object functions {
                          continuityCorrection: Boolean = true): Column = {
     val agg = udaf(new MannWhitneyAgg(alternative, continuityCorrection),
       ExpressionEncoder[(Double, Int)]())
-    agg(value.cast("double"), treatment.cast("int"))
+    agg(when(value.isNotNull && treatment.isNotNull, value.cast("double"))
+      .otherwise(lit(Double.NaN)), treatment.cast("int"))
   }
 
   /** Two-sample Kolmogorov-Smirnov test. Returns struct(d_statistic, p_value). */
@@ -81,7 +92,8 @@ object functions {
                               alternative: String = "two-sided",
                               method: String = "auto"): Column = {
     val agg = udaf(new KsAgg(alternative, method), ExpressionEncoder[(Double, Int)]())
-    agg(value.cast("double"), treatment.cast("int"))
+    agg(when(value.isNotNull && treatment.isNotNull, value.cast("double"))
+      .otherwise(lit(Double.NaN)), treatment.cast("int"))
   }
 
   /** One-pass Gram matrix XᵀX, optionally inverted (reference
@@ -102,7 +114,8 @@ object functions {
                         ratios: (Double, Double) = (1.0, 1.0)): Column = {
     val agg = udaf(new XexptAgg(cols.length, cuped, alpha, mde, power, metricType,
       Array(ratios._1, ratios._2)), ExpressionEncoder[(Array[Double], Long, Long)]())
-    agg(doubles(cols), uin.cast("long"), treatment.cast("long"))
+    agg(doublesRequiring(cols, uin, treatment), uin.cast("long"),
+      treatment.cast("long"))
   }
 
   /** One-pass OLS with full inference; returns the summary struct.

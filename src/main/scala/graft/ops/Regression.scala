@@ -27,7 +27,17 @@ object Regression {
                    weight: Column = lit(1.0)): Column = {
     val agg = udaf(new OlsAgg(xs.length, useBias),
       ExpressionEncoder[(Double, Array[Double], Double)]())
-    agg(y.cast("double"), array(xs.map(_.cast("double")): _*), weight.cast("double"))
+    agg(y.cast("double"), olsInput(y, xs, weight), weight.cast("double"))
+  }
+
+  /** xs packed as array<double>, NULL when y, weight, or any x is null —
+    * the aggregate skips null arrays, so incomplete rows drop listwise
+    * (R lm na.omit; the reference engines skip aggregate NULL inputs).
+    * Unguarded, a null would decode as 0.0 and contaminate the fit. */
+  private def olsInput(y: Column, xs: Seq[Column], weight: Column): Column = {
+    val all = (y +: xs) :+ weight
+    when(all.map(_.cast("double").isNotNull).reduce(_ && _),
+      array(xs.map(_.cast("double")): _*))
   }
 
   /** Fit and collect the model (drives the same aggregate, keeps (XᵀX)⁻¹
@@ -38,7 +48,7 @@ object Regression {
     val bufAgg = udaf(new OlsBufAgg(xs.length, useBias),
       ExpressionEncoder[(Double, Array[Double], Double)]())
     val row = df.select(bufAgg(y.cast("double"),
-      array(xs.map(_.cast("double")): _*), weight.cast("double")).as("b"))
+      olsInput(y, xs, weight), weight.cast("double")).as("b"))
       .select("b.*").head()
     val buf = OlsBuf(
       graft.stats.DeltaStats(row.getLong(0), row.getSeq[Double](1).toArray, row.getSeq[Double](2).toArray),

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incomplete rows (any null among an aggregate's inputs) must be dropped
+  * listwise, exactly like the reference engines skip NULL aggregate inputs
+  * (and R's lm na.omit) — never coerced to 0. */
+class NullHandlingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val withNulls = Seq[(java.lang.Double, java.lang.Double, java.lang.Integer)](
+    (1.0, 2.0, 0), (2.0, 3.0, 1), (null, 4.0, 0), (3.0, null, 1),
+    (4.0, 5.0, 0), (5.0, 6.0, 1), (6.0, 7.0, null)
+  ).toDF("x", "y", "t")
+  private lazy val complete = withNulls.na.drop(Seq("x", "y"))
+  // complete cases w.r.t. (x, t) only — y is not an input of these tests
+  private lazy val completeXT = withNulls.na.drop(Seq("x", "t"))
+
+  test("delta_method drops incomplete rows") {
+    val a = withNulls.select(functions.delta_method("x1/x2", isStd = false,
+      Seq($"x", $"y")).as("v")).head().getDouble(0)
+    val b = complete.select(functions.delta_method("x1/x2", isStd = false,
+      Seq($"x", $"y")).as("v")).head().getDouble(0)
+    assert(a == b, s"$a vs complete-case $b")
+  }
+
+  test("ols drops rows with null y or x") {
+    val a = withNulls.select(functions.ols($"y", Seq($"x")).as("m"))
+      .select("m.coefficients").head().getSeq[Double](0)
+    val b = complete.select(functions.ols($"y", Seq($"x")).as("m"))
+      .select("m.coefficients").head().getSeq[Double](0)
+    assert(a == b, s"$a vs complete-case $b")
+    // complete-case slope on these collinear-ish points is 1 (y = x + 1)
+    assert(math.abs(a.head - 1.0) < 1e-9)
+  }
+
+  test("ttest_2samp drops rows with null value or treatment") {
+    val a = withNulls.select(functions.ttest_2samp("x1", $"t")($"x").as("r"))
+      .select("r.mean0", "r.mean1").head()
+    val b = completeXT.select(functions.ttest_2samp("x1", $"t")($"x").as("r"))
+      .select("r.mean0", "r.mean1").head()
+    assert(a.getDouble(0) == b.getDouble(0) && a.getDouble(1) == b.getDouble(1))
+    // t=null row (x=6) must not land in either arm
+    assert(a.getDouble(0) == (1.0 + 4.0) / 2)
+  }
+
+  test("mann_whitney and ks drop null rows") {
+    val mw = withNulls.select(
+      functions.mann_whitney_utest($"x", $"t").as("r")).select("r.u_statistic").head()
+    val mwc = completeXT.select(
+      functions.mann_whitney_utest($"x", $"t").as("r")).select("r.u_statistic").head()
+    assert(mw.getDouble(0) == mwc.getDouble(0))
+    val ks = withNulls.select(
+      functions.kolmogorov_smirnov_test($"x", $"t").as("r")).select("r.d_statistic").head()
+    val ksc = completeXT.select(
+      functions.kolmogorov_smirnov_test($"x", $"t").as("r")).select("r.d_statistic").head()
+    assert(ks.getDouble(0) == ksc.getDouble(0))
+  }
+
+  test("srm skips null values and null groups") {
+    val a = withNulls.select(functions.srm($"x", $"t", Seq(1.0, 1.0)).as("r"))
+      .select("r.observed").head().getSeq[Double](0)
+    val b = completeXT.select(functions.srm($"x", $"t", Seq(1.0, 1.0)).as("r"))
+      .select("r.observed").head().getSeq[Double](0)
+    assert(a == b, s"$a vs complete-case $b")
+  }
+}
