@@ -128,6 +128,7 @@ object MlWrappers {
     * sampled-AUC eval, regression.py:203-255). */
   def auc(df: DataFrame, score: Column, label: Column): Double = {
     val byValue = df
+      .filter(label.isNotNull)
       .select(score.cast("double").as("v"), label.cast("int").as("y"))
       .filter(!isnan(col("v")) && col("v").isNotNull)
       .groupBy(col("v"))

@@ -24,7 +24,7 @@ object RankTests {
                    continuityCorrection: Boolean = true): MannWhitneyResult = {
     val alt = TtestCommon.alternative(alternative)
     val byValue = df
-      .filter(!isnan(value) && value.isNotNull)
+      .filter(!isnan(value) && value.isNotNull && treatment.isNotNull)
       .select(value.cast("double").as("v"), treatment.cast("int").as("t"))
       .groupBy(col("v"))
       .agg(count(lit(1)).as("cnt"),
@@ -71,7 +71,7 @@ object RankTests {
              alternative: String = "two-sided"): KsResult = {
     val alt = TtestCommon.alternative(alternative)
     val byValue = df
-      .filter(!isnan(value) && value.isNotNull)
+      .filter(!isnan(value) && value.isNotNull && treatment.isNotNull)
       .select(value.cast("double").as("v"), treatment.cast("int").as("t"))
       .groupBy(col("v"))
       .agg(sum(when(col("t") === 0, 1L).otherwise(0L)).as("c0"),

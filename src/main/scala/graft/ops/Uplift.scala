@@ -26,7 +26,9 @@ object Uplift {
                k: Int = 100, tieBreak: Seq[Column] = Seq.empty): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sel = df.select(Seq(ite.cast("double").as("mm_ite"),
+    val sel = df
+      .filter(ite.isNotNull && y.isNotNull && treatment.isNotNull)
+      .select(Seq(ite.cast("double").as("mm_ite"),
         y.cast("double").as("mm_y"), treatment.cast("int").as("mm_t")) ++
         tieBreak.zipWithIndex.map { case (c, i) => c.as(s"tb_$i") }: _*)
     val order = col("mm_ite").desc +: tieBreak.indices.map(i => col(s"tb_$i").asc)

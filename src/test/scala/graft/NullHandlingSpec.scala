@@ -59,6 +59,17 @@ class NullHandlingSpec extends AnyFunSuite {
     assert(ks.getDouble(0) == ksc.getDouble(0))
   }
 
+  test("distributed rank tests agree with agg variants under nulls") {
+    val mwAgg = withNulls.select(
+      functions.mann_whitney_utest($"x", $"t").as("r")).select("r.u_statistic").head().getDouble(0)
+    val mwDist = graft.ops.RankTests.mannWhitneyU(withNulls, $"x", $"t").u_statistic
+    assert(mwAgg == mwDist, s"agg $mwAgg vs distributed $mwDist")
+    val ksAgg = withNulls.select(
+      functions.kolmogorov_smirnov_test($"x", $"t").as("r")).select("r.d_statistic").head().getDouble(0)
+    val ksDist = graft.ops.RankTests.ksTest(withNulls, $"x", $"t").d_statistic
+    assert(ksAgg == ksDist, s"agg $ksAgg vs distributed $ksDist")
+  }
+
   test("srm skips null values and null groups") {
     val a = withNulls.select(functions.srm($"x", $"t", Seq(1.0, 1.0)).as("r"))
       .select("r.observed").head().getSeq[Double](0)
