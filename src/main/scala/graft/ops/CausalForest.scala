@@ -73,7 +73,10 @@ object CausalForest {
           features: Seq[(String, Column)], numTrees: Int = 20,
           maxDepth: Int = 4, minNodeSize: Long = 50, bins: Int = 16,
           mtry: Int = 0, sampleFraction: Double = 0.5,
-          honest: Boolean = true, seed: Long = 42L): Model = {
+          honest: Boolean = true, seed: Long = 42L,
+          criterion: String = "gradient"): Model = {
+    require(criterion == "gradient" || criterion == "effect",
+      "criterion must be gradient (GRF pseudo-outcomes) or effect (Athey-Imbens)")
     require(features.nonEmpty && numTrees > 0)
     val k = features.size
     val useMtry = if (mtry <= 0 || mtry > k) k else mtry
@@ -167,7 +170,7 @@ object CausalForest {
         val nextOpen = scala.collection.mutable.Set[(Int, Int)]()
         for ((b, node) <- openSorted) {
           hist.get((b, node)).flatMap(cells =>
-            bestSplitCells(cells, mtryDraw((b, node)), minNodeSize)).foreach {
+            bestSplitCells(cells, mtryDraw((b, node)), minNodeSize, criterion)).foreach {
             case (f, bi, improvement) =>
               importance(f) += improvement
               feat(b)(node) = f; thr(b)(node) = boundaries(f)(bi)
@@ -222,15 +225,51 @@ object CausalForest {
 
   /** Athey-Imbens gain over candidate features' bins. Returns
     * (feature, boundary bin, gain improvement over the parent). */
+  /** Best (feature, bin, improvement) over the node's histogram cells.
+    *
+    * criterion = "effect": Athey-Imbens squared-effect gain
+    * Σ_child n_child·τ_child², compared against the parent's n·τ².
+    *
+    * criterion = "gradient" (default): GRF's orthogonalized pseudo-outcome
+    * rule (reference CausalForestTree.cpp CalcNumerDenom / SplitPre: the
+    * split maximizes Σ_child (Σ_{i∈child} ρ_i)² / n_child with
+    * ρ_i = [(W_i−W̄)(Y_i−Ȳ) − (W_i−W̄)²·θ̂] / A, A = Σ(W−W̄)², all at the
+    * parent). For binary W every Σρ_child is an exact function of the
+    * per-(arm, bin) counts and Y-sums already in the histogram, so the
+    * GRF rule costs nothing extra per pass. */
   private def bestSplitCells(cells: Array[Cell], feats: Array[Int],
-                             minNodeSize: Long): Option[(Int, Int, Double)] = {
+                             minNodeSize: Long,
+                             criterion: String = "gradient"): Option[(Int, Int, Double)] = {
     val f0 = feats.head
     val pc = Array.fill(2)(0L); val ps = Array.fill(2)(0.0)
     cells.filter(_.feat == f0).foreach { c => pc(c.t) += c.cnt; ps(c.t) += c.sum }
     if (pc(0) == 0 || pc(1) == 0) return None
+    val n = (pc(0) + pc(1)).toDouble
     val parentTau = ps(1) / pc(1) - ps(0) / pc(0)
-    val parentGain = (pc(0) + pc(1)).toDouble * parentTau * parentTau
-    var bestGain = parentGain + 1e-12
+    val ybar = (ps(0) + ps(1)) / n
+    val wbar = pc(1) / n
+    val aNorm = n * wbar * (1.0 - wbar) // Σ(W−W̄)² for binary W
+    // Σρ over a child from its per-arm (count, Σy)
+    def rhoSum(c0: Long, s0: Double, c1: Long, s1: Double): Double =
+      ((1.0 - wbar) * (s1 - c1 * ybar) - (1.0 - wbar) * (1.0 - wbar) * parentTau * c1
+        - wbar * (s0 - c0 * ybar) - wbar * wbar * parentTau * c0) / aNorm
+    val (baseGain, gainOf) =
+      if (criterion == "effect") {
+        val pg = n * parentTau * parentTau
+        (pg, (lc: Array[Long], ls: Array[Double], rc0: Long, rc1: Long) => {
+          val tl = ls(1) / lc(1) - ls(0) / lc(0)
+          val tr = (ps(1) - ls(1)) / rc1 - (ps(0) - ls(0)) / rc0
+          (lc(0) + lc(1)) * tl * tl + (rc0 + rc1) * tr * tr
+        })
+      } else {
+        // parent Σρ = 0 by construction, so any heterogeneity is gain > 0
+        (0.0, (lc: Array[Long], ls: Array[Double], rc0: Long, rc1: Long) => {
+          val rl = rhoSum(lc(0), ls(0), lc(1), ls(1))
+          val rr = rhoSum(rc0, ps(0) - ls(0), rc1, ps(1) - ls(1))
+          rl * rl / (lc(0) + lc(1)) + rr * rr / (rc0 + rc1)
+        })
+      }
+    var bestGain = baseGain + 1e-12
     var best: Option[(Int, Int, Double)] = None
     for (f <- feats) {
       val fc = cells.filter(_.feat == f)
@@ -242,12 +281,10 @@ object CausalForest {
           val rc0 = pc(0) - lc(0); val rc1 = pc(1) - lc(1)
           if (lc(0) >= minNodeSize && lc(1) >= minNodeSize &&
               rc0 >= minNodeSize && rc1 >= minNodeSize) {
-            val tl = ls(1) / lc(1) - ls(0) / lc(0)
-            val tr = (ps(1) - ls(1)) / rc1 - (ps(0) - ls(0)) / rc0
-            val gain = (lc(0) + lc(1)) * tl * tl + (rc0 + rc1) * tr * tr
+            val gain = gainOf(lc, ls, rc0, rc1)
             if (gain > bestGain) {
               bestGain = gain
-              best = Some((f, b, gain - parentGain))
+              best = Some((f, b, gain - baseGain))
             }
           }
         }

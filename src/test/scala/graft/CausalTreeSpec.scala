@@ -54,6 +54,19 @@ class CausalTreeSpec extends AnyFunSuite {
       assert(math.abs(m.effect(i) - 1.0) < 0.35, s"leaf $i effect ${m.effect(i)}") }
   }
 
+  test("both split criteria (GRF gradient, Athey-Imbens effect) find the heterogeneity") {
+    for (crit <- Seq("gradient", "effect")) {
+      val m = CausalForest.fit(df, $"y", $"t", Seq("x1" -> $"x1", "x2" -> $"x2"),
+        numTrees = 6, maxDepth = 2, minNodeSize = 50, bins = 16,
+        sampleFraction = 0.7, seed = 11L, criterion = crit)
+      val eff = Seq((-1.5, 0.0), (1.5, 0.0)).toDF("x1", "x2")
+        .select(m.effectColumn(Seq($"x1", $"x2")).as("e")).collect().map(_.getDouble(0))
+      assert(eff(1) - eff(0) > 0.8, s"$crit: effects ${eff.toSeq}")
+      assert(m.variableImportance(0) > 0.6,
+        s"$crit: importance ${m.variableImportance.toSeq}")
+    }
+  }
+
   test("causal forest recovers the heterogeneous effect surface") {
     val m = CausalForest.fit(df, $"y", $"t", Seq("x1" -> $"x1", "x2" -> $"x2"),
       numTrees = 10, maxDepth = 3, minNodeSize = 50, bins = 16,
