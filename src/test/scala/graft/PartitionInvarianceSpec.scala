@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-layout invariance: every single-pass aggregate must produce
+  * the same statistic (to floating-point merge-order tolerance) whether the
+  * data arrives in 1 partition or is scattered across many — the property
+  * that makes results reproducible on any cluster layout. */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val base: DataFrame = {
+    val rng = new scala.util.Random(7)
+    (1 to 4000).map { i =>
+      val t = i % 2
+      val x = rng.nextGaussian()
+      val y = 0.5 * t + x + rng.nextGaussian()
+      (i.toLong, t, x, y, math.abs(x) + 0.1)
+    }.toDF("uin", "t", "x", "y", "d")
+  }
+
+  private def layouts(df: DataFrame): Seq[DataFrame] =
+    Seq(df.coalesce(1), df.repartition(7, col("uin")), df.repartition(13))
+
+  private def assertClose(vals: Seq[Double], what: String): Unit = {
+    val ref = vals.head
+    vals.tail.foreach(v =>
+      assert(math.abs(v - ref) <= 1e-9 * math.max(1.0, math.abs(ref)),
+        s"$what: $v vs $ref across layouts"))
+  }
+
+  test("delta_method, ols, ttest_2samp, srm, xexpt invariant to partitioning") {
+    val dm = layouts(base).map(_.select(
+      functions.delta_method("x1/x2", isStd = false, Seq($"y", $"d")).as("v"))
+      .head().getDouble(0))
+    assertClose(dm, "delta_method")
+
+    val ols = layouts(base).map(_.select(functions.ols($"y", Seq($"x", $"t")).as("m"))
+      .select(element_at($"m.coefficients", 1)).head().getDouble(0))
+    assertClose(ols, "ols slope")
+
+    val tt = layouts(base).map(_.select(
+      functions.ttest_2samp("x1", $"t")($"y").as("r"))
+      .select($"r.estimate").head().getDouble(0))
+    assertClose(tt, "ttest_2samp estimate")
+
+    val srm = layouts(base).map(_.select(
+      functions.srm($"d", $"t", Seq(1.0, 1.0)).as("r"))
+      .select($"r.chisq").head().getDouble(0))
+    assertClose(srm, "srm chisq")
+
+    val xe = layouts(base).map(_.select(
+      functions.xexpt_ttest_2samp($"uin", $"t", Seq($"y", $"d")).as("r"))
+      .select($"r.p_value").head().getDouble(0))
+    assertClose(xe, "xexpt p_value")
+  }
+
+  test("rank tests and distributed variants invariant to partitioning") {
+    val mw = layouts(base).map(_.select(
+      functions.mann_whitney_utest($"y", $"t").as("r"))
+      .select($"r.u_statistic").head().getDouble(0))
+    assertClose(mw, "mann_whitney U")
+
+    val ks = layouts(base).map(_.select(
+      functions.kolmogorov_smirnov_test($"y", $"t").as("r"))
+      .select($"r.d_statistic").head().getDouble(0))
+    assertClose(ks, "ks D")
+
+    val mwD = layouts(base).map(d =>
+      graft.ops.RankTests.mannWhitneyU(d, $"y", $"t").u_statistic)
+    assertClose(mwD, "distributed mann_whitney U")
+    // collect-based and distributed variants agree with each other too
+    assert(math.abs(mw.head - mwD.head) < 1e-6, s"${mw.head} vs ${mwD.head}")
+  }
+}
