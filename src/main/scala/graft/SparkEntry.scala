@@ -276,6 +276,17 @@ object SparkEntry {
           round(col("d_raw"), 6).as("b_discount"),
           round(col("i_raw"), 6).as("intercept"), col("converged"))
     }),
+    "q43_connected_components" -> ((s, d) => {
+      // distributed min-label propagation with pointer jumping over planted
+      // 50-long duplicate chains (edges (id-1, id) except at chain starts);
+      // the oracle is closed form: component = floor(id/50)*50
+      val ids = t(s, d, "documents").select(col("doc_id")).filter(col("doc_id") < 1000)
+      val edges = ids.filter(col("doc_id") % 50 =!= 0)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      graft.ops.Dedup.connectedComponents(edges)
+        .select(col("id"), col("component"))
+        .orderBy(col("id"))
+    }),
     "q42_causal_forest" -> ((s, d) => {
       val spark = s
       import spark.implicits._
@@ -402,6 +413,10 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q43_connected_components" ->
+      // chains [0..49],[50..99],... → component = chain start, closed form
+      """SELECT doc_id AS id, CAST((doc_id // 50) * 50 AS BIGINT) AS component
+        |FROM documents WHERE doc_id < 1000 ORDER BY doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

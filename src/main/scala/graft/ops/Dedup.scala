@@ -158,6 +158,29 @@ object Dedup {
     df.join(dupes, id.cast("long") === col("__drop"), "left_anti")
   }
 
+  /** Rows to keep under SimHash dedup: one survivor (min id) per connected
+    * near-dup cluster, like [[minHashDedup]]. */
+  def simHashDedup(df: DataFrame, id: Column, text: Column,
+                   maxHamming: Int = 3): DataFrame = {
+    val pairs = simHashPairs(df, id, text, maxHamming)
+    val dupes = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__drop"))
+    df.join(dupes, id.cast("long") === col("__drop"), "left_anti")
+  }
+
+  /** Rows to keep under embedding-cosine dedup: one survivor (min id) per
+    * connected near-dup cluster. */
+  def embeddingDedup(df: DataFrame, id: Column, embedding: Column,
+                     threshold: Double = 0.95, bits: Int = 0,
+                     tables: Int = 1): DataFrame = {
+    val pairs = embeddingNearDup(df, id, embedding, threshold, bits, tables)
+    val dupes = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__drop"))
+    df.join(dupes, id.cast("long") === col("__drop"), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates from matching
     * any of 4 16-bit chunks (catches all pairs within Hamming distance 3 by
     * pigeonhole when ≤ 3 chunks differ), verified by Hamming distance.
