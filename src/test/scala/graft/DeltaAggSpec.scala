@@ -101,6 +101,14 @@ class DeltaAggSpec extends AnyFunSuite {
     assert(approx(cuped.getAs[Double]("mean0"), m0, 1e-9))
     assert(approx(cuped.getAs[Double]("mean1"), m1, 1e-9))
     assert(approx(cuped.getAs[Double]("stderr"), math.sqrt(v0 + v1), 1e-9))
+
+    // multi-covariate CUPED (reference 'X=x3/x4+x5' flat split on +,
+    // ttest_common.h:133-175): still a valid variance reduction, at least
+    // as tight as the single-covariate adjustment on the strongest part
+    val multi = df.select(functions.ttest2Samp("avg(y)/avg(d)", $"t",
+      cuped = "avg(y_pre)/avg(d_pre)+avg(d_pre)").as("r")).select($"r.*").head()
+    assert(multi.getAs[Double]("stderr") <= cuped.getAs[Double]("stderr") + 1e-12)
+    assert(multi.getAs[Double]("p_value") >= 0 && multi.getAs[Double]("p_value") <= 1)
   }
 
   test("ttest_2samp_pse recombines strata") {
