@@ -254,6 +254,15 @@ object GraftSql {
     fn("content_fingerprint") { a => TextOps.contentFingerprint(toCol(a(0))) }
     fn("ngram_jaccard") { a =>
       TextOps.ngramJaccard(toCol(a(0)), toCol(a(1)), dblArg(a(2), "n").toInt) }
+    // winnow_fingerprints(text[, k, w]) / winnow_similarity(a, b[, k, w])
+    fn("winnow_fingerprints") { a =>
+      TextOps.winnowFingerprints(toCol(a(0)),
+        if (a.length > 1) dblArg(a(1), "k").toInt else 8,
+        if (a.length > 2) dblArg(a(2), "w").toInt else 4) }
+    fn("winnow_similarity") { a =>
+      TextOps.winnowSimilarity(toCol(a(0)), toCol(a(1)),
+        if (a.length > 2) dblArg(a(2), "k").toInt else 8,
+        if (a.length > 3) dblArg(a(3), "w").toInt else 4) }
     out.toSeq
   }
 

@@ -276,6 +276,25 @@ object SparkEntry {
           round(col("d_raw"), 6).as("b_discount"),
           round(col("i_raw"), 6).as("intercept"), col("converged"))
     }),
+    "q44_winnow_dupes" -> ((s, d) => {
+      // winnowing (rolling-hash) fingerprint duplicate pairs: 50 docs + 50
+      // planted exact copies; exact copies share the whole fingerprint set
+      // (sim 1.0) and no two of the first 50 docs are normalized-equal at
+      // either SF (natural near-dups top out below 1.0), so the oracle is
+      // closed form
+      val ops = graft.ops.TextOps
+      val docs = t(s, d, "documents").filter(col("doc_id") < 50)
+      val all = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
+        .select(col("doc_id"), ops.winnowFingerprints(col("text")).as("fp"))
+      val a = all.select(col("doc_id").as("id_a"), col("fp").as("fa"))
+      val b = all.select(col("doc_id").as("id_b"), col("fp").as("fb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim",
+          size(array_intersect(col("fa"), col("fb"))).cast("double") /
+            greatest(size(array_union(col("fa"), col("fb"))), lit(1)).cast("double"))
+        .filter(col("sim") === 1.0)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+    }),
     "q43_connected_components" -> ((s, d) => {
       // distributed min-label propagation with pointer jumping over planted
       // 50-long duplicate chains (edges (id-1, id) except at chain starts);
@@ -413,6 +432,12 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q44_winnow_dupes" ->
+      // exact copies share all winnow fingerprints (sim 1.0); no natural
+      // exact dupes among doc_id < 50 at either SF
+      """SELECT doc_id AS id_a, doc_id + 10000 AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS sim
+        |FROM documents WHERE doc_id < 50""".stripMargin,
     "q43_connected_components" ->
       // chains [0..49],[50..99],... → component = chain start, closed form
       """SELECT doc_id AS id, CAST((doc_id // 50) * 50 AS BIGINT) AS component

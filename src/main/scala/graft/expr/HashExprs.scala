@@ -55,6 +55,60 @@ object HashOps {
     new GenericArrayData(mins)
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): rolling Karp-Rabin hashes of the character k-grams, then
+    * the minimum hash of every window of w consecutive k-gram hashes
+    * (rightmost wins ties — the standard robust-winnowing rule), distinct,
+    * in first-selection order. Guarantee: any substring match of length
+    * ≥ w + k − 1 between two documents shares at least one fingerprint.
+    * One O(n) pass: rolling hash + monotonic-deque window minima. */
+  def winnow(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val m = n - k + 1 // number of k-grams
+    // rolling polynomial hash over chars, base 1000003, wrap in Long
+    val B = 1000003L
+    var bk = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { bk *= B; i += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * bk) * B + s.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    if (m <= w) {
+      // single window: emit its minimum (rightmost tie)
+      var best = 0
+      var j = 1
+      while (j < m) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      return new GenericArrayData(Array[Any](hs(best)))
+    }
+    // monotonic deque of indices, increasing hash; ties evict (rightmost wins)
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0 // [head, tail)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val seen = new scala.collection.mutable.HashSet[Long]()
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val v = hs(deque(head))
+        if (seen.add(v)) out += v
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** SimHash-64: bit b of the result is the sign of Σ_tokens ±1 by bit b of
     * xxhash64(token). Null tokens vote -1 on every bit (when(null...) falls
     * to otherwise in the composed form). */
@@ -115,11 +169,33 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass winnowing fingerprints of a string column. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0, "k and w must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.winnow(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashOps.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 object HashExprs {
   def minHashSig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
   def simHash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
 
   private[expr] def requireStringArray(child: Expression, name: String): TypeCheckResult =
     child.dataType match {

@@ -104,6 +104,23 @@ object TextOps {
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Word n-gram shingles (distinct), the input to minhash/Jaccard. */
+  /** Winnowing fingerprints (rolling-hash document fingerprinting, the
+    * MOSS scheme): distinct window-minimum Karp-Rabin k-gram hashes over
+    * the normalized text. Two documents sharing any run of
+    * ≥ w + k − 1 characters share a fingerprint; overlap of the
+    * fingerprint SETS estimates containment. One fused codegen pass
+    * ([[graft.expr.HashExprs.winnowFingerprints]]). */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.expr.HashExprs.winnowFingerprints(
+      regexp_replace(lower(trim(text)), "\\s+", " "), k, w)
+
+  /** Jaccard similarity of two winnowing fingerprint sets. */
+  def winnowSimilarity(a: Column, b: Column, k: Int = 8, w: Int = 4): Column = {
+    val fa = winnowFingerprints(a, k, w); val fb = winnowFingerprints(b, k, w)
+    size(array_intersect(fa, fb)).cast("double") /
+      greatest(size(array_union(fa, fb)), lit(1)).cast("double")
+  }
+
   def shingles(text: Column, n: Int): Column = {
     val w = split(lower(trim(text)), "\\s+")
     when(size(w) < n, array_distinct(array(array_join(w, " "))))

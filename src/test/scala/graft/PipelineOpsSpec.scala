@@ -141,6 +141,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((200L until 205L).forall(!kept.contains(_)), "exact dups not dropped")
   }
 
+  test("winnowing fingerprints: deterministic, shared-substring guarantee, naive parity") {
+    val k = 8; val w = 4
+    // naive reference: all k-gram rolling hashes, min per window (rightmost
+    // tie), distinct in selection order
+    def naive(s: String): Seq[Long] = {
+      val B = 1000003L
+      val m = s.length - k + 1
+      if (m <= 0) return Seq.empty
+      val hs = (0 until m).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((h, c) => h * B + c)
+      }
+      val sel =
+        if (m <= w) Seq(hs.zipWithIndex.minBy { case (h, i) => (h, -i) }._1)
+        else (0 to m - w).map { st =>
+          (st until st + w).minBy(i => (hs(i), -i))
+        }.map(hs)
+      sel.distinct
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs and more text here",
+      "short")
+    val got = texts.toDF("t")
+      .select(graft.expr.HashExprs.winnowFingerprints(col("t"), k, w).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    texts.zip(got).foreach { case (s, g) =>
+      assert(g == naive(s), s"winnow mismatch for '$s'")
+    }
+    // shared-substring guarantee: docs sharing a >= w+k-1 char run overlap
+    val shared = "this exact common fragment is long enough to fingerprint"
+    val sim = Seq((s"prefix junk $shared", s"$shared totally different tail"))
+      .toDF("a", "b")
+      .select(graft.ops.TextOps.winnowSimilarity(col("a"), col("b"), k, w).as("s"))
+      .head().getDouble(0)
+    assert(sim > 0.2, s"shared-fragment similarity $sim")
+    // disjoint docs share ~nothing
+    val disj = Seq(("aaaaaaaaaaaaaaaaaaaaaaaa", "zzzzzzzzzzzzzzzzzzzzzzzz"))
+      .toDF("a", "b")
+      .select(graft.ops.TextOps.winnowSimilarity(col("a"), col("b"), k, w).as("s"))
+      .head().getDouble(0)
+    assert(disj == 0.0)
+  }
+
   test("connectedComponents closes transitive chains; minHashDedup keeps one per cluster") {
     // star through 3: greedy drop-larger-of-each-pair would keep 1 AND 2
     val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L),
