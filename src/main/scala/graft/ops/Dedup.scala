@@ -137,6 +137,12 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).count()
+      // release the superseded round's checkpoint storage eagerly
+      labels match {
+        case d: org.apache.spark.sql.classic.Dataset[_] =>
+          org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(d)
+        case _ => () // non-classic (e.g. Connect) frames: leave to GC
+      }
       labels = next
       iter += 1
     }

@@ -15,4 +15,16 @@ import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Expression
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
+  /** Unpersist the checkpointed RDD behind a `localCheckpoint`ed frame
+    * (its plan is a LogicalRDD leaf). Iterative algorithms that re-
+    * checkpoint per round use this to release the superseded round's
+    * executor storage immediately instead of waiting for driver GC. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.classic.Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        ()
+      case _ => ()
+    }
 }
