@@ -124,26 +124,28 @@ object Dedup {
         .union(withLabels.select(col("id_b").as("id"), col("m")))
         .groupBy(col("id")).agg(min(col("m")).as("proposed"))
       val relaxed = labels.join(proposals, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("proposed"), col("component")))
             .as("component"))
-      // (2) pointer jumping: follow the label one step (label(label(v)))
+      // (2) pointer jumping: follow the label one step (label(label(v))).
+      // The pre-round label rides along as `old`, so the convergence check
+      // is a filter on the checkpointed frame — no extra join per round.
       val next = relaxed.as("x")
         .join(relaxed.select(col("id").as("lid"), col("component").as("lcomp")),
           col("x.component") === col("lid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.component"), coalesce(col("lcomp"), col("x.component")))
-            .as("component"))
+            .as("component"),
+          col("x.old").as("old"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
+      changed = next.filter(col("component") =!= col("old")).count()
       // release the superseded round's checkpoint storage eagerly
       labels match {
         case d: org.apache.spark.sql.classic.Dataset[_] =>
           org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(d)
         case _ => () // non-classic (e.g. Connect) frames: leave to GC
       }
-      labels = next
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     labels

@@ -21,7 +21,7 @@ object ColumnBridge {
     * checkpoint per round use this to release the superseded round's
     * executor storage immediately instead of waiting for driver GC. */
   def unpersistCheckpoint(df: org.apache.spark.sql.classic.Dataset[_]): Unit =
-    df.queryExecution.analyzed match {
+    df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
         ()
