@@ -282,17 +282,10 @@ object SparkEntry {
       // (sim 1.0) and no two of the first 50 docs are normalized-equal at
       // either SF (natural near-dups top out below 1.0), so the oracle is
       // closed form
-      val ops = graft.ops.TextOps
       val docs = t(s, d, "documents").filter(col("doc_id") < 50)
       val all = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
-        .select(col("doc_id"), ops.winnowFingerprints(col("text")).as("fp"))
-      val a = all.select(col("doc_id").as("id_a"), col("fp").as("fa"))
-      val b = all.select(col("doc_id").as("id_b"), col("fp").as("fb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("sim",
-          size(array_intersect(col("fa"), col("fb"))).cast("double") /
-            greatest(size(array_union(col("fa"), col("fb"))), lit(1)).cast("double"))
-        .filter(col("sim") === 1.0)
+      graft.ops.Dedup.winnowPairs(all, col("doc_id"), col("text"),
+          threshold = 1.0)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
     }),
     "q43_connected_components" -> ((s, d) => {

@@ -166,6 +166,35 @@ object Dedup {
     df.join(dupes, id.cast("long") === col("__drop"), "left_anti")
   }
 
+  /** Winnowing-fingerprint near-dup pairs: candidates are id pairs sharing
+    * ANY winnow fingerprint (groupBy on the fingerprint value — bucketed,
+    * no all-pairs join), verified by exact Jaccard over the full
+    * fingerprint sets. Buckets larger than `maxBucket` are dropped: a
+    * fingerprint shared by hundreds of documents is a boilerplate phrase,
+    * not a duplication signal, and would create quadratic hot buckets at
+    * corpus scale (the standard winnowing-index mitigation). */
+  def winnowPairs(df: DataFrame, id: Column, text: Column,
+                  k: Int = 8, w: Int = 4, threshold: Double = 0.5,
+                  maxBucket: Int = 100): DataFrame = {
+    val slim0 = df.select(id.cast("long").as("id"),
+      TextOps.winnowFingerprints(text, k, w).as("fp"))
+    val slim = slim0.localCheckpoint(false)
+    val cands = slim.select(col("id"), explode(col("fp")).as("f"))
+      .groupBy(col("f")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    val fa = slim.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val fb = slim.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    cands.join(fa, "id_a").join(fb, "id_b")
+      .withColumn("sim",
+        size(array_intersect(col("fp_a"), col("fp_b"))).cast("double") /
+          greatest(size(array_union(col("fp_a"), col("fp_b"))), lit(1)).cast("double"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Rows to keep under SimHash dedup: one survivor (min id) per connected
     * near-dup cluster, like [[minHashDedup]]. */
   def simHashDedup(df: DataFrame, id: Column, text: Column,

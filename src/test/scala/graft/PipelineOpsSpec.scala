@@ -184,6 +184,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(disj == 0.0)
   }
 
+  test("winnowPairs finds exact and near duplicates via fingerprint buckets") {
+    val pairs = Dedup.winnowPairs(docsDf, $"id", $"text", k = 8, w = 4,
+      threshold = 0.5).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups (200+i copies i) share every fingerprint
+    (0 until 5).foreach { i =>
+      assert(pairSet.contains((i.toLong, 200L + i)), s"missing exact pair $i")
+    }
+    pairs.filter(r => r.getLong(0) < 60L && r.getLong(1) >= 200L)
+      .foreach(r => assert(r.getDouble(2) == 1.0))
+    // near dups (100+i = 1-word change of i) share most fingerprints
+    val nearFound = (0 until 10).count(i => pairSet.contains((i.toLong, 100L + i)))
+    assert(nearFound >= 8, s"found only $nearFound/10 near-dup pairs")
+    // unrelated originals do not pair at 0.5
+    assert(!pairs.exists(r => r.getLong(0) < 60 && r.getLong(1) < 60))
+  }
+
   test("connectedComponents closes transitive chains; minHashDedup keeps one per cluster") {
     // star through 3: greedy drop-larger-of-each-pair would keep 1 AND 2
     val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L),
