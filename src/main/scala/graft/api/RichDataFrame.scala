@@ -146,6 +146,12 @@ object implicits {
     def minHashDedup(id: String, text: String, threshold: Double = 0.8): DataFrame =
       Dedup.minHashDedup(df, col(id), col(text), threshold = threshold)
 
+    def simHashDedup(id: String, text: String, maxHamming: Int = 3): DataFrame =
+      Dedup.simHashDedup(df, col(id), col(text), maxHamming)
+
+    def winnowPairs(id: String, text: String, threshold: Double = 0.5): DataFrame =
+      Dedup.winnowPairs(df, col(id), col(text), threshold = threshold)
+
     def withTextStats(text: String): DataFrame = df
       .withColumn("token_count", TextOps.tokenCount(col(text)))
       .withColumn("lang_id", TextOps.langId(col(text)))
