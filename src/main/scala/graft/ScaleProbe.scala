@@ -95,6 +95,15 @@ object ScaleProbe {
       val n = pairs.count()
       assert(n >= docRows / 100 * 95 / 100, s"recall too low: $n pairs")
     }
+    // k must span several tokens for this 50k-token synthetic vocabulary:
+    // at k=8 a fingerprint is ~one token, shared by ~160 docs → hot-bucket
+    // candidate blowup. k=24 (~3 tokens) makes fingerprints discriminative.
+    time(s"winnow fingerprint pairs ($docRows docs, k=24)") {
+      val pairs = graft.ops.Dedup.winnowPairs(docs, col("id"), col("text"),
+        k = 24, w = 8, threshold = 0.9)
+      val n = pairs.count()
+      assert(n >= docRows / 100 * 95 / 100, s"winnow recall too low: $n pairs")
+    }
     time(s"connected components (${docRows / 100} chain edges, depth 50)") {
       // 50-long duplicate chains: worst-case diameter for label propagation
       val edges = spark.range(docRows / 100)

@@ -170,12 +170,15 @@ object Dedup {
     * ANY winnow fingerprint (groupBy on the fingerprint value — bucketed,
     * no all-pairs join), verified by exact Jaccard over the full
     * fingerprint sets. Buckets larger than `maxBucket` are dropped: a
-    * fingerprint shared by hundreds of documents is a boilerplate phrase,
-    * not a duplication signal, and would create quadratic hot buckets at
-    * corpus scale (the standard winnowing-index mitigation). */
+    * fingerprint shared by many documents is a boilerplate phrase, not a
+    * duplication signal, and each bucket contributes O(size²) candidate
+    * pairs (the standard winnowing-index mitigation). Tune `k` to the
+    * corpus: it must span enough characters that a k-gram is rare across
+    * unrelated documents (several words), or common tokens become near-cap
+    * buckets and the candidate set explodes. */
   def winnowPairs(df: DataFrame, id: Column, text: Column,
                   k: Int = 8, w: Int = 4, threshold: Double = 0.5,
-                  maxBucket: Int = 100): DataFrame = {
+                  maxBucket: Int = 50): DataFrame = {
     val slim0 = df.select(id.cast("long").as("id"),
       TextOps.winnowFingerprints(text, k, w).as("fp"))
     val slim = slim0.localCheckpoint(false)
