@@ -55,6 +55,76 @@ object HashOps {
     new GenericArrayData(mins)
   }
 
+  /** Fused tokenize → n-token shingle → MinHash signature: one pass over
+    * the normalized text bytes, no intermediate shingle strings or arrays.
+    * Bit-identical to `minHashSig(shingles(text, n), k)`: tokens split on
+    * the six ASCII regex-\s whitespace bytes (safe byte-wise in UTF-8),
+    * each window of n tokens hashed as the space-joined byte sequence with
+    * the same XXH64 seed, then the same Kirsch-Mitzenmacher double hashing.
+    * (array_distinct in the composed path cannot change a minimum, and
+    * fewer than n tokens hash as one all-tokens shingle — both mirrored.)
+    * The composed path allocates ~3 objects per shingle; this allocates
+    * one reusable buffer per row. */
+  def shingleMinHash(text: org.apache.spark.unsafe.types.UTF8String,
+                     n: Int, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    // tokenize: offsets into bytes
+    var cap = 16
+    var starts = new Array[Int](cap); var ends = new Array[Int](cap)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        if (m == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(m) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(m) = i
+        m += 1
+      }
+    }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val sn = if (m < n) m else n
+    val nShingles = if (m < n) 1 else m - n + 1
+    var buf = new Array[Byte](64)
+    var w = 0
+    while (w < nShingles) {
+      var blen = 0
+      var j = 0
+      while (j < sn) {
+        val tl = ends(w + j) - starts(w + j)
+        if (blen + tl + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, blen + tl + 1))
+        if (j > 0) { buf(blen) = ' '; blen += 1 }
+        System.arraycopy(bytes, starts(w + j), buf, blen, tl)
+        blen += tl
+        j += 1
+      }
+      val h1full = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, blen, Seed)
+      val h1 = h1full & Mask
+      val h2 = XXH64.hashInt(1, h1full) & Mask
+      var v = h1
+      var c = 0
+      while (c < k) {
+        if (v < mins(c)) mins(c) = v
+        v += h2
+        if (v >= MinHashPrime) v -= MinHashPrime
+        c += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): rolling Karp-Rabin hashes of the character k-grams, then
     * the minimum hash of every window of w consecutive k-gram hashes
@@ -169,6 +239,27 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused shingle+MinHash signature of a (pre-normalized) string column. */
+case class ShingleMinHash(child: Expression, shingleN: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(shingleN > 0 && numHashes > 0, "shingleN and numHashes must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_minhash"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.shingleMinHash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleN, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashOps.shingleMinHash($c, $shingleN, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+}
+
 /** One-pass winnowing fingerprints of a string column. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -196,6 +287,9 @@ object HashExprs {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
+  def shingleMinHash(normalizedText: Column, shingleN: Int, numHashes: Int): Column =
+    ColumnBridge.column(ShingleMinHash(ColumnBridge.expression(normalizedText),
+      shingleN, numHashes))
 
   private[expr] def requireStringArray(child: Expression, name: String): TypeCheckResult =
     child.dataType match {

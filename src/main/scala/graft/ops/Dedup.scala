@@ -62,15 +62,16 @@ object Dedup {
                  materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // the shingle projection feeds banding AND both verify sides; shingling
-    // (regex split + distinct n-grams) dominates the per-doc cost, so
-    // compute it ONCE. A lazy localCheckpoint materializes on first use and
-    // is auto-cleaned when the result is dropped — no persist leak. Pass
-    // materialize=false at extreme corpus scale to trade recompute (3 scans)
+    val base = df.select(id.cast("long").as("id"), text.as("__text"))
+    // signatures come from the FUSED tokenize→shingle→hash kernel
+    // (graft.expr.ShingleMinHash): one pass over the text bytes, no
+    // intermediate shingle strings — shingling was the dominant per-doc
+    // cost, and only (id, 96 longs) is checkpointed, not shingle arrays.
+    // Pass materialize=false at extreme corpus scale to trade recompute
     // for zero executor storage.
-    val slim0 = df.select(id.cast("long").as("id"),
-        TextOps.shingles(text, shingleN).as("sh"))
-      .withColumn("sig", minHashesFromShingles(col("sh"), numHashes))
+    val slim0 = base.select(col("id"),
+      graft.expr.HashExprs.shingleMinHash(lower(trim(col("__text"))),
+        shingleN, numHashes).as("sig"))
     val slim = if (materialize) slim0.localCheckpoint(false) else slim0
     val banded = slim.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -83,9 +84,16 @@ object Dedup {
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    // verify with exact Jaccard over the materialized shingle sets
-    val sa = slim.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val sb = slim.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // verify with exact Jaccard over shingle sets recomputed ONLY for the
+    // colliding ids (equi-join on id: AQE broadcasts the candidate set at
+    // runtime when it is small, and falls back to a shuffle join when a
+    // pathological dup rate makes it large — no OOM cliff)
+    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val candSh = base.join(candIds, "id")
+      .select(col("id"), TextOps.shingles(col("__text"), shingleN).as("sh"))
+    val sa = candSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = candSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

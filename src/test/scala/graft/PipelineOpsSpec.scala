@@ -88,6 +88,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(row.getSeq[Long](0) == row.getSeq[Long](1), s"minhash mismatch: $row")
       assert(row.getLong(2) == row.getLong(3), s"simhash mismatch: $row")
     }
+    // the fully-fused tokenize+shingle+minhash kernel matches the
+    // shingle-array path bit for bit (incl. tabs, <n tokens, empty text)
+    val moreTexts = texts ++ Seq("tab\tseparated\ttokens  and\nnewlines", "x")
+    val r2 = moreTexts.toDF("text").select(
+      graft.expr.HashExprs.shingleMinHash(lower(trim($"text")), 2, 32).as("fused"),
+      Dedup.minHashesFromShingles(TextOps.shingles($"text", 2), 32).as("viaShingles"))
+      .collect()
+    r2.foreach { row =>
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1),
+        s"fused shingle-minhash mismatch: $row")
+    }
   }
 
   // ---------------------------------------------------------------- dedup
