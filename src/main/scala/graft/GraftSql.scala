@@ -103,11 +103,13 @@ object GraftSql {
     // — one struct per alpha in a single pass, surfaced as an array of
     // structs (the Scala DSL splats them into a select instead)
     fn("ttests_2samp") { a =>
-      val (ySym, _, cs) = functions.parseMetrics(strArg(a(0), "expr"), "")
+      // positional x1..xn metric string passes straight through, exactly
+      // like the sibling builders — routing it via parseMetrics mangled
+      // 'x1/x2' into 'x1' (bare-column branch), dropping the denominator
       val alphas = dblArrayArg(a(2), "alphas")
       array(alphas.map(al =>
-        functions.ttest_2samp(ySym, toCol(a(3)), strArg(a(1), "alternative"),
-          "", al)(a.drop(4).map(toCol): _*)): _*)
+        functions.ttest_2samp(strArg(a(0), "expr"), toCol(a(3)),
+          strArg(a(1), "alternative"), "", al)(a.drop(4).map(toCol): _*)): _*)
     }
     // srm(x, groupby, array(r0, r1, ...))
     fn("srm") { a =>
@@ -149,10 +151,12 @@ object GraftSql {
     val tTwoSided = udf((t: Double, d: Double) => Dist.tTwoSidedP(t, d))
     val zTwoSided = udf((z: Double) =>
       if (z.isNaN) Double.NaN else 2.0 * (1.0 - Dist.normCdf(math.abs(z))))
+    // count(when(t, x)) counts only non-null x, keeping n consistent with
+    // the null-skipping avg/var_samp (listwise deletion)
     def condStats(x: Column, t: Column): (Column, Column, Column, Column, Column, Column) =
-      (sum(when(t === 0, 1L).otherwise(0L)).cast("double"),
+      (count(when(t === 0, x)).cast("double"),
         avg(when(t === 0, x)), var_samp(when(t === 0, x)),
-        sum(when(t =!= 0, 1L).otherwise(0L)).cast("double"),
+        count(when(t =!= 0, x)).cast("double"),
         avg(when(t =!= 0, x)), var_samp(when(t =!= 0, x)))
     // student_ttest(x, treatment) -> struct(statistic, p_value)
     fn("student_ttest") { a =>
@@ -185,13 +189,21 @@ object GraftSql {
     // literal); intercept last when the array is one longer than the
     // feature list — the OlsModel/bootstrapOls layout.
     def dotCoef(a: Seq[Expression]): Column = {
+      require(a.length >= 2,
+        "eval_ml_method(coefficients, x...) needs at least one feature column")
       val coef = toCol(a.head)
       val xs = a.tail.map(toCol)
       val dot = xs.zipWithIndex
         .map { case (x, i) => x.cast("double") * element_at(coef, i + 1) }
         .reduce(_ + _)
-      dot + when(size(coef) === xs.length + 1, element_at(coef, xs.length + 1))
-        .otherwise(lit(0.0))
+      val pred = dot + when(size(coef) === xs.length + 1,
+        element_at(coef, xs.length + 1)).otherwise(lit(0.0))
+      // a wrong-arity coefficient array (model/feature-list drift) must
+      // fail loudly, not emit NULL or silently skip the intercept
+      when(size(coef) === xs.length || size(coef) === xs.length + 1, pred)
+        .otherwise(raise_error(concat(
+          lit(s"eval_ml_method: coefficient array size "), size(coef),
+          lit(s" does not match ${xs.length} feature(s) (+ optional intercept)"))))
     }
     fn("eval_ml_method") { a => dotCoef(a) }
     // logistic variant: sigmoid of the linear predictor

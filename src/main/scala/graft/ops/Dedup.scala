@@ -156,6 +156,13 @@ object Dedup {
       labels = next.select(col("id"), col("component"))
       iter += 1
     }
+    // the edge checkpoint is dead once the loop exits (the returned labels
+    // frame references only its own checkpoint)
+    edges match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(d)
+      case _ => ()
+    }
     labels
   }
 

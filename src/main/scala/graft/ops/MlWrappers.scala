@@ -92,6 +92,7 @@ object MlWrappers {
     * built from the previous iterate's literal coefficients. */
   def logisticIrls(df: DataFrame, y: Column, xs: Seq[Column],
                    maxIter: Int = 25, tol: Double = 1e-8): LogisticFit = {
+    require(maxIter > 0, "maxIter must be positive (stderr needs a final fit)")
     val k = xs.length
     var beta = Array.fill(k + 1)(0.0) // xs coefs ++ intercept
     var converged = false

@@ -122,7 +122,11 @@ object TextOps {
   }
 
   def shingles(text: Column, n: Int): Column = {
-    val w = split(lower(trim(text)), "\\s+")
+    // regexp-strip the edges: Spark trim() removes only ASCII spaces, so a
+    // leading tab/newline would survive and split() would emit an empty
+    // leading token, shifting every shingle (and diverging from the fused
+    // byte kernel, which skips all whitespace runs)
+    val w = split(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+")
     when(size(w) < n, array_distinct(array(array_join(w, " "))))
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(w) - n),

@@ -134,6 +134,16 @@ class GraftSqlSpec extends AnyFunSuite {
         "rs[1].lower AS l01").head()
     assert(approx(multi.getDouble(0), 0.5, 0.2))
     assert(multi.getDouble(2) < multi.getDouble(1), "99% CI wider than 95%")
+    // ratio metric must NOT be mangled to its numerator: the ttests_2samp
+    // estimate for 'x3/x4' must equal the single-test ttest_2samp estimate
+    val ratioMulti = spark.sql(
+      "SELECT ttests_2samp('x1/x2', 'two-sided', array(0.05), t, y, x) AS rs FROM exp_data")
+      .selectExpr("rs[0].estimate AS e").head().getDouble(0)
+    val ratioSingle = spark.sql(
+      "SELECT ttest_2samp('x1/x2', 'two-sided', t, y, x) AS r FROM exp_data")
+      .selectExpr("r.estimate").head().getDouble(0)
+    assert(ratioMulti == ratioSingle,
+      s"ratio metric mangled: $ratioMulti vs $ratioSingle")
   }
 
   test("xexpt cuped and sum-metric sql names run") {

@@ -90,7 +90,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     // the fully-fused tokenize+shingle+minhash kernel matches the
     // shingle-array path bit for bit (incl. tabs, <n tokens, empty text)
-    val moreTexts = texts ++ Seq("tab\tseparated\ttokens  and\nnewlines", "x")
+    val moreTexts = texts ++ Seq("tab\tseparated\ttokens  and\nnewlines", "x",
+      "\tleading tab and trailing newline\n", "\n\t ", " \t mixed \n edges \t ")
     val r2 = moreTexts.toDF("text").select(
       graft.expr.HashExprs.shingleMinHash(lower(trim($"text")), 2, 32).as("fused"),
       Dedup.minHashesFromShingles(TextOps.shingles($"text", 2), 32).as("viaShingles"))
