@@ -18,6 +18,19 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared planted-heterogeneous-effect fixture for the causal tree/forest
+    * oracles: deterministic treatment, segment h = 1{l_quantity > 25}, true
+    * CATE τ = 2 + 8·h, outcome noise = hash-uniform in ±0.4995. */
+  private def plantedEffect(li: DataFrame): DataFrame = {
+    val h = (col("l_quantity") > 25.0).cast("double")
+    val u = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(1000L))
+      .cast("double") / 1000.0 - 0.4995
+    li.withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      .withColumn("h", h)
+      .withColumn("y",
+        lit(10.0) + lit(5.0) * h + col("treat") * (lit(2.0) + lit(8.0) * h) + u)
+  }
+
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   /** exact decimal sum surfaced as double */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
@@ -300,36 +313,35 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
     "q42_causal_forest" -> ((s, d) => {
-      val spark = s
-      import spark.implicits._
-      // honest causal forest with leaf stderr + variable importance; forest
-      // structure is search-dependent → rows-only driver check
-      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
-      val m = graft.ops.CausalForest.fit(li, col("l_extendedprice"), col("treat"),
-        Seq("l_quantity" -> col("l_quantity"), "l_discount" -> col("l_discount")),
-        numTrees = 4, maxDepth = 2, minNodeSize = 200, bins = 8)
-      val scored = li.limit(1000).select(
-        m.effectColumn(Seq(col("l_quantity"), col("l_discount"))).as("eff"),
-        m.stderrColumn(Seq(col("l_quantity"), col("l_discount"))).as("se"))
-        .agg(count(lit(1)).as("n_scored"),
-          sum(when(col("se") > 0.0, 1L).otherwise(0L)).as("n_with_se"))
-        .head()
-      Seq((m.numTrees, m.variableImportance.length,
-        scored.getAs[Long]("n_scored"), scored.getAs[Long]("n_with_se")))
-        .toDF("n_trees", "n_features", "n_scored", "n_with_se")
+      // planted-effect oracle (mirrors the reference's own tree fixtures,
+      // uplift.py:1243-1895): y = 10 + 5·h + treat·(2 + 8·h) + u with
+      // h = 1{l_quantity > 25} and u deterministic hash noise in ±0.5 whose
+      // per-cell mean ~0. An honest forest must recover τ=2 on h=0 and τ=10
+      // on h=1; with the τ gap at 8 and leaf noise ≪ 0.5, the segment
+      // averages round to exactly those integers. Scoring goes through the
+      // leaf-table scale path (Model.score), not the when-chain sum.
+      val li = plantedEffect(t(s, d, "lineitem"))
+      val fs = Seq("l_quantity" -> col("l_quantity"), "l_discount" -> col("l_discount"))
+      val m = graft.ops.CausalForest.fit(li, col("y"), col("treat"), fs,
+        numTrees = 8, maxDepth = 3, minNodeSize = 100, bins = 50)
+      m.score(li, Seq(col("l_quantity"), col("l_discount")), "eff", "se")
+        .groupBy(col("h").cast("int").as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(col("eff")), 0).as("recovered_effect"),
+          round(avg(when(col("se") > 0.0, 1.0).otherwise(0.0)), 0).as("se_positive"))
+        .orderBy(col("segment"))
     }),
     "q41_causal_tree" -> ((s, d) => {
-      val spark = s
-      import spark.implicits._
-      // heterogeneous-effect discovery on lineitem (synthetic treatment);
-      // tree structure is search-dependent → rows-only driver check
-      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
-      val m = graft.ops.CausalTree.fit(li, col("l_extendedprice"), col("treat"),
-        Seq("l_quantity" -> col("l_quantity"), "l_discount" -> col("l_discount")),
-        maxDepth = 3, minNodeSize = 50)
-      val leaves = (0 until m.numNodes).filter(m.isLeaf)
-      Seq((m.numNodes, leaves.size, leaves.map(m.n).sum))
-        .toDF("n_nodes", "n_leaves", "n_rows_in_leaves")
+      // same planted-effect oracle as q42 on a single honest tree
+      val li = plantedEffect(t(s, d, "lineitem"))
+      val fs = Seq("l_quantity" -> col("l_quantity"), "l_discount" -> col("l_discount"))
+      val m = graft.ops.CausalTree.fit(li, col("y"), col("treat"), fs,
+        maxDepth = 3, minNodeSize = 50, bins = 50)
+      li.withColumn("eff", m.effectColumn(Seq(col("l_quantity"), col("l_discount"))))
+        .groupBy(col("h").cast("int").as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(col("eff")), 0).as("recovered_effect"))
+        .orderBy(col("segment"))
     }),
     // ------------------------------------------------- data-pipeline (north star)
     "q19_dedup_exact" -> ((s, d) => {
@@ -425,6 +437,17 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q41_causal_tree" ->
+      // planted τ(x) = 2 + 8·1{l_quantity>25}: the recovered segment-average
+      // effect rounds to the planted integers; counts come from the data
+      """SELECT CAST(l_quantity > 25 AS INT) AS segment, count(*) AS n_rows,
+        |  CAST(CASE WHEN l_quantity > 25 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS recovered_effect
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_causal_forest" ->
+      """SELECT CAST(l_quantity > 25 AS INT) AS segment, count(*) AS n_rows,
+        |  CAST(CASE WHEN l_quantity > 25 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS recovered_effect,
+        |  CAST(1.0 AS DOUBLE) AS se_positive
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q44_winnow_dupes" ->
       // exact copies share all winnow fingerprints (sim 1.0); no natural
       // exact dupes among doc_id < 50 at either SF

@@ -40,64 +40,99 @@ class SrmAgg(ratios: Array[Double])
   def outputEncoder: Encoder[SrmResult] = Encoders.product[SrmResult]
 }
 
-/** Two-sample collection buffer shared by the rank tests. Parity port —
-  * state holds the raw samples like the reference (mann_whitney.h:60-68,
-  * kolmogorov_smirnov_test.h). Fine into the tens of millions of rows per
-  * group; the distributed Window-based equivalents in [[graft.ops.RankTests]]
-  * are the 100 TB path. */
-case class TwoSamples(s0: mutable.ArrayBuffer[Double], s1: mutable.ArrayBuffer[Double])
+/** Two-sample value→count histogram shared by the rank tests. State is
+  * O(distinct values), not O(n): each entry maps a value to its
+  * (count in sample0, count in sample1); merge sums counts element-wise.
+  * Unlike the reference's collect-all buffers (mann_whitney.h:60-68,
+  * kolmogorov_smirnov_test.h), partial buffers stay bounded by the group's
+  * distinct-value count at any data scale, and the rank/CDF math operates
+  * directly on the sorted histogram — a tie group IS a histogram entry.
+  * For truly all-distinct continuous data at extreme scale, the
+  * range-partitioned equivalents in [[graft.ops.RankTests]] avoid even the
+  * distinct-count state. */
+case class TwoSampleHist(m: mutable.HashMap[Double, Array[Long]]) {
+  def add(v: Double, t: Int): Unit = {
+    val c = m.getOrElseUpdate(v, Array(0L, 0L))
+    if (t == 0) c(0) += 1 else c(1) += 1
+  }
+  def mergeIn(o: TwoSampleHist): TwoSampleHist = {
+    o.m.foreach { case (v, c) =>
+      val mine = m.getOrElseUpdate(v, Array(0L, 0L))
+      mine(0) += c(0); mine(1) += c(1)
+    }
+    this
+  }
+  /** (sorted values, count0 per value, count1 per value). */
+  def sortedEntries: (Array[Double], Array[Long], Array[Long]) = {
+    val vs = m.keys.toArray
+    java.util.Arrays.sort(vs)
+    val c0 = new Array[Long](vs.length)
+    val c1 = new Array[Long](vs.length)
+    var i = 0
+    while (i < vs.length) { val c = m(vs(i)); c0(i) = c(0); c1(i) = c(1); i += 1 }
+    (vs, c0, c1)
+  }
+}
+object TwoSampleHist {
+  def empty: TwoSampleHist = TwoSampleHist(mutable.HashMap.empty)
+}
 
 case class MannWhitneyResult(u_statistic: Double, p_value: Double)
 
 /** Mann-Whitney U (mann_whitney.h:90-175): average ranks with tie
   * correction, optional continuity correction, normal approximation. */
 class MannWhitneyAgg(alternativeStr: String, continuity: Boolean)
-    extends Aggregator[(Double, Int), TwoSamples, MannWhitneyResult] {
+    extends Aggregator[(Double, Int), TwoSampleHist, MannWhitneyResult] {
   @transient private lazy val alt = TtestCommon.alternative(alternativeStr)
-  def zero: TwoSamples = TwoSamples(mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty)
-  def reduce(b: TwoSamples, a: (Double, Int)): TwoSamples = {
-    if (!a._1.isNaN && !a._1.isInfinite) { if (a._2 == 0) b.s0 += a._1 else b.s1 += a._1 }
+  def zero: TwoSampleHist = TwoSampleHist.empty
+  def reduce(b: TwoSampleHist, a: (Double, Int)): TwoSampleHist = {
+    if (!a._1.isNaN && !a._1.isInfinite) b.add(a._1, a._2)
     b
   }
-  def merge(b1: TwoSamples, b2: TwoSamples): TwoSamples = {
-    b1.s0 ++= b2.s0; b1.s1 ++= b2.s1; b1
-  }
-  def finish(b: TwoSamples): MannWhitneyResult =
-    MannWhitneyMath.test(b.s0.toArray, b.s1.toArray, alt, continuity)
-  def bufferEncoder: Encoder[TwoSamples] = Encoders.kryo
+  def merge(b1: TwoSampleHist, b2: TwoSampleHist): TwoSampleHist = b1.mergeIn(b2)
+  def finish(b: TwoSampleHist): MannWhitneyResult =
+    MannWhitneyMath.testHist(b, alt, continuity)
+  def bufferEncoder: Encoder[TwoSampleHist] = Encoders.kryo
   def outputEncoder: Encoder[MannWhitneyResult] = Encoders.product[MannWhitneyResult]
 }
 
 object MannWhitneyMath {
-  /** Returns (u2, p) exactly like the reference's [u2, p_value] JSON. */
+  /** Raw-array entry point (unit tests / local use) — histogram + delegate
+    * so there is exactly one implementation of the rank math. */
   def test(x0: Array[Double], x1: Array[Double], alt: TtestCommon.Alternative,
            continuity: Boolean): MannWhitneyResult = {
-    val n1 = x0.length.toDouble
-    val n2 = x1.length.toDouble
-    val size = x0.length + x1.length
-    if (n1 == 0 || n2 == 0) return MannWhitneyResult(Double.NaN, Double.NaN)
-    // sort merged values keeping origin; compute r1 = sum of avg ranks of sample0
-    val all = new Array[(Double, Int)](size)
+    val h = TwoSampleHist.empty
+    x0.foreach(h.add(_, 0))
+    x1.foreach(h.add(_, 1))
+    testHist(h, alt, continuity)
+  }
+
+  /** Returns (u2, p) exactly like the reference's [u2, p_value] JSON.
+    * Average ranks over value groups: a group spanning 0-based positions
+    * [left, right) has average rank (left + right + 1)/2. */
+  def testHist(h: TwoSampleHist, alt: TtestCommon.Alternative,
+               continuity: Boolean): MannWhitneyResult = {
+    val (vs, c0s, c1s) = h.sortedEntries
+    var n1L = 0L; var n2L = 0L
     var i = 0
-    while (i < x0.length) { all(i) = (x0(i), 0); i += 1 }
-    var j = 0
-    while (j < x1.length) { all(i + j) = (x1(j), 1); j += 1 }
-    val sorted = all.sortBy(_._1)
+    while (i < vs.length) { n1L += c0s(i); n2L += c1s(i); i += 1 }
+    val n1 = n1L.toDouble
+    val n2 = n2L.toDouble
+    val size = n1L + n2L
+    if (n1L == 0 || n2L == 0) return MannWhitneyResult(Double.NaN, Double.NaN)
     var r1 = 0.0
     var tieNum = 0.0
-    var left = 0
-    while (left < size) {
-      var right = left
-      while (right < size && sorted(right)._1 == sorted(left)._1) right += 1
-      val countEqual = (right - left).toDouble
+    var left = 0L
+    i = 0
+    while (i < vs.length) {
+      val countEqual = (c0s(i) + c1s(i)).toDouble
       if (countEqual == size) return MannWhitneyResult(Double.NaN, Double.NaN)
+      val right = left + c0s(i) + c1s(i)
       val adjusted = (left + right + 1) / 2.0
       tieNum += countEqual * countEqual * countEqual - countEqual
-      var c0 = 0
-      var p = left
-      while (p < right) { if (sorted(p)._2 == 0) c0 += 1; p += 1 }
-      r1 += c0 * adjusted
+      r1 += c0s(i) * adjusted
       left = right
+      i += 1
     }
     val tieCorrection = 1.0 - tieNum / (size.toDouble * size * size - size)
     val u1 = n1 * n2 + n1 * (n1 + 1.0) / 2.0 - r1
@@ -126,19 +161,16 @@ case class KsResult(d_statistic: Double, p_value: Double)
   * max(n1,n2) ≤ 10000, else Durbin (two-sided) / Hodges (one-sided)
   * asymptotics. */
 class KsAgg(alternativeStr: String, methodStr: String = "auto")
-    extends Aggregator[(Double, Int), TwoSamples, KsResult] {
+    extends Aggregator[(Double, Int), TwoSampleHist, KsResult] {
   @transient private lazy val alt = TtestCommon.alternative(alternativeStr)
-  def zero: TwoSamples = TwoSamples(mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty)
-  def reduce(b: TwoSamples, a: (Double, Int)): TwoSamples = {
-    if (!a._1.isNaN) { if (a._2 == 0) b.s0 += a._1 else b.s1 += a._1 }
+  def zero: TwoSampleHist = TwoSampleHist.empty
+  def reduce(b: TwoSampleHist, a: (Double, Int)): TwoSampleHist = {
+    if (!a._1.isNaN) b.add(a._1, a._2)
     b
   }
-  def merge(b1: TwoSamples, b2: TwoSamples): TwoSamples = {
-    b1.s0 ++= b2.s0; b1.s1 ++= b2.s1; b1
-  }
-  def finish(b: TwoSamples): KsResult =
-    KsMath.test(b.s0.toArray.sorted, b.s1.toArray.sorted, alt, methodStr)
-  def bufferEncoder: Encoder[TwoSamples] = Encoders.kryo
+  def merge(b1: TwoSampleHist, b2: TwoSampleHist): TwoSampleHist = b1.mergeIn(b2)
+  def finish(b: TwoSampleHist): KsResult = KsMath.testHist(b, alt, methodStr)
+  def bufferEncoder: Encoder[TwoSampleHist] = Encoders.kryo
   def outputEncoder: Encoder[KsResult] = Encoders.product[KsResult]
 }
 
@@ -146,30 +178,41 @@ object KsMath {
   private val Tol = 1e-7
   private val TwoSidedScaler = 0.398942280401432677939946059934 // 1/sqrt(2π)
 
-  /** x and y must be sorted ascending. */
+  /** Raw-array entry point (unit tests / local use) — histogram + delegate
+    * so there is exactly one implementation of the CDF walk. */
   def test(x: Array[Double], y: Array[Double], alt: TtestCommon.Alternative,
            methodStr: String): KsResult = {
-    val n1 = x.length; val n2 = y.length
+    val h = TwoSampleHist.empty
+    x.foreach(h.add(_, 0))
+    y.foreach(h.add(_, 1))
+    testHist(h, alt, methodStr)
+  }
+
+  /** D = sup |F1−F2| walking the sorted value histogram. Values within Tol
+    * of a group anchor merge into one step, matching the reference co-walk's
+    * tolerance handling; within a merged group the extrema at the group
+    * boundary dominate any interior point, so per-group updates lose
+    * nothing. */
+  def testHist(h: TwoSampleHist, alt: TtestCommon.Alternative,
+               methodStr: String): KsResult = {
+    val (vs, c0s, c1s) = h.sortedEntries
+    var n1 = 0L; var n2 = 0L
+    var i = 0
+    while (i < vs.length) { n1 += c0s(i); n2 += c1s(i); i += 1 }
     if (n1 == 0 || n2 == 0) return KsResult(Double.NaN, Double.NaN)
-    // co-walk for sup CDF difference
     var maxS = Double.MinValue
     var minS = Double.MaxValue
     var nowS = 0.0
     val d1 = 1.0 / n1; val d2 = 1.0 / n2
-    var px = 0; var py = 0
-    while (px < n1 && py < n2) {
-      if (math.abs(x(px) - y(py)) <= Tol) {
-        val v = x(px)
-        while (px < n1 && math.abs(x(px) - v) <= Tol) { nowS += d1; px += 1 }
-        while (py < n2 && math.abs(y(py) - v) <= Tol) { nowS -= d2; py += 1 }
-      } else if (x(px) < y(py)) { nowS += d1; px += 1 }
-      else { nowS -= d2; py += 1 }
+    i = 0
+    while (i < vs.length) {
+      val anchor = vs(i)
+      var g0 = 0L; var g1 = 0L
+      while (i < vs.length && vs(i) - anchor <= Tol) { g0 += c0s(i); g1 += c1s(i); i += 1 }
+      nowS += g0 * d1 - g1 * d2
       maxS = math.max(maxS, nowS)
       minS = math.min(minS, nowS)
     }
-    nowS += d1 * (n1 - px) - d2 * (n2 - py)
-    maxS = math.max(maxS, nowS)
-    minS = math.min(minS, nowS)
     val d = alt match {
       case TtestCommon.TwoSided => math.max(math.abs(maxS), math.abs(minS))
       case TtestCommon.Greater => maxS
@@ -179,7 +222,8 @@ object KsMath {
       if (methodStr == "exact") "exact"
       else if (methodStr == "asymp" || methodStr == "asymptotic") "asymp"
       else if (math.max(n1, n2) <= 10000) "exact" else "asymp"
-    val p = if (method == "exact") exactP(d, n1, n2, alt) else asympP(d, n1, n2, alt)
+    val p = if (method == "exact") exactP(d, n1.toInt, n2.toInt, alt)
+            else asympP(d, n1, n2, alt)
     KsResult(d, math.min(1.0, math.max(0.0, p)))
   }
 

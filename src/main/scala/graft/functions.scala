@@ -76,8 +76,9 @@ object functions {
   }
 
   /** Mann-Whitney U test (reference `mann_whitney_utest`). Returns
-    * struct(u_statistic, p_value). Collect-based parity variant; see
-    * ops.RankTests.mannWhitneyU for the distributed path. */
+    * struct(u_statistic, p_value). Aggregate state is a value→count
+    * histogram (O(distinct), not O(n)); ops.RankTests.mannWhitneyU is the
+    * range-partitioned alternative for all-distinct continuous data. */
   def mann_whitney_utest(value: Column, treatment: Column,
                          alternative: String = "two-sided",
                          continuityCorrection: Boolean = true): Column = {

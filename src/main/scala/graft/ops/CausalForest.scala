@@ -64,6 +64,41 @@ object CausalForest {
       featureNames.zip(variableImportance)
         .sortBy(-_._2)
         .map { case (n, v) => f"$n%s: $v%.4f" }.mkString("\n")
+
+    /** Scale path for scoring: append `effectName`/`stderrName` columns.
+      *
+      * [[effectColumn]]/[[stderrColumn]] sum B nested when-chains inside ONE
+      * expression; at the reference's cap (200 trees × 2^depth nodes,
+      * uplift.py:2013-2018) the generated method exceeds the JVM's 64KB
+      * limit and whole-stage codegen silently falls back to interpretation.
+      * Here each tree contributes two SMALL independent expressions — its
+      * leaf id (one when-chain) and an `element_at` lookup into a literal
+      * per-tree (leaf → effect/stderr) array — and the forest reduction is a
+      * flat sum over plain column references. Every expression stays far
+      * under the method limit, nothing shuffles, no joins: scoring stays a
+      * single codegen'd projection at any forest size. */
+    def score(df: DataFrame, features: Seq[Column],
+              effectName: String = "effect", stderrName: String = "stderr"): DataFrame = {
+      val bD = lit(trees.length.toDouble)
+      val leafNames = trees.indices.map(i => s"__cf_leaf_$i")
+      val keep = df.columns.map(col).toIndexedSeq
+      val withLeaves = df.select(keep ++ trees.zipWithIndex.map { case (tr, i) =>
+        tr.leafColumn(features).as(leafNames(i))
+      }: _*)
+      val withLookups = withLeaves.select(keep ++ trees.zipWithIndex.flatMap { case (tr, i) =>
+        Seq(element_at(typedLit(tr.effect.toSeq), col(leafNames(i)) + 1).as(s"__cf_e_$i"),
+          element_at(typedLit(tr.stderr.toSeq), col(leafNames(i)) + 1).as(s"__cf_s_$i"))
+      }: _*)
+      val es = trees.indices.map(i => col(s"__cf_e_$i"))
+      val ss = trees.indices.map(i => col(s"__cf_s_$i"))
+      val meanSq = es.map(e => e * e).reduce(_ + _) / bD
+      val within = ss.map(s => s * s).reduce(_ + _) / (bD * bD)
+      withLookups
+        .withColumn(effectName, es.reduce(_ + _) / bD)
+        .withColumn(stderrName,
+          sqrt(within + greatest(meanSq - col(effectName) * col(effectName), lit(0.0)) / bD))
+        .drop(trees.indices.flatMap(i => Seq(s"__cf_e_$i", s"__cf_s_$i")): _*)
+    }
   }
 
   private case class Cell(tree: Int, node: Int, feat: Int, bin: Int, t: Int,
