@@ -389,7 +389,10 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
     "q38_simhash_pairs" -> ((s, d) => {
-      // simhash not expressible in ANSI SQL → rows-only driver check
+      // simhash itself is not expressible in ANSI SQL, but the pipeline is
+      // fully deterministic (seeded xxhash64, layout-invariant groupBy
+      // counts) → the sf0.01 per-hamming pair counts are pinned as a
+      // literal oracle, like q34's MLE constants
       graft.ops.Dedup.simHashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
         maxHamming = 16)
         .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
@@ -440,14 +443,26 @@ object SparkEntry {
     "q41_causal_tree" ->
       // planted τ(x) = 2 + 8·1{l_quantity>25}: the recovered segment-average
       // effect rounds to the planted integers; counts come from the data
-      """SELECT CAST(l_quantity > 25 AS INT) AS segment, count(*) AS n_rows,
-        |  CAST(CASE WHEN l_quantity > 25 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS recovered_effect
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT segment, count(*) AS n_rows,
+        |  CAST(CASE WHEN segment = 1 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS recovered_effect
+        |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
+        |GROUP BY segment ORDER BY segment""".stripMargin,
     "q42_causal_forest" ->
-      """SELECT CAST(l_quantity > 25 AS INT) AS segment, count(*) AS n_rows,
-        |  CAST(CASE WHEN l_quantity > 25 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS recovered_effect,
+      """SELECT segment, count(*) AS n_rows,
+        |  CAST(CASE WHEN segment = 1 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS recovered_effect,
         |  CAST(1.0 AS DOUBLE) AS se_positive
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
+        |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q38_simhash_pairs" ->
+      // pinned sf0.01 per-hamming-distance pair counts (deterministic:
+      // content-seeded xxhash64 simhash, pigeonhole bucketing, groupBy
+      // count is partition-layout invariant). The driver's gate runs at
+      // sf0.01 only.
+      """SELECT CAST(hamming AS INT) AS hamming, CAST(n_pairs AS BIGINT) AS n_pairs
+        |FROM (VALUES (0,4),(1,2),(2,6),(3,5),(4,14),(5,29),(6,62),(7,107),
+        |  (8,155),(9,218),(10,238),(11,289),(12,289),(13,247),(14,210),
+        |  (15,166),(16,125)) AS t(hamming, n_pairs)
+        |ORDER BY hamming""".stripMargin,
     "q44_winnow_dupes" ->
       // exact copies share all winnow fingerprints (sim 1.0); no natural
       // exact dupes among doc_id < 50 at either SF

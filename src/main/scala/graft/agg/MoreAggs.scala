@@ -52,7 +52,11 @@ class SrmAgg(ratios: Array[Double])
   * distinct-count state. */
 case class TwoSampleHist(m: mutable.HashMap[Double, Array[Long]]) {
   def add(v: Double, t: Int): Unit = {
-    val c = m.getOrElseUpdate(v, Array(0L, 0L))
+    // +0.0 collapses -0.0 onto 0.0: boxed-Double equality would otherwise
+    // keep them as two distinct histogram keys (unlike primitive ==), which
+    // would rank 0.0 and -0.0 as adjacent non-tied values
+    val key = v + 0.0
+    val c = m.getOrElseUpdate(key, Array(0L, 0L))
     if (t == 0) c(0) += 1 else c(1) += 1
   }
   def mergeIn(o: TwoSampleHist): TwoSampleHist = {
@@ -176,6 +180,8 @@ class KsAgg(alternativeStr: String, methodStr: String = "auto")
 
 object KsMath {
   private val Tol = 1e-7
+  /** Largest sample size for which the exact recursion is honored. */
+  private val ExactCap = 65536L
   private val TwoSidedScaler = 0.398942280401432677939946059934 // 1/sqrt(2π)
 
   /** Raw-array entry point (unit tests / local use) — histogram + delegate
@@ -208,7 +214,12 @@ object KsMath {
     while (i < vs.length) {
       val anchor = vs(i)
       var g0 = 0L; var g1 = 0L
-      while (i < vs.length && vs(i) - anchor <= Tol) { g0 += c0s(i); g1 += c1s(i); i += 1 }
+      // the equality disjunct keeps the walk Inf-safe: with anchor = ±Inf,
+      // `vs(i) - anchor` is NaN (or +Inf) and the tolerance test alone would
+      // never admit the anchor itself, spinning this loop forever
+      while (i < vs.length && (vs(i) == anchor || vs(i) - anchor <= Tol)) {
+        g0 += c0s(i); g1 += c1s(i); i += 1
+      }
       nowS += g0 * d1 - g1 * d2
       maxS = math.max(maxS, nowS)
       minS = math.min(minS, nowS)
@@ -218,9 +229,13 @@ object KsMath {
       case TtestCommon.Greater => maxS
       case TtestCommon.Less => -minS
     }
+    // The Schröer-Trenkler recursion is O(n1·n2) time and O(max+1) space —
+    // beyond ExactCap even an explicitly requested "exact" silently
+    // degenerates (n.toInt overflow, hours of driver time), so fall back to
+    // the asymptotic p like scipy does rather than honoring it.
     val method =
-      if (methodStr == "exact") "exact"
-      else if (methodStr == "asymp" || methodStr == "asymptotic") "asymp"
+      if (methodStr == "exact" && math.max(n1, n2) <= ExactCap) "exact"
+      else if (methodStr == "exact" || methodStr == "asymp" || methodStr == "asymptotic") "asymp"
       else if (math.max(n1, n2) <= 10000) "exact" else "asymp"
     val p = if (method == "exact") exactP(d, n1.toInt, n2.toInt, alt)
             else asympP(d, n1, n2, alt)

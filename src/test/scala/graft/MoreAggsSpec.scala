@@ -78,6 +78,40 @@ class MoreAggsSpec extends AnyFunSuite {
     assert(math.abs(res2.p_value - 3638.0 / 12870.0) < 1e-9)
   }
 
+  test("ks terminates and stays sane with infinite values") {
+    // regression: the histogram walk used `vs(i) - anchor <= Tol` alone,
+    // which with anchor = ±Inf never admits the anchor itself (NaN compare)
+    // and spun forever; the old sorted co-walk handled Inf fine
+    val x = Array(1.0, 2.0, 3.0, Double.PositiveInfinity)
+    val y = Array(1.5, 2.5, Double.NegativeInfinity, 3.5)
+    val res = KsMath.test(x, y, TtestCommon.TwoSided, "asymp")
+    assert(res.d_statistic > 0 && res.d_statistic <= 1)
+    assert(res.p_value >= 0 && res.p_value <= 1)
+    // -Inf shifts sample-1's CDF up by 1/4 at the far left → D from a
+    // hand-walk of the merged steps: sup|F1-F2| = 0.25 at the -Inf step,
+    // then |1/4 - 1/4|, ... max gap is 0.25
+    assert(approx(res.d_statistic, 0.25, 1e-12))
+  }
+
+  test("ks -0.0 and 0.0 are the same histogram key") {
+    val res = KsMath.test(Array(-0.0, 1.0), Array(0.0, 1.0), TtestCommon.TwoSided, "exact")
+    assert(res.d_statistic == 0.0)
+    val mw = MannWhitneyMath.test(Array(-0.0, 1.0), Array(0.0, 1.0), TtestCommon.TwoSided, continuity = true)
+    // perfectly tied samples → U = n1*n2/2
+    assert(approx(mw.u_statistic, 2.0, 1e-12))
+  }
+
+  test("explicit exact method falls back to asymptotic beyond the cap") {
+    // synthetic giant counts via the histogram directly — no O(n) memory
+    val h = graft.agg.TwoSampleHist.empty
+    h.m(0.0) = Array(100000L, 50000L)
+    h.m(1.0) = Array(50000L, 100000L)
+    val res = KsMath.testHist(h, TtestCommon.TwoSided, "exact")
+    val asymp = KsMath.testHist(h, TtestCommon.TwoSided, "asymp")
+    assert(res.d_statistic == asymp.d_statistic)
+    assert(res.p_value == asymp.p_value) // did not attempt the O(n1*n2) recursion
+  }
+
   test("matrix_multiplication returns XtX and its inverse") {
     def mat(row: org.apache.spark.sql.Row): collection.Seq[collection.Seq[Double]] =
       row.getAs[collection.Seq[collection.Seq[Double]]](0)
