@@ -301,6 +301,31 @@ object SparkEntry {
           threshold = 1.0)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
     }),
+    "q45_image_decode" -> ((s, d) => {
+      // REAL image decode (javax.imageio): encode a deterministic solid
+      // 8×8 PNG per part row (channel values from the key), decode it back,
+      // and aggregate the per-channel means — a solid n=2^k image decodes
+      // to mean exactly c/255, so the oracle is closed form over `part`
+      val p = t(s, d, "part").select(
+        col("p_partkey").cast("long").as("id"),
+        (col("p_partkey") % 251).cast("int").as("r"),
+        (col("p_partkey") % 241).cast("int").as("g"),
+        (col("p_partkey") % 239).cast("int").as("b"))
+      val png = p.withColumn("content",
+        graft.ops.Multimodal.solidPng(col("r"), col("g"), col("b"), lit(8), lit(8)))
+      graft.ops.Multimodal.decodeImages(png.select(col("id"), col("content")))
+        .groupBy((col("id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("decode_ok").cast("long")).as("n_ok"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("height").cast("long")).as("sum_h"),
+          round(sum(element_at(col("means"), 1)), 6).as("sum_mean_r"),
+          round(sum(element_at(col("means"), 2)), 6).as("sum_mean_g"),
+          round(sum(element_at(col("means"), 3)), 6).as("sum_mean_b"),
+          round(sum(element_at(col("stds"), 1) + element_at(col("stds"), 2)
+            + element_at(col("stds"), 3)), 6).as("sum_std"))
+        .orderBy(col("bucket"))
+    }),
     "q43_connected_components" -> ((s, d) => {
       // distributed min-label propagation with pointer jumping over planted
       // 50-long duplicate chains (edges (id-1, id) except at chain starts);
@@ -469,6 +494,16 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 10000 AS id_b,
         |  CAST(1.0 AS DOUBLE) AS sim
         |FROM documents WHERE doc_id < 50""".stripMargin,
+    "q45_image_decode" ->
+      // solid 8×8 PNG decode: channel mean is exactly c/255, stds exactly 0
+      """SELECT p_partkey % 10 AS bucket, COUNT(*) AS n, COUNT(*) AS n_ok,
+        |  CAST(COUNT(*) * 8 AS BIGINT) AS sum_w,
+        |  CAST(COUNT(*) * 8 AS BIGINT) AS sum_h,
+        |  ROUND(SUM((p_partkey % 251) / 255.0), 6) AS sum_mean_r,
+        |  ROUND(SUM((p_partkey % 241) / 255.0), 6) AS sum_mean_g,
+        |  ROUND(SUM((p_partkey % 239) / 255.0), 6) AS sum_mean_b,
+        |  ROUND(SUM(0.0), 6) AS sum_std
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "q43_connected_components" ->
       // chains [0..49],[50..99],... → component = chain start, closed form
       """SELECT doc_id AS id, CAST((doc_id // 50) * 50 AS BIGINT) AS component

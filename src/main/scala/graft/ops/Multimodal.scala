@@ -7,15 +7,22 @@ import org.apache.spark.sql.functions._
   * columns with a typed metadata struct; decode / feature-extract / resize /
   * frame-sample run as batched per-partition transforms.
   *
-  * The actual codecs are STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` produces a deterministic fake decode from the
-  * bytes. Everything Spark-side is real — schema, batching, partition
-  * behavior, output shapes — so swapping the stub body for a JNI/ffmpeg call
+  * IMAGE decode is REAL: [[decodeImages]] reads PNG/JPEG/BMP/GIF through the
+  * JDK's `javax.imageio` (no external libraries) and emits per-channel
+  * statistics. Audio/video codecs remain STUBBED (`decodeBatchStub` — no
+  * JDK codec exists): a deterministic fake derived from the bytes keeps the
+  * Spark-side plumbing — schema, batching, partition behavior, output
+  * shapes — fully testable, so swapping the stub body for a JNI/ffmpeg call
   * changes no plan shape. At 100 TB the rule is: metadata-only predicates
   * (format/width/duration) filter BEFORE bytes are decoded, and decode runs
   * once per partition batch, never per driver row.
   */
 object Multimodal {
+
+  // image decode must work on display-less executors, and must not spill
+  // decode scratch to executor-local disk
+  System.setProperty("java.awt.headless", "true")
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** media metadata struct literal: (format, width, height, duration_ms). */
   def mediaMeta(format: Column, width: Column, height: Column,
@@ -63,6 +70,81 @@ object Multimodal {
     }(Encoders.product[DecodedRow])
       .toDF("id", "features", "decode_ok")
   }
+
+  case class ImageRow(id: Long, content: Array[Byte])
+  case class ImageFeatures(id: Long, width: Int, height: Int, channels: Int,
+                           means: Array[Double], stds: Array[Double],
+                           decodeOk: Boolean)
+
+  /** Decode one batch of images with `javax.imageio`. Channel sums
+    * accumulate as exact integers so a solid-color w×h image (n a power of
+    * two) reproduces mean = c/255 to the last bit — the q45 oracle relies
+    * on this. Undecodable bytes flag `decodeOk = false`, never throw. */
+  private def decodeImageBatch(batch: Seq[ImageRow]): Seq[ImageFeatures] =
+    batch.map { r =>
+      val img =
+        try {
+          if (r.content == null || r.content.isEmpty) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+        } catch { case _: Exception => null }
+      if (img == null)
+        ImageFeatures(r.id, 0, 0, 0, Array.empty, Array.empty, decodeOk = false)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sums = new Array[Long](3); val sqs = new Array[Long](3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            var c = 0
+            while (c < 3) {
+              val v = (rgb >>> (16 - 8 * c)) & 0xff
+              sums(c) += v; sqs(c) += v.toLong * v; c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val means = sums.map(s => s.toDouble / n / 255.0)
+        val stds = sums.indices.map { c =>
+          val m = sums(c).toDouble / n
+          math.sqrt(math.max(0.0, sqs(c).toDouble / n - m * m)) / 255.0
+        }.toArray
+        ImageFeatures(r.id, w, h, 3, means, stds, decodeOk = true)
+      }
+    }
+
+  /** Real image decode + channel statistics: batched mapPartitions over
+    * (id, content). Output: (id, width, height, channels, means, stds,
+    * decode_ok), means/stds normalized to [0,1] per RGB channel. */
+  def decodeImages(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val ds: Dataset[ImageRow] = df
+      .select(col("id").cast("long").as("id"), col("content"))
+      .as(Encoders.product[ImageRow])
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => decodeImageBatch(batch.toSeq))
+    }(Encoders.product[ImageFeatures])
+      .toDF("id", "width", "height", "channels", "means", "stds", "decode_ok")
+  }
+
+  /** Deterministic solid-color PNG bytes (JDK encoder) — fixture generator
+    * for decode tests and the q45 closed-form oracle. */
+  def solidPngBytes(r: Int, g: Int, b: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Column form of [[solidPngBytes]]. */
+  val solidPng: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(solidPngBytes _)
 
   /** Frame sampling plan for video rows: emits (id, frame_index, ts_ms) for
     * `fps`-spaced frames of each row's duration — pure column expressions

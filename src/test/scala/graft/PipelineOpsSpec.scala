@@ -298,6 +298,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!collected.find(_.getLong(0) == 101L).get.getBoolean(2))
   }
 
+  test("decodeImages: real javax.imageio roundtrip, exact channel stats, corrupt bytes") {
+    val rows = Seq(
+      (1L, Multimodal.solidPngBytes(10, 200, 30, 8, 8)),
+      (2L, Multimodal.solidPngBytes(0, 0, 255, 16, 4)),
+      (3L, Array[Byte](1, 2, 3, 4)), // not an image
+      (4L, Array.empty[Byte]))
+    val d = rows.toDF("id", "content").repartition(2)
+    val out = Multimodal.decodeImages(d, batchSize = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getInt(1) == 8 && r1.getInt(2) == 8 && r1.getBoolean(6))
+    assert(r1.getSeq[Double](4) == Seq(10 / 255.0, 200 / 255.0, 30 / 255.0))
+    assert(r1.getSeq[Double](5) == Seq(0.0, 0.0, 0.0))
+    val r2 = out(2L)
+    assert(r2.getInt(1) == 16 && r2.getInt(2) == 4)
+    assert(r2.getSeq[Double](4) == Seq(0.0, 0.0, 1.0))
+    assert(!out(3L).getBoolean(6) && !out(4L).getBoolean(6))
+  }
+
   test("sampleFrames and resizePlan") {
     val d = Seq((1L, 1000L), (2L, 250L), (3L, 0L)).toDF("id", "dur")
     val frames = Multimodal.sampleFrames(d, $"id", $"dur", everyMs = 250L)
