@@ -326,6 +326,31 @@ object SparkEntry {
             + element_at(col("stds"), 3)), 6).as("sum_std"))
         .orderBy(col("bucket"))
     }),
+    "q46_ivf_recall" -> ((s, d) => {
+      // IVF quality gate: ivfKnn at nprobe=4 of 16 cells vs the exact
+      // brute-force top-5 — recall must clear 0.95. Everything is seeded
+      // and tie-broken (sim desc, neighbor_id), so the recall is a
+      // deterministic constant of the fixture.
+      val e = t(s, d, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("pid"), col("v").as("q"))
+      val idx = graft.ops.Ann.trainIvf(e, col("v"), numCells = 16,
+        sampleSize = 500, seed = 7L)
+      val brute = graft.ops.Ann.bruteForceKnn(e, col("vec_id"), col("v"),
+        probes, col("pid"), col("q"), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = graft.ops.Ann.ivfKnn(e, col("vec_id"), col("v"),
+        probes, col("pid"), col("q"), idx, k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val nTrue = brute.count()
+      val nHit = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val recall = if (nTrue == 0) 0.0 else nHit.toDouble / nTrue
+      import s.implicits._
+      Seq((20L, 5, nTrue, nHit,
+        math.rint(recall * 10000) / 10000, recall >= 0.95))
+        .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass")
+    }),
     "q43_connected_components" -> ((s, d) => {
       // distributed min-label propagation with pointer jumping over planted
       // 50-long duplicate chains (edges (id-1, id) except at chain starts);
