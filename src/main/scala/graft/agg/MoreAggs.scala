@@ -52,6 +52,10 @@ class SrmAgg(ratios: Array[Double])
   * distinct-count state. */
 case class TwoSampleHist(m: mutable.HashMap[Double, Array[Long]]) {
   def add(v: Double, t: Int): Unit = {
+    // NaN never satisfies either disjunct of the CDF-walk group test
+    // (NaN == NaN and NaN - NaN <= tol are both false), so a NaN key would
+    // spin testHist forever — drop it here, mirroring KsAgg.reduce's guard
+    if (v.isNaN) return
     // +0.0 collapses -0.0 onto 0.0: boxed-Double equality would otherwise
     // keep them as two distinct histogram keys (unlike primitive ==), which
     // would rank 0.0 and -0.0 as adjacent non-tied values
@@ -213,6 +217,10 @@ object KsMath {
     i = 0
     while (i < vs.length) {
       val anchor = vs(i)
+      // NaN anchors sort last and match neither group disjunct below; break
+      // rather than loop forever (add() filters NaN, this is belt-and-braces)
+      if (anchor.isNaN) i = vs.length
+      else {
       var g0 = 0L; var g1 = 0L
       // the equality disjunct keeps the walk Inf-safe: with anchor = ±Inf,
       // `vs(i) - anchor` is NaN (or +Inf) and the tolerance test alone would
@@ -223,6 +231,7 @@ object KsMath {
       nowS += g0 * d1 - g1 * d2
       maxS = math.max(maxS, nowS)
       minS = math.min(minS, nowS)
+      }
     }
     val d = alt match {
       case TtestCommon.TwoSided => math.max(math.abs(maxS), math.abs(minS))

@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   // image decode must work on display-less executors, and must not spill
-  // decode scratch to executor-local disk
-  System.setProperty("java.awt.headless", "true")
-  javax.imageio.ImageIO.setUseCache(false)
+  // decode scratch to executor-local disk. Applied lazily on the JVM that
+  // actually decodes (executor-side), not as a class-load side effect, and
+  // headless is only set when the host app hasn't chosen a value itself.
+  @transient private lazy val imageIoConfigured: Boolean = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
 
   /** media metadata struct literal: (format, width, height, duration_ms). */
   def mediaMeta(format: Column, width: Column, height: Column,
@@ -79,11 +85,15 @@ object Multimodal {
   /** Decode one batch of images with `javax.imageio`. Channel sums
     * accumulate as exact integers so a solid-color w×h image (n a power of
     * two) reproduces mean = c/255 to the last bit — the q45 oracle relies
-    * on this. Undecodable bytes flag `decodeOk = false`, never throw. */
+    * on this. `channels` reports the source color model's component count
+    * (1 gray, 3 RGB, 4 RGBA), while means/stds are always computed over the
+    * sRGB projection `getRGB` returns — alpha weights are not applied.
+    * Undecodable bytes flag `decodeOk = false`, never throw. */
   private def decodeImageBatch(batch: Seq[ImageRow]): Seq[ImageFeatures] =
     batch.map { r =>
       val img =
         try {
+          require(imageIoConfigured)
           if (r.content == null || r.content.isEmpty) null
           else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
         } catch { case _: Exception => null }
@@ -112,7 +122,8 @@ object Multimodal {
           val m = sums(c).toDouble / n
           math.sqrt(math.max(0.0, sqs(c).toDouble / n - m * m)) / 255.0
         }.toArray
-        ImageFeatures(r.id, w, h, 3, means, stds, decodeOk = true)
+        ImageFeatures(r.id, w, h, img.getColorModel.getNumComponents,
+          means, stds, decodeOk = true)
       }
     }
 
