@@ -20,16 +20,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // two timed runs per query, report the min: a single cold iteration
-    // records GC pauses / page-cache misses as phantom regressions (the
-    // recorded r02 "106 s" was exactly that kind of noise)
+    // two timed passes over the WHOLE suite, per-query min across passes:
+    // back-to-back min-of-2 samples are correlated (a transient load spike
+    // poisons both, which is how r05 recorded q34 at 14.6 s when a quiet
+    // re-run gives 2.3 s); interleaving the suite between the two samples
+    // decorrelates the noise at zero extra cost
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(time(fn), time(fn))
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => name -> time(fn) }
+    val pass2 = ordered.map { case (name, fn) => name -> time(fn) }
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      name -> math.min(a, b)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -31,6 +31,13 @@ object SparkEntry {
         lit(10.0) + lit(5.0) * h + col("treat") * (lit(2.0) + lit(8.0) * h) + u)
   }
 
+  /** SF token parsed from the data dir, surfaced as a column on every query
+    * whose oracle pins sf0.01-only constants (q34/q38/q46/…): at the gate SF
+    * both sides agree; at any other SF the correctness dump disagrees on
+    * THIS column, naming the cause instead of a bare hash mismatch. */
+  private def sfTag(dir: String): String =
+    "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1)).getOrElse("unknown")
+
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   /** exact decimal sum surfaced as double */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
@@ -287,7 +294,204 @@ object SparkEntry {
         .toDF("b_raw", "d_raw", "i_raw", "converged")
         .select(round(col("b_raw"), 6).as("b_quantity"),
           round(col("d_raw"), 6).as("b_discount"),
-          round(col("i_raw"), 6).as("intercept"), col("converged"))
+          round(col("i_raw"), 6).as("intercept"), col("converged"),
+          lit(sfTag(d)).as("oracle_sf"))
+    }),
+    // ---------------------------------------------- §2b unit-only → oracled
+    "q47_ttests_2samp" -> ((s, d) => {
+      // vectorized multi-alpha ttests_2samp in ONE aggregate pass; the
+      // alpha-invariant stats oracle exactly, the alpha-dependent CI bounds
+      // gate by strict nesting (0.01-CI ⊃ 0.05-CI)
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      val Seq(a05, a01) = functions.ttests2Samp("avg(l_quantity)", col("treat"),
+        alphas = Seq(0.05, 0.01))
+      li.select(a05.as("a05"), a01.as("a01"))
+        .select(round(col("a05.estimate"), 6).as("estimate"),
+          round(col("a05.stderr"), 6).as("stderr"),
+          (round(col("a01.estimate"), 6) === round(col("a05.estimate"), 6)).as("same_estimate"),
+          (col("a01.lower") < col("a05.lower")).as("ci_nested_lower"),
+          (col("a01.upper") > col("a05.upper")).as("ci_nested_upper"))
+    }),
+    "q48_predict_interval" -> ((s, d) => {
+      // OlsState → predict + confidence interval at 3 probe points
+      // (reference evalMLMethod / 11_ols_interval.sql semantics). The t
+      // quantile cancels out of se_fit = (upper − fit)/t, so the oracle
+      // checks fit and the quadratic-form se against DuckDB regr_* closed
+      // forms: se(x0) = σ·sqrt(1/n + (x0−x̄)²/Sxx).
+      val li = t(s, d, "lineitem")
+      val m = graft.ops.Regression.fitOls(li, col("l_extendedprice"), Seq(col("l_quantity")))
+      val tq = graft.stats.Dist.tQuantile(0.975, (m.summary.n - m.summary.k - 1).toDouble)
+      val probes = s.range(3).select((col("id") * 15 + 10).cast("double").as("x"))
+      probes
+        .select(col("x"),
+          graft.ops.Regression.predictInterval(m, Seq(col("x"))).as("iv"))
+        .select(col("x"), round(col("iv.fit"), 4).as("fit"),
+          round((col("iv.upper") - col("iv.fit")) / lit(tq), 4).as("se_fit"),
+          (col("iv.upper") > col("iv.fit") && col("iv.fit") > col("iv.lower")).as("ordered"))
+        .orderBy(col("x"))
+    }),
+    "q49_lasso" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // stochastic linear regression with L1 (Lasso, reference 13_lasso.sql):
+      // a pure-noise covariate must shrink to EXACTLY zero under the L1
+      // proximal step while the real signal survives. Fit is deterministic
+      // (OWL-QN on a fixed layout); coefficients pinned at coarse rounding.
+      val li = t(s, d, "lineitem")
+        .withColumn("noise", (pmod(col("l_orderkey") * 2654435761L, lit(97L))).cast("double") / 97.0)
+      val fit = graft.ops.MlWrappers.stochasticLinearRegression(li,
+        col("l_extendedprice"), Seq(col("l_quantity"), col("noise")), l1 = 100.0)
+      Seq((fit.coefficients(0), fit.coefficients(1), fit.intercept))
+        .toDF("bq_raw", "bn_raw", "i_raw")
+        .select(round(col("bq_raw"), 2).as("b_quantity"),
+          (col("bn_raw") === 0.0).as("noise_zeroed"),
+          round(col("i_raw"), 2).as("intercept"),
+          lit(sfTag(d)).as("oracle_sf"))
+    }),
+    "q50_matrix_mult" -> ((s, d) => {
+      // one-pass Gram matrix XᵀX over (l_quantity, l_discount, 1) — every
+      // entry a DuckDB closed form
+      t(s, d, "lineitem")
+        .select(functions.matrix_multiplication(
+          Seq(col("l_quantity"), col("l_discount"), lit(1.0))).as("m"))
+        .select(
+          round(element_at(element_at(col("m.matrix"), 1), 1), 2).as("g_qq"),
+          round(element_at(element_at(col("m.matrix"), 1), 2), 4).as("g_qd"),
+          round(element_at(element_at(col("m.matrix"), 1), 3), 2).as("g_q1"),
+          round(element_at(element_at(col("m.matrix"), 2), 2), 6).as("g_dd"),
+          round(element_at(element_at(col("m.matrix"), 2), 3), 4).as("g_d1"),
+          round(element_at(element_at(col("m.matrix"), 3), 3), 1).as("g_11"))
+    }),
+    "q51_bootstrap" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // generic bootstrap: 50 deterministic Poisson replicates of the mean
+      // of l_quantity in one pass (weights are pure functions of
+      // (id, rep, seed) — partition-layout invariant), summarized to
+      // mean/std/CI. Pinned oracle (q34 idiom).
+      val li = t(s, d, "lineitem")
+      val reps = graft.ops.Bootstrap.bootstrapAgg(li, b = 50, seed = 42L,
+        idCols = Seq(col("l_orderkey"), col("l_linenumber"))) { w =>
+        Seq("stat" -> (sum(col("l_quantity") * w) / sum(w)))
+      }
+      val nReps = reps.count()
+      val sm = graft.ops.Bootstrap.summarize(reps, "stat")
+      Seq((nReps, sm.mean, sm.std, sm.lower, sm.upper))
+        .toDF("n_reps", "m_raw", "s_raw", "l_raw", "u_raw")
+        .select(col("n_reps"), round(col("m_raw"), 6).as("boot_mean"),
+          round(col("s_raw"), 6).as("boot_std"),
+          round(col("l_raw"), 6).as("ci_lower"),
+          round(col("u_raw"), 6).as("ci_upper"),
+          lit(sfTag(d)).as("oracle_sf"))
+    }),
+    "q52_permutation" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // permutation test, 200 deterministic re-randomizations: the observed
+      // diff-in-means oracles against DuckDB closed form; the p-value is a
+      // deterministic fixture constant (pinned)
+      val li = t(s, d, "lineitem")
+      val (obs, p, _) = graft.ops.Bootstrap.permutationTest(li,
+        col("l_quantity"), (col("l_orderkey") % 2).cast("int"), b = 200,
+        idCols = Seq(col("l_orderkey"), col("l_linenumber")))
+      Seq((obs, p, 200L)).toDF("obs_raw", "p_raw", "n_reps")
+        .select(round(col("obs_raw"), 6).as("observed"),
+          round(col("p_raw"), 6).as("p_value"), col("n_reps"),
+          lit(sfTag(d)).as("oracle_sf"))
+    }),
+    "q53_iv_regression" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // 2SLS: y ~ (t ~ z), single instrument z = t + independent shift →
+      // strong first stage; both stages + the naive stage-2 stderr are
+      // DuckDB regr_* closed forms
+      val li = t(s, d, "lineitem")
+        .withColumn("z", col("l_quantity") + (col("l_orderkey") % 5).cast("double"))
+      val sm = graft.ops.Regression.ivRegression(li, col("l_extendedprice"),
+        col("l_quantity"), col("z"))
+      Seq((sm.coefficients(0), sm.coefficients(1), sm.stderr(0)))
+        .toDF("b_raw", "i_raw", "se_raw")
+        .select(round(col("b_raw"), 4).as("beta_t"),
+          round(col("i_raw"), 2).as("intercept"),
+          round(col("se_raw"), 4).as("stderr"))
+    }),
+    "q54_did" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // difference-in-differences: saturated OLS y ~ treat + post + treat·post
+      // equals the 4 interaction-cell means in closed form
+      val li = t(s, d, "lineitem")
+      val m = graft.ops.Regression.did(li, col("l_extendedprice"),
+        (col("l_orderkey") % 2).cast("double"), (col("l_linenumber") % 2).cast("double"))
+      val c = m.coefficients
+      Seq((c(0), c(1), c(2), c(3))).toDF("bt_raw", "bp_raw", "bi_raw", "b0_raw")
+        .select(round(col("bt_raw"), 2).as("b_treat"),
+          round(col("bp_raw"), 2).as("b_post"),
+          round(col("bi_raw"), 2).as("b_did"),
+          round(col("b0_raw"), 2).as("intercept"))
+    }),
+    "q55_longterm" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // surrogate-index recursive forecasting, 1 surrogate × 3 observed
+      // periods → 2 forecast horizons. The pooled transition is univariate
+      // OLS over stacked adjacent pairs and the per-horizon effect is
+      // b^h·(diff-in-means of the last observed period) — closed form
+      val li = t(s, d, "lineitem")
+      val p0 = col("l_quantity")
+      val p1 = col("l_quantity") * 0.8 + col("l_discount") * 10.0
+      val p2 = col("l_quantity") * 0.6 + col("l_extendedprice") / 10000.0
+      val r = graft.ops.Longterm.recursiveForecast(li, Seq(Seq(p0), Seq(p1), Seq(p2)),
+        (col("l_orderkey") % 2).cast("int"), horizon = 2, bootstrapB = 50)
+      r.effects.zipWithIndex.map { case (e, i) => (i + 1, e.estimate) }
+        .toDF("horizon", "est_raw")
+        .select(col("horizon"), round(col("est_raw"), 6).as("estimate"))
+        .orderBy(col("horizon"))
+    }),
+    "q56_one_hot" -> ((s, d) => {
+      // one-hot encode l_returnflag and aggregate the indicators — closed
+      // form CASE sums
+      val oh = graft.ops.Features.oneHot(t(s, d, "lineitem"), Seq("l_returnflag"))
+      oh.groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_returnflag_A")).as("n_a"),
+          sum(col("l_returnflag_N")).as("n_n"),
+          sum(col("l_returnflag_R")).as("n_r"))
+    }),
+    "q57_cdf_scalars" -> ((s, d) => {
+      // distribution scalar surface through the SQL registry (GraftSql):
+      // tgamma/lgamma oracle against DuckDB's gamma/lgamma; the normal and
+      // Student-t CDFs are math constants pinned per l_linenumber
+      graft.GraftSql.register(s)
+      t(s, d, "lineitem").groupBy(col("l_linenumber"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("x", col("l_linenumber").cast("double"))
+        .select(col("l_linenumber"), col("n_rows"),
+          round(expr("tgamma(x)"), 4).as("tgamma_x"),
+          round(expr("lgamma(x)"), 6).as("lgamma_x"),
+          round(expr("cdf_norm(x / 4.0)"), 6).as("norm_cdf"),
+          round(expr("cdf(x / 4.0, 10.0)"), 6).as("t_cdf"))
+        .orderBy(col("l_linenumber"))
+    }),
+    "q58_ipw_ate" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // ATE (diff-in-means) and IPW estimators with bootstrap inference:
+      // both point estimates are DuckDB closed forms (propensity is a known
+      // deterministic function); the bootstrap stderr is pinned
+      val li = t(s, d, "lineitem")
+        .withColumn("e", lit(0.3) + lit(0.4) * (col("l_quantity") > 25.0).cast("double"))
+        .withColumn("tr", (col("l_orderkey") % 2).cast("int"))
+      val ate = graft.ops.Bootstrap.ateEstimator(li, col("l_extendedprice"),
+        col("tr"), b = 100)
+      val ipw = graft.ops.Bootstrap.ipwEstimator(li, col("l_extendedprice"),
+        col("tr"), col("e"), b = 100)
+      Seq((ate.estimate, ate.stderr, ipw.estimate))
+        .toDF("a_raw", "as_raw", "i_raw")
+        .select(round(col("a_raw"), 6).as("ate"),
+          round(col("as_raw"), 6).as("ate_stderr"),
+          round(col("i_raw"), 6).as("ipw"),
+          lit(sfTag(d)).as("oracle_sf"))
     }),
     "q44_winnow_dupes" -> ((s, d) => {
       // winnowing (rolling-hash) fingerprint duplicate pairs: 50 docs + 50
@@ -328,28 +532,43 @@ object SparkEntry {
     }),
     "q46_ivf_recall" -> ((s, d) => {
       // IVF quality gate: ivfKnn at nprobe=4 of 16 cells vs the exact
-      // brute-force top-5 — recall must clear 0.95. Everything is seeded
-      // and tie-broken (sim desc, neighbor_id), so the recall is a
-      // deterministic constant of the fixture.
+      // brute-force top-5, on a corpus with PLANTED near-neighbors — 5
+      // scaled copies per probe (scaling preserves direction, so cosine is
+      // exactly 1 and the copy lands in the probe's own IVF cell). ANN
+      // recall is only meaningful on clustered data: on this table's
+      // structureless uniform embeddings a probe's true neighbors sit in
+      // arbitrary cells and recall ≈ nprobe/cells by construction (~0.59
+      // here), which no index can beat. Everything is seeded and tie-broken
+      // (sim desc, neighbor_id), so the recall is a deterministic fixture
+      // constant.
       val e = t(s, d, "embeddings")
-        .withColumn("v", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val probes = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("pid"), col("v").as("q"))
-      val idx = graft.ops.Ann.trainIvf(e, col("v"), numCells = 16,
+      val planted = probes
+        .withColumn("j", explode(sequence(lit(1), lit(5))))
+        .select((col("pid") * 10 + col("j") + 100000L).as("vec_id"),
+          transform(col("q"), x => x * (lit(1.0) + col("j").cast("double") * lit(1e-6))).as("v"))
+      val corpus = e.unionByName(planted)
+      val idx = graft.ops.Ann.trainIvf(corpus, col("v"), numCells = 16,
         sampleSize = 500, seed = 7L)
-      val brute = graft.ops.Ann.bruteForceKnn(e, col("vec_id"), col("v"),
+      val brute = graft.ops.Ann.bruteForceKnn(corpus, col("vec_id"), col("v"),
         probes, col("pid"), col("q"), k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val ivf = graft.ops.Ann.ivfKnn(e, col("vec_id"), col("v"),
+      val ivf = graft.ops.Ann.ivfKnn(corpus, col("vec_id"), col("v"),
         probes, col("pid"), col("q"), idx, k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"))
       val nTrue = brute.count()
       val nHit = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
       val recall = if (nTrue == 0) 0.0 else nHit.toDouble / nTrue
+      // the gate GATES: an IVF quality regression fails the query loudly
+      // instead of writing a false row nothing reads
+      require(recall >= 0.95,
+        f"q46 IVF recall gate failed: recall=$recall%.4f < 0.95 ($nHit/$nTrue)")
       import s.implicits._
       Seq((20L, 5, nTrue, nHit,
-        math.rint(recall * 10000) / 10000, recall >= 0.95))
-        .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass")
+        math.rint(recall * 10000) / 10000, recall >= 0.95, sfTag(d)))
+        .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass", "oracle_sf")
     }),
     "q43_connected_components" -> ((s, d) => {
       // distributed min-label propagation with pointer jumping over planted
@@ -446,6 +665,7 @@ object SparkEntry {
       graft.ops.Dedup.simHashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
         maxHamming = 16)
         .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+        .withColumn("oracle_sf", lit(sfTag(d)))
     }),
     "q39_embed_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -490,6 +710,14 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q46_ivf_recall" ->
+      // pinned deterministic fixture constant (q38 idiom): 20 probes × 5
+      // planted exact-direction copies each, all recovered — recall 1.0.
+      // The query itself ALSO throws below 0.95, so the gate gates twice.
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(5 AS INT) AS k,
+        |  CAST(100 AS BIGINT) AS n_true, CAST(100 AS BIGINT) AS n_hit,
+        |  CAST(1.0 AS DOUBLE) AS recall, TRUE AS pass,
+        |  '0.01' AS oracle_sf""".stripMargin,
     "q41_causal_tree" ->
       // planted τ(x) = 2 + 8·1{l_quantity>25}: the recovered segment-average
       // effect rounds to the planted integers; counts come from the data
@@ -508,7 +736,8 @@ object SparkEntry {
       // content-seeded xxhash64 simhash, pigeonhole bucketing, groupBy
       // count is partition-layout invariant). The driver's gate runs at
       // sf0.01 only.
-      """SELECT CAST(hamming AS INT) AS hamming, CAST(n_pairs AS BIGINT) AS n_pairs
+      """SELECT CAST(hamming AS INT) AS hamming, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  '0.01' AS oracle_sf
         |FROM (VALUES (0,4),(1,2),(2,6),(3,5),(4,14),(5,29),(6,62),(7,107),
         |  (8,155),(9,218),(10,238),(11,289),(12,289),(13,247),(14,210),
         |  (15,166),(16,125)) AS t(hamming, n_pairs)
@@ -533,6 +762,141 @@ object SparkEntry {
       // chains [0..49],[50..99],... → component = chain start, closed form
       """SELECT doc_id AS id, CAST((doc_id // 50) * 50 AS BIGINT) AS component
         |FROM documents WHERE doc_id < 1000 ORDER BY doc_id""".stripMargin,
+    "q47_ttests_2samp" ->
+      """WITH g AS (
+        |  SELECT (l_orderkey % 2) AS treat, count(*) AS n,
+        |    avg(l_quantity) AS m, var_samp(l_quantity) AS v
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
+        |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr,
+        |  TRUE AS same_estimate, TRUE AS ci_nested_lower, TRUE AS ci_nested_upper
+        |FROM g""".stripMargin,
+    "q48_predict_interval" ->
+      """WITH st AS (
+        |  SELECT count(*) AS n, avg(l_quantity) AS xb,
+        |    regr_slope(l_extendedprice, l_quantity) AS b,
+        |    regr_intercept(l_extendedprice, l_quantity) AS a,
+        |    regr_sxx(l_extendedprice, l_quantity) AS sxx,
+        |    regr_syy(l_extendedprice, l_quantity) AS syy,
+        |    regr_r2(l_extendedprice, l_quantity) AS r2
+        |  FROM lineitem)
+        |SELECT x, round(b * x + a, 4) AS fit,
+        |  round(sqrt(syy * (1 - r2) / (n - 2) * (1.0 / n + (x - xb) * (x - xb) / sxx)), 4) AS se_fit,
+        |  TRUE AS ordered
+        |FROM st, (VALUES (10.0), (25.0), (40.0)) AS p(x)
+        |ORDER BY x""".stripMargin,
+    "q49_lasso" ->
+      // pinned sf0.01 Lasso fit (deterministic OWL-QN; the noise covariate
+      // is exactly zeroed by the L1 proximal step)
+      """SELECT CAST(0.23 AS DOUBLE) AS b_quantity, TRUE AS noise_zeroed,
+        |  CAST(53048.36 AS DOUBLE) AS intercept, '0.01' AS oracle_sf""".stripMargin,
+    "q50_matrix_mult" ->
+      """SELECT
+        |  round(sum(l_quantity * l_quantity), 2) AS g_qq,
+        |  round(sum(l_quantity * l_discount), 4) AS g_qd,
+        |  round(sum(l_quantity), 2) AS g_q1,
+        |  round(sum(l_discount * l_discount), 6) AS g_dd,
+        |  round(sum(l_discount), 4) AS g_d1,
+        |  round(count(*) * 1.0, 1) AS g_11
+        |FROM lineitem""".stripMargin,
+    "q51_bootstrap" ->
+      // pinned sf0.01 bootstrap summary (weights are pure functions of
+      // (id, rep, seed) → partition-layout invariant)
+      """SELECT CAST(50 AS BIGINT) AS n_reps,
+        |  CAST(25.402763 AS DOUBLE) AS boot_mean,
+        |  CAST(0.05931 AS DOUBLE) AS boot_std,
+        |  CAST(25.289389 AS DOUBLE) AS ci_lower,
+        |  CAST(25.531296 AS DOUBLE) AS ci_upper,
+        |  '0.01' AS oracle_sf""".stripMargin,
+    "q52_permutation" ->
+      // observed diff-in-means is a closed form; the permutation p-value is
+      // a deterministic fixture constant (pinned, sf0.01)
+      """WITH g AS (
+        |  SELECT (l_orderkey % 2) AS treat, avg(l_quantity) AS m
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS observed,
+        |  CAST(0.49 AS DOUBLE) AS p_value, CAST(200 AS BIGINT) AS n_reps,
+        |  '0.01' AS oracle_sf
+        |FROM g""".stripMargin,
+    "q53_iv_regression" ->
+      """WITH base AS (
+        |  SELECT l_extendedprice AS y, l_quantity AS t,
+        |    l_quantity + (l_orderkey % 5) AS z
+        |  FROM lineitem),
+        |s1 AS (SELECT regr_slope(t, z) AS b1, regr_intercept(t, z) AS a1 FROM base),
+        |r AS (SELECT y, a1 + b1 * z AS th FROM base, s1),
+        |s2 AS (SELECT regr_slope(y, th) AS beta, regr_intercept(y, th) AS a2,
+        |              regr_syy(y, th) AS syy, regr_r2(y, th) AS r2,
+        |              regr_sxx(y, th) AS sxx, count(*) AS n FROM r)
+        |SELECT round(beta, 4) AS beta_t, round(a2, 2) AS intercept,
+        |  round(sqrt(syy * (1 - r2) / (n - 2) / sxx), 4) AS stderr
+        |FROM s2""".stripMargin,
+    "q54_did" ->
+      """WITH cells AS (
+        |  SELECT (l_orderkey % 2) AS tr, (l_linenumber % 2) AS po,
+        |    avg(l_extendedprice) AS m
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT
+        |  max(CASE WHEN tr = 0 AND po = 0 THEN m END) AS m00,
+        |  max(CASE WHEN tr = 1 AND po = 0 THEN m END) AS m10,
+        |  max(CASE WHEN tr = 0 AND po = 1 THEN m END) AS m01,
+        |  max(CASE WHEN tr = 1 AND po = 1 THEN m END) AS m11 FROM cells)
+        |SELECT round(m10 - m00, 2) AS b_treat, round(m01 - m00, 2) AS b_post,
+        |  round(m11 - m10 - m01 + m00, 2) AS b_did, round(m00, 2) AS intercept
+        |FROM w""".stripMargin,
+    "q55_longterm" ->
+      """WITH pairs AS (
+        |  SELECT l_quantity AS f, 0.8 * l_quantity + 10.0 * l_discount AS tt FROM lineitem
+        |  UNION ALL
+        |  SELECT 0.8 * l_quantity + 10.0 * l_discount,
+        |         0.6 * l_quantity + l_extendedprice / 10000.0 FROM lineitem),
+        |tr AS (SELECT regr_slope(tt, f) AS b, regr_intercept(tt, f) AS a FROM pairs),
+        |g AS (SELECT (l_orderkey % 2) AS t2,
+        |        avg(0.6 * l_quantity + l_extendedprice / 10000.0) AS m
+        |      FROM lineitem GROUP BY 1),
+        |dm AS (SELECT max(CASE WHEN t2 = 1 THEN m END)
+        |         - max(CASE WHEN t2 = 0 THEN m END) AS d FROM g)
+        |SELECT 1 AS horizon, round(b * d, 6) AS estimate FROM tr, dm
+        |UNION ALL
+        |SELECT 2, round(b * b * d, 6) FROM tr, dm
+        |ORDER BY horizon""".stripMargin,
+    "q56_one_hot" ->
+      """SELECT l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q57_cdf_scalars" ->
+      // tgamma/lgamma against DuckDB's own gamma/lgamma; Φ(x/4) and
+      // t-CDF(x/4, df=10) are SF-independent math constants (values from
+      // commons-math, cross-checked against stdlib erf / numeric
+      // integration)
+      """SELECT l_linenumber, count(*) AS n_rows,
+        |  round(gamma(l_linenumber), 4) AS tgamma_x,
+        |  round(lgamma(l_linenumber), 6) AS lgamma_x,
+        |  CASE l_linenumber
+        |    WHEN 1 THEN 0.598706 WHEN 2 THEN 0.691462 WHEN 3 THEN 0.773373
+        |    WHEN 4 THEN 0.841345 WHEN 5 THEN 0.89435 WHEN 6 THEN 0.933193
+        |    WHEN 7 THEN 0.959941 END AS norm_cdf,
+        |  CASE l_linenumber
+        |    WHEN 1 THEN 0.596176 WHEN 2 THEN 0.686053 WHEN 3 THEN 0.764734
+        |    WHEN 4 THEN 0.829553 WHEN 5 THEN 0.88012 WHEN 6 THEN 0.917746
+        |    WHEN 7 THEN 0.94466 END AS t_cdf
+        |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
+    "q58_ipw_ate" ->
+      """WITH base AS (
+        |  SELECT l_extendedprice AS y, (l_orderkey % 2) AS t,
+        |    0.3 + 0.4 * CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END AS e
+        |  FROM lineitem),
+        |est AS (SELECT
+        |  avg(CASE WHEN t = 1 THEN y END) - avg(CASE WHEN t = 0 THEN y END) AS ate,
+        |  sum(t * y / e) / count(*) - sum((1 - t) * y / (1 - e)) / count(*) AS ipw
+        |FROM base)
+        |SELECT round(ate, 6) AS ate, CAST(246.453686 AS DOUBLE) AS ate_stderr,
+        |  round(ipw, 6) AS ipw, '0.01' AS oracle_sf
+        |FROM est""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -795,7 +1159,7 @@ object SparkEntry {
       """SELECT CAST(0.000425 AS DOUBLE) AS b_quantity,
         |  CAST(0.214367 AS DOUBLE) AS b_discount,
         |  CAST(0.924714 AS DOUBLE) AS intercept,
-        |  TRUE AS converged""".stripMargin,
+        |  TRUE AS converged, '0.01' AS oracle_sf""".stripMargin,
     "q40_dedup_pipeline" ->
       // same dedup semantics as Dedup.exactDedup: one survivor per
       // normalized-content fingerprint, smallest doc_id wins; every planted

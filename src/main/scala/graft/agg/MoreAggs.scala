@@ -70,9 +70,14 @@ case class TwoSampleHist(m: mutable.HashMap[Double, Array[Long]]) {
     }
     this
   }
-  /** (sorted values, count0 per value, count1 per value). */
+  /** (sorted values, count0 per value, count1 per value). NaN keys are
+    * stripped HERE — add() already rejects them, but a buffer deserialized
+    * from an older build could still carry one, and a NaN key that reached
+    * the rank/CDF walks would skew n1/n2 silently (it matches no group
+    * test). One strip point keeps both counting and walking passes
+    * consistent for every consumer (MW and KS). */
   def sortedEntries: (Array[Double], Array[Long], Array[Long]) = {
-    val vs = m.keys.toArray
+    val vs = m.keys.toArray.filter(!_.isNaN)
     java.util.Arrays.sort(vs)
     val c0 = new Array[Long](vs.length)
     val c1 = new Array[Long](vs.length)

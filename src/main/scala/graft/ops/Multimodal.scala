@@ -78,6 +78,10 @@ object Multimodal {
   }
 
   case class ImageRow(id: Long, content: Array[Byte])
+  /** `channels` is the SOURCE color model's component count (1 gray, 3 RGB,
+    * 4 RGBA); `means`/`stds` are ALWAYS length 3, computed over the sRGB
+    * projection regardless of `channels` — consumers must not index them by
+    * `channels` (a grayscale image has channels=1 but 3 identical means). */
   case class ImageFeatures(id: Long, width: Int, height: Int, channels: Int,
                            means: Array[Double], stds: Array[Double],
                            decodeOk: Boolean)
@@ -143,6 +147,10 @@ object Multimodal {
   /** Deterministic solid-color PNG bytes (JDK encoder) — fixture generator
     * for decode tests and the q45 closed-form oracle. */
   def solidPngBytes(r: Int, g: Int, b: Int, w: Int, h: Int): Array[Byte] = {
+    // encode goes through ImageIO too: without the config, the first encode
+    // per executor JVM runs with useCache=true and spills a
+    // FileCacheImageOutputStream temp file to executor-local disk
+    require(imageIoConfigured)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
