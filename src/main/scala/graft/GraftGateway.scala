@@ -1,8 +1,13 @@
 package graft
 
 import graft.ops._
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnresolvedWith}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL entry point for the COMPOSED (whole-query) operators — the Spark
   * equivalent of the reference's SQL gateway, which intercepts causal verbs
@@ -13,105 +18,139 @@ import org.apache.spark.sql.functions._
   * whose output is a TABLE TRANSFORM of the input, which Spark's
   * FunctionRegistry cannot express.
   *
+  * The query is parsed with SPARK'S OWN PARSER (not a regex): a verb query
+  * is any parse tree whose top-level projection is exactly one call to a
+  * known verb — the verb's FROM side may be a table, a join, a subquery, or
+  * sit under a WITH (the CTEs are re-wrapped around the stripped input
+  * before analysis), matching the reference gateway's ability to rewrite
+  * inside arbitrary SQL (SqlForward.java:86-215). Anything else falls
+  * through to `spark.sql` unchanged, so this is a drop-in `sql()`
+  * replacement.
+  *
   * Supported (case-insensitive):
   * {{{
-  * SELECT lift(ite, y, t, k)                 FROM tbl [WHERE ...]
-  * SELECT exact_matching(t, x1, x2, ...)     FROM tbl [WHERE ...]
-  * SELECT caliper_matching(t, score, c[, k]) FROM tbl [WHERE ...]
-  * SELECT smd(t, x1, x2, ...)                FROM tbl [WHERE ...]
-  * SELECT linear_dml(y, t, x1[, x2, ...])    FROM tbl [WHERE ...]
-  * SELECT iv_regression(y, t, z[, x...])     FROM tbl [WHERE ...]
-  * SELECT cut_bins(x, b)                     FROM tbl [WHERE ...]
-  * SELECT group_set(y, t, g1, g2, ...)       FROM tbl [WHERE ...]
-  * SELECT boot_strap(aggExpr, B)             FROM tbl [WHERE ...]
-  * SELECT permutation(y, t, B[, mde, type])  FROM tbl [WHERE ...]
+  * SELECT lift(ite, y, t, k)                 FROM <any>
+  * SELECT exact_matching(t, x1, x2, ...)     FROM <any>
+  * SELECT caliper_matching(t, score, c[, k]) FROM <any>
+  * SELECT smd(t, x1, x2, ...)                FROM <any>
+  * SELECT linear_dml(y, t, x1[, x2, ...])    FROM <any>
+  * SELECT iv_regression(y, t, z[, x...])     FROM <any>
+  * SELECT cut_bins(x, b)                     FROM <any>
+  * SELECT group_set(y, t, g1, g2, ...)       FROM <any>
+  * SELECT boot_strap(aggExpr, B)             FROM <any>
+  * SELECT permutation(y, t, B[, mde, type])  FROM <any>
   * }}}
-  * Anything else falls through to `spark.sql` unchanged, so this is a
-  * drop-in `sql()` replacement, exactly like the reference gateway.
   */
 object GraftGateway {
 
-  private val Verb =
-    """(?is)\s*select\s+(\w+)\s*\((.*)\)\s+from\s+([\w.]+)(?:\s+where\s+(.+?))?\s*;?\s*""".r
-
-  def sql(spark: SparkSession, query: String): DataFrame = query match {
-    case Verb(verb, argStr, table, where) if handles(verb) =>
-      val df0 = spark.table(table)
-      val df = Option(where).map(w => df0.filter(expr(w))).getOrElse(df0)
-      val args = splitArgs(argStr)
-      dispatch(spark, verb.toLowerCase, df, args)
-    case _ => spark.sql(query)
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    val parsed =
+      try Some(spark.sessionState.sqlParser.parsePlan(query))
+      catch { case _: Exception => None } // invalid SQL → spark.sql's error
+    parsed.flatMap(findVerb) match {
+      case Some((verb, args, input)) =>
+        dispatch(spark, verb, ColumnBridge.ofRows(spark, input), args)
+      case None => spark.sql(query)
+    }
   }
+
+  /** Match `SELECT verb(args…) FROM <anything>` at the top of the parse
+    * tree. A WITH wrapper is unwrapped and its CTE definitions re-wrapped
+    * around the verb's input subtree, so CTE references inside the FROM
+    * side still resolve. */
+  private def findVerb(plan: LogicalPlan): Option[(String, Seq[Expression], LogicalPlan)] =
+    plan match {
+      case w: UnresolvedWith =>
+        findVerb(w.child).map { case (v, a, input) =>
+          (v, a, w.copy(child = input))
+        }
+      case Project(Seq(single), child) =>
+        val fn = single match {
+          case Alias(f: UnresolvedFunction, _) => Some(f)
+          case UnresolvedAlias(f: UnresolvedFunction, _) => Some(f)
+          case f: UnresolvedFunction => Some(f)
+          case _ => None
+        }
+        fn.collect {
+          case f if f.nameParts.length == 1 && handles(f.nameParts.head) =>
+            (f.nameParts.head.toLowerCase, f.arguments, child)
+        }
+      case _ => None
+    }
 
   private val verbs = Set("lift", "exact_matching", "caliper_matching",
     "smd", "linear_dml", "iv_regression", "cut_bins", "group_set",
     "boot_strap", "permutation")
   private def handles(v: String): Boolean = verbs(v.toLowerCase)
 
-  /** split on top-level commas (args are column names / literals; no nested
-    * calls in the reference's verb syntax either) */
-  private def splitArgs(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; val cur = new StringBuilder
-    s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
-      case c => cur += c
-    }
-    if (cur.nonEmpty) out += cur.toString.trim
-    out.toSeq.filter(_.nonEmpty)
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+
+  private def num(e: Expression): Double = e match {
+    case Literal(v, _) if v != null => v.toString.toDouble
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got ${other.sql}")
   }
 
-  private def num(s: String): Double = s.toDouble
+  /** Column-NAME argument (cut_bins/smd/group_set label their outputs). */
+  private def name(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.name
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => other.sql
+  }
+
+  private def str(e: Expression): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"expected a string literal, got ${other.sql}")
+  }
 
   private def dispatch(spark: SparkSession, verb: String, df: DataFrame,
-                       a: Seq[String]): DataFrame = {
+                       a: Seq[Expression]): DataFrame = {
     import spark.implicits._
     verb match {
       case "lift" =>
         require(a.length >= 4, "lift(ite, y, t, k)")
-        Uplift.liftGain(df, expr(a(0)), expr(a(1)), expr(a(2)), k = num(a(3)).toInt)
+        Uplift.liftGain(df, c(a(0)), c(a(1)), c(a(2)), k = num(a(3)).toInt)
       case "exact_matching" =>
         require(a.length >= 2, "exact_matching(t, x...)")
-        Matching.exactMatching(df, expr(a.head), a.tail.map(expr))
+        Matching.exactMatching(df, c(a.head), a.tail.map(c))
       case "caliper_matching" =>
         require(a.length >= 3, "caliper_matching(t, score, caliper[, k])")
-        Matching.caliperMatching(df, expr(a(0)), expr(a(1)), caliper = num(a(2)),
+        Matching.caliperMatching(df, c(a(0)), c(a(1)), caliper = num(a(2)),
           k = if (a.length > 3) num(a(3)).toInt else 1)
       case "smd" =>
         require(a.length >= 2, "smd(t, x...)")
-        Matching.smd(df, expr(a.head), a.tail)
+        Matching.smd(df, c(a.head), a.tail.map(name))
       case "linear_dml" =>
         require(a.length >= 3, "linear_dml(y, t, x...)")
-        val m = Dml.linearDml(df, expr(a(0)), expr(a(1)), a.drop(2).map(expr))
+        val m = Dml.linearDml(df, c(a(0)), c(a(1)), a.drop(2).map(c))
         Seq((m.ate, m.ateStderr, m.atePValue)).toDF("ate", "stderr", "p_value")
       case "iv_regression" =>
         require(a.length >= 3, "iv_regression(y, t, z[, x...])")
-        val s = Regression.ivRegression(df, expr(a(0)), expr(a(1)), expr(a(2)),
-          a.drop(3).map(expr))
-        val names = "t_hat" +: (a.drop(3) :+ "(intercept)")
+        val s = Regression.ivRegression(df, c(a(0)), c(a(1)), c(a(2)),
+          a.drop(3).map(c))
+        val names = "t_hat" +: (a.drop(3).map(name) :+ "(intercept)")
         names.zipWithIndex.map { case (n, i) =>
           (n, s.coefficients(i), s.stderr(i), s.t_values(i), s.p_values(i))
         }.toDF("term", "estimate", "stderr", "t_value", "p_value")
       case "cut_bins" =>
         require(a.length == 2, "cut_bins(x, num_bins)")
-        Features.cutBinsQuantile(df, a(0), num(a(1)).toInt)._1
+        Features.cutBinsQuantile(df, name(a(0)), num(a(1)).toInt)._1
       case "group_set" =>
         require(a.length >= 3, "group_set(y, t, g...)")
-        GroupSet.groupSet(df, expr(a(0)), expr(a(1)),
-          a.drop(2).map(g => g -> expr(g)))
+        GroupSet.groupSet(df, c(a(0)), c(a(1)),
+          a.drop(2).map(g => name(g) -> c(g)))
       case "boot_strap" =>
-        // any inner aggregate by SQL string — the reference's
+        // any inner aggregate expression — the reference's
         // BootStrap('aggName', ...) generality (BootStrap.h:375-497)
         require(a.length >= 2, "boot_strap(aggExpr, B)")
-        Bootstrap.bootstrapAny(df, num(a(1)).toInt)(Seq("stat" -> expr(a(0))))
+        Bootstrap.bootstrapAny(df, num(a(1)).toInt)(Seq("stat" -> c(a(0))))
       case "permutation" =>
         require(a.length >= 3, "permutation(y, t, B[, mde, mde_type])")
-        val (obs, p, _) = Bootstrap.permutationTest(df, expr(a(0)), expr(a(1)),
+        val (obs, p, _) = Bootstrap.permutationTest(df, c(a(0)), c(a(1)),
           b = num(a(2)).toInt,
           mde = if (a.length > 3) num(a(3)) else 0.0,
-          mdeType = if (a.length > 4) a(4).stripPrefix("'").stripSuffix("'") else "abs")
+          mdeType = if (a.length > 4) str(a(4)) else "abs")
         Seq((obs, p)).toDF("observed", "p_value")
       case other => throw new IllegalArgumentException(s"unknown verb $other")
     }

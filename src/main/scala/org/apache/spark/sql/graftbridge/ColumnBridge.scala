@@ -16,6 +16,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
 
+  /** DataFrame from an unresolved LogicalPlan — lets the gateway hand a
+    * parsed (but verb-stripped) query subtree back to the analyzer, so verb
+    * rewriting composes with joins/CTEs/subqueries exactly like the
+    * reference's SQL-forwarding gateway. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Unpersist the checkpointed RDD behind a `localCheckpoint`ed frame
     * (its plan is a LogicalRDD leaf). Iterative algorithms that re-
     * checkpoint per round use this to release the superseded round's

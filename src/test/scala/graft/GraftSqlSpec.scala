@@ -254,6 +254,31 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(perm.getDouble(1) < 0.05, "true effect should reject under permutation")
   }
 
+  test("gateway verbs compose with joins, CTEs, and subqueries") {
+    setup
+    // verb over a JOIN (the old regex gateway could only see one table)
+    spark.range(3).selectExpr("id AS grp", "CAST(id AS DOUBLE) / 10 AS bump")
+      .createOrReplaceTempView("dims")
+    val j = GraftGateway.sql(spark,
+      """SELECT lift(x + bump, y, t, 5)
+        |FROM exp_data JOIN dims ON uin % 3 = grp""".stripMargin)
+    assert(j.columns.toSeq == Seq("ratio", "lift", "gain", "ate", "random_gain"))
+    assert(j.count() == 5)
+    // verb whose input is a CTE
+    val cte = GraftGateway.sql(spark,
+      """WITH filtered AS (SELECT * FROM exp_data WHERE uin <= 2000)
+        |SELECT linear_dml(y, t, x) FROM filtered""".stripMargin).head()
+    assert(math.abs(cte.getAs[Double]("ate") - 0.5) < 0.3, cte.toString)
+    // verb over an inline subquery
+    val sub = GraftGateway.sql(spark,
+      "SELECT boot_strap(avg(y), 20) FROM (SELECT * FROM exp_data WHERE t = 1)")
+    assert(sub.count() == 20)
+    // a WITH query with NO verb still falls through to spark.sql
+    val plain = GraftGateway.sql(spark,
+      "WITH c AS (SELECT count(*) AS n FROM exp_data) SELECT n FROM c").head()
+    assert(plain.getLong(0) == 4000L)
+  }
+
   test("models round-trip through tables (ModelIo)") {
     setup
     val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
