@@ -48,6 +48,13 @@ object Bootstrap {
     c.otherwise(maxK + 1)
   }
 
+  /** Deterministic Poisson bootstrap weight for (idCols, rep, seed) — the
+    * composable form of [[replicated]]'s weight column, for callers that
+    * build their own replicate frames (Longterm's transition refit). */
+  def poissonWeight(idCols: Seq[Column], rep: Column, seed: Long,
+                    frac: Double = 1.0): Column =
+    poissonMultiplicity(uniform(idCols, rep, seed), frac)
+
   /** Exact stable row identity when the caller has none: content hash of
     * every column PLUS a within-duplicate-group counter, so two identical
     * rows get DISTINCT identities (hashing content alone would give

@@ -140,7 +140,27 @@ object CausalForest {
     val base = (0 until k).foldLeft(pre) { (d, i) =>
       d.withColumn(s"__b$i", binExpr(i))
     }
-    base.cache()
+    // The row→(tree, half) membership — Bernoulli(sampleFraction) per
+    // (row, tree) with an honest half tag — is IDENTICAL at every level;
+    // only the node assignment changes as trees grow. Explode it ONCE and
+    // persist, so each level (and the estimation pass) re-scans the already
+    // exploded frame instead of rebuilding a numTrees-entry membership
+    // array per row per scan. Amplification is numTrees·sampleFraction×,
+    // the same rows every level would touch anyway.
+    val memberEntries = (0 until numTrees).map { b =>
+      val u = pmod(xxhash64(col("__rh"), lit(b)), lit(1000000L)).cast("double") / 1000000.0
+      val half = pmod(xxhash64(col("__rh"), lit(b + 7919)), lit(2)).cast("int")
+      when(u < sampleFraction, struct(lit(b).as("tree"), half.as("half")))
+        .otherwise(lit(null))
+    }
+    val exploded = base
+      .withColumn("__th", explode(filter(array(memberEntries: _*), _.isNotNull)))
+      .withColumn("__tree", col("__th.tree"))
+      .withColumn("__half", col("__th.half"))
+      .drop("__th")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val growFrame = if (honest) exploded.filter(col("__half") === 0) else exploded
+    val estFrame = if (honest) exploded.filter(col("__half") === 1) else exploded
     try {
 
       // tree growth state
@@ -157,19 +177,12 @@ object CausalForest {
           else when(col(s"__f${feat(b)(i)}") <= thr(b)(i), go(lch(b)(i))).otherwise(go(rch(b)(i)))
         go(0)
       }
-      /** member trees of a row: Bernoulli(sampleFraction) per (row, tree),
-        * split-half only (honesty), as an array column to explode. */
-      def membership(half: Int): Column = {
-        val entries = (0 until numTrees).map { b =>
-          val u = pmod(xxhash64(col("__rh"), lit(b)), lit(1000000L)).cast("double") / 1000000.0
-          val inHalf = pmod(xxhash64(col("__rh"), lit(b + 7919)), lit(2)).cast("int")
-          when(u < sampleFraction && (lit(!honest).cast("boolean") || inHalf === half),
-            struct(lit(b).as("tree"), typedNode(b)))
-            .otherwise(lit(null))
+      /** current node of this row within its member tree — a dispatch
+        * when-chain over the per-tree structure chains. */
+      def nodeOfTree(treeIds: Iterable[Int]): Column =
+        treeIds.foldLeft(lit(-1)) { (acc, b) =>
+          when(col("__tree") === b, nodeExpr(b)).otherwise(acc)
         }
-        filter(array(entries: _*), _.isNotNull)
-      }
-      def typedNode(b: Int): Column = nodeExpr(b).as("node")
 
       var depth = 0
       while (depth < maxDepth && open.nonEmpty) {
@@ -183,17 +196,17 @@ object CausalForest {
         }.toMap
         val nullArr = lit(null).cast("array<struct<feat:int,bin:int>>")
         val featSel = openSorted.foldLeft(nullArr) { case (acc, (b, n)) =>
-          when(col("__tn.tree") === b && col("__tn.node") === n,
+          when(col("__tree") === b && col("__node") === n,
             array(mtryDraw((b, n)).map(i =>
               struct(lit(i).as("feat"), col(s"__b$i").as("bin"))).toIndexedSeq: _*))
             .otherwise(acc)
         }
         val openTrees = open.map(_._1)
-        val hist = base
-          .withColumn("__tn", explode(membership(0)))
-          .filter(col("__tn.tree").isin(openTrees.toSeq: _*))
+        val hist = growFrame
+          .filter(col("__tree").isin(openTrees.toSeq: _*))
+          .withColumn("__node", nodeOfTree(openTrees.toSeq.sorted))
           .withColumn("__fb", explode(featSel))
-          .groupBy(col("__tn.tree").as("tree"), col("__tn.node").as("node"),
+          .groupBy(col("__tree").as("tree"), col("__node").as("node"),
             col("__fb.feat"), col("__fb.bin"), col("__t"))
           .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("s"))
           .collect()
@@ -221,10 +234,11 @@ object CausalForest {
       }
 
       // estimation pass (honest half = 1): per-(tree, leaf, arm) moments
-      // including variance for honest leaf standard errors
-      val est = base
-        .withColumn("__tn", explode(membership(if (honest) 1 else 0)))
-        .groupBy(col("__tn.tree").as("tree"), col("__tn.node").as("node"), col("__t"))
+      // including variance for honest leaf standard errors — reuses the
+      // persisted exploded membership
+      val est = estFrame
+        .withColumn("__node", nodeOfTree(0 until numTrees))
+        .groupBy(col("__tree").as("tree"), col("__node").as("node"), col("__t"))
         .agg(count(lit(1)).as("cnt"), avg(col("__y")).as("m"),
           var_samp(col("__y")).as("v"))
         .collect()
@@ -253,7 +267,7 @@ object CausalForest {
         if (impTotal > 0) importance.map(_ / impTotal) else importance.clone()
       Model(trees, impNorm, featNames)
     } finally {
-      base.unpersist()
+      exploded.unpersist()
       ()
     }
   }

@@ -262,26 +262,34 @@ object Dedup {
     * hyperplane LSH prefilter: k sign-bits of seeded random projections
     * (deterministic per dim via xxhash64-derived pseudo-gaussians); pairs
     * must share a bit-prefix bucket before the exact cosine verify. For
-    * recall ~1 at high thresholds use few bits; bits=0 is exact brute
-    * force. `tables` > 1 adds OR-amplification: that many independent
-    * hyperplane sets, a pair is a candidate if it collides in ANY table —
-    * recall 1-(1-p^bits)^tables, so at 100 TB raise `bits` (smaller
-    * buckets, sub-quadratic verify) and compensate recall with `tables`.
+    * recall ~1 at high thresholds use few bits; bits=0 forces exact brute
+    * force; bits<0 (the DEFAULT) derives bits from the corpus count so the
+    * default is never the O(n²) cross join at scale — ~log2(n/2000) bits
+    * targets ~2k-vector buckets (quadratic-in-bucket verify stays bounded),
+    * and corpora under ~4k rows fall back to exact. `tables` > 1 adds
+    * OR-amplification: that many independent hyperplane sets, a pair is a
+    * candidate if it collides in ANY table — recall 1-(1-p^bits)^tables, so
+    * at 100 TB raise `bits` (smaller buckets, sub-quadratic verify) and
+    * compensate recall with `tables`.
     * Candidate ids pair up inside each (table, bucket) group (groupBy, no
     * self-join); vectors rejoin from the source only for colliding pairs. */
   def embeddingNearDup(df: DataFrame, id: Column, embedding: Column,
-                       threshold: Double = 0.95, bits: Int = 0,
+                       threshold: Double = 0.95, bits: Int = -1,
                        tables: Int = 1): DataFrame = {
     val base = df.select(id.cast("long").as("id"),
       embedding.cast("array<double>").as("v"))
+    val effBits =
+      if (bits >= 0) bits
+      else math.min(20,
+        math.max(0, math.ceil(math.log(base.count() / 2000.0) / math.log(2)).toInt))
     val cands =
-      if (bits == 0) {
+      if (effBits == 0) {
         // exact brute force: join streams the cross product across tasks
         // (a single collect_list bucket would funnel the table into one row)
         base.select(col("id").as("id_a")).join(
           base.select(col("id").as("id_b")), col("id_a") < col("id_b"))
       } else {
-        def bucket(table: Int): Column = (0 until bits).map { b =>
+        def bucket(table: Int): Column = (0 until effBits).map { b =>
           // pseudo-random hyperplane h_tb[d] = centered hash of (t, b, d)
           val dot = aggregate(
             zip_with(col("v"),

@@ -32,18 +32,26 @@ object Features {
   }
 
   /** One-hot: distinct values → 0/1 indicator columns named col_value
-    * (features.py:17-109). Collects the (small) distinct list to the driver;
-    * callers cap cardinality like the reference does. */
+    * (features.py:17-109). ALL columns' category sets come from ONE
+    * aggregate pass (`collect_set` per column, capped + sorted inside the
+    * agg so only ≤ maxCategories+1 values per column reach the driver) —
+    * not k sequential distinct+collect round trips — and all indicators are
+    * added in one projection. Aggregate state is O(distinct) per column;
+    * the cardinality cap errors exactly like the reference does. */
   def oneHot(df: DataFrame, cols: Seq[String], maxCategories: Int = 100): DataFrame = {
-    cols.foldLeft(df) { (acc, c) =>
-      val values = acc.select(col(c).cast("string")).distinct()
-        .limit(maxCategories + 1).collect().map(_.getString(0)).filter(_ != null).sorted
+    if (cols.isEmpty) return df
+    val setCols = cols.map(c =>
+      slice(sort_array(collect_set(col(c).cast("string"))), 1, maxCategories + 1).as(c))
+    val row = df.agg(setCols.head, setCols.tail: _*).head()
+    val indicators = cols.zipWithIndex.flatMap { case (c, i) =>
+      val values = row.getSeq[String](i).filter(_ != null).sorted
       require(values.length <= maxCategories,
         s"one_hot: column $c exceeds $maxCategories categories")
-      values.foldLeft(acc) { (a, v) =>
+      values.map { v =>
         val safe = v.replaceAll("[^A-Za-z0-9_]", "_")
-        a.withColumn(s"${c}_$safe", when(col(c).cast("string") === v, 1).otherwise(0))
+        when(col(c).cast("string") === v, 1).otherwise(0).as(s"${c}_$safe")
       }
     }
+    df.select(col("*") +: indicators: _*)
   }
 }

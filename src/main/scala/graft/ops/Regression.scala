@@ -40,21 +40,47 @@ object Regression {
       array(xs.map(_.cast("double")): _*))
   }
 
+  /** Raw OlsBuf aggregate as a Column (struct output) — the building block
+    * shared by [[fitOls]], [[fitOlsMulti]], and Longterm's per-replicate
+    * grouped refits. */
+  private[graft] def olsBufColumn(y: Column, xs: Seq[Column], useBias: Boolean = true,
+                                  weight: Column = lit(1.0)): Column = {
+    val bufAgg = udaf(new OlsBufAgg(xs.length, useBias),
+      ExpressionEncoder[(Double, Array[Double], Double)]())
+    bufAgg(y.cast("double"), olsInput(y, xs, weight), weight.cast("double"))
+  }
+
+  /** Decode an OlsBufOut struct row back into the buffer. */
+  private[graft] def bufFromRow(row: org.apache.spark.sql.Row): OlsBuf = OlsBuf(
+    graft.stats.DeltaStats(row.getLong(0), row.getSeq[Double](1).toArray, row.getSeq[Double](2).toArray),
+    graft.stats.DeltaStats(row.getLong(3), row.getSeq[Double](4).toArray, row.getSeq[Double](5).toArray),
+    row.getSeq[Double](6).toArray, row.getDouble(7))
+
+  private[graft] def modelFromBuf(buf: OlsBuf, k: Int, useBias: Boolean): OlsModel =
+    OlsModel(OlsFinalizer.summary(buf, k, useBias), OlsFinalizer.xtxInv(buf))
+
   /** Fit and collect the model (drives the same aggregate, keeps (XᵀX)⁻¹
     * for interval prediction). */
   def fitOls(df: DataFrame, y: Column, xs: Seq[Column], useBias: Boolean = true,
              weight: Column = lit(1.0)): OlsModel = {
-    val kb = xs.length + (if (useBias) 1 else 0)
-    val bufAgg = udaf(new OlsBufAgg(xs.length, useBias),
-      ExpressionEncoder[(Double, Array[Double], Double)]())
-    val row = df.select(bufAgg(y.cast("double"),
-      olsInput(y, xs, weight), weight.cast("double")).as("b"))
+    val row = df.select(olsBufColumn(y, xs, useBias, weight).as("b"))
       .select("b.*").head()
-    val buf = OlsBuf(
-      graft.stats.DeltaStats(row.getLong(0), row.getSeq[Double](1).toArray, row.getSeq[Double](2).toArray),
-      graft.stats.DeltaStats(row.getLong(3), row.getSeq[Double](4).toArray, row.getSeq[Double](5).toArray),
-      row.getSeq[Double](6).toArray, row.getDouble(7))
-    OlsModel(OlsFinalizer.summary(buf, xs.length, useBias), OlsFinalizer.xtxInv(buf))
+    modelFromBuf(bufFromRow(row), xs.length, useBias)
+  }
+
+  /** Fit SEVERAL OLS models in ONE scan — one OlsBuf aggregate per
+    * (target, design) pair, a single job (k separate fitOls calls would
+    * re-scan the input k times). */
+  def fitOlsMulti(df: DataFrame, targets: Seq[(Column, Seq[Column])],
+                  useBias: Boolean = true, weight: Column = lit(1.0)): Seq[OlsModel] = {
+    require(targets.nonEmpty, "need at least one target")
+    val aggs = targets.zipWithIndex.map { case ((y, xs), i) =>
+      olsBufColumn(y, xs, useBias, weight).as(s"b$i")
+    }
+    val row = df.select(aggs: _*).head()
+    targets.zipWithIndex.map { case ((_, xs), i) =>
+      modelFromBuf(bufFromRow(row.getStruct(i)), xs.length, useBias)
+    }
   }
 
   /** `eval_ml_method(model, xs…)` — predicted value ŷ = xᵀβ (+ intercept).

@@ -146,4 +146,57 @@ class DmlSpec extends AnyFunSuite {
       s"h2 ${r.effects(1).estimate}")
     assert(r.effects.forall(e => e.stderr > 0))
   }
+
+  test("longterm bootstrap CIs carry transition-fit uncertainty") {
+    val rng = new scala.util.Random(17)
+    // big treatment gap (dm ≫ sampling noise) + noisy transition: the
+    // interval must be dominated by the slope estimate's uncertainty,
+    // which a diff-in-means-only bootstrap (transition held fixed) misses
+    val rows = (1L to 3000L).map { i =>
+      val t = (i % 2).toInt
+      val s0 = rng.nextGaussian() + t * 5.0
+      val s1 = 0.8 * s0 + rng.nextGaussian() * 1.5
+      val s2 = 0.8 * s1 + rng.nextGaussian() * 1.5
+      (i, t, s0, s1, s2)
+    }
+    val d = spark.createDataFrame(rows).toDF("id", "t", "s0", "s1", "s2").repartition(4)
+    val periods = Seq(Seq($"s0"), Seq($"s1"), Seq($"s2"))
+    val refit = Longterm.recursiveForecast(d, periods, $"t", horizon = 2,
+      bootstrapB = 60, idCols = Seq($"id")).effects(1)
+    // the old-style bootstrap: transition frozen at the point fit, only the
+    // final diff-in-means resampled
+    val tr = Longterm.fitTransition(d, periods)
+    val fc = Longterm.step(tr, Longterm.step(tr, Seq($"s2"))).head
+    val frozen = Bootstrap.ateEstimator(d.withColumn("__fc", fc), $"__fc", $"t",
+      b = 60, seed = 43L)
+    assert(refit.stderr > 1.5 * frozen.stderr,
+      s"refit ${refit.stderr} should dominate frozen-transition ${frozen.stderr}")
+    assert(refit.lower < refit.estimate && refit.estimate < refit.upper)
+  }
+
+  test("longterm multivariate transition rolls the full matrix forward") {
+    val rng = new scala.util.Random(23)
+    // two surrogates, diagonal transition diag(0.8, 0.5); treatment moves
+    // only the outcome surrogate → h-step effect = 0.8^h · dm
+    val rows = (1L to 4000L).map { i =>
+      val t = (i % 2).toInt
+      val a0 = rng.nextGaussian() + t * 1.0
+      val b0 = rng.nextGaussian()
+      val a1 = 0.8 * a0 + rng.nextGaussian() * 0.1
+      val b1 = 0.5 * b0 + rng.nextGaussian() * 0.1
+      val a2 = 0.8 * a1 + rng.nextGaussian() * 0.1
+      val b2 = 0.5 * b1 + rng.nextGaussian() * 0.1
+      (i, t, a0, b0, a1, b1, a2, b2)
+    }
+    val d = spark.createDataFrame(rows)
+      .toDF("id", "t", "a0", "b0", "a1", "b1", "a2", "b2").repartition(4)
+    val r = Longterm.recursiveForecast(d,
+      Seq(Seq($"a0", $"b0"), Seq($"a1", $"b1"), Seq($"a2", $"b2")), $"t",
+      horizon = 2, bootstrapB = 40, idCols = Seq($"id"))
+    val want = math.pow(0.8, 2) * math.pow(0.8, 2) // dm(a2)=0.64, ×0.8² roll
+    assert(approx(r.effects(1).estimate, want, 0.15), s"${r.effects(1).estimate} vs $want")
+    // the driver-side matrix roll must center on the expression-path estimate
+    val mid = (r.effects(1).lower + r.effects(1).upper) / 2
+    assert(approx(mid, r.effects(1).estimate, 0.15), s"mid $mid vs ${r.effects(1).estimate}")
+  }
 }
