@@ -39,6 +39,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT group_set(y, t, g1, g2, ...)       FROM <any>
   * SELECT boot_strap(aggExpr, B)             FROM <any>
   * SELECT permutation(y, t, B[, mde, type])  FROM <any>
+  * SELECT did(y, t, time[, x...])            FROM <any>
+  * SELECT nonparam_dml(y, t, x...)           FROM <any>
+  * SELECT quantile_test_bucket(y, t, bucket, p1[, p2...]) FROM <any>
   * }}}
   */
 object GraftGateway {
@@ -80,7 +83,8 @@ object GraftGateway {
 
   private val verbs = Set("lift", "exact_matching", "caliper_matching",
     "smd", "linear_dml", "iv_regression", "cut_bins", "group_set",
-    "boot_strap", "permutation")
+    "boot_strap", "permutation", "did", "nonparam_dml",
+    "quantile_test_bucket")
   private def handles(v: String): Boolean = verbs(v.toLowerCase)
 
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -152,6 +156,24 @@ object GraftGateway {
           mde = if (a.length > 3) num(a(3)) else 0.0,
           mdeType = if (a.length > 4) str(a(4)) else "abs")
         Seq((obs, p)).toDF("observed", "p_value")
+      case "did" =>
+        // DIDParser.java:40-43: y ~ treatment + time + treatment·time [+ x…]
+        require(a.length >= 3, "did(y, treatment, time[, x...])")
+        val m = Regression.did(df, c(a(0)), c(a(1)), c(a(2)), a.drop(3).map(c))
+        val s = m.summary
+        val names = Seq("treatment", "time", "treatment:time") ++
+          a.drop(3).map(name) :+ "(intercept)"
+        names.zipWithIndex.map { case (nm, i) =>
+          (nm, s.coefficients(i), s.stderr(i), s.t_values(i), s.p_values(i))
+        }.toDF("term", "estimate", "stderr", "t_value", "p_value")
+      case "nonparam_dml" =>
+        require(a.length >= 3, "nonparam_dml(y, t, x...)")
+        val m = Dml.nonParamDml(df, c(a(0)), c(a(1)), a.drop(2).map(c))
+        Seq((m.ate, m.ateStderr, m.atePValue)).toDF("ate", "stderr", "p_value")
+      case "quantile_test_bucket" =>
+        require(a.length >= 4, "quantile_test_bucket(y, t, bucket, p1[, p2...])")
+        QuantileTest.quantileTestWithBuckets(df, c(a(0)), c(a(1)), c(a(2)),
+          a.drop(3).map(num))
       case other => throw new IllegalArgumentException(s"unknown verb $other")
     }
   }

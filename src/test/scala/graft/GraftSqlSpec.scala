@@ -279,6 +279,25 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(plain.getLong(0) == 4000L)
   }
 
+  test("gateway verbs: did, nonparam_dml, quantile_test_bucket") {
+    setup
+    val did = GraftGateway.sql(spark,
+      "SELECT did(y, t, CAST(uin % 2 AS DOUBLE)) FROM exp_data")
+    assert(did.columns.toSeq == Seq("term", "estimate", "stderr", "t_value", "p_value"))
+    val terms = did.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(terms.keySet == Set("treatment", "time", "treatment:time", "(intercept)"))
+    // y has a pure treatment effect of 0.5 and no time/interaction structure
+    assert(math.abs(terms("treatment") - 0.5) < 0.3, terms.toString)
+    assert(math.abs(terms("treatment:time")) < 0.3, terms.toString)
+    val np = GraftGateway.sql(spark,
+      "SELECT nonparam_dml(y, t, x) FROM exp_data").head()
+    assert(math.abs(np.getAs[Double]("ate") - 0.5) < 0.2, np.toString)
+    val qt = GraftGateway.sql(spark,
+      "SELECT quantile_test_bucket(y, t, uin % 8, 0.25, 0.75) FROM exp_data")
+    assert(qt.count() == 2)
+    assert(qt.columns.contains("percentile") && qt.columns.contains("diff"))
+  }
+
   test("models round-trip through tables (ModelIo)") {
     setup
     val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
