@@ -104,6 +104,25 @@ object ScaleProbe {
       val n = pairs.count()
       assert(n >= docRows / 100 * 95 / 100, s"winnow recall too low: $n pairs")
     }
+    // embedding near-dup with DEFAULT args: auto bits/tables must keep the
+    // candidate set linear in n (never the O(n²) cross join) while
+    // recovering the 1% planted same-direction duplicates
+    val vecRows = math.min(rows, 200000L)
+    val dim = 32
+    val vecs = spark.range(vecRows).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        when(col("id") % 100 === 99,
+          pmod(xxhash64(col("id") - 1, d, lit(13)), lit(1000L)).cast("double") / 500.0 - 1.0)
+          .otherwise(
+            pmod(xxhash64(col("id"), d, lit(13)), lit(1000L)).cast("double") / 500.0 - 1.0)).as("v"))
+    time(s"embedding near-dup, default LSH config ($vecRows vectors)") {
+      val pairs = graft.ops.Dedup.embeddingNearDup(vecs, col("id"), col("v"),
+        threshold = 0.999)
+      val n = pairs.count()
+      assert(n >= vecRows / 100 * 90 / 100, s"near-dup recall too low: $n pairs")
+      assert(n <= vecRows / 100 + vecRows / 1000, s"false-positive blowup: $n pairs")
+    }
     time(s"connected components (${docRows / 100} chain edges, depth 50)") {
       // 50-long duplicate chains: worst-case diameter for label propagation
       val edges = spark.range(docRows / 100)

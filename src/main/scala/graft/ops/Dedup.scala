@@ -263,60 +263,82 @@ object Dedup {
     * (deterministic per dim via xxhash64-derived pseudo-gaussians); pairs
     * must share a bit-prefix bucket before the exact cosine verify. For
     * recall ~1 at high thresholds use few bits; bits=0 forces exact brute
-    * force; bits<0 (the DEFAULT) derives bits from the corpus count so the
-    * default is never the O(n²) cross join at scale — ~log2(n/2000) bits
-    * targets ~2k-vector buckets (quadratic-in-bucket verify stays bounded),
-    * and corpora under ~4k rows fall back to exact. `tables` > 1 adds
-    * OR-amplification: that many independent hyperplane sets, a pair is a
-    * candidate if it collides in ANY table — recall 1-(1-p^bits)^tables, so
-    * at 100 TB raise `bits` (smaller buckets, sub-quadratic verify) and
-    * compensate recall with `tables`.
+    * force; bits<0 (the DEFAULT) derives the whole configuration from the
+    * corpus and the threshold so the default is never the O(n²) cross join
+    * at scale: ~log2(n/128) bits targets ~128-vector buckets (verify cost
+    * ≈ 64·n·tables pairs — LINEAR in n), corpora under ~256 rows fall
+    * back to exact, and `tables` (when not given) is set from the
+    * hyperplane flip probability p = acos(threshold)/π to reach ~0.9
+    * candidate recall via OR-amplification: recall = 1-(1-(1-p)^bits)^T.
+    * Explicitly passed `bits` keeps `tables` at the value given (default
+    * 1), preserving exact caller control.
     * Candidate ids pair up inside each (table, bucket) group (groupBy, no
     * self-join); vectors rejoin from the source only for colliding pairs. */
   def embeddingNearDup(df: DataFrame, id: Column, embedding: Column,
                        threshold: Double = 0.95, bits: Int = -1,
-                       tables: Int = 1): DataFrame = {
+                       tables: Int = -1): DataFrame = {
     val base = df.select(id.cast("long").as("id"),
       embedding.cast("array<double>").as("v"))
-    val effBits =
-      if (bits >= 0) bits
-      else math.min(20,
-        math.max(0, math.ceil(math.log(base.count() / 2000.0) / math.log(2)).toInt))
-    val cands =
-      if (effBits == 0) {
-        // exact brute force: join streams the cross product across tasks
-        // (a single collect_list bucket would funnel the table into one row)
-        base.select(col("id").as("id_a")).join(
-          base.select(col("id").as("id_b")), col("id_a") < col("id_b"))
-      } else {
-        def bucket(table: Int): Column = (0 until effBits).map { b =>
-          // pseudo-random hyperplane h_tb[d] = centered hash of (t, b, d)
-          val dot = aggregate(
-            zip_with(col("v"),
-              transform(sequence(lit(0), size(col("v")) - 1),
-                d => (pmod(xxhash64(lit(table), lit(b), d), lit(1000000L)).cast("double") / 500000.0) - 1.0),
-              (x, h) => x * h),
-            lit(0.0), (acc, x) => acc + x)
-          when(dot > 0, lit(1L << b)).otherwise(0L)
-        }.reduce[Column]((a, c) => a.bitwiseOR(c))
-        base.select(col("id"),
-            posexplode(array((0 until tables).map(bucket): _*))
-              .as(Seq("table", "bucket")))
-          .groupBy(col("table"), col("bucket"))
-          .agg(collect_list(col("id")).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(bucketPairs(col("ids"))).as("p"))
-          .select(col("p.id_a"), col("p.id_b"))
-          .distinct()
+    val (effBits, effTables) =
+      if (bits >= 0) (bits, math.max(1, tables))
+      else {
+        val n = base.count()
+        val b = math.min(20,
+          math.max(0, math.ceil(math.log(n / 128.0) / math.log(2)).toInt))
+        val t =
+          if (tables > 0) tables
+          else if (b == 0) 1
+          else {
+            val pKeep = math.pow(
+              1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi, b)
+            if (pKeep >= 0.9) 1
+            else math.min(6, math.max(1,
+              math.ceil(math.log(0.1) / math.log1p(-pKeep)).toInt))
+          }
+        (b, t)
       }
-    val va = base.select(col("id").as("id_a"), col("v").as("va"))
-    val vb = base.select(col("id").as("id_b"), col("v").as("vb"))
     val dot = aggregate(zip_with(col("va"), col("vb"), (a, b) => a * b),
       lit(0.0), (acc, x) => acc + x)
     def norm(c: Column) = sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
-    cands.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cosine", dot / (norm(col("va")) * norm(col("vb"))))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    if (effBits == 0) {
+      // exact brute force: join streams the cross product across tasks
+      // (a single collect_list bucket would funnel the table into one row)
+      base.select(col("id").as("id_a"), col("v").as("va"))
+        .join(base.select(col("id").as("id_b"), col("v").as("vb")),
+          col("id_a") < col("id_b"))
+        .withColumn("cosine", dot / (norm(col("va")) * norm(col("vb"))))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    } else {
+      def bucket(table: Int): Column = (0 until effBits).map { b =>
+        // pseudo-random hyperplane h_tb[d] = centered hash of (t, b, d)
+        val hdot = aggregate(
+          zip_with(col("v"),
+            transform(sequence(lit(0), size(col("v")) - 1),
+              d => (pmod(xxhash64(lit(table), lit(b), d), lit(1000000L)).cast("double") / 500000.0) - 1.0),
+            (x, h) => x * h),
+          lit(0.0), (acc, x) => acc + x)
+        when(hdot > 0, lit(1L << b)).otherwise(0L)
+      }.reduce[Column]((a, c) => a.bitwiseOR(c))
+      // vectors RIDE INTO the bucket rows (the simHashPairs idiom) so the
+      // cosine verify runs inside the pair expansion — no re-join of an
+      // O(candidates) set against the corpus, no candidate shuffle; only
+      // pairs that already cleared the threshold reach the cross-table
+      // distinct. Bucket rows hold ≤ ~128 (id, vector) structs by
+      // construction of the auto bits, bounding collect_list state.
+      base.select(col("id"), col("v"),
+          posexplode(array((0 until effTables).map(bucket): _*))
+            .as(Seq("table", "bucket")))
+        .groupBy(col("table"), col("bucket"))
+        .agg(collect_list(struct(col("id"), col("v"))).as("members"))
+        .filter(size(col("members")) > 1)
+        .select(explode(bucketPairs(col("members"))).as("p"))
+        .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
+          col("p.id_a.v").as("va"), col("p.id_b.v").as("vb"))
+        .withColumn("cosine", dot / (norm(col("va")) * norm(col("vb"))))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .distinct()
+    }
   }
 }
