@@ -151,4 +151,23 @@ class OpsSpec extends AnyFunSuite {
     val (train, test) = upliftDf.trainTestSplit(0.3)
     assert(train.count() + test.count() == 5000)
   }
+
+  test("CSV source round-trips schema and values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    // deterministic subset: bare limit() picks arbitrary rows per evaluation
+    val out = upliftDf.orderBy($"y", $"t").limit(100)
+    out.write.mode("overwrite").option("header", "true").csv(s"$dir/u")
+    val back = spark.read.option("header", "true")
+      .schema(out.schema).csv(s"$dir/u")
+    assert(back.count() == 100)
+    val a = out.agg(org.apache.spark.sql.functions.sum($"y")).head().getDouble(0)
+    val b = back.agg(org.apache.spark.sql.functions.sum($"y")).head().getDouble(0)
+    assert(approx(a, b, 1e-9), s"$a vs $b")
+    // an aggregate operator runs identically over the CSV-backed frame
+    val t1 = out.select(functions.ttest_2samp("x1", $"t")($"y").as("r"))
+      .select("r.estimate").head().getDouble(0)
+    val t2 = back.select(functions.ttest_2samp("x1", $"t")($"y").as("r"))
+      .select("r.estimate").head().getDouble(0)
+    assert(approx(t1, t2, 1e-9))
+  }
 }
