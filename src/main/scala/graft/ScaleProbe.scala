@@ -77,6 +77,28 @@ object ScaleProbe {
       assert(r.count() == 100)
     }
 
+    // causal forest at the reference's claims class ("minute-level on tens
+    // of millions of rows"): level-synchronous growth over the persisted
+    // exploded membership — D+1 scans, histogram-only collects
+    val forestRows = math.min(rows, 10000000L)
+    val fdf = spark.range(forestRows).select(
+      (col("id") % 2).cast("int").as("t"),
+      (pmod(xxhash64(col("id"), lit(21)), lit(1000L)).cast("double") / 500.0 - 1.0).as("f1"),
+      (pmod(xxhash64(col("id"), lit(22)), lit(1000L)).cast("double") / 500.0 - 1.0).as("f2"))
+      .withColumn("h", (col("f1") > 0.0).cast("double"))
+      .withColumn("y", col("h") * 5.0 + col("t") * (lit(1.0) + col("h") * 4.0) +
+        (pmod(xxhash64(col("t"), col("f1"), col("f2"), lit(23)), lit(1000L)).cast("double") / 1000.0))
+    time(s"causal_forest fit+score ($forestRows rows, 16 trees, depth 4)") {
+      val m = graft.ops.CausalForest.fit(fdf, col("y"), col("t"),
+        Seq("f1" -> col("f1"), "f2" -> col("f2")),
+        numTrees = 16, maxDepth = 4, minNodeSize = 1000, bins = 32)
+      val seg = m.score(fdf, Seq(col("f1"), col("f2")), "eff", "se")
+        .groupBy(col("h")).agg(avg(col("eff")).as("e")).collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      assert(math.abs(seg(0.0) - 1.0) < 0.3, s"tau(h=0) ${seg(0.0)}")
+      assert(math.abs(seg(1.0) - 5.0) < 0.3, s"tau(h=1) ${seg(1.0)}")
+    }
+
     // dedup path at corpus scale: 1M synthetic ~40-word docs, 1% planted
     // near-dups. Candidate generation must stay bucket-local (no all-pairs):
     // wall-clock here is dominated by the two signature scans.

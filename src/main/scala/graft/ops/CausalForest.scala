@@ -157,7 +157,7 @@ object CausalForest {
       .withColumn("__th", explode(filter(array(memberEntries: _*), _.isNotNull)))
       .withColumn("__tree", col("__th.tree"))
       .withColumn("__half", col("__th.half"))
-      .drop("__th")
+      .drop("__th", "__rh") // __rh only seeds the membership draw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val growFrame = if (honest) exploded.filter(col("__half") === 0) else exploded
     val estFrame = if (honest) exploded.filter(col("__half") === 1) else exploded
