@@ -1,0 +1,121 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Fused per-row vector kernels for the ANN / embedding-dedup hot paths.
+  *
+  * The column-composition versions (`aggregate(zip_with(...))`) evaluate a
+  * lambda per element per fold — three array traversals and ~6 virtual
+  * calls per element for one cosine. These expressions make ONE pass in a
+  * tight JIT'd loop and stay inside whole-stage codegen. Semantics mirror
+  * the composed forms exactly: any null element, or a length mismatch
+  * (zip_with pads with nulls), yields NULL; two empty arrays yield NaN
+  * (0/0); accumulation order per accumulator is identical, so results are
+  * bit-for-bit equal — verified in PipelineOpsSpec.
+  */
+object VectorOps {
+  /** cosine(a, b); boxed so null can signal the composed form's null. */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; nx += x * x; ny += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  /** Σ (a_i − v_i)² against a plan-constant vector (IVF centroid). */
+  def l2sq(a: ArrayData, v: Array[Double]): java.lang.Double = {
+    val n = a.numElements()
+    if (v.length != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val d = a.getDouble(i) - v(i)
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+}
+
+/** Codegen'd cosine similarity over two array<double> columns. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.requireDoubleArray(left, prettyName)
+      match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          VectorExprs.requireDoubleArray(right, prettyName)
+        case f => f
+      }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.expr.VectorOps.cosine($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd squared L2 distance to a plan-constant vector. */
+case class L2SqToLit(child: Expression, v: Array[Double])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.requireDoubleArray(child, prettyName)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2sq_to_lit"
+  @transient private lazy val vRef = v
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.l2sq(input.asInstanceOf[ArrayData], v)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vName = ctx.addReferenceObj("l2vec", v, "double[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Double r = graft.expr.VectorOps.l2sq($a, $vName);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): L2SqToLit =
+    copy(child = newChild)
+  // Array[Double] has reference equality; compare contents so plan
+  // canonicalization (and test ===) behaves
+  override def equals(o: Any): Boolean = o match {
+    case L2SqToLit(c, ov) => c == child && java.util.Arrays.equals(ov, v)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(v)
+}
+
+object VectorExprs {
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def l2SqToLit(a: Column, v: Array[Double]): Column =
+    ColumnBridge.column(L2SqToLit(ColumnBridge.expression(a), v))
+
+  private[expr] def requireDoubleArray(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<double> input, got ${other.catalogString}")
+    }
+}

@@ -15,13 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** cosine(a, b) as a column expression over two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  /** cosine(a, b) over two array<double> columns — a single-pass codegen'd
+    * kernel ([[graft.expr.VectorExprs.cosineSim]]); same null/NaN semantics
+    * as the composed aggregate(zip_with(...)) form it replaced. */
+  def cosine(a: Column, b: Column): Column =
+    graft.expr.VectorExprs.cosineSim(a, b)
 
   /** Exact brute-force top-k by cosine. `probes` must be small (it is
     * broadcast); corpus stays distributed. Returns (query_id, neighbor_id,
@@ -86,13 +84,12 @@ object Ann {
     best
   }
 
-  /** Cell assignment as a codegen'd argmin over centroid literals. */
+  /** Cell assignment as a codegen'd argmin over centroid literals — one
+    * fused L2 kernel per centroid instead of a per-element lambda fold. */
   def cellOf(index: IvfIndex, vec: Column): Column = {
     val v = vec.cast("array<double>")
     val dists = index.centroids.zipWithIndex.map { case (c, i) =>
-      val lit2 = array(c.map(lit): _*)
-      struct(aggregate(zip_with(v, lit2, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x).as("d"), lit(i).as("cell"))
+      struct(graft.expr.VectorExprs.l2SqToLit(v, c).as("d"), lit(i).as("cell"))
     }
     array_min(array(dists: _*)).getField("cell")
   }
@@ -117,9 +114,7 @@ object Ann {
       cellOf(index, corpusVec).as("cell"))
     // per-probe probed cells: nprobe nearest centroids, as an array column
     val cellDists = index.centroids.zipWithIndex.map { case (c, i) =>
-      val lit2 = array(c.map(lit): _*)
-      struct(aggregate(zip_with(probeVec.cast("array<double>"), lit2,
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x).as("d"),
+      struct(graft.expr.VectorExprs.l2SqToLit(probeVec.cast("array<double>"), c).as("d"),
         lit(i).as("cell"))
     }
     val probedCells = slice(array_sort(array(cellDists: _*)), 1, nprobe)

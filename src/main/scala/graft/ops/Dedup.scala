@@ -297,16 +297,14 @@ object Dedup {
           }
         (b, t)
       }
-    val dot = aggregate(zip_with(col("va"), col("vb"), (a, b) => a * b),
-      lit(0.0), (acc, x) => acc + x)
-    def norm(c: Column) = sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
+    val cosine = graft.expr.VectorExprs.cosineSim(col("va"), col("vb"))
     if (effBits == 0) {
       // exact brute force: join streams the cross product across tasks
       // (a single collect_list bucket would funnel the table into one row)
       base.select(col("id").as("id_a"), col("v").as("va"))
         .join(base.select(col("id").as("id_b"), col("v").as("vb")),
           col("id_a") < col("id_b"))
-        .withColumn("cosine", dot / (norm(col("va")) * norm(col("vb"))))
+        .withColumn("cosine", cosine)
         .filter(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), col("cosine"))
     } else {
@@ -335,7 +333,7 @@ object Dedup {
         .select(explode(bucketPairs(col("members"))).as("p"))
         .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
           col("p.id_a.v").as("va"), col("p.id_b.v").as("vb"))
-        .withColumn("cosine", dot / (norm(col("va")) * norm(col("vb"))))
+        .withColumn("cosine", cosine)
         .filter(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), col("cosine"))
         .distinct()

@@ -327,4 +327,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rp(0).getStruct(0).getInt(0) == 1024 && rp(0).getStruct(0).getBoolean(2))
     assert(rp(1).getStruct(0).getInt(0) == 640 && !rp(1).getStruct(0).getBoolean(2))
   }
+
+  test("vector kernels are bit-identical to the composed HOF forms") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 200).map { _ =>
+      (Array.fill(16)(rng.nextGaussian()), Array.fill(16)(rng.nextGaussian()))
+    }
+    val d = rows.toDF("a", "b")
+      .select($"a".cast("array<double>").as("a"), $"b".cast("array<double>").as("b"))
+    val hofCos = {
+      val dot = aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val na = sqrt(aggregate(transform($"a", x => x * x), lit(0.0), (acc, x) => acc + x))
+      val nb = sqrt(aggregate(transform($"b", x => x * x), lit(0.0), (acc, x) => acc + x))
+      dot / (na * nb)
+    }
+    val diff = d.select(graft.expr.VectorExprs.cosineSim($"a", $"b").as("k"), hofCos.as("h"))
+      .filter($"k" =!= $"h").count() // bitwise equality: any diff fails =!=
+    assert(diff == 0, s"$diff rows differ from the HOF cosine")
+    // L2-to-literal vs the composed zip_with fold
+    val v = Array.fill(16)(rng.nextGaussian())
+    val lit2 = array(v.map(lit): _*)
+    val hofL2 = aggregate(zip_with($"a", lit2, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val diff2 = d.select(graft.expr.VectorExprs.l2SqToLit($"a", v).as("k"), hofL2.as("h"))
+      .filter($"k" =!= $"h").count()
+    assert(diff2 == 0, s"$diff2 rows differ from the HOF l2")
+    // null / length-mismatch / empty semantics mirror zip_with padding
+    val edge = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)), // null elem
+      (Seq[java.lang.Double](1.0), Seq[java.lang.Double](1.0, 2.0)),       // mismatch
+      (Seq.empty[java.lang.Double], Seq.empty[java.lang.Double]))          // empty
+      .toDF("a", "b")
+      .select($"a".cast("array<double>").as("a"), $"b".cast("array<double>").as("b"))
+      .select(graft.expr.VectorExprs.cosineSim($"a", $"b").as("k")).collect()
+    assert(edge(0).isNullAt(0) && edge(1).isNullAt(0))
+    assert(edge(2).getDouble(0).isNaN)
+  }
 }
