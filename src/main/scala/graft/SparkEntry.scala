@@ -97,7 +97,11 @@ object SparkEntry {
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
     }),
     "q05_anti_join" -> ((s, d) => {
-      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      // anti-join against the BIG orders only, so the result is non-empty
+      // (every customer has some order in this data — an anti-join on all
+      // orders would pass vacuously with 0 rows)
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
     }),
@@ -640,8 +644,15 @@ object SparkEntry {
     }),
     "q36_ngram_jaccard" -> ((s, d) => {
       // shingle each doc ONCE before the pair join — shingling inside the
-      // join projection would re-split every text once per pair (49× here)
-      val docs = t(s, d, "documents").filter(col("doc_id") < 50)
+      // join projection would re-split every text once per pair (49× here).
+      // Suffix-modified copies (doc_id+10000) plant pairs with jaccard
+      // n/(n+3) ≈ 0.9, so the threshold filter has real rows to keep (no
+      // two natural docs clear 0.3 — the check would otherwise be vacuous)
+      val base36 = t(s, d, "documents").filter(col("doc_id") < 25)
+        .select(col("doc_id"), col("text"))
+      val modified = base36.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+      val docs = base36.unionByName(modified)
         .select(col("doc_id"), graft.ops.TextOps.shingles(col("text"), 2).as("sh"))
       val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sa"))
       val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sb"))
@@ -926,7 +937,9 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin,
     "q05_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 450000.0)
         |GROUP BY c_mktsegment""".stripMargin,
     "q06_union" ->
       """SELECT l_linestatus, count(*) AS n_rows,
@@ -1192,9 +1205,13 @@ object SparkEntry {
         |  round(avg(length(text)::DOUBLE / greatest(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')), 1)), 6) AS avg_chars_per_token
         |FROM documents GROUP BY lang""".stripMargin,
     "q36_ngram_jaccard" ->
-      """WITH d AS (
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' zz yy xx' FROM documents WHERE doc_id < 25),
+        |d AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM documents WHERE doc_id < 50),
+        |  FROM all_docs),
         |s AS (SELECT doc_id,
         |        list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS sh
         |      FROM d)
