@@ -25,16 +25,20 @@ object Bench {
     // poisons both, which is how r05 recorded q34 at 14.6 s when a quiet
     // re-run gives 2.3 s); interleaving the suite between the two samples
     // decorrelates the noise at zero extra cost
+    // a failed query records -1, not its time-to-failure (which would be
+    // indistinguishable from a fast success in the JSON)
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => name -> time(fn) }
     val pass2 = ordered.map { case (name, fn) => name -> time(fn) }
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
-      name -> math.min(a, b)
+      val m = math.min(if (a < 0) Double.PositiveInfinity else a,
+        if (b < 0) Double.PositiveInfinity else b)
+      name -> (if (m.isInfinity) -1.0 else m)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
