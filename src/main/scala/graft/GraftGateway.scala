@@ -53,7 +53,19 @@ object GraftGateway {
     parsed.flatMap(findVerb) match {
       case Some((verb, args, input)) =>
         dispatch(spark, verb, ColumnBridge.ofRows(spark, input), args)
-      case None => spark.sql(query)
+      case None =>
+        try spark.sql(query)
+        catch {
+          // a verb buried in a larger SELECT list (or nested in another
+          // expression) is not rewritable — name the constraint instead of
+          // surfacing Spark's bare "undefined function"
+          case e: org.apache.spark.sql.AnalysisException
+              if verbs.exists(v => s"(?i)\\b$v\\s*\\(".r.findFirstIn(query).isDefined) =>
+            throw new IllegalArgumentException(
+              "graft table verbs must be the ONLY item in the top-level " +
+                "SELECT list — `SELECT verb(args) FROM ...` — because they " +
+                s"rewrite the whole query. Original error: ${e.getMessage}", e)
+        }
     }
   }
 

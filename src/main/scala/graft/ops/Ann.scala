@@ -19,7 +19,7 @@ object Ann {
     * kernel ([[graft.expr.VectorExprs.cosineSim]]); same null/NaN semantics
     * as the composed aggregate(zip_with(...)) form it replaced. */
   def cosine(a: Column, b: Column): Column =
-    graft.expr.VectorExprs.cosineSim(a, b)
+    graft.expr.VectorExprs.cosineSim(a.cast("array<double>"), b.cast("array<double>"))
 
   /** Exact brute-force top-k by cosine. `probes` must be small (it is
     * broadcast); corpus stays distributed. Returns (query_id, neighbor_id,

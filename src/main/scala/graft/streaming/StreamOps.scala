@@ -63,6 +63,36 @@ object StreamOps {
       ((m1 - m0) / se).as("t_statistic"))
   }
 
+  /** Streaming sample-ratio-mismatch monitor: per-window chi-square of the
+    * observed arm counts against expected `ratios` — the live experiment
+    * health check (srm.h semantics on a stream). Per-(window, arm) counts
+    * fold associatively under late/out-of-order arrivals; chisq and the
+    * p-value are projection-time expressions, so every update-mode
+    * emission carries the window's current verdict. */
+  def windowedSrm(events: DataFrame, eventTime: Column, arm: Column,
+                  ratios: Seq[Double], windowDuration: String,
+                  watermarkDelay: String): DataFrame = {
+    require(ratios.nonEmpty && ratios.forall(_ > 0), "ratios must be positive")
+    val k = ratios.length
+    val ratioSum = ratios.sum
+    val countCols = (0 until k).map(i =>
+      sum(when(arm.cast("int") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val counts = events
+      .withColumn("__et", eventTime.cast("timestamp"))
+      .withWatermark("__et", watermarkDelay)
+      .groupBy(window(col("__et"), windowDuration))
+      .agg(countCols.head, countCols.tail: _*)
+    val total = (0 until k).map(i => col(s"c$i")).reduce(_ + _).cast("double")
+    val chisq = (0 until k).map { i =>
+      val e = lit(ratios(i) / ratioSum) * total
+      (col(s"c$i") - e) * (col(s"c$i") - e) / e
+    }.reduce(_ + _)
+    val pUdf = udf((x: Double) =>
+      if (x.isNaN) Double.NaN else 1.0 - graft.stats.Dist.chiSqCdf(x, (k - 1).toDouble))
+    counts.select(col("window") +: (0 until k).map(i => col(s"c$i")) :+
+      chisq.as("chisq") :+ pUdf(chisq).as("p_value"): _*)
+  }
+
   /** Streaming exact dedup for a continuously-ingested corpus: drops every
     * re-occurrence of a normalized-content fingerprint arriving within the
     * watermark horizon (`dropDuplicatesWithinWatermark`, so per-key state

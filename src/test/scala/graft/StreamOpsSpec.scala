@@ -52,6 +52,28 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedSrm flags an imbalanced traffic split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Int)]
+    val df = input.toDF().toDF("ts_s", "arm")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = StreamOps.windowedSrm(df, col("ts"), col("arm"), Seq(1.0, 1.0),
+      "60 seconds", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("srm")
+      .outputMode("update").start()
+    try {
+      // 90/10 split against an expected 50/50 — unambiguous mismatch
+      input.addData((1 to 90).map(i => (i.toLong % 50, 0)) ++
+        (1 to 10).map(i => (i.toLong % 50, 1)): _*)
+      q.processAllAvailable()
+      val r = spark.table("srm").collect().head
+      assert(r.getAs[Long]("c0") == 90 && r.getAs[Long]("c1") == 10)
+      assert(r.getAs[Double]("chisq") > 60.0) // (90-50)²/50 + (10-50)²/50 = 64
+      assert(r.getAs[Double]("p_value") < 1e-6)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeated content within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
