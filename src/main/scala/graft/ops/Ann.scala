@@ -91,7 +91,7 @@ object Ann {
     val dists = index.centroids.zipWithIndex.map { case (c, i) =>
       struct(graft.expr.VectorExprs.l2SqToLit(v, c).as("d"), lit(i).as("cell"))
     }
-    array_min(array(dists: _*)).getField("cell")
+    array_min(array(dists.toIndexedSeq: _*)).getField("cell")
   }
 
   /** IVF top-k: probes search only their `nprobe` nearest cells. Exact
@@ -117,7 +117,7 @@ object Ann {
       struct(graft.expr.VectorExprs.l2SqToLit(probeVec.cast("array<double>"), c).as("d"),
         lit(i).as("cell"))
     }
-    val probedCells = slice(array_sort(array(cellDists: _*)), 1, nprobe)
+    val probedCells = slice(array_sort(array(cellDists.toIndexedSeq: _*)), 1, nprobe)
     val p = probes.select(probeId.cast("long").as("query_id"),
       probeVec.cast("array<double>").as("q"),
       explode(transform(probedCells, s => s.getField("cell"))).as("cell"))

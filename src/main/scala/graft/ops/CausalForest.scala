@@ -121,7 +121,7 @@ object CausalForest {
       (y.cast("double").as("__y") +: treatment.cast("int").as("__t") +:
         features.zipWithIndex.map { case ((_, c), i) => c.cast("double").as(s"__f$i") }): _*)
       .filter(col("__y").isNotNull && !isnan(col("__y")))
-    val rowHash = xxhash64(struct(base0.columns.map(col): _*), lit(seed))
+    val rowHash = xxhash64(struct(base0.columns.toIndexedSeq.map(col): _*), lit(seed))
     val pre = base0.withColumn("__rh", rowHash)
     // global quantile bins once, ALL features in one pass (histogram style)
     val probs = (1 until bins).map(_.toDouble / bins).toArray

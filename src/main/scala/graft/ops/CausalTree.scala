@@ -104,7 +104,7 @@ object CausalTree {
       .filter(col("__y").isNotNull && !isnan(col("__y")))
     // honest split: deterministic hash halves
     val base = base0.withColumn("__half",
-      pmod(xxhash64(struct(base0.columns.map(col): _*), lit(seed)), lit(2)).cast("int"))
+      pmod(xxhash64(struct(base0.columns.toIndexedSeq.map(col): _*), lit(seed)), lit(2)).cast("int"))
     base.cache()
     try fitCached(base, k, featNames, maxDepth, minNodeSize, bins, honest)
     finally base.unpersist()

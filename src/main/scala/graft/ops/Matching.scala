@@ -34,7 +34,7 @@ object Matching {
     // content hash, not rand(): rand() draws per-partition streams, so the
     // matched pairs would change with the cluster layout; the hash gives the
     // same "random" order (and slice) on any layout.
-    val h = xxhash64(struct(df.columns.map(col): _*), lit(seed))
+    val h = xxhash64(struct(df.columns.toIndexedSeq.map(col): _*), lit(seed))
     val withCell = df.withColumn("__cell", cell)
       .withColumn("__t", treatment.cast("int"))
       .withColumn("__h", h)
