@@ -81,6 +81,24 @@ object implicits {
       df.select(graft.functions.wls(col(y), xs.map(col), col(weight), useBias).as("m"))
         .select(col("m.*"))
 
+    /** R `summary(lm)`-style text block for y ~ xs (visual parity with the
+      * reference's formatted OLS output). */
+    def olsReport(y: String, xs: Seq[String], useBias: Boolean = true): String =
+      graft.Formatters.formatOls(
+        Regression.fitOls(df, col(y), xs.map(col), useBias).summary, xs)
+
+    /** Two-block experiment table for the xexpt t-test (visual parity with
+      * the reference's formatted output). */
+    def xexptReport(uin: String, treatment: String, numerator: String,
+                    denominator: String, alpha: Double = 0.05,
+                    mde: Double = 0.005, power: Double = 0.8): String = {
+      val row = df.select(graft.functions.xexpt_ttest_2samp(col(uin),
+        col(treatment), Seq(col(numerator), col(denominator)),
+        alpha = alpha, mde = mde, power = power).as("r"))
+        .select(col("r.*")).head()
+      graft.Formatters.formatXexpt(row, alpha, mde, power, "avg")
+    }
+
     def did(y: String, treatment: String, time: String, xs: Seq[String] = Seq.empty): DataFrame = {
       val m = Regression.did(df, col(y), col(treatment), col(time), xs.map(col)).summary
       summaryToDf(df, m)

@@ -77,5 +77,11 @@ class FormattersSpec extends AnyFunSuite {
       Seq(col("y"), lit(1.0))).as("r")).select("r.*").head()
     val xTxt = Formatters.formatXexpt(xRow)
     assert(xTxt.contains("groupname") && xTxt.contains("recommend_samples"))
+    // DSL conveniences produce the same blocks
+    import graft.api.implicits._
+    val rep = df.withColumn("one", lit(1.0)).olsReport("y", Seq("x"))
+    assert(rep.contains("lm( formula = y ~ x )"))
+    val xr = df.withColumn("one", lit(1.0)).xexptReport("uin", "t", "y", "one")
+    assert(xr.contains("95%_relative_CI"))
   }
 }
