@@ -497,6 +497,17 @@ object SparkEntry {
           round(col("i_raw"), 6).as("ipw"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q59_wls" -> ((s, d) => {
+      // weighted least squares (reference 5_wls.sql): integer weights from
+      // the line number; slope/intercept have exact closed forms over
+      // weighted sums
+      val li = t(s, d, "lineitem")
+        .withColumn("w", (col("l_linenumber") % 3 + 1).cast("double"))
+      li.select(functions.wls(col("l_extendedprice"), Seq(col("l_quantity")),
+        col("w")).as("m"))
+        .select(round(element_at(col("m.coefficients"), 1), 4).as("slope"),
+          round(element_at(col("m.coefficients"), 2), 2).as("intercept"))
+    }),
     "q44_winnow_dupes" -> ((s, d) => {
       // winnowing (rolling-hash) fingerprint duplicate pairs: 50 docs + 50
       // planted exact copies; exact copies share the whole fingerprint set
@@ -908,6 +919,15 @@ object SparkEntry {
         |SELECT round(ate, 6) AS ate, CAST(246.453686 AS DOUBLE) AS ate_stderr,
         |  round(ipw, 6) AS ipw, '0.01' AS oracle_sf
         |FROM est""".stripMargin,
+    "q59_wls" ->
+      """WITH s AS (
+        |  SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+        |         sum(w * x * x) AS swxx, sum(w * x * y) AS swxy
+        |  FROM (SELECT CAST(l_linenumber % 3 + 1 AS DOUBLE) AS w,
+        |               l_quantity AS x, l_extendedprice AS y FROM lineitem))
+        |SELECT round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 4) AS slope,
+        |  round((swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx) / sw, 2) AS intercept
+        |FROM s""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
