@@ -87,15 +87,20 @@ object Longterm {
     val k = surrogates.head.length
     val tr = fitTransition(df, surrogates)
 
-    // point estimates through the column-expression path (codegen, one scan)
-    var cur = surrogates.last
-    val pointEst = (1 to horizon).map { h =>
-      cur = step(tr, cur)
-      val outcome = cur.head
+    // point estimates through the column-expression path — ALL horizons as
+    // aggregate columns of ONE scan (one job per horizon would re-read the
+    // input h times)
+    val pointEst = {
+      var cur = surrogates.last
       val t = treatment.cast("int")
-      df.agg((sum(when(t === 1, outcome)) / sum(when(t === 1, 1)) -
-        sum(when(t === 0, outcome)) / sum(when(t === 0, 1))).as("d"))
-        .head().getDouble(0)
+      val aggs = (1 to horizon).map { h =>
+        cur = step(tr, cur)
+        val outcome = cur.head
+        (sum(when(t === 1, outcome)) / sum(when(t === 1, 1)) -
+          sum(when(t === 0, outcome)) / sum(when(t === 0, 1))).as(s"d$h")
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      (0 until horizon).map(row.getDouble)
     }
 
     // ---- bootstrap: per-replicate transition REFIT + effect ----
