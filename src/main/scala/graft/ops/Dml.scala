@@ -32,12 +32,15 @@ object Dml {
                   cv: Int, foldKey: Column): DataFrame = {
     require(cv >= 2, "cv must be >= 2")
     val withFold = df.withColumn("__fold", pmod(foldKey.cast("long"), lit(cv)).cast("int"))
-    val perFold = (0 until cv).map { f =>
-      val train = withFold.filter(col("__fold") =!= f)
-      val my = Regression.fitOls(train, y, xs)
-      val mt = Regression.fitOls(train, t, xs)
-      (f, my, mt)
-    }
+    // ALL 2·cv complement-fold nuisance fits in ONE scan: a null weight
+    // drops the row from that fold's fit (identical to filtering), so the
+    // whole cross-fit costs one pass instead of 2·cv
+    val models = Regression.fitOlsMultiWeighted(withFold,
+      (0 until cv).flatMap { f =>
+        val w = when(col("__fold") =!= f, 1.0)
+        Seq((y, xs, w), (t, xs, w))
+      })
+    val perFold = (0 until cv).map(f => (f, models(2 * f), models(2 * f + 1)))
     // residual expressions: each row predicted by the model that did NOT see it
     val yHat = perFold.foldLeft(lit(Double.NaN)) { case (acc, (f, my, _)) =>
       when(col("__fold") === f, Regression.predict(my, xs)).otherwise(acc)

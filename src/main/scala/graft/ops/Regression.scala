@@ -72,13 +72,22 @@ object Regression {
     * (target, design) pair, a single job (k separate fitOls calls would
     * re-scan the input k times). */
   def fitOlsMulti(df: DataFrame, targets: Seq[(Column, Seq[Column])],
-                  useBias: Boolean = true, weight: Column = lit(1.0)): Seq[OlsModel] = {
+                  useBias: Boolean = true, weight: Column = lit(1.0)): Seq[OlsModel] =
+    fitOlsMultiWeighted(df, targets.map { case (y, xs) => (y, xs, weight) }, useBias)
+
+  /** [[fitOlsMulti]] with a weight PER target — a NULL weight drops the row
+    * from that target's fit entirely (the null guard nulls the packed
+    * input), so subset fits fuse into one scan via indicator weights
+    * (`when(cond, 1.0)`): exactly the rows where cond holds enter that
+    * model, with the same count/df/inference as a filtered fit. */
+  def fitOlsMultiWeighted(df: DataFrame, targets: Seq[(Column, Seq[Column], Column)],
+                          useBias: Boolean = true): Seq[OlsModel] = {
     require(targets.nonEmpty, "need at least one target")
-    val aggs = targets.zipWithIndex.map { case ((y, xs), i) =>
-      olsBufColumn(y, xs, useBias, weight).as(s"b$i")
+    val aggs = targets.zipWithIndex.map { case ((y, xs, w), i) =>
+      olsBufColumn(y, xs, useBias, w).as(s"b$i")
     }
     val row = df.select(aggs: _*).head()
-    targets.zipWithIndex.map { case ((_, xs), i) =>
+    targets.zipWithIndex.map { case ((_, xs, _), i) =>
       modelFromBuf(bufFromRow(row.getStruct(i)), xs.length, useBias)
     }
   }
