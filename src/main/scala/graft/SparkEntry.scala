@@ -497,6 +497,18 @@ object SparkEntry {
           round(col("i_raw"), 6).as("ipw"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q60_gateway_sql" -> ((s, d) => {
+      // the SQL gateway end-to-end under the oracle gate: a graft verb
+      // (smd) dispatched from raw SQL whose input is a CTE — exercises the
+      // Spark-parser rewrite path, not just the Scala DSL
+      t(s, d, "lineitem").createOrReplaceTempView("li_gw")
+      GraftGateway.sql(s,
+        """WITH flagged AS (
+          |  SELECT l_quantity, l_discount, CAST(l_orderkey % 2 AS INT) AS treat
+          |  FROM li_gw)
+          |SELECT smd(treat, l_quantity, l_discount) FROM flagged""".stripMargin)
+        .select(col("covariate"), round(col("smd"), 6).as("smd"))
+    }),
     "q59_wls" -> ((s, d) => {
       // weighted least squares (reference 5_wls.sql): integer weights from
       // the line number; slope/intercept have exact closed forms over
@@ -919,6 +931,22 @@ object SparkEntry {
         |SELECT round(ate, 6) AS ate, CAST(246.453686 AS DOUBLE) AS ate_stderr,
         |  round(ipw, 6) AS ipw, '0.01' AS oracle_sf
         |FROM est""".stripMargin,
+    "q60_gateway_sql" ->
+      // same statistic as q30 computed through the SQL gateway + CTE
+      """WITH g AS (
+        |  SELECT
+        |    avg(CASE WHEN l_orderkey % 2 = 1 THEN l_quantity END) AS m1q,
+        |    avg(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity END) AS m0q,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 1 THEN l_quantity END) AS v1q,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity END) AS v0q,
+        |    avg(CASE WHEN l_orderkey % 2 = 1 THEN l_discount END) AS m1d,
+        |    avg(CASE WHEN l_orderkey % 2 = 0 THEN l_discount END) AS m0d,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 1 THEN l_discount END) AS v1d,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 0 THEN l_discount END) AS v0d
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS covariate, round((m1q - m0q) / sqrt((v1q + v0q) / 2), 6) AS smd FROM g
+        |UNION ALL
+        |SELECT 'l_discount', round((m1d - m0d) / sqrt((v1d + v0d) / 2), 6) FROM g""".stripMargin,
     "q59_wls" ->
       """WITH s AS (
         |  SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
