@@ -145,6 +145,21 @@ object ScaleProbe {
       assert(n >= vecRows / 100 * 90 / 100, s"near-dup recall too low: $n pairs")
       assert(n <= vecRows / 100 + vecRows / 1000, s"false-positive blowup: $n pairs")
     }
+    // IVF at corpus scale: planted identical copies must be recovered as
+    // top-1 neighbors (a copy shares its source's cell exactly), probing
+    // 8 of 64 cells — the index is useful only if the probe-cell equi-join
+    // touches ~1/8 of the corpus instead of all of it
+    time(s"ivf knn ($vecRows vectors, 100 probes, 64 cells, nprobe 8)") {
+      val e = vecs.select(col("id").as("vec_id"), col("v"))
+      val probes = e.filter(col("vec_id") % 100 === 99 && col("vec_id") < 10000)
+        .select(col("vec_id").as("pid"), col("v").as("q"))
+      val idx = graft.ops.Ann.trainIvf(e, col("v"), numCells = 64,
+        sampleSize = 2000, seed = 7L)
+      val ivf = graft.ops.Ann.ivfKnn(e, col("vec_id"), col("v"),
+        probes, col("pid"), col("q"), idx, k = 1, nprobe = 8)
+      val perfect = ivf.filter(col("rk") === 1 && col("sim") > 0.999999).count()
+      assert(perfect == 100, s"IVF top-1 recall: $perfect/100")
+    }
     time(s"connected components (${docRows / 100} chain edges, depth 50)") {
       // 50-long duplicate chains: worst-case diameter for label propagation
       val edges = spark.range(docRows / 100)
