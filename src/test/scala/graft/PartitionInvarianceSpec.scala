@@ -58,6 +58,35 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assertClose(xe, "xexpt p_value")
   }
 
+  test("fused multi-OLS and bootstrap refit invariant to partitioning") {
+    // the indicator-weight fused cross-fit must equal a filtered fit on
+    // every layout, and the Poisson-weighted replicate effects are pure
+    // functions of (id, rep, seed) — layout cannot move them
+    val perLayout = layouts(base).map { d =>
+      val models = graft.ops.Regression.fitOlsMultiWeighted(d,
+        Seq((col("y"), Seq(col("x")), when(col("uin") % 2 === 0, 1.0)),
+          (col("y"), Seq(col("x")), when(col("uin") % 2 === 1, 1.0))))
+      val filtered = graft.ops.Regression.fitOls(
+        d.filter(col("uin") % 2 === 0), col("y"), Seq(col("x")))
+      (models(0).summary.coefficients(0), models(0).summary.n,
+        filtered.summary.coefficients(0))
+    }
+    assertClose(perLayout.map(_._1), "fused even-half slope")
+    assert(perLayout.map(_._2).distinct.size == 1, "fused n drifts with layout")
+    perLayout.foreach { case (fused, _, filt) =>
+      assert(math.abs(fused - filt) <= 1e-9, s"fused $fused vs filtered $filt")
+    }
+    val effects = layouts(base).map { d =>
+      graft.ops.Longterm.recursiveForecast(d,
+        Seq(Seq(col("x")), Seq(col("x") * 0.8 + col("d") * 0.1),
+          Seq(col("x") * 0.6 + col("y") * 0.05)),
+        col("t"), horizon = 1, bootstrapB = 20, idCols = Seq(col("uin")))
+        .effects.head
+    }
+    assertClose(effects.map(_.estimate), "longterm estimate")
+    assertClose(effects.map(_.stderr), "longterm bootstrap stderr")
+  }
+
   test("rank tests and distributed variants invariant to partitioning") {
     val mw = layouts(base).map(_.select(
       functions.mann_whitney_utest($"y", $"t").as("r"))
