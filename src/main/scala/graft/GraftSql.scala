@@ -256,6 +256,11 @@ object GraftSql {
       transform(v, x => x / n) }
     fn("cosine_similarity") { a => Ann.cosine(toCol(a(0)), toCol(a(1))) }
     fn("cosine_distance") { a => lit(1.0) - Ann.cosine(toCol(a(0)), toCol(a(1))) }
+    // reference anyMin/anyMax/anyLast aggregates (functions.py:737-771):
+    // value of x at the min/max of y = Spark's min_by/max_by; anyLast = last
+    fn("any_min") { a => min_by(toCol(a(0)), toCol(a(1))) }
+    fn("any_max") { a => max_by(toCol(a(0)), toCol(a(1))) }
+    fn("any_last") { a => last(toCol(a(0))) }
 
     // ---------------------------------------------------------- text / pipeline
     fn("token_count") { a => TextOps.tokenCount(toCol(a(0))) }

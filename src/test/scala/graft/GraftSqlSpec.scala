@@ -279,6 +279,15 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(plain.getLong(0) == 4000L)
   }
 
+  test("any_min / any_max sql names are min_by / max_by") {
+    setup
+    val r = spark.sql(
+      "SELECT any_min(uin, y) AS am, any_max(uin, y) AS ax FROM exp_data").head()
+    val expect = spark.sql(
+      "SELECT min_by(uin, y) AS am, max_by(uin, y) AS ax FROM exp_data").head()
+    assert(r.getLong(0) == expect.getLong(0) && r.getLong(1) == expect.getLong(1))
+  }
+
   test("gateway verbs: did, nonparam_dml, quantile_test_bucket") {
     setup
     val did = GraftGateway.sql(spark,
