@@ -142,6 +142,21 @@ object Regression {
     val withTHat = df.withColumn("__t_hat", tHat)
     fitOls(withTHat, y, Seq(col("__t_hat")) ++ xs, useBias = true).summary
   }
+
+  private val IvFormula =
+    """\s*([\w.]+)\s*~\s*\(\s*([\w.]+)\s*~\s*([\w.]+)\s*\)\s*(?:\+\s*(.+))?""".r
+
+  /** The reference's formula form `iv_regression('y ~ (t ~ z) + x1 + x2')`
+    * (regression.py:865-953; IvRegressionParser.java:33-131). */
+  def ivRegressionFormula(df: DataFrame, formula: String): OlsSummary =
+    formula match {
+      case IvFormula(y, t, z, rest) =>
+        val xs = Option(rest).toSeq
+          .flatMap(_.split("\\+").map(_.trim).filter(_.nonEmpty))
+        ivRegression(df, col(y), col(t), col(z), xs.map(col))
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse IV formula '$formula' — expected 'y ~ (t ~ z) [+ x...]'")
+    }
 }
 
 /** Internal: surfaces the raw OlsBuf as a struct so the driver can rebuild

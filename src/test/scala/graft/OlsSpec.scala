@@ -109,5 +109,15 @@ class OlsSpec extends AnyFunSuite {
     val iv = Regression.ivRegression(d, $"y", $"t", $"z").coefficients(0)
     assert(math.abs(iv - 2.0) < 0.15, s"iv=$iv")
     assert(math.abs(naive - 2.0) > 0.3, s"naive should be biased: $naive")
+    // formula form parses to the identical fit
+    val viaFormula = Regression.ivRegressionFormula(d, "y ~ (t ~ z)").coefficients(0)
+    assert(viaFormula == iv, s"$viaFormula vs $iv")
+    val withX = d.withColumn("x1", $"z" * 0.5)
+    assert(Regression.ivRegressionFormula(withX, "y ~ (t ~ z) + x1")
+      .coefficients.length == 3) // t_hat, x1, intercept
+    intercept[IllegalArgumentException] {
+      Regression.ivRegressionFormula(d, "nonsense")
+    }
+    ()
   }
 }
