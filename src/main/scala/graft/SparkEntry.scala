@@ -585,8 +585,15 @@ object SparkEntry {
       val ivf = graft.ops.Ann.ivfKnn(corpus, col("vec_id"), col("v"),
         probes, col("pid"), col("q"), idx, k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"))
-      val nTrue = brute.count()
-      val nHit = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      // one job for both counts: a separate brute.count() would evaluate
+      // the brute KNN twice (IVF pairs are unique per key, so the left
+      // join cannot duplicate rows)
+      val cnt = brute.join(ivf.withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0))).as("n_hit")).head()
+      val nTrue = cnt.getLong(0)
+      val nHit = cnt.getLong(1)
       val recall = if (nTrue == 0) 0.0 else nHit.toDouble / nTrue
       // the gate GATES: an IVF quality regression fails the query loudly
       // instead of writing a false row nothing reads
