@@ -378,9 +378,13 @@ object SparkEntry {
         idCols = Seq(col("l_orderkey"), col("l_linenumber"))) { w =>
         Seq("stat" -> (sum(col("l_quantity") * w) / sum(w)))
       }
-      val nReps = reps.count()
-      val sm = graft.ops.Bootstrap.summarize(reps, "stat")
-      Seq((nReps, sm.mean, sm.std, sm.lower, sm.upper))
+      // one job: a separate reps.count() would re-run the replicate
+      // pipeline (explode + groupBy) a second time
+      val r = reps.agg(count(lit(1)).as("n"), avg(col("stat")).as("m"),
+        stddev_samp(col("stat")).as("s"),
+        expr("percentile(stat, array(0.025, 0.975))").as("ci")).head()
+      val ci = r.getSeq[Double](3)
+      Seq((r.getLong(0), r.getDouble(1), r.getDouble(2), ci(0), ci(1)))
         .toDF("n_reps", "m_raw", "s_raw", "l_raw", "u_raw")
         .select(col("n_reps"), round(col("m_raw"), 6).as("boot_mean"),
           round(col("s_raw"), 6).as("boot_std"),
