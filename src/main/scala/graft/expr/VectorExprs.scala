@@ -66,11 +66,15 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh local: with non-nullable children nullSafeCodeGen inlines this
+    // unbraced, so a fixed name collides when two kernels share a scope
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.expr.VectorOps.cosine($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      java.lang.Double $r = graft.expr.VectorOps.cosine($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
     """)
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
@@ -89,9 +93,10 @@ case class L2SqToLit(child: Expression, v: Array[Double])
     VectorOps.l2sq(input.asInstanceOf[ArrayData], v)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val vName = ctx.addReferenceObj("l2vec", v, "double[]")
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, a => s"""
-      java.lang.Double r = graft.expr.VectorOps.l2sq($a, $vName);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      java.lang.Double $r = graft.expr.VectorOps.l2sq($a, $vName);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
     """)
   }
   override protected def withNewChildInternal(newChild: Expression): L2SqToLit =

@@ -364,4 +364,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(edge(0).isNullAt(0) && edge(1).isNullAt(0))
     assert(edge(2).getDouble(0).isNaN)
   }
+
+  test("many vector kernels in one codegen scope compile (non-nullable children)") {
+    import org.apache.spark.sql.functions._
+    // transform(sequence(...)) yields a non-nullable array<double>, so
+    // nullSafeCodeGen inlines the kernel body unbraced — several kernels in
+    // one projection then share a Java scope (the Ann.cellOf shape).
+    val confs = Seq("spark.sql.codegen.fallback" -> "false",
+                    "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val d = spark.range(100).select(
+        transform(sequence(lit(1), lit(8)),
+          i => (i + col("id")).cast("double")).as("a"))
+      val cents = (0 until 4).map(c => Array.tabulate(8)(j => (c + j).toDouble))
+      val dists = array(cents.map(v => graft.expr.VectorExprs.l2SqToLit($"a", v)): _*)
+      val out = d.select(
+        dists.as("d"),
+        graft.expr.VectorExprs.cosineSim($"a", $"a").as("c1"),
+        graft.expr.VectorExprs.cosineSim($"a", $"a").as("c2")).collect()
+      assert(out.length == 100)
+      assert(out.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
+      // row id=0: a = (1..8); centroid 0 = (0..7) → dist = 8 * 1
+      assert(math.abs(out.head.getSeq[Double](0).head - 8.0) < 1e-12)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
