@@ -169,10 +169,20 @@ object Bootstrap {
     * Permutation.h:48-263). `mde` shifts treated outcomes to probe
     * sensitivity: absolute (`mdeType="abs"`, y+mde) or relative
     * (`mdeType="rel"`, y·(1+mde)) — Permutation.h:207-263's shift types.
-    * Returns (observed, p_value, reps df). */
+    *
+    * Scan economy: the observed statistic rides the replicate job as
+    * rep = -1 carrying the identity assignment, so the whole test is ONE
+    * distributed aggregation (plus a driver-side reduce over the B+1 result
+    * rows). The permuted assignment needs the treated share p1 up front;
+    * pass the DESIGN share in `p1Design` (known for any planned experiment)
+    * for a strictly single-scan test, else a t-column-only pre-scan
+    * estimates it.
+    *
+    * Returns (observed, p_value, reps df — B local rows, no recompute). */
   def permutationTest(df: DataFrame, y: Column, treatment: Column, b: Int = 1000,
                       seed: Long = 42L, mde: Double = 0.0, mdeType: String = "abs",
                       idCols: Seq[Column] = Seq.empty,
+                      p1Design: Option[Double] = None,
                       stat: (Column, Column) => Column = diffInMeans): (Double, Double, DataFrame) = {
     require(mdeType == "abs" || mdeType == "rel", "mdeType must be abs or rel")
     def shifted(yc: Column, tc: Column): Column =
@@ -185,18 +195,30 @@ object Bootstrap {
     val (base, ids) =
       if (idCols.nonEmpty) (base0, idNamed.indices.map(i => col(s"__id_$i")))
       else withStableIds(base0)
-    val obsRow = base.agg(
-      stat(shifted(col("y"), col("t")), col("t")).as("obs"),
-      (sum(when(col("t") === 1, 1)) / count(lit(1)).cast("double")).as("p1")).head()
-    val observed = obsRow.getAs[Double]("obs")
-    val p1 = obsRow.getAs[Double]("p1")
-    val reps = base
-      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("tp", (uniform(ids, col("rep"), seed) < p1).cast("int"))
+    // column-pruned to t alone when the design share isn't supplied
+    val p1 = p1Design.getOrElse(
+      base.agg((sum(when(col("t") === 1, 1)) / count(lit(1)).cast("double"))).head().getDouble(0))
+    val statRows = base
+      .withColumn("rep", explode(sequence(lit(-1), lit(b - 1))))
+      .withColumn("tp", when(col("rep") === -1, col("t"))
+        .otherwise((uniform(ids, col("rep"), seed) < lit(p1)).cast("int")))
       .groupBy(col("rep"))
       .agg(stat(shifted(col("y"), col("tp")), col("tp")).as("stat"))
-    val pval = reps.agg(
-      avg(when(abs(col("stat")) >= math.abs(observed), 1.0).otherwise(0.0))).head().getDouble(0)
+      .collect() // B+1 tiny rows
+    def statOf(r: org.apache.spark.sql.Row): Double =
+      if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
+    val observed = statRows.find(_.getInt(0) == -1).map(statOf).getOrElse(Double.NaN)
+    val permuted = statRows.filter(_.getInt(0) >= 0)
+    // NaN/null replicate stats count 0 in the numerator but stay in the
+    // denominator, matching the previous when(...).otherwise(0) reduce
+    val pval = permuted.map(r => if (math.abs(statOf(r)) >= math.abs(observed)) 1.0 else 0.0)
+      .sum / permuted.length
+    val spark = df.sparkSession
+    val reps = spark.createDataFrame(
+      java.util.Arrays.asList(permuted: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rep", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("stat", org.apache.spark.sql.types.DoubleType))))
     (observed, pval, reps)
   }
 
