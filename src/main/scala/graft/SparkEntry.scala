@@ -253,6 +253,29 @@ object SparkEntry {
       m.filter(col("matching_index") > 0)
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_matched"))
     }),
+    "q61_caliper_matching" -> ((s, d) => {
+      // the REAL caliper path (reference caliper_matching_info.h:117-146):
+      // planted propensity spanning 4 score buckets × l_returnflag exact
+      // groups, 1:2 matching. Treated share is 70% in 'N' cells (control
+      // capacity binds: pairs = floor(c0/2)) and 20% elsewhere (treated
+      // side binds: pairs = c1) — per-cell matched counts are closed form
+      // on both regimes.
+      val li = t(s, d, "lineitem")
+        .withColumn("score", (col("l_orderkey") % 100) / lit(100.0))
+        .withColumn("tr",
+          when(col("l_returnflag") === "N", (col("l_suppkey") % 10 < 7).cast("int"))
+            .otherwise((col("l_suppkey") % 10 < 2).cast("int")))
+      val m = graft.ops.Matching.caliperMatching(li, col("tr"), col("score"),
+        caliper = 0.25, exactCols = Seq(col("l_returnflag")), k = 2)
+      m.groupBy(floor(col("score") / 0.25).cast("long").as("bucket"),
+          col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("tr") === 1 && col("matching_index") > 0, 1L).otherwise(0L))
+            .as("matched_treated"),
+          sum(when(col("tr") === 0 && col("matching_index") > 0, 1L).otherwise(0L))
+            .as("matched_control"))
+        .orderBy(col("bucket"), col("flag"))
+    }),
     "q30_smd" -> ((s, d) => {
       val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
       graft.ops.Matching.smd(li, col("treat"), Seq("l_quantity", "l_discount"))
@@ -1164,6 +1187,28 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_returnflag, CAST(sum(2 * least(c0, c1)) AS BIGINT) AS n_matched
         |FROM cells WHERE least(c0, c1) > 0 GROUP BY 1""".stripMargin,
+    "q61_caliper_matching" ->
+      // per-cell 1:2 capacity: pairs = min(c1, floor(c0/2)); matched
+      // treated = pairs, matched control = 2·pairs
+      """WITH base AS (
+        |  SELECT CAST(FLOOR((l_orderkey % 100) / 100.0 / 0.25) AS BIGINT) AS bucket,
+        |    l_returnflag AS flag,
+        |    CASE WHEN l_returnflag = 'N'
+        |         THEN CASE WHEN l_suppkey % 10 < 7 THEN 1 ELSE 0 END
+        |         ELSE CASE WHEN l_suppkey % 10 < 2 THEN 1 ELSE 0 END END AS t
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT bucket, flag, CAST(sum(t) AS BIGINT) AS c1,
+        |    CAST(sum(1 - t) AS BIGINT) AS c0, CAST(count(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1, 2),
+        |m AS (
+        |  SELECT bucket, flag, n,
+        |    least(c1, CAST(FLOOR(c0 / 2.0) AS BIGINT)) AS pairs
+        |  FROM cells)
+        |SELECT bucket, flag, n AS n_rows,
+        |  CAST(pairs AS BIGINT) AS matched_treated,
+        |  CAST(2 * pairs AS BIGINT) AS matched_control
+        |FROM m ORDER BY bucket, flag""".stripMargin,
     "q30_smd" ->
       """WITH g AS (
         |  SELECT
