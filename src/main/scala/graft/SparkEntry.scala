@@ -179,6 +179,25 @@ object SparkEntry {
           round(col("r.estimate"), 6).as("estimate"),
           round(col("r.stderr"), 6).as("stderr"))
     }),
+    "q62_ttest_one_sided" -> ((s, d) => {
+      // one-sided alternatives (ttest_common.h:199-241): p(less) = Φ(t),
+      // p(greater) = 1 − Φ(t); the one-sided CI bound uses the Student-t
+      // quantile at 1−α. estimate/stderr/t oracle closed-form; the Φ and
+      // t-quantile values are pinned sf0.01 constants
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      li.select(
+          functions.ttest_2samp("x1", col("treat"), alternative = "less")(col("l_quantity")).as("lo"),
+          functions.ttest_2samp("x1", col("treat"), alternative = "greater")(col("l_quantity")).as("hi"))
+        .select(
+          round(col("lo.estimate"), 6).as("estimate"),
+          round(col("lo.stderr"), 6).as("stderr"),
+          round(col("lo.t_statistic"), 6).as("t_statistic"),
+          round(col("lo.p_value"), 6).as("p_less"),
+          round(col("hi.p_value"), 6).as("p_greater"),
+          round(col("lo.upper"), 6).as("upper_less"),
+          round(col("hi.lower"), 6).as("lower_greater"),
+          lit(sfTag(d)).as("oracle_sf"))
+    }),
     "q16_srm" -> ((s, d) => {
       // sample-ratio mismatch: observed quantity share per linestatus vs 50/50
       val li = t(s, d, "lineitem")
@@ -1087,6 +1106,23 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q62_ttest_one_sided" ->
+      """WITH g AS (
+        |  SELECT (l_orderkey % 2) AS treat, count(*) AS n,
+        |    avg(l_quantity) AS m, var_samp(l_quantity) AS v
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT
+        |  max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END) AS est,
+        |  sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)) AS se
+        |FROM g)
+        |SELECT round(est, 6) AS estimate, round(se, 6) AS stderr,
+        |  round(est / se, 6) AS t_statistic,
+        |  CAST(0.256765 AS DOUBLE) AS p_less,
+        |  CAST(0.743235 AS DOUBLE) AS p_greater,
+        |  CAST(0.116849 AS DOUBLE) AS upper_less,
+        |  CAST(-0.270841 AS DOUBLE) AS lower_greater,
+        |  '0.01' AS oracle_sf
+        |FROM s""".stripMargin,
     "q16_srm" ->
       """WITH sums AS (
         |  SELECT l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS observed
