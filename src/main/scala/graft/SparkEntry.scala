@@ -498,6 +498,28 @@ object SparkEntry {
         .select(col("horizon"), round(col("est_raw"), 6).as("estimate"))
         .orderBy(col("horizon"))
     }),
+    "q63_longterm_multi" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // VECTOR-surrogate recursive forecasting (2 surrogates × 3 observed
+      // periods → 2 horizons): the pooled transition is a 2×2 coefficient
+      // matrix W and the per-horizon effect is (W^h · dm)[0] — the DuckDB
+      // oracle solves the two 2-regressor normal equations from covariances
+      // and applies the literal matrix power
+      val li = t(s, d, "lineitem")
+      val p0 = Seq(col("l_quantity"), col("l_discount") * 100.0)
+      val p1 = Seq(col("l_quantity") * 0.8 + col("l_discount") * 10.0,
+        col("l_quantity") * 0.3 + col("l_extendedprice") / 20000.0)
+      val p2 = Seq(col("l_quantity") * 0.6 + col("l_extendedprice") / 10000.0,
+        col("l_discount") * 5.0 + col("l_quantity") * 0.1)
+      val r = graft.ops.Longterm.recursiveForecast(li, Seq(p0, p1, p2),
+        (col("l_orderkey") % 2).cast("int"), horizon = 2, bootstrapB = 50,
+        idCols = Seq(col("l_orderkey"), col("l_linenumber")))
+      r.effects.zipWithIndex.map { case (e, i) => (i + 1, e.estimate) }
+        .toDF("horizon", "est_raw")
+        .select(col("horizon"), round(col("est_raw"), 6).as("estimate"))
+        .orderBy(col("horizon"))
+    }),
     "q56_one_hot" -> ((s, d) => {
       // one-hot encode l_returnflag and aggregate the indicators — closed
       // form CASE sums
@@ -951,6 +973,41 @@ object SparkEntry {
         |SELECT 1 AS horizon, round(b * d, 6) AS estimate FROM tr, dm
         |UNION ALL
         |SELECT 2, round(b * b * d, 6) FROM tr, dm
+        |ORDER BY horizon""".stripMargin,
+    "q63_longterm_multi" ->
+      """WITH pairs AS (
+        |  SELECT l_quantity AS f1, l_discount * 100.0 AS f2,
+        |    0.8 * l_quantity + 10.0 * l_discount AS u1,
+        |    0.3 * l_quantity + l_extendedprice / 20000.0 AS u2
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 0.8 * l_quantity + 10.0 * l_discount,
+        |    0.3 * l_quantity + l_extendedprice / 20000.0,
+        |    0.6 * l_quantity + l_extendedprice / 10000.0,
+        |    5.0 * l_discount + 0.1 * l_quantity
+        |  FROM lineitem),
+        |c AS (SELECT
+        |  covar_samp(f1, f1) AS v11, covar_samp(f1, f2) AS v12, covar_samp(f2, f2) AS v22,
+        |  covar_samp(u1, f1) AS c11, covar_samp(u1, f2) AS c12,
+        |  covar_samp(u2, f1) AS c21, covar_samp(u2, f2) AS c22
+        |FROM pairs),
+        |w AS (SELECT
+        |  (c11 * v22 - c12 * v12) / (v11 * v22 - v12 * v12) AS w11,
+        |  (c12 * v11 - c11 * v12) / (v11 * v22 - v12 * v12) AS w12,
+        |  (c21 * v22 - c22 * v12) / (v11 * v22 - v12 * v12) AS w21,
+        |  (c22 * v11 - c21 * v12) / (v11 * v22 - v12 * v12) AS w22
+        |FROM c),
+        |g AS (SELECT (l_orderkey % 2) AS t2,
+        |    avg(0.6 * l_quantity + l_extendedprice / 10000.0) AS m1,
+        |    avg(5.0 * l_discount + 0.1 * l_quantity) AS m2
+        |  FROM lineitem GROUP BY 1),
+        |dm AS (SELECT
+        |  max(CASE WHEN t2 = 1 THEN m1 END) - max(CASE WHEN t2 = 0 THEN m1 END) AS d1,
+        |  max(CASE WHEN t2 = 1 THEN m2 END) - max(CASE WHEN t2 = 0 THEN m2 END) AS d2
+        |FROM g)
+        |SELECT 1 AS horizon, round(w11 * d1 + w12 * d2, 6) AS estimate FROM w, dm
+        |UNION ALL
+        |SELECT 2, round(w11 * (w11 * d1 + w12 * d2) + w12 * (w21 * d1 + w22 * d2), 6) FROM w, dm
         |ORDER BY horizon""".stripMargin,
     "q56_one_hot" ->
       """SELECT l_linestatus, count(*) AS n_rows,
