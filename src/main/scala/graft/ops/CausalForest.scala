@@ -171,18 +171,39 @@ object CausalForest {
       val importance = Array.fill(k)(0.0)
       var open: Set[(Int, Int)] = (0 until numTrees).map(b => (b, 0)).toSet
 
-      def nodeExpr(b: Int): Column = {
-        def go(i: Int): Column =
-          if (feat(b)(i) < 0) lit(i)
-          else when(col(s"__f${feat(b)(i)}") <= thr(b)(i), go(lch(b)(i))).otherwise(go(rch(b)(i)))
-        go(0)
-      }
-      /** current node of this row within its member tree — a dispatch
-        * when-chain over the per-tree structure chains. */
-      def nodeOfTree(treeIds: Iterable[Int]): Column =
-        treeIds.foldLeft(lit(-1)) { (acc, b) =>
-          when(col("__tree") === b, nodeExpr(b)).otherwise(acc)
+      /** Append the row's current node within its member tree as `__node`.
+        *
+        * Codegen-bounded at the reference caps (200 trees × 2^depth nodes):
+        * a per-tree dispatch when-chain would be a ~10⁴-branch expression
+        * that blows the JVM method limit and silently drops to interpreted
+        * evaluation. Instead the WHOLE forest structure is ONE positional
+        * literal array (a codegen reference object, zero inline code)
+        * indexed by tree·maxN + node, and navigation unrolls `steps` small
+        * per-level projections — each a single O(1) array lookup plus a
+        * feature compare, identical for every tree. */
+      def withNodeCol(frame: DataFrame, steps: Int): DataFrame = {
+        val maxN = feat.map(_.length).max
+        val info: Seq[(Int, Double, Int, Int)] =
+          for { b <- 0 until numTrees; i <- 0 until maxN } yield
+            if (i < feat(b).length && feat(b)(i) >= 0)
+              (feat(b)(i), thr(b)(i), lch(b)(i), rch(b)(i))
+            else (-1, 0.0, -1, -1) // leaf or padding: navigation stays put
+        val infoL = typedLit(info)
+        val fvals = array((0 until k).map(i => col(s"__f$i")): _*)
+        var d2 = frame.withColumn("__nav0", lit(0))
+        for (s2 <- 0 until steps) {
+          val prev = col(s"__nav$s2")
+          val nfo = element_at(infoL,
+            (col("__tree") * maxN + prev + 1).cast("int"))
+          d2 = d2.withColumn(s"__nav${s2 + 1}",
+            when(nfo.getField("_1") < 0, prev)
+              .otherwise(when(
+                element_at(fvals, nfo.getField("_1") + 1) <= nfo.getField("_2"),
+                nfo.getField("_3")).otherwise(nfo.getField("_4"))))
         }
+        d2.withColumn("__node", col(s"__nav$steps"))
+          .drop((0 to steps).map(s2 => s"__nav$s2"): _*)
+      }
 
       var depth = 0
       while (depth < maxDepth && open.nonEmpty) {
@@ -194,20 +215,24 @@ object CausalForest {
         val mtryDraw: Map[(Int, Int), Array[Int]] = openSorted.map { bn =>
           bn -> rng.shuffle((0 until k).toList).take(useMtry).toArray
         }.toMap
-        val nullArr = lit(null).cast("array<struct<feat:int,bin:int>>")
-        val featSel = openSorted.foldLeft(nullArr) { case (acc, (b, n)) =>
-          when(col("__tree") === b && col("__node") === n,
-            array(mtryDraw((b, n)).map(i =>
-              struct(lit(i).as("feat"), col(s"__b$i").as("bin"))).toIndexedSeq: _*))
-            .otherwise(acc)
-        }
+        // per-(tree, node) candidate features as ONE positional literal
+        // array (null for non-open nodes → explode drops the row), mirroring
+        // withNodeCol's keying — no per-open-node when-chain, so the
+        // expression stays the same size at any open-node count
+        val maxN = feat.map(_.length).max
+        val selData: Seq[Option[Seq[Int]]] =
+          for { b <- 0 until numTrees; i <- 0 until maxN } yield
+            mtryDraw.get((b, i)).map(_.toSeq)
+        val selL = typedLit(selData)
+        val binsArr = array((0 until k).map(i => col(s"__b$i")): _*)
         val openTrees = open.map(_._1)
-        val hist = growFrame
-          .filter(col("__tree").isin(openTrees.toSeq: _*))
-          .withColumn("__node", nodeOfTree(openTrees.toSeq.sorted))
-          .withColumn("__fb", explode(featSel))
+        val hist = withNodeCol(
+            growFrame.filter(col("__tree").isin(openTrees.toSeq: _*)), depth)
+          .withColumn("__feat", explode(element_at(selL,
+            (col("__tree") * maxN + col("__node") + 1).cast("int"))))
+          .withColumn("__bin", element_at(binsArr, col("__feat") + 1))
           .groupBy(col("__tree").as("tree"), col("__node").as("node"),
-            col("__fb.feat"), col("__fb.bin"), col("__t"))
+            col("__feat").as("feat"), col("__bin").as("bin"), col("__t"))
           .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("s"))
           .collect()
           .map(r => Cell(r.getAs[Int]("tree"), r.getAs[Int]("node"),
@@ -236,8 +261,7 @@ object CausalForest {
       // estimation pass (honest half = 1): per-(tree, leaf, arm) moments
       // including variance for honest leaf standard errors — reuses the
       // persisted exploded membership
-      val est = estFrame
-        .withColumn("__node", nodeOfTree(0 until numTrees))
+      val est = withNodeCol(estFrame, maxDepth)
         .groupBy(col("__tree").as("tree"), col("__node").as("node"), col("__t"))
         .agg(count(lit(1)).as("cnt"), avg(col("__y")).as("m"),
           var_samp(col("__y")).as("v"))

@@ -112,4 +112,32 @@ class CausalTreeSpec extends AnyFunSuite {
     // stderr should be sane in magnitude: not wider than the effect scale
     assert(out.forall(_.getDouble(2) < 1.0), "stderr unreasonably wide")
   }
+
+  test("forest codegen holds at reference caps (200 trees x depth 6)") {
+    // the reference trains up to 200 trees x 2^depth nodes
+    // (uplift.py:2013-2018); a per-open-node when-chain would be a
+    // ~10^4-branch expression that Janino rejects, silently dropping to
+    // interpreted evaluation. CODEGEN_ONLY + fallback=false turn any such
+    // failure into a test error.
+    val confs = Seq("spark.sql.codegen.fallback" -> "false",
+                    "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")
+    val saved = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val m = CausalForest.fit(df, $"y", $"t", Seq("x1" -> $"x1", "x2" -> $"x2"),
+        numTrees = 200, maxDepth = 6, minNodeSize = 10, bins = 8,
+        sampleFraction = 0.5, seed = 7L)
+      assert(m.numTrees == 200)
+      val maxNodes = m.trees.map(_.feature.length).max
+      assert(maxNodes > 31, s"deepest tree only $maxNodes nodes — too shallow " +
+        "to exercise deep navigation")
+      // scoring (leaf-table path) must stay codegen'd at this size too
+      val scored = m.score(df.limit(500), Seq($"x1", $"x2")).collect()
+      assert(scored.length == 500)
+      assert(scored.forall(r => !r.getAs[Double]("effect").isNaN))
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None)    => spark.conf.unset(c)
+    }
+  }
 }
