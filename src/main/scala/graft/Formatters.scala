@@ -70,23 +70,30 @@ object Formatters {
     }
     val avg = metricType == "avg"
     val hasPre = !r.numerator_pre0.isNaN && r.numerator_pre0 != 0.0
+    // pre-period denominator column only under avg (sum replaces the
+    // denominator with the traffic ratio; xexpt_ttest_2samp.h:540-612)
+    val hasPreDen = hasPre && avg && !r.denominator_pre0.isNaN && r.denominator_pre0 != 0.0
     val head1 = Seq("groupname") ++
       (if (avg) Seq("denominator") else Seq("ratio")) ++ Seq("numerator") ++
       (if (hasPre) Seq("numerator_pre") else Seq.empty) ++
+      (if (hasPreDen) Seq("denominator_pre") else Seq.empty) ++
       (if (avg) Seq("mean", "std_samp") else Seq.empty)
     def groupRow(name: Long, den: Double, num: Double, pre: Double,
-                 mean: Double, std: Double): Seq[String] =
+                 preDen: Double, mean: Double, std: Double): Seq[String] =
       Seq(name.toString) ++ Seq(i0(den)) ++ Seq(f6(num)) ++
         (if (hasPre) Seq(f6(pre)) else Seq.empty) ++
+        (if (hasPreDen) Seq(i0(preDen)) else Seq.empty) ++
         (if (avg) Seq(f6(mean), f6(std)) else Seq.empty)
     val g0 = groupRow(r.groupname0, r.denominator0, r.numerator0,
-      r.numerator_pre0, r.mean0, r.std_samp0)
+      r.numerator_pre0, r.denominator_pre0, r.mean0, r.std_samp0)
     val g1 = groupRow(r.groupname1, r.denominator1, r.numerator1,
-      r.numerator_pre1, r.mean1, r.std_samp1)
+      r.numerator_pre1, r.denominator_pre1, r.mean1, r.std_samp1)
+    // mde/power labels carry std::to_string's fixed 6 decimals so
+    // UdfFormatUtil-style column parsers key on the exact header text
     val head2 = Seq("diff_relative", s"$ci%_relative_CI", "p-value",
       "t-statistic") ++
       (if (avg) Seq("diff", s"$ci%_CI") else Seq.empty) ++
-      Seq(s"power(MDE=$mde)", "recommend_samples", s"MDE(power=$power)")
+      Seq(s"power(MDE=${f6(mde)})", "recommend_samples", s"MDE(power=${f6(power)})")
     val row2 = Seq(f"${r.diff_relative * 100}%.6f%%",
       f"[${r.lower_relative * 100}%.6f%%,${r.upper_relative * 100}%.6f%%]",
       f6(r.p_value), f6(r.t_statistic)) ++
@@ -109,6 +116,7 @@ object Formatters {
     r.getAs[Double]("numerator0"), r.getAs[Double]("numerator1"),
     r.getAs[Double]("denominator0"), r.getAs[Double]("denominator1"),
     r.getAs[Double]("numerator_pre0"), r.getAs[Double]("numerator_pre1"),
+    r.getAs[Double]("denominator_pre0"), r.getAs[Double]("denominator_pre1"),
     r.getAs[Double]("mean0"), r.getAs[Double]("mean1"),
     r.getAs[Double]("std_samp0"), r.getAs[Double]("std_samp1"),
     r.getAs[Double]("diff_relative"), r.getAs[Double]("lower_relative"),
@@ -117,4 +125,24 @@ object Formatters {
     r.getAs[Double]("lower"), r.getAs[Double]("upper"),
     r.getAs[Double]("power"), r.getAs[Double]("recommend_samples"),
     r.getAs[Double]("mde"))
+
+  // ---------------------------------------------------------- causal tree
+
+  /** Per-leaf hypothesis-test table for an honest causal tree (the
+    * reference's leaf t-test report, uplift.py:1243-1895): one aligned row
+    * per leaf with n, effect, stderr, t, p and the root→leaf predicate. */
+  def formatLeafTests(m: graft.ops.CausalTree.Model): String = {
+    val sb = new StringBuilder
+    sb.append("\n").append(pad("leaf")).append(pad("n")).append(pad("effect"))
+      .append(pad("stderr")).append(pad("t value")).append(pad("Pr(>|t|)"))
+      .append("path").append("\n")
+    m.feature.indices.filter(m.isLeaf).foreach { i =>
+      val t = m.effect(i) / m.stderr(i)
+      sb.append(pad(i.toString)).append(pad(m.n(i).toString))
+        .append(pad(f6(m.effect(i)))).append(pad(f6(m.stderr(i))))
+        .append(pad(f6(t))).append(pad(f6(m.pValue(i))))
+        .append(m.leafPath(i)).append("\n")
+    }
+    sb.toString
+  }
 }

@@ -25,6 +25,7 @@ case class XexptResult(
     numerator0: Double, numerator1: Double,
     denominator0: Double, denominator1: Double,
     numerator_pre0: Double, numerator_pre1: Double,
+    denominator_pre0: Double, denominator_pre1: Double,
     mean0: Double, mean1: Double,
     std_samp0: Double, std_samp1: Double,
     diff_relative: Double, lower_relative: Double, upper_relative: Double,
@@ -85,7 +86,7 @@ class XexptAgg(numVars: Int, cuped: String, alpha: Double, mde: Double,
   def finish(b: XexptBuf): XexptResult = {
     val nan = Double.NaN
     def fail: XexptResult = XexptResult(-1, -1, nan, nan, nan, nan, nan, nan, nan, nan,
-      nan, nan, nan, nan, nan, nan, nan, nan, nan, nan, nan, nan, mde)
+      nan, nan, nan, nan, nan, nan, nan, nan, nan, nan, nan, nan, nan, nan, mde)
     if (b.groups.size != 2) return fail
     val groupNames = b.groups.keys.toArray.sorted
     if (b.groups.values.exists(_.count <= 1)) return fail
@@ -101,6 +102,7 @@ class XexptAgg(numVars: Int, cuped: String, alpha: Double, mde: Double,
     val numerators = new Array[Double](2)
     val denominators = new Array[Double](2)
     val numeratorsPre = new Array[Double](2)
+    val denominatorsPre = new Array[Double](2)
     val counts = new Array[Double](2)
 
     for (kIdx <- 0 until 2) {
@@ -112,6 +114,7 @@ class XexptAgg(numVars: Int, cuped: String, alpha: Double, mde: Double,
         numerators(kIdx) += bucketData(0)
         denominators(kIdx) += bucketData(1)
         if (numVars >= 3) numeratorsPre(kIdx) += bucketData(2)
+        if (numVars >= 4) denominatorsPre(kIdx) += bucketData(3)
         avgSub(kIdx).update(bucketData)
         val sumData = bucketData.clone()
         sumData(1) = ratios(kIdx) / NumBuckets
@@ -186,6 +189,7 @@ class XexptAgg(numVars: Int, cuped: String, alpha: Double, mde: Double,
       numerators(0), numerators(1),
       if (isSum) ratios(0) else denominators(0), if (isSum) ratios(1) else denominators(1),
       numeratorsPre(0), numeratorsPre(1),
+      denominatorsPre(0), denominatorsPre(1),
       m0, m1, stdSamp(0), stdSamp(1),
       diffRelative, lowerRelative, upperRelative,
       pValue, tStat, estimate, lower, upper,

@@ -81,6 +81,31 @@ object CausalTree {
       go(0, "")
       sb.toString
     }
+
+    /** Root→leaf path predicate, e.g. `x1 <= 0.12 and x2 > 3.4`. */
+    def leafPath(leaf: Int): String = {
+      def go(i: Int, acc: List[String]): Option[List[String]] = {
+        if (i == leaf) Some(acc.reverse)
+        else if (isLeaf(i)) None
+        else go(left(i), f"${featureNames(feature(i))} <= ${threshold(i)}%.6g" :: acc)
+          .orElse(go(right(i), f"${featureNames(feature(i))} > ${threshold(i)}%.6g" :: acc))
+      }
+      go(0, Nil).map(p => if (p.isEmpty) "(root)" else p.mkString(" and "))
+        .getOrElse("(unreachable)")
+    }
+
+    /** Per-leaf hypothesis-test table (the reference's leaf t-tests on the
+      * honest estimation half, uplift.py:1243-1895): one row per leaf with
+      * the Welch effect/stderr, the test statistic, its normal p-value
+      * (pValue convention shared with the aggregate tests), and the leaf's
+      * path predicate. Driver-side — the model already holds the moments. */
+    def leafTests(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      feature.indices.filter(isLeaf).map { i =>
+        val t = effect(i) / stderr(i)
+        (i, n(i), effect(i), stderr(i), t, pValue(i), leafPath(i))
+      }.toDF("leaf", "n", "effect", "stderr", "t_statistic", "p_value", "path")
+    }
   }
 
   private case class CellStat(node: Int, feat: Int, bin: Int, t: Int,

@@ -113,6 +113,49 @@ class CausalTreeSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(2) < 1.0), "stderr unreasonably wide")
   }
 
+  test("leafTests emits the per-leaf Welch table matching closed-form recomputation") {
+    // honest=false puts estimation on the full frame, so the expected
+    // per-leaf (effect, stderr, t, p) can be recomputed independently from
+    // leafColumn + plain aggregates
+    val m = CausalTree.fit(df, $"y", $"t", Seq("x1" -> $"x1", "x2" -> $"x2"),
+      maxDepth = 2, minNodeSize = 200, bins = 16, honest = false)
+    val lt = m.leafTests(spark).collect().map(r => r.getAs[Int]("leaf") -> r).toMap
+    assert(lt.nonEmpty && lt.size == m.feature.count(_ < 0))
+    val expected = df
+      .withColumn("leaf", m.leafColumn(Seq($"x1", $"x2")))
+      .groupBy($"leaf", $"t")
+      .agg(count(lit(1)).as("n"), avg($"y").as("m"), var_samp($"y").as("v"))
+      .collect()
+      .map(r => (r.getAs[Int]("leaf"), r.getAs[Int]("t")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("m"), r.getAs[Double]("v")))
+      .toMap
+    lt.foreach { case (leaf, row) =>
+      val (n0, m0, v0) = expected((leaf, 0))
+      val (n1, m1, v1) = expected((leaf, 1))
+      val eff = m1 - m0
+      val se = math.sqrt(v1 / n1 + v0 / n0)
+      val t = eff / se
+      val p = 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(t)))
+      assert(math.abs(row.getAs[Double]("effect") - eff) < 1e-9, s"leaf $leaf effect")
+      assert(math.abs(row.getAs[Double]("stderr") - se) < 1e-9, s"leaf $leaf stderr")
+      assert(math.abs(row.getAs[Double]("t_statistic") - t) < 1e-9, s"leaf $leaf t")
+      assert(math.abs(row.getAs[Double]("p_value") - p) < 1e-9, s"leaf $leaf p")
+      assert(row.getAs[Long]("n") == n0 + n1)
+      assert(row.getAs[String]("path").nonEmpty)
+    }
+    // the .formatted text table renders one aligned row per leaf
+    val txt = Formatters.formatLeafTests(m)
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    assert(lines.head.trim.replaceAll("\\s+", " ") ==
+      "leaf n effect stderr t value Pr(>|t|) path")
+    assert(lines.length == 1 + lt.size)
+    // the planted DGP splits on x1: some leaf must test significant (+2
+    // effect) and its path must mention x1
+    assert(lt.values.exists(r => r.getAs[Double]("p_value") < 1e-6 &&
+      r.getAs[Double]("effect") > 1.0))
+    assert(lt.values.forall(r => r.getAs[String]("path").contains("x1")))
+  }
+
   test("forest codegen holds at reference caps (200 trees x depth 6)") {
     // the reference trains up to 200 trees x 2^depth nodes
     // (uplift.py:2013-2018); a per-open-node when-chain would be a

@@ -40,6 +40,7 @@ class FormattersSpec extends AnyFunSuite {
       numerator0 = 5000.25, numerator1 = 5100.75,
       denominator0 = 1000.2, denominator1 = 999.8,
       numerator_pre0 = 0.0, numerator_pre1 = 0.0,
+      denominator_pre0 = 0.0, denominator_pre1 = 0.0,
       mean0 = 5.0, mean1 = 5.1,
       std_samp0 = 1.2, std_samp1 = 1.3,
       diff_relative = 0.02, lower_relative = -0.001, upper_relative = 0.041,
@@ -50,7 +51,7 @@ class FormattersSpec extends AnyFunSuite {
     assert(lines(0) == "groupname denominator numerator mean std_samp")
     assert(lines(1) == "0 1000 5000.250000 5.000000 1.200000")
     assert(lines(2) == "1 1000 5100.750000 5.100000 1.300000")
-    assert(lines(3) == "diff_relative 95%_relative_CI p-value t-statistic diff 95%_CI power(MDE=0.005) recommend_samples MDE(power=0.8)")
+    assert(lines(3) == "diff_relative 95%_relative_CI p-value t-statistic diff 95%_CI power(MDE=0.005000) recommend_samples MDE(power=0.800000)")
     assert(lines(4) ==
       "2.000000% [-0.100000%,4.100000%] 0.056700 1.910000 0.100000 [-0.005000,0.205000] 0.420000 12346 0.012300")
     // sum metric drops denominator/mean/std and the absolute-diff block
@@ -59,6 +60,13 @@ class FormattersSpec extends AnyFunSuite {
     assert(!sumLines(3).contains("95%_CI ") || sumLines(3).contains("relative"))
     // alpha changes the CI labels
     assert(norm(Formatters.formatXexpt(r, alpha = 0.01))(3).contains("99%_relative_CI"))
+    // pre-period data adds numerator_pre AND denominator_pre columns
+    val rPre = r.copy(numerator_pre0 = 4900.0, numerator_pre1 = 4950.0,
+      denominator_pre0 = 998.0, denominator_pre1 = 997.0)
+    val preLines = norm(Formatters.formatXexpt(rPre))
+    assert(preLines(0) ==
+      "groupname denominator numerator numerator_pre denominator_pre mean std_samp")
+    assert(preLines(1) == "0 1000 5000.250000 4900.000000 998 5.000000 1.200000")
   }
 
   test("Row overloads rebuild from aggregate struct output") {
