@@ -51,44 +51,79 @@ object GraftGateway {
       try Some(spark.sessionState.sqlParser.parsePlan(query))
       catch { case _: Exception => None } // invalid SQL → spark.sql's error
     parsed.flatMap(findVerb) match {
-      case Some((verb, args, input)) =>
-        dispatch(spark, verb, ColumnBridge.ofRows(spark, input), args)
+      case Some(m) if m.others.isEmpty =>
+        dispatch(spark, m.verb, ColumnBridge.ofRows(spark, m.wrap(m.input)), m.args)
+      case Some(m) =>
+        // SUMMARY verb beside other projections (SqlForward.java:86-215's
+        // CTE scaffolding): run the verb over the FROM side, run the rest
+        // of the SELECT list over the same input, and splice the small verb
+        // result in via a broadcast cross join at the verb's list position.
+        val verbDf = dispatch(spark, m.verb,
+          ColumnBridge.ofRows(spark, m.wrap(m.input)), m.args)
+        val othersDf = ColumnBridge.ofRows(spark, m.wrap(Project(m.others, m.input)))
+        val oCols = othersDf.columns.toSeq
+        val vCols = verbDf.columns.toSeq
+          .map(n => if (oCols.contains(n)) s"${n}_${m.verb}" else n)
+        val joined = othersDf.crossJoin(
+          org.apache.spark.sql.functions.broadcast(verbDf.toDF(vCols: _*)))
+        joined.select((oCols.take(m.pos) ++ vCols ++ oCols.drop(m.pos))
+          .map(org.apache.spark.sql.functions.col): _*)
       case None =>
         try spark.sql(query)
         catch {
-          // a verb buried in a larger SELECT list (or nested in another
-          // expression) is not rewritable — name the constraint instead of
-          // surfacing Spark's bare "undefined function"
+          // a TABLE-TRANSFORM verb beside other projections (or any verb
+          // nested inside another expression) is not rewritable — name the
+          // constraint instead of surfacing Spark's bare "undefined
+          // function"
           case e: org.apache.spark.sql.AnalysisException
               if verbs.exists(v => s"(?i)\\b$v\\s*\\(".r.findFirstIn(query).isDefined) =>
             throw new IllegalArgumentException(
-              "graft table verbs must be the ONLY item in the top-level " +
-                "SELECT list — `SELECT verb(args) FROM ...` — because they " +
-                s"rewrite the whole query. Original error: ${e.getMessage}", e)
+              "graft table-transform verbs (exact_matching, " +
+                "caliper_matching, cut_bins) must be the ONLY item in the " +
+                "top-level SELECT list, and no verb may be nested inside " +
+                "another expression. Summary verbs (smd, linear_dml, " +
+                "iv_regression, …) may sit beside other top-level " +
+                s"projections. Original error: ${e.getMessage}", e)
         }
     }
   }
 
-  /** Match `SELECT verb(args…) FROM <anything>` at the top of the parse
-    * tree. A WITH wrapper is unwrapped and its CTE definitions re-wrapped
-    * around the verb's input subtree, so CTE references inside the FROM
-    * side still resolve. */
-  private def findVerb(plan: LogicalPlan): Option[(String, Seq[Expression], LogicalPlan)] =
+  private case class VerbMatch(verb: String, args: Seq[Expression],
+      input: LogicalPlan,
+      others: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      pos: Int, wrap: LogicalPlan => LogicalPlan)
+
+  /** Match a top-level verb call in the SELECT list. A WITH wrapper is
+    * unwrapped and its CTE definitions re-wrapped (via `wrap`) around any
+    * subtree built over the verb's input, so CTE references still resolve.
+    * A lone verb matches any verb; a verb beside other projections matches
+    * only SUMMARY verbs (small outputs that compose via cross join). */
+  private def findVerb(plan: LogicalPlan): Option[VerbMatch] =
     plan match {
       case w: UnresolvedWith =>
-        findVerb(w.child).map { case (v, a, input) =>
-          (v, a, w.copy(child = input))
-        }
-      case Project(Seq(single), child) =>
-        val fn = single match {
+        findVerb(w.child).map(m =>
+          m.copy(wrap = (p: LogicalPlan) => w.copy(child = m.wrap(p))))
+      case Project(projList, child) =>
+        def asVerb(e: Expression): Option[UnresolvedFunction] = e match {
           case Alias(f: UnresolvedFunction, _) => Some(f)
           case UnresolvedAlias(f: UnresolvedFunction, _) => Some(f)
           case f: UnresolvedFunction => Some(f)
           case _ => None
         }
-        fn.collect {
-          case f if f.nameParts.length == 1 && handles(f.nameParts.head) =>
-            (f.nameParts.head.toLowerCase, f.arguments, child)
+        val hits = projList.zipWithIndex.flatMap { case (e, i) =>
+          asVerb(e).collect {
+            case f if f.nameParts.length == 1 && handles(f.nameParts.head) =>
+              (f, i)
+          }
+        }
+        hits match {
+          case Seq((f, i)) =>
+            val verb = f.nameParts.head.toLowerCase
+            val others = projList.patch(i, Nil, 1)
+            if (others.isEmpty || summaryVerbs(verb))
+              Some(VerbMatch(verb, f.arguments, child, others, i, identity))
+            else None
+          case _ => None
         }
       case _ => None
     }
@@ -97,12 +132,20 @@ object GraftGateway {
     "smd", "linear_dml", "iv_regression", "cut_bins", "group_set",
     "boot_strap", "permutation", "did", "nonparam_dml",
     "quantile_test_bucket")
+  /** Verbs whose output is a small summary table (not a transform of the
+    * input), safe to compose beside other projections via cross join. */
+  private val summaryVerbs = Set("lift", "smd", "linear_dml",
+    "iv_regression", "group_set", "boot_strap", "permutation", "did",
+    "nonparam_dml", "quantile_test_bucket")
   private def handles(v: String): Boolean = verbs(v.toLowerCase)
 
   private def c(e: Expression): Column = ColumnBridge.column(e)
 
   private def num(e: Expression): Double = e match {
     case Literal(v, _) if v != null => v.toString.toDouble
+    // the parser leaves `-0.02` as UnaryMinus(Literal) — constant folding
+    // only happens at optimization, which these arguments never reach
+    case org.apache.spark.sql.catalyst.expressions.UnaryMinus(inner, _) => -num(inner)
     case other => throw new IllegalArgumentException(
       s"expected a numeric literal, got ${other.sql}")
   }

@@ -279,6 +279,35 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(plain.getLong(0) == 4000L)
   }
 
+  test("summary verbs compose beside other top-level projections") {
+    setup
+    // verb result (1 covariate row) splices in beside global aggregates
+    val r = GraftGateway.sql(spark,
+      "SELECT count(*) AS n, avg(y) AS my, smd(t, x) FROM exp_data")
+    assert(r.columns.toSeq == Seq("n", "my", "covariate", "smd"))
+    val row = r.head()
+    assert(row.getAs[Long]("n") == 4000L)
+    assert(!row.getAs[Double]("smd").isNaN)
+    // verb first: its columns lead the output
+    val r2 = GraftGateway.sql(spark,
+      "SELECT linear_dml(y, t, x), count(*) AS n FROM exp_data")
+    assert(r2.columns.toSeq == Seq("ate", "stderr", "p_value", "n"))
+    // CTE input still wraps, and a name collision suffixes the verb column
+    val r3 = GraftGateway.sql(spark,
+      """WITH f AS (SELECT * FROM exp_data WHERE uin <= 2000)
+        |SELECT avg(x) AS smd, smd(t, x) FROM f""".stripMargin)
+    assert(r3.columns.toSeq == Seq("smd", "covariate", "smd_smd"))
+    // table-transform verbs beside others still raise the clear error
+    val e = intercept[IllegalArgumentException] {
+      GraftGateway.sql(spark, "SELECT uin, exact_matching(t, x) FROM exp_data")
+    }
+    assert(e.getMessage.contains("table-transform"))
+    // negative numeric literal arguments parse (UnaryMinus at parse time)
+    val perm = GraftGateway.sql(spark,
+      "SELECT permutation(y, t, 50, -0.02, 'abs') FROM exp_data").head()
+    assert(!perm.getDouble(1).isNaN)
+  }
+
   test("any_min / any_max sql names are min_by / max_by") {
     setup
     val r = spark.sql(
