@@ -282,6 +282,9 @@ object Dedup {
     val (effBits, effTables) =
       if (bits >= 0) (bits, math.max(1, tables))
       else {
+        // auto-config needs the corpus size: ONE eager count() job here —
+        // even when `tables` is supplied, since bits derive from n. Callers
+        // that know their scale and want zero extra jobs pass bits >= 0.
         val n = base.count()
         val b = math.min(20,
           math.max(0, math.ceil(math.log(n / 128.0) / math.log(2)).toInt))
@@ -291,9 +294,21 @@ object Dedup {
           else {
             val pKeep = math.pow(
               1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi, b)
-            if (pKeep >= 0.9) 1
-            else math.min(6, math.max(1,
-              math.ceil(math.log(0.1) / math.log1p(-pKeep)).toInt))
+            val want =
+              if (pKeep >= 0.9) 1
+              else math.max(1, math.ceil(math.log(0.1) / math.log1p(-pKeep)).toInt)
+            val capped = math.min(6, want)
+            if (capped < want) {
+              // the table cap binds: say what recall the cap actually buys
+              // instead of silently landing under the ~0.9 target
+              val achieved = 1.0 - math.pow(1.0 - pKeep, capped)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                f"embeddingNearDup auto-config: table cap 6 binds (wanted $want%d " +
+                  f"tables for ~0.9 candidate recall at threshold $threshold%.3f, " +
+                  f"bits $b%d); estimated candidate recall is $achieved%.3f. " +
+                  "Pass tables explicitly (or lower bits) to trade cost for recall.")
+            }
+            capped
           }
         (b, t)
       }

@@ -75,22 +75,28 @@ object StreamOps {
     require(ratios.nonEmpty && ratios.forall(_ > 0), "ratios must be positive")
     val k = ratios.length
     val ratioSum = ratios.sum
+    val armInt = arm.cast("int")
     val countCols = (0 until k).map(i =>
-      sum(when(arm.cast("int") === i, 1L).otherwise(0L)).as(s"c$i"))
+      sum(when(armInt === i, 1L).otherwise(0L)).as(s"c$i")) :+
+      // arms outside 0..k-1 (or null) are surfaced, not silently dropped —
+      // the batch SrmAgg likewise NaNs on a group-count mismatch
+      sum(when(armInt.isNull || armInt < 0 || armInt >= k, 1L).otherwise(0L))
+        .as("c_unexpected")
     val counts = events
       .withColumn("__et", eventTime.cast("timestamp"))
       .withWatermark("__et", watermarkDelay)
       .groupBy(window(col("__et"), windowDuration))
       .agg(countCols.head, countCols.tail: _*)
     val total = (0 until k).map(i => col(s"c$i")).reduce(_ + _).cast("double")
-    val chisq = (0 until k).map { i =>
+    val chisqRaw = (0 until k).map { i =>
       val e = lit(ratios(i) / ratioSum) * total
       (col(s"c$i") - e) * (col(s"c$i") - e) / e
     }.reduce(_ + _)
+    val chisq = when(col("c_unexpected") > 0, lit(Double.NaN)).otherwise(chisqRaw)
     val pUdf = udf((x: Double) =>
       if (x.isNaN) Double.NaN else 1.0 - graft.stats.Dist.chiSqCdf(x, (k - 1).toDouble))
     counts.select(col("window") +: (0 until k).map(i => col(s"c$i")) :+
-      chisq.as("chisq") :+ pUdf(chisq).as("p_value"): _*)
+      col("c_unexpected") :+ chisq.as("chisq") :+ pUdf(chisq).as("p_value"): _*)
   }
 
   /** Streaming exact dedup for a continuously-ingested corpus: drops every

@@ -69,8 +69,17 @@ class StreamOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val r = spark.table("srm").collect().head
       assert(r.getAs[Long]("c0") == 90 && r.getAs[Long]("c1") == 10)
+      assert(r.getAs[Long]("c_unexpected") == 0)
       assert(r.getAs[Double]("chisq") > 60.0) // (90-50)²/50 + (10-50)²/50 = 64
       assert(r.getAs[Double]("p_value") < 1e-6)
+      // a mis-coded arm (outside 0..k-1) is counted and NaNs the verdict
+      // instead of being silently dropped (batch SrmAgg convention)
+      input.addData((100L, 0), (100L, 1), (100L, 7))
+      q.processAllAvailable()
+      val r2 = spark.table("srm").collect()
+        .find(_.getAs[Long]("c_unexpected") > 0).get
+      assert(r2.getAs[Long]("c_unexpected") == 1)
+      assert(r2.getAs[Double]("chisq").isNaN && r2.getAs[Double]("p_value").isNaN)
     } finally q.stop()
   }
 
