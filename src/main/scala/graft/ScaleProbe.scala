@@ -6,11 +6,17 @@ import org.apache.spark.sql.functions._
 /** Scale probe for the BASELINE.md "parity spirit" target: single-pass
   * aggregates (OLS / t-test family) over 100M generated rows on local[*].
   * Not part of the driver bench — run manually:
-  * `SPARK_GRAFT_PROBE_ROWS=100000000 sbt "runMain graft.ScaleProbe"`. */
+  * `SPARK_GRAFT_PROBE_ROWS=100000000 sbt "runMain graft.ScaleProbe"`.
+  *
+  * Besides the PROBE lines, writes every timing to a JSON artifact
+  * (SPARK_GRAFT_PROBE_OUT, default `probe.json` in the working dir) so a
+  * scale regression shows up as a diff instead of needing a manual
+  * compare against the README table. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROWS", "100000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "probe.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,9 +36,12 @@ object ScaleProbe {
       .withColumn("y", col("x1") * 2.0 - col("x2") + col("x3") * 0.5 +
         (pmod(xxhash64(col("id"), lit(4)), lit(1000L)).cast("double") / 1000.0))
 
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
-      println(f"PROBE $label rows=$rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      timings(label) = math.round(sec * 100.0) / 100.0
+      println(f"PROBE $label rows=$rows $sec%.2f s")
     }
     time("warmup count")(df.count())
     time("ols y ~ x1+x2+x3") {
@@ -171,6 +180,11 @@ object ScaleProbe {
       val heads = comp.select(col("component")).distinct().count()
       assert(heads == docRows / 100 / 50, s"$heads components")
     }
+    val json = timings
+      .map { case (l, s) => s""""${l.replace("\"", "'")}": $s""" }
+      .mkString(s"""{"rows": $rows, "cpus": $cpus, "timings_sec": {""", ", ", "}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(s"PROBE artifact written to $outPath")
     spark.stop()
   }
 }

@@ -492,7 +492,8 @@ object SparkEntry {
       val p1 = col("l_quantity") * 0.8 + col("l_discount") * 10.0
       val p2 = col("l_quantity") * 0.6 + col("l_extendedprice") / 10000.0
       val r = graft.ops.Longterm.recursiveForecast(li, Seq(Seq(p0), Seq(p1), Seq(p2)),
-        (col("l_orderkey") % 2).cast("int"), horizon = 2, bootstrapB = 50)
+        (col("l_orderkey") % 2).cast("int"), horizon = 2, bootstrapB = 50,
+        idCols = Seq(col("l_orderkey"), col("l_linenumber")))
       r.effects.zipWithIndex.map { case (e, i) => (i + 1, e.estimate) }
         .toDF("horizon", "est_raw")
         .select(col("horizon"), round(col("est_raw"), 6).as("estimate"))

@@ -71,13 +71,26 @@ object Bootstrap {
     (d, Seq(col("__rid"), col("__dup")))
   }
 
+  /** The replicate pass amplifies every input row B× before the aggregate,
+    * so its parallelism is capped by the INPUT partition count. When the
+    * scan yields fewer splits than cores (a single-row-group local file;
+    * a small pre-aggregated frame), a narrow O(n) repartition of the
+    * un-amplified rows unlocks full-core parallelism on the O(B·n) hash
+    * work — and is a no-op on any input that is already parallel (the
+    * many-file 100TB case). */
+  private[graft] def ensureParallel(df: DataFrame, ids: Seq[Column]): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target, ids: _*)
+  }
+
   /** Explode df into B replicates with a deterministic bootstrap `weight`
     * column (rows with weight 0 are dropped). `idCols` identify a row
     * stably (pass a real key to skip the stable-id derivation shuffle). */
   def replicated(df: DataFrame, b: Int, frac: Double = 1.0, seed: Long = 42L,
                  idCols: Seq[Column] = Seq.empty): DataFrame = {
-    val (base, ids) =
+    val (base0, ids) =
       if (idCols.nonEmpty) (df, idCols) else withStableIds(df)
+    val base = ensureParallel(base0, ids)
     val withRep = base.withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
     withRep
       .withColumn("weight", poissonMultiplicity(uniform(ids, col("rep"), seed), frac))
@@ -192,9 +205,10 @@ object Bootstrap {
     val idNamed = idCols.zipWithIndex.map { case (c, i) => c.as(s"__id_$i") }
     val base0 = df.select(Seq(y.cast("double").as("y"),
       treatment.cast("int").as("t")) ++ idNamed: _*)
-    val (base, ids) =
+    val (base1, ids) =
       if (idCols.nonEmpty) (base0, idNamed.indices.map(i => col(s"__id_$i")))
       else withStableIds(base0)
+    val base = ensureParallel(base1, ids)
     // column-pruned to t alone when the design share isn't supplied
     val p1 = p1Design.getOrElse(
       base.agg((sum(when(col("t") === 1, 1)) / count(lit(1)).cast("double"))).head().getDouble(0))

@@ -108,10 +108,11 @@ object Longterm {
       if (idCols.nonEmpty) (df, idCols) else Bootstrap.withStableIds(df)
     val idNamed = ids.zipWithIndex.map { case (c, i) => c.as(s"__id_$i") }
     val idRefs = ids.indices.map(i => col(s"__id_$i"))
-    def withRepWeight(frame: DataFrame): DataFrame = frame
-      .withColumn("rep", explode(sequence(lit(0), lit(bootstrapB - 1))))
-      .withColumn("w", Bootstrap.poissonWeight(idRefs, col("rep"), seed))
-      .filter(col("w") > 0)
+    def withRepWeight(frame: DataFrame): DataFrame =
+      Bootstrap.ensureParallel(frame, idRefs)
+        .withColumn("rep", explode(sequence(lit(0), lit(bootstrapB - 1))))
+        .withColumn("w", Bootstrap.poissonWeight(idRefs, col("rep"), seed))
+        .filter(col("w") > 0)
 
     // pass 1: all B weighted transition fits in one grouped aggregate
     val stacked = withRepWeight(stackedPairs(base, surrogates, idNamed))
