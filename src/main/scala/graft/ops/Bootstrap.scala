@@ -71,17 +71,10 @@ object Bootstrap {
     (d, Seq(col("__rid"), col("__dup")))
   }
 
-  /** The replicate pass amplifies every input row B× before the aggregate,
-    * so its parallelism is capped by the INPUT partition count. When the
-    * scan yields fewer splits than cores (a single-row-group local file;
-    * a small pre-aggregated frame), a narrow O(n) repartition of the
-    * un-amplified rows unlocks full-core parallelism on the O(B·n) hash
-    * work — and is a no-op on any input that is already parallel (the
-    * many-file 100TB case). */
-  private[graft] def ensureParallel(df: DataFrame, ids: Seq[Column]): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target, ids: _*)
-  }
+  /** The replicate pass amplifies every input row B× before the aggregate —
+    * see [[Par.ensure]] for why the input must be parallel first. */
+  private[graft] def ensureParallel(df: DataFrame, ids: Seq[Column]): DataFrame =
+    Par.ensure(df, ids)
 
   /** Explode df into B replicates with a deterministic bootstrap `weight`
     * column (rows with weight 0 are dropped). `idCols` identify a row
