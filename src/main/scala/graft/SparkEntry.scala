@@ -581,6 +581,20 @@ object SparkEntry {
           |SELECT smd(treat, l_quantity, l_discount) FROM flagged""".stripMargin)
         .select(col("covariate"), round(col("smd"), 6).as("smd"))
     }),
+    "q64_gateway_compose" -> ((s, d) => {
+      // the gateway's SELECT-list composition path end-to-end: a summary
+      // verb (smd) sits BESIDE plain aggregates in one SQL statement over a
+      // CTE — every output column is a DuckDB closed form
+      t(s, d, "lineitem").createOrReplaceTempView("li_gwc")
+      GraftGateway.sql(s,
+        """WITH flagged AS (
+          |  SELECT l_quantity, l_discount, CAST(l_orderkey % 2 AS INT) AS treat
+          |  FROM li_gwc)
+          |SELECT count(*) AS n_rows, smd(treat, l_quantity, l_discount)
+          |FROM flagged""".stripMargin)
+        .select(col("n_rows"), col("covariate"), round(col("smd"), 6).as("smd"))
+        .orderBy(col("covariate"))
+    }),
     "q59_wls" -> ((s, d) => {
       // weighted least squares (reference 5_wls.sql): integer weights from
       // the line number; slope/intercept have exact closed forms over
@@ -1061,6 +1075,26 @@ object SparkEntry {
         |SELECT 'l_quantity' AS covariate, round((m1q - m0q) / sqrt((v1q + v0q) / 2), 6) AS smd FROM g
         |UNION ALL
         |SELECT 'l_discount', round((m1d - m0d) / sqrt((v1d + v0d) / 2), 6) FROM g""".stripMargin,
+    "q64_gateway_compose" ->
+      // q30's smd closed form, with the row count cross-joined in — the
+      // SQL analogue of the gateway's broadcast splice
+      """WITH g AS (
+        |  SELECT count(*) AS n_rows,
+        |    avg(CASE WHEN l_orderkey % 2 = 1 THEN l_quantity END) AS m1q,
+        |    avg(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity END) AS m0q,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 1 THEN l_quantity END) AS v1q,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity END) AS v0q,
+        |    avg(CASE WHEN l_orderkey % 2 = 1 THEN l_discount END) AS m1d,
+        |    avg(CASE WHEN l_orderkey % 2 = 0 THEN l_discount END) AS m0d,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 1 THEN l_discount END) AS v1d,
+        |    var_samp(CASE WHEN l_orderkey % 2 = 0 THEN l_discount END) AS v0d
+        |  FROM lineitem)
+        |SELECT n_rows, 'l_quantity' AS covariate,
+        |  round((m1q - m0q) / sqrt((v1q + v0q) / 2), 6) AS smd FROM g
+        |UNION ALL
+        |SELECT n_rows, 'l_discount',
+        |  round((m1d - m0d) / sqrt((v1d + v0d) / 2), 6) FROM g
+        |ORDER BY covariate""".stripMargin,
     "q59_wls" ->
       """WITH s AS (
         |  SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
