@@ -104,4 +104,19 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // collect-based and distributed variants agree with each other too
     assert(math.abs(mw.head - mwD.head) < 1e-6, s"${mw.head} vs ${mwD.head}")
   }
+
+  test("caliper matching assigns identical matching_index on every layout") {
+    // the docstring claims layout-determinism (content-hash ordering, not
+    // rand()): the FULL per-row assignment — not just counts — must be
+    // byte-identical across partitionings
+    val assignments = layouts(base).map { d =>
+      graft.ops.Matching.caliperMatching(d, $"t", abs($"x"),
+          caliper = 0.5, exactCols = Seq($"uin" % 3), k = 2)
+        .select($"uin", $"matching_index")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(assignments.head.values.exists(_ > 0), "nothing matched")
+    assignments.tail.foreach(a => assert(a == assignments.head,
+      "matching_index assignment drifts with partition layout"))
+  }
 }
