@@ -137,4 +137,21 @@ class BootstrapSpec extends AnyFunSuite {
     assert(ipw.lower < ipw.estimate && ipw.estimate < ipw.upper)
     assert(ipw.p_value < 0.01)
   }
+
+  test("Par.ensure repartitions starved inputs and passes parallel ones through") {
+    val d = (1 to 1000).map(_.toLong).toDF("id")
+    val target = spark.sparkContext.defaultParallelism
+    val starved = d.coalesce(1)
+    assert(graft.ops.Par.ensure(starved, Seq($"id")).rdd.getNumPartitions == target)
+    assert(graft.ops.Par.ensure(starved).rdd.getNumPartitions == target)
+    // already-parallel input comes back with the SAME plan (no extra shuffle)
+    val parallel = d.repartition(target + 3)
+    assert(graft.ops.Par.ensure(parallel, Seq($"id")) eq parallel)
+    // weights are id-derived, so the repartition cannot move any estimate
+    val a = Bootstrap.bootstrapAgg(starved, b = 20, idCols = Seq($"id"))(w =>
+      Seq("s" -> sum($"id" * w))).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val b2 = Bootstrap.bootstrapAgg(d.repartition(5, $"id"), b = 20, idCols = Seq($"id"))(w =>
+      Seq("s" -> sum($"id" * w))).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(a == b2, "bootstrap sums drift with input layout")
+  }
 }
