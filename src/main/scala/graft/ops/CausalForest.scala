@@ -82,7 +82,9 @@ object CausalForest {
       val bD = lit(trees.length.toDouble)
       val leafNames = trees.indices.map(i => s"__cf_leaf_$i")
       val keep = df.columns.map(col).toIndexedSeq
-      val withLeaves = df.select(keep ++ trees.zipWithIndex.map { case (tr, i) =>
+      // per-row scoring work is numTrees navigations + lookups — make sure
+      // a starved input does not serialize it (no-op when already parallel)
+      val withLeaves = Par.ensure(df).select(keep ++ trees.zipWithIndex.map { case (tr, i) =>
         tr.leafColumn(features).as(leafNames(i))
       }: _*)
       val withLookups = withLeaves.select(keep ++ trees.zipWithIndex.flatMap { case (tr, i) =>
@@ -122,7 +124,10 @@ object CausalForest {
         features.zipWithIndex.map { case ((_, c), i) => c.cast("double").as(s"__f$i") }): _*)
       .filter(col("__y").isNotNull && !isnan(col("__y")))
     val rowHash = xxhash64(struct(base0.columns.toIndexedSeq.map(col): _*), lit(seed))
-    val pre = base0.withColumn("__rh", rowHash)
+    // growth makes D+1 scans of a numTrees·fraction× exploded frame: the
+    // input must be parallel BEFORE that amplification (A/B-measured ~30%
+    // on the q42 shape; no-op on already-parallel inputs)
+    val pre = Par.ensure(base0.withColumn("__rh", rowHash), Seq(col("__rh")))
     // global quantile bins once, ALL features in one pass (histogram style)
     val probs = (1 until bins).map(_.toDouble / bins).toArray
     val boundaries: Array[Array[Double]] = pre.stat
