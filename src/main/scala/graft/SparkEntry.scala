@@ -198,6 +198,19 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q66_ttest_cuped" -> ((s, d) => {
+      // CUPED covariate adjustment under the oracle gate (the flagship
+      // entry() capability): θ = cov(y,x)/var(x) on the combined sample,
+      // per-group mean shifted by θ(x̄_g − x̄), variance reduced by the
+      // regression term (ttest_common.h:102-119) — all DuckDB closed forms
+      val li = t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+      li.select(functions.ttest_2samp("x1", col("treat"), cuped = "x2")(
+          col("l_quantity"), col("l_discount")).as("r"))
+        .select(round(col("r.mean0"), 6).as("mean0"),
+          round(col("r.mean1"), 6).as("mean1"),
+          round(col("r.estimate"), 6).as("estimate"),
+          round(col("r.stderr"), 6).as("stderr"))
+    }),
     "q16_srm" -> ((s, d) => {
       // sample-ratio mismatch: observed quantity share per linestatus vs 50/50
       val li = t(s, d, "lineitem")
@@ -580,6 +593,32 @@ object SparkEntry {
           |  FROM li_gw)
           |SELECT smd(treat, l_quantity, l_discount) FROM flagged""".stripMargin)
         .select(col("covariate"), round(col("smd"), 6).as("smd"))
+    }),
+    "q65_csv_rename_split" -> ((s, d) => {
+      // the CSV source, withColumnRenamed, and train/test split under the
+      // gate: lineitem round-trips through CSV (explicit schema), a column
+      // is renamed, and the deterministic-seed split partitions the rows.
+      // n_rows/price_sum are closed forms; the split sizes are pinned
+      // per-SF constants (randomSplit is seed+layout deterministic here)
+      val spark = s
+      import spark.implicits._
+      val src = t(s, d, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${sfTag(d)}"
+      src.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+      val csv = s.read.schema(src.schema).option("header", "true").csv(dir)
+        .withColumnRenamed("l_extendedprice", "price")
+      val (train, test) = {
+        val Array(a, b) = csv.randomSplit(Array(0.75, 0.25), seed = 42L)
+        (a, b)
+      }
+      val (nTrain, nTest) = (train.count(), test.count())
+      csv.agg(count(lit(1)).as("n_rows"),
+          round(sum(dec(col("price"))), 2).cast("double").as("price_sum"))
+        .withColumn("n_train", lit(nTrain))
+        .withColumn("n_test", lit(nTest))
+        .withColumn("split_consistent", (lit(nTrain) + lit(nTest) === col("n_rows")))
+        .withColumn("oracle_sf", lit(sfTag(d)))
     }),
     "q64_gateway_compose" -> ((s, d) => {
       // the gateway's SELECT-list composition path end-to-end: a summary
@@ -1075,6 +1114,14 @@ object SparkEntry {
         |SELECT 'l_quantity' AS covariate, round((m1q - m0q) / sqrt((v1q + v0q) / 2), 6) AS smd FROM g
         |UNION ALL
         |SELECT 'l_discount', round((m1d - m0d) / sqrt((v1d + v0d) / 2), 6) FROM g""".stripMargin,
+    "q65_csv_rename_split" ->
+      // n_rows / price_sum are closed forms over the filtered source; the
+      // split sizes are pinned sf0.01 constants (seed+layout deterministic)
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS price_sum,
+        |  CAST(6506 AS BIGINT) AS n_train, CAST(2084 AS BIGINT) AS n_test,
+        |  TRUE AS split_consistent, '0.01' AS oracle_sf
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
     "q64_gateway_compose" ->
       // q30's smd closed form, with the row count cross-joined in — the
       // SQL analogue of the gateway's broadcast splice
@@ -1198,6 +1245,29 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q66_ttest_cuped" ->
+      // θ from the combined sample; per-group adjusted mean and
+      // delta-method variance are covariance closed forms
+      """WITH c AS (
+        |  SELECT covar_samp(l_quantity, l_discount) / var_samp(l_discount) AS theta,
+        |    avg(l_discount) AS xc
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT (l_orderkey % 2) AS t2, count(*) AS n,
+        |    avg(l_quantity) AS my, avg(l_discount) AS mx,
+        |    var_samp(l_quantity) AS vy, var_samp(l_discount) AS vx,
+        |    covar_samp(l_quantity, l_discount) AS cyx
+        |  FROM lineitem GROUP BY 1),
+        |a AS (
+        |  SELECT t2, my - theta * (mx - xc) AS m,
+        |    (vy + theta * theta * vx - 2 * theta * cyx) / n AS v
+        |  FROM g, c)
+        |SELECT
+        |  round(max(CASE WHEN t2 = 0 THEN m END), 6) AS mean0,
+        |  round(max(CASE WHEN t2 = 1 THEN m END), 6) AS mean1,
+        |  round(max(CASE WHEN t2 = 1 THEN m END) - max(CASE WHEN t2 = 0 THEN m END), 6) AS estimate,
+        |  round(sqrt(max(CASE WHEN t2 = 0 THEN v END) + max(CASE WHEN t2 = 1 THEN v END)), 6) AS stderr
+        |FROM a""".stripMargin,
     "q62_ttest_one_sided" ->
       """WITH g AS (
         |  SELECT (l_orderkey % 2) AS treat, count(*) AS n,
