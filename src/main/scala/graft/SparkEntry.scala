@@ -198,6 +198,21 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q67_ttest_pse" -> ((s, d) => {
+      // post-stratified t-test (ttest_2samp.h:292-357): per-stratum Welch
+      // pieces recombined by stratum share w = n_s/N, variance by w² —
+      // DuckDB closed form per stratum. Stratum (orderkey%4) must not
+      // determine treatment, so treatment keys on suppkey
+      val li = t(s, d, "lineitem")
+        .withColumn("treat", (col("l_suppkey") % 2).cast("int"))
+        .withColumn("stratum", pmod(col("l_orderkey"), lit(4)))
+      li.select(functions.ttest_2samp_pse("x1", col("treat"), col("stratum"))(
+          col("l_quantity")).as("r"))
+        .select(round(col("r.mean0"), 6).as("mean0"),
+          round(col("r.mean1"), 6).as("mean1"),
+          round(col("r.estimate"), 6).as("estimate"),
+          round(col("r.stderr"), 6).as("stderr"))
+    }),
     "q66_ttest_cuped" -> ((s, d) => {
       // CUPED covariate adjustment under the oracle gate (the flagship
       // entry() capability): θ = cov(y,x)/var(x) on the combined sample,
@@ -1245,6 +1260,26 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q67_ttest_pse" ->
+      """WITH g AS (
+        |  SELECT (l_orderkey % 4) AS stratum, (l_suppkey % 2) AS t2,
+        |    count(*) AS n, avg(l_quantity) AS m, var_samp(l_quantity) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS tc FROM g),
+        |s AS (
+        |  SELECT a.stratum, a.n AS n0, a.m AS m0, a.v AS v0,
+        |    b.n AS n1, b.m AS m1, b.v AS v1, a.n + b.n AS ns
+        |  FROM g a JOIN g b ON a.stratum = b.stratum
+        |  WHERE a.t2 = 0 AND b.t2 = 1 AND a.n > 1 AND b.n > 1),
+        |agg AS (
+        |  SELECT sum(ns * m0) / max(tc) AS mean0, sum(ns * m1) / max(tc) AS mean1,
+        |    sum(ns * ns * v0 / n0) / (max(tc) * max(tc)) AS var0,
+        |    sum(ns * ns * v1 / n1) / (max(tc) * max(tc)) AS var1
+        |  FROM s, tot)
+        |SELECT round(mean0, 6) AS mean0, round(mean1, 6) AS mean1,
+        |  round(mean1 - mean0, 6) AS estimate,
+        |  round(sqrt(var0 + var1), 6) AS stderr
+        |FROM agg""".stripMargin,
     "q66_ttest_cuped" ->
       // θ from the combined sample; per-group adjusted mean and
       // delta-method variance are covariance closed forms
