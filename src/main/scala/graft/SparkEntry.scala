@@ -198,6 +198,16 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q68_ttest1_cuped" -> ((s, d) => {
+      // one-sample CUPED (ttest_common.h:121-131): mean NOT shifted, the
+      // variance alone drops by the regression term — θ, variances and the
+      // covariance are single-sample DuckDB closed forms
+      val li = t(s, d, "lineitem")
+      li.select(functions.ttest_1samp("x1", mu = 25.0, cuped = "x2")(
+          col("l_quantity"), col("l_discount")).as("r"))
+        .select(round(col("r.estimate"), 6).as("estimate"),
+          round(col("r.stderr"), 6).as("stderr"))
+    }),
     "q67_ttest_pse" -> ((s, d) => {
       // post-stratified t-test (ttest_2samp.h:292-357): per-stratum Welch
       // pieces recombined by stratum share w = n_s/N, variance by w² —
@@ -1260,6 +1270,16 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q68_ttest1_cuped" ->
+      """WITH c AS (
+        |  SELECT count(*) AS n, avg(l_quantity) AS my,
+        |    var_samp(l_quantity) AS vy, var_samp(l_discount) AS vx,
+        |    covar_samp(l_quantity, l_discount) AS cyx
+        |  FROM lineitem)
+        |SELECT round(my - 25.0, 6) AS estimate,
+        |  round(sqrt((vy + (cyx / vx) * (cyx / vx) * vx
+        |    - 2 * (cyx / vx) * cyx) / n), 6) AS stderr
+        |FROM c""".stripMargin,
     "q67_ttest_pse" ->
       """WITH g AS (
         |  SELECT (l_orderkey % 4) AS stratum, (l_suppkey % 2) AS t2,
