@@ -198,6 +198,25 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q69_xexpt_sum" -> ((s, d) => {
+      // xexpt SUM metric (xexpt_ttest_2samp.h: denominator replaced by the
+      // traffic-ratio share): group mean = Σy/ratio and diff_relative are
+      // DuckDB closed forms; the bucketed stderr → t-statistic is a pinned
+      // sf0.01 constant
+      val li = t(s, d, "lineitem")
+        .withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+        .withColumn("uin", col("l_orderkey") * 10 + col("l_linenumber"))
+      li.select(functions.xexpt_ttest_2samp(col("uin"), col("treat"),
+          Seq(col("l_quantity"), lit(1.0)), metricType = "sum",
+          ratios = (0.5, 0.5)).as("r"))
+        .select(round(col("r.numerator0"), 2).as("num0"),
+          round(col("r.numerator1"), 2).as("num1"),
+          round(col("r.mean0"), 2).as("mean0"),
+          round(col("r.mean1"), 2).as("mean1"),
+          round(col("r.diff_relative"), 6).as("diff_relative"),
+          round(col("r.t_statistic"), 6).as("t_stat"),
+          lit(sfTag(d)).as("oracle_sf"))
+    }),
     "q68_ttest1_cuped" -> ((s, d) => {
       // one-sample CUPED (ttest_common.h:121-131): mean NOT shifted, the
       // variance alone drops by the regression term — θ, variances and the
@@ -1270,6 +1289,19 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q69_xexpt_sum" ->
+      """WITH g AS (
+        |  SELECT (l_orderkey % 2) AS t2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT
+        |  max(CASE WHEN t2 = 0 THEN sy END) AS s0,
+        |  max(CASE WHEN t2 = 1 THEN sy END) AS s1 FROM g)
+        |SELECT round(s0, 2) AS num0, round(s1, 2) AS num1,
+        |  round(s0 / 0.5, 2) AS mean0, round(s1 / 0.5, 2) AS mean1,
+        |  round((s1 / 0.5 - s0 / 0.5) / (s0 / 0.5), 6) AS diff_relative,
+        |  CAST(-1.301803 AS DOUBLE) AS t_stat, '0.01' AS oracle_sf
+        |FROM s""".stripMargin,
     "q68_ttest1_cuped" ->
       """WITH c AS (
         |  SELECT count(*) AS n, avg(l_quantity) AS my,
