@@ -85,6 +85,19 @@ object ScaleProbe {
       val r = graft.ops.Uplift.liftGain(cont, col("score"), col("v"), col("t"), k = 100)
       assert(r.count() == 100)
     }
+    // caliper matching at claims scale: the salted two-pass design (slice
+    // table broadcast, per-slice parallel sorts) must hold when cells are
+    // few and rows are many — 12 cells over 10M rows, 1:2
+    time(s"caliper_matching 1:2 ($rankRows rows, 4 buckets x 3 exact)") {
+      val md = spark.range(rankRows).select(
+        (pmod(xxhash64(col("id"), lit(31)), lit(100L)).cast("double") / 100.0).as("score"),
+        (col("id") % 3).cast("string").as("g"),
+        (pmod(xxhash64(col("id"), lit(32)), lit(10L)) < 4).cast("int").as("t"))
+      val m = graft.ops.Matching.caliperMatching(md, col("t"), col("score"),
+        caliper = 0.25, exactCols = Seq(col("g")), k = 2)
+      val matched = m.filter(col("matching_index") > 0).count()
+      assert(matched > rankRows / 2, s"only $matched matched")
+    }
 
     // causal forest at the reference's claims class ("minute-level on tens
     // of millions of rows"): level-synchronous growth over the persisted

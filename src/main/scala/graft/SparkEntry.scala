@@ -198,6 +198,22 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q70_multimodal_plan" -> ((s, d) => {
+      // the multimodal PLUMBING beyond image decode (q45): frame sampling
+      // (posexplode over a sequence of timestamps) and the aspect-preserving
+      // resize plan are metadata arithmetic — every output is a DuckDB
+      // closed form, no pins
+      val li = t(s, d, "lineitem")
+      val nFrames = graft.ops.Multimodal.sampleFrames(li,
+        col("l_orderkey"), col("l_orderkey") % 5000, everyMs = 1000L).count()
+      li.select(graft.ops.Multimodal.resizePlan(
+          (lit(640) + col("l_partkey") % 2000).cast("int"),
+          (lit(480) + col("l_suppkey") % 1000).cast("int"), 1024).as("p"))
+        .agg(sum(when(col("p.needs_resize"), 1L).otherwise(0L)).as("n_resize"),
+          sum(col("p.w").cast("long")).as("sum_w"),
+          sum(col("p.h").cast("long")).as("sum_h"))
+        .withColumn("n_frames", lit(nFrames))
+    }),
     "q69_xexpt_sum" -> ((s, d) => {
       // xexpt SUM metric (xexpt_ttest_2samp.h: denominator replaced by the
       // traffic-ratio share): group mean = Σy/ratio and diff_relative are
@@ -1289,6 +1305,25 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q70_multimodal_plan" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN (l_orderkey % 5000) > 0
+        |    THEN CAST(FLOOR(((l_orderkey % 5000) - 1) / 1000.0) AS BIGINT) + 1
+        |    ELSE 0 END AS nf
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT 640 + (l_partkey % 2000) AS w, 480 + (l_suppkey % 1000) AS h
+        |  FROM lineitem),
+        |r AS (SELECT w, h, CASE WHEN w > h THEN w ELSE h END AS mx FROM p),
+        |z AS (
+        |  SELECT CASE WHEN mx > 1024 THEN 1 ELSE 0 END AS nr,
+        |    CASE WHEN mx > 1024 THEN CAST(round(w * 1024.0 / mx) AS BIGINT) ELSE w END AS ow,
+        |    CASE WHEN mx > 1024 THEN CAST(round(h * 1024.0 / mx) AS BIGINT) ELSE h END AS oh
+        |  FROM r)
+        |SELECT CAST(sum(nr) AS BIGINT) AS n_resize,
+        |  CAST(sum(ow) AS BIGINT) AS sum_w, CAST(sum(oh) AS BIGINT) AS sum_h,
+        |  (SELECT CAST(sum(nf) AS BIGINT) FROM f) AS n_frames
+        |FROM z""".stripMargin,
     "q69_xexpt_sum" ->
       """WITH g AS (
         |  SELECT (l_orderkey % 2) AS t2,
