@@ -31,12 +31,18 @@ object Matching {
     require(slices > 0, "slices must be positive")
     val cell = struct(
       floor(score.cast("double") / caliper).as("bucket") +: exactCols.map(_.cast("string")): _*)
+    // a null score / treatment / exact value means UNKNOWN, not "equal to
+    // the other unknowns" — without this gate, struct grouping treats null
+    // fields as equal and the null rows silently match each other
+    val valid = (score.cast("double").isNotNull && !isnan(score.cast("double")) &&
+      treatment.cast("int").isNotNull) +: exactCols.map(_.isNotNull)
     // content hash, not rand(): rand() draws per-partition streams, so the
     // matched pairs would change with the cluster layout; the hash gives the
     // same "random" order (and slice) on any layout.
     val h = xxhash64(struct(df.columns.toIndexedSeq.map(col): _*), lit(seed))
     val withCell = df.withColumn("__cell", cell)
       .withColumn("__t", treatment.cast("int"))
+      .withColumn("__valid", valid.reduce(_ && _))
       .withColumn("__h", h)
       .withColumn("__slice", pmod(col("__h"), lit(slices.toLong)).cast("int"))
     // pass 1: ONE scan of the big table down to (cell, arm, slice) counts;
@@ -44,6 +50,7 @@ object Matching {
     // derivations below never rescan the big table (auto-cleaned when the
     // result is dropped).
     val sliceCnt = withCell
+      .filter(col("__valid"))
       .groupBy(col("__cell"), col("__t"), col("__slice"))
       .agg(count(lit(1)).as("sc"))
       .localCheckpoint(false)
@@ -89,12 +96,13 @@ object Matching {
     withCell.join(broadcast(meta), Seq("__cell", "__t", "__slice"), "left")
       .withColumn("__rn", col("slice_off") + row_number().over(wT))
       .withColumn("matching_index",
-        when(col("pairs").isNull, 0L)
+        when(!col("__valid") || col("pairs").isNull, 0L)
           .when(col("__t") === 1 && col("__rn") <= col("pairs"), col("offset") + col("__rn"))
           .when(col("__t") === 0 && col("__rn") <= col("pairs") * k,
             col("offset") + ceil(col("__rn") / k).cast("long"))
           .otherwise(0L))
-      .drop("__cell", "__t", "__h", "__slice", "__rn", "slice_off", "pairs", "offset")
+      .drop("__cell", "__t", "__valid", "__h", "__slice", "__rn", "slice_off",
+        "pairs", "offset")
   }
 
   /** Exact matching on a covariate tuple — caliper matching degenerate case

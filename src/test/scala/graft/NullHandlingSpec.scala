@@ -77,4 +77,25 @@ class NullHandlingSpec extends AnyFunSuite {
       .select("r.observed").head().getSeq[Double](0)
     assert(a == b, s"$a vs complete-case $b")
   }
+
+  test("caliper matching never matches rows with null/NaN score or treatment") {
+    // nulls mean UNKNOWN: without an explicit gate, struct grouping would
+    // treat null cell fields as equal and silently match the unknowns
+    val d = Seq[(Long, java.lang.Double, java.lang.Integer, String)](
+      (1L, 0.10, 1, "a"), (2L, 0.12, 0, "a"), (3L, 0.11, 0, "a"),
+      (4L, null, 1, "a"), (5L, null, 0, "a"),          // null scores
+      (6L, Double.NaN, 1, "a"), (7L, Double.NaN, 0, "a"), // NaN scores
+      (8L, 0.10, null, "a"),                           // null treatment
+      (9L, 0.10, 1, null), (10L, 0.10, 0, null)        // null exact col
+    ).toDF("id", "score", "t", "g")
+    val m = graft.ops.Matching.caliperMatching(d, $"t", $"score",
+      caliper = 0.5, exactCols = Seq($"g"), k = 1)
+    val idx = m.select($"id", $"matching_index").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the three complete rows in cell (bucket 0, "a") match 1:1
+    assert(idx(1L) > 0 && (idx(2L) > 0 || idx(3L) > 0))
+    // every incomplete row is unmatched
+    Seq(4L, 5L, 6L, 7L, 8L, 9L, 10L).foreach(i =>
+      assert(idx(i) == 0L, s"row $i with incomplete keys got index ${idx(i)}"))
+  }
 }
