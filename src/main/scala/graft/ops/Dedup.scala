@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on normalized content: keeps the row with the smallest
-    * `keep` key per fingerprint. Shuffles (fingerprint, keep) only. */
+    * `keep` key per fingerprint. Shuffles (fingerprint, keep) only.
+    * NULL text is UNKNOWN content, not identical content — Spark's
+    * xxhash64 maps null input to the seed, so without the guard every
+    * null-text row would share one fingerprint and be deduplicated to a
+    * single survivor. Null-text rows always survive. */
   def exactDedup(df: DataFrame, text: Column, keep: Column): DataFrame = {
-    val w = Window.partitionBy(TextOps.contentFingerprint(text)).orderBy(keep)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val w = Window.partitionBy(when(text.isNotNull, TextOps.contentFingerprint(text)))
+      .orderBy(keep)
+    df.withColumn("__tnull", text.isNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || col("__tnull"))
+      .drop("__rn", "__tnull")
   }
 
   /** k minhashes of a precomputed shingle array via double hashing

@@ -78,6 +78,15 @@ class NullHandlingSpec extends AnyFunSuite {
     assert(a == b, s"$a vs complete-case $b")
   }
 
+  test("exactDedup keeps every null-text row (unknown != identical)") {
+    val d = Seq[(Long, String)](
+      (1L, "same doc"), (2L, "same doc"), (3L, "other"),
+      (4L, null), (5L, null), (6L, null)).toDF("id", "text")
+    val kept = graft.ops.Dedup.exactDedup(d, $"text", $"id")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L), s"kept $kept")
+  }
+
   test("caliper matching never matches rows with null/NaN score or treatment") {
     // nulls mean UNKNOWN: without an explicit gate, struct grouping would
     // treat null cell fields as equal and silently match the unknowns
