@@ -198,6 +198,29 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q71_xexpt_cuped" -> ((s, d) => {
+      // xexpt with the pre-period CUPED covariate (cuped='x3/x4', the
+      // reference's only accepted form): numerator/denominator/pre sums are
+      // DuckDB closed forms; the bucket-level θ adjustment makes the
+      // adjusted means and t a pinned sf0.01 constant
+      val li = t(s, d, "lineitem")
+        .withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+        .withColumn("uin", col("l_orderkey") * 10 + col("l_linenumber"))
+        .withColumn("y_pre", col("l_quantity") * 0.7 + col("l_discount") * 5.0)
+      li.select(functions.xexpt_ttest_2samp(col("uin"), col("treat"),
+          Seq(col("l_quantity"), lit(1.0), col("y_pre"), lit(1.0)),
+          cuped = "x3/x4").as("r"))
+        .select(round(col("r.numerator0"), 2).as("num0"),
+          round(col("r.numerator1"), 2).as("num1"),
+          round(col("r.numerator_pre0"), 2).as("pre0"),
+          round(col("r.numerator_pre1"), 2).as("pre1"),
+          round(col("r.denominator0"), 2).as("den0"),
+          round(col("r.denominator1"), 2).as("den1"),
+          round(col("r.mean0"), 6).as("mean0"),
+          round(col("r.mean1"), 6).as("mean1"),
+          round(col("r.t_statistic"), 6).as("t_stat"),
+          lit(sfTag(d)).as("oracle_sf"))
+    }),
     "q70_multimodal_plan" -> ((s, d) => {
       // the multimodal PLUMBING beyond image decode (q45): frame sampling
       // (posexplode over a sequence of timestamps) and the aspect-preserving
@@ -1304,6 +1327,22 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END), 6) AS mean1,
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
+        |FROM g""".stripMargin,
+    "q71_xexpt_cuped" ->
+      """WITH g AS (
+        |  SELECT (l_orderkey % 2) AS t2, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * 0.7 + l_discount * 5.0 AS DECIMAL(18,6))) AS DOUBLE) AS sp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  round(max(CASE WHEN t2 = 0 THEN sy END), 2) AS num0,
+        |  round(max(CASE WHEN t2 = 1 THEN sy END), 2) AS num1,
+        |  round(max(CASE WHEN t2 = 0 THEN sp END), 2) AS pre0,
+        |  round(max(CASE WHEN t2 = 1 THEN sp END), 2) AS pre1,
+        |  round(max(CASE WHEN t2 = 0 THEN CAST(n AS DOUBLE) END), 2) AS den0,
+        |  round(max(CASE WHEN t2 = 1 THEN CAST(n AS DOUBLE) END), 2) AS den1,
+        |  CAST(25.40138 AS DOUBLE) AS mean0, CAST(25.403131 AS DOUBLE) AS mean1,
+        |  CAST(1.019533 AS DOUBLE) AS t_stat, '0.01' AS oracle_sf
         |FROM g""".stripMargin,
     "q70_multimodal_plan" ->
       """WITH f AS (

@@ -17,7 +17,8 @@ class DriverContractSpec extends AnyFunSuite {
     // cheap sanity: the pinned-constant oracles must carry the oracle_sf tag
     for (name <- Seq("q34_logistic", "q38_simhash_pairs", "q46_ivf_recall",
         "q49_lasso", "q51_bootstrap", "q52_permutation", "q58_ipw_ate",
-        "q62_ttest_one_sided", "q65_csv_rename_split", "q69_xexpt_sum"))
+        "q62_ttest_one_sided", "q65_csv_rename_split", "q69_xexpt_sum",
+        "q71_xexpt_cuped"))
       assert(SparkEntry.oracleSql(name).contains("oracle_sf"),
         s"$name pins sf-specific constants but lacks the oracle_sf tag")
   }
