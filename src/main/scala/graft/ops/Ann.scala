@@ -27,10 +27,15 @@ object Ann {
   def bruteForceKnn(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                     probes: DataFrame, probeId: Column, probeVec: Column,
                     k: Int): DataFrame = {
+    // a null vector is unknown, not near anything: without the guard,
+    // null-sim rows sort after the real neighbors and fill top-k slots
+    // whenever fewer than k real candidates exist
     val c = corpus.select(corpusId.cast("long").as("neighbor_id"),
       corpusVec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
     val p = probes.select(probeId.cast("long").as("query_id"),
       probeVec.cast("array<double>").as("q"))
+      .filter(col("q").isNotNull)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(p), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q"), col("v")))
@@ -110,8 +115,9 @@ object Ann {
              probes: DataFrame, probeId: Column, probeVec: Column,
              index: IvfIndex, k: Int, nprobe: Int): DataFrame = {
     val assigned = corpus.select(corpusId.cast("long").as("neighbor_id"),
-      corpusVec.cast("array<double>").as("v"),
-      cellOf(index, corpusVec).as("cell"))
+      corpusVec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull) // unknown vectors live in no cell
+      .withColumn("cell", cellOf(index, col("v")))
     // per-probe probed cells: nprobe nearest centroids, as an array column
     val cellDists = index.centroids.zipWithIndex.map { case (c, i) =>
       struct(graft.expr.VectorExprs.l2SqToLit(probeVec.cast("array<double>"), c).as("d"),
@@ -121,6 +127,7 @@ object Ann {
     val p = probes.select(probeId.cast("long").as("query_id"),
       probeVec.cast("array<double>").as("q"),
       explode(transform(probedCells, s => s.getField("cell"))).as("cell"))
+      .filter(col("q").isNotNull)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     assigned.join(p, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -87,6 +87,20 @@ class NullHandlingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 4L, 5L, 6L), s"kept $kept")
   }
 
+  test("knn ignores null vectors on both sides") {
+    val vecs = Seq[(Long, Seq[java.lang.Double])](
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, null), (4L, Seq(0.0, 1.0)))
+      .toDF("id", "v").select($"id", $"v".cast("array<double>").as("v"))
+    val probes = Seq[(Long, Seq[java.lang.Double])]((10L, Seq(1.0, 0.0)), (11L, null))
+      .toDF("pid", "q").select($"pid", $"q".cast("array<double>").as("q"))
+    val r = graft.ops.Ann.bruteForceKnn(vecs, $"id", $"v", probes, $"pid", $"q", k = 4)
+      .collect()
+    // null-vector corpus row 3 never appears; null-vector probe 11 gets no rows
+    assert(r.forall(_.getLong(1) != 3L))
+    assert(r.forall(_.getLong(0) == 10L))
+    assert(r.length == 3) // all non-null corpus rows ranked for probe 10
+  }
+
   test("caliper matching never matches rows with null/NaN score or treatment") {
     // nulls mean UNKNOWN: without an explicit gate, struct grouping would
     // treat null cell fields as equal and silently match the unknowns
