@@ -198,6 +198,7 @@ object Bootstrap {
     val idNamed = idCols.zipWithIndex.map { case (c, i) => c.as(s"__id_$i") }
     val base0 = df.select(Seq(y.cast("double").as("y"),
       treatment.cast("int").as("t")) ++ idNamed: _*)
+      .filter(col("y").isNotNull && col("t").isNotNull) // listwise
     val (base1, ids) =
       if (idCols.nonEmpty) (base0, idNamed.indices.map(i => col(s"__id_$i")))
       else withStableIds(base0)
@@ -234,12 +235,16 @@ object Bootstrap {
   case class EffectEstimate(estimate: Double, stderr: Double, lower: Double,
                             upper: Double, p_value: Double)
 
-  /** Select (y, t[, e]) plus renamed id columns; returns the narrowed frame
-    * and the id Columns to hand to the bootstrap (empty → stable-id path). */
+  /** Select (y, t[, e]) plus renamed id columns, dropping incomplete rows
+    * listwise (the aggregate family's null convention); returns the
+    * narrowed frame and the id Columns to hand to the bootstrap (empty →
+    * stable-id path). */
   private def narrowWithIds(df: DataFrame, cols: Seq[Column],
                             idCols: Seq[Column]): (DataFrame, Seq[Column]) = {
     val idNamed = idCols.zipWithIndex.map { case (c, i) => c.as(s"__id_$i") }
-    (df.select(cols ++ idNamed: _*), idNamed.indices.map(i => col(s"__id_$i")))
+    val narrowed = df.select(cols ++ idNamed: _*)
+    val complete = cols.indices.map(i => col(narrowed.columns(i)).isNotNull).reduce(_ && _)
+    (narrowed.filter(complete), idNamed.indices.map(i => col(s"__id_$i")))
   }
 
   /** Difference-in-means ATE with bootstrap CI (statistics.py:1054-1119's

@@ -96,8 +96,10 @@ object Longterm {
       val aggs = (1 to horizon).map { h =>
         cur = step(tr, cur)
         val outcome = cur.head
-        (sum(when(t === 1, outcome)) / sum(when(t === 1, 1)) -
-          sum(when(t === 0, outcome)) / sum(when(t === 0, 1))).as(s"d$h")
+        // count() over the outcome keeps the denominator listwise with the
+        // numerator when some surrogate values are null
+        (sum(when(t === 1, outcome)) / count(when(t === 1, outcome)) -
+          sum(when(t === 0, outcome)) / count(when(t === 0, outcome))).as(s"d$h")
       }
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       (0 until horizon).map(row.getDouble)
@@ -130,9 +132,9 @@ object Longterm {
     }
     val meanAggs = (0 until k).flatMap { i =>
       Seq((sum(when(col("__t") === 1, col(s"__s$i") * col("w"))) /
-            sum(when(col("__t") === 1, col("w")))).as(s"m1_$i"),
+            sum(when(col("__t") === 1 && col(s"__s$i").isNotNull, col("w")))).as(s"m1_$i"),
         (sum(when(col("__t") === 0, col(s"__s$i") * col("w"))) /
-            sum(when(col("__t") === 0, col("w")))).as(s"m0_$i"))
+            sum(when(col("__t") === 0 && col(s"__s$i").isNotNull, col("w")))).as(s"m0_$i"))
     }
     val meanRows = withRepWeight(base.select(idNamed ++ lastNamed :+ t.as("__t"): _*))
       .groupBy(col("rep")).agg(meanAggs.head, meanAggs.tail: _*)

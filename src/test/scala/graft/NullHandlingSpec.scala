@@ -87,6 +87,23 @@ class NullHandlingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 4L, 5L, 6L), s"kept $kept")
   }
 
+  test("effect estimators and longterm means are listwise under nulls") {
+    val d = Seq[(Long, java.lang.Double, java.lang.Integer)](
+      (1L, 10.0, 1), (2L, 12.0, 1), (3L, 8.0, 0), (4L, 9.0, 0),
+      (5L, null, 1), (6L, null, 0), (7L, 11.0, null)
+    ).toDF("id", "y", "t")
+    val complete = d.na.drop(Seq("y", "t"))
+    val a = graft.ops.Bootstrap.ateEstimator(d, $"y", $"t", b = 20, idCols = Seq($"id"))
+    val b = graft.ops.Bootstrap.ateEstimator(complete, $"y", $"t", b = 20, idCols = Seq($"id"))
+    assert(a.estimate == b.estimate && a.stderr == b.stderr,
+      s"nulls changed the estimator: $a vs $b")
+    val (obsA, _, _) = graft.ops.Bootstrap.permutationTest(d, $"y", $"t",
+      b = 20, idCols = Seq($"id"))
+    val (obsB, _, _) = graft.ops.Bootstrap.permutationTest(complete, $"y", $"t",
+      b = 20, idCols = Seq($"id"))
+    assert(obsA == obsB, s"permutation observed drifted: $obsA vs $obsB")
+  }
+
   test("knn ignores null vectors on both sides") {
     val vecs = Seq[(Long, Seq[java.lang.Double])](
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, null), (4L, Seq(0.0, 1.0)))
