@@ -40,10 +40,30 @@ object implicits {
         "p25", "p50", "p75", "p90", "p99", "max")
     }
 
-    /** train/test split by fraction (dataframe.py:857-874). */
+    /** train/test split by fraction (dataframe.py:857-874). NOTE:
+      * `randomSplit` draws per-partition streams, so membership changes
+      * with the cluster layout — use [[trainTestSplitDeterministic]] when
+      * the split must reproduce across runs and clusters. */
     def trainTestSplit(testSize: Double, seed: Long = 42L): (DataFrame, DataFrame) = {
       val Array(train, test) = df.randomSplit(Array(1.0 - testSize, testSize), seed)
       (train, test)
+    }
+
+    /** Layout-deterministic train/test split: membership is a pure function
+      * of (idCols, seed) via a content hash, so the same row lands on the
+      * same side on any partitioning, any cluster, any run — the convention
+      * every other sampled/bootstrapped operator here follows. Pass a real
+      * key in `idCols`; defaults to hashing the whole row (duplicates then
+      * co-travel to the same side). */
+    def trainTestSplitDeterministic(testSize: Double, seed: Long = 42L,
+                                    idCols: Seq[Column] = Seq.empty)
+        : (DataFrame, DataFrame) = {
+      require(testSize > 0 && testSize < 1, "testSize in (0,1)")
+      val key = if (idCols.nonEmpty) idCols
+        else Seq(struct(df.columns.toIndexedSeq.map(col): _*))
+      val u = (xxhash64((key :+ lit(seed)): _*).cast("double") /
+        lit(2.0 * Long.MaxValue)) + lit(0.5)
+      (df.filter(u >= testSize), df.filter(u < testSize))
     }
 
     // ------------------------------------------------ statistics verbs

@@ -150,6 +150,20 @@ class OpsSpec extends AnyFunSuite {
     assert(r.columns.contains("estimate"))
     val (train, test) = upliftDf.trainTestSplit(0.3)
     assert(train.count() + test.count() == 5000)
+    // deterministic variant: identical membership on every layout, sizes
+    // near the fraction, sides disjoint
+    val keyed = spark.range(5000).select($"id".as("uin"),
+      (col("id") % 7).cast("double").as("v"))
+    val layouts = Seq(keyed.coalesce(1), keyed.repartition(13))
+    val sides = layouts.map { d =>
+      val (tr, te) = d.trainTestSplitDeterministic(0.3, idCols = Seq($"uin"))
+      (tr.select($"uin").collect().map(_.getLong(0)).toSet,
+        te.select($"uin").collect().map(_.getLong(0)).toSet)
+    }
+    assert(sides(0) == sides(1), "deterministic split drifted with layout")
+    val (trIds, teIds) = sides.head
+    assert(trIds.intersect(teIds).isEmpty && trIds.size + teIds.size == 5000)
+    assert(math.abs(teIds.size - 1500) < 150, s"test side ${teIds.size} far from 30%")
   }
 
   test("CSV source round-trips schema and values") {
