@@ -73,16 +73,19 @@ object Formatters {
     // pre-period denominator column only under avg (sum replaces the
     // denominator with the traffic ratio; xexpt_ttest_2samp.h:540-612)
     val hasPreDen = hasPre && avg && !r.denominator_pre0.isNaN && r.denominator_pre0 != 0.0
+    // pre-period order matches the reference's add_result3 sequence:
+    // denominator_pre (avg-only) BEFORE numerator_pre, both inside the
+    // same !denominators_pre.empty() block (xexpt_ttest_2samp.h:560-570)
     val head1 = Seq("groupname") ++
       (if (avg) Seq("denominator") else Seq("ratio")) ++ Seq("numerator") ++
-      (if (hasPre) Seq("numerator_pre") else Seq.empty) ++
       (if (hasPreDen) Seq("denominator_pre") else Seq.empty) ++
+      (if (hasPre) Seq("numerator_pre") else Seq.empty) ++
       (if (avg) Seq("mean", "std_samp") else Seq.empty)
     def groupRow(name: Long, den: Double, num: Double, pre: Double,
                  preDen: Double, mean: Double, std: Double): Seq[String] =
       Seq(name.toString) ++ Seq(i0(den)) ++ Seq(f6(num)) ++
-        (if (hasPre) Seq(f6(pre)) else Seq.empty) ++
         (if (hasPreDen) Seq(i0(preDen)) else Seq.empty) ++
+        (if (hasPre) Seq(f6(pre)) else Seq.empty) ++
         (if (avg) Seq(f6(mean), f6(std)) else Seq.empty)
     val g0 = groupRow(r.groupname0, r.denominator0, r.numerator0,
       r.numerator_pre0, r.denominator_pre0, r.mean0, r.std_samp0)

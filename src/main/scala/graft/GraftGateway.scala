@@ -53,14 +53,37 @@ object GraftGateway {
     parsed.flatMap(findVerb) match {
       case Some(m) if m.others.isEmpty =>
         dispatch(spark, m.verb, ColumnBridge.ofRows(spark, m.wrap(m.input)), m.args)
+      case Some(m) if transformVerbs(m.verb) =>
+        // TABLE-TRANSFORM verb beside other projections (SqlForward
+        // .java:86-215's CTE scaffolding): transform-then-project. The
+        // transform preserves the input's columns and ADDS its output
+        // columns, so the rest of the SELECT list resolves over the
+        // transformed frame and the added columns splice in at the verb's
+        // list position.
+        val inputDf = ColumnBridge.ofRows(spark, m.wrap(m.input))
+        val transformed = dispatch(spark, m.verb, inputDf, m.args)
+        val added = transformed.columns.filterNot(inputDf.columns.contains)
+        val addedExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+          added.toSeq.map(n => UnresolvedAttribute.quoted(n))
+        val projList = m.others.take(m.pos) ++ addedExprs ++ m.others.drop(m.pos)
+        ColumnBridge.ofRows(spark,
+          Project(projList, transformed.queryExecution.logical))
       case Some(m) =>
-        // SUMMARY verb beside other projections (SqlForward.java:86-215's
-        // CTE scaffolding): run the verb over the FROM side, run the rest
-        // of the SELECT list over the same input, and splice the small verb
-        // result in via a broadcast cross join at the verb's list position.
+        // SUMMARY verb beside other projections: run the verb over the FROM
+        // side, run the rest of the SELECT list over the same input, and
+        // splice the small verb result in via a broadcast cross join at the
+        // verb's list position. Only defined when the sibling projections
+        // collapse to ONE row (a global aggregate) — a per-row sibling
+        // would silently become an N×M cross product.
+        val othersDf = ColumnBridge.ofRows(spark, m.wrap(Project(m.others, m.input)))
+        if (!producesOneRow(othersDf.queryExecution.analyzed))
+          throw new IllegalArgumentException(
+            s"summary verb ${m.verb} beside other projections requires the " +
+              "other projections to be global aggregates (one output row); " +
+              "per-row projections beside a one-row summary have no defined " +
+              "semantics. Aggregate the siblings, or run the verb alone.")
         val verbDf = dispatch(spark, m.verb,
           ColumnBridge.ofRows(spark, m.wrap(m.input)), m.args)
-        val othersDf = ColumnBridge.ofRows(spark, m.wrap(Project(m.others, m.input)))
         val oCols = othersDf.columns.toSeq
         val vCols = verbDf.columns.toSeq
           .map(n => if (oCols.contains(n)) s"${n}_${m.verb}" else n)
@@ -71,21 +94,34 @@ object GraftGateway {
       case None =>
         try spark.sql(query)
         catch {
-          // a TABLE-TRANSFORM verb beside other projections (or any verb
-          // nested inside another expression) is not rewritable — name the
-          // constraint instead of surfacing Spark's bare "undefined
-          // function"
+          // a verb nested inside another expression (or two verbs in one
+          // list) is not rewritable — name the constraint instead of
+          // surfacing Spark's bare "undefined function"
           case e: org.apache.spark.sql.AnalysisException
               if verbs.exists(v => s"(?i)\\b$v\\s*\\(".r.findFirstIn(query).isDefined) =>
             throw new IllegalArgumentException(
-              "graft table-transform verbs (exact_matching, " +
-                "caliper_matching, cut_bins) must be the ONLY item in the " +
-                "top-level SELECT list, and no verb may be nested inside " +
-                "another expression. Summary verbs (smd, linear_dml, " +
-                "iv_regression, …) may sit beside other top-level " +
-                s"projections. Original error: ${e.getMessage}", e)
+              "graft verbs must appear as top-level SELECT items (at most " +
+                "one per query, not nested inside another expression). " +
+                "Table-transform verbs (exact_matching, caliper_matching, " +
+                "cut_bins) rewrite as transform-then-project beside plain " +
+                "projections; summary verbs (smd, linear_dml, …) compose " +
+                "beside global aggregates. Original error: " +
+                s"${e.getMessage}", e)
         }
     }
+  }
+
+  /** True iff the analyzed plan provably yields at most one row (a global
+    * aggregate, possibly under projections / CTE / subquery aliases). */
+  private def producesOneRow(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p.maxRows.exists(_ <= 1L) || (p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case w: WithCTE => producesOneRow(w.plan)
+      case Project(_, child) => producesOneRow(child)
+      case s: SubqueryAlias => producesOneRow(s.child)
+      case _ => false
+    })
   }
 
   private case class VerbMatch(verb: String, args: Seq[Expression],
@@ -96,8 +132,8 @@ object GraftGateway {
   /** Match a top-level verb call in the SELECT list. A WITH wrapper is
     * unwrapped and its CTE definitions re-wrapped (via `wrap`) around any
     * subtree built over the verb's input, so CTE references still resolve.
-    * A lone verb matches any verb; a verb beside other projections matches
-    * only SUMMARY verbs (small outputs that compose via cross join). */
+    * Any single verb matches, alone or beside other projections — the
+    * dispatcher picks transform-then-project or cross-join composition. */
   private def findVerb(plan: LogicalPlan): Option[VerbMatch] =
     plan match {
       case w: UnresolvedWith =>
@@ -120,9 +156,7 @@ object GraftGateway {
           case Seq((f, i)) =>
             val verb = f.nameParts.head.toLowerCase
             val others = projList.patch(i, Nil, 1)
-            if (others.isEmpty || summaryVerbs(verb))
-              Some(VerbMatch(verb, f.arguments, child, others, i, identity))
-            else None
+            Some(VerbMatch(verb, f.arguments, child, others, i, identity))
           case _ => None
         }
       case _ => None
@@ -132,11 +166,13 @@ object GraftGateway {
     "smd", "linear_dml", "iv_regression", "cut_bins", "group_set",
     "boot_strap", "permutation", "did", "nonparam_dml",
     "quantile_test_bucket")
-  /** Verbs whose output is a small summary table (not a transform of the
-    * input), safe to compose beside other projections via cross join. */
-  private val summaryVerbs = Set("lift", "smd", "linear_dml",
-    "iv_regression", "group_set", "boot_strap", "permutation", "did",
-    "nonparam_dml", "quantile_test_bucket")
+  /** Verbs whose output is a TRANSFORM of the input table (all input
+    * columns preserved + output columns added) — beside other projections
+    * they rewrite as transform-then-project. The rest are summary verbs
+    * (small one-row-per-something tables) that compose via cross join when
+    * the siblings are global aggregates. */
+  private val transformVerbs = Set("exact_matching", "caliper_matching",
+    "cut_bins")
   private def handles(v: String): Boolean = verbs(v.toLowerCase)
 
   private def c(e: Expression): Column = ColumnBridge.column(e)

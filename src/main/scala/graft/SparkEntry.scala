@@ -687,7 +687,10 @@ object SparkEntry {
       import spark.implicits._
       val src = t(s, d, "lineitem").filter(col("l_linenumber") === 1)
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${sfTag(d)}"
+      // per-run unique scratch dir: two concurrent drivers on the same SF
+      // (bench + verify) must not overwrite each other's round-trip files
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${sfTag(d)}_" +
+        s.sparkContext.applicationId
       src.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
       val csv = s.read.schema(src.schema).option("header", "true").csv(dir)
         .withColumnRenamed("l_extendedprice", "price")

@@ -17,16 +17,19 @@ object Dedup {
   /** Exact dedup on normalized content: keeps the row with the smallest
     * `keep` key per fingerprint. Shuffles (fingerprint, keep) only.
     * NULL text is UNKNOWN content, not identical content — Spark's
-    * xxhash64 maps null input to the seed, so without the guard every
+    * xxhash64 maps null input to the seed, so without a guard every
     * null-text row would share one fingerprint and be deduplicated to a
-    * single survivor. Null-text rows always survive. */
+    * single survivor. Null-text rows always survive — and they never
+    * ENTER the window shuffle: on a null-heavy corpus, routing them into
+    * one null partition would sort the whole null set in a single task,
+    * so they're split out before the window and unioned back unchanged. */
   def exactDedup(df: DataFrame, text: Column, keep: Column): DataFrame = {
-    val w = Window.partitionBy(when(text.isNotNull, TextOps.contentFingerprint(text)))
-      .orderBy(keep)
-    df.withColumn("__tnull", text.isNull)
+    val w = Window.partitionBy(TextOps.contentFingerprint(text)).orderBy(keep)
+    val survivors = df.filter(text.isNotNull)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 || col("__tnull"))
-      .drop("__rn", "__tnull")
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    survivors.unionByName(df.filter(text.isNull))
   }
 
   /** k minhashes of a precomputed shingle array via double hashing

@@ -18,10 +18,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Par {
   /** Repartition `df` to the session default parallelism when it has fewer
     * partitions — by hash of `keys` when given (co-locates downstream
-    * keyed work), round-robin otherwise. */
-  def ensure(df: DataFrame, keys: Seq[Column] = Seq.empty): DataFrame = {
+    * keyed work), round-robin otherwise.
+    *
+    * Partition count comes from `queryExecution.toRdd` — the memoized
+    * internal-row RDD of the plan the action will actually run — not
+    * `df.rdd`, which builds a SEPARATE deserializing physical plan on
+    * every call just to be counted. Callers that already know the
+    * input's partition count (e.g. a loop re-scoring the same cached
+    * frame) pass it via `knownPartitions` and skip planning entirely. */
+  def ensure(df: DataFrame, keys: Seq[Column] = Seq.empty,
+             knownPartitions: Int = -1): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    val current =
+      if (knownPartitions >= 0) knownPartitions
+      else df.queryExecution.toRdd.getNumPartitions
+    if (current >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)
     else df.repartition(target)
   }

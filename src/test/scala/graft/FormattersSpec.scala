@@ -60,13 +60,14 @@ class FormattersSpec extends AnyFunSuite {
     assert(!sumLines(3).contains("95%_CI ") || sumLines(3).contains("relative"))
     // alpha changes the CI labels
     assert(norm(Formatters.formatXexpt(r, alpha = 0.01))(3).contains("99%_relative_CI"))
-    // pre-period data adds numerator_pre AND denominator_pre columns
+    // pre-period data adds denominator_pre BEFORE numerator_pre, matching
+    // the reference's add_result3 order (xexpt_ttest_2samp.h:560-570)
     val rPre = r.copy(numerator_pre0 = 4900.0, numerator_pre1 = 4950.0,
       denominator_pre0 = 998.0, denominator_pre1 = 997.0)
     val preLines = norm(Formatters.formatXexpt(rPre))
     assert(preLines(0) ==
-      "groupname denominator numerator numerator_pre denominator_pre mean std_samp")
-    assert(preLines(1) == "0 1000 5000.250000 4900.000000 998 5.000000 1.200000")
+      "groupname denominator numerator denominator_pre numerator_pre mean std_samp")
+    assert(preLines(1) == "0 1000 5000.250000 998 4900.000000 5.000000 1.200000")
   }
 
   test("Row overloads rebuild from aggregate struct output") {

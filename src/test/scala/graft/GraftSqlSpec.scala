@@ -297,11 +297,21 @@ class GraftSqlSpec extends AnyFunSuite {
       """WITH f AS (SELECT * FROM exp_data WHERE uin <= 2000)
         |SELECT avg(x) AS smd, smd(t, x) FROM f""".stripMargin)
     assert(r3.columns.toSeq == Seq("smd", "covariate", "smd_smd"))
-    // table-transform verbs beside others still raise the clear error
+    // table-transform verbs beside others rewrite as transform-then-project
+    // (SqlForward.java:86-215's CTE scaffolding semantics)
+    val tp = GraftGateway.sql(spark,
+      "SELECT uin, exact_matching(t, CAST(uin % 3 AS STRING)), y FROM exp_data")
+    assert(tp.columns.toSeq == Seq("uin", "matching_index", "y"))
+    assert(tp.count() == 4000L)
+    assert(tp.filter(tp("matching_index") > 0).count() > 0)
+    val tb = GraftGateway.sql(spark, "SELECT cut_bins(x, 4), uin FROM exp_data")
+    assert(tb.columns.toSeq == Seq("x_bin", "uin"))
+    // a summary verb beside PER-ROW projections is an undefined N×M cross
+    // product — the guard names it instead of silently exploding
     val e = intercept[IllegalArgumentException] {
-      GraftGateway.sql(spark, "SELECT uin, exact_matching(t, x) FROM exp_data")
+      GraftGateway.sql(spark, "SELECT uin, smd(t, x) FROM exp_data")
     }
-    assert(e.getMessage.contains("table-transform"))
+    assert(e.getMessage.contains("global aggregates"))
     // negative numeric literal arguments parse (UnaryMinus at parse time)
     val perm = GraftGateway.sql(spark,
       "SELECT permutation(y, t, 50, -0.02, 'abs') FROM exp_data").head()
