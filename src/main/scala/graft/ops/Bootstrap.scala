@@ -247,28 +247,60 @@ object Bootstrap {
     (narrowed.filter(complete), idNamed.indices.map(i => col(s"__id_$i")))
   }
 
+  /** ONE distributed job for observed + B bootstrap replicates of a
+    * weighted aggregate statistic: the observed value rides the replicate
+    * pass as rep = -1 with weight 1 (the [[permutationTest]] scan-economy
+    * idiom), so no separate full scan computes it. Returns (observed,
+    * B-row local reps frame). */
+  private def repsWithObserved(base00: DataFrame, idCols: Seq[Column], b: Int,
+                               seed: Long, frac: Double = 1.0)
+                              (stat: Column => Column): (Double, DataFrame) = {
+    val (base0, ids) =
+      if (idCols.nonEmpty) (base00, idCols) else withStableIds(base00)
+    val base = ensureParallel(base0, ids)
+    val statRows = base
+      .withColumn("rep", explode(sequence(lit(-1), lit(b - 1))))
+      .withColumn("weight", when(col("rep") === -1, 1)
+        .otherwise(poissonMultiplicity(uniform(ids, col("rep"), seed), frac)))
+      .filter(col("weight") > 0)
+      .groupBy(col("rep"))
+      .agg(stat(col("weight").cast("double")).as("stat"))
+      .collect() // B+1 tiny rows
+    def statOf(r: org.apache.spark.sql.Row): Double =
+      if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
+    val observed = statRows.find(_.getInt(0) == -1).map(statOf).getOrElse(Double.NaN)
+    val permuted = statRows.filter(_.getInt(0) >= 0)
+    val spark = base0.sparkSession
+    val reps = spark.createDataFrame(
+      java.util.Arrays.asList(permuted: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rep", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("stat", org.apache.spark.sql.types.DoubleType))))
+    (observed, reps)
+  }
+
   /** Difference-in-means ATE with bootstrap CI (statistics.py:1054-1119's
     * ATEestimator over BootStrapMulti sums). Pass a real row key in
     * `idCols` to skip the stable-id derivation (a full-frame hash +
-    * row_number window shuffle). */
+    * row_number window shuffle). Observed + replicates share ONE scan
+    * ([[repsWithObserved]]): the observed stat is the same weighted
+    * aggregate at weight 1. */
   def ateEstimator(df: DataFrame, y: Column, treatment: Column, b: Int = 500,
                    alpha: Double = 0.05, seed: Long = 42L,
                    idCols: Seq[Column] = Seq.empty): EffectEstimate = {
     val (base, ids) = narrowWithIds(df,
       Seq(y.cast("double").as("y"), treatment.cast("int").as("t")), idCols)
-    val obs = base.agg(
-      (sum(when(col("t") === 1, col("y"))) / sum(when(col("t") === 1, 1)) -
-        sum(when(col("t") === 0, col("y"))) / sum(when(col("t") === 0, 1))).as("ate")).head().getDouble(0)
-    val reps = bootstrapAgg(base, b, seed = seed, idCols = ids) { w =>
-      Seq("stat" -> ((sum(when(col("t") === 1, col("y") * w)) / sum(when(col("t") === 1, w))) -
-        (sum(when(col("t") === 0, col("y") * w)) / sum(when(col("t") === 0, w)))))
+    val (obs, reps) = repsWithObserved(base, ids, b, seed) { w =>
+      (sum(when(col("t") === 1, col("y") * w)) / sum(when(col("t") === 1, w))) -
+        (sum(when(col("t") === 0, col("y") * w)) / sum(when(col("t") === 0, w)))
     }
     finishEffect(obs, reps, alpha)
   }
 
   /** Inverse-propensity-weighted ATE with bootstrap CI
     * (statistics.py:1122-1217). `propensity` is a precomputed e(x) column;
-    * `idCols` as in [[ateEstimator]]. */
+    * `idCols` as in [[ateEstimator]]; observed fused as in
+    * [[repsWithObserved]]. */
   def ipwEstimator(df: DataFrame, y: Column, treatment: Column, propensity: Column,
                    b: Int = 500, alpha: Double = 0.05, seed: Long = 42L,
                    idCols: Seq[Column] = Seq.empty): EffectEstimate = {
@@ -278,8 +310,7 @@ object Bootstrap {
     def ipw(w: Column): Column =
       sum(col("t") * col("y") * w / col("e")) / sum(w) -
         sum((lit(1) - col("t")) * col("y") * w / (lit(1) - col("e"))) / sum(w)
-    val obs = base.agg(ipw(lit(1.0)).as("v")).head().getDouble(0)
-    val reps = bootstrapAgg(base, b, seed = seed, idCols = ids)(w => Seq("stat" -> ipw(w)))
+    val (obs, reps) = repsWithObserved(base, ids, b, seed)(ipw)
     finishEffect(obs, reps, alpha)
   }
 
