@@ -42,7 +42,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT did(y, t, time[, x...])            FROM <any>
   * SELECT nonparam_dml(y, t, x...)           FROM <any>
   * SELECT quantile_test_bucket(y, t, bucket, p1[, p2...]) FROM <any>
+  * SELECT mann_whitney_utest(y, t[, alt])    FROM <any>
+  * SELECT kolmogorov_smirnov_test(y, t[, alt[, method]]) FROM <any>
   * }}}
+  *
+  * The two rank tests auto-route to [[graft.ops.RankTests]]'s
+  * range-partitioned implementations (O(distinct) histogram state would
+  * OOM on all-distinct continuous columns at scale); grouped or nested
+  * calls still hit the registry aggregates, which fail fast with a
+  * pointer here above [[graft.agg.TwoSampleHist.maxDistinct]] entries.
   */
 object GraftGateway {
 
@@ -165,7 +173,7 @@ object GraftGateway {
   private val verbs = Set("lift", "exact_matching", "caliper_matching",
     "smd", "linear_dml", "iv_regression", "cut_bins", "group_set",
     "boot_strap", "permutation", "did", "nonparam_dml",
-    "quantile_test_bucket")
+    "quantile_test_bucket", "mann_whitney_utest", "kolmogorov_smirnov_test")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -261,6 +269,21 @@ object GraftGateway {
         require(a.length >= 3, "nonparam_dml(y, t, x...)")
         val m = Dml.nonParamDml(df, c(a(0)), c(a(1)), a.drop(2).map(c))
         Seq((m.ate, m.ateStderr, m.atePValue)).toDF("ate", "stderr", "p_value")
+      case "mann_whitney_utest" =>
+        // top-level SQL auto-routes to the range-partitioned path — the
+        // O(distinct)-state histogram aggregate (still used for grouped /
+        // nested calls via the function registry) OOMs on all-distinct
+        // continuous columns at scale; this path never does
+        require(a.length >= 2, "mann_whitney_utest(y, t[, alternative])")
+        val r = RankTests.mannWhitneyU(df, c(a(0)), c(a(1)),
+          alternative = if (a.length > 2) str(a(2)) else "two-sided")
+        Seq((r.u_statistic, r.p_value)).toDF("u_statistic", "p_value")
+      case "kolmogorov_smirnov_test" =>
+        require(a.length >= 2, "kolmogorov_smirnov_test(y, t[, alternative[, method]])")
+        val r = RankTests.ksTest(df, c(a(0)), c(a(1)),
+          alternative = if (a.length > 2) str(a(2)) else "two-sided",
+          method = if (a.length > 3) str(a(3)) else "auto")
+        Seq((r.d_statistic, r.p_value)).toDF("d_statistic", "p_value")
       case "quantile_test_bucket" =>
         require(a.length >= 4, "quantile_test_bucket(y, t, bucket, p1[, p2...])")
         QuantileTest.quantileTestWithBuckets(df, c(a(0)), c(a(1)), c(a(2)),

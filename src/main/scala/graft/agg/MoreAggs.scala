@@ -60,6 +60,17 @@ case class TwoSampleHist(m: mutable.HashMap[Double, Array[Long]]) {
     // keep them as two distinct histogram keys (unlike primitive ==), which
     // would rank 0.0 and -0.0 as adjacent non-tied values
     val key = v + 0.0
+    // fail fast instead of OOMing the executor: an all-distinct continuous
+    // column grows every partial buffer to the partition's row count — name
+    // the scale path rather than dying in kryo serialization
+    if (m.size >= TwoSampleHist.maxDistinct && !m.contains(key))
+      throw new IllegalStateException(
+        s"rank-test histogram exceeded ${TwoSampleHist.maxDistinct} distinct " +
+          "values; this aggregate's state is O(distinct). For continuous " +
+          "data at this scale use the range-partitioned " +
+          "graft.ops.RankTests.mannWhitneyU / ksTest (GraftGateway.sql " +
+          "auto-routes top-level mann_whitney_utest / " +
+          "kolmogorov_smirnov_test there), or bin the values first.")
     val c = m.getOrElseUpdate(key, Array(0L, 0L))
     if (t == 0) c(0) += 1 else c(1) += 1
   }
@@ -88,6 +99,11 @@ case class TwoSampleHist(m: mutable.HashMap[Double, Array[Long]]) {
 }
 object TwoSampleHist {
   def empty: TwoSampleHist = TwoSampleHist(mutable.HashMap.empty)
+  /** Per-buffer distinct-value cap before [[TwoSampleHist.add]] fails fast
+    * with a pointer to the distributed path (~1M entries ≈ 80 MB of boxed
+    * HashMap per partial buffer — beyond this the aggregate is the wrong
+    * tool, not under-provisioned). Mutable for tests. */
+  @volatile var maxDistinct: Int = 1 << 20
 }
 
 case class MannWhitneyResult(u_statistic: Double, p_value: Double)
@@ -243,17 +259,26 @@ object KsMath {
       case TtestCommon.Greater => maxS
       case TtestCommon.Less => -minS
     }
-    // The Schröer-Trenkler recursion is O(n1·n2) time and O(max+1) space —
-    // beyond ExactCap even an explicitly requested "exact" silently
-    // degenerates (n.toInt overflow, hours of driver time), so fall back to
-    // the asymptotic p like scipy does rather than honoring it.
+    KsResult(d, pValue(d, n1, n2, alt, methodStr))
+  }
+
+  /** Method-choice + p-value from the D statistic and group sizes — shared
+    * by the histogram aggregate and the distributed [[graft.ops.RankTests]]
+    * path so both report identical p-values at every n.
+    *
+    * The Schröer-Trenkler recursion is O(n1·n2) time and O(max+1) space —
+    * beyond ExactCap even an explicitly requested "exact" silently
+    * degenerates (n.toInt overflow, hours of driver time), so fall back to
+    * the asymptotic p like scipy does rather than honoring it. */
+  def pValue(d: Double, n1: Long, n2: Long, alt: TtestCommon.Alternative,
+             methodStr: String): Double = {
     val method =
       if (methodStr == "exact" && math.max(n1, n2) <= ExactCap) "exact"
       else if (methodStr == "exact" || methodStr == "asymp" || methodStr == "asymptotic") "asymp"
       else if (math.max(n1, n2) <= 10000) "exact" else "asymp"
     val p = if (method == "exact") exactP(d, n1.toInt, n2.toInt, alt)
             else asympP(d, n1, n2, alt)
-    KsResult(d, math.min(1.0, math.max(0.0, p)))
+    math.min(1.0, math.max(0.0, p))
   }
 
   /** Schröer-Trenkler exact recursion (two- or one-sided). */

@@ -64,11 +64,12 @@ object RankTests {
     MannWhitneyResult(u2, p)
   }
 
-  /** Two-sample KS: D from windowed CDF difference; p-value asymptotic
-    * (Durbin/Hodges — the distributed variant always uses the large-sample
-    * path; at the scale this variant exists for, n >> 10000 anyway). */
+  /** Two-sample KS: D from windowed CDF difference; p-value via the same
+    * method choice as the histogram aggregate (exact Schröer-Trenkler at
+    * small n, asymptotic beyond), so the two paths agree at every n. */
   def ksTest(df: DataFrame, value: Column, treatment: Column,
-             alternative: String = "two-sided"): KsResult = {
+             alternative: String = "two-sided",
+             method: String = "auto"): KsResult = {
     val alt = TtestCommon.alternative(alternative)
     val byValue = df
       .filter(!isnan(value) && value.isNotNull && treatment.isNotNull)
@@ -95,6 +96,8 @@ object RankTests {
       case TtestCommon.Greater => maxS
       case TtestCommon.Less => -minS
     }
-    KsResult(d, graft.agg.KsMath.asymptoticPValue(d, n1, n2, alt))
+    // shared method-choice with the histogram aggregate: exact recursion at
+    // small n, asymptotic beyond — the two paths report identical p-values
+    KsResult(d, graft.agg.KsMath.pValue(d, n1, n2, alt, method))
   }
 }

@@ -54,6 +54,52 @@ class MoreAggsSpec extends AnyFunSuite {
     assert(approx(viaAgg.getAs[Double]("p_value"), viaRank.p_value, 1e-9))
   }
 
+  test("distributed ks p-value matches the aggregate at small n (exact path)") {
+    val viaAgg = df.select(functions.kolmogorov_smirnov_test($"v", $"t").as("r"))
+      .select($"r.*").head()
+    val viaRank = RankTests.ksTest(df, $"v", $"t")
+    assert(approx(viaAgg.getAs[Double]("d_statistic"), viaRank.d_statistic, 1e-12))
+    assert(approx(viaAgg.getAs[Double]("p_value"), viaRank.p_value, 1e-12))
+  }
+
+  test("histogram aggregate fails fast above maxDistinct, naming the scale path") {
+    val saved = graft.agg.TwoSampleHist.maxDistinct
+    graft.agg.TwoSampleHist.maxDistinct = 100
+    try {
+      val d = spark.range(1000).select(
+        $"id".cast("double").as("v"), ($"id" % 2).cast("int").as("t"))
+      val e = intercept[Exception] {
+        d.select(functions.mann_whitney_utest($"v", $"t")).head()
+      }
+      // the guard message survives Spark's task-failure wrapping
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("RankTests")), messages(e).toString)
+    } finally graft.agg.TwoSampleHist.maxDistinct = saved
+  }
+
+  test("sql rank tests auto-route to the distributed path: 10M unique doubles") {
+    // all-distinct continuous column — the histogram aggregate would need
+    // a 10M-entry buffer per partition (it fails fast instead); the
+    // gateway routes top-level SQL to RankTests, which has O(distinct)
+    // SHUFFLE but constant executor state
+    spark.range(10000000L).select(
+      $"id".cast("double").as("v"), ($"id" % 2).cast("int").as("t"))
+      .createOrReplaceTempView("mw_big")
+    val r = GraftGateway.sql(spark, "SELECT mann_whitney_utest(v, t) FROM mw_big").head()
+    // closed form: v = 0..N-1, group0 = even ids with ranks 1,3,..,N-1 →
+    // R0 = n² , U2 = n·n − (n·n + n·(n+1)/2 − n²) = n²/... computed below
+    val n = 5000000.0
+    val u1 = n * n + n * (n + 1) / 2.0 - n * n
+    val u2 = n * n - u1
+    assert(r.getAs[Double]("u_statistic") == u2, r.toString)
+    assert(r.getAs[Double]("p_value") > 0.9) // a 1-rank shift is no evidence
+    val ks = GraftGateway.sql(spark, "SELECT kolmogorov_smirnov_test(v, t) FROM mw_big").head()
+    // F1 and F2 interleave every other value: D = 1/n
+    assert(approx(ks.getAs[Double]("d_statistic"), 1.0 / n, 1e-9), ks.toString)
+  }
+
   test("ks agg: exact and asymptotic p-values behave, distributed matches D") {
     val r = df.select(functions.kolmogorov_smirnov_test($"v", $"t").as("r")).select($"r.*").head()
     val d = r.getAs[Double]("d_statistic")
