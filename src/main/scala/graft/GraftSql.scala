@@ -99,17 +99,27 @@ object GraftSql {
       functions.ttest_2samp_pse(strArg(a(0), "expr"), toCol(a(3)), toCol(a(4)),
         strArg(a(1), "alternative"), strArg(a(2), "cuped"))(a.drop(5).map(toCol): _*)
     }
-    // ttests_2samp('x1/x2', 'two-sided', array(alpha...), treatment, x...)
-    // — one struct per alpha in a single pass, surfaced as an array of
-    // structs (the Scala DSL splats them into a select instead)
+    // ttests_2samp('x1/x2', 'two-sided', array(alpha...)[, array(mu...)],
+    // treatment, x...) — one struct per alpha in a single pass, surfaced as
+    // an array of structs (the Scala DSL splats them into a select
+    // instead). The optional mu array shifts each test's null hypothesis
+    // (diff tested against mu_i).
     fn("ttests_2samp") { a =>
       // positional x1..xn metric string passes straight through, exactly
       // like the sibling builders — routing it via parseMetrics mangled
       // 'x1/x2' into 'x1' (bare-column branch), dropping the denominator
       val alphas = dblArrayArg(a(2), "alphas")
-      array(alphas.map(al =>
-        functions.ttest_2samp(strArg(a(0), "expr"), toCol(a(3)),
-          strArg(a(1), "alternative"), "", al)(a.drop(4).map(toCol): _*)): _*)
+      val hasMus = a(3).foldable && scala.util.Try(
+        a(3).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]).getOrElse(false)
+      val mus =
+        if (hasMus) dblArrayArg(a(3), "mus") else Seq.fill(alphas.length)(0.0)
+      require(mus.length == alphas.length,
+        s"mus must match alphas in length (${alphas.length}), got ${mus.length}")
+      val rest = if (hasMus) a.drop(4) else a.drop(3)
+      array(alphas.zip(mus).map { case (al, mu) =>
+        functions.ttest_2samp(strArg(a(0), "expr"), toCol(rest.head),
+          strArg(a(1), "alternative"), "", al, mu)(rest.tail.map(toCol): _*)
+      }: _*)
     }
     // srm(x, groupby, array(r0, r1, ...))
     fn("srm") { a =>

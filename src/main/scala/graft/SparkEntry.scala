@@ -198,6 +198,22 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q72_ttests_mu" -> ((s, d) => {
+      // ttests_2samp with a per-test mu list (null hypothesis diff = mu_i),
+      // through the SQL name so the optional-array builder path is under
+      // the gate: the mu=5 test's estimate and t shift by exactly 5 (and
+      // 5/stderr) while stderr is invariant — all DuckDB closed forms
+      graft.GraftSql.register(s)
+      t(s, d, "lineitem").withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+        .createOrReplaceTempView("li_mu")
+      s.sql(
+        """SELECT ttests_2samp('x1', 'two-sided', array(0.05, 0.05),
+          |  array(0.0, 5.0), treat, l_quantity) AS rs FROM li_mu""".stripMargin)
+        .select(round(col("rs")(0)("estimate"), 6).as("est0"),
+          round(col("rs")(1)("estimate"), 6).as("est_mu"),
+          round(col("rs")(0)("stderr"), 6).as("stderr"),
+          round(col("rs")(1)("t_statistic"), 6).as("t_mu"))
+    }),
     "q71_xexpt_cuped" -> ((s, d) => {
       // xexpt with the pre-period CUPED covariate (cuped='x3/x4', the
       // reference's only accepted form): numerator/denominator/pre sums are
@@ -1331,6 +1347,18 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q72_ttests_mu" ->
+      """WITH g AS (
+        |  SELECT (l_orderkey % 2) AS treat, count(*) AS n,
+        |    avg(l_quantity) AS m, var_samp(l_quantity) AS v
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT
+        |  max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END) AS diff,
+        |  sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)) AS se
+        |FROM g)
+        |SELECT round(diff, 6) AS est0, round(diff - 5.0, 6) AS est_mu,
+        |  round(se, 6) AS stderr, round((diff - 5.0) / se, 6) AS t_mu
+        |FROM s""".stripMargin,
     "q71_xexpt_cuped" ->
       """WITH g AS (
         |  SELECT (l_orderkey % 2) AS t2, count(*) AS n,

@@ -88,7 +88,7 @@ class Ttest1SampAgg(expr: String, alternativeStr: String, mu: Double,
   * Port of ttest_2samp.h:359-430 (non-PSE path; post-stratification is
   * provided by [[Ttest2SampPseAgg]]). */
 class Ttest2SampAgg(expr: String, alternativeStr: String, cuped: String,
-                    alpha: Double, k: Int)
+                    alpha: Double, k: Int, mu: Double = 0.0)
     extends Aggregator[(Array[Double], Int), Ttest2Buf, Ttest2Result] {
   @transient private lazy val alt = TtestCommon.alternative(alternativeStr)
   def zero: Ttest2Buf = Ttest2Buf(DeltaStats.zero(k), DeltaStats.zero(k))
@@ -106,7 +106,10 @@ class Ttest2SampAgg(expr: String, alternativeStr: String, cuped: String,
     val combined = DeltaStats.zero(k).merge(b.s0).merge(b.s1)
     val (m0, m1, v0, v1) = TtestCommon.calcMeansAndVars(expr, cuped, k, b.s0, b.s1, combined)
     val stderr = math.sqrt(v0 + v1)
-    val estimate = m1 - m0
+    // mu shifts the null hypothesis: H0 is diff = mu, so the reported
+    // estimate/t/CI are all of (diff - mu), mirroring the reference's
+    // Ttest1Samp estimate = mean - params.mu finalizer
+    val estimate = m1 - m0 - mu
     val t = estimate / stderr
     val p = TtestCommon.pValue(t, alt)
     val (lo, hi) = TtestCommon.confidenceInterval(

@@ -51,9 +51,10 @@ object functions {
     * struct (mean0, mean1, estimate, stderr, t_statistic, p_value, lower,
     * upper). */
   def ttest_2samp(expr: String, treatment: Column, alternative: String = "two-sided",
-                  cuped: String = "", alpha: Double = DefaultAlpha)
+                  cuped: String = "", alpha: Double = DefaultAlpha,
+                  mu: Double = 0.0)
                  (cols: Column*): Column = {
-    val agg = udaf(new Ttest2SampAgg(expr, alternative, cuped, alpha, cols.length),
+    val agg = udaf(new Ttest2SampAgg(expr, alternative, cuped, alpha, cols.length, mu),
       ExpressionEncoder[(Array[Double], Int)]())
     agg(doublesRequiring(cols, treatment), treatment.cast("int"))
   }
@@ -180,14 +181,21 @@ object functions {
 
   /** Vectorized variant (reference `ttests_2samp`, starrocks
     * ttests_2samp.h): one aggregate struct per requested alpha, all in ONE
-    * pass — a Seq of columns to splat into a select. */
+    * pass — a Seq of columns to splat into a select. `mus` optionally sets
+    * a per-test null-hypothesis shift (diff tested against mu_i); empty →
+    * all zero, else must match `alphas` in length. */
   def ttests2Samp(metric: String, treatment: Column,
                   alternative: String = "two-sided", cuped: String = "",
-                  alphas: Seq[Double] = Seq(DefaultAlpha)): Seq[Column] = {
+                  alphas: Seq[Double] = Seq(DefaultAlpha),
+                  mus: Seq[Double] = Seq.empty): Seq[Column] = {
+    require(mus.isEmpty || mus.length == alphas.length,
+      s"mus must be empty or match alphas in length (${alphas.length}), got ${mus.length}")
     val (ySym, cSym, cs) = parseMetrics(metric, cuped)
-    alphas.map(a =>
-      ttest_2samp(ySym, treatment, alternative, cSym, a)(cs.map(col): _*)
-        .as(s"alpha_$a"))
+    alphas.zipWithIndex.map { case (a, i) =>
+      ttest_2samp(ySym, treatment, alternative, cSym, a,
+        mus.lift(i).getOrElse(0.0))(cs.map(col): _*)
+        .as(s"alpha_$a")
+    }
   }
 
   // ------------------------------------------------- scalar parity helpers

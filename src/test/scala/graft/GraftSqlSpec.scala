@@ -144,6 +144,20 @@ class GraftSqlSpec extends AnyFunSuite {
       .selectExpr("r.estimate").head().getDouble(0)
     assert(ratioMulti == ratioSingle,
       s"ratio metric mangled: $ratioMulti vs $ratioSingle")
+    // per-test mu list: estimate and t shift by mu, stderr invariant
+    val mu = spark.sql(
+      "SELECT ttests_2samp('x1', 'two-sided', array(0.05, 0.05), array(0.0, 0.3), t, y) AS rs FROM exp_data")
+      .selectExpr("rs[0].estimate AS e0", "rs[1].estimate AS em",
+        "rs[0].stderr AS s0", "rs[1].stderr AS sm").head()
+    assert(approx(mu.getDouble(1), mu.getDouble(0) - 0.3, 1e-12))
+    assert(mu.getDouble(2) == mu.getDouble(3))
+    // mismatched mu length names itself
+    val eMu = intercept[Exception] {
+      spark.sql(
+        "SELECT ttests_2samp('x1', 'two-sided', array(0.05, 0.01), array(0.0), t, y) AS rs FROM exp_data")
+        .head()
+    }
+    assert(eMu.getMessage.contains("mus"), eMu.getMessage)
   }
 
   test("xexpt cuped and sum-metric sql names run") {
