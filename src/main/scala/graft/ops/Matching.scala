@@ -26,9 +26,11 @@ object Matching {
     * Adds `matching_index` (long, 0 = unmatched). */
   def caliperMatching(df: DataFrame, treatment: Column, score: Column,
                       caliper: Double, exactCols: Seq[Column] = Seq.empty,
-                      k: Int = 1, seed: Long = 42L, slices: Int = 32): DataFrame = {
+                      k: Int = 1, seed: Long = 42L, slices: Int = 32,
+                      maxCells: Long = 1L << 20): DataFrame = {
     require(caliper > 0, "caliper must be positive")
     require(slices > 0, "slices must be positive")
+    require(maxCells > 0, "maxCells must be positive")
     val cell = struct(
       floor(score.cast("double") / caliper).as("bucket") +: exactCols.map(_.cast("string")): _*)
     // a null score / treatment / exact value means UNKNOWN, not "equal to
@@ -66,6 +68,15 @@ object Matching {
       .filter(col("pairs") > 0)
       .select(col("__cell"), col("pairs"))
     val spark = df.sparkSession
+    // the driver prefix sum is O(cells) — bounded by the covariate-cell
+    // cardinality by design. A micro-caliper on a continuous score makes
+    // cells ~ rows, so fail fast (one cheap count on the checkpointed cell
+    // table) before collecting a row-scale table onto the driver.
+    val nCells = cellAgg.count()
+    require(nCells <= maxCells,
+      s"caliper matching produced $nCells matchable cells (max $maxCells): " +
+        "the caliper is too fine for this score's range — increase the " +
+        "caliper, use coarser exact buckets, or raise maxCells")
     val collected = cellAgg.collect()
       // deterministic driver order independent of cluster layout
       .sortBy(_.getStruct(0).toSeq.map(String.valueOf).mkString("\u0000"))

@@ -92,6 +92,19 @@ class OpsSpec extends AnyFunSuite {
     matched.unpersist()
   }
 
+  test("caliper matching: cell-cardinality guard trips on a micro-caliper") {
+    // a micro-caliper on a continuous score makes cells ~ rows — the
+    // driver prefix sum must refuse before collecting a row-scale table
+    val d = spark.range(500).select(
+      ($"id" % 2).cast("int").as("t"),
+      floor($"id" / 2).mod(100).cast("double").as("score"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Matching.caliperMatching(d, $"t", $"score",
+        caliper = 1e-9, maxCells = 50)
+    }
+    assert(e.getMessage.contains("increase the caliper"), e.getMessage)
+  }
+
   test("exact matching matches on covariate tuples") {
     val rows = Seq((1, "x"), (1, "x"), (0, "x"), (0, "y"), (1, "y"), (0, "z"))
     val d = spark.createDataFrame(rows).toDF("t", "g")
