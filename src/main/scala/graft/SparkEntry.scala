@@ -198,6 +198,35 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q73_streaming_metrics" -> ((s, d) => {
+      // the streaming surface under the oracle gate: windowedMetrics runs
+      // as a REAL readStream (file source → AvailableNow → memory sink)
+      // over the events table; processed to completion in complete mode,
+      // the watermarked windowed aggregates equal the batch hourly window
+      // DuckDB computes (windows align to epoch-hour boundaries in UTC)
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, d, "events")
+      // ts arrives as timestamp[ns]: LongType nanos under the
+      // nanosAsLong flag (Verify/Bench), native timestamp otherwise
+      val tsExpr =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          (col("ts") / lit(1e9)).cast("timestamp")
+        else col("ts").cast("timestamp")
+      // the file source wants a directory: glob the single events file
+      val stream = s.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val sink = "q73_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
+      val q = graft.streaming.StreamOps.windowedMetrics(stream, tsExpr,
+          col("event_type"), col("value"), "1 hour", "10 minutes")
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("group").as("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
     "q72_ttests_mu" -> ((s, d) => {
       // ttests_2samp with a per-test mu list (null hypothesis diff = mu_i),
       // through the SQL name so the optional-array builder path is under
@@ -1347,6 +1376,10 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q73_streaming_metrics" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q72_ttests_mu" ->
       """WITH g AS (
         |  SELECT (l_orderkey % 2) AS treat, count(*) AS n,
