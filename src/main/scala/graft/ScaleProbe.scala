@@ -58,6 +58,15 @@ object ScaleProbe {
       df.select(functions.delta_method("x1/x2", isStd = false,
         Seq(col("y"), col("x1") + lit(2.0))).as("v")).head()
     }
+    // xexpt sum-metric at full scale: the state is a fixed 128-bucket
+    // moment matrix (id hashes to a bucket inside the aggregate), so the
+    // partial buffers are constant-size regardless of rows
+    time(s"xexpt sum-metric ($rows rows, 128-bucket state)") {
+      val r = df.select(functions.xexpt_ttest_2samp(col("id"), col("t"),
+        Seq(col("y"), lit(1.0)), metricType = "sum").as("r"))
+        .select("r.p_value", "r.mean0").head()
+      assert(!r.getDouble(1).isNaN)
+    }
 
     // the distributed rank/lift paths (RangeCumSum: no single-partition
     // window anywhere) on rows with ~all-distinct continuous values — the
@@ -192,6 +201,33 @@ object ScaleProbe {
       // every chain collapses to its head: component count = #chains
       val heads = comp.select(col("component")).distinct().count()
       assert(heads == docRows / 100 / 50, s"$heads components")
+    }
+    time(s"connected components skewed (${docRows / 100} edges, one hot component = 50%)") {
+      // adversarial skew: HALF the edge set attaches to one hub (a giant
+      // component — the hot-key case for the per-round joins), the rest
+      // are depth-50 chains. maxIter = 10 is the O(log D) round budget:
+      // if convergence took more rounds, unconverged labels would break
+      // the exact component count below.
+      val m = docRows / 100
+      val star = spark.range(m / 2)
+        .select(lit(0L).as("id_a"), (col("id") + lit(1)).as("id_b"))
+      val chains = spark.range(m / 2)
+        .filter(col("id") % 50 =!= 49)
+        .select((col("id") + lit(m)).as("id_a"), (col("id") + lit(m + 1)).as("id_b"))
+      val comp = graft.ops.Dedup.connectedComponents(star.unionByName(chains),
+        maxIter = 10)
+      val heads = comp.select(col("component")).distinct().count()
+      assert(heads == 1 + m / 2 / 50, s"$heads components")
+    }
+    time("caliper_matching metadata at 1e5 matchable cells (1M rows)") {
+      // the driver prefix sum is O(cells): at the guard's intended scale
+      // (well under maxCells) the collect+sort must stay ~sub-second
+      val cd = spark.range(1000000L).select(
+        floor(col("id") / 2).mod(100000L).cast("double").as("score"),
+        (col("id") % 2).cast("int").as("t"))
+      val matched = graft.ops.Matching.caliperMatching(cd, col("t"), col("score"),
+        caliper = 1.0).filter(col("matching_index") > 0).count()
+      assert(matched == 1000000L, s"$matched matched")
     }
     val json = timings
       .map { case (l, s) => s""""${l.replace("\"", "'")}": $s""" }
