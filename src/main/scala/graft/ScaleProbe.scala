@@ -219,9 +219,10 @@ object ScaleProbe {
       val heads = comp.select(col("component")).distinct().count()
       assert(heads == 1 + m / 2 / 50, s"$heads components")
     }
-    time("caliper_matching metadata at 1e5 matchable cells (1M rows)") {
+    time("caliper_matching 1:1 (1M rows, 1e5 matchable cells)") {
       // the driver prefix sum is O(cells): at the guard's intended scale
-      // (well under maxCells) the collect+sort must stay ~sub-second
+      // (well under maxCells) the whole job must cost about what the
+      // few-cells shape costs per row — cell count must not dominate
       val cd = spark.range(1000000L).select(
         floor(col("id") / 2).mod(100000L).cast("double").as("score"),
         (col("id") % 2).cast("int").as("t"))

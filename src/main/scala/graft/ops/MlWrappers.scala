@@ -25,11 +25,25 @@ object MlWrappers {
         .reduce(_ + _) + lit(intercept)
   }
 
-  /** `stochastic_linear_regression(..., 'Lasso')` equivalent: linear fit
+  /** Optimizer names the reference's `stochastic_*_regression` accepts
+    * (AggregateFunctionMLMethod.h:360-375 weights updaters + the 'Lasso'
+    * proximal variant). They pick the descent flavor, not the model: every
+    * updater converges to the same (regularized) least-squares / logistic
+    * optimum, which is what spark.ml's batch L-BFGS/OWL-QN computes
+    * directly — so the name is validated for surface parity and the fit
+    * itself always runs the deterministic batch path. */
+  private val OptimizerNames = Set("SGD", "Momentum", "Nesterov", "Adam", "Lasso")
+  private def checkMethod(method: String): Unit =
+    require(OptimizerNames.contains(method),
+      s"unknown method '$method'; expected one of ${OptimizerNames.mkString(", ")}")
+
+  /** `stochastic_linear_regression(..., method)` equivalent: linear fit
     * with L1 (lasso) / L2 (ridge) regularization. */
   def stochasticLinearRegression(df: DataFrame, y: Column, xs: Seq[Column],
                                  l1: Double = 0.0, l2: Double = 0.0,
-                                 maxIter: Int = 100): LinearFit = {
+                                 maxIter: Int = 100,
+                                 method: String = "Lasso"): LinearFit = {
+    checkMethod(method)
     val (reg, elastic) =
       if (l1 == 0 && l2 == 0) (0.0, 0.0)
       else (l1 + l2, if (l1 + l2 == 0) 0.0 else l1 / (l1 + l2))
@@ -75,7 +89,9 @@ object MlWrappers {
     * OWL-QN for L1). */
   def stochasticLogisticRegression(df: DataFrame, y: Column, xs: Seq[Column],
                                    l1: Double = 0.0, l2: Double = 0.0,
-                                   maxIter: Int = 100): LogisticFit = {
+                                   maxIter: Int = 100,
+                                   method: String = "Lasso"): LogisticFit = {
+    checkMethod(method)
     val (reg, elastic) =
       if (l1 == 0 && l2 == 0) (0.0, 0.0)
       else (l1 + l2, if (l1 + l2 == 0) 0.0 else l1 / (l1 + l2))

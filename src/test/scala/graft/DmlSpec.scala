@@ -124,6 +124,15 @@ class DmlSpec extends AnyFunSuite {
     val fit = MlWrappers.stochasticLinearRegression(d, $"y", Seq($"x1", $"x2"), l1 = 0.5)
     assert(math.abs(fit.coefficients(0) - 3.0) < 0.5, s"signal coef ${fit.coefficients(0)}")
     assert(math.abs(fit.coefficients(1)) < 0.02, s"null coef should shrink, got ${fit.coefficients(1)}")
+    // the reference's optimizer-flavor names are accepted (all converge to
+    // the same optimum via the batch path); unknown names are named errors
+    val viaSgd = MlWrappers.stochasticLinearRegression(d, $"y",
+      Seq($"x1", $"x2"), l1 = 0.5, method = "SGD")
+    assert(viaSgd.coefficients.toSeq == fit.coefficients.toSeq)
+    val bad = intercept[IllegalArgumentException] {
+      MlWrappers.stochasticLinearRegression(d, $"y", Seq($"x1"), method = "Newton")
+    }
+    assert(bad.getMessage.contains("Nesterov"))
   }
 
   test("longterm recursive forecast propagates a known linear transition") {
