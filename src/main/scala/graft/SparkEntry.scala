@@ -198,6 +198,31 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q74_gateway_transform" -> ((s, d) => {
+      // the gateway's transform-then-project rewrite under the gate: a
+      // table-transform verb (exact_matching) sits BESIDE plain projections
+      // in raw SQL; per-cell matched counts are the closed form
+      // 2·min(treated, control)
+      t(s, d, "lineitem")
+        .withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+        .createOrReplaceTempView("li_gt")
+      GraftGateway.sql(s,
+        "SELECT l_linenumber, exact_matching(treat, l_linenumber), l_extendedprice FROM li_gt")
+        .groupBy(col("l_linenumber"))
+        .agg(sum(when(col("matching_index") > 0, 1L).otherwise(0L)).as("matched"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_linenumber"))
+    }),
+    "q75_gateway_ranktest" -> ((s, d) => {
+      // the gateway's rank-test auto-route (top-level SQL → the
+      // range-partitioned RankTests path): U must equal the histogram
+      // aggregate's closed form (q23's oracle)
+      t(s, d, "lineitem")
+        .withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+        .createOrReplaceTempView("li_rt")
+      GraftGateway.sql(s, "SELECT mann_whitney_utest(l_quantity, treat) FROM li_rt")
+        .select(round(col("u_statistic"), 4).as("u_statistic"))
+    }),
     "q73_streaming_metrics" -> ((s, d) => {
       // the streaming surface under the oracle gate: windowedMetrics runs
       // as a REAL readStream (file source → AvailableNow → memory sink)
@@ -1376,6 +1401,23 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q74_gateway_transform" ->
+      """WITH g AS (
+        |  SELECT l_linenumber, count(*) AS n,
+        |    sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_linenumber, CAST(2 * least(c1, n - c1) AS BIGINT) AS matched,
+        |  CAST(n AS BIGINT) AS n
+        |FROM g ORDER BY l_linenumber""".stripMargin,
+    "q75_gateway_ranktest" ->
+      """WITH byv AS (
+        |  SELECT l_quantity AS v, count(*) AS cnt,
+        |    sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS cnt0
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT *, sum(cnt) OVER (ORDER BY v) AS cum FROM byv),
+        |s AS (SELECT sum(cnt0 * ((cum - cnt) + cum + 1) / 2.0) AS r1,
+        |             sum(cnt0) AS n1, sum(cnt) - sum(cnt0) AS n2 FROM r)
+        |SELECT round(n1 * n2 - (n1 * n2 + n1 * (n1 + 1) / 2.0 - r1), 4) AS u_statistic FROM s""".stripMargin,
     "q73_streaming_metrics" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
