@@ -186,8 +186,12 @@ object CausalForest {
         * indexed by tree·maxN + node, and navigation unrolls `steps` small
         * per-level projections — each a single O(1) array lookup plus a
         * feature compare, identical for every tree. */
-      def withNodeCol(frame: DataFrame, steps: Int): DataFrame = {
-        val maxN = feat.map(_.length).max
+      // structural node-count bound, FIXED for the whole fit: the slot
+      // arithmetic `tree * maxN + node` inlines maxN into the generated
+      // source, so a per-level max (which grows with the trees) would
+      // defeat the codegen-cache reuse the fixed unroll buys
+      val maxN = (1 << (maxDepth + 1)) - 1
+      def withNodeCol(frame: DataFrame): DataFrame = {
         val info: Seq[(Int, Double, Int, Int)] =
           for { b <- 0 until numTrees; i <- 0 until maxN } yield
             if (i < feat(b).length && feat(b)(i) >= 0)
@@ -195,6 +199,14 @@ object CausalForest {
             else (-1, 0.0, -1, -1) // leaf or padding: navigation stays put
         val infoL = typedLit(info)
         val fvals = array((0 until k).map(i => col(s"__f$i")): _*)
+        // ALWAYS unroll maxDepth steps (steps past the frontier are no-ops:
+        // a leaf/open node has feat -1 and navigation stays put). A fixed
+        // unroll keeps the generated source IDENTICAL across levels — the
+        // structure literal is a codegen reference, not inlined — so every
+        // level (and every later fit in the session) reuses one compiled
+        // class instead of paying janino per level; BENCHAB.json showed
+        // that compile volume, not execution, was the forest's cold cost.
+        val steps = maxDepth
         var d2 = frame.withColumn("__nav0", lit(0))
         for (s2 <- 0 until steps) {
           val prev = col(s"__nav$s2")
@@ -224,15 +236,17 @@ object CausalForest {
         // array (null for non-open nodes → explode drops the row), mirroring
         // withNodeCol's keying — no per-open-node when-chain, so the
         // expression stays the same size at any open-node count
-        val maxN = feat.map(_.length).max
         val selData: Seq[Option[Seq[Int]]] =
           for { b <- 0 until numTrees; i <- 0 until maxN } yield
             mtryDraw.get((b, i)).map(_.toSeq)
         val selL = typedLit(selData)
         val binsArr = array((0 until k).map(i => col(s"__b$i")): _*)
-        val openTrees = open.map(_._1)
-        val hist = withNodeCol(
-            growFrame.filter(col("__tree").isin(openTrees.toSeq: _*)), depth)
+        // no per-level open-trees filter: its literal list would change the
+        // generated source every level (ints inline into codegen), and the
+        // explode below already drops rows of closed trees — their
+        // (tree, node) slot in selL is null, and explode(null) emits
+        // nothing. Closed trees cost only the navigation arithmetic.
+        val hist = withNodeCol(growFrame)
           .withColumn("__feat", explode(element_at(selL,
             (col("__tree") * maxN + col("__node") + 1).cast("int"))))
           .withColumn("__bin", element_at(binsArr, col("__feat") + 1))
@@ -266,7 +280,7 @@ object CausalForest {
       // estimation pass (honest half = 1): per-(tree, leaf, arm) moments
       // including variance for honest leaf standard errors — reuses the
       // persisted exploded membership
-      val est = withNodeCol(estFrame, maxDepth)
+      val est = withNodeCol(estFrame)
         .groupBy(col("__tree").as("tree"), col("__node").as("node"), col("__t"))
         .agg(count(lit(1)).as("cnt"), avg(col("__y")).as("m"),
           var_samp(col("__y")).as("v"))
