@@ -198,6 +198,20 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q76_salted_join" -> ((s, d) => {
+      // the skew-join layout helper under the gate: a salted join must be
+      // RESULT-identical to the plain join (the salt only splits reducers).
+      // lineitem rides as the skewed big side, orders as the replicable
+      // small side; revenue per orderstatus is the DuckDB closed form.
+      val li = t(s, d, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+      val ords = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      graft.ops.Layout.saltedJoin(li, ords, "o_orderkey", salt = 8,
+          bigId = Seq(col("o_orderkey"), col("l_linenumber")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
     "q74_gateway_transform" -> ((s, d) => {
       // the gateway's transform-then-project rewrite under the gate: a
       // table-transform verb (exact_matching) sits BESIDE plain projections
@@ -1401,6 +1415,11 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q76_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q74_gateway_transform" ->
       """WITH g AS (
         |  SELECT l_linenumber, count(*) AS n,
