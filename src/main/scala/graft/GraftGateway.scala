@@ -173,7 +173,8 @@ object GraftGateway {
   private val verbs = Set("lift", "exact_matching", "caliper_matching",
     "smd", "linear_dml", "iv_regression", "cut_bins", "group_set",
     "boot_strap", "permutation", "did", "nonparam_dml",
-    "quantile_test_bucket", "mann_whitney_utest", "kolmogorov_smirnov_test")
+    "quantile_test_bucket", "mann_whitney_utest", "mann_whitney_u_test",
+    "kolmogorov_smirnov_test")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -269,7 +270,7 @@ object GraftGateway {
         require(a.length >= 3, "nonparam_dml(y, t, x...)")
         val m = Dml.nonParamDml(df, c(a(0)), c(a(1)), a.drop(2).map(c))
         Seq((m.ate, m.ateStderr, m.atePValue)).toDF("ate", "stderr", "p_value")
-      case "mann_whitney_utest" =>
+      case "mann_whitney_utest" | "mann_whitney_u_test" =>
         // top-level SQL auto-routes to the range-partitioned path — the
         // O(distinct)-state histogram aggregate (still used for grouped /
         // nested calls via the function registry) OOMs on all-distinct

@@ -125,8 +125,13 @@ object GraftSql {
     fn("srm") { a =>
       functions.srm(toCol(a(0)), toCol(a(1)), dblArrayArg(a(2), "ratios"))
     }
-    fn("mann_whitney_utest") { a =>
-      functions.mann_whitney_utest(toCol(a(0)), toCol(a(1)))
+    // both reference spellings: python/ClickHouse `mann_whitney_utest`
+    // (statistics.py:620) and the StarRocks SQL name `mann_whitney_u_test`
+    // (all_in_sql_functions.h:42)
+    Seq("mann_whitney_utest", "mann_whitney_u_test").foreach { nm =>
+      fn(nm) { a =>
+        functions.mann_whitney_utest(toCol(a(0)), toCol(a(1)))
+      }
     }
     fn("kolmogorov_smirnov_test") { a =>
       functions.kolmogorov_smirnov_test(toCol(a(0)), toCol(a(1)))

@@ -332,6 +332,15 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(!perm.getDouble(1).isNaN)
   }
 
+  test("mann_whitney_u_test starrocks spelling aliases the utest name") {
+    setup
+    val a = spark.sql("SELECT mann_whitney_u_test(y, t) AS r FROM exp_data")
+      .selectExpr("r.u_statistic").head().getDouble(0)
+    val b = spark.sql("SELECT mann_whitney_utest(y, t) AS r FROM exp_data")
+      .selectExpr("r.u_statistic").head().getDouble(0)
+    assert(a == b)
+  }
+
   test("any_min / any_max sql names are min_by / max_by") {
     setup
     val r = spark.sql(
