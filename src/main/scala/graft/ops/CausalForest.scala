@@ -115,6 +115,13 @@ object CausalForest {
     require(criterion == "gradient" || criterion == "effect",
       "criterion must be gradient (GRF pseudo-outcomes) or effect (Athey-Imbens)")
     require(features.nonEmpty && numTrees > 0)
+    // the fixed node-slot stride is 2^(D+1)-1 per tree (codegen-stable
+    // level passes) — exponential in depth, so bound it well above the
+    // reference's depth-6 cap but before the structure literal
+    // (numTrees · 2^(D+1) tuples on the driver) gets silly
+    require(maxDepth >= 1 && maxDepth <= 12,
+      s"maxDepth must be in [1, 12], got $maxDepth (the reference caps at 6; " +
+        "deeper trees make the per-tree node array 2^(D+1) slots)")
     val k = features.size
     val useMtry = if (mtry <= 0 || mtry > k) k else mtry
     val featNames = features.map(_._1)
