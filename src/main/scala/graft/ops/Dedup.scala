@@ -22,7 +22,9 @@ object Dedup {
     * single survivor. Null-text rows always survive — and they never
     * ENTER the window shuffle: on a null-heavy corpus, routing them into
     * one null partition would sort the whole null set in a single task,
-    * so they're split out before the window and unioned back unchanged. */
+    * so they're split out before the window and unioned back unchanged.
+    * The split costs a second (filter-pushed) scan of the source; cache
+    * upstream frames that are expensive to recompute. */
   def exactDedup(df: DataFrame, text: Column, keep: Column): DataFrame = {
     val w = Window.partitionBy(TextOps.contentFingerprint(text)).orderBy(keep)
     val survivors = df.filter(text.isNotNull)
