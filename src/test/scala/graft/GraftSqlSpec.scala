@@ -320,6 +320,13 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(tp.filter(tp("matching_index") > 0).count() > 0)
     val tb = GraftGateway.sql(spark, "SELECT cut_bins(x, 4), uin FROM exp_data")
     assert(tb.columns.toSeq == Seq("x_bin", "uin"))
+    // transform verb + sibling projections under a CTE: the CTE wraps the
+    // verb input, then the projection resolves over the transformed frame
+    val tcte = GraftGateway.sql(spark,
+      """WITH f AS (SELECT * FROM exp_data WHERE uin <= 2000)
+        |SELECT uin, cut_bins(x, 4) FROM f""".stripMargin)
+    assert(tcte.columns.toSeq == Seq("uin", "x_bin"))
+    assert(tcte.count() == 2000L)
     // a summary verb beside PER-ROW projections is an undefined N×M cross
     // product — the guard names it instead of silently exploding
     val e = intercept[IllegalArgumentException] {
