@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * REFIT the whole transition per replicate (longterm.py:239-279's
   * sample_num resampling), not just the final diff-in-means: units get
   * deterministic Poisson weights, one weighted multi-OLS `groupBy(rep)`
-  * pass fits all B transitions, a second grouped pass takes the per-rep
-  * treated/control mean vectors of the last observed period, and the
-  * driver rolls each replicate's own transition forward — so the interval
-  * carries transition-fit uncertainty, at 2 scans total for all B.
+  * pass fits all B transitions — WITH the unweighted point fit riding as
+  * rep = -1, weight 1, so no separate fitTransition scan — a second
+  * grouped pass takes the per-rep treated/control mean vectors of the
+  * last observed period, and the driver rolls each replicate's own
+  * transition forward: the interval carries transition-fit uncertainty,
+  * at 2 scans total for the point fit and all B replicates.
   */
 object Longterm {
 
@@ -85,7 +87,36 @@ object Longterm {
                         bootstrapB: Int = 200, seed: Long = 42L,
                         idCols: Seq[Column] = Seq.empty): LongtermResult = {
     val k = surrogates.head.length
-    val tr = fitTransition(df, surrogates)
+
+    // ---- bootstrap frame (also carries the POINT transition fit) ----
+    val (base, ids) =
+      if (idCols.nonEmpty) (df, idCols) else Bootstrap.withStableIds(df)
+    val idNamed = ids.zipWithIndex.map { case (c, i) => c.as(s"__id_$i") }
+    val idRefs = ids.indices.map(i => col(s"__id_$i"))
+    // rep = -1 rides along with weight 1: the unweighted (point) fit is the
+    // same grouped aggregate, so the separate fitTransition scan is fused
+    // away (the permutationTest/ateEstimator scan-economy idiom)
+    def withRepWeight(frame: DataFrame): DataFrame =
+      Bootstrap.ensureParallel(frame, idRefs)
+        .withColumn("rep", explode(sequence(lit(-1), lit(bootstrapB - 1))))
+        .withColumn("w", when(col("rep") === -1, 1)
+          .otherwise(Bootstrap.poissonWeight(idRefs, col("rep"), seed)))
+        .filter(col("w") > 0)
+
+    // pass 1: the point fit + all B weighted transition fits in ONE
+    // grouped aggregate
+    val stacked = withRepWeight(stackedPairs(base, surrogates, idNamed))
+    val fromCols = (0 until k).map(i => col(s"__f$i"))
+    val bufAggs = (0 until k).map(j =>
+      Regression.olsBufColumn(col(s"__t$j"), fromCols, useBias = true,
+        weight = col("w").cast("double")).as(s"b$j"))
+    val fitRows = stacked.groupBy(col("rep")).agg(bufAggs.head, bufAggs.tail: _*)
+      .collect()
+    val tr = Transition(fitRows.find(_.getInt(0) == -1).map { row =>
+      (0 until k).map(j =>
+        Regression.modelFromBuf(Regression.bufFromRow(row.getStruct(j + 1)), k,
+          useBias = true))
+    }.getOrElse(throw new IllegalStateException("point transition fit missing")))
 
     // point estimates through the column-expression path — ALL horizons as
     // aggregate columns of ONE scan (one job per horizon would re-read the
@@ -105,26 +136,6 @@ object Longterm {
       (0 until horizon).map(row.getDouble)
     }
 
-    // ---- bootstrap: per-replicate transition REFIT + effect ----
-    val (base, ids) =
-      if (idCols.nonEmpty) (df, idCols) else Bootstrap.withStableIds(df)
-    val idNamed = ids.zipWithIndex.map { case (c, i) => c.as(s"__id_$i") }
-    val idRefs = ids.indices.map(i => col(s"__id_$i"))
-    def withRepWeight(frame: DataFrame): DataFrame =
-      Bootstrap.ensureParallel(frame, idRefs)
-        .withColumn("rep", explode(sequence(lit(0), lit(bootstrapB - 1))))
-        .withColumn("w", Bootstrap.poissonWeight(idRefs, col("rep"), seed))
-        .filter(col("w") > 0)
-
-    // pass 1: all B weighted transition fits in one grouped aggregate
-    val stacked = withRepWeight(stackedPairs(base, surrogates, idNamed))
-    val fromCols = (0 until k).map(i => col(s"__f$i"))
-    val bufAggs = (0 until k).map(j =>
-      Regression.olsBufColumn(col(s"__t$j"), fromCols, useBias = true,
-        weight = col("w")).as(s"b$j"))
-    val fitRows = stacked.groupBy(col("rep")).agg(bufAggs.head, bufAggs.tail: _*)
-      .collect()
-
     // pass 2: per-rep weighted mean vector of the LAST observed period by arm
     val t = treatment.cast("int")
     val lastNamed = surrogates.last.zipWithIndex.map { case (c, i) =>
@@ -143,7 +154,7 @@ object Longterm {
     // driver: roll each replicate's own transition forward
     val repEffects = Array.fill(horizon)(
       scala.collection.mutable.ArrayBuffer.empty[Double])
-    fitRows.foreach { row =>
+    fitRows.filter(_.getInt(0) >= 0).foreach { row =>
       val rep = row.getInt(0)
       meanRows.get(rep).foreach { mr =>
         val models = (0 until k).map(j =>
