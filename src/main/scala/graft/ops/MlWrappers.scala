@@ -104,26 +104,39 @@ object MlWrappers {
 
   /** IRLS logistic with the reference's loop shape (regression.py:143-200):
     * each iteration is ONE weighted-OLS aggregate pass — working response
-    * z = η + (y−p)/(p(1−p)), weight w = p(1−p), both codegen'd expressions
-    * built from the previous iterate's literal coefficients. */
+    * z = η + (y−p)/(p(1−p)), weight w = p(1−p), both codegen'd expressions.
+    *
+    * The iterate's coefficients enter as a broadcast one-row frame, NOT as
+    * inline literals: inlined doubles change the generated source every
+    * iteration, so a D-iteration fit would janino-compile D distinct
+    * stages (measured 17 s cold vs 2.4 s warm on 6M rows before this).
+    * With the coefficients behind an attribute reference the iteration
+    * plan's source is identical every pass and the whole loop compiles
+    * once. (A foldable typedLit would not work: element_at(literal,
+    * literal) constant-folds back to an inlined double.) */
   def logisticIrls(df: DataFrame, y: Column, xs: Seq[Column],
                    maxIter: Int = 25, tol: Double = 1e-8): LogisticFit = {
     require(maxIter > 0, "maxIter must be positive (stderr needs a final fit)")
+    val spark = df.sparkSession
+    import spark.implicits._
     val k = xs.length
-    var beta = Array.fill(k + 1)(0.0) // xs coefs ++ intercept
+    var beta = Array.fill(k + 1)(0.0) // xs coefs ++ bias
     var converged = false
     var it = 0
     var lastModel: OlsModel = null
     val yd = y.cast("double")
     while (it < maxIter && !converged) {
-      val eta = xs.zipWithIndex.map { case (x, i) => x.cast("double") * lit(beta(i)) }
-        .reduce(_ + _) + lit(beta(k))
+      val withBeta = df.crossJoin(broadcast(Seq(Tuple1(beta.toSeq)).toDF("__beta")))
+      val b = col("__beta")
+      val eta = xs.zipWithIndex.map { case (x, i) =>
+        x.cast("double") * element_at(b, i + 1)
+      }.reduce(_ + _) + element_at(b, k + 1)
       val p0 = lit(1.0) / (lit(1.0) + exp(-eta))
       // clamp away from 0/1 so weights stay positive-definite
       val p = least(greatest(p0, lit(1e-10)), lit(1.0 - 1e-10))
       val w = p * (lit(1.0) - p)
       val z = eta + (yd - p) / w
-      val m = Regression.fitOls(df, z, xs, useBias = true, weight = w)
+      val m = Regression.fitOls(withBeta, z, xs, useBias = true, weight = w)
       lastModel = m
       val next = m.summary.coefficients // xs ++ bias
       val delta = next.zip(beta).map { case (a, b) => math.abs(a - b) }.max
