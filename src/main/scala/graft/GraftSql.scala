@@ -136,6 +136,11 @@ object GraftSql {
     fn("kolmogorov_smirnov_test") { a =>
       functions.kolmogorov_smirnov_test(toCol(a(0)), toCol(a(1)))
     }
+    // Pearsonr(x, y) (AggregateFunctionPearsonr.cpp:50; snake_case alias for
+    // the Spark-side convention)
+    Seq("pearsonr", "pearson_corr").foreach { nm =>
+      fn(nm) { a => functions.pearson_corr(toCol(a(0)), toCol(a(1))) }
+    }
     // ols(y, x...), ols_nobias(y, x...), wls(y, weight, x...)
     fn("ols") { a => functions.ols(toCol(a.head), a.tail.map(toCol)) }
     fn("ols_nobias") { a =>

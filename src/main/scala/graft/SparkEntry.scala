@@ -198,6 +198,21 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q77_pearson_corr" -> ((s, d) => {
+      // Pearsonr (AggregateFunctionPearsonr.h:56-72) over price~quantity:
+      // r and t oracle closed-form against DuckDB corr(); the Student-t
+      // CDF p-value is a pinned sf0.01 constant (q38 idiom), cross-checked
+      // against an independent incomplete-beta implementation.
+      t(s, d, "lineitem")
+        .select(functions.pearson_corr(col("l_extendedprice"), col("l_quantity")).as("pr"),
+          count(lit(1)).as("n"))
+        .select(round(col("pr.r"), 6).as("r"),
+          round(col("pr.r") * sqrt((col("n") - 2).cast("double")) /
+            sqrt(lit(1.0) - col("pr.r") * col("pr.r")), 4).as("t_statistic"),
+          round(col("pr.p_value"), 6).as("p_value"),
+          col("n"),
+          lit(sfTag(d)).as("oracle_sf"))
+    }),
     "q76_salted_join" -> ((s, d) => {
       // the skew-join layout helper under the gate: a salted join must be
       // RESULT-identical to the plain join (the salt only splits reducers).
@@ -1415,6 +1430,16 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q77_pearson_corr" ->
+      """WITH s AS (
+        |  SELECT corr(l_extendedprice, l_quantity) AS r, count(*) AS n
+        |  FROM lineitem)
+        |SELECT round(r, 6) AS r,
+        |  round(r * sqrt(n - 2) / sqrt(1 - r * r), 4) AS t_statistic,
+        |  CAST(0.400023 AS DOUBLE) AS p_value,
+        |  n,
+        |  '0.01' AS oracle_sf
+        |FROM s""".stripMargin,
     "q76_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -98,6 +98,28 @@ object functions {
       .otherwise(lit(Double.NaN)), treatment.cast("int"))
   }
 
+  /** Pearson correlation with its two-sided t-test p-value (reference
+    * `Pearsonr(x, y)`, AggregateFunctionPearsonr.h:56-72: t = r·√df/√(1−r²),
+    * df = n−2, p = 2(1 − T_df(|t|))). Composed from codegen'd built-ins —
+    * `corr` + a pairwise-complete count — with the scalar t-CDF applied on
+    * top of the aggregate results, so there is no custom aggregate state and
+    * the whole pre-shuffle side stays in WholeStageCodegen. Returns
+    * struct(r, p_value); the reference tuple names the first field
+    * `u_statistic` but it carries the correlation coefficient. Fewer than 3
+    * pairwise-complete rows (reference: BAD_ARGUMENTS throw) yields a null
+    * p_value instead. */
+  def pearson_corr(x: Column, y: Column): Column = {
+    val xd = x.cast("double"); val yd = y.cast("double")
+    val r = corr(xd, yd) // pairwise-complete, like the CH -If combinator path
+    val df = (count(when(xd.isNotNull && yd.isNotNull, 1)) - lit(2)).cast("double")
+    val p = when(df >= lit(1.0) && r.isNotNull,
+      when(abs(r) >= lit(1.0), lit(0.0)) // t → ±∞; guarded so ANSI mode never divides by zero
+        .otherwise(lit(2.0) *
+          (lit(1.0) - tCdfUdf(abs(r) * sqrt(df) / sqrt(lit(1.0) - r * r), df))))
+    struct(r.as("r"), p.as("p_value"))
+  }
+  private lazy val tCdfUdf = udf((x: Double, df: Double) => graft.stats.Dist.tCdf(x, df))
+
   /** One-pass Gram matrix XᵀX, optionally inverted (reference
     * `matrix_multiplication([cols], std, invert)`). */
   def matrix_multiplication(cols: Seq[Column], invert: Boolean = false): Column = {

@@ -36,6 +36,42 @@ class MoreAggsSpec extends AnyFunSuite {
     assert(r.getSeq[String](r.fieldIndex("groups")) == Seq("a", "b"))
   }
 
+  test("pearson_corr matches commons-math r and t-dist p; nulls pairwise-dropped") {
+    val withNulls = df
+      .withColumn("x", when($"v" > -100, $"v"))
+      .withColumn("y", when($"t" === 1 || $"v" < 1.5, $"v" * 0.7 + $"t"))
+    val r = withNulls.select(functions.pearson_corr($"x", $"y").as("r"))
+      .select($"r.*").head()
+    // local reference: commons-math PearsonsCorrelation on the complete pairs
+    val pairs = withNulls.select($"x", $"y").collect()
+      .filter(row => !row.isNullAt(0) && !row.isNullAt(1))
+      .map(row => (row.getDouble(0), row.getDouble(1)))
+    val pc = new org.apache.commons.math3.stat.correlation.PearsonsCorrelation()
+    val expR = pc.correlation(pairs.map(_._1), pairs.map(_._2))
+    val dfree = pairs.length - 2.0
+    val tStat = expR * math.sqrt(dfree) / math.sqrt(1 - expR * expR)
+    val expP = 2 * (1 - new org.apache.commons.math3.distribution.TDistribution(dfree)
+      .cumulativeProbability(math.abs(tStat)))
+    assert(approx(r.getAs[Double]("r"), expR, 1e-9))
+    assert(approx(r.getAs[Double]("p_value"), expP, 1e-9))
+    // SQL names plan the same column
+    withNulls.createOrReplaceTempView("pearson_fixture")
+    GraftSql.register(spark)
+    val viaSql = spark.sql(
+      "SELECT pearsonr(x, y) AS a, pearson_corr(x, y) AS b FROM pearson_fixture").head()
+    assert(approx(viaSql.getStruct(0).getAs[Double]("r"), expR, 1e-9))
+    assert(approx(viaSql.getStruct(1).getAs[Double]("p_value"), expP, 1e-9))
+    // degenerate inputs: n < 3 → null p (reference throws BAD_ARGUMENTS)
+    val tiny = Seq((1.0, 2.0), (2.0, 4.0)).toDF("x", "y")
+      .select(functions.pearson_corr($"x", $"y").as("r")).select($"r.*").head()
+    assert(tiny.isNullAt(tiny.fieldIndex("p_value")))
+    // perfectly collinear: r = 1 exactly, p = 0 (t → ∞)
+    val exact = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)).toDF("x", "y")
+      .select(functions.pearson_corr($"x", $"y").as("r")).select($"r.*").head()
+    assert(approx(exact.getAs[Double]("r"), 1.0, 1e-12))
+    assert(exact.getAs[Double]("p_value") <= 1e-12)
+  }
+
   test("mann-whitney agg matches scipy-convention local math with ties") {
     val r = df.select(functions.mann_whitney_utest($"v", $"t").as("r")).select($"r.*").head()
     val x0 = rows.filter(_._2 == 0).map(_._1).toArray
