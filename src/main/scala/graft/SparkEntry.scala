@@ -198,6 +198,35 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q78_prognostic_matching" -> ((s, d) => {
+      // prognostic-score matching (match.py:329-440): the outcome is an
+      // EXACT linear function of the covariates, so the OLS prog-score model
+      // fit on the held-out control half recovers it exactly and the score
+      // math (fit → predict → caliper bucket) oracles closed-form in DuckDB.
+      // The +0.5 offset keeps every score mid-bucket, so coefficient float
+      // jitter can never flip a floor(). Split-dependent counts (which
+      // control rows stayed matchable, how many pairs formed) are pinned
+      // sf0.01 constants — the split is content-hash deterministic on id.
+      val li = t(s, d, "lineitem")
+        .withColumn("id", col("l_orderkey") * 8 + col("l_linenumber"))
+        .withColumn("tr", (col("l_orderkey") % 2).cast("int"))
+        .withColumn("x1", col("l_quantity").cast("double"))
+        .withColumn("x2", col("l_linenumber").cast("double"))
+        .withColumn("y", lit(2.0) * col("x1") - lit(3.0) * col("x2") + lit(0.5))
+      val m = graft.ops.Matching.prognosticMatching(li, col("tr"), col("y"),
+        Seq(col("x1"), col("x2")), caliper = 1.0, idCols = Seq(col("id")))
+      m.withColumn("bucket", floor(col("prog_score")).cast("long"))
+        .agg(
+          count(when(col("tr") === 1, 1)).as("n_treated"),
+          min(when(col("tr") === 1, col("bucket"))).as("bucket_min"),
+          max(when(col("tr") === 1, col("bucket"))).as("bucket_max"),
+          round(avg(when(col("tr") === 1, col("bucket"))), 6).as("bucket_avg"),
+          countDistinct(col("bucket")).as("n_buckets"),
+          count(when(col("tr") === 0, 1)).as("n_control_test"),
+          count(when(col("tr") === 1 && col("matching_index") > 0, 1))
+            .as("n_matched_pairs"))
+        .withColumn("oracle_sf", lit(sfTag(d)))
+    }),
     "q77_pearson_corr" -> ((s, d) => {
       // Pearsonr (AggregateFunctionPearsonr.h:56-72) over price~quantity:
       // r and t oracle closed-form against DuckDB corr(); the Student-t
@@ -1430,6 +1459,26 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q78_prognostic_matching" ->
+      // The outcome is an exact linear function of the covariates, so the
+      // prog-score model recovers it and bucket = 2*qty - 3*linenumber
+      // closed-form. The treated arm alone covers every bucket the full
+      // table has (verified: 115 = 115), so n_buckets is split-invariant.
+      // Only the two split-dependent counts (which control half stayed
+      // matchable, pairs formed) are pinned sf0.01 constants — the split
+      // is content-hash deterministic on id, verified at CPUS=4 and 16.
+      """WITH tr AS (
+        |  SELECT 2 * CAST(l_quantity AS BIGINT) - 3 * l_linenumber AS bucket
+        |  FROM lineitem WHERE l_orderkey % 2 = 1)
+        |SELECT count(*) AS n_treated,
+        |  min(bucket) AS bucket_min,
+        |  max(bucket) AS bucket_max,
+        |  round(avg(bucket), 6) AS bucket_avg,
+        |  count(DISTINCT bucket) AS n_buckets,
+        |  CAST(15098 AS BIGINT) AS n_control_test,
+        |  CAST(15098 AS BIGINT) AS n_matched_pairs,
+        |  '0.01' AS oracle_sf
+        |FROM tr""".stripMargin,
     "q77_pearson_corr" ->
       """WITH s AS (
         |  SELECT corr(l_extendedprice, l_quantity) AS r, count(*) AS n

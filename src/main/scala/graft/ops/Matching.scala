@@ -27,7 +27,8 @@ object Matching {
   def caliperMatching(df: DataFrame, treatment: Column, score: Column,
                       caliper: Double, exactCols: Seq[Column] = Seq.empty,
                       k: Int = 1, seed: Long = 42L, slices: Int = 32,
-                      maxCells: Long = 1L << 20): DataFrame = {
+                      maxCells: Long = 1L << 20,
+                      idCols: Seq[Column] = Seq.empty): DataFrame = {
     require(caliper > 0, "caliper must be positive")
     require(slices > 0, "slices must be positive")
     require(maxCells > 0, "maxCells must be positive")
@@ -40,8 +41,13 @@ object Matching {
       treatment.cast("int").isNotNull) +: exactCols.map(_.isNotNull)
     // content hash, not rand(): rand() draws per-partition streams, so the
     // matched pairs would change with the cluster layout; the hash gives the
-    // same "random" order (and slice) on any layout.
-    val h = xxhash64(struct(df.columns.toIndexedSeq.map(col): _*), lit(seed))
+    // same "random" order (and slice) on any layout. When a stable key is
+    // available pass it as idCols — hashing the whole row breaks layout
+    // determinism as soon as any column carries aggregation-order float
+    // jitter (e.g. a model score computed upstream).
+    val h =
+      if (idCols.nonEmpty) xxhash64((idCols :+ lit(seed)): _*)
+      else xxhash64(struct(df.columns.toIndexedSeq.map(col): _*), lit(seed))
     val withCell = df.withColumn("__cell", cell)
       .withColumn("__t", treatment.cast("int"))
       .withColumn("__valid", valid.reduce(_ && _))
@@ -123,6 +129,39 @@ object Matching {
     caliperMatching(df.withColumn("__zero", lit(0.0)), treatment, col("__zero"),
       caliper = 1.0, exactCols = exactCols, k = k, seed = seed)
       .drop("__zero")
+
+  /** Prognostic-score matching (match.py:329-440): fit an OLS of the
+    * OUTCOME on the covariates using a held-out half of the CONTROL arm
+    * only, score the remaining rows (all treated + the other control half)
+    * with the predicted baseline outcome, and caliper-match on that score.
+    * Returns the scored testing rows with `scoreName` and
+    * `matching_index` (0 = unmatched).
+    *
+    * The control split is layout-deterministic (content hash), the model fit
+    * is one constant-state scan of the training half, scoring is a
+    * codegen'd dot product, and the match itself is the salted-window
+    * [[caliperMatching]] — nothing here adds a shuffle beyond the matching
+    * pass, so the 100 TB shape is the same as caliper matching's. Rows used
+    * to TRAIN the score model are excluded from the matched output, exactly
+    * like the reference (training on matched rows biases the inference). */
+  def prognosticMatching(df: DataFrame, treatment: Column, outcome: Column,
+                         covs: Seq[Column], caliper: Double,
+                         exactCols: Seq[Column] = Seq.empty, k: Int = 1,
+                         trainFrac: Double = 0.5, seed: Long = 42L,
+                         idCols: Seq[Column] = Seq.empty,
+                         scoreName: String = "prog_score"): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, "trainFrac in (0,1)")
+    import graft.api.implicits._
+    val control = df.filter(treatment.cast("int") === 0)
+    // testSize here is the share that STAYS matchable (control-test)
+    val (train, controlTest) =
+      control.trainTestSplitDeterministic(1.0 - trainFrac, seed, idCols)
+    val model = Regression.fitOls(train, outcome, covs)
+    val testing = df.filter(treatment.cast("int") === 1).unionByName(controlTest)
+    val scored = testing.withColumn(scoreName, Regression.predict(model, covs))
+    caliperMatching(scored, treatment, col(scoreName), caliper, exactCols, k, seed,
+      idCols = idCols)
+  }
 
   /** Standardized mean difference per covariate between treatment groups
     * (match.py:159-225): smd = (x̄₁−x̄₀)/sqrt((s₁²+s₀²)/2). One agg pass. */

@@ -92,6 +92,59 @@ class OpsSpec extends AnyFunSuite {
     matched.unpersist()
   }
 
+  test("prognostic matching: trains on held-out control, matches on predicted outcome") {
+    val rng = new scala.util.Random(97)
+    val rows = (1 to 4000).map { i =>
+      val t = rng.nextInt(2)
+      // covariates imbalanced by arm (with overlap) so matching has work to do
+      val x1 = rng.nextDouble() * 4 + (if (t == 1) 1.0 else 0.0)
+      val x2 = rng.nextDouble() * 2
+      // baseline outcome depends only on covariates (+noise)
+      val y = 2.0 * x1 - x2 + rng.nextGaussian() * 0.1 + (if (t == 1) 0.5 else 0.0)
+      (i.toLong, t, x1, x2, y)
+    }
+    val d = spark.createDataFrame(rows).toDF("id", "t", "x1", "x2", "y")
+    val matched = Matching.prognosticMatching(d, $"t", $"y", Seq($"x1", $"x2"),
+      caliper = 0.5, idCols = Seq($"id"))
+    matched.cache()
+    // training half of the control arm is excluded from the matchable output
+    val nOut = matched.count()
+    val nTreat = rows.count(_._2 == 1)
+    val nControl = rows.count(_._2 == 0)
+    assert(nOut > nTreat && nOut < nTreat + nControl)
+    // the score is the OLS prediction from the SAME deterministic split —
+    // refit locally and spot-check agreement
+    import graft.api.implicits._
+    val control = d.filter($"t" === 0)
+    val (train, _) = control.trainTestSplitDeterministic(0.5, 42L, Seq($"id"))
+    val model = Regression.fitOls(train, $"y", Seq($"x1", $"x2"))
+    val check = matched.withColumn("expected",
+        Regression.predict(model, Seq($"x1", $"x2")))
+      .filter(abs($"prog_score" - $"expected") > 1e-9).count()
+    assert(check == 0L)
+    // matched pairs balance arms and share a caliper bucket of the score
+    val m = matched.filter($"matching_index" > 0)
+    val byIdx = m.groupBy($"matching_index")
+      .agg(sum(when($"t" === 1, 1).otherwise(0)).as("n1"),
+        sum(when($"t" === 0, 1).otherwise(0)).as("n0")).collect()
+    assert(byIdx.nonEmpty)
+    assert(byIdx.forall(r => r.getLong(1) == 1 && r.getLong(2) == 1))
+    // matching on the prognostic score balances the covariates: SMD of the
+    // matched set is far smaller than the raw set's on x1
+    val rawSmd = Matching.smd(d, $"t", Seq("x1")).head().getAs[Double]("smd")
+    val matchedSmd = Matching.smd(m, $"t", Seq("x1")).head().getAs[Double]("smd")
+    assert(math.abs(matchedSmd) < math.abs(rawSmd))
+    // layout-deterministic: same output under a different partitioning
+    val again = Matching.prognosticMatching(d.repartition(13), $"t", $"y",
+      Seq($"x1", $"x2"), caliper = 0.5, idCols = Seq($"id"))
+    val a = matched.select($"id", $"matching_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = again.select($"id", $"matching_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+    matched.unpersist()
+  }
+
   test("caliper matching: cell-cardinality guard trips on a micro-caliper") {
     // a micro-caliper on a continuous score makes cells ~ rows — the
     // driver prefix sum must refuse before collecting a row-scale table
