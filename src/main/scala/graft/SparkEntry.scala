@@ -198,6 +198,31 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q79_dml_interval" -> ((s, d) => {
+      // effect_interval / ate_interval (uplift.py:2322,2356): the DuckDB
+      // side re-derives the cv=2 cross-fit residuals exactly like q32, then
+      // solves the 2×2 final-stage normal equations closed-form; the
+      // Student-t quantile at df = n−3 has no DuckDB builtin, so it is a
+      // pinned constant (Dist.tQuantile(0.975, 59997) = 1.960003524667,
+      // cross-checked against independent numeric integration at 1e-9).
+      val li = t(s, d, "lineitem")
+      val m = graft.ops.Dml.linearDml(li, col("l_extendedprice"), col("l_quantity"),
+        Seq(col("l_discount")), cv = 2, foldKey = col("l_orderkey"),
+        heterogeneous = Seq(col("l_discount")))
+      val ai = graft.ops.Dml.ateInterval(li, m, Seq(col("l_discount")))
+      // per-row interval at a pinned basis (1, 0.05): a one-row frame with a
+      // constant feature makes ateInterval evaluate exactly that basis
+      val ei = graft.ops.Dml.ateInterval(
+        li.limit(1).withColumn("__x", lit(0.05)), m, Seq(col("__x")))
+      import s.implicits._
+      Seq((ai.ate, ai.stderr, ai.lower, ai.upper, ei.ate, ei.lower, ei.upper))
+        .toDF("a", "b", "c", "e", "f", "g", "h")
+        .select(round($"a", 6).as("ate"), round($"b", 6).as("stderr"),
+          round($"c", 6).as("lower"), round($"e", 6).as("upper"),
+          round($"f", 6).as("effect_at_x"), round($"g", 6).as("eff_lower"),
+          round($"h", 6).as("eff_upper"))
+        .withColumn("oracle_sf", lit(sfTag(d)))
+    }),
     "q78_prognostic_matching" -> ((s, d) => {
       // prognostic-score matching (match.py:329-440): the outcome is an
       // EXACT linear function of the covariates, so the OLS prog-score model
@@ -1459,6 +1484,37 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q79_dml_interval" ->
+      """WITH base AS (
+        |  SELECT l_extendedprice AS y, l_quantity AS t, l_discount AS x,
+        |    l_orderkey % 2 AS f FROM lineitem),
+        |m AS (SELECT f AS mf, regr_slope(y, x) AS sy, regr_intercept(y, x) AS iy,
+        |             regr_slope(t, x) AS st, regr_intercept(t, x) AS it
+        |      FROM base GROUP BY f),
+        |r AS (SELECT base.x AS x, y - (m.sy * x + m.iy) AS yr,
+        |             t - (m.st * x + m.it) AS tr
+        |      FROM base JOIN m ON m.mf = 1 - base.f),
+        |s AS (SELECT count(*) AS n, sum(tr*tr) AS a, sum(tr*tr*x) AS b,
+        |             sum(tr*tr*x*x) AS d, sum(tr*yr) AS c1, sum(tr*x*yr) AS c2,
+        |             sum(yr*yr) AS yy, avg(x) AS xbar FROM r),
+        |beta AS (SELECT *, a*d - b*b AS det FROM s),
+        |inv AS (SELECT *, (d*c1 - b*c2)/det AS b0, (a*c2 - b*c1)/det AS b1,
+        |               d/det AS i00, -b/det AS i01, a/det AS i11 FROM beta),
+        |fin AS (SELECT *,
+        |  sqrt((yy - 2*(b0*c1 + b1*c2) + b0*b0*a + 2*b0*b1*b + b1*b1*d)/(n-3)) AS sig,
+        |  1.960003524667 AS tq,
+        |  b0 + b1*xbar AS fitA,
+        |  b0 + b1*0.05 AS fitX FROM inv),
+        |se AS (SELECT *,
+        |  sig*sqrt(i00 + 2*xbar*i01 + xbar*xbar*i11) AS seA,
+        |  sig*sqrt(i00 + 2*0.05*i01 + 0.05*0.05*i11) AS seX FROM fin)
+        |SELECT round(fitA, 6) AS ate, round(seA, 6) AS stderr,
+        |  round(fitA - tq*seA, 6) AS lower, round(fitA + tq*seA, 6) AS upper,
+        |  round(fitX, 6) AS effect_at_x,
+        |  round(fitX - tq*seX, 6) AS eff_lower,
+        |  round(fitX + tq*seX, 6) AS eff_upper,
+        |  '0.01' AS oracle_sf
+        |FROM se""".stripMargin,
     "q78_prognostic_matching" ->
       // The outcome is an exact linear function of the covariates, so the
       // prog-score model recovers it and bucket = 2*qty - 3*linenumber

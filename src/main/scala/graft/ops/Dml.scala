@@ -54,7 +54,8 @@ object Dml {
   }
 
   /** Fitted DML model: θ(x) = β₀ + βᵀx (NonParam: θ constant = β₀). */
-  case class DmlModel(finalStage: OlsSummary, featureNames: Seq[String]) {
+  case class DmlModel(finalModel: OlsModel, featureNames: Seq[String]) {
+    def finalStage: OlsSummary = finalModel.summary
     /** Constant-effect ATE = coefficient on t̃ (first final-stage column). */
     def ate: Double = finalStage.coefficients(0)
     def ateStderr: Double = finalStage.stderr(0)
@@ -70,7 +71,7 @@ object Dml {
     val res = residualize(df, y, t, xs, cv, key)
     val finalXs = col("__t_res") +: heterogeneous.map(h => col("__t_res") * h.cast("double"))
     val m = Regression.fitOls(res, col("__y_res"), finalXs, useBias = false)
-    DmlModel(m.summary, "t" +: heterogeneous.indices.map(i => s"t*x$i"))
+    DmlModel(m, "t" +: heterogeneous.indices.map(i => s"t*x$i"))
   }
 
   /** NonParamDML with a constant effect — final stage ỹ ~ t̃ alone. */
@@ -88,4 +89,55 @@ object Dml {
       acc + h.cast("double") * lit(c(i + 1))
     }
   }
+
+  /** Per-row effect with a confidence interval (uplift.py:2322
+    * `effect_interval`): the reference evaluates the final OlsStateIf model
+    * in 'confidence' mode at (Δt, x₁…xₖ), i.e. se(θ) = σ̂·√(vᵀ(XᵀX)⁻¹v) over
+    * the final-stage normal matrix with basis v = (T1−T0, x…) — the x
+    * slots stay UNSCALED; only the t̃ slot carries Δt (ate.py passes
+    * `X..., T1-T0` verbatim). That is exactly
+    * [[Regression.predictInterval]] on the retained final model, so the
+    * quadratic form stays a codegen'd column — no per-row driver math.
+    * Returns struct(fit, lower, upper). */
+  def effectInterval(model: DmlModel, heterogeneous: Seq[Column],
+                     alpha: Double = 0.05, dt: Double = 1.0): Column = {
+    require(heterogeneous.length + 1 == model.finalStage.coefficients.length,
+      s"model has ${model.finalStage.coefficients.length} final-stage coefficients, " +
+        s"got ${heterogeneous.length} features")
+    Regression.predictInterval(model.finalModel,
+      lit(dt) +: heterogeneous.map(_.cast("double")),
+      interval = "confidence", alpha = alpha)
+  }
+
+  /** ATE with a confidence interval (uplift.py:2356 `ate_interval`): the
+    * reference evaluates the final model's confidence interval at the MEAN
+    * of the heterogeneous features — one tiny agg for the means, then
+    * scalar math on the driver from the retained (XᵀX)⁻¹. */
+  case class AteSummary(ate: Double, stderr: Double,
+                        lower: Double, upper: Double)
+  def ateInterval(df: DataFrame, model: DmlModel, heterogeneous: Seq[Column],
+                  alpha: Double = 0.05, dt: Double = 1.0): AteSummary = {
+    val c = model.finalStage.coefficients
+    require(heterogeneous.length + 1 == c.length,
+      s"model has ${c.length} final-stage coefficients, got ${heterogeneous.length} features")
+    val means: Array[Double] =
+      if (heterogeneous.isEmpty) Array.empty
+      else df.agg(avg(heterogeneous.head.cast("double")),
+        heterogeneous.tail.map(h => avg(h.cast("double"))): _*)
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val v = dt +: means
+    val fit = v.indices.map(i => c(i) * v(i)).sum
+    val inv = model.finalModel.xtxInv
+    val quad = (for (i <- v.indices; j <- v.indices) yield v(i) * v(j) * inv(i)(j)).sum
+    val s = model.finalStage
+    val se = s.residual_stderr * math.sqrt(quad)
+    val tq = graft.stats.Dist.tQuantile(1 - alpha / 2, (s.n - s.k - 1).toDouble)
+    AteSummary(fit, se, fit - tq * se, fit + tq * se)
+  }
+
+  /** θ(x) per unit treatment (uplift.py:2441 `const_marginal_effect`); for
+    * the linear-in-T final stage this IS [[effect]] with Δt = 1, and
+    * `marginal_effect` (uplift.py:2464) coincides with it. */
+  def constMarginalEffect(model: DmlModel, heterogeneous: Seq[Column]): Column =
+    effect(model, heterogeneous)
 }

@@ -51,6 +51,68 @@ class DmlSpec extends AnyFunSuite {
     assert(approx(eff, c(0) + 2 * c(1), 1e-12))
   }
 
+  test("dml effect/ate intervals match hand-rolled normal-equation math") {
+    val rng = new scala.util.Random(11)
+    val het = (1L to 8000L).map { i =>
+      val x = rng.nextGaussian()
+      val t = 0.5 * x + rng.nextGaussian()
+      val theta = 1.0 + 0.5 * x
+      val y = theta * t + 2.0 * x + rng.nextGaussian() * 0.3
+      (i, y, t, x)
+    }
+    val hdf = spark.createDataFrame(het).toDF("id", "y", "t", "x").repartition(5)
+    val m = Dml.linearDml(hdf, $"y", $"t", Seq($"x"), cv = 3, foldKey = $"id",
+      heterogeneous = Seq($"x"))
+    // hand-roll the final stage from the residualized frame: X = [t̃, t̃·x],
+    // no intercept; σ² with the library's df = n − k − 1 convention
+    val res = Dml.residualize(hdf, $"y", $"t", Seq($"x"), cv = 3, foldKey = $"id")
+      .select($"__y_res".as("yr"), $"__t_res".as("tr"), $"x").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val n = res.length
+    var (a, b, dd, c1, c2, yy) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    res.foreach { case (yr, tr, x) =>
+      a += tr * tr; b += tr * tr * x; dd += tr * tr * x * x
+      c1 += tr * yr; c2 += tr * x * yr; yy += yr * yr
+    }
+    val det = a * dd - b * b
+    val (i00, i01, i11) = (dd / det, -b / det, a / det)
+    val b0 = i00 * c1 + i01 * c2
+    val b1 = i01 * c1 + i11 * c2
+    assert(approx(b0, m.finalStage.coefficients(0), 1e-8))
+    assert(approx(b1, m.finalStage.coefficients(1), 1e-8))
+    val dfree = n - 2 - 1.0
+    val sigma = math.sqrt(
+      (yy - 2 * (b0 * c1 + b1 * c2) +
+        b0 * b0 * a + 2 * b0 * b1 * b + b1 * b1 * dd) / dfree)
+    val tq = graft.stats.Dist.tQuantile(0.975, dfree)
+    // per-row interval at x = 0.7 (basis v = (1, 0.7))
+    val x0 = 0.7
+    val seX = sigma * math.sqrt(i00 + 2 * x0 * i01 + x0 * x0 * i11)
+    val fitX = b0 + b1 * x0
+    val got = hdf.limit(1)
+      .select(Dml.effectInterval(m, Seq(lit(x0))).as("ci")).head().getStruct(0)
+    assert(approx(got.getDouble(0), fitX, 1e-8))
+    assert(approx(got.getDouble(1), fitX - tq * seX, 1e-7))
+    assert(approx(got.getDouble(2), fitX + tq * seX, 1e-7))
+    // the true effect at x0 lies inside the (tight) interval on this DGP
+    assert(got.getDouble(1) < 1.0 + 0.5 * x0 && 1.0 + 0.5 * x0 < got.getDouble(2))
+    // mean-point interval: basis v̄ = (1, x̄)
+    val xbar = het.map(_._4).sum / n
+    val seA = sigma * math.sqrt(i00 + 2 * xbar * i01 + xbar * xbar * i11)
+    val fitA = b0 + b1 * xbar
+    val ai = Dml.ateInterval(hdf, m, Seq($"x"))
+    assert(approx(ai.ate, fitA, 1e-8))
+    assert(approx(ai.stderr, seA, 1e-8))
+    assert(approx(ai.lower, fitA - tq * seA, 1e-7))
+    assert(approx(ai.upper, fitA + tq * seA, 1e-7))
+    // with no heterogeneous features the interval reduces exactly to
+    // ate ± t·stderr(0) — the summary's own first-coefficient inference
+    val m0 = Dml.nonParamDml(df, $"y", $"t", Seq($"x"), cv = 3, foldKey = $"id")
+    val ai0 = Dml.ateInterval(df, m0, Seq.empty)
+    assert(approx(ai0.ate, m0.ate, 1e-12))
+    assert(approx(ai0.stderr, m0.ateStderr, 1e-12))
+  }
+
   test("quantileTestBucket: null effect has CI covering 0, shift detected") {
     val rng = new scala.util.Random(5)
     val rows = (1L to 20000L).map { i =>
