@@ -198,6 +198,21 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q80_stratified_sample" -> ((s, d) => {
+      // deterministic sampleBy (corpus-mixing primitive): per-stratum keep
+      // fractions. Parity uses the q11 trick — an explicit LCG uniform both
+      // engines compute identically; the production xxhash64 membership path
+      // is covered by ApiSpec (layout invariance, fraction accuracy).
+      import graft.api.implicits._
+      val li = t(s, d, "lineitem")
+      val u = ((col("l_orderkey") * 8 + col("l_linenumber")) * 1103515245L
+        + 12345L) % 1000 / lit(1000.0)
+      li.sampleByDeterministic(col("l_returnflag"),
+          Map("A" -> 0.2, "N" -> 0.05, "R" -> 0.5), uniform = u)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
     "q79_dml_interval" -> ((s, d) => {
       // effect_interval / ate_interval (uplift.py:2322,2356): the DuckDB
       // side re-derives the cv=2 cross-fit residuals exactly like q32, then
@@ -1484,6 +1499,14 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q80_stratified_sample" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE ((l_orderkey * 8 + l_linenumber) * 1103515245 + 12345) % 1000
+        |  < 1000 * (CASE l_returnflag WHEN 'A' THEN 0.2 WHEN 'N' THEN 0.05
+        |            WHEN 'R' THEN 0.5 ELSE 0.0 END)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q79_dml_interval" ->
       """WITH base AS (
         |  SELECT l_extendedprice AS y, l_quantity AS t, l_discount AS x,

@@ -66,6 +66,33 @@ object implicits {
       (df.filter(u >= testSize), df.filter(u < testSize))
     }
 
+    /** Layout-deterministic per-stratum sampling — `sampleBy` with the same
+      * content-hash membership rule as [[trainTestSplitDeterministic]]: a
+      * row's fate is a pure function of (idCols, seed), so a corpus-mixing
+      * recipe ("keep 20% of source A, 5% of B…") reproduces exactly on any
+      * partitioning or cluster, and re-running over grown data keeps every
+      * previously-kept row (reservoir-free incremental curation). Strata
+      * missing from `fractions` are dropped, like Spark's `sampleBy`.
+      * `uniform` overrides the membership draw with a caller-supplied
+      * [0,1) column (used by the q80 oracle to share an explicit LCG with
+      * DuckDB); leave it null for the xxhash64 default. */
+    def sampleByDeterministic(strata: Column, fractions: Map[String, Double],
+                              seed: Long = 42L, idCols: Seq[Column] = Seq.empty,
+                              uniform: Column = null): DataFrame = {
+      require(fractions.nonEmpty, "fractions must be non-empty")
+      require(fractions.values.forall(f => f >= 0 && f <= 1),
+        "every fraction must be in [0,1]")
+      val key = if (idCols.nonEmpty) idCols
+        else Seq(struct(df.columns.toIndexedSeq.map(col): _*))
+      val u = Option(uniform).getOrElse(
+        (xxhash64((key :+ lit(seed)): _*).cast("double") /
+          lit(2.0 * Long.MaxValue)) + lit(0.5))
+      val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+        when(strata.cast("string") === k, lit(f)).otherwise(acc)
+      }
+      df.filter(u < frac)
+    }
+
     // ------------------------------------------------ statistics verbs
 
     def deltaMethod(metric: String, isStd: Boolean = true): Double =

@@ -79,13 +79,15 @@ object Dml {
                   cv: Int = 2, foldKey: Column = null): DmlModel =
     linearDml(df, y, t, xs, cv, foldKey, heterogeneous = Seq.empty)
 
-  /** Per-row effect θ(x) as a column, given the heterogeneous features used
-    * at fit time (uplift.py:2263 `effect`). */
-  def effect(model: DmlModel, heterogeneous: Seq[Column]): Column = {
+  /** Per-row effect as a column, given the heterogeneous features used at
+    * fit time (uplift.py:2263 `effect`). `dt` = T1−T0 fills the t̃ slot of
+    * the evaluation basis exactly like the reference's
+    * `evalMLMethod(final_model, X…, T1-T0)` — the x slots stay unscaled. */
+  def effect(model: DmlModel, heterogeneous: Seq[Column], dt: Double = 1.0): Column = {
     val c = model.finalStage.coefficients
     require(heterogeneous.length + 1 == c.length,
       s"model has ${c.length} final-stage coefficients, got ${heterogeneous.length} features")
-    heterogeneous.zipWithIndex.foldLeft(lit(c(0))) { case (acc, (h, i)) =>
+    heterogeneous.zipWithIndex.foldLeft(lit(c(0) * dt)) { case (acc, (h, i)) =>
       acc + h.cast("double") * lit(c(i + 1))
     }
   }

@@ -232,6 +232,29 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(teIds.size - 1500) < 150, s"test side ${teIds.size} far from 30%")
   }
 
+  test("sampleByDeterministic: layout-invariant, per-stratum fractions, grow-stable") {
+    import graft.api.implicits._
+    val keyed = spark.range(9000).select($"id".as("uin"),
+      (col("id") % 3).cast("string").as("src"))
+    val fr = Map("0" -> 0.5, "1" -> 0.1) // stratum "2" absent → dropped
+    val layouts = Seq(keyed.coalesce(1), keyed.repartition(13))
+    val kept = layouts.map(
+      _.sampleByDeterministic($"src", fr, idCols = Seq($"uin"))
+        .select($"uin").collect().map(_.getLong(0)).toSet)
+    assert(kept(0) == kept(1), "membership drifted with layout")
+    val byStratum = kept.head.groupBy(_ % 3).map { case (k, v) => (k, v.size) }
+    assert(math.abs(byStratum.getOrElse(0L, 0) - 1500) < 150, byStratum.toString)
+    assert(math.abs(byStratum.getOrElse(1L, 0) - 300) < 90, byStratum.toString)
+    assert(byStratum.getOrElse(2L, 0) == 0, "unlisted stratum must be dropped")
+    // incremental curation: membership is per-row, so sampling a GROWN
+    // table keeps every previously-kept row
+    val grown = spark.range(12000).select($"id".as("uin"),
+      (col("id") % 3).cast("string").as("src"))
+    val keptGrown = grown.sampleByDeterministic($"src", fr, idCols = Seq($"uin"))
+      .select($"uin").collect().map(_.getLong(0)).toSet
+    assert(kept.head.subsetOf(keptGrown), "grown-table sample lost kept rows")
+  }
+
   test("CSV source round-trips schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     // deterministic subset: bare limit() picks arbitrary rows per evaluation
