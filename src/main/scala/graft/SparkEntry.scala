@@ -198,6 +198,23 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q81_sessionize" -> ((s, d) => {
+      // batch gap-sessionization over events (4h gap): assign → stats →
+      // global summary. ts is epoch NANOS under the driver's
+      // nanosAsLong read; DuckDB mirrors with epoch_ns(ts).
+      val ev = t(s, d, "events")
+      val assigned = graft.ops.Sessions.assign(ev, col("user_id"), col("ts"),
+        gapSeconds = 14400)
+      graft.ops.Sessions.stats(assigned, col("user_id"), col("ts"), col("value"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          countDistinct(col("key")).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          round(avg(col("n_events")), 6).as("avg_session_events"),
+          round(max(col("duration_sec")), 6).as("max_duration_sec"),
+          round(sum(col("sum_value")), 2).as("sum_value"))
+    }),
     "q80_stratified_sample" -> ((s, d) => {
       // deterministic sampleBy (corpus-mixing primitive): per-stratum keep
       // fractions. Parity uses the q11 trick — an explicit LCG uniform both
@@ -1498,6 +1515,29 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END), 6) AS mean1,
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
+        |FROM g""".stripMargin,
+    "q81_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tn, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (
+        |  SELECT *, CASE WHEN lag(tn) OVER w IS NULL
+        |      OR tn - lag(tn) OVER w > 14400000000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn)),
+        |c AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tn
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |g AS (
+        |  SELECT user_id, sid, count(*) AS n,
+        |    (max(tn) - min(tn)) / 1e9 AS dur, sum(value) AS v
+        |  FROM c GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  max(n) AS max_session_events,
+        |  round(avg(n), 6) AS avg_session_events,
+        |  round(max(dur), 6) AS max_duration_sec,
+        |  round(sum(v), 2) AS sum_value
         |FROM g""".stripMargin,
     "q80_stratified_sample" ->
       """SELECT l_returnflag, count(*) AS n_rows,

@@ -255,6 +255,34 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.head.subsetOf(keptGrown), "grown-table sample lost kept rows")
   }
 
+  test("Sessions: gap boundaries, tie safety, layout invariance") {
+    // user 1: events at 0s,10s,20s | gap | 1000s,1010s → 2 sessions
+    // user 2: one event → 1 session; duplicate-ts rows stay in-session
+    val rows = Seq(
+      (1L, 0L, 1.0), (1L, 10L, 2.0), (1L, 20L, 3.0),
+      (1L, 1000L, 4.0), (1L, 1010L, 5.0),
+      (2L, 50L, 6.0), (2L, 50L, 7.0), // exact tie
+      (3L, 7L, 8.0))
+    val d = spark.createDataFrame(
+      rows.map { case (u, t, v) => (u, t * 1000000000L, v) })
+      .toDF("user_id", "ts", "value")
+    val st = Sessions.stats(
+      Sessions.assign(d.repartition(5), $"user_id", $"ts", gapSeconds = 100),
+      $"user_id", $"ts", $"value").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(st.size == 4, st.toString)
+    assert(st((1L, 1L)) == ((3L, 20.0, 6.0)))
+    assert(st((1L, 2L)) == ((2L, 10.0, 9.0)))
+    assert(st((2L, 1L)) == ((2L, 0.0, 13.0)))
+    assert(st((3L, 1L)) == ((1L, 0.0, 8.0)))
+    // exactly at the gap is NOT a new session (strict >)
+    val edge = spark.createDataFrame(Seq((1L, 0L, 0.0), (1L, 100L * 1000000000L, 0.0)))
+      .toDF("user_id", "ts", "value")
+    assert(Sessions.assign(edge, $"user_id", $"ts", 100)
+      .agg(max($"session_id")).head().getLong(0) == 1L)
+  }
+
   test("CSV source round-trips schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     // deterministic subset: bare limit() picks arbitrary rows per evaluation
