@@ -198,6 +198,24 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q82_contamination" -> ((s, d) => {
+      // decontamination scan: probe = every 20th doc (a planted "benchmark"
+      // that is also IN the corpus, so those docs score exactly 1.0). The
+      // oracled path joins raw shingle strings (hashes = false) so DuckDB
+      // can replicate without xxhash64; PipelineOpsSpec asserts the hash
+      // path returns the identical frame.
+      val docs = t(s, d, "documents")
+      val probe = docs.filter(col("doc_id") % 20 === 0)
+      graft.ops.Dedup.contamination(docs, probe, col("text"), col("doc_id"),
+          n = 5, hashes = false)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("contamination") === 1.0, 1)).as("n_full"),
+          count(when(col("contamination") >= 0.5, 1)).as("n_above_half"),
+          sum(col("n_hit")).as("n_hits"),
+          sum(col("n_shingles")).as("n_shingles"),
+          round(avg(col("contamination")), 6).as("avg_contamination"))
+    }),
     "q81_sessionize" -> ((s, d) => {
       // batch gap-sessionization over events (4h gap): assign → stats →
       // global summary. ts is epoch NANOS under the driver's
@@ -1516,6 +1534,30 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q82_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 5
+        |    THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w) - 4),
+        |                        i -> array_to_string(w[i:i+4], ' ')) END) AS gs
+        |  FROM w),
+        |cg AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+        |pg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 20 = 0),
+        |j AS (
+        |  SELECT cg.doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN pg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM cg LEFT JOIN pg ON cg.g = pg.g GROUP BY 1),
+        |f AS (SELECT *, n_hit * 1.0 / n_shingles AS c FROM j)
+        |SELECT count(*) AS n_docs,
+        |  count(CASE WHEN c = 1.0 THEN 1 END) AS n_full,
+        |  count(CASE WHEN c >= 0.5 THEN 1 END) AS n_above_half,
+        |  CAST(sum(n_hit) AS BIGINT) AS n_hits,
+        |  CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+        |  round(avg(c), 6) AS avg_contamination
+        |FROM f""".stripMargin,
     "q81_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS tn, value FROM events

@@ -365,4 +365,41 @@ object Dedup {
         .distinct()
     }
   }
+
+  /** Benchmark-contamination scan — the decontamination step of a training
+    * pipeline: for every corpus document, the fraction of its DISTINCT word
+    * n-grams that appear anywhere in `probe` (the eval/benchmark set).
+    *
+    * 100 TB shape: the probe side is tiny next to the corpus (benchmarks
+    * are thousands of documents, the corpus is billions), so its distinct
+    * shingle set is BROADCAST and the corpus side never shuffles shingles —
+    * the only exchange is the per-doc count re-aggregation, keyed by doc id
+    * and map-side combined. Set `broadcastProbe = false` if the probe is
+    * genuinely large and a shuffled join is wanted. With `hashes = true`
+    * (default) the join carries 64-bit xxhash64 shingle keys instead of
+    * strings — 8-byte keys, collision odds ≈ pairs/2⁶⁴; `false` joins the
+    * raw shingle strings (bit-exact, used by the q82 oracle).
+    *
+    * Rows with null/empty text are dropped (no shingles, no denominator).
+    * Returns (doc_id, n_shingles, n_hit, contamination ∈ [0,1]). */
+  def contamination(corpus: DataFrame, probe: DataFrame, text: Column,
+                    id: Column, n: Int = 8, hashes: Boolean = true,
+                    broadcastProbe: Boolean = true): DataFrame = {
+    require(n > 0, "n must be positive")
+    val corpusK = corpus.filter(text.isNotNull && length(text) > 0)
+      .select(id.as("doc_id"), explode(TextOps.shingles(text, n)).as("g"))
+      .select(col("doc_id"),
+        (if (hashes) xxhash64(col("g")) else col("g")).as("k"))
+    val probeK = probe.filter(text.isNotNull && length(text) > 0)
+      .select(explode(TextOps.shingles(text, n)).as("g"))
+      .select((if (hashes) xxhash64(col("g")) else col("g")).as("k"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val probeSide = if (broadcastProbe) broadcast(probeK) else probeK
+    corpusK.join(probeSide, Seq("k"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination", col("n_hit") / col("n_shingles"))
+  }
 }

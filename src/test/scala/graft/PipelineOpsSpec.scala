@@ -121,6 +121,35 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
   private lazy val docsDf = docs.toDF("id", "text").repartition(4)
 
+  test("contamination: planted overlap fractions, hash path matches string path") {
+    // probe doc 100 is fully in the corpus; doc 2 shares a half; doc 3 none
+    val corpus = Seq(
+      (1L, "a b c d e f"),            // contains probe's "a b c" 4-grams? n=3
+      (2L, "a b c x y z"),            // shares the "a b c" 3-gram only
+      (3L, "p q r s t u"),            // no overlap
+      (100L, "a b c d e f")           // the probe doc itself
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val r = Dedup.contamination(corpus, probe, $"text", $"doc_id", n = 3,
+      hashes = false).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // 4 distinct 3-grams per 6-word doc
+    assert(r(1L) == ((4L, 4L, 1.0)))
+    assert(r(100L) == ((4L, 4L, 1.0)))
+    assert(r(2L) == ((4L, 1L, 0.25)))
+    assert(r(3L) == ((4L, 0L, 0.0)))
+    // the 64-bit-hash scale path returns the identical frame
+    val h = Dedup.contamination(corpus, probe, $"text", $"doc_id", n = 3,
+      hashes = true).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(h == r)
+    // shuffled-join variant agrees too (broadcast off)
+    val s = Dedup.contamination(corpus, probe, $"text", $"doc_id", n = 3,
+      hashes = true, broadcastProbe = false).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(s == r)
+  }
+
   test("exactDedup keeps one row per distinct content, keeps smallest id") {
     val out = Dedup.exactDedup(docsDf, $"text", $"id")
     assert(out.count() == 70) // 75 rows - 5 exact dups
