@@ -198,6 +198,29 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q83_packing" -> ((s, d) => {
+      // context-window packing over documents in doc_id order, ctx = 512:
+      // per-doc window spans from the distributed range cumsum, summarized.
+      val docs = t(s, d, "documents")
+      graft.ops.Packing.contextChunks(docs, Seq(col("doc_id")),
+        graft.ops.TextOps.wsTokenCount(col("text")), ctx = 512) { packed =>
+        packed.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_windows") - lit(1)).cast("long").as("n_boundary_crossings"),
+          max(col("last_window") + 1).as("n_windows_total"),
+          count(when(col("n_windows") > 1, 1)).as("n_boundary_docs"),
+          round(avg(col("n_windows")), 6).as("avg_windows_per_doc"),
+          max(col("n_windows")).as("max_windows_per_doc"))
+          .collect()
+      }.toSeq match { case rows =>
+        val spark = s
+        import spark.implicits._
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5)))
+          .toDF("n_docs", "n_boundary_crossings", "n_windows_total",
+            "n_boundary_docs", "avg_windows_per_doc", "max_windows_per_doc")
+      }
+    }),
     "q82_contamination" -> ((s, d) => {
       // decontamination scan: probe = every 20th doc (a planted "benchmark"
       // that is also IN the corpus, so those docs score exactly 1.0). The
@@ -1534,6 +1557,23 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
         |FROM g""".stripMargin,
+    "q83_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d),
+        |p AS (
+        |  SELECT n, CAST(floor((cum - n) / 512.0) AS BIGINT) AS fw,
+        |         CAST(floor((cum - 1) / 512.0) AS BIGINT) AS lw FROM c)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(lw - fw) AS BIGINT) AS n_boundary_crossings,
+        |  CAST(max(lw) + 1 AS BIGINT) AS n_windows_total,
+        |  count(CASE WHEN lw > fw THEN 1 END) AS n_boundary_docs,
+        |  round(avg(lw - fw + 1), 6) AS avg_windows_per_doc,
+        |  CAST(max(lw - fw + 1) AS BIGINT) AS max_windows_per_doc
+        |FROM p""".stripMargin,
     "q82_contamination" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

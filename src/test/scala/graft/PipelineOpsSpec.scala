@@ -150,6 +150,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s == r)
   }
 
+  test("contextChunks: exact window spans, empty docs, layout invariance") {
+    // ctx = 10; docs of 4,8,10,3 tokens concat to spans
+    // [0,4) w0 | [4,12) w0-w1 | [12,22) w1-w2 | [22,25) w2
+    val d = Seq((1L, 4), (2L, 8), (3L, 10), (4L, 3), (5L, 0))
+      .toDF("id", "n")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      Packing.contextChunks(in, Seq($"id"), $"n", ctx = 10) { p =>
+        p.select($"id", $"token_start", $"first_window", $"last_window",
+          $"n_windows").collect()
+          .map(r => r.getLong(0) ->
+            (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getLong(4)))
+          .toMap
+      }
+    val got = run(d.repartition(3))
+    assert(got(1L) == ((0L, Some(0L), Some(0L), 1L)))
+    assert(got(2L) == ((4L, Some(0L), Some(1L), 2L)))
+    assert(got(3L) == ((12L, Some(1L), Some(2L), 2L)))
+    assert(got(4L) == ((22L, Some(2L), Some(2L), 1L)))
+    assert(got(5L)._4 == 0L) // empty doc occupies no window
+    assert(run(d.coalesce(1)) == got, "packing drifted with layout")
+  }
+
   test("exactDedup keeps one row per distinct content, keeps smallest id") {
     val out = Dedup.exactDedup(docsDf, $"text", $"id")
     assert(out.count() == 70) // 75 rows - 5 exact dups
