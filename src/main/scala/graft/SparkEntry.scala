@@ -198,6 +198,68 @@ object SparkEntry {
           round(col("hi.lower"), 6).as("lower_greater"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q86_repetition" -> ((s, d) => {
+      // Gopher-style repetition signals, zero-shuffle per-row expressions:
+      // duplicate-token share and top-bigram/trigram share via the sorted
+      // longest-equal-run fold (no explode/groupBy round trip).
+      import graft.ops.TextOps
+      t(s, d, "documents").select(
+          TextOps.dupTokenRatio(col("text")).as("dup"),
+          TextOps.topNgramShare(col("text"), 2).as("top2"),
+          TextOps.topNgramShare(col("text"), 3).as("top3"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("dup")), 6).as("avg_dup_token_ratio"),
+          round(avg(col("top2")), 6).as("avg_top2_share"),
+          round(max(col("top2")), 6).as("max_top2_share"),
+          count(when(col("top2") >= 0.1, 1)).as("n_top2_ge_10pct"),
+          round(avg(col("top3")), 6).as("avg_top3_share"))
+    }),
+    "q85_pii_redaction" -> ((s, d) => {
+      // PII scrub over documents with deterministically planted emails /
+      // phones / IPv4s (the corpus itself is digit-free word salad). The
+      // regexes are Java∩RE2 so DuckDB replays them exactly.
+      import graft.ops.TextOps
+      val planted = t(s, d, "documents").withColumn("txt", concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0, concat(lit(" mail u"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" host 10.0."),
+          (col("doc_id") % 200).cast("string"), lit("."),
+          (col("doc_id") % 250).cast("string"))).otherwise(lit(""))))
+      planted.withColumn("clean", TextOps.redactPii(col("txt")))
+        .agg(
+          sum(TextOps.emailCount(col("txt"))).cast("long").as("n_emails"),
+          sum(TextOps.phoneCount(col("txt"))).cast("long").as("n_phones"),
+          sum(TextOps.ipCount(col("txt"))).cast("long").as("n_ips"),
+          count(when(TextOps.emailCount(col("clean")) +
+            TextOps.phoneCount(col("clean")) +
+            TextOps.ipCount(col("clean")) === 0, 1)).as("n_clean_docs"),
+          sum(length(col("txt")) - length(col("clean"))).cast("long")
+            .as("chars_removed"),
+          count(when(col("clean").contains("<EMAIL>"), 1)).as("n_docs_with_email"))
+    }),
+    "q84_asof_join" -> ((s, d) => {
+      // as-of attribution: each purchase gets the user's latest prior click
+      // (one union-tag shuffle + window carry — no inequality join). ts is
+      // epoch nanos under the driver's read; DuckDB mirrors with epoch_ns.
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+      val c = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value", "event_id")
+      graft.ops.AsofJoin.asof(p, c, Seq("user_id"), "ts", "ts",
+          payload = Seq("value"), tieBreak = Some(col("event_id")))
+        .withColumn("gap", (col("ts") - col("asof_ts")).cast("double") / 1e9)
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count(col("asof_ts")).as("n_matched"),
+          count(when(col("gap") <= 3600.0, 1)).as("n_within_1h"),
+          round(avg(col("gap")), 6).as("avg_gap_sec"),
+          round(max(col("gap")), 6).as("max_gap_sec"),
+          round(sum(col("asof_value")), 2).as("sum_click_value"))
+    }),
     "q83_packing" -> ((s, d) => {
       // context-window packing over documents in doc_id order, ctx = 512:
       // per-doc window spans from the distributed range cumsum, summarized.
@@ -1556,6 +1618,92 @@ object SparkEntry {
         |  round(max(CASE WHEN treat = 1 THEN m END), 6) AS mean1,
         |  round(max(CASE WHEN treat = 1 THEN m END) - max(CASE WHEN treat = 0 THEN m END), 6) AS estimate,
         |  round(sqrt(max(CASE WHEN treat = 0 THEN v / n END) + max(CASE WHEN treat = 1 THEN v / n END)), 6) AS stderr
+        |FROM g""".stripMargin,
+    "q86_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    1.0 - len(list_distinct(ts)) * 1.0 / greatest(len(ts), 1) AS dup,
+        |    CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+        |      ELSE list_transform(generate_series(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i + 1]) END AS bg2,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE list_transform(generate_series(1, len(ts) - 2),
+        |        i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]) END AS bg3
+        |  FROM w),
+        |e2 AS (SELECT doc_id, unnest(bg2) AS g, len(bg2) AS nb FROM d),
+        |c2 AS (SELECT doc_id, count(*) AS c, any_value(nb) AS nb FROM e2
+        |       GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, max(c) * 1.0 / any_value(nb) AS top2 FROM c2
+        |       GROUP BY doc_id),
+        |e3 AS (SELECT doc_id, unnest(bg3) AS g, len(bg3) AS nb FROM d),
+        |c3 AS (SELECT doc_id, count(*) AS c, any_value(nb) AS nb FROM e3
+        |       GROUP BY doc_id, g),
+        |t3 AS (SELECT doc_id, max(c) * 1.0 / any_value(nb) AS top3 FROM c3
+        |       GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, d.dup, t2.top2, t3.top3 FROM d
+        |      JOIN t2 ON d.doc_id = t2.doc_id JOIN t3 ON d.doc_id = t3.doc_id)
+        |SELECT count(*) AS n_docs,
+        |  round(avg(dup), 6) AS avg_dup_token_ratio,
+        |  round(avg(top2), 6) AS avg_top2_share,
+        |  round(max(top2), 6) AS max_top2_share,
+        |  count(CASE WHEN top2 >= 0.1 THEN 1 END) AS n_top2_ge_10pct,
+        |  round(avg(top3), 6) AS avg_top3_share
+        |FROM j""".stripMargin,
+    "q85_pii_redaction" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' mail u' || doc_id || '@example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || (doc_id % 200) ||
+        |         '.' || (doc_id % 250) ELSE '' END AS txt
+        |  FROM documents),
+        |r AS (
+        |  SELECT txt, regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9][0-9\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        |  FROM p)
+        |SELECT
+        |  CAST(sum(len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(txt,
+        |    '\+[0-9][0-9\- ]{6,}[0-9]'))) AS BIGINT) AS n_phones,
+        |  CAST(sum(len(regexp_extract_all(txt,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))) AS BIGINT) AS n_ips,
+        |  count(CASE WHEN len(regexp_extract_all(clean,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |    len(regexp_extract_all(clean, '\+[0-9][0-9\- ]{6,}[0-9]')) +
+        |    len(regexp_extract_all(clean,
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) = 0 THEN 1 END)
+        |    AS n_clean_docs,
+        |  CAST(sum(length(txt) - length(clean)) AS BIGINT) AS chars_removed,
+        |  count(CASE WHEN contains(clean, '<EMAIL>') THEN 1 END)
+        |    AS n_docs_with_email
+        |FROM r""".stripMargin,
+    "q84_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tn FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_ns(ts) AS tn, value FROM events
+        |  WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id, p.tn, max(c.tn) AS ctn,
+        |         max_by(c.value, c.tn) AS cv
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.tn <= p.tn
+        |  GROUP BY 1, 2),
+        |g AS (SELECT (tn - ctn) / 1e9 AS gap, cv, ctn FROM m)
+        |SELECT count(*) AS n_purchases,
+        |  count(ctn) AS n_matched,
+        |  count(CASE WHEN gap <= 3600.0 THEN 1 END) AS n_within_1h,
+        |  round(avg(gap), 6) AS avg_gap_sec,
+        |  round(max(gap), 6) AS max_gap_sec,
+        |  round(sum(cv), 2) AS sum_click_value
         |FROM g""".stripMargin,
     "q83_packing" ->
       """WITH d AS (

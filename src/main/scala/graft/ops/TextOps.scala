@@ -97,6 +97,75 @@ object TextOps {
     round(lenOk * punctOk * swOk * wordLenOk, 6)
   }
 
+  // ---------------------------------------------------------------- repetition
+
+  /** Share of tokens that are repeats of an earlier token:
+    * 1 − distinct/total. 0 = all unique, →1 = one token repeated. */
+  def dupTokenRatio(text: Column): Column = {
+    val w = split(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+")
+    lit(1.0) - size(array_distinct(w)).cast("double") /
+      greatest(size(w), lit(1)).cast("double")
+  }
+
+  /** Share of (newline-separated) lines that duplicate an earlier line —
+    * the Gopher repetition gate for boilerplate-heavy pages. */
+  def dupLineRatio(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    lit(1.0) - size(array_distinct(lines)).cast("double") /
+      greatest(size(lines), lit(1)).cast("double")
+  }
+
+  /** Share of the document's word n-grams taken by its single most frequent
+    * n-gram (Gopher's "fraction in most common n-gram", token-denominated).
+    * Zero-shuffle: builds the n-gram array, sorts it, and finds the longest
+    * equal run with one `aggregate` fold — per-row O(m log m) inside
+    * whole-stage codegen, no explode/groupBy round trip. */
+  def topNgramShare(text: Column, n: Int): Column = {
+    val w = split(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+")
+    val grams = when(size(w) < n, array(array_join(w, " ")))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " ")))
+    val best = aggregate(array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    best.cast("double") / greatest(size(grams), lit(1)).cast("double")
+  }
+
+  // ---------------------------------------------------------------- PII
+
+  /** Regexes kept to the common Java/RE2 subset so the same pattern runs in
+    * Spark (Java regex) and in RE2-based engines (DuckDB oracle, actual
+    * scrubbing jobs elsewhere): character classes and bounded repeats only,
+    * no lookaround, no backrefs. */
+  val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRegex = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phoneRegex = "\\+[0-9][0-9\\- ]{6,}[0-9]"
+
+  private def countRe(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  def emailCount(text: Column): Column = countRe(text, emailRegex)
+  def ipCount(text: Column): Column = countRe(text, ipRegex)
+  def phoneCount(text: Column): Column = countRe(text, phoneRegex)
+
+  /** Redact emails, IPv4 addresses and +international phone numbers with
+    * typed placeholders — order matters (emails can embed digit runs; IPs
+    * would otherwise be half-eaten by the phone pattern). Pure codegen'd
+    * `regexp_replace` chain: scrubbing 100 TB costs exactly one scan. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRegex, "<EMAIL>"),
+        ipRegex, "<IP>"),
+      phoneRegex, "<PHONE>")
+
   // ---------------------------------------------------------------- fingerprints
 
   /** Exact-content fingerprint after whitespace/case normalization. */
