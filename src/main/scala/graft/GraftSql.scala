@@ -109,8 +109,16 @@ object GraftSql {
       // like the sibling builders — routing it via parseMetrics mangled
       // 'x1/x2' into 'x1' (bare-column branch), dropping the denominator
       val alphas = dblArrayArg(a(2), "alphas")
-      val hasMus = a(3).foldable && scala.util.Try(
+      // dataType alone decides "is this the mus slot" — an array-typed but
+      // NON-foldable a(3) (e.g. array(col)) was meant as mus and must not
+      // silently fall through to the treatment slot, where it dies later
+      // with an unrelated cast error
+      val isArrayTyped = scala.util.Try(
         a(3).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]).getOrElse(false)
+      require(!isArrayTyped || a(3).foldable,
+        "ttests_2samp: mus must be a literal array of constants " +
+          s"(argument 4 is array-typed but not foldable: ${a(3).sql})")
+      val hasMus = isArrayTyped
       val mus =
         if (hasMus) dblArrayArg(a(3), "mus") else Seq.fill(alphas.length)(0.0)
       require(mus.length == alphas.length,

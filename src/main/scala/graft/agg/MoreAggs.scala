@@ -70,7 +70,9 @@ case class TwoSampleHist(m: mutable.HashMap[Double, Array[Long]]) {
           "data at this scale use the range-partitioned " +
           "graft.ops.RankTests.mannWhitneyU / ksTest (GraftGateway.sql " +
           "auto-routes top-level mann_whitney_utest / " +
-          "kolmogorov_smirnov_test there), or bin the values first.")
+          "kolmogorov_smirnov_test there), bin the values first, or — for " +
+          "grouped/nested calls that legitimately fit in memory — raise " +
+          "TwoSampleHist.maxDistinct (a mutable cap).")
     val c = m.getOrElseUpdate(key, Array(0L, 0L))
     if (t == 0) c(0) += 1 else c(1) += 1
   }

@@ -76,6 +76,13 @@ object AsofJoin {
 
     val payType = StructType(StructField("__ts", right.schema(rightTs).dataType) +:
       payload.map(c => right.schema(c).copy(name = c)))
+    // Tie-break stays in its NATIVE numeric type for the same reason the
+    // ticks do — a 64-bit unique id above 2^53 would quantize under a double
+    // cast and break ties nondeterministically. The left side's placeholder
+    // never affects ordering (left rows sort after right via __side), so a
+    // null of the same type suffices.
+    val tieCol = tieBreak.getOrElse(lit(0))
+    val tieType = right.select(tieCol).schema.head.dataType
     val leftType = StructType(left.schema.fields)
     val payStruct = struct(
       (col(rightTs).as("__ts") +: payload.map(c => col(c).as(c))): _*)
@@ -85,11 +92,11 @@ object AsofJoin {
         col(rightTs).isNotNull)
       .select(keyCols.map(col) ++ Seq(
         rt.as("__t"), lit(0).as("__side"),
-        signed(tieBreak.getOrElse(lit(0)).cast("double")).as("__tie"),
+        signed(tieCol).as("__tie"),
         payStruct.as("__pay"),
         lit(null).cast(leftType).as("__l")): _*)
     val l = left.select(keyCols.map(col) ++ Seq(
-      lt.as("__t"), lit(1).as("__side"), lit(0.0).as("__tie"),
+      lt.as("__t"), lit(1).as("__side"), lit(null).cast(tieType).as("__tie"),
       lit(null).cast(payType).as("__pay"),
       struct(left.columns.map(col): _*).as("__l")): _*)
 

@@ -384,8 +384,10 @@ object Dedup {
     * Returns (doc_id, n_shingles, n_hit, contamination ∈ [0,1]). */
   def contamination(corpus: DataFrame, probe: DataFrame, text: Column,
                     id: Column, n: Int = 8, hashes: Boolean = true,
-                    broadcastProbe: Boolean = true): DataFrame = {
+                    broadcastProbe: Boolean = true,
+                    maxProbeShingles: Long = 8L << 20): DataFrame = {
     require(n > 0, "n must be positive")
+    require(maxProbeShingles > 0, "maxProbeShingles must be positive")
     val corpusK = corpus.filter(text.isNotNull && length(text) > 0)
       .select(id.as("doc_id"), explode(TextOps.shingles(text, n)).as("g"))
       .select(col("doc_id"),
@@ -395,7 +397,21 @@ object Dedup {
       .select((if (hashes) xxhash64(col("g")) else col("g")).as("k"))
       .distinct()
       .withColumn("__hit", lit(1L))
-    val probeSide = if (broadcastProbe) broadcast(probeK) else probeK
+    // Fail fast instead of a driver-side broadcast OOM: the broadcast
+    // contract is "the probe is benchmark-sized". Counting the distinct
+    // shingles is one cheap job on the already-shuffled distinct (persisted
+    // so the join reuses it rather than recomputing), and above the cap the
+    // error names the escape hatch — the caliper maxCells idiom.
+    val probeSide = if (broadcastProbe) {
+      val pk = probeK.persist()
+      val nProbe = pk.count()
+      require(nProbe <= maxProbeShingles,
+        s"contamination probe has $nProbe distinct shingles " +
+          s"(max $maxProbeShingles for broadcast): pass broadcastProbe=false " +
+          "for a shuffled join, shorten the probe set, or raise " +
+          "maxProbeShingles if the driver can hold it")
+      broadcast(pk)
+    } else probeK
     corpusK.join(probeSide, Seq("k"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

@@ -124,9 +124,16 @@ object Dml {
       s"model has ${c.length} final-stage coefficients, got ${heterogeneous.length} features")
     val means: Array[Double] =
       if (heterogeneous.isEmpty) Array.empty
-      else df.agg(avg(heterogeneous.head.cast("double")),
-        heterogeneous.tail.map(h => avg(h.cast("double"))): _*)
-        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      else {
+        val row = df.agg(avg(heterogeneous.head.cast("double")),
+          heterogeneous.tail.map(h => avg(h.cast("double"))): _*).head()
+        // a null avg (empty frame / all-null column) would silently unbox
+        // to 0.0 and yield a plausible-looking interval at x̄=0 — fail with
+        // a named error instead
+        require(!row.anyNull, "ateInterval: a heterogeneous-feature mean is " +
+          "null — empty input frame or an all-null feature column")
+        row.toSeq.map(_.asInstanceOf[Double]).toArray
+      }
     val v = dt +: means
     val fit = v.indices.map(i => c(i) * v(i)).sum
     val inv = model.finalModel.xtxInv

@@ -31,11 +31,15 @@ object Sessions {
   def assign(df: DataFrame, key: Column, ts: Column, gapSeconds: Double,
              tsUnitPerSecond: Double = 1e9): DataFrame = {
     require(gapSeconds > 0, "gapSeconds must be positive")
-    val w = Window.partitionBy(key).orderBy(ts.cast("double"))
+    // Order and lag in the ts column's NATIVE numeric type — epoch nanos
+    // exceed double's 2^53 mantissa, so a double cast would quantize to
+    // ~256 ns (the pitfall AsofJoin documents). Only the gap DIFFERENCE is
+    // cast, and a difference of nearby ticks is small enough to be exact.
+    val w = Window.partitionBy(key).orderBy(ts)
     val gapTicks = gapSeconds * tsUnitPerSecond
-    val prev = lag(ts.cast("double"), 1).over(w)
+    val prev = lag(ts, 1).over(w)
     val newSession =
-      when(prev.isNull || ts.cast("double") - prev > gapTicks, 1L).otherwise(0L)
+      when(prev.isNull || (ts - prev).cast("double") > gapTicks, 1L).otherwise(0L)
     df.filter(key.isNotNull && ts.isNotNull)
       .withColumn("session_id",
         sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -49,7 +53,7 @@ object Sessions {
             tsUnitPerSecond: Double = 1e9): DataFrame =
     assigned.groupBy(key.as("key"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        ((max(ts.cast("double")) - min(ts.cast("double"))) / tsUnitPerSecond)
+        ((max(ts) - min(ts)).cast("double") / tsUnitPerSecond)
           .as("duration_sec"),
         sum(value.cast("double")).as("sum_value"))
 }

@@ -111,6 +111,11 @@ class DmlSpec extends AnyFunSuite {
     val ai0 = Dml.ateInterval(df, m0, Seq.empty)
     assert(approx(ai0.ate, m0.ate, 1e-12))
     assert(approx(ai0.stderr, m0.ateStderr, 1e-12))
+    // empty frame / all-null feature: named error, not a silent x̄=0 interval
+    val eNull = intercept[IllegalArgumentException] {
+      Dml.ateInterval(hdf.filter(lit(false)), m, Seq($"x"))
+    }
+    assert(eNull.getMessage.contains("null"), eNull.getMessage)
   }
 
   test("quantileTestBucket: null effect has CI covering 0, shift detected") {

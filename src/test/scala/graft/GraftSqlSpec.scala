@@ -158,6 +158,14 @@ class GraftSqlSpec extends AnyFunSuite {
         .head()
     }
     assert(eMu.getMessage.contains("mus"), eMu.getMessage)
+    // a NON-foldable array in the mus slot (array(col)) must raise the
+    // named literal-array error, not silently route into the treatment slot
+    val eFold = intercept[Exception] {
+      spark.sql(
+        "SELECT ttests_2samp('x1', 'two-sided', array(0.05), array(y), t, y) AS rs FROM exp_data")
+        .head()
+    }
+    assert(eFold.getMessage.contains("literal array"), eFold.getMessage)
   }
 
   test("xexpt cuped and sum-metric sql names run") {

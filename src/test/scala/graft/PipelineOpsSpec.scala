@@ -150,6 +150,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s == r)
   }
 
+  test("contamination: probe broadcast guard trips above maxProbeShingles") {
+    val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val probe = Seq((100L, "a b c d e f")).toDF("doc_id", "text") // 4 shingles
+    val e = intercept[IllegalArgumentException] {
+      Dedup.contamination(corpus, probe, $"text", $"doc_id", n = 3,
+        maxProbeShingles = 2L).collect()
+    }
+    assert(e.getMessage.contains("broadcastProbe=false"), e.getMessage)
+    // the same probe passes with broadcastProbe=false (guard is broadcast-only)
+    val ok = Dedup.contamination(corpus, probe, $"text", $"doc_id", n = 3,
+      maxProbeShingles = 2L, broadcastProbe = false).collect()
+    assert(ok.length == 1)
+  }
+
   test("contextChunks: exact window spans, empty docs, layout invariance") {
     // ctx = 10; docs of 4,8,10,3 tokens concat to spans
     // [0,4) w0 | [4,12) w0-w1 | [12,22) w1-w2 | [22,25) w2
