@@ -51,18 +51,85 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // load sentinel: a fixed CPU-bound calibration job (no I/O, no shuffle,
+    // fully deterministic work) timed before the first pass and after every
+    // pass. On a quiet box its samples agree; sustained external load (the
+    // firecracker noise that poisoned the committed r8 artifact wholesale —
+    // 762 s vs 68.6 s for the same binary) shows up as >25% drift between
+    // samples, in which case the whole suite loops again and the per-query
+    // min spans all passes. All samples are emitted so any reader can judge
+    // the artifact's health without re-running it.
+    def sentinel(): Double = {
+      // median of 3 — a single sample confuses its own scheduler jitter
+      // with box load; min would hide exactly the load we're measuring
+      // ~0.3 s of work per sample: at the 0.1 s scale per-task scheduler
+      // jitter alone is ±40%, which would false-trigger the 25% threshold;
+      // the load signal this guards against (r8: 3-10×) dwarfs 25%.
+      // MIN of 5, not median: measured quiet-box medians still spread ~35%
+      // (single samples mix in this box's transient jitter), while the
+      // sentinel's target is SUSTAINED load — which inflates all 5 samples,
+      // so the min detects it just as well and is far stabler when quiet.
+      val s = Array.fill(5) {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1280L * 1000 * 1000, 1, cpus.toInt)
+          .selectExpr("sum(id % 7)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      s.min
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (name, fn) => name -> time(fn) }
-    val pass2 = ordered.map { case (name, fn) => name -> time(fn) }
-    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
-      val m = math.min(if (a < 0) Double.PositiveInfinity else a,
-        if (b < 0) Double.PositiveInfinity else b)
-      name -> (if (m.isInfinity) -1.0 else m)
+    // untimed sentinel warmup first: its own cold codegen/JIT otherwise
+    // inflates sample 0 by ~2× and fakes the very drift it exists to catch
+    // (measured: one warmup call (3 runs) left sample 0 ~18% high — C2
+    // tiering needs ~10 executions of the generated class to settle)
+    sentinel(); sentinel(); sentinel()
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinel())
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    val maxPasses = 4
+    var done = false
+    while (!done) {
+      passes += ordered.map { case (name, fn) => name -> time(fn) }
+      sentinels += sentinel()
+      // 2 passes minimum (interleaved min-of-2); loop while the sentinel
+      // says some pass ran under load, up to a bound so a persistently
+      // busy box terminates (the emitted samples then tell the story).
+      // The pre-suite sample gets a wider allowance: measured on a quiet
+      // box it sits a systematic ~18% above the post-pass samples (CPU
+      // governor hasn't ramped before sustained work; JIT warmup was ruled
+      // out — 9 warm executions don't close it), while post-pass samples
+      // agree within ~4%. 45% still catches the 3-10× load class that
+      // poisoned the committed r8 artifact.
+      val post = sentinels.drop(1)
+      val postDrift = (post.max - post.min) / post.min
+      val preDrift = (sentinels.head - post.min) / post.min
+      done = passes.length >= maxPasses ||
+        (passes.length >= 2 && postDrift <= 0.25 && preDrift <= 0.45)
+    }
+    // single-core sentinel: same idea, one partition — cpus-independent, so
+    // its quiet value is an ABSOLUTE cross-run reference (~0.4 s measured
+    // quiet on this box class). A reader comparing two artifacts (or one artifact vs a
+    // quiet re-run) divides the sentinel1 values to get the load factor
+    // even when both runs used different SPARK_GRAFT_CPUS.
+    val sentinel1 = {
+      val s = Array.fill(5) {
+        val t0 = System.nanoTime()
+        spark.range(0L, 320L * 1000 * 1000, 1, 1)
+          .selectExpr("sum(id % 7)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      s.min
+    }
+    val results = ordered.map { case (name, _) =>
+      val ts = passes.map(_.toMap.apply(name)).filter(_ >= 0)
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val pj = passes.map(p => f"${p.map(_._2).filter(_ >= 0).sum}%.1f")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_sec":$sj,"sentinel1_sec":$sentinel1,"pass_total_sec":$pj,"passes":${passes.length}}""")
     spark.stop()
   }
 }
