@@ -56,6 +56,33 @@ object GraftSql {
     }
   }
 
+  /** Stored models referenced by path from SQL, loaded once per JVM: the
+    * builder can re-run on every analysis pass, and a forest load collects
+    * every tree to the driver — cache it. Keyed by path only; a model
+    * OVERWRITTEN at the same path during the session needs
+    * [[clearModelCache]]. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  def clearModelCache(): Unit = modelCache.clear()
+  private def loadModel(path: String): AnyRef =
+    modelCache.computeIfAbsent(path, _ => {
+      val spark = SparkSession.active
+      val fields =
+        try spark.read.parquet(path).schema.fieldNames.toSet
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"eval_ml_method: cannot read a stored model at '$path' " +
+            s"(string model arguments are ModelIo parquet paths): ${e.getMessage}") }
+      // dispatch on the stored shape, not a type tag: the schema IS the
+      // model structure (ModelIo's design), so ForestRow's `tree` field or
+      // OlsModel's `xtxInv` identifies the family unambiguously
+      if (fields.contains("tree")) graft.ops.ModelIo.loadCausalForest(spark, path)
+      else if (fields.contains("xtxInv")) graft.ops.ModelIo.loadOls(spark, path)
+      else throw new IllegalArgumentException(
+        s"eval_ml_method: parquet at '$path' is not a stored graft model " +
+          s"(fields: ${fields.mkString(", ")}); expected a ModelIo-written " +
+          "causal forest or OLS model")
+    })
+
   /** Every SQL name as a session-independent (name, FunctionBuilder) pair —
     * consumed by [[register]] (temp functions on a live session) and by
     * [[GraftExtensions]] (SparkSessionExtensions.injectFunction, so
@@ -233,10 +260,45 @@ object GraftSql {
           lit(s"eval_ml_method: coefficient array size "), size(coef),
           lit(s" does not match ${xs.length} feature(s) (+ optional intercept)"))))
     }
-    fn("eval_ml_method") { a => dotCoef(a) }
-    // logistic variant: sigmoid of the linear predictor
+    // Stored-model dispatch (eval_ml_method.cpp:65-67 routes on the model's
+    // type name to ols | causal_forest): a STRING first argument is a
+    // ModelIo parquet path; the stored schema decides the scoring — forest
+    // rows route to the per-tree leaf + literal-lookup composition (the
+    // Model.score idiom as one scalar expression), an OlsModel to its
+    // literal-coefficient dot. Loads happen once per path at analysis time
+    // and are cached for the JVM (overwrite a model under a live session →
+    // GraftSql.clearModelCache()).
+    def evalStored(path: String, xs: Seq[Column]): Column =
+      loadModel(path) match {
+        case m: graft.ops.CausalForest.Model =>
+          require(xs.length == m.featureNames.length,
+            s"eval_ml_method: stored forest at $path expects " +
+              s"${m.featureNames.length} feature(s) " +
+              s"(${m.featureNames.mkString(", ")}), got ${xs.length}")
+          m.trees.map(tr =>
+              element_at(typedLit(tr.effect.toSeq), tr.leafColumn(xs) + 1))
+            .reduce(_ + _) / lit(m.numTrees.toDouble)
+        case m: graft.ops.OlsModel =>
+          val coefs = m.coefficients
+          val k = coefs.length - (if (m.summary.use_bias) 1 else 0)
+          require(xs.length == k,
+            s"eval_ml_method: stored OLS at $path has $k feature " +
+              s"coefficient(s), got ${xs.length} feature(s)")
+          xs.zipWithIndex.map { case (x, i) => x.cast("double") * lit(coefs(i)) }
+            .reduceOption(_ + _).getOrElse(lit(0.0)) + lit(m.intercept)
+        case other => throw new IllegalArgumentException(
+          s"eval_ml_method: unsupported stored model ${other.getClass} at $path")
+      }
+    def evalMl(a: Seq[Expression]): Column = a.head match {
+      case Literal(s: UTF8String, StringType) if s != null =>
+        evalStored(s.toString, a.tail.map(toCol))
+      case _ => dotCoef(a)
+    }
+    fn("eval_ml_method") { a => evalMl(a) }
+    // logistic variant: sigmoid of the linear predictor (stored logistic
+    // fits ship their coefficients; path dispatch applies the same way)
     fn("eval_ml_method_logistic") { a =>
-      lit(1.0) / (lit(1.0) + exp(-dotCoef(a)))
+      lit(1.0) / (lit(1.0) + exp(-evalMl(a)))
     }
 
     // ---------------------------------------------------------- scalar math

@@ -1145,6 +1145,31 @@ object SparkEntry {
           round(avg(col("eff")), 0).as("recovered_effect"))
         .orderBy(col("segment"))
     }),
+    "q87_eval_forest_sql" -> ((s, d) => {
+      // eval_ml_method's stored-model dispatch end-to-end (the reference
+      // routes on model type to ols | causal_forest,
+      // udf/starrocks/.../eval_ml_method.cpp:65-67): fit an honest forest
+      // on the planted-effect fixture, persist it with ModelIo, and score
+      // it THROUGH spark.sql by path — the segment averages recover the
+      // planted τ exactly as q42's Scala-side scoring does.
+      val li = plantedEffect(t(s, d, "lineitem"))
+      val fs = Seq("l_quantity" -> col("l_quantity"), "l_discount" -> col("l_discount"))
+      val m = graft.ops.CausalForest.fit(li, col("y"), col("treat"), fs,
+        numTrees = 8, maxDepth = 3, minNodeSize = 100, bins = 50)
+      // per-run unique model path (the q65 scratch idiom), and a cache
+      // clear so a bench pass re-reading the overwritten path never scores
+      // a stale forest
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_forest_${sfTag(d)}_" +
+        s.sparkContext.applicationId
+      graft.ops.ModelIo.saveCausalForest(s, m, dir)
+      GraftSql.clearModelCache()
+      GraftSql.register(s) // idempotent; Verify's session has no extensions
+      li.createOrReplaceTempView("li_forest_eval")
+      s.sql(
+        s"""SELECT CAST(h AS INT) AS segment, count(*) AS n_rows,
+           |  round(avg(eval_ml_method('$dir', l_quantity, l_discount)), 0) AS recovered_effect
+           |FROM li_forest_eval GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
     // ------------------------------------------------- data-pipeline (north star)
     "q19_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
@@ -1269,6 +1294,13 @@ object SparkEntry {
       """SELECT segment, count(*) AS n_rows,
         |  CAST(CASE WHEN segment = 1 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS recovered_effect,
         |  CAST(1.0 AS DOUBLE) AS se_positive
+        |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
+        |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q87_eval_forest_sql" ->
+      // the stored forest scored by path through SQL recovers the same
+      // planted per-segment τ as q41/q42's in-process scoring
+      """SELECT segment, count(*) AS n_rows,
+        |  CAST(CASE WHEN segment = 1 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS recovered_effect
         |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
         |GROUP BY segment ORDER BY segment""".stripMargin,
     "q38_simhash_pairs" ->

@@ -259,6 +259,50 @@ class GraftSqlSpec extends AnyFunSuite {
       1.0 / (1.0 + math.exp(-r.getDouble(1))), 1e-9)))
   }
 
+  test("eval_ml_method dispatches a stored model path: ols and forest") {
+    setup
+    val d = spark.table("exp_data")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_evalml").toString
+    // stored OLS: SQL-by-path prediction equals the in-process predict column
+    val ols = graft.ops.Regression.fitOls(d, $"y", Seq($"x", $"t"))
+    graft.ops.ModelIo.saveOls(spark, ols, s"$scratch/ols")
+    GraftSql.clearModelCache()
+    val rows = spark.sql(
+      s"SELECT eval_ml_method('$scratch/ols', x, t) AS yhat, x, t FROM exp_data")
+      .limit(5).collect()
+    rows.foreach { r =>
+      val expect = ols.coefficients(0) * r.getDouble(1) +
+        ols.coefficients(1) * r.getInt(2) + ols.coefficients(2)
+      assert(approx(r.getDouble(0), expect, 1e-9))
+    }
+    // stored forest: SQL-by-path scoring equals Model.score's effect column
+    val fdf = d.withColumn("seg", ($"uin" % 2).cast("double"))
+      .withColumn("yy", $"y" + $"t" * (lit(1.0) + lit(3.0) * $"seg"))
+    val forest = graft.ops.CausalForest.fit(fdf, $"yy", $"t",
+      Seq("x" -> $"x", "seg" -> $"seg"), numTrees = 4, maxDepth = 2,
+      minNodeSize = 20, bins = 20)
+    graft.ops.ModelIo.saveCausalForest(spark, forest, s"$scratch/forest")
+    GraftSql.clearModelCache()
+    fdf.createOrReplaceTempView("forest_eval_in")
+    val viaSql = spark.sql(
+      s"SELECT uin, eval_ml_method('$scratch/forest', x, seg) AS eff FROM forest_eval_in")
+    val viaScala = forest.score(fdf, Seq($"x", $"seg"), "eff2", "se2")
+      .select($"uin", $"eff2")
+    val joined = viaSql.join(viaScala, "uin")
+      .select(max(abs($"eff" - $"eff2"))).head().getDouble(0)
+    assert(joined <= 1e-9, s"sql vs scala forest scoring diverge by $joined")
+    // wrong feature arity and not-a-model both name themselves
+    val eArity = intercept[Exception] {
+      spark.sql(s"SELECT eval_ml_method('$scratch/forest', x) AS e FROM forest_eval_in").head()
+    }
+    assert(eArity.getMessage.contains("feature"), eArity.getMessage)
+    d.select($"x").write.mode("overwrite").parquet(s"$scratch/notamodel")
+    val eModel = intercept[Exception] {
+      spark.sql(s"SELECT eval_ml_method('$scratch/notamodel', x) AS e FROM exp_data").head()
+    }
+    assert(eModel.getMessage.contains("not a stored graft model"), eModel.getMessage)
+  }
+
   test("gateway verbs: group_set, boot_strap, permutation") {
     setup
     val gs = GraftGateway.sql(spark,
