@@ -1170,6 +1170,19 @@ object SparkEntry {
            |  round(avg(eval_ml_method('$dir', l_quantity, l_discount)), 0) AS recovered_effect
            |FROM li_forest_eval GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
+    "q88_kaplan_meier" -> ((s, d) => {
+      // Kaplan-Meier with censoring over a data-derived cohort: time =
+      // integer quantity (50 distinct times), event = linenumber parity
+      // (~4/7 events). DuckDB replays the textbook estimator exactly, so
+      // every column is a closed form on the same derivation — no pinning.
+      val subj = t(s, d, "lineitem").select(
+        col("l_quantity").cast("int").as("time"),
+        (col("l_linenumber") % 2).cast("int").as("event"))
+      graft.ops.Survival.kaplanMeier(subj, col("time"), col("event"))
+        .select(col("time"), col("n_risk"), col("n_event"), col("n_censored"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy(col("time"))
+    }),
     // ------------------------------------------------- data-pipeline (north star)
     "q19_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
@@ -1303,6 +1316,23 @@ object SparkEntry {
         |  CAST(CASE WHEN segment = 1 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS recovered_effect
         |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
         |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q88_kaplan_meier" ->
+      // the textbook Kaplan-Meier product-limit estimator, replayed in
+      // SQL: per-time death/total counts, at-risk by cumulative
+      // subtraction, survival = exp(running sum of ln(1 - d/r))
+      """WITH s AS (SELECT CAST(l_quantity AS INT) AS time,
+        |              CAST(l_linenumber % 2 AS INT) AS event FROM lineitem),
+        |g AS (SELECT time, sum(event) AS d, count(*) AS c FROM s GROUP BY time),
+        |o AS (SELECT time, d, c,
+        |        sum(c) OVER (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+        |      FROM g),
+        |r AS (SELECT time, d, c,
+        |        (SELECT sum(c) FROM g) - cumc + c AS n_risk FROM o)
+        |SELECT time, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_event, CAST(c - d AS BIGINT) AS n_censored,
+        |  round(exp(sum(ln(1.0 - d * 1.0 / n_risk))
+        |    OVER (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        |FROM r ORDER BY time""".stripMargin,
     "q38_simhash_pairs" ->
       // pinned sf0.01 per-hamming-distance pair counts (deterministic:
       // content-seeded xxhash64 simhash, pigeonhole bucketing, groupBy

@@ -301,4 +301,35 @@ class OpsSpec extends AnyFunSuite {
       .select("r.estimate").head().getDouble(0)
     assert(approx(t1, t2, 1e-9))
   }
+
+  test("kaplanMeier: textbook fixture with censoring, layout invariance") {
+    // subjects: (time, event) with 1=event 0=censored; hand-computed KM:
+    // t=1 r=8 d=1 S=7/8; t=2 r=7 d=1 c=1 S=0.75; t=3 r=5 d=1 S=0.6;
+    // t=4 r=4 c=1 S=0.6; t=5 r=3 d=2 S=0.2; t=6 r=1 c=1 S=0.2
+    val subj = Seq((1, 1), (2, 1), (2, 0), (3, 1), (4, 0), (5, 1), (5, 1), (6, 0))
+    for (parts <- Seq(1, 3)) {
+      val df = subj.toDF("time", "event").repartition(parts)
+      val km = Survival.kaplanMeier(df, col("time"), col("event"))
+        .orderBy("time").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(km.map(x => (x._1, x._2, x._3, x._4)).toSeq ==
+        Seq((1, 8L, 1L, 0L), (2, 7L, 1L, 1L), (3, 5L, 1L, 0L),
+          (4, 4L, 0L, 1L), (5, 3L, 2L, 0L), (6, 1L, 0L, 1L)))
+      val s = km.map(_._5)
+      Seq(0.875, 0.75, 0.6, 0.6, 0.2, 0.2).zip(s).foreach { case (e, g) =>
+        assert(approx(g, e, 1e-12), s"parts=$parts got ${s.toSeq}")
+      }
+    }
+    // everyone left dies at the last time: survival hits an exact 0 (the
+    // -inf branch), not NULL from ln(0)
+    val allDie = Seq((1, 1), (2, 1), (2, 1)).toDF("time", "event")
+    val km2 = Survival.kaplanMeier(allDie, col("time"), col("event"))
+      .orderBy("time").collect().map(_.getDouble(4))
+    assert(approx(km2(0), 2.0 / 3.0, 1e-12) && km2(1) == 0.0, km2.toSeq.toString)
+    // no event column: everyone is an event
+    val noCens = Survival.kaplanMeier(Seq(1, 1, 2).toDF("time"), col("time"))
+      .orderBy("time").collect()
+    val sNc = noCens.map(_.getDouble(4))
+    assert(approx(sNc(0), 1.0 / 3.0, 1e-12) && sNc(1) == 0.0, sNc.toSeq.toString)
+  }
 }
