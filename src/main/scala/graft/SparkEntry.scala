@@ -1170,6 +1170,28 @@ object SparkEntry {
            |  round(avg(eval_ml_method('$dir', l_quantity, l_discount)), 0) AS recovered_effect
            |FROM li_forest_eval GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
+    "q89_meta_learners" -> ((s, d) => {
+      // S/T/X meta-learners on the planted-effect fixture with the segment
+      // indicator as a feature — every stage is correctly specified, so
+      // each learner's per-segment average recovers the planted τ (2, 10)
+      // exactly after rounding (the q41 idiom). One scan for S, one for T,
+      // two for X — the arm fits fuse via indicator-weighted multi-OLS.
+      val li = plantedEffect(t(s, d, "lineitem"))
+      val xs = Seq(col("h"), col("l_discount"))
+      val sm = graft.ops.MetaLearners.sLearner(li, col("y"), col("treat"), xs)
+      val tm = graft.ops.MetaLearners.tLearner(li, col("y"), col("treat"), xs)
+      val xm = graft.ops.MetaLearners.xLearner(li, col("y"), col("treat"), xs)
+      li.select(col("h"),
+          sm.effectColumn(xs).as("s_eff"),
+          tm.effectColumn(xs).as("t_eff"),
+          xm.effectColumn(xs).as("x_eff"))
+        .groupBy(col("h").cast("int").as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(col("s_eff")), 0).as("s_learner_effect"),
+          round(avg(col("t_eff")), 0).as("t_learner_effect"),
+          round(avg(col("x_eff")), 0).as("x_learner_effect"))
+        .orderBy(col("segment"))
+    }),
     "q88_kaplan_meier" -> ((s, d) => {
       // Kaplan-Meier with censoring over a data-derived cohort: time =
       // integer quantity (50 distinct times), event = linenumber parity
@@ -1314,6 +1336,14 @@ object SparkEntry {
       // planted per-segment τ as q41/q42's in-process scoring
       """SELECT segment, count(*) AS n_rows,
         |  CAST(CASE WHEN segment = 1 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS recovered_effect
+        |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
+        |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q89_meta_learners" ->
+      // all three meta-learners recover the same planted per-segment τ
+      """SELECT segment, count(*) AS n_rows,
+        |  CAST(CASE WHEN segment = 1 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS s_learner_effect,
+        |  CAST(CASE WHEN segment = 1 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS t_learner_effect,
+        |  CAST(CASE WHEN segment = 1 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS x_learner_effect
         |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
         |GROUP BY segment ORDER BY segment""".stripMargin,
     "q88_kaplan_meier" ->

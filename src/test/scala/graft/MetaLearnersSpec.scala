@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.MetaLearners
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MetaLearnersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  // noise-free DGP with both arms at every x: y = 1 + 2x + t·(3 + x), so
+  // every learner's linear stage is correctly specified and must recover
+  // τ(x) = 3 + x EXACTLY (no sampling slack hides a composition bug)
+  private lazy val df = (for (x <- 1 to 50; t <- 0 to 1)
+    yield (x.toDouble, t, 1.0 + 2.0 * x + t * (3.0 + x)))
+    .toDF("x", "t", "y").repartition(4)
+
+  private def effAt(c: org.apache.spark.sql.Column, x: Double): Double =
+    df.filter($"x" === x).limit(1).select(c.as("e")).head().getDouble(0)
+
+  test("s/t/x learners recover an exact linear effect") {
+    val s = MetaLearners.sLearner(df, $"y", $"t", Seq($"x"))
+    val t = MetaLearners.tLearner(df, $"y", $"t", Seq($"x"))
+    val xm = MetaLearners.xLearner(df, $"y", $"t", Seq($"x"))
+    for (x0 <- Seq(1.0, 7.0, 50.0)) {
+      assert(approx(effAt(s.effectColumn(Seq($"x")), x0), 3.0 + x0, 1e-7))
+      assert(approx(effAt(t.effectColumn(Seq($"x")), x0), 3.0 + x0, 1e-7))
+      assert(approx(effAt(xm.effectColumn(Seq($"x")), x0), 3.0 + x0, 1e-7))
+      // τ0 = τ1 here, so ANY propensity blend gives the same effect
+      assert(approx(effAt(xm.effectColumn(Seq($"x"), lit(0.9)), x0), 3.0 + x0, 1e-7))
+    }
+    // T-learner's arms are the two conditional regressions
+    assert(approx(t.m0.coefficients(0), 2.0, 1e-7) &&
+      approx(t.m0.coefficients(1), 1.0, 1e-7))
+    assert(approx(t.m1.coefficients(0), 3.0, 1e-7) &&
+      approx(t.m1.coefficients(1), 4.0, 1e-7))
+    // no-interaction S-learner degenerates to the constant average effect
+    val sFlat = MetaLearners.sLearner(df, $"y", $"t", Seq($"x"), interactions = false)
+    val e1 = effAt(sFlat.effectColumn(Seq($"x")), 1.0)
+    val e50 = effAt(sFlat.effectColumn(Seq($"x")), 50.0)
+    assert(approx(e1, e50, 1e-9), s"constant effect expected, got $e1 vs $e50")
+  }
+
+  test("transformed outcome recovers the effect under the design propensity") {
+    val to = MetaLearners.transformedOutcome(df, $"y", $"t", Seq($"x"))
+    for (x0 <- Seq(1.0, 7.0, 50.0))
+      assert(approx(effAt(to.effectColumn(Seq($"x")), x0), 3.0 + x0, 1e-7))
+  }
+}
