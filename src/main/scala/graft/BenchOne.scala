@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Single-query A/B probe: run ONE SparkEntry query in a fresh JVM with the
+  * Bench session config and print cold (first execution) and warm (min of 2
+  * re-executions) seconds as one JSON line. This is the interleaved-pairs
+  * protocol BENCHAB.json documents — the only measurement this box's ±25%
+  * load drift cannot poison asymmetrically, since A and B runs alternate
+  * minutes apart.
+  *
+  * Usage: runMain graft.BenchOne <queryName>  (env: SPARK_GRAFT_SF_DIR,
+  * SPARK_GRAFT_CPUS).
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val localDir = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm, "graft_bench_scratch"); d.mkdirs(); d.getAbsolutePath
+      } else System.getProperty("java.io.tmpdir")
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val fn = SparkEntry.queries(name)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cold = once()
+    val warm = math.min(once(), once())
+    println(f"""{"query":"$name","cold":$cold%.3f,"warm":$warm%.3f}""")
+    spark.stop()
+  }
+}
