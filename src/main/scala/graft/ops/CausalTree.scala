@@ -121,7 +121,8 @@ object CausalTree {
           honest: Boolean = true, seed: Long = 42L): Model = {
     require(features.nonEmpty, "need at least one feature")
     require(maxDepth >= 1 && maxDepth <= 12,
-      s"maxDepth must be in [1, 12], got $maxDepth (node-slot array is 2^(D+1) slots)")
+      s"maxDepth must be in [1, 12], got $maxDepth " +
+        "(the navigation when-chain inlines up to 2^(D+1) nodes per pass)")
     val k = features.size
     val featNames = features.map(_._1)
 
@@ -165,37 +166,23 @@ object CausalTree {
     val right = scala.collection.mutable.ArrayBuffer(-1)
     var open = Set(0)
 
-    // Codegen-stable navigation (same scheme as CausalForest): the tree
-    // structure is ONE positional literal array (a codegen REFERENCE — a
-    // when-chain would inline each level's thresholds and re-compile every
-    // level), navigation unrolls maxDepth fixed steps (no-ops once a row
-    // reaches a leaf/open node), and the slot stride is the structural
-    // bound so the generated source is identical across levels.
-    val maxN = (1 << (maxDepth + 1)) - 1
-    def withNode(frame: DataFrame): DataFrame = {
-      val info: Seq[(Int, Double, Int, Int)] = (0 until maxN).map { i =>
-        if (i < feature.length && feature(i) >= 0)
-          (feature(i), threshold(i), left(i), right(i))
-        else (-1, 0.0, -1, -1) // leaf or padding: navigation stays put
-      }
-      val infoL = typedLit(info)
-      val fvals = array((0 until k).map(i => col(s"__f$i")): _*)
-      // the root lookup's index must NOT be foldable, or ConstantFolding
-      // inlines the root's (feature, threshold) into the source and the
-      // first level's plan text drifts again
-      var d2 = frame.withColumn("__nav0",
-        when(col("__t").isNotNull, 0).otherwise(0))
-      for (s2 <- 0 until maxDepth) {
-        val prev = col(s"__nav$s2")
-        val nfo = element_at(infoL, (prev + 1).cast("int"))
-        d2 = d2.withColumn(s"__nav${s2 + 1}",
-          when(nfo.getField("_1") < 0, prev)
-            .otherwise(when(
-              element_at(fvals, nfo.getField("_1") + 1) <= nfo.getField("_2"),
-              nfo.getField("_3")).otherwise(nfo.getField("_4"))))
-      }
-      d2.withColumn("__node", col(s"__nav$maxDepth"))
-        .drop((0 to maxDepth).map(s2 => s"__nav$s2"): _*)
+    // Navigation is a nested when-chain over the splits fitted so far:
+    // per-row work is one comparison per LEVEL actually descended
+    // (branch-pruned), and the chain inlines each level's thresholds into
+    // the generated source. That re-compiles one small class per level
+    // pass — for a SINGLE tree that is ~maxDepth compiles total, which the
+    // round-9 interleaved A/B (BENCHAB.json, q41) measured as strictly
+    // cheaper than the forest's literal-array unroll in BOTH regimes
+    // (when-chain cold ~7 s / warm ~1.9 s vs unrolled element_at cold
+    // ~13 s / warm ~6.6 s at sf0.1): the unroll's per-row fixed maxDepth
+    // element_at/struct-field work dominates its one-compile saving at
+    // tree scale. The forest keeps the literal-array scheme, where the
+    // compile count (numTrees × levels) is what explodes instead.
+    def nodeIdExpr(): Column = {
+      def go(i: Int): Column =
+        if (feature(i) < 0) lit(i)
+        else when(col(s"__f${feature(i)}") <= threshold(i), go(left(i))).otherwise(go(right(i)))
+      go(0)
     }
 
     var depth = 0
@@ -203,12 +190,9 @@ object CausalTree {
       // ONE pass: histogram of (node, feature, bin, treatment)
       val featStructs = array((0 until k).map(i =>
         struct(lit(i).as("feat"), binExpr(i).as("bin"))): _*)
-      // open-set membership rides as a boolean literal ARRAY (reference,
-      // values change per level, source does not) instead of an isin over
-      // inlined int literals
-      val openL = typedLit((0 until maxN).map(open.contains))
-      val hist = withNode(splitDf)
-        .filter(element_at(openL, col("__node") + 1))
+      val hist = splitDf
+        .withColumn("__node", nodeIdExpr())
+        .filter(col("__node").isin(open.toSeq: _*))
         .withColumn("__fb", explode(featStructs))
         .groupBy(col("__node"), col("__fb.feat"), col("__fb.bin"), col("__t"))
         .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("s"),
@@ -241,7 +225,8 @@ object CausalTree {
     val stderr = Array.fill(nNodes)(Double.NaN)
     val pValue = Array.fill(nNodes)(Double.NaN)
     val nArr = Array.fill(nNodes)(0L)
-    val leafStats = withNode(estDf)
+    val leafStats = estDf
+      .withColumn("__node", nodeIdExpr())
       .groupBy(col("__node"), col("__t"))
       .agg(count(lit(1)).as("cnt"), avg(col("__y")).as("m"),
         var_samp(col("__y")).as("v"))
