@@ -230,6 +230,61 @@ object ScaleProbe {
         caliper = 1.0).filter(col("matching_index") > 0).count()
       assert(matched == 1000000L, s"$matched matched")
     }
+    // contamination at decontamination scale: every corpus doc scanned
+    // against a broadcast probe of ~1M distinct shingles (benchmark-suite
+    // size). The corpus side never shuffles shingles — the only exchange is
+    // the per-doc count groupBy — so the cost is the corpus scan itself.
+    val contDocs = math.min(rows, 10000000L)
+    val cdocs = spark.range(contDocs).select(
+      col("id"), concat_ws(" ", words(col("id"), 7)).as("text"))
+    val cprobe = cdocs.filter(col("id") % 333 === 0)
+    time(s"contamination scan ($contDocs docs, ~1M-shingle broadcast probe)") {
+      val r = graft.ops.Dedup.contamination(cdocs, cprobe, col("text"), col("id"))
+      // probe docs come from the corpus: each must read back fully contaminated
+      val full = r.filter(col("contamination") >= 0.999).count()
+      assert(full >= contDocs / 333, s"only $full fully-contaminated docs")
+    }
+
+    // as-of join under adversarial key skew: ONE key owns half of both
+    // sides. The carry window is order-dependent, so AQE's skew split
+    // cannot break it up (splitting a key's rows would sever the
+    // last-value carry); the hot key's whole (left+right) row set sorts
+    // inside a single task. This probe documents the practical cap: keep
+    // per-key (left+right) rows to what one executor core can sort —
+    // ~10M rows here is a few seconds; beyond that, pre-bucket the hot
+    // key by coarse time range and as-of join per bucket with a
+    // boundary-carry pass.
+    val asofRows = math.min(rows, 10000000L)
+    val hotKey = (c: org.apache.spark.sql.Column, salt: Int) =>
+      when(pmod(xxhash64(c, lit(salt)), lit(2)) === 0, lit("HOT"))
+        .otherwise(concat(lit("k"), pmod(xxhash64(c, lit(salt + 1)), lit(10000L))))
+    val aleft = spark.range(asofRows).select(
+      hotKey(col("id"), 41).as("key"),
+      (col("id") * 1000L + pmod(xxhash64(col("id"), lit(43)), lit(997L))).as("ts"))
+    val aright = spark.range(asofRows / 10).select(
+      hotKey(col("id") + 7, 41).as("key"),
+      (col("id") * 10000L).as("rts"),
+      col("id").as("v"))
+    time(s"asof join skewed ($asofRows left, ${asofRows / 10} right, one key = 50%)") {
+      val j = graft.ops.AsofJoin.asof(aleft, aright, Seq("key"), "ts", "rts",
+        payload = Seq("v"), tsUnitPerSecond = 1.0)
+      assert(j.count() == asofRows) // left-outer: every left row survives
+    }
+
+    // context packing at full probe scale (100M docs, ctx=2048):
+    // RangeCumSum's range-partitioned prefix sum replaces the
+    // single-partition global window — the point of this probe is that
+    // token_start/window assignment stays distributed at 1e8 docs.
+    val pdocs = spark.range(rows).select(col("id"),
+      (pmod(xxhash64(col("id"), lit(51)), lit(900L)) + 100L).as("ntok"))
+    time(s"context packing ($rows docs, ctx=2048)") {
+      val totalTok = pdocs.agg(sum(col("ntok"))).head().getLong(0)
+      val lastW = graft.ops.Packing.contextChunks(pdocs, Seq(col("id")),
+        col("ntok"), 2048) { d => d.agg(max(col("last_window"))).head().getLong(0) }
+      assert(lastW == (totalTok - 1) / 2048,
+        s"last window $lastW != ${(totalTok - 1) / 2048}")
+    }
+
     val json = timings
       .map { case (l, s) => s""""${l.replace("\"", "'")}": $s""" }
       .mkString(s"""{"rows": $rows, "cpus": $cpus, "timings_sec": {""", ", ", "}}")
