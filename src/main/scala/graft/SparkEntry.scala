@@ -1192,6 +1192,36 @@ object SparkEntry {
           round(avg(col("x_eff")), 0).as("x_learner_effect"))
         .orderBy(col("segment"))
     }),
+    "q90_uplift_estimators" -> ((s, d) => {
+      // CVT / Propensity / Retrospective estimators (the reference's other
+      // three upliftml classes) with a SATURATED logistic base — the only
+      // feature is the segment indicator, so each fitted score equals a
+      // closed-form cell statistic the oracle replays in SQL (the
+      // saturated-logistic MLE IS the cell mean; IRLS tol 1e-8 ≪ the 1e-6
+      // rounding). Scores are constant per cell, so the per-cell avg is the
+      // score itself.
+      val li = t(s, d, "lineitem").select(
+        (col("l_quantity") > 25).cast("int").as("seg"),
+        (col("l_orderkey") % 2).cast("int").as("treat"),
+        (col("l_extendedprice") > 30000.0).cast("int").as("y"))
+      val xs = Seq(col("seg"))
+      val cm = graft.ops.MetaLearners.cvt(li, col("y"), col("treat"), xs)
+      val pSimple = graft.ops.MetaLearners.propensity(li, col("treat"))
+      val pModel = graft.ops.MetaLearners.propensity(li, col("treat"), xs)
+      val rm = graft.ops.MetaLearners.retrospective(li, col("y"), col("treat"), xs)
+      li.select(col("seg"), col("treat"),
+          cm.effectColumn(xs).as("cvt"),
+          pSimple.propensityColumn(col("treat")).as("ps"),
+          pModel.propensityColumn(col("treat"), xs).as("pm"),
+          rm.scoreColumn(xs).as("retro"))
+        .groupBy(col("seg"), col("treat"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(col("cvt")), 6).as("cvt_score"),
+          round(avg(col("ps")), 6).as("propensity_simple"),
+          round(avg(col("pm")), 6).as("propensity_model"),
+          round(avg(col("retro")), 6).as("retrospective_score"))
+        .orderBy(col("seg"), col("treat"))
+    }),
     "q88_kaplan_meier" -> ((s, d) => {
       // Kaplan-Meier with censoring over a data-derived cohort: time =
       // integer quantity (50 distinct times), event = linenumber parity
@@ -1346,6 +1376,34 @@ object SparkEntry {
         |  CAST(CASE WHEN segment = 1 THEN 10.0 ELSE 2.0 END AS DOUBLE) AS x_learner_effect
         |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
         |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q90_uplift_estimators" ->
+      // every estimator's saturated-logistic score is a cell statistic:
+      // CVT = 2·E[1{T=Y}|seg]−1, model propensity = E[T|seg], simple
+      // propensity = the arm's share, retrospective = E[T|seg, Y=1]
+      """WITH base AS (
+        |  SELECT CAST(l_quantity > 25 AS INT) AS seg,
+        |         CAST(l_orderkey % 2 AS INT) AS treat,
+        |         CAST(l_extendedprice > 30000 AS INT) AS y
+        |  FROM lineitem),
+        |tot AS (SELECT avg(CAST(treat AS DOUBLE)) AS pt FROM base),
+        |segs AS (SELECT seg,
+        |    avg(CASE WHEN treat = y THEN 1.0 ELSE 0.0 END) AS ez,
+        |    avg(CAST(treat AS DOUBLE)) AS pseg
+        |  FROM base GROUP BY seg),
+        |retro AS (SELECT seg, avg(CAST(treat AS DOUBLE)) AS rseg
+        |  FROM base WHERE y = 1 GROUP BY seg)
+        |SELECT b.seg, b.treat, count(*) AS n_rows,
+        |  round(2 * s.ez - 1, 6) AS cvt_score,
+        |  round(CASE WHEN b.treat = 1 THEN t.pt ELSE 1 - t.pt END, 6)
+        |    AS propensity_simple,
+        |  round(s.pseg, 6) AS propensity_model,
+        |  round(r.rseg, 6) AS retrospective_score
+        |FROM base b
+        |CROSS JOIN tot t
+        |JOIN segs s ON s.seg = b.seg
+        |JOIN retro r ON r.seg = b.seg
+        |GROUP BY b.seg, b.treat, s.ez, s.pseg, r.rseg, t.pt
+        |ORDER BY b.seg, b.treat""".stripMargin,
     "q88_kaplan_meier" ->
       // the textbook Kaplan-Meier product-limit estimator, replayed in
       // SQL: per-time death/total counts, at-risk by cumulative

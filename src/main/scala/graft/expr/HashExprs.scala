@@ -125,6 +125,72 @@ object HashOps {
     new GenericArrayData(mins)
   }
 
+  /** Fused tokenize → n-token shingle → DISTINCT xxhash64 array: the
+    * contamination scan's per-doc shingle keys without ever materializing
+    * the shingle strings. Tokenization and windowing are byte-identical to
+    * [[shingleMinHash]] (whitespace-run split, fewer-than-n tokens collapse
+    * to one all-tokens shingle, whitespace-only text hashes one empty
+    * shingle — mirroring the composed `shingles()` column's split("") ⇒
+    * [""] edge). Each window hashes the space-joined byte sequence with the
+    * default XXH64 seed, then distinct via sort+unique (no boxing). The
+    * composed explode(shingles)+xxhash64 path allocates ~3 objects per
+    * shingle; this allocates two arrays per row. Output order is sorted,
+    * which downstream set-membership joins don't observe. */
+  def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    var cap = 16
+    var starts = new Array[Int](cap); var ends = new Array[Int](cap)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        if (m == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(m) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(m) = i
+        m += 1
+      }
+    }
+    val sn = if (m < n) m else n
+    val nShingles = if (m < n) 1 else m - n + 1
+    val hs = new Array[Long](nShingles)
+    var buf = new Array[Byte](64)
+    var w = 0
+    while (w < nShingles) {
+      var blen = 0
+      var j = 0
+      while (j < sn) {
+        val tl = ends(w + j) - starts(w + j)
+        if (blen + tl + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, blen + tl + 1))
+        if (j > 0) { buf(blen) = ' '; blen += 1 }
+        System.arraycopy(bytes, starts(w + j), buf, blen, tl)
+        blen += tl
+        j += 1
+      }
+      hs(w) = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, blen, Seed)
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var uniq = 1
+    var r = 1
+    while (r < nShingles) {
+      if (hs(r) != hs(r - 1)) { hs(uniq) = hs(r); uniq += 1 }
+      r += 1
+    }
+    new GenericArrayData(
+      if (uniq == nShingles) hs else java.util.Arrays.copyOf(hs, uniq))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): rolling Karp-Rabin hashes of the character k-grams, then
     * the minimum hash of every window of w consecutive k-gram hashes
@@ -260,6 +326,27 @@ case class ShingleMinHash(child: Expression, shingleN: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Fused shingle-hash set of a (pre-normalized) string column. */
+case class ShingleHashes(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  require(shingleN > 0, "shingleN must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.shingleHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashOps.shingleHashes($c, $shingleN)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** One-pass winnowing fingerprints of a string column. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -290,6 +377,8 @@ object HashExprs {
   def shingleMinHash(normalizedText: Column, shingleN: Int, numHashes: Int): Column =
     ColumnBridge.column(ShingleMinHash(ColumnBridge.expression(normalizedText),
       shingleN, numHashes))
+  def shingleHashes(normalizedText: Column, shingleN: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(normalizedText), shingleN))
 
   private[expr] def requireStringArray(child: Expression, name: String): TypeCheckResult =
     child.dataType match {

@@ -388,13 +388,25 @@ object Dedup {
                     maxProbeShingles: Long = 8L << 20): DataFrame = {
     require(n > 0, "n must be positive")
     require(maxProbeShingles > 0, "maxProbeShingles must be positive")
-    val corpusK = corpus.filter(text.isNotNull && length(text) > 0)
-      .select(id.as("doc_id"), explode(TextOps.shingles(text, n)).as("g"))
-      .select(col("doc_id"),
-        (if (hashes) xxhash64(col("g")) else col("g")).as("k"))
-    val probeK = probe.filter(text.isNotNull && length(text) > 0)
-      .select(explode(TextOps.shingles(text, n)).as("g"))
-      .select((if (hashes) xxhash64(col("g")) else col("g")).as("k"))
+    // hashes=true: the fused byte kernel (HashOps.shingleHashes) emits each
+    // doc's DISTINCT shingle hashes directly — no shingle strings are ever
+    // materialized (the composed explode(shingles)+xxhash64 path allocates
+    // ~3 objects per shingle, which at corpus scale IS the runtime: 269 s →
+    // fused re-measure at 10M docs in probe.json). lower() upstream mirrors
+    // the normalization the composed shingles() column applies internally.
+    // The hash VALUES differ from xxhash64(shingle-string) — irrelevant, the
+    // join only needs corpus and probe to agree — while per-doc counts and
+    // membership match the string path exactly (collision odds ≈ pairs/2⁶⁴).
+    def keyed(df: DataFrame, cols: Column*): DataFrame =
+      if (hashes)
+        df.select(cols :+ explode(
+          graft.expr.HashExprs.shingleHashes(lower(text), n)).as("k"): _*)
+      else
+        df.select(cols :+ explode(TextOps.shingles(text, n)).as("g"): _*)
+          .withColumnRenamed("g", "k")
+    val nonEmpty = (df: DataFrame) => df.filter(text.isNotNull && length(text) > 0)
+    val corpusK = keyed(nonEmpty(corpus), id.as("doc_id"))
+    val probeK = keyed(nonEmpty(probe))
       .distinct()
       .withColumn("__hit", lit(1L))
     // Fail fast instead of a driver-side broadcast OOM: the broadcast

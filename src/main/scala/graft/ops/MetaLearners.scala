@@ -90,6 +90,62 @@ object MetaLearners {
     XLearnerModel(first, tau0, tau1)
   }
 
+  /** Class-variable-transformation estimator (spark_upliftml.py
+    * CVTEstimator:375-461; Jaskowski & Jaroszewicz 2012): for a binary
+    * outcome under a 50-50 RCT, Z = 1{T = Y} turns uplift into a
+    * classification target with τ(x) = 2·E[Z | X] − 1. The base model is
+    * the library's logistic IRLS (one aggregate pass per iteration); the
+    * score is a literal-coefficient sigmoid column. */
+  case class CvtModel(base: MlWrappers.LogisticFit) {
+    def effectColumn(xs: Seq[Column]): Column =
+      lit(2.0) * base.predictProba(xs) - lit(1.0)
+  }
+  def cvt(df: DataFrame, y: Column, t: Column, xs: Seq[Column],
+          maxIter: Int = 25): CvtModel =
+    CvtModel(MlWrappers.logisticIrls(df,
+      when(t.cast("double") === y.cast("double"), 1.0).otherwise(0.0),
+      xs, maxIter))
+
+  /** Propensity estimator (spark_upliftml.py PropensityEstimator:577-667):
+    * with no features, E[T] from the observed arm shares — the reference
+    * assigns the TREATED share to treated rows and the CONTROL share to
+    * control rows (predict:641-657), reproduced verbatim; with features, a
+    * logistic model of E[T | X]. One aggregate scan either way. */
+  case class PropensityModel(pTreated: Double,
+                             base: Option[MlWrappers.LogisticFit]) {
+    def propensityColumn(t: Column, xs: Seq[Column] = Nil): Column =
+      base match {
+        case Some(m) => m.predictProba(xs)
+        case None => when(t.cast("int") === 1, lit(pTreated))
+          .otherwise(lit(1.0 - pTreated))
+      }
+  }
+  def propensity(df: DataFrame, t: Column, xs: Seq[Column] = Nil,
+                 maxIter: Int = 25): PropensityModel =
+    if (xs.isEmpty) {
+      val row = df.agg(
+        avg((t.cast("int") === 1).cast("double")).as("p")).head()
+      require(!row.isNullAt(0),
+        "propensity: no rows with a non-null treatment indicator")
+      PropensityModel(row.getDouble(0), None)
+    } else PropensityModel(Double.NaN, Some(MlWrappers.logisticIrls(
+      df, (t.cast("int") === 1).cast("double"), xs, maxIter)))
+
+  /** Retrospective estimator (spark_upliftml.py
+    * RetrospectiveEstimator:667-741; Goldenberg et al. 2020): E[T | Y=1, X]
+    * — a logistic fit of the treatment indicator over the positive-outcome
+    * rows only, which under a 50-50 RCT ranks by the relative effect
+    * E[Y|T=1,X] / E[Y|T=0,X]. */
+  case class RetrospectiveModel(base: MlWrappers.LogisticFit) {
+    def scoreColumn(xs: Seq[Column]): Column = base.predictProba(xs)
+  }
+  def retrospective(df: DataFrame, y: Column, t: Column, xs: Seq[Column],
+                    positiveOutcome: Double = 1.0,
+                    maxIter: Int = 25): RetrospectiveModel =
+    RetrospectiveModel(MlWrappers.logisticIrls(
+      df.filter(y.cast("double") === positiveOutcome),
+      (t.cast("int") === 1).cast("double"), xs, maxIter))
+
   /** Transformed-outcome estimator (spark_upliftml.py
     * TransformedOutcomeEstimator; Athey & Imbens 2016): one regression of
     * Z = T·Y/p − (1−T)·Y/(1−p) on X, where E[Z | X] = τ(X) under a known

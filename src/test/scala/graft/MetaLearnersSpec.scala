@@ -49,4 +49,35 @@ class MetaLearnersSpec extends AnyFunSuite {
     for (x0 <- Seq(1.0, 7.0, 50.0))
       assert(approx(effAt(to.effectColumn(Seq($"x")), x0), 3.0 + x0, 1e-7))
   }
+
+  test("cvt, propensity, and retrospective estimators recover cell statistics") {
+    // exact-fraction cells: per (seg, arm) 10 rows with a planted y=1 count,
+    // so the saturated logistic's MLE equals the cell mean and every score
+    // below is a hand-computable fraction. 50-50 arms make the CVT score
+    // 2·E[1{T=Y}|seg]−1 equal the planted uplift exactly.
+    val rows = for {
+      seg <- 0 to 1; arm <- 0 to 1; i <- 0 until 10
+    } yield {
+      val k = (seg, arm) match {
+        case (0, 0) => 2; case (0, 1) => 5; case (1, 0) => 4; case _ => 9
+      }
+      (seg.toDouble, arm, if (i < k) 1.0 else 0.0)
+    }
+    val d2 = rows.toDF("seg", "t", "y").repartition(3)
+    val xs = Seq($"seg")
+    def at(c: org.apache.spark.sql.Column, s0: Double): Double =
+      d2.filter($"seg" === s0).limit(1).select(c.as("e")).head().getDouble(0)
+    val cm = MetaLearners.cvt(d2, $"y", $"t", xs)
+    assert(approx(at(cm.effectColumn(xs), 0.0), 0.3, 1e-6)) // 5/10 − 2/10
+    assert(approx(at(cm.effectColumn(xs), 1.0), 0.5, 1e-6)) // 9/10 − 4/10
+    val ps = MetaLearners.propensity(d2, $"t")
+    val v = d2.select($"t", ps.propensityColumn($"t").as("p")).distinct()
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(approx(v(1), 0.5) && approx(v(0), 0.5))
+    val pm = MetaLearners.propensity(d2, $"t", xs)
+    assert(approx(at(pm.propensityColumn($"t", xs), 0.0), 0.5, 1e-6))
+    val rm = MetaLearners.retrospective(d2, $"y", $"t", xs)
+    assert(approx(at(rm.scoreColumn(xs), 0.0), 5.0 / 7, 1e-6))
+    assert(approx(at(rm.scoreColumn(xs), 1.0), 9.0 / 13, 1e-6))
+  }
 }

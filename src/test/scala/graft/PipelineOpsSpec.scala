@@ -150,6 +150,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s == r)
   }
 
+  test("contamination: fused hash kernel matches string path on tokenizer edges") {
+    // every composed-path edge the byte kernel must mirror: multi-whitespace
+    // runs, tab/newline separators, leading/trailing whitespace, fewer
+    // tokens than n (one all-tokens shingle), repeated shingles (per-doc
+    // distinct), case normalization, and whitespace-only text (one empty
+    // shingle — split("") ⇒ [""])
+    val corpus = Seq(
+      (1L, "a  b\tc\nd e"),          // mixed separators, same tokens as probe
+      (2L, "  a b c d e  "),         // edge whitespace
+      (3L, "A B C D E"),             // case-folds onto the probe
+      (4L, "x y"),                   // < n tokens: one shingle "x y"
+      (5L, "a b c a b c a b c"),     // repeated shingles collapse per-doc
+      (6L, " \t\n ")                 // whitespace-only: one empty shingle
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, "a b c d e"), (101L, "x y")).toDF("doc_id", "text")
+    def run(h: Boolean) =
+      Dedup.contamination(corpus, probe, $"text", $"doc_id", n = 3, hashes = h)
+        .collect()
+        .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+        .toMap
+    val s = run(false)
+    assert(s(1L) == ((3L, 3L, 1.0)))
+    assert(s(2L) == ((3L, 3L, 1.0)))
+    assert(s(3L) == ((3L, 3L, 1.0)))
+    assert(s(4L) == ((1L, 1L, 1.0)))
+    assert(s(5L)._1 == 3L) // the 7 windows collapse to 3 distinct rotations
+    assert(s(6L) == ((1L, 0L, 0.0)))
+    assert(run(true) == s)
+  }
+
   test("contamination: probe broadcast guard trips above maxProbeShingles") {
     val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val probe = Seq((100L, "a b c d e f")).toDF("doc_id", "text") // 4 shingles
