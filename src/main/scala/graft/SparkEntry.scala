@@ -285,14 +285,16 @@ object SparkEntry {
     }),
     "q82_contamination" -> ((s, d) => {
       // decontamination scan: probe = every 20th doc (a planted "benchmark"
-      // that is also IN the corpus, so those docs score exactly 1.0). The
-      // oracled path joins raw shingle strings (hashes = false) so DuckDB
-      // can replicate without xxhash64; PipelineOpsSpec asserts the hash
-      // path returns the identical frame.
+      // that is also IN the corpus, so those docs score exactly 1.0). Runs
+      // the production fused-hash path (hashes = true): the oracle compares
+      // the final COUNT aggregates, which the 64-bit-hash join preserves
+      // exactly (collision odds ≈ pairs/2⁶⁴; PipelineOpsSpec asserts the
+      // hash and string paths return the identical frame), while DuckDB
+      // replays the same counts from the raw shingle strings.
       val docs = t(s, d, "documents")
       val probe = docs.filter(col("doc_id") % 20 === 0)
       graft.ops.Dedup.contamination(docs, probe, col("text"), col("doc_id"),
-          n = 5, hashes = false)
+          n = 5)
         .agg(
           count(lit(1)).as("n_docs"),
           count(when(col("contamination") === 1.0, 1)).as("n_full"),
@@ -300,6 +302,27 @@ object SparkEntry {
           sum(col("n_hit")).as("n_hits"),
           sum(col("n_shingles")).as("n_shingles"),
           round(avg(col("contamination")), 6).as("avg_contamination"))
+    }),
+    "q91_paragraph_dedup" -> ((s, d) => {
+      // boilerplate removal: plant paragraph structure — a global cookie
+      // banner + the doc's own body + a footer shared by the doc_id % 7
+      // cohort. maxDocFreq = 2 drops any paragraph seen in > 2 documents
+      // (banner and footers always; body lines only when the corpus itself
+      // contains > 2 copies), and reassembly keeps original order. The
+      // oracle replays doc-frequency over the NORMALIZED paragraph string —
+      // same equivalence classes as the fingerprint modulo 64-bit collisions.
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("accept all cookies"),
+          col("text"),
+          concat(lit("footer "), (col("doc_id") % 7).cast("string"))).as("text"))
+      graft.ops.Dedup.paragraphDedup(docs, col("doc_id"), col("text"),
+          maxDocFreq = 2)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_paras")).as("total_paras"),
+          sum(col("n_kept")).as("total_kept"),
+          sum(length(col("text"))).as("total_len"),
+          count(when(col("n_kept") === col("n_paras"), 1)).as("n_untouched"))
     }),
     "q81_sessionize" -> ((s, d) => {
       // batch gap-sessionization over events (4h gap): assign → stats →
@@ -1896,6 +1919,41 @@ object SparkEntry {
         |  CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
         |  round(avg(c), 6) AS avg_contamination
         |FROM f""".stripMargin,
+    "q91_paragraph_dedup" ->
+      // doc-frequency over the normalized paragraph string replays the
+      // fingerprint's equivalence classes; string_agg(ORDER BY pos)
+      // replays ordered reassembly
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    'accept all cookies' || chr(10) || text || chr(10) ||
+        |      'footer ' || CAST(doc_id % 7 AS VARCHAR) AS text
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
+        |    unnest(string_split(text, chr(10))) AS para
+        |  FROM docs),
+        |np AS (
+        |  SELECT doc_id, pos, para,
+        |    regexp_replace(lower(trim(para)), '\s+', ' ', 'g') AS norm
+        |  FROM paras),
+        |freq AS (SELECT norm, count(DISTINCT doc_id) AS df
+        |         FROM np GROUP BY norm),
+        |kept AS (SELECT p.* FROM np p JOIN freq f ON p.norm = f.norm
+        |         WHERE f.df <= 2),
+        |rebuilt AS (SELECT doc_id,
+        |    string_agg(para, chr(10) ORDER BY pos) AS text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |base AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_paras
+        |         FROM docs)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(b.n_paras) AS BIGINT) AS total_paras,
+        |  CAST(coalesce(sum(r.n_kept), 0) AS BIGINT) AS total_kept,
+        |  CAST(sum(length(coalesce(r.text, ''))) AS BIGINT) AS total_len,
+        |  count(CASE WHEN coalesce(r.n_kept, 0) = b.n_paras THEN 1 END)
+        |    AS n_untouched
+        |FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id""".stripMargin,
     "q81_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS tn, value FROM events

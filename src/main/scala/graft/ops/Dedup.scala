@@ -366,6 +366,60 @@ object Dedup {
     }
   }
 
+  /** Paragraph-level dedup (the RefinedWeb/CCNet boilerplate-removal step):
+    * drop every paragraph whose normalized content appears in MORE THAN
+    * `maxDocFreq` distinct documents (nav bars, cookie banners, shared
+    * footers), then reassemble each document from its surviving paragraphs
+    * in original order. Documents whose paragraphs are all boilerplate
+    * survive with empty text (no rows are silently dropped).
+    *
+    * 100 TB shape: document frequency per fingerprint is ONE exchange keyed
+    * by the fingerprint (the in-doc distinct and the count partial-aggregate
+    * on the same shuffle); the hot set that crosses `maxDocFreq` is by
+    * construction small (it IS the boilerplate inventory), so membership is
+    * a BROADCAST anti-join — corpus paragraphs never shuffle to check it.
+    * Reassembly is one exchange keyed by doc id. The broadcast is guarded by
+    * the caliper `maxCells` idiom: above `maxHotFingerprints` the error
+    * names `broadcastHot = false` (shuffled anti-join) as the escape hatch.
+    *
+    * Returns (doc_id, text, n_paras, n_kept). */
+  def paragraphDedup(df: DataFrame, id: Column, text: Column,
+                     maxDocFreq: Long = 1, sep: String = "\n",
+                     broadcastHot: Boolean = true,
+                     maxHotFingerprints: Long = 4L << 20): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    require(maxHotFingerprints > 0, "maxHotFingerprints must be positive")
+    val paras = df
+      .select(id.as("doc_id"), posexplode(split(text, sep)).as(Seq("pos", "para")))
+      .withColumn("fp", TextOps.contentFingerprint(col("para")))
+    val hot = paras.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("fp"))
+    val hotSide = if (broadcastHot) {
+      val h = hot.persist()
+      val nHot = h.count()
+      require(nHot <= maxHotFingerprints,
+        s"paragraphDedup found $nHot boilerplate fingerprints " +
+          s"(max $maxHotFingerprints for broadcast): pass broadcastHot=false " +
+          "for a shuffled anti-join, raise maxDocFreq, or raise " +
+          "maxHotFingerprints if the driver can hold it")
+      broadcast(h)
+    } else hot
+    val rebuilt = paras.join(hotSide, Seq("fp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para"))).as("text"),
+        count(lit(1)).as("n_kept"))
+    // every input document survives: boilerplate-only docs get empty text
+    df.select(id.as("doc_id"), size(split(text, sep)).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Benchmark-contamination scan — the decontamination step of a training
     * pipeline: for every corpus document, the fraction of its DISTINCT word
     * n-grams that appear anywhere in `probe` (the eval/benchmark set).

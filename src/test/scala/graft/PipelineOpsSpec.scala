@@ -121,6 +121,40 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
   private lazy val docsDf = docs.toDF("id", "text").repartition(4)
 
+  test("paragraphDedup drops cross-doc boilerplate, keeps order, keeps empty docs") {
+    val corpus = Seq(
+      (1L, "BANNER\nalpha body\nFooter A"),
+      (2L, "banner\nbeta body\nFooter A"),   // banner case-folds onto doc 1's
+      (3L, "BANNER \ngamma body\nFooter B"), // trailing space normalizes away
+      (4L, "BANNER")                          // boilerplate-only doc
+    ).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(corpus, $"doc_id", $"text", maxDocFreq = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    // BANNER is in 4 docs (> 2) → dropped; Footer A in 2 docs (<= 2) → kept
+    assert(r(1L) == (("alpha body\nFooter A", 3L, 2L)))
+    assert(r(2L) == (("beta body\nFooter A", 3L, 2L)))
+    assert(r(3L) == (("gamma body\nFooter B", 3L, 2L)))
+    assert(r(4L) == (("", 1L, 0L))) // survives with empty text
+    // guard trips when the hot set exceeds the broadcast cap
+    val e = intercept[IllegalArgumentException] {
+      Dedup.paragraphDedup(corpus, $"doc_id", $"text", maxDocFreq = 1,
+        maxHotFingerprints = 0L)
+    }
+    assert(e.getMessage.contains("positive"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.paragraphDedup(corpus, $"doc_id", $"text", maxDocFreq = 1,
+        maxHotFingerprints = 1L).collect()
+    }
+    assert(e2.getMessage.contains("broadcastHot=false"), e2.getMessage)
+    // shuffled anti-join escape hatch returns the same frame
+    val s = Dedup.paragraphDedup(corpus, $"doc_id", $"text", maxDocFreq = 2,
+      broadcastHot = false)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(s == r)
+  }
+
   test("contamination: planted overlap fractions, hash path matches string path") {
     // probe doc 100 is fully in the corpus; doc 2 shares a half; doc 3 none
     val corpus = Seq(
