@@ -303,6 +303,27 @@ object SparkEntry {
           sum(col("n_shingles")).as("n_shingles"),
           round(avg(col("contamination")), 6).as("avg_contamination"))
     }),
+    "q92_token_budget_mix" -> ((s, d) => {
+      // corpus-mixture construction: per-language char budgets, documents
+      // taken in md5(doc_id) order — a hash DuckDB computes bit-identically,
+      // so the oracle replays the exact sample. The budget-crossing doc is
+      // kept, budget-less languages (de, es) are dropped. The tiny result
+      // is persisted inside the callback (the operator unpersists its
+      // shuffled input when the callback returns).
+      val docs = t(s, d, "documents")
+      val budgets = Map("en" -> 10000L, "fr" -> 5000L, "zh" -> 3000L)
+      graft.ops.Mixing.tokenBudgetSample(docs, col("lang"), col("n_chars"),
+          md5(col("doc_id").cast("string")), budgets) { sampled =>
+        val r = sampled.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("kept_tokens"),
+            max(col("n_chars")).as("max_doc_tokens"))
+          .orderBy(col("lang"))
+        r.persist()
+        r.count()
+        r
+      }
+    }),
     "q91_paragraph_dedup" -> ((s, d) => {
       // boilerplate removal: plant paragraph structure — a global cookie
       // banner + the doc's own body + a footer shared by the doc_id % 7
@@ -1919,6 +1940,21 @@ object SparkEntry {
         |  CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
         |  round(avg(c), 6) AS avg_contamination
         |FROM f""".stripMargin,
+    "q92_token_budget_mix" ->
+      // same md5 order, same exclusive-prefix budget rule
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents WHERE lang IN ('en', 'fr', 'zh')),
+        |c AS (SELECT *, sum(n_chars) OVER (PARTITION BY lang ORDER BY ord
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM base)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_tokens,
+        |  CAST(max(n_chars) AS BIGINT) AS max_doc_tokens
+        |FROM c
+        |WHERE cum - n_chars < CASE lang WHEN 'en' THEN 10000
+        |                                WHEN 'fr' THEN 5000 ELSE 3000 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q91_paragraph_dedup" ->
       // doc-frequency over the normalized paragraph string replays the
       // fingerprint's equivalence classes; string_agg(ORDER BY pos)

@@ -121,6 +121,35 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
   private lazy val docsDf = docs.toDF("id", "text").repartition(4)
 
+  test("tokenBudgetSample: exclusive-prefix budget per stratum, crossing doc kept") {
+    import graft.ops.Mixing
+    // stratum A: ids 1..5 @ 10 tokens; stratum B: ids 6..8 @ 7 tokens;
+    // stratum C has no budget entry -> dropped entirely
+    val docs = ((1 to 5).map(i => (i.toLong, "A", 10L)) ++
+      (6 to 8).map(i => (i.toLong, "B", 7L)) ++
+      Seq((9L, "C", 100L))).toDF("id", "s", "tok").repartition(7)
+    def run(budgets: Map[String, Long]): Map[String, Seq[Long]] =
+      Mixing.tokenBudgetSample(docs, $"s", $"tok", $"id", budgets) { sampled =>
+        sampled.collect().map(r => r.getString(1) -> r.getLong(0))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq.sorted }
+      }
+    // A budget 25: exclusive prefixes 0,10,20,30,40 -> ids 1,2,3 (3 crosses)
+    // B budget 14: prefixes 0,7,14 -> ids 6,7
+    val r = run(Map("A" -> 25L, "B" -> 14L))
+    assert(r == Map("A" -> Seq(1L, 2L, 3L), "B" -> Seq(6L, 7L)))
+    // a budget smaller than the first doc still yields that doc
+    assert(run(Map("A" -> 1L)) == Map("A" -> Seq(1L)))
+    // budgets >= stratum total keep everything budgeted, still drop C
+    assert(run(Map("A" -> 1000L, "B" -> 1000L)) ==
+      Map("A" -> Seq(1L, 2L, 3L, 4L, 5L), "B" -> Seq(6L, 7L, 8L)))
+    // forcing many range partitions must not change the sample
+    val many = Mixing.tokenBudgetSample(docs, $"s", $"tok", $"id",
+      Map("A" -> 25L, "B" -> 14L), partitions = 13) { s2 =>
+      s2.collect().map(_.getLong(0)).toSeq.sorted
+    }
+    assert(many == Seq(1L, 2L, 3L, 6L, 7L))
+  }
+
   test("paragraphDedup drops cross-doc boilerplate, keeps order, keeps empty docs") {
     val corpus = Seq(
       (1L, "BANNER\nalpha body\nFooter A"),
