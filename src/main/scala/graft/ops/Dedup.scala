@@ -377,10 +377,13 @@ object Dedup {
     * by the fingerprint (the in-doc distinct and the count partial-aggregate
     * on the same shuffle); the hot set that crosses `maxDocFreq` is by
     * construction small (it IS the boilerplate inventory), so membership is
-    * a BROADCAST anti-join — corpus paragraphs never shuffle to check it.
-    * Reassembly is one exchange keyed by doc id. The broadcast is guarded by
-    * the caliper `maxCells` idiom: above `maxHotFingerprints` the error
-    * names `broadcastHot = false` (shuffled anti-join) as the escape hatch.
+    * a BROADCAST join — corpus paragraphs never shuffle to check it — and
+    * the hot FLAG rides the single doc-id reassembly exchange, where the
+    * in-array filter drops boilerplate after the order restore: no anti-join
+    * output, no second source scan, no final outer join to re-attach
+    * boilerplate-only documents. The broadcast is guarded by the caliper
+    * `maxCells` idiom: above `maxHotFingerprints` the error names
+    * `broadcastHot = false` (shuffled membership join) as the escape hatch.
     *
     * Returns (doc_id, text, n_paras, n_kept). */
   def paragraphDedup(df: DataFrame, id: Column, text: Column,
@@ -406,18 +409,20 @@ object Dedup {
           "maxHotFingerprints if the driver can hold it")
       broadcast(h)
     } else hot
-    val rebuilt = paras.join(hotSide, Seq("fp"), "left_anti")
+    // split() emits at least one element per document, so every input doc
+    // reaches the groupBy — boilerplate-only docs survive with empty text
+    paras.join(hotSide.withColumn("__hot", lit(true)), Seq("fp"), "left")
       .groupBy(col("doc_id"))
       .agg(
         concat_ws(sep, transform(
-          array_sort(collect_list(struct(col("pos"), col("para")))),
+          filter(
+            array_sort(collect_list(struct(col("pos"), col("para"),
+              coalesce(col("__hot"), lit(false)).as("hot")))),
+            s => !s.getField("hot")),
           s => s.getField("para"))).as("text"),
-        count(lit(1)).as("n_kept"))
-    // every input document survives: boilerplate-only docs get empty text
-    df.select(id.as("doc_id"), size(split(text, sep)).cast("long").as("n_paras"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
-        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        count(lit(1)).as("n_paras"),
+        count(when(col("__hot").isNull, 1)).as("n_kept"))
+      .select(col("doc_id"), col("text"), col("n_paras"), col("n_kept"))
   }
 
   /** Benchmark-contamination scan — the decontamination step of a training
