@@ -265,6 +265,52 @@ object ScaleProbe {
       assert(full >= contDocs / 333, s"only $full fully-contaminated docs")
     }
 
+    // paragraph dedup at corpus scale: 1M docs x 8 paragraphs, one global
+    // banner (in every doc) + per-cohort footers (1k docs each) — the hot
+    // set stays tiny while every doc loses paragraphs. The corpus-side
+    // work is the broadcast flag join + ONE doc-keyed exchange.
+    time(s"paragraph dedup ($docRows docs, 4 paras, planted boilerplate)") {
+      val pd = spark.range(docRows).select(col("id"),
+        concat_ws("\n",
+          lit("global banner"),
+          concat_ws(" ", words(col("id"), 61)),
+          concat(lit("footer "), (col("id") % (docRows / 1000)).cast("string")),
+          concat_ws(" ", words(col("id"), 62))).as("text"))
+      val r = graft.ops.Dedup.paragraphDedup(pd, col("id"), col("text"),
+        maxDocFreq = 2)
+      val agg = r.agg(sum(col("n_paras")).cast("long"),
+        sum(col("n_kept")).cast("long")).head()
+      // banner + footer dropped everywhere: exactly 2 of 4 paras survive
+      assert(agg.getLong(0) == 4 * docRows && agg.getLong(1) == 2 * docRows,
+        s"paras ${agg.getLong(0)} kept ${agg.getLong(1)}")
+    }
+
+    // token-budget mixing at full scale: 16 strata over 100M docs, each
+    // budgeted to ~1% of its token mass — the driver state is
+    // O(partitions x strata) cells and the sample is one exchange
+    time(s"token budget mix ($rows docs, 16 strata)") {
+      val md = spark.range(rows).select(col("id"),
+        concat(lit("s"), (col("id") % 16).cast("string")).as("strat"),
+        (pmod(xxhash64(col("id"), lit(71)), lit(900L)) + 100L).as("ntok"))
+      val budgets = (0 until 16).map(i => s"s$i" -> rows * 55L / 16 / 100).toMap
+      val kept = graft.ops.Mixing.tokenBudgetSample(md, col("strat"),
+        col("ntok"), xxhash64(col("id"), lit(72)), budgets) { s2 => s2.count() }
+      // ~550-token docs against a 0.55%-of-rows x 100-token budget → ~0.1%
+      assert(kept > rows / 2000 && kept < rows / 500, s"kept $kept")
+    }
+
+    // meta-learner uplift at full scale: the T-learner's two arm fits are
+    // ONE indicator-weighted multi-OLS scan. t = id%2 is independent of the
+    // planted outcome, so the recovered effect must be ~0 — a correctness
+    // pin on the fused per-arm normal equations at 1e8 rows
+    time(s"t_learner fused arm fits ($rows rows)") {
+      val tm = graft.ops.MetaLearners.tLearner(df, col("y"), col("t"),
+        Seq(col("x1"), col("x2")))
+      val eff = tm.effectColumn(Seq(col("x1"), col("x2")))
+      val r = df.limit(1).select(eff).head().getDouble(0)
+      assert(math.abs(r) < 0.1, s"null effect drifted: $r")
+    }
+
     // as-of join under adversarial key skew: ONE key owns half of both
     // sides. The carry window is order-dependent, so AQE's skew split
     // cannot break it up (splitting a key's rows would sever the
