@@ -18,6 +18,16 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize the events `ts` column to long epoch nanos under EITHER
+    * parquet read: LongType nanos (legacy nanosAsLong flag, pre-round-9
+    * testdata) passes through; native timestamp[us] (current testdata)
+    * converts via unix_micros·1000, which stays exact in long. DuckDB's
+    * epoch_ns(ts) mirrors both. */
+  private def tsNanos(ev: DataFrame): DataFrame =
+    if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType) ev
+    else ev.withColumn("ts",
+      unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+
   /** Shared planted-heterogeneous-effect fixture for the causal tree/forest
     * oracles: deterministic treatment, segment h = 1{l_quantity > 25}, true
     * CATE τ = 2 + 8·h, outcome noise = hash-uniform in ±0.4995. */
@@ -244,8 +254,11 @@ object SparkEntry {
     "q84_asof_join" -> ((s, d) => {
       // as-of attribution: each purchase gets the user's latest prior click
       // (one union-tag shuffle + window carry — no inequality join). ts is
-      // epoch nanos under the driver's read; DuckDB mirrors with epoch_ns.
-      val ev = t(s, d, "events")
+      // normalized to long epoch NANOS whichever way the parquet reads
+      // (LongType nanos under the legacy flag, timestamp[us] natively —
+      // unix_micros*1000 stays exact in long); DuckDB mirrors with
+      // epoch_ns(ts) either way.
+      val ev = tsNanos(t(s, d, "events"))
       val p = ev.filter(col("event_type") === "purchase")
       val c = ev.filter(col("event_type") === "click")
         .select("user_id", "ts", "value", "event_id")
@@ -347,9 +360,9 @@ object SparkEntry {
     }),
     "q81_sessionize" -> ((s, d) => {
       // batch gap-sessionization over events (4h gap): assign → stats →
-      // global summary. ts is epoch NANOS under the driver's
-      // nanosAsLong read; DuckDB mirrors with epoch_ns(ts).
-      val ev = t(s, d, "events")
+      // global summary. ts normalized to long epoch NANOS (see q84);
+      // DuckDB mirrors with epoch_ns(ts).
+      val ev = tsNanos(t(s, d, "events"))
       val assigned = graft.ops.Sessions.assign(ev, col("user_id"), col("ts"),
         gapSeconds = 14400)
       graft.ops.Sessions.stats(assigned, col("user_id"), col("ts"), col("value"))
