@@ -1257,16 +1257,19 @@ object SparkEntry {
       // saturated-logistic MLE IS the cell mean; IRLS tol 1e-8 ≪ the 1e-6
       // rounding). Scores are constant per cell, so the per-cell avg is the
       // score itself.
+      // cached: three IRLS fits iterate over this 3-column frame ~10 times
+      // each — without the cache every iteration re-scans the parquet
       val li = t(s, d, "lineitem").select(
         (col("l_quantity") > 25).cast("int").as("seg"),
         (col("l_orderkey") % 2).cast("int").as("treat"),
         (col("l_extendedprice") > 30000.0).cast("int").as("y"))
+        .persist()
       val xs = Seq(col("seg"))
       val cm = graft.ops.MetaLearners.cvt(li, col("y"), col("treat"), xs)
       val pSimple = graft.ops.MetaLearners.propensity(li, col("treat"))
       val pModel = graft.ops.MetaLearners.propensity(li, col("treat"), xs)
       val rm = graft.ops.MetaLearners.retrospective(li, col("y"), col("treat"), xs)
-      li.select(col("seg"), col("treat"),
+      val res = li.select(col("seg"), col("treat"),
           cm.effectColumn(xs).as("cvt"),
           pSimple.propensityColumn(col("treat")).as("ps"),
           pModel.propensityColumn(col("treat"), xs).as("pm"),
@@ -1278,6 +1281,10 @@ object SparkEntry {
           round(avg(col("pm")), 6).as("propensity_model"),
           round(avg(col("retro")), 6).as("retrospective_score"))
         .orderBy(col("seg"), col("treat"))
+      res.persist()
+      res.count()
+      li.unpersist()
+      res
     }),
     "q88_kaplan_meier" -> ((s, d) => {
       // Kaplan-Meier with censoring over a data-derived cohort: time =
