@@ -182,6 +182,19 @@ object GraftSql {
       functions.ols(toCol(a.head), a.tail.map(toCol), useBias = false) }
     fn("wls") { a =>
       functions.wls(toCol(a(0)), a.drop(2).map(toCol), toCol(a(1))) }
+    // ols_train/wls_train (reference model-returning aggregates, JSON state
+    // in aggregate_resolver_all_in_sql.cpp): here the model VALUE is the
+    // coefficient array with the intercept LAST — exactly the layout
+    // eval_ml_method(coefficients, x...) consumes, so SQL-only train→eval
+    // composes via a scalar subquery:
+    //   SELECT eval_ml_method((SELECT ols_train(y, x1, x2) FROM t), x1, x2)
+    //   FROM t
+    // (dotCoef evaluates the array at runtime; no literal required).
+    fn("ols_train") { a =>
+      functions.ols(toCol(a.head), a.tail.map(toCol)).getField("coefficients") }
+    fn("wls_train") { a =>
+      functions.wls(toCol(a(0)), a.drop(2).map(toCol), toCol(a(1)))
+        .getField("coefficients") }
     // matrix_multiplication(invert, x...)
     fn("matrix_multiplication") { a =>
       functions.matrix_multiplication(a.tail.map(toCol), boolArg(a.head, "invert")) }

@@ -1202,6 +1202,21 @@ object SparkEntry {
           round(avg(col("eff")), 0).as("recovered_effect"))
         .orderBy(col("segment"))
     }),
+    "q93_sql_train_eval" -> ((s, d) => {
+      // the reference's ols_train → eval_ml_method model-in-SQL flow with
+      // no Scala in the loop: a scalar subquery trains the model value
+      // (coefficient array, intercept last) and eval_ml_method applies it
+      // per row. One feature keeps the DuckDB mirror closed-form
+      // (regr_slope/regr_intercept).
+      GraftSql.register(s)
+      t(s, d, "lineitem").createOrReplaceTempView("li_train_eval")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n_rows,
+          |  round(avg(eval_ml_method(
+          |    (SELECT ols_train(l_extendedprice, l_quantity) FROM li_train_eval),
+          |    l_quantity)), 2) AS avg_pred
+          |FROM li_train_eval GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
     "q87_eval_forest_sql" -> ((s, d) => {
       // eval_ml_method's stored-model dispatch end-to-end (the reference
       // routes on model type to ols | causal_forest,
@@ -1425,6 +1440,16 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS se_positive
         |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
         |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q93_sql_train_eval" ->
+      // the one-feature OLS is closed-form in DuckDB: slope/intercept from
+      // the regression aggregates, prediction = b0 + b1·x
+      """WITH m AS (SELECT regr_slope(l_extendedprice, l_quantity) AS b1,
+        |                  regr_intercept(l_extendedprice, l_quantity) AS b0
+        |           FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  round(avg(m.b0 + m.b1 * l_quantity), 2) AS avg_pred
+        |FROM lineitem CROSS JOIN m
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q87_eval_forest_sql" ->
       // the stored forest scored by path through SQL recovers the same
       // planted per-segment τ as q41/q42's in-process scoring

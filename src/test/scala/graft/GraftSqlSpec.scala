@@ -259,6 +259,27 @@ class GraftSqlSpec extends AnyFunSuite {
       1.0 / (1.0 + math.exp(-r.getDouble(1))), 1e-9)))
   }
 
+  test("ols_train/wls_train compose with eval_ml_method in pure SQL") {
+    setup
+    val d = spark.table("exp_data")
+    val m = graft.ops.Regression.fitOls(d, $"y", Seq($"x", $"t"))
+    // one statement: train in a scalar subquery, eval per row
+    val preds = spark.sql(
+      """SELECT eval_ml_method((SELECT ols_train(y, x, t) FROM exp_data),
+        |  x, t) AS yhat, x, t FROM exp_data""".stripMargin)
+      .limit(5).collect()
+    preds.foreach { r =>
+      val expect = m.coefficients(0) * r.getDouble(1) +
+        m.coefficients(1) * r.getInt(2) + m.coefficients(2)
+      assert(approx(r.getDouble(0), expect, 1e-9))
+    }
+    // wls_train with unit weights is the same fit
+    val w = spark.sql(
+      "SELECT wls_train(y, 1.0, x, t) AS c FROM exp_data").head()
+      .getSeq[Double](0)
+    m.coefficients.zip(w).foreach { case (a, b) => assert(approx(a, b, 1e-9)) }
+  }
+
   test("eval_ml_method dispatches a stored model path: ols and forest") {
     setup
     val d = spark.table("exp_data")
