@@ -44,6 +44,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT quantile_test_bucket(y, t, bucket, p1[, p2...]) FROM <any>
   * SELECT mann_whitney_utest(y, t[, alt])    FROM <any>
   * SELECT kolmogorov_smirnov_test(y, t[, alt[, method]]) FROM <any>
+  * SELECT causal_forest(y, t, x...[, trees, depth, min_node]) FROM <any>
+  * SELECT causal_tree(y, t, x...[, depth, min_node])          FROM <any>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -174,7 +176,7 @@ object GraftGateway {
     "smd", "linear_dml", "iv_regression", "cut_bins", "group_set",
     "boot_strap", "permutation", "did", "nonparam_dml",
     "quantile_test_bucket", "mann_whitney_utest", "mann_whitney_u_test",
-    "kolmogorov_smirnov_test")
+    "kolmogorov_smirnov_test", "causal_forest", "causal_tree")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -289,6 +291,37 @@ object GraftGateway {
         require(a.length >= 4, "quantile_test_bucket(y, t, bucket, p1[, p2...])")
         QuantileTest.quantileTestWithBuckets(df, c(a(0)), c(a(1)), c(a(2)),
           a.drop(3).map(num))
+      case "causal_forest" =>
+        // the reference trains forests through gateway-orchestrated loops
+        // over the causal_forest aggregate state (query lifecycle entry C);
+        // here the verb IS that loop. Trailing NUMERIC LITERALS are options
+        // in (num_trees, max_depth, min_node_size) order; every non-literal
+        // arg after y and t is a feature column. Returns the reference's
+        // variable-importance summary, one row per feature.
+        require(a.length >= 3, "causal_forest(y, t, x...[, num_trees, max_depth, min_node_size])")
+        val (featA, optA) = a.drop(2).span(!_.isInstanceOf[Literal])
+        require(featA.nonEmpty,
+          "causal_forest needs at least one feature column before the numeric options")
+        val opts = optA.map(num)
+        val m = CausalForest.fit(df, c(a(0)), c(a(1)),
+          featA.map(e => name(e) -> c(e)),
+          numTrees = opts.headOption.fold(20)(_.toInt),
+          maxDepth = opts.lift(1).fold(4)(_.toInt),
+          minNodeSize = opts.lift(2).fold(50L)(_.toLong))
+        featA.map(name).zip(m.variableImportance).toSeq.toDF("term", "importance")
+      case "causal_tree" =>
+        // same option convention; returns the per-leaf hypothesis-test
+        // table (leaf, n, effect, stderr, t, p, path)
+        require(a.length >= 3, "causal_tree(y, t, x...[, max_depth, min_node_size])")
+        val (featA, optA) = a.drop(2).span(!_.isInstanceOf[Literal])
+        require(featA.nonEmpty,
+          "causal_tree needs at least one feature column before the numeric options")
+        val opts = optA.map(num)
+        CausalTree.fit(df, c(a(0)), c(a(1)),
+          featA.map(e => name(e) -> c(e)),
+          maxDepth = opts.headOption.fold(4)(_.toInt),
+          minNodeSize = opts.lift(1).fold(100L)(_.toLong))
+          .leafTests(spark)
       case other => throw new IllegalArgumentException(s"unknown verb $other")
     }
   }

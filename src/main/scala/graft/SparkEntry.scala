@@ -1202,6 +1202,18 @@ object SparkEntry {
           round(avg(col("eff")), 0).as("recovered_effect"))
         .orderBy(col("segment"))
     }),
+    "q94_forest_verb" -> ((s, d) => {
+      // the causal_forest gateway verb end-to-end: train through SQL, get
+      // the variable-importance summary. On the planted fixture the effect
+      // is a pure function of h, so h's importance rounds to 1 and the
+      // noise feature's to 0 (q41 recovery idiom).
+      plantedEffect(t(s, d, "lineitem"))
+        .createOrReplaceTempView("li_forest_verb")
+      GraftGateway.sql(s,
+        "SELECT causal_forest(y, treat, h, l_discount, 8, 3, 100) FROM li_forest_verb")
+        .select(col("term"), round(col("importance"), 0).as("importance"))
+        .orderBy(col("term"))
+    }),
     "q93_sql_train_eval" -> ((s, d) => {
       // the reference's ols_train → eval_ml_method model-in-SQL flow with
       // no Scala in the loop: a scalar subquery trains the model value
@@ -1440,6 +1452,13 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS se_positive
         |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
         |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q94_forest_verb" ->
+      // the planted effect is a pure function of h: all split improvement
+      // lands on h, so the normalized importances round to (1, 0)
+      """SELECT 'h' AS term, CAST(1 AS DOUBLE) AS importance
+        |UNION ALL
+        |SELECT 'l_discount' AS term, CAST(0 AS DOUBLE) AS importance
+        |ORDER BY term""".stripMargin,
     "q93_sql_train_eval" ->
       // the one-feature OLS is closed-form in DuckDB: slope/intercept from
       // the regression aggregates, prediction = b0 + b1·x

@@ -21,6 +21,22 @@ class CausalTreeSpec extends AnyFunSuite {
   }
   private lazy val df = spark.createDataFrame(rows).toDF("y", "t", "x1", "x2").repartition(6)
 
+  test("causal_forest / causal_tree gateway verbs return the summary tables") {
+    df.createOrReplaceTempView("ct_gateway_in")
+    val imp = graft.GraftGateway.sql(spark,
+      "SELECT causal_forest(y, t, x1, x2, 8, 3, 200) FROM ct_gateway_in")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(imp.keySet == Set("x1", "x2"))
+    assert(imp("x1") > 0.8, s"x1 importance ${imp("x1")}") // effect splits on x1
+    assert(math.abs(imp.values.sum - 1.0) < 1e-9)
+    val leaves = graft.GraftGateway.sql(spark,
+      "SELECT causal_tree(y, t, x1, x2, 2, 200) FROM ct_gateway_in")
+      .collect()
+    assert(leaves.nonEmpty && leaves.forall(_.length == 7))
+    // the planted +2 region must surface as a significant leaf
+    assert(leaves.exists(r => r.getDouble(2) > 1.5 && r.getDouble(5) < 0.01))
+  }
+
   test("causal tree splits on the heterogeneity feature near 0 and recovers both effects") {
     val m = CausalTree.fit(df, $"y", $"t", Seq("x1" -> $"x1", "x2" -> $"x2"),
       maxDepth = 2, minNodeSize = 200, bins = 32)
