@@ -182,6 +182,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) ->
         (x.getString(1), x.getLong(2), x.getLong(3))).toMap
     assert(s == r)
+    // layout invariance: any input partitioning yields the identical frame
+    val p7 = Dedup.paragraphDedup(corpus.repartition(7), $"doc_id", $"text",
+      maxDocFreq = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(p7 == r)
   }
 
   test("contamination: planted overlap fractions, hash path matches string path") {
