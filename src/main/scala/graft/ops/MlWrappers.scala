@@ -124,25 +124,38 @@ object MlWrappers {
     var converged = false
     var it = 0
     var lastModel: OlsModel = null
-    val yd = y.cast("double")
-    while (it < maxIter && !converged) {
-      val withBeta = df.crossJoin(broadcast(Seq(Tuple1(beta.toSeq)).toDF("__beta")))
-      val b = col("__beta")
-      val eta = xs.zipWithIndex.map { case (x, i) =>
-        x.cast("double") * element_at(b, i + 1)
-      }.reduce(_ + _) + element_at(b, k + 1)
-      val p0 = lit(1.0) / (lit(1.0) + exp(-eta))
-      // clamp away from 0/1 so weights stay positive-definite
-      val p = least(greatest(p0, lit(1e-10)), lit(1.0 - 1e-10))
-      val w = p * (lit(1.0) - p)
-      val z = eta + (yd - p) / w
-      val m = Regression.fitOls(withBeta, z, xs, useBias = true, weight = w)
-      lastModel = m
-      val next = m.summary.coefficients // xs ++ bias
-      val delta = next.zip(beta).map { case (a, b) => math.abs(a - b) }.max
-      beta = next
-      converged = delta < tol
-      it += 1
+    // every iteration is one aggregate scan over the SAME (y, x...) slice;
+    // without the cache each of the ~10-20 iterations re-reads and
+    // re-projects the source (at sf0.1 that is the whole q34 runtime).
+    // MEMORY_AND_DISK by default, released before returning.
+    val slim = df.select(y.cast("double").as("__y") +:
+      xs.zipWithIndex.map { case (x, i) => x.cast("double").as(s"__x$i") }: _*)
+      .persist()
+    try {
+      val yd = col("__y")
+      val xsS = (0 until k).map(i => col(s"__x$i"))
+      while (it < maxIter && !converged) {
+        val withBeta = slim.crossJoin(broadcast(Seq(Tuple1(beta.toSeq)).toDF("__beta")))
+        val b = col("__beta")
+        val eta = xsS.zipWithIndex.map { case (x, i) =>
+          x * element_at(b, i + 1)
+        }.reduce(_ + _) + element_at(b, k + 1)
+        val p0 = lit(1.0) / (lit(1.0) + exp(-eta))
+        // clamp away from 0/1 so weights stay positive-definite
+        val p = least(greatest(p0, lit(1e-10)), lit(1.0 - 1e-10))
+        val w = p * (lit(1.0) - p)
+        val z = eta + (yd - p) / w
+        val m = Regression.fitOls(withBeta, z, xsS, useBias = true, weight = w)
+        lastModel = m
+        val next = m.summary.coefficients // xs ++ bias
+        val delta = next.zip(beta).map { case (a, b) => math.abs(a - b) }.max
+        beta = next
+        converged = delta < tol
+        it += 1
+      }
+    } finally {
+      slim.unpersist()
+      ()
     }
     // cov(β) = (XᵀWX)⁻¹ at the final weights (GLM dispersion 1); the
     // weighted OlsBuf accumulates exactly XᵀWX, so its inverse is already
