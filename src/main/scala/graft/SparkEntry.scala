@@ -1202,6 +1202,22 @@ object SparkEntry {
           round(avg(col("eff")), 0).as("recovered_effect"))
         .orderBy(col("segment"))
     }),
+    "q96_quality_filter" -> ((s, d) => {
+      // the Gopher hard filter as a loss report: per-rule drop counts.
+      // Token and mean-word-length bounds bind on this corpus (10..99
+      // tokens, mwl 3.7..5.3); the repetition/stopword caps are set
+      // permissive so the oracle needs only SQL-replicable signals.
+      val r = graft.ops.TextOps.gopherFilter(col("text"),
+        graft.ops.TextOps.GopherRules(minTokens = 30, maxTokens = 80,
+          minMeanWordLen = 4.0, maxMeanWordLen = 5.0,
+          maxDupLineRatio = 1.0, maxTopBigramShare = 1.0,
+          minStopwordRatio = 0.0))
+      t(s, d, "documents").select(r.as("r"))
+        .groupBy(col("r.keep").as("keep"),
+          coalesce(col("r.reason"), lit("kept")).as("reason"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("keep"), col("reason"))
+    }),
     "q94_forest_verb" -> ((s, d) => {
       // the causal_forest gateway verb end-to-end: train through SQL, get
       // the variable-importance summary. On the planted fixture the effect
@@ -1452,6 +1468,21 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS se_positive
         |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
         |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q96_quality_filter" ->
+      // same rule order, same signals: whitespace token count and
+      // non-space chars per token
+      """WITH s AS (SELECT len(string_split(trim(text), ' ')) AS n,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |    greatest(len(string_split(trim(text), ' ')), 1) AS mwl
+        |  FROM documents),
+        |r AS (SELECT CASE
+        |    WHEN n < 30 THEN 'too_few_tokens'
+        |    WHEN n > 80 THEN 'too_many_tokens'
+        |    WHEN mwl < 4.0 THEN 'mean_word_len_low'
+        |    WHEN mwl > 5.0 THEN 'mean_word_len_high' END AS reason FROM s)
+        |SELECT reason IS NULL AS keep, coalesce(reason, 'kept') AS reason,
+        |  count(*) AS n_docs
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q94_forest_verb" ->
       // the planted effect is a pure function of h: all split improvement
       // lands on h, so the normalized importances round to (1, 0)

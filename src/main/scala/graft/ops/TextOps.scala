@@ -99,6 +99,41 @@ object TextOps {
 
   // ---------------------------------------------------------------- repetition
 
+  /** Gopher-style hard quality gates (Rae et al. 2021, appendix A1
+    * subset): token-count bounds, mean-word-length bounds, duplicate-line
+    * and top-bigram repetition caps, minimum stopword share. Unlike
+    * [[qualityScore]]'s soft multiplicative score, this is the FILTER a
+    * pipeline actually applies: keep/drop plus the FIRST failing rule by
+    * name, so drop reasons aggregate into a per-rule loss report. */
+  case class GopherRules(minTokens: Long = 50, maxTokens: Long = 100000,
+                         minMeanWordLen: Double = 3.0,
+                         maxMeanWordLen: Double = 10.0,
+                         maxDupLineRatio: Double = 0.3,
+                         maxTopBigramShare: Double = 0.2,
+                         minStopwordRatio: Double = 0.0)
+
+  /** struct(keep boolean, reason string-or-null) as a pure column
+    * expression — zero shuffle, evaluates in the scan's codegen stage.
+    * Rules check in declaration order; `reason` is the first failure. */
+  def gopherFilter(text: Column,
+                   rules: GopherRules = GopherRules()): Column = {
+    val n = wsTokenCount(text)
+    val meanWordLen = length(regexp_replace(text, "\\s", "")).cast("double") /
+      greatest(n, lit(1)).cast("double")
+    val checks: Seq[(String, Column)] = Seq(
+      "too_few_tokens" -> (n >= rules.minTokens),
+      "too_many_tokens" -> (n <= rules.maxTokens),
+      "mean_word_len_low" -> (meanWordLen >= rules.minMeanWordLen),
+      "mean_word_len_high" -> (meanWordLen <= rules.maxMeanWordLen),
+      "dup_lines" -> (dupLineRatio(text) <= rules.maxDupLineRatio),
+      "top_bigram_share" -> (topNgramShare(text, 2) <= rules.maxTopBigramShare),
+      "few_stopwords" -> (stopwordRatio(text) >= rules.minStopwordRatio))
+    val reason = checks.foldRight(lit(null).cast("string")) {
+      case ((nm, ok), acc) => when(!ok, lit(nm)).otherwise(acc)
+    }
+    struct(reason.isNull.as("keep"), reason.as("reason"))
+  }
+
   /** Share of tokens that are repeats of an earlier token:
     * 1 − distinct/total. 0 = all unique, →1 = one token repeated. */
   def dupTokenRatio(text: Column): Column = {

@@ -5,6 +5,33 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextPiiSpec extends AnyFunSuite {
+  test("gopherFilter names the first failing rule, keeps clean docs") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.ops.TextOps
+    val rules = TextOps.GopherRules(minTokens = 3, maxTokens = 6,
+      minMeanWordLen = 2.0, maxMeanWordLen = 6.0,
+      maxDupLineRatio = 0.4, maxTopBigramShare = 0.9,
+      minStopwordRatio = 0.0)
+    val docs = Seq(
+      1L -> "the quick brown fox jumps",            // clean -> kept
+      2L -> "hi yo",                                // 2 tokens -> too_few
+      3L -> "a b c d e f g",                        // 7 tokens -> too_many
+      4L -> "a b c",                                // mwl 1.0 -> word_len_low
+      5L -> "elephantine gargantuan stupendous",    // mwl > 6 -> word_len_high
+      6L -> "one two three\nx\nx\nx"                // dup lines -> dup_lines
+    ).toDF("id", "text")
+    val r = docs.select($"id", TextOps.gopherFilter($"text", rules).as("r"))
+      .select($"id", $"r.keep", $"r.reason").collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(1), Option(x.getString(2)))).toMap
+    assert(r(1L) == ((true, None)))
+    assert(r(2L) == ((false, Some("too_few_tokens"))))
+    assert(r(3L) == ((false, Some("too_many_tokens"))))
+    assert(r(4L) == ((false, Some("mean_word_len_low"))))
+    assert(r(5L) == ((false, Some("mean_word_len_high"))))
+    assert(r(6L) == ((false, Some("dup_lines"))))
+  }
+
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
