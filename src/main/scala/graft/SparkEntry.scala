@@ -1202,7 +1202,7 @@ object SparkEntry {
           round(avg(col("eff")), 0).as("recovered_effect"))
         .orderBy(col("segment"))
     }),
-    "q96_quality_filter" -> ((s, d) => {
+    "q95_quality_filter" -> ((s, d) => {
       // the Gopher hard filter as a loss report: per-rule drop counts.
       // Token and mean-word-length bounds bind on this corpus (10..99
       // tokens, mwl 3.7..5.3); the repetition/stopword caps are set
@@ -1468,7 +1468,7 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS se_positive
         |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
         |GROUP BY segment ORDER BY segment""".stripMargin,
-    "q96_quality_filter" ->
+    "q95_quality_filter" ->
       // same rule order, same signals: whitespace token count and
       // non-space chars per token
       """WITH s AS (SELECT len(string_split(trim(text), ' ')) AS n,
