@@ -146,6 +146,20 @@ object MetaLearners {
       df.filter(y.cast("double") === positiveOutcome),
       (t.cast("int") === 1).cast("double"), xs, maxIter))
 
+  /** R-learner (Nie & Wager 2021; the upliftml family's fifth meta-learner
+    * and the reference R-learner analogue): residualize Y and T on X with
+    * cross-fitted nuisance models, then regress ỹ on t̃ — which is exactly
+    * [[Dml.nonParamDml]]'s objective, so this is that estimator under its
+    * meta-learner name. `effectColumn` is the constant ATE (the
+    * non-heterogeneous final stage); pass heterogeneous features through
+    * [[Dml.linearDml]] directly for τ(x). */
+  case class RLearnerModel(dml: Dml.DmlModel) {
+    def effectColumn: Column = lit(dml.ate)
+  }
+  def rLearner(df: DataFrame, y: Column, t: Column, xs: Seq[Column],
+               cv: Int = 2): RLearnerModel =
+    RLearnerModel(Dml.nonParamDml(df, y, t, xs, cv))
+
   /** Transformed-outcome estimator (spark_upliftml.py
     * TransformedOutcomeEstimator; Athey & Imbens 2016): one regression of
     * Z = T·Y/p − (1−T)·Y/(1−p) on X, where E[Z | X] = τ(X) under a known

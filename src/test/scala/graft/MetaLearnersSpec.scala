@@ -50,6 +50,16 @@ class MetaLearnersSpec extends AnyFunSuite {
       assert(approx(effAt(to.effectColumn(Seq($"x")), x0), 3.0 + x0, 1e-7))
   }
 
+  test("r-learner is nonParamDml under its meta-learner name") {
+    val r = MetaLearners.rLearner(df, $"y", $"t", Seq($"x"))
+    val d = graft.ops.Dml.nonParamDml(df, $"y", $"t", Seq($"x"))
+    assert(r.dml.ate == d.ate && r.dml.ateStderr == d.ateStderr)
+    // the constant final stage is a t̃²-weighted average of τ(x) = 3 + x —
+    // not the plain mean — so pin only the in-range sanity band
+    assert(r.dml.ate > 4.0 && r.dml.ate < 53.0, s"ate ${r.dml.ate}")
+    assert(effAt(r.effectColumn, 7.0) == r.dml.ate)
+  }
+
   test("cvt, propensity, and retrospective estimators recover cell statistics") {
     // exact-fraction cells: per (seg, arm) 10 rows with a planted y=1 count,
     // so the saturated logistic's MLE equals the cell mean and every score
