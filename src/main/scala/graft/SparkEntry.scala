@@ -1202,6 +1202,13 @@ object SparkEntry {
           round(avg(col("eff")), 0).as("recovered_effect"))
         .orderBy(col("segment"))
     }),
+    "q96_vocabulary" -> ((s, d) => {
+      // tokenizer-vocab primitive: top-20 corpus tokens, (count desc,
+      // token) total order so the limit is deterministic on both engines
+      graft.ops.TextOps.vocabulary(t(s, d, "documents"), col("text"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
     "q95_quality_filter" -> ((s, d) => {
       // the Gopher hard filter as a loss report: per-rule drop counts.
       // Token and mean-word-length bounds bind on this corpus (10..99
@@ -1468,6 +1475,12 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS se_positive
         |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
         |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q96_vocabulary" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "q95_quality_filter" ->
       // same rule order, same signals: whitespace token count and
       // non-space chars per token

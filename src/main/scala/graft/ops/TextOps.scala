@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -98,6 +98,18 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------- repetition
+
+  /** Corpus vocabulary: token → occurrence count over lowercased
+    * whitespace tokens (the tokenizer-training / vocab-coverage primitive).
+    * ONE exchange keyed by token with map-side partial aggregation, so
+    * Zipf-head tokens arrive at their reducer as one row per upstream
+    * partition, not one per occurrence — no salting needed at any corpus
+    * size. */
+  def vocabulary(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(lower(text), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
 
   /** Gopher-style hard quality gates (Rae et al. 2021, appendix A1
     * subset): token-count bounds, mean-word-length bounds, duplicate-line
