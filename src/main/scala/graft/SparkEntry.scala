@@ -1202,6 +1202,73 @@ object SparkEntry {
           round(avg(col("eff")), 0).as("recovered_effect"))
         .orderBy(col("segment"))
     }),
+    "q97_uplift_eval" -> ((s, d) => {
+      // population ATE / ROI / iROI point estimates (spark_evaluation.py's
+      // estimate_ate / estimate_roi / estimate_iroi, bootstrap off) on a
+      // deterministic lineitem fixture — every metric a DuckDB closed form.
+      // benefit/cost differ by arm so incremental cost is large and the
+      // iROI ratio is rounding-stable.
+      val tr = (col("l_orderkey") % 2).cast("int")
+      val li = t(s, d, "lineitem").select(tr.as("tr"),
+          col("l_quantity").cast("double").as("y"),
+          (col("l_extendedprice") / 1000.0 *
+            (lit(1.0) + lit(0.5) * tr)).as("ben"),
+          (col("l_quantity") * (lit(1.0) + tr)).as("cost"))
+        .persist()
+      val ate = graft.ops.UpliftEval.estimateAte(li, col("y"), col("tr"))
+        .select(col("count").cast("long").as("n"),
+          round(col("target_rate_treated"), 6).as("rate_t"),
+          round(col("target_rate_control"), 6).as("rate_c"),
+          round(col("ate"), 6).as("ate"))
+      val roi = graft.ops.UpliftEval.estimateRoi(li, col("ben"), col("cost"))
+        .select(round(col("roi"), 6).as("roi"))
+      val iroi = graft.ops.UpliftEval.estimateIroi(li, col("ben"), col("cost"), col("tr"))
+        .select(round(col("incremental_benefit"), 2).as("inc_benefit"),
+          round(col("incremental_cost"), 2).as("inc_cost"),
+          round(col("iroi"), 6).as("iroi"))
+      val res = ate.crossJoin(roi).crossJoin(iroi)
+      res.persist(); res.count(); li.unpersist()
+      res
+    }),
+    "q98_qini_curve" -> ((s, d) => {
+      // qini curve over pre-assigned buckets (estimate_qini with the
+      // bucket column supplied): cumulative ATE × cumulative fraction from
+      // the top bucket down, origin row included, AUUC as the trapezoid
+      // over the curve — all closed forms DuckDB replays with windows
+      val li = t(s, d, "lineitem").select(
+          (col("l_quantity").cast("int") % 5).as("bucket"),
+          (col("l_orderkey") % 2).cast("int").as("tr"),
+          (col("l_extendedprice") / 1000.0).as("y"))
+        .persist()
+      val qini = graft.ops.UpliftEval.estimateQini(li, score = lit(null),
+        target = col("y"), treatment = col("tr"), nBuckets = 0)
+      qini.persist()
+      val auucVal = graft.ops.UpliftEval.auuc(qini)
+      val res = qini.select(col("bucket").cast("int").as("bucket"),
+        col("count").cast("double").as("n_cum"),
+        round(col("fraction"), 6).as("fraction"),
+        round(col("ate"), 6).as("qini"),
+        round(lit(auucVal), 6).as("auuc"))
+      res.persist(); res.count()
+      qini.unpersist(); li.unpersist()
+      res
+    }),
+    "q99_eval_ci" -> ((s, d) => {
+      // estimate_ate with 50 deterministic Poisson bootstrap replicates:
+      // observed + all replicates in ONE scan (rep = -1 idiom); the point
+      // estimate oracles closed-form, the CI band is a pinned fixture
+      // constant (q51 idiom — weights are pure functions of (id, rep,
+      // seed), partition-layout invariant)
+      graft.ops.UpliftEval.estimateAte(t(s, d, "lineitem"),
+          col("l_quantity"), (col("l_orderkey") % 2).cast("int"),
+          bootstrapB = 50,
+          idCols = Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(round(col("ate"), 6).as("ate"),
+          round(col("ate_lower"), 6).as("ate_lower"),
+          round(col("ate_upper"), 6).as("ate_upper"),
+          round(col("ate_std_error"), 6).as("ate_std_error"),
+          lit(sfTag(d)).as("oracle_sf"))
+    }),
     "q96_vocabulary" -> ((s, d) => {
       // tokenizer-vocab primitive: top-20 corpus tokens, (count desc,
       // token) total order so the limit is deterministic on both engines
@@ -1475,6 +1542,70 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS se_positive
         |FROM (SELECT CAST(l_quantity > 25 AS INT) AS segment FROM lineitem)
         |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q97_uplift_eval" ->
+      // estimate_ate / estimate_roi / estimate_iroi closed forms on the
+      // same deterministic arm-dependent benefit/cost fixture
+      """WITH b AS (SELECT (l_orderkey % 2) AS tr, l_quantity AS y,
+        |    l_extendedprice/1000 * (1 + 0.5*(l_orderkey % 2)) AS ben,
+        |    l_quantity * (1 + (l_orderkey % 2)) AS cost FROM lineitem),
+        |a AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN tr=1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN tr=0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN tr=1 THEN y ELSE 0 END) AS y1,
+        |    sum(CASE WHEN tr=0 THEN y ELSE 0 END) AS y0,
+        |    sum(ben) AS sben, sum(cost) AS scost,
+        |    sum(CASE WHEN tr=1 THEN ben ELSE 0 END) AS b1,
+        |    sum(CASE WHEN tr=0 THEN ben ELSE 0 END) AS b0,
+        |    sum(CASE WHEN tr=1 THEN cost ELSE 0 END) AS k1,
+        |    sum(CASE WHEN tr=0 THEN cost ELSE 0 END) AS k0
+        |  FROM b)
+        |SELECT n, round(y1/c1, 6) AS rate_t, round(y0/c0, 6) AS rate_c,
+        |  round(y1/c1 - y0/c0, 6) AS ate, round(sben/scost, 6) AS roi,
+        |  round(b1 - b0*(c1*1.0/c0), 2) AS inc_benefit,
+        |  round(k1 - k0*(c1*1.0/c0), 2) AS inc_cost,
+        |  round((b1 - b0*(c1*1.0/c0)) / (k1 - k0*(c1*1.0/c0)), 6) AS iroi
+        |FROM a""".stripMargin,
+    "q98_qini_curve" ->
+      // cumulative-from-top qini curve + trapezoid AUUC, replayed with
+      // window cumsums over the 5-bucket cell table + the (0,0) origin
+      """WITH b AS (SELECT (CAST(l_quantity AS INT) % 5) AS bucket,
+        |    (l_orderkey % 2) AS tr, l_extendedprice/1000 AS y FROM lineitem),
+        |cells AS (SELECT bucket, count(*) AS cnt,
+        |    sum(CASE WHEN tr=1 THEN 1 ELSE 0 END) AS tc,
+        |    sum(CASE WHEN tr=0 THEN 1 ELSE 0 END) AS cc,
+        |    sum(CASE WHEN tr=1 THEN y ELSE 0 END) AS tt,
+        |    sum(CASE WHEN tr=0 THEN y ELSE 0 END) AS ct
+        |  FROM b GROUP BY bucket),
+        |tot AS (SELECT sum(cnt) AS n FROM cells),
+        |cum AS (SELECT bucket,
+        |    sum(cnt) OVER w AS ccnt, sum(tc) OVER w AS ctc,
+        |    sum(cc) OVER w AS ccc, sum(tt) OVER w AS ctt, sum(ct) OVER w AS cct
+        |  FROM cells
+        |  WINDOW w AS (ORDER BY bucket DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |curve AS (
+        |  SELECT CAST(bucket AS INT) AS bucket, CAST(ccnt AS DOUBLE) AS n_cum,
+        |    ccnt * 1.0 / (SELECT n FROM tot) AS fraction,
+        |    (ctt/ctc - cct/ccc) * (ccnt * 1.0 / (SELECT n FROM tot)) AS qini
+        |  FROM cum
+        |  UNION ALL SELECT NULL, 0.0, 0.0, 0.0),
+        |auuc AS (SELECT sum(df * my) AS a FROM (
+        |  SELECT (fraction - lag(fraction) OVER (ORDER BY fraction)) AS df,
+        |         (qini + lag(qini) OVER (ORDER BY fraction)) / 2 AS my
+        |  FROM curve))
+        |SELECT bucket, n_cum, round(fraction, 6) AS fraction,
+        |  round(qini, 6) AS qini, round((SELECT a FROM auuc), 6) AS auuc
+        |FROM curve""".stripMargin,
+    "q99_eval_ci" ->
+      // closed-form point estimate; pinned sf0.01 bootstrap band (weights
+      // are pure functions of (id, rep, seed) → layout invariant)
+      """SELECT round(avg(CASE WHEN l_orderkey % 2 = 1 THEN l_quantity END) -
+        |        avg(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity END), 6) AS ate,
+        |  CAST(-0.31642 AS DOUBLE) AS ate_lower,
+        |  CAST(0.186542 AS DOUBLE) AS ate_upper,
+        |  CAST(0.130412 AS DOUBLE) AS ate_std_error,
+        |  '0.01' AS oracle_sf
+        |FROM lineitem""".stripMargin,
     "q96_vocabulary" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
