@@ -349,6 +349,10 @@ object GraftSql {
         lit(0.0), (s, x) => s + x) }
     fn("linf_distance") { a =>
       array_max(zip_with(toCol(a(0)), toCol(a(1)), (x, y) => abs(x - y))) }
+    fn("lp_distance") { a =>
+      val p = dblArg(a(2), "p")
+      pow(aggregate(zip_with(toCol(a(0)), toCol(a(1)),
+        (x, y) => pow(abs(x - y), p)), lit(0.0), (s, x) => s + x), 1.0 / p) }
     fn("l2_normalize") { a =>
       val v = toCol(a(0))
       val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (s, x) => s + x))
@@ -356,6 +360,16 @@ object GraftSql {
     fn("l1_normalize") { a =>
       val v = toCol(a(0))
       val n = aggregate(transform(v, x => abs(x)), lit(0.0), (s, x) => s + x)
+      transform(v, x => x / n) }
+    fn("linf_normalize") { a =>
+      val v = toCol(a(0))
+      val n = array_max(transform(v, x => abs(x)))
+      transform(v, x => x / n) }
+    fn("lp_normalize") { a =>
+      val v = toCol(a(0))
+      val p = dblArg(a(1), "p")
+      val n = pow(aggregate(transform(v, x => pow(abs(x), p)), lit(0.0),
+        (s, x) => s + x), 1.0 / p)
       transform(v, x => x / n) }
     fn("cosine_similarity") { a => Ann.cosine(toCol(a(0)), toCol(a(1))) }
     fn("cosine_distance") { a => lit(1.0) - Ann.cosine(toCol(a(0)), toCol(a(1))) }

@@ -105,13 +105,19 @@ class GraftSqlSpec extends AnyFunSuite {
         |  linf_distance(array(1.0D, 2.0D), array(3.0D, 0.0D)) AS di,
         |  l2_squared_distance(array(0.0D), array(3.0D)) AS d2s,
         |  l2_normalize(array(3.0D, 4.0D)) AS n2,
-        |  l1_normalize(array(1.0D, 3.0D)) AS n1
+        |  l1_normalize(array(1.0D, 3.0D)) AS n1,
+        |  lp_distance(array(1.0D, 2.0D), array(4.0D, 6.0D), 2.0) AS dp,
+        |  linf_normalize(array(2.0D, -4.0D)) AS ni,
+        |  lp_normalize(array(3.0D, 4.0D), 2.0) AS np
         |FROM (SELECT 1)""".stripMargin).head()
     assert(approx(r.getAs[Double]("d1"), 4.0))
     assert(approx(r.getAs[Double]("di"), 2.0))
     assert(approx(r.getAs[Double]("d2s"), 9.0))
     assert(r.getSeq[Double](3).zip(Seq(0.6, 0.8)).forall { case (a, b) => approx(a, b) })
     assert(r.getSeq[Double](4).zip(Seq(0.25, 0.75)).forall { case (a, b) => approx(a, b) })
+    assert(approx(r.getAs[Double]("dp"), 5.0))
+    assert(r.getSeq[Double](6).zip(Seq(0.5, -1.0)).forall { case (a, b) => approx(a, b) })
+    assert(r.getSeq[Double](7).zip(Seq(0.6, 0.8)).forall { case (a, b) => approx(a, b) })
   }
 
   test("srm over sql with ratio literals") {
