@@ -1269,6 +1269,33 @@ object SparkEntry {
           round(col("ate_std_error"), 6).as("ate_std_error"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q100_roc_curve" -> ((s, d) => {
+      // ROC over explicit thresholds (ml_spark.py ROC_curve): one scan
+      // folds each row to its threshold-coverage index — no ARRAY JOIN row
+      // amplification — and the confusion counts are suffix sums over the
+      // tiny cell table. Integer-ratio score and decimal thresholds are
+      // IEEE-identical in both engines.
+      val li = t(s, d, "lineitem")
+      val roc = graft.ops.MlEval.rocCurve(li,
+        (col("l_extendedprice") > 30000.0).cast("int"),
+        col("l_quantity") / 50.0,
+        thresholds = (1 to 9).map(_ / 10.0))
+      val aucVal = graft.ops.MlEval.rocAuc(roc)
+      roc.select(round(col("threshold"), 2).as("threshold"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        round(col("tpr"), 6).as("tpr"), round(col("fpr"), 6).as("fpr"),
+        round(lit(aucVal), 6).as("auc"))
+    }),
+    "q101_corr_matrix" -> ((s, d) => {
+      // pairwise Pearson matrix in ONE Gram-matrix scan (tools.py
+      // find_correlation_matrix); long form oracles directly against
+      // DuckDB's corr()
+      graft.ops.MlEval.corrMatrix(t(s, d, "lineitem"), Seq(
+          "l_quantity" -> col("l_quantity"),
+          "l_extendedprice" -> col("l_extendedprice"),
+          "l_discount" -> col("l_discount")))
+        .select(col("x_col"), col("y_col"), round(col("corr"), 6).as("corr"))
+    }),
     "q96_vocabulary" -> ((s, d) => {
       // tokenizer-vocab primitive: top-20 corpus tokens, (count desc,
       // token) total order so the limit is deterministic on both engines
@@ -1606,6 +1633,42 @@ object SparkEntry {
         |  CAST(0.130412 AS DOUBLE) AS ate_std_error,
         |  '0.01' AS oracle_sf
         |FROM lineitem""".stripMargin,
+    "q100_roc_curve" ->
+      // confusion quadrants per threshold + trapezoid AUC over the sorted
+      // deduplicated (fpr, tpr) points with the (0,0)/(1,1) rails
+      """WITH d AS (SELECT CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS label,
+        |    l_quantity/50.0 AS score FROM lineitem),
+        |t(threshold) AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])),
+        |c AS (SELECT threshold,
+        |    CAST(sum(CASE WHEN label=1 AND score>=threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN label=0 AND score>=threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN label=0 AND score<threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN label=1 AND score<threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM d, t GROUP BY threshold),
+        |r AS (SELECT threshold, tp, fp, tn, fn,
+        |    tp*1.0/(tp+fn) AS tpr_raw, fp*1.0/(fp+tn) AS fpr_raw FROM c),
+        |pts AS (SELECT fpr_raw AS x, tpr_raw AS y FROM r
+        |  UNION SELECT 0.0, 0.0 UNION SELECT 1.0, 1.0),
+        |auc AS (SELECT sum(term) AS a FROM (
+        |  SELECT (x - lag(x) OVER (ORDER BY x, y)) *
+        |         (y + lag(y) OVER (ORDER BY x, y))/2 AS term FROM pts))
+        |SELECT round(threshold, 2) AS threshold, tp, fp, tn, fn,
+        |  round(tpr_raw, 6) AS tpr, round(fpr_raw, 6) AS fpr,
+        |  round((SELECT a FROM auc), 6) AS auc
+        |FROM r""".stripMargin,
+    "q101_corr_matrix" ->
+      """WITH c AS (SELECT corr(l_quantity, l_extendedprice) AS qe,
+        |    corr(l_quantity, l_discount) AS qd,
+        |    corr(l_extendedprice, l_discount) AS ed FROM lineitem)
+        |SELECT 'l_quantity' AS x_col, 'l_quantity' AS y_col, CAST(1.0 AS DOUBLE) AS corr FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', 1.0 FROM c
+        |UNION ALL SELECT 'l_discount', 'l_discount', 1.0 FROM c
+        |UNION ALL SELECT 'l_quantity', 'l_extendedprice', round(qe, 6) FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_quantity', round(qe, 6) FROM c
+        |UNION ALL SELECT 'l_quantity', 'l_discount', round(qd, 6) FROM c
+        |UNION ALL SELECT 'l_discount', 'l_quantity', round(qd, 6) FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount', round(ed, 6) FROM c
+        |UNION ALL SELECT 'l_discount', 'l_extendedprice', round(ed, 6) FROM c""".stripMargin,
     "q96_vocabulary" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token

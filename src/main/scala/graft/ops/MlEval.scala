@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Classifier / feature diagnostics from the reference's ML-utility tier:
+  * ROC curve + AUC (lib/ml_spark.py:20-74 `ROC_curve`) and the pairwise
+  * Pearson correlation matrix (lib/tools.py:489-521
+  * `find_correlation_matrix`; the heatmap draw is display-side and out of
+  * scope).
+  *
+  * Scale shape — the reference's ROC SQL `ARRAY JOIN`s ~1000 thresholds
+  * against every row (a 1000× row amplification into the aggregate).
+  * Here each row folds the sorted threshold array ONCE inside codegen to
+  * its coverage index (#thresholds ≤ score — K multiply-adds per row, no
+  * amplification), a groupBy collapses to ≤ K+1 cells, and the confusion
+  * counts per threshold are suffix sums over that cell table on the
+  * driver. One scan; the shuffle carries cells, not rows.
+  */
+object MlEval {
+
+  /** ROC curve: for each threshold t, the confusion quadrant of the rule
+    * `predict positive iff score ≥ t` (ml_spark.py:39-46), with
+    * tpr/fpr. Thresholds default to `nThresholds` score quantiles
+    * (deduplicated, like the reference's `quantiles(0..1)(P)`); pass an
+    * explicit list for reproducible curves. Rows with a null label or
+    * score are dropped listwise. Returns (threshold, tp, fp, tn, fn,
+    * tpr, fpr) ordered by threshold. */
+  def rocCurve(df: DataFrame, label: Column, score: Column,
+               thresholds: Seq[Double] = Nil,
+               nThresholds: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(label.cast("int").as("mm_l"),
+        score.cast("double").as("mm_s"))
+      .filter(col("mm_l").isNotNull && col("mm_s").isNotNull)
+    val ts: Array[Double] =
+      if (thresholds.nonEmpty) thresholds.distinct.sorted.toArray
+      else {
+        val ps = (0 to nThresholds).map(_.toDouble / nThresholds)
+        base.agg(expr(s"approx_percentile(mm_s, array(${ps.mkString(",")}), 10000)"))
+          .head().getSeq[Double](0).distinct.sorted.toArray
+      }
+    // coverage index = #thresholds ≤ score, one codegen'd fold per row
+    val tArr = typedlit(ts)
+    val idx = aggregate(tArr, lit(0),
+      (acc, t) => acc + when(col("mm_s") >= t, 1).otherwise(0))
+    val cells = base.withColumn("idx", idx)
+      .groupBy(col("idx"))
+      .agg(sum(when(col("mm_l") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("mm_l") === 0, 1L).otherwise(0L)).as("n0"))
+      .collect()                       // ≤ K+1 cells, bounded by thresholds
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val p = cells.map(_._2).sum
+    val n = cells.map(_._3).sum
+    // row with coverage idx contributes to TP at threshold j (0-based)
+    // iff idx ≥ j+1: suffix sums over the cell table
+    val byIdx = cells.map(c => c._1 -> (c._2, c._3)).toMap
+    var tp = 0L; var fp = 0L
+    val suffix = new Array[(Long, Long)](ts.length + 1)
+    for (i <- ts.length to 0 by -1) {
+      val (a, b) = byIdx.getOrElse(i, (0L, 0L))
+      tp += a; fp += b
+      suffix(i) = (tp, fp)
+    }
+    val rows = ts.zipWithIndex.map { case (t, j) =>
+      val (tpj, fpj) = suffix(j + 1)
+      (t, tpj, fpj, n - fpj, p - tpj,
+        if (p > 0) tpj.toDouble / p else Double.NaN,
+        if (n > 0) fpj.toDouble / n else Double.NaN)
+    }
+    rows.toSeq.toDF("threshold", "tp", "fp", "tn", "fn", "tpr", "fpr")
+  }
+
+  /** Area under the ROC curve: trapezoid over (fpr, tpr) sorted ascending
+    * with the (0,0) and (1,1) rail points appended (the reference plots
+    * the same sorted pairs; AUC is their integral). */
+  def rocAuc(roc: DataFrame): Double = {
+    val pts = roc.select(col("fpr").cast("double"), col("tpr").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val all = ((0.0, 0.0) +: pts :+ (1.0, 1.0)).distinct.sorted
+    all.sliding(2).collect { case Array((x0, y0), (x1, y1)) =>
+      (x1 - x0) * (y0 + y1) / 2.0
+    }.sum
+  }
+
+  /** Pairwise Pearson correlation matrix in ONE scan (tools.py:489-521):
+    * the (k+1)-wide Gram matrix [cols, 1]ᵀ[cols, 1] carries every Σxᵢxⱼ,
+    * Σxᵢ and n, and each pair finishes closed-form on the driver. Returns
+    * the full k×k long form (x_col, y_col, corr), diagonal = 1. */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = cols.size
+    require(k >= 2, "corrMatrix needs at least 2 columns")
+    val m = df.agg(graft.functions.matrix_multiplication(
+        cols.map(_._2.cast("double")) :+ lit(1.0)).getField("matrix").as("m"))
+      .head().getSeq[Seq[Double]](0)
+    val nTot = m(k)(k)
+    def cov(i: Int, j: Int): Double = m(i)(j) - m(i)(k) * m(j)(k) / nTot
+    val rows = for (i <- 0 until k; j <- 0 until k) yield {
+      val r =
+        if (i == j) 1.0
+        else cov(i, j) / math.sqrt(cov(i, i) * cov(j, j))
+      (cols(i)._1, cols(j)._1, r)
+    }
+    rows.toDF("x_col", "y_col", "corr")
+  }
+}
