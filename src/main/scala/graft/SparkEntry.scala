@@ -1269,6 +1269,19 @@ object SparkEntry {
           round(col("ate_std_error"), 6).as("ate_std_error"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q102_simulated_trial" -> ((s, d) => {
+      // distributed Nie-Wager Setup B generator: every draw is a pure
+      // function of (id, tag, seed), so the per-arm moments are pinned
+      // constants at ANY partition layout and ANY sf (the query reads no
+      // table — no oracle_sf tag needed)
+      val df = graft.ops.Simulate.randomizedTrial(s, n = 100000L, seed = 11L)
+      df.groupBy(col("treatment"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(col("outcome")), 6).as("avg_outcome"),
+          round(avg(col("actual_cate")), 6).as("avg_cate"),
+          round(avg(col("expected_outcome")), 6).as("avg_baseline"))
+        .orderBy(col("treatment"))
+    }),
     "q100_roc_curve" -> ((s, d) => {
       // ROC over explicit thresholds (ml_spark.py ROC_curve): one scan
       // folds each row to its threshold-coverage index — no ARRAY JOIN row
@@ -1633,6 +1646,13 @@ object SparkEntry {
         |  CAST(0.130412 AS DOUBLE) AS ate_std_error,
         |  '0.01' AS oracle_sf
         |FROM lineitem""".stripMargin,
+    "q102_simulated_trial" ->
+      // deterministic generator: pinned per-arm moments (pure function of
+      // (n, seed) — valid at any sf and any layout)
+      """SELECT * FROM (VALUES
+        |  (0, CAST(49824 AS BIGINT), CAST(0.854120 AS DOUBLE), CAST(0.807813 AS DOUBLE), CAST(1.257213 AS DOUBLE)),
+        |  (1, CAST(50176 AS BIGINT), CAST(1.669316 AS DOUBLE), CAST(0.807055 AS DOUBLE), CAST(1.261786 AS DOUBLE)))
+        |AS t(treatment, n_rows, avg_outcome, avg_cate, avg_baseline)""".stripMargin,
     "q100_roc_curve" ->
       // confusion quadrants per threshold + trapezoid AUC over the sorted
       // deduplicated (fpr, tpr) points with the (0,0)/(1,1) rails
