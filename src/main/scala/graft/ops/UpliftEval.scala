@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -143,25 +142,38 @@ object UpliftEval {
     var cells = withRep.groupBy((groupCols :+ "rep").map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
-    // fraction of population (reference 302-338): per-rep share of count —
-    // a window over the CELL frame (buckets×(B+1) rows), not the data
+    // fraction of population (reference 302-338): per-rep share of count.
+    // Joins, not windows, on the CELL frame: a window partitioned by a
+    // constant rep (bootstrap off) constant-folds to an EMPTY partition
+    // spec — the single-partition WindowExec this codebase bans — while a
+    // broadcast join of the per-rep totals is warning-free in every case
+    // and parallel across replicates when rep varies.
     cells = bucketCol match {
       case None => cells.withColumn("fraction", lit(1.0))
       case Some(_) =>
-        cells.withColumn("fraction",
-          col("count") / sum(col("count")).over(Window.partitionBy(col("rep"))))
+        val totals = cells.groupBy(col("rep").as("__tr"))
+          .agg(sum(col("count")).as("__total"))
+        cells.join(broadcast(totals), col("rep") === col("__tr"))
+          .withColumn("fraction", col("count") / col("__total"))
+          .drop("__tr", "__total")
     }
 
     if (cumulative) {
-      // highest-valued bucket first (reference 338-368); cumulates every
-      // metric cell AND the fraction, per replicate
+      // highest-valued bucket first (reference 338-368): cum(b) = Σ over
+      // buckets ≥ b, same replicate — a broadcast range join against the
+      // cell frame itself (≤ buckets²×(B+1) joined cells), cumulating
+      // every metric AND the fraction
       val bc = bucketCol.getOrElse("bucket")
-      val cw = Window.partitionBy(col("rep")).orderBy(col(bc).desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val metricCols = cells.columns.filterNot(c =>
         groupCols.contains(c) || c == "rep").toSeq
-      cells = metricCols.foldLeft(cells)((d, c) =>
-        d.withColumn(c, sum(col(c)).over(cw)))
+      val src = cells.select(col(bc).as("__sb") +: col("rep").as("__sr") +:
+        metricCols.map(c => col(c).as(s"__s_$c")): _*)
+      val sums = metricCols.map(c => sum(col(s"__s_$c")).as(c))
+      cells = cells.select((groupCols :+ "rep").map(col): _*)
+        .join(broadcast(src),
+          col("__sr") === col("rep") && col("__sb") >= col(bc))
+        .groupBy((groupCols :+ "rep").map(col): _*)
+        .agg(sums.head, sums.tail: _*)
     }
 
     // null on a zero denominator (an armless bucket, zero cost), matching
