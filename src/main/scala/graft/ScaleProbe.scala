@@ -311,6 +311,46 @@ object ScaleProbe {
       assert(math.abs(r) < 0.1, s"null effect drifted: $r")
     }
 
+    // bootstrapped qini at full scale: the replicate id explodes on a
+    // 4-narrow-column frame and map-side combine collapses each partition
+    // to buckets×(B+1) cells — the shuffle carries ~1.5k cells however
+    // many rows go in (vs the reference's ×(B+1) full-width row blowup)
+    time(s"uplift_eval qini B=50 ($rows rows, 30 buckets)") {
+      val ud = df.select(col("id"),
+        pmod(xxhash64(col("id"), lit(81)), lit(30L)).cast("int").as("bucket"),
+        col("t"), col("y"))
+      val qini = graft.ops.UpliftEval.estimateQini(ud, score = lit(null),
+        target = col("y"), treatment = col("t"), nBuckets = 0,
+        bootstrapB = 50, idCols = Seq(col("id")))
+      val n = qini.filter(col("bucket").isNotNull).count()
+      assert(n == 30, s"expected 30 curve buckets, got $n")
+    }
+    // ROC at full scale: K threshold comparisons per row inside ONE
+    // codegen'd fold (no ARRAY-JOIN amplification), ≤K+1 shuffled cells
+    time(s"roc_curve 256 thresholds ($rows rows)") {
+      val roc = graft.ops.MlEval.rocCurve(df,
+        (col("y") > 1.0).cast("int"), col("x1"),
+        thresholds = (0 until 256).map(i => i / 128.0 - 1.0))
+      val a = graft.ops.MlEval.rocAuc(roc)
+      assert(a > 0.5, s"separable fixture must beat chance, auc=$a")
+    }
+    // correlation matrix: every pairwise r off one (k+1)² Gram pass
+    time(s"corr_matrix 4 cols ($rows rows)") {
+      val m = graft.ops.MlEval.corrMatrix(df, Seq("x1" -> col("x1"),
+        "x2" -> col("x2"), "x3" -> col("x3"), "y" -> col("y")))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(m(("x1", "y")) > 0.5, s"planted x1-y corr lost: ${m(("x1", "y"))}")
+    }
+    // trial simulator: generation is pure codegen over spark.range — one
+    // pass generates AND aggregates, nothing materializes
+    time(s"simulate_randomized_trial ($rows rows)") {
+      val sim = graft.ops.Simulate.randomizedTrial(spark, rows, seed = 5L)
+      val r = sim.groupBy(col("treatment")).agg(avg(col("outcome")).as("m"))
+        .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+      assert(math.abs((r(1) - r(0)) - 0.806) < 0.02,
+        s"ATE drifted: ${r(1) - r(0)}")
+    }
+
     // as-of join under adversarial key skew: ONE key owns half of both
     // sides. The carry window is order-dependent, so AQE's skew split
     // cannot break it up (splitting a key's rows would sever the

@@ -139,8 +139,16 @@ object UpliftEval {
         sumIf(isC, col("mm_c")).as("control_cost"))
       case "target_rate" => Seq(sum(col("mm_y") * w).as("tot_target"))
     })
-    var cells = withRep.groupBy((groupCols :+ "rep").map(col): _*)
+    // ONE distributed scan ends here. The cell frame is bounded by
+    // buckets×(B+1) — user parameters, not data size — so it is collected
+    // and rebuilt as a local relation: every downstream branch (per-rep
+    // totals, cumulative self-join, CI deltas) reuses the materialized
+    // cells instead of re-running the full aggregation per branch (Spark
+    // does not reuse the exchange across differently-projected subtrees).
+    val cells0 = withRep.groupBy((groupCols :+ "rep").map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+    var cells = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cells0.collect(): _*), cells0.schema)
 
     // fraction of population (reference 302-338): per-rep share of count.
     // Joins, not windows, on the CELL frame: a window partitioned by a
