@@ -368,6 +368,37 @@ object UpliftEval {
     zero.unionByName(sel.orderBy(col("bucket").desc))
   }
 
+  /** Cumulative CATE lift (spark_evaluation.py:1388-1470): qini's cumulative
+    * ate scan WITHOUT the ×fraction rescale — "the treatment effect among
+    * the top-x% targeted", highest bucket first, ate columns renamed to
+    * cum_cate. Same bucketing contract as [[estimateQini]]. */
+  def cateLift(df: DataFrame, score: Column, target: Column, treatment: Column,
+               nBuckets: Int = 30, treatmentValue: Column = lit(1),
+               controlValue: Column = lit(0), bootstrapB: Int = 0,
+               ciQuantiles: (Double, Double) = (0.025, 0.975),
+               exactSplits: Boolean = false, seed: Long = 42L,
+               idCols: Seq[Column] = Seq.empty): DataFrame = {
+    val bucketed =
+      if (nBuckets > 0) assignBuckets(df, score, nBuckets, exact = exactSplits)
+      else { require(df.columns.contains("bucket"),
+        "nBuckets = 0 needs a pre-assigned bucket column"); df }
+    val cells = estimateMetrics(bucketed, "ate", target = target,
+      treatment = treatment, treatmentValue = treatmentValue,
+      controlValue = controlValue, bucketCol = Some("bucket"),
+      cumulative = true, bootstrapB = bootstrapB, seed = seed, idCols = idCols)
+    val hasThreshold = bucketed.columns.contains("threshold")
+    val curve =
+      if (bootstrapB <= 0) cells.drop("rep")
+      else withCi(cells,
+        "bucket" +: (if (hasThreshold) Seq("threshold") else Nil),
+        Seq("ate"), ciQuantiles)
+    val keep = Seq("bucket", "count", "fraction") ++
+      curve.columns.filter(_.startsWith("ate")).toSeq
+    curve.select(keep.map(c =>
+      col(c).as(c.replace("ate", "cum_cate"))): _*)
+      .orderBy(col("bucket").desc)
+  }
+
   /** Area under the qini curve: trapezoid over (fraction, ate) — sklearn's
     * `auc` on the reference's pandas frame (spark_evaluation.py:1810-1824).
     * The curve frame is bounded by nBuckets+1 rows; collected. */

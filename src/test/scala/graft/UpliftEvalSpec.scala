@@ -97,6 +97,18 @@ class UpliftEvalSpec extends AnyFunSuite {
     assert(a.getAs[Double]("ate_std_error") > 0)
   }
 
+  test("cateLift is the cumulative ate without the fraction rescale") {
+    val lift = UpliftEval.cateLift(df, $"score", $"y", $"t", nBuckets = 0)
+      .collect()
+    assert(lift.length == 4)
+    // cum ate from the top: bucket 3 → 4, then 3.5, 3, 2.5
+    val expected = Map(3 -> 4.0, 2 -> 3.5, 1 -> 3.0, 0 -> 2.5)
+    lift.foreach { r =>
+      assert(approx(r.getAs[Double]("cum_cate"), expected(r.getAs[Int]("bucket"))))
+    }
+    assert(!lift.head.schema.fieldNames.contains("ate"))
+  }
+
   test("bootstrapped qini keeps the point curve and adds per-bucket bands") {
     val qini = UpliftEval.estimateQini(df, $"score", $"y", $"t", nBuckets = 0,
       bootstrapB = 30, idCols = Seq($"id"))
