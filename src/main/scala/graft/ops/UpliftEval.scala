@@ -30,6 +30,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object UpliftEval {
 
+  /** Cap on collected evaluation cells (buckets × (B+1) × threshold
+    * groups); tunable for legitimately huge grids. */
+  var maxCells: Int = 1000000
+
   /** Quantile-bucket assignment (spark_evaluation.py:368-422, which wraps
     * `QuantileDiscretizer(relativeError=1e-5, handleInvalid="skip")`):
     * adds `bucketCol` (0-based, ascending in score) and `threshold` (the
@@ -147,8 +151,17 @@ object UpliftEval {
     // does not reuse the exchange across differently-projected subtrees).
     val cells0 = withRep.groupBy((groupCols :+ "rep").map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+    val cellRows = cells0.collect()
+    // runaway guard (caliper maxCells idiom): a user-supplied bucket column
+    // with row-scale cardinality would make the "bounded" frame unbounded —
+    // fail with the cause named rather than degrade downstream
+    require(cellRows.length <= UpliftEval.maxCells,
+      s"uplift evaluation produced ${cellRows.length} cells " +
+        s"(> maxCells=${UpliftEval.maxCells}): the bucket column " +
+        s"${bucketCol.getOrElse("")} looks row-scale; bucket scores with " +
+        "assignBuckets (bounded nBuckets) instead, or raise UpliftEval.maxCells")
     var cells = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cells0.collect(): _*), cells0.schema)
+      java.util.Arrays.asList(cellRows: _*), cells0.schema)
 
     // fraction of population (reference 302-338): per-rep share of count.
     // Joins, not windows, on the CELL frame: a window partitioned by a

@@ -97,6 +97,18 @@ class UpliftEvalSpec extends AnyFunSuite {
     assert(a.getAs[Double]("ate_std_error") > 0)
   }
 
+  test("row-scale bucket columns trip the maxCells guard with a named error") {
+    val prev = UpliftEval.maxCells
+    UpliftEval.maxCells = 2
+    try {
+      val e = intercept[IllegalArgumentException] {
+        UpliftEval.catePerBucket(df, $"y", $"t", "bucket")
+      }
+      assert(e.getMessage.contains("maxCells"))
+      assert(e.getMessage.contains("assignBuckets"))
+    } finally UpliftEval.maxCells = prev
+  }
+
   test("cateLift is the cumulative ate without the fraction rescale") {
     val lift = UpliftEval.cateLift(df, $"score", $"y", $"t", nBuckets = 0)
       .collect()
