@@ -41,18 +41,9 @@ object MlEval {
         base.agg(expr(s"approx_percentile(mm_s, array(${ps.mkString(",")}), 10000)"))
           .head().getSeq[Double](0).distinct.sorted.toArray
       }
-    // coverage index = #thresholds ≤ score = binary search for the first
-    // threshold above the score, unrolled into a when-tree of literal
-    // comparisons: ⌈log₂K⌉ codegen'd branches per row. (An array-fold
-    // higher-order function is interpreted per element — measured 80 s at
-    // 100M rows × 256 thresholds vs ~2 s for this tree.)
-    def bs(lo: Int, hi: Int): Column =
-      if (lo == hi) lit(lo)
-      else {
-        val mid = (lo + hi) / 2
-        when(col("mm_s") >= lit(ts(mid)), bs(mid + 1, hi)).otherwise(bs(lo, mid))
-      }
-    val idx = bs(0, ts.length)
+    // coverage index = #thresholds ≤ score, via the codegen'd binarySearch
+    // kernel (see SearchExprs for why the fold and when-tree forms lose)
+    val idx = graft.expr.SearchExprs.sortedCoverageCount(col("mm_s"), ts)
     val cells = base.withColumn("idx", idx)
       .groupBy(col("idx"))
       .agg(sum(when(col("mm_l") === 1, 1L).otherwise(0L)).as("n1"),
