@@ -1269,6 +1269,22 @@ object SparkEntry {
           round(col("ate_std_error"), 6).as("ate_std_error"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q103_perplexity" -> ((s, d) => {
+      // corpus-trained add-one bigram LM perplexity (the CCNet-class
+      // quality signal): train + score are keyed exchanges; per-lang
+      // roll-up for a closed-form DuckDB oracle
+      val docs = t(s, d, "documents")
+      val m = graft.ops.NgramLm.train(docs, col("text"))
+      val scored = graft.ops.NgramLm.scorePerplexity(docs, col("doc_id"),
+        col("text"), m)
+      scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          round(avg(col("avg_logp")), 6).as("mean_logp"),
+          round(avg(col("perplexity")), 4).as("mean_ppl"))
+        .orderBy(col("lang"))
+    }),
     "q102_simulated_trial" -> ((s, d) => {
       // distributed Nie-Wager Setup B generator: every draw is a pure
       // function of (id, tag, seed), so the per-arm moments are pinned
@@ -1646,6 +1662,35 @@ object SparkEntry {
         |  CAST(0.130412 AS DOUBLE) AS ate_std_error,
         |  '0.01' AS oracle_sf
         |FROM lineitem""".stripMargin,
+    "q103_perplexity" ->
+      // the same add-one bigram model replayed relationally: tokens with a
+      // post-filter renumbered position, bigrams by position join, counts,
+      // smoothing, per-doc averages, per-lang roll-up
+      """WITH tk AS (
+        |  SELECT doc_id, tok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+        |  FROM (SELECT doc_id, unnest(ts) AS tok,
+        |          generate_subscripts(ts, 1) AS ord
+        |        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |              FROM documents))
+        |  WHERE length(tok) > 0),
+        |uni AS (SELECT tok AS w1, count(*) AS cu FROM tk GROUP BY 1),
+        |vocab AS (SELECT count(*) AS v FROM uni),
+        |pairs AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |big AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |scored AS (SELECT p.doc_id,
+        |    ln((coalesce(cb, 0) + 1.0) / (coalesce(cu, 0) + (SELECT v FROM vocab))) AS logp
+        |  FROM pairs p
+        |  LEFT JOIN big USING (w1, w2)
+        |  LEFT JOIN uni USING (w1)),
+        |perdoc AS (SELECT doc_id, count(*) AS nb, avg(logp) AS lp,
+        |    exp(-avg(logp)) AS ppl
+        |  FROM scored GROUP BY 1)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+        |  round(avg(lp), 6) AS mean_logp, round(avg(ppl), 4) AS mean_ppl
+        |FROM perdoc JOIN documents USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q102_simulated_trial" ->
       // deterministic generator: pinned per-arm moments (pure function of
       // (n, seed) — valid at any sf and any layout)
