@@ -311,6 +311,23 @@ object ScaleProbe {
       assert(math.abs(r) < 0.1, s"null effect drifted: $r")
     }
 
+    // bigram-LM perplexity: train + score over ~40-word docs — counts stay
+    // DataFrames, the score join shuffles by token pair, unigram table
+    // broadcasts. The hash-random vocabulary makes nearly every bigram
+    // distinct (worst case for the count table), so 200k docs ≈ 8M-row
+    // model join — the keyed-exchange shape under test
+    val lmRows = math.min(docRows, 200000L)
+    val lmDocs = spark.range(lmRows).select(col("id"),
+      concat_ws(" ", words(col("id"), 7)).as("text"))
+    time(s"ngram_lm perplexity train+score ($lmRows docs)") {
+      val m = graft.ops.NgramLm.train(lmDocs, col("text"))
+      val scored = graft.ops.NgramLm.scorePerplexity(lmDocs, col("id"),
+        col("text"), m)
+      val r = scored.agg(avg(col("perplexity")).as("p"), count(lit(1)).as("n")).head()
+      assert(r.getLong(1) == lmRows, s"scored ${r.getLong(1)} of $lmRows")
+      assert(r.getDouble(0) > 1.0)
+    }
+
     // bootstrapped qini at full scale: the replicate id explodes on a
     // 4-narrow-column frame and map-side combine collapses each partition
     // to buckets×(B+1) cells — the shuffle carries ~1.5k cells however
