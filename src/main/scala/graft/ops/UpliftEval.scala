@@ -318,6 +318,29 @@ object UpliftEval {
       Seq("target_rate"), ciQuantiles)
   }
 
+  /** Target rate per score quantile — [[assignBuckets]] composed with
+    * [[targetRatePerBucket]] (spark_evaluation.py:667-719). */
+  def targetRatePerQuantile(df: DataFrame, target: Column, score: Column,
+                            nBuckets: Int = 30, bootstrapB: Int = 0,
+                            ciQuantiles: (Double, Double) = (0.025, 0.975),
+                            exactSplits: Boolean = false, seed: Long = 42L,
+                            idCols: Seq[Column] = Seq.empty): DataFrame =
+    targetRatePerBucket(assignBuckets(df, score, nBuckets, exact = exactSplits),
+      target, "bucket", bootstrapB, ciQuantiles, seed, idCols)
+
+  /** CATE per score quantile — [[assignBuckets]] composed with
+    * [[catePerBucket]] (spark_evaluation.py:940-1002). */
+  def catePerQuantile(df: DataFrame, target: Column, treatment: Column,
+                      score: Column, nBuckets: Int = 30,
+                      treatmentValue: Column = lit(1), controlValue: Column = lit(0),
+                      bootstrapB: Int = 0,
+                      ciQuantiles: (Double, Double) = (0.025, 0.975),
+                      exactSplits: Boolean = false, seed: Long = 42L,
+                      idCols: Seq[Column] = Seq.empty): DataFrame =
+    catePerBucket(assignBuckets(df, score, nBuckets, exact = exactSplits),
+      target, treatment, "bucket", treatmentValue, controlValue,
+      bootstrapB, ciQuantiles, seed, idCols)
+
   /** CATE per pre-assigned bucket: the ate cell scan grouped by bucket
     * (spark_evaluation.py:872-1002's estimate_cate_per_bucket/quantile,
     * minus plotting). */

@@ -97,6 +97,19 @@ class UpliftEvalSpec extends AnyFunSuite {
     assert(a.getAs[Double]("ate_std_error") > 0)
   }
 
+  test("per-quantile wrappers compose bucketing with the per-bucket scans") {
+    val cq = UpliftEval.catePerQuantile(df, $"y", $"t", $"score",
+      nBuckets = 4, exactSplits = true).orderBy($"bucket").collect()
+    assert(cq.length == 4)
+    // quantile buckets of the discrete score recover the planted buckets
+    cq.zipWithIndex.foreach { case (r, b) =>
+      assert(approx(r.getAs[Double]("ate"), b + 1.0)) }
+    val tq = UpliftEval.targetRatePerQuantile(df, $"y", $"score",
+      nBuckets = 4, exactSplits = true).orderBy($"bucket").collect()
+    tq.zipWithIndex.foreach { case (r, b) =>
+      assert(approx(r.getAs[Double]("target_rate"), (10.0 * (b + 2) + 20) / 30)) }
+  }
+
   test("row-scale bucket columns trip the maxCells guard with a named error") {
     val prev = UpliftEval.maxCells
     UpliftEval.maxCells = 2
