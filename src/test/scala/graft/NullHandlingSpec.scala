@@ -138,4 +138,40 @@ class NullHandlingSpec extends AnyFunSuite {
     Seq(4L, 5L, 6L, 7L, 8L, 9L, 10L).foreach(i =>
       assert(idx(i) == 0L, s"row $i with incomplete keys got index ${idx(i)}"))
   }
+
+  test("uplift evaluation follows the reference's conditional-sum null convention") {
+    // null treatment rows count in `count` but in NEITHER arm; null target
+    // sums skip (spark_evaluation.py's cnt_cond/sum_cond, NOT listwise)
+    val d = Seq[(java.lang.Double, java.lang.Integer)](
+      (10.0, 1), (20.0, 0), (30.0, null), (null, 1)
+    ).toDF("y", "t")
+    val r = graft.ops.UpliftEval.estimateAte(d, $"y", $"t").head()
+    assert(r.getAs[Double]("count") == 4.0)
+    assert(r.getAs[Double]("treatment_count") == 2.0) // null-y treated row still counts
+    assert(r.getAs[Double]("control_count") == 1.0)
+    assert(r.getAs[Double]("treatment_target") == 10.0) // null y skipped by sum
+    // assignBuckets drops null scores (QuantileDiscretizer handleInvalid=skip)
+    val s = Seq[(java.lang.Double)](1.0, 2.0, 3.0, 4.0, null).toDF("score")
+    assert(graft.ops.UpliftEval.assignBuckets(s, $"score", 2, exact = true).count() == 4)
+  }
+
+  test("rocCurve drops rows with null label or score listwise") {
+    val d = Seq[(java.lang.Integer, java.lang.Double)](
+      (1, 0.9), (0, 0.1), (null, 0.5), (1, null)
+    ).toDF("label", "score")
+    val roc = graft.ops.MlEval.rocCurve(d, $"label", $"score",
+      thresholds = Seq(0.5)).head()
+    assert(roc.getAs[Long]("tp") == 1 && roc.getAs[Long]("fp") == 0)
+    assert(roc.getAs[Long]("tn") == 1 && roc.getAs[Long]("fn") == 0)
+  }
+
+  test("ngram LM drops null-text and sub-bigram docs from train and score") {
+    val d = Seq[(Long, String)]((1L, "a b"), (2L, null), (3L, "a"))
+      .toDF("id", "text")
+    val m = graft.ops.NgramLm.train(d, $"text")
+    // only doc 1 contributes bigrams; unigrams come from all non-null text
+    assert(m.bigrams.count() == 1)
+    val scored = graft.ops.NgramLm.scorePerplexity(d, $"id", $"text", m)
+    assert(scored.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
 }

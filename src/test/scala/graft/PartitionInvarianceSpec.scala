@@ -119,4 +119,42 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assignments.tail.foreach(a => assert(a == assignments.head,
       "matching_index assignment drifts with partition layout"))
   }
+
+  test("roc counts, qini curve, and perplexity invariant to partitioning") {
+    // roc: integer confusion counts must be IDENTICAL, not just close
+    val rocs = layouts(base).map(d =>
+      graft.ops.MlEval.rocCurve(d, ($"y" > 0.5).cast("int"), $"x",
+        thresholds = Seq(-0.5, 0.0, 0.5))
+        .collect().map(r => (r.getAs[Double]("threshold"),
+          r.getAs[Long]("tp"), r.getAs[Long]("fp"))).sortBy(_._1).toSeq)
+    rocs.tail.foreach(r => assert(r == rocs.head, "roc counts drift"))
+    // bootstrapped qini: deterministic hash weights → same curve + bands
+    val qinis = layouts(base).map { d =>
+      graft.ops.UpliftEval.estimateQini(
+        d.withColumn("bucket", (col("uin") % 4).cast("int")),
+        score = lit(null), target = $"y", treatment = $"t", nBuckets = 0,
+        bootstrapB = 20, idCols = Seq($"uin"))
+        .filter(col("bucket").isNotNull)
+        .collect().map(r => r.getAs[Int]("bucket") ->
+          (r.getAs[Double]("ate"), r.getAs[Double]("ate_lower"))).toMap
+    }
+    qinis.tail.foreach { q =>
+      q.foreach { case (b, (a, lo)) =>
+        assert(math.abs(a - qinis.head(b)._1) < 1e-9, s"qini ate bucket $b")
+        assert(math.abs(lo - qinis.head(b)._2) < 1e-9, s"qini band bucket $b")
+      }
+    }
+    // perplexity: per-doc values to FP merge-order tolerance
+    val docs = Seq((1L, "a b a c"), (2L, "b b a"), (3L, "c a b a")).toDF("id", "text")
+    val docLayouts = Seq(docs.coalesce(1), docs.repartition(2, col("id")),
+      docs.repartition(3))
+    val pp = docLayouts.map { d =>
+      val m = graft.ops.NgramLm.train(d, $"text")
+      graft.ops.NgramLm.scorePerplexity(d, $"id", $"text", m)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("perplexity")).toMap
+    }
+    pp.tail.foreach(p => p.foreach { case (id, v) =>
+      assert(math.abs(v - pp.head(id)) < 1e-9, s"perplexity doc $id") })
+  }
 }
