@@ -38,9 +38,15 @@ object MlEval {
       if (thresholds.nonEmpty) thresholds.distinct.sorted.toArray
       else {
         val ps = (0 to nThresholds).map(_.toDouble / nThresholds)
-        base.agg(expr(s"approx_percentile(mm_s, array(${ps.mkString(",")}), 10000)"))
-          .head().getSeq[Double](0).distinct.sorted.toArray
+        val r = base.agg(expr(s"approx_percentile(mm_s, array(${ps.mkString(",")}), 10000)"))
+          .head()
+        // empty input → no quantiles → empty curve, not an NPE
+        if (r.isNullAt(0)) Array.empty[Double]
+        else r.getSeq[Double](0).distinct.sorted.toArray
       }
+    if (ts.isEmpty)
+      return Seq.empty[(Double, Long, Long, Long, Long, Double, Double)]
+        .toDF("threshold", "tp", "fp", "tn", "fn", "tpr", "fpr")
     // coverage index = #thresholds ≤ score, via the codegen'd binarySearch
     // kernel (see SearchExprs for why the fold and when-tree forms lose)
     val idx = graft.expr.SearchExprs.sortedCoverageCount(col("mm_s"), ts)

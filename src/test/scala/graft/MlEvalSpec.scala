@@ -46,6 +46,11 @@ class MlEvalSpec extends AnyFunSuite {
     assert(MlEval.rocAuc(roc) > 0.95) // near-perfect separation
   }
 
+  test("rocCurve on empty input returns an empty curve, not an error") {
+    val empty = Seq.empty[(Int, Double)].toDF("label", "score")
+    assert(MlEval.rocCurve(empty, $"label", $"score").count() == 0)
+  }
+
   test("corrMatrix matches closed-form pairwise correlations") {
     val df = (1 to 100).map { i =>
       val x = i.toDouble
