@@ -1269,6 +1269,25 @@ object SparkEntry {
           round(col("ate_std_error"), 6).as("ate_std_error"),
           lit(sfTag(d)).as("oracle_sf"))
     }),
+    "q104_cate_quantile" -> ((s, d) => {
+      // catePerQuantile end-to-end: EXACT quantile splits over a discrete
+      // score ((l_orderkey % 97)/97 — ~620 rows per level at the gate SF,
+      // so every interpolated split lands inside a run of equal values and
+      // both engines compute the identical k/97 double); left-closed
+      // assignment replayed in SQL
+      val li = t(s, d, "lineitem").select(
+        ((col("l_orderkey") % 97).cast("double") / 97.0).as("score"),
+        (col("l_partkey") % 2).cast("int").as("tr"),
+        col("l_quantity").cast("double").as("y"))
+      graft.ops.UpliftEval.catePerQuantile(li, col("y"), col("tr"),
+          col("score"), nBuckets = 4, exactSplits = true)
+        .select(col("bucket"),
+          round(col("threshold"), 6).as("threshold"),
+          col("count").cast("long").as("n_rows"),
+          round(col("fraction"), 6).as("fraction"),
+          round(col("ate"), 6).as("cate"))
+        .orderBy(col("bucket"))
+    }),
     "q103_perplexity" -> ((s, d) => {
       // corpus-trained add-one bigram LM perplexity (the CCNet-class
       // quality signal): train + score are keyed exchanges; per-lang
@@ -1662,6 +1681,34 @@ object SparkEntry {
         |  CAST(0.130412 AS DOUBLE) AS ate_std_error,
         |  '0.01' AS oracle_sf
         |FROM lineitem""".stripMargin,
+    "q104_cate_quantile" ->
+      // exact quantile splits (linear interpolation — identical to Spark's
+      // percentile on this discrete fixture), left-closed bucket
+      // assignment, per-bucket difference in arm means; threshold = left
+      // split edge, -inf for bucket 0
+      """WITH b AS (SELECT (l_orderkey % 97)/97.0 AS score,
+        |    (l_partkey % 2) AS tr, l_quantity AS y FROM lineitem),
+        |s AS (SELECT quantile_cont(score, 0.25) AS s1,
+        |    quantile_cont(score, 0.5) AS s2,
+        |    quantile_cont(score, 0.75) AS s3 FROM b),
+        |a AS (SELECT (CASE WHEN score >= s1 THEN 1 ELSE 0 END +
+        |              CASE WHEN score >= s2 THEN 1 ELSE 0 END +
+        |              CASE WHEN score >= s3 THEN 1 ELSE 0 END) AS bucket,
+        |    tr, y FROM b, s),
+        |c AS (SELECT bucket, count(*) AS n_rows,
+        |    sum(CASE WHEN tr=1 THEN y ELSE 0 END) AS y1,
+        |    sum(CASE WHEN tr=1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN tr=0 THEN y ELSE 0 END) AS y0,
+        |    sum(CASE WHEN tr=0 THEN 1 ELSE 0 END) AS c0
+        |  FROM a GROUP BY bucket)
+        |SELECT bucket,
+        |  round(CASE bucket WHEN 0 THEN CAST('-infinity' AS DOUBLE)
+        |    WHEN 1 THEN (SELECT s1 FROM s) WHEN 2 THEN (SELECT s2 FROM s)
+        |    ELSE (SELECT s3 FROM s) END, 6) AS threshold,
+        |  n_rows,
+        |  round(n_rows * 1.0 / (SELECT sum(n_rows) FROM c), 6) AS fraction,
+        |  round(y1/c1 - y0/c0, 6) AS cate
+        |FROM c ORDER BY bucket""".stripMargin,
     "q103_perplexity" ->
       // the same add-one bigram model replayed relationally: tokens with a
       // post-filter renumbered position, bigrams by position join, counts,
