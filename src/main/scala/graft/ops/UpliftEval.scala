@@ -435,6 +435,38 @@ object UpliftEval {
       .orderBy(col("bucket").desc)
   }
 
+  /** Cumulative incremental-ROI curve (spark_evaluation.py:1838-1930's
+    * estimate_cum_iroi): iroi cell scan over score-quantile buckets,
+    * cumulated from the top bucket down. Same bucketing contract as
+    * [[estimateQini]]; CI on iroi when bootstrapped. */
+  def cumIroiCurve(df: DataFrame, score: Column, benefit: Column, cost: Column,
+                   treatment: Column, nBuckets: Int = 30,
+                   treatmentValue: Column = lit(1), controlValue: Column = lit(0),
+                   bootstrapB: Int = 0,
+                   ciQuantiles: (Double, Double) = (0.025, 0.975),
+                   exactSplits: Boolean = false, seed: Long = 42L,
+                   idCols: Seq[Column] = Seq.empty): DataFrame = {
+    val bucketed =
+      if (nBuckets > 0) assignBuckets(df, score, nBuckets, exact = exactSplits)
+      else { require(df.columns.contains("bucket"),
+        "nBuckets = 0 needs a pre-assigned bucket column"); df }
+    val cells = estimateMetrics(bucketed, "iroi", benefit = benefit,
+      cost = cost, treatment = treatment, treatmentValue = treatmentValue,
+      controlValue = controlValue, bucketCol = Some("bucket"),
+      cumulative = true, bootstrapB = bootstrapB, seed = seed, idCols = idCols)
+    val hasThreshold = bucketed.columns.contains("threshold")
+    val curve =
+      if (bootstrapB <= 0) cells.drop("rep")
+      else withCi(cells,
+        "bucket" +: (if (hasThreshold) Seq("threshold") else Nil),
+        Seq("iroi"), ciQuantiles)
+    val keep = Seq("bucket", "count", "fraction") ++
+      (if (hasThreshold) Seq("threshold") else Nil) ++
+      Seq("incremental_benefit", "incremental_cost") ++
+      curve.columns.filter(_.startsWith("iroi")).toSeq
+    curve.select(keep.map(col): _*).orderBy(col("bucket").desc)
+  }
+
   /** Area under the qini curve: trapezoid over (fraction, ate) — sklearn's
     * `auc` on the reference's pandas frame (spark_evaluation.py:1810-1824).
     * The curve frame is bounded by nBuckets+1 rows; collected. */

@@ -97,6 +97,22 @@ class UpliftEvalSpec extends AnyFunSuite {
     assert(a.getAs[Double]("ate_std_error") > 0)
   }
 
+  test("cumIroiCurve cumulates incremental benefit and cost from the top") {
+    // benefit = y, cost = 1 for treated / 1 for control. Per closed form:
+    // cum from bucket 3 (see qini fixture): sf = cum_tc/cum_cc = 0.5 always;
+    // inc_cost = cum_tc - cum_cc*0.5 = 0 → iroi null; inc_benefit at
+    // bucket 3 = 50 - 20*0.5 = 40
+    val curve = UpliftEval.cumIroiCurve(df, $"score", benefit = $"y",
+      cost = lit(1.0), treatment = $"t", nBuckets = 0)
+      .collect().map(r => r.getAs[Int]("bucket") -> r).toMap
+    assert(curve.size == 4)
+    assert(approx(curve(3).getAs[Double]("incremental_benefit"), 40.0))
+    assert(approx(curve(3).getAs[Double]("incremental_cost"), 0.0, 1e-12))
+    // bucket 0 (whole population): 140 - 80*0.5 = 100
+    assert(approx(curve(0).getAs[Double]("incremental_benefit"), 100.0))
+    assert(approx(curve(0).getAs[Double]("fraction"), 1.0))
+  }
+
   test("per-quantile wrappers compose bucketing with the per-bucket scans") {
     val cq = UpliftEval.catePerQuantile(df, $"y", $"t", $"score",
       nBuckets = 4, exactSplits = true).orderBy($"bucket").collect()
