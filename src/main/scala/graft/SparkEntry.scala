@@ -1592,10 +1592,92 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("sim"))
+    }),
+    "q105_tfidf" -> ((s, d) => {
+      // TF-IDF + BM25 term scoring: idf/avgdl from the FULL corpus, then
+      // top-3 terms for a 1-in-57 sample of documents. tf/df/dl are exact
+      // integers and idf/bm25 pure IEEE arithmetic on them, so both
+      // engines agree to well past 6 decimals.
+      val docs = t(s, d, "documents")
+      val scored = graft.ops.TfIdf.termScores(docs, col("doc_id"), col("text"))
+      graft.ops.TfIdf.topTerms(scored, 3)
+        .filter(col("doc_id") % 57 === 0)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+          col("df"), round(col("idf"), 6).as("idf"),
+          round(col("tfidf"), 6).as("tfidf"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+    "q106_feature_process" -> ((s, d) => {
+      // the reference's feature_process pipeline end-to-end: dtype
+      // classification, min-max scaling, cardinality-capped one-hot,
+      // dense feature assembly — all stats from ONE agg pass. Scaled
+      // features are pure IEEE row arithmetic on driver-literal min/max,
+      // so the per-group means replay exactly in SQL.
+      val li = t(s, d, "lineitem").select(
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_returnflag"),
+        (col("l_orderkey") % 2).cast("double").as("label"))
+      val (out, names) = graft.ops.Features.featureProcess(li, "label",
+        scaleMethod = "minmax", oneHotThreshold = 30)
+      out.groupBy(col("label").cast("int").as("label"))
+        .agg(count(lit(1)).as("n_rows"),
+          max(lit(names.length)).as("n_features"),
+          round(avg(element_at(col("features"), 1)), 6).as("avg_qty_scaled"),
+          round(avg(element_at(col("features"), 2)), 6).as("avg_price_scaled"),
+          round(avg(element_at(col("features"), 3)), 6).as("avg_disc_scaled"),
+          sum(element_at(col("features"), 4)).cast("long").as("n_flag_a"),
+          sum(element_at(col("features"), 5)).cast("long").as("n_flag_n"),
+          sum(element_at(col("features"), 6)).cast("long").as("n_flag_r"))
+        .orderBy(col("label"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q105_tfidf" ->
+      // same tokenizer, counts, and smoothed-idf/BM25 formulas replayed
+      // relationally; rank by (tfidf desc, token) is a total order
+      """WITH tk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |corpus AS (SELECT count(DISTINCT doc_id) AS n,
+        |    sum(tf) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM tf),
+        |scored AS (SELECT tf.doc_id, tf.tok, tf.tf, dl.dl, dfq.df,
+        |    ln((corpus.n + 1.0) / (dfq.df + 1.0)) + 1.0 AS idf
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok), corpus),
+        |full_s AS (SELECT doc_id, tok, tf, dl, df, idf, tf * idf AS tfidf,
+        |    idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM corpus))) AS bm25
+        |  FROM scored),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, tok) AS rank FROM full_s)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, tok AS token,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  round(idf, 6) AS idf, round(tfidf, 6) AS tfidf,
+        |  round(bm25, 6) AS bm25
+        |FROM ranked WHERE rank <= 3 AND doc_id % 57 = 0
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q106_feature_process" ->
+      // min-max scaling replayed with corpus-level min/max as a 1-row
+      // cross join; one-hot sums are plain conditional counts
+      """WITH base AS (SELECT l_quantity AS q, l_extendedprice AS p,
+        |    l_discount AS dc, l_returnflag AS rf,
+        |    (l_orderkey % 2) AS label FROM lineitem),
+        |m AS (SELECT min(q) AS qmn, max(q) AS qmx, min(p) AS pmn,
+        |    max(p) AS pmx, min(dc) AS dmn, max(dc) AS dmx FROM base)
+        |SELECT CAST(label AS INT) AS label, count(*) AS n_rows,
+        |  CAST(6 AS INT) AS n_features,
+        |  round(avg((q - qmn) / (qmx - qmn)), 6) AS avg_qty_scaled,
+        |  round(avg((p - pmn) / (pmx - pmn)), 6) AS avg_price_scaled,
+        |  round(avg((dc - dmn) / (dmx - dmn)), 6) AS avg_disc_scaled,
+        |  CAST(sum(CASE WHEN rf = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_a,
+        |  CAST(sum(CASE WHEN rf = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_n,
+        |  CAST(sum(CASE WHEN rf = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_r
+        |FROM base, m GROUP BY label ORDER BY label""".stripMargin,
     "q46_ivf_recall" ->
       // pinned deterministic fixture constant (q38 idiom): 20 probes × 5
       // planted exact-direction copies each, all recovered — recall 1.0.

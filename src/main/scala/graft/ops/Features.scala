@@ -54,4 +54,97 @@ object Features {
     }
     df.select(col("*") +: indicators: _*)
   }
+
+  /** Split a frame's columns into (numeric, categorical-string) by dtype,
+    * skipping timestamps/dates and the exclude list — the reference's
+    * `get_num_cat_feat` (spark_utility.py:117-166). Pure schema
+    * inspection, no job. */
+  def numCatSplit(df: DataFrame,
+                  exclude: Seq[String] = Nil): (Seq[String], Seq[String]) = {
+    val skip = exclude.toSet
+    val ts = df.dtypes.collect {
+      case (n, t) if t.startsWith("Timestamp") || t.startsWith("Date") => n
+    }.toSet
+    val num = df.dtypes.collect {
+      case (n, t) if !skip(n) && !ts(n) &&
+        Seq("Int", "Long", "Double", "Float", "Short", "Byte", "Decimal")
+          .exists(t.startsWith) => n
+    }.toSeq
+    val cat = df.dtypes.collect {
+      case (n, t) if !skip(n) && !ts(n) && t.startsWith("String") => n
+    }.toSeq
+    (num, cat)
+  }
+
+  /** The reference's `feature_process` (spark_utility.py:519-599) as one
+    * composed pipeline: classify columns, null-fill (0.0 / "NA"), scale
+    * every numeric column (minmax or zscore), one-hot the categorical
+    * columns whose cardinality is at or below `oneHotThreshold`, and
+    * assemble everything into a dense `features` array<double>.
+    *
+    * 100 TB shape: ALL per-column statistics — min/max or mean/std for
+    * every numeric column AND the capped category sets for every
+    * categorical column — come from ONE aggregate pass (constant-size
+    * state, map-side combined); the transform itself is a single
+    * projection that stays in the scan's codegen stage. No MLlib Pipeline
+    * object, no per-column jobs.
+    *
+    * A constant numeric column (max == min or std == 0) scales to 0.0,
+    * matching MinMaxScaler/StandardScaler degenerate behavior. A
+    * categorical column above the cardinality cap is dropped from the
+    * feature vector (the reference's `get_cat_feat_one_hot` filter) —
+    * its name is reported in the returned column list so callers see what
+    * was excluded rather than silently losing it.
+    *
+    * Returns (transformed frame, feature names in array order). */
+  def featureProcess(df: DataFrame, label: String,
+                     exclude: Seq[String] = Nil,
+                     scaleMethod: String = "minmax",
+                     oneHotThreshold: Int = 30): (DataFrame, Seq[String]) = {
+    require(Seq("minmax", "zscore").contains(scaleMethod),
+      s"feature_process: unknown scale_method '$scaleMethod'")
+    val (numAll, catAll) = numCatSplit(df, exclude)
+    require(numAll.contains(label),
+      s"feature_process: label '$label' must be a numeric column")
+    val num = numAll.filterNot(_ == label)
+    val filled = df.na.fill(0.0, num).na.fill("NA", catAll)
+
+    // one pass: per-numeric (min,max,avg,std) + per-categorical capped set
+    val numAggs = num.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(min(d).as(s"${c}__mn"), max(d).as(s"${c}__mx"),
+        avg(d).as(s"${c}__av"), stddev_samp(d).as(s"${c}__sd"))
+    }
+    val catAggs = catAll.map { c =>
+      slice(sort_array(collect_set(col(c))), 1, oneHotThreshold + 1).as(s"${c}__set")
+    }
+    val aggs = numAggs ++ catAggs
+    val row = filled.agg(aggs.head, aggs.tail: _*).head()
+
+    val scaled = num.zipWithIndex.map { case (c, i) =>
+      val mn = row.getDouble(4 * i); val mx = row.getDouble(4 * i + 1)
+      val av = row.getDouble(4 * i + 2)
+      val sd = Option(row.get(4 * i + 3)).fold(0.0)(_.asInstanceOf[Double])
+      val d = col(c).cast("double")
+      val e = scaleMethod match {
+        case "minmax" =>
+          if (mx == mn) lit(0.0) else (d - mn) / (mx - mn)
+        case "zscore" =>
+          if (sd == 0.0 || sd.isNaN) lit(0.0) else (d - av) / sd
+      }
+      (s"${c}_scaled", e)
+    }
+    val oneHots = catAll.zipWithIndex.flatMap { case (c, i) =>
+      val values = row.getSeq[String](4 * num.length + i).filter(_ != null)
+      if (values.length > oneHotThreshold) Nil
+      else values.sorted.map { v =>
+        val safe = v.replaceAll("[^A-Za-z0-9_]", "_")
+        (s"${c}_$safe", when(col(c) === v, 1.0).otherwise(0.0))
+      }
+    }
+    val feats = scaled ++ oneHots
+    val out = filled.withColumn("features",
+      array(feats.map { case (n, e) => e.cast("double").as(n) }: _*))
+    (out, feats.map(_._1))
+  }
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** TF-IDF and BM25 term scoring over a document corpus — the keyword /
+  * relevance primitive a training-data pipeline uses for topic filtering,
+  * keyword extraction, and query-based subcorpus selection. Not present in
+  * the reference (its text tier stops at hard quality rules); included as a
+  * first-class pipeline operator alongside [[TextOps.vocabulary]].
+  *
+  * 100 TB shape — three keyed exchanges, nothing driver-side:
+  *  1. explode tokens → groupBy(doc_id, token) with map-side combine: a
+  *     document's repeated tokens collapse before the shuffle.
+  *  2. groupBy(token) over the per-doc counts for document frequency; the
+  *     result is vocabulary-sized, far smaller than the corpus.
+  *  3. join term counts back to the df table on token. Zipf-head tokens
+  *     make this key skewed, so the join must stay a shuffle join with AQE
+  *     skew-split enabled (a broadcast of the full vocabulary does not
+  *     survive real corpora); corpus-level scalars (N, avgdl) ride in as
+  *     literals from one tiny agg.
+  * The optional per-doc top-k re-keys by doc_id — bounded fan-in, no skew
+  * (a document has bounded distinct terms).
+  *
+  * Scoring: idf = ln((N+1)/(df+1)) + 1 (smoothed, strictly positive);
+  * tfidf = tf * idf; bm25 = idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+  * (Robertson et al., k1=1.2 b=0.75 defaults). Tokens are lowercase
+  * whitespace splits (the [[TextOps]] convention).
+  */
+object TfIdf {
+
+  private def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Per-(doc, term) frame: doc_id, token, tf (count in doc), dl (doc
+    * token length), df (docs containing token), tfidf, bm25. */
+  def termScores(docs: DataFrame, id: Column, text: Column,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // dl from the tf frame itself (sum of tf per doc) — saves re-reading
+    // the text; one window-free agg then a doc-keyed join is replaced by
+    // a doc-keyed window: the partition key has bounded cardinality per
+    // doc, so no skew concern.
+    val withDl = tf.withColumn("dl",
+      sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    val dfTable = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val corpus = tf.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      (sum(col("tf")) / countDistinct(col("doc_id"))).as("avgdl")).head()
+    val nDocs = corpus.getLong(0)
+    val avgdl = corpus.getDouble(1)
+    val idf = log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0
+    val tfD = col("tf").cast("double")
+    withDl.join(dfTable, "token")
+      .withColumn("idf", idf)
+      .withColumn("tfidf", tfD * col("idf"))
+      .withColumn("bm25", col("idf") * tfD * (k1 + 1.0) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)))
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"), col("df"),
+        col("idf"), col("tfidf"), col("bm25"))
+  }
+
+  /** Top-k terms per document by tfidf (ties broken by token for a total
+    * order). One doc-keyed exchange over the already-scored frame. */
+  def topTerms(scores: DataFrame, k: Int): DataFrame =
+    scores.withColumn("rank",
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rank") <= k)
+}
