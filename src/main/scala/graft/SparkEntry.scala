@@ -1608,6 +1608,37 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q107_km_grouped" -> ((s, d) => {
+      // per-group Kaplan-Meier in ONE call: global range cumsum over
+      // (group, time) with per-group offset subtraction — no per-group
+      // window over row data, no driver loop. DuckDB replays the textbook
+      // estimator with a partitioned window over the tiny curve frame.
+      val subj = t(s, d, "lineitem").select(
+        col("l_returnflag").as("arm"),
+        col("l_quantity").cast("int").as("time"),
+        (col("l_linenumber") % 2).cast("int").as("event"))
+      graft.ops.Survival.kaplanMeierBy(subj, col("arm"), col("time"),
+          col("event"))
+        .select(col("group").as("arm"), col("time"), col("n_risk"),
+          col("n_event"), col("n_censored"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy(col("arm"), col("time"))
+    }),
+    "q108_log_rank" -> ((s, d) => {
+      // Mantel-Cox log-rank test: O/E/V accumulate over pooled event times
+      // from ONE RangeCumSum pass; chi2 is closed-form in SQL (p, a pure
+      // driver function of chi2, is unit-tested against chiSqCdf)
+      val subj = t(s, d, "lineitem").select(
+        (col("l_orderkey") % 2).cast("int").as("arm"),
+        col("l_quantity").cast("int").as("time"),
+        (col("l_linenumber") % 2).cast("int").as("event"))
+      graft.ops.Survival.logRankTest(subj, col("arm"), col("time"),
+          col("event"))
+        .select(round(col("observed1"), 6).as("observed1"),
+          round(col("expected1"), 6).as("expected1"),
+          round(col("variance"), 6).as("variance"),
+          round(col("chi2"), 6).as("chi2"))
+    }),
     "q106_feature_process" -> ((s, d) => {
       // the reference's feature_process pipeline end-to-end: dtype
       // classification, min-max scaling, cardinality-capped one-hot,
@@ -1661,6 +1692,52 @@ object SparkEntry {
         |  round(bm25, 6) AS bm25
         |FROM ranked WHERE rank <= 3 AND doc_id % 57 = 0
         |ORDER BY doc_id, rank""".stripMargin,
+    "q107_km_grouped" ->
+      // q88's estimator with the window partitioned by group; at-risk from
+      // per-group totals joined back
+      """WITH s AS (SELECT l_returnflag AS arm, CAST(l_quantity AS INT) AS time,
+        |              CAST(l_linenumber % 2 AS INT) AS event FROM lineitem),
+        |g AS (SELECT arm, time, sum(event) AS d, count(*) AS c
+        |      FROM s GROUP BY 1, 2),
+        |o AS (SELECT arm, time, d, c,
+        |        sum(c) OVER (PARTITION BY arm ORDER BY time
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+        |      FROM g),
+        |t AS (SELECT arm, sum(c) AS tot FROM g GROUP BY 1),
+        |r AS (SELECT o.arm, time, d, c, tot - cumc + c AS n_risk
+        |      FROM o JOIN t ON o.arm = t.arm)
+        |SELECT arm, time, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_event, CAST(c - d AS BIGINT) AS n_censored,
+        |  round(exp(sum(ln(1.0 - d * 1.0 / n_risk))
+        |    OVER (PARTITION BY arm ORDER BY time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        |FROM r ORDER BY arm, time""".stripMargin,
+    "q108_log_rank" ->
+      // O1/E1/V per pooled event time with at-risk by cumulative
+      // subtraction; only times with d > 0 contribute
+      """WITH s AS (SELECT CAST(l_orderkey % 2 AS INT) AS arm,
+        |              CAST(l_quantity AS INT) AS time,
+        |              CAST(l_linenumber % 2 AS INT) AS event FROM lineitem),
+        |g AS (SELECT time,
+        |        sum(CASE WHEN arm = 1 THEN event ELSE 0 END) AS d1,
+        |        sum(CASE WHEN arm = 0 THEN event ELSE 0 END) AS d0,
+        |        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS x1,
+        |        sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS x0
+        |      FROM s GROUP BY 1),
+        |o AS (SELECT *,
+        |        (SELECT sum(x1) FROM g) - sum(x1) OVER w + x1 AS n1,
+        |        (SELECT sum(x0) FROM g) - sum(x0) OVER w + x0 AS n0
+        |      FROM g WINDOW w AS (ORDER BY time
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |e AS (SELECT d1, (d1 + d0) * n1 * 1.0 / (n1 + n0) AS e1,
+        |        CASE WHEN n1 + n0 > 1 THEN
+        |          (d1 + d0) * (n1 * 1.0 / (n1 + n0)) * (n0 * 1.0 / (n1 + n0))
+        |            * (n1 + n0 - d1 - d0) / (n1 + n0 - 1.0) ELSE 0.0 END AS v
+        |      FROM o WHERE d1 + d0 > 0)
+        |SELECT round(sum(d1), 6) AS observed1, round(sum(e1), 6) AS expected1,
+        |  round(sum(v), 6) AS variance,
+        |  round((sum(d1) - sum(e1)) * (sum(d1) - sum(e1)) / sum(v), 6) AS chi2
+        |FROM e""".stripMargin,
     "q106_feature_process" ->
       // min-max scaling replayed with corpus-level min/max as a 1-row
       // cross join; one-hot sums are plain conditional counts

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SurvivalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("kaplanMeierBy matches per-group kaplanMeier run separately") {
+    val df = Seq(
+      (0, 1, 1), (0, 2, 1), (0, 2, 0), (0, 4, 1), (0, 5, 0),
+      (1, 1, 0), (1, 3, 1), (1, 3, 1), (1, 6, 1), (1, 7, 1))
+      .toDF("g", "t", "e")
+    val grouped = Survival.kaplanMeierBy(df, $"g", $"t", $"e")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    for (g <- Seq(0, 1)) {
+      val single = Survival.kaplanMeier(df.filter($"g" === g), $"t", $"e")
+        .collect().map(r => (r.getInt(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(single.keySet.map((g, _)) == grouped.keySet.filter(_._1 == g))
+      single.foreach { case (t, v) =>
+        val gv = grouped((g, t))
+        assert(gv._1 == v._1 && gv._2 == v._2 && gv._3 == v._3)
+        assert(math.abs(gv._4 - v._4) < 1e-12, s"g=$g t=$t $gv vs $v")
+      }
+    }
+  }
+
+  test("kaplanMeierBy: terminal d=r gives exact survival 0 without poisoning the next group") {
+    // group "a" dies out completely at t=2 (d=r there); group "b" follows
+    // in (group, time) order and must be unaffected
+    val df = Seq(
+      ("a", 1, 1), ("a", 2, 1), ("a", 2, 1),
+      ("b", 1, 1), ("b", 3, 0)).toDF("g", "t", "e")
+    val m = Survival.kaplanMeierBy(df, $"g", $"t", $"e")
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getDouble(5))).toMap
+    assert(m(("a", 2)) == 0.0)
+    assert(math.abs(m(("b", 1)) - 0.5) < 1e-12)
+    assert(math.abs(m(("b", 3)) - 0.5) < 1e-12) // censored, no drop
+  }
+
+  test("logRankTest: identical arms give chi2 ~ 0") {
+    val base = Seq((1, 1), (2, 1), (3, 0), (4, 1), (5, 1))
+    val df = (base.map { case (t, e) => (0, t, e) } ++
+      base.map { case (t, e) => (1, t, e) }).toDF("g", "t", "e")
+    val r = Survival.logRankTest(df, $"g", $"t", $"e").head()
+    assert(math.abs(r.getDouble(3)) < 1e-12) // chi2
+    assert(r.getDouble(4) > 0.999)           // p
+  }
+
+  test("logRankTest: hand-computed O/E/V on a 4-subject fixture") {
+    // arm1: events at t=1,2; arm0: events at t=3,4
+    val df = Seq((1, 1, 1), (1, 2, 1), (0, 3, 1), (0, 4, 1)).toDF("g", "t", "e")
+    // t=1: n1=2,n0=2,d=1 -> e1=0.5, v=1*(2/4)*(2/4)*(3/3)=0.25
+    // t=2: n1=1,n0=2,d=1 -> e1=1/3, v=(1/3)*(2/3)*1=2/9
+    // t=3: n1=0,n0=2,d=1 -> e1=0,   v=0
+    // t=4: n1=0,n0=1,d=1 -> e1=0,   v=0 (n=1 branch)
+    val r = Survival.logRankTest(df, $"g", $"t", $"e").head()
+    assert(r.getDouble(0) == 2.0)
+    assert(math.abs(r.getDouble(1) - (0.5 + 1.0 / 3)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - (0.25 + 2.0 / 9)) < 1e-12)
+    val chi2 = math.pow(2.0 - 5.0 / 6, 2) / (0.25 + 2.0 / 9)
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-12)
+    assert(math.abs(r.getDouble(4) -
+      (1.0 - graft.stats.Dist.chiSqCdf(chi2, 1.0))) < 1e-12)
+  }
+
+  test("logRankTest: degenerate one-arm input raises the named error") {
+    val df = Seq((1, 1, 1), (1, 2, 1)).toDF("g", "t", "e")
+    val e = intercept[IllegalArgumentException] {
+      Survival.logRankTest(df, $"g", $"t", $"e")
+    }
+    assert(e.getMessage.contains("log_rank_test"))
+  }
+}
