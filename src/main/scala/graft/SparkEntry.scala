@@ -1608,6 +1608,35 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q109_aipw" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // doubly-robust (AIPW) ATE with SATURATED cell models (m1/m0/e are
+      // exact cell statistics): the oracle replays the full per-row
+      // influence-term mean — same IEEE row arithmetic, only summation
+      // order differs (y scaled to O(100) keeps that far below 1e-6).
+      // Bootstrap band pinned (deterministic hash weights, q99 idiom).
+      val li = t(s, d, "lineitem").select(
+        (col("l_quantity") > 25).cast("int").as("seg"),
+        (col("l_orderkey") % 2).cast("int").as("tr"),
+        (col("l_extendedprice") / 1000.0).as("y"),
+        col("l_orderkey"), col("l_linenumber"))
+      val cell = li.groupBy(col("seg")).agg(
+        avg(when(col("tr") === 1, col("y"))).as("m1"),
+        avg(when(col("tr") === 0, col("y"))).as("m0"),
+        avg(col("tr").cast("double")).as("e"))
+      val j = li.join(broadcast(cell), "seg")
+      val est = graft.ops.Bootstrap.aipwEstimator(j, col("y"), col("tr"),
+        col("e"), col("m1"), col("m0"), b = 100,
+        idCols = Seq(col("l_orderkey"), col("l_linenumber")))
+      Seq((est.estimate, est.stderr, est.lower, est.upper))
+        .toDF("e_raw", "s_raw", "l_raw", "u_raw")
+        .select(round(col("e_raw"), 6).as("aipw_ate"),
+          round(col("s_raw"), 6).as("stderr"),
+          round(col("l_raw"), 6).as("lower"),
+          round(col("u_raw"), 6).as("upper"),
+          lit(sfTag(d)).as("oracle_sf"))
+    }),
     "q107_km_grouped" -> ((s, d) => {
       // per-group Kaplan-Meier in ONE call: global range cumsum over
       // (group, time) with per-group offset subtraction — no per-group
@@ -1692,6 +1721,24 @@ object SparkEntry {
         |  round(bm25, 6) AS bm25
         |FROM ranked WHERE rank <= 3 AND doc_id % 57 = 0
         |ORDER BY doc_id, rank""".stripMargin,
+    "q109_aipw" ->
+      // the full AIPW influence-term mean replayed per row (cell models
+      // joined back); bootstrap band pinned at sf0.01
+      """WITH li AS (SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS seg,
+        |    CAST(l_orderkey % 2 AS INT) AS tr, l_extendedprice / 1000.0 AS y
+        |  FROM lineitem),
+        |cell AS (SELECT seg, avg(CASE WHEN tr = 1 THEN y END) AS m1,
+        |    avg(CASE WHEN tr = 0 THEN y END) AS m0,
+        |    avg(CAST(tr AS DOUBLE)) AS e FROM li GROUP BY seg),
+        |psi AS (SELECT m1 - m0 + tr * (y - m1) / e
+        |      - (1 - tr) * (y - m0) / (1 - e) AS v
+        |  FROM li JOIN cell USING (seg))
+        |SELECT round(avg(v), 6) AS aipw_ate,
+        |  CAST(0.243309 AS DOUBLE) AS stderr,
+        |  CAST(-0.111791 AS DOUBLE) AS lower,
+        |  CAST(0.821377 AS DOUBLE) AS upper,
+        |  '0.01' AS oracle_sf
+        |FROM psi""".stripMargin,
     "q107_km_grouped" ->
       // q88's estimator with the window partitioned by group; at-risk from
       // per-group totals joined back

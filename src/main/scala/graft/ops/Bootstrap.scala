@@ -314,6 +314,33 @@ object Bootstrap {
     finishEffect(obs, reps, alpha)
   }
 
+  /** Doubly-robust (AIPW) ATE with bootstrap CI — consistent if EITHER the
+    * propensity `e(x)` OR the outcome models `mu1(x)`/`mu0(x)` are right
+    * (Robins-Rotnitzky-Zhao augmented IPW; the natural completion of the
+    * reference's ATE/IPW estimator pair, statistics.py:1054-1217). All
+    * three model columns are precomputed, like [[ipwEstimator]]'s
+    * propensity; the per-row influence term
+    * ψ = μ₁−μ₀ + T(Y−μ₁)/e − (1−T)(Y−μ₀)/(1−e) is a codegen projection
+    * and the estimator is its (replicate-weighted) mean — observed +
+    * all replicates in the same ONE scan. */
+  def aipwEstimator(df: DataFrame, y: Column, treatment: Column,
+                    propensity: Column, mu1: Column, mu0: Column,
+                    b: Int = 500, alpha: Double = 0.05, seed: Long = 42L,
+                    idCols: Seq[Column] = Seq.empty): EffectEstimate = {
+    val (base, ids) = narrowWithIds(df,
+      Seq(y.cast("double").as("y"), treatment.cast("int").as("t"),
+        propensity.cast("double").as("e"), mu1.cast("double").as("m1"),
+        mu0.cast("double").as("m0")), idCols)
+    def aipw(w: Column): Column = {
+      val psi = col("m1") - col("m0") +
+        col("t") * (col("y") - col("m1")) / col("e") -
+        (lit(1) - col("t")) * (col("y") - col("m0")) / (lit(1) - col("e"))
+      sum(psi * w) / sum(w)
+    }
+    val (obs, reps) = repsWithObserved(base, ids, b, seed)(aipw)
+    finishEffect(obs, reps, alpha)
+  }
+
   private def finishEffect(obs: Double, reps: DataFrame, alpha: Double): EffectEstimate = {
     val s = summarize(reps, "stat", alpha)
     val z = obs / s.std

@@ -138,6 +138,36 @@ class BootstrapSpec extends AnyFunSuite {
     assert(ipw.p_value < 0.01)
   }
 
+  test("aipw estimator: doubly robust — saturated outcome models make any propensity exact") {
+    val rng = new scala.util.Random(31)
+    // one binary covariate cell; planted per-cell effects 1.0 and 3.0
+    val rows = (1 to 4000).map { i =>
+      val seg = i % 2
+      val e = if (seg == 1) 0.7 else 0.3
+      val t = if (rng.nextDouble() < e) 1 else 0
+      val tau = if (seg == 1) 3.0 else 1.0
+      val y = tau * t + 2.0 * seg + rng.nextGaussian() * 0.5
+      (i.toLong, seg, y, t)
+    }
+    val d = spark.createDataFrame(rows).toDF("id", "seg", "y", "t")
+    val cell = d.groupBy($"seg").agg(
+      avg(when($"t" === 1, $"y")).as("m1"),
+      avg(when($"t" === 0, $"y")).as("m0"),
+      avg($"t".cast("double")).as("e"))
+    val j = d.join(broadcast(cell), "seg")
+    val good = Bootstrap.aipwEstimator(j, $"y", $"t", $"e", $"m1", $"m0",
+      b = 100, idCols = Seq($"id"))
+    // stratified closed form: equal cell sizes -> (tau0 + tau1) / 2 = 2
+    assert(math.abs(good.estimate - 2.0) < 0.1, s"aipw: ${good.estimate}")
+    // with exact cell outcome means the augmentation terms cancel within
+    // each cell, so even a grossly wrong CONSTANT propensity moves nothing
+    val wrong = Bootstrap.aipwEstimator(j, $"y", $"t", lit(0.9), $"m1", $"m0",
+      b = 100, idCols = Seq($"id"))
+    assert(math.abs(wrong.estimate - good.estimate) < 1e-9,
+      s"DR property violated: ${wrong.estimate} vs ${good.estimate}")
+    assert(good.lower < good.estimate && good.estimate < good.upper)
+  }
+
   test("Par.ensure repartitions starved inputs and passes parallel ones through") {
     val d = (1 to 1000).map(_.toLong).toDF("id")
     val target = spark.sparkContext.defaultParallelism
