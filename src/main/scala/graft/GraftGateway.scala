@@ -176,7 +176,8 @@ object GraftGateway {
     "smd", "linear_dml", "iv_regression", "cut_bins", "group_set",
     "boot_strap", "permutation", "did", "nonparam_dml",
     "quantile_test_bucket", "mann_whitney_utest", "mann_whitney_u_test",
-    "kolmogorov_smirnov_test", "causal_forest", "causal_tree")
+    "kolmogorov_smirnov_test", "causal_forest", "causal_tree",
+    "kaplan_meier", "log_rank_test", "aipw")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -258,6 +259,20 @@ object GraftGateway {
           mde = if (a.length > 3) num(a(3)) else 0.0,
           mdeType = if (a.length > 4) str(a(4)) else "abs")
         Seq((obs, p)).toDF("observed", "p_value")
+      case "kaplan_meier" =>
+        require(a.length >= 2, "kaplan_meier(time, event[, group])")
+        if (a.length > 2) Survival.kaplanMeierBy(df, c(a(2)), c(a(0)), c(a(1)))
+        else Survival.kaplanMeier(df, c(a(0)), c(a(1)))
+      case "log_rank_test" =>
+        require(a.length >= 3, "log_rank_test(group, time, event)")
+        Survival.logRankTest(df, c(a(0)), c(a(1)), c(a(2)))
+      case "aipw" =>
+        require(a.length >= 5, "aipw(y, t, propensity, mu1, mu0[, B])")
+        val est = Bootstrap.aipwEstimator(df, c(a(0)), c(a(1)), c(a(2)),
+          c(a(3)), c(a(4)),
+          b = if (a.length > 5) num(a(5)).toInt else 500)
+        Seq((est.estimate, est.stderr, est.lower, est.upper, est.p_value))
+          .toDF("estimate", "stderr", "lower", "upper", "p_value")
       case "did" =>
         // DIDParser.java:40-43: y ~ treatment + time + treatment·time [+ x…]
         require(a.length >= 3, "did(y, treatment, time[, x...])")

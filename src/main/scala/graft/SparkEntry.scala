@@ -1608,6 +1608,19 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q110_survival_verb" -> ((s, d) => {
+      // the grouped kaplan_meier gateway verb end-to-end (q94 idiom:
+      // same capability as q107, dispatched from raw SQL)
+      t(s, d, "lineitem").select(col("l_returnflag").as("arm"),
+          col("l_quantity").cast("int").as("time"),
+          (col("l_linenumber") % 2).cast("int").as("event"))
+        .createOrReplaceTempView("li_surv")
+      GraftGateway.sql(s, "SELECT kaplan_meier(time, event, arm) FROM li_surv")
+        .select(col("group").as("arm"), col("time"), col("n_risk"),
+          col("n_event"), col("n_censored"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy(col("arm"), col("time"))
+    }),
     "q109_aipw" -> ((s, d) => {
       val spark = s
       import spark.implicits._
@@ -1739,6 +1752,27 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q110_survival_verb" ->
+      // identical estimator to q107 (same derivation), via the SQL verb
+      // q88's estimator with the window partitioned by group; at-risk from
+      // per-group totals joined back
+      """WITH s AS (SELECT l_returnflag AS arm, CAST(l_quantity AS INT) AS time,
+        |              CAST(l_linenumber % 2 AS INT) AS event FROM lineitem),
+        |g AS (SELECT arm, time, sum(event) AS d, count(*) AS c
+        |      FROM s GROUP BY 1, 2),
+        |o AS (SELECT arm, time, d, c,
+        |        sum(c) OVER (PARTITION BY arm ORDER BY time
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+        |      FROM g),
+        |t AS (SELECT arm, sum(c) AS tot FROM g GROUP BY 1),
+        |r AS (SELECT o.arm, time, d, c, tot - cumc + c AS n_risk
+        |      FROM o JOIN t ON o.arm = t.arm)
+        |SELECT arm, time, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_event, CAST(c - d AS BIGINT) AS n_censored,
+        |  round(exp(sum(ln(1.0 - d * 1.0 / n_risk))
+        |    OVER (PARTITION BY arm ORDER BY time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        |FROM r ORDER BY arm, time""".stripMargin,
     "q107_km_grouped" ->
       // q88's estimator with the window partitioned by group; at-risk from
       // per-group totals joined back

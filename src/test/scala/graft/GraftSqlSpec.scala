@@ -208,6 +208,25 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(pass.getLong(0) == 4000L)
   }
 
+  test("gateway verbs: kaplan_meier, log_rank_test, aipw dispatch") {
+    setup
+    val km = GraftGateway.sql(spark,
+      "SELECT kaplan_meier(CAST(uin % 5 AS INT), CAST(uin % 2 AS INT)) FROM exp_data")
+    assert(km.columns.toSeq ==
+      Seq("time", "n_risk", "n_event", "n_censored", "survival"))
+    assert(km.count() == 5)
+    val kmg = GraftGateway.sql(spark,
+      "SELECT kaplan_meier(CAST(uin % 5 AS INT), CAST(uin % 2 AS INT), t) FROM exp_data")
+    assert(kmg.columns.head == "group" && kmg.count() == 10)
+    val lr = GraftGateway.sql(spark,
+      "SELECT log_rank_test(t, CAST(uin % 5 AS INT), CAST(uin % 2 AS INT)) FROM exp_data")
+      .head()
+    assert(lr.getDouble(4) >= 0.0 && lr.getDouble(4) <= 1.0) // p_value
+    val aipw = GraftGateway.sql(spark,
+      "SELECT aipw(y, t, 0.5 + 0.0 * x, y - y, y - y, 50) FROM exp_data").head()
+    assert(!aipw.getAs[Double]("estimate").isNaN)
+  }
+
   test("GraftExtensions injects the sql surface into a fresh session") {
     setup
     // newSession() has a FRESH temp-function registry — GraftSql.register
