@@ -407,6 +407,59 @@ object ScaleProbe {
       assert(lastW == (totalTok - 1) / 2048,
         s"last window $lastW != ${(totalTok - 1) / 2048}")
     }
+
+    // grouped Kaplan-Meier + log-rank at full scale: 100M subjects
+    // collapse to |groups|x|distinct times| curve rows in the first
+    // groupBy; everything after (cumsums, offsets, O/E/V) runs on that
+    // tiny frame — the probe pins that the row-scale work is ONE exchange
+    val survDf = df.select(
+      (col("id") % 4).cast("int").as("arm2"),
+      (col("id") % 2).cast("int").as("arm"),
+      pmod(xxhash64(col("id"), lit(91)), lit(10000L)).cast("int").as("stime"),
+      (pmod(xxhash64(col("id"), lit(92)), lit(10L)) < 7).cast("int").as("ev"))
+    time(s"kaplan_meier grouped ($rows rows, 4 groups, 10k times)") {
+      val km = graft.ops.Survival.kaplanMeierBy(survDf, col("arm2"),
+        col("stime"), col("ev"))
+      assert(km.count() == 40000L)
+    }
+    time(s"log_rank_test ($rows rows, 10k times)") {
+      val r = graft.ops.Survival.logRankTest(survDf, col("arm"),
+        col("stime"), col("ev")).head()
+      // arm is independent of time/event: p must not report an effect
+      assert(r.getDouble(4) > 1e-6, s"null log-rank p ${r.getDouble(4)}")
+    }
+
+    // tf-idf at corpus scale: 1M docs x 40 hash-random words explode to
+    // 40M (doc, token) pairs; df table ~50k vocabulary rows; the join
+    // back is token-keyed under AQE. The top-k window re-keys by doc.
+    time(s"tfidf term scores + top3 ($docRows docs)") {
+      val scored = graft.ops.TfIdf.termScores(docs, col("id"), col("text"))
+      val top = graft.ops.TfIdf.topTerms(scored, 3)
+      assert(top.filter(col("rank") === 1).count() == docRows)
+    }
+
+    // feature_process at full scale: the stats pass is ONE agg (4 numeric
+    // aggregates + a 16-category capped set), the transform pure codegen
+    time(s"feature_process minmax+onehot ($rows rows)") {
+      val fdf = df.select(col("id"), col("x1"), col("x2"), col("y"),
+        concat(lit("c"), (col("id") % 16).cast("string")).as("cat"),
+        col("t").cast("double").as("label"))
+      val (out, names) = graft.ops.Features.featureProcess(fdf, "label",
+        exclude = Seq("id"))
+      assert(names.length == 3 + 16, names.mkString(","))
+      val r = out.agg(avg(element_at(col("features"), 1))).head().getDouble(0)
+      assert(r > 0.0 && r < 1.0, s"minmax mean $r")
+    }
+
+    // AIPW at full scale: the influence term is a projection; observed +
+    // 20 replicates ride one scan like the other estimators
+    time(s"aipw estimator B=20 ($rows rows)") {
+      val ad = df.select(col("id"), col("y"), col("t"), lit(0.5).as("e"),
+        (col("x1") * 2.0).as("m1"), (col("x1") * 2.0 - 1.0).as("m0"))
+      val est = graft.ops.Bootstrap.aipwEstimator(ad, col("y"), col("t"),
+        col("e"), col("m1"), col("m0"), b = 20, idCols = Seq(col("id")))
+      assert(!est.estimate.isNaN)
+    }
     } // suite()
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt

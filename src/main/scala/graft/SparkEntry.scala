@@ -1608,6 +1608,40 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q111_streaming_sessionize" -> ((s, d) => {
+      // the custom-state streaming op under the oracle gate (q73 idiom):
+      // gap-sessionization via flatMapGroupsWithState over a REAL
+      // readStream. With NoTimeout and the single AvailableNow batch,
+      // exactly the NON-FINAL sessions per user close (the last stays in
+      // state) — DuckDB mirrors by sessionizing in SQL and dropping each
+      // user's final session. Gap compares in epoch NANOS end-to-end.
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+      val spark = s
+      import spark.implicits._
+      val ev = t(s, d, "events")
+      val stream = s.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val evs = tsNanos(stream)
+        .select(col("user_id").as("userId"), col("ts"), col("value"))
+        .as[graft.streaming.StreamOps.SessionEvent]
+      val sess = graft.streaming.StreamOps.sessionize(evs,
+        gapMs = 14400L * 1000000000L, timeout = GroupStateTimeout.NoTimeout())
+      val sink = "q111_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
+      // append-mode memory sink accumulates across re-runs in one session
+      // (Bench passes): reset the table first
+      s.catalog.dropTempView(sink)
+      val q = sess.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("userId")).as("n_users"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"),
+        round(avg(col("n")), 6).as("avg_session_events"),
+        round(max(col("durationMs").cast("double") / 1e9), 6).as("max_duration_sec"),
+        round(sum(col("sum")), 2).as("sum_value"))
+    }),
     "q110_survival_verb" -> ((s, d) => {
       // the grouped kaplan_meier gateway verb end-to-end (q94 idiom:
       // same capability as q107, dispatched from raw SQL)
@@ -1752,6 +1786,30 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q111_streaming_sessionize" ->
+      // batch replay of the streaming semantics: gap-break sessions per
+      // user, drop each user's LAST session (it never closes in-stream)
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value FROM events),
+        |l AS (SELECT user_id, t, value,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 14400000000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t, value, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM l),
+        |g AS (SELECT user_id, sid, count(*) AS n, sum(value) AS sv,
+        |    max(t) - min(t) AS dur FROM s GROUP BY 1, 2),
+        |closed AS (SELECT g.* FROM g
+        |  JOIN (SELECT user_id, max(sid) AS ms FROM g GROUP BY 1) f
+        |  ON g.user_id = f.user_id AND g.sid < f.ms)
+        |SELECT count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(max(n) AS BIGINT) AS max_session_events,
+        |  round(avg(n * 1.0), 6) AS avg_session_events,
+        |  round(max(dur / 1e9), 6) AS max_duration_sec,
+        |  round(sum(sv), 2) AS sum_value
+        |FROM closed""".stripMargin,
     "q110_survival_verb" ->
       // identical estimator to q107 (same derivation), via the SQL verb
       // q88's estimator with the window partitioned by group; at-risk from

@@ -37,26 +37,28 @@ object TfIdf {
     * token length), df (docs containing token), tfidf, bm25. */
   def termScores(docs: DataFrame, id: Column, text: Column,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = docs
-      .select(id.as("doc_id"), explode(tokens(text)).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    // dl from the tf frame itself (sum of tf per doc) — saves re-reading
-    // the text; one window-free agg then a doc-keyed join is replaced by
-    // a doc-keyed window: the partition key has bounded cardinality per
-    // doc, so no skew concern.
-    val withDl = tf.withColumn("dl",
-      sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-    val dfTable = tf.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
-    val corpus = tf.agg(
-      countDistinct(col("doc_id")).as("n_docs"),
-      (sum(col("tf")) / countDistinct(col("doc_id"))).as("avgdl")).head()
+    // dl rides the explode as a per-row constant, so no per-doc window (a
+    // 40M-row shuffle+sort saved per 1M docs); the corpus scalars (N,
+    // avgdl) come from one cheap pass over the RAW docs — token-array
+    // sizes only, never the exploded frame, so the expensive
+    // explode+groupBy subtree is built exactly once and its exchange is
+    // reused between the df-table branch and the join branch.
+    val corpus = docs.select(size(tokens(text)).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head()
     val nDocs = corpus.getLong(0)
     val avgdl = corpus.getDouble(1)
+    val tf = docs
+      .select(id.as("doc_id"), tokens(text).as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("token"),
+        size(col("__toks")).cast("long").as("dl"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfTable = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
     val idf = log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0
     val tfD = col("tf").cast("double")
-    withDl.join(dfTable, "token")
+    tf.join(dfTable, "token")
       .withColumn("idf", idf)
       .withColumn("tfidf", tfD * col("idf"))
       .withColumn("bm25", col("idf") * tfD * (k1 + 1.0) /
