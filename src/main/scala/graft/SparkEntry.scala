@@ -1608,6 +1608,27 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q112_audio_decode" -> ((s, d) => {
+      // REAL PCM-WAV decode (pure RIFF chunk parsing, the audio twin of
+      // q45): a constant-amplitude mono clip per part row decodes to
+      // mean = rms = amp/32768 EXACTLY (power-of-two division), so the
+      // aggregate is closed form over `part`
+      val p = t(s, d, "part").select(
+        col("p_partkey").cast("long").as("id"),
+        (col("p_partkey") % 3001).cast("int").as("amp"),
+        (lit(800) + col("p_partkey") % 100).cast("int").as("n"))
+      val wav = p.withColumn("content",
+        graft.ops.Multimodal.constWavMono(col("amp"), col("n"), lit(16000)))
+      graft.ops.Multimodal.decodeAudio(wav.select(col("id"), col("content")))
+        .groupBy((col("id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("decode_ok").cast("long")).as("n_ok"),
+          sum(col("n_samples")).as("sum_samples"),
+          sum(col("sample_rate").cast("long")).as("sum_rate"),
+          round(sum(element_at(col("means"), 1)), 6).as("sum_mean"),
+          round(sum(element_at(col("rms"), 1)), 6).as("sum_rms"))
+        .orderBy(col("bucket"))
+    }),
     "q111_streaming_sessionize" -> ((s, d) => {
       // the custom-state streaming op under the oracle gate (q73 idiom):
       // gap-sessionization via flatMapGroupsWithState over a REAL
@@ -1786,6 +1807,14 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q112_audio_decode" ->
+      // constant-amplitude PCM16 decode: mean = rms = amp/32768 exact
+      """SELECT p_partkey % 10 AS bucket, count(*) AS n, count(*) AS n_ok,
+        |  CAST(sum(800 + p_partkey % 100) AS BIGINT) AS sum_samples,
+        |  CAST(count(*) * 16000 AS BIGINT) AS sum_rate,
+        |  round(sum((p_partkey % 3001) / 32768.0), 6) AS sum_mean,
+        |  round(sum((p_partkey % 3001) / 32768.0), 6) AS sum_rms
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "q111_streaming_sessionize" ->
       // batch replay of the streaming semantics: gap-break sessions per
       // user, drop each user's LAST session (it never closes in-stream)

@@ -165,6 +165,119 @@ object Multimodal {
   val solidPng: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(solidPngBytes _)
 
+  case class AudioRow(id: Long, content: Array[Byte])
+  case class AudioFeatures(id: Long, sampleRate: Int, channels: Int,
+                           nSamples: Long, means: Array[Double],
+                           rms: Array[Double], decodeOk: Boolean)
+
+  /** Decode one batch of RIFF/WAVE PCM-16 audio clips — a REAL decoder
+    * (pure chunk parsing, no codec library): walks the RIFF chunk list,
+    * requires fmt audioFormat=1 (PCM) at 16 bits, and accumulates
+    * per-channel sample sums and squared sums as exact longs, so a
+    * constant-amplitude clip reproduces mean = rms = a/32768 to the last
+    * bit (the q112 oracle relies on this — a/32768 is a power-of-two
+    * division, exact in IEEE). Means and RMS are normalized to [-1, 1].
+    * Malformed/truncated/non-PCM bytes flag decodeOk = false, never
+    * throw. */
+  private def decodeWavBatch(batch: Seq[AudioRow]): Seq[AudioFeatures] =
+    batch.map { r =>
+      val b = r.content
+      def fail = AudioFeatures(r.id, 0, 0, 0L, Array.empty, Array.empty,
+        decodeOk = false)
+      def u8(i: Int): Int = b(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+      def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+      try {
+        if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") fail
+        else {
+          var pos = 12
+          var channels = 0; var rate = 0; var fmtOk = false
+          var dataOff = -1; var dataLen = 0L
+          while (pos + 8 <= b.length) {
+            val id = tag(pos); val sz = le32(pos + 4)
+            if (id == "fmt " && sz >= 16) {
+              fmtOk = le16(pos + 8) == 1 && le16(pos + 8 + 14) == 16
+              channels = le16(pos + 8 + 2)
+              rate = le32(pos + 8 + 4).toInt
+            } else if (id == "data") {
+              dataOff = pos + 8
+              dataLen = math.min(sz, (b.length - dataOff).toLong)
+            }
+            // a corrupt size must terminate the walk, not wrap pos negative
+            if (sz < 0 || sz > b.length) pos = b.length
+            else pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          }
+          if (!fmtOk || channels <= 0 || dataOff < 0) fail
+          else {
+            val frameBytes = channels * 2
+            val n = dataLen / frameBytes
+            val sums = new Array[Long](channels)
+            val sqs = new Array[Long](channels)
+            var f = 0L
+            while (f < n) {
+              val base = dataOff + (f * frameBytes).toInt
+              var c = 0
+              while (c < channels) {
+                val v = le16(base + 2 * c).toShort.toInt
+                sums(c) += v; sqs(c) += v.toLong * v; c += 1
+              }
+              f += 1
+            }
+            val means =
+              if (n == 0) Array.fill(channels)(0.0)
+              else sums.map(s => s.toDouble / n / 32768.0)
+            val rms =
+              if (n == 0) Array.fill(channels)(0.0)
+              else sqs.map(q => math.sqrt(q.toDouble / n) / 32768.0)
+            AudioFeatures(r.id, rate, channels, n, means, rms, decodeOk = true)
+          }
+        }
+      } catch { case _: Exception => fail }
+    }
+
+  /** Real PCM-WAV decode + per-channel statistics: batched mapPartitions
+    * over (id, content) — the audio twin of [[decodeImages]]. Output:
+    * (id, sample_rate, channels, n_samples, means, rms, decode_ok). */
+  def decodeAudio(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val ds: Dataset[AudioRow] = df
+      .select(col("id").cast("long").as("id"), col("content"))
+      .as(Encoders.product[AudioRow])
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => decodeWavBatch(batch.toSeq))
+    }(Encoders.product[AudioFeatures])
+      .toDF("id", "sample_rate", "channels", "n_samples", "means", "rms",
+        "decode_ok")
+  }
+
+  /** Deterministic constant-amplitude PCM-16 WAV bytes (one value per
+    * channel) — fixture generator for decode tests and the q112
+    * closed-form oracle. */
+  def constWavBytes(amps: Array[Int], nSamples: Int, rate: Int): Array[Byte] = {
+    val ch = amps.length
+    val dataLen = nSamples * ch * 2
+    val bos = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bos.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var f = 0
+    while (f < nSamples) {
+      var c = 0
+      while (c < ch) { bos.putShort(amps(c).toShort); c += 1 }
+      f += 1
+    }
+    bos.array()
+  }
+
+  /** Column form of [[constWavBytes]] for a MONO clip. */
+  val constWavMono: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((amp: Int, n: Int, rate: Int) => constWavBytes(Array(amp), n, rate))
+
   /** Frame sampling plan for video rows: emits (id, frame_index, ts_ms) for
     * `fps`-spaced frames of each row's duration — pure column expressions
     * (sequence + explode); the decode of each sampled frame then rides the

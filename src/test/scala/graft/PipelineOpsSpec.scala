@@ -481,6 +481,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out(3L).getBoolean(6) && !out(4L).getBoolean(6))
   }
 
+  test("decodeAudio: real PCM-WAV parsing, exact channel stats, corrupt bytes") {
+    // stereo with distinct per-channel amplitudes; mono; junk; truncated
+    val stereo = Multimodal.constWavBytes(Array(1000, -2000), 50, 44100)
+    val rows = Seq(
+      (1L, Multimodal.constWavBytes(Array(4096), 800, 16000)),
+      (2L, stereo),
+      (3L, Array[Byte](82, 73, 70, 70, 1, 2, 3)), // RIFF but truncated
+      (4L, Array.empty[Byte]))
+    val d = rows.toDF("id", "content").repartition(2)
+    val out = Multimodal.decodeAudio(d, batchSize = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getInt(1) == 16000 && r1.getInt(2) == 1 && r1.getLong(3) == 800L)
+    assert(r1.getSeq[Double](4) == Seq(4096 / 32768.0)) // exact: 2^12/2^15
+    assert(r1.getSeq[Double](5) == Seq(4096 / 32768.0))
+    assert(r1.getBoolean(6))
+    val r2 = out(2L)
+    assert(r2.getInt(2) == 2 && r2.getLong(3) == 50L && r2.getInt(1) == 44100)
+    assert(r2.getSeq[Double](4) == Seq(1000 / 32768.0, -2000 / 32768.0))
+    assert(r2.getSeq[Double](5) == Seq(1000 / 32768.0, 2000 / 32768.0))
+    assert(!out(3L).getBoolean(6) && !out(4L).getBoolean(6))
+  }
+
   test("sampleFrames and resizePlan") {
     val d = Seq((1L, 1000L), (2L, 250L), (3L, 0L)).toDF("id", "dur")
     val frames = Multimodal.sampleFrames(d, $"id", $"dur", everyMs = 250L)
