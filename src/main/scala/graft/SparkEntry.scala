@@ -1608,6 +1608,23 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q113_json_orc_roundtrip" -> ((s, d) => {
+      // JSONL and ORC sources/sinks under the gate (q65 idiom): a lineitem
+      // slice round-trips text JSON then columnar ORC; Spark's JSON writer
+      // emits full-precision doubles, so the aggregates equal the parquet
+      // closed forms exactly
+      val src = t(s, d, "lineitem").filter(col("l_linenumber") === 2)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonorc_${sfTag(d)}_" +
+        s.sparkContext.applicationId
+      src.coalesce(1).write.mode("overwrite").json(s"$dir/j")
+      val j = s.read.schema(src.schema).json(s"$dir/j")
+      j.write.mode("overwrite").orc(s"$dir/o")
+      s.read.orc(s"$dir/o").agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("qty_sum"),
+        round(sum(col("l_discount") * col("l_quantity")), 4).as("disc_qty"))
+    }),
     "q112_audio_decode" -> ((s, d) => {
       // REAL PCM-WAV decode (pure RIFF chunk parsing, the audio twin of
       // q45): a constant-amplitude mono clip per part row decodes to
@@ -1807,6 +1824,12 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q113_json_orc_roundtrip" ->
+      // the round-trip preserves every double bit, so plain closed forms
+      """SELECT count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  round(sum(l_discount * l_quantity), 4) AS disc_qty
+        |FROM lineitem WHERE l_linenumber = 2""".stripMargin,
     "q112_audio_decode" ->
       // constant-amplitude PCM16 decode: mean = rms = amp/32768 exact
       """SELECT p_partkey % 10 AS bucket, count(*) AS n, count(*) AS n_ok,
