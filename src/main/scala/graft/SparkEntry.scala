@@ -1608,6 +1608,20 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q114_robust_means" -> ((s, d) => {
+      // winsorized/trimmed means with EXACT percentile bounds (q09 proved
+      // Spark percentile == DuckDB quantile_cont interpolation); the
+      // metric scan replays closed-form with the bounds as a 1-row cross
+      // join
+      graft.ops.Robust.robustMeans(t(s, d, "lineitem"),
+          col("l_extendedprice"), pLo = 0.05, pHi = 0.95, exact = true)
+        .select(col("n"), round(col("lo"), 4).as("lo"),
+          round(col("hi"), 4).as("hi"),
+          round(col("mean"), 4).as("mean"),
+          round(col("winsorized_mean"), 4).as("winsorized_mean"),
+          round(col("trimmed_mean"), 4).as("trimmed_mean"),
+          col("n_clipped_lo"), col("n_clipped_hi"))
+    }),
     "q113_json_orc_roundtrip" -> ((s, d) => {
       // JSONL and ORC sources/sinks under the gate (q65 idiom): a lineitem
       // slice round-trips text JSON then columnar ORC; Spark's JSON writer
@@ -1824,6 +1838,21 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q114_robust_means" ->
+      // same bounds (quantile_cont interpolation), same clip/trim forms
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
+        |SELECT count(l_extendedprice) AS n,
+        |  round(lo, 4) AS lo, round(hi, 4) AS hi,
+        |  round(avg(l_extendedprice), 4) AS mean,
+        |  round(avg(CASE WHEN l_extendedprice < lo THEN lo
+        |    WHEN l_extendedprice > hi THEN hi
+        |    ELSE l_extendedprice END), 4) AS winsorized_mean,
+        |  round(avg(CASE WHEN l_extendedprice BETWEEN lo AND hi
+        |    THEN l_extendedprice END), 4) AS trimmed_mean,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi
+        |FROM lineitem, b GROUP BY lo, hi""".stripMargin,
     "q113_json_orc_roundtrip" ->
       // the round-trip preserves every double bit, so plain closed forms
       """SELECT count(*) AS n_rows,

@@ -40,9 +40,13 @@ object TfIdf {
     // dl rides the explode as a per-row constant, so no per-doc window (a
     // 40M-row shuffle+sort saved per 1M docs); the corpus scalars (N,
     // avgdl) come from one cheap pass over the RAW docs — token-array
-    // sizes only, never the exploded frame, so the expensive
-    // explode+groupBy subtree is built exactly once and its exchange is
-    // reused between the df-table branch and the join branch.
+    // sizes only, never the exploded frame. The tf subtree below IS built
+    // twice (df-table branch + join branch; column pruning makes the
+    // subtrees differ so exchange reuse cannot deduplicate them) and that
+    // is the MEASURED best shape: a localCheckpoint that materialized tf
+    // once made the 1M-doc probe ~40% slower (58 s vs 41 s) — writing 40M
+    // rows to block storage costs more than re-running the codegen'd
+    // tokenize+explode+agg lineage.
     val corpus = docs.select(size(tokens(text)).as("dl"))
       .filter(col("dl") > 0)
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head()
