@@ -451,6 +451,21 @@ object ScaleProbe {
       assert(r > 0.0 && r < 1.0, s"minmax mean $r")
     }
 
+    // incremental dedup at batch-ingest scale: 1M-doc batch against a
+    // 1M-doc history with 10% planted re-ingestions — the bloom sketch
+    // (one distributed agg) prunes ~90% of the batch before the exact
+    // anti-join
+    time(s"incremental dedup ($docRows batch vs $docRows history)") {
+      val hist = spark.range(docRows).select(col("id"),
+        concat_ws(" ", words(col("id"), 93)).as("text"))
+      val batch = spark.range(docRows).select(col("id"),
+        when(col("id") % 10 === 0, concat_ws(" ", words(col("id"), 93)))
+          .otherwise(concat_ws(" ", words(col("id"), 94))).as("text"))
+      val nNew = graft.ops.Dedup.incrementalDedup(batch, hist,
+        col("text"), col("text"), expectedHistory = docRows).count()
+      assert(nNew == docRows - docRows / 10, s"new $nNew")
+    }
+
     // AIPW at full scale: the influence term is a projection; observed +
     // 20 replicates ride one scan like the other estimators
     time(s"aipw estimator B=20 ($rows rows)") {

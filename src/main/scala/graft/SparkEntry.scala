@@ -1608,6 +1608,23 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q115_incremental_dedup" -> ((s, d) => {
+      // incremental-ingestion dedup: the corpus batch carries 100 planted
+      // re-ingestions plus the history docs themselves; only genuinely-new
+      // docs survive the bloom-prefiltered exact anti-join. The oracle is
+      // the closed-form new-docs set (normalized texts are unique in this
+      // table, verified).
+      val docs = t(s, d, "documents")
+      val corpus = docs.select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 10000).as("doc_id"), col("lang"),
+            col("text")))
+      val history = docs.filter(col("doc_id") < 250)
+      graft.ops.Dedup.incrementalDedup(corpus, history, col("text"),
+          col("text"), expectedHistory = 1000L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_new"))
+        .orderBy(col("lang"))
+    }),
     "q114_robust_means" -> ((s, d) => {
       // winsorized/trimmed means with EXACT percentile bounds (q09 proved
       // Spark percentile == DuckDB quantile_cont interpolation); the
@@ -1838,6 +1855,11 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q115_incremental_dedup" ->
+      // exact semantics: only docs outside the history (doc_id >= 250)
+      // are new — the planted re-ingestions and the history members drop
+      """SELECT lang, count(*) AS n_new FROM documents
+        |WHERE doc_id >= 250 GROUP BY lang ORDER BY lang""".stripMargin,
     "q114_robust_means" ->
       // same bounds (quantile_cont interpolation), same clip/trim forms
       """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,

@@ -34,6 +34,45 @@ object Dedup {
     survivors.unionByName(df.filter(text.isNull))
   }
 
+  /** Incremental-ingestion dedup: keep only the corpus rows whose
+    * normalized content fingerprint does NOT appear in `history` — the
+    * pattern a continuously-fed training pipeline runs on every new batch
+    * against everything already ingested.
+    *
+    * Semantics are EXACT (a left_anti join on the fingerprint decides);
+    * the Bloom filter is a prefilter only: built over the history
+    * fingerprints with `df.stat.bloomFilter` (one distributed agg, the
+    * sketch merges associatively), it rides the corpus scan inside the
+    * closure and drops the vast majority of genuinely-new rows before the
+    * join, so only probable-duplicate candidates shuffle. Bloom false
+    * positives are killed by the join; false negatives cannot occur.
+    * Driver/executor memory for the sketch is `-log(fpp)·n/ln²2` bits
+    * (~1.2 GB per 1e9 history docs at 1% — size `expectedHistory`
+    * honestly, and pre-bucket the history table on the fingerprint
+    * ([[Layout]]) so ITS side of the verification join co-locates without
+    * a shuffle at 100 TB).
+    *
+    * Returns the new-only corpus rows (original columns). */
+  def incrementalDedup(corpus: DataFrame, history: DataFrame,
+                       corpusText: Column, historyText: Column,
+                       expectedHistory: Long = 10000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    val hfp = history.filter(historyText.isNotNull)
+      .select(TextOps.contentFingerprint(historyText).as("fp"))
+    val bloom = hfp.stat.bloomFilter("fp", expectedHistory, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
+    val withFp = corpus.withColumn("__fp",
+      TextOps.contentFingerprint(corpusText))
+    val hist = hfp.distinct()
+    // definitely-new rows skip the join entirely; bloom false positives
+    // among the candidates survive the exact anti-join
+    val newFast = withFp.filter(!mightContain(col("__fp")))
+    val fpSurvivors = withFp.filter(mightContain(col("__fp")))
+      .join(hist, withFp("__fp") === hist("fp"), "left_anti")
+    newFast.unionByName(fpSurvivors).drop("__fp")
+  }
+
   /** k minhashes of a precomputed shingle array via double hashing
     * (Kirsch-Mitzenmacher): one xxhash64 pass per shingle produces (h1, h2),
     * then minhash_i = min over shingles of (h1 + i·h2) mod p — arithmetic,

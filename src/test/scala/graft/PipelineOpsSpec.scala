@@ -292,6 +292,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.filter($"id" >= 200L).count() == 0)
   }
 
+  test("incrementalDedup: exact new-only semantics, whitespace-normalized, fp-proof") {
+    val history = Seq((1L, "the cat sat"), (2L, "a dog ran"), (3L, "birds fly"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      (10L, "the cat sat"),        // exact dup
+      (11L, "  THE   cat SAT  "),  // dup after normalization
+      (12L, "a brand new doc"),    // new
+      (13L, "another new one"),    // new
+      (14L, "a dog ran")).toDF("id", "text")
+    // fpp = 0.5 with a tiny sketch forces bloom false positives through
+    // the verification join: semantics must stay exact regardless
+    val out = Dedup.incrementalDedup(corpus, history, $"text", $"text",
+      expectedHistory = 4L, fpp = 0.5)
+    assert(out.select($"id").collect().map(_.getLong(0)).toSet == Set(12L, 13L))
+    assert(out.columns.toSeq == corpus.columns.toSeq) // original schema back
+  }
+
   test("minHashLsh finds near and exact duplicate pairs with correct jaccard") {
     val pairs = Dedup.minHashLsh(docsDf, $"id", $"text",
       numHashes = 32, bands = 16, shingleN = 3, threshold = 0.5).collect()
