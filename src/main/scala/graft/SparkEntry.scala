@@ -1608,6 +1608,32 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q116_qte" -> ((s, d) => {
+      // population quantile treatment effects with exact per-arm
+      // percentiles (quantile_cont parity proven by q09/q114)
+      graft.ops.QuantileTest.quantileTreatmentEffect(
+          t(s, d, "lineitem"), col("l_extendedprice"),
+          (col("l_orderkey") % 2).cast("int"),
+          probs = Seq(0.25, 0.5, 0.75, 0.9), exact = true)
+        .select(col("percentile"), round(col("q0"), 4).as("q0"),
+          round(col("q1"), 4).as("q1"), round(col("qte"), 4).as("qte"))
+    }),
+    "q117_wasserstein" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // distributed 1-Wasserstein between arms on two metrics: ECDF gaps
+      // from the range cumsum, step widths from partition-local lead with
+      // driver-stitched boundaries — no global-order window
+      val li = t(s, d, "lineitem")
+      val tr = (col("l_orderkey") % 2).cast("int")
+      val wPrice = graft.ops.RankTests.wasserstein1(li,
+        col("l_extendedprice"), tr)
+      val wQty = graft.ops.RankTests.wasserstein1(li, col("l_quantity"), tr)
+      Seq(("l_extendedprice", wPrice), ("l_quantity", wQty))
+        .toDF("metric", "w1_raw")
+        .select(col("metric"), round(col("w1_raw"), 6).as("w1"))
+        .orderBy(col("metric"))
+    }),
     "q115_incremental_dedup" -> ((s, d) => {
       // incremental-ingestion dedup: the corpus batch carries 100 planted
       // re-ingestions plus the history docs themselves; only genuinely-new
@@ -1855,6 +1881,51 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q116_qte" ->
+      // per-arm quantile_cont at each probability; DuckDB aggregates need
+      // constant probabilities, so one SELECT per row
+      """WITH b AS (SELECT l_extendedprice AS y, (l_orderkey % 2) AS tr
+        |  FROM lineitem),
+        |q AS (
+        |  SELECT CAST(0.25 AS DOUBLE) AS percentile,
+        |    quantile_cont(CASE WHEN tr = 0 THEN y END, 0.25) AS a,
+        |    quantile_cont(CASE WHEN tr = 1 THEN y END, 0.25) AS c FROM b
+        |  UNION ALL SELECT CAST(0.5 AS DOUBLE),
+        |    quantile_cont(CASE WHEN tr = 0 THEN y END, 0.5),
+        |    quantile_cont(CASE WHEN tr = 1 THEN y END, 0.5) FROM b
+        |  UNION ALL SELECT CAST(0.75 AS DOUBLE),
+        |    quantile_cont(CASE WHEN tr = 0 THEN y END, 0.75),
+        |    quantile_cont(CASE WHEN tr = 1 THEN y END, 0.75) FROM b
+        |  UNION ALL SELECT CAST(0.9 AS DOUBLE),
+        |    quantile_cont(CASE WHEN tr = 0 THEN y END, 0.9),
+        |    quantile_cont(CASE WHEN tr = 1 THEN y END, 0.9) FROM b)
+        |SELECT percentile, round(a, 4) AS q0, round(c, 4) AS q1,
+        |  round(c - a, 4) AS qte
+        |FROM q ORDER BY percentile""".stripMargin,
+    "q117_wasserstein" ->
+      // W1 = sum over distinct values of |F0 - F1| * (next v - v)
+      """WITH bp AS (SELECT l_extendedprice AS v, (l_orderkey % 2) AS t FROM lineitem),
+        |gp AS (SELECT v, sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS c1 FROM bp GROUP BY v),
+        |op AS (SELECT v, sum(c0) OVER w AS s0, sum(c1) OVER w AS s1,
+        |    lead(v) OVER (ORDER BY v) AS nv
+        |  FROM gp WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |wp AS (SELECT sum(abs(s0 * 1.0 / (SELECT sum(c0) FROM gp)
+        |      - s1 * 1.0 / (SELECT sum(c1) FROM gp)) * (nv - v)) AS w1
+        |  FROM op WHERE nv IS NOT NULL),
+        |bq AS (SELECT l_quantity AS v, (l_orderkey % 2) AS t FROM lineitem),
+        |gq AS (SELECT v, sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS c1 FROM bq GROUP BY v),
+        |oq AS (SELECT v, sum(c0) OVER w AS s0, sum(c1) OVER w AS s1,
+        |    lead(v) OVER (ORDER BY v) AS nv
+        |  FROM gq WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |wq AS (SELECT sum(abs(s0 * 1.0 / (SELECT sum(c0) FROM gq)
+        |      - s1 * 1.0 / (SELECT sum(c1) FROM gq)) * (nv - v)) AS w1
+        |  FROM oq WHERE nv IS NOT NULL)
+        |SELECT 'l_extendedprice' AS metric, round((SELECT w1 FROM wp), 6) AS w1
+        |UNION ALL
+        |SELECT 'l_quantity', round((SELECT w1 FROM wq), 6)
+        |ORDER BY metric""".stripMargin,
     "q115_incremental_dedup" ->
       // exact semantics: only docs outside the history (doc_id >= 250)
       // are new — the planted re-ingestions and the history members drop

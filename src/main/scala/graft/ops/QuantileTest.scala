@@ -59,4 +59,28 @@ object QuantileTest {
         (col("diff") + lit(z) * col("stderr")).as("upper"))
       .orderBy(col("percentile"))
   }
+
+  /** Population quantile treatment effects (Athey-Imbens distributional
+    * view): per-arm quantiles of the full samples and their differences —
+    * no bucketing, no inference; the CI-bearing variant is
+    * [[quantileTestBucket]]. One aggregate scan; `exact = true` uses the
+    * sort-buffer percentile (gate parity with quantile_cont), the default
+    * t-digest sketch is the 100 TB path. Returns one row per probability:
+    * (percentile, q0, q1, qte). */
+  def quantileTreatmentEffect(df: DataFrame, y: Column, treatment: Column,
+                              probs: Seq[Double],
+                              exact: Boolean = false): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1))
+    val arr = array(probs.map(lit): _*)
+    val y0 = when(treatment.cast("int") === 0, y.cast("double"))
+    val y1 = when(treatment.cast("int") === 1, y.cast("double"))
+    val agg = df.agg(
+      (if (exact) percentile(y0, arr) else percentile_approx(y0, arr, lit(100000))).as("q0s"),
+      (if (exact) percentile(y1, arr) else percentile_approx(y1, arr, lit(100000))).as("q1s"))
+    agg.select(posexplode(arrays_zip(col("q0s"), col("q1s"))).as(Seq("pi", "qs")))
+      .select(element_at(lit(probs.toArray), col("pi") + 1).as("percentile"),
+        col("qs.q0s").as("q0"), col("qs.q1s").as("q1"),
+        (col("qs.q1s") - col("qs.q0s")).as("qte"))
+      .orderBy(col("percentile"))
+  }
 }

@@ -100,4 +100,47 @@ object RankTests {
     // small n, asymptotic beyond — the two paths report identical p-values
     KsResult(d, graft.agg.KsMath.pValue(d, n1, n2, alt, method))
   }
+
+  /** Two-sample 1-Wasserstein (earth-mover's) distance:
+    * W₁ = ∫ |F₀(v) − F₁(v)| dv — the magnitude of distribution shift in
+    * the metric's own units (KS gives the worst-case gap, W₁ the total
+    * transport). The monitoring statistic for data drift between corpus
+    * snapshots or experiment arms.
+    *
+    * Same ECDF machinery as [[ksTest]] (value-keyed groupBy +
+    * [[RangeCumSum]]), plus the step widths: each distinct value needs the
+    * NEXT distinct value, which a partition-local `lead` supplies
+    * everywhere except each range partition's last row — those few rows
+    * get their successor from the collected per-partition first values
+    * (P scalars on the driver, not data). No global-order window. */
+  def wasserstein1(df: DataFrame, value: Column, treatment: Column): Double = {
+    val byValue = df
+      .filter(!isnan(value) && value.isNotNull && treatment.isNotNull)
+      .select(value.cast("double").as("v"), treatment.cast("int").as("t"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("t") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("t") =!= 0, 1L).otherwise(0L)).as("c1"))
+    RangeCumSum.withCumSums(byValue, Seq(col("v")), Seq("c0", "c1")) { (cum, totals) =>
+      val tn0 = totals("c0"); val tn1 = totals("c1")
+      if (tn0 == 0 || tn1 == 0) Double.NaN
+      else {
+        val firstV = cum.groupBy(col("__pid")).agg(min(col("v")).as("fv"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+        // successor of partition p's last row = first v of the next
+        // non-empty partition (the global last row has none -> dv null -> 0)
+        val boundary: Map[Int, Double] =
+          firstV.zip(firstV.drop(1)).map { case ((p, _), (_, nv)) => p -> nv }.toMap
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pid")).orderBy(col("v"))
+        val nextV =
+          if (boundary.isEmpty) lead(col("v"), 1).over(w)
+          else coalesce(lead(col("v"), 1).over(w),
+            element_at(typedlit(boundary), col("__pid")))
+        val gap = abs(col("cum_c0") / lit(tn0) - col("cum_c1") / lit(tn1))
+        val r = cum.withColumn("__nv", nextV)
+          .select(sum(gap * (col("__nv") - col("v"))).as("w1")).head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+    }
+  }
 }

@@ -90,6 +90,32 @@ class MoreAggsSpec extends AnyFunSuite {
     assert(approx(viaAgg.getAs[Double]("p_value"), viaRank.p_value, 1e-9))
   }
 
+  test("wasserstein1: hand fixture, identical arms, layout invariance") {
+    // arm0 = {0,1}, arm1 = {1,2}: pure shift by 1 -> W1 = 1
+    val shifted = Seq((0.0, 0), (1.0, 0), (1.0, 1), (2.0, 1)).toDF("v", "t")
+    assert(math.abs(RankTests.wasserstein1(shifted, $"v", $"t") - 1.0) < 1e-12)
+    // identical arms -> 0
+    val same = Seq((1.0, 0), (2.0, 0), (1.0, 1), (2.0, 1)).toDF("v", "t")
+    assert(RankTests.wasserstein1(same, $"v", $"t") == 0.0)
+    // layout invariance on a bigger frame (boundary stitching under test)
+    val big = (1 to 5000).map(i => (((i * 7919) % 1000).toDouble, i % 2)).toDF("v", "t")
+    val a = RankTests.wasserstein1(big, $"v", $"t")
+    val b = RankTests.wasserstein1(big.repartition(17), $"v", $"t")
+    assert(math.abs(a - b) < 1e-12, s"$a vs $b")
+    // one empty arm -> NaN
+    assert(RankTests.wasserstein1(Seq((1.0, 0)).toDF("v", "t"), $"v", $"t").isNaN)
+  }
+
+  test("quantileTreatmentEffect: interleaved-arm medians") {
+    val df = (1 to 100).map(i => (i.toDouble, i % 2)).toDF("y", "t")
+    val r = graft.ops.QuantileTest.quantileTreatmentEffect(df, $"y", $"t",
+      probs = Seq(0.5), exact = true).head()
+    assert(r.getDouble(0) == 0.5)
+    assert(math.abs(r.getDouble(1) - 51.0) < 1e-9) // evens: 2..100
+    assert(math.abs(r.getDouble(2) - 50.0) < 1e-9) // odds: 1..99
+    assert(math.abs(r.getDouble(3) + 1.0) < 1e-9)
+  }
+
   test("distributed ks p-value matches the aggregate at small n (exact path)") {
     val viaAgg = df.select(functions.kolmogorov_smirnov_test($"v", $"t").as("r"))
       .select($"r.*").head()
