@@ -1608,6 +1608,18 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q118_psi_drift" -> ((s, d) => {
+      // binned drift metrics (PSI + Jensen-Shannon): one <=5-cell groupBy,
+      // every column a closed form on the cell table (no bin is near the
+      // minShare floor on this fixture, so the floor is inert)
+      graft.ops.Drift.binnedDrift(t(s, d, "lineitem"), col("l_quantity"),
+          (col("l_orderkey") % 2).cast("int"), bins = Seq(10, 20, 30, 40))
+        .select(col("bin"), col("n_base"), col("n_cur"),
+          round(col("share_base"), 6).as("share_base"),
+          round(col("share_cur"), 6).as("share_cur"),
+          round(col("psi_term"), 8).as("psi_term"),
+          round(col("js_term"), 8).as("js_term"))
+    }),
     "q116_qte" -> ((s, d) => {
       // population quantile treatment effects with exact per-arm
       // percentiles (quantile_cont parity proven by q09/q114)
@@ -1881,6 +1893,26 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q118_psi_drift" ->
+      // same ordinal binning, shares, and log terms replayed per cell
+      """WITH b AS (SELECT CASE WHEN l_quantity < 10 THEN 0
+        |    WHEN l_quantity < 20 THEN 1 WHEN l_quantity < 30 THEN 2
+        |    WHEN l_quantity < 40 THEN 3 ELSE 4 END AS bin,
+        |    (l_orderkey % 2) AS g FROM lineitem),
+        |c AS (SELECT bin,
+        |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n_base,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n_cur
+        |  FROM b GROUP BY bin),
+        |t AS (SELECT sum(n_base) AS t0, sum(n_cur) AS t1 FROM c),
+        |s AS (SELECT bin, n_base, n_cur,
+        |    n_base * 1.0 / (SELECT t0 FROM t) AS p,
+        |    n_cur * 1.0 / (SELECT t1 FROM t) AS q FROM c)
+        |SELECT CAST(bin AS INT) AS bin, CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(p, 6) AS share_base, round(q, 6) AS share_cur,
+        |  round((q - p) * ln(q / p), 8) AS psi_term,
+        |  round((q * ln(q / ((p + q) / 2.0)) + p * ln(p / ((p + q) / 2.0))) / 2.0, 8) AS js_term
+        |FROM s ORDER BY bin""".stripMargin,
     "q116_qte" ->
       // per-arm quantile_cont at each probability; DuckDB aggregates need
       // constant probabilities, so one SELECT per row

@@ -116,6 +116,20 @@ class MoreAggsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) + 1.0) < 1e-9)
   }
 
+  test("Drift: psi/js zero on identical groups, positive and bounded on shift") {
+    val same = Seq((5.0, 0), (15.0, 0), (5.0, 1), (15.0, 1)).toDF("v", "g")
+    assert(graft.ops.Drift.psi(same, $"v", $"g", Seq(10.0, 20.0)) == 0.0)
+    assert(graft.ops.Drift.jensenShannon(same, $"v", $"g", Seq(10.0, 20.0)) == 0.0)
+    val shifted = Seq((5.0, 0), (15.0, 0), (15.0, 1), (25.0, 1)).toDF("v", "g")
+    val p = graft.ops.Drift.psi(shifted, $"v", $"g", Seq(10.0, 20.0))
+    val j = graft.ops.Drift.jensenShannon(shifted, $"v", $"g", Seq(10.0, 20.0))
+    assert(p > 1.0) // disjoint mass in bins 0 and 2 -> large PSI
+    assert(j > 0.0 && j <= math.log(2.0) + 1e-12)
+    intercept[IllegalArgumentException] {
+      graft.ops.Drift.psi(same.filter($"g" === 0), $"v", $"g", Seq(10.0, 20.0))
+    }
+  }
+
   test("distributed ks p-value matches the aggregate at small n (exact path)") {
     val viaAgg = df.select(functions.kolmogorov_smirnov_test($"v", $"t").as("r"))
       .select($"r.*").head()
