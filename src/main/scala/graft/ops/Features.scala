@@ -120,6 +120,8 @@ object Features {
     }
     val aggs = numAggs ++ catAggs
     val row = filled.agg(aggs.head, aggs.tail: _*).head()
+    require(num.isEmpty || !row.isNullAt(0),
+      "feature_process: empty input (per-column stats would read as 0.0)")
 
     val scaled = num.zipWithIndex.map { case (c, i) =>
       val mn = row.getDouble(4 * i); val mx = row.getDouble(4 * i + 1)

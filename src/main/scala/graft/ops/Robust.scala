@@ -33,7 +33,10 @@ object Robust {
       else
         df.select(percentile_approx(x, array(lit(pLo), lit(pHi)),
           lit(100000)).as("q"))
-    val r = q.head().getSeq[Double](0)
+    val row = q.head()
+    require(!row.isNullAt(0),
+      "quantile_bounds: no non-null values (empty input would otherwise read as 0.0)")
+    val r = row.getSeq[Double](0)
     (r(0), r(1))
   }
 

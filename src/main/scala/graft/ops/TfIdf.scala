@@ -51,6 +51,7 @@ object TfIdf {
       .filter(col("dl") > 0)
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head()
     val nDocs = corpus.getLong(0)
+    require(nDocs > 0, "tfidf: corpus has no tokenizable documents")
     val avgdl = corpus.getDouble(1)
     val tf = docs
       .select(id.as("doc_id"), tokens(text).as("__toks"))

@@ -97,6 +97,20 @@ class TfIdfFeatureSpec extends AnyFunSuite {
     assert(xs.min == 0.0)
   }
 
+  test("empty inputs raise named errors instead of silent zeros") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TfIdf.termScores(emptyDocs, $"id", $"text")
+    }
+    val emptyNum = Seq.empty[(Double, Double)].toDF("x", "label")
+    intercept[IllegalArgumentException] {
+      Features.featureProcess(emptyNum, "label")
+    }
+    intercept[IllegalArgumentException] {
+      Robust.quantileBounds(emptyNum, $"x", 0.1, 0.9)
+    }
+  }
+
   test("featureProcess: rejects non-numeric label and bad scale method") {
     val df = Seq((1.0, "a", 0.0)).toDF("x", "cat", "label")
     intercept[IllegalArgumentException] {
