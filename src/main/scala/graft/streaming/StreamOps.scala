@@ -34,6 +34,49 @@ object StreamOps {
         sum(value.cast("double")).as("sum_value"),
         avg(value.cast("double")).as("avg_value"))
 
+  /** Streaming drift monitor: per-window PSI of an incoming metric against
+    * a FIXED baseline distribution (the training-data-quality alarm — fire
+    * when a window's PSI crosses 0.25). `baselineShares(i)` is the
+    * baseline probability of ordinal bin i under `bins`
+    * ([[graft.ops.Features.cutBins]] convention, bins.length + 1 bins
+    * total). Per-(window, bin) counts fold associatively under
+    * late/out-of-order arrivals; the PSI term is a projection, and the
+    * per-window total is a second (tiny, windows×bins-cell) aggregation.
+    * Shares are floored like [[graft.ops.Drift.binnedDrift]]. */
+  def windowedPsi(events: DataFrame, eventTime: Column, value: Column,
+                  bins: Seq[Double], baselineShares: Seq[Double],
+                  windowDuration: String, watermarkDelay: String,
+                  minShare: Double = 1e-6): DataFrame = {
+    require(baselineShares.length == bins.length + 1,
+      s"need ${bins.length + 1} baseline shares for ${bins.length} splits")
+    require(math.abs(baselineShares.sum - 1.0) < 1e-6,
+      "baseline shares must sum to 1")
+    val binCol = graft.ops.Features.cutBins(value, bins, ifString = false)
+    val k = bins.length // bins 0..k
+    // ONE streaming aggregation: per-bin conditional counts as columns (a
+    // rank-over-window total is illegal on a stream); PSI unrolls in the
+    // projection over the k+1 columns
+    val counts = (0 to k).map(i =>
+      sum(when(binCol === i, 1L).otherwise(0L)).as(s"__n$i"))
+    val agged = events
+      .withColumn("__et", eventTime.cast("timestamp"))
+      .withWatermark("__et", watermarkDelay)
+      .groupBy(window(col("__et"), windowDuration))
+      .agg(counts.head, counts.tail: _*)
+    val totalCol = (0 to k).map(i => col(s"__n$i")).reduce(_ + _)
+    def term(i: Int): Column = {
+      val p = greatest(lit(baselineShares(i)), lit(minShare))
+      val q = greatest(col(s"__n$i").cast("double") / col("n_window"),
+        lit(minShare))
+      (q - p) * log(q / p)
+    }
+    agged
+      .withColumn("n_window", totalCol.cast("double"))
+      .withColumn("psi", (0 to k).map(term).reduce(_ + _))
+      .select(col("window"), col("n_window").cast("long").as("n_window"),
+        col("psi"))
+  }
+
   /** Streaming two-sample t-test per window: per-(window, arm) moment
     * state (n, Σy, Σy²) folds associatively under late/out-of-order
     * arrivals; the Welch statistic is computed in the projection, so each

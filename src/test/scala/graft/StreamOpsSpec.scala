@@ -52,6 +52,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedPsi alarms on a drifted window, stays ~0 on the baseline mix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val df = input.toDF().toDF("ts_s", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    // baseline: half below 10, half in [10, 20)
+    val out = StreamOps.windowedPsi(df, col("ts"), col("v"),
+      bins = Seq(10.0, 20.0), baselineShares = Seq(0.5, 0.5, 0.0),
+      windowDuration = "10 seconds", watermarkDelay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("wpsi")
+      .outputMode("update").start()
+    try {
+      // window [0,10): matches baseline; window [10,20): all mass in bin 2
+      input.addData((1L, 5.0), (2L, 15.0), (3L, 5.0), (4L, 15.0),
+        (12L, 25.0), (13L, 25.0))
+      q.processAllAvailable()
+      val rows = spark.table("wpsi").collect()
+        .map(r => r.getAs[Long]("n_window") -> r.getAs[Double]("psi")).toMap
+      assert(math.abs(rows(4L)) < 1e-9, s"baseline window psi ${rows(4L)}")
+      assert(rows(2L) > 1.0, s"drifted window psi ${rows(2L)}")
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      StreamOps.windowedPsi(df, col("ts"), col("v"), Seq(10.0, 20.0),
+        Seq(0.5, 0.5), "10 seconds", "5 seconds")
+    }
+  }
+
   test("windowedSrm flags an imbalanced traffic split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
