@@ -1608,6 +1608,29 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q119_calibration" -> ((s, d) => {
+      // binned calibration table + ECE for a probability score: <=10 cells
+      // cross the wire; both engines compute the identical IEEE bin index
+      graft.ops.MlEval.calibration(t(s, d, "lineitem"),
+          (col("l_extendedprice") > 30000.0).cast("int"),
+          col("l_quantity") / 50.0, nBins = 10)
+        .select(col("bin"), col("n"),
+          round(col("avg_score"), 6).as("avg_score"),
+          round(col("avg_label"), 6).as("avg_label"),
+          round(col("abs_gap"), 6).as("abs_gap"),
+          round(col("ece"), 6).as("ece"))
+    }),
+    "q120_weighted_ess" -> ((s, d) => {
+      // IPW-weighted mean with Kish effective sample size / design effect
+      // (the weighting-quality diagnostic): one scan, all closed forms
+      val e = lit(0.3) + lit(0.4) * (col("l_quantity") > 25.0).cast("double")
+      graft.ops.Robust.weightedMeanEss(t(s, d, "lineitem"),
+          col("l_extendedprice"), lit(1.0) / e)
+        .select(col("n"), round(col("sum_w"), 4).as("sum_w"),
+          round(col("weighted_mean"), 4).as("weighted_mean"),
+          round(col("ess"), 4).as("ess"),
+          round(col("design_effect"), 6).as("design_effect"))
+    }),
     "q118_psi_drift" -> ((s, d) => {
       // binned drift metrics (PSI + Jensen-Shannon): one <=5-cell groupBy,
       // every column a closed form on the cell table (no bin is near the
@@ -1893,6 +1916,30 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q119_calibration" ->
+      // identical bin index ((q/50)*10 in the same IEEE order), per-bin
+      // averages, and the n-weighted ECE
+      """WITH b AS (SELECT least(CAST(floor((l_quantity / 50.0) * 10) AS INT), 9) AS bin,
+        |    l_quantity / 50.0 AS s,
+        |    CASE WHEN l_extendedprice > 30000.0 THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_quantity / 50.0 BETWEEN 0.0 AND 1.0),
+        |c AS (SELECT bin, count(*) AS n, avg(s) AS avg_score,
+        |    avg(y * 1.0) AS avg_label FROM b GROUP BY bin),
+        |g AS (SELECT *, abs(avg_score - avg_label) AS abs_gap FROM c),
+        |e AS (SELECT sum(abs_gap * n) / sum(n) AS ece FROM g)
+        |SELECT bin, n, round(avg_score, 6) AS avg_score,
+        |  round(avg_label, 6) AS avg_label, round(abs_gap, 6) AS abs_gap,
+        |  round((SELECT ece FROM e), 6) AS ece
+        |FROM g ORDER BY bin""".stripMargin,
+    "q120_weighted_ess" ->
+      """WITH b AS (SELECT l_extendedprice AS x,
+        |    1.0 / (0.3 + 0.4 * CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS w
+        |  FROM lineitem)
+        |SELECT count(*) AS n, round(sum(w), 4) AS sum_w,
+        |  round(sum(x * w) / sum(w), 4) AS weighted_mean,
+        |  round(sum(w) * sum(w) / sum(w * w), 4) AS ess,
+        |  round(count(*) / (sum(w) * sum(w) / sum(w * w)), 6) AS design_effect
+        |FROM b""".stripMargin,
     "q118_psi_drift" ->
       // same ordinal binning, shares, and log terms replayed per cell
       """WITH b AS (SELECT CASE WHEN l_quantity < 10 THEN 0

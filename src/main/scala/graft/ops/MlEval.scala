@@ -111,4 +111,27 @@ object MlEval {
     }
     rows.toDF("x_col", "y_col", "corr")
   }
+
+  /** Calibration table + expected calibration error for a probability
+    * score: rows bin by score into `nBins` equal-width bins ([0,1] range),
+    * each bin reports (n, avg score, avg label, |gap|); ECE is the
+    * n-weighted mean absolute gap (Naeini et al.'s binned estimator).
+    * ONE groupBy of ≤ nBins cells — the scale cost is the scan.
+    * Returns (bin, n, avg_score, avg_label, abs_gap, ece) with the
+    * scalar ece repeated per row (single-scan convenience). */
+  def calibration(df: DataFrame, label: Column, score: Column,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "calibration needs at least 2 bins")
+    val s = score.cast("double")
+    val bin = least(floor(s * nBins).cast("int"), lit(nBins - 1))
+    val cells = df
+      .filter(label.isNotNull && s.isNotNull && s >= 0.0 && s <= 1.0)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), avg(s).as("avg_score"),
+        avg(label.cast("double")).as("avg_label"))
+      .withColumn("abs_gap", abs(col("avg_score") - col("avg_label")))
+    val tot = cells.agg(
+      (sum(col("abs_gap") * col("n")) / sum(col("n"))).as("ece")).head()
+    cells.withColumn("ece", lit(tot.getDouble(0))).orderBy(col("bin"))
+  }
 }

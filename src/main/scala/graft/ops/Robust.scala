@@ -40,6 +40,21 @@ object Robust {
     (r(0), r(1))
   }
 
+  /** Weighted mean with design-effect diagnostics: one row
+    * (n, sum_w, weighted_mean, ess, design_effect) where
+    * ess = (Σw)²/Σw² is Kish's effective sample size and
+    * design_effect = n/ess — how much the weighting (IPW, survey,
+    * importance sampling) inflates variance. ONE scan, constant state.
+    * Rows with a null x or w, or w ≤ 0, are dropped. */
+  def weightedMeanEss(df: DataFrame, x: Column, w: Column): DataFrame = {
+    val xd = x.cast("double"); val wd = w.cast("double")
+    df.filter(xd.isNotNull && wd.isNotNull && wd > 0.0)
+      .agg(count(lit(1)).as("n"), sum(wd).as("sum_w"),
+        (sum(xd * wd) / sum(wd)).as("weighted_mean"),
+        (sum(wd) * sum(wd) / sum(wd * wd)).as("ess"))
+      .withColumn("design_effect", col("n") / col("ess"))
+  }
+
   /** One row: n, lo, hi, mean, winsorized_mean, trimmed_mean,
     * n_clipped_lo, n_clipped_hi. Null xs are ignored throughout. */
   def robustMeans(df: DataFrame, x: Column, pLo: Double = 0.05,

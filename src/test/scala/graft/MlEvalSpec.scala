@@ -51,6 +51,35 @@ class MlEvalSpec extends AnyFunSuite {
     assert(MlEval.rocCurve(empty, $"label", $"score").count() == 0)
   }
 
+  test("calibration: per-bin gaps and weighted ECE on a hand fixture") {
+    // bin 2 (score .25): labels 0,1 -> gap |.25-.5| = .25 over 2 rows
+    // bin 7 (score .75): labels 1,1 -> gap .25 over 2 rows; ECE = .25
+    val d = Seq((0.25, 0), (0.25, 1), (0.75, 1), (0.75, 1),
+      (1.5, 1) /* out of range, dropped */).toDF("s", "y")
+    val rows = MlEval.calibration(d, $"y", $"s", nBins = 10).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 7))
+    val b2 = rows(0)
+    assert(b2.getLong(1) == 2 && approx(b2.getDouble(3), 0.5)
+      && approx(b2.getDouble(4), 0.25))
+    assert(rows.forall(r => approx(r.getDouble(5), 0.25))) // ece
+    // score exactly 1.0 lands in the last bin, not bin nBins
+    val edge = MlEval.calibration(Seq((1.0, 1)).toDF("s", "y"), $"y", $"s").head()
+    assert(edge.getInt(0) == 9)
+  }
+
+  test("weightedMeanEss: equal weights give ess = n, skew shrinks it") {
+    val d = Seq((1.0, 1.0), (3.0, 1.0), (5.0, 1.0)).toDF("x", "w")
+    val r = graft.ops.Robust.weightedMeanEss(d, $"x", $"w").head()
+    assert(r.getLong(0) == 3 && approx(r.getDouble(2), 3.0)
+      && approx(r.getDouble(3), 3.0) && approx(r.getDouble(4), 1.0))
+    // one dominant weight: ess -> ~1, mean -> dominant x; w<=0/null dropped
+    val skew = Seq((10.0, 100.0), (0.0, 0.01), (7.0, 0.0), (9.0, -1.0))
+      .toDF("x", "w")
+    val s = graft.ops.Robust.weightedMeanEss(skew, $"x", $"w").head()
+    assert(s.getLong(0) == 2 && s.getDouble(3) < 1.01)
+    assert(approx(s.getDouble(2), (10.0 * 100 + 0.0 * 0.01) / 100.01))
+  }
+
   test("corrMatrix matches closed-form pairwise correlations") {
     val df = (1 to 100).map { i =>
       val x = i.toDouble
