@@ -157,4 +157,57 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     pp.tail.foreach(p => p.foreach { case (id, v) =>
       assert(math.abs(v - pp.head(id)) < 1e-9, s"perplexity doc $id") })
   }
+
+  test("survival curves and log-rank invariant to partitioning") {
+    val surv = base.select(($"uin" % 3).cast("int").as("g"),
+      ($"uin" % 40).cast("int").as("tm"), $"t".as("ev"))
+    val curves = layouts(surv).map(d =>
+      graft.ops.Survival.kaplanMeierBy(d, $"g", $"tm", $"ev")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getDouble(5))).toMap)
+    curves.tail.foreach { c =>
+      assert(c.keySet == curves.head.keySet)
+      c.foreach { case (k, (nr, s)) =>
+        assert(nr == curves.head(k)._1, s"n_risk at $k")
+        assert(math.abs(s - curves.head(k)._2) < 1e-9, s"survival at $k")
+      }
+    }
+    val lr = layouts(surv).map(d =>
+      graft.ops.Survival.logRankTest(d, ($"g" % 2).cast("int"), $"tm", $"ev")
+        .head().getDouble(3))
+    assertClose(lr, "log_rank chi2")
+  }
+
+  test("tfidf scores and drift metrics invariant to partitioning") {
+    val docs = base.select($"uin".as("id"),
+      concat_ws(" ", ($"uin" % 23).cast("string"), ($"uin" % 7).cast("string"),
+        ($"uin" % 3).cast("string")).as("text"))
+    val scored = layouts(docs).map(d =>
+      graft.ops.TfIdf.termScores(d, $"id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(6))
+        .toMap)
+    scored.tail.foreach { m =>
+      assert(m.keySet == scored.head.keySet)
+      m.foreach { case (k, v) =>
+        assert(math.abs(v - scored.head(k)) < 1e-12, s"tfidf at $k") }
+    }
+    val psis = layouts(base).map(d =>
+      graft.ops.Drift.psi(d, $"y", $"t", Seq(-1.0, 0.0, 1.0)))
+    assertClose(psis, "psi")
+    val w1s = layouts(base).map(d =>
+      graft.ops.RankTests.wasserstein1(d, $"y", $"t"))
+    assertClose(w1s, "wasserstein1")
+  }
+
+  test("robust means and weighted ess invariant to partitioning") {
+    val rm = layouts(base).map { d =>
+      val r = graft.ops.Robust.robustMeans(d, $"y", exact = true).head()
+      (r.getDouble(4), r.getDouble(5))
+    }
+    assertClose(rm.map(_._1), "winsorized_mean")
+    assertClose(rm.map(_._2), "trimmed_mean")
+    val ess = layouts(base).map(d =>
+      graft.ops.Robust.weightedMeanEss(d, $"y", $"d").head().getDouble(3))
+    assertClose(ess, "ess")
+  }
 }
