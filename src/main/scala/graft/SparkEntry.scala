@@ -1608,6 +1608,19 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q121_profile" -> ((s, d) => {
+      // the ingestion-gate data profile: per-column rows/nulls/distincts/
+      // extremes in ONE aggregate pass (exact distincts for the oracle;
+      // production default is the HLL sketch)
+      import graft.api.implicits._
+      t(s, d, "orders").profileAll(
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          exactDistinct = true)
+        .select(col("column"), col("n_rows"), col("n_null"),
+          round(col("null_frac"), 6).as("null_frac"), col("n_distinct"),
+          col("min"), col("max"))
+        .orderBy(col("column"))
+    }),
     "q119_calibration" -> ((s, d) => {
       // binned calibration table + ECE for a probability score: <=10 cells
       // cross the wire; both engines compute the identical IEEE bin index
@@ -1916,6 +1929,35 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q121_profile" ->
+      // one UNION branch per profiled column; doubles render identically
+      // (shortest-roundtrip) in both engines at this value range
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_null,
+        |    round((count(*) - count(o_orderkey)) * 1.0 / count(*), 6) AS null_frac,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS "min",
+        |    CAST(max(o_orderkey) AS VARCHAR) AS "max" FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    round((count(*) - count(o_custkey)) * 1.0 / count(*), 6),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    round((count(*) - count(o_orderstatus)) * 1.0 / count(*), 6),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |    round((count(*) - count(o_totalprice)) * 1.0 / count(*), 6),
+        |    count(DISTINCT o_totalprice),
+        |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+        |  FROM orders)
+        |SELECT * FROM p ORDER BY "column"""".stripMargin,
     "q119_calibration" ->
       // identical bin index ((q/50)*10 in the same IEEE order), per-bin
       // averages, and the n-weighted ECE

@@ -40,6 +40,34 @@ object implicits {
         "p25", "p50", "p75", "p90", "p99", "max")
     }
 
+    /** Data-quality profile: per-column row/null/distinct counts plus
+      * min/max rendered as strings (works for ANY column type, unlike
+      * [[describeAll]]'s numeric summary) — the ingestion-gate report a
+      * pipeline runs on every new batch. ONE aggregate pass; `exactDistinct
+      * = false` (default) uses the HLL sketch (constant state, the 100 TB
+      * path), `true` uses count(distinct) for oracle-exact counts. */
+    def profileAll(cols: Seq[String],
+                   exactDistinct: Boolean = false): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"),
+          (if (exactDistinct) countDistinct(col(c))
+           else approx_count_distinct(col(c))).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long]("__rows")
+      cols.map { c =>
+        val nn = r.getAs[Long](s"nn_$c")
+        (c, n, n - nn, (n - nn).toDouble / math.max(n, 1L),
+          r.getAs[Long](s"nd_$c"), r.getAs[String](s"mn_$c"),
+          r.getAs[String](s"mx_$c"))
+      }.toDF("column", "n_rows", "n_null", "null_frac", "n_distinct",
+        "min", "max")
+    }
+
     /** train/test split by fraction (dataframe.py:857-874). NOTE:
       * `randomSplit` draws per-partition streams, so membership changes
       * with the cluster layout — use [[trainTestSplitDeterministic]] when

@@ -211,6 +211,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out.getAs[Double]("min") == 1.0 && out.getAs[Double]("max") == 100.0)
   }
 
+  test("profileAll one-pass data-quality report") {
+    val d = Seq((Some(1L), Some("a")), (None, Some("b")), (Some(3L), None),
+      (Some(3L), Some("b"))).toDF("k", "s")
+    val rows = d.profileAll(Seq("k", "s"), exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert(k.getLong(1) == 4 && k.getLong(2) == 1) // rows, nulls
+    assert(math.abs(k.getDouble(3) - 0.25) < 1e-12)
+    assert(k.getLong(4) == 2 && k.getString(5) == "1" && k.getString(6) == "3")
+    val s = rows("s")
+    assert(s.getLong(2) == 1 && s.getLong(4) == 2)
+    assert(s.getString(5) == "a" && s.getString(6) == "b")
+    // sketch path returns plausible counts without the exact shuffle
+    val hll = d.profileAll(Seq("k")).head()
+    assert(hll.getLong(4) >= 1 && hll.getLong(4) <= 3)
+  }
+
   test("RichDataFrame DSL verbs work end to end") {
     val r = upliftDf.ttest2Samp("avg(y)", "t")
     assert(r.columns.contains("estimate"))
