@@ -177,7 +177,9 @@ object GraftGateway {
     "boot_strap", "permutation", "did", "nonparam_dml",
     "quantile_test_bucket", "mann_whitney_utest", "mann_whitney_u_test",
     "kolmogorov_smirnov_test", "causal_forest", "causal_tree",
-    "kaplan_meier", "log_rank_test", "aipw")
+    "kaplan_meier", "log_rank_test", "aipw",
+    "robust_means", "wasserstein", "psi", "calibration",
+    "weighted_mean_ess", "qte")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -273,6 +275,29 @@ object GraftGateway {
           b = if (a.length > 5) num(a(5)).toInt else 500)
         Seq((est.estimate, est.stderr, est.lower, est.upper, est.p_value))
           .toDF("estimate", "stderr", "lower", "upper", "p_value")
+      case "robust_means" =>
+        require(a.nonEmpty, "robust_means(x[, p_lo, p_hi])")
+        Robust.robustMeans(df, c(a(0)),
+          pLo = if (a.length > 1) num(a(1)) else 0.05,
+          pHi = if (a.length > 2) num(a(2)) else 0.95)
+      case "wasserstein" =>
+        require(a.length >= 2, "wasserstein(value, treatment)")
+        val w = RankTests.wasserstein1(df, c(a(0)), c(a(1)))
+        Seq(Tuple1(w)).toDF("w1")
+      case "psi" =>
+        require(a.length >= 4, "psi(value, group, split1, split2, ...)")
+        Drift.binnedDrift(df, c(a(0)), c(a(1)), a.drop(2).map(num))
+      case "calibration" =>
+        require(a.length >= 2, "calibration(label, score[, n_bins])")
+        MlEval.calibration(df, c(a(0)), c(a(1)),
+          nBins = if (a.length > 2) num(a(2)).toInt else 10)
+      case "weighted_mean_ess" =>
+        require(a.length >= 2, "weighted_mean_ess(x, w)")
+        Robust.weightedMeanEss(df, c(a(0)), c(a(1)))
+      case "qte" =>
+        require(a.length >= 3, "qte(y, t, p1[, p2, ...])")
+        QuantileTest.quantileTreatmentEffect(df, c(a(0)), c(a(1)),
+          a.drop(2).map(num))
       case "did" =>
         // DIDParser.java:40-43: y ~ treatment + time + treatment·time [+ x…]
         require(a.length >= 3, "did(y, treatment, time[, x...])")

@@ -227,6 +227,28 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(!aipw.getAs[Double]("estimate").isNaN)
   }
 
+  test("gateway verbs: robust_means, wasserstein, psi, calibration, ess, qte") {
+    setup
+    val rm = GraftGateway.sql(spark,
+      "SELECT robust_means(y, 0.1, 0.9) FROM exp_data").head()
+    assert(rm.schema.fieldNames.contains("winsorized_mean"))
+    val w = GraftGateway.sql(spark,
+      "SELECT wasserstein(y, t) FROM exp_data").head().getDouble(0)
+    assert(w >= 0.0 && !w.isNaN)
+    val p = GraftGateway.sql(spark,
+      "SELECT psi(y, t, -1.0, 0.0, 1.0) FROM exp_data")
+    assert(p.columns.contains("psi_term") && p.count() >= 2)
+    val cal = GraftGateway.sql(spark,
+      "SELECT calibration(t, 0.5 + 0.0 * y, 4) FROM exp_data")
+    assert(cal.columns.contains("ece") && cal.count() == 1)
+    val ess = GraftGateway.sql(spark,
+      "SELECT weighted_mean_ess(y, 1.0 + x - x) FROM exp_data").head()
+    assert(math.abs(ess.getAs[Double]("design_effect") - 1.0) < 1e-9)
+    val qte = GraftGateway.sql(spark,
+      "SELECT qte(y, t, 0.25, 0.75) FROM exp_data")
+    assert(qte.count() == 2)
+  }
+
   test("GraftExtensions injects the sql surface into a fresh session") {
     setup
     // newSession() has a FRESH temp-function registry — GraftSql.register
