@@ -1608,6 +1608,43 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q122_conformal" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // split-conformal interval: LCG calibration split (q80 idiom — both
+      // engines replay the integer arithmetic), exact k-th-residual
+      // quantile, empirical band coverage over the whole table
+      val li = t(s, d, "lineitem").select(
+        (col("l_extendedprice") / 1000.0).as("y"),
+        col("l_quantity").cast("double").as("x"),
+        (((col("l_orderkey") * 8 + col("l_linenumber")) * 1103515245L
+          + 12345L) % 1000 < 500).as("is_cal"))
+      val (m, q, nCal) = graft.ops.Regression.conformalOls(li, col("y"),
+        Seq(col("x")), col("is_cal"), alpha = 0.1)
+      val pred = graft.ops.Regression.predict(m, Seq(col("x")))
+      val cov = li.agg(avg(when(abs(col("y") - pred) <= q, 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+      Seq((nCal, q, m.coefficients(0), m.intercept, cov))
+        .toDF("n_raw", "q_raw", "s_raw", "i_raw", "c_raw")
+        .select(col("n_raw").as("n_cal"), round(col("q_raw"), 6).as("q_hat"),
+          round(col("s_raw"), 6).as("slope"),
+          round(col("i_raw"), 6).as("intercept"),
+          round(col("c_raw"), 6).as("coverage"))
+    }),
+    "q123_snapshot_diff" -> ((s, d) => {
+      // dataset-release audit: v1 = docs 0..399, v2 = docs 100..499 with
+      // the first 50 texts edited -> added/removed/changed/unchanged
+      // counts are closed forms on the id ranges
+      val docs = t(s, d, "documents")
+      val oldV = docs.filter(col("doc_id") < 400)
+      val newV = docs.filter(col("doc_id") >= 100).select(col("doc_id"),
+        when(col("doc_id") < 150, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Dedup.snapshotDiff(oldV, newV, col("doc_id"), col("doc_id"),
+          col("text"), col("text"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("status"))
+    }),
     "q121_profile" -> ((s, d) => {
       // the ingestion-gate data profile: per-column rows/nulls/distincts/
       // extremes in ONE aggregate pass (exact distincts for the oracle;
@@ -1929,6 +1966,41 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q122_conformal" ->
+      // fit on the non-cal half (regr_slope/intercept), k-th smallest
+      // absolute calibration residual by window rank, coverage closed-form.
+      // CAST(0.9 AS DOUBLE) keeps ceil() in IEEE (decimal 0.9*(n+1) can
+      // ceil differently when the product is integral)
+      """WITH b AS (SELECT l_extendedprice / 1000.0 AS y,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    ((l_orderkey * 8 + l_linenumber) * 1103515245 + 12345) % 1000 < 500 AS is_cal
+        |  FROM lineitem),
+        |m AS (SELECT regr_slope(y, x) AS a, regr_intercept(y, x) AS b0
+        |  FROM b WHERE NOT is_cal),
+        |r AS (SELECT abs(y - (m.a * x + m.b0)) AS ar FROM b, m WHERE is_cal),
+        |kk AS (SELECT count(*) AS n,
+        |    least(count(*), CAST(ceil(CAST(0.9 AS DOUBLE) * (count(*) + 1)) AS BIGINT)) AS k
+        |  FROM r),
+        |o AS (SELECT ar, row_number() OVER (ORDER BY ar) AS rn FROM r),
+        |q AS (SELECT ar AS qv FROM o, kk WHERE rn = kk.k)
+        |SELECT (SELECT n FROM kk) AS n_cal,
+        |  round((SELECT qv FROM q), 6) AS q_hat,
+        |  round((SELECT a FROM m), 6) AS slope,
+        |  round((SELECT b0 FROM m), 6) AS intercept,
+        |  round(avg(CASE WHEN abs(y - ((SELECT a FROM m) * x + (SELECT b0 FROM m)))
+        |      <= (SELECT qv FROM q) THEN 1.0 ELSE 0.0 END), 6) AS coverage
+        |FROM b""".stripMargin,
+    "q123_snapshot_diff" ->
+      // the diff statuses are pure id-range closed forms on this fixture
+      """SELECT 'added' AS status, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents WHERE doc_id >= 400
+        |UNION ALL SELECT 'changed', count(*) FROM documents
+        |WHERE doc_id BETWEEN 100 AND 149
+        |UNION ALL SELECT 'removed', count(*) FROM documents
+        |WHERE doc_id < 100
+        |UNION ALL SELECT 'unchanged', count(*) FROM documents
+        |WHERE doc_id BETWEEN 150 AND 399
+        |ORDER BY status""".stripMargin,
     "q121_profile" ->
       // one UNION branch per profiled column; doubles render identically
       // (shortest-roundtrip) in both engines at this value range

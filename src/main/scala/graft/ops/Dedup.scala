@@ -73,6 +73,27 @@ object Dedup {
     newFast.unionByName(fpSurvivors).drop("__fp")
   }
 
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * versions as added / removed / changed / unchanged by comparing
+    * normalized-content fingerprints — the audit a pipeline runs between
+    * dataset releases. ONE full-outer join keyed by id (both sides collapse
+    * to (id, fp) first, so the join carries 2 longs per doc); the verdict
+    * is a codegen CASE. Returns (doc_id, status). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   oldId: Column, newId: Column,
+                   oldText: Column, newText: Column): DataFrame = {
+    val o = oldDf.select(oldId.cast("long").as("doc_id"),
+      TextOps.contentFingerprint(oldText).as("__fp_old"))
+    val n = newDf.select(newId.cast("long").as("doc_id"),
+      TextOps.contentFingerprint(newText).as("__fp_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** k minhashes of a precomputed shingle array via double hashing
     * (Kirsch-Mitzenmacher): one xxhash64 pass per shingle produces (h1, h2),
     * then minhash_i = min over shingles of (h1 + i·h2) mod p — arithmetic,

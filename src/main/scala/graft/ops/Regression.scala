@@ -143,6 +143,38 @@ object Regression {
     fitOls(withTHat, y, Seq(col("__t_hat")) ++ xs, useBias = true).summary
   }
 
+  /** Split-conformal prediction interval (Vovk; Lei et al. 2018): fit on
+    * the non-calibration rows, take the k-th smallest absolute residual on
+    * the calibration rows with k = ⌈(1−α)(n+1)⌉, and attach [ŷ−q, ŷ+q]
+    * anywhere — finite-sample marginal coverage ≥ 1−α with NO Gaussian
+    * assumption (contrast [[predictInterval]]'s parametric bands).
+    *
+    * `isCal` must be a deterministic row predicate (a content-hash or LCG
+    * split, so the interval reproduces on any layout). The k-th order
+    * statistic comes from the exact `percentile` aggregate evaluated at
+    * p = (k−1)/(n−1) — an integral sort index, so no real interpolation
+    * happens. Two scans (fit, then residual quantile) + the caller's
+    * scoring pass. Returns (model, q, nCal). */
+  def conformalOls(df: DataFrame, y: Column, xs: Seq[Column], isCal: Column,
+                   alpha: Double = 0.1): (OlsModel, Double, Long) = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val cal = df.filter(isCal)
+    val m = fitOls(df.filter(!isCal), y, xs)
+    val nCal = cal.count()
+    require(nCal > 0, "conformal_ols: calibration split selected no rows")
+    val k = math.min(nCal, math.ceil((1 - alpha) * (nCal + 1)).toLong)
+    val p = if (nCal == 1) 0.0 else (k - 1).toDouble / (nCal - 1).toDouble
+    val absResid = abs(y.cast("double") - predict(m, xs))
+    val q = cal.select(percentile(absResid, lit(p)).as("q")).head().getDouble(0)
+    (m, q, nCal)
+  }
+
+  /** struct(fit, lower, upper) for a conformal (model, q) pair. */
+  def conformalBand(model: OlsModel, xs: Seq[Column], q: Double): Column = {
+    val fit = predict(model, xs)
+    struct(fit.as("fit"), (fit - q).as("lower"), (fit + q).as("upper"))
+  }
+
   private val IvFormula =
     """\s*([\w.]+)\s*~\s*\(\s*([\w.]+)\s*~\s*([\w.]+)\s*\)\s*(?:\+\s*(.+))?""".r
 

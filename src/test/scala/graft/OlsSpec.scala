@@ -81,6 +81,33 @@ class OlsSpec extends AnyFunSuite {
     assert(mae < 1.0)
   }
 
+  test("conformal interval: q is the k-th calibration residual, coverage holds") {
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 4000).map { i =>
+      val x = rng.nextGaussian()
+      (i.toLong, x, 2.0 * x + 1.0 + rng.nextGaussian() * 0.5)
+    }
+    val d = spark.createDataFrame(rows).toDF("id", "x", "y")
+    val (m, q, nCal) = Regression.conformalOls(d, $"y", Seq($"x"),
+      $"id" % 2 === 0, alpha = 0.1)
+    assert(nCal == 2000L)
+    // q must equal the k-th smallest |residual| computed locally
+    val coefs = (m.coefficients(0), m.intercept)
+    val resid = rows.filter(_._1 % 2 == 0)
+      .map { case (_, x, y) => math.abs(y - (coefs._1 * x + coefs._2)) }.sorted
+    val k = math.ceil(0.9 * (nCal + 1)).toInt
+    assert(math.abs(q - resid(k - 1)) < 1e-9, s"$q vs ${resid(k - 1)}")
+    // held-out-ish coverage near 90% (iid fixture)
+    val band = Regression.conformalBand(m, Seq($"x"), q)
+    val cov = d.select(($"y" >= band.getField("lower") &&
+        $"y" <= band.getField("upper")).cast("double").as("c"))
+      .agg(org.apache.spark.sql.functions.avg($"c")).head().getDouble(0)
+    assert(cov > 0.85 && cov < 0.95, s"coverage $cov")
+    intercept[IllegalArgumentException] {
+      Regression.conformalOls(d, $"y", Seq($"x"), lit(false))
+    }
+  }
+
   test("did recovers interaction effect") {
     val rng = new scala.util.Random(3)
     val didRows = (1 to 4000).map { _ =>

@@ -309,6 +309,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.columns.toSeq == corpus.columns.toSeq) // original schema back
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val v2 = Seq((2L, "beta"), (3L, "GAMMA edited"), (4L, "delta"))
+      .toDF("id", "text")
+    val m = Dedup.snapshotDiff(v1, v2, $"id", $"id", $"text", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"))
+  }
+
   test("minHashLsh finds near and exact duplicate pairs with correct jaccard") {
     val pairs = Dedup.minHashLsh(docsDf, $"id", $"text",
       numHashes = 32, bands = 16, shingleN = 3, threshold = 0.5).collect()
