@@ -87,6 +87,25 @@ class NullHandlingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 4L, 5L, 6L), s"kept $kept")
   }
 
+  test("incrementalDedup and snapshotDiff null-text semantics") {
+    // null-text batch rows are NEVER matched against history (history
+    // filters its nulls; the batch nulls share one sentinel fingerprint
+    // but nothing in the filtered history can equal it) -> they pass as new
+    val hist = Seq[(Long, String)]((1L, "known"), (2L, null)).toDF("id", "text")
+    val batch = Seq[(Long, String)]((10L, "known"), (11L, null), (12L, "fresh"))
+      .toDF("id", "text")
+    val kept = graft.ops.Dedup.incrementalDedup(batch, hist, $"text", $"text",
+      expectedHistory = 10L).select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L), s"kept $kept")
+    // snapshotDiff: null -> text and text -> null read as changed;
+    // null -> null reads as unchanged (both unknown, nothing to report)
+    val v1 = Seq[(Long, String)]((1L, null), (2L, "a"), (3L, null)).toDF("id", "text")
+    val v2 = Seq[(Long, String)]((1L, "now set"), (2L, null), (3L, null)).toDF("id", "text")
+    val m = graft.ops.Dedup.snapshotDiff(v1, v2, $"id", $"id", $"text", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"), m.toString)
+  }
+
   test("effect estimators and longterm means are listwise under nulls") {
     val d = Seq[(Long, java.lang.Double, java.lang.Integer)](
       (1L, 10.0, 1), (2L, 12.0, 1), (3L, 8.0, 0), (4L, 9.0, 0),
