@@ -1608,6 +1608,23 @@ object SparkEntry {
           round(col("bm25"), 6).as("bm25"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "q124_power_analysis" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      // pre-experiment planning: sigma from the data, then per-arm n for
+      // delta=0.5 and the MDE at the observed arm size — the oracle
+      // replays the normal-approximation forms with 16-digit z constants
+      val r = t(s, d, "lineitem").agg(
+        stddev_samp(col("l_quantity")).as("sd"),
+        (count(lit(1)) / 2).cast("double").as("npa")).head()
+      val (sd, npa) = (r.getDouble(0), r.getDouble(1))
+      val n = graft.ops.SimpleTests.sampleSizePerArm(sd, delta = 0.5)
+      val m = graft.ops.SimpleTests.mde(sd, npa)
+      Seq((sd, n, m)).toDF("sd_raw", "n_raw", "m_raw")
+        .select(round(col("sd_raw"), 6).as("sigma"),
+          round(col("n_raw"), 2).as("n_per_arm"),
+          round(col("m_raw"), 6).as("mde"))
+    }),
     "q122_conformal" -> ((s, d) => {
       val spark = s
       import spark.implicits._
@@ -1966,6 +1983,15 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q124_power_analysis" ->
+      // z(0.975)+z(0.8) to 16 digits; same IEEE order as the Scala forms
+      """WITH s AS (SELECT stddev_samp(l_quantity) AS sd,
+        |    count(*) / 2.0 AS npa FROM lineitem),
+        |z AS (SELECT 1.9599639845400545 + 0.8416212335729143 AS zz)
+        |SELECT round(sd, 6) AS sigma,
+        |  round(2.0 * pow((SELECT zz FROM z) * sd / 0.5, 2), 2) AS n_per_arm,
+        |  round((SELECT zz FROM z) * sd * sqrt(2.0 / npa), 6) AS mde
+        |FROM s""".stripMargin,
     "q122_conformal" ->
       // fit on the non-cal half (regr_slope/intercept), k-th smallest
       // absolute calibration residual by window rank, coverage closed-form.

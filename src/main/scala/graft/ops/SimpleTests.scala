@@ -50,4 +50,28 @@ object SimpleTests {
     val p = if (z.isNaN) Double.NaN else 2.0 * (1.0 - Dist.normCdf(math.abs(z)))
     TestResult(z, p)
   }
+
+  // ------------------------------------------------------- power analysis
+
+  /** Standalone two-sample power math (the reference exposes these only
+    * inside xexpt_ttest_2samp's output, XexptAgg power/recommend_samples;
+    * here as the pre-experiment planning calls): normal-approximation
+    * per-arm sample size n = 2·((z_{1−α/2}+z_{pow})·σ/δ)² for a two-sided
+    * equal-allocation test. Pure driver math. */
+  def sampleSizePerArm(sigma: Double, delta: Double, alpha: Double = 0.05,
+                       power: Double = 0.8): Double = {
+    require(sigma > 0 && delta != 0 && alpha > 0 && alpha < 1 &&
+      power > 0 && power < 1, "bad power-analysis inputs")
+    val z = Dist.normQuantile(1 - alpha / 2) + Dist.normQuantile(power)
+    2.0 * math.pow(z * sigma / delta, 2)
+  }
+
+  /** Minimum detectable effect at the given per-arm n (the inverse of
+    * [[sampleSizePerArm]]). */
+  def mde(sigma: Double, nPerArm: Double, alpha: Double = 0.05,
+          power: Double = 0.8): Double = {
+    require(sigma > 0 && nPerArm > 0, "bad power-analysis inputs")
+    val z = Dist.normQuantile(1 - alpha / 2) + Dist.normQuantile(power)
+    z * sigma * math.sqrt(2.0 / nPerArm)
+  }
 }

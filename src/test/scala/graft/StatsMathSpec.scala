@@ -103,4 +103,17 @@ class StatsMathSpec extends AnyFunSuite {
     assert(varAdj < varRaw * 0.05, s"CUPED should slash variance: $varAdj vs $varRaw")
     assert(approx(mean, s.means(0)))
   }
+
+  test("power analysis: textbook value and mde inverts sampleSizePerArm") {
+    import graft.ops.SimpleTests
+    // sigma=1, delta=0.5, alpha=.05, power=.8 -> n ~= 2*(2.8016*2)^2 ~= 62.79
+    val n = SimpleTests.sampleSizePerArm(1.0, 0.5)
+    assert(math.abs(n - 62.79) < 0.02, s"n $n")
+    assert(approx(SimpleTests.mde(1.0, n), 0.5))
+    // scale invariance: doubling sigma quadruples n
+    assert(approx(SimpleTests.sampleSizePerArm(2.0, 0.5), 4 * n))
+    intercept[IllegalArgumentException] {
+      SimpleTests.sampleSizePerArm(1.0, 0.0)
+    }
+  }
 }
