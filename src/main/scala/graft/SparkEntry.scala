@@ -1822,7 +1822,7 @@ object SparkEntry {
         .select(col("user_id").as("userId"), col("ts"), col("value"))
         .as[graft.streaming.StreamOps.SessionEvent]
       val sess = graft.streaming.StreamOps.sessionize(evs,
-        gapMs = 14400L * 1000000000L, timeout = GroupStateTimeout.NoTimeout())
+        gap = 14400L * 1000000000L, timeout = GroupStateTimeout.NoTimeout())
       val sink = "q111_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
       // append-mode memory sink accumulates across re-runs in one session
       // (Bench passes): reset the table first
@@ -1836,7 +1836,7 @@ object SparkEntry {
         sum(col("n")).as("n_events"),
         max(col("n")).as("max_session_events"),
         round(avg(col("n")), 6).as("avg_session_events"),
-        round(max(col("durationMs").cast("double") / 1e9), 6).as("max_duration_sec"),
+        round(max(col("duration").cast("double") / 1e9), 6).as("max_duration_sec"),
         round(sum(col("sum")), 2).as("sum_value"))
     }),
     "q110_survival_verb" -> ((s, d) => {

@@ -151,22 +151,61 @@ object Regression {
     *
     * `isCal` must be a deterministic row predicate (a content-hash or LCG
     * split, so the interval reproduces on any layout). The k-th order
-    * statistic comes from the exact `percentile` aggregate evaluated at
-    * p = (k−1)/(n−1) — an integral sort index, so no real interpolation
-    * happens. Two scans (fit, then residual quantile) + the caller's
-    * scoring pass. Returns (model, q, nCal). */
+    * statistic is selected EXACTLY by [[kthSmallest]] — rank-bracket via a
+    * sketch, then a take-ordered over the tiny in-bracket slice — never by
+    * `percentile` interpolation (whose p·(n−1) product can land 1 ulp off
+    * an integral index and interpolate q below the true k-th residual,
+    * flipping boundary coverage rows). Bounded state at any scale.
+    * Rows whose residual is null (null y or feature) don't participate in
+    * the rank; k still follows the conformal ⌈(1−α)(n+1)⌉ on the full
+    * calibration count, clamped to the defined-residual count.
+    * Returns (model, q, nCal). */
   def conformalOls(df: DataFrame, y: Column, xs: Seq[Column], isCal: Column,
                    alpha: Double = 0.1): (OlsModel, Double, Long) = {
     require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
     val cal = df.filter(isCal)
     val m = fitOls(df.filter(!isCal), y, xs)
-    val nCal = cal.count()
-    require(nCal > 0, "conformal_ols: calibration split selected no rows")
-    val k = math.min(nCal, math.ceil((1 - alpha) * (nCal + 1)).toLong)
-    val p = if (nCal == 1) 0.0 else (k - 1).toDouble / (nCal - 1).toDouble
     val absResid = abs(y.cast("double") - predict(m, xs))
-    val q = cal.select(percentile(absResid, lit(p)).as("q")).head().getDouble(0)
+    val cnts = cal.agg(count(lit(1)).as("n"), count(absResid).as("nr")).head()
+    val nCal = cnts.getLong(0); val nRes = cnts.getLong(1)
+    require(nCal > 0, "conformal_ols: calibration split selected no rows")
+    require(nRes > 0,
+      "conformal_ols: calibration split has no rows with a defined residual")
+    val k = math.min(nRes, math.ceil((1 - alpha) * (nCal + 1)).toLong)
+    val q = kthSmallest(cal, absResid, k, nRes)
     (m, q, nCal)
+  }
+
+  /** Exact k-th smallest (1-based rank among the `n` non-null values) of
+    * `v` over `df`, with bounded state at any scale: a percentile_approx
+    * sketch brackets the order statistic to a ±slack rank window, one
+    * aggregate fixes the bracket endpoints' exact ranks, and a
+    * take-ordered over the (≈ 2·slack-row) in-bracket slice selects the
+    * exact value — never a global sort, never interpolation. */
+  private[graft] def kthSmallest(df: DataFrame, v: Column, k: Long,
+                                 n: Long): Double = {
+    require(k >= 1 && k <= n, s"kth_smallest: rank $k outside [1, $n]")
+    val acc = 10000
+    val slack = math.max(2L, 4L * n / acc)
+    val pLo = math.max(0.0, (k - slack).toDouble / n)
+    val pHi = math.min(1.0, (k + slack).toDouble / n)
+    val b = df.agg(percentile_approx(v, array(lit(pLo), lit(pHi)),
+      lit(acc)).as("b")).head().getSeq[Double](0)
+    val (vLo, vHi) = (b(0), b(1))
+    if (vLo == vHi) return vLo // a tie block spans the bracket: value pinned
+    val cnt = df.agg(
+      sum(when(v <= vLo, 1L).otherwise(0L)).as("le_lo"),
+      sum(when(v < vHi, 1L).otherwise(0L)).as("lt_hi")).head()
+    val leLo = cnt.getLong(0); val ltHi = cnt.getLong(1)
+    if (leLo >= k) return vLo // k-th sits inside vLo's tie block
+    if (ltHi < k) return vHi // k-th sits inside vHi's tie block
+    // strictly inside (vLo, vHi): ranks leLo+1 .. ltHi live there, and the
+    // sketch's rank guarantee bounds that slice to ~2·slack rows — a
+    // take-ordered with a small limit, not a global sort
+    val need = (k - leLo).toInt
+    df.filter(v > vLo && v < vHi).select(v.cast("double").as("__v"))
+      .orderBy(col("__v")).limit(need)
+      .agg(max(col("__v"))).head().getDouble(0)
   }
 
   /** struct(fit, lower, upper) for a conformal (model, q) pair. */

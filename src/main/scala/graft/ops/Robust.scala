@@ -19,9 +19,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Robust {
 
-  /** Clip a column into [lo, hi] (pure codegen expression). */
+  /** Clip a column into [lo, hi] (pure codegen expression). Null passes
+    * through as null — least/greatest SKIP nulls (they don't propagate),
+    * so an unguarded clip would silently turn null into `hi`. */
   def winsorize(c: Column, lo: Double, hi: Double): Column =
-    greatest(lit(lo), least(lit(hi), c))
+    when(c.isNotNull, greatest(lit(lo), least(lit(hi), c)))
 
   /** (lower, upper) percentile bounds of `x`. */
   def quantileBounds(df: DataFrame, x: Column, pLo: Double, pHi: Double,

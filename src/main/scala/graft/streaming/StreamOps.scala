@@ -58,8 +58,14 @@ object StreamOps {
     // projection over the k+1 columns
     val counts = (0 to k).map(i =>
       sum(when(binCol === i, 1L).otherwise(0L)).as(s"__n$i"))
+    // null metric values are dropped BEFORE binning (cutBins' otherwise
+    // branch would silently assign them to the top ordinal bin), matching
+    // the batch twin Drift.binnedDrift's null convention; rows whose event
+    // time doesn't cast are dropped with them
     val agged = events
+      .filter(value.isNotNull)
       .withColumn("__et", eventTime.cast("timestamp"))
+      .filter(col("__et").isNotNull)
       .withWatermark("__et", watermarkDelay)
       .groupBy(window(col("__et"), windowDuration))
       .agg(counts.head, counts.tail: _*)
@@ -160,18 +166,29 @@ object StreamOps {
   case class SessionEvent(userId: Long, ts: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(userId: Long, start: Long, end: Long, n: Long,
-                        sum: Double, durationMs: Long)
+                        sum: Double, duration: Long)
 
   /** Gap-based sessionization with flatMapGroupsWithState: a session closes
-    * after `gapMs` of inactivity (in-batch gap always; idle-state expiry via
+    * after `gap` of inactivity (in-batch gap always; idle-state expiry via
     * the configured timeout — ProcessingTimeTimeout in production, NoTimeout
     * for deterministic tests); emits one row per closed session. The
     * canonical custom-state streaming pattern the engine exposes for
-    * per-entity accumulation beyond windowed aggs. */
-  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent], gapMs: Long,
-                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+    * per-entity accumulation beyond windowed aggs.
+    *
+    * UNITS: `gap` (and the emitted `duration` = last − start) are in
+    * whatever unit the `ts` column carries — the comparison is pure long
+    * arithmetic, deliberately unit-agnostic (epoch millis, micros, nanos
+    * all work as long as gap matches). The ProcessingTimeTimeout idle
+    * expiry, by contrast, is WALL-CLOCK and always milliseconds:
+    * `idleTimeoutMs` sets it explicitly; its 0 default falls back to `gap`,
+    * which is only correct when ts is epoch-millis — pass it when it
+    * isn't. */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent], gap: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout(),
+                 idleTimeoutMs: Long = 0L)
       : org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val timeoutMs = if (idleTimeoutMs > 0L) idleTimeoutMs else gap
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[SessionState, SessionOut](
         org.apache.spark.sql.streaming.OutputMode.Append(), timeout) {
@@ -186,7 +203,7 @@ object StreamOps {
             val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.ts - s.last <= gapMs =>
+                case Some(s) if e.ts - s.last <= gap =>
                   cur = Some(s.copy(last = e.ts, n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   out += SessionOut(uid, s.start, s.last, s.n, s.sum, s.last - s.start)
@@ -198,7 +215,7 @@ object StreamOps {
             cur.foreach { s =>
               state.update(s)
               if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
-                state.setTimeoutDuration(gapMs)
+                state.setTimeoutDuration(timeoutMs)
             }
             out.iterator
           }

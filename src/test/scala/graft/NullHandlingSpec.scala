@@ -193,4 +193,20 @@ class NullHandlingSpec extends AnyFunSuite {
     val scored = graft.ops.NgramLm.scorePerplexity(d, $"id", $"text", m)
     assert(scored.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
+
+  test("robustMeans ignores null x everywhere (winsorized mean included)") {
+    // least/greatest skip nulls, so an unguarded clip would count every
+    // null-x row as the upper bound hi in the winsorized mean
+    val d = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, 100.0, null, null)
+      .toDF("x")
+    val r = graft.ops.Robust.robustMeans(d, $"x", pLo = 0.2, pHi = 0.8,
+      exact = true).head()
+    val nn = graft.ops.Robust.robustMeans(d.na.drop(Seq("x")), $"x",
+      pLo = 0.2, pHi = 0.8, exact = true).head()
+    assert(r.getLong(0) == 5L)
+    (1 to 7).foreach { i =>
+      val (a, b) = (r.get(i), nn.get(i))
+      assert(a == b, s"col $i: $a with nulls vs $b complete-case")
+    }
+  }
 }

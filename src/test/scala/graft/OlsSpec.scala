@@ -108,6 +108,28 @@ class OlsSpec extends AnyFunSuite {
     }
   }
 
+  test("kthSmallest is exact for every rank, tie blocks included") {
+    val rng = new scala.util.Random(29)
+    // heavy tie blocks at both ends plus a smooth middle — exercises the
+    // vLo/vHi tie-block early returns and the in-bracket take-ordered path
+    val xs = rng.shuffle(Seq.fill(100)(5.0) ++ (1 to 50).map(_ + 100.0) ++
+      Seq.fill(80)(999.0))
+    val d = xs.map(Tuple1(_)).toDF("x")
+    val sorted = xs.sorted
+    val n = xs.length.toLong
+    Seq(1L, 50L, 100L, 101L, 120L, 151L, 200L, n).foreach { k =>
+      val got = Regression.kthSmallest(d, $"x", k, n)
+      assert(got == sorted((k - 1).toInt), s"rank $k: $got vs ${sorted((k - 1).toInt)}")
+    }
+    // nulls don't participate in the rank
+    val withNull = (xs.map(v => Tuple1(java.lang.Double.valueOf(v))) :+
+      Tuple1(null.asInstanceOf[java.lang.Double])).toDF("x")
+    assert(Regression.kthSmallest(withNull, $"x", n, n) == sorted.last)
+    intercept[IllegalArgumentException] {
+      Regression.kthSmallest(d, $"x", n + 1, n)
+    }
+  }
+
   test("did recovers interaction effect") {
     val rng = new scala.util.Random(3)
     val didRows = (1 to 4000).map { _ =>

@@ -74,6 +74,24 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(math.abs(rows(4L)) < 1e-9, s"baseline window psi ${rows(4L)}")
       assert(rows(2L) > 1.0, s"drifted window psi ${rows(2L)}")
     } finally q.stop()
+    // null metric values are dropped before binning (binnedDrift's
+    // convention) — an unguarded cutBins would dump them in the top bin
+    // and inflate its share
+    val input2 = MemoryStream[(Long, java.lang.Double)]
+    val df2 = input2.toDF().toDF("ts_s", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out2 = StreamOps.windowedPsi(df2, col("ts"), col("v"),
+      bins = Seq(10.0, 20.0), baselineShares = Seq(0.5, 0.5, 0.0),
+      windowDuration = "10 seconds", watermarkDelay = "5 seconds")
+    val q2 = out2.writeStream.format("memory").queryName("wpsi_null")
+      .outputMode("update").start()
+    try {
+      input2.addData((1L, 5.0), (2L, 15.0), (3L, null), (4L, null))
+      q2.processAllAvailable()
+      val r = spark.table("wpsi_null").collect().head
+      assert(r.getAs[Long]("n_window") == 2L, "null values must not be binned")
+      assert(math.abs(r.getAs[Double]("psi")) < 1e-9)
+    } finally q2.stop()
     intercept[IllegalArgumentException] {
       StreamOps.windowedPsi(df, col("ts"), col("v"), Seq(10.0, 20.0),
         Seq(0.5, 0.5), "10 seconds", "5 seconds")
@@ -135,7 +153,7 @@ class StreamOpsSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionEvent]
-    val out = StreamOps.sessionize(input.toDS(), gapMs = 1000L,
+    val out = StreamOps.sessionize(input.toDS(), gap = 1000L,
       timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
     val q = out.writeStream.format("memory").queryName("sess")
       .outputMode("append").start()
@@ -150,7 +168,7 @@ class StreamOpsSpec extends AnyFunSuite {
       // first burst of user 1 closed by the in-batch gap
       val closed = rows.filter(r => r.userId == 1L && r.n == 2)
       assert(closed.length == 1 && closed.head.sum == 3.0
-        && closed.head.durationMs == 500L)
+        && closed.head.duration == 500L)
     } finally q.stop()
   }
 }
