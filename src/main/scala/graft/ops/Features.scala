@@ -1,11 +1,46 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Feature engineering parity ops (reference CutBinsParser.java:1-94,
   * features.py:17-282). */
 object Features {
+
+  /** Bounded distinct-set aggregate: collects up to cap+1 DISTINCT values
+    * and then STOPS inserting, so aggregate state is ≤ cap+1 strings no
+    * matter the column's true cardinality — `collect_set`'s state, by
+    * contrast, is O(distinct), and a mis-declared row-scale string column
+    * (URL, user id) OOMs the single task that merges the global partials.
+    * A result of length cap+1 means "over the cap" — exactness of WHICH
+    * cap+1 values survive doesn't matter, because callers discard
+    * over-cap sets. Under the cap the set is complete: no partial can
+    * saturate when global distinct ≤ cap, so the merged union misses
+    * nothing. Output is sorted (TreeSet natural order). */
+  private[graft] class BoundedSetAgg(cap: Int)
+      extends Aggregator[String, java.util.TreeSet[String], Array[String]] {
+    def zero: java.util.TreeSet[String] = new java.util.TreeSet[String]()
+    def reduce(b: java.util.TreeSet[String], a: String): java.util.TreeSet[String] = {
+      if (a != null && b.size <= cap) b.add(a)
+      b
+    }
+    def merge(b1: java.util.TreeSet[String], b2: java.util.TreeSet[String])
+        : java.util.TreeSet[String] = {
+      val it = b2.iterator()
+      while (it.hasNext && b1.size <= cap) b1.add(it.next())
+      b1
+    }
+    def finish(b: java.util.TreeSet[String]): Array[String] =
+      b.toArray(new Array[String](b.size))
+    def bufferEncoder = Encoders.kryo[java.util.TreeSet[String]]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
+  /** `boundedSet(cap)(col)` as an untyped aggregate column. */
+  private[graft] def boundedSet(cap: Int, c: Column): Column =
+    udaf(new BoundedSetAgg(cap), Encoders.STRING)(c)
 
   /** Bucketize by explicit split points; labels `[a,b)` like the reference
     * (ordinal ints when ifString=false). Pure CASE chain → codegen. */
@@ -33,15 +68,16 @@ object Features {
 
   /** One-hot: distinct values → 0/1 indicator columns named col_value
     * (features.py:17-109). ALL columns' category sets come from ONE
-    * aggregate pass (`collect_set` per column, capped + sorted inside the
-    * agg so only ≤ maxCategories+1 values per column reach the driver) —
-    * not k sequential distinct+collect round trips — and all indicators are
-    * added in one projection. Aggregate state is O(distinct) per column;
-    * the cardinality cap errors exactly like the reference does. */
+    * aggregate pass ([[BoundedSetAgg]] per column — state capped at
+    * maxCategories+1 values per column at every stage, so a mis-declared
+    * high-cardinality column fails the cap check instead of OOMing the
+    * merge task) — not k sequential distinct+collect round trips — and all
+    * indicators are added in one projection. The cardinality cap errors
+    * exactly like the reference does. */
   def oneHot(df: DataFrame, cols: Seq[String], maxCategories: Int = 100): DataFrame = {
     if (cols.isEmpty) return df
     val setCols = cols.map(c =>
-      slice(sort_array(collect_set(col(c).cast("string"))), 1, maxCategories + 1).as(c))
+      boundedSet(maxCategories, col(c).cast("string")).as(c))
     val row = df.agg(setCols.head, setCols.tail: _*).head()
     val indicators = cols.zipWithIndex.flatMap { case (c, i) =>
       val values = row.getSeq[String](i).filter(_ != null).sorted
@@ -84,10 +120,16 @@ object Features {
     *
     * 100 TB shape: ALL per-column statistics — min/max or mean/std for
     * every numeric column AND the capped category sets for every
-    * categorical column — come from ONE aggregate pass (constant-size
-    * state, map-side combined); the transform itself is a single
-    * projection that stays in the scan's codegen stage. No MLlib Pipeline
-    * object, no per-column jobs.
+    * categorical column — come from ONE aggregate pass with TRULY
+    * constant-size state: numeric stats are 4 doubles each, and the
+    * per-categorical sets are [[BoundedSetAgg]]s whose state never exceeds
+    * oneHotThreshold+1 strings at ANY stage (partial, shuffle, final
+    * merge) — a mis-declared row-scale string column (URL, user id)
+    * saturates its set and is dropped from the feature vector, instead of
+    * `collect_set` hauling every distinct value into the single global
+    * merge task. The transform itself is a single projection that stays
+    * in the scan's codegen stage. No MLlib Pipeline object, no per-column
+    * jobs.
     *
     * A constant numeric column (max == min or std == 0) scales to 0.0,
     * matching MinMaxScaler/StandardScaler degenerate behavior. A
@@ -116,7 +158,7 @@ object Features {
         avg(d).as(s"${c}__av"), stddev_samp(d).as(s"${c}__sd"))
     }
     val catAggs = catAll.map { c =>
-      slice(sort_array(collect_set(col(c))), 1, oneHotThreshold + 1).as(s"${c}__set")
+      boundedSet(oneHotThreshold, col(c)).as(s"${c}__set")
     }
     val aggs = numAggs ++ catAggs
     val row = filled.agg(aggs.head, aggs.tail: _*).head()

@@ -97,6 +97,34 @@ class TfIdfFeatureSpec extends AnyFunSuite {
     assert(xs.min == 0.0)
   }
 
+  test("category-set aggregate state stays bounded on a row-scale-cardinality column") {
+    // 120k distinct strings across 8 partitions: BoundedSetAgg holds at
+    // most cap+1 of them at any stage (collect_set would hold all 120k in
+    // the single global merge task); featureProcess drops the column,
+    // keeps the small one, and the run completes in bounded memory
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 120000
+    val df = spark.range(n).repartition(8)
+      .select($"id".cast("double").as("x"),
+        concat(lit("u"), $"id").as("hi_card"),
+        (pmod($"id", lit(3))).cast("string").as("small"),
+        pmod($"id", lit(2)).cast("double").as("label"))
+    val (out, names) = Features.featureProcess(df, "label", oneHotThreshold = 5)
+    assert(!names.exists(_.startsWith("hi_card")))
+    assert(names.count(_.startsWith("small_")) == 3)
+    assert(out.count() == n)
+    // oneHot's cap check still fires on the same bounded state
+    val e = intercept[IllegalArgumentException] {
+      Features.oneHot(df.toDF(), Seq("hi_card"), maxCategories = 5)
+    }
+    assert(e.getMessage.contains("exceeds"))
+    // the bounded set is complete (and sorted) when distinct <= cap
+    val s = df.agg(graft.ops.Features.boundedSet(5, $"small").as("s"))
+      .head().getSeq[String](0)
+    assert(s == Seq("0", "1", "2"))
+  }
+
   test("empty inputs raise named errors instead of silent zeros") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
     intercept[IllegalArgumentException] {
