@@ -55,10 +55,27 @@ object NgramLm {
 
   /** Score each document: (id columns, n_bigrams, avg_logp, perplexity =
     * exp(-avg_logp)). Unseen bigrams/unigrams fall back to counts of 0
-    * under the same smoothing. */
+    * under the same smoothing.
+    *
+    * The unigram-table broadcast is GUARDED: `model.vocabSize` (already
+    * computed at train time, no extra job) must be ≤ `maxBroadcastVocab`
+    * or the call fails fast naming the escape — a web-scale corpus
+    * vocabulary (100M+ distinct tokens once typos are in) is exactly the
+    * full-vocab broadcast that does not survive real corpora (see
+    * [[TfIdf]]'s design notes, which reject it outright). With
+    * `broadcastUnigrams = false` the unigram join shuffles by w1 — the
+    * same keyed exchange the bigram join already does — and AQE handles
+    * the Zipf-head skew. */
   def scorePerplexity(docs: DataFrame, id: Column, text: Column,
                       model: BigramModel,
-                      broadcastUnigrams: Boolean = true): DataFrame = {
+                      broadcastUnigrams: Boolean = true,
+                      maxBroadcastVocab: Long = 8L << 20): DataFrame = {
+    require(maxBroadcastVocab > 0, "maxBroadcastVocab must be positive")
+    require(!broadcastUnigrams || model.vocabSize <= maxBroadcastVocab,
+      s"ngram_lm: vocabulary has ${model.vocabSize} distinct tokens " +
+        s"(max $maxBroadcastVocab for broadcast): pass " +
+        "broadcastUnigrams=false for a shuffled unigram join, or raise " +
+        "maxBroadcastVocab if every executor can hold the table")
     val uni0 = model.unigrams
     val uni = if (broadcastUnigrams) broadcast(uni0) else uni0
     val base = docs.select(id.as("doc_id"), tokens(text).as("__t"))

@@ -45,6 +45,26 @@ class NgramLmSpec extends AnyFunSuite {
     assert(!scored.contains(2L))
   }
 
+  test("unigram broadcast is guarded by vocab size; shuffled join agrees") {
+    val m = NgramLm.train(corpus, $"text")
+    // over the cap: fail fast naming the broadcastUnigrams=false escape
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.scorePerplexity(corpus, $"id", $"text", m,
+        maxBroadcastVocab = 2L)
+    }
+    assert(e.getMessage.contains("broadcastUnigrams=false"), e.getMessage)
+    // the shuffled-join path is value-identical to the broadcast path
+    val bc = NgramLm.scorePerplexity(corpus, $"id", $"text", m)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logp")).toMap
+    val sh = NgramLm.scorePerplexity(corpus, $"id", $"text", m,
+        broadcastUnigrams = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logp")).toMap
+    assert(bc == sh, s"$bc vs $sh")
+    // the guard is inert when not broadcasting
+    assert(NgramLm.scorePerplexity(corpus, $"id", $"text", m,
+      broadcastUnigrams = false, maxBroadcastVocab = 2L).count() == 4)
+  }
+
   test("natural text ranks repeated boilerplate as lower perplexity") {
     val docs = (Seq.fill(20)("the quick brown fox jumps over the lazy dog") ++
       Seq("zebra quantum flux oscillates purple telemetry"))
