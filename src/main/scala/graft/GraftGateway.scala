@@ -46,6 +46,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT kolmogorov_smirnov_test(y, t[, alt[, method]]) FROM <any>
   * SELECT causal_forest(y, t, x...[, trees, depth, min_node]) FROM <any>
   * SELECT causal_tree(y, t, x...[, depth, min_node])          FROM <any>
+  * SELECT histogram(x[, bins])               FROM <any>
+  * SELECT box_stats(x[, 'exact'])            FROM <any>
+  * SELECT tfidf(id, text[, k])               FROM <any>
+  * SELECT perplexity(id, text)               FROM <any>
+  * SELECT incremental_dedup(text, 'history_table') FROM <corpus>
+  * SELECT snapshot_diff(id, text, 'new_table')     FROM <old_version>
+  * SELECT conformal_interval(y, is_cal, x...[, alpha]) FROM <any>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -179,14 +186,16 @@ object GraftGateway {
     "kolmogorov_smirnov_test", "causal_forest", "causal_tree",
     "kaplan_meier", "log_rank_test", "aipw",
     "robust_means", "wasserstein", "psi", "calibration",
-    "weighted_mean_ess", "qte")
+    "weighted_mean_ess", "qte",
+    "histogram", "box_stats", "tfidf", "perplexity",
+    "incremental_dedup", "snapshot_diff", "conformal_interval")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
     * (small one-row-per-something tables) that compose via cross join when
     * the siblings are global aggregates. */
   private val transformVerbs = Set("exact_matching", "caliper_matching",
-    "cut_bins")
+    "cut_bins", "incremental_dedup", "conformal_interval")
   private def handles(v: String): Boolean = verbs(v.toLowerCase)
 
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -298,6 +307,60 @@ object GraftGateway {
         require(a.length >= 3, "qte(y, t, p1[, p2, ...])")
         QuantileTest.quantileTreatmentEffect(df, c(a(0)), c(a(1)),
           a.drop(2).map(num))
+      case "histogram" =>
+        // the data behind the reference's histplot (lib/tools.py:309-357):
+        // (bin, lo, hi, count), empty bins included
+        require(a.nonEmpty, "histogram(x[, bins])")
+        Explore.histogram(df, c(a(0)),
+          bins = if (a.length > 1) num(a(1)).toInt else 50)
+      case "box_stats" =>
+        // the data behind the reference's boxplot (lib/tools.py:361-430):
+        // five-number summary + IQR whiskers + outlier counts. Optional
+        // 'exact' selects the sort-buffer percentile (oracle parity);
+        // the default is the percentile_approx sketch
+        require(a.nonEmpty, "box_stats(x[, 'exact'])")
+        Explore.boxStats(df, c(a(0)),
+          exact = a.length > 1 && str(a(1)).equalsIgnoreCase("exact"))
+      case "tfidf" =>
+        // per-(doc, term) TF-IDF/BM25 scores; an optional k keeps only the
+        // top-k terms per doc
+        require(a.length >= 2, "tfidf(id, text[, k])")
+        val scores = TfIdf.termScores(df, c(a(0)), c(a(1)))
+        if (a.length > 2) TfIdf.topTerms(scores, num(a(2)).toInt) else scores
+      case "perplexity" =>
+        // corpus self-perplexity: trains the add-one bigram LM on the
+        // FROM input and scores the same rows (the CCNet-style quality
+        // pass a pipeline runs per ingestion batch)
+        require(a.length >= 2, "perplexity(id, text)")
+        val m = NgramLm.train(df, c(a(1)))
+        NgramLm.scorePerplexity(df, c(a(0)), c(a(1)), m)
+      case "incremental_dedup" =>
+        // history side is a registered table/view named by a string
+        // literal (the verb's FROM side is the incoming corpus batch);
+        // both sides dedup on the same-named text column
+        require(a.length >= 2, "incremental_dedup(text, 'history_table')")
+        val history = spark.table(str(a(1)))
+        Dedup.incrementalDedup(df, history, c(a(0)), c(a(0)))
+      case "snapshot_diff" =>
+        // FROM side = the OLD corpus version; the NEW version is a
+        // registered table/view with the same id/text column names
+        require(a.length >= 3, "snapshot_diff(id, text, 'new_table')")
+        val newV = spark.table(str(a(2)))
+        Dedup.snapshotDiff(df, newV, c(a(0)), c(a(0)), c(a(1)), c(a(1)))
+      case "conformal_interval" =>
+        // split-conformal band as a transform: adds fit/lower/upper to
+        // every input row; trailing numeric literal = alpha
+        require(a.length >= 3, "conformal_interval(y, is_cal, x...[, alpha])")
+        val (featA, optA) = a.drop(2).span(!_.isInstanceOf[Literal])
+        require(featA.nonEmpty,
+          "conformal_interval needs at least one feature column before alpha")
+        val alpha = optA.headOption.map(num).getOrElse(0.1)
+        val (m, q, _) = Regression.conformalOls(df, c(a(0)), featA.map(c),
+          c(a(1)), alpha)
+        val band = Regression.conformalBand(m, featA.map(c), q)
+        df.withColumn("fit", band.getField("fit"))
+          .withColumn("lower", band.getField("lower"))
+          .withColumn("upper", band.getField("upper"))
       case "did" =>
         // DIDParser.java:40-43: y ~ treatment + time + treatment·time [+ x…]
         require(a.length >= 3, "did(y, treatment, time[, x...])")

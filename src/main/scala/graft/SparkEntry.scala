@@ -1625,6 +1625,70 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q125_histogram" -> ((s, d) => {
+      // the histplot data verb (lib/tools.py:309-357) through the SQL
+      // gateway: equal-width bin counts, empty bins included. Bin edges
+      // and ordinals are the same IEEE double ops in both engines; counts
+      // are exact integers
+      t(s, d, "lineitem").createOrReplaceTempView("li_hist")
+      GraftGateway.sql(s, "SELECT histogram(l_extendedprice, 8) FROM li_hist")
+        .select(col("bin"), round(col("lo"), 4).as("lo"),
+          round(col("hi"), 4).as("hi"), col("count"))
+        .orderBy(col("bin"))
+    }),
+    "q126_box_stats" -> ((s, d) => {
+      // the boxplot data verb (lib/tools.py:361-430) through the gateway:
+      // five-number summary + IQR whiskers + outlier counts, exact
+      // quartiles for quantile_cont parity (q09/q114 precedent)
+      t(s, d, "lineitem").createOrReplaceTempView("li_box")
+      GraftGateway.sql(s, "SELECT box_stats(l_quantity, 'exact') FROM li_box")
+        .select(col("n"), round(col("min"), 2).as("min"),
+          round(col("q1"), 6).as("q1"), round(col("median"), 6).as("median"),
+          round(col("q3"), 6).as("q3"), round(col("max"), 2).as("max"),
+          round(col("iqr"), 6).as("iqr"),
+          round(col("whisker_lo"), 6).as("whisker_lo"),
+          round(col("whisker_hi"), 6).as("whisker_hi"),
+          col("n_outliers_lo"), col("n_outliers_hi"))
+    }),
+    "q127_pipeline_verbs" -> ((s, d) => {
+      // the text-pipeline ops reached from raw SQL (the reference's
+      // everything-through-SQL thesis): incremental_dedup as a TRANSFORM
+      // verb filtering the corpus batch against a named history view
+      // (q115 fixture), and perplexity as a SUMMARY verb scoring the same
+      // corpus in place (q103 model); both one-row roll-ups cross-join
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 10000).as("doc_id"), col("lang"),
+            col("text")))
+        .createOrReplaceTempView("g_corpus")
+      docs.filter(col("doc_id") < 250).createOrReplaceTempView("g_hist")
+      val newDocs = GraftGateway.sql(s,
+          "SELECT incremental_dedup(text, 'g_hist') FROM g_corpus")
+        .agg(count(lit(1)).as("n_new"), sum(col("doc_id")).as("id_sum"))
+      val ppl = GraftGateway.sql(s,
+          "SELECT perplexity(doc_id, text) FROM g_corpus")
+        .agg(count(lit(1)).as("n_scored"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          round(avg(col("avg_logp")), 6).as("mean_logp"))
+      newDocs.crossJoin(ppl)
+    }),
+    "q128_conformal_verb" -> ((s, d) => {
+      // the conformal_interval TRANSFORM verb (q122 fixture): band columns
+      // added to every row, coverage and half-width replayed closed-form
+      t(s, d, "lineitem").select(
+          (col("l_extendedprice") / 1000.0).as("y"),
+          col("l_quantity").cast("double").as("x"),
+          (((col("l_orderkey") * 8 + col("l_linenumber")) * 1103515245L
+            + 12345L) % 1000 < 500).as("is_cal"))
+        .createOrReplaceTempView("li_conf")
+      GraftGateway.sql(s,
+          "SELECT conformal_interval(y, is_cal, x, 0.1) FROM li_conf")
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg((col("y") >= col("lower") && col("y") <= col("upper"))
+            .cast("double")), 6).as("coverage"),
+          round(avg(col("upper") - col("lower")) / 2.0, 6).as("q_hat"))
+    }),
     "q122_conformal" -> ((s, d) => {
       val spark = s
       import spark.implicits._
@@ -1983,6 +2047,98 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q125_histogram" ->
+      // identical IEEE bin arithmetic: width = (mx-mn)/8, ordinal =
+      // least(floor((x-mn)/width), 7); empty bins from range(0,8)
+      """WITH s AS (SELECT min(l_extendedprice) AS mn,
+        |    max(l_extendedprice) AS mx,
+        |    (max(l_extendedprice) - min(l_extendedprice)) / 8.0 AS w
+        |  FROM lineitem),
+        |c AS (SELECT least(CAST(floor((l_extendedprice - mn) / w) AS INT), 7) AS bin,
+        |    count(*) AS cnt FROM lineitem, s GROUP BY 1),
+        |b AS (SELECT CAST(range AS INT) AS bin FROM range(0, 8))
+        |SELECT bin, round(mn + bin * w, 4) AS lo,
+        |  round(mn + (bin + 1) * w, 4) AS hi,
+        |  CAST(coalesce(cnt, 0) AS BIGINT) AS "count"
+        |FROM b CROSS JOIN s LEFT JOIN c USING (bin)
+        |ORDER BY bin""".stripMargin,
+    "q126_box_stats" ->
+      // five-number summary (quantile_cont == Spark exact percentile),
+      // whiskers clamped to the data range, outlier counts closed-form
+      """WITH q AS (SELECT count(l_quantity) AS n,
+        |    CAST(min(l_quantity) AS DOUBLE) AS mn,
+        |    CAST(max(l_quantity) AS DOUBLE) AS mx,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q3
+        |  FROM lineitem),
+        |w AS (SELECT *, q3 - q1 AS iqr,
+        |    greatest(q1 - 1.5 * (q3 - q1), mn) AS wlo,
+        |    least(q3 + 1.5 * (q3 - q1), mx) AS whi FROM q)
+        |SELECT n, round(mn, 2) AS "min", round(q1, 6) AS q1,
+        |  round(med, 6) AS median, round(q3, 6) AS q3,
+        |  round(mx, 2) AS "max", round(iqr, 6) AS iqr,
+        |  round(wlo, 6) AS whisker_lo, round(whi, 6) AS whisker_hi,
+        |  CAST((SELECT count(*) FROM lineitem, w WHERE l_quantity < wlo) AS BIGINT) AS n_outliers_lo,
+        |  CAST((SELECT count(*) FROM lineitem, w WHERE l_quantity > whi) AS BIGINT) AS n_outliers_hi
+        |FROM w""".stripMargin,
+    "q127_pipeline_verbs" ->
+      // incremental dedup: only docs outside the history survive (q115
+      // closed form); perplexity: the q103 bigram-model replay over the
+      // corpus-with-planted-dups, global roll-up
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |    UNION ALL SELECT doc_id + 10000, text FROM documents
+        |    WHERE doc_id < 100),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_new,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM documents WHERE doc_id >= 250),
+        |tk AS (
+        |  SELECT doc_id, tok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+        |  FROM (SELECT doc_id, unnest(ts) AS tok,
+        |          generate_subscripts(ts, 1) AS ord
+        |        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |              FROM corpus))
+        |  WHERE length(tok) > 0),
+        |uni AS (SELECT tok AS w1, count(*) AS cu FROM tk GROUP BY 1),
+        |vocab AS (SELECT count(*) AS v FROM uni),
+        |pairs AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |big AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |scored AS (SELECT p.doc_id,
+        |    ln((coalesce(cb, 0) + 1.0) / (coalesce(cu, 0) + (SELECT v FROM vocab))) AS logp
+        |  FROM pairs p
+        |  LEFT JOIN big USING (w1, w2)
+        |  LEFT JOIN uni USING (w1)),
+        |perdoc AS (SELECT doc_id, count(*) AS nb, avg(logp) AS lp
+        |  FROM scored GROUP BY 1),
+        |ppl AS (SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        |    CAST(sum(nb) AS BIGINT) AS n_bigrams,
+        |    round(avg(lp), 6) AS mean_logp FROM perdoc)
+        |SELECT nd.n_new, nd.id_sum, ppl.n_scored, ppl.n_bigrams,
+        |  ppl.mean_logp
+        |FROM nd CROSS JOIN ppl""".stripMargin,
+    "q128_conformal_verb" ->
+      // q122's fit/rank-q chain; coverage and the band half-width replay
+      // the verb's per-row lower/upper expressions bit-for-bit
+      """WITH b AS (SELECT l_extendedprice / 1000.0 AS y,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    ((l_orderkey * 8 + l_linenumber) * 1103515245 + 12345) % 1000 < 500 AS is_cal
+        |  FROM lineitem),
+        |m AS (SELECT regr_slope(y, x) AS a, regr_intercept(y, x) AS b0
+        |  FROM b WHERE NOT is_cal),
+        |r AS (SELECT abs(y - (m.a * x + m.b0)) AS ar FROM b, m WHERE is_cal),
+        |kk AS (SELECT count(*) AS n,
+        |    least(count(*), CAST(ceil(CAST(0.9 AS DOUBLE) * (count(*) + 1)) AS BIGINT)) AS k
+        |  FROM r),
+        |o AS (SELECT ar, row_number() OVER (ORDER BY ar) AS rn FROM r),
+        |qq AS (SELECT ar AS qv FROM o, kk WHERE rn = kk.k),
+        |sc AS (SELECT y, m.a * x + m.b0 AS fit, qq.qv FROM b, m, qq)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(avg(CASE WHEN y >= fit - qv AND y <= fit + qv
+        |    THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+        |  round(avg((fit + qv) - (fit - qv)) / 2.0, 6) AS q_hat
+        |FROM sc""".stripMargin,
     "q124_power_analysis" ->
       // z(0.975)+z(0.8) to 16 digits; same IEEE order as the Scala forms
       """WITH s AS (SELECT stddev_samp(l_quantity) AS sd,

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-exploration summaries behind the reference's notebook plotting
+  * helpers (lib/tools.py:309-357 `histplot`, tools.py:361-430 `boxplot`).
+  * The matplotlib rendering is out of scope; these return the underlying
+  * data tables — the bin-count frame and the five-number/whisker row — that
+  * the plots draw, as first-class queryable outputs.
+  */
+object Explore {
+
+  /** Equal-width histogram: (bin, lo, hi, count), `bins` rows, empty bins
+    * included with count 0 (a bar chart with holes is wrong).
+    *
+    * Two scans, constant state: ONE aggregate for (min, max, n), then ONE
+    * groupBy on the computed bin ordinal (≤ bins cells) outer-joined with
+    * a `spark.range(bins)` frame — bins rows end to end, never row-scale
+    * anywhere. The reference samples 100k rows to draw its histogram
+    * (tools.py:335-350); the full-scan bin counts here are exact at any
+    * size for the same exchange cost as a global count. The max value
+    * lands in the last bin (right-closed top edge, numpy convention). */
+  def histogram(df: DataFrame, x: Column, bins: Int = 50): DataFrame = {
+    require(bins >= 1, s"histogram: bins must be >= 1, got $bins")
+    val xd = x.cast("double")
+    val r = df.agg(count(xd).as("n"), min(xd).as("mn"), max(xd).as("mx")).head()
+    require(r.getLong(0) > 0,
+      "histogram: no non-null values (empty bins would otherwise read as a zero range)")
+    val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+    val spark = df.sparkSession
+    if (mx == mn)
+      return spark.range(1).select(col("id").cast("int").as("bin"),
+        lit(mn).as("lo"), lit(mx).as("hi"), lit(r.getLong(0)).as("count"))
+    val width = (mx - mn) / bins
+    val binCol = least(floor((xd - lit(mn)) / lit(width)).cast("int"),
+      lit(bins - 1))
+    val counts = df.filter(xd.isNotNull)
+      .groupBy(binCol.as("bin")).agg(count(lit(1)).as("count"))
+    spark.range(bins).select(col("id").cast("int").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(mn) + col("bin") * lit(width)).as("lo"),
+        (lit(mn) + (col("bin") + lit(1)) * lit(width)).as("hi"),
+        coalesce(col("count"), lit(0L)).as("count"))
+      .orderBy(col("bin"))
+  }
+
+  /** Box-plot statistics, one row: n, min, q1, median, q3, max, iqr,
+    * whisker_lo = max(q1 − 1.5·IQR, min), whisker_hi = min(q3 + 1.5·IQR,
+    * max) (the reference's box geometry, tools.py:384-396), plus the
+    * outlier counts beyond each whisker.
+    *
+    * Two scans, constant state: ONE aggregate for (n, min, max, quartiles)
+    * — `exact = false` (default) takes the quartiles from the
+    * percentile_approx sketch (the 100 TB path); `exact = true` uses the
+    * sort-buffer `percentile` (gate-SF parity with DuckDB's quantile_cont)
+    * — then ONE conditional-count pass for the outliers. */
+  def boxStats(df: DataFrame, x: Column, exact: Boolean = false): DataFrame = {
+    val xd = x.cast("double")
+    val qs = array(lit(0.25), lit(0.5), lit(0.75))
+    val qCol = if (exact) percentile(xd, qs)
+      else percentile_approx(xd, qs, lit(100000))
+    val r = df.agg(count(xd).as("n"), min(xd).as("mn"), max(xd).as("mx"),
+      qCol.as("q")).head()
+    require(r.getLong(0) > 0, "box_stats: no non-null values")
+    val n = r.getLong(0)
+    val mn = r.getDouble(1); val mx = r.getDouble(2)
+    val q = r.getSeq[Double](3)
+    val (q1, med, q3) = (q(0), q(1), q(2))
+    val iqr = q3 - q1
+    val wLo = math.max(q1 - 1.5 * iqr, mn)
+    val wHi = math.min(q3 + 1.5 * iqr, mx)
+    val oc = df.agg(
+      sum(when(xd < wLo, 1L).otherwise(0L)).as("lo"),
+      sum(when(xd > wHi, 1L).otherwise(0L)).as("hi")).head()
+    import df.sparkSession.implicits._
+    Seq((n, mn, q1, med, q3, mx, iqr, wLo, wHi, oc.getLong(0), oc.getLong(1)))
+      .toDF("n", "min", "q1", "median", "q3", "max", "iqr",
+        "whisker_lo", "whisker_hi", "n_outliers_lo", "n_outliers_hi")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.Explore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExploreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("histogram: hand-checked bins, empty bins emitted, max in last bin") {
+    // values 0..9 into 5 bins of width 2: two per bin; 9 (the max) lands
+    // in bin 4, not a phantom bin 5
+    val d = (0 until 10).map(_.toDouble).toDF("x")
+    val h = Explore.histogram(d, $"x", bins = 5).collect()
+    assert(h.length == 5)
+    assert(h.forall(_.getAs[Long]("count") == 2L))
+    assert(h.map(_.getAs[Int]("bin")).toSeq == (0 until 5))
+    assert(h.head.getAs[Double]("lo") == 0.0 && h.last.getAs[Double]("hi") == 9.0)
+    // a gap leaves an explicit zero bin
+    val g = Explore.histogram(Seq(0.0, 1.0, 9.0, 10.0).toDF("x"), $"x", 5)
+      .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("count")).toMap
+    assert(g(0) == 2L && g(1) == 0L && g(2) == 0L && g(3) == 0L && g(4) == 2L)
+    // constant column: one degenerate bin holding everything
+    val c = Explore.histogram(Seq(7.0, 7.0, 7.0).toDF("x"), $"x", 5).collect()
+    assert(c.length == 1 && c.head.getAs[Long]("count") == 3L
+      && c.head.getAs[Double]("lo") == 7.0)
+    // nulls don't count; empty input errors
+    val withNull = Seq[java.lang.Double](1.0, null, 3.0).toDF("x")
+    assert(Explore.histogram(withNull, $"x", 2).agg(sum($"count"))
+      .head().getLong(0) == 2L)
+    intercept[IllegalArgumentException] {
+      Explore.histogram(Seq.empty[Double].toDF("x"), $"x", 5)
+    }
+  }
+
+  test("box_stats: five-number summary, whiskers clamp to range, outliers counted") {
+    // 1..100 plus two whales: q1/median/q3 from linear interpolation
+    val xs = (1 to 100).map(_.toDouble) ++ Seq(1000.0, 2000.0)
+    val r = Explore.boxStats(xs.toDF("x"), $"x", exact = true).head()
+    assert(r.getAs[Long]("n") == 102L)
+    assert(r.getAs[Double]("min") == 1.0 && r.getAs[Double]("max") == 2000.0)
+    val q1 = r.getAs[Double]("q1"); val q3 = r.getAs[Double]("q3")
+    // index p*(n-1): 0.25*101 = 25.25 -> 26.25; 0.75*101 = 75.75 -> 76.75
+    assert(math.abs(q1 - 26.25) < 1e-9 && math.abs(q3 - 76.75) < 1e-9)
+    assert(math.abs(r.getAs[Double]("iqr") - (q3 - q1)) < 1e-12)
+    // lower whisker clamps to min (q1 - 1.5*iqr < 1); upper stays inside
+    assert(r.getAs[Double]("whisker_lo") == 1.0)
+    val wHi = r.getAs[Double]("whisker_hi")
+    assert(math.abs(wHi - (q3 + 1.5 * (q3 - q1))) < 1e-9)
+    assert(r.getAs[Long]("n_outliers_lo") == 0L)
+    assert(r.getAs[Long]("n_outliers_hi") == 2L) // the whales
+    // approx path lands close on a smooth column
+    val ap = Explore.boxStats((1 to 10000).map(_.toDouble).toDF("x"), $"x")
+      .head()
+    assert(math.abs(ap.getAs[Double]("median") - 5000.5) < 100)
+  }
+
+  test("histogram and box_stats dispatch as gateway verbs") {
+    (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .createOrReplaceTempView("explore_t")
+    val h = GraftGateway.sql(spark, "SELECT histogram(v, 7) FROM explore_t")
+    assert(h.count() == 7 &&
+      h.agg(sum($"count")).head().getLong(0) == 50L)
+    val b = GraftGateway.sql(spark,
+      "SELECT box_stats(v, 'exact') FROM explore_t").head()
+    assert(b.getAs[Long]("n") == 50L && b.getAs[Double]("median") == 25.5)
+  }
+}

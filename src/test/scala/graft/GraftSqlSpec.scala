@@ -496,6 +496,37 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(qt.columns.contains("percentile") && qt.columns.contains("diff"))
   }
 
+  test("gateway verbs: text-pipeline ops reach SQL (tfidf, perplexity, dedup, diff, conformal)") {
+    setup
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("g_docs")
+    val tf = GraftGateway.sql(spark, "SELECT tfidf(doc_id, text, 1) FROM g_docs")
+    assert(tf.count() == 3 && tf.columns.contains("bm25"))
+    val p = GraftGateway.sql(spark, "SELECT perplexity(doc_id, text) FROM g_docs")
+    assert(p.count() == 3 && p.columns.contains("perplexity"))
+    Seq((10L, "A  B a")).toDF("doc_id", "text") // normalizes equal to doc 1
+      .createOrReplaceTempView("g_hist_t")
+    val nd = GraftGateway.sql(spark,
+      "SELECT incremental_dedup(text, 'g_hist_t') FROM g_docs")
+    assert(nd.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    Seq((1L, "a b a"), (2L, "a c CHANGED"), (4L, "new doc"))
+      .toDF("doc_id", "text").createOrReplaceTempView("g_new_t")
+    val sd = GraftGateway.sql(spark,
+        "SELECT snapshot_diff(doc_id, text, 'g_new_t') FROM g_docs")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sd == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added"), sd.toString)
+    // conformal_interval is a TRANSFORM: band columns on every input row
+    val ci = GraftGateway.sql(spark,
+      "SELECT conformal_interval(y, uin % 2 = 0, x, 0.1) FROM exp_data")
+    assert(ci.count() == 4000)
+    assert(Seq("fit", "lower", "upper").forall(ci.columns.contains))
+    val cov = ci.agg(avg(($"y" >= $"lower" && $"y" <= $"upper")
+      .cast("double"))).head().getDouble(0)
+    assert(cov > 0.85 && cov < 0.95, s"coverage $cov")
+  }
+
   test("models round-trip through tables (ModelIo)") {
     setup
     val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
