@@ -129,7 +129,16 @@ object Bench {
     val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
     val pj = passes.map(p => f"${p.map(_._2).filter(_ >= 0).sum}%.1f")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_sec":$sj,"sentinel1_sec":$sentinel1,"pass_total_sec":$pj,"passes":${passes.length}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_sec":$sj,"sentinel1_sec":$sentinel1,"pass_total_sec":$pj,"passes":${passes.length}}"""
+    println(json)
+    // the same line as a machine-readable artifact: the driver's log-tail
+    // capture has truncated the per-query map more than once (r9:
+    // `parsed: null`), so the authoritative numbers must not depend on it.
+    // Best-effort — a read-only working dir must not fail the bench.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

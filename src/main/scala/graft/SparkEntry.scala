@@ -1869,6 +1869,33 @@ object SparkEntry {
           round(sum(element_at(col("rms"), 1)), 6).as("sum_rms"))
         .orderBy(col("bucket"))
     }),
+    "q129_streaming_psi" -> ((s, d) => {
+      // the streaming drift monitor under the oracle gate (q73 harness):
+      // windowedPsi as a REAL readStream processed to completion — the
+      // per-hour PSI against a fixed uniform-quartile baseline equals the
+      // batch bin-count closed form DuckDB replays (identical IEEE term
+      // order: the 4 bin terms fold left)
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, d, "events")
+      val tsExpr =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          (col("ts") / lit(1e9)).cast("timestamp")
+        else col("ts").cast("timestamp")
+      val stream = s.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val sink = "q129_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
+      val q = graft.streaming.StreamOps.windowedPsi(stream, tsExpr,
+          col("value"), bins = Seq(15.0, 35.0, 70.0),
+          baselineShares = Seq(0.25, 0.25, 0.25, 0.25),
+          windowDuration = "1 hour", watermarkDelay = "10 minutes")
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("n_window"), round(col("psi"), 6).as("psi"))
+        .orderBy(col("w_start"))
+    }),
     "q111_streaming_sessionize" -> ((s, d) => {
       // the custom-state streaming op under the oracle gate (q73 idiom):
       // gap-sessionization via flatMapGroupsWithState over a REAL
@@ -2335,6 +2362,31 @@ object SparkEntry {
         |  round(sum((p_partkey % 3001) / 32768.0), 6) AS sum_mean,
         |  round(sum((p_partkey % 3001) / 32768.0), 6) AS sum_rms
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q129_streaming_psi" ->
+      // batch replay of the windowed PSI: hourly bin counts, shares
+      // floored at 1e-6, the 4 terms summed left-to-right like the
+      // streaming projection's reduce
+      """WITH e AS (SELECT epoch(date_trunc('hour', ts)) AS w_start, value
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT w_start, CASE WHEN value < 15 THEN 0
+        |    WHEN value < 35 THEN 1 WHEN value < 70 THEN 2
+        |    ELSE 3 END AS bin FROM e),
+        |c AS (SELECT w_start,
+        |    CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+        |    CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+        |    CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3,
+        |    CAST(count(*) AS DOUBLE) AS nw
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT w_start, nw,
+        |    (greatest(n0 / nw, 1e-6) - 0.25) * ln(greatest(n0 / nw, 1e-6) / 0.25)
+        |  + (greatest(n1 / nw, 1e-6) - 0.25) * ln(greatest(n1 / nw, 1e-6) / 0.25)
+        |  + (greatest(n2 / nw, 1e-6) - 0.25) * ln(greatest(n2 / nw, 1e-6) / 0.25)
+        |  + (greatest(n3 / nw, 1e-6) - 0.25) * ln(greatest(n3 / nw, 1e-6) / 0.25)
+        |    AS psi FROM c)
+        |SELECT CAST(w_start AS BIGINT) AS w_start,
+        |  CAST(nw AS BIGINT) AS n_window, round(psi, 6) AS psi
+        |FROM t ORDER BY w_start""".stripMargin,
     "q111_streaming_sessionize" ->
       // batch replay of the streaming semantics: gap-break sessions per
       // user, drop each user's LAST session (it never closes in-stream)
