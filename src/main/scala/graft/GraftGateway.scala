@@ -47,6 +47,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT causal_forest(y, t, x...[, trees, depth, min_node]) FROM <any>
   * SELECT causal_tree(y, t, x...[, depth, min_node])          FROM <any>
   * SELECT histogram(x[, bins])               FROM <any>
+  * SELECT histogram_by(g, x[, bins])         FROM <any>
   * SELECT box_stats(x[, 'exact'])            FROM <any>
   * SELECT tfidf(id, text[, k])               FROM <any>
   * SELECT perplexity(id, text)               FROM <any>
@@ -187,7 +188,7 @@ object GraftGateway {
     "kaplan_meier", "log_rank_test", "aipw",
     "robust_means", "wasserstein", "psi", "calibration",
     "weighted_mean_ess", "qte",
-    "histogram", "box_stats", "tfidf", "perplexity",
+    "histogram", "histogram_by", "box_stats", "tfidf", "perplexity",
     "incremental_dedup", "snapshot_diff", "conformal_interval")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
@@ -313,6 +314,12 @@ object GraftGateway {
         require(a.nonEmpty, "histogram(x[, bins])")
         Explore.histogram(df, c(a(0)),
           bins = if (a.length > 1) num(a(1)).toInt else 50)
+      case "histogram_by" =>
+        // the data behind matching_plot (dataframe/match.py:228-295):
+        // per-group bin counts over GLOBAL edges, so arms overlay
+        require(a.length >= 2, "histogram_by(group, x[, bins])")
+        Explore.histogramBy(df, c(a(0)), c(a(1)),
+          bins = if (a.length > 2) num(a(2)).toInt else 50)
       case "box_stats" =>
         // the data behind the reference's boxplot (lib/tools.py:361-430):
         // five-number summary + IQR whiskers + outlier counts. Optional

@@ -475,6 +475,73 @@ object ScaleProbe {
         col("e"), col("m1"), col("m0"), b = 20, idCols = Seq(col("id")))
       assert(!est.estimate.isNaN)
     }
+
+    // 1-Wasserstein at the adversarial all-distinct shape: every row is
+    // its own ECDF step (nothing collapses in the value groupBy), so the
+    // RangeCumSum frame is row-scale — the probe pins that the cumsum
+    // stays range-partitioned and the driver holds only the P boundary
+    // scalars. W1 between evens and odds of 0..n is ~1 by construction.
+    time(s"wasserstein all-distinct ($rows values)") {
+      val wd = spark.range(rows).select(col("id").cast("double").as("v"),
+        (col("id") % 2).cast("int").as("arm"))
+      val w = graft.ops.RankTests.wasserstein1(wd, col("v"), col("arm"))
+      assert(math.abs(w - 1.0) < 0.1, s"W1 $w")
+    }
+
+    // split-conformal at full scale: the exact k-th calibration residual
+    // via the sketch-bracketed order statistic — one sketch agg, one
+    // count agg, one take-ordered over a ~4n/accuracy-row slice. Never a
+    // global sort, never O(n) driver rows.
+    time(s"conformal_ols exact k-th residual ($rows rows)") {
+      val (_, q, nCal) = graft.ops.Regression.conformalOls(df, col("y"),
+        Seq(col("x1"), col("x2"), col("x3")),
+        pmod(xxhash64(col("id"), lit(77)), lit(2L)) === 0, alpha = 0.1)
+      assert(q > 0 && nCal > rows / 3, s"q=$q nCal=$nCal")
+    }
+
+    // snapshot diff at release-audit scale: both versions collapse to
+    // (id, fp) before the ONE full-outer join — the exchange carries two
+    // longs per doc at 1e8 ids. 10% turnover + 1-in-7 edits planted.
+    time(s"snapshot diff ($rows ids, 10% turnover)") {
+      val shift = rows / 10
+      val oldV = spark.range(rows).select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"))
+      val newV = spark.range(shift, rows + shift).select(
+        col("id").as("doc_id"),
+        when(col("id") % 7 === 0, concat(lit("u"), col("id")))
+          .otherwise(concat(lit("t"), col("id"))).as("text"))
+      val cnt = graft.ops.Dedup.snapshotDiff(oldV, newV, col("doc_id"),
+          col("doc_id"), col("text"), col("text"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cnt("added") == shift && cnt("removed") == shift, cnt.toString)
+    }
+
+    // feature_process with a row-scale-cardinality string column
+    // mis-declared as categorical: the bounded-set aggregate saturates at
+    // cap+1 strings instead of collect_set hauling 1e8 distinct values
+    // into the global merge task — the stats pass must cost about what
+    // the 16-category shape costs
+    time(s"feature_process high-cardinality categorical ($rows rows)") {
+      val fdf = df.select(col("id"), col("x1"), col("x2"), col("y"),
+        concat(lit("u"), col("id")).as("user_key"),
+        concat(lit("c"), (col("id") % 16).cast("string")).as("cat"),
+        col("t").cast("double").as("label"))
+      val (_, names) = graft.ops.Features.featureProcess(fdf, "label",
+        exclude = Seq("id"))
+      assert(!names.exists(_.startsWith("user_key")), names.mkString(","))
+      assert(names.count(_.startsWith("cat_")) == 16, names.mkString(","))
+    }
+
+    // perplexity scoring with the shuffled (non-broadcast) unigram join —
+    // the guarded escape for web-scale vocabularies; same keyed-exchange
+    // shape as the bigram join
+    time(s"ngram_lm score broadcastUnigrams=false ($lmRows docs)") {
+      val m = graft.ops.NgramLm.train(lmDocs, col("text"))
+      val scored = graft.ops.NgramLm.scorePerplexity(lmDocs, col("id"),
+        col("text"), m, broadcastUnigrams = false)
+      assert(scored.count() == lmRows)
+    }
     } // suite()
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt

@@ -1625,6 +1625,17 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q130_histogram_by" -> ((s, d) => {
+      // matching_plot's data tier (dataframe/match.py:228-295): per-arm
+      // distribution of a score column over SHARED global bin edges —
+      // here the per-returnflag price distribution, 6 bins
+      t(s, d, "lineitem").createOrReplaceTempView("li_hby")
+      GraftGateway.sql(s,
+          "SELECT histogram_by(l_returnflag, l_extendedprice, 6) FROM li_hby")
+        .select(col("group"), col("bin"), round(col("lo"), 4).as("lo"),
+          round(col("hi"), 4).as("hi"), col("count"))
+        .orderBy(col("group"), col("bin"))
+    }),
     "q125_histogram" -> ((s, d) => {
       // the histplot data verb (lib/tools.py:309-357) through the SQL
       // gateway: equal-width bin counts, empty bins included. Bin edges
@@ -2074,6 +2085,23 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q130_histogram_by" ->
+      // q125's bin arithmetic with a group key; zero-fill from the
+      // (distinct groups x bins) cross product
+      """WITH s AS (SELECT min(l_extendedprice) AS mn,
+        |    max(l_extendedprice) AS mx,
+        |    (max(l_extendedprice) - min(l_extendedprice)) / 6.0 AS w
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag AS "group",
+        |    least(CAST(floor((l_extendedprice - mn) / w) AS INT), 5) AS bin,
+        |    count(*) AS cnt FROM lineitem, s GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT l_returnflag AS "group" FROM lineitem),
+        |b AS (SELECT CAST(range AS INT) AS bin FROM range(0, 6))
+        |SELECT "group", bin, round(mn + bin * w, 4) AS lo,
+        |  round(mn + (bin + 1) * w, 4) AS hi,
+        |  CAST(coalesce(cnt, 0) AS BIGINT) AS "count"
+        |FROM g CROSS JOIN b CROSS JOIN s LEFT JOIN c USING ("group", bin)
+        |ORDER BY "group", bin""".stripMargin,
     "q125_histogram" ->
       // identical IEEE bin arithmetic: width = (mx-mn)/8, ordinal =
       // least(floor((x-mn)/width), 7); empty bins from range(0,8)

@@ -46,6 +46,45 @@ object Explore {
       .orderBy(col("bin"))
   }
 
+  /** Grouped equal-width histogram: (group, bin, lo, hi, count) — the data
+    * behind the reference's `matching_plot` overlay (dataframe/match.py:
+    * 228-295 draws the per-arm distribution of a covariate or propensity
+    * score from a 10k-row sample per arm; these are the exact full-scan
+    * counts). Bin edges are GLOBAL (one (min, max) pass over all rows) so
+    * the per-group histograms share an axis and overlay comparably.
+    *
+    * Scale shape: one constant-state agg for the edges, ONE
+    * groupBy(group, bin) (≤ groups·bins cells), and a zero-fill join
+    * against the (distinct groups × bins) dim frame — built from the
+    * already-aggregated cell table, so no extra row-scale pass. */
+  def histogramBy(df: DataFrame, group: Column, x: Column,
+                  bins: Int = 50): DataFrame = {
+    require(bins >= 1, s"histogram_by: bins must be >= 1, got $bins")
+    val xd = x.cast("double")
+    val r = df.agg(count(xd).as("n"), min(xd).as("mn"), max(xd).as("mx")).head()
+    require(r.getLong(0) > 0, "histogram_by: no non-null values")
+    val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+    val nb = if (mx == mn) 1 else bins
+    val width = if (mx == mn) 0.0 else (mx - mn) / bins
+    val binCol =
+      if (mx == mn) lit(0)
+      else least(floor((xd - lit(mn)) / lit(width)).cast("int"), lit(bins - 1))
+    val counts = df.filter(xd.isNotNull)
+      .groupBy(group.as("group"), binCol.as("bin"))
+      .agg(count(lit(1)).as("count"))
+    val groups = counts.select(col("group")).distinct()
+    val spark = df.sparkSession
+    val dim = groups.crossJoin(
+      spark.range(nb).select(col("id").cast("int").as("bin")))
+    dim.join(counts, Seq("group", "bin"), "left")
+      .select(col("group"), col("bin"),
+        (lit(mn) + col("bin") * lit(width)).as("lo"),
+        (if (mx == mn) lit(mx)
+         else lit(mn) + (col("bin") + lit(1)) * lit(width)).as("hi"),
+        coalesce(col("count"), lit(0L)).as("count"))
+      .orderBy(col("group"), col("bin"))
+  }
+
   /** Box-plot statistics, one row: n, min, q1, median, q3, max, iqr,
     * whisker_lo = max(q1 − 1.5·IQR, min), whisker_hi = min(q3 + 1.5·IQR,
     * max) (the reference's box geometry, tools.py:384-396), plus the

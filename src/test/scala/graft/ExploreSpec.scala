@@ -56,6 +56,23 @@ class ExploreSpec extends AnyFunSuite {
     assert(math.abs(ap.getAs[Double]("median") - 5000.5) < 100)
   }
 
+  test("histogramBy: shared global edges, per-group zero-fill") {
+    // group a: 0..9, group b: 10..19 — edges span 0..19 for BOTH groups,
+    // so each group's counts sit in its half and the other half zero-fills
+    val d = ((0 until 10).map(i => ("a", i.toDouble)) ++
+      (10 until 20).map(i => ("b", i.toDouble))).toDF("g", "x")
+    val h = Explore.histogramBy(d, $"g", $"x", bins = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Long]("count"))
+      .toMap
+    assert(h.size == 4)
+    assert(h(("a", 0)) == 10L && h(("a", 1)) == 0L)
+    assert(h(("b", 0)) == 0L && h(("b", 1)) == 10L) // width 9.5: 10 -> bin 1
+    // every group shares the same lo/hi edges
+    val edges = Explore.histogramBy(d, $"g", $"x", bins = 2)
+      .select("bin", "lo", "hi").distinct().count()
+    assert(edges == 2L)
+  }
+
   test("histogram and box_stats dispatch as gateway verbs") {
     (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
       .createOrReplaceTempView("explore_t")
