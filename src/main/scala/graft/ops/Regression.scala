@@ -193,12 +193,22 @@ object Regression {
       lit(acc)).as("b")).head().getSeq[Double](0)
     val (vLo, vHi) = (b(0), b(1))
     if (vLo == vHi) return vLo // a tie block spans the bracket: value pinned
+    // exact ranks of both bracket endpoints in ONE pass; the <=/<
+    // pairs make the tie-block early returns PROVABLE rather than
+    // sketch-trusting (the requires only fire if percentile_approx
+    // breaks its n/accuracy rank guarantee)
     val cnt = df.agg(
+      sum(when(v < vLo, 1L).otherwise(0L)).as("lt_lo"),
       sum(when(v <= vLo, 1L).otherwise(0L)).as("le_lo"),
-      sum(when(v < vHi, 1L).otherwise(0L)).as("lt_hi")).head()
-    val leLo = cnt.getLong(0); val ltHi = cnt.getLong(1)
-    if (leLo >= k) return vLo // k-th sits inside vLo's tie block
-    if (ltHi < k) return vHi // k-th sits inside vHi's tie block
+      sum(when(v < vHi, 1L).otherwise(0L)).as("lt_hi"),
+      sum(when(v <= vHi, 1L).otherwise(0L)).as("le_hi")).head()
+    val ltLo = cnt.getLong(0); val leLo = cnt.getLong(1)
+    val ltHi = cnt.getLong(2); val leHi = cnt.getLong(3)
+    require(ltLo < k && leHi >= k,
+      s"kth_smallest: sketch bracket [$vLo, $vHi] excludes rank $k " +
+        s"(ranks $ltLo/$leHi) — percentile_approx rank guarantee violated")
+    if (leLo >= k) return vLo // ranks ltLo+1..leLo all equal vLo; k is one
+    if (ltHi < k) return vHi // ranks ltHi+1..leHi all equal vHi; k is one
     // strictly inside (vLo, vHi): ranks leLo+1 .. ltHi live there, and the
     // sketch's rank guarantee bounds that slice to ~2·slack rows — a
     // take-ordered with a small limit, not a global sort
