@@ -21,21 +21,33 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     graft.expr.VectorExprs.cosineSim(a.cast("array<double>"), b.cast("array<double>"))
 
-  /** Exact brute-force top-k by cosine. `probes` must be small (it is
-    * broadcast); corpus stays distributed. Returns (query_id, neighbor_id,
-    * sim, rk). */
+  /** Exact brute-force top-k by cosine. The probe side is broadcast into
+    * a nested-loop join against the distributed corpus, so its size is
+    * GUARDED: more than `maxBroadcastProbes` probe rows fails fast naming
+    * the escape (the brute product is probes × corpus similarity kernels —
+    * a silently-large probe set is a runaway job, not just a big
+    * broadcast; route large probe sets through [[ivfKnn]] instead).
+    * Returns (query_id, neighbor_id, sim, rk). */
   def bruteForceKnn(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                     probes: DataFrame, probeId: Column, probeVec: Column,
-                    k: Int): DataFrame = {
+                    k: Int, maxBroadcastProbes: Long = 100000L): DataFrame = {
+    require(maxBroadcastProbes > 0, "maxBroadcastProbes must be positive")
     // a null vector is unknown, not near anything: without the guard,
     // null-sim rows sort after the real neighbors and fill top-k slots
     // whenever fewer than k real candidates exist
     val c = corpus.select(corpusId.cast("long").as("neighbor_id"),
       corpusVec.cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
-    val p = probes.select(probeId.cast("long").as("query_id"),
+    val p0 = probes.select(probeId.cast("long").as("query_id"),
       probeVec.cast("array<double>").as("q"))
       .filter(col("q").isNotNull)
+    val p = p0.persist()
+    val nProbes = p.count()
+    require(nProbes <= maxBroadcastProbes,
+      s"brute_force_knn probe set has $nProbes rows " +
+        s"(max $maxBroadcastProbes for the broadcast nested-loop product): " +
+        "use ivfKnn for large probe sets, shrink the probes, or raise " +
+        "maxBroadcastProbes if probes x corpus kernels is really intended")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(p), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q"), col("v")))

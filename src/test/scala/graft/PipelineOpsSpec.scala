@@ -454,6 +454,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ap.size == 8, s"4-table recall should be full: ${ap.size}/8")
   }
 
+  test("bruteForceKnn guards the probe broadcast by row count") {
+    val probes = vecsDf.filter($"id" < 5)
+    val e = intercept[IllegalArgumentException] {
+      Ann.bruteForceKnn(vecsDf, $"id", $"v", probes, $"id", $"v", k = 2,
+        maxBroadcastProbes = 2L)
+    }
+    assert(e.getMessage.contains("ivfKnn"), e.getMessage)
+  }
+
   test("ivfKnn matches brute force at full probe count, high recall at half") {
     val probes = vecsDf.filter($"id" < 5)
     val brute = Ann.bruteForceKnn(vecsDf, $"id", $"v", probes, $"id", $"v", k = 5)
