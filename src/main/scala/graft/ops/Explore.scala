@@ -69,9 +69,14 @@ object Explore {
     val binCol =
       if (mx == mn) lit(0)
       else least(floor((xd - lit(mn)) / lit(width)).cast("int"), lit(bins - 1))
+    // the cell table feeds BOTH the group dim and the zero-fill join;
+    // materialize it (≤ groups·bins rows) so the row-scale scan runs
+    // ONCE — without this the plan scans the input twice, because the
+    // two consumers prune differently and exchange reuse can't dedupe
     val counts = df.filter(xd.isNotNull)
       .groupBy(group.as("group"), binCol.as("bin"))
       .agg(count(lit(1)).as("count"))
+      .localCheckpoint()
     val groups = counts.select(col("group")).distinct()
     val spark = df.sparkSession
     val dim = groups.crossJoin(
