@@ -54,6 +54,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT incremental_dedup(text, 'history_table') FROM <corpus>
   * SELECT snapshot_diff(id, text, 'new_table')     FROM <old_version>
   * SELECT conformal_interval(y, is_cal, x...[, alpha]) FROM <any>
+  * SELECT chunk_documents(id, text, size[, overlap])   FROM <docs>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -189,7 +190,8 @@ object GraftGateway {
     "robust_means", "wasserstein", "psi", "calibration",
     "weighted_mean_ess", "qte",
     "histogram", "histogram_by", "box_stats", "tfidf", "perplexity",
-    "incremental_dedup", "snapshot_diff", "conformal_interval")
+    "incremental_dedup", "snapshot_diff", "conformal_interval",
+    "chunk_documents")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -354,6 +356,12 @@ object GraftGateway {
         require(a.length >= 3, "snapshot_diff(id, text, 'new_table')")
         val newV = spark.table(str(a(2)))
         Dedup.snapshotDiff(df, newV, c(a(0)), c(a(0)), c(a(1)), c(a(1)))
+      case "chunk_documents" =>
+        // sliding-window RAG/pretraining chunker: (doc_id, chunk_ix,
+        // chunk_text, n_tokens), pure codegen, no shuffle
+        require(a.length >= 3, "chunk_documents(id, text, chunk_size[, overlap])")
+        TextOps.chunkDocuments(df, c(a(0)), c(a(1)), num(a(2)).toInt,
+          overlap = if (a.length > 3) num(a(3)).toInt else 0)
       case "conformal_interval" =>
         // split-conformal band as a transform: adds fit/lower/upper to
         // every input row; trailing numeric literal = alpha

@@ -1625,6 +1625,19 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q131_chunking" -> ((s, d) => {
+      // the RAG/pretraining sliding-window chunker: 32-token chunks every
+      // 24 tokens (8 overlap); per-doc chunk counts, token sums, and char
+      // sums are pure closed forms over the token arrays
+      graft.ops.TextOps.chunkDocuments(
+          t(s, d, "documents").filter(col("doc_id") % 29 === 0),
+          col("doc_id"), col("text"), chunkSize = 32, overlap = 8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(length(col("chunk_text"))).as("sum_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q130_histogram_by" -> ((s, d) => {
       // matching_plot's data tier (dataframe/match.py:228-295): per-arm
       // distribution of a score column over SHARED global bin edges —
@@ -2085,6 +2098,22 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q131_chunking" ->
+      // same tokenization, same start offsets (range step = stride), same
+      // inclusive 1-based slices
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS ts
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |st AS (SELECT doc_id, ts, unnest(range(0, len(ts), 24)) AS s FROM toks),
+        |ch AS (SELECT doc_id,
+        |    array_to_string(ts[CAST(s + 1 AS BIGINT):CAST(s + 32 AS BIGINT)], ' ') AS chunk_text,
+        |    least(len(ts) - s, 32) AS n_tokens
+        |  FROM st)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(length(chunk_text)) AS BIGINT) AS sum_chars
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q130_histogram_by" ->
       // q125's bin arithmetic with a group key; zero-fill from the
       // (distinct groups x bins) cross product

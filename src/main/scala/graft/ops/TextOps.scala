@@ -277,4 +277,39 @@ object TextOps {
     size(array_intersect(sa, sb)).cast("double") /
       greatest(size(array_union(sa, sb)), lit(1)).cast("double")
   }
+
+  /** Sliding-window document chunking — the RAG / pretraining splitter:
+    * each doc's whitespace token stream becomes overlapping chunks of
+    * `chunkSize` tokens starting every `chunkSize − overlap` tokens, so
+    * every token lands in at least one chunk and consecutive chunks share
+    * `overlap` tokens (the final chunk may be shorter). Beyond the
+    * reference (its pipeline has no chunker; [[graft.ops.Packing]] packs
+    * docs INTO fixed context windows — this splits docs themselves).
+    *
+    * 100 TB shape: pure column expressions — tokenize, compute the start
+    * offsets with `sequence`, slice each chunk out of the one token
+    * array, explode. No shuffle, no state; the scan's codegen stage does
+    * everything. Docs with no tokens produce no chunks.
+    *
+    * Returns (doc_id, chunk_ix, chunk_text, n_tokens). */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, id: Column,
+                     text: Column, chunkSize: Int,
+                     overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    val n = size(col("__toks"))
+    val starts = when(n > 0, sequence(lit(0), n - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    df.select(id.as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(starts).as("__start"))
+      .select(col("doc_id"),
+        (col("__start") / stride).cast("int").as("chunk_ix"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)),
+          " ").as("chunk_text"),
+        least(n - col("__start"), lit(chunkSize)).cast("int").as("n_tokens"))
+  }
 }

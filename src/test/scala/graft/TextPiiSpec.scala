@@ -74,4 +74,36 @@ class TextPiiSpec extends AnyFunSuite {
     val once = one(dirty, TextOps.redactPii(col("t"))).toString
     assert(one(once, TextOps.redactPii(col("t"))) == once)
   }
+
+  test("chunkDocuments: overlapping windows, short tail, empty doc drops") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 tokens a0..a9, chunkSize 4, overlap 1 -> starts 0,3,6,9:
+    // [a0..a3] [a3..a6] [a6..a9] [a9]
+    val d = Seq((1L, (0 until 10).map(i => s"a$i").mkString(" ")),
+      (2L, "  "), (3L, "x y")).toDF("id", "text")
+    val ch = TextOps.chunkDocuments(d, col("id"), col("text"),
+        chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getInt(3))).toMap
+    assert(ch.size == 5, ch.toString) // 4 chunks for doc 1, 1 for doc 3
+    assert(ch((1L, 0)) == ("a0 a1 a2 a3", 4))
+    assert(ch((1L, 1)) == ("a3 a4 a5 a6", 4))
+    assert(ch((1L, 2)) == ("a6 a7 a8 a9", 4))
+    assert(ch((1L, 3)) == ("a9", 1)) // short tail still emitted
+    assert(ch((3L, 0)) == ("x y", 2))
+    assert(!ch.keySet.exists(_._1 == 2L)) // token-less doc: no chunks
+    // every token appears in at least one chunk; overlap duplicates 3
+    val toks = ch.collect { case ((1L, _), (t, _)) => t.split(" ").toSeq }
+      .toSeq.flatten
+    assert(toks.length == 13 && toks.distinct.length == 10)
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(d, col("id"), col("text"), 4, overlap = 4)
+    }
+    // gateway verb dispatch
+    d.createOrReplaceTempView("chunk_t")
+    val g = GraftGateway.sql(spark,
+      "SELECT chunk_documents(id, text, 4, 1) FROM chunk_t")
+    assert(g.count() == 5)
+  }
 }
