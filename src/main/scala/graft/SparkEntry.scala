@@ -1893,6 +1893,62 @@ object SparkEntry {
           round(sum(element_at(col("rms"), 1)), 6).as("sum_rms"))
         .orderBy(col("bucket"))
     }),
+    "q132_streaming_srm" -> ((s, d) => {
+      // the live experiment-health monitor under the oracle gate (q73
+      // harness): per-hour arm counts + chi-square vs an expected 1:1
+      // split — counts and the chisq form replay closed-form in DuckDB
+      // (p-value needs the chi-square CDF, so the gate pins the statistic)
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, d, "events")
+      val tsExpr =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          (col("ts") / lit(1e9)).cast("timestamp")
+        else col("ts").cast("timestamp")
+      val stream = s.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val sink = "q132_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
+      val q = graft.streaming.StreamOps.windowedSrm(stream, tsExpr,
+          col("user_id") % 2, ratios = Seq(1.0, 1.0),
+          windowDuration = "1 hour", watermarkDelay = "10 minutes")
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("c0"), col("c1"), col("c_unexpected"),
+          round(col("chisq"), 6).as("chisq"))
+        .orderBy(col("w_start"))
+    }),
+    "q133_streaming_ttest" -> ((s, d) => {
+      // the continuous two-sample t-test under the oracle gate: 6-hour
+      // windows (epoch-aligned both engines), Welch moments from the same
+      // conditional sums DuckDB replays; windows where either arm has < 2
+      // events are filtered on both sides (their variance is undefined)
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, d, "events")
+      val tsExpr =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          (col("ts") / lit(1e9)).cast("timestamp")
+        else col("ts").cast("timestamp")
+      val stream = s.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val sink = "q133_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
+      val q = graft.streaming.StreamOps.windowedTtest(stream, tsExpr,
+          (col("user_id") % 2).cast("int"), col("value"),
+          windowDuration = "6 hours", watermarkDelay = "30 minutes")
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).filter(col("n0") >= 2 && col("n1") >= 2)
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("n0"), col("n1"),
+          round(col("mean0"), 6).as("mean0"),
+          round(col("mean1"), 6).as("mean1"),
+          round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("t_statistic"), 6).as("t_statistic"))
+        .orderBy(col("w_start"))
+    }),
     "q129_streaming_psi" -> ((s, d) => {
       // the streaming drift monitor under the oracle gate (q73 harness):
       // windowedPsi as a REAL readStream processed to completion — the
@@ -2419,6 +2475,44 @@ object SparkEntry {
         |  round(sum((p_partkey % 3001) / 32768.0), 6) AS sum_mean,
         |  round(sum((p_partkey % 3001) / 32768.0), 6) AS sum_rms
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q132_streaming_srm" ->
+      // hourly arm counts; chisq = sum over arms of (obs-exp)^2/exp with
+      // exp = 0.5*total, terms summed in arm order like the projection
+      """WITH c AS (SELECT epoch(date_trunc('hour', ts)) AS w_start,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(w_start AS BIGINT) AS w_start, c0, c1,
+        |  CAST(0 AS BIGINT) AS c_unexpected,
+        |  round((c0 - 0.5 * CAST(c0 + c1 AS DOUBLE))
+        |      * (c0 - 0.5 * CAST(c0 + c1 AS DOUBLE))
+        |      / (0.5 * CAST(c0 + c1 AS DOUBLE))
+        |    + (c1 - 0.5 * CAST(c0 + c1 AS DOUBLE))
+        |      * (c1 - 0.5 * CAST(c0 + c1 AS DOUBLE))
+        |      / (0.5 * CAST(c0 + c1 AS DOUBLE)), 6) AS chisq
+        |FROM c ORDER BY w_start""".stripMargin,
+    "q133_streaming_ttest" ->
+      // Welch moments from the same conditional sums: v = (q - s*s/n)/(n-1),
+      // se = sqrt(v1/n1 + v0/n0), t = (m1-m0)/se; 6-hour epoch windows
+      """WITH m AS (SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS w_start,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value ELSE 0 END) AS s1,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value * value ELSE 0 END) AS q1,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END) AS s0,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0 END) AS q0
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT *, s1 / n1 AS m1, s0 / n0 AS m0,
+        |    (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+        |    (q0 - s0 * s0 / n0) / (n0 - 1) AS v0 FROM m
+        |  WHERE n0 >= 2 AND n1 >= 2)
+        |SELECT CAST(w_start AS BIGINT) AS w_start,
+        |  CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+        |  round(m1 - m0, 6) AS estimate,
+        |  round(sqrt(v1 / n1 + v0 / n0), 6) AS stderr,
+        |  round((m1 - m0) / sqrt(v1 / n1 + v0 / n0), 6) AS t_statistic
+        |FROM d ORDER BY w_start""".stripMargin,
     "q129_streaming_psi" ->
       // batch replay of the windowed PSI: hourly bin counts, shares
       // floored at 1e-6, the 4 terms summed left-to-right like the
