@@ -210,4 +210,33 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       graft.ops.Robust.weightedMeanEss(d, $"y", $"d").head().getDouble(3))
     assertClose(ess, "ess")
   }
+
+  test("histogram, box stats, conformal q, and chunking invariant to partitioning") {
+    // histogram: identical (bin -> count) maps on every layout (edges are
+    // exact min/max; counts are integers, so equality is exact)
+    val hs = layouts(base).map(d =>
+      graft.ops.Explore.histogram(d, $"y", bins = 7)
+        .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap)
+    hs.tail.foreach(h => assert(h == hs.head, "histogram counts"))
+    val hbs = layouts(base).map(d =>
+      graft.ops.Explore.histogramBy(d, $"t", $"y", bins = 5)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap)
+    hbs.tail.foreach(h => assert(h == hbs.head, "histogramBy counts"))
+    val bs = layouts(base).map(d =>
+      graft.ops.Explore.boxStats(d, $"y", exact = true).head())
+    assertClose(bs.map(_.getAs[Double]("median")), "box median")
+    assert(bs.map(_.getAs[Long]("n_outliers_hi")).distinct.size == 1)
+    // conformal q: the exact order statistic is layout-independent
+    val qs = layouts(base).map(d => graft.ops.Regression.conformalOls(
+      d, $"y", Seq($"x"), $"uin" % 2 === 0)._2)
+    assertClose(qs, "conformal q")
+    // chunking: per-row transform — identical (doc, chunk) rows anywhere
+    val txt = base.withColumn("text",
+      concat_ws(" ", typedLit((0 until 25).map(i => s"w$i"))))
+    val chs = layouts(txt).map(d =>
+      graft.ops.TextOps.chunkDocuments(d, $"uin", $"text", 8, 2)
+        .groupBy($"chunk_ix").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    chs.tail.foreach(c => assert(c == chs.head, "chunk counts"))
+  }
 }
