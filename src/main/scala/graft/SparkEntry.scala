@@ -1625,6 +1625,20 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q134_per_source_cap" -> ((s, d) => {
+      // the C4-style per-domain cap: at most 40 docs per source, chosen by
+      // a replayable LCG rank (q80 idiom) with doc_id tiebreak — the kept
+      // SET is engine-independent, so per-source counts and id sums match
+      val docs = t(s, d, "documents")
+      val ord = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
+      graft.ops.Mixing.capPerGroup(docs, col("source"),
+          struct(ord.as("r"), col("doc_id")), n = 40) { capped =>
+        capped.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("source"))
+          .localCheckpoint()
+      }
+    }),
     "q131_chunking" -> ((s, d) => {
       // the RAG/pretraining sliding-window chunker: 32-token chunks every
       // 24 tokens (8 overlap); per-doc chunk counts, token sums, and char
@@ -2154,6 +2168,16 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q134_per_source_cap" ->
+      // same LCG rank + doc_id tiebreak; DuckDB takes the per-source
+      // top-40 directly with a window
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rn <= 40 GROUP BY source ORDER BY source""".stripMargin,
     "q131_chunking" ->
       // same tokenization, same start offsets (range step = stride), same
       // inclusive 1-based slices

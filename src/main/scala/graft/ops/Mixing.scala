@@ -83,4 +83,57 @@ object Mixing {
       ()
     }
   }
+
+  /** At most `n` documents per group, taken in deterministic `orderKey`
+    * order — the C4-style per-domain cap (a handful of mega-domains must
+    * not dominate a web corpus). Pass a content/id hash as `orderKey` for
+    * a uniform random-but-reproducible choice; it must be UNIQUE within a
+    * group (tie order is engine-dependent — add the id as a tiebreaker).
+    *
+    * Unlike [[tokenBudgetSample]] the group key is unbounded (millions of
+    * domains), so the per-(partition, group) offsets stay a DataFrame
+    * instead of driver cells: one range exchange on (group, orderKey),
+    * per-cell counts (≤ P rows per group), a cumsum over that CELL table
+    * windowed by group (never over row data), and a join back that AQE
+    * broadcasts while the cell table is small and shuffles keyed by
+    * (partition, group) when it isn't. No group ever sorts inside a
+    * single task.
+    *
+    * Runs `f` over the capped frame while the shuffled input is persisted
+    * (cells and output are two passes over the same exchange). */
+  def capPerGroup[T](df: DataFrame, group: Column, orderKey: Column, n: Long,
+                     partitions: Int = 0)(f: DataFrame => T): T = {
+    require(n > 0, s"cap must be positive, got $n")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keep = df.columns
+    val base = df
+      .withColumn("__grp", group.cast("string"))
+      .filter(col("__grp").isNotNull)
+      .withColumn("__ord", orderKey)
+    val parted = base.repartitionByRange(p, col("__grp"), col("__ord"))
+      .withColumn("__pid", spark_partition_id())
+    parted.persist()
+    try {
+      val cells = parted.groupBy(col("__pid"), col("__grp"))
+        .agg(count(lit(1)).as("__c"))
+      val wOff = Window.partitionBy(col("__grp")).orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = cells
+        .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+        .select(col("__pid"), col("__grp"), col("__off"))
+      val wRn = Window.partitionBy(col("__pid"), col("__grp"))
+        .orderBy(col("__ord"))
+      val sampled = parted
+        .withColumn("__rn", row_number().over(wRn).cast("long"))
+        .join(offs, Seq("__pid", "__grp"))
+        .filter(col("__rn") + col("__off") <= n)
+        .select(keep.map(col): _*)
+      f(sampled)
+    } finally {
+      parted.unpersist()
+      ()
+    }
+  }
 }

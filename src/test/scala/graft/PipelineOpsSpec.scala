@@ -150,6 +150,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(many == Seq(1L, 2L, 3L, 6L, 7L))
   }
 
+  test("capPerGroup keeps the n smallest order keys per group on any layout") {
+    import graft.ops.Mixing
+    // group A: 10 docs, group B: 2 docs, null group dropped
+    val docs = ((1 to 10).map(i => (i.toLong, "A")) ++
+      Seq((11L, "B"), (12L, "B"), (13L, null.asInstanceOf[String])))
+      .toDF("id", "g").repartition(5)
+    def run(n: Long, parts: Int = 0): Map[String, Seq[Long]] =
+      Mixing.capPerGroup(docs, $"g", $"id", n, partitions = parts) { capped =>
+        capped.collect().map(r => r.getString(1) -> r.getLong(0))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq.sorted }
+      }
+    // cap 3: A keeps its 3 smallest ids, B keeps both (under the cap)
+    assert(run(3) == Map("A" -> Seq(1L, 2L, 3L), "B" -> Seq(11L, 12L)))
+    // cap >= every group keeps everything non-null
+    assert(run(100) == Map("A" -> (1L to 10L), "B" -> Seq(11L, 12L)))
+    // many range partitions must not change the kept set
+    assert(run(3, parts = 13) == Map("A" -> Seq(1L, 2L, 3L), "B" -> Seq(11L, 12L)))
+    intercept[IllegalArgumentException] { run(0) }
+  }
+
   test("paragraphDedup drops cross-doc boilerplate, keeps order, keeps empty docs") {
     val corpus = Seq(
       (1L, "BANNER\nalpha body\nFooter A"),
