@@ -57,4 +57,22 @@ object ModelIo {
       .write.mode("overwrite").parquet(path)
   def loadIvf(spark: SparkSession, path: String): Ann.IvfIndex =
     spark.read.parquet(path).as(Encoders.product[Ann.IvfIndex]).head()
+
+  /** Bigram-LM persistence: the count tables ARE DataFrames (they never
+    * fit a single row at corpus scale), so they write as two parquet
+    * tables plus a one-row meta table carrying vocabSize — training once
+    * and scoring every ingestion batch is the op's whole point, and
+    * re-counting the vocabulary on load would be a row-scale job. */
+  def saveBigramModel(spark: SparkSession, m: NgramLm.BigramModel,
+                      path: String): Unit = {
+    m.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    m.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
+    spark.createDataset(Seq(m.vocabSize))(Encoders.scalaLong)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+  def loadBigramModel(spark: SparkSession, path: String): NgramLm.BigramModel =
+    NgramLm.BigramModel(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/unigrams"),
+      spark.read.parquet(s"$path/meta").as(Encoders.scalaLong).head())
 }

@@ -554,5 +554,18 @@ class GraftSqlSpec extends AnyFunSuite {
     val e1 = probe.select(forest.effectColumn(Seq($"x"))).collect().map(_.getDouble(0))
     val e2 = probe.select(forest2.effectColumn(Seq($"x"))).collect().map(_.getDouble(0))
     assert(e1.toSeq == e2.toSeq)
+
+    // bigram LM: the count tables round-trip as tables and score
+    // identically (train once, score every batch)
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("id", "text")
+    val lm = graft.ops.NgramLm.train(docs, $"text")
+    graft.ops.ModelIo.saveBigramModel(spark, lm, s"$dir/lm")
+    val lm2 = graft.ops.ModelIo.loadBigramModel(spark, s"$dir/lm")
+    assert(lm2.vocabSize == lm.vocabSize)
+    val s1 = graft.ops.NgramLm.scorePerplexity(docs, $"id", $"text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val s2 = graft.ops.NgramLm.scorePerplexity(docs, $"id", $"text", lm2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s1 == s2, s"$s1 vs $s2")
   }
 }
