@@ -55,6 +55,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT snapshot_diff(id, text, 'new_table')     FROM <old_version>
   * SELECT conformal_interval(y, is_cal, x...[, alpha]) FROM <any>
   * SELECT chunk_documents(id, text, size[, overlap])   FROM <docs>
+  * SELECT msprt(bucket, y, t[, tau])          FROM <events>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -191,7 +192,7 @@ object GraftGateway {
     "weighted_mean_ess", "qte",
     "histogram", "histogram_by", "box_stats", "tfidf", "perplexity",
     "incremental_dedup", "snapshot_diff", "conformal_interval",
-    "chunk_documents")
+    "chunk_documents", "msprt")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -356,6 +357,11 @@ object GraftGateway {
         require(a.length >= 3, "snapshot_diff(id, text, 'new_table')")
         val newV = spark.table(str(a(2)))
         Dedup.snapshotDiff(df, newV, c(a(0)), c(a(0)), c(a(1)), c(a(1)))
+      case "msprt" =>
+        // always-valid sequential test over cumulative time buckets
+        require(a.length >= 3, "msprt(bucket, y, t[, tau])")
+        Sequential.msprt(df, c(a(0)), c(a(1)), c(a(2)),
+          tau = if (a.length > 3) num(a(3)) else 1.0)
       case "chunk_documents" =>
         // sliding-window RAG/pretraining chunker: (doc_id, chunk_ix,
         // chunk_text, n_tokens), pure codegen, no shuffle

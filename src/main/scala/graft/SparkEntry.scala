@@ -1625,6 +1625,20 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q135_msprt" -> ((s, d) => {
+      // always-valid sequential monitoring (mSPRT) over daily cumulative
+      // looks: the A/A split (user_id parity is independent of value)
+      // must keep the anytime-valid p near 1 while every per-look
+      // likelihood ratio replays closed-form from cumulative moments
+      val ev = tsNanos(t(s, d, "events"))
+      graft.ops.Sequential.msprt(ev, expr("ts div 86400000000000"),
+          col("value"), (col("user_id") % 2).cast("int"), tau = 1.0)
+        .select(col("bucket"), col("n1"), col("n0"),
+          round(col("estimate"), 6).as("estimate"),
+          round(col("lambda"), 6).as("lambda"),
+          round(col("p_always_valid"), 6).as("p_always_valid"))
+        .orderBy(col("bucket"))
+    }),
     "q134_per_source_cap" -> ((s, d) => {
       // the C4-style per-domain cap: at most 40 docs per source, chosen by
       // a replayable LCG rank (q80 idiom) with doc_id tiebreak — the kept
@@ -2168,6 +2182,38 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q135_msprt" ->
+      // cumulative per-arm moments by daily bucket, pooled-variance V,
+      // mixture LR, running-max inversion — all window closed forms
+      """WITH cells AS (SELECT epoch_ns(ts) // 86400000000000 AS bucket,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value ELSE 0 END) AS s1,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value * value ELSE 0 END) AS q1,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END) AS s0,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0 END) AS q0
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |cum AS (SELECT bucket,
+        |    sum(n1) OVER w AS cn1, sum(s1) OVER w AS cs1, sum(q1) OVER w AS cq1,
+        |    sum(n0) OVER w AS cn0, sum(s0) OVER w AS cs0, sum(q0) OVER w AS cq0
+        |  FROM cells
+        |  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |v AS (SELECT bucket, cn1, cn0, cs1 / cn1 - cs0 / cn0 AS d,
+        |    ((cq1 - cs1 * cs1 / cn1) + (cq0 - cs0 * cs0 / cn0)) / (cn1 + cn0 - 2)
+        |      * (1.0 / cn1 + 1.0 / cn0) AS vv
+        |  FROM cum WHERE cn1 >= 2 AND cn0 >= 2),
+        |l AS (SELECT bucket, cn1, cn0, d,
+        |    sqrt(vv / (vv + 1.0)) * exp(d * d * 1.0 / (2.0 * vv * (vv + 1.0))) AS lambda
+        |  FROM v),
+        |f AS (SELECT *, max(lambda) OVER
+        |    (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        |  FROM l)
+        |SELECT bucket, CAST(cn1 AS BIGINT) AS n1, CAST(cn0 AS BIGINT) AS n0,
+        |  round(d, 6) AS estimate, round(lambda, 6) AS lambda,
+        |  round(least(1.0, 1.0 / mx), 6) AS p_always_valid
+        |FROM f ORDER BY bucket""".stripMargin,
     "q134_per_source_cap" ->
       // same LCG rank + doc_id tiebreak; DuckDB takes the per-source
       // top-40 directly with a window
