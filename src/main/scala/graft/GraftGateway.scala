@@ -56,6 +56,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT conformal_interval(y, is_cal, x...[, alpha]) FROM <any>
   * SELECT chunk_documents(id, text, size[, overlap])   FROM <docs>
   * SELECT msprt(bucket, y, t[, tau])          FROM <events>
+  * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -192,7 +193,7 @@ object GraftGateway {
     "weighted_mean_ess", "qte",
     "histogram", "histogram_by", "box_stats", "tfidf", "perplexity",
     "incremental_dedup", "snapshot_diff", "conformal_interval",
-    "chunk_documents", "msprt")
+    "chunk_documents", "msprt", "cluster_robust_ols")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -357,6 +358,17 @@ object GraftGateway {
         require(a.length >= 3, "snapshot_diff(id, text, 'new_table')")
         val newV = spark.table(str(a(2)))
         Dedup.snapshotDiff(df, newV, c(a(0)), c(a(0)), c(a(1)), c(a(1)))
+      case "cluster_robust_ols" =>
+        // Liang–Zeger CR1 sandwich SEs for cluster-correlated rows
+        require(a.length >= 3, "cluster_robust_ols(y, cluster, x...)")
+        val r = Regression.clusterRobustOls(df, c(a(0)), a.drop(2).map(c),
+          c(a(1)))
+        val names = a.drop(2).map(name) :+ "(intercept)"
+        names.zipWithIndex.map { case (nm, i) =>
+          (nm, r.model.summary.coefficients(i), r.se(i), r.t_values(i),
+            r.p_values(i), r.nClusters)
+        }.toDF("term", "estimate", "se_cluster", "t_value", "p_value",
+          "n_clusters")
       case "msprt" =>
         // always-valid sequential test over cumulative time buckets
         require(a.length >= 3, "msprt(bucket, y, t[, tau])")

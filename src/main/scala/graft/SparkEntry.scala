@@ -1625,6 +1625,22 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q136_cluster_se" -> ((s, d) => {
+      // Liang–Zeger CR1 cluster-robust OLS through the verb: cluster =
+      // order (lineitems of one order are genuinely correlated), so the
+      // sandwich inflates the iid SEs; slope/intercept/SE/t replay
+      // closed-form 2x2 sandwich algebra in DuckDB (p needs the t CDF, so
+      // the gate carries the G-1 dof instead)
+      t(s, d, "lineitem").select(col("l_orderkey").as("g"),
+          col("l_quantity").cast("double").as("x"),
+          (col("l_extendedprice") / 1000.0).as("yy"))
+        .createOrReplaceTempView("li_cr")
+      GraftGateway.sql(s, "SELECT cluster_robust_ols(yy, g, x) FROM li_cr")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("se_cluster"), 6).as("se_cluster"),
+          round(col("t_value"), 4).as("t_value"), col("n_clusters"))
+        .orderBy(col("term"))
+    }),
     "q135_msprt" -> ((s, d) => {
       // always-valid sequential monitoring (mSPRT) over daily cumulative
       // looks: the A/A split (user_id parity is independent of value)
@@ -2182,6 +2198,37 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q136_cluster_se" ->
+      // the 2x2 sandwich spelled out: A^-1 = [[n,-sx],[-sx,sxx]]/det,
+      // meat from per-cluster score sums, CR1 small-sample factor
+      """WITH b AS (SELECT l_orderkey AS g, CAST(l_quantity AS DOUBLE) AS x,
+        |    l_extendedprice / 1000.0 AS yy FROM lineitem),
+        |m AS (SELECT regr_slope(yy, x) AS a, regr_intercept(yy, x) AS b0,
+        |    count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM b),
+        |r AS (SELECT g, x, yy - (m.a * x + m.b0) AS e FROM b, m),
+        |u AS (SELECT g, sum(x * e) AS u0, sum(e) AS u1 FROM r GROUP BY g),
+        |mt AS (SELECT count(*) AS gg, sum(u0 * u0) AS m00,
+        |    sum(u0 * u1) AS m01, sum(u1 * u1) AS m11 FROM u),
+        |f AS (SELECT m.a, m.b0, m.n, mt.gg,
+        |    m.n / (m.n * m.sxx - m.sx * m.sx) AS a00,
+        |    -m.sx / (m.n * m.sxx - m.sx * m.sx) AS a01,
+        |    m.sxx / (m.n * m.sxx - m.sx * m.sx) AS a11,
+        |    mt.m00, mt.m01, mt.m11,
+        |    (mt.gg / (mt.gg - 1.0)) * ((m.n - 1.0) / (m.n - 2.0)) AS c
+        |  FROM m, mt),
+        |v AS (SELECT *,
+        |    (a00 * m00 + a01 * m01) * a00 + (a00 * m01 + a01 * m11) * a01 AS v00,
+        |    (a01 * m00 + a11 * m01) * a01 + (a01 * m01 + a11 * m11) * a11 AS v11
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT 'x' AS term, round(a, 6) AS estimate,
+        |    round(sqrt(c * v00), 6) AS se_cluster,
+        |    round(a / sqrt(c * v00), 4) AS t_value,
+        |    CAST(gg AS BIGINT) AS n_clusters FROM v
+        |  UNION ALL
+        |  SELECT '(intercept)', round(b0, 6), round(sqrt(c * v11), 6),
+        |    round(b0 / sqrt(c * v11), 4), CAST(gg AS BIGINT) FROM v)
+        |ORDER BY term""".stripMargin,
     "q135_msprt" ->
       // cumulative per-arm moments by daily bucket, pooled-variance V,
       // mixture LR, running-max inversion — all window closed forms

@@ -218,6 +218,56 @@ object Regression {
       .agg(max(col("__v"))).head().getDouble(0)
   }
 
+  case class ClusterRobustResult(model: OlsModel, nClusters: Long,
+                                 se: Array[Double], t_values: Array[Double],
+                                 p_values: Array[Double])
+
+  /** Cluster-robust (Liang–Zeger, Stata CR1) OLS inference — the correct
+    * standard errors when randomization or correlation sits at a coarser
+    * unit than the row (user-level assignment scored on user-day rows):
+    * rows within a cluster may be arbitrarily correlated, which the iid
+    * OLS variance understates badly. Absent from the reference (its
+    * ols/wls inference assumes iid rows).
+    *
+    * Three passes, all bounded state: the existing one-pass OLS fit; ONE
+    * groupBy keyed by cluster building each cluster's score vector
+    * u_g = Σ_{i∈g} x̃ᵢ·eᵢ (kb conditional sums, map-side combined —
+    * cluster count is unbounded, nothing collects per cluster); and a
+    * constant-state aggregation of the kb×kb outer-product sum Σ u_g·u_gᵀ.
+    * vcov = (XᵀX)⁻¹ (Σ u_g u_gᵀ) (XᵀX)⁻¹ · G/(G−1) · (n−1)/(n−kb), and t
+    * carries G−1 degrees of freedom (the Stata convention). Coefficient
+    * order matches [[OlsSummary]]: xs…, intercept last. */
+  def clusterRobustOls(df: DataFrame, y: Column, xs: Seq[Column],
+                       cluster: Column): ClusterRobustResult = {
+    val m = fitOls(df, y, xs)
+    val kb = xs.length + 1
+    val e = y.cast("double") - predict(m, xs)
+    val design = xs.map(_.cast("double")) :+ lit(1.0)
+    val complete = ((y +: xs).map(_.cast("double").isNotNull) :+
+      cluster.isNotNull).reduce(_ && _)
+    val uCols = design.zipWithIndex.map { case (x, j) => sum(x * e).as(s"u$j") }
+    val scores = df.filter(complete).groupBy(cluster.as("__g"))
+      .agg(uCols.head, uCols.tail: _*)
+    val pairs = for { i <- 0 until kb; j <- i until kb } yield (i, j)
+    val meatCols = pairs.map { case (i, j) =>
+      sum(col(s"u$i") * col(s"u$j")).as(s"m_${i}_$j") }
+    val aggCols = count(lit(1)).as("g") +: meatCols
+    val row = scores.agg(aggCols.head, aggCols.tail: _*).head()
+    val g = row.getLong(0)
+    require(g >= 2, s"cluster_robust_ols: need at least 2 clusters, got $g")
+    val meat = LinAlg.zeros(kb, kb)
+    pairs.zipWithIndex.foreach { case ((i, j), ix) =>
+      meat(i)(j) = row.getDouble(ix + 1); meat(j)(i) = meat(i)(j)
+    }
+    val n = m.summary.n.toDouble
+    val c = (g.toDouble / (g - 1.0)) * ((n - 1.0) / (n - kb))
+    val v = LinAlg.matMul(LinAlg.matMul(m.xtxInv, meat), m.xtxInv)
+    val se = Array.tabulate(kb)(j => math.sqrt(c * v(j)(j)))
+    val tv = Array.tabulate(kb)(j => m.summary.coefficients(j) / se(j))
+    val pv = tv.map(t => Dist.tTwoSidedP(t, (g - 1).toDouble))
+    ClusterRobustResult(m, g, se, tv, pv)
+  }
+
   /** struct(fit, lower, upper) for a conformal (model, q) pair. */
   def conformalBand(model: OlsModel, xs: Seq[Column], q: Double): Column = {
     val fit = predict(model, xs)

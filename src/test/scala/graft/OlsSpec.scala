@@ -130,6 +130,36 @@ class OlsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterRobustOls: duplicated clusters inflate SEs back to the true n") {
+    val rng = new scala.util.Random(41)
+    val basePts = (1 to 500).map { i =>
+      val x = rng.nextGaussian()
+      (i.toLong, x, 2.0 * x + 1.0 + rng.nextGaussian())
+    }
+    val base = spark.createDataFrame(basePts).toDF("g", "x", "y")
+    // each row duplicated 8x within its cluster: zero new information
+    val dup = spark.createDataFrame(
+      basePts.flatMap(r => Seq.fill(8)(r))).toDF("g", "x", "y")
+    val iidBase = Regression.fitOls(base, $"y", Seq($"x"))
+      .summary.stderr.head
+    val iidDup = Regression.fitOls(dup, $"y", Seq($"x")).summary.stderr.head
+    val cr = Regression.clusterRobustOls(dup, $"y", Seq($"x"), $"g")
+    assert(cr.nClusters == 500)
+    // same point estimate as the fit
+    assert(cr.model.summary.coefficients.head == Regression.fitOls(dup,
+      $"y", Seq($"x")).summary.coefficients.head)
+    // the naive iid SE on duplicated rows is ~sqrt(8) too small; the
+    // cluster SE must recover the true-information scale
+    assert(iidDup < iidBase / 2, s"fixture broken: $iidDup vs $iidBase")
+    assert(cr.se.head > 2.0 * iidDup, s"cluster se ${cr.se.head} vs iid $iidDup")
+    assert(math.abs(cr.se.head - iidBase) / iidBase < 0.25,
+      s"cluster se ${cr.se.head} should approximate the deduped iid $iidBase")
+    // one cluster only -> named error
+    intercept[IllegalArgumentException] {
+      Regression.clusterRobustOls(base, $"y", Seq($"x"), lit(1))
+    }
+  }
+
   test("did recovers interaction effect") {
     val rng = new scala.util.Random(3)
     val didRows = (1 to 4000).map { _ =>
