@@ -163,6 +163,60 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp", "__et")
 
+  case class MsprtEvent(expId: Long, t: Int, y: Double)
+  case class MsprtState(n1: Long, s1: Double, q1: Double,
+                        n0: Long, s0: Double, q0: Double, maxLam: Double)
+  case class MsprtOut(expId: Long, n1: Long, n0: Long, estimate: Double,
+                      lambda: Double, pAlwaysValid: Double)
+
+  /** Always-on mSPRT monitor ([[graft.ops.Sequential.msprt]]'s streaming
+    * twin): per-experiment cumulative moment state folds each micro-batch
+    * (sums are associative, so in-batch order is irrelevant), and every
+    * batch emits the experiment's current mixture likelihood ratio and
+    * anytime-valid p = min(1, 1/max Λ) — valid at ANY look schedule, so
+    * the micro-batch cadence needs no correction. State is 7 scalars per
+    * experiment, bounded forever; nothing is emitted for an experiment
+    * until both arms hold ≥ 2 observations (variance undefined before). */
+  def streamingMsprt(events: org.apache.spark.sql.Dataset[MsprtEvent],
+                     tau: Double = 1.0)
+      : org.apache.spark.sql.Dataset[MsprtOut] = {
+    require(tau > 0, s"streamingMsprt: tau must be positive, got $tau")
+    import events.sparkSession.implicits._
+    val t2 = tau * tau
+    events.groupByKey(_.expId)
+      .flatMapGroupsWithState[MsprtState, MsprtOut](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        case (id, evts, state: GroupState[MsprtState]) =>
+          var st = state.getOption.getOrElse(
+            MsprtState(0L, 0.0, 0.0, 0L, 0.0, 0.0, Double.NegativeInfinity))
+          evts.foreach { e =>
+            if (e.t == 1)
+              st = st.copy(n1 = st.n1 + 1, s1 = st.s1 + e.y,
+                q1 = st.q1 + e.y * e.y)
+            else if (e.t == 0)
+              st = st.copy(n0 = st.n0 + 1, s0 = st.s0 + e.y,
+                q0 = st.q0 + e.y * e.y)
+          }
+          if (st.n1 < 2 || st.n0 < 2) { state.update(st); Iterator.empty }
+          else {
+            val varP = ((st.q1 - st.s1 * st.s1 / st.n1) +
+              (st.q0 - st.s0 * st.s0 / st.n0)) / (st.n1 + st.n0 - 2)
+            val v = varP * (1.0 / st.n1 + 1.0 / st.n0)
+            if (v <= 0) { state.update(st); Iterator.empty }
+            else {
+              val d = st.s1 / st.n1 - st.s0 / st.n0
+              val lam = math.sqrt(v / (v + t2)) *
+                math.exp(d * d * t2 / (2.0 * v * (v + t2)))
+              st = st.copy(maxLam = math.max(st.maxLam, lam))
+              state.update(st)
+              Iterator(MsprtOut(id, st.n1, st.n0, d, lam,
+                math.min(1.0, 1.0 / st.maxLam)))
+            }
+          }
+      }
+  }
+
   case class SessionEvent(userId: Long, ts: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(userId: Long, start: Long, end: Long, n: Long,

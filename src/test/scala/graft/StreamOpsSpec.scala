@@ -149,6 +149,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingMsprt: p tightens across micro-batch looks, A/A stays high") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def run(effect: Double, seed: Int): Seq[Double] = {
+      val rng = new scala.util.Random(seed)
+      def batch(n: Int) = (1 to n).map { i =>
+        val t = i % 2
+        StreamOps.MsprtEvent(7L, t, effect * t + rng.nextGaussian())
+      }
+      val input = MemoryStream[StreamOps.MsprtEvent]
+      val out = StreamOps.streamingMsprt(input.toDS(), tau = 1.0)
+      val sink = s"msprt_s_${seed}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try {
+        val ps = scala.collection.mutable.ArrayBuffer.empty[Double]
+        (1 to 3).foreach { _ =>
+          input.addData(batch(800): _*)
+          q.processAllAvailable()
+          ps += spark.table(sink).orderBy($"n1".desc).head()
+            .getAs[Double]("pAlwaysValid")
+        }
+        ps.toSeq
+      } finally q.stop()
+    }
+    val eff = run(0.6, 21)
+    // anytime-valid p is nonincreasing across looks and detects the effect
+    eff.sliding(2).foreach(w => assert(w(1) <= w(0) + 1e-15, eff.toString))
+    assert(eff.last < 0.05, s"effect not detected: $eff")
+    val aa = run(0.0, 22)
+    assert(aa.last > 0.2, s"A/A false positive: $aa")
+  }
+
   test("sessionize closes sessions on gap (batch semantics check)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
