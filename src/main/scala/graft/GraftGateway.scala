@@ -57,6 +57,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT chunk_documents(id, text, size[, overlap])   FROM <docs>
   * SELECT msprt(bucket, y, t[, tau])          FROM <events>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
+  * SELECT blp_test(ite, y, t)                 FROM <any>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -193,7 +194,7 @@ object GraftGateway {
     "weighted_mean_ess", "qte",
     "histogram", "histogram_by", "box_stats", "tfidf", "perplexity",
     "incremental_dedup", "snapshot_diff", "conformal_interval",
-    "chunk_documents", "msprt", "cluster_robust_ols")
+    "chunk_documents", "msprt", "cluster_robust_ols", "blp_test")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -358,6 +359,10 @@ object GraftGateway {
         require(a.length >= 3, "snapshot_diff(id, text, 'new_table')")
         val newV = spark.table(str(a(2)))
         Dedup.snapshotDiff(df, newV, c(a(0)), c(a(0)), c(a(1)), c(a(1)))
+      case "blp_test" =>
+        // CATE-model validation: BLP heterogeneity loading + ATE
+        require(a.length >= 3, "blp_test(ite, y, t)")
+        Uplift.blpTest(df, c(a(0)), c(a(1)), c(a(2)))
       case "cluster_robust_ols" =>
         // Liang–Zeger CR1 sandwich SEs for cluster-correlated rows
         require(a.length >= 3, "cluster_robust_ols(y, cluster, x...)")

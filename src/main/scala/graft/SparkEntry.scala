@@ -1625,6 +1625,29 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q137_blp_test" -> ((s, d) => {
+      // CATE-model validation on a planted-effect fixture with LCG noise
+      // (the q122 replayable-noise idiom — plantedEffect's xxhash noise
+      // has no DuckDB twin): the proxy score IS the true CATE (2 + 8h),
+      // so the BLP loading must be ~1 and significant; DuckDB solves the
+      // same centered 2-regressor normal equations by Cramer's rule
+      val li = t(s, d, "lineitem")
+        .withColumn("treat", (col("l_orderkey") % 2).cast("int"))
+        .withColumn("h", (col("l_quantity") > 25.0).cast("double"))
+        .withColumn("u",
+          (((col("l_orderkey") * 8 + col("l_linenumber")) * 1103515245L
+            + 12345L) % 1000L).cast("double") / 1000.0 - 0.4995)
+        .withColumn("y", lit(10.0) + lit(5.0) * col("h") +
+          col("treat") * (lit(2.0) + lit(8.0) * col("h")) + col("u"))
+        .withColumn("cate_hat", lit(2.0) + lit(8.0) * col("h"))
+      li.createOrReplaceTempView("li_blp")
+      GraftGateway.sql(s, "SELECT blp_test(cate_hat, y, treat) FROM li_blp")
+        .select(col("n"), round(col("ate_coef"), 6).as("ate_coef"),
+          round(col("ate_se"), 6).as("ate_se"),
+          round(col("het_coef"), 6).as("het_coef"),
+          round(col("het_se"), 6).as("het_se"),
+          round(col("het_t"), 4).as("het_t"))
+    }),
     "q136_cluster_se" -> ((s, d) => {
       // Liang–Zeger CR1 cluster-robust OLS through the verb: cluster =
       // order (lineitems of one order are genuinely correlated), so the
@@ -2198,6 +2221,40 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q137_blp_test" ->
+      // centered 2-regressor normal equations by Cramer's rule:
+      // beta = C^-1 [cxy, czy], C the centered Gram; sig2 = RSS/(n-3)
+      """WITH b AS (SELECT CAST(l_orderkey % 2 AS INT) AS tr,
+        |    CAST(l_quantity > 25 AS DOUBLE) AS h,
+        |    (((l_orderkey * 8 + l_linenumber) * 1103515245 + 12345) % 1000)
+        |      / 1000.0 - 0.4995 AS u
+        |  FROM lineitem),
+        |c AS (SELECT tr, 2.0 + 8.0 * h AS cate,
+        |    10.0 + 5.0 * h + tr * (2.0 + 8.0 * h) + u AS y FROM b),
+        |mm AS (SELECT avg(CAST(tr AS DOUBLE)) AS p, avg(cate) AS mt FROM c),
+        |d AS (SELECT y, (tr - p) AS x1, (tr - p) * (cate - mt) AS x2
+        |  FROM c, mm),
+        |g AS (SELECT count(*) AS n,
+        |    var_pop(x1) * count(*) AS cxx,
+        |    covar_pop(x1, x2) * count(*) AS cxz,
+        |    var_pop(x2) * count(*) AS czz,
+        |    covar_pop(x1, y) * count(*) AS cxy,
+        |    covar_pop(x2, y) * count(*) AS czy,
+        |    var_pop(y) * count(*) AS cyy
+        |  FROM d),
+        |s AS (SELECT *, cxx * czz - cxz * cxz AS det FROM g),
+        |e AS (SELECT n, det, cxx, czz,
+        |    (czz * cxy - cxz * czy) / det AS b1,
+        |    (cxx * czy - cxz * cxy) / det AS b2,
+        |    (cyy - ((czz * cxy - cxz * czy) / det) * cxy
+        |         - ((cxx * czy - cxz * cxy) / det) * czy) / (n - 3) AS sig2
+        |  FROM s)
+        |SELECT CAST(n AS BIGINT) AS n, round(b1, 6) AS ate_coef,
+        |  round(sqrt(sig2 * czz / det), 6) AS ate_se,
+        |  round(b2, 6) AS het_coef,
+        |  round(sqrt(sig2 * cxx / det), 6) AS het_se,
+        |  round(b2 / sqrt(sig2 * cxx / det), 4) AS het_t
+        |FROM e""".stripMargin,
     "q136_cluster_se" ->
       // the 2x2 sandwich spelled out: A^-1 = [[n,-sx],[-sx,sxx]]/det,
       // meat from per-cluster score sums, CR1 small-sample factor

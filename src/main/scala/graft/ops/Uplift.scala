@@ -91,4 +91,40 @@ object Uplift {
     }
     area
   }
+
+  /** BLP heterogeneity test (Chernozhukov, Demirer, Duflo & Fernández-Val
+    * 2018, "Generic ML inference"): regress
+    * y = α + β₁(t − p̂) + β₂(t − p̂)(τ̂ − mean τ̂) + ε.
+    * β₁ estimates the ATE and β₂ is the Best-Linear-Predictor loading on
+    * the CATE model's scores: β₂ ≈ 1 means τ̂ is CALIBRATED for
+    * heterogeneity, and a significant β₂ certifies the model captured
+    * real effect variation — the standard validation for any uplift /
+    * CATE model (the GATES companion is [[graft.ops.UpliftEval]]'s
+    * per-score-bucket ATE table). Assumes the randomized constant
+    * propensity the fixture tables have; p̂ is estimated as mean(t).
+    *
+    * Two passes, constant state: ONE agg for (p̂, mean τ̂), then the
+    * existing one-pass OLS aggregate. Rows with any null input drop
+    * listwise (both passes see the same filter). Returns one row:
+    * (n, ate_coef, ate_se, het_coef, het_se, het_t, het_p). */
+  def blpTest(df: DataFrame, ite: Column, y: Column,
+              treatment: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val td = treatment.cast("double"); val id = ite.cast("double")
+    val complete = df.filter(id.isNotNull && y.cast("double").isNotNull &&
+      td.isNotNull)
+    val m0 = complete.agg(avg(td).as("p"), avg(id).as("mt")).head()
+    require(!m0.isNullAt(0), "blp_test: no complete rows")
+    val p = m0.getDouble(0); val mt = m0.getDouble(1)
+    require(p > 0 && p < 1, s"blp_test: degenerate treatment share $p")
+    val x1 = td - lit(p)
+    val x2 = (td - lit(p)) * (id - lit(mt))
+    val m = Regression.fitOls(complete, y, Seq(x1, x2))
+    val s = m.summary
+    Seq((s.n, s.coefficients(0), s.stderr(0), s.coefficients(1),
+        s.stderr(1), s.t_values(1), s.p_values(1)))
+      .toDF("n", "ate_coef", "ate_se", "het_coef", "het_se", "het_t",
+        "het_p")
+  }
 }

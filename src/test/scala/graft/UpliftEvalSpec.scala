@@ -163,4 +163,28 @@ class UpliftEvalSpec extends AnyFunSuite {
       assert(r.getAs[Double]("ate_upper") >= r.getAs[Double]("ate") - 1e-12)
     }
   }
+
+  test("blpTest: calibrated score loads at ~1, noise score at ~0") {
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 8000).map { i =>
+      val t = i % 2
+      val trueCate = if (i % 4 < 2) 3.0 else 1.0 // heterogeneous effect
+      val y = 5.0 + t * trueCate + rng.nextGaussian()
+      (t, y, trueCate, rng.nextGaussian())
+    }
+    val d = spark.createDataFrame(rows).toDF("t", "y", "cate_hat", "noise")
+    val cal = graft.ops.Uplift.blpTest(d, $"cate_hat", $"y", $"t").head()
+    assert(math.abs(cal.getAs[Double]("ate_coef") - 2.0) < 0.1)
+    assert(math.abs(cal.getAs[Double]("het_coef") - 1.0) < 0.15,
+      s"calibrated loading ${cal.getAs[Double]("het_coef")}")
+    assert(cal.getAs[Double]("het_p") < 1e-6)
+    val noi = graft.ops.Uplift.blpTest(d, $"noise", $"y", $"t").head()
+    assert(math.abs(noi.getAs[Double]("het_coef")) < 0.2,
+      s"noise loading ${noi.getAs[Double]("het_coef")}")
+    assert(noi.getAs[Double]("het_p") > 0.01)
+    // degenerate treatment fails fast
+    intercept[IllegalArgumentException] {
+      graft.ops.Uplift.blpTest(d.filter($"t" === 1), $"cate_hat", $"y", $"t")
+    }
+  }
 }
