@@ -58,6 +58,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT msprt(bucket, y, t[, tau])          FROM <events>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
+  * SELECT anova(y, arm)                       FROM <any>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -194,7 +195,7 @@ object GraftGateway {
     "weighted_mean_ess", "qte",
     "histogram", "histogram_by", "box_stats", "tfidf", "perplexity",
     "incremental_dedup", "snapshot_diff", "conformal_interval",
-    "chunk_documents", "msprt", "cluster_robust_ols", "blp_test")
+    "chunk_documents", "msprt", "cluster_robust_ols", "blp_test", "anova")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -359,6 +360,10 @@ object GraftGateway {
         require(a.length >= 3, "snapshot_diff(id, text, 'new_table')")
         val newV = spark.table(str(a(2)))
         Dedup.snapshotDiff(df, newV, c(a(0)), c(a(0)), c(a(1)), c(a(1)))
+      case "anova" =>
+        // multi-variant one-way F-test (the 2-sample tests' k-arm big brother)
+        require(a.length >= 2, "anova(y, arm)")
+        SimpleTests.anovaF(df, c(a(0)), c(a(1)))
       case "blp_test" =>
         // CATE-model validation: BLP heterogeneity loading + ATE
         require(a.length >= 3, "blp_test(ite, y, t)")

@@ -1625,6 +1625,15 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q138_anova" -> ((s, d) => {
+      // multi-variant one-way ANOVA through the verb (3 arms =
+      // l_returnflag): SSB/SSW from per-arm moment cells replay
+      // closed-form; p needs the F CDF, so the gate pins the statistic
+      t(s, d, "lineitem").createOrReplaceTempView("li_an")
+      GraftGateway.sql(s, "SELECT anova(l_quantity, l_returnflag) FROM li_an")
+        .select(col("k"), col("n"),
+          round(col("f_statistic"), 6).as("f_statistic"))
+    }),
     "q137_blp_test" -> ((s, d) => {
       // CATE-model validation on a planted-effect fixture with LCG noise
       // (the q122 replayable-noise idiom — plantedEffect's xxhash noise
@@ -2221,6 +2230,19 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q138_anova" ->
+      // same per-arm cells, same SSB/SSW forms
+      """WITH g AS (SELECT l_returnflag AS arm, count(*) AS n,
+        |    avg(l_quantity) AS m, var_samp(l_quantity) AS v
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n) AS n, count(*) AS k,
+        |    sum(n * m) / sum(n) AS grand FROM g),
+        |s AS (SELECT t.k, t.n,
+        |    sum(g.n * (g.m - t.grand) * (g.m - t.grand)) AS ssb,
+        |    sum((g.n - 1) * g.v) AS ssw FROM g, t GROUP BY t.k, t.n)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_statistic
+        |FROM s""".stripMargin,
     "q137_blp_test" ->
       // centered 2-regressor normal equations by Cramer's rule:
       // beta = C^-1 [cxy, czy], C the centered Gram; sig2 = RSS/(n-3)

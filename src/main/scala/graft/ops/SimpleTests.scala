@@ -51,6 +51,46 @@ object SimpleTests {
     TestResult(z, p)
   }
 
+  /** One-way ANOVA across k arms — the multi-variant generalization the
+    * reference lacks (its tests stop at two samples): F = (SSB/(k−1)) /
+    * (SSW/(n−k)) with SSB = Σ n_g(ȳ_g − ȳ)², SSW = Σ (n_g−1)s²_g.
+    * ONE aggregate pass to ≤ k per-arm moment cells (groupBy on the arm —
+    * arm cardinality is experiment-sized by definition, and the guard
+    * fails fast above maxArms); the F statistic and p finish on the
+    * driver. Null y rows drop listwise; null arms are excluded. Returns
+    * one row: (k, n, f_statistic, p_value) — per-arm means come from
+    * [[graft.api]]'s describe/groupBy, not duplicated here. */
+  def anovaF(df: DataFrame, value: Column, arm: Column,
+             maxArms: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = value.cast("double")
+    val cells = df.filter(yd.isNotNull && arm.isNotNull)
+      .groupBy(arm.as("__arm"))
+      .agg(count(lit(1)).as("n"), avg(yd).as("m"), var_samp(yd).as("v"))
+      .limit(maxArms + 1)
+      .collect()
+    require(cells.length <= maxArms,
+      s"anova: more than $maxArms arms — that is not an experiment " +
+        "assignment column; raise maxArms if it really is")
+    require(cells.length >= 2, s"anova: need at least 2 arms, got ${cells.length}")
+    val k = cells.length
+    val n = cells.map(_.getAs[Long]("n")).sum
+    require(n > k, s"anova: need n > k, got n=$n k=$k")
+    val grand = cells.map(r => r.getAs[Long]("n") * r.getAs[Double]("m")).sum / n
+    val ssb = cells.map { r =>
+      val d = r.getAs[Double]("m") - grand
+      r.getAs[Long]("n") * d * d
+    }.sum
+    val ssw = cells.map { r =>
+      val v = if (r.isNullAt(2)) 0.0 else r.getAs[Double]("v")
+      (r.getAs[Long]("n") - 1) * v
+    }.sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val p = 1.0 - Dist.fCdf(f, (k - 1).toDouble, (n - k).toDouble)
+    Seq((k.toLong, n, f, p)).toDF("k", "n", "f_statistic", "p_value")
+  }
+
   // ------------------------------------------------------- power analysis
 
   /** Standalone two-sample power math (the reference exposes these only

@@ -202,6 +202,35 @@ class OpsSpec extends AnyFunSuite {
     assert(zt.p_value >= 0 && zt.p_value <= 1)
   }
 
+  test("anovaF matches commons-math OneWayAnova; k=2 equals t-squared") {
+    val rng = new scala.util.Random(19)
+    val rows = (1 to 3000).map { i =>
+      val a = i % 3
+      (a, 0.2 * a + rng.nextGaussian())
+    }
+    val d = spark.createDataFrame(rows).toDF("arm", "v")
+    val r = SimpleTests.anovaF(d, $"v", $"arm").head()
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n") == 3000)
+    val cm = new org.apache.commons.math3.stat.inference.OneWayAnova()
+    val groups = new java.util.ArrayList[Array[Double]]()
+    (0 until 3).foreach(a =>
+      groups.add(rows.filter(_._1 == a).map(_._2).toArray))
+    assert(approx(r.getAs[Double]("f_statistic"), cm.anovaFValue(groups), 1e-9))
+    assert(approx(r.getAs[Double]("p_value"), cm.anovaPValue(groups), 1e-9))
+    // k = 2: F is exactly the pooled t statistic squared
+    val d2 = d.filter($"arm" < 2)
+    val f2 = SimpleTests.anovaF(d2, $"v", $"arm").head().getAs[Double]("f_statistic")
+    val t2 = SimpleTests.studentTtest(d2, $"v", $"arm").statistic
+    assert(approx(f2, t2 * t2, 1e-9), s"$f2 vs ${t2 * t2}")
+    // guards: one arm and arm-cardinality overflow fail fast
+    intercept[IllegalArgumentException] {
+      SimpleTests.anovaF(d.filter($"arm" === 0), $"v", $"arm")
+    }
+    intercept[IllegalArgumentException] {
+      SimpleTests.anovaF(d, $"v", $"v", maxArms = 10)
+    }
+  }
+
   test("describeAll one-pass summary") {
     val d = (1 to 100).map(_.toDouble).toDF("x")
     val out = d.describeAll(Seq("x")).head()
