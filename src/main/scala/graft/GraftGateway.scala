@@ -59,6 +59,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
+  * SELECT fdr_bh(p_value)                     FROM <test table>
+  * SELECT chisq_independence(a, b)            FROM <any>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -195,14 +197,15 @@ object GraftGateway {
     "weighted_mean_ess", "qte",
     "histogram", "histogram_by", "box_stats", "tfidf", "perplexity",
     "incremental_dedup", "snapshot_diff", "conformal_interval",
-    "chunk_documents", "msprt", "cluster_robust_ols", "blp_test", "anova")
+    "chunk_documents", "msprt", "cluster_robust_ols", "blp_test", "anova",
+    "fdr_bh", "chisq_independence")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
     * (small one-row-per-something tables) that compose via cross join when
     * the siblings are global aggregates. */
   private val transformVerbs = Set("exact_matching", "caliper_matching",
-    "cut_bins", "incremental_dedup", "conformal_interval")
+    "cut_bins", "incremental_dedup", "conformal_interval", "fdr_bh")
   private def handles(v: String): Boolean = verbs(v.toLowerCase)
 
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -360,6 +363,13 @@ object GraftGateway {
         require(a.length >= 3, "snapshot_diff(id, text, 'new_table')")
         val newV = spark.table(str(a(2)))
         Dedup.snapshotDiff(df, newV, c(a(0)), c(a(0)), c(a(1)), c(a(1)))
+      case "fdr_bh" =>
+        // Benjamini-Hochberg adjusted p-values as a TRANSFORM of a test table
+        require(a.nonEmpty, "fdr_bh(p_value_col)")
+        MultipleTesting.bhAdjust(df, c(a(0)))
+      case "chisq_independence" =>
+        require(a.length >= 2, "chisq_independence(a, b)")
+        SimpleTests.chisqIndependence(df, c(a(0)), c(a(1)))
       case "anova" =>
         // multi-variant one-way F-test (the 2-sample tests' k-arm big brother)
         require(a.length >= 2, "anova(y, arm)")

@@ -1625,6 +1625,32 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q139_fdr_bh" -> ((s, d) => {
+      // Benjamini-Hochberg adjustment over a deterministic ~620-test
+      // p-value table, driven through the transform verb; the suffix-min
+      // ranks replay as a reverse-frame window in DuckDB (adjusted values
+      // are tie-invariant, so rank tie order cannot matter)
+      t(s, d, "lineitem").filter(col("l_linenumber") === 1 &&
+          col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey").as("test_id"),
+          (((col("l_orderkey") * 13) % 1000).cast("double") / 1000.0 + 0.0005)
+            .as("p_value"))
+        .createOrReplaceTempView("li_fdr")
+      GraftGateway.sql(s, "SELECT fdr_bh(p_value) FROM li_fdr")
+        .select(col("test_id"), round(col("p_value"), 6).as("p_value"),
+          round(col("p_adjusted"), 6).as("p_adjusted"))
+        .orderBy(col("test_id"))
+    }),
+    "q140_chisq_independence" -> ((s, d) => {
+      // r x c contingency chi-square through the verb; the statistic is a
+      // closed form over the cell counts (p needs the chi-square CDF, so
+      // the gate pins chisq and the dof)
+      t(s, d, "lineitem").createOrReplaceTempView("li_chi")
+      GraftGateway.sql(s,
+          "SELECT chisq_independence(l_returnflag, l_linestatus) FROM li_chi")
+        .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+          round(col("chisq"), 6).as("chisq"))
+    }),
     "q138_anova" -> ((s, d) => {
       // multi-variant one-way ANOVA through the verb (3 arms =
       // l_returnflag): SSB/SSW from per-arm moment cells replay
@@ -2230,6 +2256,42 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q139_fdr_bh" ->
+      // rank ascending, q = p*m/rank clamped at 1, suffix min via a
+      // reverse-frame window
+      """WITH t AS (SELECT l_orderkey AS test_id,
+        |    ((l_orderkey * 13) % 1000) / 1000.0 + 0.0005 AS p
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 97 = 0),
+        |r AS (SELECT test_id, p,
+        |    row_number() OVER (ORDER BY p) AS rank,
+        |    count(*) OVER () AS m FROM t),
+        |q AS (SELECT test_id, p,
+        |    least(1.0, p * m / rank) AS qv, rank FROM r),
+        |a AS (SELECT test_id, p,
+        |    min(qv) OVER (ORDER BY rank
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS adj
+        |  FROM q)
+        |SELECT test_id, round(p, 6) AS p_value, round(adj, 6) AS p_adjusted
+        |FROM a ORDER BY test_id""".stripMargin,
+    "q140_chisq_independence" ->
+      // observed cells vs products of the margins
+      """WITH c AS (SELECT l_returnflag AS a, l_linestatus AS b,
+        |    count(*) AS o FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(o) AS r FROM c GROUP BY 1),
+        |ct AS (SELECT b, sum(o) AS cc FROM c GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM c),
+        |grid AS (SELECT rt.a, ct.b, rt.r, ct.cc, coalesce(c.o, 0) AS o
+        |  FROM rt CROSS JOIN ct LEFT JOIN c ON c.a = rt.a AND c.b = ct.b),
+        |x AS (SELECT sum((o - CAST(r AS DOUBLE) * cc / (SELECT n FROM tot))
+        |      * (o - CAST(r AS DOUBLE) * cc / (SELECT n FROM tot))
+        |      / (CAST(r AS DOUBLE) * cc / (SELECT n FROM tot))) AS chisq
+        |  FROM grid)
+        |SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+        |  (SELECT count(*) FROM rt) AS n_rows,
+        |  (SELECT count(*) FROM ct) AS n_cols,
+        |  ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS dof,
+        |  round(chisq, 6) AS chisq
+        |FROM x""".stripMargin,
     "q138_anova" ->
       // same per-arm cells, same SSB/SSW forms
       """WITH g AS (SELECT l_returnflag AS arm, count(*) AS n,

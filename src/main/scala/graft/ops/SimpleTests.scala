@@ -91,6 +91,47 @@ object SimpleTests {
     Seq((k.toLong, n, f, p)).toDF("k", "n", "f_statistic", "p_value")
   }
 
+  /** Chi-square test of independence between two categorical columns — the
+    * contingency companion to [[graft.agg]]'s SRM goodness-of-fit (the
+    * reference has only the latter): χ² = Σ (obs − exp)²/exp over the
+    * r×c table, dof = (r−1)(c−1). ONE aggregate pass to ≤ maxCells
+    * contingency cells (take-ordered guard BEFORE collection — two
+    * genuinely-categorical columns are cell-bounded by definition);
+    * expected counts and the statistic finish on the driver. Null in
+    * either column drops the row. Returns one row:
+    * (n, n_rows, n_cols, dof, chisq, p_value). */
+  def chisqIndependence(df: DataFrame, a: Column, b: Column,
+                        maxCells: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .agg(count(lit(1)).as("c"))
+      .limit(maxCells + 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"chisq_independence: more than $maxCells contingency cells — these " +
+        "are not categorical columns; raise maxCells if they really are")
+    val rowT = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val colT = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val n = cells.map(_._3).sum
+    require(rowT.size >= 2 && colT.size >= 2,
+      s"chisq_independence: need at least a 2x2 table, got ${rowT.size}x${colT.size}")
+    // sum over the FULL r x c grid (absent cells are observed 0, expected > 0)
+    val chisq = rowT.toSeq.sortBy(_._1).map { case (ra, rt) =>
+      colT.toSeq.sortBy(_._1).map { case (cb, ct) =>
+        val exp = rt.toDouble * ct / n
+        val obs = cells.find(c => c._1 == ra && c._2 == cb).fold(0L)(_._3)
+        (obs - exp) * (obs - exp) / exp
+      }.sum
+    }.sum
+    val dof = (rowT.size - 1) * (colT.size - 1)
+    val p = 1.0 - Dist.chiSqCdf(chisq, dof.toDouble)
+    Seq((n, rowT.size.toLong, colT.size.toLong, dof.toLong, chisq, p))
+      .toDF("n", "n_rows", "n_cols", "dof", "chisq", "p_value")
+  }
+
   // ------------------------------------------------------- power analysis
 
   /** Standalone two-sample power math (the reference exposes these only

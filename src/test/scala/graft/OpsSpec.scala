@@ -231,6 +231,53 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bhAdjust matches R p.adjust semantics, passes nulls through") {
+    val d = Seq[(Long, java.lang.Double)]((1L, 0.01), (2L, 0.02), (3L, 0.03),
+      (4L, 0.04), (5L, 0.5), (6L, null)).toDF("id", "p")
+    val adj = graft.ops.MultipleTesting.bhAdjust(d.repartition(3), $"p")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Double]("p_adjusted")).map(_.doubleValue))
+      .toMap
+    // R: p.adjust(c(.01,.02,.03,.04,.5), "BH") = .05 .05 .05 .05 .5
+    Seq(1L, 2L, 3L, 4L).foreach(i =>
+      assert(math.abs(adj(i).get - 0.05) < 1e-12, s"id $i -> ${adj(i)}"))
+    assert(math.abs(adj(5L).get - 0.5) < 1e-12)
+    assert(adj(6L).isEmpty) // untested row passes through unadjusted
+    // adjusted values are monotone in p and never exceed 1
+    val many = (1 to 500).map(i => (i.toLong, (i % 97 + 1) / 100.0)).toDF("id", "p")
+    val a2 = graft.ops.MultipleTesting.bhAdjust(many.repartition(7), $"p")
+      .select($"p", $"p_adjusted").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).sortBy(_._1)
+    a2.sliding(2).foreach(w => assert(w(1)._2 >= w(0)._2 - 1e-12))
+    assert(a2.forall(_._2 <= 1.0))
+    intercept[IllegalArgumentException] {
+      graft.ops.MultipleTesting.bhAdjust(Seq((1L, 1.5)).toDF("id", "p"), $"p")
+        .count()
+    }
+  }
+
+  test("chisqIndependence matches commons-math ChiSquareTest") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 5000).map { _ =>
+      val a = rng.nextInt(3)
+      // b depends on a -> dependence must be detected
+      val b = if (rng.nextDouble() < 0.3) a % 2 else rng.nextInt(2)
+      (s"a$a", s"b$b")
+    }
+    val d = spark.createDataFrame(rows).toDF("x", "y")
+    val r = SimpleTests.chisqIndependence(d, $"x", $"y").head()
+    val counts = Array.ofDim[Long](3, 2)
+    rows.foreach { case (a, b) =>
+      counts(a.drop(1).toInt)(b.drop(1).toInt) += 1 }
+    val cm = new org.apache.commons.math3.stat.inference.ChiSquareTest()
+    assert(approx(r.getAs[Double]("chisq"), cm.chiSquare(counts), 1e-9))
+    assert(approx(r.getAs[Double]("p_value"), cm.chiSquareTest(counts), 1e-9))
+    assert(r.getAs[Long]("dof") == 2)
+    intercept[IllegalArgumentException] {
+      SimpleTests.chisqIndependence(d.filter($"x" === "a0"), $"x", $"y")
+    }
+  }
+
   test("describeAll one-pass summary") {
     val d = (1 to 100).map(_.toDouble).toDF("x")
     val out = d.describeAll(Seq("x")).head()
