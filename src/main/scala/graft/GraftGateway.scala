@@ -61,6 +61,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT anova(y, arm)                       FROM <any>
   * SELECT fdr_bh(p_value)                     FROM <test table>
   * SELECT chisq_independence(a, b)            FROM <any>
+  * SELECT eb_shrink_means(group, y)           FROM <any>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -198,7 +199,7 @@ object GraftGateway {
     "histogram", "histogram_by", "box_stats", "tfidf", "perplexity",
     "incremental_dedup", "snapshot_diff", "conformal_interval",
     "chunk_documents", "msprt", "cluster_robust_ols", "blp_test", "anova",
-    "fdr_bh", "chisq_independence")
+    "fdr_bh", "chisq_independence", "eb_shrink_means")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -363,6 +364,10 @@ object GraftGateway {
         require(a.length >= 3, "snapshot_diff(id, text, 'new_table')")
         val newV = spark.table(str(a(2)))
         Dedup.snapshotDiff(df, newV, c(a(0)), c(a(0)), c(a(1)), c(a(1)))
+      case "eb_shrink_means" =>
+        // James-Stein-style stabilization of a many-segment mean report
+        require(a.length >= 2, "eb_shrink_means(group, y)")
+        Shrinkage.ebShrinkMeans(df, c(a(0)), c(a(1)))
       case "fdr_bh" =>
         // Benjamini-Hochberg adjusted p-values as a TRANSFORM of a test table
         require(a.nonEmpty, "fdr_bh(p_value_col)")

@@ -1625,6 +1625,18 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q141_eb_shrinkage" -> ((s, d) => {
+      // empirical-Bayes per-segment mean shrinkage through the verb,
+      // segments = part brand (~25 groups, heterogeneous n): mu, the MoM
+      // tau^2, and every posterior mean replay closed-form
+      t(s, d, "part").createOrReplaceTempView("p_eb")
+      GraftGateway.sql(s,
+          "SELECT eb_shrink_means(p_brand, p_retailprice) FROM p_eb")
+        .select(col("group"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("shrinkage"), 6).as("shrinkage"),
+          round(col("shrunk_mean"), 6).as("shrunk_mean"))
+        .orderBy(col("group"))
+    }),
     "q139_fdr_bh" -> ((s, d) => {
       // Benjamini-Hochberg adjustment over a deterministic ~620-test
       // p-value table, driven through the transform verb; the suffix-min
@@ -2256,6 +2268,28 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q141_eb_shrinkage" ->
+      // mu = pooled grand mean; tau2 = max(0, var of group means - avg
+      // per-group squared SE); B = se2/(se2+tau2); all driver-order sums
+      // round away under 1e-6
+      """WITH g AS (SELECT p_brand AS grp, count(*) AS n,
+        |    avg(p_retailprice) AS m, var_samp(p_retailprice) AS v
+        |  FROM part GROUP BY 1),
+        |t AS (SELECT sum(n * m) / sum(n) AS mu,
+        |    avg(m) AS mbar, count(*) AS k FROM g),
+        |s AS (SELECT (SELECT sum((m - t.mbar) * (m - t.mbar)) FROM g, t)
+        |      / ((SELECT k FROM t) - 1) AS var_means,
+        |    (SELECT avg(v / n) FROM g WHERE n >= 2) AS avg_se2),
+        |tau AS (SELECT greatest(0.0, var_means - avg_se2) AS tau2 FROM s)
+        |SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+        |  round(m, 6) AS mean,
+        |  round(CASE WHEN n < 2 OR (SELECT tau2 FROM tau) = 0 THEN 1.0
+        |    ELSE (v / n) / (v / n + (SELECT tau2 FROM tau)) END, 6) AS shrinkage,
+        |  round((SELECT mu FROM t) +
+        |    (1.0 - CASE WHEN n < 2 OR (SELECT tau2 FROM tau) = 0 THEN 1.0
+        |      ELSE (v / n) / (v / n + (SELECT tau2 FROM tau)) END)
+        |    * (m - (SELECT mu FROM t)), 6) AS shrunk_mean
+        |FROM g ORDER BY "group"""".stripMargin,
     "q139_fdr_bh" ->
       // rank ascending, q = p*m/rank clamped at 1, suffix min via a
       // reverse-frame window

@@ -278,6 +278,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ebShrinkMeans: small groups shrink harder, big groups barely move") {
+    val rng = new scala.util.Random(27)
+    // big groups with real spread + one tiny group with a wild mean
+    val rows = (0 until 4).flatMap { gId =>
+      (1 to 2000).map(_ => (s"g$gId", gId * 2.0 + rng.nextGaussian()))
+    } ++ (1 to 3).map(_ => ("tiny", 50.0 + rng.nextGaussian()))
+    val d = spark.createDataFrame(rows).toDF("g", "y")
+    val out = graft.ops.Shrinkage.ebShrinkMeans(d, $"g", $"y")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("mean"), r.getAs[Double]("shrinkage"),
+          r.getAs[Double]("shrunk_mean"))).toMap
+    // big groups: almost no shrinkage, posterior ~ raw mean
+    (0 until 4).foreach { gId =>
+      val (m, b, s) = out(s"g$gId")
+      assert(b < 0.01, s"g$gId shrinkage $b")
+      assert(math.abs(s - m) < 0.2, s"g$gId moved $m -> $s")
+    }
+    // the tiny wild group moves toward the grand mean, monotonically
+    val (mT, bT, sT) = out("tiny")
+    assert(bT > out("g0")._2, "tiny must shrink harder than a big group")
+    assert(sT < mT, s"tiny must move toward the grand mean: $mT -> $sT")
+    // degenerate: identical group means -> tau2 = 0 -> everything at mu
+    val flat = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "y")
+    val f = graft.ops.Shrinkage.ebShrinkMeans(flat, $"g", $"y").collect()
+    f.foreach(r => assert(r.getAs[Double]("shrunk_mean") == 2.0 &&
+      r.getAs[Double]("shrinkage") == 1.0))
+    intercept[IllegalArgumentException] {
+      graft.ops.Shrinkage.ebShrinkMeans(flat.filter($"g" === "a"), $"g", $"y")
+    }
+  }
+
   test("describeAll one-pass summary") {
     val d = (1 to 100).map(_.toDouble).toDF("x")
     val out = d.describeAll(Seq("x")).head()
