@@ -66,8 +66,9 @@ object SimpleTests {
     import spark.implicits._
     val yd = value.cast("double")
     val cells = df.filter(yd.isNotNull && arm.isNotNull)
-      .groupBy(arm.as("__arm"))
+      .groupBy(arm.cast("string").as("__arm"))
       .agg(count(lit(1)).as("n"), avg(yd).as("m"), var_samp(yd).as("v"))
+      .orderBy(col("__arm")) // deterministic driver summation order
       .limit(maxArms + 1)
       .collect()
     require(cells.length <= maxArms,
