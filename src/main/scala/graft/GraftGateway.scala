@@ -62,6 +62,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT fdr_bh(p_value)                     FROM <test table>
   * SELECT chisq_independence(a, b)            FROM <any>
   * SELECT eb_shrink_means(group, y)           FROM <any>
+  * SELECT cox_ph(time, event, x...)           FROM <any>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -199,7 +200,7 @@ object GraftGateway {
     "histogram", "histogram_by", "box_stats", "tfidf", "perplexity",
     "incremental_dedup", "snapshot_diff", "conformal_interval",
     "chunk_documents", "msprt", "cluster_robust_ols", "blp_test", "anova",
-    "fdr_bh", "chisq_independence", "eb_shrink_means")
+    "fdr_bh", "chisq_independence", "eb_shrink_means", "cox_ph")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -281,6 +282,17 @@ object GraftGateway {
           mde = if (a.length > 3) num(a(3)) else 0.0,
           mdeType = if (a.length > 4) str(a(4)) else "abs")
         Seq((obs, p)).toDF("observed", "p_value")
+      case "cox_ph" =>
+        // proportional-hazards regression; one row per covariate plus the
+        // score (log-rank) test row
+        require(a.length >= 3, "cox_ph(time, event, x...)")
+        val r = Survival.coxPh(df, c(a(0)), c(a(1)), a.drop(2).map(c))
+        val terms = a.drop(2).map(name).zipWithIndex.map { case (nm, j) =>
+          (nm, r.coefficients(j), r.stderr(j), r.z_values(j), r.p_values(j),
+            r.n, r.nEvents)
+        }
+        terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
+          "n", "n_events")
       case "kaplan_meier" =>
         require(a.length >= 2, "kaplan_meier(time, event[, group])")
         if (a.length > 2) Survival.kaplanMeierBy(df, c(a(2)), c(a(0)), c(a(1)))

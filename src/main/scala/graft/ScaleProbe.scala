@@ -428,6 +428,17 @@ object ScaleProbe {
       // arm is independent of time/event: p must not report an effect
       assert(r.getDouble(4) > 1e-6, s"null log-rank p ${r.getDouble(4)}")
     }
+    // Cox PH at full scale: each Newton iteration is ONE agg pass to 10k
+    // time cells; the suffix scan + step run on the driver over the cells
+    time(s"cox_ph 2 covariates ($rows rows, 10k times)") {
+      val r = graft.ops.Survival.coxPh(survDf,
+        col("stime"), col("ev"),
+        Seq(col("arm").cast("double"),
+          (pmod(xxhash64(col("arm2"), lit(7)), lit(1000L)).cast("double")
+            / 1000.0)))
+      assert(r.iterations < 20 && !r.coefficients(0).isNaN,
+        s"cox iters ${r.iterations}")
+    }
 
     // tf-idf at corpus scale: 1M docs x 40 hash-random words explode to
     // 40M (doc, token) pairs; df table ~50k vocabulary rows; the join

@@ -1625,6 +1625,23 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q142_cox_ph" -> ((s, d) => {
+      // Cox proportional hazards through the verb: 50 distinct times with
+      // heavy Breslow ties, two covariates. The Newton fit has no closed
+      // SQL form, so the oracle pins the sf0.01 estimates (q34 idiom)
+      // while n / n_events stay honest closed forms
+      t(s, d, "lineitem").select(col("l_quantity").cast("int").as("stime"),
+          (col("l_linenumber") % 2).cast("int").as("ev"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("li_cox")
+      GraftGateway.sql(s, "SELECT cox_ph(stime, ev, x1, x2) FROM li_cox")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("z_value"), 4).as("z_value"),
+          col("n"), col("n_events"), lit(sfTag(d)).as("oracle_sf"))
+        .orderBy(col("term"))
+    }),
     "q141_eb_shrinkage" -> ((s, d) => {
       // empirical-Bayes per-segment mean shrinkage through the verb,
       // segments = part brand (~25 groups, heterogeneous n): mu, the MoM
@@ -2268,6 +2285,19 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q142_cox_ph" ->
+      // pinned Newton estimates at sf0.01 (no closed SQL form for the
+      // partial-likelihood fit); n and n_events are live closed forms
+      """WITH s AS (SELECT count(*) AS n,
+        |    CAST(sum(l_linenumber % 2) AS BIGINT) AS n_events FROM lineitem)
+        |SELECT 'x1' AS term, CAST(0.018778 AS DOUBLE) AS estimate,
+        |  CAST(0.018590 AS DOUBLE) AS stderr,
+        |  CAST(1.0101 AS DOUBLE) AS z_value,
+        |  CAST(n AS BIGINT) AS n, n_events, '0.01' AS oracle_sf FROM s
+        |UNION ALL SELECT 'x2', CAST(-0.001958 AS DOUBLE),
+        |  CAST(0.010800 AS DOUBLE), CAST(-0.1813 AS DOUBLE),
+        |  CAST(n AS BIGINT), n_events, '0.01' FROM s
+        |ORDER BY term""".stripMargin,
     "q141_eb_shrinkage" ->
       // mu = pooled grand mean; tau2 = max(0, var of group means - avg
       // per-group squared SE); B = se2/(se2+tau2); all driver-order sums

@@ -75,4 +75,53 @@ class SurvivalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("log_rank_test"))
   }
+
+  test("coxPh: score test at beta=0 equals the log-rank chi2 when times are tie-free") {
+    val rng = new scala.util.Random(43)
+    val rows = (1 to 600).map { i =>
+      val x = i % 2
+      // continuous times: no ties a.s., so the hypergeometric (n-d)/(n-1)
+      // factor is 1 and score == log-rank EXACTLY
+      val t = -math.log(rng.nextDouble()) / math.exp(0.5 * x)
+      val e = if (rng.nextDouble() < 0.8) 1 else 0
+      (t, e, x)
+    }
+    val d = spark.createDataFrame(rows).toDF("t", "e", "x")
+    val cox = Survival.coxPh(d, $"t", $"e", Seq($"x"))
+    val lr = Survival.logRankTest(d, $"x", $"t", $"e").head()
+    assert(math.abs(cox.scoreChi2 - lr.getAs[Double]("chi2")) < 1e-9,
+      s"score ${cox.scoreChi2} vs logrank ${lr.getAs[Double]("chi2")}")
+    assert(cox.nEvents == rows.count(_._2 == 1))
+  }
+
+  test("coxPh recovers a planted log hazard ratio, multi-covariate") {
+    val rng = new scala.util.Random(47)
+    val rows = (1 to 20000).map { _ =>
+      val x1 = rng.nextInt(2)
+      val x2 = rng.nextGaussian()
+      val nz = rng.nextGaussian() // independent of the hazard
+      val h = math.exp(0.7 * x1 - 0.3 * x2)
+      val t = -math.log(rng.nextDouble()) / h
+      // administrative censoring at 1.5
+      if (t > 1.5) (1.5, 0, x1, x2, nz) else (t, 1, x1, x2, nz)
+    }
+    val d = spark.createDataFrame(rows).toDF("t", "e", "x1", "x2", "noise")
+    val r = Survival.coxPh(d, $"t", $"e", Seq($"x1", $"x2"))
+    assert(r.iterations < 20, s"did not converge: ${r.iterations}")
+    assert(math.abs(r.coefficients(0) - 0.7) < 3 * r.stderr(0) + 0.05,
+      s"beta1 ${r.coefficients(0)} +- ${r.stderr(0)}")
+    assert(math.abs(r.coefficients(1) + 0.3) < 3 * r.stderr(1) + 0.05,
+      s"beta2 ${r.coefficients(1)} +- ${r.stderr(1)}")
+    assert(r.p_values(0) < 1e-6 && r.p_values(1) < 1e-6)
+    // null covariate: no effect reported
+    val rn = Survival.coxPh(d, $"t", $"e", Seq($"noise"))
+    assert(math.abs(rn.z_values(0)) < 3.5, s"null z ${rn.z_values(0)}")
+    // guards
+    intercept[IllegalArgumentException] {
+      Survival.coxPh(d, $"t", $"e", Seq($"x1"), maxTimes = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Survival.coxPh(d.filter($"e" === 0), $"t", $"e", Seq($"x1"))
+    }
+  }
 }
