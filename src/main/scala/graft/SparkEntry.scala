@@ -1625,6 +1625,29 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q143_image_neardup" -> ((s, d) => {
+      // perceptual image near-dup end-to-end: every part row renders a
+      // deterministic block-pattern PNG; 1-in-20 gains a +20-brightness
+      // copy (id+100000). dHash is exactly invariant to the uniform shift
+      // (patterns live in [40,200], no clip), so precisely the planted
+      // copies pair at hamming 0 and the pair set is a closed form
+      val base = t(s, d, "part").select(col("p_partkey").cast("long").as("id"))
+      val imgs = base.select(col("id"),
+          graft.ops.Multimodal.patternPng(col("id"), lit(64), lit(64),
+            lit(0)).as("content"))
+        .unionByName(base.filter(col("id") % 20 === 0)
+          .select((col("id") + 100000L).as("id"),
+            graft.ops.Multimodal.patternPng(col("id"), lit(64), lit(64),
+              lit(20)).as("content")))
+      val hashed = graft.ops.Multimodal.imageDHash(imgs)
+      val pairs = graft.ops.Dedup.hammingPairs(hashed, col("id"),
+        col("dhash"), maxHamming = 3)
+      hashed.agg(count(lit(1)).as("n_images"),
+          sum(col("decode_ok").cast("long")).as("n_decoded"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") + col("id_b")).as("pair_id_sum"),
+          max(col("hamming")).as("max_hamming")))
+    }),
     "q142_cox_ph" -> ((s, d) => {
       // Cox proportional hazards through the verb: 50 distinct times with
       // heavy Breslow ties, two covariates. The Newton fit has no closed
@@ -2285,6 +2308,15 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q143_image_neardup" ->
+      // the planted-copy pair set in closed form: one pair per 1-in-20
+      // part key, ids (k, k+100000), all at hamming 0
+      """WITH c AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 20 = 0)
+        |SELECT CAST((SELECT count(*) FROM part) + (SELECT count(*) FROM c) AS BIGINT) AS n_images,
+        |  CAST((SELECT count(*) FROM part) + (SELECT count(*) FROM c) AS BIGINT) AS n_decoded,
+        |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_pairs,
+        |  CAST((SELECT sum(2 * k + 100000) FROM c) AS BIGINT) AS pair_id_sum,
+        |  CAST(0 AS INT) AS max_hamming""".stripMargin,
     "q142_cox_ph" ->
       // pinned Newton estimates at sf0.01 (no closed SQL form for the
       // partial-likelihood fit); n and n_events are live closed forms

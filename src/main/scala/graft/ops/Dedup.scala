@@ -312,6 +312,32 @@ object Dedup {
     * pigeonhole when ≤ 3 chunks differ), verified by Hamming distance.
     * Candidates come from a groupBy on (chunk, chunkval) with (id, sh) pairs
     * expanded inside each bucket — one scan, no self-join, no cache. */
+  /** Near-pair candidates for ANY precomputed 64-bit similarity hash
+    * (simhash, image dHash, audio fingerprint): the [[simHashPairs]]
+    * pigeonhole — split the hash into 4 16-bit chunks; two hashes within
+    * Hamming distance ≤ 3 must agree on at least one chunk, so candidates
+    * come from 4 chunk-keyed groupBys with in-bucket pair expansion —
+    * never an all-pairs join. Returns (id_a, id_b, hamming) with
+    * id_a < id_b and hamming ≤ maxHamming (≤ 3 for the pigeonhole
+    * guarantee; larger thresholds still return only what the chunk
+    * collision finds, documented recall loss). */
+  def hammingPairs(df: DataFrame, id: Column, hash: Column,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunked = df.select(id.cast("long").as("id"), hash.cast("long").as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("chunk", "chunkval")))
+    chunked.groupBy(col("chunk"), col("chunkval"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(bucketPairs(col("members"))).as("p"))
+      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
+        TextOps.hammingDistance(col("p.id_a.sh"), col("p.id_b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def simHashPairs(df: DataFrame, id: Column, text: Column,
                    maxHamming: Int = 3): DataFrame = {
     val chunked = df.select(id.cast("long").as("id"), TextOps.simHash(text).as("sh"))

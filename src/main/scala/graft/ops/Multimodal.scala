@@ -144,6 +144,117 @@ object Multimodal {
       .toDF("id", "width", "height", "channels", "means", "stds", "decode_ok")
   }
 
+  case class DHashRow(id: Long, dhash: Long, decodeOk: Boolean)
+
+  /** Perceptual difference hash (dHash) of one image: the luminance is
+    * block-averaged onto a 9×8 grid with EXACT integer-boundary area
+    * averaging (no interpolation, so the hash is bit-deterministic on any
+    * JVM), and bit (j·8+i) records cell(i,j) < cell(i+1,j). Horizontal
+    * gradients survive uniform brightness/contrast shifts and re-encoding,
+    * which is what makes the hash perceptual: a brightened copy of an
+    * image hashes identically, while structurally different images land
+    * ~32 bits apart. */
+  private def dHashOne(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val cells = Array.ofDim[Double](8, 9)
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8; val y1 = math.max((j + 1) * h / 8, y0 + 1)
+      var i = 0
+      while (i < 9) {
+        val x0 = i * w / 9; val x1 = math.max((i + 1) * w / 9, x0 + 1)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        cells(j)(i) = if (n == 0) 0.0 else sum.toDouble / n
+        i += 1
+      }
+      j += 1
+    }
+    var bits = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (cells(j)(i) < cells(j)(i + 1)) bits |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    bits
+  }
+
+  /** Perceptual hash per image: (id, dhash, decode_ok) — batched
+    * mapPartitions like [[decodeImages]] (no Catalyst codec exists);
+    * undecodable bytes flag decode_ok = false with dhash 0. Pair
+    * [[graft.ops.Dedup.hammingPairs]] on the output for image
+    * near-duplicate candidates without an all-pairs join. */
+  def imageDHash(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val ds: Dataset[ImageRow] = df
+      .select(col("id").cast("long").as("id"), col("content"))
+      .as(Encoders.product[ImageRow])
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val img =
+          try {
+            require(imageIoConfigured)
+            if (r.content == null || r.content.isEmpty) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.content))
+          } catch { case _: Exception => null }
+        if (img == null) DHashRow(r.id, 0L, decodeOk = false)
+        else DHashRow(r.id, dHashOne(img), decodeOk = true)
+      })
+    }(Encoders.product[DHashRow])
+      .toDF("id", "dhash", "decode_ok")
+  }
+
+  /** Deterministic block-pattern PNG bytes: a w×h image tiled with 4×4-px
+    * blocks whose gray level is an LCG of (seed, block) mapped into
+    * [40, 200] — far from the 0/255 clip rails, so adding a uniform
+    * `brightness` offset shifts every pixel EXACTLY and the dHash is
+    * unchanged. Fixture generator for the image near-dup tests/oracle. */
+  def patternPngBytes(seed: Long, w: Int, h: Int, brightness: Int): Array[Byte] = {
+    require(imageIoConfigured)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // splitmix64 finalizer: an affine hash here leaves patterns of
+        // different seeds as uniform mod-shifts of each other, which
+        // mostly preserves the cell ORDER comparisons dHash is built on —
+        // avalanche is what makes distinct seeds perceptually distinct
+        var z = (x / 4).toLong * 1000003L + (y / 4).toLong * 7919L + seed
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= z >>> 31
+        val g0 = 40 + java.lang.Long.remainderUnsigned(z, 161L).toInt
+        val g = math.min(255, g0 + brightness)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Column form of [[patternPngBytes]]. */
+  val patternPng: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(patternPngBytes _)
+
   /** Deterministic solid-color PNG bytes (JDK encoder) — fixture generator
     * for decode tests and the q45 closed-form oracle. */
   def solidPngBytes(r: Int, g: Int, b: Int, w: Int, h: Int): Array[Byte] = {

@@ -537,6 +537,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out(3L).getBoolean(6) && !out(4L).getBoolean(6))
   }
 
+  test("imageDHash: brightness-invariant, pattern-sensitive; hammingPairs pigeonhole") {
+    val rows = Seq(
+      (1L, Multimodal.patternPngBytes(7L, 64, 64, 0)),
+      (2L, Multimodal.patternPngBytes(7L, 64, 64, 20)), // brightened copy
+      (3L, Multimodal.patternPngBytes(8L, 64, 64, 0)), // different pattern
+      (4L, Array[Byte](9, 9, 9))) // corrupt
+    val h = Multimodal.imageDHash(rows.toDF("id", "content").repartition(2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(h(1L)._1 == h(2L)._1, "uniform brightness must not change dHash")
+    assert(h(1L)._1 != h(3L)._1, "different patterns must differ")
+    assert(java.lang.Long.bitCount(h(1L)._1 ^ h(3L)._1) > 10,
+      s"patterns too close: ${java.lang.Long.bitCount(h(1L)._1 ^ h(3L)._1)} bits")
+    assert(!h(4L)._2 && h(4L)._1 == 0L)
+    val pairs = graft.ops.Dedup.hammingPairs(
+        Multimodal.imageDHash(rows.toDF("id", "content")).filter($"decode_ok"),
+        $"id", $"dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
+  }
+
   test("decodeAudio: real PCM-WAV parsing, exact channel stats, corrupt bytes") {
     // stereo with distinct per-channel amplitudes; mono; junk; truncated
     val stereo = Multimodal.constWavBytes(Array(1000, -2000), 50, 44100)
