@@ -1625,6 +1625,28 @@ object SparkEntry {
           round(col("n_raw"), 2).as("n_per_arm"),
           round(col("m_raw"), 6).as("mde"))
     }),
+    "q144_audio_neardup" -> ((s, d) => {
+      // volume-invariant audio near-dup (q143's audio twin): every part
+      // row renders a deterministic block-pattern mono WAV; 1-in-20 gains
+      // an exact half-volume copy (even amplitudes, no rounding) —
+      // exactly the planted copies pair at hamming 0
+      val base = t(s, d, "part").select(col("p_partkey").cast("long").as("id"))
+      val wavs = base.select(col("id"),
+          graft.ops.Multimodal.patternWav(col("id"), lit(2000), lit(16000),
+            lit(1)).as("content"))
+        .unionByName(base.filter(col("id") % 20 === 0)
+          .select((col("id") + 100000L).as("id"),
+            graft.ops.Multimodal.patternWav(col("id"), lit(2000), lit(16000),
+              lit(2)).as("content")))
+      val hashed = graft.ops.Multimodal.audioFingerprint(wavs)
+      val pairs = graft.ops.Dedup.hammingPairs(hashed, col("id"),
+        col("afp"), maxHamming = 3)
+      hashed.agg(count(lit(1)).as("n_clips"),
+          sum(col("decode_ok").cast("long")).as("n_decoded"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") + col("id_b")).as("pair_id_sum"),
+          max(col("hamming")).as("max_hamming")))
+    }),
     "q143_image_neardup" -> ((s, d) => {
       // perceptual image near-dup end-to-end: every part row renders a
       // deterministic block-pattern PNG; 1-in-20 gains a +20-brightness
@@ -2308,6 +2330,14 @@ object SparkEntry {
         |  CAST(0.821377 AS DOUBLE) AS upper,
         |  '0.01' AS oracle_sf
         |FROM psi""".stripMargin,
+    "q144_audio_neardup" ->
+      // same planted-pair closed form as q143, audio side
+      """WITH c AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 20 = 0)
+        |SELECT CAST((SELECT count(*) FROM part) + (SELECT count(*) FROM c) AS BIGINT) AS n_clips,
+        |  CAST((SELECT count(*) FROM part) + (SELECT count(*) FROM c) AS BIGINT) AS n_decoded,
+        |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_pairs,
+        |  CAST((SELECT sum(2 * k + 100000) FROM c) AS BIGINT) AS pair_id_sum,
+        |  CAST(0 AS INT) AS max_hamming""".stripMargin,
     "q143_image_neardup" ->
       // the planted-copy pair set in closed form: one pair per 1-in-20
       // part key, ids (k, k+100000), all at hamming 0

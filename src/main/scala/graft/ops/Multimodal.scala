@@ -290,6 +290,44 @@ object Multimodal {
     * division, exact in IEEE). Means and RMS are normalized to [-1, 1].
     * Malformed/truncated/non-PCM bytes flag decodeOk = false, never
     * throw. */
+  private case class WavInfo(rate: Int, channels: Int, dataOff: Int,
+                             nFrames: Long)
+
+  /** RIFF/WAVE PCM-16 header walk shared by [[decodeAudio]] and
+    * [[audioFingerprint]]: None for malformed/truncated/non-PCM bytes. */
+  private def parseWavHeader(b: Array[Byte]): Option[WavInfo] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    try {
+      if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        None
+      else {
+        var pos = 12
+        var channels = 0; var rate = 0; var fmtOk = false
+        var dataOff = -1; var dataLen = 0L
+        while (pos + 8 <= b.length) {
+          val id = tag(pos); val sz = le32(pos + 4)
+          if (id == "fmt " && sz >= 16) {
+            fmtOk = le16(pos + 8) == 1 && le16(pos + 8 + 14) == 16
+            channels = le16(pos + 8 + 2)
+            rate = le32(pos + 8 + 4).toInt
+          } else if (id == "data") {
+            dataOff = pos + 8
+            dataLen = math.min(sz, (b.length - dataOff).toLong)
+          }
+          // a corrupt size must terminate the walk, not wrap pos negative
+          if (sz < 0 || sz > b.length) pos = b.length
+          else pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        }
+        if (!fmtOk || channels <= 0 || dataOff < 0) None
+        else Some(WavInfo(rate, channels, dataOff, dataLen / (channels * 2)))
+      }
+    } catch { case _: Exception => None }
+  }
+
   private def decodeWavBatch(batch: Seq[AudioRow]): Seq[AudioFeatures] =
     batch.map { r =>
       val b = r.content
@@ -297,33 +335,11 @@ object Multimodal {
         decodeOk = false)
       def u8(i: Int): Int = b(i) & 0xff
       def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-      def le32(i: Int): Long =
-        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
-      def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
       try {
-        if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") fail
-        else {
-          var pos = 12
-          var channels = 0; var rate = 0; var fmtOk = false
-          var dataOff = -1; var dataLen = 0L
-          while (pos + 8 <= b.length) {
-            val id = tag(pos); val sz = le32(pos + 4)
-            if (id == "fmt " && sz >= 16) {
-              fmtOk = le16(pos + 8) == 1 && le16(pos + 8 + 14) == 16
-              channels = le16(pos + 8 + 2)
-              rate = le32(pos + 8 + 4).toInt
-            } else if (id == "data") {
-              dataOff = pos + 8
-              dataLen = math.min(sz, (b.length - dataOff).toLong)
-            }
-            // a corrupt size must terminate the walk, not wrap pos negative
-            if (sz < 0 || sz > b.length) pos = b.length
-            else pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-          }
-          if (!fmtOk || channels <= 0 || dataOff < 0) fail
-          else {
+        parseWavHeader(b) match {
+          case None => fail
+          case Some(WavInfo(rate, channels, dataOff, n)) =>
             val frameBytes = channels * 2
-            val n = dataLen / frameBytes
             val sums = new Array[Long](channels)
             val sqs = new Array[Long](channels)
             var f = 0L
@@ -343,10 +359,98 @@ object Multimodal {
               if (n == 0) Array.fill(channels)(0.0)
               else sqs.map(q => math.sqrt(q.toDouble / n) / 32768.0)
             AudioFeatures(r.id, rate, channels, n, means, rms, decodeOk = true)
-          }
         }
       } catch { case _: Exception => fail }
     }
+
+  case class AudioFpRow(id: Long, afp: Long, decodeOk: Boolean)
+
+  /** Volume-invariant audio fingerprint — the audio twin of
+    * [[imageDHash]]: the first channel's |sample| mass is block-averaged
+    * onto 65 exact integer-boundary windows and bit k records
+    * avg(k) < avg(k+1). Scaling every sample by a constant (volume)
+    * scales the averages uniformly, so comparisons — and the hash — are
+    * unchanged; structurally different clips land ~32 bits apart. Pair
+    * with [[graft.ops.Dedup.hammingPairs]] for near-dup candidates. */
+  def audioFingerprint(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val ds: Dataset[AudioRow] = df
+      .select(col("id").cast("long").as("id"), col("content"))
+      .as(Encoders.product[AudioRow])
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val b = r.content
+        def u8(i: Int): Int = b(i) & 0xff
+        def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+        try {
+          parseWavHeader(b) match {
+            case Some(WavInfo(_, channels, dataOff, n)) if n >= 65 =>
+              val frameBytes = channels * 2
+              val avgs = new Array[Double](65)
+              var k = 0
+              while (k < 65) {
+                val f0 = k * n / 65; val f1 = (k + 1) * n / 65
+                var sum = 0L
+                var f = f0
+                while (f < f1) {
+                  sum += math.abs(le16(dataOff + (f * frameBytes).toInt)
+                    .toShort.toInt).toLong
+                  f += 1
+                }
+                avgs(k) = sum.toDouble / (f1 - f0)
+                k += 1
+              }
+              var bits = 0L
+              k = 0
+              while (k < 64) {
+                if (avgs(k) < avgs(k + 1)) bits |= 1L << k
+                k += 1
+              }
+              AudioFpRow(r.id, bits, decodeOk = true)
+            case _ => AudioFpRow(r.id, 0L, decodeOk = false)
+          }
+        } catch { case _: Exception => AudioFpRow(r.id, 0L, decodeOk = false) }
+      })
+    }(Encoders.product[AudioFpRow])
+      .toDF("id", "afp", "decode_ok")
+  }
+
+  /** Deterministic block-pattern PCM-16 mono WAV: 16-sample blocks
+    * (SHORTER than the fingerprint's ~n/65 windows, so adjacent windows
+    * average different block mixes — the image fixture's lesson) whose
+    * amplitude is an EVEN splitmix64 value in [1000, 8998], so an exact
+    * half-volume copy (`scaleDiv = 2`) divides every sample without
+    * rounding and fingerprints identically. Fixture generator for the
+    * audio near-dup tests/oracle. */
+  def patternWavBytes(seed: Long, nSamples: Int, rate: Int,
+                      scaleDiv: Int): Array[Byte] = {
+    val samples = new Array[Int](nSamples)
+    var f = 0
+    while (f < nSamples) {
+      var z = (f / 16).toLong * 1000003L + seed
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= z >>> 31
+      val amp = 1000 + 2 * java.lang.Long.remainderUnsigned(z, 4000L).toInt
+      samples(f) = amp / scaleDiv
+      f += 1
+    }
+    val dataLen = nSamples * 2
+    val bos = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bos.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate)
+      .putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    f = 0
+    while (f < nSamples) { bos.putShort(samples(f).toShort); f += 1 }
+    bos.array()
+  }
+
+  /** Column form of [[patternWavBytes]]. */
+  val patternWav: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(patternWavBytes _)
 
   /** Real PCM-WAV decode + per-channel statistics: batched mapPartitions
     * over (id, content) — the audio twin of [[decodeImages]]. Output:

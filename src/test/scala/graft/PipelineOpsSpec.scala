@@ -558,6 +558,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
   }
 
+  test("audioFingerprint: volume-invariant, pattern-sensitive, short clips fail") {
+    val rows = Seq(
+      (1L, Multimodal.patternWavBytes(5L, 2000, 16000, 1)),
+      (2L, Multimodal.patternWavBytes(5L, 2000, 16000, 2)), // half volume
+      (3L, Multimodal.patternWavBytes(6L, 2000, 16000, 1)), // other pattern
+      (4L, Multimodal.patternWavBytes(5L, 40, 16000, 1)), // < 65 samples
+      (5L, Array[Byte](1, 2, 3)))
+    val h = Multimodal.audioFingerprint(rows.toDF("id", "content")
+        .repartition(2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(h(1L)._1 == h(2L)._1, "half volume must not change the fingerprint")
+    assert(h(1L)._1 != h(3L)._1)
+    assert(java.lang.Long.bitCount(h(1L)._1 ^ h(3L)._1) > 10)
+    assert(!h(4L)._2 && !h(5L)._2)
+    val pairs = graft.ops.Dedup.hammingPairs(
+        Multimodal.audioFingerprint(rows.toDF("id", "content"))
+          .filter($"decode_ok"),
+        $"id", $"afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
+  }
+
   test("decodeAudio: real PCM-WAV parsing, exact channel stats, corrupt bytes") {
     // stereo with distinct per-channel amplitudes; mono; junk; truncated
     val stereo = Multimodal.constWavBytes(Array(1000, -2000), 50, 44100)
