@@ -553,6 +553,30 @@ object ScaleProbe {
         col("text"), m, broadcastUnigrams = false)
       assert(scored.count() == lmRows)
     }
+
+    // multimodal fingerprints: the cost is the real codec (imageio / PCM
+    // parse) inside batched mapPartitions — embarrassingly parallel, no
+    // shuffle until the tiny chunk-bucket candidate pass
+    val imgRows = math.min(rows / 1000, 100000L)
+    time(s"image dhash + near-dup pairs ($imgRows 64x64 PNGs)") {
+      val base = spark.range(imgRows).select(col("id"),
+        graft.ops.Multimodal.patternPng(pmod(col("id"), lit(imgRows / 50)),
+          lit(64), lit(64), lit(0)).as("content"))
+      val hashed = graft.ops.Multimodal.imageDHash(base)
+      val pairs = graft.ops.Dedup.hammingPairs(hashed, col("id"),
+        col("dhash"), maxHamming = 0)
+      // 50 copies per pattern -> C(50,2) pairs per pattern
+      assert(pairs.count() == (imgRows / 50) * (50L * 49 / 2))
+    }
+    time(s"audio fingerprint + near-dup pairs ($imgRows 2k-sample WAVs)") {
+      val base = spark.range(imgRows).select(col("id"),
+        graft.ops.Multimodal.patternWav(pmod(col("id"), lit(imgRows / 50)),
+          lit(2000), lit(16000), lit(1)).as("content"))
+      val hashed = graft.ops.Multimodal.audioFingerprint(base)
+      val pairs = graft.ops.Dedup.hammingPairs(hashed, col("id"),
+        col("afp"), maxHamming = 0)
+      assert(pairs.count() == (imgRows / 50) * (50L * 49 / 2))
+    }
     } // suite()
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
