@@ -110,7 +110,7 @@ object Bench {
     // quiet on this box class). A reader comparing two artifacts (or one artifact vs a
     // quiet re-run) divides the sentinel1 values to get the load factor
     // even when both runs used different SPARK_GRAFT_CPUS.
-    val sentinel1 = {
+    def sentinel1Sample(): Double = {
       val s = Array.fill(5) {
         val t0 = System.nanoTime()
         spark.range(0L, 320L * 1000 * 1000, 1, 1)
@@ -118,6 +118,24 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       s.min
+    }
+    var sentinel1 = sentinel1Sample()
+    // sentinel-gated retry: both the r9 and r10 DRIVER artifacts were
+    // load-poisoned wholesale (sentinel1 ~3x its quiet value) even though
+    // the in-loop drift check passed — sustained externally-imposed load
+    // inflates every sample equally, which uniform drift can't see. The
+    // single-core sentinel vs the post-pass multi-core sentinels is the
+    // cross-check: on a quiet box they agree within ~2x; past that, the
+    // suite ran under load, so run ONE more full pass (the per-query min
+    // spans it) and record the retry so the artifact explains itself.
+    var retries = 0
+    val gateThreshold = 2.0 * sentinels.drop(1).min
+    val gateTriggered = sentinel1 > gateThreshold
+    if (gateTriggered && passes.length < maxPasses + 1) {
+      passes += ordered.map { case (name, fn) => name -> time(fn) }
+      sentinels += sentinel()
+      sentinel1 = math.min(sentinel1, sentinel1Sample())
+      retries = 1
     }
     val results = ordered.map { case (name, _) =>
       val ts = passes.map(_.toMap.apply(name)).filter(_ >= 0)
@@ -129,7 +147,8 @@ object Bench {
     val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
     val pj = passes.map(p => f"${p.map(_._2).filter(_ >= 0).sum}%.1f")
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_sec":$sj,"sentinel1_sec":$sentinel1,"pass_total_sec":$pj,"passes":${passes.length}}"""
+    val gateJson = f"""{"triggered":$gateTriggered,"sentinel1_threshold":$gateThreshold%.3f}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_sec":$sj,"sentinel1_sec":$sentinel1,"pass_total_sec":$pj,"passes":${passes.length},"retries":$retries,"sentinel_gate":$gateJson}"""
     println(json)
     // the same line as a machine-readable artifact: the driver's log-tail
     // capture has truncated the per-query map more than once (r9:

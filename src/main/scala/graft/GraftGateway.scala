@@ -63,6 +63,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT chisq_independence(a, b)            FROM <any>
   * SELECT eb_shrink_means(group, y)           FROM <any>
   * SELECT cox_ph(time, event, x...)           FROM <any>
+  * SELECT msprt_by(exp, bucket, y, t[, tau])  FROM <events>
+  * SELECT image_dhash(id, content)            FROM <images>
+  * SELECT audio_fingerprint(id, content)      FROM <clips>
+  * SELECT video_metadata(id, content)         FROM <videos>
+  * SELECT hamming_pairs(id, hash[, max_hamming]) FROM <hashed>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -199,8 +204,9 @@ object GraftGateway {
     "weighted_mean_ess", "qte",
     "histogram", "histogram_by", "box_stats", "tfidf", "perplexity",
     "incremental_dedup", "snapshot_diff", "conformal_interval",
-    "chunk_documents", "msprt", "cluster_robust_ols", "blp_test", "anova",
-    "fdr_bh", "chisq_independence", "eb_shrink_means", "cox_ph")
+    "chunk_documents", "msprt", "msprt_by", "cluster_robust_ols", "blp_test",
+    "anova", "fdr_bh", "chisq_independence", "eb_shrink_means", "cox_ph",
+    "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -411,6 +417,31 @@ object GraftGateway {
         require(a.length >= 3, "msprt(bucket, y, t[, tau])")
         Sequential.msprt(df, c(a(0)), c(a(1)), c(a(2)),
           tau = if (a.length > 3) num(a(3)) else 1.0)
+      case "msprt_by" =>
+        // one always-valid trajectory PER experiment — the platform shape
+        require(a.length >= 4, "msprt_by(experiment, bucket, y, t[, tau])")
+        Sequential.msprtBy(df, c(a(0)), c(a(1)), c(a(2)), c(a(3)),
+          tau = if (a.length > 4) num(a(4)) else 1.0)
+      case "image_dhash" =>
+        // perceptual 64-bit hash per image row; feed hamming_pairs for
+        // near-dup candidates (SQL reach for the multimodal dedup tier)
+        require(a.length >= 2, "image_dhash(id, content)")
+        Multimodal.imageDHash(df.select(c(a(0)).as("id"), c(a(1)).as("content")))
+      case "audio_fingerprint" =>
+        require(a.length >= 2, "audio_fingerprint(id, content)")
+        Multimodal.audioFingerprint(
+          df.select(c(a(0)).as("id"), c(a(1)).as("content")))
+      case "video_metadata" =>
+        // ISO-BMFF container walk: duration/dims/codec WITHOUT decoding —
+        // the predicate tier a video pipeline filters on before any codec
+        require(a.length >= 2, "video_metadata(id, content)")
+        Multimodal.videoMetadata(
+          df.select(c(a(0)).as("id"), c(a(1)).as("content")))
+      case "hamming_pairs" =>
+        // near-dup candidate pairs over ANY precomputed 64-bit hash column
+        require(a.length >= 2, "hamming_pairs(id, hash[, max_hamming])")
+        Dedup.hammingPairs(df, c(a(0)), c(a(1)),
+          maxHamming = if (a.length > 2) num(a(2)).toInt else 3)
       case "chunk_documents" =>
         // sliding-window RAG/pretraining chunker: (doc_id, chunk_ix,
         // chunk_text, n_tokens), pure codegen, no shuffle

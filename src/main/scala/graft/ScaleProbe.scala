@@ -565,8 +565,9 @@ object ScaleProbe {
       val hashed = graft.ops.Multimodal.imageDHash(base)
       val pairs = graft.ops.Dedup.hammingPairs(hashed, col("id"),
         col("dhash"), maxHamming = 0)
-      // 50 copies per pattern -> C(50,2) pairs per pattern
-      assert(pairs.count() == (imgRows / 50) * (50L * 49 / 2))
+      // 50 exact copies per pattern -> a LINEAR 49-edge star per pattern
+      // (representative-reduced), not the old C(50,2) clique
+      assert(pairs.count() == (imgRows / 50) * 49L)
     }
     time(s"audio fingerprint + near-dup pairs ($imgRows 2k-sample WAVs)") {
       val base = spark.range(imgRows).select(col("id"),
@@ -575,7 +576,58 @@ object ScaleProbe {
       val hashed = graft.ops.Multimodal.audioFingerprint(base)
       val pairs = graft.ops.Dedup.hammingPairs(hashed, col("id"),
         col("afp"), maxHamming = 0)
-      assert(pairs.count() == (imgRows / 50) * (50L * 49 / 2))
+      assert(pairs.count() == (imgRows / 50) * 49L)
+    }
+
+    // the r10 scale-killer scenario head-on: a 10%-hot exact-hash cluster
+    // (the 100k-copy viral image) inside 1M hashed items. Pre-collapse
+    // this was C(100k, 2) = 5e9 expanded pair structs through one bucket;
+    // collapsed it is a 99,999-edge star + a pigeonhole over ~900k
+    // DISTINCT pseudo-random hashes (~14 per 16-bit chunk bucket, far
+    // under the cap), with bounded-state bucket aggregation throughout.
+    val hotRows = math.min(rows / 100, 1000000L)
+    val hotN = hotRows / 10
+    time(s"hamming_pairs 10%-hot exact cluster ($hotRows items)") {
+      val hashed = spark.range(hotRows).select(col("id"),
+        when(col("id") < hotN, lit(0x5a5a5a5a5a5a5a5aL))
+          .otherwise(xxhash64(col("id"))).as("h"))
+      val n = graft.ops.Dedup.hammingPairs(hashed, col("id"), col("h"),
+        maxHamming = 3).count()
+      assert(n >= hotN - 1 && n < hotN + 1000, s"pair count $n")
+    }
+
+    // cox PH with CONTINUOUS censoring timestamps: ~70% of rows censored
+    // at all-distinct times (the production shape — censor times are
+    // ingestion timestamps). Cells live on the 100 EVENT times only; the
+    // r10 shape would have needed maxTimes >= distinct-censor-times and a
+    // driver cell table ~700k x state.
+    time(s"cox_ph continuous censor times ($rows rows, 100 event times)") {
+      val surv = df.select(col("id"),
+        (col("id") % 2).cast("double").as("cx"),
+        when(pmod(xxhash64(col("id"), lit(9)), lit(10L)) < 3,
+          (pmod(xxhash64(col("id"), lit(10)), lit(100L)) + 1).cast("double"))
+          .otherwise(lit(null).cast("double")).as("evt"),
+        (pmod(xxhash64(col("id"), lit(11)), lit(1000000007L)).cast("double") /
+          lit(1.0e7)).as("censt"))
+      val r = graft.ops.Survival.coxPh(surv,
+        coalesce(col("evt"), col("censt")),
+        col("evt").isNotNull.cast("int"), Seq(col("cx")),
+        maxIter = 5, maxTimes = 1000)
+      assert(r.nTimes == 100, s"expected 100 event-time cells, got ${r.nTimes}")
+    }
+
+    // video container metadata walk: pure chunk parsing, no codec — the
+    // predicate tier that lets 100 TB of video filter before decoding
+    time(s"video metadata box walk ($imgRows MP4 headers)") {
+      val vids = spark.range(imgRows).select(col("id"),
+        graft.ops.Multimodal.patternMp4(
+          (pmod(col("id"), lit(640L)) + 16).cast("int"),
+          (pmod(col("id"), lit(360L)) + 9).cast("int"),
+          pmod(col("id"), lit(100000L)) + 1000,
+          pmod(col("id"), lit(3L)) === 0))
+      val m = graft.ops.Multimodal.videoMetadata(vids.toDF("id", "content"))
+      val ok = m.agg(sum(col("decode_ok").cast("long"))).head().getLong(0)
+      assert(ok == imgRows, s"decoded $ok of $imgRows")
     }
     } // suite()
 

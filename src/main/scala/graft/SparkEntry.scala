@@ -1539,8 +1539,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
     "q37_minhash_pairs" -> ((s, d) => {
+      // collapseExact=false: the oracle is the TRUE all-pairs jaccard>=0.9
+      // SQL join, which requires full pair multiplicity — sf0.01 has one
+      // signature-identical doc pair (267, 413) that the default collapse
+      // would rep-reduce. The capped band buckets still bound the plan.
       graft.ops.Dedup.minHashLsh(t(s, d, "documents"), col("doc_id"), col("text"),
-        numHashes = 96, bands = 16, shingleN = 2, threshold = 0.9)
+        numHashes = 96, bands = 16, shingleN = 2, threshold = 0.9,
+        collapseExact = false)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
     "q38_simhash_pairs" -> ((s, d) => {
@@ -1630,12 +1635,15 @@ object SparkEntry {
       // row renders a deterministic block-pattern mono WAV; 1-in-20 gains
       // an exact half-volume copy (even amplitudes, no rounding) —
       // exactly the planted copies pair at hamming 0
+      // copy ids carry a high-bit tag (1L<<40), provably above any part
+      // key range — a fixed 100000 offset would collide with real keys
+      // at sf >= ~0.5 and perturb the pair counts
       val base = t(s, d, "part").select(col("p_partkey").cast("long").as("id"))
       val wavs = base.select(col("id"),
           graft.ops.Multimodal.patternWav(col("id"), lit(2000), lit(16000),
             lit(1)).as("content"))
         .unionByName(base.filter(col("id") % 20 === 0)
-          .select((col("id") + 100000L).as("id"),
+          .select((col("id") + (1L << 40)).as("id"),
             graft.ops.Multimodal.patternWav(col("id"), lit(2000), lit(16000),
               lit(2)).as("content")))
       val hashed = graft.ops.Multimodal.audioFingerprint(wavs)
@@ -1650,15 +1658,16 @@ object SparkEntry {
     "q143_image_neardup" -> ((s, d) => {
       // perceptual image near-dup end-to-end: every part row renders a
       // deterministic block-pattern PNG; 1-in-20 gains a +20-brightness
-      // copy (id+100000). dHash is exactly invariant to the uniform shift
+      // copy (id + 2^40 tag). dHash is exactly invariant to the uniform shift
       // (patterns live in [40,200], no clip), so precisely the planted
       // copies pair at hamming 0 and the pair set is a closed form
+      // copy ids: high-bit tag, same rationale as q144
       val base = t(s, d, "part").select(col("p_partkey").cast("long").as("id"))
       val imgs = base.select(col("id"),
           graft.ops.Multimodal.patternPng(col("id"), lit(64), lit(64),
             lit(0)).as("content"))
         .unionByName(base.filter(col("id") % 20 === 0)
-          .select((col("id") + 100000L).as("id"),
+          .select((col("id") + (1L << 40)).as("id"),
             graft.ops.Multimodal.patternPng(col("id"), lit(64), lit(64),
               lit(20)).as("content")))
       val hashed = graft.ops.Multimodal.imageDHash(imgs)
@@ -1669,6 +1678,69 @@ object SparkEntry {
         .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
           sum(col("id_a") + col("id_b")).as("pair_id_sum"),
           max(col("hamming")).as("max_hamming")))
+    }),
+    "q145_multimodal_sql" -> ((s, d) => {
+      // SQL reach for the multimodal near-dup tier (the reference thesis:
+      // everything drivable from SQL): image_dhash then hamming_pairs,
+      // BOTH through the gateway, on a 1-in-4 subset of q143's
+      // planted-copy PNG fixture. Copies (key % 20 == 0, all of which sit
+      // inside the % 4 subset) pair with their originals at hamming 0.
+      val base = t(s, d, "part").filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey").cast("long").as("id"))
+      val imgs = base.select(col("id"),
+          graft.ops.Multimodal.patternPng(col("id"), lit(64), lit(64),
+            lit(0)).as("content"))
+        .unionByName(base.filter(col("id") % 20 === 0)
+          .select((col("id") + (1L << 40)).as("id"),
+            graft.ops.Multimodal.patternPng(col("id"), lit(64), lit(64),
+              lit(20)).as("content")))
+      imgs.createOrReplaceTempView("q145_imgs")
+      GraftGateway.sql(s, "SELECT image_dhash(id, content) FROM q145_imgs")
+        .createOrReplaceTempView("q145_hashed")
+      val pairs = GraftGateway.sql(s,
+        "SELECT hamming_pairs(id, dhash) FROM q145_hashed")
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a") + col("id_b")).as("pair_id_sum"),
+        max(col("hamming")).as("max_hamming"))
+    }),
+    "q146_video_metadata" -> ((s, d) => {
+      // ISO-BMFF container walk: every part row renders a structurally
+      // valid MP4 header tree with dims/duration derived from the key;
+      // 1-in-3 carries an audio track, 1-in-50 is corrupt bytes
+      // (decode_ok = false, all-null metadata). The aggregate is a pure
+      // closed form over the key arithmetic — the oracle replays it.
+      val base = t(s, d, "part").select(col("p_partkey").cast("long").as("id"))
+      val vids = base.select(col("id"),
+        when(col("id") % 50 === 0, lit(Array[Byte](1, 2, 3)))
+          .otherwise(graft.ops.Multimodal.patternMp4(
+            (col("id") % 640 + 16).cast("int"),
+            (col("id") % 360 + 9).cast("int"),
+            col("id") % 100000 + 1000,
+            col("id") % 3 === 0)).as("content"))
+      graft.ops.Multimodal.videoMetadata(vids)
+        .agg(count(lit(1)).as("n_videos"),
+          sum(col("decode_ok").cast("long")).as("n_decoded"),
+          sum(col("duration_ms")).as("dur_ms_sum"),
+          sum(col("width").cast("long")).as("w_sum"),
+          sum(col("height").cast("long")).as("h_sum"),
+          sum(col("n_tracks").cast("long")).as("tracks_sum"),
+          sum(when(col("video_codec") === "avc1", 1L).otherwise(0L)).as("n_avc1"),
+          sum(when(col("audio_codec") === "mp4a", 1L).otherwise(0L)).as("n_mp4a"))
+    }),
+    "q147_msprt_by" -> ((s, d) => {
+      // grouped always-valid monitoring: ONE call, one anytime-valid
+      // trajectory per experiment (user_id % 3 tags 3 experiments), the
+      // shape a platform monitor actually runs. Every per-look value
+      // replays closed-form from per-(experiment, day) cumulative moments.
+      val ev = tsNanos(t(s, d, "events"))
+      graft.ops.Sequential.msprtBy(ev, (col("user_id") % 3).cast("int"),
+          expr("ts div 86400000000000"), col("value"),
+          (col("user_id") % 2).cast("int"), tau = 1.0)
+        .select(col("experiment"), col("bucket"), col("n1"), col("n0"),
+          round(col("estimate"), 6).as("estimate"),
+          round(col("lambda"), 6).as("lambda"),
+          round(col("p_always_valid"), 6).as("p_always_valid"))
+        .orderBy(col("experiment"), col("bucket"))
     }),
     "q142_cox_ph" -> ((s, d) => {
       // Cox proportional hazards through the verb: 50 distinct times with
@@ -2336,17 +2408,74 @@ object SparkEntry {
         |SELECT CAST((SELECT count(*) FROM part) + (SELECT count(*) FROM c) AS BIGINT) AS n_clips,
         |  CAST((SELECT count(*) FROM part) + (SELECT count(*) FROM c) AS BIGINT) AS n_decoded,
         |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_pairs,
-        |  CAST((SELECT sum(2 * k + 100000) FROM c) AS BIGINT) AS pair_id_sum,
+        |  CAST((SELECT sum(2 * k + 1099511627776) FROM c) AS BIGINT) AS pair_id_sum,
         |  CAST(0 AS INT) AS max_hamming""".stripMargin,
     "q143_image_neardup" ->
       // the planted-copy pair set in closed form: one pair per 1-in-20
-      // part key, ids (k, k+100000), all at hamming 0
+      // part key, ids (k, k + 2^40), all at hamming 0
       """WITH c AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 20 = 0)
         |SELECT CAST((SELECT count(*) FROM part) + (SELECT count(*) FROM c) AS BIGINT) AS n_images,
         |  CAST((SELECT count(*) FROM part) + (SELECT count(*) FROM c) AS BIGINT) AS n_decoded,
         |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_pairs,
-        |  CAST((SELECT sum(2 * k + 100000) FROM c) AS BIGINT) AS pair_id_sum,
+        |  CAST((SELECT sum(2 * k + 1099511627776) FROM c) AS BIGINT) AS pair_id_sum,
         |  CAST(0 AS INT) AS max_hamming""".stripMargin,
+    "q145_multimodal_sql" ->
+      // planted-pair closed form on the 1-in-4 subset: every key % 20 == 0
+      // is also % 4 == 0, so each contributes exactly one (k, k + 2^40)
+      // pair at hamming 0
+      """WITH c AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 20 = 0)
+        |SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_pairs,
+        |  CAST((SELECT sum(2 * k + 1099511627776) FROM c) AS BIGINT) AS pair_id_sum,
+        |  CAST(0 AS INT) AS max_hamming""".stripMargin,
+    "q146_video_metadata" ->
+      // the fixture metadata in closed form: corrupt rows (k % 50 = 0)
+      // contribute nulls, audio rows (k % 3 = 0) one extra track
+      """WITH p AS (SELECT p_partkey AS k, p_partkey % 50 = 0 AS corrupt,
+        |    p_partkey % 3 = 0 AS audio FROM part)
+        |SELECT CAST(count(*) AS BIGINT) AS n_videos,
+        |  CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_decoded,
+        |  CAST(sum(CASE WHEN corrupt THEN NULL ELSE k % 100000 + 1000 END) AS BIGINT) AS dur_ms_sum,
+        |  CAST(sum(CASE WHEN corrupt THEN NULL ELSE k % 640 + 16 END) AS BIGINT) AS w_sum,
+        |  CAST(sum(CASE WHEN corrupt THEN NULL ELSE k % 360 + 9 END) AS BIGINT) AS h_sum,
+        |  CAST(sum(CASE WHEN corrupt THEN 0 WHEN audio THEN 2 ELSE 1 END) AS BIGINT) AS tracks_sum,
+        |  CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_avc1,
+        |  CAST(sum(CASE WHEN corrupt THEN 0 WHEN audio THEN 1 ELSE 0 END) AS BIGINT) AS n_mp4a
+        |FROM p""".stripMargin,
+    "q147_msprt_by" ->
+      // q135's window closed forms, partitioned by experiment
+      """WITH cells AS (SELECT CAST(user_id % 3 AS VARCHAR) AS experiment,
+        |    epoch_ns(ts) // 86400000000000 AS bucket,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value ELSE 0 END) AS s1,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value * value ELSE 0 END) AS q1,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END) AS s0,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0 END) AS q0
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT experiment, bucket,
+        |    sum(n1) OVER w AS cn1, sum(s1) OVER w AS cs1, sum(q1) OVER w AS cq1,
+        |    sum(n0) OVER w AS cn0, sum(s0) OVER w AS cs0, sum(q0) OVER w AS cq0
+        |  FROM cells
+        |  WINDOW w AS (PARTITION BY experiment ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |v AS (SELECT experiment, bucket, cn1, cn0, cs1 / cn1 - cs0 / cn0 AS d,
+        |    ((cq1 - cs1 * cs1 / cn1) + (cq0 - cs0 * cs0 / cn0)) / (cn1 + cn0 - 2)
+        |      * (1.0 / cn1 + 1.0 / cn0) AS vv
+        |  FROM cum WHERE cn1 >= 2 AND cn0 >= 2),
+        |l AS (SELECT experiment, bucket, cn1, cn0, d,
+        |    sqrt(vv / (vv + 1.0)) * exp(d * d * 1.0 / (2.0 * vv * (vv + 1.0))) AS lambda
+        |  FROM v WHERE vv > 0),
+        |f AS (SELECT *, max(lambda) OVER
+        |    (PARTITION BY experiment ORDER BY bucket
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        |  FROM l)
+        |SELECT experiment, bucket, CAST(cn1 AS BIGINT) AS n1,
+        |  CAST(cn0 AS BIGINT) AS n0,
+        |  round(d, 6) AS estimate, round(lambda, 6) AS lambda,
+        |  round(least(1.0, 1.0 / mx), 6) AS p_always_valid
+        |FROM f ORDER BY experiment, bucket""".stripMargin,
     "q142_cox_ph" ->
       // pinned Newton estimates at sf0.01 (no closed SQL form for the
       // partial-likelihood fit); n and n_events are live closed forms
@@ -3317,12 +3446,16 @@ object SparkEntry {
       // pinned sf0.01 per-hamming-distance pair counts (deterministic:
       // content-seeded xxhash64 simhash, pigeonhole bucketing, groupBy
       // count is partition-layout invariant). The driver's gate runs at
-      // sf0.01 only.
+      // sf0.01 only. Counts reflect the kernel's representative-reduced
+      // pair semantics (exact-simhash clusters pair through their min-id
+      // representative — see Dedup.hammingPairs guard 1), which trims a
+      // few member-level cross pairs at hamming >= 6 vs the pre-collapse
+      // r10 pins.
       """SELECT CAST(hamming AS INT) AS hamming, CAST(n_pairs AS BIGINT) AS n_pairs,
         |  '0.01' AS oracle_sf
-        |FROM (VALUES (0,4),(1,2),(2,6),(3,5),(4,14),(5,29),(6,62),(7,107),
-        |  (8,155),(9,218),(10,238),(11,289),(12,289),(13,247),(14,210),
-        |  (15,166),(16,125)) AS t(hamming, n_pairs)
+        |FROM (VALUES (0,4),(1,2),(2,6),(3,5),(4,14),(5,29),(6,60),(7,105),
+        |  (8,153),(9,217),(10,231),(11,280),(12,287),(13,243),(14,205),
+        |  (15,162),(16,120)) AS t(hamming, n_pairs)
         |ORDER BY hamming""".stripMargin,
     "q44_winnow_dupes" ->
       // exact copies share all winnow fingerprints (sim 1.0); no natural

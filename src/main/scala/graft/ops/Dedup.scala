@@ -122,16 +122,42 @@ object Dedup {
     * Scale shape: one scan computes shingles + signatures (checkpointed,
     * see `materialize`); candidates come from a groupBy on (band, bandhash)
     * — small keys — with pairs expanded within each bucket, so there is no
-    * self-join. Work is quadratic only within a bucket. Choose
-    * rows-per-band ≈ log(1/bands)/log(threshold): the default
+    * self-join. Work is quadratic only within a bucket, and two guards
+    * bound the in-bucket expansion itself:
+    *
+    *  1. EXACT-SIGNATURE PRE-COLLAPSE — documents with byte-identical
+    *     signatures (exact copies, and near-copies the hash can't tell
+    *     apart) collapse to one min-id representative BEFORE banding. A
+    *     cluster of m identical signatures would otherwise put m members
+    *     in every one of its `bands` buckets (collect_list state O(m) in
+    *     one task, O(m²) expanded pairs ×bands): a 1M-copy viral document
+    *     at 100 TB is 10¹² pair structs. Collapsed, it contributes m−1
+    *     (representative, member) star candidates — LINEAR — which ride
+    *     the same exact-Jaccard verify as the band candidates. Pair
+    *     MULTIPLICITY through such clusters is representative-reduced
+    *     (member↔other-cluster pairs surface via the representative, not
+    *     per member); connected components — what [[minHashDedup]]
+    *     consumes — are identical to the unreduced graph's.
+    *  2. HOT-BUCKET CAP — a band bucket holding more than `maxBucket`
+    *     DISTINCT signatures is boilerplate structure (a shared template
+    *     band), not a duplication signal; it is dropped like
+    *     [[winnowPairs]]' over-cap fingerprints, with the documented
+    *     recall loss. Genuine exact-copy floods never hit the cap — they
+    *     collapsed in step 1. Raise `maxBucket` if a corpus legitimately
+    *     carries >maxBucket mutually-near DISTINCT documents per band.
+    *
+    * Choose rows-per-band ≈ log(1/bands)/log(threshold): the default
     * 96/16 (r=6) puts the LSH S-curve midpoint at ~0.63, giving miss
     * probability < 1e-5 at j=0.9 while keeping sub-threshold collisions (and
     * thus verify cost) low. */
   def minHashLsh(df: DataFrame, id: Column, text: Column,
                  numHashes: Int = 96, bands: Int = 16, shingleN: Int = 3,
                  threshold: Double = 0.8,
-                 materialize: Boolean = true): DataFrame = {
+                 materialize: Boolean = true,
+                 maxBucket: Int = 500,
+                 collapseExact: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucket > 1, "maxBucket must exceed 1")
     val rows = numHashes / bands
     val base = df.select(id.cast("long").as("id"), text.as("__text"))
     // signatures come from the FUSED tokenize→shingle→hash kernel
@@ -144,16 +170,38 @@ object Dedup {
       graft.expr.HashExprs.shingleMinHash(lower(trim(col("__text"))),
         shingleN, numHashes).as("sig"))
     val slim = if (materialize) slim0.localCheckpoint(false) else slim0
-    val banded = slim.select(col("id"),
+    // exact-signature pre-collapse (guard 1): groupBy is map-side combined
+    // so the viral cluster never concentrates in one task; the join back is
+    // an equi-join on the signature (AQE splits the one skewed key).
+    // collapseExact=false keeps FULL pair multiplicity (every member pairs
+    // individually — the all-pairs audit contract, oracle-checkable in
+    // plain SQL) for small or audited corpora; under it an exact-copy
+    // flood saturates its own band buckets and is DROPPED by the cap, so
+    // the scale bound holds either way — only the default collapse also
+    // RECOVERS the flood's pairs (as the linear star).
+    val (pigeon, stars) =
+      if (collapseExact) {
+        val reps = slim.groupBy(col("sig")).agg(min(col("id")).as("id"))
+        val st = slim.join(reps.select(col("sig"), col("id").as("__rep")), Seq("sig"))
+          .filter(col("id") =!= col("__rep"))
+          .select(col("__rep").as("id_a"), col("id").as("id_b"))
+        (reps, st)
+      } else
+        (slim, slim.limit(0).select(col("id").as("id_a"), col("id").as("id_b")))
+    val banded = pigeon.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string"))))))
         .as(Seq("band", "bandhash")))
+    // band buckets ride the bounded-state aggregate ([[BoundedMembersAgg]]:
+    // a saturated list marks an over-cap bucket, dropped like
+    // [[winnowPairs]]'); membership is (id, 0) tuples, the hash slot unused
     val cands = banded.groupBy(col("band"), col("bandhash"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .agg(boundedMembers(maxBucket, col("id"), lit(0L)).as("m0"))
+      .filter(size(col("m0")) > 1 && size(col("m0")) <= maxBucket)
+      .select(explode(bucketPairs(transform(col("m0"), m => m.getField("_1")))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
+      .unionByName(stars)
       .distinct()
     // verify with exact Jaccard over shingle sets recomputed ONLY for the
     // colliding ids (equi-join on id: AQE broadcasts the candidate set at
@@ -307,53 +355,121 @@ object Dedup {
     df.join(dupes, id.cast("long") === col("__drop"), "left_anti")
   }
 
-  /** SimHash near-dup pairs: 64-bit fingerprints, candidates from matching
-    * any of 4 16-bit chunks (catches all pairs within Hamming distance 3 by
-    * pigeonhole when ≤ 3 chunks differ), verified by Hamming distance.
-    * Candidates come from a groupBy on (chunk, chunkval) with (id, sh) pairs
-    * expanded inside each bucket — one scan, no self-join, no cache. */
-  /** Near-pair candidates for ANY precomputed 64-bit similarity hash
-    * (simhash, image dHash, audio fingerprint): the [[simHashPairs]]
-    * pigeonhole — split the hash into 4 16-bit chunks; two hashes within
-    * Hamming distance ≤ 3 must agree on at least one chunk, so candidates
-    * come from 4 chunk-keyed groupBys with in-bucket pair expansion —
-    * never an all-pairs join. Returns (id_a, id_b, hamming) with
-    * id_a < id_b and hamming ≤ maxHamming (≤ 3 for the pigeonhole
-    * guarantee; larger thresholds still return only what the chunk
-    * collision finds, documented recall loss). */
-  def hammingPairs(df: DataFrame, id: Column, hash: Column,
-                   maxHamming: Int = 3): DataFrame = {
-    val chunked = df.select(id.cast("long").as("id"), hash.cast("long").as("sh"))
-      .select(col("id"), col("sh"),
-        posexplode(array((0 until 4).map(c =>
-          shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*))
-          .as(Seq("chunk", "chunkval")))
-    chunked.groupBy(col("chunk"), col("chunkval"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(bucketPairs(col("members"))).as("p"))
-      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
-        TextOps.hammingDistance(col("p.id_a.sh"), col("p.id_b.sh")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+  /** Bounded bucket-member aggregate for the pair kernels: collects up to
+    * cap+1 (id, hash) members and then STOPS, so aggregate state is <=
+    * cap+1 tuples at every stage no matter the bucket's true size —
+    * `collect_list`'s state, by contrast, is O(bucket), and one hot
+    * bucket concentrates its whole membership in the single task that
+    * merges the global partials. A result of length cap+1 means "over the
+    * cap"; callers DROP over-cap buckets, so it never matters which cap+1
+    * members survive. Under the cap the list is complete (no partial can
+    * saturate when the true size is <= cap). Same design as
+    * [[Features.BoundedSetAgg]]. */
+  private class BoundedMembersAgg(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), scala.collection.mutable.ArrayBuffer[(Long, Long)],
+        Array[(Long, Long)]] {
+    import scala.collection.mutable.ArrayBuffer
+    def zero: ArrayBuffer[(Long, Long)] = ArrayBuffer.empty
+    def reduce(b: ArrayBuffer[(Long, Long)], a: (Long, Long)): ArrayBuffer[(Long, Long)] = {
+      if (b.length <= cap) b += a
+      b
+    }
+    def merge(b1: ArrayBuffer[(Long, Long)], b2: ArrayBuffer[(Long, Long)])
+        : ArrayBuffer[(Long, Long)] = {
+      val it = b2.iterator
+      while (it.hasNext && b1.length <= cap) b1 += it.next()
+      b1
+    }
+    def finish(b: ArrayBuffer[(Long, Long)]): Array[(Long, Long)] = b.toArray
+    def bufferEncoder =
+      org.apache.spark.sql.Encoders.kryo[scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long)]]()
   }
 
-  def simHashPairs(df: DataFrame, id: Column, text: Column,
-                   maxHamming: Int = 3): DataFrame = {
-    val chunked = df.select(id.cast("long").as("id"), TextOps.simHash(text).as("sh"))
-      .select(col("id"), col("sh"),
-        posexplode(array((0 until 4).map(c =>
-          shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*))
-          .as(Seq("chunk", "chunkval")))
-    val pairs = chunked.groupBy(col("chunk"), col("chunkval"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(bucketPairs(col("members"))).as("p"))
+  private def boundedMembers(cap: Int, idCol: Column, hashCol: Column): Column =
+    org.apache.spark.sql.functions.udaf(new BoundedMembersAgg(cap),
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))(idCol, hashCol)
+
+  /** Near-pair candidates for ANY precomputed 64-bit similarity hash
+    * (simhash, image dHash, audio fingerprint): split the hash into 4
+    * 16-bit chunks; two hashes within Hamming distance <= 3 must agree on
+    * at least one chunk (pigeonhole), so candidates come from 4
+    * chunk-keyed groupBys with in-bucket pair expansion — never an
+    * all-pairs join. Returns (id_a, id_b, hamming) with id_a < id_b and
+    * hamming <= maxHamming (<= 3 for the pigeonhole guarantee; larger
+    * thresholds still return only what the chunk collision finds,
+    * documented recall loss).
+    *
+    * Two guards bound the in-bucket expansion:
+    *
+    *  1. EXACT-HASH PRE-COLLAPSE — rows sharing a byte-identical hash
+    *     (exact copies: the viral image, the silent clip) collapse to one
+    *     min-id representative BEFORE chunking. A cluster of m identical
+    *     hashes would otherwise put m members in each of its 4 chunk
+    *     buckets (bucket state O(m) in one merge task, O(m^2) expanded
+    *     pairs): a 1M-copy viral image at 100 TB is 10^12 pair structs.
+    *     Collapsed, the cluster contributes m-1 (representative, member)
+    *     star pairs at hamming 0 — LINEAR in m — and only its ONE
+    *     representative enters the pigeonhole. Pair multiplicity through
+    *     exact clusters is therefore representative-reduced (a member
+    *     pairs with another cluster only via its representative), but
+    *     connected components — what [[simHashDedup]] / near-dup
+    *     clustering consume — are identical to the full Hamming graph's.
+    *  2. HOT-BUCKET CAP — a chunk bucket holding more than `maxBucket`
+    *     DISTINCT hashes (a shared 16-bit template chunk: boilerplate
+    *     structure, not duplication) is dropped, [[winnowPairs]]-style,
+    *     with documented recall loss; the bucket aggregate itself is
+    *     bounded-state ([[BoundedMembersAgg]]), so a hot bucket never
+    *     materializes past cap+1 members in ANY task. Raise `maxBucket`
+    *     if >maxBucket mutually-near distinct hashes per chunk is a real
+    *     corpus property.
+    *
+    * A NULL hash is unknown content ([[Multimodal.imageDHash]] /
+    * [[Multimodal.audioFingerprint]] decode failures emit null): those
+    * rows never pair — without the filter every corrupt item would
+    * cluster at one sentinel value. */
+  def hammingPairs(df: DataFrame, id: Column, hash: Column,
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket > 1, "maxBucket must exceed 1")
+    val base = df.select(id.cast("long").as("id"), hash.cast("long").as("sh"))
+      .filter(col("sh").isNotNull)
+    // guard 1: one representative per distinct hash; map-side-combined
+    // groupBy, skew-safe equi-join back (AQE splits the one hot key)
+    val reps = base.groupBy(col("sh")).agg(min(col("id")).as("id"))
+    val stars = base.join(reps.select(col("sh"), col("id").as("__rep")), Seq("sh"))
+      .filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    val chunked = reps.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "chunkval")))
+    val repPairs = chunked.groupBy(col("chunk"), col("chunkval"))
+      .agg(boundedMembers(maxBucket, col("id"), col("sh")).as("m0"))
+      // guard 2: length maxBucket+1 = saturated aggregate = hot bucket
+      .filter(size(col("m0")) > 1 && size(col("m0")) <= maxBucket)
+      .select(explode(bucketPairs(transform(col("m0"),
+        m => struct(m.getField("_1").as("id"), m.getField("_2").as("sh"))))).as("p"))
       .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
-        TextOps.hammingDistance(col("p.id_a.sh"), col("p.id_b.sh")).as("hamming"))
+        TextOps.hammingDistance(col("p.id_a.sh"), col("p.id_b.sh"))
+          .cast("int").as("hamming"))
       .distinct()
-    pairs.filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming)
+    repPairs.unionByName(stars)
   }
+
+  /** SimHash near-dup pairs: 64-bit content simhash through the
+    * [[hammingPairs]] kernel (pigeonhole candidates, exact-hash
+    * pre-collapse, hot-bucket cap — see there for the guards and the
+    * representative-reduced pair semantics). */
+  def simHashPairs(df: DataFrame, id: Column, text: Column,
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingPairs(df.select(id.cast("long").as("__id"),
+      TextOps.simHash(text).as("__sh")),
+      col("__id"), col("__sh"), maxHamming, maxBucket)
 
   /** Embedding near-dup pairs above a cosine threshold, with random-
     * hyperplane LSH prefilter: k sign-bits of seeded random projections

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: [[decodeImages]] reads PNG/JPEG/BMP/GIF through the
   * JDK's `javax.imageio` (no external libraries) and emits per-channel
-  * statistics. Audio/video codecs remain STUBBED (`decodeBatchStub` — no
+  * statistics. AUDIO decode is REAL ([[parseWavHeader]] RIFF/PCM parsing)
+  * and VIDEO containers parse for real too ([[videoMetadata]]'s ISO-BMFF
+  * box walk — duration/dims/codec without any codec). Only the per-FRAME
+  * pixel decode remains STUBBED (`decodeBatchStub` — no
   * JDK codec exists): a deterministic fake derived from the bytes keeps the
   * Spark-side plumbing — schema, batching, partition behavior, output
   * shapes — fully testable, so swapping the stub body for a JNI/ffmpeg call
@@ -144,7 +147,7 @@ object Multimodal {
       .toDF("id", "width", "height", "channels", "means", "stds", "decode_ok")
   }
 
-  case class DHashRow(id: Long, dhash: Long, decodeOk: Boolean)
+  case class DHashRow(id: Long, dhash: Option[Long], decodeOk: Boolean)
 
   /** Perceptual difference hash (dHash) of one image: the luminance is
     * block-averaged onto a 9×8 grid with EXACT integer-boundary area
@@ -195,7 +198,9 @@ object Multimodal {
 
   /** Perceptual hash per image: (id, dhash, decode_ok) — batched
     * mapPartitions like [[decodeImages]] (no Catalyst codec exists);
-    * undecodable bytes flag decode_ok = false with dhash 0. Pair
+    * undecodable bytes flag decode_ok = false with a NULL dhash, so the
+    * pair kernel drops them (a sentinel hash would cluster every corrupt
+    * item at one value and pair failures with each other). Pair
     * [[graft.ops.Dedup.hammingPairs]] on the output for image
     * near-duplicate candidates without an all-pairs join. */
   def imageDHash(df: DataFrame, batchSize: Int = 64): DataFrame = {
@@ -211,8 +216,8 @@ object Multimodal {
             else javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.content))
           } catch { case _: Exception => null }
-        if (img == null) DHashRow(r.id, 0L, decodeOk = false)
-        else DHashRow(r.id, dHashOne(img), decodeOk = true)
+        if (img == null) DHashRow(r.id, None, decodeOk = false)
+        else DHashRow(r.id, Some(dHashOne(img)), decodeOk = true)
       })
     }(Encoders.product[DHashRow])
       .toDF("id", "dhash", "decode_ok")
@@ -363,15 +368,17 @@ object Multimodal {
       } catch { case _: Exception => fail }
     }
 
-  case class AudioFpRow(id: Long, afp: Long, decodeOk: Boolean)
+  case class AudioFpRow(id: Long, afp: Option[Long], decodeOk: Boolean)
 
   /** Volume-invariant audio fingerprint — the audio twin of
     * [[imageDHash]]: the first channel's |sample| mass is block-averaged
     * onto 65 exact integer-boundary windows and bit k records
     * avg(k) < avg(k+1). Scaling every sample by a constant (volume)
     * scales the averages uniformly, so comparisons — and the hash — are
-    * unchanged; structurally different clips land ~32 bits apart. Pair
-    * with [[graft.ops.Dedup.hammingPairs]] for near-dup candidates. */
+    * unchanged; structurally different clips land ~32 bits apart.
+    * Undecodable bytes flag decode_ok = false with a NULL afp, so the
+    * pair kernel drops them. Pair with [[graft.ops.Dedup.hammingPairs]]
+    * for near-dup candidates. */
   def audioFingerprint(df: DataFrame, batchSize: Int = 64): DataFrame = {
     val ds: Dataset[AudioRow] = df
       .select(col("id").cast("long").as("id"), col("content"))
@@ -405,10 +412,10 @@ object Multimodal {
                 if (avgs(k) < avgs(k + 1)) bits |= 1L << k
                 k += 1
               }
-              AudioFpRow(r.id, bits, decodeOk = true)
-            case _ => AudioFpRow(r.id, 0L, decodeOk = false)
+              AudioFpRow(r.id, Some(bits), decodeOk = true)
+            case _ => AudioFpRow(r.id, None, decodeOk = false)
           }
-        } catch { case _: Exception => AudioFpRow(r.id, 0L, decodeOk = false) }
+        } catch { case _: Exception => AudioFpRow(r.id, None, decodeOk = false) }
       })
     }(Encoders.product[AudioFpRow])
       .toDF("id", "afp", "decode_ok")
@@ -514,4 +521,195 @@ object Multimodal {
     struct(round(width * s).cast("int").as("w"), round(height * s).cast("int").as("h"),
       (s < 1.0).as("needs_resize"))
   }
+
+  // ---------------------------------------------------- video containers
+
+  case class VideoMetaRow(id: Long, durationMs: Option[Long], nTracks: Int,
+                          width: Option[Int], height: Option[Int],
+                          videoCodec: Option[String],
+                          audioCodec: Option[String], decodeOk: Boolean)
+
+  /** Minimal ISO-BMFF (MP4/MOV) box walk over the CONTAINER structure —
+    * pure chunk parsing like [[parseWavHeader]], no codec: mvhd gives the
+    * movie timescale/duration, each trak contributes tkhd dims (16.16
+    * fixed point) + its mdia/hdlr handler ('vide'/'soun') + the first
+    * stsd sample-entry fourcc (the codec tag: avc1, hvc1, mp4a, ...).
+    * 64-bit largesize boxes and version-1 mvhd/tkhd are handled; anything
+    * malformed or truncated returns None. This is the metadata that lets
+    * a 100 TB video pipeline filter (duration/dims/codec predicates)
+    * BEFORE any frame bytes are decoded. */
+  private def parseMp4Meta(b: Array[Byte]): Option[VideoMetaRow] = {
+    if (b == null || b.length < 16) return None
+    def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def fourcc(i: Int): String = new String(b, i, 4, "US-ASCII")
+    var durationMs: Option[Long] = None
+    var nTracks = 0
+    var width: Option[Int] = None
+    var height: Option[Int] = None
+    var videoCodec: Option[String] = None
+    var audioCodec: Option[String] = None
+    var sawMvhd = false
+    // per-trak scratch (tkhd precedes mdia/hdlr inside its trak)
+    var tw = 0; var th = 0; var thandler = ""; var tcodec = ""
+    def walk(from: Long, to: Long, depth: Int): Boolean = {
+      var p = from
+      while (p + 8 <= to) {
+        val size0 = u32(p.toInt)
+        val typ = fourcc(p.toInt + 4)
+        val (payload, boxEnd) =
+          if (size0 == 1L) {
+            if (p + 16 > to) return false
+            val sz = u64(p.toInt + 8)
+            if (sz < 16 || p + sz > to) return false
+            (p + 16, p + sz)
+          } else if (size0 == 0L) (p + 8, to) // box runs to container end
+          else {
+            if (size0 < 8 || p + size0 > to) return false
+            (p + 8, p + size0)
+          }
+        typ match {
+          case "moov" | "minf" | "stbl" =>
+            if (!walk(payload, boxEnd, depth + 1)) return false
+          case "trak" =>
+            tw = 0; th = 0; thandler = ""; tcodec = ""
+            if (!walk(payload, boxEnd, depth + 1)) return false
+            nTracks += 1
+            if (thandler == "vide") {
+              if (width.isEmpty && tw > 0) { width = Some(tw); height = Some(th) }
+              if (videoCodec.isEmpty && tcodec.nonEmpty) videoCodec = Some(tcodec)
+            } else if (thandler == "soun" && audioCodec.isEmpty && tcodec.nonEmpty)
+              audioCodec = Some(tcodec)
+          case "mdia" =>
+            if (!walk(payload, boxEnd, depth + 1)) return false
+          case "mvhd" =>
+            val q = payload.toInt
+            val v = b(q) & 0xff
+            val (ts, dur) =
+              if (v == 1) (u32(q + 20), u64(q + 24)) else (u32(q + 12), u32(q + 16))
+            if (ts == 0) return false
+            durationMs = Some(dur * 1000L / ts)
+            sawMvhd = true
+          case "tkhd" =>
+            val q = payload.toInt
+            val v = b(q) & 0xff
+            val off = if (v == 1) 88 else 76 // fixed-point 16.16 dims
+            if (q + off + 8 <= b.length) {
+              tw = u16(q + off); th = u16(q + off + 4)
+            }
+          case "hdlr" =>
+            thandler = fourcc(payload.toInt + 8)
+          case "stsd" =>
+            // [v+flags 4][entry_count 4][entry_size 4][entry fourcc 4]
+            if (u32(payload.toInt + 4) > 0 && payload + 16 <= boxEnd)
+              tcodec = fourcc(payload.toInt + 12)
+          case _ => () // ftyp, free, mdat, mdhd, ... skipped at every depth
+        }
+        p = boxEnd
+      }
+      true
+    }
+    try {
+      if (!walk(0L, b.length.toLong, 0) || !sawMvhd) None
+      else Some(VideoMetaRow(0L, durationMs, nTracks, width, height,
+        videoCodec, audioCodec, decodeOk = true))
+    } catch { case _: Exception => None }
+  }
+
+  /** Container metadata per video: (id, duration_ms, n_tracks, width,
+    * height, video_codec, audio_codec, decode_ok) — batched mapPartitions
+    * over (id, content) like the image/audio tiers; unparseable bytes
+    * flag decode_ok = false with all-null metadata. The 100 TB idiom this
+    * enables: metadata predicates (duration < x, codec = avc1, dims sane)
+    * prune the corpus BEFORE any per-frame decode is scheduled. */
+  def videoMetadata(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val ds: Dataset[AudioRow] = df
+      .select(col("id").cast("long").as("id"), col("content"))
+      .as(Encoders.product[AudioRow])
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        parseMp4Meta(r.content) match {
+          case Some(m) => m.copy(id = r.id)
+          case None => VideoMetaRow(r.id, None, 0, None, None, None, None,
+            decodeOk = false)
+        }
+      })
+    }(Encoders.product[VideoMetaRow])
+      .toDF("id", "duration_ms", "n_tracks", "width", "height",
+        "video_codec", "audio_codec", "decode_ok")
+  }
+
+  /** Deterministic fixture MP4: a structurally-valid ISO-BMFF header tree
+    * (ftyp + moov[mvhd + video trak(tkhd/mdia/hdlr/minf/stbl/stsd=avc1)
+    * [+ audio trak(...stsd=mp4a)]] + empty mdat) with the given dims and
+    * duration (movie timescale 1000). No media samples — the metadata
+    * walk is the unit under test, exactly the part of the file a
+    * filter-before-decode pipeline reads. */
+  def patternMp4Bytes(w: Int, h: Int, durationMs: Long,
+                      withAudio: Boolean): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len) // big-endian
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      payload.foreach(bb.put)
+      bb.array()
+    }
+    def full(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n)
+      fill(bb)
+      bb.array()
+    }
+    val mvhd = box("mvhd", full(100) { bb =>
+      bb.putInt(0).putInt(0).putInt(0).putInt(1000) // v+flags, times, timescale
+        .putInt(durationMs.toInt).putInt(0x00010000).putShort(0x0100.toShort)
+      bb.position(bb.position() + 10) // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt) // unity matrix
+      bb.position(bb.position() + 24) // predefined
+      bb.putInt(3) // next track id
+    })
+    def tkhd(trackId: Int, tw: Int, th: Int) = box("tkhd", full(84) { bb =>
+      bb.putInt(7).putInt(0).putInt(0).putInt(trackId).putInt(0)
+        .putInt(durationMs.toInt)
+      bb.position(bb.position() + 8) // reserved
+      bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol/res
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)
+      bb.putInt(tw << 16).putInt(th << 16) // 16.16 fixed
+    })
+    def hdlr(handler: String) = box("hdlr", full(25) { bb =>
+      bb.putInt(0).putInt(0).put(handler.getBytes("US-ASCII"))
+      bb.position(bb.position() + 12)
+      bb.put(0.toByte) // empty name
+    })
+    def mdhd = box("mdhd", full(24) { bb =>
+      bb.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(durationMs.toInt)
+        .putShort(0x55c4.toShort).putShort(0) // und language
+    })
+    def stsd(codec: String) = box("stsd", full(8) { bb =>
+      bb.putInt(0).putInt(1)
+    }, full(16) { bb =>
+      bb.putInt(16).put(codec.getBytes("US-ASCII"))
+      bb.position(bb.position() + 6)
+      bb.putShort(1) // data_ref_index
+    })
+    def trak(trackId: Int, handler: String, codec: String, tw: Int, th: Int) =
+      box("trak", tkhd(trackId, tw, th),
+        box("mdia", mdhd, hdlr(handler),
+          box("minf", box("stbl", stsd(codec)))))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"),
+      full(4)(_.putInt(512)), "isomiso2".getBytes("US-ASCII"))
+    val traks = Seq(trak(1, "vide", "avc1", w, h)) ++
+      (if (withAudio) Seq(trak(2, "soun", "mp4a", 0, 0)) else Nil)
+    val moov = box("moov", (mvhd +: traks): _*)
+    val mdat = box("mdat")
+    (ftyp ++ moov ++ mdat)
+  }
+
+  /** Column form of [[patternMp4Bytes]]. */
+  val patternMp4: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(patternMp4Bytes _)
 }

@@ -31,12 +31,16 @@ object MultipleTesting {
         least(lit(1.0), col("__p") * m / col("__rank")))
       withQ.persist()
       try {
-        require(withQ.filter(col("__p") < 0 || col("__p") > 1).isEmpty,
-          "fdr_bh: p-values must lie in [0, 1]")
         // suffix minima across partitions: offset(pid) = min q over all
-        // LATER partitions (P scalars on the driver)
-        val mins = withQ.groupBy(col("__pid")).agg(min(col("__q")).as("mn"))
+        // LATER partitions (P scalars on the driver). Domain validation
+        // rides the SAME cell aggregation (per-partition p min/max checked
+        // on the collected cells) instead of spending its own job.
+        val mins = withQ.groupBy(col("__pid")).agg(min(col("__q")).as("mn"),
+            min(col("__p")).as("pmn"), max(col("__p")).as("pmx"))
           .collect().sortBy(_.getInt(0))
+        require(mins.forall(r => r.getDouble(r.fieldIndex("pmn")) >= 0.0 &&
+            r.getDouble(r.fieldIndex("pmx")) <= 1.0),
+          "fdr_bh: p-values must lie in [0, 1]")
         var suffix = Double.PositiveInfinity
         val offs = mins.reverse.map { r =>
           val o = r.getInt(0) -> suffix

@@ -50,7 +50,9 @@ object Shrinkage {
       val d = r.getAs[Double]("m") - meanOfMeans; d * d
     }.sum / (g - 1)
     val se2s = cells.map { r =>
-      if (r.isNullAt(2) || r.getAs[Long]("n") < 2) Double.NaN
+      // index by NAME: cells are (__g, n, m, v) — a positional isNullAt
+      // would silently test the wrong column if the agg order ever changed
+      if (r.isNullAt(r.fieldIndex("v")) || r.getAs[Long]("n") < 2) Double.NaN
       else r.getAs[Double]("v") / r.getAs[Long]("n")
     }
     val defined = se2s.filter(!_.isNaN)

@@ -84,7 +84,9 @@ object SimpleTests {
       r.getAs[Long]("n") * d * d
     }.sum
     val ssw = cells.map { r =>
-      val v = if (r.isNullAt(2)) 0.0 else r.getAs[Double]("v")
+      // index by NAME: cells are (__arm, n, m, v) — a positional isNullAt
+      // would silently test the wrong column if the agg order ever changed
+      val v = if (r.isNullAt(r.fieldIndex("v"))) 0.0 else r.getAs[Double]("v")
       (r.getAs[Long]("n") - 1) * v
     }.sum
     val f = (ssb / (k - 1)) / (ssw / (n - k))
@@ -119,11 +121,15 @@ object SimpleTests {
     val n = cells.map(_._3).sum
     require(rowT.size >= 2 && colT.size >= 2,
       s"chisq_independence: need at least a 2x2 table, got ${rowT.size}x${colT.size}")
+    // O(1) observed-count lookups: a linear cells.find inside the r x c
+    // loop is O(r*c*cells) — a legitimately sparse 1000x1000 table within
+    // maxCells would cost 10^10+ comparisons on the driver
+    val obsMap = cells.iterator.map(c => (c._1, c._2) -> c._3).toMap
     // sum over the FULL r x c grid (absent cells are observed 0, expected > 0)
     val chisq = rowT.toSeq.sortBy(_._1).map { case (ra, rt) =>
       colT.toSeq.sortBy(_._1).map { case (cb, ct) =>
         val exp = rt.toDouble * ct / n
-        val obs = cells.find(c => c._1 == ra && c._2 == cb).fold(0L)(_._3)
+        val obs = obsMap.getOrElse((ra, cb), 0L)
         (obs - exp) * (obs - exp) / exp
       }.sum
     }.sum

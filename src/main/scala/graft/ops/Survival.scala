@@ -118,7 +118,7 @@ object Survival {
     * KM curve). Newton–Raphson on the partial likelihood.
     *
     * 100 TB shape: per Newton iteration, ONE row-scale aggregate collapses
-    * subjects to per-distinct-time cells carrying the event count d_t, the
+    * subjects to per-EVENT-time cells carrying the event count d_t, the
     * event-covariate sums Σ_{events@t} x, and the risk-set ingredients
     * A0 = Σ e^η, A1 = Σ x·e^η, A2 = Σ xxᵀ·e^η at that time (η = xᵀβ is a
     * codegen projection; state is 2 + 2k + k(k+1)/2 doubles per cell,
@@ -128,6 +128,18 @@ object Survival {
     * guard BEFORE collection; the KM/log-rank pair probes this cell shape
     * at 10k times / 100M rows). The gradient and Hessian also close over
     * the cells, so each iteration is exactly one distributed pass.
+    *
+    * The partial likelihood only LOOKS at event times, so censored
+    * subjects are pre-bucketed to the greatest event time ≤ their own
+    * (one broadcast binary search, computed once over the persisted
+    * base): a subject censored between events e_i ≤ c < e_{i+1} sits in
+    * every risk suffix at times ≤ e_i and none above — identical sums,
+    * exactly `|distinct event times|` cells. Continuous censoring
+    * timestamps (distinct times ≫ event days, the common production
+    * shape) therefore cost NOTHING against `maxTimes`, which bounds what
+    * it says: distinct EVENT times. Subjects censored before the first
+    * event are in no risk set and drop from the cells (they still count
+    * in n).
     *
     * The score test at β = 0 (computed in the first pass) IS the k-way
     * log-rank test — for one binary covariate with no tied event times it
@@ -145,6 +157,32 @@ object Survival {
         xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
     base0.persist()
     try {
+      val nAll = base0.count()
+      // distinct EVENT times only — the take-ordered guard bounds the
+      // collection BEFORE it happens, and bounds what the message names
+      val evTimes = base0.filter(col("__e") === 1)
+        .select(col("__t")).distinct()
+        .orderBy(col("__t"))
+        .limit(maxTimes + 1)
+        .collect().map(_.getDouble(0))
+      require(evTimes.length <= maxTimes,
+        s"cox_ph: more than $maxTimes distinct event times — coarsen the " +
+          "time column or raise maxTimes if the driver can hold the cells")
+      require(evTimes.nonEmpty, "cox_ph: no events")
+      val bcEv = df.sparkSession.sparkContext.broadcast(evTimes)
+      val toEventTime = udf((t: Double) => {
+        val a = bcEv.value
+        val ix = java.util.Arrays.binarySearch(a, t)
+        if (ix >= 0) Some(a(ix))
+        else {
+          val ins = -ix - 1 // index of the first event time > t
+          if (ins == 0) None else Some(a(ins - 1))
+        }
+      })
+      // bucketed view over the persisted base: the binary search is ~18
+      // comparisons/row, paid per iteration pass but dwarfed by exp(eta)
+      val base = base0.withColumn("__tb", toEventTime(col("__t")))
+        .filter(col("__tb").isNotNull)
       val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
       def cells(beta: Array[Double]): Array[Row] = {
         val eta =
@@ -160,15 +198,10 @@ object Survival {
               (0 until k).map(j => sum(col(s"__x$j") * w).as(s"a1_$j")) ++
               pairs.map { case (j, l) =>
                 sum(col(s"__x$j") * col(s"__x$l") * w).as(s"a2_${j}_$l") })
-        val r = base0.groupBy(col("__t"))
+        base.groupBy(col("__tb").as("__t"))
           .agg(aggs.head, aggs.tail: _*)
           .orderBy(col("__t").desc) // suffix accumulation = desc prefix
-          .limit(maxTimes + 1)
           .collect()
-        require(r.length <= maxTimes,
-          s"cox_ph: more than $maxTimes distinct event times — coarsen the " +
-            "time column or raise maxTimes if the driver can hold the cells")
-        r
       }
       // one driver scan over the desc-ordered cells: returns
       // (logLik, gradient, information = -Hessian)
@@ -205,10 +238,9 @@ object Survival {
         (ll, g, info)
       }
       val cs0 = cells(new Array[Double](k))
-      val n = {
-        // a0 at beta = 0 is the subject count per time cell
-        cs0.map(_.getDouble(2 + k)).sum.round
-      }
+      // n counts ALL complete rows — including subjects censored before
+      // the first event, who are in no cell (a0 no longer sums to n)
+      val n = nAll
       val nEvents = cs0.map(_.getDouble(1)).sum.round
       require(nEvents > 0, "cox_ph: no events")
       val (_, g0, i0) = scan(cs0, new Array[Double](k))

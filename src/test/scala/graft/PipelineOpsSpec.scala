@@ -442,6 +442,76 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(pairSet.contains((i.toLong, 200L + i)), s"missing exact pair $i") }
   }
 
+  test("hammingPairs: a 1k-member constant-hash cluster collapses to a linear star") {
+    // 1000 rows share one hash (the viral-copy shape that used to expand
+    // C(1000,2) = 499500 pairs through every chunk bucket) + 3 distinct
+    // near hashes. Expect exactly 999 star pairs at hamming 0 from the
+    // cluster — LINEAR — plus the distinct-hash pigeonhole pairs.
+    val hot = (0L until 1000L).map(i => (i, 0x0123456789abcdefL))
+    val near = Seq((2000L, 0x0123456789abceefL), // hamming 2 from hot
+      (2001L, 0x0123456789abcfefL), // hamming 1 from hot, 1 from 2000
+      (3000L, 0x7777777777777777L)) // far from everything
+    val df = (hot ++ near).toDF("id", "h").repartition(7)
+    val pairs = Dedup.hammingPairs(df, $"id", $"h", maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val stars = pairs.filter(p => p._1 == 0L && p._2 < 1000L)
+    assert(stars.length == 999 && stars.forall(_._3 == 0),
+      s"expected a 999-edge star, got ${stars.length}")
+    // cross-cluster pairs surface via the representative (id 0), ONCE each
+    assert(pairs.contains((0L, 2000L, 2)) && pairs.contains((0L, 2001L, 1)) &&
+      pairs.contains((2000L, 2001L, 1)),
+      pairs.filter(p => p._2 >= 2000L).mkString(","))
+    assert(!pairs.exists(p => p._1 > 0L && p._1 < 1000L),
+      "non-representative cluster members must not source extra pairs")
+    assert(!pairs.exists(p => p._1 == 3000L || p._2 == 3000L))
+    // total output is star + rep-level pairs, nowhere near C(1003, 2)
+    assert(pairs.length < 1010, s"pair blowup: ${pairs.length}")
+  }
+
+  test("hammingPairs: hot-bucket cap drops boilerplate chunks, keeps the rest") {
+    // 40 DISTINCT hashes share chunks 1-3 and differ wildly in chunk 0
+    // (boilerplate-template shape): with maxBucket = 10 each shared-chunk
+    // bucket saturates and is dropped, and chunk 0 buckets are singletons,
+    // so NO pairs emerge; a separate clean near-pair still does.
+    val boiler = (0L until 40L).map(i => (i, 0x1111222233330000L | (i * 7 + 1)))
+    val clean = Seq((100L, 0x4444555566667777L), (101L, 0x4444555566667775L))
+    val df = (boiler ++ clean).toDF("id", "h")
+    val pairs = Dedup.hammingPairs(df, $"id", $"h",
+        maxHamming = 8, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((100L, 101L, 1)), pairs.mkString(","))
+    // raising the cap readmits the boilerplate pairs
+    val uncapped = Dedup.hammingPairs(df, $"id", $"h",
+      maxHamming = 8, maxBucket = 1000).count()
+    assert(uncapped > 100, s"uncapped should find the in-bucket pairs, got $uncapped")
+  }
+
+  test("minHashLsh: exact-signature flood stays linear and survives the band cap") {
+    // one document body repeated 60 times + its 1-word near variant:
+    // the 60 identical signatures collapse to one representative, so the
+    // band buckets hold <= 2 members even with maxBucket = 5, and the
+    // flood surfaces as 59 star pairs at jaccard 1.0
+    val bodyA = (1 to 40).map(w => s"tok$w").mkString(" ")
+    val bodyB = ((1 to 39).map(w => s"tok$w") :+ "changed").mkString(" ")
+    val rows = (0L until 60L).map(i => (i, bodyA)) :+ (500L, bodyB)
+    val pairs = Dedup.minHashLsh(rows.toDF("id", "text"), $"id", $"text",
+        numHashes = 32, bands = 16, shingleN = 3, threshold = 0.5,
+        maxBucket = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val stars = pairs.filter(p => p._1 == 0L && p._2 < 60L)
+    assert(stars.length == 59 && stars.forall(_._3 == 1.0),
+      s"expected 59 exact star pairs, got ${stars.length}")
+    // the near variant pairs with the representative only (rep-reduced)
+    assert(pairs.count(_._2 == 500L) == 1 &&
+      pairs.exists(p => p._1 == 0L && p._2 == 500L && p._3 > 0.5 && p._3 < 1.0),
+      pairs.filter(_._2 == 500L).mkString(","))
+    // components — what minHashDedup consumes — cover the whole flood
+    val comp = Dedup.connectedComponents(
+        pairs.map(p => (p._1, p._2)).toSeq.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 60L).forall(i => comp(i) == 0L) && comp(500L) == 0L)
+  }
+
   // ---------------------------------------------------------------- embeddings
 
   private lazy val vecs: Seq[(Long, Array[Double])] = {
@@ -544,15 +614,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, Multimodal.patternPngBytes(8L, 64, 64, 0)), // different pattern
       (4L, Array[Byte](9, 9, 9))) // corrupt
     val h = Multimodal.imageDHash(rows.toDF("id", "content").repartition(2))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
       .toMap
-    assert(h(1L)._1 == h(2L)._1, "uniform brightness must not change dHash")
-    assert(h(1L)._1 != h(3L)._1, "different patterns must differ")
-    assert(java.lang.Long.bitCount(h(1L)._1 ^ h(3L)._1) > 10,
-      s"patterns too close: ${java.lang.Long.bitCount(h(1L)._1 ^ h(3L)._1)} bits")
-    assert(!h(4L)._2 && h(4L)._1 == 0L)
+    assert(h(1L)._1.get == h(2L)._1.get, "uniform brightness must not change dHash")
+    assert(h(1L)._1.get != h(3L)._1.get, "different patterns must differ")
+    assert(java.lang.Long.bitCount(h(1L)._1.get ^ h(3L)._1.get) > 10,
+      s"patterns too close: ${java.lang.Long.bitCount(h(1L)._1.get ^ h(3L)._1.get)} bits")
+    // decode failure = NULL hash (never a sentinel that would cluster)
+    assert(!h(4L)._2 && h(4L)._1.isEmpty)
+    // no decode_ok filter needed: the pair kernel drops null hashes itself
     val pairs = graft.ops.Dedup.hammingPairs(
-        Multimodal.imageDHash(rows.toDF("id", "content")).filter($"decode_ok"),
+        Multimodal.imageDHash(rows.toDF("id", "content")),
         $"id", $"dhash")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
@@ -567,18 +641,71 @@ class PipelineOpsSpec extends AnyFunSuite {
       (5L, Array[Byte](1, 2, 3)))
     val h = Multimodal.audioFingerprint(rows.toDF("id", "content")
         .repartition(2))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
       .toMap
-    assert(h(1L)._1 == h(2L)._1, "half volume must not change the fingerprint")
-    assert(h(1L)._1 != h(3L)._1)
-    assert(java.lang.Long.bitCount(h(1L)._1 ^ h(3L)._1) > 10)
-    assert(!h(4L)._2 && !h(5L)._2)
+    assert(h(1L)._1.get == h(2L)._1.get, "half volume must not change the fingerprint")
+    assert(h(1L)._1.get != h(3L)._1.get)
+    assert(java.lang.Long.bitCount(h(1L)._1.get ^ h(3L)._1.get) > 10)
+    assert(!h(4L)._2 && h(4L)._1.isEmpty && !h(5L)._2 && h(5L)._1.isEmpty)
+    // MIXED decode failures feed the kernel unfiltered: null hashes never
+    // pair, so the two corrupt clips produce zero failure-pairs
     val pairs = graft.ops.Dedup.hammingPairs(
-        Multimodal.audioFingerprint(rows.toDF("id", "content"))
-          .filter($"decode_ok"),
+        Multimodal.audioFingerprint(rows.toDF("id", "content")),
         $"id", $"afp")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
+  }
+
+  test("videoMetadata: ISO-BMFF box walk — dims, duration, codecs, corrupt bytes") {
+    val rows = Seq(
+      (1L, Multimodal.patternMp4Bytes(640, 360, 5000L, withAudio = true)),
+      (2L, Multimodal.patternMp4Bytes(1920, 1080, 123456L, withAudio = false)),
+      (3L, Array[Byte](1, 2, 3, 4)), // not a box structure
+      (4L, Array.empty[Byte]))
+    val out = Multimodal.videoMetadata(rows.toDF("id", "content").repartition(2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 5000L && r1.getInt(2) == 2)
+    assert(r1.getInt(3) == 640 && r1.getInt(4) == 360)
+    assert(r1.getString(5) == "avc1" && r1.getString(6) == "mp4a")
+    assert(r1.getBoolean(7))
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 123456L && r2.getInt(2) == 1 &&
+      r2.getInt(3) == 1920 && r2.getInt(4) == 1080 &&
+      r2.getString(5) == "avc1" && r2.isNullAt(6))
+    assert(!out(3L).getBoolean(7) && out(3L).isNullAt(1) && out(3L).isNullAt(5))
+    assert(!out(4L).getBoolean(7))
+    // the 100 TB idiom: metadata predicates prune BEFORE any frame decode
+    val longOnes = Multimodal.videoMetadata(rows.toDF("id", "content"))
+      .filter($"decode_ok" && $"duration_ms" > 10000).select("id").collect()
+    assert(longOnes.map(_.getLong(0)).toSeq == Seq(2L))
+    // gateway verb reach
+    rows.toDF("id", "content").createOrReplaceTempView("vids_t")
+    assert(GraftGateway.sql(spark,
+      "SELECT video_metadata(id, content) FROM vids_t")
+      .filter($"decode_ok").count() == 2)
+  }
+
+  test("multimodal gateway verbs: image_dhash / audio_fingerprint / hamming_pairs") {
+    Seq((1L, Multimodal.patternPngBytes(7L, 64, 64, 0)),
+        (2L, Multimodal.patternPngBytes(7L, 64, 64, 20)),
+        (3L, Multimodal.patternPngBytes(8L, 64, 64, 0)))
+      .toDF("doc", "bytes").createOrReplaceTempView("gw_imgs")
+    GraftGateway.sql(spark, "SELECT image_dhash(doc, bytes) FROM gw_imgs")
+      .createOrReplaceTempView("gw_hashed")
+    val pairs = GraftGateway.sql(spark,
+        "SELECT hamming_pairs(id, dhash, 3) FROM gw_hashed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
+    Seq((1L, Multimodal.patternWavBytes(5L, 2000, 16000, 1)),
+        (2L, Multimodal.patternWavBytes(5L, 2000, 16000, 2)))
+      .toDF("doc", "bytes").createOrReplaceTempView("gw_wavs")
+    val afp = GraftGateway.sql(spark,
+        "SELECT audio_fingerprint(doc, bytes) FROM gw_wavs")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(afp.length == 1, "volume-invariant fingerprints must agree")
   }
 
   test("decodeAudio: real PCM-WAV parsing, exact channel stats, corrupt bytes") {

@@ -54,4 +54,44 @@ class SequentialSpec extends AnyFunSuite {
     assert(GraftGateway.sql(spark,
       "SELECT msprt(b, y, t, 1.0) FROM msprt_t").count() == 20)
   }
+
+  test("msprtBy: per-experiment trajectories equal msprt run separately") {
+    val parts = Seq(("A", 0.5, 21), ("B", 0.0, 22), ("C", 0.3, 23))
+    val combined = parts.map { case (name, eff, seed) =>
+      fixture(eff, seed).withColumn("exp", lit(name))
+    }.reduce(_ unionByName _).repartition(5)
+    val grouped = Sequential.msprtBy(combined, $"exp", $"b", $"y", $"t",
+        tau = 1.0).collect()
+      .groupBy(_.getString(0))
+    assert(grouped.keySet == Set("A", "B", "C"))
+    parts.foreach { case (name, eff, seed) =>
+      val solo = Sequential.msprt(fixture(eff, seed), $"b", $"y", $"t",
+        tau = 1.0).collect()
+      val g = grouped(name).sortBy(_.getLong(1))
+      assert(g.length == solo.length, s"$name: ${g.length} vs ${solo.length}")
+      solo.zip(g).foreach { case (a, b) =>
+        assert(a.getLong(0) == b.getLong(1) && a.getLong(1) == b.getLong(2) &&
+          a.getLong(2) == b.getLong(3))
+        // cells aggregate over different partitionings (union+repartition
+        // vs solo), so sums differ in the last ulp and exp() amplifies:
+        // compare at relative 1e-6, not bit-exactly
+        Seq((3, 4), (4, 5), (5, 6)).foreach { case (ia, ib) =>
+          val (x, y) = (a.getDouble(ia), b.getDouble(ib))
+          assert(math.abs(x - y) < 1e-6 * math.max(1.0, math.abs(x)),
+            s"$name bucket ${a.getLong(0)} col $ia: $x vs $y")
+        }
+      }
+    }
+    // the planted-effect experiments reject; the A/A one does not
+    assert(grouped("A").map(_.getAs[Double]("p_always_valid")).min < 0.01)
+    assert(grouped("B").map(_.getAs[Double]("p_always_valid")).min > 0.2)
+    // cell guard names its knob; gateway verb dispatches
+    val e = intercept[IllegalArgumentException] {
+      Sequential.msprtBy(combined, $"exp", $"b", $"y", $"t", maxCells = 5)
+    }
+    assert(e.getMessage.contains("maxCells"), e.getMessage)
+    combined.createOrReplaceTempView("msprt_by_t")
+    assert(GraftGateway.sql(spark,
+      "SELECT msprt_by(exp, b, y, t, 1.0) FROM msprt_by_t").count() == 60)
+  }
 }

@@ -124,4 +124,35 @@ class SurvivalSpec extends AnyFunSuite {
       Survival.coxPh(d.filter($"e" === 0), $"t", $"e", Seq($"x1"))
     }
   }
+
+  test("coxPh: continuous censor times cost nothing — cells live on event times only") {
+    // censoring-heavy fixture: events on a 10-point grid, censor times
+    // CONTINUOUS (every one distinct). The partial likelihood only looks
+    // at event times, so (1) the fit must equal the same data with censor
+    // times pre-snapped to the event grid by hand, and (2) the cell table
+    // must have exactly 10 rows — the r10 shape would have carried ~2800
+    // censored-time cells and tripped a maxTimes = 50 guard.
+    val rng = new scala.util.Random(61)
+    val rows = (1 to 4000).map { _ =>
+      val x = rng.nextGaussian()
+      if (rng.nextDouble() < 0.3) ((1 + rng.nextInt(10)).toDouble, 1, x)
+      else (rng.nextDouble() * 12.0, 0, x)
+    }
+    val d = spark.createDataFrame(rows).toDF("t", "e", "x")
+    val a = Survival.coxPh(d, $"t", $"e", Seq($"x"), maxTimes = 50)
+    assert(a.nTimes == 10, s"expected 10 event-time cells, got ${a.nTimes}")
+    assert(a.n == 4000 && a.nEvents == rows.count(_._2 == 1))
+    // manual snap: censored at greatest event time <= t; pre-first-event
+    // censorings (t < 1) sit below the grid either way
+    val snapped = rows.map { case (t, e, x) =>
+      if (e == 1) (t, e, x) else (math.min(math.floor(t), 10.0), e, x)
+    }
+    val d2 = spark.createDataFrame(snapped).toDF("t", "e", "x")
+    val b = Survival.coxPh(d2, $"t", $"e", Seq($"x"), maxTimes = 50)
+    assert(math.abs(a.coefficients(0) - b.coefficients(0)) < 1e-12 &&
+      math.abs(a.stderr(0) - b.stderr(0)) < 1e-12 &&
+      math.abs(a.logLik - b.logLik) < 1e-9,
+      s"${a.coefficients(0)} vs ${b.coefficients(0)}")
+    assert(a.n == b.n && a.nEvents == b.nEvents && a.nTimes == b.nTimes)
+  }
 }
