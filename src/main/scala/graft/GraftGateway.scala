@@ -68,6 +68,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT audio_fingerprint(id, content)      FROM <clips>
   * SELECT video_metadata(id, content)         FROM <videos>
   * SELECT hamming_pairs(id, hash[, max_hamming]) FROM <hashed>
+  * SELECT ratio_mde(num, den[, target_rel_lift]) FROM <any>
+  * SELECT synth_control(unit, period, y, 'treated', pre_end) FROM <panel>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -206,7 +208,8 @@ object GraftGateway {
     "incremental_dedup", "snapshot_diff", "conformal_interval",
     "chunk_documents", "msprt", "msprt_by", "cluster_robust_ols", "blp_test",
     "anova", "fdr_bh", "chisq_independence", "eb_shrink_means", "cox_ph",
-    "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs")
+    "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
+    "ratio_mde", "synth_control")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -442,6 +445,18 @@ object GraftGateway {
         require(a.length >= 2, "hamming_pairs(id, hash[, max_hamming])")
         Dedup.hammingPairs(df, c(a(0)), c(a(1)),
           maxHamming = if (a.length > 2) num(a(2)).toInt else 3)
+      case "ratio_mde" =>
+        // pre-experiment planning for a ratio metric (delta-method MDE)
+        require(a.length >= 2, "ratio_mde(num, den[, target_rel_lift])")
+        SimpleTests.ratioMde(df, c(a(0)), c(a(1)),
+          targetRelLift = if (a.length > 2) num(a(2)) else 0.01)
+      case "synth_control" =>
+        // comparative case study: simplex-weighted donor pool fit on the
+        // pre-period path, per-period treated-vs-synthetic gap out
+        require(a.length >= 5,
+          "synth_control(unit, period, y, 'treated_unit', pre_end)")
+        SynthControl.synthControl(df, c(a(0)), c(a(1)), c(a(2)),
+          str(a(3)), num(a(4))).path
       case "chunk_documents" =>
         // sliding-window RAG/pretraining chunker: (doc_id, chunk_ix,
         // chunk_text, n_tokens), pure codegen, no shuffle

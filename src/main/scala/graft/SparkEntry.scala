@@ -1679,6 +1679,78 @@ object SparkEntry {
           sum(col("id_a") + col("id_b")).as("pair_id_sum"),
           max(col("hamming")).as("max_hamming")))
     }),
+    "q150_pq_recall" -> ((s, d) => {
+      // product-quantization quality gate (q46's idiom, PQ edition): 5
+      // EXACT copies planted per probe. A copy quantizes to the probe's
+      // own per-subspace argmin codes, so its ADC distance is the global
+      // minimum — any other vector ties only by matching all 8 codes
+      // (~16^-8). True L2 top-5 = the copies (distance 0), so recall is a
+      // deterministic fixture constant, and the query THROWS below 0.95.
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("pid"), col("v").as("q"))
+      val planted = probes.withColumn("j", explode(sequence(lit(1), lit(5))))
+        .select((col("pid") * 10 + col("j") + 100000L).as("vec_id"),
+          col("q").as("v"))
+      val corpus = e.unionByName(planted)
+      val idx = graft.ops.Ann.trainPq(corpus, col("v"), numSub = 8,
+        codebookSize = 16, sampleSize = 500, seed = 7L)
+      val pq = graft.ops.Ann.pqKnn(corpus, col("vec_id"), col("v"),
+        probes, col("pid"), col("q"), idx, k = 5)
+      val expect = probes.withColumn("j", explode(sequence(lit(1), lit(5))))
+        .select(col("pid").as("query_id"),
+          (col("pid") * 10 + col("j") + 100000L).as("neighbor_id"))
+      val cnt = expect.join(pq.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0))).as("n_hit")).head()
+      val (nTrue, nHit) = (cnt.getLong(0), cnt.getLong(1))
+      val recall = if (nTrue == 0) 0.0 else nHit.toDouble / nTrue
+      require(recall >= 0.95,
+        f"q150 PQ recall gate failed: recall=$recall%.4f < 0.95 ($nHit/$nTrue)")
+      import s.implicits._
+      Seq((10L, 5, nTrue, nHit, math.rint(recall * 10000) / 10000,
+        recall >= 0.95, sfTag(d)))
+        .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass", "oracle_sf")
+    }),
+    "q148_ratio_mde" -> ((s, d) => {
+      // pre-experiment planning for a RATIO metric (revenue per unit
+      // quantity) through the gateway verb: the delta-method linearized
+      // stddev, observed-n MDE, and the per-arm n for a 1% lift — every
+      // output a closed form over one moment pass (q124's idiom, ratio
+      // edition)
+      t(s, d, "lineitem")
+        .select((col("l_extendedprice").cast("double") / 1000.0).as("rev"),
+          col("l_quantity").cast("double").as("qty"))
+        .createOrReplaceTempView("li_ratio")
+      GraftGateway.sql(s, "SELECT ratio_mde(rev, qty, 0.01) FROM li_ratio")
+        .select(col("n"), round(col("ratio"), 6).as("ratio"),
+          round(col("sd_delta"), 6).as("sd_delta"),
+          round(col("mde_abs"), 6).as("mde_abs"),
+          round(col("mde_rel"), 6).as("mde_rel"),
+          round(col("n_per_arm_target"), 2).as("n_per_arm_target"))
+    }),
+    "q149_synth_control" -> ((s, d) => {
+      // synthetic control on the events panel: units = user_id % 10 with
+      // daily mean-value paths, unit '0' nominated as "treated" (an A/A
+      // placebo — no intervention exists, so the post gap is fit noise).
+      // The pairwise Frank-Wolfe fit is deterministic (no RNG, exact
+      // steps, lowest-index tie breaks), so the sf0.01 path is pinned
+      // like q34's MLE constants; n_periods and the pre flag stay honest
+      // closed forms.
+      val ev = tsNanos(t(s, d, "events"))
+      val r = graft.ops.SynthControl.synthControl(ev,
+        (col("user_id") % 10).cast("int"), expr("ts div 86400000000000"),
+        col("value"), "0", preEnd = 19742.0)
+      r.path.select(col("period").cast("long").as("period"), col("is_pre"),
+          round(col("y_treated"), 6).as("y_treated"),
+          round(col("y_synth"), 6).as("y_synth"),
+          round(col("gap"), 6).as("gap"))
+        .withColumn("oracle_sf", lit(sfTag(d)))
+        .orderBy(col("period"))
+    }),
     "q145_multimodal_sql" -> ((s, d) => {
       // SQL reach for the multimodal near-dup tier (the reference thesis:
       // everything drivable from SQL): image_dhash then hamming_pairs,
@@ -2419,6 +2491,73 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_pairs,
         |  CAST((SELECT sum(2 * k + 1099511627776) FROM c) AS BIGINT) AS pair_id_sum,
         |  CAST(0 AS INT) AS max_hamming""".stripMargin,
+    "q150_pq_recall" ->
+      // pinned deterministic fixture constant (q46 idiom): 10 probes x 5
+      // exact copies, all recovered at the minimum ADC distance
+      """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS INT) AS k,
+        |  CAST(50 AS BIGINT) AS n_true, CAST(50 AS BIGINT) AS n_hit,
+        |  CAST(1.0 AS DOUBLE) AS recall, TRUE AS pass,
+        |  '0.01' AS oracle_sf""".stripMargin,
+    "q148_ratio_mde" ->
+      // one moment pass + the Scala closed forms in the SAME IEEE order;
+      // z(0.975)+z(0.8) pinned to 16 digits (q124 idiom)
+      """WITH m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM (SELECT l_extendedprice::DOUBLE / 1000.0 AS x,
+        |          CAST(l_quantity AS DOUBLE) AS y FROM lineitem)),
+        |c AS (SELECT n, sx / sy AS ratio, sy / n AS dbar, sx, sy, sxx, syy, sxy FROM m),
+        |v AS (SELECT n, ratio, dbar,
+        |    sqrt((sxx - 2.0 * ratio * sxy + ratio * ratio * syy
+        |      - n * (sx / n - ratio * dbar) * (sx / n - ratio * dbar)) / (n - 1)) AS sdd,
+        |    1.9599639845400545 + 0.8416212335729143 AS zz
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n, round(ratio, 6) AS ratio,
+        |  round(sdd, 6) AS sd_delta,
+        |  round(zz * (sdd / abs(dbar)) * sqrt(2.0 / n), 6) AS mde_abs,
+        |  round(zz * (sdd / abs(dbar)) * sqrt(2.0 / n) / abs(ratio), 6) AS mde_rel,
+        |  round(2.0 * pow(zz * (sdd / abs(dbar)) / (0.01 * abs(ratio)), 2), 2) AS n_per_arm_target
+        |FROM v""".stripMargin,
+    "q149_synth_control" ->
+      // pinned sf0.01 path (deterministic pairwise-FW fit over
+      // deterministic daily mean cells — the q34/q38 pinned-literal
+      // idiom); is_pre stays an honest closed form of the period
+      """SELECT CAST(period AS BIGINT) AS period, is_pre,
+        |  CAST(y_treated AS DOUBLE) AS y_treated,
+        |  CAST(y_synth AS DOUBLE) AS y_synth, CAST(gap AS DOUBLE) AS gap,
+        |  '0.01' AS oracle_sf
+        |FROM (VALUES
+        |  (19723,true,40.46359,50.189592,-9.726002),
+        |  (19724,true,66.390625,50.698469,15.692156),
+        |  (19725,true,45.652,47.349712,-1.697712),
+        |  (19726,true,34.088235,46.924649,-12.836413),
+        |  (19727,true,49.673438,58.396844,-8.723406),
+        |  (19728,true,48.018205,49.901337,-1.883132),
+        |  (19729,true,37.725806,42.100143,-4.374337),
+        |  (19730,true,52.683333,56.110055,-3.426722),
+        |  (19731,true,39.450541,52.989947,-13.539406),
+        |  (19732,true,69.418158,52.892815,16.525343),
+        |  (19733,true,46.864848,49.479213,-2.614365),
+        |  (19734,true,59.371515,48.41441,10.957105),
+        |  (19735,true,43.207179,55.392275,-12.185095),
+        |  (19736,true,47.625517,53.618,-5.992483),
+        |  (19737,true,47.664828,51.843463,-4.178635),
+        |  (19738,true,62.288947,48.656193,13.632755),
+        |  (19739,true,68.408889,49.427469,18.981419),
+        |  (19740,true,55.209091,55.973646,-0.764555),
+        |  (19741,true,44.3372,41.578111,2.759089),
+        |  (19742,true,46.135,52.960807,-6.825807),
+        |  (19743,false,49.088824,56.385131,-7.296307),
+        |  (19744,false,41.998966,43.980803,-1.981837),
+        |  (19745,false,43.812778,53.071443,-9.258665),
+        |  (19746,false,55.552692,45.959029,9.593663),
+        |  (19747,false,43.778065,45.190486,-1.412422),
+        |  (19748,false,44.986774,50.552281,-5.565507),
+        |  (19749,false,51.494545,57.714312,-6.219766),
+        |  (19750,false,51.049355,40.784686,10.264669),
+        |  (19751,false,62.742333,46.61794,16.124393),
+        |  (19752,false,48.127368,44.821911,3.305458))
+        |AS t(period, is_pre, y_treated, y_synth, gap)
+        |ORDER BY period""".stripMargin,
     "q145_multimodal_sql" ->
       // planted-pair closed form on the 1-in-4 subset: every key % 20 == 0
       // is also % 4 == 0, so each contributes exactly one (k, k + 2^40)

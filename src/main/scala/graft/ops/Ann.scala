@@ -115,6 +115,130 @@ object Ann {
     array_min(array(dists.toIndexedSeq: _*)).getField("cell")
   }
 
+  /** Product-quantization index (Jégou, Douze & Schmid 2011): the vector
+    * space splits into `numSub` contiguous subspaces, each with its own
+    * small codebook (Lloyd's k-means on a driver-side sample, like
+    * [[trainIvf]]). A vector's code is its per-subspace nearest centroid
+    * — numSub small ints replacing dim doubles. THE 100 TB story: the
+    * codes table is 10-100× smaller than the raw vectors, so the
+    * similarity sweep reads codes only; queries score codes by ADC
+    * (asymmetric distance computation) — per subspace a codebookSize-entry
+    * table of EXACT probe-to-centroid L2² distances, summed across
+    * subspaces. Compose with [[ivfKnn]] cells (IVF-PQ) when even the code
+    * sweep needs pruning. */
+  case class PqIndex(codebooks: Array[Array[Array[Double]]]) {
+    def numSub: Int = codebooks.length
+    def codebookSize: Int = codebooks(0).length
+    def subDim: Int = codebooks(0)(0).length
+  }
+
+  def trainPq(corpus: DataFrame, vec: Column, numSub: Int = 8,
+              codebookSize: Int = 16, sampleSize: Int = 10000,
+              iters: Int = 10, seed: Long = 42L): PqIndex = {
+    require(numSub >= 1 && codebookSize >= 2, "bad PQ shape")
+    val sample = corpus.select(vec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(xxhash64(col("v").cast("string"), lit(seed)))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= codebookSize,
+      s"sample ${sample.length} < codebookSize $codebookSize")
+    val dim = sample.head.length
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val subDim = dim / numSub
+    val books = Array.tabulate(numSub) { s0 =>
+      val sub = sample.map(_.slice(s0 * subDim, (s0 + 1) * subDim))
+      val rng = new scala.util.Random(seed + s0)
+      var cents = rng.shuffle(sub.toSeq).take(codebookSize).map(_.clone).toArray
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(codebookSize)(new Array[Double](subDim))
+        val counts = new Array[Long](codebookSize)
+        sub.foreach { v =>
+          val c = nearest(cents, v)
+          counts(c) += 1
+          var d = 0
+          while (d < subDim) { sums(c)(d) += v(d); d += 1 }
+        }
+        cents = sums.zip(counts).zipWithIndex.map { case ((sm, n), i) =>
+          if (n == 0) cents(i) else sm.map(_ / n)
+        }
+      }
+      cents
+    }
+    PqIndex(books)
+  }
+
+  /** Per-vector PQ code as a codegen'd column: per subspace, argmin over
+    * the codebook of the fused L2 kernel on the SLICED vector — the same
+    * [[cellOf]] idiom, numSub × codebookSize literal kernels. */
+  def encodePq(index: PqIndex, vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val subCodes = (0 until index.numSub).map { s0 =>
+      val sub = slice(v, s0 * index.subDim + 1, index.subDim)
+      val dists = index.codebooks(s0).zipWithIndex.map { case (c, i) =>
+        struct(graft.expr.VectorExprs.l2SqToLit(sub, c).as("d"),
+          lit(i).as("code"))
+      }
+      array_min(array(dists.toIndexedSeq: _*)).getField("code")
+    }
+    array(subCodes: _*)
+  }
+
+  /** PQ top-k by ADC over the CODES table: probe LUTs (numSub ×
+    * codebookSize exact probe-to-centroid L2² distances per probe) are a
+    * tiny driver-built frame broadcast into an equi-join on (sub, code);
+    * per-(query, vector) sums are a map-side-combined groupBy. Probe
+    * count is guarded — the scored product is probes × corpus and a
+    * silently-huge probe set is a runaway job. Returns
+    * (query_id, neighbor_id, adc_dist, rk) with rk by ascending ADC
+    * distance (L2² semantics; tie-break neighbor_id). */
+  def pqKnn(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+            probes: DataFrame, probeId: Column, probeVec: Column,
+            index: PqIndex, k: Int, maxProbes: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    val codes = corpus
+      .select(corpusId.cast("long").as("neighbor_id"),
+        corpusVec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("neighbor_id"), posexplode(encodePq(index, col("v")))
+        .as(Seq("sub", "code")))
+    val pRows = probes
+      .select(probeId.cast("long").as("query_id"),
+        probeVec.cast("array<double>").as("q"))
+      .filter(col("q").isNotNull)
+      .limit(maxProbes + 1).collect()
+    require(pRows.length <= maxProbes,
+      s"pq_knn probe set exceeds $maxProbes rows: batch the probes or " +
+        "raise maxProbes if probes x corpus ADC sums are really intended")
+    val lutRows = pRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      for {
+        s0 <- 0 until index.numSub
+        c <- 0 until index.codebookSize
+      } yield {
+        val cent = index.codebooks(s0)(c)
+        var d = 0.0
+        var j = 0
+        while (j < index.subDim) {
+          val t = q(s0 * index.subDim + j) - cent(j); d += t * t; j += 1
+        }
+        (qid, s0, c, d)
+      }
+    }
+    import spark.implicits._
+    val lut = lutRows.toSeq.toDF("query_id", "sub", "code", "d")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rk"))
+  }
+
   /** IVF top-k: probes search only their `nprobe` nearest cells. Exact
     * within probed cells; recall < 1 only when a true neighbor lives in an
     * unprobed cell.

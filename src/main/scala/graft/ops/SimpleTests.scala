@@ -162,4 +162,49 @@ object SimpleTests {
     val z = Dist.normQuantile(1 - alpha / 2) + Dist.normQuantile(power)
     z * sigma * math.sqrt(2.0 / nPerArm)
   }
+
+  /** Power analysis for a RATIO metric r = Σnum/Σden (CTR, revenue per
+    * session, ...): the per-unit "linearized" residual num − r·den has,
+    * by the delta method, stddev σ_Δ with var(r̂) = σ_Δ²/(n·d̄²) — the
+    * same variance [[graft.agg]]'s delta_method/xexpt aggregates use for
+    * INFERENCE, here turned around for PLANNING: the absolute MDE of a
+    * two-sided equal-allocation test at the observed n is
+    * (z_{1−α/2}+z_pow)·(σ_Δ/d̄)·sqrt(2/n), and the per-arm n needed for a
+    * target relative lift δ_rel follows by inversion. ONE moment
+    * aggregate (n, Σx, Σy, Σx², Σy², Σxy) + driver closed forms — every
+    * output replays in plain SQL. Null num/den rows drop listwise.
+    * Returns one row: (n, ratio, sd_delta, mde_abs, mde_rel,
+    * n_per_arm_target). */
+  def ratioMde(df: DataFrame, num: Column, den: Column,
+               targetRelLift: Double = 0.01, alpha: Double = 0.05,
+               power: Double = 0.8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(targetRelLift != 0 && alpha > 0 && alpha < 1 &&
+      power > 0 && power < 1, "bad power-analysis inputs")
+    val x = num.cast("double"); val y = den.cast("double")
+    val r = df.filter(x.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .head()
+    val n = r.getAs[Long]("n")
+    require(n >= 2, s"ratio_mde: need at least 2 rows, got $n")
+    val (sx, sy) = (r.getAs[Double]("sx"), r.getAs[Double]("sy"))
+    require(sy != 0.0, "ratio_mde: denominator sums to zero")
+    val ratio = sx / sy
+    val dbar = sy / n
+    // sample variance of the linearized residual x - ratio*y
+    val varD = (r.getAs[Double]("sxx") - 2.0 * ratio * r.getAs[Double]("sxy") +
+      ratio * ratio * r.getAs[Double]("syy") -
+      n * (sx / n - ratio * dbar) * (sx / n - ratio * dbar)) / (n - 1)
+    require(varD >= 0, s"ratio_mde: negative linearized variance $varD")
+    val sdD = math.sqrt(varD)
+    val z = Dist.normQuantile(1 - alpha / 2) + Dist.normQuantile(power)
+    val mdeAbs = z * (sdD / math.abs(dbar)) * math.sqrt(2.0 / n)
+    val mdeRel = mdeAbs / math.abs(ratio)
+    val nTarget = 2.0 * math.pow(
+      z * (sdD / math.abs(dbar)) / (targetRelLift * math.abs(ratio)), 2)
+    Seq((n, ratio, sdD, mdeAbs, mdeRel, nTarget))
+      .toDF("n", "ratio", "sd_delta", "mde_abs", "mde_rel", "n_per_arm_target")
+  }
 }

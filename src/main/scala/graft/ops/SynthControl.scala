@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Synthetic control (Abadie & Gardeazabal 2003; Abadie, Diamond &
+  * Hainmueller 2010) — the panel-data causal method for ONE treated unit
+  * and a donor pool: find weights w ≥ 0, Σw = 1 over donor units whose
+  * weighted outcome path matches the treated unit's PRE-period path in
+  * least squares; the POST-period gap treated − synthetic is the effect
+  * path. Beyond the reference (its causal tier is cross-sectional:
+  * matching / DML / DID — nothing for comparative case studies).
+  *
+  * 100 TB shape: the panel collapses to (unit, period) mean-outcome cells
+  * in ONE row-scale aggregate with a take-ordered `maxCells` guard BEFORE
+  * collection (units × periods is report-sized by definition — a unit is
+  * a region/product/cohort, not a row id). The simplex-constrained
+  * quadratic then solves on the driver by Frank–Wolfe with EXACT line
+  * search — deterministic (no RNG, no solver library): at each step the
+  * gradient's best vertex is the move direction and the optimal step for
+  * a quadratic objective is closed-form. Iteration count is bounded and
+  * the duality gap gives a certified stop.
+  */
+object SynthControl {
+
+  case class SynthResult(donors: Array[String], weights: Array[Double],
+                         preRmse: Double, iterations: Int, dualityGap: Double,
+                         path: DataFrame)
+
+  /** Fit weights on the pre-period panel and score every period.
+    *
+    * @param unit    unit label column (cast to string)
+    * @param period  numeric period column (cast to double; cells are mean
+    *                outcome per (unit, period))
+    * @param y       outcome
+    * @param treatedUnit  label of the treated unit (all others = donors)
+    * @param preEnd  periods ≤ preEnd are the fit window; later ones are
+    *                scored out-of-sample (the effect path)
+    * @return weights over donors + per-period path
+    *         (period, is_pre, y_treated, y_synth, gap), ascending. */
+  def synthControl(df: DataFrame, unit: Column, period: Column, y: Column,
+                   treatedUnit: String, preEnd: Double,
+                   maxIter: Int = 2000, tol: Double = 1e-12,
+                   maxCells: Int = 200000): SynthResult = {
+    val spark = df.sparkSession
+    val cells = df
+      .filter(unit.isNotNull && period.isNotNull && y.isNotNull)
+      .groupBy(unit.cast("string").as("u"), period.cast("double").as("p"))
+      .agg(avg(y.cast("double")).as("v"))
+      .orderBy(col("u"), col("p"))
+      .limit(maxCells + 1) // take-ordered: bounded BEFORE collection
+      .collect()
+    require(cells.length <= maxCells,
+      s"synth_control produced more than $maxCells (unit x period) cells — " +
+        "these are not panel units/periods; raise maxCells if they are")
+    val byUnit = cells.groupBy(_.getString(0))
+    require(byUnit.contains(treatedUnit),
+      s"synth_control: treated unit '$treatedUnit' not present")
+    val periods = cells.map(_.getDouble(1)).distinct.sorted
+    val prePeriods = periods.filter(_ <= preEnd)
+    require(prePeriods.length >= 2,
+      s"synth_control: need >= 2 pre-periods at preEnd=$preEnd, " +
+        s"got ${prePeriods.length}")
+    // complete-panel requirement: a donor missing any period would need
+    // imputation semantics this op does not define — fail fast, listing
+    // the balanced alternative (filter the donor pool upstream)
+    val full = byUnit.filter(_._2.length == periods.length)
+    require(full.contains(treatedUnit),
+      "synth_control: treated unit is missing periods — balance the panel")
+    val donors = full.keys.filter(_ != treatedUnit).toArray.sorted
+    require(donors.length >= 2,
+      s"synth_control: need >= 2 complete donors, got ${donors.length} " +
+        "(incomplete units are excluded — balance the panel upstream)")
+    def path(u: String): Map[Double, Double] =
+      full(u).map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val treatedPath = path(treatedUnit)
+    val donorPaths = donors.map(path)
+    val nPre = prePeriods.length
+    val k = donors.length
+    val b = prePeriods.map(treatedPath)
+    val A = Array.tabulate(nPre, k)((t, j) => donorPaths(j)(prePeriods(t)))
+    // Frank-Wolfe on the unit simplex, exact line search for ||Aw - b||^2
+    val w = Array.fill(k)(1.0 / k)
+    val aw = new Array[Double](nPre)
+    def recomputeAw(): Unit = {
+      var t = 0
+      while (t < nPre) {
+        var s = 0.0; var j = 0
+        while (j < k) { s += A(t)(j) * w(j); j += 1 }
+        aw(t) = s; t += 1
+      }
+    }
+    recomputeAw()
+    // PAIRWISE Frank-Wolfe: shift mass from the worst ACTIVE vertex (max
+    // gradient among w_j > 0) to the best vertex, exact step. Classic FW
+    // zig-zags sublinearly when the optimum sits on a simplex face (the
+    // typical synthetic-control solution — most donors at exactly 0);
+    // the pairwise variant converges linearly and zeroes coordinates
+    // exactly. Deterministic throughout: no RNG, ties break to the
+    // lowest index.
+    var it = 0
+    var gap = Double.PositiveInfinity
+    while (it < maxIter && gap > tol) {
+      // gradient g = 2 A^T (Aw - b)
+      val g = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        var s = 0.0; var t = 0
+        while (t < nPre) { s += A(t)(j) * (aw(t) - b(t)); t += 1 }
+        g(j) = 2.0 * s; j += 1
+      }
+      var best = 0
+      var away = -1
+      j = 0
+      while (j < k) {
+        if (g(j) < g(best)) best = j
+        if (w(j) > 0.0 && (away < 0 || g(j) > g(away))) away = j
+        j += 1
+      }
+      // FW duality gap: g . (w - e_best) >= f(w) - f(w*)
+      gap = 0.0
+      j = 0
+      while (j < k) { gap += g(j) * w(j); j += 1 }
+      gap -= g(best)
+      if (gap > tol && away >= 0 && away != best) {
+        // direction d = e_best - e_away; exact quadratic step
+        // gamma* = (g_away - g_best) / (2 ||A d||^2), capped by w(away)
+        val ad = new Array[Double](nPre)
+        var ad2 = 0.0
+        var t = 0
+        while (t < nPre) {
+          val v = A(t)(best) - A(t)(away)
+          ad(t) = v; ad2 += v * v; t += 1
+        }
+        val gamma =
+          if (ad2 <= 0.0) 0.0
+          else math.min(w(away), (g(away) - g(best)) / (2.0 * ad2))
+        if (gamma <= 0.0) gap = 0.0 // no descent pair left: at the optimum
+        else {
+          w(away) -= gamma
+          if (w(away) < 1e-15) w(away) = 0.0 // exact face landing
+          w(best) += gamma
+          t = 0
+          while (t < nPre) { aw(t) += gamma * ad(t); t += 1 }
+        }
+      } else if (away == best) gap = 0.0
+      it += 1
+    }
+    var sse = 0.0
+    var t = 0
+    while (t < nPre) { val e = aw(t) - b(t); sse += e * e; t += 1 }
+    val preRmse = math.sqrt(sse / nPre)
+    val rows = periods.map { p =>
+      var synth = 0.0
+      var j = 0
+      while (j < k) { synth += w(j) * donorPaths(j)(p); j += 1 }
+      val yt = treatedPath(p)
+      Row(p, p <= preEnd, yt, synth, yt - synth)
+    }
+    val schema = StructType(Seq(
+      StructField("period", DoubleType), StructField("is_pre", BooleanType),
+      StructField("y_treated", DoubleType), StructField("y_synth", DoubleType),
+      StructField("gap", DoubleType)))
+    val pathDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    SynthResult(donors, w, preRmse, it, gap, pathDf)
+  }
+}

@@ -256,6 +256,79 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bhAdjust domain validation rides the cell pass — no job of its own") {
+    // the [0,1] require used to be its own distributed filter job; it now
+    // reads per-partition p min/max off the SAME groupBy(__pid) cell
+    // aggregation. Count jobs via a job group (public statusTracker API —
+    // its store is listener-fed, so poll until the count stabilizes).
+    val sc = spark.sparkContext
+    val d = (1 to 300).map(i => (i.toLong, (i % 89 + 1) / 100.0)).toDF("id", "p")
+    def jobsFor(group: String)(work: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try work finally sc.clearJobGroup()
+      var last = -1; var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      var spins = 0
+      while (cur != last && spins < 50) {
+        last = cur; Thread.sleep(100)
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+        spins += 1
+      }
+      cur
+    }
+    val n = jobsFor("bh_probe") {
+      graft.ops.MultipleTesting.bhAdjust(d.repartition(4), $"p").collect()
+      ()
+    }
+    // measured floor on Spark 4.1 with AQE: 12 jobs end-to-end (range
+    // sampling, persisted-rank materialization, THE cell aggregation
+    // carrying the validation, checkpoint, final collect — several split
+    // by AQE). The pre-fuse implementation spent one more on its
+    // standalone [0,1] filter; a regression that splits validation back
+    // out pushes past this pin.
+    assert(n <= 12, s"bhAdjust spent $n jobs — validation split out again?")
+  }
+
+  test("ratioMde replays the delta-method closed forms") {
+    val rows = Seq((10.0, 100.0), (12.0, 90.0), (8.0, 110.0), (15.0, 120.0),
+      (9.0, 95.0), (11.0, 105.0))
+    val out = graft.ops.SimpleTests.ratioMde(rows.toDF("x", "y"),
+      $"x", $"y", targetRelLift = 0.02).head()
+    val n = rows.length
+    val (sx, sy) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    val ratio = sx / sy
+    val dbar = sy / n
+    val varD = (rows.map(r => r._1 * r._1).sum -
+      2.0 * ratio * rows.map(r => r._1 * r._2).sum +
+      ratio * ratio * rows.map(r => r._2 * r._2).sum -
+      n * (sx / n - ratio * dbar) * (sx / n - ratio * dbar)) / (n - 1)
+    val sdD = math.sqrt(varD)
+    val z = graft.stats.Dist.normQuantile(0.975) +
+      graft.stats.Dist.normQuantile(0.8)
+    val mdeAbs = z * (sdD / dbar) * math.sqrt(2.0 / n)
+    assert(out.getAs[Long]("n") == n)
+    assert(math.abs(out.getAs[Double]("ratio") - ratio) < 1e-12)
+    assert(math.abs(out.getAs[Double]("sd_delta") - sdD) < 1e-9)
+    assert(math.abs(out.getAs[Double]("mde_abs") - mdeAbs) < 1e-9)
+    assert(math.abs(out.getAs[Double]("mde_rel") - mdeAbs / ratio) < 1e-9)
+    assert(math.abs(out.getAs[Double]("n_per_arm_target") -
+      2.0 * math.pow(z * (sdD / dbar) / (0.02 * ratio), 2)) < 1e-6)
+    // null rows drop listwise; degenerate inputs fail fast
+    val withNulls = (rows.map { case (a, b) =>
+      (java.lang.Double.valueOf(a), java.lang.Double.valueOf(b))
+    } :+ ((null: java.lang.Double), java.lang.Double.valueOf(5.0)))
+      .toDF("x", "y")
+    assert(graft.ops.SimpleTests.ratioMde(withNulls, $"x", $"y")
+      .head().getAs[Long]("n") == n)
+    intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.ratioMde(rows.toDF("x", "y"), $"x", $"y",
+        targetRelLift = 0.0)
+    }
+    // gateway verb
+    rows.toDF("x", "y").createOrReplaceTempView("ratio_t")
+    assert(GraftGateway.sql(spark,
+      "SELECT ratio_mde(x, y, 0.02) FROM ratio_t").count() == 1)
+  }
+
   test("chisqIndependence matches commons-math ChiSquareTest") {
     val rng = new scala.util.Random(23)
     val rows = (1 to 5000).map { _ =>

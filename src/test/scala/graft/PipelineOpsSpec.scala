@@ -658,6 +658,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
   }
 
+  test("pqKnn: planted exact copies win the ADC ranking; shape guards hold") {
+    // corpus = the 80 originals + 5 exact copies of each of 3 probes
+    // (near-dup ids 100+ excluded: a perturbed twin can legitimately tie
+    // the probe's codes and displace one copy by id order)
+    val base = vecsDf.filter($"id" < 80)
+    val copies = (0 until 3).flatMap(p =>
+      (1 to 5).map(j => (1000L + p * 10 + j, vecs(p)._2)))
+    val corpus = base.unionByName(copies.toDF("id", "v"))
+    val idx = Ann.trainPq(corpus, $"v", numSub = 4, codebookSize = 8,
+      sampleSize = 200, seed = 5L)
+    assert(idx.numSub == 4 && idx.codebookSize == 8 && idx.subDim == 4)
+    val probes = vecsDf.filter($"id" < 3).select($"id".as("pid"), $"v".as("q"))
+    val top = Ann.pqKnn(corpus, $"id", $"v", probes, $"pid", $"q", idx, k = 5)
+      .collect()
+    val byQ = top.groupBy(_.getLong(0))
+    (0L until 3L).foreach { p =>
+      val rows = byQ(p).sortBy(_.getInt(3))
+      val copyIds = (1 to 5).map(j => 1000L + p * 10 + j).toSet
+      val gotCopies = rows.map(_.getLong(1)).count(copyIds)
+      // every non-copy in the top-5 must TIE the copies' (global-minimum)
+      // ADC distance — a strictly-closer non-copy would be a ranking bug
+      val minD = rows.map(_.getDouble(2)).min
+      assert(gotCopies >= 4 &&
+        rows.filter(r => !copyIds(r.getLong(1))).forall(
+          _.getDouble(2) <= minD + 1e-12),
+        rows.map(r => (r.getLong(1), r.getDouble(2))).mkString(","))
+    }
+    // dim not divisible by numSub fails fast
+    intercept[IllegalArgumentException] {
+      Ann.trainPq(corpus, $"v", numSub = 5, codebookSize = 4, sampleSize = 50)
+    }
+    // probe-count guard names the runaway product
+    val e = intercept[IllegalArgumentException] {
+      Ann.pqKnn(corpus, $"id", $"v", corpus.select($"id".as("p"), $"v"),
+        $"p", $"v", idx, k = 1, maxProbes = 3)
+    }
+    assert(e.getMessage.contains("maxProbes"), e.getMessage)
+  }
+
   test("videoMetadata: ISO-BMFF box walk — dims, duration, codecs, corrupt bytes") {
     val rows = Seq(
       (1L, Multimodal.patternMp4Bytes(640, 360, 5000L, withAudio = true)),
