@@ -70,6 +70,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT hamming_pairs(id, hash[, max_hamming]) FROM <hashed>
   * SELECT ratio_mde(num, den[, target_rel_lift]) FROM <any>
   * SELECT synth_control(unit, period, y, 'treated', pre_end) FROM <panel>
+  * SELECT group_sequential(bucket, y, t[, alpha[, 'obf'|'pocock']]) FROM <events>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -209,7 +210,7 @@ object GraftGateway {
     "chunk_documents", "msprt", "msprt_by", "cluster_robust_ols", "blp_test",
     "anova", "fdr_bh", "chisq_independence", "eb_shrink_means", "cox_ph",
     "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
-    "ratio_mde", "synth_control")
+    "ratio_mde", "synth_control", "group_sequential")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -457,6 +458,14 @@ object GraftGateway {
           "synth_control(unit, period, y, 'treated_unit', pre_end)")
         SynthControl.synthControl(df, c(a(0)), c(a(1)), c(a(2)),
           str(a(3)), num(a(4))).path
+      case "group_sequential" =>
+        // classical K-look interim analysis: Lan-DeMets alpha-spending
+        // boundaries (obf | pocock) against per-look cumulative z
+        require(a.length >= 3,
+          "group_sequential(bucket, y, t[, alpha[, 'spending']])")
+        Sequential.groupSequentialTest(df, c(a(0)), c(a(1)), c(a(2)),
+          alpha = if (a.length > 3) num(a(3)) else 0.05,
+          spending = if (a.length > 4) str(a(4)) else "obf")
       case "chunk_documents" =>
         // sliding-window RAG/pretraining chunker: (doc_id, chunk_ix,
         // chunk_text, n_tokens), pure codegen, no shuffle

