@@ -71,6 +71,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT ratio_mde(num, den[, target_rel_lift]) FROM <any>
   * SELECT synth_control(unit, period, y, 'treated', pre_end) FROM <panel>
   * SELECT group_sequential(bucket, y, t[, alpha[, 'obf'|'pocock']]) FROM <events>
+  * SELECT event_study(first_treat, period, y)  FROM <panel>
+  * SELECT event_study_curve(first_treat, period, y) FROM <panel>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -210,7 +212,8 @@ object GraftGateway {
     "chunk_documents", "msprt", "msprt_by", "cluster_robust_ols", "blp_test",
     "anova", "fdr_bh", "chisq_independence", "eb_shrink_means", "cox_ph",
     "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
-    "ratio_mde", "synth_control", "group_sequential")
+    "ratio_mde", "synth_control", "group_sequential", "event_study",
+    "event_study_curve")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -458,6 +461,15 @@ object GraftGateway {
           "synth_control(unit, period, y, 'treated_unit', pre_end)")
         SynthControl.synthControl(df, c(a(0)), c(a(1)), c(a(2)),
           str(a(3)), num(a(4))).path
+      case "event_study" =>
+        // staggered-adoption group-time ATT (Callaway-Sant'Anna,
+        // never-treated comparison) — did()'s many-cohort big brother
+        require(a.length >= 3, "event_study(first_treat, period, y)")
+        EventStudy.groupTimeAtt(df, c(a(0)), c(a(1)), c(a(2)))
+      case "event_study_curve" =>
+        // the event-time aggregation of event_study (the plot's data)
+        require(a.length >= 3, "event_study_curve(first_treat, period, y)")
+        EventStudy.eventTimeCurve(df, c(a(0)), c(a(1)), c(a(2)))
       case "group_sequential" =>
         // classical K-look interim analysis: Lan-DeMets alpha-spending
         // boundaries (obf | pocock) against per-look cumulative z

@@ -1679,6 +1679,23 @@ object SparkEntry {
           sum(col("id_a") + col("id_b")).as("pair_id_sum"),
           max(col("hamming")).as("max_hamming")))
     }),
+    "q152_event_study" -> ((s, d) => {
+      // staggered-adoption event study (Callaway-Sant'Anna group-time
+      // ATT, never-treated comparison) through the gateway verb: cohorts
+      // derived from the supplier key over the 7 line-number "periods".
+      // Every ATT is a pure closed form of (cohort x period) mean cells,
+      // so the oracle replays it in plain SQL — no pinning.
+      t(s, d, "lineitem").select(
+          when(col("l_suppkey") % 3 === 1, 3L)
+            .when(col("l_suppkey") % 3 === 2, 5L).otherwise(0L).as("g"),
+          col("l_linenumber").cast("long").as("period"),
+          col("l_quantity").cast("double").as("y"))
+        .createOrReplaceTempView("li_es")
+      GraftGateway.sql(s, "SELECT event_study(g, period, y) FROM li_es")
+        .select(col("cohort"), col("period"), col("event_time"),
+          col("is_pre"), round(col("att"), 6).as("att"), col("n_rows"))
+        .orderBy(col("cohort"), col("period"))
+    }),
     "q151_group_sequential" -> ((s, d) => {
       // classical K-look interim analysis on the A/A split: Lan-DeMets
       // OBF-spending boundaries at the OBSERVED information fractions
@@ -2509,6 +2526,27 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_pairs,
         |  CAST((SELECT sum(2 * k + 1099511627776) FROM c) AS BIGINT) AS pair_id_sum,
         |  CAST(0 AS INT) AS max_hamming""".stripMargin,
+    "q152_event_study" ->
+      // the CS double difference over (cohort x period) mean cells —
+      // four self-joins of the cell CTE, fully closed-form
+      """WITH p AS (SELECT CASE WHEN l_suppkey % 3 = 1 THEN 3
+        |      WHEN l_suppkey % 3 = 2 THEN 5 ELSE 0 END AS cohort,
+        |    l_linenumber AS period, CAST(l_quantity AS DOUBLE) AS y
+        |  FROM lineitem),
+        |cells AS (SELECT cohort, period, avg(y) AS m, count(*) AS c
+        |  FROM p GROUP BY 1, 2)
+        |SELECT CAST(g.cohort AS BIGINT) AS cohort,
+        |  CAST(g.period AS BIGINT) AS period,
+        |  CAST(g.period - g.cohort AS BIGINT) AS event_time,
+        |  g.period < g.cohort AS is_pre,
+        |  round((g.m - gb.m) - (c.m - cb.m), 6) AS att,
+        |  CAST(g.c AS BIGINT) AS n_rows
+        |FROM cells g
+        |JOIN cells gb ON gb.cohort = g.cohort AND gb.period = g.cohort - 1
+        |JOIN cells c ON c.cohort = 0 AND c.period = g.period
+        |JOIN cells cb ON cb.cohort = 0 AND cb.period = g.cohort - 1
+        |WHERE g.cohort > 0 AND g.period <> g.cohort - 1
+        |ORDER BY 1, 2""".stripMargin,
     "q151_group_sequential" ->
       // per-look cumulative moments/z replay closed-form (q135's CTEs);
       // the spending boundaries are deterministic Armitage-recursion
