@@ -432,10 +432,19 @@ object Dedup {
     * rows never pair — without the filter every corrupt item would
     * cluster at one sentinel value. */
   def hammingPairs(df: DataFrame, id: Column, hash: Column,
-                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000,
+                   materialize: Boolean = true): DataFrame = {
     require(maxBucket > 1, "maxBucket must exceed 1")
-    val base = df.select(id.cast("long").as("id"), hash.cast("long").as("sh"))
+    // the slim (id, hash) projection is consumed by BOTH the collapse
+    // groupBy and the star join — without materialization Spark would
+    // re-evaluate the upstream per consumer, and for this kernel the
+    // upstream is typically the CODEC (imageDHash / audioFingerprint /
+    // simhash over full text). 16 bytes/row checkpoint vs re-decoding
+    // the corpus: checkpoint wins at any scale; pass materialize=false
+    // only when the input is already a materialized hash table.
+    val base0 = df.select(id.cast("long").as("id"), hash.cast("long").as("sh"))
       .filter(col("sh").isNotNull)
+    val base = if (materialize) base0.localCheckpoint(false) else base0
     // guard 1: one representative per distinct hash; map-side-combined
     // groupBy, skew-safe equi-join back (AQE splits the one hot key)
     val reps = base.groupBy(col("sh")).agg(min(col("id")).as("id"))

@@ -44,8 +44,13 @@ object EventStudy {
       .select(coalesce(firstTreat.cast("long"), lit(0L)).as("__g0"),
         period.cast("long").as("period"), yd.as("__y"))
       .withColumn("cohort", when(col("__g0") > 0, col("__g0")).otherwise(0L))
+    // localCheckpoint: the four self-joins below would otherwise each
+    // re-derive the cells — FOUR full scans of the row-scale input; the
+    // checkpointed cell frame is (cohorts × periods) rows, so the big
+    // scan happens exactly once
     val cells = base.groupBy(col("cohort"), col("period"))
       .agg(avg(col("__y")).as("m"), count(lit(1)).as("n_rows"))
+      .localCheckpoint()
     // validate the grid on the KEYS only (tiny, guarded) so a missing
     // base/comparison cell is a named error, not silently-dropped rows
     val keys = cells.select(col("cohort"), col("period"))
