@@ -73,6 +73,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT group_sequential(bucket, y, t[, alpha[, 'obf'|'pocock']]) FROM <events>
   * SELECT event_study(first_treat, period, y)  FROM <panel>
   * SELECT event_study_curve(first_treat, period, y) FROM <panel>
+  * SELECT top_k(col[, k[, max_tracked]])       FROM <any>
+  * SELECT funnel(user, ts, event, 'a', 'b', ..., window) FROM <events>
+  * SELECT retention(user, ts, bucket_len)      FROM <events>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -213,7 +216,7 @@ object GraftGateway {
     "anova", "fdr_bh", "chisq_independence", "eb_shrink_means", "cox_ph",
     "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
     "ratio_mde", "synth_control", "group_sequential", "event_study",
-    "event_study_curve")
+    "event_study_curve", "top_k", "funnel", "retention")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -461,6 +464,22 @@ object GraftGateway {
           "synth_control(unit, period, y, 'treated_unit', pre_end)")
         SynthControl.synthControl(df, c(a(0)), c(a(1)), c(a(2)),
           str(a(3)), num(a(4))).path
+      case "funnel" =>
+        // ordered funnel: leading columns, step-name string literals,
+        // trailing numeric window (same unit as ts)
+        require(a.length >= 6,
+          "funnel(user, ts, event, 'step1', 'step2'[, ...], window)")
+        Funnel.funnel(df, c(a(0)), c(a(1)), c(a(2)),
+          a.drop(3).dropRight(1).map(str), num(a.last))
+      case "retention" =>
+        require(a.length >= 3, "retention(user, ts, bucket_len)")
+        Funnel.retentionMatrix(df, c(a(0)), c(a(1)), num(a(2)))
+      case "top_k" =>
+        // heavy hitters over ANY-cardinality column (bounded sketch state)
+        require(a.nonEmpty, "top_k(col[, k[, max_tracked]])")
+        Explore.topK(df, c(a(0)),
+          k = if (a.length > 1) num(a(1)).toInt else 10,
+          maxTracked = if (a.length > 2) num(a(2)).toInt else 10000)
       case "event_study" =>
         // staggered-adoption group-time ATT (Callaway-Sant'Anna,
         // never-treated comparison) — did()'s many-cohort big brother

@@ -616,6 +616,23 @@ object ScaleProbe {
       assert(r.nTimes == 100, s"expected 100 event-time cells, got ${r.nTimes}")
     }
 
+    // heavy hitters over a row-scale-cardinality column: the DataSketches
+    // frequent-items state is bounded at maxTracked counters per stage —
+    // the groupBy-count-sort alternative would shuffle ~rows/10 distinct
+    // keys. Two planted ~5% heavies must surface with <= n/maxTracked
+    // count error.
+    time(s"top_k heavy hitters ($rows rows, ~${rows / 10} distinct tail)") {
+      val vals = df.select(
+        when(col("id") % 20 === 0, lit("HEAVY1"))
+          .when(col("id") % 21 === 0, lit("HEAVY2"))
+          .otherwise(concat(lit("tail_"),
+            pmod(xxhash64(col("id"), lit(5)), lit(rows / 10L)))).as("v"))
+      val r = graft.ops.Explore.topK(vals, col("v"), k = 2,
+        maxTracked = 10000).collect()
+      assert(r.map(_.getString(1)).toSet == Set("HEAVY1", "HEAVY2"),
+        r.mkString(","))
+    }
+
     // video container metadata walk: pure chunk parsing, no codec — the
     // predicate tier that lets 100 TB of video filter before decoding
     time(s"video metadata box walk ($imgRows MP4 headers)") {

@@ -1679,6 +1679,87 @@ object SparkEntry {
           sum(col("id_a") + col("id_b")).as("pair_id_sum"),
           max(col("hamming")).as("max_hamming")))
     }),
+    "q154_ivfpq_recall" -> ((s, d) => {
+      // IVF-PQ composition gate (q46 + q150 combined): cells prune WHICH
+      // codes are scored, codes compress WHAT is scored. 5 exact copies
+      // per probe live in the probe's own nearest cell and carry its
+      // argmin codes, so they survive both stages; the query throws
+      // below 0.95 recall vs the exact-copy truth set.
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("pid"), col("v").as("q"))
+      val planted = probes.withColumn("j", explode(sequence(lit(1), lit(5))))
+        .select((col("pid") * 10 + col("j") + 100000L).as("vec_id"),
+          col("q").as("v"))
+      val corpus = e.unionByName(planted)
+      val ivf = graft.ops.Ann.trainIvf(corpus, col("v"), numCells = 16,
+        sampleSize = 500, seed = 7L)
+      val pq = graft.ops.Ann.trainPq(corpus, col("v"), numSub = 8,
+        codebookSize = 16, sampleSize = 500, seed = 7L)
+      val got = graft.ops.Ann.ivfPqKnn(corpus, col("vec_id"), col("v"),
+        probes, col("pid"), col("q"), ivf, pq, k = 5, nprobe = 4)
+      val expect = probes.withColumn("j", explode(sequence(lit(1), lit(5))))
+        .select(col("pid").as("query_id"),
+          (col("pid") * 10 + col("j") + 100000L).as("neighbor_id"))
+      val cnt = expect.join(got.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0))).as("n_hit")).head()
+      val (nTrue, nHit) = (cnt.getLong(0), cnt.getLong(1))
+      val recall = if (nTrue == 0) 0.0 else nHit.toDouble / nTrue
+      require(recall >= 0.95,
+        f"q154 IVF-PQ recall gate failed: recall=$recall%.4f ($nHit/$nTrue)")
+      import s.implicits._
+      Seq((10L, 5, nTrue, nHit, math.rint(recall * 10000) / 10000,
+        recall >= 0.95, sfTag(d)))
+        .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass", "oracle_sf")
+    }),
+    "q155_funnel" -> ((s, d) => {
+      // ordered view -> click -> purchase funnel through the gateway,
+      // 3-day window. Times ride as EXACT epoch-micros (integer-valued
+      // doubles well under 2^53), so every strict/window comparison is
+      // bit-identical across engines and the whole funnel replays as a
+      // chain of conditional-min CTEs
+      tsNanos(t(s, d, "events"))
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"))
+        .createOrReplaceTempView("ev_funnel")
+      GraftGateway.sql(s, "SELECT funnel(user_id, tus, event_type, " +
+          "'view', 'click', 'purchase', 259200000000) FROM ev_funnel")
+        .select(col("step"), col("event"), col("n_users"),
+          round(col("pct_of_first"), 6).as("pct_of_first"),
+          round(col("pct_of_prev"), 6).as("pct_of_prev"))
+        .orderBy(col("step"))
+    }),
+    "q156_retention" -> ((s, d) => {
+      // weekly cohort retention matrix through the gateway (7-day buckets
+      // in epoch-micros) — first-seen cohorts, presence offsets, all
+      // closed-form
+      tsNanos(t(s, d, "events"))
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+        .createOrReplaceTempView("ev_ret")
+      GraftGateway.sql(s,
+          "SELECT retention(user_id, tus, 604800000000) FROM ev_ret")
+        .select(col("cohort"), col("offset"), col("n_users"),
+          round(col("retention"), 6).as("retention"))
+        .orderBy(col("cohort"), col("offset"))
+    }),
+    "q153_top_k" -> ((s, d) => {
+      // heavy hitters through the gateway verb, riding Spark 4's native
+      // approx_top_k (DataSketches frequent-items). The fixture domain
+      // (returnflag x linestatus, 4 live combos) sits far under
+      // maxTracked, where the sketch is EXACT — so the oracle is the
+      // plain groupBy-count top-k; the eviction regime is unit- and
+      // probe-covered instead
+      t(s, d, "lineitem")
+        .select(concat_ws("|", col("l_returnflag"), col("l_linestatus"))
+          .as("combo"))
+        .createOrReplaceTempView("li_topk")
+      GraftGateway.sql(s, "SELECT top_k(combo, 10) FROM li_topk")
+        .orderBy(col("rank"))
+    }),
     "q152_event_study" -> ((s, d) => {
       // staggered-adoption event study (Callaway-Sant'Anna group-time
       // ATT, never-treated comparison) through the gateway verb: cohorts
@@ -2526,6 +2607,70 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_pairs,
         |  CAST((SELECT sum(2 * k + 1099511627776) FROM c) AS BIGINT) AS pair_id_sum,
         |  CAST(0 AS INT) AS max_hamming""".stripMargin,
+    "q154_ivfpq_recall" ->
+      // pinned deterministic fixture constant (q46/q150 idiom)
+      """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS INT) AS k,
+        |  CAST(50 AS BIGINT) AS n_true, CAST(50 AS BIGINT) AS n_hit,
+        |  CAST(1.0 AS DOUBLE) AS recall, TRUE AS pass,
+        |  '0.01' AS oracle_sf""".stripMargin,
+    "q155_funnel" ->
+      // the same sequential-min chain: anchor = first view; click after
+      // the anchor inside the window; purchase after the click inside the
+      // SAME anchor window
+      """WITH ev AS (SELECT user_id AS u,
+        |    CAST(epoch_us(ts) AS DOUBLE) AS t, event_type AS e
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT u, min(t) AS t1 FROM ev WHERE e = 'view' GROUP BY u),
+        |s2 AS (SELECT e2.u, s1.t1, min(e2.t) AS t2 FROM ev e2
+        |  JOIN s1 ON e2.u = s1.u
+        |  WHERE e2.e = 'click' AND e2.t > s1.t1
+        |    AND e2.t <= s1.t1 + 259200000000
+        |  GROUP BY e2.u, s1.t1),
+        |s3 AS (SELECT e3.u, min(e3.t) AS t3 FROM ev e3
+        |  JOIN s2 ON e3.u = s2.u
+        |  WHERE e3.e = 'purchase' AND e3.t > s2.t2
+        |    AND e3.t <= s2.t1 + 259200000000
+        |  GROUP BY e3.u),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+        |  (SELECT count(*) FROM s2) AS c2,
+        |  (SELECT count(*) FROM s3) AS c3)
+        |SELECT step, event, n_users, round(pf, 6) AS pct_of_first,
+        |  round(pp, 6) AS pct_of_prev
+        |FROM (
+        |  SELECT 1 AS step, 'view' AS event, CAST(c1 AS BIGINT) AS n_users,
+        |    1.0 AS pf, 1.0 AS pp FROM c
+        |  UNION ALL
+        |  SELECT 2, 'click', CAST(c2 AS BIGINT),
+        |    CAST(c2 AS DOUBLE) / c1, CAST(c2 AS DOUBLE) / c1 FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST(c3 AS BIGINT),
+        |    CAST(c3 AS DOUBLE) / c1, CAST(c3 AS DOUBLE) / c2 FROM c)
+        |ORDER BY step""".stripMargin,
+    "q156_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 604800000000) AS BIGINT) AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fs AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+        |sz AS (SELECT cohort, count(*) AS cs FROM fs GROUP BY cohort)
+        |SELECT ev2.cohort, ev2.offset, ev2.n_users,
+        |  round(CAST(ev2.n_users AS DOUBLE) / sz.cs, 6) AS retention
+        |FROM (SELECT fs.cohort, ev.p - fs.cohort AS offset,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM ev JOIN fs ON ev.u = fs.u
+        |  GROUP BY fs.cohort, ev.p - fs.cohort) ev2
+        |JOIN sz ON ev2.cohort = sz.cohort
+        |ORDER BY ev2.cohort, ev2.offset""".stripMargin,
+    "q153_top_k" ->
+      // exact regime: the sketch tracks every live combo, so counts equal
+      // the plain group-by; rank ties break by item (none here)
+      """SELECT CAST(row_number() OVER (ORDER BY count(*) DESC,
+        |    l_returnflag || '|' || l_linestatus) AS INT) AS rank,
+        |  l_returnflag || '|' || l_linestatus AS item,
+        |  CAST(count(*) AS BIGINT) AS count
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY rank""".stripMargin,
     "q152_event_study" ->
       // the CS double difference over (cohort x period) mean cells —
       // four self-joins of the cell CTE, fully closed-form

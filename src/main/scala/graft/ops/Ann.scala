@@ -239,6 +239,75 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rk"))
   }
 
+  /** IVF-PQ: the production-scale composition — IVF cells prune WHICH
+    * codes are scored, PQ codes compress WHAT is scored. The corpus
+    * persists as (cell, numSub codes) — tens of bytes per vector at
+    * 100 TB — probes explode to their nprobe nearest cells ([[ivfKnn]]'s
+    * equi-join shape), and only co-celled codes pay the ADC sum
+    * ([[pqKnn]]'s broadcast LUT). Returns (query_id, neighbor_id,
+    * adc_dist, rk). */
+  def ivfPqKnn(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+               probes: DataFrame, probeId: Column, probeVec: Column,
+               ivf: IvfIndex, pq: PqIndex, k: Int, nprobe: Int,
+               maxProbes: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    val coded = corpus
+      .select(corpusId.cast("long").as("neighbor_id"),
+        corpusVec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("neighbor_id"), cellOf(ivf, col("v")).as("cell"),
+        posexplode(encodePq(pq, col("v"))).as(Seq("sub", "code")))
+    val pSlim = probes
+      .select(probeId.cast("long").as("query_id"),
+        probeVec.cast("array<double>").as("q"))
+      .filter(col("q").isNotNull)
+    val pRows = pSlim.limit(maxProbes + 1).collect()
+    require(pRows.length <= maxProbes,
+      s"ivf_pq_knn probe set exceeds $maxProbes rows: batch the probes or " +
+        "raise maxProbes")
+    // probed cells per query (driver math over the collected probes — the
+    // same vectors already build the LUT)
+    val probeCells = pRows.flatMap { r =>
+      val q = r.getSeq[Double](1).toArray
+      val d2 = ivf.centroids.map { cvec =>
+        var d = 0.0; var j = 0
+        while (j < q.length) { val t = cvec(j) - q(j); d += t * t; j += 1 }
+        d
+      }
+      d2.zipWithIndex.sortBy { case (d, i) => (d, i) }.take(nprobe)
+        .map { case (_, cell) => (r.getLong(0), cell) }
+    }
+    val lutRows = pRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      for {
+        s0 <- 0 until pq.numSub
+        c <- 0 until pq.codebookSize
+      } yield {
+        val cent = pq.codebooks(s0)(c)
+        var d = 0.0
+        var j = 0
+        while (j < pq.subDim) {
+          val t = q(s0 * pq.subDim + j) - cent(j); d += t * t; j += 1
+        }
+        (qid, s0, c, d)
+      }
+    }
+    import spark.implicits._
+    val cellsDf = probeCells.toSeq.toDF("query_id", "cell")
+    val lut = lutRows.toSeq.toDF("query_id", "sub", "code", "d")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    coded.join(broadcast(cellsDf), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rk"))
+  }
+
   /** IVF top-k: probes search only their `nprobe` nearest cells. Exact
     * within probed cells; recall < 1 only when a true neighbor lives in an
     * unprobed cell.

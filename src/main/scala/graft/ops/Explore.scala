@@ -123,4 +123,30 @@ object Explore {
       .toDF("n", "min", "q1", "median", "q3", "max", "iqr",
         "whisker_lo", "whisker_hi", "n_outliers_lo", "n_outliers_hi")
   }
+
+  /** Heavy hitters: approximate top-k items of a column by frequency via
+    * Spark 4's native `approx_top_k` (a DataSketches frequent-items
+    * sketch — mergeable, state bounded by `maxTracked` counters at every
+    * stage regardless of true cardinality; estimate error <= n/maxTracked).
+    * When the column's distinct count is <= maxTracked the counts are
+    * EXACT — the profile/dashboard regime — while a row-scale id column
+    * stays safely approximate instead of OOMing a groupBy-count-sort.
+    * The sketch's own item order is not contractual, so rows are
+    * re-ranked deterministically by (count desc, item). Returns
+    * (rank, item, count). */
+  def topK(df: DataFrame, c: Column, k: Int = 10,
+           maxTracked: Int = 10000): DataFrame = {
+    require(k >= 1 && maxTracked >= k,
+      s"top_k: need 1 <= k <= maxTracked, got k=$k maxTracked=$maxTracked")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("count").desc, col("item"))
+    df.select(call_function("approx_top_k", c.cast("string"), lit(k),
+        lit(maxTracked)).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("count"))
+      // <= k rows: the single-partition window is over the sketch result,
+      // never over row-scale data
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("item"), col("count"))
+  }
 }

@@ -83,4 +83,35 @@ class ExploreSpec extends AnyFunSuite {
       "SELECT box_stats(v, 'exact') FROM explore_t").head()
     assert(b.getAs[Long]("n") == 50L && b.getAs[Double]("median") == 25.5)
   }
+
+  test("topK: exact in the bounded-domain regime, heavies survive eviction") {
+    val small = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++ Seq("d")
+    val r = Explore.topK(small.toDF("x"), $"x", k = 3, maxTracked = 100)
+      .collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq ==
+      Seq((1, "a", 5L), (2, "b", 3L), (3, "c", 2L)), r.mkString(","))
+    // eviction regime: ~40k-distinct tail + two ~5% heavies, 200 counters:
+    // the sketch must keep the heavies with counts inside n/maxTracked
+    val rng = new scala.util.Random(9)
+    val big = (1 to 100000).map { i =>
+      if (i % 20 == 0) "HEAVY1"
+      else if (i % 21 == 0) "HEAVY2"
+      else s"tail_${rng.nextInt(40000)}"
+    }
+    val r2 = Explore.topK(big.toDF("x").repartition(8), $"x",
+      k = 2, maxTracked = 200).collect()
+    assert(r2.map(_.getString(1)).toSet == Set("HEAVY1", "HEAVY2"),
+      r2.mkString(","))
+    r2.foreach { row =>
+      val exact = big.count(_ == row.getString(1)).toLong
+      assert(math.abs(row.getLong(2) - exact) <= 100000 / 200,
+        s"$row vs exact $exact")
+    }
+    intercept[IllegalArgumentException] {
+      Explore.topK(small.toDF("x"), $"x", k = 0)
+    }
+    small.toDF("x").createOrReplaceTempView("topk_t")
+    assert(GraftGateway.sql(spark, "SELECT top_k(x, 2) FROM topk_t")
+      .count() == 2)
+  }
 }

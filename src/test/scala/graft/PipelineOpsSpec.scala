@@ -697,6 +697,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxProbes"), e.getMessage)
   }
 
+  test("ivfPqKnn: the IVF-PQ composition keeps the planted copies") {
+    val base = vecsDf.filter($"id" < 80)
+    val copies = (0 until 3).flatMap(p =>
+      (1 to 5).map(j => (1000L + p * 10 + j, vecs(p)._2)))
+    val corpus = base.unionByName(copies.toDF("id", "v"))
+    val ivf = Ann.trainIvf(corpus, $"v", numCells = 4, sampleSize = 95,
+      seed = 11L)
+    val pq = Ann.trainPq(corpus, $"v", numSub = 4, codebookSize = 8,
+      sampleSize = 95, seed = 11L)
+    val probes = vecsDf.filter($"id" < 3).select($"id".as("pid"), $"v".as("q"))
+    // nprobe = ALL cells: recall equals plain PQ (the composition is then
+    // pure plumbing), and the copies' global-minimum ADC property holds
+    val top = Ann.ivfPqKnn(corpus, $"id", $"v", probes, $"pid", $"q",
+      ivf, pq, k = 5, nprobe = 4).collect()
+    val byQ = top.groupBy(_.getLong(0))
+    (0L until 3L).foreach { p =>
+      val rows = byQ(p).sortBy(_.getInt(3))
+      val copyIds = (1 to 5).map(j => 1000L + p * 10 + j).toSet
+      val minD = rows.map(_.getDouble(2)).min
+      assert(rows.map(_.getLong(1)).count(copyIds) >= 4 &&
+        rows.filter(r => !copyIds(r.getLong(1))).forall(
+          _.getDouble(2) <= minD + 1e-12),
+        rows.map(r => (r.getLong(1), r.getDouble(2))).mkString(","))
+    }
+    // nprobe = 1: an exact copy lives in the probe's own nearest cell, so
+    // the copies still surface even under maximal pruning
+    val pruned = Ann.ivfPqKnn(corpus, $"id", $"v", probes, $"pid", $"q",
+      ivf, pq, k = 5, nprobe = 1).collect().groupBy(_.getLong(0))
+    (0L until 3L).foreach { p =>
+      val copyIds = (1 to 5).map(j => 1000L + p * 10 + j).toSet
+      assert(pruned(p).map(_.getLong(1)).count(copyIds) >= 4,
+        pruned(p).map(_.getLong(1)).mkString(","))
+    }
+  }
+
   test("videoMetadata: ISO-BMFF box walk — dims, duration, codecs, corrupt bytes") {
     val rows = Seq(
       (1L, Multimodal.patternMp4Bytes(640, 360, 5000L, withAudio = true)),
