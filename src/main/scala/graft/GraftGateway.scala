@@ -76,6 +76,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT top_k(col[, k[, max_tracked]])       FROM <any>
   * SELECT funnel(user, ts, event, 'a', 'b', ..., window) FROM <events>
   * SELECT retention(user, ts, bucket_len)      FROM <events>
+  * SELECT e_value(y, t[, alpha])               FROM <any>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -216,7 +217,7 @@ object GraftGateway {
     "anova", "fdr_bh", "chisq_independence", "eb_shrink_means", "cox_ph",
     "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
     "ratio_mde", "synth_control", "group_sequential", "event_study",
-    "event_study_curve", "top_k", "funnel", "retention")
+    "event_study_curve", "top_k", "funnel", "retention", "e_value")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -464,6 +465,11 @@ object GraftGateway {
           "synth_control(unit, period, y, 'treated_unit', pre_end)")
         SynthControl.synthControl(df, c(a(0)), c(a(1)), c(a(2)),
           str(a(3)), num(a(4))).path
+      case "e_value" =>
+        // VanderWeele-Ding robustness number for observational estimates
+        require(a.length >= 2, "e_value(y, t[, alpha])")
+        SimpleTests.eValue(df, c(a(0)), c(a(1)),
+          alpha = if (a.length > 2) num(a(2)) else 0.05)
       case "funnel" =>
         // ordered funnel: leading columns, step-name string literals,
         // trailing numeric window (same unit as ts)

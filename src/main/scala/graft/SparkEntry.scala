@@ -1716,6 +1716,23 @@ object SparkEntry {
         recall >= 0.95, sfTag(d)))
         .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass", "oracle_sf")
     }),
+    "q157_e_value" -> ((s, d) => {
+      // E-value sensitivity analysis through the gateway: how strong an
+      // unmeasured confounder must be (risk-ratio scale) to explain away
+      // the observed return-rate difference between odd and even
+      // suppliers — every output a closed form over per-arm event counts
+      t(s, d, "lineitem")
+        .select((col("l_returnflag") === "R").cast("int").as("ret"),
+          (col("l_suppkey") % 2).cast("int").as("arm"))
+        .createOrReplaceTempView("li_ev")
+      GraftGateway.sql(s, "SELECT e_value(ret, arm) FROM li_ev")
+        .select(col("n1"), col("n0"), round(col("p1"), 6).as("p1"),
+          round(col("p0"), 6).as("p0"), round(col("rr"), 6).as("rr"),
+          round(col("rr_lower"), 6).as("rr_lower"),
+          round(col("rr_upper"), 6).as("rr_upper"),
+          round(col("e_value"), 6).as("e_value"),
+          round(col("e_value_ci"), 6).as("e_value_ci"))
+    }),
     "q155_funnel" -> ((s, d) => {
       // ordered view -> click -> purchase funnel through the gateway,
       // 3-day window. Times ride as EXACT epoch-micros (integer-valued
@@ -2613,6 +2630,38 @@ object SparkEntry {
         |  CAST(50 AS BIGINT) AS n_true, CAST(50 AS BIGINT) AS n_hit,
         |  CAST(1.0 AS DOUBLE) AS recall, TRUE AS pass,
         |  '0.01' AS oracle_sf""".stripMargin,
+    "q157_e_value" ->
+      // per-arm event counts -> RR, log-RR delta CI (z pinned to 16
+      // digits), E = RR + sqrt(RR(RR-1)) with the away-from-null flip and
+      // the cross-null CI pin, in the SAME IEEE order as the Scala forms
+      """WITH m AS (SELECT
+        |    sum(CASE WHEN l_suppkey % 2 <> 0 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN l_suppkey % 2 <> 0 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS e1,
+        |    sum(CASE WHEN l_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN l_suppkey % 2 = 0 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS e0
+        |  FROM lineitem),
+        |c AS (SELECT n1, n0, e1, e0,
+        |    CAST(e1 AS DOUBLE) / n1 AS p1, CAST(e0 AS DOUBLE) / n0 AS p0
+        |  FROM m),
+        |d AS (SELECT n1, n0, p1, p0, p1 / p0 AS rr,
+        |    sqrt((1.0 - p1) / e1 + (1.0 - p0) / e0) AS sel,
+        |    1.9599639845400545 AS z
+        |  FROM c),
+        |e AS (SELECT n1, n0, p1, p0, rr,
+        |    exp(ln(rr) - z * sel) AS lo, exp(ln(rr) + z * sel) AS hi
+        |  FROM d),
+        |f AS (SELECT *,
+        |    CASE WHEN rr < 1.0 THEN 1.0 / rr ELSE rr END AS arr,
+        |    CASE WHEN lo <= 1.0 AND hi >= 1.0 THEN NULL
+        |         WHEN rr >= 1.0 THEN (CASE WHEN lo < 1.0 THEN 1.0 / lo ELSE lo END)
+        |         ELSE (CASE WHEN hi < 1.0 THEN 1.0 / hi ELSE hi END) END AS aci
+        |  FROM e)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+        |  round(p1, 6) AS p1, round(p0, 6) AS p0, round(rr, 6) AS rr,
+        |  round(lo, 6) AS rr_lower, round(hi, 6) AS rr_upper,
+        |  round(arr + sqrt(arr * (arr - 1.0)), 6) AS e_value,
+        |  round(coalesce(aci + sqrt(aci * (aci - 1.0)), 1.0), 6) AS e_value_ci
+        |FROM f""".stripMargin,
     "q155_funnel" ->
       // the same sequential-min chain: anchor = first view; click after
       // the anchor inside the window; purchase after the click inside the

@@ -207,4 +207,53 @@ object SimpleTests {
     Seq((n, ratio, sdD, mdeAbs, mdeRel, nTarget))
       .toDF("n", "ratio", "sd_delta", "mde_abs", "mde_rel", "n_per_arm_target")
   }
+
+  /** E-value sensitivity analysis (VanderWeele & Ding 2017) for a binary
+    * outcome under a binary exposure — the robustness number every
+    * OBSERVATIONAL estimate should ship with: the minimum strength of
+    * association (risk-ratio scale) an unmeasured confounder would need
+    * with BOTH exposure and outcome to explain the estimate away.
+    * E = RR + sqrt(RR·(RR−1)) on the away-from-null direction (RR < 1
+    * inverts first); the CI E-value applies the same map to the CI limit
+    * CLOSER to the null (1.0 exactly if the CI crosses 1). The RR CI is
+    * the standard log-RR delta interval. ONE aggregate pass (per-arm
+    * event counts) + driver closed forms — everything SQL-replayable.
+    * Returns one row: (n1, n0, p1, p0, rr, rr_lower, rr_upper, e_value,
+    * e_value_ci). */
+  def eValue(df: DataFrame, y: Column, t: Column,
+             alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yi = y.cast("int")
+    val r = df.filter(yi.isNotNull && t.isNotNull).agg(
+      sum(when(t =!= 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(t =!= 0, yi.cast("long")).otherwise(0L)).as("e1"),
+      sum(when(t === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(t === 0, yi.cast("long")).otherwise(0L)).as("e0")).head()
+    val (n1, e1) = (r.getAs[Long]("n1"), r.getAs[Long]("e1"))
+    val (n0, e0) = (r.getAs[Long]("n0"), r.getAs[Long]("e0"))
+    require(n1 > 0 && n0 > 0, "e_value: both arms need rows")
+    require(e1 > 0 && e0 > 0,
+      "e_value: both arms need events (zero cells need a continuity fix upstream)")
+    val p1 = e1.toDouble / n1
+    val p0 = e0.toDouble / n0
+    val rr = p1 / p0
+    val z = Dist.normQuantile(1 - alpha / 2)
+    val seLog = math.sqrt((1.0 - p1) / e1 + (1.0 - p0) / e0)
+    val lo = math.exp(math.log(rr) - z * seLog)
+    val hi = math.exp(math.log(rr) + z * seLog)
+    def e(x: Double): Double = {
+      val a = if (x < 1.0) 1.0 / x else x
+      a + math.sqrt(a * (a - 1.0))
+    }
+    // CI limit closer to the null; crossing the null pins the CI E-value
+    // at exactly 1 (no confounding needed to reach it)
+    val eCi =
+      if (lo <= 1.0 && hi >= 1.0) 1.0
+      else if (rr >= 1.0) e(lo)
+      else e(hi)
+    Seq((n1, n0, p1, p0, rr, lo, hi, e(rr), eCi))
+      .toDF("n1", "n0", "p1", "p0", "rr", "rr_lower", "rr_upper",
+        "e_value", "e_value_ci")
+  }
 }

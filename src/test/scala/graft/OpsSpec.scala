@@ -288,6 +288,33 @@ class OpsSpec extends AnyFunSuite {
     assert(n <= 12, s"bhAdjust spent $n jobs — validation split out again?")
   }
 
+  test("eValue: VanderWeele-Ding closed forms, null-crossing CI pin") {
+    // 30/100 vs 15/100: RR = 2, E = 2 + sqrt(2) — the textbook example
+    val rows = (1 to 100).map(i => (if (i <= 30) 1 else 0, 1)) ++
+      (1 to 100).map(i => (if (i <= 15) 1 else 0, 0))
+    val r = graft.ops.SimpleTests.eValue(rows.toDF("y", "t"), $"y", $"t")
+      .head()
+    assert(r.getAs[Long]("n1") == 100 && r.getAs[Long]("n0") == 100)
+    assert(math.abs(r.getAs[Double]("rr") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("e_value") - (2.0 + math.sqrt(2.0))) < 1e-12)
+    // protective direction inverts before the map: RR 0.5 -> same E
+    val inv = graft.ops.SimpleTests.eValue(
+      rows.map { case (y, t) => (y, 1 - t) }.toDF("y", "t"), $"y", $"t").head()
+    assert(math.abs(inv.getAs[Double]("rr") - 0.5) < 1e-12)
+    assert(math.abs(inv.getAs[Double]("e_value") -
+      (2.0 + math.sqrt(2.0))) < 1e-12)
+    // a CI that crosses the null pins e_value_ci at exactly 1
+    val weak = (1 to 60).map(i => (if (i <= 12) 1 else 0, 1)) ++
+      (1 to 60).map(i => (if (i <= 10) 1 else 0, 0))
+    val w = graft.ops.SimpleTests.eValue(weak.toDF("y", "t"), $"y", $"t").head()
+    assert(w.getAs[Double]("rr_lower") < 1.0 && w.getAs[Double]("rr_upper") > 1.0)
+    assert(w.getAs[Double]("e_value_ci") == 1.0)
+    intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.eValue(
+        Seq((0, 1), (0, 0)).toDF("y", "t"), $"y", $"t")
+    }
+  }
+
   test("ratioMde replays the delta-method closed forms") {
     val rows = Seq((10.0, 100.0), (12.0, 90.0), (8.0, 110.0), (15.0, 120.0),
       (9.0, 95.0), (11.0, 105.0))
