@@ -120,16 +120,21 @@ object Bench {
       s.min
     }
     var sentinel1 = sentinel1Sample()
-    // sentinel-gated retry: both the r9 and r10 DRIVER artifacts were
-    // load-poisoned wholesale (sentinel1 ~3x its quiet value) even though
-    // the in-loop drift check passed — sustained externally-imposed load
-    // inflates every sample equally, which uniform drift can't see. The
-    // single-core sentinel vs the post-pass multi-core sentinels is the
-    // cross-check: on a quiet box they agree within ~2x; past that, the
-    // suite ran under load, so run ONE more full pass (the per-query min
-    // spans it) and record the retry so the artifact explains itself.
+    // sentinel-gated retry: the r9 and r10 DRIVER artifacts were
+    // load-poisoned wholesale even though the in-loop drift check passed —
+    // sustained externally-imposed load inflates every sample equally,
+    // which uniform drift can't see. The single-core sentinel vs the
+    // post-pass multi-core sentinels is the cross-check. CALIBRATION
+    // (measured on this box class, quiet): sentinel1 ~= 0.42 s while the
+    // multi-core sentinel ~= 0.13 s — a ~3.2x inherent ratio (scheduler
+    // overhead amortizes differently at 1 vs `cpus` partitions), so the
+    // gate triggers at 2x THAT ratio, i.e. sentinel1 > 6.4x the quietest
+    // post-pass sentinel. The r8-class load (3-10x) clears it easily; a
+    // quiet run does not. On trigger: ONE more full pass (the per-query
+    // min spans it) and the retry is recorded so the artifact explains
+    // itself.
     var retries = 0
-    val gateThreshold = 2.0 * sentinels.drop(1).min
+    val gateThreshold = 6.4 * sentinels.drop(1).min
     val gateTriggered = sentinel1 > gateThreshold
     if (gateTriggered && passes.length < maxPasses + 1) {
       passes += ordered.map { case (name, fn) => name -> time(fn) }

@@ -77,6 +77,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT funnel(user, ts, event, 'a', 'b', ..., window) FROM <events>
   * SELECT retention(user, ts, bucket_len)      FROM <events>
   * SELECT e_value(y, t[, alpha])               FROM <any>
+  * SELECT profile_diff('new_table'[, 'exact'])  FROM <old_version>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -217,7 +218,8 @@ object GraftGateway {
     "anova", "fdr_bh", "chisq_independence", "eb_shrink_means", "cox_ph",
     "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
     "ratio_mde", "synth_control", "group_sequential", "event_study",
-    "event_study_curve", "top_k", "funnel", "retention", "e_value")
+    "event_study_curve", "top_k", "funnel", "retention", "e_value",
+    "profile_diff")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -465,6 +467,12 @@ object GraftGateway {
           "synth_control(unit, period, y, 'treated_unit', pre_end)")
         SynthControl.synthControl(df, c(a(0)), c(a(1)), c(a(2)),
           str(a(3)), num(a(4))).path
+      case "profile_diff" =>
+        // release audit: schema + shape diff vs a registered table/view
+        require(a.nonEmpty, "profile_diff('new_table'[, 'exact'])")
+        Explore.profileDiff(df, spark.table(str(a(0))),
+          exactDistinct = a.length > 1 &&
+            str(a(1)).equalsIgnoreCase("exact"))
       case "e_value" =>
         // VanderWeele-Ding robustness number for observational estimates
         require(a.length >= 2, "e_value(y, t[, alpha])")

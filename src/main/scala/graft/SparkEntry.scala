@@ -1716,6 +1716,23 @@ object SparkEntry {
         recall >= 0.95, sfTag(d)))
         .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass", "oracle_sf")
     }),
+    "q158_profile_diff" -> ((s, d) => {
+      // release audit through the gateway: the "new release" drops a
+      // column, adds another, and filters 1-in-5 rows; every metric is a
+      // pure closed form (exact distincts for oracle parity)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .createOrReplaceTempView("rel_old")
+      t(s, d, "orders").filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_custkey").as("cust"))
+        .createOrReplaceTempView("rel_new")
+      GraftGateway.sql(s,
+          "SELECT profile_diff('rel_new', 'exact') FROM rel_old")
+        .withColumn("null_frac_old", round(col("null_frac_old"), 6))
+        .withColumn("null_frac_new", round(col("null_frac_new"), 6))
+        .orderBy(col("column"))
+    }),
     "q157_e_value" -> ((s, d) => {
       // E-value sensitivity analysis through the gateway: how strong an
       // unmeasured confounder must be (risk-ratio scale) to explain away
@@ -2630,6 +2647,49 @@ object SparkEntry {
         |  CAST(50 AS BIGINT) AS n_true, CAST(50 AS BIGINT) AS n_hit,
         |  CAST(1.0 AS DOUBLE) AS recall, TRUE AS pass,
         |  '0.01' AS oracle_sf""".stripMargin,
+    "q158_profile_diff" ->
+      // per-column closed forms; statuses/dtypes are schema facts
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |  FROM orders),
+        |nw AS (SELECT o_orderkey, o_orderstatus, o_custkey AS cust
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT * FROM (
+        |SELECT 'cust' AS "column", 'added' AS status,
+        |  CAST(NULL AS VARCHAR) AS dtype_old, 'bigint' AS dtype_new,
+        |  CAST(NULL AS BIGINT) AS n_old,
+        |  (SELECT count(*) FROM nw) AS n_new,
+        |  CAST(NULL AS DOUBLE) AS null_frac_old, 0.0 AS null_frac_new,
+        |  CAST(NULL AS BIGINT) AS n_distinct_old,
+        |  (SELECT count(DISTINCT cust) FROM nw) AS n_distinct_new,
+        |  CAST(NULL AS VARCHAR) AS min_old,
+        |  (SELECT CAST(min(cust) AS VARCHAR) FROM nw) AS min_new,
+        |  CAST(NULL AS VARCHAR) AS max_old,
+        |  (SELECT CAST(max(cust) AS VARCHAR) FROM nw) AS max_new
+        |UNION ALL
+        |SELECT 'o_orderkey', 'kept', 'bigint', 'bigint',
+        |  (SELECT count(*) FROM o), (SELECT count(*) FROM nw), 0.0, 0.0,
+        |  (SELECT count(DISTINCT o_orderkey) FROM o),
+        |  (SELECT count(DISTINCT o_orderkey) FROM nw),
+        |  (SELECT CAST(min(o_orderkey) AS VARCHAR) FROM o),
+        |  (SELECT CAST(min(o_orderkey) AS VARCHAR) FROM nw),
+        |  (SELECT CAST(max(o_orderkey) AS VARCHAR) FROM o),
+        |  (SELECT CAST(max(o_orderkey) AS VARCHAR) FROM nw)
+        |UNION ALL
+        |SELECT 'o_orderpriority', 'removed', 'string', NULL,
+        |  (SELECT count(*) FROM o), NULL, 0.0, NULL,
+        |  (SELECT count(DISTINCT o_orderpriority) FROM o), NULL,
+        |  (SELECT min(o_orderpriority) FROM o), NULL,
+        |  (SELECT max(o_orderpriority) FROM o), NULL
+        |UNION ALL
+        |SELECT 'o_orderstatus', 'kept', 'string', 'string',
+        |  (SELECT count(*) FROM o), (SELECT count(*) FROM nw), 0.0, 0.0,
+        |  (SELECT count(DISTINCT o_orderstatus) FROM o),
+        |  (SELECT count(DISTINCT o_orderstatus) FROM nw),
+        |  (SELECT min(o_orderstatus) FROM o),
+        |  (SELECT min(o_orderstatus) FROM nw),
+        |  (SELECT max(o_orderstatus) FROM o),
+        |  (SELECT max(o_orderstatus) FROM nw))
+        |ORDER BY "column"""".stripMargin,
     "q157_e_value" ->
       // per-arm event counts -> RR, log-RR delta CI (z pinned to 16
       // digits), E = RR + sqrt(RR(RR-1)) with the away-from-null flip and

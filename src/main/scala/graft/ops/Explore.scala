@@ -124,6 +124,64 @@ object Explore {
         "whisker_lo", "whisker_hi", "n_outliers_lo", "n_outliers_hi")
   }
 
+  /** Release-to-release PROFILE DIFF: the schema/shape audit a pipeline
+    * runs between dataset versions, one step up from [[Dedup.snapshotDiff]]'s
+    * row-level diff. Column status (added / removed / type_changed / kept)
+    * comes from pure schema comparison (no job); per-side metrics (rows,
+    * null fraction, distinct count, min/max as strings) come from ONE
+    * aggregate pass PER SIDE over that side's compared columns —
+    * `exactDistinct = false` (default) keeps distincts HLL-approximate
+    * (the 100 TB path), `true` gives exact parity for audited releases.
+    * Returns one row per column in either schema, absent-side metrics
+    * null. */
+  def profileDiff(oldDf: DataFrame, newDf: DataFrame,
+                  exactDistinct: Boolean = false): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val oldT = oldDf.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val newT = newDf.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val cols = (oldDf.schema.map(_.name) ++
+      newDf.schema.map(_.name).filterNot(oldT.contains)).toSeq
+    def side(df: DataFrame, names: Seq[String]): Map[String, (Long, Long, Long, String, String)] = {
+      if (names.isEmpty) return Map.empty
+      val aggs = count(lit(1)).as("__rows") +: names.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"),
+          (if (exactDistinct) countDistinct(col(c))
+           else approx_count_distinct(col(c))).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long]("__rows")
+      names.map { c =>
+        c -> ((n, n - r.getAs[Long](s"nn_$c"), r.getAs[Long](s"nd_$c"),
+          r.getAs[String](s"mn_$c"), r.getAs[String](s"mx_$c")))
+      }.toMap
+    }
+    val o = side(oldDf, cols.filter(oldT.contains))
+    val nw = side(newDf, cols.filter(newT.contains))
+    val out = cols.map { c =>
+      val status = (oldT.get(c), newT.get(c)) match {
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+        case (Some(a), Some(b)) if a != b => "type_changed"
+        case _ => "kept"
+      }
+      def frac(m: Option[(Long, Long, Long, String, String)]): Option[Double] =
+        m.map { case (n, nulls, _, _, _) =>
+          if (n == 0) 0.0 else nulls.toDouble / n }
+      (c, status, oldT.get(c), newT.get(c),
+        o.get(c).map(_._1), nw.get(c).map(_._1),
+        frac(o.get(c)), frac(nw.get(c)),
+        o.get(c).map(_._3), nw.get(c).map(_._3),
+        o.get(c).flatMap(x => Option(x._4)), nw.get(c).flatMap(x => Option(x._4)),
+        o.get(c).flatMap(x => Option(x._5)), nw.get(c).flatMap(x => Option(x._5)))
+    }
+    out.toDF("column", "status", "dtype_old", "dtype_new", "n_old", "n_new",
+      "null_frac_old", "null_frac_new", "n_distinct_old", "n_distinct_new",
+      "min_old", "min_new", "max_old", "max_new")
+  }
+
   /** Heavy hitters: approximate top-k items of a column by frequency via
     * Spark 4's native `approx_top_k` (a DataSketches frequent-items
     * sketch — mergeable, state bounded by `maxTracked` counters at every

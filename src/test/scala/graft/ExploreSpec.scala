@@ -84,6 +84,28 @@ class ExploreSpec extends AnyFunSuite {
     assert(b.getAs[Long]("n") == 50L && b.getAs[Double]("median") == 25.5)
   }
 
+  test("profileDiff: schema status and per-side shape metrics") {
+    val oldDf = Seq((1L, Option("a"), 1.5), (2L, Option("b"), 2.5),
+      (3L, Option.empty[String], 3.5)).toDF("id", "s", "x")
+    val newDf = Seq((1L, 10, "u"), (2L, 20, "v")).toDF("id", "x", "z")
+    val r = Explore.profileDiff(oldDf, newDf, exactDistinct = true)
+      .collect().map(row => row.getString(0) -> row).toMap
+    assert(r("id").getString(1) == "kept")
+    assert(r("s").getString(1) == "removed" && r("s").isNullAt(5))
+    assert(r("x").getString(1) == "type_changed")
+    assert(r("z").getString(1) == "added" && r("z").isNullAt(4))
+    assert(r("id").getLong(4) == 3 && r("id").getLong(5) == 2)
+    assert(math.abs(r("s").getDouble(6) - 1.0 / 3) < 1e-12)
+    assert(r("id").getString(10) == "1" && r("id").getString(11) == "1" &&
+      r("id").getString(12) == "3" && r("id").getString(13) == "2")
+    assert(r("x").getString(2) == "double" && r("x").getString(3) == "int")
+    // gateway: the new release is a registered view, the FROM side is old
+    oldDf.createOrReplaceTempView("pd_old")
+    newDf.createOrReplaceTempView("pd_new")
+    assert(GraftGateway.sql(spark,
+      "SELECT profile_diff('pd_new', 'exact') FROM pd_old").count() == 4)
+  }
+
   test("topK: exact in the bounded-domain regime, heavies survive eviction") {
     val small = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++ Seq("d")
     val r = Explore.topK(small.toDF("x"), $"x", k = 3, maxTracked = 100)
