@@ -239,4 +239,62 @@ class PartitionInvarianceSpec extends AnyFunSuite {
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
     chs.tail.foreach(c => assert(c == chs.head, "chunk counts"))
   }
+
+  // layouts for frames keyed by a column other than uin
+  private def layoutsBy(df: DataFrame, key: String): Seq[DataFrame] =
+    Seq(df.coalesce(1), df.repartition(7, col(key)), df.repartition(13))
+
+  test("round-11 verbs invariant to partitioning: funnel, retention, top_k, pairs, event study, synth control") {
+    // funnel / retention: integer user counts, exact equality
+    val ev = (1 to 900).map { i =>
+      val u = i % 90
+      val step = i % 3 match { case 0 => "A"; case 1 => "B"; case _ => "C" }
+      (u.toLong, (i % 50).toDouble, step)
+    }.toDF("u", "t", "e")
+    val fs = layoutsBy(ev, "u").map(d =>
+      graft.ops.Funnel.funnel(d, $"u", $"t", $"e", Seq("A", "B", "C"), 30.0)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap)
+    fs.tail.foreach(f => assert(f == fs.head, "funnel counts"))
+    val rs = layoutsBy(ev, "u").map(d =>
+      graft.ops.Funnel.retentionMatrix(d, $"u", $"t", 10.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap)
+    rs.tail.foreach(r => assert(r == rs.head, "retention counts"))
+    // top_k in the exact regime: identical (rank, item, count) rows
+    val ts = layoutsBy(ev, "u").map(d =>
+      graft.ops.Explore.topK(d, $"e", k = 3, maxTracked = 100)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq)
+    ts.tail.foreach(t => assert(t == ts.head, "top_k rows"))
+    // hammingPairs: exact pair set (hash arithmetic + integer hamming)
+    val hashed = (0L until 300L).map(i => (i, i / 3 * 1024L)).toDF("id", "h")
+    val ps = layoutsBy(hashed, "id").map(d =>
+      graft.ops.Dedup.hammingPairs(d, $"id", $"h", maxHamming = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    ps.tail.foreach(p => assert(p == ps.head, "hamming pair set"))
+    // event study ATT: cell means merge in different orders -> tolerance
+    val panel = (for { u <- 0 until 60; t <- 1 to 6 } yield {
+      val g = if (u % 2 == 0) 0L else 4L
+      (u.toLong, g, t.toLong, t * 1.5 + (u % 5) * 0.3 +
+        (if (g == 4L && t >= 4) 2.0 else 0.0))
+    }).toDF("u", "g", "t", "y")
+    val es = layoutsBy(panel, "u").map(d =>
+      graft.ops.EventStudy.groupTimeAtt(d, $"g", $"t", $"y")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap)
+    es.head.keys.foreach { k =>
+      assertClose(es.map(_(k)), s"event-study ATT $k")
+    }
+    // synth control: deterministic FW over cell means -> tolerance
+    val sp = (for { u <- Seq("tr", "d1", "d2", "d3"); t <- 1 to 12 } yield {
+      val v = u match {
+        case "tr" => 5.0 + t + 0.05 * t * t
+        case "d1" => 10.0 + t + 0.1 * t * t
+        case "d2" => 3.0 + 0.9 * t
+        case _ => 7.0 - 0.2 * t
+      }
+      (u, t.toLong, v)
+    }).toDF("u", "t", "y")
+    val ws = layoutsBy(sp, "u").map(d =>
+      graft.ops.SynthControl.synthControl(d, $"u", $"t", $"y", "tr", 8.0)
+        .weights.toSeq)
+    ws.head.indices.foreach(i => assertClose(ws.map(_(i)), s"synth w$i"))
+  }
 }
