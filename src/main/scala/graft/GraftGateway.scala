@@ -76,6 +76,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT top_k(col[, k[, max_tracked]])       FROM <any>
   * SELECT funnel(user, ts, event, 'a', 'b', ..., window) FROM <events>
   * SELECT retention(user, ts, bucket_len)      FROM <events>
+  * SELECT weighted_sample(stratum, weight, u01, k) FROM <any>
   * SELECT e_value(y, t[, alpha])               FROM <any>
   * SELECT profile_diff('new_table'[, 'exact'])  FROM <old_version>
   * }}}
@@ -219,7 +220,7 @@ object GraftGateway {
     "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
     "ratio_mde", "synth_control", "group_sequential", "event_study",
     "event_study_curve", "top_k", "funnel", "retention", "e_value",
-    "profile_diff")
+    "profile_diff", "weighted_sample")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -488,6 +489,16 @@ object GraftGateway {
       case "retention" =>
         require(a.length >= 3, "retention(user, ts, bucket_len)")
         Funnel.retentionMatrix(df, c(a(0)), c(a(1)), num(a(2)))
+      case "weighted_sample" =>
+        // weighted sample WITHOUT replacement, k rows per stratum (A-ES
+        // keys; u01 must be a deterministic hash-uniform so the sample
+        // replays). Returned frame is a live plan — the per-call persist
+        // of the cap machinery does not outlive the verb, so materialize
+        // downstream before reusing it many times.
+        require(a.length >= 4,
+          "weighted_sample(stratum, weight, u01, k)")
+        Mixing.weightedSample(df, c(a(0)), c(a(1)), c(a(2)),
+          num(a(3)).toLong)(identity)
       case "top_k" =>
         // heavy hitters over ANY-cardinality column (bounded sketch state)
         require(a.nonEmpty, "top_k(col[, k[, max_tracked]])")

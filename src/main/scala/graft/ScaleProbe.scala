@@ -46,7 +46,13 @@ object ScaleProbe {
     // reader can judge artifact health without re-running.
     val timings =
       scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    // optional label filter: `runMain graft.ScaleProbe cox minhash` runs
+    // only entries whose label contains one of the substrings (plus the
+    // warmup) — the single-entry iteration loop while tuning an operator
+    val only = args.toSeq
     def time(label: String)(f: => Unit): Unit = {
+      if (only.nonEmpty && label != "warmup count" &&
+          !only.exists(label.contains)) return
       val t0 = System.nanoTime(); f
       val sec = (System.nanoTime() - t0) / 1e9
       timings.getOrElseUpdate(label,
@@ -286,17 +292,38 @@ object ScaleProbe {
     }
 
     // token-budget mixing at full scale: 16 strata over 100M docs, each
-    // budgeted to ~1% of its token mass — the driver state is
-    // O(partitions x strata) cells and the sample is one exchange
-    time(s"token budget mix ($rows docs, 16 strata)") {
+    // budgeted to ~1% of its token mass. Docs carry a ~128-byte payload —
+    // the shape the operator exists for: the narrow threshold pass ranges
+    // only (stratum, ord, tok) and the payload NEVER enters an exchange
+    // (it meets only the broadcast value-cut semi join). Driver state is
+    // O(partitions x strata) cells.
+    time(s"token budget mix ($rows docs, 16 strata, 128B payload)") {
       val md = spark.range(rows).select(col("id"),
         concat(lit("s"), (col("id") % 16).cast("string")).as("strat"),
-        (pmod(xxhash64(col("id"), lit(71)), lit(900L)) + 100L).as("ntok"))
+        (pmod(xxhash64(col("id"), lit(71)), lit(900L)) + 100L).as("ntok"),
+        concat(md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string")),
+          md5((col("id") + 2).cast("string")),
+          md5((col("id") + 3).cast("string"))).as("text"))
       val budgets = (0 until 16).map(i => s"s$i" -> rows * 55L / 16 / 100).toMap
       val kept = graft.ops.Mixing.tokenBudgetSample(md, col("strat"),
         col("ntok"), xxhash64(col("id"), lit(72)), budgets) { s2 => s2.count() }
       // ~550-token docs against a 0.55%-of-rows x 100-token budget → ~0.1%
       assert(kept > rows / 2000 && kept < rows / 500, s"kept $kept")
+    }
+
+    // weighted sampling w/o replacement at full scale: 1000 per 16 strata
+    // via A-ES keys over a hash uniform — capPerGroup's narrow two-phase
+    // cap, exact count contract (every stratum has ≫ 1000 rows)
+    time(s"weighted_sample k=1000 x 16 strata ($rows docs)") {
+      val md = spark.range(rows).select(col("id"),
+        concat(lit("s"), (col("id") % 16).cast("string")).as("strat"),
+        (pmod(xxhash64(col("id"), lit(81)), lit(99L)) + 1L).cast("double").as("w"),
+        ((pmod(xxhash64(col("id"), lit(82)), lit(1000000L)).cast("double") + 0.5)
+          / 1000000.0).as("u"))
+      val kept = graft.ops.Mixing.weightedSample(md, col("strat"),
+        col("w"), col("u"), k = 1000) { s2 => s2.count() }
+      assert(kept == 16L * 1000, s"kept $kept")
     }
 
     // meta-learner uplift at full scale: the T-learner's two arm fits are

@@ -1716,6 +1716,24 @@ object SparkEntry {
         recall >= 0.95, sfTag(d)))
         .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass", "oracle_sf")
     }),
+    "q159_weighted_sample" -> ((s, d) => {
+      // weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES
+      // keys): 30 docs per language with inclusion odds ∝ n_chars; u
+      // replays from the leading 32 md5 bits, so the kept SET is
+      // engine-independent and the id checksum pins the exact selection
+      val docs = t(s, d, "documents")
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("double") + 0.5) / 4294967296.0
+      graft.ops.Mixing.weightedSample(docs, col("lang"),
+          col("n_chars").cast("double"), u, k = 30) { sampled =>
+        sampled.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_checksum"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang"))
+          .localCheckpoint()
+      }
+    }),
     "q158_profile_diff" -> ((s, d) => {
       // release audit through the gateway: the "new release" drops a
       // column, adds another, and filters 1-in-5 rows; every metric is a
@@ -2647,6 +2665,21 @@ object SparkEntry {
         |  CAST(50 AS BIGINT) AS n_true, CAST(50 AS BIGINT) AS n_hit,
         |  CAST(1.0 AS DOUBLE) AS recall, TRUE AS pass,
         |  '0.01' AS oracle_sf""".stripMargin,
+    "q159_weighted_sample" ->
+      // same A-ES key -ln(u)/w in the same IEEE order; row_number replays
+      // the per-language k-smallest cut (keys are hash-unique, no ties)
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |         + 0.5) / 4294967296.0) / n_chars AS k
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY k) AS rn
+        |      FROM b)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r WHERE rn <= 30
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q158_profile_diff" ->
       // per-column closed forms; statuses/dtypes are schema facts
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderpriority

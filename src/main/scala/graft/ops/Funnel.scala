@@ -88,7 +88,10 @@ object Funnel {
     ev.join(firstSeen, "u")
       .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("n_users"))
-      .join(broadcast(sizes), "cohort")
+      // no broadcast hint: cohort count is usually report-sized (AQE will
+      // broadcast it) but is unbounded for tiny bucketLen over long
+      // horizons — let the runtime stats decide instead of forcing it
+      .join(sizes, "cohort")
       .select(col("cohort"), col("offset"), col("n_users"),
         (col("n_users").cast("double") / col("cohort_size")).as("retention"))
   }

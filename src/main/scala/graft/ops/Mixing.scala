@@ -17,18 +17,35 @@ import org.apache.spark.sql.{Column, DataFrame}
   * document and ends within one document of the target. Strata without a
   * budget entry are dropped — the mixture is the explicit contract.
   *
-  * 100 TB shape: ONE exchange — a range repartition on
-  * (stratum, orderKey) — then the same two-phase prefix sum as
-  * [[RangeCumSum]], but grouped: the driver sees one row per
+  * 100 TB shape: the document PAYLOAD never enters an exchange. A narrow
+  * (stratum, orderKey, tokens) projection — a column-pruned scan — takes
+  * one range repartition on (stratum, orderKey), then the grouped
+  * two-phase prefix sum of [[RangeCumSum]]: the driver sees one row per
   * (partition, stratum) cell (O(P × strata), and mixtures have tens of
   * strata), offsets go back as a broadcast literal map, and the cumsum
   * window partitions by (physical partition, stratum) so no stratum ever
   * sorts inside a single task — the scale trap of
-  * `Window.partitionBy(stratum)`.
+  * `Window.partitionBy(stratum)`. The prefix sum collapses to ONE
+  * threshold order key per stratum (the crossing document's), and the
+  * output is the original frame broadcast-semi-joined on
+  * `stratum = s AND orderKey <= threshold` — a filter at the scan, wide
+  * columns untouched, input partitioning preserved for downstream `f`.
   *
-  * Like RangeCumSum, runs `f` over the sampled frame while the shuffled
-  * input is persisted (the offsets collect and the output are two passes
-  * over the same exchange), so `f` must materialize what it needs.
+  * Order-key ties at the crossing point keep ALL tied documents (the
+  * threshold is a value cut, not a row cut) — deterministic where a
+  * row-number cut would be layout-dependent. With a hash `orderKey`,
+  * ties do not occur. `orderKey` must be deterministic (hash, not
+  * rand()): it is evaluated once in each pass.
+  *
+  * Measured A/B at 100M docs on local[32]/8g: with a 128-byte payload
+  * the previous plan (payload through the range exchange + persist)
+  * DIED with UNABLE_TO_ACQUIRE_MEMORY, while this plan completes; on a
+  * payload-free frame this plan pays ~1.7× (82 s vs 47 s — the extra
+  * narrow pass with nothing saved), the right trade for an operator
+  * whose input is documents.
+  *
+  * The sampled frame `f` receives is a live filter over `df` (nothing is
+  * persisted on its behalf), so `f` must materialize what it needs.
   */
 object Mixing {
   def tokenBudgetSample[T](df: DataFrame, stratum: Column, tokens: Column,
@@ -41,15 +58,15 @@ object Mixing {
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val keep = df.columns
-    val base = df
-      .withColumn("__stratum", stratum.cast("string"))
+    // pass 1 (narrow): per-stratum threshold order key. Only three thin
+    // columns shuffle — at corpus scale the text/bytes stay in place.
+    val narrow = df.select(stratum.cast("string").as("__stratum"),
+        orderKey.as("__ord"), tokens.cast("long").as("__tok"))
       .filter(col("__stratum").isin(budgets.keys.toSeq: _*))
-      .withColumn("__ord", orderKey)
-      .withColumn("__tok", tokens.cast("long"))
-    val parted = base.repartitionByRange(p, col("__stratum"), col("__ord"))
+    val parted = narrow.repartitionByRange(p, col("__stratum"), col("__ord"))
       .withColumn("__pid", spark_partition_id())
     parted.persist()
-    try {
+    val thresholds = try {
       // one row per (partition, stratum) cell — the driver-side state is
       // O(P × strata), never O(rows)
       val perCell = parted.groupBy(col("__pid"), col("__stratum"))
@@ -71,15 +88,31 @@ object Mixing {
         coalesce(element_at(offMap,
           concat_ws("|", col("__pid"), col("__stratum"))), lit(0L))
       // keep while the EXCLUSIVE prefix is under budget → the crossing
-      // document is included
-      val sampled = parted
+      // document is included, and its order key is the stratum's cut
+      val thr = parted
         .withColumn("__cum", cum)
         .filter(col("__cum") - col("__tok") <
           element_at(budgetMap, col("__stratum")))
+        .groupBy(col("__stratum")).agg(max(col("__ord")).as("__thr"))
+      thr.persist()
+      thr.count()
+      thr
+    } finally {
+      parted.unpersist()
+      ()
+    }
+    try {
+      // pass 2 (wide): value-cut the original frame against the tiny
+      // threshold table — broadcast semi join, no payload shuffle
+      val tagged = df.withColumn("__s0", stratum.cast("string"))
+        .withColumn("__o0", orderKey)
+      val sampled = tagged.join(broadcast(thresholds),
+          tagged("__s0") === thresholds("__stratum") &&
+            tagged("__o0") <= thresholds("__thr"), "left_semi")
         .select(keep.map(col): _*)
       f(sampled)
     } finally {
-      parted.unpersist()
+      thresholds.unpersist()
       ()
     }
   }
@@ -101,6 +134,33 @@ object Mixing {
     *
     * Runs `f` over the capped frame while the shuffled input is persisted
     * (cells and output are two passes over the same exchange). */
+  /** Weighted sampling WITHOUT replacement, k documents per stratum —
+    * Efraimidis & Spirakis (2006) "A-ES" exponential keys: item i gets key
+    * uᵢ^(1/wᵢ) (u uniform on (0,1)); the k LARGEST keys per stratum are a
+    * weighted sample without replacement. Implemented as the k smallest
+    * values of the equivalent order key −ln(u)/w riding [[capPerGroup]],
+    * so the plan is the same narrow two-phase cap (no stratum ever sorts
+    * in one task).
+    *
+    * `u01` must be a DETERMINISTIC uniform in the OPEN interval (0, 1) —
+    * derive it from a hash of the id (e.g. the leading hex of an md5, as
+    * `(conv(substring(md5(id), 1, 8), 16, 10) + 0.5) / 2^32`) so the exact
+    * sample replays in an external engine and survives retries; `rand()`
+    * would silently break both. Weights must be strictly positive. Both
+    * contracts are enforced IN the order-key expression (`raise_error`
+    * branch — no extra validation pass over the data). */
+  def weightedSample[T](df: DataFrame, stratum: Column, weight: Column,
+                        u01: Column, k: Long, partitions: Int = 0)
+                       (f: DataFrame => T): T = {
+    val w = weight.cast("double")
+    val u = u01.cast("double")
+    val key = when(w > 0.0 && u > 0.0 && u < 1.0, -log(u) / w)
+      .otherwise(raise_error(concat(
+        lit("weighted_sample: weight must be > 0 and u01 in (0,1), got weight="),
+        w.cast("string"), lit(" u01="), u.cast("string"))))
+    capPerGroup(df, stratum, key, k, partitions)(f)
+  }
+
   def capPerGroup[T](df: DataFrame, group: Column, orderKey: Column, n: Long,
                      partitions: Int = 0)(f: DataFrame => T): T = {
     require(n > 0, s"cap must be positive, got $n")

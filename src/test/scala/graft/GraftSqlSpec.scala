@@ -568,4 +568,20 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(s1 == s2, s"$s1 vs $s2")
   }
+
+  test("gateway verb: weighted_sample replays the A-ES selection") {
+    import spark.implicits._
+    (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "A" else "B",
+        (i % 5 + 1).toDouble, i / 41.0))
+      .toDF("id", "s", "w", "u").createOrReplaceTempView("ws_t")
+    val got = GraftGateway.sql(spark,
+        "SELECT weighted_sample(s, w, u, 6) FROM ws_t")
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).map { case (g, v) => g -> v.map(_._2).toSet }
+    val expected = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "A" else "B",
+        (i % 5 + 1).toDouble, i / 41.0))
+      .groupBy(_._2).map { case (g, rs) =>
+        g -> rs.sortBy(r => -math.log(r._4) / r._3).take(6).map(_._1).toSet }
+    assert(got == expected)
+  }
 }

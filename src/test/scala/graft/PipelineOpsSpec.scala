@@ -881,4 +881,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("weightedSample: A-ES keys select the k smallest -ln(u)/w per stratum") {
+    import graft.ops.Mixing
+    // u is caller-supplied and deterministic, so the exact selection is
+    // computable locally: key = -ln(u)/w, keep the 10 smallest per stratum
+    val rows = (1 to 99).map(i => (i.toLong, if (i % 2 == 0) "A" else "B",
+      (i % 7 + 1).toDouble, i / 100.0))
+    val df = rows.toDF("id", "s", "w", "u").repartition(5)
+    val expected = rows.groupBy(_._2).map { case (g, rs) =>
+      g -> rs.sortBy(r => -math.log(r._4) / r._3).take(10).map(_._1).toSet }
+    val got = Mixing.weightedSample(df, $"s", $"w", $"u", 10) { sm =>
+      sm.collect().map(r => r.getString(1) -> r.getLong(0))
+        .groupBy(_._1).map { case (g, v) => g -> v.map(_._2).toSet } }
+    assert(got == expected)
+    // k >= stratum size keeps everything
+    assert(Mixing.weightedSample(df, $"s", $"w", $"u", 1000)(_.count()) == 99)
+    // contract violations (w <= 0, u outside (0,1)) are named errors fused
+    // into the key expression -- no silent row drops
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    val badW = df.withColumn("w", when($"id" === 50, -1.0).otherwise($"w"))
+    val e1 = intercept[Exception] {
+      Mixing.weightedSample(badW, $"s", $"w", $"u", 10)(_.count()) }
+    assert(chain(e1).contains("weighted_sample"))
+    val badU = df.withColumn("u", when($"id" === 50, 1.0).otherwise($"u"))
+    val e2 = intercept[Exception] {
+      Mixing.weightedSample(badU, $"s", $"w", $"u", 10)(_.count()) }
+    assert(chain(e2).contains("weighted_sample"))
+  }
 }
