@@ -56,6 +56,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT conformal_interval(y, is_cal, x...[, alpha]) FROM <any>
   * SELECT chunk_documents(id, text, size[, overlap])   FROM <docs>
   * SELECT msprt(bucket, y, t[, tau])          FROM <events>
+  * SELECT srm_sequential(bucket, arm, r0, r1[, ...]) FROM <events>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -220,7 +221,7 @@ object GraftGateway {
     "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
     "ratio_mde", "synth_control", "group_sequential", "event_study",
     "event_study_curve", "top_k", "funnel", "retention", "e_value",
-    "profile_diff", "weighted_sample")
+    "profile_diff", "weighted_sample", "srm_sequential")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -431,6 +432,12 @@ object GraftGateway {
         require(a.length >= 3, "msprt(bucket, y, t[, tau])")
         Sequential.msprt(df, c(a(0)), c(a(1)), c(a(2)),
           tau = if (a.length > 3) num(a(3)) else 1.0)
+      case "srm_sequential" =>
+        // anytime-valid SRM: Dirichlet-multinomial e-process over looks;
+        // every numeric after the arm column is a null ratio (alpha0 = 1)
+        require(a.length >= 4,
+          "srm_sequential(bucket, arm, r0, r1[, ...])")
+        Sequential.srmSequential(df, c(a(0)), c(a(1)), a.drop(2).map(num))
       case "msprt_by" =>
         // one always-valid trajectory PER experiment — the platform shape
         require(a.length >= 4, "msprt_by(experiment, bucket, y, t[, tau])")

@@ -1716,6 +1716,22 @@ object SparkEntry {
         recall >= 0.95, sfTag(d)))
         .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass", "oracle_sf")
     }),
+    "q160_srm_sequential" -> ((s, d) => {
+      // anytime-valid SRM through the gateway: arm assignment carries a
+      // planted ~2.4% tilt toward arm 1 (every 21st event flips); the
+      // Dirichlet-multinomial e-process accumulates evidence across looks
+      // and p_always_valid is nonincreasing by construction
+      val ev = t(s, d, "events")
+      ev.withColumn("bucket", floor(col("event_id") / 500))
+        .withColumn("arm", when(col("event_id") % 21 === 0, 1L)
+          .otherwise(col("event_id") % 2))
+        .createOrReplaceTempView("q160_ev")
+      GraftGateway.sql(s,
+          "SELECT srm_sequential(bucket, arm, 1, 1) FROM q160_ev")
+        .withColumn("log_e", round(col("log_e"), 6))
+        .withColumn("p_always_valid", round(col("p_always_valid"), 6))
+        .orderBy(col("bucket"))
+    }),
     "q159_weighted_sample" -> ((s, d) => {
       // weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES
       // keys): 30 docs per language with inclusion odds ∝ n_chars; u
@@ -2665,6 +2681,37 @@ object SparkEntry {
         |  CAST(50 AS BIGINT) AS n_true, CAST(50 AS BIGINT) AS n_hit,
         |  CAST(1.0 AS DOUBLE) AS recall, TRUE AS pass,
         |  '0.01' AS oracle_sf""".stripMargin,
+    "q160_srm_sequential" ->
+      // cumulative arm counts per look + the closed-form Dirichlet-
+      // multinomial marginal vs the null; running-max window inverts the
+      // e-process into the always-valid p (rounded well above fp drift)
+      """WITH e AS (
+        |  SELECT CAST(floor(event_id / 500) AS BIGINT) AS bucket,
+        |    CASE WHEN event_id % 21 = 0 THEN 1 ELSE event_id % 2 END AS arm
+        |  FROM events),
+        |cells AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM e GROUP BY bucket),
+        |cum AS (
+        |  SELECT bucket, sum(c0) OVER w AS n0, sum(c1) OVER w AS n1
+        |  FROM cells
+        |  WINDOW w AS (ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |le AS (
+        |  SELECT bucket, n0 + n1 AS n,
+        |    lgamma(2.0) - 2 * lgamma(1.0)
+        |      + lgamma(1.0 + n0) + lgamma(1.0 + n1)
+        |      - lgamma(2.0 + n0 + n1)
+        |      - n0 * ln(0.5) - n1 * ln(0.5) AS log_e
+        |  FROM cum)
+        |SELECT bucket, CAST(n AS BIGINT) AS n, round(log_e, 6) AS log_e,
+        |  round(least(1.0, exp(-max(log_e) OVER
+        |    (ORDER BY bucket
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6)
+        |    AS p_always_valid
+        |FROM le ORDER BY bucket""".stripMargin,
     "q159_weighted_sample" ->
       // same A-ES key -ln(u)/w in the same IEEE order; row_number replays
       // the per-language k-smallest cut (keys are hash-unique, no ties)

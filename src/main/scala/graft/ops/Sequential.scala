@@ -83,6 +83,85 @@ object Sequential {
       df.sparkSession.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
+  /** Anytime-valid sample-ratio-mismatch monitor: a Dirichlet-multinomial
+    * mixture e-process over cumulative arm counts (Lindon & Malek 2022,
+    * "Anytime-Valid Inference For Multinomial Count Data" — the sequential
+    * complement to the fixed-horizon chi-square [[graft.agg.MoreAggs]]
+    * srm). Peeking at a chi-square SRM daily inflates false alarms; the
+    * e-process is a nonnegative martingale with E[E]=1 under the null
+    * allocation, so p_m = min(1, 1/max_{j≤m} E_j) is valid at EVERY look.
+    *
+    * With cumulative counts n = (n_k) (N = Σn_k) at look m, null
+    * proportions ρ (normalized), and Dirichlet prior α_k = alpha0:
+    *
+    *   log E_m = lgamma(Kα₀) − K·lgamma(α₀)
+    *           + Σ_k lgamma(α₀ + n_k) − lgamma(Kα₀ + N)
+    *           − Σ_k n_k ln ρ_k
+    *
+    * — the Dirichlet-multinomial marginal likelihood against the null
+    * multinomial, in closed form: no integration, no tuning beyond the
+    * prior weight alpha0 (1 = uniform Dirichlet; larger = more mass near
+    * the null, later detection but tighter E under H0).
+    *
+    * 100 TB shape: ONE row-scale aggregate to (bucket × K-arm count)
+    * cells (take-ordered, maxBuckets-guarded); cumulative scan and the
+    * e-process run over those cells on the driver — the [[msprt]] idiom.
+    * Arm values outside 0..K−1 fail fast in the same pass.
+    *
+    * Returns (bucket, n, log_e, p_always_valid), one row per look. */
+  def srmSequential(df: DataFrame, bucket: Column, arm: Column,
+                    ratios: Seq[Double], alpha0: Double = 1.0,
+                    maxBuckets: Int = 100000): DataFrame = {
+    val k = ratios.length
+    require(k >= 2, "srm_sequential: need >= 2 arms")
+    require(ratios.forall(_ > 0), "srm_sequential: ratios must be positive")
+    require(alpha0 > 0, "srm_sequential: alpha0 must be positive")
+    require(maxBuckets > 0, "srm_sequential: maxBuckets must be positive")
+    val rho = ratios.map(_ / ratios.sum)
+    val armI = arm.cast("long")
+    val counts = (0 until k).map(a =>
+      sum(when(armI === a, 1L).otherwise(0L)).as(s"c$a"))
+    val bad = sum(when(armI < 0 || armI >= k, 1L).otherwise(0L)).as("bad")
+    val cellRows = df
+      .filter(bucket.isNotNull && armI.isNotNull)
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(counts.head, (counts.tail :+ bad): _*)
+      .orderBy(col("bucket"))
+      .limit(maxBuckets + 1) // take-ordered: bounded BEFORE collection
+      .collect()
+    require(cellRows.length <= maxBuckets,
+      s"srm_sequential produced more than $maxBuckets time buckets: " +
+        "coarsen the bucket column or raise maxBuckets")
+    val nBad = cellRows.map(_.getLong(k + 1)).sum
+    require(nBad == 0,
+      s"srm_sequential: $nBad rows have arm outside 0..${k - 1} " +
+        s"(${ratios.length} ratios were given)")
+    import org.apache.commons.math3.special.Gamma.logGamma
+    val a0 = alpha0
+    val logPrior = logGamma(k * a0) - k * logGamma(a0)
+    val cum = new Array[Long](k)
+    var maxLogE = Double.NegativeInfinity
+    val out = cellRows.map { r =>
+      var i = 0
+      while (i < k) { cum(i) += r.getLong(i + 1); i += 1 }
+      val n = cum.sum
+      var logE = logPrior - logGamma(k * a0 + n)
+      i = 0
+      while (i < k) {
+        logE += logGamma(a0 + cum(i)) - cum(i) * math.log(rho(i))
+        i += 1
+      }
+      maxLogE = math.max(maxLogE, logE)
+      Row(r.getLong(0), n, logE, math.min(1.0, math.exp(-maxLogE)))
+    }
+    val schema = StructType(Seq(
+      StructField("bucket", LongType), StructField("n", LongType),
+      StructField("log_e", DoubleType),
+      StructField("p_always_valid", DoubleType)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
+
   /** Two-sided group-sequential z boundaries for a Lan–DeMets alpha-
     * spending function (O'Brien–Fleming-like or Pocock-like) — the
     * CLASSICAL fixed-look complement to [[msprt]]'s always-valid testing:

@@ -152,4 +152,48 @@ class SequentialSpec extends AnyFunSuite {
     assert(GraftGateway.sql(spark,
       "SELECT group_sequential(b, y, t) FROM gst_t").count() == 20)
   }
+
+  test("srmSequential: closed form matches, mismatch detected, balance survives") {
+    import org.apache.commons.math3.special.Gamma.logGamma
+    // tiny exact fixture: 2 looks, counts (3,1) then cumulative (5,3)
+    val tiny = Seq((1L, 0), (1L, 0), (1L, 0), (1L, 1),
+        (2L, 0), (2L, 0), (2L, 1), (2L, 1))
+      .toDF("b", "arm")
+    val r = Sequential.srmSequential(tiny, $"b", $"arm", Seq(1.0, 1.0))
+      .collect()
+    def logE(n0: Long, n1: Long): Double =
+      logGamma(2.0) - 2 * logGamma(1.0) +
+        logGamma(1.0 + n0) + logGamma(1.0 + n1) -
+        logGamma(2.0 + n0 + n1) - n0 * math.log(0.5) - n1 * math.log(0.5)
+    assert(r.length == 2)
+    assert(math.abs(r(0).getAs[Double]("log_e") - logE(3, 1)) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("log_e") - logE(5, 3)) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("p_always_valid") -
+      math.min(1.0, math.exp(-math.max(logE(3, 1), logE(5, 3))))) < 1e-12)
+    // ratio normalization: (2,2) is the same null as (1,1)
+    val r2 = Sequential.srmSequential(tiny, $"b", $"arm", Seq(2.0, 2.0))
+      .collect()
+    assert(math.abs(r2(0).getAs[Double]("log_e") -
+      r(0).getAs[Double]("log_e")) < 1e-12)
+    // planted 60/40 against a 50/50 null: p collapses; true 50/50 stays
+    // comfortably high (the e-process has expectation 1 under the null)
+    def arms(p1Num: Int) = (1 to 20000).map { i =>
+      ((i - 1) / 1000L, if (i % 10 < p1Num) 1 else 0) }.toDF("b", "arm")
+    val bad = Sequential.srmSequential(arms(6), $"b", $"arm", Seq(1.0, 1.0))
+      .collect().map(_.getAs[Double]("p_always_valid"))
+    assert(bad.last < 1e-6, s"mismatch p ${bad.last}")
+    assert(bad.zip(bad.tail).forall { case (a, c) => c <= a + 1e-15 },
+      "p must be nonincreasing")
+    val ok = Sequential.srmSequential(arms(5), $"b", $"arm", Seq(1.0, 1.0))
+      .collect().map(_.getAs[Double]("p_always_valid"))
+    assert(ok.last > 0.05, s"A/A p ${ok.last}")
+    // named guards: arm outside 0..K-1; bad ratios
+    val e1 = intercept[IllegalArgumentException] {
+      Sequential.srmSequential(tiny.withColumn("arm", $"arm" + 5),
+        $"b", $"arm", Seq(1.0, 1.0)) }
+    assert(e1.getMessage.contains("outside"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sequential.srmSequential(tiny, $"b", $"arm", Seq(1.0)) }
+    assert(e2.getMessage.contains("arms"))
+  }
 }
