@@ -78,6 +78,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT funnel(user, ts, event, 'a', 'b', ..., window) FROM <events>
   * SELECT retention(user, ts, bucket_len)      FROM <events>
   * SELECT weighted_sample(stratum, weight, u01, k) FROM <any>
+  * SELECT fuzzy_join(id, block, key, 'right_table', max_dist) FROM <left>
   * SELECT e_value(y, t[, alpha])               FROM <any>
   * SELECT profile_diff('new_table'[, 'exact'])  FROM <old_version>
   * }}}
@@ -221,7 +222,7 @@ object GraftGateway {
     "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
     "ratio_mde", "synth_control", "group_sequential", "event_study",
     "event_study_curve", "top_k", "funnel", "retention", "e_value",
-    "profile_diff", "weighted_sample", "srm_sequential")
+    "profile_diff", "weighted_sample", "srm_sequential", "fuzzy_join")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -391,6 +392,14 @@ object GraftGateway {
         require(a.length >= 2, "incremental_dedup(text, 'history_table')")
         val history = spark.table(str(a(1)))
         Dedup.incrementalDedup(df, history, c(a(0)), c(a(0)))
+      case "fuzzy_join" =>
+        // record linkage: FROM side is the left table; the right side is a
+        // registered table/view with the SAME id/block/key column names
+        require(a.length >= 5,
+          "fuzzy_join(id, block, key, 'right_table', max_dist)")
+        val rt = spark.table(str(a(3)))
+        Linkage.blockedFuzzyJoin(df, rt, c(a(0)), c(a(1)), c(a(2)),
+          c(a(0)), c(a(1)), c(a(2)), num(a(4)).toInt)
       case "snapshot_diff" =>
         // FROM side = the OLD corpus version; the NEW version is a
         // registered table/view with the same id/text column names

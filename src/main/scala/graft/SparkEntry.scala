@@ -1716,6 +1716,27 @@ object SparkEntry {
         recall >= 0.95, sfTag(d)))
         .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass", "oracle_sf")
     }),
+    "q161_fuzzy_join" -> ((s, d) => {
+      // record linkage through the gateway: link customers to a perturbed
+      // registry copy (last name char swapped) blocked by nation, edit
+      // distance <= 1 — originals match their own perturbation and any
+      // same-nation name one substitution away; fully deterministic
+      val cust = t(s, d, "customer")
+      cust.select(col("c_custkey").as("id"), col("c_nationkey").as("block"),
+          col("c_name").as("key"))
+        .createOrReplaceTempView("q161_left")
+      cust.select((col("c_custkey") + 1000000L).as("id"),
+          col("c_nationkey").as("block"),
+          expr("concat(substring(c_name, 1, length(c_name) - 1), 'x')")
+            .as("key"))
+        .createOrReplaceTempView("q161_right")
+      GraftGateway.sql(s,
+          "SELECT fuzzy_join(id, block, key, 'q161_right', 1) FROM q161_left")
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("dist")).as("sum_dist"),
+          sum(col("id_a")).as("id_a_sum"), sum(col("id_b")).as("id_b_sum"))
+        .orderBy(col("block").cast("int"))
+    }),
     "q160_srm_sequential" -> ((s, d) => {
       // anytime-valid SRM through the gateway: arm assignment carries a
       // planted ~2.4% tilt toward arm 1 (every 21st event flips); the
@@ -2681,6 +2702,25 @@ object SparkEntry {
         |  CAST(50 AS BIGINT) AS n_true, CAST(50 AS BIGINT) AS n_hit,
         |  CAST(1.0 AS DOUBLE) AS recall, TRUE AS pass,
         |  '0.01' AS oracle_sf""".stripMargin,
+    "q161_fuzzy_join" ->
+      // same blocking equi-join + levenshtein gate; DuckDB's levenshtein
+      // agrees with Spark's on these plain-ASCII keys
+      """WITH l AS (SELECT c_custkey AS id,
+        |    CAST(c_nationkey AS VARCHAR) AS block, c_name AS key
+        |  FROM customer),
+        |r AS (SELECT c_custkey + 1000000 AS id,
+        |    CAST(c_nationkey AS VARCHAR) AS block,
+        |    substr(c_name, 1, length(c_name) - 1) || 'x' AS key
+        |  FROM customer),
+        |p AS (SELECT l.id AS id_a, r.id AS id_b, l.block AS block,
+        |    levenshtein(l.key, r.key) AS dist
+        |  FROM l JOIN r ON l.block = r.block
+        |  WHERE levenshtein(l.key, r.key) <= 1)
+        |SELECT block, count(*) AS n_pairs,
+        |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+        |  CAST(sum(id_a) AS BIGINT) AS id_a_sum,
+        |  CAST(sum(id_b) AS BIGINT) AS id_b_sum
+        |FROM p GROUP BY block ORDER BY CAST(block AS INTEGER)""".stripMargin,
     "q160_srm_sequential" ->
       // cumulative arm counts per look + the closed-form Dirichlet-
       // multinomial marginal vs the null; running-max window inverts the
