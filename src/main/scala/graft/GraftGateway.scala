@@ -57,6 +57,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT chunk_documents(id, text, size[, overlap])   FROM <docs>
   * SELECT msprt(bucket, y, t[, tau])          FROM <events>
   * SELECT srm_sequential(bucket, arm, r0, r1[, ...]) FROM <events>
+  * SELECT jackknife_ratio(bucket, num, den[, alpha])      FROM <any>
+  * SELECT jackknife_ratio_diff(bucket, num, den, t[, alpha]) FROM <any>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -222,7 +224,8 @@ object GraftGateway {
     "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
     "ratio_mde", "synth_control", "group_sequential", "event_study",
     "event_study_curve", "top_k", "funnel", "retention", "e_value",
-    "profile_diff", "weighted_sample", "srm_sequential", "fuzzy_join")
+    "profile_diff", "weighted_sample", "srm_sequential", "fuzzy_join",
+    "jackknife_ratio", "jackknife_ratio_diff")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -441,6 +444,17 @@ object GraftGateway {
         require(a.length >= 3, "msprt(bucket, y, t[, tau])")
         Sequential.msprt(df, c(a(0)), c(a(1)), c(a(2)),
           tau = if (a.length > 3) num(a(3)) else 1.0)
+      case "jackknife_ratio" =>
+        // delete-one-bucket jackknife for sum(num)/sum(den)
+        require(a.length >= 3, "jackknife_ratio(bucket, num, den[, alpha])")
+        Jackknife.ratio(df, c(a(0)), c(a(1)), c(a(2)),
+          alpha = if (a.length > 3) num(a(3)) else 0.05)
+      case "jackknife_ratio_diff" =>
+        // two-sample ratio-difference variant over shared buckets
+        require(a.length >= 4,
+          "jackknife_ratio_diff(bucket, num, den, t[, alpha])")
+        Jackknife.ratioDiff(df, c(a(0)), c(a(1)), c(a(2)), c(a(3)),
+          alpha = if (a.length > 4) num(a(4)) else 0.05)
       case "srm_sequential" =>
         // anytime-valid SRM: Dirichlet-multinomial e-process over looks;
         // every numeric after the arm column is a null ratio (alpha0 = 1)

@@ -1716,6 +1716,23 @@ object SparkEntry {
         recall >= 0.95, sfTag(d)))
         .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass", "oracle_sf")
     }),
+    "q162_jackknife" -> ((s, d) => {
+      // delete-one-bucket jackknife for the price-per-unit ratio diff over
+      // 32 randomization buckets, through the gateway; the CI's t quantile
+      // (df = 31) is a pinned constant in the oracle
+      val li = t(s, d, "lineitem")
+      li.withColumn("bucket", col("l_suppkey") % 32)
+        .withColumn("t", (col("l_partkey") % 2).cast("int"))
+        .createOrReplaceTempView("q162_li")
+      GraftGateway.sql(s,
+          "SELECT jackknife_ratio_diff(bucket, l_extendedprice, l_quantity, t) " +
+            "FROM q162_li")
+        .select(round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("lower"), 6).as("lower"),
+          round(col("upper"), 6).as("upper"),
+          col("n_buckets"))
+    }),
     "q161_fuzzy_join" -> ((s, d) => {
       // record linkage through the gateway: link customers to a perturbed
       // registry copy (last name char swapped) blocked by nation, edit
@@ -2702,6 +2719,32 @@ object SparkEntry {
         |  CAST(50 AS BIGINT) AS n_true, CAST(50 AS BIGINT) AS n_hit,
         |  CAST(1.0 AS DOUBLE) AS recall, TRUE AS pass,
         |  '0.01' AS oracle_sf""".stripMargin,
+    "q162_jackknife" ->
+      // bucket cells -> leave-one-out ratio diffs; (G-1)*var_pop(d) equals
+      // the jackknife sum-of-squares form; t_{0.975,31} pinned to 16
+      // digits (commons-math3 value, q157's z-pinning idiom)
+      """WITH c AS (
+        |  SELECT l_suppkey % 32 AS b,
+        |    sum(CASE WHEN l_partkey % 2 = 1
+        |        THEN CAST(l_extendedprice AS DOUBLE) ELSE 0 END) AS y1,
+        |    sum(CASE WHEN l_partkey % 2 = 1
+        |        THEN CAST(l_quantity AS DOUBLE) ELSE 0 END) AS x1,
+        |    sum(CASE WHEN l_partkey % 2 = 0
+        |        THEN CAST(l_extendedprice AS DOUBLE) ELSE 0 END) AS y0,
+        |    sum(CASE WHEN l_partkey % 2 = 0
+        |        THEN CAST(l_quantity AS DOUBLE) ELSE 0 END) AS x0
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(y1) AS s1, sum(x1) AS t1, sum(y0) AS s0,
+        |        sum(x0) AS t0, count(*) AS g FROM c),
+        |d AS (SELECT (t.s1 - c.y1) / (t.t1 - c.x1)
+        |           - (t.s0 - c.y0) / (t.t0 - c.x0) AS dd FROM c, t),
+        |e AS (SELECT (SELECT s1 / t1 - s0 / t0 FROM t) AS est,
+        |        sqrt(((SELECT g FROM t) - 1) * var_pop(dd)) AS se FROM d)
+        |SELECT round(est, 6) AS estimate, round(se, 6) AS stderr,
+        |  round(est - 2.0395134463964073 * se, 6) AS lower,
+        |  round(est + 2.0395134463964073 * se, 6) AS upper,
+        |  (SELECT CAST(g AS BIGINT) FROM t) AS n_buckets
+        |FROM e""".stripMargin,
     "q161_fuzzy_join" ->
       // same blocking equi-join + levenshtein gate; DuckDB's levenshtein
       // agrees with Spark's on these plain-ASCII keys
