@@ -59,6 +59,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT srm_sequential(bucket, arm, r0, r1[, ...]) FROM <events>
   * SELECT jackknife_ratio(bucket, num, den[, alpha])      FROM <any>
   * SELECT jackknife_ratio_diff(bucket, num, den, t[, alpha]) FROM <any>
+  * SELECT metric_anomaly(period, value, season[, min_hist[, z]]) FROM <events>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -225,7 +226,7 @@ object GraftGateway {
     "ratio_mde", "synth_control", "group_sequential", "event_study",
     "event_study_curve", "top_k", "funnel", "retention", "e_value",
     "profile_diff", "weighted_sample", "srm_sequential", "fuzzy_join",
-    "jackknife_ratio", "jackknife_ratio_diff")
+    "jackknife_ratio", "jackknife_ratio_diff", "metric_anomaly")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -444,6 +445,13 @@ object GraftGateway {
         require(a.length >= 3, "msprt(bucket, y, t[, tau])")
         Sequential.msprt(df, c(a(0)), c(a(1)), c(a(2)),
           tau = if (a.length > 3) num(a(3)) else 1.0)
+      case "metric_anomaly" =>
+        // seasonal z-score monitor over per-period metric cells
+        require(a.length >= 3,
+          "metric_anomaly(period, value, season[, min_history[, z_thresh]])")
+        Drift.metricAnomaly(df, c(a(0)), c(a(1)), num(a(2)).toInt,
+          minHistory = if (a.length > 3) num(a(3)).toInt else 3,
+          zThresh = if (a.length > 4) num(a(4)) else 3.0)
       case "jackknife_ratio" =>
         // delete-one-bucket jackknife for sum(num)/sum(den)
         require(a.length >= 3, "jackknife_ratio(bucket, num, den[, alpha])")

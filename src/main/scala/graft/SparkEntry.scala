@@ -1716,6 +1716,22 @@ object SparkEntry {
         recall >= 0.95, sfTag(d)))
         .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass", "oracle_sf")
     }),
+    "q163_metric_anomaly" -> ((s, d) => {
+      // seasonal anomaly monitor on hourly event values: baseline = prior
+      // same-hour-of-day periods, z against their mean/sd — daily cycles
+      // never read as anomalies the way a flat rolling window reads them
+      val ev = t(s, d, "events")
+      ev.withColumn("period",
+          floor(unix_timestamp(col("ts")) / 3600).cast("long"))
+        .createOrReplaceTempView("q163_ev")
+      GraftGateway.sql(s,
+          "SELECT metric_anomaly(period, value, 24, 3, 2) FROM q163_ev")
+        .select(col("period"), round(col("metric"), 6).as("metric"),
+          col("n_hist"), round(col("baseline"), 6).as("baseline"),
+          round(col("baseline_sd"), 6).as("baseline_sd"),
+          round(col("z"), 6).as("z"), col("is_anomaly"))
+        .orderBy(col("period"))
+    }),
     "q162_jackknife" -> ((s, d) => {
       // delete-one-bucket jackknife for the price-per-unit ratio diff over
       // 32 randomization buckets, through the gateway; the CI's t quantile
@@ -2719,6 +2735,31 @@ object SparkEntry {
         |  CAST(50 AS BIGINT) AS n_true, CAST(50 AS BIGINT) AS n_hit,
         |  CAST(1.0 AS DOUBLE) AS recall, TRUE AS pass,
         |  '0.01' AS oracle_sf""".stripMargin,
+    "q163_metric_anomaly" ->
+      // per-hour metric cells, same-phase prior window for the baseline;
+      // epoch(ts) fractions never move an hour floor, so periods agree
+      """WITH cells AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS period,
+        |    avg(value) AS metric
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT period, metric,
+        |    count(metric) OVER w AS n_hist,
+        |    avg(metric) OVER w AS baseline,
+        |    stddev_samp(metric) OVER w AS baseline_sd
+        |  FROM cells
+        |  WINDOW w AS (PARTITION BY period % 24 ORDER BY period
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT period, round(metric, 6) AS metric, n_hist,
+        |  round(baseline, 6) AS baseline,
+        |  round(baseline_sd, 6) AS baseline_sd,
+        |  round(CASE WHEN n_hist >= 3 AND baseline_sd > 0
+        |    THEN (metric - baseline) / baseline_sd END, 6) AS z,
+        |  coalesce(abs(CASE WHEN n_hist >= 3 AND baseline_sd > 0
+        |    THEN (metric - baseline) / baseline_sd END) > 2, false)
+        |    AS is_anomaly
+        |FROM s ORDER BY period""".stripMargin,
     "q162_jackknife" ->
       // bucket cells -> leave-one-out ratio diffs; (G-1)*var_pop(d) equals
       // the jackknife sum-of-squares form; t_{0.975,31} pinned to 16

@@ -56,4 +56,42 @@ object Drift {
                     bins: Seq[Double], minShare: Double = 1e-6): Double =
     binnedDrift(df, value, group, bins, minShare)
       .agg(sum(col("js_term"))).head().getDouble(0)
+
+  /** Seasonal metric anomaly detection for monitoring pipelines: per
+    * period p, the baseline is the mean/sd of the SAME seasonal phase's
+    * PRIOR periods (p − season, p − 2·season, ...), so daily cycles don't
+    * read as anomalies the way a flat rolling window makes them. A period
+    * is flagged when it has at least `minHistory` same-phase predecessors
+    * and |z| > `zThresh`.
+    *
+    * 100 TB shape: ONE row-scale aggregate to per-period metric cells,
+    * then a window over CELLS partitioned by phase (period mod season) —
+    * the window never touches row-scale data and needs no driver state,
+    * so the monitor runs unbounded history. Returns
+    * (period, metric, n_hist, baseline, baseline_sd, z, is_anomaly). */
+  def metricAnomaly(df: DataFrame, period: Column, value: Column,
+                    season: Int, minHistory: Int = 3,
+                    zThresh: Double = 3.0): DataFrame = {
+    require(season >= 1, s"metric_anomaly: season must be >= 1, got $season")
+    require(minHistory >= 2,
+      s"metric_anomaly: minHistory must be >= 2 (sd needs it), got $minHistory")
+    require(zThresh > 0, s"metric_anomaly: zThresh must be > 0, got $zThresh")
+    val v = value.cast("double")
+    val cells = df.filter(period.isNotNull && v.isNotNull)
+      .groupBy(period.cast("long").as("period"))
+      .agg(avg(v).as("metric"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("period"), lit(season.toLong)))
+      .orderBy(col("period"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    cells
+      .withColumn("n_hist", count(col("metric")).over(w))
+      .withColumn("baseline", avg(col("metric")).over(w))
+      .withColumn("baseline_sd", stddev_samp(col("metric")).over(w))
+      .withColumn("z",
+        when(col("n_hist") >= minHistory && col("baseline_sd") > 0.0,
+          (col("metric") - col("baseline")) / col("baseline_sd")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zThresh, lit(false)))
+  }
 }

@@ -557,4 +557,29 @@ class OpsSpec extends AnyFunSuite {
     val sNc = noCens.map(_.getDouble(4))
     assert(approx(sNc(0), 1.0 / 3.0, 1e-12) && sNc(1) == 0.0, sNc.toSeq.toString)
   }
+
+  test("metricAnomaly: seasonal baseline flags the planted spike only") {
+    import graft.ops.Drift
+    import org.apache.spark.sql.functions._
+    // 20 days x 24 hours, metric = 10 + phase (clean daily cycle) except a
+    // +9 spike at period 400; a flat rolling window would flag every
+    // morning/evening swing, the seasonal baseline flags only the spike
+    val rows = (0 until 480).flatMap { p =>
+      // deterministic within-phase jitter (sd ~ 0.16, |z| stays < 2) so
+      // the baseline sd is nonzero; the spike is ~57 sd out
+      val base = 10.0 + (p % 24) + ((p * 7) % 5) * 0.1
+      val v = if (p == 400) base + 9.0 else base
+      // two rows per period so avg() has something to do
+      Seq((p.toLong, v - 0.5), (p.toLong, v + 0.5))
+    }
+    val df = spark.createDataFrame(rows).toDF("p", "v").repartition(7)
+    val r = Drift.metricAnomaly(df, col("p"), col("v"), season = 24,
+        minHistory = 3, zThresh = 3.0)
+      .collect().map(x => x.getAs[Long]("period") ->
+        x.getAs[Boolean]("is_anomaly")).toMap
+    assert(r(400L), "spike not flagged")
+    assert(r.count(_._2) == 1, s"extra anomalies: ${r.filter(_._2).keys}")
+    // early periods (no history yet) are never flagged
+    assert((0L until 72L).forall(p => !r(p)))
+  }
 }
