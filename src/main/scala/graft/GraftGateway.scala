@@ -60,6 +60,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT jackknife_ratio(bucket, num, den[, alpha])      FROM <any>
   * SELECT jackknife_ratio_diff(bucket, num, den, t[, alpha]) FROM <any>
   * SELECT metric_anomaly(period, value, season[, min_hist[, z]]) FROM <events>
+  * SELECT bayes_ab(t, success[, alpha0[, beta0]])  FROM <events>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -226,7 +227,7 @@ object GraftGateway {
     "ratio_mde", "synth_control", "group_sequential", "event_study",
     "event_study_curve", "top_k", "funnel", "retention", "e_value",
     "profile_diff", "weighted_sample", "srm_sequential", "fuzzy_join",
-    "jackknife_ratio", "jackknife_ratio_diff", "metric_anomaly")
+    "jackknife_ratio", "jackknife_ratio_diff", "metric_anomaly", "bayes_ab")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -445,6 +446,12 @@ object GraftGateway {
         require(a.length >= 3, "msprt(bucket, y, t[, tau])")
         Sequential.msprt(df, c(a(0)), c(a(1)), c(a(2)),
           tau = if (a.length > 3) num(a(3)) else 1.0)
+      case "bayes_ab" =>
+        // beta-binomial posterior readout, exact exceedance probability
+        require(a.length >= 2, "bayes_ab(t, success[, alpha0[, beta0]])")
+        Bayes.betaBinomial(df, c(a(0)), c(a(1)),
+          priorAlpha = if (a.length > 2) num(a(2)) else 1.0,
+          priorBeta = if (a.length > 3) num(a(3)) else 1.0)
       case "metric_anomaly" =>
         // seasonal z-score monitor over per-period metric cells
         require(a.length >= 3,

@@ -1716,6 +1716,21 @@ object SparkEntry {
         recall >= 0.95, sfTag(d)))
         .toDF("n_queries", "k", "n_true", "n_hit", "recall", "pass", "oracle_sf")
     }),
+    "q164_bayes_ab" -> ((s, d) => {
+      // exact beta-binomial exceedance through the gateway; the interior
+      // p (~0.75 at the gate SF) discriminates the full lgamma sum, not
+      // just a saturated 0/1
+      val li = t(s, d, "lineitem")
+      li.withColumn("t", (col("l_partkey") % 2).cast("int"))
+        .withColumn("success", (col("l_returnflag") === "R").cast("int"))
+        .createOrReplaceTempView("q164_li")
+      GraftGateway.sql(s, "SELECT bayes_ab(t, success) FROM q164_li")
+        .select(col("n0"), col("s0"), col("n1"), col("s1"),
+          round(col("rate0"), 6).as("rate0"),
+          round(col("rate1"), 6).as("rate1"),
+          round(col("p_beats_control"), 6).as("p_beats_control"),
+          round(col("expected_lift"), 6).as("expected_lift"))
+    }),
     "q163_metric_anomaly" -> ((s, d) => {
       // seasonal anomaly monitor on hourly event values: baseline = prior
       // same-hour-of-day periods, z against their mean/sd — daily cycles
@@ -2735,6 +2750,39 @@ object SparkEntry {
         |  CAST(50 AS BIGINT) AS n_true, CAST(50 AS BIGINT) AS n_hit,
         |  CAST(1.0 AS DOUBLE) AS recall, TRUE AS pass,
         |  '0.01' AS oracle_sf""".stripMargin,
+    "q164_bayes_ab" ->
+      // the same lgamma-log-space exceedance sum; generate_series is not
+      // lateral-correlated in DuckDB, so a fixed 1M bound joins with
+      // i < alpha_B (covers success counts up to 1M)
+      """WITH m AS (SELECT
+        |    sum(CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN l_partkey % 2 = 0 AND l_returnflag = 'R'
+        |        THEN 1 ELSE 0 END) AS s0,
+        |    sum(CASE WHEN l_partkey % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN l_partkey % 2 = 1 AND l_returnflag = 'R'
+        |        THEN 1 ELSE 0 END) AS s1
+        |  FROM lineitem),
+        |q AS (SELECT n0, s0, n1, s1,
+        |    1.0 + s0 AS aa, 1.0 + (n0 - s0) AS ba,
+        |    1.0 + s1 AS ab, 1.0 + (n1 - s1) AS bb FROM m),
+        |terms AS (
+        |  SELECT q.*, CAST(g.i AS DOUBLE) AS i
+        |  FROM q JOIN generate_series(0, 1000000) AS g(i)
+        |    ON g.i < CAST(q.ab AS BIGINT)),
+        |p AS (SELECT any_value(n0) AS n0, any_value(s0) AS s0,
+        |    any_value(n1) AS n1, any_value(s1) AS s1,
+        |    any_value(aa) AS aa, any_value(ba) AS ba,
+        |    any_value(ab) AS ab, any_value(bb) AS bb,
+        |    sum(exp( (lgamma(aa+i)+lgamma(ba+bb)-lgamma(aa+i+ba+bb))
+        |           - ln(bb+i)
+        |           - (lgamma(1.0+i)+lgamma(bb)-lgamma(1.0+i+bb))
+        |           - (lgamma(aa)+lgamma(ba)-lgamma(aa+ba)) )) AS pr
+        |  FROM terms)
+        |SELECT n0, s0, n1, s1,
+        |  round(aa/(aa+ba), 6) AS rate0, round(ab/(ab+bb), 6) AS rate1,
+        |  round(least(1.0, pr), 6) AS p_beats_control,
+        |  round((ab/(ab+bb))/(aa/(aa+ba)) - 1.0, 6) AS expected_lift
+        |FROM p""".stripMargin,
     "q163_metric_anomaly" ->
       // per-hour metric cells, same-phase prior window for the baseline;
       // epoch(ts) fractions never move an hour floor, so periods agree
