@@ -61,6 +61,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT jackknife_ratio_diff(bucket, num, den, t[, alpha]) FROM <any>
   * SELECT metric_anomaly(period, value, season[, min_hist[, z]]) FROM <events>
   * SELECT bayes_ab(t, success[, alpha0[, beta0]])  FROM <events>
+  * SELECT bayes_best_arm(arm, success[, alpha0[, beta0]]) FROM <events>
+  * SELECT stratified_ate(y, t, stratum)         FROM <any>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -75,9 +77,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT hamming_pairs(id, hash[, max_hamming]) FROM <hashed>
   * SELECT ratio_mde(num, den[, target_rel_lift]) FROM <any>
   * SELECT synth_control(unit, period, y, 'treated', pre_end) FROM <panel>
+  * SELECT synth_placebo(unit, period, y, 'treated', pre_end) FROM <panel>
   * SELECT group_sequential(bucket, y, t[, alpha[, 'obf'|'pocock']]) FROM <events>
-  * SELECT event_study(first_treat, period, y)  FROM <panel>
-  * SELECT event_study_curve(first_treat, period, y) FROM <panel>
+  * SELECT event_study([unit, ]first_treat, period, y)  FROM <panel>
+  * SELECT event_study_curve([unit, ]first_treat, period, y) FROM <panel>
   * SELECT top_k(col[, k[, max_tracked]])       FROM <any>
   * SELECT funnel(user, ts, event, 'a', 'b', ..., window) FROM <events>
   * SELECT retention(user, ts, bucket_len)      FROM <events>
@@ -224,10 +227,12 @@ object GraftGateway {
     "chunk_documents", "msprt", "msprt_by", "cluster_robust_ols", "blp_test",
     "anova", "fdr_bh", "chisq_independence", "eb_shrink_means", "cox_ph",
     "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
-    "ratio_mde", "synth_control", "group_sequential", "event_study",
+    "ratio_mde", "synth_control", "synth_placebo", "group_sequential",
+    "event_study",
     "event_study_curve", "top_k", "funnel", "retention", "e_value",
     "profile_diff", "weighted_sample", "srm_sequential", "fuzzy_join",
-    "jackknife_ratio", "jackknife_ratio_diff", "metric_anomaly", "bayes_ab")
+    "jackknife_ratio", "jackknife_ratio_diff", "metric_anomaly", "bayes_ab",
+    "bayes_best_arm", "stratified_ate")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -452,6 +457,18 @@ object GraftGateway {
         Bayes.betaBinomial(df, c(a(0)), c(a(1)),
           priorAlpha = if (a.length > 2) num(a(2)) else 1.0,
           priorBeta = if (a.length > 3) num(a(3)) else 1.0)
+      case "bayes_best_arm" =>
+        // K-arm Thompson weights + expected loss (deterministic Simpson
+        // quadrature over the Beta posteriors — no Monte Carlo)
+        require(a.length >= 2,
+          "bayes_best_arm(arm, success[, alpha0[, beta0]])")
+        Bayes.bestArm(df, c(a(0)), c(a(1)),
+          priorAlpha = if (a.length > 2) num(a(2)) else 1.0,
+          priorBeta = if (a.length > 3) num(a(3)) else 1.0)
+      case "stratified_ate" =>
+        // post-stratification / blocked difference-in-means estimator
+        require(a.length >= 3, "stratified_ate(y, t, stratum)")
+        SimpleTests.stratifiedAte(df, c(a(0)), c(a(1)), c(a(2)))
       case "metric_anomaly" =>
         // seasonal z-score monitor over per-period metric cells
         require(a.length >= 3,
@@ -513,6 +530,14 @@ object GraftGateway {
           "synth_control(unit, period, y, 'treated_unit', pre_end)")
         SynthControl.synthControl(df, c(a(0)), c(a(1)), c(a(2)),
           str(a(3)), num(a(4))).path
+      case "synth_placebo" =>
+        // in-space placebo inference for synth_control (ADH 2010 §2.2):
+        // every donor refit as pseudo-treated, treated post/pre RMSE
+        // ratio ranked against the placebo distribution
+        require(a.length >= 5,
+          "synth_placebo(unit, period, y, 'treated_unit', pre_end)")
+        SynthControl.placeboTest(df, c(a(0)), c(a(1)), c(a(2)),
+          str(a(3)), num(a(4)))
       case "profile_diff" =>
         // release audit: schema + shape diff vs a registered table/view
         require(a.nonEmpty, "profile_diff('new_table'[, 'exact'])")
@@ -537,13 +562,16 @@ object GraftGateway {
       case "weighted_sample" =>
         // weighted sample WITHOUT replacement, k rows per stratum (A-ES
         // keys; u01 must be a deterministic hash-uniform so the sample
-        // replays). Returned frame is a live plan — the per-call persist
-        // of the cap machinery does not outlive the verb, so materialize
-        // downstream before reusing it many times.
+        // replays). Materialized INSIDE the callback: the cap machinery's
+        // per-call persist does not outlive the verb, and a live plan
+        // escaping it would recompute row_number over the unpersisted
+        // range exchange on every downstream action — not guaranteed to
+        // reselect the same rows under order-key ties. The checkpoint is
+        // registered for the query-boundary release.
         require(a.length >= 4,
           "weighted_sample(stratum, weight, u01, k)")
         Mixing.weightedSample(df, c(a(0)), c(a(1)), c(a(2)),
-          num(a(3)).toLong)(identity)
+          num(a(3)).toLong)(s => graft.Ckpt.register(s.localCheckpoint()))
       case "top_k" =>
         // heavy hitters over ANY-cardinality column (bounded sketch state)
         require(a.nonEmpty, "top_k(col[, k[, max_tracked]])")
@@ -552,13 +580,23 @@ object GraftGateway {
           maxTracked = if (a.length > 2) num(a(2)).toInt else 10000)
       case "event_study" =>
         // staggered-adoption group-time ATT (Callaway-Sant'Anna,
-        // never-treated comparison) — did()'s many-cohort big brother
-        require(a.length >= 3, "event_study(first_treat, period, y)")
-        EventStudy.groupTimeAtt(df, c(a(0)), c(a(1)), c(a(2)))
+        // never-treated comparison) — did()'s many-cohort big brother.
+        // 4-arg form leads with the unit id and adds exact standard
+        // errors from unit-level base deltas (se/lower/upper columns).
+        require(a.length >= 3,
+          "event_study([unit, ]first_treat, period, y)")
+        if (a.length >= 4)
+          EventStudy.groupTimeAtt(df, c(a(1)), c(a(2)), c(a(3)),
+            unit = Some(c(a(0))))
+        else EventStudy.groupTimeAtt(df, c(a(0)), c(a(1)), c(a(2)))
       case "event_study_curve" =>
         // the event-time aggregation of event_study (the plot's data)
-        require(a.length >= 3, "event_study_curve(first_treat, period, y)")
-        EventStudy.eventTimeCurve(df, c(a(0)), c(a(1)), c(a(2)))
+        require(a.length >= 3,
+          "event_study_curve([unit, ]first_treat, period, y)")
+        if (a.length >= 4)
+          EventStudy.eventTimeCurve(df, c(a(1)), c(a(2)), c(a(3)),
+            unit = Some(c(a(0))))
+        else EventStudy.eventTimeCurve(df, c(a(0)), c(a(1)), c(a(2)))
       case "group_sequential" =>
         // classical K-look interim analysis: Lan-DeMets alpha-spending
         // boundaries (obf | pocock) against per-look cumulative z

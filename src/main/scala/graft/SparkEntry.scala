@@ -1816,7 +1816,7 @@ object SparkEntry {
             sum(col("doc_id")).as("id_checksum"),
             sum(col("n_chars")).as("sum_chars"))
           .orderBy(col("lang"))
-          .localCheckpoint()
+          .transform(x => graft.Ckpt.register(x.localCheckpoint()))
       }
     }),
     "q158_profile_diff" -> ((s, d) => {
@@ -1899,19 +1899,25 @@ object SparkEntry {
     }),
     "q152_event_study" -> ((s, d) => {
       // staggered-adoption event study (Callaway-Sant'Anna group-time
-      // ATT, never-treated comparison) through the gateway verb: cohorts
-      // derived from the supplier key over the 7 line-number "periods".
-      // Every ATT is a pure closed form of (cohort x period) mean cells,
-      // so the oracle replays it in plain SQL — no pinning.
+      // ATT, never-treated comparison) through the 4-arg gateway verb:
+      // unit = the order, cohort from the ORDER key (a unit attribute),
+      // periods = the 7 line numbers (one row per unit-period by the
+      // lineitem PK). ATT and its exact two-sample standard error come
+      // from unit-level base deltas, so att AND se/lower/upper all
+      // replay in plain SQL — no pinning.
       t(s, d, "lineitem").select(
-          when(col("l_suppkey") % 3 === 1, 3L)
-            .when(col("l_suppkey") % 3 === 2, 5L).otherwise(0L).as("g"),
+          col("l_orderkey").cast("long").as("u"),
+          when(col("l_orderkey") % 3 === 1, 3L)
+            .when(col("l_orderkey") % 3 === 2, 5L).otherwise(0L).as("g"),
           col("l_linenumber").cast("long").as("period"),
           col("l_quantity").cast("double").as("y"))
         .createOrReplaceTempView("li_es")
-      GraftGateway.sql(s, "SELECT event_study(g, period, y) FROM li_es")
+      GraftGateway.sql(s, "SELECT event_study(u, g, period, y) FROM li_es")
         .select(col("cohort"), col("period"), col("event_time"),
-          col("is_pre"), round(col("att"), 6).as("att"), col("n_rows"))
+          col("is_pre"), round(col("att"), 6).as("att"),
+          round(col("se"), 6).as("se"),
+          round(col("lower"), 6).as("lower"),
+          round(col("upper"), 6).as("upper"), col("n_rows"))
         .orderBy(col("cohort"), col("period"))
     }),
     "q151_group_sequential" -> ((s, d) => {
@@ -2003,6 +2009,64 @@ object SparkEntry {
           round(col("gap"), 6).as("gap"))
         .withColumn("oracle_sf", lit(sfTag(d)))
         .orderBy(col("period"))
+    }),
+    "q165_synth_placebo" -> ((s, d) => {
+      // in-space placebo inference for q149's synthetic control, with a
+      // PLANTED +25 post-period effect on the treated unit: every donor
+      // refit as pseudo-treated (ADH 2010 §2.2), so the treated post/pre
+      // RMSE ratio must rank FIRST of the 10 units (p = 0.1 exactly —
+      // that part is an honest closed form). The per-unit RMSEs are the
+      // same deterministic pairwise-FW numerics as q149 — pinned.
+      val ev = tsNanos(t(s, d, "events"))
+      ev.select((col("user_id") % 10).cast("int").as("unit"),
+          expr("ts div 86400000000000").as("period"), col("value").as("v0"))
+        .withColumn("y", col("v0") +
+          when(col("unit") === 0 && col("period") > 19742, lit(25.0))
+            .otherwise(lit(0.0)))
+        .createOrReplaceTempView("ev_synth_pl")
+      GraftGateway.sql(s,
+          "SELECT synth_placebo(unit, period, y, '0', 19742.0) FROM ev_synth_pl")
+        .select(col("unit"), col("is_treated"),
+          round(col("pre_rmse"), 6).as("pre_rmse"),
+          round(col("post_rmse"), 6).as("post_rmse"),
+          round(col("rmse_ratio"), 6).as("rmse_ratio"),
+          col("rank"), round(col("p_value"), 6).as("p_value"))
+        .withColumn("oracle_sf", lit(sfTag(d)))
+        .orderBy(col("rank"), col("unit"))
+    }),
+    "q166_stratified_ate" -> ((s, d) => {
+      // post-stratification ATE through the gateway verb: an A/A split
+      // (order-key parity) blocked on the return flag — every output is
+      // a pure closed form over (stratum x arm) moment cells. p_value
+      // needs a normal CDF DuckDB lacks, so the oracle row checks
+      // through z (the q15 stderr idiom).
+      t(s, d, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("y"),
+          (col("l_orderkey") % 2).cast("int").as("t"),
+          col("l_returnflag").as("flag"))
+        .createOrReplaceTempView("li_strat")
+      GraftGateway.sql(s, "SELECT stratified_ate(y, t, flag) FROM li_strat")
+        .select(col("n"), col("n_strata"), round(col("ate"), 6).as("ate"),
+          round(col("se"), 6).as("se"), round(col("z"), 6).as("z"))
+    }),
+    "q167_bayes_best_arm" -> ((s, d) => {
+      // K-arm Thompson weights on a 3-way split of the events stream
+      // (success = value > 60; the three arms convert within ~1pp of
+      // each other, so the weights are genuinely mixed). n/s/rate are
+      // honest closed forms; p_best/expected_loss are deterministic
+      // Simpson numerics over the Beta posteriors — pinned.
+      tsNanos(t(s, d, "events"))
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((col("user_id") % 3).cast("string").as("arm"),
+          when(col("value") > 60.0, 1).otherwise(0).as("succ"))
+        .createOrReplaceTempView("ev_arms")
+      GraftGateway.sql(s, "SELECT bayes_best_arm(arm, succ) FROM ev_arms")
+        .select(col("arm"), col("n"), col("s"),
+          round(col("rate"), 6).as("rate"),
+          round(col("p_best"), 6).as("p_best"),
+          round(col("expected_loss"), 6).as("expected_loss"))
+        .withColumn("oracle_sf", lit(sfTag(d)))
+        .orderBy(col("arm"))
     }),
     "q145_multimodal_sql" -> ((s, d) => {
       // SQL reach for the multimodal near-dup tier (the reference thesis:
@@ -2195,7 +2259,7 @@ object SparkEntry {
         capped.groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
           .orderBy(col("source"))
-          .localCheckpoint()
+          .transform(x => graft.Ckpt.register(x.localCheckpoint()))
       }
     }),
     "q131_chunking" -> ((s, d) => {
@@ -2778,7 +2842,8 @@ object SparkEntry {
         |           - (lgamma(1.0+i)+lgamma(bb)-lgamma(1.0+i+bb))
         |           - (lgamma(aa)+lgamma(ba)-lgamma(aa+ba)) )) AS pr
         |  FROM terms)
-        |SELECT n0, s0, n1, s1,
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(s0 AS BIGINT) AS s0,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(s1 AS BIGINT) AS s1,
         |  round(aa/(aa+ba), 6) AS rate0, round(ab/(ab+bb), 6) AS rate1,
         |  round(least(1.0, pr), 6) AS p_beats_control,
         |  round((ab/(ab+bb))/(aa/(aa+ba)) - 1.0, 6) AS expected_lift
@@ -3033,25 +3098,38 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY rank""".stripMargin,
     "q152_event_study" ->
-      // the CS double difference over (cohort x period) mean cells —
-      // four self-joins of the cell CTE, fully closed-form
-      """WITH p AS (SELECT CASE WHEN l_suppkey % 3 = 1 THEN 3
-        |      WHEN l_suppkey % 3 = 2 THEN 5 ELSE 0 END AS cohort,
+      // the CS delta estimator: unit-level base differences, then the
+      // two-sample mean/variance per (cohort, period) — att AND se are
+      // plain SQL self-joins, fully closed-form
+      """WITH p AS (SELECT l_orderkey AS u,
+        |    CASE WHEN l_orderkey % 3 = 1 THEN 3
+        |      WHEN l_orderkey % 3 = 2 THEN 5 ELSE 0 END AS cohort,
         |    l_linenumber AS period, CAST(l_quantity AS DOUBLE) AS y
         |  FROM lineitem),
-        |cells AS (SELECT cohort, period, avg(y) AS m, count(*) AS c
-        |  FROM p GROUP BY 1, 2)
+        |bases AS (SELECT * FROM (VALUES (3, 2), (5, 4)) AS b(cohort, bp)),
+        |tre AS (SELECT a.cohort, a.period, a.y - b.y AS d
+        |  FROM p a JOIN p b ON a.u = b.u AND a.cohort = b.cohort
+        |  JOIN bases s ON s.cohort = a.cohort AND b.period = s.bp
+        |  WHERE a.cohort > 0 AND a.period <> s.bp),
+        |ctl AS (SELECT s.cohort, a.period, a.y - b.y AS d
+        |  FROM p a JOIN p b ON a.u = b.u JOIN bases s ON b.period = s.bp
+        |  WHERE a.cohort = 0 AND b.cohort = 0 AND a.period <> s.bp),
+        |g AS (SELECT cohort, period, avg(d) AS mg, var_samp(d) AS vg,
+        |    count(*) AS ng FROM tre GROUP BY 1, 2),
+        |c AS (SELECT cohort, period, avg(d) AS mc, var_samp(d) AS vc,
+        |    count(*) AS nc FROM ctl GROUP BY 1, 2)
         |SELECT CAST(g.cohort AS BIGINT) AS cohort,
         |  CAST(g.period AS BIGINT) AS period,
         |  CAST(g.period - g.cohort AS BIGINT) AS event_time,
         |  g.period < g.cohort AS is_pre,
-        |  round((g.m - gb.m) - (c.m - cb.m), 6) AS att,
-        |  CAST(g.c AS BIGINT) AS n_rows
-        |FROM cells g
-        |JOIN cells gb ON gb.cohort = g.cohort AND gb.period = g.cohort - 1
-        |JOIN cells c ON c.cohort = 0 AND c.period = g.period
-        |JOIN cells cb ON cb.cohort = 0 AND cb.period = g.cohort - 1
-        |WHERE g.cohort > 0 AND g.period <> g.cohort - 1
+        |  round(g.mg - c.mc, 6) AS att,
+        |  round(sqrt(g.vg / g.ng + c.vc / c.nc), 6) AS se,
+        |  round((g.mg - c.mc)
+        |    - 1.959963984540054 * sqrt(g.vg / g.ng + c.vc / c.nc), 6) AS lower,
+        |  round((g.mg - c.mc)
+        |    + 1.959963984540054 * sqrt(g.vg / g.ng + c.vc / c.nc), 6) AS upper,
+        |  CAST(g.ng AS BIGINT) AS n_rows
+        |FROM g JOIN c ON c.cohort = g.cohort AND c.period = g.period
         |ORDER BY 1, 2""".stripMargin,
     "q151_group_sequential" ->
       // per-look cumulative moments/z replay closed-form (q135's CTEs);
@@ -3160,6 +3238,71 @@ object SparkEntry {
         |  (19752,false,48.127368,44.821911,3.305458))
         |AS t(period, is_pre, y_treated, y_synth, gap)
         |ORDER BY period""".stripMargin,
+    "q165_synth_placebo" ->
+      // rank/p are honest closed forms of the ratio order; the per-unit
+      // RMSEs are deterministic pairwise-FW numerics pinned at sf0.01
+      // (the q149/q34 pinned-literal idiom). The planted +25 treated
+      // effect must rank FIRST of the 10 units: p = rank/10 = 0.1.
+      """SELECT unit, is_treated, CAST(pre_rmse AS DOUBLE) AS pre_rmse,
+        |  CAST(post_rmse AS DOUBLE) AS post_rmse,
+        |  CAST(rmse_ratio AS DOUBLE) AS rmse_ratio,
+        |  CAST(rank AS INT) AS rank, CAST(p_value AS DOUBLE) AS p_value,
+        |  '0.01' AS oracle_sf
+        |FROM (VALUES
+        |  ('0', TRUE, 10.012726, 27.038028, 2.700366, 1, 0.1),
+        |  ('1', FALSE, 4.70656, 9.229566, 1.961, 2, 0.2),
+        |  ('8', FALSE, 7.306618, 10.769349, 1.473917, 3, 0.3),
+        |  ('7', FALSE, 7.239903, 10.551756, 1.457444, 4, 0.4),
+        |  ('6', FALSE, 9.458415, 12.403022, 1.311321, 5, 0.5),
+        |  ('5', FALSE, 6.33991, 7.888172, 1.244209, 6, 0.6),
+        |  ('4', FALSE, 7.026655, 8.076144, 1.149358, 7, 0.7),
+        |  ('2', FALSE, 8.963028, 8.503069, 0.948683, 8, 0.8),
+        |  ('9', FALSE, 6.771072, 6.224712, 0.91931, 9, 0.9),
+        |  ('3', FALSE, 7.465412, 5.930311, 0.794371, 10, 1.0))
+        |AS t(unit, is_treated, pre_rmse, post_rmse, rmse_ratio, rank, p_value)
+        |ORDER BY rank, unit""".stripMargin,
+    "q167_bayes_best_arm" ->
+      // n/s/rate are honest closed forms (posterior mean = (1+s)/(2+n));
+      // p_best/expected_loss are deterministic Simpson quadrature over
+      // the Beta posteriors — pinned at sf0.01 (q149/q165 idiom)
+      """WITH m AS (SELECT CAST(user_id % 3 AS VARCHAR) AS arm,
+        |    count(*) AS n,
+        |    sum(CASE WHEN value > 60 THEN 1 ELSE 0 END) AS s
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT m.arm, CAST(m.n AS BIGINT) AS n, CAST(m.s AS BIGINT) AS s,
+        |  round((1.0 + m.s) / (2.0 + m.n), 6) AS rate,
+        |  p.p_best, p.expected_loss, '0.01' AS oracle_sf
+        |FROM m JOIN (VALUES
+        |    ('0', 0.094211, 0.014028),
+        |    ('1', 0.585509, 0.003201),
+        |    ('2', 0.32028, 0.007271))
+        |  AS p(arm, p_best, expected_loss) ON p.arm = m.arm
+        |ORDER BY m.arm""".stripMargin,
+    "q166_stratified_ate" ->
+      // the blocked difference-in-means closed form: stratum moment
+      // cells, population-weighted combine — plain two-level SQL
+      """WITH cells AS (SELECT l_returnflag AS flag,
+        |    count(*) FILTER (WHERE l_orderkey % 2 = 0) AS n0,
+        |    count(*) FILTER (WHERE l_orderkey % 2 = 1) AS n1,
+        |    avg(CAST(l_extendedprice AS DOUBLE))
+        |      FILTER (WHERE l_orderkey % 2 = 0) AS m0,
+        |    avg(CAST(l_extendedprice AS DOUBLE))
+        |      FILTER (WHERE l_orderkey % 2 = 1) AS m1,
+        |    var_samp(CAST(l_extendedprice AS DOUBLE))
+        |      FILTER (WHERE l_orderkey % 2 = 0) AS v0,
+        |    var_samp(CAST(l_extendedprice AS DOUBLE))
+        |      FILTER (WHERE l_orderkey % 2 = 1) AS v1
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(n0 + n1) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_strata,
+        |  round(sum((n0 + n1) * (m1 - m0)) / sum(n0 + n1), 6) AS ate,
+        |  round(sqrt(sum((n0 + n1) * (n0 + n1) * (v1 / n1 + v0 / n0)))
+        |    / sum(n0 + n1), 6) AS se,
+        |  round((sum((n0 + n1) * (m1 - m0)) / sum(n0 + n1)) /
+        |    (sqrt(sum((n0 + n1) * (n0 + n1) * (v1 / n1 + v0 / n0)))
+        |      / sum(n0 + n1)), 6) AS z
+        |FROM cells""".stripMargin,
     "q145_multimodal_sql" ->
       // planted-pair closed form on the 1-in-4 subset: every key % 20 == 0
       // is also % 4 == 0, so each contributes exactly one (k, k + 2^40)

@@ -169,7 +169,7 @@ object Dedup {
     val slim0 = base.select(col("id"),
       graft.expr.HashExprs.shingleMinHash(lower(trim(col("__text"))),
         shingleN, numHashes).as("sig"))
-    val slim = if (materialize) slim0.localCheckpoint(false) else slim0
+    val slim = if (materialize) graft.Ckpt.checkpoint(slim0) else slim0
     // exact-signature pre-collapse (guard 1): groupBy is map-side combined
     // so the viral cluster never concentrates in one task; the join back is
     // an equi-join on the signature (AQE splits the one skewed key).
@@ -282,6 +282,9 @@ object Dedup {
         org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(d)
       case _ => ()
     }
+    // the surviving round's checkpoint is the RETURNED frame — register it
+    // so the query-boundary release reclaims it once the caller is done
+    graft.Ckpt.register(labels)
     labels
   }
 
@@ -315,7 +318,7 @@ object Dedup {
                   maxBucket: Int = 50): DataFrame = {
     val slim0 = df.select(id.cast("long").as("id"),
       TextOps.winnowFingerprints(text, k, w).as("fp"))
-    val slim = slim0.localCheckpoint(false)
+    val slim = graft.Ckpt.checkpoint(slim0)
     val cands = slim.select(col("id"), explode(col("fp")).as("f"))
       .groupBy(col("f")).agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
@@ -444,7 +447,7 @@ object Dedup {
     // only when the input is already a materialized hash table.
     val base0 = df.select(id.cast("long").as("id"), hash.cast("long").as("sh"))
       .filter(col("sh").isNotNull)
-    val base = if (materialize) base0.localCheckpoint(false) else base0
+    val base = if (materialize) graft.Ckpt.checkpoint(base0) else base0
     // guard 1: one representative per distinct hash; map-side-combined
     // groupBy, skew-safe equi-join back (AQE splits the one hot key)
     val reps = base.groupBy(col("sh")).agg(min(col("id")).as("id"))

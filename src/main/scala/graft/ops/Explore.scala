@@ -73,10 +73,10 @@ object Explore {
     // materialize it (≤ groups·bins rows) so the row-scale scan runs
     // ONCE — without this the plan scans the input twice, because the
     // two consumers prune differently and exchange reuse can't dedupe
-    val counts = df.filter(xd.isNotNull)
-      .groupBy(group.as("group"), binCol.as("bin"))
-      .agg(count(lit(1)).as("count"))
-      .localCheckpoint()
+    val counts = graft.Ckpt.checkpoint(
+      df.filter(xd.isNotNull)
+        .groupBy(group.as("group"), binCol.as("bin"))
+        .agg(count(lit(1)).as("count")), eager = true)
     val groups = counts.select(col("group")).distinct()
     val spark = df.sparkSession
     val dim = groups.crossJoin(

@@ -41,21 +41,27 @@ object Funnel {
         event.cast("string").as("e"))
       // every step re-reads this slim projection; materialize once
       .localCheckpoint(false)
-    var state = ev.filter(col("e") === steps.head)
-      .groupBy(col("u")).agg(min(col("t")).as("t1"))
     val counts = Array.fill(steps.length)(0L)
-    counts(0) = state.count()
-    for (i <- 1 until steps.length) {
-      val prev = s"t$i"
-      val curr = s"t${i + 1}"
-      state = ev.filter(col("e") === steps(i))
-        .join(state, "u")
-        .filter(col("t") > col(prev) && col("t") <= col("t1") + window)
-        .groupBy((col("u") +: (1 to i).map(j => col(s"t$j"))): _*)
-        .agg(min(col("t")).as(curr))
-      // one count per step: the state frame only shrinks, and funnels
-      // have a handful of steps — k−1 small actions, not row-scale work
-      counts(i) = state.count()
+    try {
+      var state = ev.filter(col("e") === steps.head)
+        .groupBy(col("u")).agg(min(col("t")).as("t1"))
+      counts(0) = state.count()
+      for (i <- 1 until steps.length) {
+        val prev = s"t$i"
+        val curr = s"t${i + 1}"
+        state = ev.filter(col("e") === steps(i))
+          .join(state, "u")
+          .filter(col("t") > col(prev) && col("t") <= col("t1") + window)
+          .groupBy((col("u") +: (1 to i).map(j => col(s"t$j"))): _*)
+          .agg(min(col("t")).as(curr))
+        // one count per step: the state frame only shrinks, and funnels
+        // have a handful of steps — k−1 small actions, not row-scale work
+        counts(i) = state.count()
+      }
+    } finally {
+      // the returned frame is driver-built from `counts` — the event
+      // checkpoint is dead the moment the loop exits
+      graft.Ckpt.release(ev)
     }
     import df.sparkSession.implicits._
     steps.zipWithIndex.map { case (e, i) =>
@@ -77,11 +83,11 @@ object Funnel {
   def retentionMatrix(df: DataFrame, user: Column, ts: Column,
                       bucketLen: Double): DataFrame = {
     require(bucketLen > 0, "retention: bucketLen must be positive")
-    val ev = df.filter(user.isNotNull && ts.isNotNull)
+    val ev0 = df.filter(user.isNotNull && ts.isNotNull)
       .select(user.cast("long").as("u"),
         floor(ts.cast("double") / bucketLen).cast("long").as("p"))
       .distinct()
-      .localCheckpoint(false)
+    val ev = graft.Ckpt.checkpoint(ev0)
     val firstSeen = ev.groupBy(col("u")).agg(min(col("p")).as("cohort"))
     val sizes = firstSeen.groupBy(col("cohort"))
       .agg(count(lit(1)).as("cohort_size"))

@@ -54,10 +54,14 @@ object Linkage {
       s"fuzzy_join: a block pairs up to $maxProduct comparisons " +
         s"(> maxBlockProduct=$maxBlockProduct) — refine the blocking key " +
         "or raise maxBlockProduct if the quadratic block is intended")
+    // the bounded levenshtein is evaluated ONCE per length-qualified pair
+    // (projected, then filtered on the projection) — putting it in the
+    // join condition AND the output would run the banded DP twice per
+    // surviving pair
     l.join(r, col("block") === col("__blk_b") &&
-        abs(length(col("__ka")) - length(col("__kb"))) <= maxDist &&
-        levenshtein(col("__ka"), col("__kb"), maxDist) >= 0)
-      .select(col("id_a"), col("id_b"), col("block"),
-        levenshtein(col("__ka"), col("__kb"), maxDist).as("dist"))
+        abs(length(col("__ka")) - length(col("__kb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("block"), col("dist"))
   }
 }

@@ -61,7 +61,7 @@ object Matching {
       .filter(col("__valid"))
       .groupBy(col("__cell"), col("__t"), col("__slice"))
       .agg(count(lit(1)).as("sc"))
-      .localCheckpoint(false)
+      .transform(d => graft.Ckpt.checkpoint(d))
     // per-cell capacity + global index offset. The cell table is bounded by
     // the covariate-combination cardinality (the reference likewise holds
     // ALL cell metadata in one aggregate state, caliper_matching_info.h:45),

@@ -62,7 +62,11 @@ object Mixing {
     // columns shuffle — at corpus scale the text/bytes stay in place.
     val narrow = df.select(stratum.cast("string").as("__stratum"),
         orderKey.as("__ord"), tokens.cast("long").as("__tok"))
-      .filter(col("__stratum").isin(budgets.keys.toSeq: _*))
+      .filter(col("__stratum").isin(budgets.keys.toSeq: _*) &&
+        // null tokens can't count against a budget and null order keys
+        // have no place in the value cut — exclude them HERE so pass 2's
+        // semi join (which must apply the same predicate) agrees
+        col("__tok").isNotNull && col("__ord").isNotNull)
     val parted = narrow.repartitionByRange(p, col("__stratum"), col("__ord"))
       .withColumn("__pid", spark_partition_id())
     parted.persist()
@@ -103,9 +107,12 @@ object Mixing {
     }
     try {
       // pass 2 (wide): value-cut the original frame against the tiny
-      // threshold table — broadcast semi join, no payload shuffle
+      // threshold table — broadcast semi join, no payload shuffle. The
+      // null-token/null-order filter mirrors pass 1 exactly: a row pass 1
+      // excluded from the budget prefix sum must not be re-admitted here.
       val tagged = df.withColumn("__s0", stratum.cast("string"))
         .withColumn("__o0", orderKey)
+        .filter(tokens.cast("long").isNotNull && col("__o0").isNotNull)
       val sampled = tagged.join(broadcast(thresholds),
           tagged("__s0") === thresholds("__stratum") &&
             tagged("__o0") <= thresholds("__thr"), "left_semi")

@@ -54,7 +54,11 @@ object MultipleTesting {
               coalesce(element_at(typedlit(offs), col("__pid")),
                 lit(Double.PositiveInfinity))))
           .drop("__p", "__q", "__rank", "__mid", "__pid")
-          .localCheckpoint()
+          // checkpoint is a CORRECTNESS device here: __pid is a physical
+          // partition id that would re-randomize on recompute once the
+          // enclosing scopes unpersist their frames. Registered for the
+          // query-boundary release (graft.Ckpt).
+          .transform(d => graft.Ckpt.register(d.localCheckpoint()))
       } finally {
         withQ.unpersist()
         ()

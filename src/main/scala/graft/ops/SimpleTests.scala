@@ -208,6 +208,65 @@ object SimpleTests {
       .toDF("n", "ratio", "sd_delta", "mde_abs", "mde_rel", "n_per_arm_target")
   }
 
+  /** Post-stratification ATE (Imbens & Rubin ch. 9 blocked
+    * difference-in-means): within each stratum the arms are compared
+    * directly, then stratum effects combine with population weights
+    * w_s = n_s/n — the design-based alternative to #3's CUPED and the
+    * estimator behind "stratified randomization" analyses:
+    *
+    *   ATE = Σ_s w_s (ȳ₁s − ȳ₀s),  se² = Σ_s w_s² (v₁s/n₁s + v₀s/n₀s)
+    *
+    * 100 TB shape: ONE row-scale aggregate to stratum cells, ONE
+    * cell-scale aggregate to the report row — strata cardinality is
+    * unbounded (nothing is collected but the single output row), and the
+    * per-arm-per-stratum floor is validated in the SAME cell pass
+    * (min over cells), so a stratum too thin to estimate is a named
+    * error, not a null that poisons the sum. Treatment values outside
+    * {0, 1} fail fast in the same pass. Everything replays in plain SQL.
+    * Returns one row: (n, n_strata, ate, se, z, p_value). */
+  def stratifiedAte(df: DataFrame, y: Column, t: Column, stratum: Column,
+                    minPerArm: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(minPerArm >= 2,
+      "stratified_ate: minPerArm must be >= 2 (variance needs 2 rows)")
+    val yd = y.cast("double")
+    val ti = t.cast("int")
+    val cells = df.filter(yd.isNotNull && ti.isNotNull && stratum.isNotNull)
+      .groupBy(stratum.as("__s"))
+      .agg(
+        sum(when(ti === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(ti === 1, 1L).otherwise(0L)).as("n1"),
+        avg(when(ti === 0, yd)).as("m0"),
+        avg(when(ti === 1, yd)).as("m1"),
+        var_samp(when(ti === 0, yd)).as("v0"),
+        var_samp(when(ti === 1, yd)).as("v1"),
+        sum(when(ti =!= 0 && ti =!= 1, 1L).otherwise(0L)).as("bad"))
+    val ns = col("n0") + col("n1")
+    val r = cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(ns).as("n"),
+      min(col("n0")).as("mn0"), min(col("n1")).as("mn1"),
+      sum(ns.cast("double") * (col("m1") - col("m0"))).as("sd"),
+      sum(ns.cast("double") * ns.cast("double") *
+        (col("v1") / col("n1") + col("v0") / col("n0"))).as("sv"),
+      sum(col("bad")).as("bad")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"stratified_ate: ${r.getAs[Long]("bad")} rows have treatment outside {0, 1}")
+    val nStrata = r.getAs[Long]("n_strata")
+    require(nStrata > 0, "stratified_ate: no strata")
+    require(r.getAs[Long]("mn0") >= minPerArm && r.getAs[Long]("mn1") >= minPerArm,
+      s"stratified_ate: a stratum has fewer than $minPerArm rows in an " +
+        "arm — coarsen the strata (every stratum needs both arms)")
+    val n = r.getAs[Long]("n")
+    val ate = r.getAs[Double]("sd") / n
+    val se = math.sqrt(r.getAs[Double]("sv")) / n
+    val z = if (se > 0) ate / se else 0.0
+    val p = 2.0 * (1.0 - Dist.normCdf(math.abs(z)))
+    Seq((n, nStrata, ate, se, z, p))
+      .toDF("n", "n_strata", "ate", "se", "z", "p_value")
+  }
+
   /** E-value sensitivity analysis (VanderWeele & Ding 2017) for a binary
     * outcome under a binary exposure — the robustness number every
     * OBSERVATIONAL estimate should ship with: the minimum strength of

@@ -39,11 +39,13 @@ object SynthControl {
     *                scored out-of-sample (the effect path)
     * @return weights over donors + per-period path
     *         (period, is_pre, y_treated, y_synth, gap), ascending. */
-  def synthControl(df: DataFrame, unit: Column, period: Column, y: Column,
-                   treatedUnit: String, preEnd: Double,
-                   maxIter: Int = 2000, tol: Double = 1e-12,
-                   maxCells: Int = 200000): SynthResult = {
-    val spark = df.sparkSession
+  /** Collected complete-panel cells: every unit's period → mean outcome. */
+  private case class Panel(periods: Array[Double], prePeriods: Array[Double],
+                           paths: Map[String, Map[Double, Double]])
+
+  private def collectPanel(df: DataFrame, unit: Column, period: Column,
+                           y: Column, treatedUnit: String, preEnd: Double,
+                           maxCells: Int): Panel = {
     val cells = df
       .filter(unit.isNotNull && period.isNotNull && y.isNotNull)
       .groupBy(unit.cast("string").as("u"), period.cast("double").as("p"))
@@ -68,19 +70,18 @@ object SynthControl {
     val full = byUnit.filter(_._2.length == periods.length)
     require(full.contains(treatedUnit),
       "synth_control: treated unit is missing periods — balance the panel")
-    val donors = full.keys.filter(_ != treatedUnit).toArray.sorted
-    require(donors.length >= 2,
-      s"synth_control: need >= 2 complete donors, got ${donors.length} " +
-        "(incomplete units are excluded — balance the panel upstream)")
-    def path(u: String): Map[Double, Double] =
-      full(u).map(r => r.getDouble(1) -> r.getDouble(2)).toMap
-    val treatedPath = path(treatedUnit)
-    val donorPaths = donors.map(path)
-    val nPre = prePeriods.length
-    val k = donors.length
-    val b = prePeriods.map(treatedPath)
-    val A = Array.tabulate(nPre, k)((t, j) => donorPaths(j)(prePeriods(t)))
-    // Frank-Wolfe on the unit simplex, exact line search for ||Aw - b||^2
+    Panel(periods, prePeriods,
+      full.view.mapValues(_.map(r => r.getDouble(1) -> r.getDouble(2)).toMap)
+        .toMap)
+  }
+
+  /** Pairwise Frank–Wolfe solve of min ||Aw − b||² over the unit simplex.
+    * Returns (weights, iterations, duality gap). */
+  private def fwFit(b: Array[Double], A: Array[Array[Double]],
+                    maxIter: Int, tol: Double)
+      : (Array[Double], Int, Double) = {
+    val nPre = b.length
+    val k = A(0).length
     val w = Array.fill(k)(1.0 / k)
     val aw = new Array[Double](nPre)
     def recomputeAw(): Unit = {
@@ -147,11 +148,50 @@ object SynthControl {
       } else if (away == best) gap = 0.0
       it += 1
     }
-    var sse = 0.0
-    var t = 0
-    while (t < nPre) { val e = aw(t) - b(t); sse += e * e; t += 1 }
-    val preRmse = math.sqrt(sse / nPre)
-    val rows = periods.map { p =>
+    (w, it, gap)
+  }
+
+  /** Fit one unit against a donor pool over the collected panel; returns
+    * (weights, iterations, gap, preRmse, postRmse). */
+  private def fitOne(panel: Panel, target: String, donors: Array[String],
+                     preEnd: Double, maxIter: Int, tol: Double)
+      : (Array[Double], Int, Double, Double, Double) = {
+    val targetPath = panel.paths(target)
+    val donorPaths = donors.map(panel.paths)
+    val nPre = panel.prePeriods.length
+    val k = donors.length
+    val b = panel.prePeriods.map(targetPath)
+    val A = Array.tabulate(nPre, k)((t, j) => donorPaths(j)(panel.prePeriods(t)))
+    val (w, it, gap) = fwFit(b, A, maxIter, tol)
+    def rmse(ps: Array[Double]): Double =
+      if (ps.isEmpty) 0.0
+      else math.sqrt(ps.map { p =>
+        var synth = 0.0
+        var j = 0
+        while (j < k) { synth += w(j) * donorPaths(j)(p); j += 1 }
+        val e = targetPath(p) - synth
+        e * e
+      }.sum / ps.length)
+    val postPeriods = panel.periods.filter(_ > preEnd)
+    (w, it, gap, rmse(panel.prePeriods), rmse(postPeriods))
+  }
+
+  def synthControl(df: DataFrame, unit: Column, period: Column, y: Column,
+                   treatedUnit: String, preEnd: Double,
+                   maxIter: Int = 2000, tol: Double = 1e-12,
+                   maxCells: Int = 200000): SynthResult = {
+    val spark = df.sparkSession
+    val panel = collectPanel(df, unit, period, y, treatedUnit, preEnd, maxCells)
+    val donors = panel.paths.keys.filter(_ != treatedUnit).toArray.sorted
+    require(donors.length >= 2,
+      s"synth_control: need >= 2 complete donors, got ${donors.length} " +
+        "(incomplete units are excluded — balance the panel upstream)")
+    val (w, it, gap, preRmse, _) =
+      fitOne(panel, treatedUnit, donors, preEnd, maxIter, tol)
+    val donorPaths = donors.map(panel.paths)
+    val treatedPath = panel.paths(treatedUnit)
+    val k = donors.length
+    val rows = panel.periods.map { p =>
       var synth = 0.0
       var j = 0
       while (j < k) { synth += w(j) * donorPaths(j)(p); j += 1 }
@@ -163,7 +203,63 @@ object SynthControl {
       StructField("y_treated", DoubleType), StructField("y_synth", DoubleType),
       StructField("gap", DoubleType)))
     val pathDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava, schema)
     SynthResult(donors, w, preRmse, it, gap, pathDf)
+  }
+
+  /** In-space placebo inference (Abadie, Diamond & Hainmueller 2010
+    * §2.2): refit the synthetic control with EACH complete donor as the
+    * pseudo-treated unit (donor pool = the other donors — the truly
+    * treated unit is excluded from every placebo pool), and rank the
+    * treated unit's post/pre RMSE ratio within the placebo distribution.
+    * Under "no effect anywhere", the treated ratio is exchangeable with
+    * the placebos, so p = rank / (1 + #placebos) is an exact
+    * randomization p-value.
+    *
+    * The cell frame is collected ONCE (same guard as [[synthControl]]);
+    * the k extra Frank–Wolfe solves are driver arithmetic over those
+    * cells. Returns one row per unit:
+    * (unit, is_treated, pre_rmse, post_rmse, rmse_ratio, rank, p_value),
+    * rank = #units with ratio >= this unit's (ties count), descending
+    * ratio order — the treated row's p_value IS the placebo p. A placebo
+    * with pre_rmse = 0 gets ratio = +Infinity unless its post_rmse is
+    * also 0 (then 0/0 := 0, an exactly-reproduced flat unit). Callers
+    * following ADH's poorly-fit-placebo exclusion can filter the table
+    * on pre_rmse before re-ranking. */
+  def placeboTest(df: DataFrame, unit: Column, period: Column, y: Column,
+                  treatedUnit: String, preEnd: Double,
+                  maxIter: Int = 2000, tol: Double = 1e-12,
+                  maxCells: Int = 200000): DataFrame = {
+    val spark = df.sparkSession
+    val panel = collectPanel(df, unit, period, y, treatedUnit, preEnd, maxCells)
+    require(panel.periods.exists(_ > preEnd),
+      s"synth_placebo: no post-periods after preEnd=$preEnd — " +
+        "nothing to rank")
+    val donors = panel.paths.keys.filter(_ != treatedUnit).toArray.sorted
+    require(donors.length >= 3,
+      s"synth_placebo: need >= 3 complete donors (each placebo fit " +
+        s"needs >= 2 of the others), got ${donors.length}")
+    def ratio(pre: Double, post: Double): Double =
+      if (pre > 0.0) post / pre else if (post == 0.0) 0.0
+      else Double.PositiveInfinity
+    val fits = (treatedUnit +: donors.toSeq).map { u =>
+      val pool = donors.filter(_ != u)
+      val (_, _, _, pre, post) = fitOne(panel, u, pool, preEnd, maxIter, tol)
+      (u, u == treatedUnit, pre, post, ratio(pre, post))
+    }
+    val n = fits.length
+    val rows = fits
+      .sortBy { case (u, _, _, _, r) => (-r, u) }
+      .map { case (u, isT, pre, post, r) =>
+        val rank = fits.count(_._5 >= r)
+        Row(u, isT, pre, post, r, rank, rank.toDouble / n)
+      }
+    val schema = StructType(Seq(
+      StructField("unit", StringType), StructField("is_treated", BooleanType),
+      StructField("pre_rmse", DoubleType), StructField("post_rmse", DoubleType),
+      StructField("rmse_ratio", DoubleType), StructField("rank", IntegerType),
+      StructField("p_value", DoubleType)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 }

@@ -71,4 +71,48 @@ class EventStudySpec extends AnyFunSuite {
     assert(GraftGateway.sql(spark,
       "SELECT event_study_curve(g, t, y) FROM es_t").count() > 5)
   }
+
+  test("unit mode: delta estimator matches the cell form on a balanced panel " +
+      "and its CI covers the planted effect") {
+    // deterministic unit-level noise so the delta variance is nonzero
+    val noisy = panel.withColumn("y",
+      $"y" + (($"u" * 31 + $"t" * 17) % 7).cast("double") * 0.05)
+    val cell = EventStudy.groupTimeAtt(noisy, $"g", $"t", $"y").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val delta = EventStudy.groupTimeAtt(noisy, $"g", $"t", $"y",
+      unit = Some($"u")).collect()
+    delta.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // balanced panel: unit-delta mean == cell double difference exactly
+      assert(math.abs(r.getDouble(4) - cell(key)) < 1e-9, s"att mismatch $key")
+      val (att, se) = (r.getDouble(4), r.getDouble(5))
+      val (lo, hi) = (r.getDouble(6), r.getDouble(7))
+      assert(se > 0 && lo < att && att < hi, s"CI shape $key: $lo $att $hi")
+      // the deterministic noise is bounded by 0.35, so every 95% CI must
+      // cover the PLANTED effect (pre-periods: zero)
+      val planted = effect(r.getLong(0), r.getLong(1))
+      assert(lo <= planted && planted <= hi,
+        s"CI [$lo, $hi] misses planted $planted at $key")
+      assert(r.getLong(8) == 30, "n_rows = treated units per cohort")
+    }
+    assert(delta.length == 14)
+    // no unit spans (base, t): cohort-4 unit 1000 holds ONLY the base
+    // period, unit 1001 only the non-base periods — the cells all exist
+    // but the delta join is empty, which must be a named error
+    val disjoint = panel.filter($"g" === 0L).unionByName(
+      (Seq((1000L, 4L, 3L, 1.0)) ++
+        (1L to 8L).filter(_ != 3).map(t => (1001L, 4L, t, 2.0)))
+        .toDF("u", "g", "t", "y"))
+    val e = intercept[IllegalArgumentException] {
+      EventStudy.groupTimeAtt(disjoint, $"g", $"t", $"y", unit = Some($"u"))
+    }
+    assert(e.getMessage.contains("observed at both"), e.getMessage)
+    // 4-arg gateway verb surfaces the se columns
+    noisy.createOrReplaceTempView("es_u")
+    val viaSql = GraftGateway.sql(spark,
+      "SELECT event_study(u, g, t, y) FROM es_u")
+    assert(viaSql.columns.toSeq == Seq("cohort", "period", "event_time",
+      "is_pre", "att", "se", "lower", "upper", "n_rows"))
+    assert(viaSql.filter($"se".isNull).count() == 0)
+  }
 }

@@ -582,4 +582,50 @@ class OpsSpec extends AnyFunSuite {
     // early periods (no history yet) are never flagged
     assert((0L until 72L).forall(p => !r(p)))
   }
+
+  test("stratifiedAte: hand-computed blocked estimator, guards") {
+    // 2 strata with DIFFERENT within-stratum effects and sizes; the
+    // blocked estimator must weight by stratum size, not arm size
+    val rows =
+      (1 to 40).map(i => ("a", i % 2, 10.0 + (i % 2) * 2.0 + (i % 4) / 2)) ++
+      (1 to 20).map(i => ("b", i % 2, 50.0 + (i % 2) * 5.0 + (i % 4) / 2))
+    val df = rows.toDF("s", "t", "y")
+    val r = graft.ops.SimpleTests.stratifiedAte(df, $"y", $"t", $"s").head()
+    assert(r.getAs[Long]("n") == 60 && r.getAs[Long]("n_strata") == 2)
+    // per-stratum diffs are exactly the planted 2.0 and 5.0 (the (i%4)/2
+    // noise term has identical arm distributions within each stratum)
+    val ate = r.getAs[Double]("ate")
+    assert(math.abs(ate - (40.0 / 60 * 2.0 + 20.0 / 60 * 5.0)) < 1e-9, ate)
+    val se = r.getAs[Double]("se")
+    // closed form: w² (v1/n1 + v0/n0) summed over strata
+    def vs(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val byCell = rows.groupBy(x => (x._1, x._2))
+      .map { case (k, v) => k -> v.map(_._3.toDouble) }
+    val seExp = math.sqrt(
+      math.pow(40.0 / 60, 2) * (vs(byCell(("a", 1))) / 20 + vs(byCell(("a", 0))) / 20) +
+      math.pow(20.0 / 60, 2) * (vs(byCell(("b", 1))) / 10 + vs(byCell(("b", 0))) / 10))
+    assert(math.abs(se - seExp) < 1e-9, s"$se vs $seExp")
+    assert(math.abs(r.getAs[Double]("z") - ate / se) < 1e-9)
+    // a stratum missing an arm is a named error, not a null in the sum
+    val oneArm = df.filter(!($"s" === "b" && $"t" === 1))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.stratifiedAte(oneArm, $"y", $"t", $"s").head()
+    }
+    assert(e.getMessage.contains("coarsen"), e.getMessage)
+    val badT = Seq(("a", 2, 1.0), ("a", 0, 2.0)).toDF("s", "t", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.stratifiedAte(badT, $"y", $"t", $"s").head()
+    }
+    assert(e2.getMessage.contains("outside"), e2.getMessage)
+    // gateway verb
+    df.createOrReplaceTempView("strat_t")
+    val viaSql = GraftGateway.sql(spark,
+      "SELECT stratified_ate(y, t, s) FROM strat_t")
+    assert(viaSql.columns.toSeq ==
+      Seq("n", "n_strata", "ate", "se", "z", "p_value"))
+    assert(math.abs(viaSql.head().getAs[Double]("ate") - ate) < 1e-12)
+  }
 }

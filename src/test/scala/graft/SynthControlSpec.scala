@@ -66,4 +66,40 @@ class SynthControlSpec extends AnyFunSuite {
     assert(viaSql.columns.toSeq ==
       Seq("period", "is_pre", "y_treated", "y_synth", "gap"))
   }
+
+  test("placeboTest ranks the planted-effect treated unit first") {
+    val rows = SynthControl.placeboTest(panel, $"u", $"t", $"y", "treated", 20.0)
+      .collect()
+    assert(rows.length == 4) // treated + 3 donor placebos
+    val byUnit = rows.map(r => r.getString(0) ->
+      (r.getBoolean(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getInt(5), r.getDouble(6))).toMap
+    val (isT, pre, post, ratio, rank, p) = byUnit("treated")
+    assert(isT && rank == 1 && math.abs(p - 0.25) < 1e-12)
+    // the +5 planted post effect against a <0.05 pre fit: a huge ratio
+    assert(pre < 0.05 && post > 4.0 && ratio > 50.0, s"$pre $post $ratio")
+    // placebos carry no effect: ratios well under the treated one, and
+    // the treated unit is excluded from every placebo donor pool (their
+    // fits must not be able to borrow the effect)
+    rows.filter(!_.getBoolean(1)).foreach { r =>
+      assert(r.getDouble(4) < ratio / 10, s"placebo ${r.getString(0)}: $r")
+      assert(!r.getBoolean(1) && r.getInt(5) > 1)
+    }
+    // ranks are the descending-ratio order, p = rank / n
+    rows.foreach(r => assert(
+      math.abs(r.getDouble(6) - r.getInt(5) / 4.0) < 1e-12))
+    // gateway verb
+    panel.createOrReplaceTempView("synth_t")
+    val viaSql = GraftGateway.sql(spark,
+      "SELECT synth_placebo(u, t, y, 'treated', 20) FROM synth_t")
+    assert(viaSql.columns.toSeq == Seq("unit", "is_treated", "pre_rmse",
+      "post_rmse", "rmse_ratio", "rank", "p_value"))
+    assert(viaSql.count() == 4)
+    // guard: too few donors for placebo pools
+    val e = intercept[IllegalArgumentException] {
+      SynthControl.placeboTest(panel.filter($"u" =!= "d3"),
+        $"u", $"t", $"y", "treated", 20.0)
+    }
+    assert(e.getMessage.contains(">= 3"), e.getMessage)
+  }
 }
