@@ -126,16 +126,18 @@ object Bench {
       // says some pass ran under load, up to a bound so a persistently
       // busy box terminates (the emitted samples then tell the story).
       // The pre-suite sample gets a wider allowance: measured on a quiet
-      // box it sits a systematic ~18% above the post-pass samples (CPU
+      // box it sits systematically above the post-pass samples (CPU
       // governor hasn't ramped before sustained work; JIT warmup was ruled
-      // out — 9 warm executions don't close it), while post-pass samples
-      // agree within ~4%. 45% still catches the 3-10× load class that
-      // poisoned the committed r8 artifact.
+      // out — 9 warm executions don't close it), and the r12 quiet run
+      // measured it at +63% (0.206 vs 0.126), which burned 2 extra passes
+      // under the old 45% line. 80% still catches the 3-10x (200-900%)
+      // load class that poisoned the committed r8 artifact, which is the
+      // only thing this sample exists to see.
       val post = sentinels.drop(1)
       val postDrift = (post.max - post.min) / post.min
       val preDrift = (sentinels.head - post.min) / post.min
       done = passes.length >= maxPasses ||
-        (passes.length >= 2 && postDrift <= 0.25 && preDrift <= 0.45)
+        (passes.length >= 2 && postDrift <= 0.25 && preDrift <= 0.80)
     }
     // single-core sentinel: same idea, one partition — cpus-independent, so
     // its quiet value is an ABSOLUTE cross-run reference (~0.4 s measured

@@ -63,6 +63,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT bayes_ab(t, success[, alpha0[, beta0]])  FROM <events>
   * SELECT bayes_best_arm(arm, success[, alpha0[, beta0]]) FROM <events>
   * SELECT stratified_ate(y, t, stratum)         FROM <any>
+  * SELECT rdd_sharp(y, x, cutoff, bandwidth[, 'kernel']) FROM <any>
+  * SELECT equivalence_test(y, t, margin[, alpha]) FROM <any>
+  * SELECT rate_ratio(events, t[, exposure[, alpha]]) FROM <any>
+  * SELECT mediation(y, t, mediator)              FROM <any>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -232,7 +236,8 @@ object GraftGateway {
     "event_study_curve", "top_k", "funnel", "retention", "e_value",
     "profile_diff", "weighted_sample", "srm_sequential", "fuzzy_join",
     "jackknife_ratio", "jackknife_ratio_diff", "metric_anomaly", "bayes_ab",
-    "bayes_best_arm", "stratified_ate")
+    "bayes_best_arm", "stratified_ate", "rdd_sharp", "equivalence_test",
+    "rate_ratio", "mediation")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -446,6 +451,29 @@ object GraftGateway {
             r.p_values(i), r.nClusters)
         }.toDF("term", "estimate", "se_cluster", "t_value", "p_value",
           "n_clusters")
+      case "mediation" =>
+        // Baron-Kenny decomposition with the Sobel indirect-effect SE
+        require(a.length >= 3, "mediation(y, t, mediator)")
+        Regression.mediation(df, c(a(0)), c(a(1)), c(a(2)))
+      case "equivalence_test" =>
+        // TOST: both one-sided Welch z tests against the +/- margin
+        require(a.length >= 3, "equivalence_test(y, t, margin[, alpha])")
+        SimpleTests.equivalenceTest(df, c(a(0)), c(a(1)), num(a(2)),
+          alpha = if (a.length > 3) num(a(3)) else 0.05)
+      case "rate_ratio" =>
+        // Poisson rate ratio with exposure offsets, log-scale delta CI
+        require(a.length >= 2, "rate_ratio(events, t[, exposure[, alpha]])")
+        SimpleTests.rateRatioTest(df, c(a(0)), c(a(1)),
+          exposure = if (a.length > 2) c(a(2))
+            else org.apache.spark.sql.functions.lit(1.0),
+          alpha = if (a.length > 3) num(a(3)) else 0.05)
+      case "rdd_sharp" =>
+        // sharp regression discontinuity: local-linear jump at the cutoff,
+        // HC0 sandwich SEs (the rdrobust "conventional" readout)
+        require(a.length >= 4,
+          "rdd_sharp(y, running, cutoff, bandwidth[, 'triangular'|'uniform'])")
+        Regression.rddSharp(df, c(a(0)), c(a(1)), num(a(2)), num(a(3)),
+          kernel = if (a.length > 4) str(a(4)) else "triangular")
       case "msprt" =>
         // always-valid sequential test over cumulative time buckets
         require(a.length >= 3, "msprt(bucket, y, t[, tau])")

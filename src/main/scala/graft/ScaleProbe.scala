@@ -58,6 +58,10 @@ object ScaleProbe {
       timings.getOrElseUpdate(label,
         scala.collection.mutable.ArrayBuffer.empty[Double]) += math.round(sec * 100.0) / 100.0
       println(f"PROBE $label rows=$rows $sec%.2f s")
+      // entry boundary: release checkpoints/caches (the Bench discipline)
+      // — without it ~50 entries accumulate storage in one JVM and the
+      // checkpoint-heavy entries (funnel, event_study) hard-OOM the heap
+      try Ckpt.sweep(spark) catch { case _: Throwable => () }
     }
     def sentinel(): Double = {
       val s = Array.fill(5) {
@@ -672,6 +676,72 @@ object ScaleProbe {
       val m = graft.ops.Multimodal.videoMetadata(vids.toDF("id", "content"))
       val ok = m.agg(sum(col("decode_ok").cast("long"))).head().getLong(0)
       assert(ok == imgRows, s"decoded $ok of $imgRows")
+    }
+    time(s"event_study unit deltas ($rows rows, 10 periods, 2 cohorts)") {
+      // the round-12 se path: one unit-keyed join of the checkpointed slim
+      // panel against its base-period slice (control rows fan out by the
+      // 2 treated cohorts), then cell-scale stats
+      val units = rows / 10
+      // 256 source partitions bound the checkpoint-unroll pressure (see
+      // the funnel entry) — the base frame here is 5 narrow columns
+      val panel = spark.range(0L, rows, 1L, 256).select(
+          (col("id") % units).as("u"),
+          (col("id") / lit(units) + 1).cast("long").as("p"))
+        .withColumn("g", when(col("u") % 3 === 1, 4L)
+          .when(col("u") % 3 === 2, 7L).otherwise(0L))
+        .withColumn("y", col("p") * 1.5 +
+          pmod(xxhash64(col("u"), col("p")), lit(1000L)).cast("double") / 1000.0 +
+          when(col("g") > 0 && col("p") >= col("g"), 1.0).otherwise(0.0))
+      val r = graft.ops.EventStudy.groupTimeAtt(panel, col("g"), col("p"),
+        col("y"), unit = Some(col("u"))).collect()
+      assert(r.length == 18, s"${r.length} ATT rows")
+      assert(r.forall(_.getDouble(5) > 0), "se must be positive")
+      graft.Ckpt.releaseAll()
+    }
+    time(s"stratified_ate ($rows rows, 100k strata)") {
+      val r = graft.ops.SimpleTests.stratifiedAte(
+        df.withColumn("s", pmod(xxhash64(col("id"), lit(9)), lit(100000L))),
+        col("y"), col("t"), col("s")).head()
+      assert(r.getAs[Long]("n") == rows && r.getAs[Long]("n_strata") == 100000L)
+    }
+    time(s"rdd_sharp triangular ($rows rows)") {
+      // one aggregate to 36 conditional moment sums; planted jump 3.0
+      val r = graft.ops.Regression.rddSharp(
+        df.withColumn("yr", col("y") +
+          when(col("x1") >= 0.25, 3.0).otherwise(0.0)),
+        col("yr"), col("x1"), cutoff = 0.25, bandwidth = 0.5).head()
+      assert(math.abs(r.getAs[Double]("tau") - 3.0) < 0.05, r.toString)
+    }
+    time(s"synth_placebo 50 donors (${rows} rows, 20 periods)") {
+      // the data cost is ONE (unit x period) cell aggregate; the 51
+      // pairwise-FW refits are driver arithmetic over the collected cells
+      val panel = spark.range(rows).select(
+          (col("id") % 51).as("unit"),
+          (col("id") % 20).as("p"))
+        .withColumn("y", pmod(xxhash64(col("unit"), col("p")), lit(1000L))
+          .cast("double") / 100.0 +
+          when(col("unit") === 0 && col("p") >= 15, 4.0).otherwise(0.0))
+      val pl = graft.ops.SynthControl.placeboTest(panel, col("unit"),
+        col("p"), col("y"), "0", preEnd = 14.5).collect()
+      assert(pl.length == 51)
+      assert(pl.find(_.getBoolean(1)).get.getInt(5) <= 3,
+        "planted treated effect should rank near the top")
+    }
+    time(s"funnel 4 steps (${rows} events, ${rows / 20} users)") {
+      // 256 source partitions: the funnel checkpoints its slim event
+      // frame, and 32 × 2.5M-row blocks unrolling concurrently with the
+      // first aggregate starves execution memory in one 8g JVM — smaller
+      // blocks bound the storage-unroll pressure (a cluster tunes the
+      // same knob with maxPartitionBytes)
+      val ev = spark.range(0L, rows, 1L, 256).select(
+        (col("id") % (rows / 20)).as("u"),
+        (col("id") / lit(rows / 20)).cast("double").as("ts"),
+        element_at(
+          array(lit("a"), lit("b"), lit("c"), lit("d"), lit("x")),
+          (pmod(xxhash64(col("id"), lit(11)), lit(5)) + 1).cast("int")).as("e"))
+      val f = graft.ops.Funnel.funnel(ev, col("u"), col("ts"), col("e"),
+        Seq("a", "b", "c", "d"), 100.0).collect()
+      assert(f.length == 4 && f.head.getLong(2) > 0)
     }
     } // suite()
 

@@ -2034,6 +2034,80 @@ object SparkEntry {
         .withColumn("oracle_sf", lit(sfTag(d)))
         .orderBy(col("rank"), col("unit"))
     }),
+    "q171_mediation" -> ((s, d) => {
+      // Baron-Kenny decomposition with PLANTED paths over natural noise:
+      // M = quantity + 2T (a ~ 2), Y = price/1000 + 3M + 1.5T (b ~ 3,
+      // c' ~ 1.5) — every output is second-moment algebra, plain SQL
+      t(s, d, "lineitem")
+        .select((col("l_orderkey") % 2).cast("double").as("t"),
+          col("l_quantity").cast("double").as("q"),
+          col("l_extendedprice").cast("double").as("p"))
+        .withColumn("m", col("q") + lit(2.0) * col("t"))
+        .withColumn("y",
+          col("p") / 1000 + lit(3.0) * col("m") + lit(1.5) * col("t"))
+        .createOrReplaceTempView("li_med")
+      GraftGateway.sql(s, "SELECT mediation(y, t, m) FROM li_med")
+        .select(col("n"), round(col("a"), 6).as("a"),
+          round(col("b"), 6).as("b"),
+          round(col("c_total"), 6).as("c_total"),
+          round(col("c_direct"), 6).as("c_direct"),
+          round(col("indirect"), 6).as("indirect"),
+          round(col("se_indirect"), 6).as("se_indirect"),
+          round(col("z"), 4).as("z"),
+          round(col("prop_mediated"), 6).as("prop_mediated"))
+    }),
+    "q169_equivalence" -> ((s, d) => {
+      // TOST equivalence readout on the A/A order-parity split with a
+      // +/-0.5 quantity margin: an A/A diff near 0 with tight se must
+      // clear both one-sided bounds. Pure moment closed forms; the
+      // boolean replays against the literal one-sided normal critical
+      // value (p_equiv needs a normal CDF DuckDB lacks — q166 idiom).
+      t(s, d, "lineitem")
+        .select(col("l_quantity").cast("double").as("y"),
+          (col("l_orderkey") % 2).cast("int").as("t"))
+        .createOrReplaceTempView("li_equiv")
+      GraftGateway.sql(s, "SELECT equivalence_test(y, t, 0.5) FROM li_equiv")
+        .select(col("n0"), col("n1"), round(col("mean0"), 6).as("mean0"),
+          round(col("mean1"), 6).as("mean1"), round(col("diff"), 6).as("diff"),
+          round(col("se"), 6).as("se"),
+          round(col("z_lower"), 4).as("z_lower"),
+          round(col("z_upper"), 4).as("z_upper"), col("equivalent"))
+    }),
+    "q170_rate_ratio" -> ((s, d) => {
+      // Poisson rate-ratio with unequal exposure: high-value events per
+      // exposure unit across the user-parity split — every output incl.
+      // the CI is a plain exp/ln closed form
+      tsNanos(t(s, d, "events"))
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(when(col("value") > 80, 1.0).otherwise(0.0).as("ev"),
+          ((col("user_id") % 5) + 1).cast("double").as("ex"),
+          (col("user_id") % 2).cast("int").as("t"))
+        .createOrReplaceTempView("ev_rates")
+      GraftGateway.sql(s, "SELECT rate_ratio(ev, t, ex) FROM ev_rates")
+        .select(col("events0"), col("events1"), col("exposure0"),
+          col("exposure1"), round(col("rate0"), 6).as("rate0"),
+          round(col("rate1"), 6).as("rate1"),
+          round(col("ratio"), 6).as("ratio"),
+          round(col("lower"), 6).as("lower"),
+          round(col("upper"), 6).as("upper"), round(col("z"), 4).as("z"))
+    }),
+    "q168_rdd_sharp" -> ((s, d) => {
+      // sharp regression discontinuity at quantity 25.5 with a PLANTED
+      // +50 jump: local-linear fits (triangular kernel, h=10) per side,
+      // HC0 sandwich SEs — 18 conditional moment sums per side, so every
+      // output replays in plain SQL
+      t(s, d, "lineitem")
+        .select((col("l_extendedprice").cast("double") / 100 +
+            when(col("l_quantity") >= 26, 50.0).otherwise(0.0)).as("y"),
+          col("l_quantity").cast("double").as("x"))
+        .createOrReplaceTempView("li_rdd")
+      GraftGateway.sql(s, "SELECT rdd_sharp(y, x, 25.5, 10.0) FROM li_rdd")
+        .select(col("n_left"), col("n_right"),
+          round(col("y_left"), 6).as("y_left"),
+          round(col("y_right"), 6).as("y_right"),
+          round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
+          round(col("z"), 4).as("z"))
+    }),
     "q166_stratified_ate" -> ((s, d) => {
       // post-stratification ATE through the gateway verb: an A/A split
       // (order-key parity) blocked on the return flag — every output is
@@ -3261,6 +3335,128 @@ object SparkEntry {
         |  ('3', FALSE, 7.465412, 5.930311, 0.794371, 10, 1.0))
         |AS t(unit, is_treated, pre_rmse, post_rmse, rmse_ratio, rank, p_value)
         |ORDER BY rank, unit""".stripMargin,
+    "q171_mediation" ->
+      // the same 10 raw sums -> centered moments -> path algebra, all in
+      // closed-form SQL
+      """WITH p0 AS (SELECT CAST(l_orderkey % 2 AS DOUBLE) AS t,
+        |    CAST(l_quantity AS DOUBLE) AS q,
+        |    CAST(l_extendedprice AS DOUBLE) AS pr
+        |  FROM lineitem),
+        |p AS (SELECT t, q + 2.0 * t AS m,
+        |    pr / 1000 + 3.0 * (q + 2.0 * t) + 1.5 * t AS y FROM p0),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st,
+        |    sum(m) AS sm, sum(y) AS sy, sum(t*t) AS stt, sum(t*m) AS stm,
+        |    sum(t*y) AS sty, sum(m*m) AS smm, sum(m*y) AS smy,
+        |    sum(y*y) AS syy FROM p),
+        |c AS (SELECT n, stt - st*st/n AS ctt, stm - st*sm/n AS ctm,
+        |    sty - st*sy/n AS cty, smm - sm*sm/n AS cmm,
+        |    smy - sm*sy/n AS cmy, syy - sy*sy/n AS cyy FROM s),
+        |d AS (SELECT n, ctt, ctm, cty, cmm, cmy, cyy,
+        |    ctm/ctt AS a, cmm*ctt - ctm*ctm AS det FROM c),
+        |e AS (SELECT n, a, cty/ctt AS ctot,
+        |    (cmm - a*ctm) / (n - 2) / ctt AS va,
+        |    (cmy*ctt - cty*ctm) / det AS b,
+        |    (cty*cmm - cmy*ctm) / det AS cdir,
+        |    det, ctt, cmm, cmy, cty, cyy FROM d),
+        |f AS (SELECT n, a, b, ctot, cdir, va,
+        |    greatest(cyy - b*cmy - cdir*cty, 0.0) / (n - 3) * ctt / det AS vb
+        |  FROM e),
+        |g AS (SELECT n, a, b, ctot, cdir, a*b AS ind,
+        |    sqrt(a*a*vb + b*b*va) AS se FROM f)
+        |SELECT CAST(n AS BIGINT) AS n, round(a, 6) AS a, round(b, 6) AS b,
+        |  round(ctot, 6) AS c_total, round(cdir, 6) AS c_direct,
+        |  round(ind, 6) AS indirect, round(se, 6) AS se_indirect,
+        |  round(ind / se, 4) AS z, round(ind / ctot, 6) AS prop_mediated
+        |FROM g""".stripMargin,
+    "q169_equivalence" ->
+      // TOST closed forms; the equivalence boolean against the literal
+      // one-sided 5% normal critical value
+      """WITH g AS (SELECT
+        |    count(*) FILTER (WHERE l_orderkey % 2 = 0) AS n0,
+        |    count(*) FILTER (WHERE l_orderkey % 2 = 1) AS n1,
+        |    avg(CAST(l_quantity AS DOUBLE))
+        |      FILTER (WHERE l_orderkey % 2 = 0) AS m0,
+        |    avg(CAST(l_quantity AS DOUBLE))
+        |      FILTER (WHERE l_orderkey % 2 = 1) AS m1,
+        |    var_samp(CAST(l_quantity AS DOUBLE))
+        |      FILTER (WHERE l_orderkey % 2 = 0) AS v0,
+        |    var_samp(CAST(l_quantity AS DOUBLE))
+        |      FILTER (WHERE l_orderkey % 2 = 1) AS v1
+        |  FROM lineitem)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+        |  round(m1 - m0, 6) AS diff,
+        |  round(sqrt(v1 / n1 + v0 / n0), 6) AS se,
+        |  round((m1 - m0 + 0.5) / sqrt(v1 / n1 + v0 / n0), 4) AS z_lower,
+        |  round((0.5 - (m1 - m0)) / sqrt(v1 / n1 + v0 / n0), 4) AS z_upper,
+        |  least((m1 - m0 + 0.5) / sqrt(v1 / n1 + v0 / n0),
+        |    (0.5 - (m1 - m0)) / sqrt(v1 / n1 + v0 / n0))
+        |    > 1.6448536269514722 AS equivalent
+        |FROM g""".stripMargin,
+    "q170_rate_ratio" ->
+      // the Poisson delta interval is pure exp/ln — fully closed-form
+      """WITH g AS (SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 AND value > 80 THEN 1.0 ELSE 0 END) AS e0,
+        |    sum(CASE WHEN user_id % 2 = 1 AND value > 80 THEN 1.0 ELSE 0 END) AS e1,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(user_id % 5 + 1 AS DOUBLE) ELSE 0 END) AS x0,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(user_id % 5 + 1 AS DOUBLE) ELSE 0 END) AS x1
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
+        |SELECT e0 AS events0, e1 AS events1, x0 AS exposure0, x1 AS exposure1,
+        |  round(e0 / x0, 6) AS rate0, round(e1 / x1, 6) AS rate1,
+        |  round((e1 / x1) / (e0 / x0), 6) AS ratio,
+        |  round(exp(ln((e1 / x1) / (e0 / x0))
+        |    - 1.959963984540054 * sqrt(1.0 / e1 + 1.0 / e0)), 6) AS lower,
+        |  round(exp(ln((e1 / x1) / (e0 / x0))
+        |    + 1.959963984540054 * sqrt(1.0 / e1 + 1.0 / e0)), 6) AS upper,
+        |  round(ln((e1 / x1) / (e0 / x0))
+        |    / sqrt(1.0 / e1 + 1.0 / e0), 4) AS z
+        |FROM g""".stripMargin,
+    "q168_rdd_sharp" ->
+      // the same 18 moment sums per side + the 2x2 weighted-LS and HC0
+      // sandwich algebra, all in closed-form SQL
+      """WITH p AS (SELECT
+        |    CAST(l_extendedprice AS DOUBLE) / 100 +
+        |      CASE WHEN l_quantity >= 26 THEN 50.0 ELSE 0 END AS y,
+        |    CAST(l_quantity AS DOUBLE) - 25.5 AS x
+        |  FROM lineitem
+        |  WHERE abs(CAST(l_quantity AS DOUBLE) - 25.5) < 10),
+        |b AS (SELECT y, x, 1.0 - abs(x) / 10.0 AS w FROM p),
+        |m AS (SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS r,
+        |    count(*) AS n, sum(w) AS w, sum(w*x) AS wx, sum(w*x*x) AS wxx,
+        |    sum(w*y) AS wy, sum(w*x*y) AS wxy,
+        |    sum(w*w) AS w2, sum(w*w*x) AS w2x, sum(w*w*x*x) AS w2xx,
+        |    sum(w*w*x*x*x) AS w2x3, sum(w*w*x*x*x*x) AS w2x4,
+        |    sum(w*w*y) AS w2y, sum(w*w*x*y) AS w2xy,
+        |    sum(w*w*x*x*y) AS w2xxy, sum(w*w*x*x*x*y) AS w2x3y,
+        |    sum(w*w*y*y) AS w2yy, sum(w*w*x*y*y) AS w2xyy,
+        |    sum(w*w*x*x*y*y) AS w2xxyy
+        |  FROM b GROUP BY 1),
+        |ab AS (SELECT *, w*wxx - wx*wx AS det,
+        |    (wxx*wy - wx*wxy) / (w*wxx - wx*wx) AS alpha,
+        |    (w*wxy - wx*wy) / (w*wxx - wx*wx) AS beta
+        |  FROM m),
+        |vv AS (SELECT r, n, alpha, det, wxx, wx,
+        |    w2yy - 2*alpha*w2y - 2*beta*w2xy
+        |      + alpha*alpha*w2 + 2*alpha*beta*w2x + beta*beta*w2xx AS m0,
+        |    w2xyy - 2*alpha*w2xy - 2*beta*w2xxy
+        |      + alpha*alpha*w2x + 2*alpha*beta*w2xx + beta*beta*w2x3 AS m1,
+        |    w2xxyy - 2*alpha*w2xxy - 2*beta*w2x3y
+        |      + alpha*alpha*w2xx + 2*alpha*beta*w2x3 + beta*beta*w2x4 AS m2
+        |  FROM ab),
+        |v2 AS (SELECT r, n, alpha,
+        |    (wxx*wxx*m0 - 2*wxx*wx*m1 + wx*wx*m2) / (det*det) AS v
+        |  FROM vv)
+        |SELECT
+        |  CAST(max(CASE WHEN r = 0 THEN n END) AS BIGINT) AS n_left,
+        |  CAST(max(CASE WHEN r = 1 THEN n END) AS BIGINT) AS n_right,
+        |  round(max(CASE WHEN r = 0 THEN alpha END), 6) AS y_left,
+        |  round(max(CASE WHEN r = 1 THEN alpha END), 6) AS y_right,
+        |  round(max(CASE WHEN r = 1 THEN alpha END)
+        |    - max(CASE WHEN r = 0 THEN alpha END), 6) AS tau,
+        |  round(sqrt(sum(v)), 6) AS se,
+        |  round((max(CASE WHEN r = 1 THEN alpha END)
+        |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
+        |FROM v2""".stripMargin,
     "q167_bayes_best_arm" ->
       // n/s/rate are honest closed forms (posterior mean = (1+s)/(2+n));
       // p_best/expected_loss are deterministic Simpson quadrature over

@@ -34,26 +34,38 @@ object Funnel {
     require(steps.distinct.length == steps.length,
       "funnel: repeated step events are ambiguous under first-match semantics")
     require(window > 0, "funnel: window must be positive")
+    // the step NAME collapses to its ordinal before the checkpoint: the
+    // materialized frame is 3 fixed-width columns (24 B/row vs a string
+    // per row — at 100M events that halving is the difference between
+    // fitting the storage pool and starving execution memory of it)
+    val stepIx = steps.zipWithIndex
+      .map { case (s, i) => (lit(s), lit(i)) }
     val ev = df
       .filter(user.isNotNull && ts.isNotNull && event.isNotNull &&
         event.isin(steps: _*))
       .select(user.cast("long").as("u"), ts.cast("double").as("t"),
-        event.cast("string").as("e"))
+        stepIx.foldRight(lit(-1): Column) { case ((s, i), acc) =>
+          when(event.cast("string") === s, i).otherwise(acc) }.as("e"))
       // every step re-reads this slim projection; materialize once
       .localCheckpoint(false)
     val counts = Array.fill(steps.length)(0L)
     try {
-      var state = ev.filter(col("e") === steps.head)
+      var state = ev.filter(col("e") === 0)
         .groupBy(col("u")).agg(min(col("t")).as("t1"))
       counts(0) = state.count()
       for (i <- 1 until steps.length) {
         val prev = s"t$i"
         val curr = s"t${i + 1}"
-        state = ev.filter(col("e") === steps(i))
+        // state has exactly ONE row per user, so prior step times are
+        // functionally dependent on u — group by u alone (narrow keys)
+        // and carry them through with max()
+        val aggs = (1 to i).map(j => max(col(s"t$j")).as(s"t$j")) :+
+          min(col("t")).as(curr)
+        state = ev.filter(col("e") === i)
           .join(state, "u")
           .filter(col("t") > col(prev) && col("t") <= col("t1") + window)
-          .groupBy((col("u") +: (1 to i).map(j => col(s"t$j"))): _*)
-          .agg(min(col("t")).as(curr))
+          .groupBy(col("u"))
+          .agg(aggs.head, aggs.tail: _*)
         // one count per step: the state frame only shrinks, and funnels
         // have a handful of steps — k−1 small actions, not row-scale work
         counts(i) = state.count()

@@ -269,6 +269,165 @@ object Regression {
   }
 
   /** struct(fit, lower, upper) for a conformal (model, q) pair. */
+  /** Mediation analysis (Baron–Kenny product of coefficients with the
+    * Sobel standard error): decompose a treatment effect into the path
+    * through a mediator M and the direct remainder —
+    *
+    *   M = α + a·T,  Y = β + b·M + c'·T,
+    *   indirect = a·b,  se_Sobel = √(a²·V(b̂) + b²·V(â)),
+    *   total c = cov(T,Y)/var(T),  proportion mediated = a·b/c
+    *
+    * — the standard observational decomposition the reference's causal
+    * tier stops short of. Both regressions and their coefficient
+    * variances are closed forms of second moments, so ONE row-scale
+    * aggregate (10 sums) feeds driver arithmetic and EVERYTHING replays
+    * in plain SQL. Listwise null drop. Returns one row: (n, a, b,
+    * c_total, c_direct, indirect, se_indirect, z, prop_mediated). */
+  def mediation(df: DataFrame, y: Column, treatment: Column,
+                mediator: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val td = treatment.cast("double")
+    val md = mediator.cast("double")
+    val yd = y.cast("double")
+    val r = df.filter(td.isNotNull && md.isNotNull && yd.isNotNull).agg(
+      count(lit(1)).as("n"), sum(td).as("st"), sum(md).as("sm"),
+      sum(yd).as("sy"), sum(td * td).as("stt"), sum(td * md).as("stm"),
+      sum(td * yd).as("sty"), sum(md * md).as("smm"),
+      sum(md * yd).as("smy"), sum(yd * yd).as("syy")).head()
+    val n = r.getAs[Long]("n")
+    require(n >= 4, s"mediation: need at least 4 complete rows, got $n")
+    val nd = n.toDouble
+    // centered second moments
+    val (st, sm, sy) = (r.getAs[Double]("st"), r.getAs[Double]("sm"),
+      r.getAs[Double]("sy"))
+    val cTT = r.getAs[Double]("stt") - st * st / nd
+    val cTM = r.getAs[Double]("stm") - st * sm / nd
+    val cTY = r.getAs[Double]("sty") - st * sy / nd
+    val cMM = r.getAs[Double]("smm") - sm * sm / nd
+    val cMY = r.getAs[Double]("smy") - sm * sy / nd
+    val cYY = r.getAs[Double]("syy") - sy * sy / nd
+    require(cTT > 0, "mediation: treatment has zero variance")
+    val a = cTM / cTT
+    val varA = math.max(0.0, (cMM - a * cTM) / (nd - 2)) / cTT
+    val det = cMM * cTT - cTM * cTM
+    require(det > 1e-12 * cMM * cTT,
+      "mediation: mediator is collinear with treatment — no direct/indirect " +
+        "split is identified")
+    val b = (cMY * cTT - cTY * cTM) / det
+    val cDir = (cTY * cMM - cMY * cTM) / det
+    val sigma2 = math.max(0.0, cYY - b * cMY - cDir * cTY) / (nd - 3)
+    val varB = sigma2 * cTT / det
+    val cTot = cTY / cTT
+    val indirect = a * b
+    val se = math.sqrt(a * a * varB + b * b * varA)
+    val z = if (se > 0) indirect / se else 0.0
+    val prop = if (cTot != 0) indirect / cTot else Double.NaN
+    Seq((n, a, b, cTot, cDir, indirect, se, z, prop))
+      .toDF("n", "a", "b", "c_total", "c_direct", "indirect",
+        "se_indirect", "z", "prop_mediated")
+  }
+
+  /** Sharp regression discontinuity (Imbens & Lemieux 2008; the
+    * local-linear estimator of Hahn–Todd–van der Klaauw): the treatment
+    * effect at a cutoff c of a running variable x is the jump between two
+    * kernel-weighted local-linear fits of y on (x − c), one per side,
+    * within bandwidth h:
+    *
+    *   τ = α_R − α_L,  each α the side's weighted-LS intercept at c,
+    *   se² = V(α_R) + V(α_L) with V the HC0 sandwich
+    *         e₁ᵀ(XᵀWX)⁻¹ (Σ w²ε² xxᵀ) (XᵀWX)⁻¹ e₁
+    *
+    * — the "conventional" rdrobust readout. Neither the reference nor the
+    * rest of this board covers the cutoff-assignment design.
+    *
+    * 100 TB shape: ONE row-scale aggregate collapses the in-bandwidth
+    * rows to 18 conditional moment sums per side (w·x^a·y^b and the
+    * w²-weighted set the sandwich expands into — ε² is a polynomial in
+    * (1, x, y), so HC0 needs no residual pass); the 2×2 solves and the
+    * sandwich are driver arithmetic. Everything replays in plain SQL.
+    * Boundary rows at exactly x = c belong to the RIGHT (treated) side,
+    * the standard ≥-cutoff assignment. Returns one row:
+    * (n_left, n_right, y_left, y_right, tau, se, z). */
+  def rddSharp(df: DataFrame, y: Column, running: Column, cutoff: Double,
+               bandwidth: Double, kernel: String = "triangular"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(bandwidth > 0, "rdd_sharp: bandwidth must be positive")
+    val kern = kernel.toLowerCase
+    require(kern == "triangular" || kern == "uniform",
+      s"rdd_sharp: kernel must be triangular|uniform, got $kernel")
+    val yd = y.cast("double")
+    val xc = running.cast("double") - lit(cutoff)
+    val w0 = if (kern == "triangular") lit(1.0) - abs(xc) / bandwidth
+      else lit(1.0)
+    val in = yd.isNotNull && xc.isNotNull && abs(xc) < bandwidth
+    val right = xc >= 0
+    def sideSums(side: Column, tag: String): Seq[Column] = {
+      def m(c: Column, name: String): Column =
+        sum(when(in && side, c).otherwise(lit(0.0))).as(s"${name}_$tag")
+      Seq(
+        m(lit(1.0), "n"),
+        // XᵀWX and XᵀWy moments
+        m(w0, "w"), m(w0 * xc, "wx"), m(w0 * xc * xc, "wxx"),
+        m(w0 * yd, "wy"), m(w0 * xc * yd, "wxy"),
+        // HC0 moments: Σ w² x^a y^b for a ≤ 4, b ≤ 2 (ε² expands into them)
+        m(w0 * w0, "w2"), m(w0 * w0 * xc, "w2x"),
+        m(w0 * w0 * xc * xc, "w2xx"),
+        m(w0 * w0 * xc * xc * xc, "w2x3"),
+        m(w0 * w0 * xc * xc * xc * xc, "w2x4"),
+        m(w0 * w0 * yd, "w2y"), m(w0 * w0 * xc * yd, "w2xy"),
+        m(w0 * w0 * xc * xc * yd, "w2xxy"),
+        m(w0 * w0 * xc * xc * xc * yd, "w2x3y"),
+        m(w0 * w0 * yd * yd, "w2yy"), m(w0 * w0 * xc * yd * yd, "w2xyy"),
+        m(w0 * w0 * xc * xc * yd * yd, "w2xxyy"))
+    }
+    val sums = sideSums(right, "r") ++ sideSums(!right, "l")
+    val r = df.agg(sums.head, sums.tail: _*).head()
+    def side(tag: String): (Long, Double, Double, Double) = {
+      def g(n: String): Double = r.getAs[Double](s"${n}_$tag")
+      val n = g("n").round
+      require(n >= 3,
+        s"rdd_sharp: fewer than 3 rows on the ${if (tag == "r") "right" else "left"} " +
+          "side within the bandwidth — widen it")
+      val (sw, swx, swxx) = (g("w"), g("wx"), g("wxx"))
+      val det = sw * swxx - swx * swx
+      require(math.abs(det) > 1e-12 * sw * swxx + 1e-300,
+        "rdd_sharp: degenerate running-variable design (all x equal on one side)")
+      // weighted LS solve: [α, β] = (XᵀWX)⁻¹ XᵀWy
+      val alpha = (swxx * g("wy") - swx * g("wxy")) / det
+      val beta = (sw * g("wxy") - swx * g("wy")) / det
+      // meat = Σ w²ε² x^k, k = 0,1,2 — ε = y − α − βx expanded in moments
+      def meat(k: Int): Double = {
+        val (yy, y1, one) = k match {
+          case 0 => (g("w2yy"), g("w2y"), g("w2"))
+          case 1 => (g("w2xyy"), g("w2xy"), g("w2x"))
+          case _ => (g("w2xxyy"), g("w2xxy"), g("w2xx"))
+        }
+        val (x1, x2) = k match {
+          case 0 => (g("w2x"), g("w2xx"))
+          case 1 => (g("w2xx"), g("w2x3"))
+          case _ => (g("w2x3"), g("w2x4"))
+        }
+        yy - 2 * alpha * y1 - 2 * beta * (if (k == 0) g("w2xy")
+          else if (k == 1) g("w2xxy") else g("w2x3y")) +
+          alpha * alpha * one + 2 * alpha * beta * x1 + beta * beta * x2
+      }
+      // V(α) = e₁ᵀ A⁻¹ M A⁻¹ e₁ with A = XᵀWX; first row of A⁻¹ is
+      // (swxx, −swx)/det, so V = (swxx² m0 − 2 swxx swx m1 + swx² m2)/det²
+      val v = (swxx * swxx * meat(0) - 2 * swxx * swx * meat(1) +
+        swx * swx * meat(2)) / (det * det)
+      (n, alpha, beta, math.max(0.0, v))
+    }
+    val (nR, aR, _, vR) = side("r")
+    val (nL, aL, _, vL) = side("l")
+    val tau = aR - aL
+    val se = math.sqrt(vR + vL)
+    val z = if (se > 0) tau / se else 0.0
+    Seq((nL, nR, aL, aR, tau, se, z))
+      .toDF("n_left", "n_right", "y_left", "y_right", "tau", "se", "z")
+  }
+
   def conformalBand(model: OlsModel, xs: Seq[Column], q: Double): Column = {
     val fit = predict(model, xs)
     struct(fit.as("fit"), (fit - q).as("lower"), (fit + q).as("upper"))

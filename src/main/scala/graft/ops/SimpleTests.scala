@@ -208,6 +208,96 @@ object SimpleTests {
       .toDF("n", "ratio", "sd_delta", "mde_abs", "mde_rel", "n_per_arm_target")
   }
 
+  /** Equivalence test (TOST — two one-sided tests, Schuirmann 1987): the
+    * readout for "the change is NOT worse/different by more than δ",
+    * which a nonsignificant t-test does NOT establish. Both one-sided
+    * Welch z statistics against the ±margin bounds must clear the
+    * one-sided critical value for equivalence:
+    *
+    *   z_lower = (diff + δ)/se,  z_upper = (δ − diff)/se,
+    *   equivalent ⇔ min(z_lower, z_upper) > z_{1−α}
+    *
+    * ONE moment aggregate + driver closed forms — everything through the
+    * z statistics (and the boolean, at the default α) replays in plain
+    * SQL. p_equiv is the TOST p = Φ̄(min z). Returns one row:
+    * (n0, n1, mean0, mean1, diff, se, z_lower, z_upper, p_equiv,
+    * equivalent). */
+  def equivalenceTest(df: DataFrame, y: Column, t: Column, margin: Double,
+                      alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(margin > 0, "equivalence_test: margin must be positive")
+    require(alpha > 0 && alpha < 1, "equivalence_test: alpha in (0,1)")
+    val yd = y.cast("double")
+    val ti = t.cast("int")
+    val r = df.filter(yd.isNotNull && ti.isNotNull).agg(
+      sum(when(ti === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(ti === 1, 1L).otherwise(0L)).as("n1"),
+      avg(when(ti === 0, yd)).as("m0"), avg(when(ti === 1, yd)).as("m1"),
+      var_samp(when(ti === 0, yd)).as("v0"),
+      var_samp(when(ti === 1, yd)).as("v1"),
+      sum(when(ti =!= 0 && ti =!= 1, 1L).otherwise(0L)).as("bad")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"equivalence_test: ${r.getAs[Long]("bad")} rows have treatment outside {0, 1}")
+    val (n0, n1) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"))
+    require(n0 >= 2 && n1 >= 2, "equivalence_test: both arms need >= 2 rows")
+    val diff = r.getAs[Double]("m1") - r.getAs[Double]("m0")
+    val se = math.sqrt(r.getAs[Double]("v1") / n1 + r.getAs[Double]("v0") / n0)
+    require(se > 0, "equivalence_test: zero variance in both arms")
+    val zLower = (diff + margin) / se
+    val zUpper = (margin - diff) / se
+    val zMin = math.min(zLower, zUpper)
+    val pEquiv = 1.0 - Dist.normCdf(zMin)
+    val equivalent = zMin > Dist.normQuantile(1.0 - alpha)
+    Seq((n0, n1, r.getAs[Double]("m0"), r.getAs[Double]("m1"), diff, se,
+        zLower, zUpper, pEquiv, equivalent))
+      .toDF("n0", "n1", "mean0", "mean1", "diff", "se", "z_lower",
+        "z_upper", "p_equiv", "equivalent")
+  }
+
+  /** Poisson rate-ratio test for count metrics (crashes, incidents,
+    * orders) with unequal exposure: rate_k = Σevents_k / Σexposure_k,
+    * the ratio's log-scale standard error is sqrt(1/Σe₁ + 1/Σe₀) (the
+    * standard Poisson delta interval), z = ln(ratio)/se. ONE aggregate +
+    * driver closed forms — EVERYTHING including the CI replays in plain
+    * SQL (only exp/ln). Negative counts or nonpositive exposures fail
+    * fast in the same pass. Returns one row: (events0, events1,
+    * exposure0, exposure1, rate0, rate1, ratio, lower, upper, z). */
+  def rateRatioTest(df: DataFrame, events: Column, t: Column,
+                    exposure: Column = lit(1.0),
+                    alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1, "rate_ratio: alpha in (0,1)")
+    val ev = events.cast("double")
+    val ex = exposure.cast("double")
+    val ti = t.cast("int")
+    val r = df.filter(ev.isNotNull && ex.isNotNull && ti.isNotNull).agg(
+      sum(when(ti === 0, ev).otherwise(lit(0.0))).as("e0"),
+      sum(when(ti === 1, ev).otherwise(lit(0.0))).as("e1"),
+      sum(when(ti === 0, ex).otherwise(lit(0.0))).as("x0"),
+      sum(when(ti === 1, ex).otherwise(lit(0.0))).as("x1"),
+      sum(when(ev < 0 || ex <= 0 || (ti =!= 0 && ti =!= 1), 1L)
+        .otherwise(0L)).as("bad")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"rate_ratio: ${r.getAs[Long]("bad")} rows have negative events, " +
+        "nonpositive exposure, or treatment outside {0, 1}")
+    val (e0, e1) = (r.getAs[Double]("e0"), r.getAs[Double]("e1"))
+    val (x0, x1) = (r.getAs[Double]("x0"), r.getAs[Double]("x1"))
+    require(x0 > 0 && x1 > 0, "rate_ratio: both arms need exposure")
+    require(e0 > 0 && e1 > 0,
+      "rate_ratio: both arms need events (zero cells need a continuity fix upstream)")
+    val (rate0, rate1) = (e0 / x0, e1 / x1)
+    val ratio = rate1 / rate0
+    val se = math.sqrt(1.0 / e1 + 1.0 / e0)
+    val z = math.log(ratio) / se
+    val q = Dist.normQuantile(1.0 - alpha / 2)
+    Seq((e0, e1, x0, x1, rate0, rate1, ratio,
+        math.exp(math.log(ratio) - q * se), math.exp(math.log(ratio) + q * se), z))
+      .toDF("events0", "events1", "exposure0", "exposure1", "rate0",
+        "rate1", "ratio", "lower", "upper", "z")
+  }
+
   /** Post-stratification ATE (Imbens & Rubin ch. 9 blocked
     * difference-in-means): within each stratum the arms are compared
     * directly, then stratum effects combine with population weights

@@ -583,6 +583,145 @@ class OpsSpec extends AnyFunSuite {
     assert((0L until 72L).forall(p => !r(p)))
   }
 
+  test("mediation: planted paths recovered exactly; Sobel se; guards") {
+    // noise-free planted model: M = 5 + 2T + u, Y = 1 + 3M + 1.5T + v,
+    // with u, v deterministic, mean-balanced, and independent of T
+    val rows = (1 to 2000).map { i =>
+      val t = (i % 2).toDouble
+      val u = ((i / 2) % 10 - 4.5) * 0.2
+      val v = ((i / 3) % 7 - 3.0) * 0.1
+      val m = 5.0 + 2.0 * t + u
+      (t, m, 1.0 + 3.0 * m + 1.5 * t + v)
+    }
+    val df = rows.toDF("t", "m", "y")
+    val r = graft.ops.Regression.mediation(df, $"y", $"t", $"m").head()
+    assert(math.abs(r.getAs[Double]("a") - 2.0) < 0.02, r.toString)
+    assert(math.abs(r.getAs[Double]("b") - 3.0) < 0.02)
+    assert(math.abs(r.getAs[Double]("c_direct") - 1.5) < 0.05)
+    assert(math.abs(r.getAs[Double]("indirect") - 6.0) < 0.1)
+    assert(math.abs(r.getAs[Double]("c_total") -
+      (r.getAs[Double]("c_direct") + r.getAs[Double]("indirect"))) < 1e-9,
+      "total = direct + indirect must hold exactly in the linear model")
+    assert(r.getAs[Double]("se_indirect") > 0 &&
+      r.getAs[Double]("z") > 10)
+    assert(math.abs(r.getAs[Double]("prop_mediated") - 6.0 / 7.5) < 0.02)
+    // mediator collinear with treatment: no decomposition identified
+    val coll = (1 to 100).map(i => ((i % 2).toDouble, (i % 2) * 3.0, i * 1.0))
+      .toDF("t", "m", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Regression.mediation(coll, $"y", $"t", $"m").head() }
+    assert(e.getMessage.contains("collinear"), e.getMessage)
+    df.createOrReplaceTempView("med_t")
+    val viaSql = GraftGateway.sql(spark, "SELECT mediation(y, t, m) FROM med_t")
+    assert(viaSql.columns.toSeq == Seq("n", "a", "b", "c_total", "c_direct",
+      "indirect", "se_indirect", "z", "prop_mediated"))
+  }
+
+  test("equivalenceTest: TOST accepts an A/A inside the margin, rejects a real shift") {
+    // arms identical up to a mean shift of 0.1, margin 0.5, large n
+    // (i/2)%40 cycles uniformly WITHIN each parity class (the BayesSpec
+    // lesson: i%40 would be parity-locked and shift the arm means)
+    val rows = (1 to 4000).map { i =>
+      val t = i % 2
+      (t, ((i / 2) % 40) / 4.0 + t * 0.1)
+    }
+    val df = rows.toDF("t", "y")
+    val r = graft.ops.SimpleTests.equivalenceTest(df, $"y", $"t", 0.5).head()
+    assert(math.abs(r.getAs[Double]("diff") - 0.1) < 1e-9)
+    assert(r.getAs[Boolean]("equivalent"), r.toString)
+    assert(r.getAs[Double]("p_equiv") < 0.05)
+    // hand-check the z bounds: (diff + m)/se and (m - diff)/se
+    val se = r.getAs[Double]("se")
+    assert(math.abs(r.getAs[Double]("z_lower") - 0.6 / se) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z_upper") - 0.4 / se) < 1e-9)
+    // a shift beyond the margin must NOT be declared equivalent
+    val shifted = rows.map { case (t, y) => (t, y + t * 0.8) }.toDF("t", "y")
+    val rs = graft.ops.SimpleTests.equivalenceTest(shifted, $"y", $"t", 0.5).head()
+    assert(!rs.getAs[Boolean]("equivalent") && rs.getAs[Double]("p_equiv") > 0.5)
+    intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.equivalenceTest(df, $"y", $"t", -1.0) }
+    df.createOrReplaceTempView("tost_t")
+    assert(GraftGateway.sql(spark,
+      "SELECT equivalence_test(y, t, 0.5) FROM tost_t").count() == 1)
+  }
+
+  test("rateRatioTest: hand-computed Poisson ratio with exposure, guards") {
+    // arm 0: 20 events over exposure 100; arm 1: 45 events over 150
+    val rows = (1 to 100).map(i => (0, if (i <= 20) 1.0 else 0.0, 1.0)) ++
+      (1 to 75).map(i => (1, if (i <= 45) 1.0 else 0.0, 2.0))
+    val df = rows.toDF("t", "ev", "ex")
+    val r = graft.ops.SimpleTests.rateRatioTest(df, $"ev", $"t", $"ex").head()
+    assert(r.getAs[Double]("events0") == 20.0 && r.getAs[Double]("events1") == 45.0)
+    assert(r.getAs[Double]("exposure0") == 100.0 &&
+      r.getAs[Double]("exposure1") == 150.0)
+    val ratio = (45.0 / 150.0) / (20.0 / 100.0)
+    assert(math.abs(r.getAs[Double]("ratio") - ratio) < 1e-12)
+    val se = math.sqrt(1.0 / 45 + 1.0 / 20)
+    assert(math.abs(r.getAs[Double]("z") - math.log(ratio) / se) < 1e-12)
+    assert(math.abs(r.getAs[Double]("lower") -
+      math.exp(math.log(ratio) - 1.959963984540054 * se)) < 1e-9)
+    assert(r.getAs[Double]("lower") < ratio && ratio < r.getAs[Double]("upper"))
+    // guards: negative events / nonpositive exposure are named errors
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.rateRatioTest(
+        Seq((0, -1.0, 1.0), (1, 1.0, 1.0)).toDF("t", "ev", "ex"),
+        $"ev", $"t", $"ex").head() }
+    assert(e.getMessage.contains("negative"), e.getMessage)
+    df.createOrReplaceTempView("rate_t")
+    val viaSql = GraftGateway.sql(spark,
+      "SELECT rate_ratio(ev, t, ex) FROM rate_t").head()
+    assert(math.abs(viaSql.getAs[Double]("ratio") - ratio) < 1e-12)
+  }
+
+  test("rddSharp: exact jump recovery, kernel/noise behavior, guards") {
+    // noise-free piecewise-linear with BOTH a jump and a slope change:
+    // local-linear is exact on each side, so tau must be the planted 4.0
+    val grid = (0 to 1000).map { i =>
+      val x = i / 100.0
+      val y = 2.0 + 0.3 * x + (if (x >= 5.0) 4.0 + 0.4 * (x - 5.0) else 0.0)
+      (x, y)
+    }
+    val df = grid.toDF("x", "y")
+    val r = graft.ops.Regression.rddSharp(df, $"y", $"x", 5.0, 3.0).head()
+    assert(math.abs(r.getAs[Double]("tau") - 4.0) < 1e-9, r.toString)
+    assert(r.getAs[Double]("se") < 1e-6)
+    assert(math.abs(r.getAs[Double]("y_left") - (2.0 + 0.3 * 5.0)) < 1e-9)
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") ==
+      grid.count(p => math.abs(p._1 - 5.0) < 3.0))
+    // uniform kernel: still exact on the linear design
+    val ru = graft.ops.Regression.rddSharp(df, $"y", $"x", 5.0, 3.0,
+      kernel = "uniform").head()
+    assert(math.abs(ru.getAs[Double]("tau") - 4.0) < 1e-9)
+    // deterministic bounded noise: the 95% CI must cover the planted jump
+    val noisy = df.withColumn("y",
+      $"y" + pmod(xxhash64($"x"), lit(1000)).cast("double") / 1000.0 - 0.5)
+    val rn = graft.ops.Regression.rddSharp(noisy, $"y", $"x", 5.0, 3.0).head()
+    val (tau, se) = (rn.getAs[Double]("tau"), rn.getAs[Double]("se"))
+    assert(se > 0 && math.abs(tau - 4.0) < 1.96 * se + 0.2,
+      s"tau $tau se $se")
+    // guards: bad kernel/bandwidth, thin side, degenerate design
+    intercept[IllegalArgumentException] {
+      graft.ops.Regression.rddSharp(df, $"y", $"x", 5.0, -1.0) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Regression.rddSharp(df, $"y", $"x", 5.0, 3.0, kernel = "epa") }
+    val thin = df.filter($"x" < 5.0)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Regression.rddSharp(thin, $"y", $"x", 5.0, 3.0).head() }
+    assert(e.getMessage.contains("right side"), e.getMessage)
+    val degen = df.filter($"x" >= 5.0)
+      .unionByName(Seq((4.0, 1.0), (4.0, 2.0), (4.0, 3.0)).toDF("x", "y"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Regression.rddSharp(degen, $"y", $"x", 5.0, 3.0).head() }
+    assert(e2.getMessage.contains("degenerate"), e2.getMessage)
+    // gateway verb
+    df.createOrReplaceTempView("rdd_t")
+    val viaSql = GraftGateway.sql(spark,
+      "SELECT rdd_sharp(y, x, 5.0, 3.0) FROM rdd_t")
+    assert(viaSql.columns.toSeq == Seq("n_left", "n_right", "y_left",
+      "y_right", "tau", "se", "z"))
+    assert(math.abs(viaSql.head().getAs[Double]("tau") - 4.0) < 1e-9)
+  }
+
   test("stratifiedAte: hand-computed blocked estimator, guards") {
     // 2 strata with DIFFERENT within-stratum effects and sizes; the
     // blocked estimator must weight by stratum size, not arm size
