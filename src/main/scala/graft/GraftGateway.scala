@@ -64,9 +64,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT bayes_best_arm(arm, success[, alpha0[, beta0]]) FROM <events>
   * SELECT stratified_ate(y, t, stratum)         FROM <any>
   * SELECT rdd_sharp(y, x, cutoff, bandwidth[, 'kernel']) FROM <any>
+  * SELECT rdd_fuzzy(y, d, x, cutoff, bandwidth[, 'kernel']) FROM <any>
   * SELECT equivalence_test(y, t, margin[, alpha]) FROM <any>
   * SELECT rate_ratio(events, t[, exposure[, alpha]]) FROM <any>
   * SELECT mediation(y, t, mediator)              FROM <any>
+  * SELECT icc(y, cluster)                        FROM <any>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -236,8 +238,8 @@ object GraftGateway {
     "event_study_curve", "top_k", "funnel", "retention", "e_value",
     "profile_diff", "weighted_sample", "srm_sequential", "fuzzy_join",
     "jackknife_ratio", "jackknife_ratio_diff", "metric_anomaly", "bayes_ab",
-    "bayes_best_arm", "stratified_ate", "rdd_sharp", "equivalence_test",
-    "rate_ratio", "mediation")
+    "bayes_best_arm", "stratified_ate", "rdd_sharp", "rdd_fuzzy",
+    "equivalence_test", "rate_ratio", "mediation", "icc")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -455,6 +457,10 @@ object GraftGateway {
         // Baron-Kenny decomposition with the Sobel indirect-effect SE
         require(a.length >= 3, "mediation(y, t, mediator)")
         Regression.mediation(df, c(a(0)), c(a(1)), c(a(2)))
+      case "icc" =>
+        // intraclass correlation + cluster-randomization design effect
+        require(a.length >= 2, "icc(y, cluster)")
+        SimpleTests.icc(df, c(a(0)), c(a(1)))
       case "equivalence_test" =>
         // TOST: both one-sided Welch z tests against the +/- margin
         require(a.length >= 3, "equivalence_test(y, t, margin[, alpha])")
@@ -474,6 +480,13 @@ object GraftGateway {
           "rdd_sharp(y, running, cutoff, bandwidth[, 'triangular'|'uniform'])")
         Regression.rddSharp(df, c(a(0)), c(a(1)), num(a(2)), num(a(3)),
           kernel = if (a.length > 4) str(a(4)) else "triangular")
+      case "rdd_fuzzy" =>
+        // fuzzy RDD: local Wald ratio of the outcome jump over the
+        // take-up jump, delta-method SE with the HC0 cross-covariance
+        require(a.length >= 5,
+          "rdd_fuzzy(y, takeup, running, cutoff, bandwidth[, 'kernel'])")
+        Regression.rddFuzzy(df, c(a(0)), c(a(1)), c(a(2)), num(a(3)),
+          num(a(4)), kernel = if (a.length > 5) str(a(5)) else "triangular")
       case "msprt" =>
         // always-valid sequential test over cumulative time buckets
         require(a.length >= 3, "msprt(bucket, y, t[, tau])")

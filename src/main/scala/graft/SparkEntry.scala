@@ -2108,6 +2108,40 @@ object SparkEntry {
           round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
           round(col("z"), 4).as("z"))
     }),
+    "q173_icc" -> ((s, d) => {
+      // intraclass correlation of event values clustered by user +
+      // the Donner-Klar design effect — pure two-level closed forms
+      t(s, d, "events").createOrReplaceTempView("ev_icc")
+      GraftGateway.sql(s, "SELECT icc(value, user_id) FROM ev_icc")
+        .select(col("n"), col("n_clusters"),
+          round(col("m_bar"), 6).as("m_bar"), round(col("m0"), 6).as("m0"),
+          round(col("msb"), 3).as("msb"), round(col("msw"), 3).as("msw"),
+          round(col("icc"), 6).as("icc"), round(col("deff"), 6).as("deff"),
+          round(col("n_effective"), 3).as("n_effective"))
+    }),
+    "q172_rdd_fuzzy" -> ((s, d) => {
+      // fuzzy RDD at quantity 25.5: take-up jumps ~0.2 -> ~0.7 at the
+      // cutoff (order-key residue), the outcome moves ONLY through
+      // take-up (+40 per unit) — the local Wald ratio must recover ~40.
+      // 30 conditional moment sums per side, so the whole delta-method
+      // sandwich replays in plain SQL
+      t(s, d, "lineitem")
+        .select(col("l_quantity").cast("double").as("x"),
+          when(col("l_quantity") >= 26, (col("l_orderkey") % 10 < 7).cast("int"))
+            .otherwise((col("l_orderkey") % 10 < 2).cast("int"))
+            .cast("double").as("td"),
+          (col("l_extendedprice").cast("double") / 10000).as("noise"))
+        .withColumn("y", col("x") * 0.5 + col("td") * 40.0 + col("noise"))
+        .createOrReplaceTempView("li_rddf")
+      GraftGateway.sql(s,
+          "SELECT rdd_fuzzy(y, td, x, 25.5, 10.0) FROM li_rddf")
+        .select(col("n_left"), col("n_right"),
+          round(col("jump_y"), 6).as("jump_y"),
+          round(col("jump_d"), 6).as("jump_d"),
+          round(col("se_first"), 6).as("se_first"),
+          round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
+          round(col("z"), 4).as("z"))
+    }),
     "q166_stratified_ate" -> ((s, d) => {
       // post-stratification ATE through the gateway verb: an A/A split
       // (order-key parity) blocked on the return flag — every output is
@@ -3457,6 +3491,120 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q173_icc" ->
+      // one-way random-effects ANOVA estimator, two-level closed-form SQL
+      """WITH cells AS (SELECT user_id AS c, count(*) AS m,
+        |    sum(CAST(value AS DOUBLE)) AS s,
+        |    sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS ss
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT CAST(sum(m) AS DOUBLE) AS n, count(*) AS k,
+        |    CAST(sum(m*m) AS DOUBLE) AS m2, sum(s) AS s, sum(ss) AS ss,
+        |    sum(s*s/m) AS sb
+        |  FROM cells),
+        |f AS (SELECT n, k,
+        |    (sb - s*s/n) / (k - 1) AS msb,
+        |    (ss - sb) / (n - k) AS msw,
+        |    (n - m2/n) / (k - 1) AS m0
+        |  FROM a),
+        |g AS (SELECT n, k, msb, msw, m0,
+        |    (msb - msw) / (msb + (m0 - 1.0) * msw) AS rho
+        |  FROM f)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_clusters,
+        |  round(n / k, 6) AS m_bar, round(m0, 6) AS m0,
+        |  round(msb, 3) AS msb, round(msw, 3) AS msw,
+        |  round(rho, 6) AS icc,
+        |  round(1.0 + (n / k - 1.0) * greatest(0.0, rho), 6) AS deff,
+        |  round(n / (1.0 + (n / k - 1.0) * greatest(0.0, rho)), 3)
+        |    AS n_effective
+        |FROM g""".stripMargin,
+    "q172_rdd_fuzzy" ->
+      // the fuzzy generalization: 30 moment sums per side, both 2x2
+      // fits, the HC0 sandwich for V(a_y), V(a_d), AND Cov(a_y, a_d)
+      // (the cross-meat), then the delta-method Wald variance — all in
+      // closed-form SQL
+      """WITH p AS (SELECT
+        |    CAST(l_quantity AS DOUBLE) - 25.5 AS x,
+        |    CAST(CASE WHEN l_quantity >= 26
+        |        THEN CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE 0 END
+        |        ELSE CASE WHEN l_orderkey % 10 < 2 THEN 1 ELSE 0 END
+        |      END AS DOUBLE) AS d,
+        |    CAST(l_quantity AS DOUBLE) * 0.5
+        |      + CAST(CASE WHEN l_quantity >= 26
+        |          THEN CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE 0 END
+        |          ELSE CASE WHEN l_orderkey % 10 < 2 THEN 1 ELSE 0 END
+        |        END AS DOUBLE) * 40.0
+        |      + CAST(l_extendedprice AS DOUBLE) / 10000 AS y
+        |  FROM lineitem
+        |  WHERE abs(CAST(l_quantity AS DOUBLE) - 25.5) < 10),
+        |b AS (SELECT y, d, x, 1.0 - abs(x) / 10.0 AS w FROM p),
+        |m AS (SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS r,
+        |    count(*) AS n, sum(w) AS w, sum(w*x) AS wx, sum(w*x*x) AS wxx,
+        |    sum(w*w) AS w2, sum(w*w*x) AS w2x, sum(w*w*x*x) AS w2xx,
+        |    sum(w*w*x*x*x) AS w2x3, sum(w*w*x*x*x*x) AS w2x4,
+        |    sum(w*y) AS wy, sum(w*x*y) AS wxy,
+        |    sum(w*w*y) AS w2y, sum(w*w*x*y) AS w2xy,
+        |    sum(w*w*x*x*y) AS w2xxy, sum(w*w*x*x*x*y) AS w2x3y,
+        |    sum(w*w*y*y) AS w2yy, sum(w*w*x*y*y) AS w2xyy,
+        |    sum(w*w*x*x*y*y) AS w2xxyy,
+        |    sum(w*d) AS wd, sum(w*x*d) AS wxd,
+        |    sum(w*w*d) AS w2d, sum(w*w*x*d) AS w2xd,
+        |    sum(w*w*x*x*d) AS w2xxd, sum(w*w*x*x*x*d) AS w2x3d,
+        |    sum(w*w*d*d) AS w2dd, sum(w*w*x*d*d) AS w2xdd,
+        |    sum(w*w*x*x*d*d) AS w2xxdd,
+        |    sum(w*w*y*d) AS w2yd, sum(w*w*x*y*d) AS w2xyd,
+        |    sum(w*w*x*x*y*d) AS w2xxyd
+        |  FROM b GROUP BY 1),
+        |ab AS (SELECT *, w*wxx - wx*wx AS det,
+        |    (wxx*wy - wx*wxy) / (w*wxx - wx*wx) AS ay,
+        |    (w*wxy - wx*wy) / (w*wxx - wx*wx) AS byy,
+        |    (wxx*wd - wx*wxd) / (w*wxx - wx*wx) AS ad,
+        |    (w*wxd - wx*wd) / (w*wxx - wx*wx) AS bd
+        |  FROM m),
+        |vv AS (SELECT r, n, ay, ad, det, wxx, wx,
+        |    w2yy - 2*ay*w2y - 2*byy*w2xy
+        |      + ay*ay*w2 + 2*ay*byy*w2x + byy*byy*w2xx AS m0y,
+        |    w2xyy - 2*ay*w2xy - 2*byy*w2xxy
+        |      + ay*ay*w2x + 2*ay*byy*w2xx + byy*byy*w2x3 AS m1y,
+        |    w2xxyy - 2*ay*w2xxy - 2*byy*w2x3y
+        |      + ay*ay*w2xx + 2*ay*byy*w2x3 + byy*byy*w2x4 AS m2y,
+        |    w2dd - 2*ad*w2d - 2*bd*w2xd
+        |      + ad*ad*w2 + 2*ad*bd*w2x + bd*bd*w2xx AS m0d,
+        |    w2xdd - 2*ad*w2xd - 2*bd*w2xxd
+        |      + ad*ad*w2x + 2*ad*bd*w2xx + bd*bd*w2x3 AS m1d,
+        |    w2xxdd - 2*ad*w2xxd - 2*bd*w2x3d
+        |      + ad*ad*w2xx + 2*ad*bd*w2x3 + bd*bd*w2x4 AS m2d,
+        |    w2yd - ad*w2y - bd*w2xy - ay*w2d - byy*w2xd
+        |      + ay*ad*w2 + (ay*bd + byy*ad)*w2x + byy*bd*w2xx AS m0c,
+        |    w2xyd - ad*w2xy - bd*w2xxy - ay*w2xd - byy*w2xxd
+        |      + ay*ad*w2x + (ay*bd + byy*ad)*w2xx + byy*bd*w2x3 AS m1c,
+        |    w2xxyd - ad*w2xxy - bd*w2x3y - ay*w2xxd - byy*w2x3d
+        |      + ay*ad*w2xx + (ay*bd + byy*ad)*w2x3 + byy*bd*w2x4 AS m2c
+        |  FROM ab),
+        |v2 AS (SELECT r, n, ay, ad,
+        |    (wxx*wxx*m0y - 2*wxx*wx*m1y + wx*wx*m2y) / (det*det) AS vy,
+        |    (wxx*wxx*m0d - 2*wxx*wx*m1d + wx*wx*m2d) / (det*det) AS vd,
+        |    (wxx*wxx*m0c - 2*wxx*wx*m1c + wx*wx*m2c) / (det*det) AS cyd
+        |  FROM vv),
+        |fin AS (SELECT
+        |    max(CASE WHEN r = 0 THEN n END) AS n_left,
+        |    max(CASE WHEN r = 1 THEN n END) AS n_right,
+        |    max(CASE WHEN r = 1 THEN ay END)
+        |      - max(CASE WHEN r = 0 THEN ay END) AS jy,
+        |    max(CASE WHEN r = 1 THEN ad END)
+        |      - max(CASE WHEN r = 0 THEN ad END) AS jd,
+        |    sum(vy) AS vy, sum(vd) AS vd, sum(cyd) AS cyd
+        |  FROM v2)
+        |SELECT CAST(n_left AS BIGINT) AS n_left,
+        |  CAST(n_right AS BIGINT) AS n_right,
+        |  round(jy, 6) AS jump_y, round(jd, 6) AS jump_d,
+        |  round(sqrt(vd), 6) AS se_first,
+        |  round(jy / jd, 6) AS tau,
+        |  round(sqrt((vy + (jy/jd)*(jy/jd)*vd - 2*(jy/jd)*cyd)
+        |    / (jd*jd)), 6) AS se,
+        |  round((jy / jd) / sqrt((vy + (jy/jd)*(jy/jd)*vd
+        |    - 2*(jy/jd)*cyd) / (jd*jd)), 4) AS z
+        |FROM fin""".stripMargin,
     "q167_bayes_best_arm" ->
       // n/s/rate are honest closed forms (posterior mean = (1+s)/(2+n));
       // p_best/expected_loss are deterministic Simpson quadrature over

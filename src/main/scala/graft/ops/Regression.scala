@@ -269,6 +269,134 @@ object Regression {
   }
 
   /** struct(fit, lower, upper) for a conformal (model, q) pair. */
+  /** Fuzzy regression discontinuity (Hahn–Todd–van der Klaauw 2001;
+    * Imbens & Lemieux 2008 §3): when crossing the cutoff shifts treatment
+    * TAKE-UP by less than one, the causal effect is the local Wald ratio
+    * of the two sharp jumps,
+    *
+    *   τ = Δy / Δd,  Δy = α_R^y − α_L^y,  Δd = α_R^d − α_L^d,
+    *
+    * each α a kernel-weighted local-linear intercept at the cutoff (the
+    * same estimator [[rddSharp]] uses, fit once for the outcome and once
+    * for take-up on the SAME design matrix). The delta-method variance
+    * needs the within-side covariance of the two intercepts, so the HC0
+    * sandwich generalizes to the cross-meat Σ w²ε_y ε_d xxᵀ:
+    *
+    *   V(τ) = [V(Δy) + τ²V(Δd) − 2τ·Cov(Δy, Δd)] / Δd²
+    *
+    * 100 TB shape: ONE row-scale aggregate to 30 conditional moment sums
+    * per side — ε_y·ε_d expands polynomially in (1, x, y, d) exactly as
+    * ε² does in the sharp case, so no residual pass; the 2×2 solves and
+    * the sandwich algebra are driver arithmetic and EVERYTHING replays
+    * in plain SQL. Boundary rows at x = cutoff belong to the right side.
+    * Returns one row: (n_left, n_right, jump_y, jump_d, se_first, tau,
+    * se, z) — se_first is the first-stage (Δd) standard error; a
+    * take-up jump statistically near zero is a named error, not a
+    * silently exploded ratio. */
+  def rddFuzzy(df: DataFrame, y: Column, takeup: Column, running: Column,
+               cutoff: Double, bandwidth: Double,
+               kernel: String = "triangular"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(bandwidth > 0, "rdd_fuzzy: bandwidth must be positive")
+    val kern = kernel.toLowerCase
+    require(kern == "triangular" || kern == "uniform",
+      s"rdd_fuzzy: kernel must be triangular|uniform, got $kernel")
+    val yd = y.cast("double")
+    val dd = takeup.cast("double")
+    val xc = running.cast("double") - lit(cutoff)
+    val w0 = if (kern == "triangular") lit(1.0) - abs(xc) / bandwidth
+      else lit(1.0)
+    val in = yd.isNotNull && dd.isNotNull && xc.isNotNull &&
+      abs(xc) < bandwidth
+    val right = xc >= 0
+    def sideSums(side: Column, tag: String): Seq[Column] = {
+      def m(c: Column, name: String): Column =
+        sum(when(in && side, c).otherwise(lit(0.0))).as(s"${name}_$tag")
+      def outcomeSums(o: Column, p: String): Seq[Column] = Seq(
+        m(w0 * o, s"w$p"), m(w0 * xc * o, s"wx$p"),
+        m(w0 * w0 * o, s"w2$p"), m(w0 * w0 * xc * o, s"w2x$p"),
+        m(w0 * w0 * xc * xc * o, s"w2xx$p"),
+        m(w0 * w0 * xc * xc * xc * o, s"w2x3$p"),
+        m(w0 * w0 * o * o, s"w2${p}${p}"),
+        m(w0 * w0 * xc * o * o, s"w2x$p$p"),
+        m(w0 * w0 * xc * xc * o * o, s"w2xx$p$p"))
+      Seq(m(lit(1.0), "n"),
+        m(w0, "w"), m(w0 * xc, "wx"), m(w0 * xc * xc, "wxx"),
+        m(w0 * w0, "w2"), m(w0 * w0 * xc, "w2x"),
+        m(w0 * w0 * xc * xc, "w2xx"), m(w0 * w0 * xc * xc * xc, "w2x3"),
+        m(w0 * w0 * xc * xc * xc * xc, "w2x4")) ++
+        outcomeSums(yd, "y") ++ outcomeSums(dd, "d") ++ Seq(
+        m(w0 * w0 * yd * dd, "w2yd"), m(w0 * w0 * xc * yd * dd, "w2xyd"),
+        m(w0 * w0 * xc * xc * yd * dd, "w2xxyd"))
+    }
+    val sums = sideSums(right, "r") ++ sideSums(!right, "l")
+    val r = df.agg(sums.head, sums.tail: _*).head()
+    // per side: both intercepts + V(α_y), V(α_d), Cov(α_y, α_d)
+    def side(tag: String): (Long, Double, Double, Double, Double, Double) = {
+      def g(n: String): Double = r.getAs[Double](s"${n}_$tag")
+      val n = g("n").round
+      require(n >= 3,
+        s"rdd_fuzzy: fewer than 3 rows on the ${if (tag == "r") "right" else "left"} " +
+          "side within the bandwidth — widen it")
+      val (sw, swx, swxx) = (g("w"), g("wx"), g("wxx"))
+      val det = sw * swxx - swx * swx
+      require(math.abs(det) > 1e-12 * sw * swxx + 1e-300,
+        "rdd_fuzzy: degenerate running-variable design (all x equal on one side)")
+      def fit(p: String): (Double, Double) = (
+        (swxx * g(s"w$p") - swx * g(s"wx$p")) / det,
+        (sw * g(s"wx$p") - swx * g(s"w$p")) / det)
+      val (ay, by) = fit("y")
+      val (ad, bd) = fit("d")
+      // cross-meat M_pq(k) = Σ w² ε_p ε_q x^k with ε expanded in moments;
+      // p = q recovers the sharp case's ε² expansion
+      def xk(k: Int): Double = k match {
+        case 0 => g("w2"); case 1 => g("w2x"); case 2 => g("w2xx")
+        case 3 => g("w2x3"); case _ => g("w2x4")
+      }
+      def ok(p: String, k: Int): Double = k match {
+        case 0 => g(s"w2$p"); case 1 => g(s"w2x$p")
+        case 2 => g(s"w2xx$p"); case _ => g(s"w2x3$p")
+      }
+      def pqk(p: String, q: String, k: Int): Double =
+        if (p == q) (if (k == 0) g(s"w2$p$p")
+          else if (k == 1) g(s"w2x$p$p") else g(s"w2xx$p$p"))
+        else (if (k == 0) g("w2yd") else if (k == 1) g("w2xyd")
+          else g("w2xxyd"))
+      def meat(p: String, ap: Double, bp: Double,
+               q: String, aq: Double, bq: Double)(k: Int): Double =
+        pqk(p, q, k) - aq * ok(p, k) - bq * ok(p, k + 1) -
+          ap * ok(q, k) - bp * ok(q, k + 1) +
+          ap * aq * xk(k) + (ap * bq + bp * aq) * xk(k + 1) +
+          bp * bq * xk(k + 2)
+      def sandwich(m: Int => Double): Double =
+        (swxx * swxx * m(0) - 2 * swxx * swx * m(1) + swx * swx * m(2)) /
+          (det * det)
+      val vy = math.max(0.0, sandwich(meat("y", ay, by, "y", ay, by)))
+      val vd = math.max(0.0, sandwich(meat("d", ad, bd, "d", ad, bd)))
+      val cyd = sandwich(meat("y", ay, by, "d", ad, bd))
+      (n, ay, ad, vy, vd, cyd)
+    }
+    val (nR, ayR, adR, vyR, vdR, cR) = side("r")
+    val (nL, ayL, adL, vyL, vdL, cL) = side("l")
+    val jumpY = ayR - ayL
+    val jumpD = adR - adL
+    val vD = vdR + vdL
+    val seFirst = math.sqrt(vD)
+    require(math.abs(jumpD) > 3 * seFirst && math.abs(jumpD) > 1e-12,
+      f"rdd_fuzzy: weak first stage — take-up jump $jumpD%.4g (se " +
+        f"$seFirst%.4g) is within 3 SEs of zero; the Wald ratio is not " +
+        "identified at this cutoff/bandwidth")
+    val tau = jumpY / jumpD
+    val vTau = math.max(0.0,
+      (vyR + vyL) + tau * tau * vD - 2 * tau * (cR + cL)) / (jumpD * jumpD)
+    val se = math.sqrt(vTau)
+    val z = if (se > 0) tau / se else 0.0
+    Seq((nL, nR, jumpY, jumpD, seFirst, tau, se, z))
+      .toDF("n_left", "n_right", "jump_y", "jump_d", "se_first", "tau",
+        "se", "z")
+  }
+
   /** Mediation analysis (Baron–Kenny product of coefficients with the
     * Sobel standard error): decompose a treatment effect into the path
     * through a mediator M and the direct remainder —

@@ -722,6 +722,100 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(viaSql.head().getAs[Double]("tau") - 4.0) < 1e-9)
   }
 
+  test("rddFuzzy: Wald ratio, sharp cross-pin, weak first stage guard") {
+    // noise-free design: outcome jumps 2.0 at the cutoff, take-up jumps
+    // 0.5 (from 0.2 to 0.7, both arms with slope in x) — local-linear is
+    // exact on each side, so the Wald ratio must be exactly 2.0/0.5
+    val grid = (0 to 1000).map { i =>
+      val x = i / 100.0
+      val d = (if (x >= 5.0) 0.7 else 0.2) + 0.01 * x
+      val y = 1.0 + 0.3 * x + (if (x >= 5.0) 2.0 else 0.0)
+      (x, y, d)
+    }
+    val df = grid.toDF("x", "y", "d")
+    val r = graft.ops.Regression.rddFuzzy(df, $"y", $"d", $"x", 5.0, 3.0)
+      .head()
+    assert(math.abs(r.getAs[Double]("jump_y") - 2.0) < 1e-9, r.toString)
+    assert(math.abs(r.getAs[Double]("jump_d") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("tau") - 4.0) < 1e-9)
+    assert(r.getAs[Double]("se") < 1e-6 && r.getAs[Double]("se_first") < 1e-6)
+    // sharp take-up (d = 1{x >= c}): tau and se must equal rddSharp's —
+    // the cross-meat terms vanish and the Wald denominator is exactly 1
+    val sharpD = df.withColumn("d", when($"x" >= 5.0, 1.0).otherwise(0.0))
+      .withColumn("y", $"y" + pmod(xxhash64($"x"), lit(1000))
+        .cast("double") / 1000.0)
+    val fz = graft.ops.Regression.rddFuzzy(sharpD, $"y", $"d", $"x",
+      5.0, 3.0).head()
+    val sh = graft.ops.Regression.rddSharp(sharpD, $"y", $"x", 5.0, 3.0)
+      .head()
+    assert(math.abs(fz.getAs[Double]("jump_d") - 1.0) < 1e-12)
+    assert(math.abs(fz.getAs[Double]("tau") - sh.getAs[Double]("tau")) < 1e-9)
+    assert(math.abs(fz.getAs[Double]("se") - sh.getAs[Double]("se")) < 1e-9)
+    // no take-up jump: a named weak-first-stage error, not a huge ratio
+    val flat = df.withColumn("d", lit(0.4) +
+      pmod(xxhash64($"x"), lit(1000)).cast("double") / 5000.0)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Regression.rddFuzzy(flat, $"y", $"d", $"x", 5.0, 3.0)
+        .head() }
+    assert(e.getMessage.contains("weak first stage"), e.getMessage)
+    // gateway verb
+    df.createOrReplaceTempView("rddf_t")
+    val viaSql = GraftGateway.sql(spark,
+      "SELECT rdd_fuzzy(y, d, x, 5.0, 3.0) FROM rddf_t")
+    assert(viaSql.columns.toSeq == Seq("n_left", "n_right", "jump_y",
+      "jump_d", "se_first", "tau", "se", "z"))
+    assert(math.abs(viaSql.head().getAs[Double]("tau") - 4.0) < 1e-9)
+  }
+
+  test("icc: ANOVA estimator limits, hand case, guards") {
+    // perfect clustering: constant within, varying between -> rho = 1,
+    // DEFF = average cluster size
+    val perfect = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)).toDF("c", "y")
+    val rp = graft.ops.SimpleTests.icc(perfect, $"y", $"c").head()
+    assert(math.abs(rp.getAs[Double]("icc") - 1.0) < 1e-12)
+    assert(math.abs(rp.getAs[Double]("deff") - 3.0) < 1e-12)
+    assert(math.abs(rp.getAs[Double]("n_effective") - 2.0) < 1e-12)
+    // identical within-cluster patterns: MSB = 0 -> rho = -1/(m0-1),
+    // DEFF clamps the negative estimate to 1 (never claims FREE precision)
+    val anti = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("c", "y")
+    val ra = graft.ops.SimpleTests.icc(anti, $"y", $"c").head()
+    assert(math.abs(ra.getAs[Double]("msb")) < 1e-12)
+    assert(math.abs(ra.getAs[Double]("icc") - (-0.5)) < 1e-12)
+    assert(math.abs(ra.getAs[Double]("deff") - 1.0) < 1e-12)
+    // unbalanced hand case: clusters {0,2}, {4}, {6,8,10} — replicate the
+    // ANOVA sums by hand
+    val hand = Seq(("a", 0.0), ("a", 2.0), ("b", 4.0),
+      ("c", 6.0), ("c", 8.0), ("c", 10.0)).toDF("c", "y")
+    val rh = graft.ops.SimpleTests.icc(hand, $"y", $"c").head()
+    val n = 6.0; val k = 3.0
+    val sb = (2.0 * 2.0 / 2) + (4.0 * 4.0 / 1) + (24.0 * 24.0 / 3)
+    val ssb = sb - 30.0 * 30.0 / n
+    val ssw = (0 + 4 + 16 + 36 + 64 + 100) - sb
+    val msb = ssb / (k - 1); val msw = ssw / (n - k)
+    val m0 = (n - (4.0 + 1.0 + 9.0) / n) / (k - 1)
+    val rho = (msb - msw) / (msb + (m0 - 1) * msw)
+    assert(math.abs(rh.getAs[Double]("icc") - rho) < 1e-12)
+    assert(math.abs(rh.getAs[Double]("m0") - m0) < 1e-12)
+    assert(math.abs(rh.getAs[Double]("deff") - (1 + (2 - 1) * rho)) < 1e-12)
+    assert(rh.getAs[Long]("n") == 6 && rh.getAs[Long]("n_clusters") == 3)
+    // guards: one cluster; all-singleton clusters
+    intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.icc(perfect.filter($"c" === "a"), $"y", $"c")
+        .head() }
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.icc(
+        Seq(("a", 1.0), ("b", 2.0)).toDF("c", "y"), $"y", $"c").head() }
+    assert(e.getMessage.contains("single row"), e.getMessage)
+    // gateway verb
+    hand.createOrReplaceTempView("icc_t")
+    val viaSql = GraftGateway.sql(spark, "SELECT icc(y, c) FROM icc_t")
+    assert(viaSql.columns.toSeq == Seq("n", "n_clusters", "m_bar", "m0",
+      "msb", "msw", "icc", "deff", "n_effective"))
+    assert(math.abs(viaSql.head().getAs[Double]("icc") - rho) < 1e-12)
+  }
+
   test("stratifiedAte: hand-computed blocked estimator, guards") {
     // 2 strata with DIFFERENT within-stratum effects and sizes; the
     // blocked estimator must weight by stratum size, not arm size
