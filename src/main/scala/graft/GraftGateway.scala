@@ -69,6 +69,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT rate_ratio(events, t[, exposure[, alpha]]) FROM <any>
   * SELECT mediation(y, t, mediator)              FROM <any>
   * SELECT icc(y, cluster)                        FROM <any>
+  * SELECT interrupted_time_series(y, t, at)      FROM <series>
+  * SELECT changepoint(period, value)             FROM <series>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -239,7 +241,8 @@ object GraftGateway {
     "profile_diff", "weighted_sample", "srm_sequential", "fuzzy_join",
     "jackknife_ratio", "jackknife_ratio_diff", "metric_anomaly", "bayes_ab",
     "bayes_best_arm", "stratified_ate", "rdd_sharp", "rdd_fuzzy",
-    "equivalence_test", "rate_ratio", "mediation", "icc")
+    "equivalence_test", "rate_ratio", "mediation", "icc",
+    "interrupted_time_series", "changepoint")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -461,6 +464,14 @@ object GraftGateway {
         // intraclass correlation + cluster-randomization design effect
         require(a.length >= 2, "icc(y, cluster)")
         SimpleTests.icc(df, c(a(0)), c(a(1)))
+      case "interrupted_time_series" =>
+        // segmented regression: level + slope change at the interruption
+        require(a.length >= 3, "interrupted_time_series(y, time, at)")
+        Regression.interruptedTimeSeries(df, c(a(0)), c(a(1)), num(a(2)))
+      case "changepoint" =>
+        // CUSUM single mean-shift locator over per-period metric cells
+        require(a.length >= 2, "changepoint(period, value)")
+        Drift.changepoint(df, c(a(0)), c(a(1)))
       case "equivalence_test" =>
         // TOST: both one-sided Welch z tests against the +/- margin
         require(a.length >= 3, "equivalence_test(y, t, margin[, alpha])")

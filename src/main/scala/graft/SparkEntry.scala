@@ -2108,6 +2108,50 @@ object SparkEntry {
           round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
           round(col("z"), 4).as("z"))
     }),
+    "q175_changepoint" -> ((s, d) => {
+      // CUSUM mean-shift locator over 100 period cells with a +5 shift
+      // planted at period 60 — cells, the CUSUM path, the argmax, and
+      // the Kolmogorov p (k <= 100 truncation) all replay in plain SQL
+      t(s, d, "events")
+        .select((col("event_id") % 100).as("p"),
+          (col("value") + when(col("event_id") % 100 >= 60, 5.0)
+            .otherwise(0.0)).as("v"))
+        .createOrReplaceTempView("ev_cp")
+      GraftGateway.sql(s, "SELECT changepoint(p, v) FROM ev_cp")
+        .select(col("n_periods"), col("change_period"),
+          round(col("stat"), 6).as("stat"),
+          round(col("p_value"), 6).as("p_value"),
+          round(col("mean_before"), 6).as("mean_before"),
+          round(col("mean_after"), 6).as("mean_after"),
+          round(col("shift"), 6).as("shift"))
+    }),
+    "q174_its" -> ((s, d) => {
+      // interrupted time series at t = 500 over a derived period index:
+      // a planted +8 level jump and +0.01/period trend break on top of
+      // the value noise — 12 moment sums per segment, so level/slope
+      // contrasts AND their HC0 sandwiches replay in plain SQL
+      t(s, d, "events")
+        .select((col("event_id") % 1000).cast("double").as("t"),
+          (col("value") + when(col("event_id") % 1000 >= 500, 8.0)
+            .otherwise(0.0) +
+            (col("event_id") % 1000).cast("double") *
+              when(col("event_id") % 1000 >= 500, 0.02).otherwise(0.01))
+            .as("y"))
+        .createOrReplaceTempView("ev_its")
+      GraftGateway.sql(s,
+          "SELECT interrupted_time_series(y, t, 500.0) FROM ev_its")
+        .select(col("n_pre"), col("n_post"),
+          round(col("level_pre"), 6).as("level_pre"),
+          round(col("level_post"), 6).as("level_post"),
+          round(col("level_change"), 6).as("level_change"),
+          round(col("se_level"), 6).as("se_level"),
+          round(col("z_level"), 4).as("z_level"),
+          round(col("slope_pre"), 6).as("slope_pre"),
+          round(col("slope_post"), 6).as("slope_post"),
+          round(col("slope_change"), 6).as("slope_change"),
+          round(col("se_slope"), 6).as("se_slope"),
+          round(col("z_slope"), 4).as("z_slope"))
+    }),
     "q173_icc" -> ((s, d) => {
       // intraclass correlation of event values clustered by user +
       // the Donner-Klar design effect — pure two-level closed forms
@@ -3491,6 +3535,90 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q175_changepoint" ->
+      // the CUSUM path in a window, the argmax with the exact Spark
+      // tiebreak, and the truncated Kolmogorov series over a generated
+      // k = 1..100 table
+      """WITH cells AS (SELECT CAST(event_id % 100 AS BIGINT) AS p,
+        |    avg(value + CASE WHEN event_id % 100 >= 60 THEN 5.0 ELSE 0 END)
+        |      AS y
+        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |st AS (SELECT count(*) AS t, avg(y) AS mu, stddev_samp(y) AS sd
+        |  FROM cells),
+        |cum AS (SELECT p, sum(y - (SELECT mu FROM st))
+        |    OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM cells),
+        |top AS (SELECT p, abs(c) AS ac FROM cum
+        |  ORDER BY abs(c) DESC, p ASC LIMIT 1),
+        |qq AS (SELECT top.ac / (st.sd * sqrt(st.t)) AS q, top.p AS cp,
+        |    st.t AS t
+        |  FROM top, st),
+        |pv AS (SELECT least(1.0, 2.0 * sum(
+        |      CASE WHEN g.k % 2 = 1 THEN 1.0 ELSE -1.0 END
+        |        * exp(-2.0 * g.k * g.k * qq.q * qq.q))) AS p
+        |  FROM qq, generate_series(1, 100) g(k)),
+        |sides AS (SELECT
+        |    avg(CASE WHEN cells.p <= (SELECT cp FROM qq) THEN y END) AS mb,
+        |    avg(CASE WHEN cells.p > (SELECT cp FROM qq) THEN y END) AS ma
+        |  FROM cells)
+        |SELECT CAST(qq.t AS BIGINT) AS n_periods,
+        |  CAST(qq.cp AS BIGINT) AS change_period,
+        |  round(qq.q, 6) AS stat, round(pv.p, 6) AS p_value,
+        |  round(sides.mb, 6) AS mean_before,
+        |  round(sides.ma, 6) AS mean_after,
+        |  round(sides.ma - sides.mb, 6) AS shift
+        |FROM qq, pv, sides""".stripMargin,
+    "q174_its" ->
+      // segmented-regression closed form: 12 moment sums per segment,
+      // 2x2 solves, HC0 sandwich for intercept AND slope rows
+      """WITH p AS (SELECT
+        |    CAST(event_id % 1000 AS DOUBLE) - 500.0 AS x,
+        |    value + CASE WHEN event_id % 1000 >= 500 THEN 8.0 ELSE 0 END
+        |      + CAST(event_id % 1000 AS DOUBLE) *
+        |        CASE WHEN event_id % 1000 >= 500 THEN 0.02 ELSE 0.01 END AS y
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |m AS (SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS r,
+        |    count(*) AS cnt, sum(1.0) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+        |    sum(x*x*x) AS x3, sum(x*x*x*x) AS x4,
+        |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x*y) AS xxy,
+        |    sum(x*x*x*y) AS x3y,
+        |    sum(y*y) AS syy, sum(x*y*y) AS xyy, sum(x*x*y*y) AS xxyy
+        |  FROM p GROUP BY 1),
+        |ab AS (SELECT *, n*sxx - sx*sx AS det,
+        |    (sxx*sy - sx*sxy) / (n*sxx - sx*sx) AS alpha,
+        |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS beta
+        |  FROM m),
+        |vv AS (SELECT r, cnt, alpha, beta, det, n, sx, sxx,
+        |    syy - 2*alpha*sy - 2*beta*sxy
+        |      + alpha*alpha*n + 2*alpha*beta*sx + beta*beta*sxx AS m0,
+        |    xyy - 2*alpha*sxy - 2*beta*xxy
+        |      + alpha*alpha*sx + 2*alpha*beta*sxx + beta*beta*x3 AS m1,
+        |    xxyy - 2*alpha*xxy - 2*beta*x3y
+        |      + alpha*alpha*sxx + 2*alpha*beta*x3 + beta*beta*x4 AS m2
+        |  FROM ab),
+        |v2 AS (SELECT r, cnt, alpha, beta,
+        |    (sxx*sxx*m0 - 2*sxx*sx*m1 + sx*sx*m2) / (det*det) AS va,
+        |    (sx*sx*m0 - 2*n*sx*m1 + n*n*m2) / (det*det) AS vb
+        |  FROM vv),
+        |f AS (SELECT
+        |    max(CASE WHEN r = 0 THEN cnt END) AS n_pre,
+        |    max(CASE WHEN r = 1 THEN cnt END) AS n_post,
+        |    max(CASE WHEN r = 0 THEN alpha END) AS al,
+        |    max(CASE WHEN r = 1 THEN alpha END) AS ar,
+        |    max(CASE WHEN r = 0 THEN beta END) AS bl,
+        |    max(CASE WHEN r = 1 THEN beta END) AS br,
+        |    sqrt(sum(va)) AS sel, sqrt(sum(vb)) AS ses
+        |  FROM v2)
+        |SELECT CAST(n_pre AS BIGINT) AS n_pre,
+        |  CAST(n_post AS BIGINT) AS n_post,
+        |  round(al, 6) AS level_pre, round(ar, 6) AS level_post,
+        |  round(ar - al, 6) AS level_change, round(sel, 6) AS se_level,
+        |  round((ar - al) / sel, 4) AS z_level,
+        |  round(bl, 6) AS slope_pre, round(br, 6) AS slope_post,
+        |  round(br - bl, 6) AS slope_change, round(ses, 6) AS se_slope,
+        |  round((br - bl) / ses, 4) AS z_slope
+        |FROM f""".stripMargin,
     "q173_icc" ->
       // one-way random-effects ANOVA estimator, two-level closed-form SQL
       """WITH cells AS (SELECT user_id AS c, count(*) AS m,

@@ -94,4 +94,62 @@ object Drift {
       .withColumn("is_anomaly",
         coalesce(abs(col("z")) > zThresh, lit(false)))
   }
+
+  /** Single-changepoint detection in a metric series (CUSUM; Page 1954,
+    * the at-most-one-change mean-shift test): over per-period metric
+    * cells y₁..y_T with mean ȳ and sd s,
+    *
+    *   C_t = Σ_{i≤t}(y_i − ȳ),   Q = max_t |C_t| / (s√T),
+    *
+    * the break is after argmax_t |C_t|, and under H₀ (iid, no change) Q
+    * follows the Kolmogorov (Brownian-bridge sup) law, so
+    * p = 2·Σ_{k≥1}(−1)^{k+1}·exp(−2k²Q²) — closed form, no permutation
+    * pass. The complement of [[metricAnomaly]]: that flags single
+    * outlier periods against seasonal history; this locates a PERSISTENT
+    * level shift and sizes it.
+    *
+    * 100 TB shape: ONE row-scale aggregate to period cells, a cell-scale
+    * window for the CUSUM path (periods are time — thousands, not
+    * billions; the unpartitioned cell window is the [[metricAnomaly]]
+    * idiom), bounded O(1) collects (global stats + the argmax row), and
+    * one final cell pass for the side means. Everything — including the
+    * p-value, truncated at k = 100 — replays in plain SQL. Returns one
+    * row: (n_periods, change_period, stat, p_value, mean_before,
+    * mean_after, shift). */
+  def changepoint(df: DataFrame, period: Column, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = value.cast("double")
+    val cells = df.filter(period.isNotNull && v.isNotNull)
+      .groupBy(period.cast("long").as("period"))
+      .agg(avg(v).as("y"))
+    val st = cells.agg(count(lit(1)).as("t"), avg(col("y")).as("mu"),
+      stddev_samp(col("y")).as("sd")).head()
+    val tN = st.getAs[Long]("t")
+    require(tN >= 4, s"changepoint: need at least 4 periods, got $tN")
+    val mu = st.getAs[Double]("mu")
+    val sd = st.getAs[Double]("sd")
+    require(sd > 0, "changepoint: the period metric is constant")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("period"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // argmax |C_t|; C_T = 0 exactly, so the break is never the last period
+    val top = cells
+      .withColumn("c", sum(col("y") - mu).over(w))
+      .orderBy(abs(col("c")).desc, col("period").asc)
+      .limit(1).head()
+    val cp = top.getAs[Long]("period")
+    val q = math.abs(top.getAs[Double]("c")) / (sd * math.sqrt(tN.toDouble))
+    // Kolmogorov tail, truncated at k = 100 (alternating, |term_101| <
+    // e^{-2·101²Q²} — underflow-zero for any Q the gate flags)
+    val p = math.min(1.0, 2.0 * (1 to 100).map(k =>
+      (if (k % 2 == 1) 1.0 else -1.0) *
+        math.exp(-2.0 * k * k * q * q)).sum)
+    val sides = cells.agg(
+      avg(when(col("period") <= cp, col("y"))).as("mb"),
+      avg(when(col("period") > cp, col("y"))).as("ma")).head()
+    val (mb, ma) = (sides.getAs[Double]("mb"), sides.getAs[Double]("ma"))
+    Seq((tN, cp, q, p, mb, ma, ma - mb))
+      .toDF("n_periods", "change_period", "stat", "p_value",
+        "mean_before", "mean_after", "shift")
+  }
 }

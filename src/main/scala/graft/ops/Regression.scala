@@ -397,6 +397,99 @@ object Regression {
         "se", "z")
   }
 
+  /** Interrupted time series / segmented regression (Wagner et al. 2002;
+    * the single-series quasi-experimental design when there is no
+    * control group and no cutoff-in-a-covariate — a policy or release
+    * lands at time c and the question is how the LEVEL and the TREND of
+    * the metric changed):
+    *
+    *   pre:  y = α_L + β_L·(t − c),   post:  y = α_R + β_R·(t − c)
+    *   level_change = α_R − α_L  (both lines evaluated AT c),
+    *   slope_change = β_R − β_L,
+    *
+    * with HC0 sandwich SEs for both contrasts (V(β) = e₂ᵀA⁻¹MA⁻¹e₂ —
+    * the slope row of the same sandwich [[rddSharp]] takes the intercept
+    * row of). Unlike rddSharp there is no kernel and no bandwidth: every
+    * observation enters, because the design's identification is the
+    * model (two lines), not localization.
+    *
+    * 100 TB shape: ONE row-scale aggregate to 12 moment sums per side
+    * (w ≡ 1 collapses the sharp-RDD moment set), 2×2 solves on the
+    * driver; everything replays in plain SQL. Rows at exactly t = c
+    * belong to the post segment. CAVEAT (documented, not solved here):
+    * HC0 treats residuals as independent — strongly autocorrelated
+    * series need fewer, coarser periods (pre-aggregate to the
+    * randomization/seasonality unit) or a Newey–West correction.
+    * Returns one row: (n_pre, n_post, level_pre, level_post,
+    * level_change, se_level, z_level, slope_pre, slope_post,
+    * slope_change, se_slope, z_slope). */
+  def interruptedTimeSeries(df: DataFrame, y: Column, time: Column,
+                            interruption: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = y.cast("double")
+    val xc = time.cast("double") - lit(interruption)
+    val in = yd.isNotNull && xc.isNotNull
+    val post = xc >= 0
+    def sideSums(side: Column, tag: String): Seq[Column] = {
+      def m(c: Column, name: String): Column =
+        sum(when(in && side, c).otherwise(lit(0.0))).as(s"${name}_$tag")
+      Seq(m(lit(1.0), "n"), m(xc, "x"), m(xc * xc, "xx"),
+        m(xc * xc * xc, "x3"), m(xc * xc * xc * xc, "x4"),
+        m(yd, "y"), m(xc * yd, "xy"), m(xc * xc * yd, "xxy"),
+        m(xc * xc * xc * yd, "x3y"),
+        m(yd * yd, "yy"), m(xc * yd * yd, "xyy"),
+        m(xc * xc * yd * yd, "xxyy"))
+    }
+    val sums = sideSums(post, "r") ++ sideSums(!post, "l")
+    val r = df.agg(sums.head, sums.tail: _*).head()
+    // per side: (n, α, β, V(α), V(β))
+    def side(tag: String): (Long, Double, Double, Double, Double) = {
+      def g(n: String): Double = r.getAs[Double](s"${n}_$tag")
+      val n = g("n").round
+      require(n >= 3,
+        s"interrupted_time_series: fewer than 3 rows on the " +
+          s"${if (tag == "r") "post" else "pre"} segment")
+      val (sn, sx, sxx) = (g("n"), g("x"), g("xx"))
+      val det = sn * sxx - sx * sx
+      require(math.abs(det) > 1e-12 * sn * sxx + 1e-300,
+        "interrupted_time_series: degenerate segment (all times equal)")
+      val alpha = (sxx * g("y") - sx * g("xy")) / det
+      val beta = (sn * g("xy") - sx * g("y")) / det
+      def meat(k: Int): Double = {
+        val (yy, y1, xy1) = k match {
+          case 0 => (g("yy"), g("y"), g("xy"))
+          case 1 => (g("xyy"), g("xy"), g("xxy"))
+          case _ => (g("xxyy"), g("xxy"), g("x3y"))
+        }
+        val (one, x1, x2) = k match {
+          case 0 => (sn, sx, sxx)
+          case 1 => (sx, sxx, g("x3"))
+          case _ => (sxx, g("x3"), g("x4"))
+        }
+        yy - 2 * alpha * y1 - 2 * beta * xy1 +
+          alpha * alpha * one + 2 * alpha * beta * x1 + beta * beta * x2
+      }
+      val (m0, m1, m2) = (meat(0), meat(1), meat(2))
+      val vA = math.max(0.0,
+        (sxx * sxx * m0 - 2 * sxx * sx * m1 + sx * sx * m2) / (det * det))
+      val vB = math.max(0.0,
+        (sx * sx * m0 - 2 * sn * sx * m1 + sn * sn * m2) / (det * det))
+      (n, alpha, beta, vA, vB)
+    }
+    val (nR, aR, bR, vaR, vbR) = side("r")
+    val (nL, aL, bL, vaL, vbL) = side("l")
+    val dLevel = aR - aL
+    val dSlope = bR - bL
+    val seL = math.sqrt(vaR + vaL)
+    val seS = math.sqrt(vbR + vbL)
+    Seq((nL, nR, aL, aR, dLevel, seL, if (seL > 0) dLevel / seL else 0.0,
+        bL, bR, dSlope, seS, if (seS > 0) dSlope / seS else 0.0))
+      .toDF("n_pre", "n_post", "level_pre", "level_post", "level_change",
+        "se_level", "z_level", "slope_pre", "slope_post", "slope_change",
+        "se_slope", "z_slope")
+  }
+
   /** Mediation analysis (Baron–Kenny product of coefficients with the
     * Sobel standard error): decompose a treatment effect into the path
     * through a mediator M and the direct remainder —

@@ -767,6 +767,98 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(viaSql.head().getAs[Double]("tau") - 4.0) < 1e-9)
   }
 
+  test("changepoint: hand CUSUM, planted shift, null p, guards") {
+    // exact hand case: y = (0,0,0,6,6,6) over periods 1..6 -> C path
+    // (-3,-6,-9,-6,-3,0), break after period 3, Q = 9/(sd*sqrt(6))
+    val hand = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0),
+      (4L, 6.0), (5L, 6.0), (6L, 6.0)).toDF("p", "y")
+    val r = graft.ops.Drift.changepoint(hand, $"p", $"y").head()
+    assert(r.getAs[Long]("change_period") == 3L)
+    val sd = math.sqrt(54.0 / 5)
+    val q = 9.0 / (sd * math.sqrt(6.0))
+    assert(math.abs(r.getAs[Double]("stat") - q) < 1e-12)
+    val pExp = math.min(1.0, 2.0 * (1 to 100).map(k =>
+      (if (k % 2 == 1) 1.0 else -1.0) * math.exp(-2.0 * k * k * q * q)).sum)
+    assert(math.abs(r.getAs[Double]("p_value") - pExp) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_before")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("shift") - 6.0) < 1e-12)
+    // planted +4 shift under bounded noise at period 25 of 40: located
+    // exactly, p effectively zero, shift within the noise envelope
+    val series = (1 to 40).map { p =>
+      (p.toLong, (if (p >= 25) 14.0 else 10.0) +
+        ((p * 2654435761L) % 100) / 1000.0) }.toDF("p", "y")
+    val rs = graft.ops.Drift.changepoint(series, $"p", $"y").head()
+    assert(rs.getAs[Long]("change_period") == 24L, rs.toString)
+    assert(rs.getAs[Double]("p_value") < 1e-6)
+    assert(math.abs(rs.getAs[Double]("shift") - 4.0) < 0.1)
+    // no change: same bounded noise, no planted shift -> not significant
+    val flat = (1 to 40).map { p =>
+      (p.toLong, 10.0 + ((p * 2654435761L) % 100) / 100.0) }.toDF("p", "y")
+    val rf = graft.ops.Drift.changepoint(flat, $"p", $"y").head()
+    assert(rf.getAs[Double]("p_value") > 0.05, rf.toString)
+    // row-scale input collapses to period cells first (avg within period)
+    val dup = hand.unionByName(hand)
+    val rd = graft.ops.Drift.changepoint(dup, $"p", $"y").head()
+    assert(rd.getAs[Long]("change_period") == 3L &&
+      rd.getAs[Long]("n_periods") == 6L)
+    // guards: too few periods, constant metric
+    intercept[IllegalArgumentException] {
+      graft.ops.Drift.changepoint(hand.limit(3), $"p", $"y").head() }
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Drift.changepoint(
+        Seq((1L, 2.0), (2L, 2.0), (3L, 2.0), (4L, 2.0)).toDF("p", "y"),
+        $"p", $"y").head() }
+    assert(e.getMessage.contains("constant"), e.getMessage)
+    // gateway verb
+    hand.createOrReplaceTempView("cp_t")
+    val viaSql = GraftGateway.sql(spark, "SELECT changepoint(p, y) FROM cp_t")
+    assert(viaSql.columns.toSeq == Seq("n_periods", "change_period",
+      "stat", "p_value", "mean_before", "mean_after", "shift"))
+    assert(viaSql.head().getAs[Long]("change_period") == 3L)
+  }
+
+  test("interruptedTimeSeries: exact level+slope recovery, guards") {
+    // noise-free two-segment series: level jumps +5, slope 0.2 -> 0.7 at
+    // t = 50 — segmented OLS is exact, both contrasts recovered to fp
+    val grid = (0 to 100).map { i =>
+      val t = i.toDouble
+      val y = if (t >= 50) 10.0 + 5.0 + 0.2 * 50 + 0.7 * (t - 50)
+        else 10.0 + 0.2 * t
+      (t, y)
+    }
+    val df = grid.toDF("t", "y")
+    val r = graft.ops.Regression.interruptedTimeSeries(df, $"y", $"t", 50.0)
+      .head()
+    assert(r.getAs[Long]("n_pre") == 50 && r.getAs[Long]("n_post") == 51)
+    assert(math.abs(r.getAs[Double]("level_change") - 5.0) < 1e-9, r.toString)
+    assert(math.abs(r.getAs[Double]("slope_change") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("slope_pre") - 0.2) < 1e-9)
+    assert(math.abs(r.getAs[Double]("level_pre") - 20.0) < 1e-9)
+    assert(r.getAs[Double]("se_level") < 1e-6 && r.getAs[Double]("se_slope") < 1e-6)
+    // deterministic bounded noise: CIs must cover the planted contrasts
+    val noisy = df.withColumn("y",
+      $"y" + pmod(xxhash64($"t"), lit(1000)).cast("double") / 1000.0 - 0.5)
+    val rn = graft.ops.Regression.interruptedTimeSeries(noisy, $"y", $"t",
+      50.0).head()
+    assert(math.abs(rn.getAs[Double]("level_change") - 5.0) <
+      1.96 * rn.getAs[Double]("se_level") + 0.3)
+    assert(math.abs(rn.getAs[Double]("slope_change") - 0.5) <
+      1.96 * rn.getAs[Double]("se_slope") + 0.05)
+    // guards: thin segment, degenerate times
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Regression.interruptedTimeSeries(
+        df.filter($"t" < 50), $"y", $"t", 50.0).head() }
+    assert(e.getMessage.contains("post"), e.getMessage)
+    // gateway verb
+    df.createOrReplaceTempView("its_t")
+    val viaSql = GraftGateway.sql(spark,
+      "SELECT interrupted_time_series(y, t, 50.0) FROM its_t")
+    assert(viaSql.columns.toSeq == Seq("n_pre", "n_post", "level_pre",
+      "level_post", "level_change", "se_level", "z_level", "slope_pre",
+      "slope_post", "slope_change", "se_slope", "z_slope"))
+    assert(math.abs(viaSql.head().getAs[Double]("slope_change") - 0.5) < 1e-9)
+  }
+
   test("icc: ANOVA estimator limits, hand case, guards") {
     // perfect clustering: constant within, varying between -> rho = 1,
     // DEFF = average cluster size
