@@ -74,7 +74,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
-  * SELECT fdr_bh(p_value)                     FROM <test table>
+  * SELECT fdr_bh(p_value[, 'bh'|'by'|'holm']) FROM <test table>
   * SELECT chisq_independence(a, b)            FROM <any>
   * SELECT eb_shrink_means(group, y)           FROM <any>
   * SELECT cox_ph(time, event, x...)           FROM <any>
@@ -431,9 +431,11 @@ object GraftGateway {
         require(a.length >= 2, "eb_shrink_means(group, y)")
         Shrinkage.ebShrinkMeans(df, c(a(0)), c(a(1)))
       case "fdr_bh" =>
-        // Benjamini-Hochberg adjusted p-values as a TRANSFORM of a test table
-        require(a.nonEmpty, "fdr_bh(p_value_col)")
-        MultipleTesting.bhAdjust(df, c(a(0)))
+        // adjusted p-values as a TRANSFORM of a test table: BH (default),
+        // BY (arbitrary dependence), or Holm (FWER step-down)
+        require(a.nonEmpty, "fdr_bh(p_value_col[, 'bh'|'by'|'holm'])")
+        MultipleTesting.adjust(df, c(a(0)),
+          method = if (a.length > 1) str(a(1)) else "bh")
       case "chisq_independence" =>
         require(a.length >= 2, "chisq_independence(a, b)")
         SimpleTests.chisqIndependence(df, c(a(0)), c(a(1)))

@@ -2089,7 +2089,11 @@ object SparkEntry {
           round(col("rate1"), 6).as("rate1"),
           round(col("ratio"), 6).as("ratio"),
           round(col("lower"), 6).as("lower"),
-          round(col("upper"), 6).as("upper"), round(col("z"), 4).as("z"))
+          round(col("upper"), 6).as("upper"), round(col("z"), 4).as("z"),
+          round(col("dispersion"), 6).as("dispersion"),
+          round(col("lower_od"), 6).as("lower_od"),
+          round(col("upper_od"), 6).as("upper_od"),
+          round(col("z_od"), 4).as("z_od"))
     }),
     "q168_rdd_sharp" -> ((s, d) => {
       // sharp regression discontinuity at quantity 25.5 with a PLANTED
@@ -2107,6 +2111,33 @@ object SparkEntry {
           round(col("y_right"), 6).as("y_right"),
           round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
           round(col("z"), 4).as("z"))
+    }),
+    "q176_p_adjust" -> ((s, d) => {
+      // Holm (FWER step-down) and Benjamini-Yekutieli (FDR under
+      // arbitrary dependence) over the q139 p-value table — prefix-max /
+      // harmonic-scaled suffix-min, both tie-invariant, both replayed as
+      // DuckDB windows
+      t(s, d, "lineitem").filter(col("l_linenumber") === 1 &&
+          col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey").as("test_id"),
+          (((col("l_orderkey") * 13) % 1000).cast("double") / 1000.0 + 0.0005)
+            .as("p_value"))
+        // the synthetic lineitem repeats linenumber 1 within an order;
+        // p_value is a function of the key, so distinct is deterministic
+        // (and keeps the holm x by join 1:1)
+        .distinct()
+        .createOrReplaceTempView("li_padj")
+      val holm = GraftGateway.sql(s,
+          "SELECT fdr_bh(p_value, 'holm') FROM li_padj")
+        .select(col("test_id"), col("p_value"),
+          col("p_adjusted").as("p_holm"))
+      val by = GraftGateway.sql(s, "SELECT fdr_bh(p_value, 'by') FROM li_padj")
+        .select(col("test_id"), col("p_adjusted").as("p_by"))
+      holm.join(by, "test_id")
+        .select(col("test_id"), round(col("p_value"), 6).as("p_value"),
+          round(col("p_holm"), 6).as("p_holm"),
+          round(col("p_by"), 6).as("p_by"))
+        .orderBy(col("test_id"))
     }),
     "q175_changepoint" -> ((s, d) => {
       // CUSUM mean-shift locator over 100 period cells with a +5 shift
@@ -3472,13 +3503,23 @@ object SparkEntry {
         |    > 1.6448536269514722 AS equivalent
         |FROM g""".stripMargin,
     "q170_rate_ratio" ->
-      // the Poisson delta interval is pure exp/ln — fully closed-form
+      // the Poisson delta interval is pure exp/ln, and the quasi-Poisson
+      // dispersion adds only the Σe²/x moment — fully closed-form
       """WITH g AS (SELECT
         |    sum(CASE WHEN user_id % 2 = 0 AND value > 80 THEN 1.0 ELSE 0 END) AS e0,
         |    sum(CASE WHEN user_id % 2 = 1 AND value > 80 THEN 1.0 ELSE 0 END) AS e1,
         |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(user_id % 5 + 1 AS DOUBLE) ELSE 0 END) AS x0,
-        |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(user_id % 5 + 1 AS DOUBLE) ELSE 0 END) AS x1
-        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
+        |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(user_id % 5 + 1 AS DOUBLE) ELSE 0 END) AS x1,
+        |    sum(CASE WHEN user_id % 2 = 0 AND value > 80
+        |      THEN 1.0 / CAST(user_id % 5 + 1 AS DOUBLE) ELSE 0 END) AS s0,
+        |    sum(CASE WHEN user_id % 2 = 1 AND value > 80
+        |      THEN 1.0 / CAST(user_id % 5 + 1 AS DOUBLE) ELSE 0 END) AS s1,
+        |    count(*) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |h AS (SELECT *,
+        |    greatest(1.0, ((s0 / (e0 / x0) - e0) + (s1 / (e1 / x1) - e1))
+        |      / (n - 2)) AS phi
+        |  FROM g)
         |SELECT e0 AS events0, e1 AS events1, x0 AS exposure0, x1 AS exposure1,
         |  round(e0 / x0, 6) AS rate0, round(e1 / x1, 6) AS rate1,
         |  round((e1 / x1) / (e0 / x0), 6) AS ratio,
@@ -3487,8 +3528,17 @@ object SparkEntry {
         |  round(exp(ln((e1 / x1) / (e0 / x0))
         |    + 1.959963984540054 * sqrt(1.0 / e1 + 1.0 / e0)), 6) AS upper,
         |  round(ln((e1 / x1) / (e0 / x0))
-        |    / sqrt(1.0 / e1 + 1.0 / e0), 4) AS z
-        |FROM g""".stripMargin,
+        |    / sqrt(1.0 / e1 + 1.0 / e0), 4) AS z,
+        |  round(phi, 6) AS dispersion,
+        |  round(exp(ln((e1 / x1) / (e0 / x0))
+        |    - 1.959963984540054 * sqrt(1.0 / e1 + 1.0 / e0) * sqrt(phi)), 6)
+        |    AS lower_od,
+        |  round(exp(ln((e1 / x1) / (e0 / x0))
+        |    + 1.959963984540054 * sqrt(1.0 / e1 + 1.0 / e0) * sqrt(phi)), 6)
+        |    AS upper_od,
+        |  round(ln((e1 / x1) / (e0 / x0))
+        |    / (sqrt(1.0 / e1 + 1.0 / e0) * sqrt(phi)), 4) AS z_od
+        |FROM h""".stripMargin,
     "q168_rdd_sharp" ->
       // the same 18 moment sums per side + the 2x2 weighted-LS and HC0
       // sandwich algebra, all in closed-form SQL
@@ -3535,6 +3585,28 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q176_p_adjust" ->
+      // Holm = prefix max of (m-rank+1)*p; BY = BH scaled by the
+      // harmonic number c(m) (generated-series sum), suffix min
+      """WITH t AS (SELECT DISTINCT l_orderkey AS test_id,
+        |    ((l_orderkey * 13) % 1000) / 1000.0 + 0.0005 AS p
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 97 = 0),
+        |r AS (SELECT test_id, p,
+        |    row_number() OVER (ORDER BY p) AS rank,
+        |    count(*) OVER () AS m FROM t),
+        |cm AS (SELECT sum(1.0 / rank) AS c FROM r),
+        |q AS (SELECT test_id, p, rank,
+        |    least(1.0, p * (m - rank + 1)) AS qh,
+        |    least(1.0, p * (SELECT c FROM cm) * m / rank) AS qb
+        |  FROM r),
+        |a AS (SELECT test_id, p,
+        |    max(qh) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS ph,
+        |    min(qb) OVER (ORDER BY rank
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pb
+        |  FROM q)
+        |SELECT test_id, round(p, 6) AS p_value, round(ph, 6) AS p_holm,
+        |  round(pb, 6) AS p_by
+        |FROM a ORDER BY test_id""".stripMargin,
     "q175_changepoint" ->
       // the CUSUM path in a window, the argmax with the exact Spark
       // tiebreak, and the truncated Kolmogorov series over a generated

@@ -277,6 +277,13 @@ object SimpleTests {
       sum(when(ti === 1, ev).otherwise(lit(0.0))).as("e1"),
       sum(when(ti === 0, ex).otherwise(lit(0.0))).as("x0"),
       sum(when(ti === 1, ex).otherwise(lit(0.0))).as("x1"),
+      // Σe²/x per arm: the only extra moment the quasi-Poisson Pearson
+      // X² needs — at the MLE rate, X²_a = Σ(e−r̂x)²/(r̂x) collapses to
+      // (1/r̂)Σe²/x − Σe, so dispersion rides this SAME pass
+      sum(when(ti === 0, ev * ev / ex).otherwise(lit(0.0))).as("s0"),
+      sum(when(ti === 1, ev * ev / ex).otherwise(lit(0.0))).as("s1"),
+      sum(when(ti === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(ti === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(ev < 0 || ex <= 0 || (ti =!= 0 && ti =!= 1), 1L)
         .otherwise(0L)).as("bad")).head()
     require(r.getAs[Long]("bad") == 0,
@@ -292,10 +299,27 @@ object SimpleTests {
     val se = math.sqrt(1.0 / e1 + 1.0 / e0)
     val z = math.log(ratio) / se
     val q = Dist.normQuantile(1.0 - alpha / 2)
+    // quasi-Poisson dispersion (McCullagh & Nelder §4.5): real count
+    // metrics (crashes per user, orders per session) are routinely
+    // overdispersed and the pure-Poisson interval is then too tight;
+    // φ < 1 is floored at 1 so the robust readout never CLAIMS
+    // sub-Poisson precision
+    val nTot = r.getAs[Long]("n0") + r.getAs[Long]("n1")
+    val phi =
+      if (nTot <= 2) 1.0
+      else math.max(1.0,
+        ((r.getAs[Double]("s0") / rate0 - e0) +
+          (r.getAs[Double]("s1") / rate1 - e1)) / (nTot - 2))
+    val seOd = se * math.sqrt(phi)
     Seq((e0, e1, x0, x1, rate0, rate1, ratio,
-        math.exp(math.log(ratio) - q * se), math.exp(math.log(ratio) + q * se), z))
+        math.exp(math.log(ratio) - q * se), math.exp(math.log(ratio) + q * se),
+        z, phi,
+        math.exp(math.log(ratio) - q * seOd),
+        math.exp(math.log(ratio) + q * seOd),
+        math.log(ratio) / seOd))
       .toDF("events0", "events1", "exposure0", "exposure1", "rate0",
-        "rate1", "ratio", "lower", "upper", "z")
+        "rate1", "ratio", "lower", "upper", "z", "dispersion",
+        "lower_od", "upper_od", "z_od")
   }
 
   /** Post-stratification ATE (Imbens & Rubin ch. 9 blocked

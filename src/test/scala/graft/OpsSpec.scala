@@ -256,6 +256,41 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("adjust: holm and by match R p.adjust references") {
+    val d = Seq((1L, 0.005), (2L, 0.01), (3L, 0.03), (4L, 0.04))
+      .toDF("id", "p")
+    // R: p.adjust(c(.005,.01,.03,.04), "holm") = .02 .03 .06 .06
+    val holm = graft.ops.MultipleTesting.adjust(d.repartition(3), $"p", "holm")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("p_adjusted")).toMap
+    assert(math.abs(holm(1L) - 0.02) < 1e-12, holm.toString)
+    assert(math.abs(holm(2L) - 0.03) < 1e-12)
+    assert(math.abs(holm(3L) - 0.06) < 1e-12)
+    assert(math.abs(holm(4L) - 0.06) < 1e-12)
+    // R: p.adjust(..., "BY") = BH scaled by c(4) = 1+1/2+1/3+1/4
+    val c4 = 1.0 + 0.5 + 1.0 / 3 + 0.25
+    val by = graft.ops.MultipleTesting.adjust(d.repartition(2), $"p", "by")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("p_adjusted")).toMap
+    assert(math.abs(by(1L) - 0.005 * 4 * c4) < 1e-12, by.toString)
+    assert(math.abs(by(2L) - 0.005 * 4 * c4) < 1e-12) // suffix min pulls down
+    assert(math.abs(by(3L) - 0.04 * c4) < 1e-12)
+    assert(math.abs(by(4L) - 0.04 * c4) < 1e-12)
+    // holm step-down is monotone nondecreasing in p and capped at 1
+    val many = (1 to 300).map(i => (i.toLong, (i % 89 + 1) / 90.0)).toDF("id", "p")
+    val a2 = graft.ops.MultipleTesting.adjust(many.repartition(5), $"p", "holm")
+      .select($"p", $"p_adjusted").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).sortBy(_._1)
+    a2.sliding(2).foreach(w => assert(w(1)._2 >= w(0)._2 - 1e-12))
+    assert(a2.forall(_._2 <= 1.0))
+    intercept[IllegalArgumentException] {
+      graft.ops.MultipleTesting.adjust(d, $"p", "bonferroni") }
+    // gateway: method argument reaches the op
+    d.createOrReplaceTempView("padj_t")
+    val viaSql = GraftGateway.sql(spark,
+      "SELECT fdr_bh(p, 'holm') FROM padj_t").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("p_adjusted")).toMap
+    assert(math.abs(viaSql(3L) - 0.06) < 1e-12)
+  }
+
   test("bhAdjust domain validation rides the cell pass — no job of its own") {
     // the [0,1] require used to be its own distributed filter job; it now
     // reads per-partition p min/max off the SAME groupBy(__pid) cell
@@ -661,6 +696,31 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("lower") -
       math.exp(math.log(ratio) - 1.959963984540054 * se)) < 1e-9)
     assert(r.getAs[Double]("lower") < ratio && ratio < r.getAs[Double]("upper"))
+    // quasi-Poisson dispersion: X²_a = (1/r̂)Σe²/x − Σe by hand; the 0/1
+    // fixture is UNDER-dispersed, so φ floors at 1 and the od interval
+    // equals the Poisson one
+    val x2Hand = (1.0 / (20.0 / 100) * 20.0 - 20.0) +
+      (1.0 / (45.0 / 150) * (45.0 / 2) - 45.0)
+    assert(math.max(1.0, x2Hand / (175 - 2)) == r.getAs[Double]("dispersion")
+      || math.abs(r.getAs[Double]("dispersion") -
+        math.max(1.0, x2Hand / 173.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("lower_od") - r.getAs[Double]("lower")) <
+      1e-12 || r.getAs[Double]("dispersion") > 1.0)
+    // clumped events at EQUAL per-row exposure (all of an arm's events
+    // on one row) must raise dispersion and widen the interval: per arm,
+    // X² = Σe²/x / r̂ − Σe with r̂ = 2 resp. 4.5 -> φ = (180+405)/18
+    val clumped =
+      ((1 to 10).map(i => (0, if (i == 1) 20.0 else 0.0, 1.0)) ++
+        (1 to 10).map(i => (1, if (i == 1) 45.0 else 0.0, 1.0)))
+        .toDF("t", "ev", "ex")
+    val rc = graft.ops.SimpleTests.rateRatioTest(clumped, $"ev", $"t", $"ex")
+      .head()
+    assert(math.abs(rc.getAs[Double]("dispersion") - (180.0 + 405.0) / 18)
+      < 1e-12, rc.toString)
+    assert(rc.getAs[Double]("upper_od") > rc.getAs[Double]("upper"))
+    assert(rc.getAs[Double]("lower_od") < rc.getAs[Double]("lower"))
+    assert(math.abs(rc.getAs[Double]("ratio") - 2.25) < 1e-12,
+      "point estimate must not move with the dispersion")
     // guards: negative events / nonpositive exposure are named errors
     val e = intercept[IllegalArgumentException] {
       graft.ops.SimpleTests.rateRatioTest(
