@@ -71,6 +71,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT icc(y, cluster)                        FROM <any>
   * SELECT interrupted_time_series(y, t, at)      FROM <series>
   * SELECT changepoint(period, value)             FROM <series>
+  * SELECT weighted_ttest(y, t, w)                FROM <any>
+  * SELECT gini(value)                            FROM <any>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -78,6 +80,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT chisq_independence(a, b)            FROM <any>
   * SELECT eb_shrink_means(group, y)           FROM <any>
   * SELECT cox_ph(time, event, x...)           FROM <any>
+  * SELECT rmst(time, event, tau[, group])     FROM <any>
   * SELECT msprt_by(exp, bucket, y, t[, tau])  FROM <events>
   * SELECT image_dhash(id, content)            FROM <images>
   * SELECT audio_fingerprint(id, content)      FROM <clips>
@@ -227,7 +230,7 @@ object GraftGateway {
     "boot_strap", "permutation", "did", "nonparam_dml",
     "quantile_test_bucket", "mann_whitney_utest", "mann_whitney_u_test",
     "kolmogorov_smirnov_test", "causal_forest", "causal_tree",
-    "kaplan_meier", "log_rank_test", "aipw",
+    "kaplan_meier", "rmst", "log_rank_test", "aipw",
     "robust_means", "wasserstein", "psi", "calibration",
     "weighted_mean_ess", "qte",
     "histogram", "histogram_by", "box_stats", "tfidf", "perplexity",
@@ -242,7 +245,7 @@ object GraftGateway {
     "jackknife_ratio", "jackknife_ratio_diff", "metric_anomaly", "bayes_ab",
     "bayes_best_arm", "stratified_ate", "rdd_sharp", "rdd_fuzzy",
     "equivalence_test", "rate_ratio", "mediation", "icc",
-    "interrupted_time_series", "changepoint")
+    "interrupted_time_series", "changepoint", "weighted_ttest", "gini")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -339,6 +342,12 @@ object GraftGateway {
         require(a.length >= 2, "kaplan_meier(time, event[, group])")
         if (a.length > 2) Survival.kaplanMeierBy(df, c(a(2)), c(a(0)), c(a(1)))
         else Survival.kaplanMeier(df, c(a(0)), c(a(1)))
+      case "rmst" =>
+        // restricted mean survival time to a horizon, Greenwood-type SE
+        require(a.length >= 3, "rmst(time, event, tau[, group])")
+        Survival.rmst(df, c(a(0)), c(a(1)), num(a(2)),
+          group = if (a.length > 3) c(a(3))
+            else org.apache.spark.sql.functions.lit("all"))
       case "log_rank_test" =>
         require(a.length >= 3, "log_rank_test(group, time, event)")
         Survival.logRankTest(df, c(a(0)), c(a(1)), c(a(2)))
@@ -474,6 +483,14 @@ object GraftGateway {
         // CUSUM single mean-shift locator over per-period metric cells
         require(a.length >= 2, "changepoint(period, value)")
         Drift.changepoint(df, c(a(0)), c(a(1)))
+      case "weighted_ttest" =>
+        // Hajek weighted means + linearization variance (design/IPW weights)
+        require(a.length >= 3, "weighted_ttest(y, t, weight)")
+        SimpleTests.weightedTtest(df, c(a(0)), c(a(1)), c(a(2)))
+      case "gini" =>
+        // Gini concentration + Lorenz deciles of a nonnegative value
+        require(a.nonEmpty, "gini(value)")
+        Explore.gini(df, c(a(0)))
       case "equivalence_test" =>
         // TOST: both one-sided Welch z tests against the +/- margin
         require(a.length >= 3, "equivalence_test(y, t, margin[, alpha])")

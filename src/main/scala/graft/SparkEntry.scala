@@ -2112,6 +2112,54 @@ object SparkEntry {
           round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
           round(col("z"), 4).as("z"))
     }),
+    "q178_weighted_ttest" -> ((s, d) => {
+      // Hajek-weighted A/A comparison (user-parity arms, synthetic
+      // design weights): means, linearization SEs, and ESS are pure
+      // moment closed forms
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("value").cast("double").as("y"),
+          (col("user_id") % 2).cast("int").as("t"),
+          ((col("user_id") % 5) + 1).cast("double").as("w"))
+        .createOrReplaceTempView("ev_wtt")
+      GraftGateway.sql(s, "SELECT weighted_ttest(y, t, w) FROM ev_wtt")
+        .select(col("n0"), col("n1"),
+          round(col("ess0"), 3).as("ess0"), round(col("ess1"), 3).as("ess1"),
+          round(col("mean0"), 6).as("mean0"),
+          round(col("mean1"), 6).as("mean1"),
+          round(col("diff"), 6).as("diff"), round(col("se"), 6).as("se"),
+          round(col("z"), 4).as("z"))
+    }),
+    "q179_gini" -> ((s, d) => {
+      // revenue concentration: Gini + top-1%/top-10% Lorenz shares of
+      // extended price — rank-sum closed form over the two-phase row
+      // number, replayed with a DuckDB row_number window
+      t(s, d, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("v"))
+        .createOrReplaceTempView("li_gini")
+      GraftGateway.sql(s, "SELECT gini(v) FROM li_gini")
+        .select(col("n"), round(col("total"), 2).as("total"),
+          round(col("mean"), 6).as("mean"),
+          round(col("gini"), 6).as("gini"),
+          round(col("top1_share"), 6).as("top1_share"),
+          round(col("top10_share"), 6).as("top10_share"))
+    }),
+    "q177_rmst" -> ((s, d) => {
+      // restricted mean survival time per return-flag arm to horizon 40
+      // over the q107 KM fixture — the step integral, suffix areas, and
+      // Greenwood-type variance all replay as cell-scale SQL windows
+      t(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("int").as("time"),
+          (col("l_linenumber") % 2).cast("int").as("event"))
+        .createOrReplaceTempView("li_rmst")
+      GraftGateway.sql(s, "SELECT rmst(time, event, 40.0, g) FROM li_rmst")
+        .select(col("group"), col("tau"), col("n"), col("events"),
+          round(col("rmst"), 6).as("rmst"), round(col("se"), 6).as("se"),
+          round(col("lower"), 6).as("lower"),
+          round(col("upper"), 6).as("upper"))
+        .orderBy(col("group"))
+    }),
     "q176_p_adjust" -> ((s, d) => {
       // Holm (FWER step-down) and Benjamini-Yekutieli (FDR under
       // arbitrary dependence) over the q139 p-value table — prefix-max /
@@ -3585,6 +3633,99 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q178_weighted_ttest" ->
+      // per-arm weighted moments, V = (Σw²y² − 2μΣw²y + μ²Σw²)/(Σw)²
+      """WITH b AS (SELECT CAST(value AS DOUBLE) AS y,
+        |    CAST(user_id % 2 AS INT) AS t,
+        |    CAST(user_id % 5 + 1 AS DOUBLE) AS w
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT t, count(*) AS n, sum(w) AS sw, sum(w*y) AS swy,
+        |    sum(w*w) AS sw2, sum(w*w*y) AS sw2y, sum(w*w*y*y) AS sw2yy
+        |  FROM b GROUP BY 1),
+        |a AS (SELECT t, n, sw*sw/sw2 AS ess, swy/sw AS mu,
+        |    greatest(0.0, sw2yy - 2*(swy/sw)*sw2y
+        |      + (swy/sw)*(swy/sw)*sw2) / (sw*sw) AS v
+        |  FROM m)
+        |SELECT CAST(max(CASE WHEN t = 0 THEN n END) AS BIGINT) AS n0,
+        |  CAST(max(CASE WHEN t = 1 THEN n END) AS BIGINT) AS n1,
+        |  round(max(CASE WHEN t = 0 THEN ess END), 3) AS ess0,
+        |  round(max(CASE WHEN t = 1 THEN ess END), 3) AS ess1,
+        |  round(max(CASE WHEN t = 0 THEN mu END), 6) AS mean0,
+        |  round(max(CASE WHEN t = 1 THEN mu END), 6) AS mean1,
+        |  round(max(CASE WHEN t = 1 THEN mu END)
+        |    - max(CASE WHEN t = 0 THEN mu END), 6) AS diff,
+        |  round(sqrt(sum(v)), 6) AS se,
+        |  round((max(CASE WHEN t = 1 THEN mu END)
+        |    - max(CASE WHEN t = 0 THEN mu END)) / sqrt(sum(v)), 4) AS z
+        |FROM a""".stripMargin,
+    "q179_gini" ->
+      // ascending row_number, G = 2Σiy/(nΣy) − (n+1)/n, integer-division
+      // top-share cutoffs exactly as the Spark side computes them
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |nn AS (SELECT count(*) AS n FROM b),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM b),
+        |a AS (SELECT sum(v) AS total, sum(v * rk) AS iy,
+        |    sum(CASE WHEN rk > (SELECT n - n // 100 FROM nn)
+        |      THEN v ELSE 0 END) AS top1,
+        |    sum(CASE WHEN rk > (SELECT n - n // 10 FROM nn)
+        |      THEN v ELSE 0 END) AS top10
+        |  FROM r)
+        |SELECT CAST(nn.n AS BIGINT) AS n, round(total, 2) AS total,
+        |  round(total / nn.n, 6) AS mean,
+        |  round(2.0 * iy / (nn.n * total) - (nn.n + 1.0) / nn.n, 6) AS gini,
+        |  round(top1 / total, 6) AS top1_share,
+        |  round(top10 / total, 6) AS top10_share
+        |FROM a, nn""".stripMargin,
+    "q177_rmst" ->
+      // q107's KM estimator, then the step integral to tau, suffix areas
+      // A_j, and the Greenwood-type variance as windows over the cells
+      """WITH s AS (SELECT l_returnflag AS arm, CAST(l_quantity AS INT) AS time,
+        |              CAST(l_linenumber % 2 AS INT) AS event FROM lineitem),
+        |g AS (SELECT arm, time, sum(event) AS d, count(*) AS c
+        |      FROM s GROUP BY 1, 2),
+        |o AS (SELECT arm, time, d, c,
+        |        sum(c) OVER (PARTITION BY arm ORDER BY time
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+        |      FROM g),
+        |t AS (SELECT arm, sum(c) AS tot FROM g GROUP BY 1),
+        |r AS (SELECT o.arm, time, d, c, tot - cumc + c AS n_risk
+        |      FROM o JOIN t ON o.arm = t.arm),
+        |km AS (SELECT arm, time, d, c, n_risk,
+        |  exp(sum(ln(1.0 - d * 1.0 / n_risk))
+        |    OVER (PARTITION BY arm ORDER BY time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv
+        |  FROM r),
+        |leq AS (SELECT *, CAST(time AS DOUBLE) AS td FROM km
+        |  WHERE time <= 40.0),
+        |e AS (SELECT arm, td, d, n_risk, surv,
+        |    coalesce(least(lead(td) OVER (PARTITION BY arm ORDER BY td),
+        |      40.0), 40.0) AS nxt,
+        |    min(td) OVER (PARTITION BY arm) AS frst
+        |  FROM leq),
+        |e2 AS (SELECT arm, td, d, n_risk, frst,
+        |    surv * (nxt - td) AS contrib FROM e),
+        |e3 AS (SELECT arm, td, d, n_risk, frst, contrib,
+        |    frst + sum(contrib) OVER (PARTITION BY arm) AS total,
+        |    coalesce(sum(contrib) OVER (PARTITION BY arm ORDER BY td
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS prefix
+        |  FROM e2),
+        |e4 AS (SELECT arm, d, total,
+        |    total - (frst + prefix) AS aj,
+        |    CASE WHEN d > 0 AND n_risk > d
+        |      THEN (total - (frst + prefix)) * (total - (frst + prefix))
+        |        * d / (n_risk * (n_risk - d)) ELSE 0.0 END AS vterm
+        |  FROM e3),
+        |ga AS (SELECT arm, max(total) AS rmst, sum(vterm) AS v,
+        |    sum(d) AS events FROM e4 GROUP BY 1),
+        |tn AS (SELECT arm, sum(c) AS n FROM g GROUP BY 1)
+        |SELECT tn.arm AS "group", 40.0 AS tau, CAST(tn.n AS BIGINT) AS n,
+        |  CAST(ga.events AS BIGINT) AS events,
+        |  round(ga.rmst, 6) AS rmst, round(sqrt(ga.v), 6) AS se,
+        |  round(ga.rmst - 1.959963984540054 * sqrt(ga.v), 6) AS lower,
+        |  round(ga.rmst + 1.959963984540054 * sqrt(ga.v), 6) AS upper
+        |FROM tn JOIN ga ON tn.arm = ga.arm
+        |ORDER BY tn.arm""".stripMargin,
     "q176_p_adjust" ->
       // Holm = prefix max of (m-rank+1)*p; BY = BH scaled by the
       // harmonic number c(m) (generated-series sum), suffix min

@@ -207,4 +207,47 @@ object Explore {
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("item"), col("count"))
   }
+
+  /** Gini concentration + top-share summary of a nonnegative value
+    * (revenue per customer, tokens per document, events per user) — the
+    * inequality audit behind "how concentrated is this corpus/revenue":
+    *
+    *   G = 2·Σᵢ i·y_(i) / (n·Σy) − (n+1)/n   (ranks i ascending)
+    *
+    * plus the Lorenz top shares (what fraction of the total the largest
+    * 1% / 10% of rows hold). 100 TB shape: the rank comes from
+    * [[RangeCumSum.withRowNumber]] (range-partitioned two-phase row
+    * number — no single-partition sort), then ONE aggregate closes G and
+    * both shares; the value-domain guard rides the same pass. Ties at a
+    * share boundary are value-identical, so the shares are deterministic
+    * even though tie order is not. Returns one row:
+    * (n, total, mean, gini, top1_share, top10_share). */
+  def gini(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vd = value.cast("double")
+    val base = df.filter(vd.isNotNull).select(vd.as("__v"))
+    RangeCumSum.withRowNumber(base, Seq(col("__v").asc), "__rank") {
+      (ranked, n) =>
+        require(n >= 2, s"gini: need at least 2 non-null rows, got $n")
+        val r = ranked.agg(
+          sum(col("__v")).as("total"),
+          sum(col("__v") * col("__rank")).as("iy"),
+          sum(when(col("__v") < 0, 1L).otherwise(0L)).as("neg"),
+          sum(when(col("__rank") > n - n / 100, col("__v"))
+            .otherwise(lit(0.0))).as("top1"),
+          sum(when(col("__rank") > n - n / 10, col("__v"))
+            .otherwise(lit(0.0))).as("top10")).head()
+        require(r.getAs[Long]("neg") == 0,
+          s"gini: ${r.getAs[Long]("neg")} negative values — the Lorenz " +
+            "construction needs a nonnegative measure")
+        val total = r.getAs[Double]("total")
+        require(total > 0, "gini: total is zero")
+        val g = 2.0 * r.getAs[Double]("iy") / (n * total) -
+          (n + 1.0) / n
+        Seq((n, total, total / n, g,
+            r.getAs[Double]("top1") / total, r.getAs[Double]("top10") / total))
+          .toDF("n", "total", "mean", "gini", "top1_share", "top10_share")
+    }
+  }
 }

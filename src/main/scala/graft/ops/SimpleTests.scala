@@ -430,6 +430,66 @@ object SimpleTests {
         "e_value", "e_value_ci")
   }
 
+  /** Weighted two-sample test (Hájek ratio means + with-replacement
+    * linearization variance; Särndal–Swensson–Wretman ch. 5): the arm
+    * comparison when rows carry DESIGN or IPW weights — survey samples,
+    * propensity-weighted cohorts, importance-sampled logs — where the
+    * unweighted t-test estimates the wrong population:
+    *
+    *   μ̂_k = Σwy/Σw,   V(μ̂_k) = Σw²(y−μ̂_k)² / (Σw)²,
+    *   z = (μ̂₁−μ̂₀)/√(V₁+V₀),   ESS_k = (Σw)²/Σw²
+    *
+    * (V expands into the moments Σw, Σwy, Σw², Σw²y, Σw²y² — no residual
+    * pass). The ESS columns tell the user how much weight dispersion has
+    * cost them before they trust the CI. ONE row-scale aggregate (weight
+    * domain and treatment domain validated in the same pass) + driver
+    * closed forms; everything through z replays in plain SQL. Returns
+    * one row: (n0, n1, ess0, ess1, mean0, mean1, diff, se, z,
+    * p_value). */
+  def weightedTtest(df: DataFrame, y: Column, t: Column,
+                    weight: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = y.cast("double")
+    val wd = weight.cast("double")
+    val ti = t.cast("int")
+    def arm(k: Int, c: Column, name: String): Column =
+      sum(when(ti === k, c).otherwise(lit(0.0))).as(s"${name}$k")
+    val sums = (0 to 1).flatMap { k =>
+      Seq(arm(k, lit(1.0), "n"), arm(k, wd, "w"), arm(k, wd * yd, "wy"),
+        arm(k, wd * wd, "w2"), arm(k, wd * wd * yd, "w2y"),
+        arm(k, wd * wd * yd * yd, "w2yy"))
+    } ++ Seq(
+      sum(when(wd < 0 || (ti =!= 0 && ti =!= 1), 1L).otherwise(0L)).as("bad"))
+    val r = df.filter(yd.isNotNull && wd.isNotNull && ti.isNotNull)
+      .agg(sums.head, sums.tail: _*).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"weighted_ttest: ${r.getAs[Long]("bad")} rows have negative weight " +
+        "or treatment outside {0, 1}")
+    def g(n: String, k: Int): Double = r.getAs[Double](s"$n$k")
+    def armStats(k: Int): (Long, Double, Double, Double) = {
+      val (n, sw, swy) = (g("n", k).round, g("w", k), g("wy", k))
+      require(n >= 2 && sw > 0,
+        s"weighted_ttest: arm $k needs >= 2 rows with positive total weight")
+      val mu = swy / sw
+      // Σw²(y−μ)² in moments
+      val v = math.max(0.0,
+        g("w2yy", k) - 2 * mu * g("w2y", k) + mu * mu * g("w2", k)) / (sw * sw)
+      val ess = sw * sw / g("w2", k)
+      (n, mu, v, ess)
+    }
+    val (n0, m0, v0, ess0) = armStats(0)
+    val (n1, m1, v1, ess1) = armStats(1)
+    val diff = m1 - m0
+    val se = math.sqrt(v0 + v1)
+    require(se > 0, "weighted_ttest: zero weighted variance in both arms")
+    val z = diff / se
+    val p = 2.0 * (1.0 - Dist.normCdf(math.abs(z)))
+    Seq((n0, n1, ess0, ess1, m0, m1, diff, se, z, p))
+      .toDF("n0", "n1", "ess0", "ess1", "mean0", "mean1", "diff", "se",
+        "z", "p_value")
+  }
+
   /** Intraclass correlation + cluster-randomization design effect
     * (Donner & Klar 2000 ch. 1; the one-way random-effects ANOVA
     * estimator, unequal cluster sizes):

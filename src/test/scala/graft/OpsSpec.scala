@@ -827,6 +827,118 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(viaSql.head().getAs[Double]("tau") - 4.0) < 1e-9)
   }
 
+  test("weightedTtest: hand Hajek means/variance, guards") {
+    // arm 0: (y=1,w=1),(y=3,w=3) -> mu 2.5, V 0.28125, ESS 1.6
+    // arm 1: (y=2,w=2),(y=4,w=2) -> mu 3.0, V 0.5, ESS 2.0
+    val df = Seq((0, 1.0, 1.0), (0, 3.0, 3.0), (1, 2.0, 2.0), (1, 4.0, 2.0))
+      .toDF("t", "y", "w")
+    val r = graft.ops.SimpleTests.weightedTtest(df, $"y", $"t", $"w").head()
+    assert(math.abs(r.getAs[Double]("mean0") - 2.5) < 1e-12, r.toString)
+    assert(math.abs(r.getAs[Double]("mean1") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ess0") - 1.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ess1") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(0.28125 + 0.5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("diff") - 0.5) < 1e-12)
+    // unit weights: means reduce to the plain arithmetic means
+    val unit = df.withColumn("w", lit(1.0))
+    val ru = graft.ops.SimpleTests.weightedTtest(unit, $"y", $"t", $"w").head()
+    assert(math.abs(ru.getAs[Double]("mean0") - 2.0) < 1e-12)
+    assert(math.abs(ru.getAs[Double]("ess0") - 2.0) < 1e-12)
+    // guards: negative weight; zero-weight arm
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.weightedTtest(
+        Seq((0, 1.0, -1.0), (1, 1.0, 1.0)).toDF("t", "y", "w"),
+        $"y", $"t", $"w").head() }
+    assert(e.getMessage.contains("negative weight"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.weightedTtest(
+        Seq((0, 1.0, 0.0), (0, 2.0, 0.0), (1, 1.0, 1.0), (1, 2.0, 1.0))
+          .toDF("t", "y", "w"), $"y", $"t", $"w").head() }
+    // gateway verb
+    df.createOrReplaceTempView("wtt_t")
+    val viaSql = GraftGateway.sql(spark,
+      "SELECT weighted_ttest(y, t, w) FROM wtt_t")
+    assert(viaSql.columns.toSeq == Seq("n0", "n1", "ess0", "ess1", "mean0",
+      "mean1", "diff", "se", "z", "p_value"))
+  }
+
+  test("gini: closed-form limits, hand case, top shares, guards") {
+    // equal values -> 0; one holder -> (n-1)/n; 1..4 -> 0.25
+    val eq = (1 to 10).map(i => i.toLong -> 5.0).toDF("id", "v")
+    assert(math.abs(graft.ops.Explore.gini(eq, $"v").head()
+      .getAs[Double]("gini")) < 1e-12)
+    val one = Seq(0.0, 0.0, 0.0, 10.0).toDF("v")
+    val r1 = graft.ops.Explore.gini(one, $"v").head()
+    assert(math.abs(r1.getAs[Double]("gini") - 0.75) < 1e-12)
+    val asc = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val ra = graft.ops.Explore.gini(asc.repartition(3), $"v").head()
+    assert(math.abs(ra.getAs[Double]("gini") - 0.25) < 1e-12)
+    assert(math.abs(ra.getAs[Double]("total") - 10.0) < 1e-12)
+    // top shares: 200 rows of 1..200 -> top 20 rows hold sum(181..200),
+    // top 2 rows hold 199+200
+    val big = (1 to 200).map(_.toDouble).toDF("v").repartition(7)
+    val rb = graft.ops.Explore.gini(big, $"v").head()
+    val tot = 200.0 * 201 / 2
+    assert(math.abs(rb.getAs[Double]("top10_share") -
+      (181 to 200).sum / tot) < 1e-12, rb.toString)
+    assert(math.abs(rb.getAs[Double]("top1_share") - (199 + 200) / tot) < 1e-12)
+    // guards: negative values, zero total, n < 2
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Explore.gini(Seq(-1.0, 2.0).toDF("v"), $"v").head() }
+    assert(e.getMessage.contains("negative"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      graft.ops.Explore.gini(Seq(0.0, 0.0).toDF("v"), $"v").head() }
+    // gateway verb
+    big.createOrReplaceTempView("gini_t")
+    val viaSql = GraftGateway.sql(spark, "SELECT gini(v) FROM gini_t")
+    assert(viaSql.columns.toSeq == Seq("n", "total", "mean", "gini",
+      "top1_share", "top10_share"))
+  }
+
+  test("rmst: hand integral + variance, horizon clamp, groups, guards") {
+    // no censoring, horizon past the last event: RMST = the sample mean
+    // (area = 1*1 + .75 + .5 + .25 = 2.5), variance by hand:
+    // A_j terms 1.5/0.75/0.25 -> 0.1875 + 0.09375 + 0.03125 = 0.3125
+    val d4 = Seq((1.0, 1), (2.0, 1), (3.0, 1), (4.0, 1)).toDF("t", "e")
+    val r = graft.ops.Survival.rmst(d4, $"t", $"e", tau = 10.0).head()
+    assert(math.abs(r.getAs[Double]("rmst") - 2.5) < 1e-12, r.toString)
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(0.3125)) < 1e-12)
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("events") == 4)
+    // horizon inside the curve: tau = 2.5 -> 1 + .75 + .5*0.5 = 2.0
+    val r2 = graft.ops.Survival.rmst(d4, $"t", $"e", tau = 2.5).head()
+    assert(math.abs(r2.getAs[Double]("rmst") - 2.0) < 1e-12)
+    // horizon before the first event: flat 1 on [0, tau] -> rmst = tau, se 0
+    val r3 = graft.ops.Survival.rmst(d4, $"t", $"e", tau = 0.5).head()
+    assert(math.abs(r3.getAs[Double]("rmst") - 0.5) < 1e-12)
+    assert(r3.getAs[Double]("se") == 0.0)
+    // censoring reduces events and widens nothing incorrectly (se > 0)
+    val cen = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("t", "e")
+    val rc = graft.ops.Survival.rmst(cen, $"t", $"e", tau = 10.0).head()
+    assert(rc.getAs[Long]("events") == 3 && rc.getAs[Double]("se") > 0)
+    // KM with the censored-at-2 subject: S(1)=.75, S(3)=.375, S(4)=0
+    // area = 1 + .75*2 + .375*1 = 2.875
+    assert(math.abs(rc.getAs[Double]("rmst") - 2.875) < 1e-12, rc.toString)
+    // grouped: the worse arm must have the smaller rmst
+    val two = ((1 to 50).map(i => ("a", i % 5 + 1.0, 1)) ++
+      (1 to 50).map(i => ("b", i % 10 + 1.0, 1))).toDF("g", "t", "e")
+    val rg = graft.ops.Survival.rmst(two, $"t", $"e", tau = 12.0, group = $"g")
+      .collect().map(x => x.getAs[String]("group") ->
+        x.getAs[Double]("rmst")).toMap
+    assert(rg("a") < rg("b"))
+    // guards: negative time, bad tau
+    intercept[IllegalArgumentException] {
+      graft.ops.Survival.rmst(
+        Seq((-1.0, 1), (2.0, 1)).toDF("t", "e"), $"t", $"e", 5.0).head() }
+    intercept[IllegalArgumentException] {
+      graft.ops.Survival.rmst(d4, $"t", $"e", tau = -1.0) }
+    // gateway verb
+    d4.createOrReplaceTempView("rmst_t")
+    val viaSql = GraftGateway.sql(spark, "SELECT rmst(t, e, 10.0) FROM rmst_t")
+    assert(viaSql.columns.toSeq == Seq("group", "tau", "n", "events",
+      "rmst", "se", "lower", "upper"))
+    assert(math.abs(viaSql.head().getAs[Double]("rmst") - 2.5) < 1e-12)
+  }
+
   test("changepoint: hand CUSUM, planted shift, null p, guards") {
     // exact hand case: y = (0,0,0,6,6,6) over periods 1..6 -> C path
     // (-3,-6,-9,-6,-3,0), break after period 3, Q = 9/(sd*sqrt(6))
