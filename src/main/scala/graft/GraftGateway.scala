@@ -73,6 +73,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT changepoint(period, value)             FROM <series>
   * SELECT weighted_ttest(y, t, w)                FROM <any>
   * SELECT gini(value)                            FROM <any>
+  * SELECT prop_test(success, t[, alpha])         FROM <any>
+  * SELECT benford(value)                         FROM <any>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -245,7 +247,8 @@ object GraftGateway {
     "jackknife_ratio", "jackknife_ratio_diff", "metric_anomaly", "bayes_ab",
     "bayes_best_arm", "stratified_ate", "rdd_sharp", "rdd_fuzzy",
     "equivalence_test", "rate_ratio", "mediation", "icc",
-    "interrupted_time_series", "changepoint", "weighted_ttest", "gini")
+    "interrupted_time_series", "changepoint", "weighted_ttest", "gini",
+    "prop_test", "benford")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -491,6 +494,15 @@ object GraftGateway {
         // Gini concentration + Lorenz deciles of a nonnegative value
         require(a.nonEmpty, "gini(value)")
         Explore.gini(df, c(a(0)))
+      case "prop_test" =>
+        // two-proportion score test, Wilson per-arm + Newcombe diff CIs
+        require(a.length >= 2, "prop_test(success, t[, alpha])")
+        SimpleTests.propTest(df, c(a(0)), c(a(1)),
+          alpha = if (a.length > 2) num(a(2)) else 0.05)
+      case "benford" =>
+        // Benford first-digit audit: 9 cells vs log10(1+1/d)
+        require(a.nonEmpty, "benford(value)")
+        Explore.benford(df, c(a(0)))
       case "equivalence_test" =>
         // TOST: both one-sided Welch z tests against the +/- margin
         require(a.length >= 3, "equivalence_test(y, t, margin[, alpha])")

@@ -2112,6 +2112,39 @@ object SparkEntry {
           round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
           round(col("z"), 4).as("z"))
     }),
+    "q180_prop_test" -> ((s, d) => {
+      // two-proportion conversion test (user-parity arms, value > 60 as
+      // success): Wilson per-arm + Newcombe diff CIs + pooled score z —
+      // every output a closed form over four conditional counts
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(when(col("value") > 60, 1).otherwise(0).as("s"),
+          (col("user_id") % 2).cast("int").as("t"))
+        .createOrReplaceTempView("ev_prop")
+      GraftGateway.sql(s, "SELECT prop_test(s, t) FROM ev_prop")
+        .select(col("n0"), col("n1"), col("s0"), col("s1"),
+          round(col("p0"), 6).as("p0"), round(col("p1"), 6).as("p1"),
+          round(col("p0_lower"), 6).as("p0_lower"),
+          round(col("p0_upper"), 6).as("p0_upper"),
+          round(col("p1_lower"), 6).as("p1_lower"),
+          round(col("p1_upper"), 6).as("p1_upper"),
+          round(col("diff"), 6).as("diff"),
+          round(col("diff_lower"), 6).as("diff_lower"),
+          round(col("diff_upper"), 6).as("diff_upper"),
+          round(col("z"), 4).as("z"))
+    }),
+    "q181_benford" -> ((s, d) => {
+      // Benford first-digit audit of extended price: 9 cells vs
+      // log10(1+1/d), chi-square terms included — pure column math
+      t(s, d, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("v"))
+        .createOrReplaceTempView("li_ben")
+      GraftGateway.sql(s, "SELECT benford(v) FROM li_ben")
+        .select(col("digit"), col("n"), round(col("share"), 6).as("share"),
+          round(col("expected_share"), 6).as("expected_share"),
+          round(col("chisq_term"), 4).as("chisq_term"))
+        .orderBy(col("digit"))
+    }),
     "q178_weighted_ttest" -> ((s, d) => {
       // Hajek-weighted A/A comparison (user-parity arms, synthetic
       // design weights): means, linearization SEs, and ESS are pure
@@ -3633,6 +3666,72 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q180_prop_test" ->
+      // Wilson algebra per arm + Newcombe square-and-add, closed form
+      """WITH b AS (SELECT CASE WHEN value > 60 THEN 1 ELSE 0 END AS s,
+        |    CAST(user_id % 2 AS INT) AS t
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT t, count(*) AS n, sum(s) AS s FROM b GROUP BY 1),
+        |w AS (SELECT t, n, s, s * 1.0 / n AS p,
+        |    (s * 1.0 / n + 3.841458820694124 / n / 2
+        |      - 1.959963984540054 * sqrt((s * 1.0 / n) * (1 - s * 1.0 / n) / n
+        |        + 3.841458820694124 / n / (4 * n)))
+        |      / (1 + 3.841458820694124 / n) AS lo,
+        |    (s * 1.0 / n + 3.841458820694124 / n / 2
+        |      + 1.959963984540054 * sqrt((s * 1.0 / n) * (1 - s * 1.0 / n) / n
+        |        + 3.841458820694124 / n / (4 * n)))
+        |      / (1 + 3.841458820694124 / n) AS hi
+        |  FROM m),
+        |f AS (SELECT
+        |    max(CASE WHEN t = 0 THEN n END) AS n0,
+        |    max(CASE WHEN t = 1 THEN n END) AS n1,
+        |    max(CASE WHEN t = 0 THEN s END) AS s0,
+        |    max(CASE WHEN t = 1 THEN s END) AS s1,
+        |    max(CASE WHEN t = 0 THEN p END) AS p0,
+        |    max(CASE WHEN t = 1 THEN p END) AS p1,
+        |    max(CASE WHEN t = 0 THEN lo END) AS l0,
+        |    max(CASE WHEN t = 1 THEN lo END) AS l1,
+        |    max(CASE WHEN t = 0 THEN hi END) AS u0,
+        |    max(CASE WHEN t = 1 THEN hi END) AS u1
+        |  FROM w)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
+        |  round(p0, 6) AS p0, round(p1, 6) AS p1,
+        |  round(l0, 6) AS p0_lower, round(u0, 6) AS p0_upper,
+        |  round(l1, 6) AS p1_lower, round(u1, 6) AS p1_upper,
+        |  round(p1 - p0, 6) AS diff,
+        |  round(p1 - p0 - sqrt((p1-l1)*(p1-l1) + (u0-p0)*(u0-p0)), 6)
+        |    AS diff_lower,
+        |  round(p1 - p0 + sqrt((u1-p1)*(u1-p1) + (p0-l0)*(p0-l0)), 6)
+        |    AS diff_upper,
+        |  round((p1 - p0) / sqrt(((s0+s1)*1.0/(n0+n1))
+        |    * (1 - (s0+s1)*1.0/(n0+n1)) * (1.0/n0 + 1.0/n1)), 4) AS z
+        |FROM f""".stripMargin,
+    "q181_benford" ->
+      // same arithmetic digit extraction (incl. the raw=10 remap), cells
+      // left-joined to the 1..9 digit table, chi-square from unrounded
+      // shares
+      """WITH b AS (SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND abs(CAST(l_extendedprice AS DOUBLE)) > 0),
+        |c AS (SELECT CASE WHEN floor(v / pow(10, floor(log10(v)))) = 10
+        |      THEN 1
+        |      ELSE CAST(floor(v / pow(10, floor(log10(v)))) AS INT) END
+        |      AS digit,
+        |    count(*) AS n
+        |  FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+        |d AS (SELECT CAST(g.k AS INT) AS digit,
+        |    log10(1.0 + 1.0 / g.k) AS ex
+        |  FROM generate_series(1, 9) g(k))
+        |SELECT d.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |  round(coalesce(c.n, 0) / tot, 6) AS share,
+        |  round(ex, 6) AS expected_share,
+        |  round(tot * (coalesce(c.n, 0) / tot - ex)
+        |    * (coalesce(c.n, 0) / tot - ex) / ex, 4) AS chisq_term
+        |FROM d LEFT JOIN c ON c.digit = d.digit, tt
+        |ORDER BY d.digit""".stripMargin,
     "q178_weighted_ttest" ->
       // per-arm weighted moments, V = (Σw²y² − 2μΣw²y + μ²Σw²)/(Σw)²
       """WITH b AS (SELECT CAST(value AS DOUBLE) AS y,

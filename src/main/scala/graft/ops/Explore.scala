@@ -208,6 +208,45 @@ object Explore {
       .select(col("rank"), col("item"), col("count"))
   }
 
+  /** Benford first-digit audit (Newcomb 1881/Benford 1938; Nigrini's
+    * fraud-screening MAD readout): naturally occurring multi-magnitude
+    * amounts have first-digit shares log₁₀(1+1/d) — fabricated or
+    * systematically generated values usually don't. One row per digit:
+    * (digit, n, share, expected_share, chisq_term) — Σ chisq_term is the
+    * 8-dof Pearson statistic and avg|share−expected| is Nigrini's MAD.
+    *
+    * 100 TB shape: a pure column expression for the digit (no UDF),
+    * ONE groupBy into ≤ 9 cells, a broadcast join against the expected
+    * table. Zero/null values are excluded (they carry no leading digit);
+    * negatives contribute |v|. Exactly-power-of-ten values hinge on
+    * log₁₀ returning the exact integer — the raw-digit-10 branch remaps
+    * them to digit 1 so a 1-ulp-low library log cannot fabricate an
+    * out-of-range digit. */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vd = abs(value.cast("double"))
+    val e = floor(log10(vd))
+    val raw = floor(vd / pow(lit(10.0), e))
+    val digit = when(raw === 10, 1).otherwise(raw).cast("int")
+    val cells = df.filter(vd.isNotNull && vd > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val expected = (1 to 9).map(d1 =>
+      (d1, math.log10(1.0 + 1.0 / d1))).toDF("digit", "expected_share")
+    val tot = cells.agg(sum(col("n"))).head()
+    require(!tot.isNullAt(0) && tot.getLong(0) > 0,
+      "benford: no nonzero values")
+    val n = tot.getLong(0).toDouble
+    expected.join(broadcast(cells), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)) / n).as("share"),
+        col("expected_share"))
+      .withColumn("chisq_term",
+        lit(n) * (col("share") - col("expected_share")) *
+          (col("share") - col("expected_share")) / col("expected_share"))
+      .orderBy(col("digit"))
+  }
+
   /** Gini concentration + top-share summary of a nonnegative value
     * (revenue per customer, tokens per document, events per user) — the
     * inequality audit behind "how concentrated is this corpus/revenue":

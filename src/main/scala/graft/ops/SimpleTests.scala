@@ -430,6 +430,62 @@ object SimpleTests {
         "e_value", "e_value_ci")
   }
 
+  /** Two-proportion test with Wilson and Newcombe intervals (Newcombe
+    * 1998 method 10; Agresti–Coull coverage rationale): conversion-rate
+    * readout whose intervals behave at extreme rates and small cells,
+    * where the Wald ±z√(p(1−p)/n) interval under-covers badly:
+    *
+    *   Wilson_k = (p + z²/2n ± z√(p(1−p)/n + z²/4n²)) / (1 + z²/n),
+    *   diff CI  = Newcombe square-and-add of the per-arm Wilson bounds,
+    *   z        = (p₁−p₀)/√(p̄(1−p̄)(1/n₀+1/n₁))   (pooled score test)
+    *
+    * ONE conditional-count aggregate (success/treatment domains checked
+    * in the same pass) + driver closed forms — EVERYTHING incl. both CIs
+    * replays in plain SQL. Returns one row: (n0, n1, s0, s1, p0, p1,
+    * p0_lower, p0_upper, p1_lower, p1_upper, diff, diff_lower,
+    * diff_upper, z). */
+  def propTest(df: DataFrame, success: Column, t: Column,
+               alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1, "prop_test: alpha in (0,1)")
+    val si = success.cast("int")
+    val ti = t.cast("int")
+    val r = df.filter(si.isNotNull && ti.isNotNull).agg(
+      sum(when(ti === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(ti === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(ti === 0, si.cast("long")).otherwise(0L)).as("s0"),
+      sum(when(ti === 1, si.cast("long")).otherwise(0L)).as("s1"),
+      sum(when((si =!= 0 && si =!= 1) || (ti =!= 0 && ti =!= 1), 1L)
+        .otherwise(0L)).as("bad")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"prop_test: ${r.getAs[Long]("bad")} rows have success or treatment " +
+        "outside {0, 1}")
+    val (n0, n1) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"))
+    val (s0, s1) = (r.getAs[Long]("s0"), r.getAs[Long]("s1"))
+    require(n0 > 0 && n1 > 0, "prop_test: both arms need rows")
+    val z = Dist.normQuantile(1.0 - alpha / 2)
+    def wilson(s: Long, n: Long): (Double, Double, Double) = {
+      val p = s.toDouble / n
+      val z2n = z * z / n
+      val center = p + z2n / 2
+      val half = z * math.sqrt(p * (1 - p) / n + z2n / (4 * n))
+      val denom = 1 + z2n
+      (p, (center - half) / denom, (center + half) / denom)
+    }
+    val (p0, l0, u0) = wilson(s0, n0)
+    val (p1, l1, u1) = wilson(s1, n1)
+    val diff = p1 - p0
+    val dl = diff - math.sqrt((p1 - l1) * (p1 - l1) + (u0 - p0) * (u0 - p0))
+    val du = diff + math.sqrt((u1 - p1) * (u1 - p1) + (p0 - l0) * (p0 - l0))
+    val pBar = (s0 + s1).toDouble / (n0 + n1)
+    val seP = math.sqrt(pBar * (1 - pBar) * (1.0 / n0 + 1.0 / n1))
+    val zStat = if (seP > 0) diff / seP else 0.0
+    Seq((n0, n1, s0, s1, p0, p1, l0, u0, l1, u1, diff, dl, du, zStat))
+      .toDF("n0", "n1", "s0", "s1", "p0", "p1", "p0_lower", "p0_upper",
+        "p1_lower", "p1_upper", "diff", "diff_lower", "diff_upper", "z")
+  }
+
   /** Weighted two-sample test (Hájek ratio means + with-replacement
     * linearization variance; Särndal–Swensson–Wretman ch. 5): the arm
     * comparison when rows carry DESIGN or IPW weights — survey samples,

@@ -827,6 +827,73 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(viaSql.head().getAs[Double]("tau") - 4.0) < 1e-9)
   }
 
+  test("propTest: Wilson interval matches the textbook 20/100 case, guards") {
+    // arm 0: 20/100, arm 1: 30/100 — Wilson 95% for 20/100 is
+    // (0.13337, 0.28883) (direct evaluation of the closed form, matches
+    // R binom.confint wilson); pooled score z = .1/.061237
+    val rows = (1 to 100).map(i => (0, if (i <= 20) 1 else 0)) ++
+      (1 to 100).map(i => (1, if (i <= 30) 1 else 0))
+    val df = rows.toDF("t", "s")
+    val r = graft.ops.SimpleTests.propTest(df, $"s", $"t").head()
+    assert(r.getAs[Long]("s0") == 20 && r.getAs[Long]("s1") == 30)
+    assert(math.abs(r.getAs[Double]("p0_lower") - 0.13337) < 5e-5, r.toString)
+    assert(math.abs(r.getAs[Double]("p0_upper") - 0.28883) < 5e-5)
+    assert(math.abs(r.getAs[Double]("z") - 1.6330) < 1e-3)
+    // Newcombe diff CI brackets the diff and sits inside (-1, 1)
+    assert(r.getAs[Double]("diff_lower") < 0.1 &&
+      0.1 < r.getAs[Double]("diff_upper"))
+    // zero-success arm: Wilson lower bound is exactly 0
+    val zero = ((1 to 50).map(_ => (0, 0)) ++ (1 to 50).map(i => (1, i % 2)))
+      .toDF("t", "s")
+    val rz = graft.ops.SimpleTests.propTest(zero, $"s", $"t").head()
+    assert(math.abs(rz.getAs[Double]("p0_lower")) < 1e-12)
+    assert(rz.getAs[Double]("p0_upper") > 0, "Wilson upper must exceed 0 at s=0")
+    // guards: non-binary success
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.propTest(
+        Seq((0, 2), (1, 1)).toDF("t", "s"), $"s", $"t").head() }
+    assert(e.getMessage.contains("outside"), e.getMessage)
+    // gateway verb
+    df.createOrReplaceTempView("prop_t")
+    val viaSql = GraftGateway.sql(spark, "SELECT prop_test(s, t) FROM prop_t")
+    assert(viaSql.columns.length == 14)
+  }
+
+  test("benford: digit extraction, expected shares, conforming series") {
+    // 1..9 once each: uniform shares, 9 complete rows ordered by digit
+    val uni = (1 to 9).map(_.toDouble).toDF("v")
+    val ru = graft.ops.Explore.benford(uni, $"v").collect()
+    assert(ru.length == 9 && ru.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    assert(ru.forall(r => math.abs(r.getAs[Double]("share") - 1.0 / 9) < 1e-12))
+    assert(math.abs(ru.head.getAs[Double]("expected_share") - math.log10(2.0))
+      < 1e-12)
+    // digits survive magnitude, sign, and powers of ten; zeros/nulls drop
+    val mixed = Seq[java.lang.Double](123.0, -23.5, 1000.0, 0.0045, 0.0, null)
+      .toDF("v")
+    val rm = graft.ops.Explore.benford(mixed, $"v").collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n")).toMap
+    assert(rm(1) == 2 && rm(2) == 1 && rm(4) == 1) // 123, 1000 | -23.5 | .0045
+    assert(rm.values.sum == 4, "zero and null must not carry a digit")
+    // 2^i is the classic Benford-conforming series: Nigrini MAD small
+    val pows = (1 to 200).map(i => math.pow(2.0, i)).toDF("v")
+    val rp = graft.ops.Explore.benford(pows, $"v").collect()
+    val mad = rp.map(r => math.abs(r.getAs[Double]("share") -
+      r.getAs[Double]("expected_share"))).sum / 9
+    assert(mad < 0.01, s"MAD $mad — 2^i should conform")
+    // chisq_term closes over (share, expected): recompute one cell
+    val c1 = rp.head
+    assert(math.abs(c1.getAs[Double]("chisq_term") -
+      200.0 * math.pow(c1.getAs[Double]("share") -
+        c1.getAs[Double]("expected_share"), 2) /
+        c1.getAs[Double]("expected_share")) < 1e-9)
+    intercept[IllegalArgumentException] {
+      graft.ops.Explore.benford(Seq(0.0, 0.0).toDF("v"), $"v").collect() }
+    // gateway verb
+    pows.createOrReplaceTempView("ben_t")
+    assert(GraftGateway.sql(spark, "SELECT benford(v) FROM ben_t")
+      .count() == 9)
+  }
+
   test("weightedTtest: hand Hajek means/variance, guards") {
     // arm 0: (y=1,w=1),(y=3,w=3) -> mu 2.5, V 0.28125, ESS 1.6
     // arm 1: (y=2,w=2),(y=4,w=2) -> mu 3.0, V 0.5, ESS 2.0
