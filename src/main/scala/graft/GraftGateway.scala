@@ -75,6 +75,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT gini(value)                            FROM <any>
   * SELECT prop_test(success, t[, alpha])         FROM <any>
   * SELECT benford(value)                         FROM <any>
+  * SELECT yuen_test(y, t[, trim])                FROM <any>
+  * SELECT mcnemar(a, b)                          FROM <paired readings>
+  * SELECT cohens_kappa(a, b)                     FROM <paired labels>
+  * SELECT rdd_bandwidth(y, x)                    FROM <any>
+  * SELECT mutual_info(a, b)                      FROM <any>
+  * SELECT bland_altman(a, b)                     FROM <paired measures>
+  * SELECT trend_test(success, score)             FROM <any>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -248,7 +255,8 @@ object GraftGateway {
     "bayes_best_arm", "stratified_ate", "rdd_sharp", "rdd_fuzzy",
     "equivalence_test", "rate_ratio", "mediation", "icc",
     "interrupted_time_series", "changepoint", "weighted_ttest", "gini",
-    "prop_test", "benford")
+    "prop_test", "benford", "yuen_test", "mcnemar", "cohens_kappa",
+    "rdd_bandwidth", "mutual_info", "bland_altman", "trend_test")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -503,6 +511,35 @@ object GraftGateway {
         // Benford first-digit audit: 9 cells vs log10(1+1/d)
         require(a.nonEmpty, "benford(value)")
         Explore.benford(df, c(a(0)))
+      case "yuen_test" =>
+        // trimmed-means robust two-sample test, winsorized-variance SE
+        require(a.length >= 2, "yuen_test(y, t[, trim])")
+        Robust.yuenTest(df, c(a(0)), c(a(1)),
+          trim = if (a.length > 2) num(a(2)) else 0.2)
+      case "mcnemar" =>
+        // paired binary marginal-shift test over discordant cells
+        require(a.length >= 2, "mcnemar(a, b)")
+        Agreement.mcnemar(df, c(a(0)), c(a(1)))
+      case "cohens_kappa" =>
+        // chance-corrected inter-annotator agreement
+        require(a.length >= 2, "cohens_kappa(a, b)")
+        Agreement.cohensKappa(df, c(a(0)), c(a(1)))
+      case "rdd_bandwidth" =>
+        // Imbens-Lemieux rule-of-thumb pilot bandwidth for rdd_sharp/fuzzy
+        require(a.length >= 2, "rdd_bandwidth(y, running)")
+        Regression.rddBandwidth(df, c(a(0)), c(a(1)))
+      case "mutual_info" =>
+        // categorical dependence screen: MI + NMI over observed cells
+        require(a.length >= 2, "mutual_info(a, b)")
+        SimpleTests.mutualInfo(df, c(a(0)), c(a(1)))
+      case "bland_altman" =>
+        // continuous method agreement: bias + limits of agreement
+        require(a.length >= 2, "bland_altman(a, b)")
+        Agreement.blandAltman(df, c(a(0)), c(a(1)))
+      case "trend_test" =>
+        // Cochran-Armitage ordered-dose trend in a binary rate
+        require(a.length >= 2, "trend_test(success, score)")
+        SimpleTests.trendTest(df, c(a(0)), c(a(1)))
       case "equivalence_test" =>
         // TOST: both one-sided Welch z tests against the +/- margin
         require(a.length >= 3, "equivalence_test(y, t, margin[, alpha])")

@@ -743,6 +743,32 @@ object ScaleProbe {
         Seq("a", "b", "c", "d"), 100.0).collect()
       assert(f.length == 4 && f.head.getLong(2) > 0)
     }
+    time(s"gini + top shares ($rows values)") {
+      // the heaviest r12 op: a global two-phase row number (range
+      // repartition + per-partition sort) and one closing aggregate
+      val r = graft.ops.Explore.gini(
+        df.select((col("y") - lit(-10.0) + col("x1") * col("x1")).as("v")),
+        col("v")).head()
+      assert(r.getAs[Long]("n") == rows && r.getAs[Double]("gini") > 0)
+    }
+    time(s"rmst 4 groups ($rows rows, 10k times)") {
+      // rides the KM cell frame; integral + variance are cell windows
+      val r = graft.ops.Survival.rmst(
+        df.select(pmod(xxhash64(col("id"), lit(13)), lit(10000L))
+            .cast("double").as("tm"),
+          (col("id") % 4).cast("string").as("g"),
+          (col("id") % 3 =!= 0).cast("int").as("e")),
+        col("tm"), col("e"), tau = 8000.0, group = col("g")).collect()
+      assert(r.length == 4 && r.forall(_.getAs[Double]("se") > 0))
+    }
+    time(s"changepoint ($rows rows, 10k period cells)") {
+      val r = graft.ops.Drift.changepoint(
+        df.select((col("id") % 10000).as("p"),
+          (col("y") + when(col("id") % 10000 >= 7000, 5.0).otherwise(0.0))
+            .as("v")),
+        col("p"), col("v")).head()
+      assert(r.getAs[Long]("change_period") == 6999L)
+    }
     } // suite()
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt

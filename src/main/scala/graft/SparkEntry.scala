@@ -2112,6 +2112,105 @@ object SparkEntry {
           round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
           round(col("z"), 4).as("z"))
     }),
+    "q187_bland_altman" -> ((s, d) => {
+      // method agreement between value and a drifted re-measurement:
+      // bias, limits of agreement, share inside — two moment passes
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("value").cast("double").as("a"),
+          (col("value") * 1.02 + (col("user_id") % 7 - 3).cast("double"))
+            .as("b"))
+        .createOrReplaceTempView("ev_ba")
+      GraftGateway.sql(s, "SELECT bland_altman(a, b) FROM ev_ba")
+        .select(col("n"), round(col("bias"), 6).as("bias"),
+          round(col("sd"), 6).as("sd"),
+          round(col("loa_lower"), 6).as("loa_lower"),
+          round(col("loa_upper"), 6).as("loa_upper"),
+          round(col("pct_within"), 6).as("pct_within"))
+    }),
+    "q188_trend_test" -> ((s, d) => {
+      // Cochran-Armitage: is the value>60 rate monotone in the user
+      // residue score? Two-level closed form over arm cells
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(when(col("value") > 60, 1).otherwise(0).as("s"),
+          (col("user_id") % 4).cast("double").as("c"))
+        .createOrReplaceTempView("ev_tr")
+      GraftGateway.sql(s, "SELECT trend_test(s, c) FROM ev_tr")
+        .select(col("n"), col("n_arms"), round(col("p_bar"), 6).as("p_bar"),
+          round(col("t_stat"), 6).as("t_stat"),
+          round(col("var_t"), 4).as("var_t"), round(col("z"), 4).as("z"))
+    }),
+    "q186_mutual_info" -> ((s, d) => {
+      // event-type vs user-residue dependence: MI/NMI over observed
+      // cells with margins joined back — fully distributed (no grid
+      // walk), fully SQL-replayable
+      t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type").as("a"),
+          (col("user_id") % 3).cast("string").as("b"))
+        .createOrReplaceTempView("ev_mi")
+      GraftGateway.sql(s, "SELECT mutual_info(a, b) FROM ev_mi")
+        .select(col("n"), col("cells"), round(col("h_a"), 6).as("h_a"),
+          round(col("h_b"), 6).as("h_b"), round(col("mi"), 8).as("mi"),
+          round(col("nmi"), 8).as("nmi"))
+    }),
+    "q182_yuen" -> ((s, d) => {
+      // Yuen trimmed-means robust test on the order-parity split: trim
+      // points are exact per-arm percentiles (Spark percentile ==
+      // DuckDB quantile_cont), winsorized moments close the SE — the
+      // whole readout through t and df replays in SQL (p needs the t
+      // CDF DuckDB lacks)
+      t(s, d, "lineitem")
+        .select((col("l_extendedprice").cast("double") / 100).as("y"),
+          (col("l_orderkey") % 2).cast("int").as("t"))
+        .createOrReplaceTempView("li_yuen")
+      GraftGateway.sql(s, "SELECT yuen_test(y, t) FROM li_yuen")
+        .select(col("n0"), col("n1"), col("h0"), col("h1"),
+          round(col("tmean0"), 6).as("tmean0"),
+          round(col("tmean1"), 6).as("tmean1"),
+          round(col("diff"), 6).as("diff"), round(col("se"), 6).as("se"),
+          round(col("t_stat"), 4).as("t_stat"), round(col("df"), 2).as("df"))
+    }),
+    "q183_mcnemar" -> ((s, d) => {
+      // paired binary readings per event (value threshold vs user-residue
+      // rule): the marginal-shift test over discordant cells only
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(when(col("value") > 60, 1).otherwise(0).as("a"),
+          when(col("user_id") % 3 === 0, 1).otherwise(0).as("b"))
+        .createOrReplaceTempView("ev_mcn")
+      GraftGateway.sql(s, "SELECT mcnemar(a, b) FROM ev_mcn")
+        .select(col("n"), col("both0"), col("both1"), col("only_a"),
+          col("only_b"), round(col("z"), 4).as("z"),
+          round(col("chisq_cc"), 4).as("chisq_cc"))
+    }),
+    "q184_cohens_kappa" -> ((s, d) => {
+      // inter-annotator agreement: rater B corrupts 20% of event-type
+      // labels to 'other' — chance-corrected kappa over the confusion
+      // cells, margins joined back at cell scale
+      t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type").as("a"),
+          when(col("user_id") % 10 < 8, col("event_type"))
+            .otherwise(lit("other")).as("b"))
+        .createOrReplaceTempView("ev_kap")
+      GraftGateway.sql(s, "SELECT cohens_kappa(a, b) FROM ev_kap")
+        .select(col("n"), col("categories"), round(col("po"), 6).as("po"),
+          round(col("pe"), 6).as("pe"),
+          round(col("kappa"), 6).as("kappa"),
+          round(col("se"), 6).as("se"), round(col("z"), 4).as("z"))
+    }),
+    "q185_rdd_bandwidth" -> ((s, d) => {
+      // Imbens-Lemieux rule-of-thumb pilot bandwidth for the q168 design
+      t(s, d, "lineitem")
+        .select((col("l_extendedprice").cast("double") / 100).as("y"),
+          col("l_quantity").cast("double").as("x"))
+        .createOrReplaceTempView("li_rbw")
+      GraftGateway.sql(s, "SELECT rdd_bandwidth(y, x) FROM li_rbw")
+        .select(col("n"), round(col("sd"), 6).as("sd"),
+          round(col("h"), 6).as("h"))
+    }),
     "q180_prop_test" -> ((s, d) => {
       // two-proportion conversion test (user-parity arms, value > 60 as
       // success): Wilson per-arm + Newcombe diff CIs + pooled score z —
@@ -2448,7 +2547,8 @@ object SparkEntry {
       GraftGateway.sql(s,
           "SELECT chisq_independence(l_returnflag, l_linestatus) FROM li_chi")
         .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
-          round(col("chisq"), 6).as("chisq"))
+          round(col("chisq"), 6).as("chisq"),
+          round(col("cramers_v"), 6).as("cramers_v"))
     }),
     "q138_anova" -> ((s, d) => {
       // multi-variant one-way ANOVA through the verb (3 arms =
@@ -3666,6 +3766,160 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q187_bland_altman" ->
+      // bias/sd pass, then the within-limits share against the computed
+      // limits
+      """WITH b AS (SELECT
+        |    (CAST(value AS DOUBLE) * 1.02
+        |      + CAST(user_id % 7 - 3 AS DOUBLE)) - CAST(value AS DOUBLE)
+        |      AS d
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT count(*) AS n, avg(d) AS bias, stddev_samp(d) AS sd
+        |  FROM b),
+        |f AS (SELECT n, bias, sd,
+        |    bias - 1.959963984540054 * sd AS lo,
+        |    bias + 1.959963984540054 * sd AS hi
+        |  FROM m),
+        |w AS (SELECT sum(CASE WHEN b.d BETWEEN f.lo AND f.hi
+        |    THEN 1 ELSE 0 END) AS wi FROM b, f)
+        |SELECT CAST(f.n AS BIGINT) AS n, round(f.bias, 6) AS bias,
+        |  round(f.sd, 6) AS sd, round(f.lo, 6) AS loa_lower,
+        |  round(f.hi, 6) AS loa_upper,
+        |  round(w.wi * 1.0 / f.n, 6) AS pct_within
+        |FROM f, w""".stripMargin,
+    "q188_trend_test" ->
+      // arm cells then the Armitage closed form
+      """WITH b AS (SELECT CASE WHEN value > 60 THEN 1 ELSE 0 END AS s,
+        |    CAST(user_id % 4 AS DOUBLE) AS c
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT c, count(*) AS nk, sum(s) AS sk FROM b GROUP BY 1),
+        |a AS (SELECT sum(nk) AS n, count(*) AS k, sum(sk) AS s,
+        |    sum(c * sk) AS cs, sum(c * nk) AS cn, sum(c * c * nk) AS ccn
+        |  FROM g),
+        |f AS (SELECT n, k, s * 1.0 / n AS pbar,
+        |    cs - (s * 1.0 / n) * cn AS t,
+        |    (s * 1.0 / n) * (1 - s * 1.0 / n) * (ccn - cn * cn / n) AS v
+        |  FROM a)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_arms,
+        |  round(pbar, 6) AS p_bar, round(t, 6) AS t_stat,
+        |  round(v, 4) AS var_t, round(t / sqrt(v), 4) AS z
+        |FROM f""".stripMargin,
+    "q186_mutual_info" ->
+      // observed-cell MI with margins joined back; NMI from the margin
+      // entropies; the mi clamp at 0 mirrors the Spark driver
+      """WITH b AS (SELECT event_type AS a,
+        |    CAST(user_id % 3 AS VARCHAR) AS b
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |c AS (SELECT a, b, count(*) AS c FROM b GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(c) AS ca FROM c GROUP BY 1),
+        |rb AS (SELECT b, sum(c) AS cb FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+        |j AS (SELECT count(*) AS cells,
+        |    greatest(0.0, sum(c.c / tt.n
+        |      * ln(c.c * tt.n / (CAST(ra.ca AS DOUBLE) * rb.cb)))) AS mi
+        |  FROM c JOIN ra ON c.a = ra.a JOIN rb ON c.b = rb.b, tt
+        |  GROUP BY tt.n),
+        |h AS (SELECT
+        |    (SELECT sum(-(ca / tt.n) * ln(ca / tt.n)) FROM ra, tt) AS ha,
+        |    (SELECT sum(-(cb / tt.n) * ln(cb / tt.n)) FROM rb, tt) AS hb)
+        |SELECT CAST((SELECT n FROM tt) AS BIGINT) AS n,
+        |  CAST(cells AS BIGINT) AS cells,
+        |  round(ha, 6) AS h_a, round(hb, 6) AS h_b,
+        |  round(mi, 8) AS mi,
+        |  round(CASE WHEN ha > 0 AND hb > 0 THEN mi / sqrt(ha * hb)
+        |    ELSE 0.0 END, 8) AS nmi
+        |FROM j, h""".stripMargin,
+    "q182_yuen" ->
+      // per-arm quantile_cont trim points, winsorized moments, Yuen SE —
+      // the d-term association mirrors the Spark driver arithmetic
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) / 100 AS y,
+        |    CAST(l_orderkey % 2 AS INT) AS t FROM lineitem),
+        |q AS (SELECT t, count(*) AS n, quantile_cont(y, 0.2) AS lo,
+        |    quantile_cont(y, 0.8) AS hi FROM b GROUP BY 1),
+        |m AS (SELECT b.t, q.n, q.lo, q.hi,
+        |    sum(CASE WHEN y BETWEEN lo AND hi THEN 1 ELSE 0 END) AS h,
+        |    sum(CASE WHEN y BETWEEN lo AND hi THEN y ELSE 0 END) AS ts,
+        |    sum(greatest(lo, least(hi, y))) AS ws,
+        |    sum(greatest(lo, least(hi, y)) * greatest(lo, least(hi, y)))
+        |      AS wss
+        |  FROM b JOIN q ON b.t = q.t GROUP BY 1, 2, 3, 4),
+        |a AS (SELECT t, n, h, ts / h AS tm,
+        |    greatest(0.0, wss - ws * ws / n) / (n - 1) * (n - 1)
+        |      / (h * 1.0 * (h - 1)) AS dd
+        |  FROM m),
+        |f AS (SELECT
+        |    max(CASE WHEN t = 0 THEN n END) AS n0,
+        |    max(CASE WHEN t = 1 THEN n END) AS n1,
+        |    max(CASE WHEN t = 0 THEN h END) AS h0,
+        |    max(CASE WHEN t = 1 THEN h END) AS h1,
+        |    max(CASE WHEN t = 0 THEN tm END) AS tm0,
+        |    max(CASE WHEN t = 1 THEN tm END) AS tm1,
+        |    max(CASE WHEN t = 0 THEN dd END) AS d0,
+        |    max(CASE WHEN t = 1 THEN dd END) AS d1
+        |  FROM a)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(h0 AS BIGINT) AS h0, CAST(h1 AS BIGINT) AS h1,
+        |  round(tm0, 6) AS tmean0, round(tm1, 6) AS tmean1,
+        |  round(tm1 - tm0, 6) AS diff, round(sqrt(d0 + d1), 6) AS se,
+        |  round((tm1 - tm0) / sqrt(d0 + d1), 4) AS t_stat,
+        |  round((d0 + d1) * (d0 + d1)
+        |    / (d0 * d0 / (h0 - 1) + d1 * d1 / (h1 - 1)), 2) AS df
+        |FROM f""".stripMargin,
+    "q183_mcnemar" ->
+      // discordant-cell closed forms with the continuity correction
+      """WITH b AS (SELECT CASE WHEN value > 60 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00,
+        |    sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+        |    sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+        |    sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01
+        |  FROM b)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n00 AS BIGINT) AS both0,
+        |  CAST(n11 AS BIGINT) AS both1, CAST(n10 AS BIGINT) AS only_a,
+        |  CAST(n01 AS BIGINT) AS only_b,
+        |  round((n01 - n10) / sqrt(CAST(n10 + n01 AS DOUBLE)), 4) AS z,
+        |  round(greatest(0.0, abs(CAST(n01 - n10 AS DOUBLE)) - 1.0)
+        |    * greatest(0.0, abs(CAST(n01 - n10 AS DOUBLE)) - 1.0)
+        |    / (n10 + n01), 4) AS chisq_cc
+        |FROM m""".stripMargin,
+    "q184_cohens_kappa" ->
+      // confusion cells + margins, kappa closed form with Cohen's
+      // large-sample se
+      """WITH b AS (SELECT event_type AS a,
+        |    CASE WHEN user_id % 10 < 8 THEN event_type ELSE 'other' END AS b
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |c AS (SELECT a, b, count(*) AS c FROM b GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(c) AS ca FROM c GROUP BY 1),
+        |rb AS (SELECT b, sum(c) AS cb FROM c GROUP BY 1),
+        |mg AS (SELECT sum(CAST(coalesce(ra.ca, 0) AS DOUBLE)
+        |      * CAST(coalesce(rb.cb, 0) AS DOUBLE)) AS pesum,
+        |    count(*) AS k
+        |  FROM ra FULL JOIN rb ON ra.a = rb.b),
+        |tt AS (SELECT sum(c) AS n,
+        |    sum(CASE WHEN a = b THEN c ELSE 0 END) AS agree FROM c),
+        |f AS (SELECT n, k, agree * 1.0 / n AS po,
+        |    pesum / (CAST(n AS DOUBLE) * n) AS pe
+        |  FROM tt, mg)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS categories,
+        |  round(po, 6) AS po, round(pe, 6) AS pe,
+        |  round((po - pe) / (1 - pe), 6) AS kappa,
+        |  round(sqrt(po * (1 - po)) / ((1 - pe) * sqrt(CAST(n AS DOUBLE))), 6)
+        |    AS se,
+        |  round(((po - pe) / (1 - pe))
+        |    / (sqrt(po * (1 - po)) / ((1 - pe) * sqrt(CAST(n AS DOUBLE)))), 4)
+        |    AS z
+        |FROM f""".stripMargin,
+    "q185_rdd_bandwidth" ->
+      // h = 1.84 * sd * n^(-1/5)
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(stddev_samp(CAST(l_quantity AS DOUBLE)), 6) AS sd,
+        |  round(1.84 * stddev_samp(CAST(l_quantity AS DOUBLE))
+        |    * pow(count(*), -0.2), 6) AS h
+        |FROM lineitem
+        |WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL"""
+        .stripMargin,
     "q180_prop_test" ->
       // Wilson algebra per arm + Newcombe square-and-add, closed form
       """WITH b AS (SELECT CASE WHEN value > 60 THEN 1 ELSE 0 END AS s,
@@ -4213,7 +4467,10 @@ object SparkEntry {
         |  (SELECT count(*) FROM rt) AS n_rows,
         |  (SELECT count(*) FROM ct) AS n_cols,
         |  ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS dof,
-        |  round(chisq, 6) AS chisq
+        |  round(chisq, 6) AS chisq,
+        |  round(sqrt(chisq / (CAST((SELECT n FROM tot) AS DOUBLE)
+        |    * least((SELECT count(*) FROM rt) - 1,
+        |        (SELECT count(*) FROM ct) - 1))), 6) AS cramers_v
         |FROM x""".stripMargin,
     "q138_anova" ->
       // same per-arm cells, same SSB/SSW forms

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Paired-rater / paired-model agreement tests for labeling and eval
+  * pipelines — the statistics a training-data operation runs before
+  * trusting labels (inter-annotator agreement) or shipping a model swap
+  * (paired comparison on the SAME examples, where the two-proportion
+  * test's independence assumption is wrong and wastes power).
+  */
+object Agreement {
+
+  /** McNemar's paired test (McNemar 1947, continuity-corrected): two
+    * binary readings per row (old model vs new model, rater vs gold) —
+    * only the DISCORDANT cells carry information about a marginal shift:
+    *
+    *   z = (b₀₁ − b₁₀)/√(b₀₁ + b₁₀),
+    *   χ²_cc = (|b₀₁ − b₁₀| − 1)²/(b₀₁ + b₁₀)
+    *
+    * ONE conditional-count aggregate (binary-domain validation rides
+    * it) + driver closed forms; everything replays in plain SQL. Rows
+    * where either reading is null drop (the pair is incomplete).
+    * Returns one row: (n, both0, both1, only_a, only_b, z, chisq_cc). */
+  def mcnemar(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ai = a.cast("int")
+    val bi = b.cast("int")
+    val r = df.filter(ai.isNotNull && bi.isNotNull).agg(
+      count(lit(1)).as("n"),
+      sum(when(ai === 0 && bi === 0, 1L).otherwise(0L)).as("n00"),
+      sum(when(ai === 1 && bi === 1, 1L).otherwise(0L)).as("n11"),
+      sum(when(ai === 1 && bi === 0, 1L).otherwise(0L)).as("n10"),
+      sum(when(ai === 0 && bi === 1, 1L).otherwise(0L)).as("n01"),
+      sum(when((ai =!= 0 && ai =!= 1) || (bi =!= 0 && bi =!= 1), 1L)
+        .otherwise(0L)).as("bad")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"mcnemar: ${r.getAs[Long]("bad")} rows have readings outside {0, 1}")
+    val (n10, n01) = (r.getAs[Long]("n10"), r.getAs[Long]("n01"))
+    val disc = (n10 + n01).toDouble
+    require(disc > 0,
+      "mcnemar: no discordant pairs — the readings are identical on every " +
+        "row and no marginal shift is testable")
+    val z = (n01 - n10) / math.sqrt(disc)
+    val cc = math.max(0.0, math.abs(n01 - n10).toDouble - 1.0)
+    Seq((r.getAs[Long]("n"), r.getAs[Long]("n00"), r.getAs[Long]("n11"),
+        n10, n01, z, cc * cc / disc))
+      .toDF("n", "both0", "both1", "only_a", "only_b", "z", "chisq_cc")
+  }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
+    * categorical raters over the same items, the standard
+    * inter-annotator screen before labels enter a training set:
+    *
+    *   κ = (p_o − p_e)/(1 − p_e),   p_e = Σ_c rowshare_c · colshare_c,
+    *   se ≈ √(p_o(1−p_o)) / ((1−p_e)√n)    (Cohen's large-sample form)
+    *
+    * 100 TB shape: ONE row-scale aggregate to (a, b) confusion cells,
+    * cell-scale margins joined back — category cardinality unbounded,
+    * nothing collected but the single output row. Null-on-either-side
+    * rows drop. Everything replays in two-level SQL. Returns one row:
+    * (n, categories, po, pe, kappa, se, z). */
+  def cohensKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val as = a.cast("string")
+    val bs = b.cast("string")
+    val cells = df.filter(as.isNotNull && bs.isNotNull)
+      .groupBy(as.as("a"), bs.as("b")).agg(count(lit(1)).as("c"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+    val rb = cells.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val r = cells.agg(sum(col("c")).as("n"),
+        sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
+      .crossJoin(
+        ra.join(rb, ra("a") === rb("b"), "full")
+          .agg(sum(coalesce(col("ca"), lit(0L)).cast("double") *
+            coalesce(col("cb"), lit(0L)).cast("double")).as("pesum"),
+            count(lit(1)).as("k")))
+      .head()
+    val n = r.getAs[Long]("n")
+    require(n > 0, "cohens_kappa: no complete pairs")
+    val po = r.getAs[Long]("agree").toDouble / n
+    val pe = r.getAs[Double]("pesum") / (n.toDouble * n)
+    require(pe < 1.0,
+      "cohens_kappa: both raters are constant — agreement is undefined")
+    val kappa = (po - pe) / (1 - pe)
+    val se = math.sqrt(po * (1 - po)) / ((1 - pe) * math.sqrt(n.toDouble))
+    val z = if (se > 0) kappa / se else 0.0
+    Seq((n, r.getAs[Long]("k"), po, pe, kappa, se, z))
+      .toDF("n", "categories", "po", "pe", "kappa", "se", "z")
+  }
+
+  /** Bland–Altman agreement for two continuous measurements of the same
+    * quantity (Bland & Altman 1986) — the method-swap calibration check
+    * (new sensor vs old, cheap model score vs expensive one) that a
+    * correlation coefficient does NOT answer:
+    *
+    *   bias = mean(b − a),   LoA = bias ± 1.96·sd(b − a),
+    *
+    * plus the observed share of rows inside the limits (≈95% when the
+    * differences are normal — a much lower share flags heavy tails or
+    * level-dependent bias). TWO row-scale aggregates (moments, then the
+    * within-LoA share against the literal limits) + driver closed forms;
+    * everything replays in plain SQL. Returns one row: (n, bias, sd,
+    * loa_lower, loa_upper, pct_within). */
+  def blandAltman(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dd = b.cast("double") - a.cast("double")
+    val r1 = df.filter(dd.isNotNull).agg(count(lit(1)).as("n"),
+      avg(dd).as("bias"), stddev_samp(dd).as("sd")).head()
+    val n = r1.getAs[Long]("n")
+    require(n >= 3, s"bland_altman: need at least 3 complete pairs, got $n")
+    val bias = r1.getAs[Double]("bias")
+    val sd = r1.getAs[Double]("sd")
+    require(sd > 0, "bland_altman: the two measurements differ by a " +
+      "constant — agreement is exact up to that bias")
+    val lo = bias - 1.959963984540054 * sd
+    val hi = bias + 1.959963984540054 * sd
+    val within = df.filter(dd.isNotNull)
+      .agg(sum(when(dd.between(lo, hi), 1L).otherwise(0L))).head().getLong(0)
+    Seq((n, bias, sd, lo, hi, within.toDouble / n))
+      .toDF("n", "bias", "sd", "loa_lower", "loa_upper", "pct_within")
+  }
+}

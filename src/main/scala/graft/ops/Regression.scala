@@ -269,6 +269,32 @@ object Regression {
   }
 
   /** struct(fit, lower, upper) for a conformal (model, q) pair. */
+  /** Silverman-style pilot bandwidth for [[rddSharp]]/[[rddFuzzy]]
+    * (Imbens & Lemieux 2008 §4.3's rule-of-thumb starting point — NOT
+    * the full IK/CCT MSE-optimal selector, which needs pilot curvature
+    * fits; the Scaladoc name says exactly what it is):
+    *
+    *   h_ROT = 1.84 · σ_x · n^(−1/5)
+    *
+    * over rows with a non-null outcome and running variable. Standard
+    * practice: run the sharp/fuzzy estimator at h_ROT, h_ROT/2, 2·h_ROT
+    * and report all three. ONE aggregate; replays in plain SQL.
+    * Returns one row: (n, sd, h). */
+  def rddBandwidth(df: DataFrame, y: Column, running: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = y.cast("double")
+    val xd = running.cast("double")
+    val r = df.filter(yd.isNotNull && xd.isNotNull)
+      .agg(count(lit(1)).as("n"), stddev_samp(xd).as("sd")).head()
+    val n = r.getAs[Long]("n")
+    require(n >= 10, s"rdd_bandwidth: need at least 10 rows, got $n")
+    val sd = r.getAs[Double]("sd")
+    require(sd > 0, "rdd_bandwidth: running variable is constant")
+    val h = 1.84 * sd * math.pow(n.toDouble, -0.2)
+    Seq((n, sd, h)).toDF("n", "sd", "h")
+  }
+
   /** Fuzzy regression discontinuity (Hahn–Todd–van der Klaauw 2001;
     * Imbens & Lemieux 2008 §3): when crossing the cutoff shifts treatment
     * TAKE-UP by less than one, the causal effect is the local Wald ratio

@@ -71,4 +71,87 @@ object Robust {
       sum(when(x < lo, 1L).otherwise(0L)).as("n_clipped_lo"),
       sum(when(x > hi, 1L).otherwise(0L)).as("n_clipped_hi"))
   }
+
+  /** Yuen's trimmed-means two-sample test (Yuen 1974; Wilcox's
+    * recommended default for heavy-tailed metrics): compare γ-trimmed
+    * means with the winsorized-variance standard error — keeps honest
+    * type-I error where the plain t-test's mean is dragged by outliers,
+    * while still estimating a location effect (unlike #7's rank test,
+    * which changes the estimand):
+    *
+    *   t = (x̄_t1 − x̄_t0) / √(d₀ + d₁),   d_k = s²_wk(n_k−1)/(h_k(h_k−1)),
+    *   df by Welch–Satterthwaite on the d's
+    *
+    * Trim points are the exact per-arm γ / 1−γ percentiles (Spark exact
+    * `percentile` == DuckDB `quantile_cont`, the house oracle bridge);
+    * the trimmed mean averages rows inside [lo, hi] (tie-inclusive, so
+    * deterministic under ties) and the winsorized variance clamps all
+    * rows to the same bounds — the operational definition is documented
+    * rather than the order-statistic k = ⌊γn⌋ textbook variant.
+    *
+    * 100 TB shape: TWO row-scale passes — one (arm × percentile) cell
+    * aggregate for the trim points (treatment domain validated on the
+    * collected 2-row cells), one moment aggregate with the bounds as
+    * literals — plus driver closed forms. Everything through t and df
+    * replays in plain SQL. Returns one row: (n0, n1, h0, h1, tmean0,
+    * tmean1, diff, se, t_stat, df, p_value). */
+  def yuenTest(df: DataFrame, y: Column, t: Column,
+               trim: Double = 0.2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(trim > 0 && trim < 0.5, s"yuen_test: trim in (0, 0.5), got $trim")
+    val yd = y.cast("double")
+    val ti = t.cast("int")
+    val base = df.filter(yd.isNotNull && ti.isNotNull)
+    val cells = base.groupBy(ti.as("t")).agg(
+        count(lit(1)).as("n"),
+        percentile(yd, array(lit(trim), lit(1.0 - trim))).as("q"))
+      .collect()
+    require(cells.map(_.getInt(0)).sorted.toSeq == Seq(0, 1),
+      s"yuen_test: treatment must take exactly the values {0, 1}, got " +
+        cells.map(_.getInt(0)).sorted.mkString("{", ", ", "}"))
+    val byArm = cells.map(r => r.getInt(0) ->
+      (r.getLong(r.fieldIndex("n")), r.getSeq[Double](r.fieldIndex("q")))).toMap
+    (0 to 1).foreach { k =>
+      require(byArm(k)._1 >= 8,
+        s"yuen_test: arm $k needs >= 8 rows for a stable trimmed estimate")
+    }
+    val (lo0, hi0) = (byArm(0)._2(0), byArm(0)._2(1))
+    val (lo1, hi1) = (byArm(1)._2(0), byArm(1)._2(1))
+    def arm(k: Int, lo: Double, hi: Double): Seq[Column] = {
+      val in = ti === k
+      val w = winsorize(yd, lo, hi)
+      Seq(
+        sum(when(in && yd.between(lo, hi), 1L).otherwise(0L)).as(s"h$k"),
+        sum(when(in && yd.between(lo, hi), yd).otherwise(lit(0.0)))
+          .as(s"ts$k"),
+        sum(when(in, w).otherwise(lit(0.0))).as(s"ws$k"),
+        sum(when(in, w * w).otherwise(lit(0.0))).as(s"wss$k"))
+    }
+    val sums = arm(0, lo0, hi0) ++ arm(1, lo1, hi1)
+    val r = base.agg(sums.head, sums.tail: _*).head()
+    def armStats(k: Int): (Long, Long, Double, Double) = {
+      val n = byArm(k)._1
+      val h = r.getAs[Long](s"h$k")
+      require(h >= 2, s"yuen_test: arm $k has fewer than 2 in-window rows")
+      val tm = r.getAs[Double](s"ts$k") / h
+      val ws = r.getAs[Double](s"ws$k")
+      val s2w = math.max(0.0,
+        r.getAs[Double](s"wss$k") - ws * ws / n) / (n - 1)
+      val d = s2w * (n - 1) / (h.toDouble * (h - 1))
+      (n, h, tm, d)
+    }
+    val (n0, h0, tm0, d0) = armStats(0)
+    val (n1, h1, tm1, d1) = armStats(1)
+    val diff = tm1 - tm0
+    val se = math.sqrt(d0 + d1)
+    require(se > 0, "yuen_test: zero winsorized variance in both arms")
+    val tStat = diff / se
+    val dfW = (d0 + d1) * (d0 + d1) /
+      (d0 * d0 / (h0 - 1) + d1 * d1 / (h1 - 1))
+    val p = graft.stats.Dist.tTwoSidedP(tStat, dfW)
+    Seq((n0, n1, h0, h1, tm0, tm1, diff, se, tStat, dfW, p))
+      .toDF("n0", "n1", "h0", "h1", "tmean0", "tmean1", "diff", "se",
+        "t_stat", "df", "p_value")
+  }
 }

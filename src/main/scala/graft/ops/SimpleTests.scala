@@ -135,8 +135,61 @@ object SimpleTests {
     }.sum
     val dof = (rowT.size - 1) * (colT.size - 1)
     val p = 1.0 - Dist.chiSqCdf(chisq, dof.toDouble)
-    Seq((n, rowT.size.toLong, colT.size.toLong, dof.toLong, chisq, p))
-      .toDF("n", "n_rows", "n_cols", "dof", "chisq", "p_value")
+    // Cramér's V: the [0,1] effect size the raw statistic hides (χ² grows
+    // with n, V doesn't)
+    val v = math.sqrt(chisq / (n.toDouble * math.min(rowT.size - 1,
+      colT.size - 1)))
+    Seq((n, rowT.size.toLong, colT.size.toLong, dof.toLong, chisq, p, v))
+      .toDF("n", "n_rows", "n_cols", "dof", "chisq", "p_value", "cramers_v")
+  }
+
+  /** Mutual information between two categorical columns (feature/label
+    * dependence screen; Cover & Thomas ch. 2) — the model-free "does this
+    * attribute predict that label at all" number a pipeline runs before
+    * spending a training job:
+    *
+    *   MI = Σ_ab p_ab·ln(p_ab/(p_a·p_b))   (nats; absent cells contribute 0),
+    *   NMI = MI/√(H_a·H_b)
+    *
+    * 100 TB shape: unlike [[chisqIndependence]] (which must walk the full
+    * r×c grid and therefore collects under a guard), every MI term lives
+    * on an OBSERVED cell — so this stays fully distributed: ONE row-scale
+    * aggregate to (a,b) cells, margins joined back at cell scale,
+    * category cardinality unbounded, nothing collected but the single
+    * output row. Everything replays in two-level SQL. Returns one row:
+    * (n, cells, h_a, h_b, mi, nmi). */
+  def mutualInfo(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .agg(count(lit(1)).as("c"))
+    cells.persist()
+    try {
+      val ra = cells.groupBy(col("__a")).agg(sum(col("c")).as("ca"))
+      val rb = cells.groupBy(col("__b")).agg(sum(col("c")).as("cb"))
+      val tot = cells.agg(sum(col("c"))).head()
+      require(!tot.isNullAt(0) && tot.getLong(0) > 0,
+        "mutual_info: no complete pairs")
+      val n = tot.getLong(0).toDouble
+      val r = cells.join(ra, "__a").join(rb, "__b").agg(
+        count(lit(1)).as("cells"),
+        sum(col("c") / n * log(col("c") * n /
+          (col("ca").cast("double") * col("cb")))).as("mi")).head()
+      val ha = ra.agg(sum(-col("ca") / n * log(col("ca") / n))).head()
+        .getDouble(0)
+      val hb = rb.agg(sum(-col("cb") / n * log(col("cb") / n))).head()
+        .getDouble(0)
+      val mi = math.max(0.0, r.getAs[Double]("mi"))
+      val nmi =
+        if (ha > 0 && hb > 0) mi / math.sqrt(ha * hb)
+        else 0.0 // a constant column carries no information to normalize
+      Seq((n.toLong, r.getAs[Long]("cells"), ha, hb, mi, nmi))
+        .toDF("n", "cells", "h_a", "h_b", "mi", "nmi")
+    } finally {
+      cells.unpersist()
+      ()
+    }
   }
 
   // ------------------------------------------------------- power analysis
@@ -484,6 +537,51 @@ object SimpleTests {
     Seq((n0, n1, s0, s1, p0, p1, l0, u0, l1, u1, diff, dl, du, zStat))
       .toDF("n0", "n1", "s0", "s1", "p0", "p1", "p0_lower", "p0_upper",
         "p1_lower", "p1_upper", "diff", "diff_lower", "diff_upper", "z")
+  }
+
+  /** Cochran–Armitage trend test (Armitage 1955): is a binary rate
+    * MONOTONE in an ordered exposure (dose bucket, ramp percentage,
+    * price tier)? The k-arm χ² (#60/#62) ignores the ordering and wastes
+    * power against exactly the alternative a ramp analysis cares about:
+    *
+    *   T = Σ_k c_k(s_k − n_k·p̄),
+    *   Var(T) = p̄(1−p̄)·(Σc_k²n_k − (Σc_k n_k)²/N),   z = T/√Var
+    *
+    * with c_k the caller's arm score (the arm value itself — encode
+    * custom spacings upstream). ONE (arm) cell aggregate — arm
+    * cardinality unbounded, success-domain check rides the same pass —
+    * + ONE cell-scale aggregate; everything replays in two-level SQL.
+    * Returns one row: (n, n_arms, p_bar, t_stat, var_t, z, p_value). */
+  def trendTest(df: DataFrame, success: Column, score: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val si = success.cast("int")
+    val sc = score.cast("double")
+    val cells = df.filter(si.isNotNull && sc.isNotNull)
+      .groupBy(sc.as("c")).agg(count(lit(1)).as("nk"),
+        sum(si.cast("long")).as("sk"),
+        sum(when(si =!= 0 && si =!= 1, 1L).otherwise(0L)).as("bad"))
+    val r = cells.agg(sum(col("nk")).as("n"), count(lit(1)).as("k"),
+      sum(col("sk")).as("s"), sum(col("bad")).as("bad"),
+      sum(col("c") * col("sk")).as("cs"),
+      sum(col("c") * col("nk")).as("cn"),
+      sum(col("c") * col("c") * col("nk")).as("ccn")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"trend_test: ${r.getAs[Long]("bad")} rows have success outside {0, 1}")
+    val n = r.getAs[Long]("n")
+    val k = r.getAs[Long]("k")
+    require(k >= 2, s"trend_test: need at least 2 distinct scores, got $k")
+    val pBar = r.getAs[Long]("s").toDouble / n
+    require(pBar > 0 && pBar < 1,
+      "trend_test: the pooled rate is degenerate (all 0 or all 1)")
+    val t = r.getAs[Double]("cs") - pBar * r.getAs[Double]("cn")
+    val varT = pBar * (1 - pBar) *
+      (r.getAs[Double]("ccn") - r.getAs[Double]("cn") * r.getAs[Double]("cn") / n)
+    require(varT > 0, "trend_test: zero score variance across rows")
+    val z = t / math.sqrt(varT)
+    val p = 2.0 * (1.0 - Dist.normCdf(math.abs(z)))
+    Seq((n, k, pBar, t, varT, z, p))
+      .toDF("n", "n_arms", "p_bar", "t_stat", "var_t", "z", "p_value")
   }
 
   /** Weighted two-sample test (Hájek ratio means + with-replacement

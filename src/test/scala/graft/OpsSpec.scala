@@ -408,9 +408,48 @@ class OpsSpec extends AnyFunSuite {
     assert(approx(r.getAs[Double]("chisq"), cm.chiSquare(counts), 1e-9))
     assert(approx(r.getAs[Double]("p_value"), cm.chiSquareTest(counts), 1e-9))
     assert(r.getAs[Long]("dof") == 2)
+    assert(approx(r.getAs[Double]("cramers_v"),
+      math.sqrt(r.getAs[Double]("chisq") / (5000.0 * 1)), 1e-12))
     intercept[IllegalArgumentException] {
       SimpleTests.chisqIndependence(d.filter($"x" === "a0"), $"x", $"y")
     }
+  }
+
+  test("mutualInfo: independence zero, identity ln k, hand cells") {
+    // balanced independent bits: p_ab = p_a p_b exactly -> MI exactly 0
+    val ind = (0 until 100).map(i => (i % 2, (i / 2) % 2)).toDF("a", "b")
+    val ri = graft.ops.SimpleTests.mutualInfo(ind, $"a", $"b").head()
+    assert(math.abs(ri.getAs[Double]("mi")) < 1e-12, ri.toString)
+    // identical 4-category uniform columns: MI = H = ln 4, NMI = 1
+    val idn = (0 until 100).map(i => (i % 4, i % 4)).toDF("a", "b")
+    val rd = graft.ops.SimpleTests.mutualInfo(idn, $"a", $"b").head()
+    assert(math.abs(rd.getAs[Double]("mi") - math.log(4.0)) < 1e-12)
+    assert(math.abs(rd.getAs[Double]("nmi") - 1.0) < 1e-12)
+    assert(rd.getAs[Long]("cells") == 4)
+    // hand 2x2 (the kappa fixture): recompute MI/H by direct loops
+    val cells = Map(("y", "y") -> 40, ("y", "n") -> 20, ("n", "y") -> 10,
+      ("n", "n") -> 30)
+    val lab = cells.toSeq.flatMap { case ((a, b), c) =>
+      Seq.fill(c)((a, b)) }.toDF("a", "b")
+    val rh = graft.ops.SimpleTests.mutualInfo(lab, $"a", $"b").head()
+    val pa = Map("y" -> 0.6, "n" -> 0.4)
+    val pb = Map("y" -> 0.5, "n" -> 0.5)
+    val miHand = cells.map { case ((a, b), c) =>
+      val p = c / 100.0; p * math.log(p / (pa(a) * pb(b))) }.sum
+    assert(math.abs(rh.getAs[Double]("mi") - miHand) < 1e-12, rh.toString)
+    val haHand = -pa.values.map(p => p * math.log(p)).sum
+    assert(math.abs(rh.getAs[Double]("h_a") - haHand) < 1e-12)
+    assert(math.abs(rh.getAs[Double]("nmi") -
+      miHand / math.sqrt(haHand * (-pb.values.map(p => p * math.log(p)).sum)))
+      < 1e-12)
+    // constant column: zero entropy -> mi 0, nmi 0 (not NaN)
+    val const = (0 until 50).map(i => ("k", i % 3)).toDF("a", "b")
+    val rc = graft.ops.SimpleTests.mutualInfo(const, $"a", $"b").head()
+    assert(rc.getAs[Double]("mi") == 0.0 && rc.getAs[Double]("nmi") == 0.0)
+    // gateway verb
+    lab.createOrReplaceTempView("mi_t")
+    assert(GraftGateway.sql(spark, "SELECT mutual_info(a, b) FROM mi_t")
+      .columns.toSeq == Seq("n", "cells", "h_a", "h_b", "mi", "nmi"))
   }
 
   test("ebShrinkMeans: small groups shrink harder, big groups barely move") {
@@ -825,6 +864,166 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql.columns.toSeq == Seq("n_left", "n_right", "jump_y",
       "jump_d", "se_first", "tau", "se", "z"))
     assert(math.abs(viaSql.head().getAs[Double]("tau") - 4.0) < 1e-9)
+  }
+
+  test("yuenTest: exact trimmed diff on clean shift, outlier robustness") {
+    // arms 1..10 and 2..11: trim 0.2 -> windows [2.8, 8.2] / [3.8, 9.2],
+    // trimmed rows 3..8 / 4..9, means 5.5 / 6.5 — diff exactly 1, h = 6
+    val clean = ((1 to 10).map(i => (0, i.toDouble)) ++
+      (1 to 10).map(i => (1, i + 1.0))).toDF("t", "y")
+    val r = graft.ops.Robust.yuenTest(clean, $"y", $"t").head()
+    assert(r.getAs[Long]("h0") == 6 && r.getAs[Long]("h1") == 6, r.toString)
+    assert(math.abs(r.getAs[Double]("tmean0") - 5.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("diff") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("se") > 0 && r.getAs[Double]("df") > 5)
+    // outliers with the SAME rank structure per arm (one extreme low,
+    // one extreme high) but wildly different values: the trim windows
+    // shift identically, so the trimmed diff is exactly the planted 2.0
+    // while the plain mean diff is destroyed. (A single one-sided
+    // outlier would shift the percentile window by a rank — that is
+    // correct trimming behavior, not noise.)
+    val dirty = ((1 to 40).map(i => (0, (i % 20).toDouble)) ++
+      (1 to 40).map(i => (1, (i % 20) + 2.0)) ++
+      Seq((0, -1e6), (0, 9e6), (1, -3e6), (1, 1e6))).toDF("t", "y")
+    val rd = graft.ops.Robust.yuenTest(dirty, $"y", $"t").head()
+    assert(math.abs(rd.getAs[Double]("diff") - 2.0) < 1e-9, rd.toString)
+    val plainDiff = dirty.filter($"t" === 1).agg(avg($"y")).head().getDouble(0) -
+      dirty.filter($"t" === 0).agg(avg($"y")).head().getDouble(0)
+    assert(math.abs(plainDiff - 2.0) > 1000, "fixture must actually poison the mean")
+    // guards: trim domain, missing arm, tiny arm
+    intercept[IllegalArgumentException] {
+      graft.ops.Robust.yuenTest(clean, $"y", $"t", trim = 0.5) }
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Robust.yuenTest(clean.filter($"t" === 0), $"y", $"t").head() }
+    assert(e.getMessage.contains("{0, 1}"), e.getMessage)
+    // gateway verb
+    clean.createOrReplaceTempView("yuen_t")
+    val viaSql = GraftGateway.sql(spark, "SELECT yuen_test(y, t) FROM yuen_t")
+    assert(viaSql.columns.toSeq == Seq("n0", "n1", "h0", "h1", "tmean0",
+      "tmean1", "diff", "se", "t_stat", "df", "p_value"))
+  }
+
+  test("mcnemar + cohensKappa: hand confusion cells, guards") {
+    // McNemar: n00=5, n11=5, n10=2, n01=8 -> z = 6/sqrt(10),
+    // chisq_cc = 25/10
+    val pairs = (Seq.fill(5)((0, 0)) ++ Seq.fill(5)((1, 1)) ++
+      Seq.fill(2)((1, 0)) ++ Seq.fill(8)((0, 1))).toDF("a", "b")
+    val m = graft.ops.Agreement.mcnemar(pairs, $"a", $"b").head()
+    assert(m.getAs[Long]("n") == 20 && m.getAs[Long]("only_a") == 2 &&
+      m.getAs[Long]("only_b") == 8)
+    assert(math.abs(m.getAs[Double]("z") - 6.0 / math.sqrt(10)) < 1e-12)
+    assert(math.abs(m.getAs[Double]("chisq_cc") - 2.5) < 1e-12)
+    intercept[IllegalArgumentException] {
+      graft.ops.Agreement.mcnemar(
+        Seq((2, 0), (1, 1)).toDF("a", "b"), $"a", $"b").head() }
+    intercept[IllegalArgumentException] { // no discordant pairs
+      graft.ops.Agreement.mcnemar(
+        Seq((1, 1), (0, 0)).toDF("a", "b"), $"a", $"b").head() }
+    // kappa: cells yy=40, yn=20, ny=10, nn=30 -> po=.7, pe=.5, kappa=.4,
+    // se = sqrt(.21)/(.5*10)
+    val lab = (Seq.fill(40)(("y", "y")) ++ Seq.fill(20)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(30)(("n", "n"))).toDF("a", "b")
+    val k = graft.ops.Agreement.cohensKappa(lab, $"a", $"b").head()
+    assert(k.getAs[Long]("n") == 100 && k.getAs[Long]("categories") == 2)
+    assert(math.abs(k.getAs[Double]("po") - 0.7) < 1e-12)
+    assert(math.abs(k.getAs[Double]("pe") - 0.5) < 1e-12)
+    assert(math.abs(k.getAs[Double]("kappa") - 0.4) < 1e-12)
+    assert(math.abs(k.getAs[Double]("se") -
+      math.sqrt(0.21) / (0.5 * 10)) < 1e-12)
+    // perfect agreement -> kappa 1; constant raters -> named error
+    val perfect = Seq.fill(50)(("x", "x")).toDF("a", "b")
+      .unionByName(Seq.fill(50)(("z", "z")).toDF("a", "b"))
+    assert(math.abs(graft.ops.Agreement.cohensKappa(perfect, $"a", $"b")
+      .head().getAs[Double]("kappa") - 1.0) < 1e-12)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Agreement.cohensKappa(
+        Seq.fill(10)(("x", "x")).toDF("a", "b"), $"a", $"b").head() }
+    assert(e2.getMessage.contains("constant"), e2.getMessage)
+    // gateway verbs
+    pairs.createOrReplaceTempView("mcn_t")
+    lab.createOrReplaceTempView("kap_t")
+    assert(GraftGateway.sql(spark, "SELECT mcnemar(a, b) FROM mcn_t")
+      .columns.toSeq == Seq("n", "both0", "both1", "only_a", "only_b",
+        "z", "chisq_cc"))
+    assert(math.abs(GraftGateway.sql(spark,
+      "SELECT cohens_kappa(a, b) FROM kap_t").head()
+      .getAs[Double]("kappa") - 0.4) < 1e-12)
+  }
+
+  test("blandAltman: hand bias/LoA, outlier share, guards") {
+    // diffs 19 x 0 and one 10: bias .5, sd = sqrt(5), the outlier falls
+    // outside the limits -> pct_within = 0.95
+    val df = ((1 to 19).map(_ => (0.0, 0.0)) ++ Seq((0.0, 10.0)))
+      .toDF("a", "b")
+    val r = graft.ops.Agreement.blandAltman(df, $"a", $"b").head()
+    assert(math.abs(r.getAs[Double]("bias") - 0.5) < 1e-12, r.toString)
+    assert(math.abs(r.getAs[Double]("sd") - math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("loa_lower") -
+      (0.5 - 1.959963984540054 * math.sqrt(5.0))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pct_within") - 0.95) < 1e-12)
+    // constant difference: exact agreement up to bias -> named error
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Agreement.blandAltman(
+        (1 to 5).map(i => (i.toDouble, i + 2.0)).toDF("a", "b"),
+        $"a", $"b").head() }
+    assert(e.getMessage.contains("constant"), e.getMessage)
+    // gateway verb
+    df.createOrReplaceTempView("ba_t")
+    assert(GraftGateway.sql(spark, "SELECT bland_altman(a, b) FROM ba_t")
+      .columns.toSeq == Seq("n", "bias", "sd", "loa_lower", "loa_upper",
+        "pct_within"))
+  }
+
+  test("trendTest: hand Cochran-Armitage, flat null, guards") {
+    // arms 0/1/2, 100 rows each, rates .1/.2/.3: T = 20, Var = 32
+    val rows = (0 to 2).flatMap { k =>
+      (1 to 100).map(i => (k, if (i <= (k + 1) * 10) 1 else 0)) }
+    val df = rows.toDF("c", "s")
+    val r = graft.ops.SimpleTests.trendTest(df, $"s", $"c").head()
+    assert(r.getAs[Long]("n") == 300 && r.getAs[Long]("n_arms") == 3)
+    assert(math.abs(r.getAs[Double]("p_bar") - 0.2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t_stat") - 20.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_t") - 32.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - 20.0 / math.sqrt(32.0)) < 1e-12)
+    // flat rates: T = 0 exactly
+    val flat = (0 to 2).flatMap { k =>
+      (1 to 100).map(i => (k, if (i <= 20) 1 else 0)) }.toDF("c", "s")
+    assert(math.abs(graft.ops.SimpleTests.trendTest(flat, $"s", $"c").head()
+      .getAs[Double]("t_stat")) < 1e-12)
+    // guards: one arm; degenerate rate; bad domain
+    intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.trendTest(df.filter($"c" === 1), $"s", $"c")
+        .head() }
+    intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.trendTest(
+        df.withColumn("s", lit(1)), $"s", $"c").head() }
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.trendTest(
+        Seq((0, 2), (1, 1)).toDF("c", "s"), $"s", $"c").head() }
+    assert(e.getMessage.contains("outside"), e.getMessage)
+    // gateway verb
+    df.createOrReplaceTempView("tr_t")
+    assert(GraftGateway.sql(spark, "SELECT trend_test(s, c) FROM tr_t")
+      .columns.toSeq == Seq("n", "n_arms", "p_bar", "t_stat", "var_t",
+        "z", "p_value"))
+  }
+
+  test("rddBandwidth: rule-of-thumb formula, guards") {
+    val df = (1 to 1000).map(i => (i / 100.0, i % 7 * 1.0)).toDF("x", "y")
+    val r = graft.ops.Regression.rddBandwidth(df, $"y", $"x").head()
+    val sd = df.agg(stddev_samp($"x")).head().getDouble(0)
+    assert(r.getAs[Long]("n") == 1000)
+    assert(math.abs(r.getAs[Double]("sd") - sd) < 1e-12)
+    assert(math.abs(r.getAs[Double]("h") -
+      1.84 * sd * math.pow(1000.0, -0.2)) < 1e-12)
+    intercept[IllegalArgumentException] {
+      graft.ops.Regression.rddBandwidth(
+        Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0), (1.0, 4.0), (1.0, 5.0),
+          (1.0, 6.0), (1.0, 7.0), (1.0, 8.0), (1.0, 9.0), (1.0, 10.0))
+          .toDF("x", "y"), $"y", $"x").head() }
+    df.createOrReplaceTempView("rbw_t")
+    assert(GraftGateway.sql(spark, "SELECT rdd_bandwidth(y, x) FROM rbw_t")
+      .columns.toSeq == Seq("n", "sd", "h"))
   }
 
   test("propTest: Wilson interval matches the textbook 20/100 case, guards") {
