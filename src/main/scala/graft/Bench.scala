@@ -29,7 +29,10 @@ object Bench {
         // compilation for multi-stage queries (BENCHAB.json: that recompile
         // is q42's entire 7→11 s "regression"). A long-lived deployment
         // would warm this cache once; size it so pass 2 measures execution.
-        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        // 188 queries x ~25 generated classes outgrew 4096 (late-alphabet
+        // driver-loop queries like q63 were evicted WITHIN a pass and
+        // re-paid janino every time) — 16384 keeps the whole board warm.
+        .config("spark.sql.codegen.cache.maxEntries", "16384")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       // warm the session (parquet reader, codegen infra, shuffle machinery)

@@ -82,6 +82,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT mutual_info(a, b)                      FROM <any>
   * SELECT bland_altman(a, b)                     FROM <paired measures>
   * SELECT trend_test(success, score)             FROM <any>
+  * SELECT spearman(x, y)                         FROM <any>
+  * SELECT levene(y, arm)                         FROM <any>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -256,7 +258,8 @@ object GraftGateway {
     "equivalence_test", "rate_ratio", "mediation", "icc",
     "interrupted_time_series", "changepoint", "weighted_ttest", "gini",
     "prop_test", "benford", "yuen_test", "mcnemar", "cohens_kappa",
-    "rdd_bandwidth", "mutual_info", "bland_altman", "trend_test")
+    "rdd_bandwidth", "mutual_info", "bland_altman", "trend_test",
+    "spearman", "levene")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -540,6 +543,14 @@ object GraftGateway {
         // Cochran-Armitage ordered-dose trend in a binary rate
         require(a.length >= 2, "trend_test(success, score)")
         SimpleTests.trendTest(df, c(a(0)), c(a(1)))
+      case "spearman" =>
+        // rank correlation with average-rank ties, Fisher-z inference
+        require(a.length >= 2, "spearman(x, y)")
+        RankTests.spearman(df, c(a(0)), c(a(1)))
+      case "levene" =>
+        // Brown-Forsythe equal-variance test (median-centered)
+        require(a.length >= 2, "levene(y, arm)")
+        SimpleTests.leveneTest(df, c(a(0)), c(a(1)))
       case "equivalence_test" =>
         // TOST: both one-sided Welch z tests against the +/- margin
         require(a.length >= 3, "equivalence_test(y, t, margin[, alpha])")

@@ -2112,6 +2112,29 @@ object SparkEntry {
           round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
           round(col("z"), 4).as("z"))
     }),
+    "q189_spearman" -> ((s, d) => {
+      // rank correlation of quantity vs extended price: average-rank tie
+      // groups via the cumulative count, rank tables joined back, corr —
+      // DuckDB replays the identical construction (p needs the normal
+      // CDF, so the row checks through z)
+      t(s, d, "lineitem")
+        .select(col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").cast("double").as("y"))
+        .createOrReplaceTempView("li_sp")
+      GraftGateway.sql(s, "SELECT spearman(x, y) FROM li_sp")
+        .select(col("n"), round(col("rho"), 6).as("rho"),
+          round(col("z"), 4).as("z"))
+    }),
+    "q190_levene" -> ((s, d) => {
+      // Brown-Forsythe equal-variance check of quantity across return
+      // flags: per-arm exact medians, |y - med| ANOVA — F and dofs
+      // replay closed-form (p needs the F CDF, q138 idiom)
+      t(s, d, "lineitem").createOrReplaceTempView("li_lev")
+      GraftGateway.sql(s,
+          "SELECT levene(l_quantity, l_returnflag) FROM li_lev")
+        .select(col("n"), col("k"), round(col("f_stat"), 6).as("f_stat"),
+          col("df1"), col("df2"))
+    }),
     "q187_bland_altman" -> ((s, d) => {
       // method agreement between value and a drifted re-measurement:
       // bias, limits of agreement, share inside — two moment passes
@@ -3766,6 +3789,51 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q189_spearman" ->
+      // the same average-rank construction: tie-group counts, running
+      // count to avg rank, join back, corr of ranks, Fieller-Fisher z
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+        |gx AS (SELECT x AS v, count(*) AS cnt FROM b GROUP BY 1),
+        |cx AS (SELECT v, (sum(cnt) OVER (ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) - cnt
+        |    + sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) + 1) / 2.0
+        |    AS rx
+        |  FROM gx),
+        |gy AS (SELECT y AS v, count(*) AS cnt FROM b GROUP BY 1),
+        |cy AS (SELECT v, (sum(cnt) OVER (ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) - cnt
+        |    + sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) + 1) / 2.0
+        |    AS ry
+        |  FROM gy),
+        |j AS (SELECT count(*) AS n, corr(cx.rx, cy.ry) AS rho
+        |  FROM b JOIN cx ON b.x = cx.v JOIN cy ON b.y = cy.v)
+        |SELECT CAST(n AS BIGINT) AS n, round(rho, 6) AS rho,
+        |  round(0.5 * ln((1 + rho) / (1 - rho))
+        |    * sqrt((n - 3) / 1.06), 4) AS z
+        |FROM j""".stripMargin,
+    "q190_levene" ->
+      // per-arm quantile_cont medians, |y - med| cells, ANOVA closed form
+      """WITH b AS (SELECT l_returnflag AS a,
+        |    CAST(l_quantity AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_returnflag IS NOT NULL),
+        |md AS (SELECT a, quantile_cont(y, 0.5) AS med FROM b GROUP BY 1),
+        |z AS (SELECT b.a, abs(b.y - md.med) AS z
+        |  FROM b JOIN md ON b.a = md.a),
+        |g AS (SELECT a, count(*) AS nk, sum(z) AS s, sum(z*z) AS ss
+        |  FROM z GROUP BY 1),
+        |t AS (SELECT sum(nk) AS n, count(*) AS k, sum(s) AS st,
+        |    sum(ss) AS sst, sum(s * s / nk) AS sb
+        |  FROM g),
+        |f AS (SELECT n, k, sb - st * st / CAST(n AS DOUBLE) AS ssb,
+        |    sst - sb AS ssw FROM t)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  round((ssb / (k - 1)) / (ssw / (CAST(n AS DOUBLE) - k)), 6)
+        |    AS f_stat,
+        |  CAST(k - 1 AS DOUBLE) AS df1,
+        |  CAST(n AS DOUBLE) - k AS df2
+        |FROM f""".stripMargin,
     "q187_bland_altman" ->
       // bias/sd pass, then the within-limits share against the computed
       // limits

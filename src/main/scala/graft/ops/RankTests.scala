@@ -64,6 +64,76 @@ object RankTests {
     MannWhitneyResult(u2, p)
   }
 
+  /** Spearman rank correlation (with average-rank tie handling — the
+    * same tie-group construction [[mannWhitneyU]] uses): the monotone-
+    * association readout that survives outliers and nonlinearity where
+    * Pearson's r (#33) does not. ρ = Pearson correlation of the
+    * average ranks; inference via the Fieller-corrected Fisher
+    * transform, z = atanh(ρ)·√((n−3)/1.06).
+    *
+    * 100 TB shape: per column, ONE groupBy to value tie-groups + the
+    * RangeCumSum running count turns into average ranks (cell scale =
+    * distinct values); the rank tables join back to the row frame on
+    * the value key (ordinary shuffle joins — rank assignment is
+    * inherently a shuffle), then ONE corr aggregate. Nothing ever sits
+    * in a single partition. Returns one row: (n, rho, z, p_value). */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .filter(x.isNotNull && y.isNotNull && !isnan(x.cast("double")) &&
+        !isnan(y.cast("double")))
+      .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+    base.persist()
+    try {
+      // (value -> average rank) table for one column; checkpointed so it
+      // survives the RangeCumSum scope (the KM idiom — cell-scale next
+      // to the input)
+      def ranks(c: String): DataFrame = {
+        val byV = base.groupBy(col(c).as("__v"))
+          .agg(count(lit(1)).as("cnt"))
+        RangeCumSum.withCumSums(byV, Seq(col("__v")), Seq("cnt")) {
+          (cum, _) =>
+            cum.select(col("__v"),
+                ((col("cum_cnt") - col("cnt") + col("cum_cnt") + 1) / 2.0)
+                  .as(s"__r$c"))
+              .transform(d => graft.Ckpt.register(d.localCheckpoint()))
+        }
+      }
+      val rx = ranks("__x")
+      val ry = ranks("__y")
+      // moments instead of corr(): ANSI-mode corr raises DIVIDE_BY_ZERO
+      // on a constant column before we can name the real problem
+      val (cx, cy) = (col("__r__x"), col("__r__y"))
+      val r = base
+        .join(rx, base("__x") === rx("__v")).drop("__v")
+        .join(ry, base("__y") === ry("__v")).drop("__v")
+        .agg(count(lit(1)).as("n"), sum(cx).as("sx"), sum(cy).as("sy"),
+          sum(cx * cy).as("sxy"), sum(cx * cx).as("sxx"),
+          sum(cy * cy).as("syy")).head()
+      val n = r.getAs[Long]("n")
+      require(n >= 4, s"spearman: need at least 4 complete rows, got $n")
+      val nd = n.toDouble
+      def g(c: String): Double = r.getAs[Double](c)
+      val vx = g("sxx") - g("sx") * g("sx") / nd
+      val vy = g("syy") - g("sy") * g("sy") / nd
+      require(vx > 0 && vy > 0,
+        "spearman: a column is constant — rank correlation is undefined")
+      val rho = (g("sxy") - g("sx") * g("sy") / nd) / math.sqrt(vx * vy)
+      val z =
+        if (math.abs(rho) >= 1.0) Double.PositiveInfinity * math.signum(rho)
+        else 0.5 * math.log((1 + rho) / (1 - rho)) *
+          math.sqrt((n - 3) / 1.06)
+      val p =
+        if (z.isInfinite) 0.0
+        else 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z)))
+      Seq((n, rho, z, p)).toDF("n", "rho", "z", "p_value")
+    } finally {
+      base.unpersist()
+      ()
+    }
+  }
+
   /** Two-sample KS: D from windowed CDF difference; p-value via the same
     * method choice as the histogram aggregate (exact Schröer-Trenkler at
     * small n, asymptotic beyond), so the two paths agree at every n. */

@@ -539,6 +539,56 @@ object SimpleTests {
         "p1_lower", "p1_upper", "diff", "diff_lower", "diff_upper", "z")
   }
 
+  /** Levene/Brown–Forsythe test for equal variances (Brown & Forsythe
+    * 1974 — the median-centered variant, robust to non-normality; what
+    * scipy's levene(center='median') runs): the pre-check before
+    * pooled-variance tests, and a direct "did the treatment change the
+    * SPREAD, not just the mean" readout:
+    *
+    *   z_i = |y_i − median_{arm(i)}|,  F = one-way ANOVA F on the z's
+    *
+    * TWO row-scale passes — one (arm × median) cell aggregate (exact
+    * per-arm `percentile`, == DuckDB quantile_cont), one moment pass on
+    * |y − med| with the medians joined back at cell scale — + driver
+    * closed forms. Arm cardinality unbounded. Everything through F and
+    * the dofs replays in plain SQL. Returns one row: (n, k, f_stat,
+    * df1, df2, p_value). */
+  def leveneTest(df: DataFrame, y: Column, arm: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = y.cast("double")
+    val base = df.filter(yd.isNotNull && arm.isNotNull)
+      .select(arm.cast("string").as("__a"), yd.as("__y"))
+    val meds = base.groupBy(col("__a"))
+      .agg(percentile(col("__y"), lit(0.5)).as("__med"))
+    val cells = base.join(meds, "__a")
+      .select(col("__a"), abs(col("__y") - col("__med")).as("__z"))
+      .groupBy(col("__a"))
+      .agg(count(lit(1)).as("nk"), sum(col("__z")).as("s"),
+        sum(col("__z") * col("__z")).as("ss"))
+    val r = cells.agg(sum(col("nk")).as("n"), count(lit(1)).as("k"),
+      sum(col("s")).as("st"), sum(col("ss")).as("sst"),
+      sum(col("s") * col("s") / col("nk")).as("sb"),
+      min(col("nk")).as("minN")).head()
+    val n = r.getAs[Long]("n")
+    val k = r.getAs[Long]("k")
+    require(k >= 2, s"levene: need at least 2 arms, got $k")
+    require(r.getAs[Long]("minN") >= 2, "levene: every arm needs >= 2 rows")
+    val nd = n.toDouble
+    val ssb = r.getAs[Double]("sb") -
+      r.getAs[Double]("st") * r.getAs[Double]("st") / nd
+    val ssw = r.getAs[Double]("sst") - r.getAs[Double]("sb")
+    require(ssw > 0,
+      "levene: zero within-arm deviation spread — the statistic is " +
+        "degenerate (constant |y − median| within every arm)")
+    val f = (ssb / (k - 1)) / (ssw / (nd - k))
+    val df1 = (k - 1).toDouble
+    val df2 = nd - k
+    val p = 1.0 - Dist.fCdf(f, df1, df2)
+    Seq((n, k, f, df1, df2, p))
+      .toDF("n", "k", "f_stat", "df1", "df2", "p_value")
+  }
+
   /** Cochran–Armitage trend test (Armitage 1955): is a binary rate
     * MONOTONE in an ordered exposure (dose bucket, ramp percentage,
     * price tier)? The k-arm χ² (#60/#62) ignores the ordering and wastes

@@ -950,6 +950,66 @@ class OpsSpec extends AnyFunSuite {
       .getAs[Double]("kappa") - 0.4) < 1e-12)
   }
 
+  test("spearman: monotone 1, tie hand case, balanced independence, guards") {
+    // perfect monotone but wildly nonlinear: rho exactly 1
+    val mono = (1 to 50).map(i => (i.toDouble, math.pow(i, 3))).toDF("x", "y")
+    val rm = graft.ops.RankTests.spearman(mono, $"x", $"y").head()
+    assert(math.abs(rm.getAs[Double]("rho") - 1.0) < 1e-12)
+    assert(rm.getAs[Double]("p_value") == 0.0)
+    // hand tie case: x = (1,2,2,3) avg-ranks to (1,2.5,2.5,4);
+    // y = (1,3,2,4) -> rho = 3/sqrt(10)
+    val ties = Seq((1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0))
+      .toDF("x", "y")
+    val rt = graft.ops.RankTests.spearman(ties, $"x", $"y").head()
+    assert(math.abs(rt.getAs[Double]("rho") - 3.0 / math.sqrt(10)) < 1e-12,
+      rt.toString)
+    // balanced grid: ranks are exactly independent -> rho = 0
+    val grid = (0 until 25).map(i => ((i % 5).toDouble, (i / 5).toDouble))
+      .toDF("x", "y")
+    assert(math.abs(graft.ops.RankTests.spearman(grid, $"x", $"y").head()
+      .getAs[Double]("rho")) < 1e-12)
+    // constant column: named error
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.RankTests.spearman(
+        mono.withColumn("y", lit(2.0)), $"x", $"y").head() }
+    assert(e.getMessage.contains("constant"), e.getMessage)
+    // gateway verb
+    mono.createOrReplaceTempView("sp_t")
+    assert(GraftGateway.sql(spark, "SELECT spearman(x, y) FROM sp_t")
+      .columns.toSeq == Seq("n", "rho", "z", "p_value"))
+  }
+
+  test("leveneTest: hand Brown-Forsythe F, spread detection, guards") {
+    // arm a = (0,2,4), arm b = (0,6,12): z-ANOVA F = 1.6 by hand
+    val hand = Seq(("a", 0.0), ("a", 2.0), ("a", 4.0),
+      ("b", 0.0), ("b", 6.0), ("b", 12.0)).toDF("g", "y")
+    val r = graft.ops.SimpleTests.leveneTest(hand, $"y", $"g").head()
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("k") == 2)
+    assert(math.abs(r.getAs[Double]("f_stat") - 1.6) < 1e-12, r.toString)
+    assert(r.getAs[Double]("df1") == 1.0 && r.getAs[Double]("df2") == 4.0)
+    // same means, 5x the spread in one arm: detected decisively
+    val spread = ((1 to 200).map(i => ("a", (i % 21 - 10).toDouble)) ++
+      (1 to 200).map(i => ("b", (i % 21 - 10) * 5.0))).toDF("g", "y")
+    val rs = graft.ops.SimpleTests.leveneTest(spread, $"y", $"g").head()
+    assert(rs.getAs[Double]("p_value") < 1e-6, rs.toString)
+    // equal spreads: not significant
+    val eq = ((1 to 200).map(i => ("a", (i % 21).toDouble)) ++
+      (1 to 200).map(i => ("b", (i % 21).toDouble))).toDF("g", "y")
+    assert(graft.ops.SimpleTests.leveneTest(eq, $"y", $"g").head()
+      .getAs[Double]("p_value") > 0.9)
+    // guards: one arm; singleton arm
+    intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.leveneTest(hand.filter($"g" === "a"), $"y", $"g")
+        .head() }
+    intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.leveneTest(
+        hand.filter($"g" === "a" || $"y" === 0.0), $"y", $"g").head() }
+    // gateway verb
+    hand.createOrReplaceTempView("lev_t")
+    assert(GraftGateway.sql(spark, "SELECT levene(y, g) FROM lev_t")
+      .columns.toSeq == Seq("n", "k", "f_stat", "df1", "df2", "p_value"))
+  }
+
   test("blandAltman: hand bias/LoA, outlier share, guards") {
     // diffs 19 x 0 and one 10: bias .5, sd = sqrt(5), the outlier falls
     // outside the limits -> pct_within = 0.95
