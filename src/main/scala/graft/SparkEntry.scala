@@ -2112,6 +2112,22 @@ object SparkEntry {
           round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
           round(col("z"), 4).as("z"))
     }),
+    "q191_fleiss_kappa" -> ((s, d) => {
+      // multi-rater agreement: 500 items x 2 raters (event_id splits into
+      // item/rater), ~70% planted agreement on the item's own label —
+      // all closed-form over (item x category) cells
+      t(s, d, "events")
+        .filter(col("event_id").isNotNull && col("event_id") < 1000)
+        .select((col("event_id") % 500).cast("string").as("i"),
+          concat(lit("c"),
+            when((col("event_id") * 37) % 10 < 7, col("event_id") % 500 % 5)
+              .otherwise((col("event_id") * 7 + 3) % 5)).as("c"))
+        .createOrReplaceTempView("ev_fk")
+      GraftGateway.sql(s, "SELECT fleiss_kappa(i, c) FROM ev_fk")
+        .select(col("items"), col("raters"), col("categories"),
+          round(col("p_bar"), 6).as("p_bar"), round(col("p_e"), 6).as("p_e"),
+          round(col("kappa"), 6).as("kappa"))
+    }),
     "q189_spearman" -> ((s, d) => {
       // rank correlation of quantity vs extended price: average-rank tie
       // groups via the cumulative count, rank tables joined back, corr —
@@ -3789,6 +3805,32 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q191_fleiss_kappa" ->
+      // (item x category) cells -> item squared-cell sums -> Pbar;
+      // category margins -> Pe; plain two-level SQL
+      """WITH b AS (SELECT CAST(event_id % 500 AS VARCHAR) AS i,
+        |    'c' || CAST(CASE WHEN (event_id * 37) % 10 < 7
+        |      THEN event_id % 500 % 5
+        |      ELSE (event_id * 7 + 3) % 5 END AS VARCHAR) AS c
+        |  FROM events WHERE event_id IS NOT NULL AND event_id < 1000),
+        |cells AS (SELECT i, c, count(*) AS n FROM b GROUP BY 1, 2),
+        |it AS (SELECT i, sum(n) AS ni, sum(n * n) AS ni2
+        |  FROM cells GROUP BY 1),
+        |s AS (SELECT count(*) AS items, min(ni) AS n, sum(ni2) AS s2,
+        |    CAST(sum(ni) AS DOUBLE) AS total FROM it),
+        |pe AS (SELECT sum(CAST(nc AS DOUBLE) * nc
+        |      / ((SELECT total FROM s) * (SELECT total FROM s))) AS pe,
+        |    count(*) AS k
+        |  FROM (SELECT c, sum(n) AS nc FROM cells GROUP BY 1)),
+        |f AS (SELECT items, n, pe.k, pe.pe,
+        |    (s2 - items * CAST(n AS DOUBLE))
+        |      / (items * CAST(n AS DOUBLE) * (n - 1)) AS pbar
+        |  FROM s, pe)
+        |SELECT CAST(items AS BIGINT) AS items, CAST(n AS BIGINT) AS raters,
+        |  CAST(k AS BIGINT) AS categories, round(pbar, 6) AS p_bar,
+        |  round(pe, 6) AS p_e,
+        |  round((pbar - pe) / (1 - pe), 6) AS kappa
+        |FROM f""".stripMargin,
     "q189_spearman" ->
       // the same average-rank construction: tie-group counts, running
       // count to avg rank, join back, corr of ranks, Fieller-Fisher z

@@ -91,6 +91,68 @@ object Agreement {
       .toDF("n", "categories", "po", "pe", "kappa", "se", "z")
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for ANY
+    * number of raters: the multi-annotator generalization of
+    * [[cohensKappa]], for labeling pipelines where each item is rated by
+    * n ≥ 2 annotators (input = one row per rating: item, category):
+    *
+    *   P_i = (Σ_c n_ic² − n)/(n(n−1)),   P̄ = mean_i P_i,
+    *   p_c = Σ_i n_ic/(N·n),   P̄_e = Σ_c p_c²,
+    *   κ = (P̄ − P̄_e)/(1 − P̄_e)
+    *
+    * The classic formula requires the SAME rating count per item —
+    * unequal counts are a named error (fix the join upstream or drop
+    * incomplete items), not a silently wrong statistic.
+    *
+    * 100 TB shape: ONE row-scale aggregate to (item × category) cells,
+    * then item-level and category-level cell aggregates — item and
+    * category cardinality unbounded, nothing collected but the output
+    * row. Everything replays in two-level SQL. Returns one row:
+    * (items, raters, categories, p_bar, p_e, kappa). */
+  def fleissKappa(df: DataFrame, item: Column, category: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.filter(item.isNotNull && category.isNotNull)
+      .groupBy(item.cast("string").as("i"), category.cast("string").as("c"))
+      .agg(count(lit(1)).as("n"))
+    cells.persist()
+    try {
+      val items = cells.groupBy(col("i"))
+        .agg(sum(col("n")).as("ni"), sum(col("n") * col("n")).as("ni2"))
+      val it = items.agg(count(lit(1)).as("items"),
+        min(col("ni")).as("mn"), max(col("ni")).as("mx"),
+        sum(col("ni2")).as("s2"), sum(col("ni")).as("tot")).head()
+      val nItems = it.getAs[Long]("items")
+      require(nItems >= 2, s"fleiss_kappa: need at least 2 items, got $nItems")
+      val n = it.getAs[Long]("mn")
+      require(n == it.getAs[Long]("mx"),
+        s"fleiss_kappa: items have unequal rating counts (${it.getAs[Long]("mn")}" +
+          s"..${it.getAs[Long]("mx")}) — the Fleiss formula needs a fixed " +
+          "panel size; drop incomplete items upstream")
+      require(n >= 2, "fleiss_kappa: each item needs at least 2 ratings")
+      val nd = n.toDouble
+      // P̄ = mean over items of (Σn_ic² − n)/(n(n−1)) — Σ over ALL items'
+      // squared cells is already in s2
+      val pBar = (it.getAs[Long]("s2").toDouble - nItems * nd) /
+        (nItems * nd * (nd - 1))
+      val total = it.getAs[Long]("tot").toDouble
+      val catr = cells.groupBy(col("c")).agg(sum(col("n")).as("nc"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("nc").cast("double") * col("nc") / (total * total)))
+        .head()
+      val pe = catr.getDouble(1)
+      require(pe < 1.0,
+        "fleiss_kappa: every rating is the same category — agreement is " +
+          "undefined")
+      val kappa = (pBar - pe) / (1 - pe)
+      Seq((nItems, n, catr.getAs[Long]("k"), pBar, pe, kappa))
+        .toDF("items", "raters", "categories", "p_bar", "p_e", "kappa")
+    } finally {
+      cells.unpersist()
+      ()
+    }
+  }
+
   /** Bland–Altman agreement for two continuous measurements of the same
     * quantity (Bland & Altman 1986) — the method-swap calibration check
     * (new sensor vs old, cheap model score vs expensive one) that a

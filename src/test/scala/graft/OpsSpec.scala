@@ -1010,6 +1010,39 @@ class OpsSpec extends AnyFunSuite {
       .columns.toSeq == Seq("n", "k", "f_stat", "df1", "df2", "p_value"))
   }
 
+  test("fleissKappa: hand 3x4 panel, perfect agreement, guards") {
+    // items (a,a,a,b), (a,b,b,b), (a,a,b,b) with 4 raters:
+    // P_i = .5, .5, 1/3 -> Pbar = 4/9; p_a = p_b = .5 -> Pe = .5;
+    // kappa = (4/9 - 1/2)/(1/2) = -1/9
+    val rows = Seq(("i1", "a"), ("i1", "a"), ("i1", "a"), ("i1", "b"),
+      ("i2", "a"), ("i2", "b"), ("i2", "b"), ("i2", "b"),
+      ("i3", "a"), ("i3", "a"), ("i3", "b"), ("i3", "b")).toDF("i", "c")
+    val r = graft.ops.Agreement.fleissKappa(rows, $"i", $"c").head()
+    assert(r.getAs[Long]("items") == 3 && r.getAs[Long]("raters") == 4 &&
+      r.getAs[Long]("categories") == 2)
+    assert(math.abs(r.getAs[Double]("p_bar") - 4.0 / 9) < 1e-12, r.toString)
+    assert(math.abs(r.getAs[Double]("p_e") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kappa") - (-1.0 / 9)) < 1e-12)
+    // perfect agreement across mixed categories: kappa exactly 1
+    val perfect = Seq("x", "y", "x", "y").zipWithIndex.flatMap { case (c, i) =>
+      (1 to 3).map(_ => (s"it$i", c)) }.toDF("i", "c")
+    assert(math.abs(graft.ops.Agreement.fleissKappa(perfect, $"i", $"c")
+      .head().getAs[Double]("kappa") - 1.0) < 1e-12)
+    // guards: unequal panel sizes; constant category
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Agreement.fleissKappa(rows.limit(11), $"i", $"c").head() }
+    assert(e.getMessage.contains("unequal"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Agreement.fleissKappa(
+        rows.withColumn("c", lit("k")), $"i", $"c").head() }
+    assert(e2.getMessage.contains("same category"), e2.getMessage)
+    // gateway verb
+    rows.createOrReplaceTempView("fk_t")
+    assert(GraftGateway.sql(spark, "SELECT fleiss_kappa(i, c) FROM fk_t")
+      .columns.toSeq == Seq("items", "raters", "categories", "p_bar",
+        "p_e", "kappa"))
+  }
+
   test("blandAltman: hand bias/LoA, outlier share, guards") {
     // diffs 19 x 0 and one 10: bias .5, sd = sqrt(5), the outlier falls
     // outside the limits -> pct_within = 0.95
