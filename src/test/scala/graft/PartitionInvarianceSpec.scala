@@ -297,4 +297,60 @@ class PartitionInvarianceSpec extends AnyFunSuite {
         .weights.toSeq)
     ws.head.indices.foreach(i => assertClose(ws.map(_(i)), s"synth w$i"))
   }
+
+  test("round-12 verbs invariant to partitioning: gini, spearman, rmst, changepoint, rdd, icc, yuen, mi") {
+    // gini / spearman exercise the distributed rank machinery — the
+    // layout-riskiest construction this round
+    val gs = layouts(base).map(d =>
+      graft.ops.Explore.gini(d.select((abs($"y") + 0.1).as("v")), $"v")
+        .head())
+    assertClose(gs.map(_.getAs[Double]("gini")), "gini")
+    assertClose(gs.map(_.getAs[Double]("top10_share")), "gini top10")
+    val sps = layouts(base).map(d =>
+      graft.ops.RankTests.spearman(d, $"x", $"y").head()
+        .getAs[Double]("rho"))
+    assertClose(sps, "spearman rho")
+    // rmst: KM cells + windows; integer event counts exact, rmst tolerance
+    val rms = layouts(base).map(d =>
+      graft.ops.Survival.rmst(d.select((abs($"x") * 10).as("tm"),
+          ($"uin" % 3 =!= 0).cast("int").as("e"), ($"t").cast("string").as("g")),
+        $"tm", $"e", tau = 15.0, group = $"g")
+        .collect().map(r => r.getAs[String]("group") ->
+          (r.getAs[Long]("events"), r.getAs[Double]("rmst"))).toMap)
+    rms.head.keys.foreach { k =>
+      assert(rms.map(_(k)._1).distinct.size == 1, s"rmst events $k")
+      assertClose(rms.map(_(k)._2), s"rmst $k")
+    }
+    // changepoint: exact argmax period + stat tolerance
+    val cps = layouts(base).map(d =>
+      graft.ops.Drift.changepoint(
+        d.select(($"uin" % 40).as("p"),
+          ($"y" + when($"uin" % 40 >= 25, 4.0).otherwise(0.0)).as("v")),
+        $"p", $"v").head())
+    assert(cps.map(_.getAs[Long]("change_period")).distinct.size == 1,
+      "changepoint location")
+    assertClose(cps.map(_.getAs[Double]("stat")), "changepoint stat")
+    // fuzzy RDD: 60 moment sums merge in any order
+    val rds = layouts(base.select($"x",
+      when($"x" >= 0, ($"uin" % 10 < 7).cast("double"))
+        .otherwise(($"uin" % 10 < 2).cast("double")).as("dd"))
+      .withColumn("yy", $"x" * 0.5 + $"dd" * 3.0))
+      .map(d => graft.ops.Regression.rddFuzzy(d, $"yy", $"dd", $"x",
+        0.0, 1.5).head().getAs[Double]("tau"))
+    assertClose(rds, "rdd_fuzzy tau")
+    // icc / yuen / mutual_info: cell aggregates + exact percentiles
+    val ics = layouts(base.select(($"uin" % 50).as("c"), $"y"))
+      .map(d => graft.ops.SimpleTests.icc(d, $"y", $"c").head()
+        .getAs[Double]("icc"))
+    assertClose(ics, "icc")
+    val ys = layouts(base).map(d =>
+      graft.ops.Robust.yuenTest(d, $"y", $"t").head())
+    assertClose(ys.map(_.getAs[Double]("diff")), "yuen diff")
+    assert(ys.map(_.getAs[Long]("h1")).distinct.size == 1, "yuen h1")
+    val mis = layouts(base.select(($"uin" % 5).cast("string").as("a"),
+        ($"uin" % 7).cast("string").as("b")))
+      .map(d => graft.ops.SimpleTests.mutualInfo(d, $"a", $"b").head()
+        .getAs[Double]("mi"))
+    assertClose(mis, "mutual_info")
+  }
 }
