@@ -1317,6 +1317,22 @@ object SparkEntry {
           round(avg(col("expected_outcome")), 6).as("avg_baseline"))
         .orderBy(col("treatment"))
     }),
+    "q192_pr_curve" -> ((s, d) => {
+      // precision-recall + average precision over the q100 fixture —
+      // the imbalance-honest readout; same bounded cell construction,
+      // AP as the step integral over descending thresholds
+      val li = t(s, d, "lineitem")
+      graft.ops.MlEval.prCurve(li,
+          (col("l_extendedprice") > 30000.0).cast("int"),
+          col("l_quantity") / 50.0,
+          thresholds = (1 to 9).map(_ / 10.0))
+        .select(round(col("threshold"), 2).as("threshold"),
+          col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"), round(col("ap"), 6).as("ap"))
+        .orderBy(col("threshold"))
+    }),
     "q100_roc_curve" -> ((s, d) => {
       // ROC over explicit thresholds (ml_spark.py ROC_curve): one scan
       // folds each row to its threshold-coverage index — no ARRAY JOIN row
@@ -5343,6 +5359,29 @@ object SparkEntry {
         |  (0, CAST(49824 AS BIGINT), CAST(0.854120 AS DOUBLE), CAST(0.807813 AS DOUBLE), CAST(1.257213 AS DOUBLE)),
         |  (1, CAST(50176 AS BIGINT), CAST(1.669316 AS DOUBLE), CAST(0.807055 AS DOUBLE), CAST(1.261786 AS DOUBLE)))
         |AS t(treatment, n_rows, avg_outcome, avg_cate, avg_baseline)""".stripMargin,
+    "q192_pr_curve" ->
+      // same quadrants; precision with the empty-set=1 convention, AP as
+      // a lag-window step integral over DESCENDING thresholds
+      """WITH d AS (SELECT CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS label,
+        |    l_quantity/50.0 AS score FROM lineitem),
+        |t(threshold) AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])),
+        |c AS (SELECT threshold,
+        |    CAST(sum(CASE WHEN label=1 AND score>=threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN label=0 AND score>=threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN label=1 AND score<threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM d, t GROUP BY threshold),
+        |r AS (SELECT threshold, tp, fp, fn,
+        |    CASE WHEN tp+fp > 0 THEN tp*1.0/(tp+fp) ELSE 1.0 END AS prec,
+        |    tp*1.0/(tp+fn) AS rec FROM c),
+        |ap AS (SELECT sum(term) AS a FROM (
+        |  SELECT (rec - coalesce(lag(rec) OVER (ORDER BY threshold DESC),
+        |    0.0)) * prec AS term FROM r))
+        |SELECT round(threshold, 2) AS threshold, tp, fp, fn,
+        |  round(prec, 6) AS precision, round(rec, 6) AS recall,
+        |  round(CASE WHEN prec+rec > 0 THEN 2*prec*rec/(prec+rec)
+        |    ELSE 0.0 END, 6) AS f1,
+        |  round((SELECT a FROM ap), 6) AS ap
+        |FROM r ORDER BY threshold""".stripMargin,
     "q100_roc_curve" ->
       // confusion quadrants per threshold + trapezoid AUC over the sorted
       // deduplicated (fpr, tpr) points with the (0,0)/(1,1) rails

@@ -77,6 +77,38 @@ object MlEval {
     rows.toSeq.toDF("threshold", "tp", "fp", "tn", "fn", "tpr", "fpr")
   }
 
+  /** Precision–recall curve + average precision (the class-imbalance
+    * readout ROC hides: with 0.1% positives a 0.9 AUC can still mean
+    * useless precision). Same bounded cell construction as [[rocCurve]];
+    * precision at an empty prediction set is 1.0 (the sklearn
+    * convention), and AP is the step integral Σ(R_i − R_{i−1})·P_i over
+    * DESCENDING thresholds (R_0 = 0) — emitted as a constant column the
+    * way [[rocCurve]]'s q100 oracle carries auc. Returns one row per
+    * threshold: (threshold, tp, fp, fn, precision, recall, f1, ap). */
+  def prCurve(df: DataFrame, label: Column, score: Column,
+              thresholds: Seq[Double] = Nil,
+              nThresholds: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val roc = rocCurve(df, label, score, thresholds, nThresholds)
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"))
+      .collect() // bounded by the threshold count, like rocCurve's cells
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(-_._1)
+    var ap = 0.0
+    var prevR = 0.0
+    val rows = roc.map { case (t, tp, fp, fn) =>
+      val p = if (tp + fp > 0) tp.toDouble / (tp + fp) else 1.0
+      val r = if (tp + fn > 0) tp.toDouble / (tp + fn) else Double.NaN
+      if (!r.isNaN) { ap += (r - prevR) * p; prevR = r }
+      val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
+      (t, tp, fp, fn, p, r, f1)
+    }
+    rows.toSeq
+      .toDF("threshold", "tp", "fp", "fn", "precision", "recall", "f1")
+      .withColumn("ap", lit(ap))
+  }
+
   /** Area under the ROC curve: trapezoid over (fpr, tpr) sorted ascending
     * with the (0,0) and (1,1) rail points appended (the reference plots
     * the same sorted pairs; AUC is their integral). */

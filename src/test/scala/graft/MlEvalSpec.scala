@@ -38,6 +38,33 @@ class MlEvalSpec extends AnyFunSuite {
     assert(approx(MlEval.rocAuc(rocFlat), 0.5, 1e-6))
   }
 
+  test("prCurve precision/recall/AP on the hand fixture") {
+    // same perfect-separation fixture: at t=0.6 precision=1 recall=1;
+    // at t=0.3 precision=5/8 recall=1; at t=0.8 precision=1 recall=3/5
+    val perfect = (1 to 10).map(i => (if (i > 5) 1 else 0, i / 10.0))
+      .toDF("label", "score")
+    val pr = MlEval.prCurve(perfect, $"label", $"score",
+      thresholds = Seq(0.3, 0.6, 0.8))
+    val rows = pr.orderBy($"threshold").collect()
+    assert(approx(rows(0).getAs[Double]("precision"), 5.0 / 8))
+    assert(approx(rows(0).getAs[Double]("recall"), 1.0))
+    assert(approx(rows(1).getAs[Double]("precision"), 1.0) &&
+      approx(rows(1).getAs[Double]("recall"), 1.0))
+    assert(approx(rows(2).getAs[Double]("recall"), 0.6))
+    // AP over descending thresholds: R steps 0.6 (P=1), 1.0 (P=1), then
+    // 1.0 again (P=5/8, zero step) -> AP = 0.6*1 + 0.4*1 + 0 = 1.0
+    assert(approx(rows(0).getAs[Double]("ap"), 1.0), rows(0).toString)
+    // f1 closes over p and r
+    assert(approx(rows(0).getAs[Double]("f1"),
+      2 * (5.0 / 8) * 1.0 / (5.0 / 8 + 1.0)))
+    // degraded score: AP must drop below 1
+    val noisy = (1 to 100).map(i => ((i % 2), ((i * 7) % 100) / 100.0))
+      .toDF("label", "score")
+    val ap = MlEval.prCurve(noisy, $"label", $"score",
+      thresholds = (1 to 9).map(_ / 10.0)).head().getAs[Double]("ap")
+    assert(ap < 0.8 && ap > 0.2, s"uninformative AP $ap")
+  }
+
   test("rocCurve default thresholds come from score quantiles") {
     val df = (1 to 1000).map(i => (if (i > 500) 1 else 0, i / 1000.0))
       .toDF("label", "score")
