@@ -79,6 +79,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT mcnemar(a, b)                          FROM <paired readings>
   * SELECT cohens_kappa(a, b)                     FROM <paired labels>
   * SELECT fleiss_kappa(item, category)           FROM <rating rows>
+  * SELECT zipf_fit(text)                         FROM <documents>
   * SELECT rdd_bandwidth(y, x)                    FROM <any>
   * SELECT mutual_info(a, b)                      FROM <any>
   * SELECT bland_altman(a, b)                     FROM <paired measures>
@@ -260,7 +261,7 @@ object GraftGateway {
     "interrupted_time_series", "changepoint", "weighted_ttest", "gini",
     "prop_test", "benford", "yuen_test", "mcnemar", "cohens_kappa",
     "rdd_bandwidth", "mutual_info", "bland_altman", "trend_test",
-    "spearman", "levene", "fleiss_kappa")
+    "spearman", "levene", "fleiss_kappa", "zipf_fit")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -532,6 +533,10 @@ object GraftGateway {
         // multi-rater agreement over (item, category) rating rows
         require(a.length >= 2, "fleiss_kappa(item, category)")
         Agreement.fleissKappa(df, c(a(0)), c(a(1)))
+      case "zipf_fit" =>
+        // corpus Zipf diagnostics: slope/r2 of ln freq on ln rank
+        require(a.nonEmpty, "zipf_fit(text)")
+        TextOps.zipfFit(df, c(a(0)))
       case "rdd_bandwidth" =>
         // Imbens-Lemieux rule-of-thumb pilot bandwidth for rdd_sharp/fuzzy
         require(a.length >= 2, "rdd_bandwidth(y, running)")

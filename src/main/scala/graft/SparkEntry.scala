@@ -2128,6 +2128,17 @@ object SparkEntry {
           round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
           round(col("z"), 4).as("z"))
     }),
+    "q193_zipf_fit" -> ((s, d) => {
+      // corpus Zipf diagnostics over the documents table: vocabulary
+      // cells, distributed rank, one moment aggregate — slope/r2 replay
+      // closed-form on q96's established tokenization
+      t(s, d, "documents").createOrReplaceTempView("doc_zipf")
+      GraftGateway.sql(s, "SELECT zipf_fit(text) FROM doc_zipf")
+        .select(col("terms"), col("total_tokens"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+    }),
     "q191_fleiss_kappa" -> ((s, d) => {
       // multi-rater agreement: 500 items x 2 raters (event_id splits into
       // item/rater), ~70% planted agreement on the item's own label —
@@ -3821,6 +3832,29 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q193_zipf_fit" ->
+      // q96's tokenization, frequency-desc rank, ln-ln OLS closed form
+      """WITH v AS (SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0 GROUP BY token),
+        |r AS (SELECT n,
+        |    row_number() OVER (ORDER BY n DESC, token) AS rk FROM v),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS m, sum(n) AS tot,
+        |    sum(ln(rk)) AS sx, sum(ln(n)) AS sy,
+        |    sum(ln(rk) * ln(n)) AS sxy, sum(ln(rk) * ln(rk)) AS sxx,
+        |    sum(ln(n) * ln(n)) AS syy
+        |  FROM r),
+        |f AS (SELECT m, tot,
+        |    (sxy - sx * sy / m) / (sxx - sx * sx / m) AS slope,
+        |    sx, sy, sxx - sx * sx / m AS cxx, syy - sy * sy / m AS cyy
+        |  FROM m)
+        |SELECT CAST(m AS BIGINT) AS terms, CAST(tot AS BIGINT)
+        |    AS total_tokens,
+        |  round(slope, 6) AS slope,
+        |  round((sy - slope * sx) / m, 6) AS intercept,
+        |  round(slope * slope * cxx / cyy, 6) AS r2
+        |FROM f""".stripMargin,
     "q191_fleiss_kappa" ->
       // (item x category) cells -> item squared-cell sums -> Pbar;
       // category margins -> Pe; plain two-level SQL

@@ -111,6 +111,51 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
 
+  /** Zipf-law fit over the corpus vocabulary (Zipf 1949; a corpus-level
+    * quality diagnostic — natural text fits ln f = a + s·ln r with
+    * s ≈ −1, while templated/synthetic/boilerplate-heavy corpora bend
+    * away from the line, so (slope, r²) screens a crawl slice before it
+    * enters a training mix):
+    *
+    *   rank terms by frequency desc, OLS of ln(freq) on ln(rank)
+    *
+    * 100 TB shape: [[vocabulary]]'s token cells, the two-phase
+    * distributed row number for ranks (ties ordered by token — tied
+    * counts swap ranks only within equal-frequency groups, so the fit is
+    * deterministic), ONE closing moment aggregate; vocabulary
+    * cardinality unbounded, nothing collected. Everything replays in
+    * plain SQL. Returns one row: (terms, total_tokens, slope, intercept,
+    * r2) — r2 = 1 exactly when every frequency is equal (the flat fit is
+    * exact). */
+  def zipfFit(df: DataFrame, text: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = vocabulary(df, text)
+    RangeCumSum.withRowNumber(vocab,
+      Seq(col("n").desc, col("token").asc), "__rank") { (ranked, m) =>
+      require(m >= 10, s"zipf_fit: need at least 10 distinct tokens, got $m")
+      val lx = log(col("__rank").cast("double"))
+      val ly = log(col("n").cast("double"))
+      val r = ranked.agg(sum(col("n")).as("tot"), sum(lx).as("sx"),
+        sum(ly).as("sy"), sum(lx * ly).as("sxy"), sum(lx * lx).as("sxx"),
+        sum(ly * ly).as("syy")).head()
+      val md = m.toDouble
+      def g(c: String): Double = r.getAs[Double](c)
+      val cxx = g("sxx") - g("sx") * g("sx") / md
+      val cyy = g("syy") - g("sy") * g("sy") / md
+      val cxy = g("sxy") - g("sx") * g("sy") / md
+      // relative threshold, not > 0: an exactly-flat frequency profile
+      // leaves ~1e-15 of accumulation dust in cyy, and r² must read 1
+      // (the flat fit is exact), not dust/dust
+      val flat = cyy <= 1e-12 * math.max(1.0, g("syy"))
+      val slope = if (flat) 0.0 else cxy / cxx
+      val intercept = (g("sy") - slope * g("sx")) / md
+      val r2 = if (flat) 1.0 else slope * slope * cxx / cyy
+      Seq((m, r.getAs[Long]("tot"), slope, intercept, r2))
+        .toDF("terms", "total_tokens", "slope", "intercept", "r2")
+    }
+  }
+
   /** Gopher-style hard quality gates (Rae et al. 2021, appendix A1
     * subset): token-count bounds, mean-word-length bounds, duplicate-line
     * and top-bigram repetition caps, minimum stopword share. Unlike

@@ -1010,6 +1010,31 @@ class OpsSpec extends AnyFunSuite {
       .columns.toSeq == Seq("n", "k", "f_stat", "df1", "df2", "p_value"))
   }
 
+  test("zipfFit: exact power law, flat corpus, guards") {
+    // exact f = 2520/r for r = 1..10: ln f is exactly linear in ln r
+    // with slope -1 and r2 = 1
+    val zipf = (1 to 10).flatMap { r =>
+      Seq.fill(2520 / r)(s"w$r") }.toDF("text")
+    val rz = graft.ops.TextOps.zipfFit(zipf, $"text").head()
+    assert(rz.getAs[Long]("terms") == 10)
+    assert(rz.getAs[Long]("total_tokens") == (1 to 10).map(2520 / _).sum)
+    assert(math.abs(rz.getAs[Double]("slope") - (-1.0)) < 1e-9, rz.toString)
+    assert(math.abs(rz.getAs[Double]("r2") - 1.0) < 1e-9)
+    assert(math.abs(rz.getAs[Double]("intercept") - math.log(2520.0)) < 1e-9)
+    // flat corpus: every term equally frequent -> slope 0, exact flat fit
+    val flat = (1 to 12).flatMap(k => Seq.fill(5)(s"t$k")).toDF("text")
+    val rf = graft.ops.TextOps.zipfFit(flat, $"text").head()
+    assert(rf.getAs[Double]("slope") == 0.0 && rf.getAs[Double]("r2") == 1.0)
+    // guard: tiny vocabulary
+    intercept[IllegalArgumentException] {
+      graft.ops.TextOps.zipfFit(Seq("a b c").toDF("text"), $"text").head() }
+    // gateway verb
+    zipf.createOrReplaceTempView("zipf_t")
+    assert(GraftGateway.sql(spark, "SELECT zipf_fit(text) FROM zipf_t")
+      .columns.toSeq == Seq("terms", "total_tokens", "slope", "intercept",
+        "r2"))
+  }
+
   test("fleissKappa: hand 3x4 panel, perfect agreement, guards") {
     // items (a,a,a,b), (a,b,b,b), (a,a,b,b) with 4 raters:
     // P_i = .5, .5, 1/3 -> Pbar = 4/9; p_a = p_b = .5 -> Pe = .5;
