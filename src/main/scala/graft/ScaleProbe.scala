@@ -761,6 +761,26 @@ object ScaleProbe {
         col("tm"), col("e"), tau = 8000.0, group = col("g")).collect()
       assert(r.length == 4 && r.forall(_.getAs[Double]("se") > 0))
     }
+    time(s"spearman ($rankRows rows, rank-join shape)") {
+      // two rank-table builds + two row-scale joins back — the heaviest
+      // shape among the r12 adds (gini ranks once and never joins back)
+      val d = spark.range(rankRows).select(
+        pmod(xxhash64(col("id"), lit(21)), lit(1000000L)).cast("double").as("x"),
+        (pmod(xxhash64(col("id"), lit(21)), lit(1000000L)).cast("double") +
+          pmod(xxhash64(col("id"), lit(22)), lit(500000L)).cast("double")).as("y"))
+      val r = graft.ops.RankTests.spearman(d, col("x"), col("y")).head()
+      assert(r.getAs[Double]("rho") > 0.5, r.toString)
+    }
+    time(s"zipf_fit (${rows / 100} docs, hash vocabulary)") {
+      val docs = spark.range(rows / 100).select(
+        concat_ws(" ",
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(31)), lit(50000L))),
+          concat(lit("w"), pmod(col("id"), lit(1000L))),
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(32)), lit(5000L))))
+          .as("text"))
+      val r = graft.ops.TextOps.zipfFit(docs, col("text")).head()
+      assert(r.getAs[Long]("terms") > 10000 && r.getAs[Double]("slope") < 0)
+    }
     time(s"changepoint ($rows rows, 10k period cells)") {
       val r = graft.ops.Drift.changepoint(
         df.select((col("id") % 10000).as("p"),
