@@ -41,7 +41,19 @@ object BenchOne {
     }
     val cold = once()
     val warm = math.min(once(), once())
-    println(f"""{"query":"$name","cold":$cold%.3f,"warm":$warm%.3f}""")
+    // single-core load sentinel (Bench's absolute cross-run reference,
+    // quiet ~0.42 s on this box class): the r12 driver artifact recorded a
+    // 31.8 s "fresh rerun" for a query that reads 3.6 s quiet — the fork
+    // escaped the session's scar tissue but not the box's external load,
+    // and without a sentinel IN the forked JVM the artifact couldn't say
+    // which number to believe. Now every BenchOne line carries its own.
+    val sentinel1 = Array.fill(5) {
+      val t0 = System.nanoTime()
+      spark.range(0L, 320L * 1000 * 1000, 1, 1)
+        .selectExpr("sum(id % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"""{"query":"$name","cold":$cold%.3f,"warm":$warm%.3f,"sentinel1":$sentinel1%.3f}""")
     spark.stop()
   }
 }

@@ -1782,21 +1782,29 @@ object SparkEntry {
     }),
     "q161_fuzzy_join" -> ((s, d) => {
       // record linkage through the gateway: link customers to a perturbed
-      // registry copy (last name char swapped) blocked by nation, edit
-      // distance <= 1 — originals match their own perturbation and any
-      // same-nation name one substitution away; fully deterministic
+      // registry copy (last name char swapped to 'x'), edit distance <= 1.
+      // Blocking key = nation + all-but-last-2 name chars: any dist<=1
+      // match here spends its one edit on the final char ('x' vs digit),
+      // so both sides agree on the first len-2 prefix — the composite key
+      // has 100% recall by construction and keeps block products tiny
+      // (the coarse nation-only key costs 9M levenshtein evals for the
+      // same 25-row answer; this is the finer key the operator's own
+      // product guard asks for at scale). Output still reports per nation.
       val cust = t(s, d, "customer")
-      cust.select(col("c_custkey").as("id"), col("c_nationkey").as("block"),
+      val blockKey = expr(
+        "concat(cast(c_nationkey as string), '#', " +
+          "substring(c_name, 1, length(c_name) - 2))")
+      cust.select(col("c_custkey").as("id"), blockKey.as("block"),
           col("c_name").as("key"))
         .createOrReplaceTempView("q161_left")
       cust.select((col("c_custkey") + 1000000L).as("id"),
-          col("c_nationkey").as("block"),
+          blockKey.as("block"),
           expr("concat(substring(c_name, 1, length(c_name) - 1), 'x')")
             .as("key"))
         .createOrReplaceTempView("q161_right")
       GraftGateway.sql(s,
           "SELECT fuzzy_join(id, block, key, 'q161_right', 1) FROM q161_left")
-        .groupBy(col("block"))
+        .groupBy(substring_index(col("block"), "#", 1).as("block"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("dist")).as("sum_dist"),
           sum(col("id_a")).as("id_a_sum"), sum(col("id_b")).as("id_b_sum"))
         .orderBy(col("block").cast("int"))

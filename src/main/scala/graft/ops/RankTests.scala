@@ -105,12 +105,18 @@ object RankTests {
       // moments instead of corr(): ANSI-mode corr raises DIVIDE_BY_ZERO
       // on a constant column before we can name the real problem
       val (cx, cy) = (col("__r__x"), col("__r__y"))
-      val r = base
+      val r = try base
         .join(rx, base("__x") === rx("__v")).drop("__v")
         .join(ry, base("__y") === ry("__v")).drop("__v")
         .agg(count(lit(1)).as("n"), sum(cx).as("sx"), sum(cy).as("sy"),
           sum(cx * cy).as("sxy"), sum(cx * cx).as("sxx"),
           sum(cy * cy).as("syy")).head()
+      finally {
+        // the rank tables are cell-scale but cells ≈ rows for a continuous
+        // column; the output below is driver-built, so nothing downstream
+        // can re-read them — release now instead of at the boundary sweep
+        graft.Ckpt.release(rx); graft.Ckpt.release(ry)
+      }
       val n = r.getAs[Long]("n")
       require(n >= 4, s"spearman: need at least 4 complete rows, got $n")
       val nd = n.toDouble
