@@ -112,6 +112,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT fuzzy_join(id, block, key, 'right_table', max_dist) FROM <left>
   * SELECT e_value(y, t[, alpha])               FROM <any>
   * SELECT profile_diff('new_table'[, 'exact'])  FROM <old_version>
+  * SELECT mantel_haenszel(stratum, t, y)       FROM <any>
+  * SELECT fisher_exact(a, b)                   FROM <small 2x2>
+  * SELECT ordinal_assoc(x, y[, max_cells])     FROM <ordinal pairs>
+  * SELECT mood_median(y, group)                FROM <any>
+  * SELECT kruskal_wallis(y, group)             FROM <any>
+  * SELECT brunner_munzel(y, t)                 FROM <any>
+  * SELECT effect_size(y, t)                    FROM <any>
+  * SELECT nelson_aalen(time, event[, group])   FROM <any>
+  * SELECT cumulative_incidence(time, cause)    FROM <competing risks>
+  * SELECT ewma(period, value[, lambda[, L]])   FROM <series>
+  * SELECT ljung_box(period, value[, lags])     FROM <series>
+  * SELECT sprt(bucket, y, p0, p1[, alpha[, beta]]) FROM <events>
+  * SELECT hosmer_lemeshow(label, score[, bins]) FROM <scored>
+  * SELECT classification_report(label, predicted) FROM <scored>
+  * SELECT cronbach_alpha(item1, item2, ...)    FROM <k-item scale>
+  * SELECT oaxaca_blinder(y, group, x...)       FROM <any>
+  * SELECT chao1(text)                          FROM <documents>
+  * SELECT kmeans(id, vec, k[, iters])          FROM <embeddings>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -261,7 +279,11 @@ object GraftGateway {
     "interrupted_time_series", "changepoint", "weighted_ttest", "gini",
     "prop_test", "benford", "yuen_test", "mcnemar", "cohens_kappa",
     "rdd_bandwidth", "mutual_info", "bland_altman", "trend_test",
-    "spearman", "levene", "fleiss_kappa", "zipf_fit")
+    "spearman", "levene", "fleiss_kappa", "zipf_fit", "chao1",
+    "mantel_haenszel", "fisher_exact", "ordinal_assoc", "mood_median",
+    "kruskal_wallis", "brunner_munzel", "effect_size", "nelson_aalen",
+    "cumulative_incidence", "ewma", "ljung_box", "sprt", "hosmer_lemeshow",
+    "classification_report", "cronbach_alpha", "oaxaca_blinder", "kmeans")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -537,6 +559,88 @@ object GraftGateway {
         // corpus Zipf diagnostics: slope/r2 of ln freq on ln rank
         require(a.nonEmpty, "zipf_fit(text)")
         TextOps.zipfFit(df, c(a(0)))
+      case "chao1" =>
+        // unseen-vocabulary estimate + Good-Turing coverage
+        require(a.nonEmpty, "chao1(text)")
+        TextOps.chao1(df, c(a(0)))
+      case "mantel_haenszel" =>
+        // stratum-adjusted common OR + CMH test
+        require(a.length >= 3, "mantel_haenszel(stratum, t, y)")
+        Contingency.mantelHaenszel(df, c(a(0)), c(a(1)), c(a(2)))
+      case "fisher_exact" =>
+        // exact 2x2 test (hypergeometric enumeration)
+        require(a.length >= 2, "fisher_exact(a, b)")
+        Contingency.fisherExact(df, c(a(0)), c(a(1)))
+      case "ordinal_assoc" =>
+        // Kendall tau-b / gamma / Somers' D over contingency cells
+        require(a.length >= 2, "ordinal_assoc(x, y[, max_cells])")
+        Contingency.ordinalAssoc(df, c(a(0)), c(a(1)),
+          maxCells = if (a.length > 2) num(a(2)).toInt else 5000)
+      case "mood_median" =>
+        // k-group counts-above-pooled-median test
+        require(a.length >= 2, "mood_median(y, group)")
+        Contingency.moodMedian(df, c(a(0)), c(a(1)))
+      case "kruskal_wallis" =>
+        // k-group rank test (tie-corrected H)
+        require(a.length >= 2, "kruskal_wallis(y, group)")
+        RankTests.kruskalWallis(df, c(a(0)), c(a(1)))
+      case "brunner_munzel" =>
+        // heteroskedastic two-sample rank test (P(X0 < X1) estimand)
+        require(a.length >= 2, "brunner_munzel(y, t)")
+        RankTests.brunnerMunzel(df, c(a(0)), c(a(1)))
+      case "effect_size" =>
+        // Cohen's d / Hedges' g / Glass delta / Cliff's delta
+        require(a.length >= 2, "effect_size(y, t)")
+        RankTests.effectSize(df, c(a(0)), c(a(1)))
+      case "nelson_aalen" =>
+        // cumulative hazard + Fleming-Harrington survival per group
+        require(a.length >= 2, "nelson_aalen(time, event[, group])")
+        Survival.nelsonAalen(df, c(a(0)), c(a(1)),
+          if (a.length > 2) c(a(2))
+          else org.apache.spark.sql.functions.lit("all"))
+      case "cumulative_incidence" =>
+        // Aalen-Johansen competing-risks incidence (cause 0 = censored)
+        require(a.length >= 2, "cumulative_incidence(time, cause)")
+        Survival.cumulativeIncidence(df, c(a(0)), c(a(1)))
+      case "ewma" =>
+        // EWMA control chart over period cells
+        require(a.length >= 2, "ewma(period, value[, lambda[, L]])")
+        Drift.ewmaMonitor(df, c(a(0)), c(a(1)),
+          lambda = if (a.length > 2) num(a(2)) else 0.2,
+          l = if (a.length > 3) num(a(3)) else 3.0)
+      case "ljung_box" =>
+        // white-noise test: autocorrelations + cumulative Q per lag
+        require(a.length >= 2, "ljung_box(period, value[, lags])")
+        Drift.ljungBox(df, c(a(0)), c(a(1)),
+          lags = if (a.length > 2) num(a(2)).toInt else 10)
+      case "sprt" =>
+        // classic Wald SPRT for a Bernoulli rate, sticky decision
+        require(a.length >= 4, "sprt(bucket, y, p0, p1[, alpha[, beta]])")
+        Sequential.sprt(df, c(a(0)), c(a(1)), num(a(2)), num(a(3)),
+          alpha = if (a.length > 4) num(a(4)) else 0.05,
+          beta = if (a.length > 5) num(a(5)) else 0.2)
+      case "hosmer_lemeshow" =>
+        // decile-binned calibration goodness-of-fit test
+        require(a.length >= 2, "hosmer_lemeshow(label, score[, bins])")
+        MlEval.hosmerLemeshow(df, c(a(0)), c(a(1)),
+          bins = if (a.length > 2) num(a(2)).toInt else 10)
+      case "classification_report" =>
+        // confusion counts + accuracy/precision/recall/F1/MCC
+        require(a.length >= 2, "classification_report(label, predicted)")
+        MlEval.classificationReport(df, c(a(0)), c(a(1)))
+      case "cronbach_alpha" =>
+        // internal-consistency reliability of a k-item scale
+        require(a.length >= 2, "cronbach_alpha(item1, item2, ...)")
+        Agreement.cronbachAlpha(df, a.map(c))
+      case "oaxaca_blinder" =>
+        // two-group mean-gap decomposition (group-0 reference)
+        require(a.length >= 3, "oaxaca_blinder(y, group, x...)")
+        Regression.oaxacaBlinder(df, c(a(0)), c(a(1)), a.drop(2).map(c))
+      case "kmeans" =>
+        // distributed Lloyd's over the full corpus, deterministic init
+        require(a.length >= 3, "kmeans(id, vec, k[, iters])")
+        Ann.kmeans(df, c(a(0)), c(a(1)), num(a(2)).toInt,
+          iters = if (a.length > 3) num(a(3)).toInt else 5)
       case "rdd_bandwidth" =>
         // Imbens-Lemieux rule-of-thumb pilot bandwidth for rdd_sharp/fuzzy
         require(a.length >= 2, "rdd_bandwidth(y, running)")

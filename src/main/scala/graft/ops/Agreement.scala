@@ -185,4 +185,42 @@ object Agreement {
     Seq((n, bias, sd, lo, hi, within.toDouble / n))
       .toDF("n", "bias", "sd", "loa_lower", "loa_upper", "pct_within")
   }
+
+  /** Cronbach's alpha (Cronbach 1951) — internal-consistency reliability
+    * of a k-item scale (k rubric scores, k quality heuristics meant to
+    * measure one construct):
+    *
+    *   α = k/(k−1) · (1 − Σ_i Var(item_i) / Var(Σ_i item_i))
+    *
+    * α → 1 when the items co-vary (one construct); α ≈ 0 when they are
+    * independent noise. Listwise-complete rows only. ONE moments
+    * aggregate (each item's sum/sumsq + the row-total's), driver closed
+    * form; everything replays in plain SQL. Returns one row:
+    * (n, k, sum_item_var, total_var, alpha). */
+  def cronbachAlpha(df: DataFrame, items: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = items.length
+    require(k >= 2, s"cronbach_alpha: need at least 2 items, got $k")
+    val its = items.map(_.cast("double"))
+    val complete = its.map(_.isNotNull).reduce(_ && _)
+    val total = its.reduce(_ + _)
+    val aggs = its.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(c).as(s"s$i"), sum(c * c).as(s"q$i"))
+    } ++ Seq(sum(total).as("st"), sum(total * total).as("qt"),
+      count(lit(1)).as("n"))
+    val r = df.filter(complete).agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("n")
+    require(n >= 3, s"cronbach_alpha: need at least 3 complete rows, got $n")
+    val nd = n.toDouble
+    def v(s: Double, q: Double): Double = (q - s * s / nd) / (nd - 1)
+    val itemVar = (0 until k)
+      .map(i => v(r.getAs[Double](s"s$i"), r.getAs[Double](s"q$i"))).sum
+    val totalVar = v(r.getAs[Double]("st"), r.getAs[Double]("qt"))
+    require(totalVar > 0,
+      "cronbach_alpha: the item total is constant — reliability undefined")
+    val alpha = k / (k - 1.0) * (1.0 - itemVar / totalVar)
+    Seq((n, k.toLong, itemVar, totalVar, alpha))
+      .toDF("n", "k", "sum_item_var", "total_var", "alpha")
+  }
 }

@@ -345,4 +345,63 @@ object Ann {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
   }
+
+  /** Distributed Lloyd's k-means over the FULL embedding corpus — the
+    * clustering verb behind semantic dedup buckets, topic-balanced
+    * sampling and IVF cell training at corpus scale (where [[trainIvf]]'s
+    * driver-side sample is the cheap approximation, this is the exact
+    * loop). Deterministic: centroids init from the k LOWEST-id vectors
+    * and every step is argmin/mean arithmetic, so two runs (and the SQL
+    * oracle) agree bit-for-bit.
+    *
+    * 100 TB shape: per iteration, ONE row-scale pass — assignment is the
+    * [[cellOf]] codegen argmin over broadcast centroid literals, and the
+    * centroid update is a posexplode + groupBy(cluster, dim) partial-agg
+    * (k·dim cells cross the wire, not vectors); the k·dim driver state is
+    * guarded. Empty clusters keep their previous centroid. Returns one
+    * row per cluster: (cluster, n, inertia) with inertia = Σ L2² to the
+    * FINAL centroid (the convergence readout), ordered by cluster. */
+  def kmeans(corpus: DataFrame, id: Column, vec: Column, k: Int,
+             iters: Int = 5, maxKDim: Long = 4000000L): DataFrame = {
+    require(k >= 2, s"kmeans: k must be >= 2, got $k")
+    require(iters >= 1, s"kmeans: iters must be >= 1, got $iters")
+    val base = corpus.select(id.cast("long").as("id"),
+        vec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val init = base.orderBy(col("id")).limit(k).collect()
+    require(init.length == k, s"kmeans: corpus has only ${init.length} vectors")
+    var centroids = init.map(_.getSeq[Double](1).toArray)
+    val dim = centroids.head.length
+    require(k.toLong * dim <= maxKDim,
+      s"kmeans: k x dim = ${k.toLong * dim} exceeds maxKDim=$maxKDim — " +
+        "the centroid state broadcasts into codegen; shrink k or raise the cap")
+    // (d2 to nearest, nearest cluster) as one codegen argmin pass
+    def assigned(cs: Array[Array[Double]]): DataFrame = {
+      val dists = cs.zipWithIndex.map { case (c, i) =>
+        struct(graft.expr.VectorExprs.l2SqToLit(col("v"), c).as("d"),
+          lit(i).as("cluster"))
+      }
+      base.withColumn("__best", array_min(array(dists.toIndexedSeq: _*)))
+        .select(col("id"), col("v"),
+          col("__best").getField("cluster").as("cluster"),
+          col("__best").getField("d").as("d2"))
+    }
+    for (_ <- 1 to iters) {
+      val sums = assigned(centroids)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val next = centroids.map(_.clone)
+      sums.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) =
+          r.getAs[Double]("s") / r.getAs[Long]("c")
+      }
+      centroids = next
+    }
+    assigned(centroids)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+      .orderBy(col("cluster"))
+  }
 }

@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Stratified and exact contingency-table inference — the adjusted-odds
+  * companions to [[SimpleTests.chisq]] (which tests one marginal table).
+  * Reference scope: the engine's experiment-analysis surface exposes
+  * chi-square / SRM readouts over binary outcomes; these add the
+  * stratum-adjusted (Mantel-Haenszel), exact-small-table (Fisher),
+  * ordinal (Kendall/gamma over cells) and median (Mood) companions a
+  * user reaches for next. All are cell-scale: ONE row-scale aggregate to
+  * contingency cells, closed forms after.
+  */
+object Contingency {
+
+  /** Mantel-Haenszel common odds ratio + Cochran-Mantel-Haenszel test
+    * across strata (Mantel & Haenszel 1959; SE of log OR via
+    * Robins-Breslow-Greenland 1986) — "is the treatment-outcome
+    * association real AFTER conditioning on the stratifier", the
+    * stratified-experiment readout that a pooled 2×2 gets wrong under
+    * confounding (Simpson's reversal).
+    *
+    *   OR_MH = Σ_s (a·d/n) / Σ_s (b·c/n)
+    *   Var(ln OR) = ΣPR/2R² + Σ(PS+QR)/2RS + ΣQS/2S²   (RBG)
+    *   CMH χ² = (Σa − Σ(a+b)(a+c)/n)² / Σ (a+b)(c+d)(a+c)(b+d)/(n²(n−1))
+    *
+    * 100 TB shape: ONE groupBy(stratum) to 2×2 cells (map-side combined),
+    * ONE cell-scale aggregate for every sum — stratum cardinality
+    * unbounded, nothing collected but the output row. Strata with fewer
+    * than 2 subjects are excluded (their CMH variance is 0/0); the count
+    * of excluded strata is reported, not hidden. Everything replays in
+    * two-level SQL; the p-value needs the χ² CDF, so oracle rows check
+    * through the statistic. Returns one row: (strata, strata_skipped, n,
+    * or_mh, log_or_se, or_lower, or_upper, cmh_chisq, p_value). */
+  def mantelHaenszel(df: DataFrame, stratum: Column, t: Column, y: Column,
+                     alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ti = t.cast("int")
+    val yi = y.cast("int")
+    val cells = df
+      .filter(stratum.isNotNull && ti.isNotNull && yi.isNotNull)
+      .groupBy(stratum.cast("string").as("s"))
+      .agg(
+        sum(when(ti === 1 && yi === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(ti === 1 && yi === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(ti === 0 && yi === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(ti === 0 && yi === 0, 1L).otherwise(0L)).as("d"),
+        sum(when((ti =!= 0 && ti =!= 1) || (yi =!= 0 && yi =!= 1), 1L)
+          .otherwise(0L)).as("bad"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val ok = n >= 2.0 // a 1-subject stratum has CMH variance 0/0
+    val (aa, bb, cc, dd) = (col("a").cast("double"), col("b").cast("double"),
+      col("c").cast("double"), col("d").cast("double"))
+    val rr = aa * dd / n
+    val ss = bb * cc / n
+    val pp = (aa + dd) / n
+    val qq = (bb + cc) / n
+    def k(c: Column): Column = sum(when(ok, c).otherwise(0.0))
+    val r = cells.agg(
+      sum(when(ok, 1L).otherwise(0L)).as("strata"),
+      sum(when(!ok, 1L).otherwise(0L)).as("skipped"),
+      k(n).as("ntot"), sum(col("bad")).as("bad"),
+      k(rr).as("sumR"), k(ss).as("sumS"),
+      k(pp * rr).as("sumPR"), k(pp * ss + qq * rr).as("sumPSQR"),
+      k(qq * ss).as("sumQS"),
+      k(aa).as("sumA"),
+      k((aa + bb) * (aa + cc) / n).as("sumEA"),
+      k((aa + bb) * (cc + dd) * (aa + cc) * (bb + dd) /
+        (n * n * (n - 1))).as("sumVA")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"mantel_haenszel: ${r.getAs[Long]("bad")} rows have t or y outside {0, 1}")
+    val strata = r.getAs[Long]("strata")
+    require(strata >= 1, "mantel_haenszel: no stratum has >= 2 subjects")
+    val skipped = r.getAs[Long]("skipped")
+    val (sumR, sumS) = (r.getAs[Double]("sumR"), r.getAs[Double]("sumS"))
+    require(sumR > 0 && sumS > 0,
+      "mantel_haenszel: a zero diagonal across every stratum — the MH odds " +
+        "ratio is degenerate (0 or infinite); check the outcome coding")
+    val orMh = sumR / sumS
+    val varLog = r.getAs[Double]("sumPR") / (2 * sumR * sumR) +
+      r.getAs[Double]("sumPSQR") / (2 * sumR * sumS) +
+      r.getAs[Double]("sumQS") / (2 * sumS * sumS)
+    val se = math.sqrt(varLog)
+    val z = graft.stats.Dist.normQuantile(1 - alpha / 2)
+    val sumVA = r.getAs[Double]("sumVA")
+    require(sumVA > 0,
+      "mantel_haenszel: every stratum is degenerate in t or y — the CMH " +
+        "variance is 0; the test needs within-stratum variation")
+    val num = r.getAs[Double]("sumA") - r.getAs[Double]("sumEA")
+    val chisq = num * num / sumVA
+    val p = 1.0 - graft.stats.Dist.chiSqCdf(chisq, 1.0)
+    Seq((strata, skipped, r.getAs[Double]("ntot").toLong, orMh, se,
+        orMh * math.exp(-z * se), orMh * math.exp(z * se), chisq, p))
+      .toDF("strata", "strata_skipped", "n", "or_mh", "log_or_se",
+        "or_lower", "or_upper", "cmh_chisq", "p_value")
+  }
+
+  /** Fisher's exact test for a 2×2 table — the small-count companion to
+    * [[SimpleTests.chisq]] (whose χ² approximation breaks below ~5
+    * expected per cell): condition on both margins, enumerate the
+    * hypergeometric support, sum the tables at-most-as-likely as the
+    * observed one (the standard two-sided definition, with the 1+1e-7
+    * tolerance R uses for ties).
+    *
+    * 100 TB shape: ONE conditional-count aggregate; the enumeration is
+    * min(r1, c1) driver iterations of lgamma arithmetic — by
+    * construction this test is for SMALL tables, so the support is
+    * guarded at `maxSupport` with the χ² test named as the at-scale
+    * alternative. Everything (including the enumeration) replays in SQL
+    * via generate_series + lgamma. Returns one row:
+    * (n, n11, n10, n01, n00, odds_ratio, p_two_sided, p_greater). */
+  def fisherExact(df: DataFrame, a: Column, b: Column,
+                  maxSupport: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.commons.math3.special.Gamma.logGamma
+    val ai = a.cast("int")
+    val bi = b.cast("int")
+    val r = df.filter(ai.isNotNull && bi.isNotNull).agg(
+      count(lit(1)).as("n"),
+      sum(when(ai === 1 && bi === 1, 1L).otherwise(0L)).as("n11"),
+      sum(when(ai === 1 && bi === 0, 1L).otherwise(0L)).as("n10"),
+      sum(when(ai === 0 && bi === 1, 1L).otherwise(0L)).as("n01"),
+      sum(when((ai =!= 0 && ai =!= 1) || (bi =!= 0 && bi =!= 1), 1L)
+        .otherwise(0L)).as("bad")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"fisher_exact: ${r.getAs[Long]("bad")} rows have values outside {0, 1}")
+    val nT = r.getAs[Long]("n")
+    val n11 = r.getAs[Long]("n11")
+    val n10 = r.getAs[Long]("n10")
+    val n01 = r.getAs[Long]("n01")
+    val n00 = nT - n11 - n10 - n01
+    val r1 = n11 + n10
+    val c1 = n11 + n01
+    val kMin = math.max(0L, r1 + c1 - nT)
+    val kMax = math.min(r1, c1)
+    require(kMax - kMin <= maxSupport,
+      s"fisher_exact: hypergeometric support ${kMax - kMin} exceeds " +
+        s"maxSupport=$maxSupport — at these counts the exact test is " +
+        "numerically identical to chisq(); use that instead (or raise " +
+        "maxSupport)")
+    def lchoose(nn: Long, kk: Long): Double =
+      logGamma(nn + 1.0) - logGamma(kk + 1.0) - logGamma(nn - kk + 1.0)
+    val denom = lchoose(nT, c1)
+    def logP(k: Long): Double =
+      lchoose(r1, k) + lchoose(nT - r1, c1 - k) - denom
+    val lpObs = logP(n11)
+    var pTwo = 0.0
+    var pGe = 0.0
+    var k = kMin
+    while (k <= kMax) {
+      val p = math.exp(logP(k))
+      if (logP(k) <= lpObs + math.log1p(1e-7)) pTwo += p
+      if (k >= n11) pGe += p
+      k += 1
+    }
+    val orHat =
+      if (n10 == 0 || n01 == 0) Double.PositiveInfinity
+      else n11.toDouble * n00 / (n10.toDouble * n01)
+    Seq((nT, n11, n10, n01, n00, orHat, math.min(1.0, pTwo), math.min(1.0, pGe)))
+      .toDF("n", "n11", "n10", "n01", "n00", "odds_ratio",
+        "p_two_sided", "p_greater")
+  }
+
+  /** Ordinal association over a contingency table — Kendall's tau-b,
+    * Goodman-Kruskal gamma and Somers' D(y|x) from concordant/discordant
+    * pair counts (Agresti, Analysis of Ordinal Categorical Data §2):
+    * the monotone-association readout for ORDINAL columns (ratings,
+    * quality buckets, Likert scales) where Pearson's r overclaims and
+    * row-level Kendall is O(n²).
+    *
+    *   C = Σ_{i<j, both strictly greater} n_i·n_j,   D likewise reversed,
+    *   tau_b = (C−D)/√((C+D+Tx)(C+D+Ty)),   gamma = (C−D)/(C+D),
+    *   somers_d = (C−D)/(C+D+Ty)
+    *
+    * 100 TB shape: ONE row-scale groupBy to (x, y) cells — pair counting
+    * then runs on CELLS, O(cells²) on the driver, so row count is
+    * unbounded while the ordinal domain stays small (that is what
+    * "ordinal" means; the `maxCells` guard names the contract). Replays
+    * in SQL via a cells self-join. Returns one row:
+    * (n, cells, concordant, discordant, tau_b, gamma, somers_d). */
+  def ordinalAssoc(df: DataFrame, x: Column, y: Column,
+                   maxCells: Int = 5000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xd = x.cast("double")
+    val yd = y.cast("double")
+    val cells = df.filter(xd.isNotNull && yd.isNotNull)
+      .groupBy(xd.as("x"), yd.as("y")).agg(count(lit(1)).as("c"))
+      .collect()
+    require(cells.length >= 2, "ordinal_assoc: need at least 2 distinct cells")
+    require(cells.length <= maxCells,
+      s"ordinal_assoc: ${cells.length} distinct (x, y) cells exceed " +
+        s"maxCells=$maxCells — this statistic is for ordinal domains; bin " +
+        "the columns first (cut_bins) or raise maxCells")
+    val cs = cells.map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    var conc = 0.0; var disc = 0.0; var tx = 0.0; var ty = 0.0
+    var n = 0L
+    var i = 0
+    while (i < cs.length) {
+      n += cs(i)._3
+      var j = i + 1
+      while (j < cs.length) {
+        val (xi, yi, ni) = cs(i)
+        val (xj, yj, nj) = cs(j)
+        val w = ni.toDouble * nj
+        if (xi == xj) { if (yi != yj) tx += w }
+        else if (yi == yj) ty += w
+        else if ((xi < xj) == (yi < yj)) conc += w
+        else disc += w
+        j += 1
+      }
+      i += 1
+    }
+    require(conc + disc > 0,
+      "ordinal_assoc: no untied pairs — a column is constant")
+    val tauB = (conc - disc) /
+      math.sqrt((conc + disc + tx) * (conc + disc + ty))
+    val gamma = (conc - disc) / (conc + disc)
+    val somersD = (conc - disc) / (conc + disc + ty)
+    Seq((n, cells.length.toLong, conc, disc, tauB, gamma, somersD))
+      .toDF("n", "cells", "concordant", "discordant", "tau_b", "gamma",
+        "somers_d")
+  }
+
+  /** Mood's median test — k-group location test on counts above the
+    * pooled median (Mood 1950): the maximally outlier-proof alternative
+    * to ANOVA (#58) and Kruskal-Wallis when only "above/below the
+    * middle" can be trusted.
+    *
+    * TWO row-scale passes: exact pooled median (the house exact
+    * `percentile`), then ONE groupBy(group) counting above/at-or-below;
+    * Pearson χ² over the resulting 2×k cells, df = k−1. Group
+    * cardinality unbounded (cell-scale aggregate); ties AT the median
+    * count as "not above" (document when comparing to tools that drop
+    * them). Returns one row: (n, k, grand_median, chisq, df, p_value). */
+  def moodMedian(df: DataFrame, y: Column, group: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = y.cast("double")
+    val base = df.filter(yd.isNotNull && group.isNotNull)
+      .select(yd.as("__y"), group.cast("string").as("__g"))
+    val med = base.agg(expr("percentile(__y, 0.5)")).head().getDouble(0)
+    val g = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(when(col("__y") > med, 1L).otherwise(0L)).as("ag"))
+    val r = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("ag")).as("a")).head()
+    val k = r.getAs[Long]("k")
+    require(k >= 2, s"mood_median: need at least 2 groups, got $k")
+    val nTot = r.getAs[Long]("n").toDouble
+    val aTot = r.getAs[Long]("a").toDouble
+    require(aTot > 0 && aTot < nTot,
+      "mood_median: every value is on one side of the median — the " +
+        "above-share is degenerate (heavy ties at the median?)")
+    val chisq = g.agg(sum {
+      val e = col("ng") * (aTot / nTot)
+      val e2 = col("ng") * ((nTot - aTot) / nTot)
+      val d1 = col("ag") - e
+      val d2 = (col("ng") - col("ag")) - e2
+      d1 * d1 / e + d2 * d2 / e2
+    }).head().getDouble(0)
+    val p = 1.0 - graft.stats.Dist.chiSqCdf(chisq, (k - 1).toDouble)
+    Seq((r.getAs[Long]("n"), k, med, chisq, k - 1, p))
+      .toDF("n", "k", "grand_median", "chisq", "df", "p_value")
+  }
+}

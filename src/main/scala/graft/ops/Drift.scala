@@ -152,4 +152,108 @@ object Drift {
       .toDF("n_periods", "change_period", "stat", "p_value",
         "mean_before", "mean_after", "shift")
   }
+
+  /** EWMA control chart over a period-bucketed metric (Roberts 1959;
+    * limits per Montgomery, Introduction to SQC §9.2) — the
+    * small-persistent-shift monitor between [[metricAnomaly]] (single
+    * outlier periods) and [[changepoint]] (one retrospective break):
+    *
+    *   z_t = λ·x̄_t + (1−λ)·z_{t−1},   z₋₁ = μ̂ (grand mean),
+    *   limit_t = L·σ̂·√( λ/(2−λ) · (1 − (1−λ)^{2(t+1)}) )
+    *
+    * flagged when |z_t − μ̂| exceeds the limit.
+    *
+    * 100 TB shape: ONE row-scale aggregate to per-period cells; the
+    * recursion is inherently sequential, so it folds over the COLLECTED
+    * cell frame — periods are time (hours/days), bounded by the calendar
+    * not the data, and the `maxPeriods` guard (checked with a cheap count
+    * BEFORE collection) names that contract. The exact recursion replays
+    * in SQL as a recursive CTE. Returns one row per period:
+    * (period, metric, ewma, limit_lower, limit_upper, is_anomaly). */
+  def ewmaMonitor(df: DataFrame, period: Column, value: Column,
+                  lambda: Double = 0.2, l: Double = 3.0,
+                  maxPeriods: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(lambda > 0 && lambda <= 1, s"ewma: lambda in (0, 1], got $lambda")
+    require(l > 0, s"ewma: L must be > 0, got $l")
+    val v = value.cast("double")
+    val cells = df.filter(period.isNotNull && v.isNotNull)
+      .groupBy(period.cast("long").as("period"))
+      .agg(avg(v).as("metric"))
+    val st = cells.agg(count(lit(1)).as("t"), avg(col("metric")).as("mu"),
+      stddev_samp(col("metric")).as("sd")).head()
+    val tN = st.getAs[Long]("t")
+    require(tN >= 2, s"ewma: need at least 2 periods, got $tN")
+    require(tN <= maxPeriods,
+      s"ewma: $tN periods exceed maxPeriods=$maxPeriods — the recursion " +
+        "folds on the driver; coarsen the period bucket or raise the cap")
+    val mu = st.getAs[Double]("mu")
+    val sd = st.getAs[Double]("sd")
+    require(sd > 0, "ewma: the period metric is constant")
+    val rows = cells.orderBy(col("period")).collect()
+    var z = mu
+    val base = l * sd * math.sqrt(lambda / (2.0 - lambda))
+    val out = rows.zipWithIndex.map { case (r, i) =>
+      val x = r.getAs[Double]("metric")
+      z = lambda * x + (1.0 - lambda) * z
+      val lim = base *
+        math.sqrt(1.0 - math.pow(1.0 - lambda, 2.0 * (i + 1)))
+      (r.getAs[Long]("period"), x, z, mu - lim, mu + lim,
+        math.abs(z - mu) > lim)
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("period", "metric", "ewma", "limit_lower", "limit_upper",
+        "is_anomaly")
+  }
+
+  /** Ljung-Box autocorrelation test over a period-bucketed metric
+    * (Ljung & Box 1978) — "is this series white noise?", the
+    * residual-diagnostic companion to [[Regression.interruptedTs]] and
+    * the sanity check before any monitor that assumes independent
+    * periods ([[changepoint]]'s p-value does):
+    *
+    *   r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)²,
+    *   Q_m = T(T+2) Σ_{k≤m} r_k²/(T−k),   Q_m ~ χ²_m under H₀
+    *
+    * 100 TB shape: ONE row-scale aggregate to per-period cells, ONE
+    * cell-scale window (dense index + the m lags ride the same ordered
+    * window over cells — periods are calendar-bounded, the
+    * [[metricAnomaly]] idiom), ONE cell aggregate per output. The χ² CDF
+    * gates the p-value, so oracle rows check through Q. Returns one row
+    * per lag k = 1..m: (lag, acf, q_stat, df, p_value). */
+  def ljungBox(df: DataFrame, period: Column, value: Column,
+               lags: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    require(lags >= 1, s"ljung_box: lags must be >= 1, got $lags")
+    val v = value.cast("double")
+    val cells = df.filter(period.isNotNull && v.isNotNull)
+      .groupBy(period.cast("long").as("period"))
+      .agg(avg(v).as("y"))
+    val st = cells.agg(count(lit(1)).as("t"), avg(col("y")).as("mu"),
+      sum(col("y") * col("y")).as("syy"), sum(col("y")).as("sy")).head()
+    val tN = st.getAs[Long]("t")
+    require(tN > lags + 1,
+      s"ljung_box: need more than ${lags + 1} periods for $lags lags, got $tN")
+    val mu = st.getAs[Double]("mu")
+    val denom = st.getAs[Double]("syy") - st.getAs[Double]("sy") * mu
+    require(denom > 0, "ljung_box: the period metric is constant")
+    val w = Window.orderBy(col("period"))
+    val lagged = cells.select(
+      (col("y") - mu).as("e") +:
+        (1 to lags).map(k => (lag(col("y"), k).over(w) - mu).as(s"e$k")): _*)
+    val sums = lagged.agg(
+      (1 to lags).map(k => sum(col("e") * col(s"e$k")).as(s"s$k")).head,
+      (2 to lags).map(k => sum(col("e") * col(s"e$k")).as(s"s$k")): _*).head()
+    var q = 0.0
+    val out = (1 to lags).map { k =>
+      val r = sums.getAs[Double](s"s$k") / denom
+      q += tN * (tN + 2.0) * r * r / (tN - k)
+      val p = 1.0 - graft.stats.Dist.chiSqCdf(q, k.toDouble)
+      (k.toLong, r, q, k.toLong, p)
+    }
+    import spark.implicits._
+    out.toDF("lag", "acf", "q_stat", "df", "p_value")
+  }
 }

@@ -166,4 +166,104 @@ object MlEval {
       (sum(col("abs_gap") * col("n")) / sum(col("n"))).as("ece")).head()
     cells.withColumn("ece", lit(tot.getDouble(0))).orderBy(col("bin"))
   }
+
+  /** Hosmer-Lemeshow goodness-of-fit test (Hosmer & Lemeshow 1980) for a
+    * probability score — the TEST companion to [[calibration]] (which
+    * reports the binned gaps but no significance): bin by score DECILES
+    * (equal-count, the standard construction — equal-width bins put 90%
+    * of a skewed score in one bin and the test loses all power),
+    *
+    *   χ² = Σ_bins (O − E)² / (E(1 − p̄)),   df = bins − 2
+    *
+    * TWO row-scale passes: exact score quantiles (the house exact
+    * `percentile`, so the oracle's quantile_cont agrees bit-for-bit),
+    * then ONE groupBy over ≤ `bins` cells. The χ² CDF gates the p-value,
+    * so oracle rows check through the statistic. Returns one row:
+    * (n, bins, chisq, df, p_value). */
+  def hosmerLemeshow(df: DataFrame, label: Column, score: Column,
+                     bins: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(bins >= 3, s"hosmer_lemeshow: need at least 3 bins, got $bins")
+    val s = score.cast("double")
+    val li = label.cast("int")
+    val base = df.filter(li.isNotNull && s.isNotNull && s >= 0.0 && s <= 1.0)
+      .select(li.as("__y"), s.as("__s"))
+    val qs = base
+      .agg(expr(s"percentile(__s, array(${(1 until bins)
+        .map(i => i.toDouble / bins).mkString(",")}))"))
+      .head().getSeq[Double](0)
+    // bin = number of interior quantiles strictly below the score — the
+    // exact construction the oracle replays (ties land in the lower bin)
+    val bin = qs.map(q => when(col("__s") > q, 1).otherwise(0))
+      .reduce(_ + _)
+    val cells = base.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("o"),
+        sum(col("__s")).as("e"),
+        sum(when(col("__y") =!= 0 && col("__y") =!= 1, 1L).otherwise(0L))
+          .as("bad"))
+    val r = cells.agg(count(lit(1)).as("b"), sum(col("n")).as("n"),
+      sum(col("bad")).as("bad"),
+      min(col("e")).as("emin"),
+      max(col("e") / col("n")).as("pmax"),
+      sum {
+        val pbar = col("e") / col("n")
+        val d = col("o") - col("e")
+        d * d / (col("e") * (lit(1.0) - pbar))
+      }.as("chisq")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"hosmer_lemeshow: ${r.getAs[Long]("bad")} rows have labels outside {0, 1}")
+    val b = r.getAs[Long]("b")
+    require(b >= 3,
+      s"hosmer_lemeshow: only $b distinct score bins — the score is too " +
+        "coarse for a deciles test; lower `bins`")
+    require(r.getAs[Double]("emin") > 0 && r.getAs[Double]("pmax") < 1.0,
+      "hosmer_lemeshow: a bin has expected count 0 or mean score 1 — the " +
+        "statistic divides by E(1−p̄); clip the score away from {0, 1}")
+    val chisq = r.getAs[Double]("chisq")
+    val dfree = (b - 2).toDouble
+    val p = 1.0 - graft.stats.Dist.chiSqCdf(chisq, dfree)
+    Seq((r.getAs[Long]("n"), b, chisq, b - 2, p))
+      .toDF("n", "bins", "chisq", "df", "p_value")
+  }
+
+  /** Threshold classification report — confusion counts and the derived
+    * metrics (accuracy, precision, recall, F1, MCC) in ONE conditional
+    * aggregate: the model-eval summary next to [[rocCurve]]/[[prCurve]]
+    * (which sweep thresholds; this nails ONE deployed threshold). MCC
+    * uses the standard product form with a 0 convention when any margin
+    * is empty. Returns one row: (n, tp, fp, fn, tn, accuracy, precision,
+    * recall, f1, mcc). */
+  def classificationReport(df: DataFrame, label: Column,
+                           predicted: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val li = label.cast("int")
+    val pi = predicted.cast("int")
+    val r = df.filter(li.isNotNull && pi.isNotNull).agg(
+      count(lit(1)).as("n"),
+      sum(when(li === 1 && pi === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(li === 0 && pi === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(li === 1 && pi === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(li === 0 && pi === 0, 1L).otherwise(0L)).as("tn"),
+      sum(when((li =!= 0 && li =!= 1) || (pi =!= 0 && pi =!= 1), 1L)
+        .otherwise(0L)).as("bad")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"classification_report: ${r.getAs[Long]("bad")} rows outside {0, 1}")
+    val n = r.getAs[Long]("n")
+    require(n > 0, "classification_report: no complete rows")
+    val (tp, fp, fn, tn) = (r.getAs[Long]("tp").toDouble,
+      r.getAs[Long]("fp").toDouble, r.getAs[Long]("fn").toDouble,
+      r.getAs[Long]("tn").toDouble)
+    val acc = (tp + tn) / n
+    val prec = if (tp + fp > 0) tp / (tp + fp) else 0.0
+    val rec = if (tp + fn > 0) tp / (tp + fn) else 0.0
+    val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0.0
+    val den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    val mcc = if (den > 0) (tp * tn - fp * fn) / math.sqrt(den) else 0.0
+    Seq((n, tp.toLong, fp.toLong, fn.toLong, tn.toLong, acc, prec, rec,
+        f1, mcc))
+      .toDF("n", "tp", "fp", "fn", "tn", "accuracy", "precision", "recall",
+        "f1", "mcc")
+  }
 }

@@ -219,4 +219,206 @@ object RankTests {
       }
     }
   }
+
+  /** (value → average rank) cell table over the pooled sample — the
+    * [[mannWhitneyU]] tie-group construction factored out for the k-group
+    * tests below. Returns (v, cnt, avg_rank), checkpointed (cell-scale —
+    * one row per distinct value); callers release via [[graft.Ckpt]]. */
+  private def avgRankCells(byValue: DataFrame): DataFrame =
+    RangeCumSum.withCumSums(byValue, Seq(col("v")), Seq("cnt")) { (cum, _) =>
+      cum.select(col("v"), col("cnt"),
+          ((col("cum_cnt") - col("cnt") + col("cum_cnt") + 1) / 2.0)
+            .as("avg_rank"))
+        .transform(d => graft.Ckpt.register(d.localCheckpoint()))
+    }
+
+  /** Kruskal-Wallis H test (Kruskal & Wallis 1952, tie-corrected) — the
+    * k-group generalization of [[mannWhitneyU]]: "do ANY of the k arms
+    * differ in location", on ranks, so outliers and monotone rescalings
+    * don't move it (the rank companion to ANOVA).
+    *
+    *   H = 12/(N(N+1)) Σ_g R_g²/n_g − 3(N+1),   H_c = H / C,
+    *   C = 1 − Σ(t³−t)/(N³−N),   df = k−1
+    *
+    * 100 TB shape: ONE groupBy to (value, group) cells + ONE to value
+    * cells; average ranks ride [[RangeCumSum]] (no global-order window),
+    * the rank table joins back at CELL scale, and one cell aggregate per
+    * group yields the rank sums — group and value cardinality unbounded,
+    * nothing collected but the output row. The p-value needs the χ² CDF,
+    * so oracle rows check through H. Returns one row:
+    * (n, k, h, h_corrected, df, p_value). */
+  def kruskalWallis(df: DataFrame, y: Column, group: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = y.cast("double")
+    val byVG = df.filter(yd.isNotNull && !isnan(yd) && group.isNotNull)
+      .groupBy(yd.as("v"), group.cast("string").as("g"))
+      .agg(count(lit(1)).as("cg"))
+    byVG.persist()
+    val (ties, tot) = try {
+      val byV = byVG.groupBy(col("v")).agg(sum(col("cg")).as("cnt"))
+      val ranks = avgRankCells(byV)
+      try {
+        val perG = byVG.join(ranks, "v")
+          .groupBy(col("g"))
+          .agg(sum(col("cg")).as("ng"),
+            sum(col("cg") * col("avg_rank")).as("rg"))
+        val t = ranks.agg(
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tieNum"),
+          max(col("cnt")).as("maxTie")).head()
+        val tt = perG.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("rg") * col("rg") / col("ng")).as("rsq")).head()
+        (t, tt)
+      } finally graft.Ckpt.release(ranks)
+    } finally { byVG.unpersist(); () }
+    val k = tot.getAs[Long]("k")
+    require(k >= 2, s"kruskal_wallis: need at least 2 groups, got $k")
+    val n = tot.getAs[Long]("n").toDouble
+    require(ties.getAs[Long]("maxTie") < tot.getAs[Long]("n"),
+      "kruskal_wallis: every value is identical — ranks are degenerate")
+    val h = 12.0 / (n * (n + 1)) * tot.getAs[Double]("rsq") - 3.0 * (n + 1)
+    val c = 1.0 - ties.getAs[Long]("tieNum").toDouble / (n * n * n - n)
+    val hc = h / c
+    val p = 1.0 - Dist.chiSqCdf(hc, (k - 1).toDouble)
+    Seq((tot.getAs[Long]("n"), k, h, hc, k - 1, p))
+      .toDF("n", "k", "h", "h_corrected", "df", "p_value")
+  }
+
+  /** Brunner-Munzel test (Brunner & Munzel 2000) — the two-sample
+    * stochastic-superiority test that, unlike [[mannWhitneyU]], stays
+    * valid when the two arms have DIFFERENT shapes/variances (the rank
+    * analogue of Welch vs Student). Estimand: p̂ = P(X₀ < X₁) + ½P(=).
+    *
+    *   p̂ = (R̄₁ − (n₁+1)/2)/n₀,
+    *   W = n₀n₁(R̄₁ − R̄₀) / (N·√(n₀S₀² + n₁S₁²)),
+    *   S_g² = Var_i(R_gi − r_gi)   (overall minus within-group ranks),
+    *   df via Satterthwaite; p from the t distribution.
+    *
+    * 100 TB shape: every rank construction is the tie-group cell idiom —
+    * overall ranks from the pooled value cells, within-group ranks from
+    * each arm's own cells (2 more [[RangeCumSum]] passes); the variance
+    * contributions collapse per (value, arm) CELL because tied rows share
+    * both ranks. Nothing row-scale is windowed, sorted or collected.
+    * Returns one row: (n0, n1, p_hat, stat, df, p_value). */
+  def brunnerMunzel(df: DataFrame, y: Column, treatment: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = y.cast("double")
+    val ti = treatment.cast("int")
+    val byVG = df.filter(yd.isNotNull && !isnan(yd) && ti.isNotNull)
+      .select(yd.as("v"), ti.as("t"))
+      .groupBy(col("v"), col("t")).agg(count(lit(1)).as("cg"))
+    byVG.persist()
+    try {
+      val bad = byVG.filter(col("t") =!= 0 && col("t") =!= 1)
+        .agg(coalesce(sum(col("cg")), lit(0L))).head().getLong(0)
+      require(bad == 0, s"brunner_munzel: $bad rows have treatment outside {0, 1}")
+      val byV = byVG.groupBy(col("v")).agg(sum(col("cg")).as("cnt"))
+      val overall = avgRankCells(byV)
+      def within(t: Int): DataFrame = avgRankCells(
+        byVG.filter(col("t") === t).select(col("v"), col("cg").as("cnt")))
+      val w0 = within(0)
+      val w1 = within(1)
+      val m = try {
+        // per (value, arm) cell: overall rank R(v), within rank r_g(v);
+        // all rows in the cell share both, so moments collapse to cells
+        byVG
+          .join(overall.select(col("v"), col("avg_rank").as("ovr")), "v")
+          .join(w0.select(col("v"), col("avg_rank").as("wr0")), Seq("v"), "left")
+          .join(w1.select(col("v"), col("avg_rank").as("wr1")), Seq("v"), "left")
+          .withColumn("wr", when(col("t") === 0, col("wr0")).otherwise(col("wr1")))
+          .withColumn("dd", col("ovr") - col("wr"))
+          .groupBy(col("t")).agg(
+            sum(col("cg")).as("ng"),
+            sum(col("cg") * col("ovr")).as("sr"),
+            sum(col("cg") * col("dd")).as("sd1"),
+            sum(col("cg") * col("dd") * col("dd")).as("sd2")).collect()
+      } finally { graft.Ckpt.release(overall); graft.Ckpt.release(w0); graft.Ckpt.release(w1) }
+    require(m.length == 2,
+      "brunner_munzel: both arms need at least one row")
+    val by = m.map(r => r.getAs[Int]("t") -> r).toMap
+    val n0 = by(0).getAs[Long]("ng").toDouble
+    val n1 = by(1).getAs[Long]("ng").toDouble
+    require(n0 >= 2 && n1 >= 2, "brunner_munzel: each arm needs >= 2 rows")
+    val nTot = n0 + n1
+    val m0 = by(0).getAs[Double]("sr") / n0
+    val m1 = by(1).getAs[Double]("sr") / n1
+    // S_g² = sample variance of (R_gi − r_gi) within arm g
+    def s2(t: Int, ng: Double): Double = {
+      val s1 = by(t).getAs[Double]("sd1")
+      val s2 = by(t).getAs[Double]("sd2")
+      (s2 - s1 * s1 / ng) / (ng - 1)
+    }
+    val v0 = s2(0, n0)
+    val v1 = s2(1, n1)
+    val pHat = (m1 - (n1 + 1) / 2.0) / n0
+    val sigma = n0 * v0 + n1 * v1
+    require(sigma > 0,
+      "brunner_munzel: zero rank variance (complete separation or all " +
+        s"ties) — p_hat = $pHat exactly; the t approximation is undefined")
+    val stat = n0 * n1 * (m1 - m0) / (nTot * math.sqrt(sigma))
+    val dfT = sigma * sigma /
+      (v0 * v0 * n0 * n0 / (n0 - 1) + v1 * v1 * n1 * n1 / (n1 - 1))
+    val p = 2.0 * (1.0 - Dist.tCdf(math.abs(stat), dfT))
+    Seq((n0.toLong, n1.toLong, pHat, stat, dfT, p))
+      .toDF("n0", "n1", "p_hat", "stat", "df", "p_value")
+    } finally {
+      byVG.unpersist()
+      ()
+    }
+  }
+
+  /** Standardized two-sample effect sizes — the "how big, in units a
+    * reader can compare across metrics" companion every test above
+    * reports a p-value without: Cohen's d (pooled), Hedges' g (the
+    * small-sample-corrected d), Glass's Δ (control-arm sd — for when
+    * treatment changes the variance too), and Cliff's δ (the
+    * distribution-free ordinal effect, = 2U/(n₀n₁) − 1 from the
+    * [[mannWhitneyU]] rank machinery, ties counted ½).
+    *
+    * ONE moments aggregate + ONE tie-group rank pass ([[RangeCumSum]],
+    * no global window); everything replays in SQL. Returns one row:
+    * (n0, n1, mean_diff, cohens_d, hedges_g, glass_delta, cliffs_delta). */
+  def effectSize(df: DataFrame, y: Column, treatment: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = y.cast("double")
+    val ti = treatment.cast("int")
+    val base = df.filter(yd.isNotNull && !isnan(yd) && ti.isNotNull)
+      .select(yd.as("v"), ti.as("t"))
+    val mrow = base.agg(
+      sum(when(col("t") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when((col("t") =!= 0) && (col("t") =!= 1), 1L).otherwise(0L)).as("bad"),
+      avg(when(col("t") === 0, col("v"))).as("m0"),
+      avg(when(col("t") === 1, col("v"))).as("m1"),
+      variance(when(col("t") === 0, col("v"))).as("v0"),
+      variance(when(col("t") === 1, col("v"))).as("v1")).head()
+    require(mrow.getAs[Long]("bad") == 0,
+      s"effect_size: ${mrow.getAs[Long]("bad")} rows have treatment outside {0, 1}")
+    val n0 = mrow.getAs[Long]("n0")
+    val n1 = mrow.getAs[Long]("n1")
+    require(n0 >= 2 && n1 >= 2, "effect_size: each arm needs >= 2 rows")
+    val diff = mrow.getAs[Double]("m1") - mrow.getAs[Double]("m0")
+    val (v0, v1) = (mrow.getAs[Double]("v0"), mrow.getAs[Double]("v1"))
+    val sp = math.sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2.0))
+    require(sp > 0, "effect_size: zero pooled variance — both arms constant")
+    val d = diff / sp
+    val g = d * (1.0 - 3.0 / (4.0 * (n0 + n1) - 9.0))
+    val glass = if (v0 > 0) diff / math.sqrt(v0) else Double.NaN
+    // Cliff's δ from the rank sum of arm 1 (ties → ½ via average ranks)
+    val byV = base.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("cnt1"))
+    val r1 = RangeCumSum.withCumSums(byV, Seq(col("v")), Seq("cnt")) { (cum, _) =>
+      cum.withColumn("avgRank",
+          (col("cum_cnt") - col("cnt") + col("cum_cnt") + 1) / 2.0)
+        .agg(sum(col("cnt1") * col("avgRank"))).head().getDouble(0)
+    }
+    val u1 = r1 - n1 * (n1 + 1.0) / 2.0
+    val cliff = 2.0 * u1 / (n0.toDouble * n1) - 1.0
+    Seq((n0, n1, diff, d, g, glass, cliff))
+      .toDF("n0", "n1", "mean_diff", "cohens_d", "hedges_g", "glass_delta",
+        "cliffs_delta")
+  }
 }

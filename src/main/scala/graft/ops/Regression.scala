@@ -280,6 +280,65 @@ object Regression {
     * practice: run the sharp/fuzzy estimator at h_ROT, h_ROT/2, 2·h_ROT
     * and report all three. ONE aggregate; replays in plain SQL.
     * Returns one row: (n, sd, h). */
+  /** Kitagawa-Oaxaca-Blinder decomposition (Oaxaca 1973, Blinder 1973) —
+    * split a two-group mean gap into the part EXPLAINED by covariate
+    * differences and the rest (two-fold form, group-0 coefficients as
+    * the reference):
+    *
+    *   ȳ₁ − ȳ₀ = (x̄₁ − x̄₀)'β₀  +  [x̄₁'(β₁ − β₀) + (α₁ − α₀)]
+    *              explained          unexplained
+    *
+    * The workhorse for "is the metric gap between cohorts composition or
+    * behavior?" — and, because each group's OLS passes through its own
+    * means, the two parts sum to the raw gap EXACTLY (pinned in the unit
+    * spec).
+    *
+    * 100 TB shape: both group fits ride [[fitOlsMultiWeighted]]'s ONE
+    * scan (indicator weights), plus ONE conditional-moments pass for the
+    * group means — two row-scale scans total, no per-group filtering
+    * jobs. Replays in SQL at small k via the normal equations. Returns
+    * one row: (n0, n1, gap, explained, unexplained, explained_share). */
+  def oaxacaBlinder(df: DataFrame, y: Column, group: Column,
+                    xs: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(xs.nonEmpty, "oaxaca_blinder: need at least one covariate")
+    val gi = group.cast("int")
+    val yd = y.cast("double")
+    val complete = (Seq(yd, gi.cast("double")) ++ xs.map(_.cast("double")))
+      .map(_.isNotNull).reduce(_ && _)
+    val base = df.filter(complete)
+    val models = fitOlsMultiWeighted(base, Seq(
+      (yd, xs, when(gi === 0, 1.0)),
+      (yd, xs, when(gi === 1, 1.0))))
+    val b0 = models.head.summary.coefficients
+    require(models(1).summary.coefficients.length == b0.length,
+      "oaxaca_blinder: group fits dropped different columns (collinearity)")
+    val aggs = Seq(
+      sum(when(gi === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(gi === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(gi =!= 0 && gi =!= 1, 1L).otherwise(0L)).as("bad"),
+      avg(when(gi === 0, yd)).as("y0"),
+      avg(when(gi === 1, yd)).as("y1")) ++
+      xs.zipWithIndex.flatMap { case (x, i) =>
+        Seq(avg(when(gi === 0, x.cast("double"))).as(s"x0_$i"),
+          avg(when(gi === 1, x.cast("double"))).as(s"x1_$i"))
+      }
+    val m = base.agg(aggs.head, aggs.tail: _*).head()
+    require(m.getAs[Long]("bad") == 0,
+      s"oaxaca_blinder: ${m.getAs[Long]("bad")} rows have group outside {0, 1}")
+    val (n0, n1) = (m.getAs[Long]("n0"), m.getAs[Long]("n1"))
+    require(n0 > xs.length + 1 && n1 > xs.length + 1,
+      "oaxaca_blinder: each group needs more rows than coefficients")
+    val gap = m.getAs[Double]("y1") - m.getAs[Double]("y0")
+    val explained = xs.indices.map(i =>
+      (m.getAs[Double](s"x1_$i") - m.getAs[Double](s"x0_$i")) * b0(i)).sum
+    val unexplained = gap - explained
+    Seq((n0, n1, gap, explained, unexplained,
+        if (gap != 0) explained / gap else Double.NaN))
+      .toDF("n0", "n1", "gap", "explained", "unexplained", "explained_share")
+  }
+
   def rddBandwidth(df: DataFrame, y: Column, running: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -83,6 +83,71 @@ object Sequential {
       df.sparkSession.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
+  /** Classic Wald SPRT for a Bernoulli rate (Wald 1945) — the original
+    * sequential test, still the right tool when H₀ and H₁ are two NAMED
+    * rates (SLA breach rate ≤ p₀ vs ≥ p₁, canary error rate): unlike
+    * [[msprt]] (composite alternative, anytime-valid p) it stops at
+    * guaranteed error levels with minimal expected samples.
+    *
+    *   LLR_t = s_t·ln(p₁/p₀) + (n_t−s_t)·ln((1−p₁)/(1−p₀)),
+    *   accept H₁ when LLR ≥ ln((1−β)/α),  H₀ when LLR ≤ ln(β/(1−α))
+    *
+    * The decision is STICKY (the first crossing decides — continuing to
+    * monitor after a stop invalidates the guarantees; later rows repeat
+    * the verdict so a dashboard reads correctly).
+    *
+    * 100 TB shape: ONE row-scale aggregate to per-look cells
+    * (take-ordered, maxBuckets-guarded — the [[msprt]] idiom); the scan
+    * is driver arithmetic over looks. Everything replays in windowed
+    * SQL. Returns one row per look: (bucket, n, successes, llr,
+    * lower_bound, upper_bound, decision). */
+  def sprt(df: DataFrame, bucket: Column, y: Column,
+           p0: Double, p1: Double, alpha: Double = 0.05,
+           beta: Double = 0.2, maxBuckets: Int = 100000): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1,
+      s"sprt: p0 and p1 must be in (0, 1), got $p0, $p1")
+    require(p0 != p1, "sprt: p0 and p1 must differ — the LLR is 0 otherwise")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"sprt: alpha and beta in (0, 1), got $alpha, $beta")
+    val yi = y.cast("int")
+    val cells = df.filter(yi.isNotNull && bucket.isNotNull)
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(yi === 1, 1L).otherwise(0L)).as("s"),
+        sum(when(yi =!= 0 && yi =!= 1, 1L).otherwise(0L)).as("bad"))
+      .orderBy(col("bucket"))
+      .limit(maxBuckets + 1)
+      .collect()
+    require(cells.length <= maxBuckets,
+      s"sprt produced more than $maxBuckets looks: coarsen the bucket " +
+        "column or raise maxBuckets")
+    require(cells.forall(_.getAs[Long]("bad") == 0L),
+      "sprt: y has values outside {0, 1} — it must be a Bernoulli outcome")
+    val lw = math.log(p1 / p0)
+    val ll = math.log((1 - p1) / (1 - p0))
+    val up = math.log((1 - beta) / alpha)
+    val lo = math.log(beta / (1 - alpha))
+    var cn = 0L; var cs = 0L
+    var decided = "continue"
+    val out = cells.map { r =>
+      cn += r.getAs[Long]("n"); cs += r.getAs[Long]("s")
+      val llr = cs * lw + (cn - cs) * ll
+      if (decided == "continue") {
+        if (llr >= up) decided = "accept_h1"
+        else if (llr <= lo) decided = "accept_h0"
+      }
+      Row(r.getAs[Long]("bucket"), cn, cs, llr, lo, up, decided)
+    }
+    val schema = StructType(Seq(
+      StructField("bucket", LongType), StructField("n", LongType),
+      StructField("successes", LongType), StructField("llr", DoubleType),
+      StructField("lower_bound", DoubleType),
+      StructField("upper_bound", DoubleType),
+      StructField("decision", StringType)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
+
   /** Anytime-valid sample-ratio-mismatch monitor: a Dirichlet-multinomial
     * mixture e-process over cumulative arm counts (Lindon & Malek 2022,
     * "Anytime-Valid Inference For Multinomial Count Data" — the sequential

@@ -376,4 +376,93 @@ object Survival {
     Seq((o1, e1s, vs, chi2, p))
       .toDF("observed1", "expected1", "variance", "chi2", "p_value")
   }
+
+  /** Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978) per group —
+    * the hazard-scale companion to [[kaplanMeierBy]]: Ĥ(t) = Σ_{s≤t} d/n
+    * with variance Σ d/n² (Aalen's form), plus the Fleming-Harrington
+    * survival exp(−Ĥ) that outperforms KM in small risk sets. Read it
+    * when the QUESTION is hazard-shaped ("is the event rate bending?") —
+    * Ĥ is additive, so slope changes are visible where the KM curve
+    * compresses them.
+    *
+    * 100 TB shape: rides [[kaplanMeierBy]]'s checkpointed CELL frame;
+    * both running sums are cell-scale windows partitioned by group
+    * (the [[rmst]] idiom). Returns one row per (group, time):
+    * (group, time, n_risk, n_event, cum_hazard, se, fh_survival). */
+  def nelsonAalen(df: DataFrame, time: Column, event: Column = lit(1),
+                  group: Column = lit("all")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = kaplanMeierBy(df, group, time, event)
+    val w = Window.partitionBy(col("group")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d = col("n_event").cast("double")
+    val n = col("n_risk").cast("double")
+    cells
+      .withColumn("cum_hazard", sum(d / n).over(w))
+      .withColumn("se", sqrt(sum(d / (n * n)).over(w)))
+      .select(col("group"), col("time"), col("n_risk"), col("n_event"),
+        col("cum_hazard"), col("se"),
+        exp(-col("cum_hazard")).as("fh_survival"))
+  }
+
+  /** Competing-risks cumulative incidence (Aalen-Johansen estimator;
+    * Kalbfleisch & Prentice §8.2): with `cause` = 0 for censored and
+    * 1..K for K mutually exclusive event types,
+    *
+    *   CIF_k(t) = Σ_{s ≤ t} Ŝ(s−) · d_k(s)/n(s),
+    *
+    * where Ŝ is the ALL-cause KM curve. This is the correct "share who
+    * churned for reason k by day t" — the naive per-cause KM (1 − KM_k,
+    * treating other causes as censoring) over-counts whenever competing
+    * events remove subjects, and the identity Σ_k CIF_k = 1 − Ŝ (pinned
+    * in the unit spec) only holds for this estimator.
+    *
+    * 100 TB shape: ONE groupBy to (time, cause) cells + ONE to time
+    * cells; at-risk counts and the exclusive log-survival prefix ride
+    * [[RangeCumSum]] (the [[kaplanMeier]] idiom — no global-order
+    * window over rows); the per-cause running sum is a cell-scale window
+    * partitioned by cause. Returns one row per (cause, time) for causes
+    * with events, ascending: (cause, time, n_risk, n_event, cif). */
+  def cumulativeIncidence(df: DataFrame, time: Column,
+                          cause: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ci = cause.cast("int")
+    // checkpointed, not persisted: the frame is read by the all-cause
+    // pass AND the final join, and a checkpoint routes its release
+    // through the house Ckpt registry (query-boundary sweep)
+    val byTC: DataFrame = graft.Ckpt.checkpoint(
+      df.filter(time.isNotNull && ci.isNotNull)
+        .groupBy(time.as("time"), ci.as("cause"))
+        .agg(count(lit(1)).as("cnt")))
+    locally {
+      val byT = byTC.groupBy(col("time"))
+        .agg(sum(col("cnt")).as("n_total"),
+          sum(when(col("cause") > 0, col("cnt")).otherwise(0L)).as("d_all"))
+      val perTime = RangeCumSum.withCumSums(byT, Seq(col("time")),
+          Seq("n_total")) { (cum, totals) =>
+        val atRisk = (lit(totals("n_total")) -
+          (col("cum_n_total") - col("n_total"))).cast("long")
+        val withLog = cum.withColumn("n_risk", atRisk)
+          .withColumn("__lt",
+            when(col("d_all") === col("n_risk"), lit(0.0)) // terminal cell
+              .otherwise(log(lit(1.0) - col("d_all") / col("n_risk"))))
+        RangeCumSum.withCumSums(withLog, Seq(col("time")), Seq("__lt")) {
+          (cum2, _) =>
+            // S(t−) needs the EXCLUSIVE prefix — subtract the own term
+            cum2.select(col("time"), col("n_risk"),
+                exp(col("cum___lt") - col("__lt")).as("s_minus"))
+              .transform(d => graft.Ckpt.register(d.localCheckpoint()))
+        }
+      }
+      val w = Window.partitionBy(col("cause")).orderBy(col("time"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byTC.filter(col("cause") > 0)
+        .join(perTime, "time")
+        .withColumn("__term",
+          col("s_minus") * col("cnt") / col("n_risk"))
+        .withColumn("cif", sum(col("__term")).over(w))
+        .select(col("cause"), col("time"), col("n_risk"),
+          col("cnt").as("n_event"), col("cif"))
+    }
+  }
 }

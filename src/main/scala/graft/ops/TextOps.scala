@@ -156,6 +156,36 @@ object TextOps {
     }
   }
 
+  /** Chao1 vocabulary-richness estimate + Good-Turing coverage (Chao
+    * 1984; Good 1953) — "how much vocabulary has this corpus slice NOT
+    * shown yet": the unseen-species estimate that tells a data-mixing
+    * pipeline whether another crawl shard still adds lexical diversity
+    * or only repeats the head.
+    *
+    *   chao1 = D + f₁(f₁−1)/(2(f₂+1))   (bias-corrected form, defined
+    *                                      even when no token occurs twice)
+    *   coverage = 1 − f₁/N              (Good-Turing sample coverage)
+    *
+    * 100 TB shape: [[vocabulary]]'s ONE token-keyed exchange, then ONE
+    * cell aggregate over the frequency spectrum — vocabulary cardinality
+    * unbounded, nothing collected. Everything replays in two-level SQL.
+    * Returns one row: (terms, total_tokens, f1, f2, chao1, coverage). */
+  def chao1(df: DataFrame, text: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = vocabulary(df, text).agg(
+      count(lit(1)).as("terms"), sum(col("n")).as("tot"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2")).head()
+    val terms = r.getAs[Long]("terms")
+    require(terms > 0, "chao1: the corpus has no tokens")
+    val (f1, f2) = (r.getAs[Long]("f1"), r.getAs[Long]("f2"))
+    val chao = terms + f1.toDouble * (f1 - 1) / (2.0 * (f2 + 1))
+    val cov = 1.0 - f1.toDouble / r.getAs[Long]("tot")
+    Seq((terms, r.getAs[Long]("tot"), f1, f2, chao, cov))
+      .toDF("terms", "total_tokens", "f1", "f2", "chao1", "coverage")
+  }
+
   /** Gopher-style hard quality gates (Rae et al. 2021, appendix A1
     * subset): token-count bounds, mean-word-length bounds, duplicate-line
     * and top-bigram repetition caps, minimum stopword share. Unlike
