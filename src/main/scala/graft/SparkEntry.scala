@@ -2136,6 +2136,246 @@ object SparkEntry {
           round(col("tau"), 6).as("tau"), round(col("se"), 6).as("se"),
           round(col("z"), 4).as("z"))
     }),
+    "q194_mantel_haenszel" -> ((s, d) => {
+      // stratum-adjusted OR: treatment from event parity, outcome rate
+      // 30% vs 50% planted via the PARITY-FREE half-index (the BayesSpec
+      // lesson: id%k shares parity with id%2), shifted per stratum
+      t(s, d, "events")
+        .selectExpr("event_type AS stratum", "event_id % 2 AS t",
+          "CASE WHEN (CAST(floor(event_id / 2) AS BIGINT) * 7 " +
+            "+ length(event_type) * 3) % 10 < 3 + 2 * (event_id % 2) " +
+            "THEN 1 ELSE 0 END AS y")
+        .createOrReplaceTempView("ev_mh")
+      GraftGateway.sql(s, "SELECT mantel_haenszel(stratum, t, y) FROM ev_mh")
+        .select(col("strata"), col("strata_skipped"), col("n"),
+          round(col("or_mh"), 6).as("or_mh"),
+          round(col("log_or_se"), 6).as("log_or_se"),
+          round(col("cmh_chisq"), 4).as("cmh_chisq"))
+    }),
+    "q195_fisher_exact" -> ((s, d) => {
+      // small-table exact test: 200 paired binaries, b-rate 20% vs 50%
+      // by arm — the hypergeometric enumeration replays via
+      // generate_series + lgamma
+      t(s, d, "events").filter(col("event_id") < 200)
+        .selectExpr("event_id % 2 AS a",
+          "CASE WHEN (CAST(floor(event_id / 2) AS BIGINT) * 11) % 10 " +
+            "< 2 + 3 * (event_id % 2) THEN 1 ELSE 0 END AS b")
+        .createOrReplaceTempView("ev_fx")
+      GraftGateway.sql(s, "SELECT fisher_exact(a, b) FROM ev_fx")
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          round(col("odds_ratio"), 6).as("odds_ratio"),
+          round(col("p_two_sided"), 8).as("p_two_sided"),
+          round(col("p_greater"), 8).as("p_greater"))
+    }),
+    "q196_kruskal_wallis" -> ((s, d) => {
+      // k-group rank test of quantity across return flags: tie-group
+      // average ranks (heavy ties — quantity is integer-valued), rank
+      // sums per group, tie-corrected H; p checks through the statistic
+      t(s, d, "lineitem").createOrReplaceTempView("li_kw")
+      GraftGateway.sql(s,
+          "SELECT kruskal_wallis(l_quantity, l_returnflag) FROM li_kw")
+        .select(col("n"), col("k"), round(col("h"), 4).as("h"),
+          round(col("h_corrected"), 4).as("h_corrected"), col("df"))
+    }),
+    "q197_brunner_munzel" -> ((s, d) => {
+      // heteroskedastic rank test on the tied quantity column: overall
+      // and within-arm average ranks both replay as window constructions
+      t(s, d, "lineitem")
+        .selectExpr("l_quantity AS y", "l_orderkey % 2 AS t")
+        .createOrReplaceTempView("li_bm")
+      GraftGateway.sql(s, "SELECT brunner_munzel(y, t) FROM li_bm")
+        .select(col("n0"), col("n1"), round(col("p_hat"), 6).as("p_hat"),
+          round(col("stat"), 4).as("stat"), round(col("df"), 2).as("df"))
+    }),
+    "q198_effect_size" -> ((s, d) => {
+      // standardized effect sizes for the price metric by order parity:
+      // moments for d/g/Glass, the MW rank machinery for Cliff's delta
+      t(s, d, "lineitem")
+        .selectExpr("l_extendedprice AS y", "l_orderkey % 2 AS t")
+        .createOrReplaceTempView("li_es")
+      GraftGateway.sql(s, "SELECT effect_size(y, t) FROM li_es")
+        .select(col("n0"), col("n1"),
+          round(col("mean_diff"), 4).as("mean_diff"),
+          round(col("cohens_d"), 6).as("cohens_d"),
+          round(col("hedges_g"), 6).as("hedges_g"),
+          round(col("glass_delta"), 6).as("glass_delta"),
+          round(col("cliffs_delta"), 6).as("cliffs_delta"))
+    }),
+    "q199_nelson_aalen" -> ((s, d) => {
+      // cumulative hazard by arm over the q88-style synthetic cohort:
+      // KM cells, then two cell-scale running sums (H and its variance)
+      t(s, d, "events")
+        .selectExpr("event_id % 50 AS time",
+          "CASE WHEN value > 30 THEN 1 ELSE 0 END AS ev",
+          "CASE WHEN event_id % 3 = 0 THEN 'a' ELSE 'b' END AS arm")
+        .createOrReplaceTempView("ev_na")
+      GraftGateway.sql(s, "SELECT nelson_aalen(time, ev, arm) FROM ev_na")
+        .select(col("group"), col("time"), col("n_risk"), col("n_event"),
+          round(col("cum_hazard"), 6).as("cum_hazard"),
+          round(col("se"), 6).as("se"),
+          round(col("fh_survival"), 6).as("fh_survival"))
+        .orderBy(col("group"), col("time"))
+    }),
+    "q200_cumulative_incidence" -> ((s, d) => {
+      // competing risks: cause 0 = censored, 1 and 2 compete; the
+      // Aalen-Johansen CIF replays as windowed SQL (exclusive
+      // log-survival prefix x per-cause hazard increments)
+      t(s, d, "events")
+        .selectExpr("event_id % 40 AS time",
+          "CAST((event_id * 7) % 3 AS INT) AS cause")
+        .createOrReplaceTempView("ev_cif")
+      GraftGateway.sql(s,
+          "SELECT cumulative_incidence(time, cause) FROM ev_cif")
+        .select(col("cause"), col("time"), col("n_risk"), col("n_event"),
+          round(col("cif"), 6).as("cif"))
+        .orderBy(col("cause"), col("time"))
+    }),
+    "q201_ewma" -> ((s, d) => {
+      // EWMA control chart over 100-event periods: the exact recursion
+      // replays as a DuckDB recursive CTE (doubles CAST explicitly —
+      // decimal literals truncate inside recursive CTEs)
+      t(s, d, "events")
+        .selectExpr("CAST(floor(event_id / 100) AS BIGINT) AS period",
+          "value")
+        .createOrReplaceTempView("ev_ew")
+      GraftGateway.sql(s, "SELECT ewma(period, value, 0.3, 3) FROM ev_ew")
+        .select(col("period"), round(col("metric"), 6).as("metric"),
+          round(col("ewma"), 6).as("ewma"),
+          round(col("limit_lower"), 6).as("limit_lower"),
+          round(col("limit_upper"), 6).as("limit_upper"),
+          col("is_anomaly"))
+        .orderBy(col("period"))
+    }),
+    "q202_ljung_box" -> ((s, d) => {
+      // white-noise check of the same period series: 6 lag
+      // autocorrelations + the cumulative Q path
+      t(s, d, "events")
+        .selectExpr("CAST(floor(event_id / 100) AS BIGINT) AS period",
+          "value")
+        .createOrReplaceTempView("ev_lb")
+      GraftGateway.sql(s, "SELECT ljung_box(period, value, 6) FROM ev_lb")
+        .select(col("lag"), round(col("acf"), 6).as("acf"),
+          round(col("q_stat"), 4).as("q_stat"), col("df"))
+        .orderBy(col("lag"))
+    }),
+    "q203_sprt" -> ((s, d) => {
+      // classic Wald SPRT: planted 25% success rate tested as p0=0.2 vs
+      // p1=0.3 over 500-event looks — LLR drifts +0.63/look, so the
+      // board shows 4 'continue' looks, then the H1 crossing sticks
+      t(s, d, "events")
+        .selectExpr("CAST(floor(event_id / 500) AS BIGINT) AS look",
+          "CASE WHEN (event_id * 31) % 100 < 25 THEN 1 ELSE 0 END AS y")
+        .createOrReplaceTempView("ev_sprt")
+      GraftGateway.sql(s, "SELECT sprt(look, y, 0.2, 0.3) FROM ev_sprt")
+        .select(col("bucket"), col("n"), col("successes"),
+          round(col("llr"), 6).as("llr"),
+          round(col("lower_bound"), 6).as("lower_bound"),
+          round(col("upper_bound"), 6).as("upper_bound"), col("decision"))
+        .orderBy(col("bucket"))
+    }),
+    "q204_hosmer_lemeshow" -> ((s, d) => {
+      // calibration GOF: a deliberately miscalibrated score (rate is a
+      // damped version of the score) — deciles via the house exact
+      // percentile, so the oracle's quantile_cont bins agree exactly
+      t(s, d, "lineitem")
+        .selectExpr(
+          // integer/integer division is DOUBLE in both engines; DIV/'//'
+          // keeps the label cut in integer arithmetic (no decimal-cast
+          // rounding divergence between Spark and DuckDB)
+          "(l_partkey % 97) / 193 + 0.2 AS score",
+          "CASE WHEN (l_partkey * 13) % 193 < 39 + " +
+            "((l_partkey % 97) * 7) DIV 10 THEN 1 ELSE 0 END AS y")
+        .createOrReplaceTempView("li_hl")
+      GraftGateway.sql(s, "SELECT hosmer_lemeshow(y, score) FROM li_hl")
+        .select(col("n"), col("bins"), round(col("chisq"), 4).as("chisq"),
+          col("df"))
+    }),
+    "q205_classification_report" -> ((s, d) => {
+      // one-threshold eval: label and prediction overlap by construction
+      // (both threshold the same hash stream at different cuts)
+      t(s, d, "events")
+        .selectExpr(
+          "CASE WHEN (event_id * 7) % 10 < 4 THEN 1 ELSE 0 END AS y",
+          "CASE WHEN (event_id * 7) % 10 < 3 OR (event_id * 3) % 20 = 0 " +
+            "THEN 1 ELSE 0 END AS yhat")
+        .createOrReplaceTempView("ev_cr")
+      GraftGateway.sql(s, "SELECT classification_report(y, yhat) FROM ev_cr")
+        .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("accuracy"), 6).as("accuracy"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"), round(col("mcc"), 6).as("mcc"))
+    }),
+    "q206_cronbach_alpha" -> ((s, d) => {
+      // 3-item scale sharing the quantity factor plus independent
+      // integer noise — alpha lands mid-range, far from 0 and 1
+      t(s, d, "lineitem")
+        .selectExpr("l_quantity + (l_partkey % 7) AS i1",
+          "l_quantity + (l_suppkey % 5) AS i2",
+          "l_quantity + (l_orderkey % 3) AS i3")
+        .createOrReplaceTempView("li_ca")
+      GraftGateway.sql(s, "SELECT cronbach_alpha(i1, i2, i3) FROM li_ca")
+        .select(col("n"), col("k"),
+          round(col("sum_item_var"), 4).as("sum_item_var"),
+          round(col("total_var"), 4).as("total_var"),
+          round(col("alpha"), 6).as("alpha"))
+    }),
+    "q207_oaxaca_blinder" -> ((s, d) => {
+      // price-gap decomposition by order parity with quantity as the
+      // composition covariate: both group fits ride one scan; the
+      // two-fold identity (gap = explained + unexplained) is exact
+      t(s, d, "lineitem")
+        .selectExpr("l_extendedprice AS y", "l_orderkey % 2 AS g",
+          "l_quantity AS x")
+        .createOrReplaceTempView("li_ob")
+      GraftGateway.sql(s, "SELECT oaxaca_blinder(y, g, x) FROM li_ob")
+        .select(col("n0"), col("n1"), round(col("gap"), 4).as("gap"),
+          round(col("explained"), 4).as("explained"),
+          round(col("unexplained"), 4).as("unexplained"))
+    }),
+    "q208_chao1" -> ((s, d) => {
+      // unseen-vocabulary estimate over the corpus: q96's tokenization,
+      // frequency spectrum, bias-corrected chao1 + Good-Turing coverage
+      t(s, d, "documents").createOrReplaceTempView("doc_c1")
+      GraftGateway.sql(s, "SELECT chao1(text) FROM doc_c1")
+        .select(col("terms"), col("total_tokens"), col("f1"), col("f2"),
+          round(col("chao1"), 4).as("chao1"),
+          round(col("coverage"), 6).as("coverage"))
+    }),
+    "q209_kmeans" -> ((s, d) => {
+      // distributed Lloyd's, k=4, 2 iterations, init = 4 lowest vec_ids:
+      // deterministic end to end, so DuckDB replays both iterations with
+      // list arithmetic and the cluster sizes/inertia hash-match
+      t(s, d, "embeddings").createOrReplaceTempView("emb_km")
+      GraftGateway.sql(s,
+          "SELECT kmeans(vec_id, embedding, 4, 2) FROM emb_km")
+        .select(col("cluster"), col("n"),
+          round(col("inertia"), 3).as("inertia"))
+        .orderBy(col("cluster"))
+    }),
+    "q210_ordinal_assoc" -> ((s, d) => {
+      // tau-b / gamma / Somers' D between quantity and a price bucket:
+      // ~1000 cells, pair counting on cells both sides
+      t(s, d, "lineitem")
+        .selectExpr("CAST(l_quantity AS BIGINT) AS x",
+          "CAST(floor(l_extendedprice / 5000) AS BIGINT) AS y")
+        .createOrReplaceTempView("li_oa")
+      GraftGateway.sql(s, "SELECT ordinal_assoc(x, y) FROM li_oa")
+        .select(col("n"), col("cells"), col("concordant"),
+          col("discordant"), round(col("tau_b"), 6).as("tau_b"),
+          round(col("gamma"), 6).as("gamma"),
+          round(col("somers_d"), 6).as("somers_d"))
+    }),
+    "q211_mood_median" -> ((s, d) => {
+      // median test of price across return flags: pooled exact median
+      // (house percentile == quantile_cont), 2xk chi-square
+      t(s, d, "lineitem").createOrReplaceTempView("li_mm")
+      GraftGateway.sql(s,
+          "SELECT mood_median(l_extendedprice, l_returnflag) FROM li_mm")
+        .select(col("n"), col("k"),
+          round(col("grand_median"), 4).as("grand_median"),
+          round(col("chisq"), 4).as("chisq"), col("df"))
+    }),
     "q193_zipf_fit" -> ((s, d) => {
       // corpus Zipf diagnostics over the documents table: vocabulary
       // cells, distributed rank, one moment aggregate — slope/r2 replay
@@ -3840,6 +4080,494 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q194_mantel_haenszel" ->
+      // per-stratum 2x2 cells, MH/RBG/CMH closed forms over cell sums
+      """WITH b AS (SELECT event_type AS s, event_id % 2 AS t,
+        |    CASE WHEN (CAST(floor(event_id / 2) AS BIGINT) * 7
+        |      + length(event_type) * 3) % 10 < 3 + 2 * (event_id % 2)
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |cells AS (SELECT s,
+        |    CAST(sum(CASE WHEN t=1 AND y=1 THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+        |    CAST(sum(CASE WHEN t=1 AND y=0 THEN 1 ELSE 0 END) AS DOUBLE) AS b2,
+        |    CAST(sum(CASE WHEN t=0 AND y=1 THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+        |    CAST(sum(CASE WHEN t=0 AND y=0 THEN 1 ELSE 0 END) AS DOUBLE) AS d
+        |  FROM b GROUP BY s),
+        |k AS (SELECT a, b2, c, d, a+b2+c+d AS n FROM cells
+        |  WHERE a+b2+c+d >= 2),
+        |agg AS (SELECT count(*) AS strata, sum(n) AS ntot,
+        |    sum(a*d/n) AS sumr, sum(b2*c/n) AS sums,
+        |    sum((a+d)/n * (a*d/n)) AS sumpr,
+        |    sum((a+d)/n * (b2*c/n) + (b2+c)/n * (a*d/n)) AS sumpsqr,
+        |    sum((b2+c)/n * (b2*c/n)) AS sumqs,
+        |    sum(a) AS suma, sum((a+b2)*(a+c)/n) AS sumea,
+        |    sum((a+b2)*(c+d)*(a+c)*(b2+d)/(n*n*(n-1))) AS sumva
+        |  FROM k),
+        |skip AS (SELECT count(*) AS sk FROM cells WHERE a+b2+c+d < 2)
+        |SELECT CAST(strata AS BIGINT) AS strata,
+        |  CAST(sk AS BIGINT) AS strata_skipped, CAST(ntot AS BIGINT) AS n,
+        |  round(sumr/sums, 6) AS or_mh,
+        |  round(sqrt(sumpr/(2*sumr*sumr) + sumpsqr/(2*sumr*sums)
+        |    + sumqs/(2*sums*sums)), 6) AS log_or_se,
+        |  round((suma-sumea)*(suma-sumea)/sumva, 4) AS cmh_chisq
+        |FROM agg, skip""".stripMargin,
+    "q195_fisher_exact" ->
+      // hypergeometric support enumeration via generate_series + lgamma;
+      // the two-sided rule is "tables at most as likely", R's tolerance
+      """WITH b AS (SELECT event_id % 2 AS a,
+        |    CASE WHEN (CAST(floor(event_id / 2) AS BIGINT) * 11) % 10
+        |      < 2 + 3 * (event_id % 2) THEN 1 ELSE 0 END AS bb
+        |  FROM events WHERE event_id < 200),
+        |m AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN a=1 AND bb=1 THEN 1 ELSE 0 END) AS n11,
+        |    sum(CASE WHEN a=1 AND bb=0 THEN 1 ELSE 0 END) AS n10,
+        |    sum(CASE WHEN a=0 AND bb=1 THEN 1 ELSE 0 END) AS n01,
+        |    sum(CASE WHEN a=0 AND bb=0 THEN 1 ELSE 0 END) AS n00
+        |  FROM b),
+        |mm AS (SELECT *, n11+n10 AS r1, n11+n01 AS c1 FROM m),
+        |lp AS (SELECT g.k AS k, mm.n11,
+        |    lgamma(r1+1.0)-lgamma(g.k+1.0)-lgamma(r1-g.k+1.0)
+        |    + lgamma(n-r1+1.0)-lgamma(c1-g.k+1.0)-lgamma(n-r1-c1+g.k+1.0)
+        |    - (lgamma(n+1.0)-lgamma(c1+1.0)-lgamma(n-c1+1.0)) AS l
+        |  FROM mm, generate_series(0, 200) g(k)
+        |  WHERE g.k >= greatest(0, r1 + c1 - n) AND g.k <= least(r1, c1)),
+        |obs AS (SELECT l AS lobs FROM lp WHERE k = n11)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+        |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+        |  CAST(n00 AS BIGINT) AS n00,
+        |  round(CAST(n11 AS DOUBLE)*n00/(CAST(n10 AS DOUBLE)*n01), 6)
+        |    AS odds_ratio,
+        |  round(least(1.0, (SELECT sum(exp(l)) FROM lp, obs
+        |    WHERE l <= lobs + ln(1.0000001))), 8) AS p_two_sided,
+        |  round(least(1.0, (SELECT sum(exp(lp.l)) FROM lp, mm
+        |    WHERE lp.k >= mm.n11)), 8) AS p_greater
+        |FROM mm""".stripMargin,
+    "q196_kruskal_wallis" ->
+      // window average ranks (min-rank + (ties−1)/2), centered H form,
+      // tie correction from the value-cell spectrum
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |    l_returnflag AS g FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+        |r AS (SELECT g, rank() OVER (ORDER BY v)
+        |    + (count(*) OVER (PARTITION BY v) - 1) / CAST(2 AS DOUBLE) AS ar
+        |  FROM b),
+        |pg AS (SELECT g, count(*) AS ng, sum(ar) AS rg FROM r GROUP BY g),
+        |tie AS (SELECT sum(CAST(cnt AS DOUBLE)*cnt*cnt - cnt) AS tn
+        |  FROM (SELECT count(*) AS cnt FROM b GROUP BY v)),
+        |tot AS (SELECT count(*) AS k, sum(ng) AS n FROM pg),
+        |dev AS (SELECT sum(ng * (rg/ng - (tot.n+1)/CAST(2 AS DOUBLE))
+        |    * (rg/ng - (tot.n+1)/CAST(2 AS DOUBLE))) AS dv
+        |  FROM pg, tot GROUP BY tot.n)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  round(12.0/(CAST(n AS DOUBLE)*(n+1)) * dv, 4) AS h,
+        |  round(12.0/(CAST(n AS DOUBLE)*(n+1)) * dv
+        |    / (1 - tn/(CAST(n AS DOUBLE)*n*n - n)), 4) AS h_corrected,
+        |  CAST(k - 1 AS BIGINT) AS df
+        |FROM tot, tie, dev""".stripMargin,
+    "q197_brunner_munzel" ->
+      // overall + within-arm window ranks; rank-difference variances per
+      // arm; the BM t statistic with Satterthwaite df
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |    l_orderkey % 2 AS t FROM lineitem),
+        |r AS (SELECT t,
+        |    rank() OVER (ORDER BY v)
+        |      + (count(*) OVER (PARTITION BY v) - 1)
+        |        / CAST(2 AS DOUBLE) AS ovr,
+        |    rank() OVER (PARTITION BY t ORDER BY v)
+        |      + (count(*) OVER (PARTITION BY t, v) - 1)
+        |        / CAST(2 AS DOUBLE) AS wr
+        |  FROM b),
+        |g AS (SELECT t, count(*) AS ng, avg(ovr) AS m,
+        |    (sum((ovr-wr)*(ovr-wr)) - sum(ovr-wr)*sum(ovr-wr)/count(*))
+        |      / (count(*) - 1) AS s2
+        |  FROM r GROUP BY t),
+        |w AS (SELECT
+        |    max(CASE WHEN t=0 THEN ng END) AS n0,
+        |    max(CASE WHEN t=1 THEN ng END) AS n1,
+        |    max(CASE WHEN t=0 THEN m END) AS m0,
+        |    max(CASE WHEN t=1 THEN m END) AS m1,
+        |    max(CASE WHEN t=0 THEN s2 END) AS v0,
+        |    max(CASE WHEN t=1 THEN s2 END) AS v1
+        |  FROM g)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  round((m1 - (n1+1)/CAST(2 AS DOUBLE))/n0, 6) AS p_hat,
+        |  round(n0*n1*(m1-m0) / ((n0+n1) * sqrt(n0*v0 + n1*v1)), 4) AS stat,
+        |  round((n0*v0 + n1*v1)*(n0*v0 + n1*v1)
+        |    / (v0*v0*n0*n0/(n0-1) + v1*v1*n1*n1/(n1-1)), 2) AS df
+        |FROM w""".stripMargin,
+    "q198_effect_size" ->
+      // moments for d/g/Glass; Cliff via the arm-1 rank sum
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    l_orderkey % 2 AS t FROM lineitem),
+        |m AS (SELECT
+        |    sum(CASE WHEN t=0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN t=1 THEN 1 ELSE 0 END) AS n1,
+        |    avg(CASE WHEN t=0 THEN v END) AS m0,
+        |    avg(CASE WHEN t=1 THEN v END) AS m1,
+        |    var_samp(CASE WHEN t=0 THEN v END) AS v0,
+        |    var_samp(CASE WHEN t=1 THEN v END) AS v1
+        |  FROM b),
+        |r AS (SELECT t, rank() OVER (ORDER BY v)
+        |    + (count(*) OVER (PARTITION BY v) - 1) / CAST(2 AS DOUBLE) AS ar
+        |  FROM b),
+        |r1 AS (SELECT sum(ar) AS rs FROM r WHERE t = 1)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  round(m1 - m0, 4) AS mean_diff,
+        |  round((m1-m0)/sqrt(((n0-1)*v0 + (n1-1)*v1)/(n0+n1-2)), 6)
+        |    AS cohens_d,
+        |  round((m1-m0)/sqrt(((n0-1)*v0 + (n1-1)*v1)/(n0+n1-2))
+        |    * (1 - 3.0/(4*(n0+n1) - 9)), 6) AS hedges_g,
+        |  round((m1-m0)/sqrt(v0), 6) AS glass_delta,
+        |  round(2*(rs - n1*(CAST(n1 AS DOUBLE)+1)/2)
+        |    / (CAST(n0 AS DOUBLE)*n1) - 1, 6) AS cliffs_delta
+        |FROM m, r1""".stripMargin,
+    "q199_nelson_aalen" ->
+      // per-group KM cells (at-risk by cumulative exit counts), then
+      // running sums of d/n and d/n² — all windowed over cells
+      """WITH b AS (SELECT event_id % 50 AS time,
+        |    CASE WHEN value > 30 THEN 1 ELSE 0 END AS ev,
+        |    CASE WHEN event_id % 3 = 0 THEN 'a' ELSE 'b' END AS arm
+        |  FROM events),
+        |cells AS (SELECT arm, time, sum(ev) AS d, count(*) AS x
+        |  FROM b GROUP BY arm, time),
+        |cum AS (SELECT arm, time, d,
+        |    sum(x) OVER (PARTITION BY arm) -
+        |      coalesce(sum(x) OVER (PARTITION BY arm ORDER BY time
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM cells)
+        |SELECT arm AS "group", time, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_event,
+        |  round(sum(CAST(d AS DOUBLE)/n_risk) OVER w, 6) AS cum_hazard,
+        |  round(sqrt(sum(CAST(d AS DOUBLE)/(CAST(n_risk AS DOUBLE)*n_risk))
+        |    OVER w), 6) AS se,
+        |  round(exp(-(sum(CAST(d AS DOUBLE)/n_risk) OVER w)), 6)
+        |    AS fh_survival
+        |FROM cum
+        |WINDOW w AS (PARTITION BY arm ORDER BY time
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY "group", time""".stripMargin,
+    "q200_cumulative_incidence" ->
+      // all-cause exclusive log-survival prefix x per-cause hazard
+      // increments, cumulated per cause — Aalen-Johansen in windows
+      """WITH b AS (SELECT event_id % 40 AS time,
+        |    CAST((event_id * 7) % 3 AS INT) AS cause FROM events),
+        |tc AS (SELECT time, cause, count(*) AS cnt FROM b
+        |  GROUP BY time, cause),
+        |tt AS (SELECT time, sum(cnt) AS n_total,
+        |    sum(CASE WHEN cause > 0 THEN cnt ELSE 0 END) AS d_all
+        |  FROM tc GROUP BY time),
+        |cum AS (SELECT time, d_all,
+        |    sum(n_total) OVER () -
+        |      coalesce(sum(n_total) OVER (ORDER BY time
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM tt),
+        |lt AS (SELECT time, n_risk,
+        |    CASE WHEN d_all = n_risk THEN CAST(0 AS DOUBLE)
+        |      ELSE ln(1 - CAST(d_all AS DOUBLE)/n_risk) END AS l
+        |  FROM cum),
+        |sm AS (SELECT time, n_risk,
+        |    exp(coalesce(sum(l) OVER (ORDER BY time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      AS s_minus
+        |  FROM lt)
+        |SELECT tc.cause, tc.time, CAST(sm.n_risk AS BIGINT) AS n_risk,
+        |  CAST(tc.cnt AS BIGINT) AS n_event,
+        |  round(sum(sm.s_minus * tc.cnt / sm.n_risk)
+        |    OVER (PARTITION BY tc.cause ORDER BY tc.time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif
+        |FROM tc JOIN sm ON tc.time = sm.time
+        |WHERE tc.cause > 0
+        |ORDER BY tc.cause, tc.time""".stripMargin,
+    "q201_ewma" ->
+      // the exact recursion as a recursive CTE (all-DOUBLE casts:
+      // decimal literals truncate inside recursive CTEs); limits from
+      // the closed-form variance ramp
+      """WITH RECURSIVE cells AS (
+        |  SELECT CAST(floor(event_id / 100) AS BIGINT) AS period,
+        |    avg(value) AS metric
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |idx AS (SELECT period, metric,
+        |    row_number() OVER (ORDER BY period) - 1 AS i FROM cells),
+        |st AS (SELECT CAST(avg(metric) AS DOUBLE) AS mu,
+        |    CAST(stddev_samp(metric) AS DOUBLE) AS sd,
+        |    count(*) AS t FROM cells),
+        |w(i, z) AS (
+        |  SELECT -1, (SELECT mu FROM st)
+        |  UNION ALL
+        |  SELECT w.i + 1,
+        |    CAST(0.3 AS DOUBLE) * idx.metric + CAST(0.7 AS DOUBLE) * w.z
+        |  FROM w JOIN idx ON idx.i = w.i + 1)
+        |SELECT idx.period, round(idx.metric, 6) AS metric,
+        |  round(w.z, 6) AS ewma,
+        |  round(st.mu - 3*st.sd*sqrt(CAST(0.3 AS DOUBLE)/1.7
+        |    * (1 - pow(CAST(0.7 AS DOUBLE), 2.0*(idx.i+1)))), 6)
+        |    AS limit_lower,
+        |  round(st.mu + 3*st.sd*sqrt(CAST(0.3 AS DOUBLE)/1.7
+        |    * (1 - pow(CAST(0.7 AS DOUBLE), 2.0*(idx.i+1)))), 6)
+        |    AS limit_upper,
+        |  abs(w.z - st.mu) > 3*st.sd*sqrt(CAST(0.3 AS DOUBLE)/1.7
+        |    * (1 - pow(CAST(0.7 AS DOUBLE), 2.0*(idx.i+1)))) AS is_anomaly
+        |FROM idx JOIN w ON w.i = idx.i, st
+        |ORDER BY idx.period""".stripMargin,
+    "q202_ljung_box" ->
+      // lag-k cross sums via a dense-index self-join; cumulative Q over
+      // the lag table
+      """WITH cells AS (
+        |  SELECT CAST(floor(event_id / 100) AS BIGINT) AS period,
+        |    avg(value) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |st AS (SELECT count(*) AS t, avg(y) AS mu,
+        |    sum(y*y) - sum(y)*avg(y) AS denom FROM cells),
+        |idx AS (SELECT y, row_number() OVER (ORDER BY period) AS i
+        |  FROM cells),
+        |lagk AS (SELECT g.k AS lag,
+        |    sum((a.y - st.mu) * (b.y - st.mu)) AS sk
+        |  FROM generate_series(1, 6) g(k)
+        |  JOIN idx a ON true JOIN idx b ON b.i = a.i + g.k, st
+        |  GROUP BY g.k),
+        |acf AS (SELECT lag, sk / st.denom AS r,
+        |    st.t*(st.t+2.0) * (sk/st.denom)*(sk/st.denom) / (st.t - lag)
+        |      AS qterm
+        |  FROM lagk, st)
+        |SELECT CAST(lag AS BIGINT) AS lag, round(r, 6) AS acf,
+        |  round(sum(qterm) OVER (ORDER BY lag
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS q_stat,
+        |  CAST(lag AS BIGINT) AS df
+        |FROM acf ORDER BY lag""".stripMargin,
+    "q203_sprt" ->
+      // cumulative LLR per look; sticky decision from the FIRST
+      // bound-crossing look
+      """WITH b AS (SELECT CAST(floor(event_id / 500) AS BIGINT) AS look,
+        |    CASE WHEN (event_id * 31) % 100 < 25 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |cells AS (SELECT look, count(*) AS n, sum(y) AS s FROM b
+        |  GROUP BY look),
+        |cum AS (SELECT look,
+        |    sum(n) OVER w AS cn, sum(s) OVER w AS cs
+        |  FROM cells
+        |  WINDOW w AS (ORDER BY look
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |llr AS (SELECT look, cn, cs,
+        |    cs * ln(CAST(0.3 AS DOUBLE)/0.2)
+        |      + (cn - cs) * ln(CAST(0.7 AS DOUBLE)/0.8) AS l
+        |  FROM cum),
+        |cross1 AS (SELECT min(CASE WHEN l >= ln(0.8/0.05) THEN look END)
+        |      AS up1,
+        |    min(CASE WHEN l <= ln(0.2/0.95) THEN look END) AS lo1
+        |  FROM llr)
+        |SELECT look AS bucket, CAST(cn AS BIGINT) AS n,
+        |  CAST(cs AS BIGINT) AS successes, round(l, 6) AS llr,
+        |  round(ln(0.2/0.95), 6) AS lower_bound,
+        |  round(ln(0.8/0.05), 6) AS upper_bound,
+        |  CASE
+        |    WHEN up1 IS NOT NULL AND (lo1 IS NULL OR up1 <= lo1)
+        |      AND look >= up1 THEN 'accept_h1'
+        |    WHEN lo1 IS NOT NULL AND (up1 IS NULL OR lo1 < up1)
+        |      AND look >= lo1 THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision
+        |FROM llr, cross1 ORDER BY look""".stripMargin,
+    "q204_hosmer_lemeshow" ->
+      // exact decile cuts (quantile_cont == house percentile), bins by
+      // strictly-above threshold count, the HL chi-square over bins
+      """WITH b AS (SELECT
+        |    (l_partkey % 97) / 193 + 0.2 AS s,
+        |    CASE WHEN (l_partkey * 13) % 193 < 39 +
+        |      ((l_partkey % 97) * 7) // 10 THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |q AS (SELECT quantile_cont(s, 0.1) q1, quantile_cont(s, 0.2) q2,
+        |    quantile_cont(s, 0.3) q3, quantile_cont(s, 0.4) q4,
+        |    quantile_cont(s, 0.5) q5, quantile_cont(s, 0.6) q6,
+        |    quantile_cont(s, 0.7) q7, quantile_cont(s, 0.8) q8,
+        |    quantile_cont(s, 0.9) q9 FROM b),
+        |binned AS (SELECT y, s,
+        |    (CASE WHEN s > q1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN s > q2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN s > q3 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN s > q4 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN s > q5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN s > q6 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN s > q7 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN s > q8 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN s > q9 THEN 1 ELSE 0 END) AS bin
+        |  FROM b, q),
+        |cells AS (SELECT bin, count(*) AS n, sum(y) AS o, sum(s) AS e
+        |  FROM binned GROUP BY bin)
+        |SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS bins,
+        |  round(sum((o - e)*(o - e) / (e * (1 - e/n))), 4) AS chisq,
+        |  CAST(count(*) - 2 AS BIGINT) AS df
+        |FROM cells""".stripMargin,
+    "q205_classification_report" ->
+      // confusion counts + closed-form threshold metrics
+      """WITH b AS (SELECT
+        |    CASE WHEN (event_id * 7) % 10 < 4 THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN (event_id * 7) % 10 < 3 OR (event_id * 3) % 20 = 0
+        |      THEN 1 ELSE 0 END AS yh
+        |  FROM events),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN y=1 AND yh=1 THEN 1 ELSE 0 END) AS DOUBLE) tp,
+        |    CAST(sum(CASE WHEN y=0 AND yh=1 THEN 1 ELSE 0 END) AS DOUBLE) fp,
+        |    CAST(sum(CASE WHEN y=1 AND yh=0 THEN 1 ELSE 0 END) AS DOUBLE) fn,
+        |    CAST(sum(CASE WHEN y=0 AND yh=0 THEN 1 ELSE 0 END) AS DOUBLE) tn
+        |  FROM b)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |  CAST(tn AS BIGINT) AS tn,
+        |  round((tp + tn) / n, 6) AS accuracy,
+        |  round(tp / (tp + fp), 6) AS precision,
+        |  round(tp / (tp + fn), 6) AS recall,
+        |  round(2 * (tp/(tp+fp)) * (tp/(tp+fn))
+        |    / (tp/(tp+fp) + tp/(tp+fn)), 6) AS f1,
+        |  round((tp*tn - fp*fn)
+        |    / sqrt((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)), 6) AS mcc
+        |FROM m""".stripMargin,
+    "q206_cronbach_alpha" ->
+      // per-item + total-score variances in one pass, alpha closed form
+      """WITH b AS (SELECT
+        |    CAST(l_quantity + (l_partkey % 7) AS DOUBLE) AS i1,
+        |    CAST(l_quantity + (l_suppkey % 5) AS DOUBLE) AS i2,
+        |    CAST(l_quantity + (l_orderkey % 3) AS DOUBLE) AS i3
+        |  FROM lineitem),
+        |m AS (SELECT count(*) AS n,
+        |    (sum(i1*i1) - sum(i1)*sum(i1)/count(*)) / (count(*) - 1)
+        |    + (sum(i2*i2) - sum(i2)*sum(i2)/count(*)) / (count(*) - 1)
+        |    + (sum(i3*i3) - sum(i3)*sum(i3)/count(*)) / (count(*) - 1)
+        |      AS iv,
+        |    (sum((i1+i2+i3)*(i1+i2+i3))
+        |      - sum(i1+i2+i3)*sum(i1+i2+i3)/count(*)) / (count(*) - 1) AS tv
+        |  FROM b)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k,
+        |  round(iv, 4) AS sum_item_var, round(tv, 4) AS total_var,
+        |  round(3.0/2 * (1 - iv/tv), 6) AS alpha
+        |FROM m""".stripMargin,
+    "q207_oaxaca_blinder" ->
+      // per-group slope from cov/var (k=1 closed form), two-fold
+      // decomposition at group-0 coefficients
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+        |    l_orderkey % 2 AS g, CAST(l_quantity AS DOUBLE) AS x
+        |  FROM lineitem),
+        |m AS (SELECT g, count(*) AS n, avg(y) AS my, avg(x) AS mx,
+        |    (sum(x*y) - sum(x)*sum(y)/count(*))
+        |      / (sum(x*x) - sum(x)*sum(x)/count(*)) AS beta
+        |  FROM b GROUP BY g),
+        |w AS (SELECT
+        |    max(CASE WHEN g=0 THEN n END) AS n0,
+        |    max(CASE WHEN g=1 THEN n END) AS n1,
+        |    max(CASE WHEN g=1 THEN my END)
+        |      - max(CASE WHEN g=0 THEN my END) AS gap,
+        |    (max(CASE WHEN g=1 THEN mx END)
+        |      - max(CASE WHEN g=0 THEN mx END))
+        |      * max(CASE WHEN g=0 THEN beta END) AS explained
+        |  FROM m)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  round(gap, 4) AS gap, round(explained, 4) AS explained,
+        |  round(gap - explained, 4) AS unexplained
+        |FROM w""".stripMargin,
+    "q208_chao1" ->
+      // q96's tokenization; frequency spectrum -> chao1 + coverage
+      """WITH v AS (SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  WHERE length(token) > 0 GROUP BY token),
+        |m AS (SELECT count(*) AS terms, sum(n) AS tot,
+        |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+        |    sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2
+        |  FROM v)
+        |SELECT CAST(terms AS BIGINT) AS terms, CAST(tot AS BIGINT)
+        |    AS total_tokens,
+        |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+        |  round(terms + CAST(f1 AS DOUBLE)*(f1-1)/(2.0*(f2+1)), 4) AS chao1,
+        |  round(1 - CAST(f1 AS DOUBLE)/tot, 6) AS coverage
+        |FROM m""".stripMargin,
+    "q209_kmeans" ->
+      // two Lloyd iterations replayed with list arithmetic: init = 4
+      // lowest vec_ids, assignment by min Euclidean (ties -> lower
+      // cluster), centroid update per (cluster, dim), final inertia
+      """WITH init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+        |      AS cluster,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 4),
+        |a1 AS (SELECT e.vec_id, e.embedding, i.cluster,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.cv),
+        |        i.cluster) AS rk
+        |  FROM embeddings e, init i),
+        |c1 AS (SELECT cluster, g.i AS pos,
+        |    avg(CAST(embedding[g.i] AS DOUBLE)) AS v
+        |  FROM a1, generate_series(1, 64) g(i) WHERE rk = 1
+        |  GROUP BY cluster, g.i),
+        |cl1 AS (SELECT cluster, list(v ORDER BY pos) AS cv FROM c1
+        |  GROUP BY cluster),
+        |a2 AS (SELECT e.vec_id, e.embedding, i.cluster,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.cv),
+        |        i.cluster) AS rk
+        |  FROM embeddings e, cl1 i),
+        |c2 AS (SELECT cluster, g.i AS pos,
+        |    avg(CAST(embedding[g.i] AS DOUBLE)) AS v
+        |  FROM a2, generate_series(1, 64) g(i) WHERE rk = 1
+        |  GROUP BY cluster, g.i),
+        |cl2 AS (SELECT cluster, list(v ORDER BY pos) AS cv FROM c2
+        |  GROUP BY cluster),
+        |fin AS (SELECT e.vec_id, i.cluster,
+        |    list_distance(CAST(e.embedding AS DOUBLE[]), i.cv) AS dist,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.cv),
+        |        i.cluster) AS rk
+        |  FROM embeddings e, cl2 i)
+        |SELECT CAST(cluster AS INT) AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(dist * dist), 3) AS inertia
+        |FROM fin WHERE rk = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "q210_ordinal_assoc" ->
+      // concordant/discordant pair counting over the cell self-join
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice / 5000) AS BIGINT) AS y
+        |  FROM lineitem),
+        |cells AS (SELECT x, y, count(*) AS c FROM b GROUP BY x, y),
+        |p AS (SELECT
+        |    sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y)
+        |      THEN CAST(a.c AS DOUBLE)*b.c ELSE 0 END) / 2 AS conc,
+        |    sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y)
+        |      THEN CAST(a.c AS DOUBLE)*b.c ELSE 0 END) / 2 AS disc,
+        |    sum(CASE WHEN a.x = b.x AND a.y <> b.y
+        |      THEN CAST(a.c AS DOUBLE)*b.c ELSE 0 END) / 2 AS tx,
+        |    sum(CASE WHEN a.y = b.y AND a.x <> b.x
+        |      THEN CAST(a.c AS DOUBLE)*b.c ELSE 0 END) / 2 AS ty
+        |  FROM cells a, cells b
+        |  WHERE NOT (a.x = b.x AND a.y = b.y)),
+        |m AS (SELECT count(*) AS nc, sum(c) AS n FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(nc AS BIGINT) AS cells,
+        |  conc AS concordant, disc AS discordant,
+        |  round((conc - disc)/sqrt((conc+disc+tx)*(conc+disc+ty)), 6)
+        |    AS tau_b,
+        |  round((conc - disc)/(conc + disc), 6) AS gamma,
+        |  round((conc - disc)/(conc + disc + ty), 6) AS somers_d
+        |FROM p, m""".stripMargin,
+    "q211_mood_median" ->
+      // pooled exact median, 2xk above/below chi-square
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+        |    l_returnflag AS g FROM lineitem),
+        |md AS (SELECT quantile_cont(y, 0.5) AS m FROM b),
+        |cells AS (SELECT g, count(*) AS ng,
+        |    sum(CASE WHEN y > (SELECT m FROM md) THEN 1 ELSE 0 END) AS ag
+        |  FROM b GROUP BY g),
+        |tot AS (SELECT count(*) AS k, CAST(sum(ng) AS DOUBLE) AS n,
+        |    CAST(sum(ag) AS DOUBLE) AS a FROM cells),
+        |x2 AS (SELECT sum(
+        |    (ag - ng*(tot.a/tot.n))*(ag - ng*(tot.a/tot.n))
+        |      / (ng*(tot.a/tot.n))
+        |    + ((ng-ag) - ng*((tot.n-tot.a)/tot.n))
+        |      * ((ng-ag) - ng*((tot.n-tot.a)/tot.n))
+        |      / (ng*((tot.n-tot.a)/tot.n))) AS chisq
+        |  FROM cells, tot GROUP BY tot.n, tot.a)
+        |SELECT CAST(tot.n AS BIGINT) AS n, CAST(tot.k AS BIGINT) AS k,
+        |  round((SELECT m FROM md), 4) AS grand_median,
+        |  round(x2.chisq, 4) AS chisq, CAST(tot.k - 1 AS BIGINT) AS df
+        |FROM tot, x2""".stripMargin,
     "q193_zipf_fit" ->
       // q96's tokenization, frequency-desc rank, ln-ln OLS closed form
       """WITH v AS (SELECT token, count(*) AS n

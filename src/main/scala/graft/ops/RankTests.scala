@@ -255,7 +255,7 @@ object RankTests {
       .groupBy(yd.as("v"), group.cast("string").as("g"))
       .agg(count(lit(1)).as("cg"))
     byVG.persist()
-    val (ties, tot) = try {
+    val (ties, tot, dev) = try {
       val byV = byVG.groupBy(col("v")).agg(sum(col("cg")).as("cnt"))
       val ranks = avgRankCells(byV)
       try {
@@ -263,12 +263,22 @@ object RankTests {
           .groupBy(col("g"))
           .agg(sum(col("cg")).as("ng"),
             sum(col("cg") * col("avg_rank")).as("rg"))
-        val t = ranks.agg(
-          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tieNum"),
-          max(col("cnt")).as("maxTie")).head()
-        val tt = perG.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
-          sum(col("rg") * col("rg") / col("ng")).as("rsq")).head()
-        (t, tt)
+        perG.persist()
+        try {
+          val t = ranks.agg(
+            sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tieNum"),
+            max(col("cnt")).as("maxTie")).head()
+          val tt = perG.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"))
+            .head()
+          // CENTERED form 12/(N(N+1))·Σ n_g(r̄_g − (N+1)/2)²: the textbook
+          // ΣR_g²/n_g − 3(N+1) subtracts two ~N²-scale terms and loses the
+          // answer to roundoff at row counts where ranks reach 10⁸
+          val mid = (tt.getAs[Long]("n") + 1.0) / 2.0
+          val dv = perG.agg(sum(col("ng") *
+            (col("rg") / col("ng") - mid) * (col("rg") / col("ng") - mid)))
+            .head().getDouble(0)
+          (t, tt, dv)
+        } finally { perG.unpersist(); () }
       } finally graft.Ckpt.release(ranks)
     } finally { byVG.unpersist(); () }
     val k = tot.getAs[Long]("k")
@@ -276,7 +286,7 @@ object RankTests {
     val n = tot.getAs[Long]("n").toDouble
     require(ties.getAs[Long]("maxTie") < tot.getAs[Long]("n"),
       "kruskal_wallis: every value is identical — ranks are degenerate")
-    val h = 12.0 / (n * (n + 1)) * tot.getAs[Double]("rsq") - 3.0 * (n + 1)
+    val h = 12.0 / (n * (n + 1)) * dev
     val c = 1.0 - ties.getAs[Long]("tieNum").toDouble / (n * n * n - n)
     val hc = h / c
     val p = 1.0 - Dist.chiSqCdf(hc, (k - 1).toDouble)
