@@ -353,4 +353,50 @@ class PartitionInvarianceSpec extends AnyFunSuite {
         .getAs[Double]("mi"))
     assertClose(mis, "mutual_info")
   }
+
+  test("round-13 verbs invariant to partitioning: mh, kw, bm, cif, kmeans, oaxaca") {
+    // Mantel-Haenszel: stratum cells merge in any order. Stratum modulus
+    // COPRIME to the t = uin % 2 arm (uin % 6 shares parity: every
+    // stratum would hold a single arm and the table degenerates)
+    val mhs = layouts(base.select(($"uin" % 5).cast("string").as("s"), $"t",
+        ($"y" > 0).cast("int").as("yy")))
+      .map(d => graft.ops.Contingency.mantelHaenszel(d, $"s", $"t", $"yy")
+        .head())
+    assertClose(mhs.map(_.getAs[Double]("or_mh")), "mh or")
+    assertClose(mhs.map(_.getAs[Double]("cmh_chisq")), "mh chisq")
+    // Kruskal-Wallis + Brunner-Munzel: the 3-way rank machinery
+    val kws = layouts(base.select((round($"y", 1)).as("v"),
+        ($"uin" % 3).cast("string").as("g")))
+      .map(d => graft.ops.RankTests.kruskalWallis(d, $"v", $"g").head()
+        .getAs[Double]("h_corrected"))
+    assertClose(kws, "kruskal h")
+    val bms = layouts(base.select((round($"y", 1)).as("v"), $"t"))
+      .map(d => graft.ops.RankTests.brunnerMunzel(d, $"v", $"t").head())
+    assertClose(bms.map(_.getAs[Double]("p_hat")), "bm p_hat")
+    assertClose(bms.map(_.getAs[Double]("stat")), "bm stat")
+    // cumulative incidence: per-(cause,time) curve identical everywhere
+    val cifs = layouts(base.select(($"uin" % 15).as("tm"),
+        ($"uin" % 4).cast("int").as("cause")))
+      .map(d => graft.ops.Survival.cumulativeIncidence(d, $"tm", $"cause")
+        .collect().map(r => (r.getAs[Int]("cause"), r.getAs[Long]("time")) ->
+          r.getAs[Double]("cif")).toMap)
+    cifs.head.keys.foreach { k =>
+      assertClose(cifs.map(_(k)), s"cif $k") }
+    // kmeans: deterministic init + argmin -> identical cluster sizes
+    val vecs = base.select($"uin".as("id"),
+      array($"x", $"y", $"d", ($"uin" % 9).cast("double")).as("v"))
+    val kms = layouts(vecs).map(d =>
+      graft.ops.Ann.kmeans(d, $"id", $"v", k = 3, iters = 2)
+        .orderBy($"cluster").collect())
+    kms.tail.foreach(r => assert(r.map(_.getAs[Long]("n")).toSeq ==
+      kms.head.map(_.getAs[Long]("n")).toSeq, "kmeans sizes"))
+    kms.head.indices.foreach { i =>
+      assertClose(kms.map(_(i).getAs[Double]("inertia")), s"kmeans inertia $i")
+    }
+    // oaxaca: two OLS fits + moments in one scan
+    val obs = layouts(base).map(d =>
+      graft.ops.Regression.oaxacaBlinder(d, $"y", $"t", Seq($"x")).head())
+    assertClose(obs.map(_.getAs[Double]("explained")), "oaxaca explained")
+    assertClose(obs.map(_.getAs[Double]("gap")), "oaxaca gap")
+  }
 }
