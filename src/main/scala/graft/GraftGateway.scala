@@ -130,6 +130,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT oaxaca_blinder(y, group, x...)       FROM <any>
   * SELECT chao1(text)                          FROM <documents>
   * SELECT kmeans(id, vec, k[, iters])          FROM <embeddings>
+  * SELECT dunn_test(y, group)                  FROM <any>
+  * SELECT ks_uniform(p)                        FROM <p-value table>
+  * SELECT theil_sen(x, y[, max_rows])          FROM <series cells>
+  * SELECT cochran_q(block, treatment, y)       FROM <matched binaries>
+  * SELECT durbin_watson(period, value)         FROM <series>
+  * SELECT logrank_power(event, t, hr[, alpha]) FROM <cohort>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -283,7 +289,9 @@ object GraftGateway {
     "mantel_haenszel", "fisher_exact", "ordinal_assoc", "mood_median",
     "kruskal_wallis", "brunner_munzel", "effect_size", "nelson_aalen",
     "cumulative_incidence", "ewma", "ljung_box", "sprt", "hosmer_lemeshow",
-    "classification_report", "cronbach_alpha", "oaxaca_blinder", "kmeans")
+    "classification_report", "cronbach_alpha", "oaxaca_blinder", "kmeans",
+    "dunn_test", "ks_uniform", "theil_sen", "cochran_q", "durbin_watson",
+    "logrank_power")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -641,6 +649,32 @@ object GraftGateway {
         require(a.length >= 3, "kmeans(id, vec, k[, iters])")
         Ann.kmeans(df, c(a(0)), c(a(1)), num(a(2)).toInt,
           iters = if (a.length > 3) num(a(3)).toInt else 5)
+      case "dunn_test" =>
+        // post-hoc pairwise z tests on the pooled KW ranks, BH-adjusted
+        require(a.length >= 2, "dunn_test(y, group)")
+        RankTests.dunnTest(df, c(a(0)), c(a(1)))
+      case "ks_uniform" =>
+        // p-value table calibration audit vs Uniform(0,1)
+        require(a.nonEmpty, "ks_uniform(p)")
+        RankTests.ksUniform(df, c(a(0)))
+      case "theil_sen" =>
+        // robust pairwise-median trend line (guarded O(n²) pairs)
+        require(a.length >= 2, "theil_sen(x, y[, max_rows])")
+        Regression.theilSen(df, c(a(0)), c(a(1)),
+          maxRows = if (a.length > 2) num(a(2)).toLong else 20000L)
+      case "cochran_q" =>
+        // k matched binary treatments on the same blocks
+        require(a.length >= 3, "cochran_q(block, treatment, y)")
+        Agreement.cochranQ(df, c(a(0)), c(a(1)), c(a(2)))
+      case "durbin_watson" =>
+        // lag-1 dependence scalar over period cells
+        require(a.length >= 2, "durbin_watson(period, value)")
+        Drift.durbinWatson(df, c(a(0)), c(a(1)))
+      case "logrank_power" =>
+        // Schoenfeld events/power planning at a named hazard ratio
+        require(a.length >= 3, "logrank_power(event, t, hr[, alpha])")
+        Survival.logRankPower(df, c(a(0)), c(a(1)), num(a(2)),
+          alpha = if (a.length > 3) num(a(3)) else 0.05)
       case "rdd_bandwidth" =>
         // Imbens-Lemieux rule-of-thumb pilot bandwidth for rdd_sharp/fuzzy
         require(a.length >= 2, "rdd_bandwidth(y, running)")

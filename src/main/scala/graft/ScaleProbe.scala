@@ -789,6 +789,69 @@ object ScaleProbe {
         col("p"), col("v")).head()
       assert(r.getAs[Long]("change_period") == 6999L)
     }
+    time(s"mantel_haenszel ($rows rows, 100k strata)") {
+      // ONE groupBy(stratum) to 2x2 cells + ONE cell aggregate
+      val r = graft.ops.Contingency.mantelHaenszel(
+        df.select(pmod(xxhash64(col("id"), lit(41)), lit(100000L)).as("s"),
+          col("t"),
+          (pmod(xxhash64(col("id"), lit(42)), lit(10L)) <
+            lit(3) + lit(2) * col("t")).cast("int").as("yy")),
+        col("s"), col("t"), col("yy")).head()
+      assert(r.getAs[Long]("strata") == 100000L &&
+        r.getAs[Double]("or_mh") > 1.5, r.toString)
+    }
+    time(s"kruskal_wallis ($rankRows rows, ~1M distinct, 5 groups)") {
+      // the 3-frame rank shape: (v,g) cells, value cells, rank join back
+      val d = spark.range(rankRows).select(
+        (pmod(xxhash64(col("id"), lit(43)), lit(1000000L)).cast("double") +
+          (col("id") % 5) * 10000.0).as("v"),
+        (col("id") % 5).cast("string").as("g"))
+      val r = graft.ops.RankTests.kruskalWallis(d, col("v"), col("g")).head()
+      assert(r.getAs[Long]("k") == 5 && r.getAs[Double]("h_corrected") > 0)
+    }
+    time(s"brunner_munzel ($rankRows rows, 3 rank passes)") {
+      val d = spark.range(rankRows).select(
+        (pmod(xxhash64(col("id"), lit(44)), lit(100000L)).cast("double") +
+          (col("id") % 2) * 5000.0).as("v"),
+        (col("id") % 2).cast("int").as("t"))
+      val r = graft.ops.RankTests.brunnerMunzel(d, col("v"), col("t")).head()
+      assert(r.getAs[Double]("p_hat") > 0.5, r.toString)
+    }
+    time(s"cumulative_incidence ($rows rows, 10k times, 3 causes)") {
+      val r = graft.ops.Survival.cumulativeIncidence(
+        df.select(pmod(xxhash64(col("id"), lit(45)), lit(10000L)).as("tm"),
+          pmod(xxhash64(col("id"), lit(46)), lit(3L)).cast("int").as("c")),
+        col("tm"), col("c")).count()
+      assert(r == 20000L, s"cif rows $r")
+    }
+    time(s"kmeans k=16 x 3 iters (1M vectors x 64d)") {
+      // per iteration: one codegen argmin pass + (cluster,dim) cell agg
+      val vecs = spark.range(1000000L).select(col("id"),
+        array((0 until 64).map(j =>
+          (pmod(xxhash64(col("id"), lit(100 + j)), lit(1000L))
+            .cast("double") / 500.0 - 1.0) +
+            (col("id") % 16).cast("double") * (if (j < 4) 2.0 else 0.0)): _*)
+          .as("v"))
+      val r = graft.ops.Ann.kmeans(vecs, col("id"), col("v"),
+        k = 16, iters = 3).collect()
+      assert(r.length == 16 && r.map(_.getAs[Long]("n")).sum == 1000000L)
+    }
+    time(s"ordinal_assoc ($rows rows, 2.5k cells)") {
+      val r = graft.ops.Contingency.ordinalAssoc(
+        df.select((pmod(xxhash64(col("id"), lit(47)), lit(50L))).as("x"),
+          (pmod(xxhash64(col("id"), lit(47)), lit(50L)) +
+            pmod(xxhash64(col("id"), lit(48)), lit(30L))).as("yy")),
+        col("x"), col("yy")).head()
+      assert(r.getAs[Double]("tau_b") > 0.3, r.toString)
+    }
+    time(s"chao1 (${rows / 100} docs)") {
+      val docs = spark.range(rows / 100).select(
+        concat_ws(" ",
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(51)), lit(2000000L))),
+          concat(lit("w"), pmod(col("id"), lit(1000L)))).as("text"))
+      val r = graft.ops.TextOps.chao1(docs, col("text")).head()
+      assert(r.getAs[Double]("chao1") >= r.getAs[Long]("terms"), r.toString)
+    }
     } // suite()
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt

@@ -2376,6 +2376,83 @@ object SparkEntry {
           round(col("grand_median"), 4).as("grand_median"),
           round(col("chisq"), 4).as("chisq"), col("df"))
     }),
+    "q212_dunn_test" -> ((s, d) => {
+      // post-hoc after q196: which return flags differ — pairwise z on
+      // the POOLED ranks (p/p_adj need the normal CDF; rows check
+      // through the z and the shared mean ranks)
+      t(s, d, "lineitem").createOrReplaceTempView("li_dunn")
+      GraftGateway.sql(s,
+          "SELECT dunn_test(l_quantity, l_returnflag) FROM li_dunn")
+        .select(col("g1"), col("g2"),
+          round(col("mean_rank_1"), 4).as("mean_rank_1"),
+          round(col("mean_rank_2"), 4).as("mean_rank_2"),
+          round(col("z"), 4).as("z"))
+        .orderBy(col("g1"), col("g2"))
+    }),
+    "q213_ks_uniform" -> ((s, d) => {
+      // p-value calibration audit: a lattice-uniform score column reads
+      // a small D whose Kolmogorov tail replays as the truncated series
+      t(s, d, "events")
+        .selectExpr("((event_id * 37) % 1000) / 999 AS p")
+        .createOrReplaceTempView("ev_ksu")
+      GraftGateway.sql(s, "SELECT ks_uniform(p) FROM ev_ksu")
+        .select(col("n"), round(col("d_plus"), 6).as("d_plus"),
+          round(col("d_minus"), 6).as("d_minus"),
+          round(col("d"), 6).as("d"),
+          round(col("p_value"), 6).as("p_value"))
+    }),
+    "q214_theil_sen" -> ((s, d) => {
+      // robust trend of the per-period metric (+0.05/period planted
+      // drift): pairwise slopes stay distributed, medians are the house
+      // exact percentile on both engines
+      t(s, d, "events")
+        .selectExpr("CAST(floor(event_id / 100) AS BIGINT) AS period",
+          "value")
+        .groupBy(col("period"))
+        .agg((avg(col("value")) + col("period") * 0.05).as("m"))
+        .createOrReplaceTempView("ev_ts")
+      GraftGateway.sql(s, "SELECT theil_sen(period, m) FROM ev_ts")
+        .select(col("n"), col("n_pairs"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+    }),
+    "q215_cochran_q" -> ((s, d) => {
+      // 3 matched checkers on the same 2000 blocks: m2 planted strictly
+      // worse; complete-panel contract validated in-op
+      t(s, d, "events").filter(col("event_id") < 2000)
+        .selectExpr("event_id AS b",
+          "explode(array('m1', 'm2', 'm3')) AS t")
+        .selectExpr("b", "t",
+          "CASE WHEN t = 'm1' THEN CASE WHEN (b * 7) % 10 < 5 THEN 1 ELSE 0 END " +
+            "WHEN t = 'm2' THEN CASE WHEN (b * 7) % 10 < 3 THEN 1 ELSE 0 END " +
+            "ELSE CASE WHEN (b * 7 + 3) % 10 < 5 THEN 1 ELSE 0 END END AS y")
+        .createOrReplaceTempView("ev_cq")
+      GraftGateway.sql(s, "SELECT cochran_q(b, t, y) FROM ev_cq")
+        .select(col("blocks"), col("k"), col("n_success"),
+          round(col("q"), 4).as("q"), col("df"))
+    }),
+    "q216_durbin_watson" -> ((s, d) => {
+      // lag-1 dependence scalar over the q201 period series
+      t(s, d, "events")
+        .selectExpr("CAST(floor(event_id / 100) AS BIGINT) AS period",
+          "value")
+        .createOrReplaceTempView("ev_dw")
+      GraftGateway.sql(s, "SELECT durbin_watson(period, value) FROM ev_dw")
+        .select(col("n_periods"), round(col("dw"), 6).as("dw"),
+          round(col("rho1"), 6).as("rho1"))
+    }),
+    "q217_logrank_power" -> ((s, d) => {
+      // survival planning: observed events + allocation vs HR 1.2 —
+      // checks through z_power and the required-events closed forms
+      t(s, d, "events")
+        .selectExpr("CASE WHEN value > 30 THEN 1 ELSE 0 END AS ev",
+          "CAST(event_id % 2 AS INT) AS t")
+        .createOrReplaceTempView("ev_lrp")
+      GraftGateway.sql(s, "SELECT logrank_power(ev, t, 1.2) FROM ev_lrp")
+        .select(col("n"), col("events"), round(col("share1"), 6).as("share1"),
+          round(col("z_power"), 4).as("z_power"),
+          round(col("required_events_80"), 2).as("required_events_80"),
+          round(col("required_events_90"), 2).as("required_events_90"))
+    }),
     "q193_zipf_fit" -> ((s, d) => {
       // corpus Zipf diagnostics over the documents table: vocabulary
       // cells, distributed rank, one moment aggregate — slope/r2 replay
@@ -4080,6 +4157,115 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q212_dunn_test" ->
+      // pooled window ranks -> k group cells -> pairwise z closed forms
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |    l_returnflag AS g FROM lineitem),
+        |r AS (SELECT g, rank() OVER (ORDER BY v)
+        |    + (count(*) OVER (PARTITION BY v) - 1) / CAST(2 AS DOUBLE) AS ar
+        |  FROM b),
+        |pg AS (SELECT g, count(*) AS ng, avg(ar) AS m FROM r GROUP BY g),
+        |tie AS (SELECT sum(CAST(cnt AS DOUBLE)*cnt*cnt - cnt) AS tn
+        |  FROM (SELECT count(*) AS cnt FROM b GROUP BY v)),
+        |tot AS (SELECT sum(ng) AS n FROM pg),
+        |vb AS (SELECT CAST(tot.n AS DOUBLE)*(tot.n+1)/12
+        |    - tie.tn/(12*(CAST(tot.n AS DOUBLE)-1)) AS v
+        |  FROM tot, tie)
+        |SELECT a.g AS g1, c.g AS g2,
+        |  round(a.m, 4) AS mean_rank_1, round(c.m, 4) AS mean_rank_2,
+        |  round((a.m - c.m)
+        |    / sqrt(vb.v * (1.0/a.ng + 1.0/c.ng)), 4) AS z
+        |FROM pg a JOIN pg c ON a.g < c.g, vb
+        |ORDER BY g1, g2""".stripMargin,
+    "q213_ks_uniform" ->
+      // sorted ranks vs the unit-uniform CDF; truncated Kolmogorov tail
+      """WITH b AS (SELECT ((event_id * 37) % 1000) / 999 AS p FROM events),
+        |r AS (SELECT p, row_number() OVER (ORDER BY p) AS i,
+        |    count(*) OVER () AS n FROM b),
+        |d AS (SELECT max(n) AS n,
+        |    greatest(0, max(i/CAST(n AS DOUBLE) - p)) AS dp,
+        |    greatest(0, max(p - (i-1)/CAST(n AS DOUBLE))) AS dm
+        |  FROM r),
+        |kk AS (SELECT sum(CASE WHEN g.k % 2 = 1 THEN 1 ELSE -1 END
+        |      * exp(-2.0 * g.k * g.k * d.n
+        |        * greatest(dp, dm) * greatest(dp, dm))) AS tail
+        |  FROM d, generate_series(1, 5000) g(k))
+        |SELECT CAST(n AS BIGINT) AS n, round(dp, 6) AS d_plus,
+        |  round(dm, 6) AS d_minus, round(greatest(dp, dm), 6) AS d,
+        |  round(CASE WHEN d.n * greatest(dp, dm) * greatest(dp, dm) < 1e-6
+        |    THEN 1.0 ELSE least(1.0, 2.0 * kk.tail) END, 6) AS p_value
+        |FROM d, kk""".stripMargin,
+    "q214_theil_sen" ->
+      // all pair slopes (x ascending), exact medians both engines
+      """WITH cells AS (
+        |  SELECT CAST(floor(event_id / 100) AS BIGINT) AS period,
+        |    avg(value) + period * CAST(0.05 AS DOUBLE) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |s AS (SELECT (b.m - a.m) / (b.period - a.period) AS sl
+        |  FROM cells a JOIN cells b ON a.period < b.period),
+        |med AS (SELECT count(*) AS np, quantile_cont(sl, 0.5) AS slope
+        |  FROM s),
+        |ic AS (SELECT quantile_cont(m - med.slope * period, 0.5) AS icept
+        |  FROM cells, med GROUP BY med.slope)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n,
+        |  CAST(np AS BIGINT) AS n_pairs, round(slope, 6) AS slope,
+        |  round(icept, 6) AS intercept
+        |FROM med, ic""".stripMargin,
+    "q215_cochran_q" ->
+      // complete 3-treatment panels; Q from row/column totals
+      """WITH base AS (SELECT event_id AS b FROM events
+        |  WHERE event_id < 2000),
+        |rows_ AS (
+        |  SELECT b, 'm1' AS t,
+        |    CASE WHEN (b * 7) % 10 < 5 THEN 1 ELSE 0 END AS y FROM base
+        |  UNION ALL
+        |  SELECT b, 'm2',
+        |    CASE WHEN (b * 7) % 10 < 3 THEN 1 ELSE 0 END FROM base
+        |  UNION ALL
+        |  SELECT b, 'm3',
+        |    CASE WHEN (b * 7 + 3) % 10 < 5 THEN 1 ELSE 0 END FROM base),
+        |ri AS (SELECT b, sum(y) AS r FROM rows_ GROUP BY b),
+        |ra AS (SELECT count(*) AS blocks, sum(r) AS n,
+        |    sum(CAST(r AS DOUBLE)*r) AS r2 FROM ri),
+        |cj AS (SELECT t, sum(y) AS c FROM rows_ GROUP BY t),
+        |ca AS (SELECT sum(CAST(c AS DOUBLE)*c) AS c2 FROM cj)
+        |SELECT CAST(blocks AS BIGINT) AS blocks, CAST(3 AS BIGINT) AS k,
+        |  CAST(n AS BIGINT) AS n_success,
+        |  round(2 * (3*c2 - CAST(n AS DOUBLE)*n)
+        |    / (3*CAST(n AS DOUBLE) - r2), 4) AS q,
+        |  CAST(2 AS BIGINT) AS df
+        |FROM ra, ca""".stripMargin,
+    "q216_durbin_watson" ->
+      // lag-1 squared-difference sum over period cells
+      """WITH cells AS (
+        |  SELECT CAST(floor(event_id / 100) AS BIGINT) AS period,
+        |    avg(value) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |st AS (SELECT count(*) AS t,
+        |    sum(y*y) - sum(y)*avg(y) AS denom FROM cells),
+        |nm AS (SELECT sum(d*d) AS num FROM (
+        |  SELECT y - lag(y) OVER (ORDER BY period) AS d FROM cells)
+        |  WHERE d IS NOT NULL)
+        |SELECT CAST(t AS BIGINT) AS n_periods,
+        |  round(num/denom, 6) AS dw, round(1 - num/denom/2, 6) AS rho1
+        |FROM st, nm""".stripMargin,
+    "q217_logrank_power" ->
+      // Schoenfeld closed forms; z constants to 17 digits (q124 idiom)
+      """WITH b AS (SELECT CASE WHEN value > 30 THEN 1 ELSE 0 END AS ev,
+        |    CAST(event_id % 2 AS INT) AS t FROM events),
+        |m AS (SELECT count(*) AS n, sum(ev) AS d,
+        |    CAST(sum(t) AS DOUBLE)/count(*) AS p FROM b)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(d AS BIGINT) AS events,
+        |  round(p, 6) AS share1,
+        |  round(sqrt(d * p * (1-p)) * abs(ln(CAST(1.2 AS DOUBLE)))
+        |    - 1.9599639845400540, 4) AS z_power,
+        |  round(pow((1.9599639845400540 + 0.84162123357291440)
+        |      / abs(ln(CAST(1.2 AS DOUBLE))), 2) / (p*(1-p)), 2)
+        |    AS required_events_80,
+        |  round(pow((1.9599639845400540 + 1.2815515655446008)
+        |      / abs(ln(CAST(1.2 AS DOUBLE))), 2) / (p*(1-p)), 2)
+        |    AS required_events_90
+        |FROM m""".stripMargin,
     "q194_mantel_haenszel" ->
       // per-stratum 2x2 cells, MH/RBG/CMH closed forms over cell sums
       """WITH b AS (SELECT event_type AS s, event_id % 2 AS t,

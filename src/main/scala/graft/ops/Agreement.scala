@@ -186,6 +186,63 @@ object Agreement {
       .toDF("n", "bias", "sd", "loa_lower", "loa_upper", "pct_within")
   }
 
+  /** Cochran's Q test (Cochran 1950) — k matched binary treatments on the
+    * same blocks: "do any of the k models/checkers/prompts differ in pass
+    * rate on the SAME examples" — the k-way generalization of [[mcnemar]]
+    * (k = 2 reduces to McNemar's χ² without continuity, pinned in the
+    * spec):
+    *
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)  ~  χ²_{k−1}
+    *
+    * (C_j = per-treatment success totals, R_i = per-block totals,
+    * N = ΣC = ΣR). Blocks must carry ALL k treatments — incomplete
+    * blocks are a named error (fix the join), not a silent bias.
+    *
+    * 100 TB shape: ONE row-scale aggregate to (block) cells + ONE to
+    * (treatment) cells — block cardinality unbounded, treatments are the
+    * k-sized family. Returns one row: (blocks, k, n_success, q, df,
+    * p_value). */
+  def cochranQ(df: DataFrame, block: Column, treatment: Column,
+               y: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yi = y.cast("int")
+    val base = df.filter(block.isNotNull && treatment.isNotNull &&
+        yi.isNotNull)
+      .select(block.cast("string").as("__b"),
+        treatment.cast("string").as("__t"), yi.as("__y"))
+    val rows = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("kk"), sum(col("__y")).as("ri"),
+        sum(when(col("__y") =!= 0 && col("__y") =!= 1, 1L).otherwise(0L))
+          .as("bad"))
+    val ragg = rows.agg(count(lit(1)).as("blocks"),
+      min(col("kk")).as("kmin"), max(col("kk")).as("kmax"),
+      sum(col("ri")).as("n"), sum(col("ri") * col("ri")).as("r2"),
+      sum(col("bad")).as("bad")).head()
+    require(ragg.getAs[Long]("bad") == 0,
+      s"cochran_q: ${ragg.getAs[Long]("bad")} rows have y outside {0, 1}")
+    val k = ragg.getAs[Long]("kmin")
+    require(k == ragg.getAs[Long]("kmax"),
+      s"cochran_q: blocks carry unequal treatment counts ($k.." +
+        s"${ragg.getAs[Long]("kmax")}) — every block needs all k " +
+        "treatments; drop incomplete blocks upstream")
+    require(k >= 2, "cochran_q: need at least 2 treatments per block")
+    val cagg = base.groupBy(col("__t")).agg(sum(col("__y")).as("cj"))
+      .agg(count(lit(1)).as("kt"),
+        sum(col("cj") * col("cj")).cast("double").as("c2")).head()
+    require(cagg.getAs[Long]("kt") == k,
+      "cochran_q: treatment count disagrees with the per-block panel size")
+    val nTot = ragg.getAs[Long]("n").toDouble
+    val denom = k * nTot - ragg.getAs[Long]("r2").toDouble
+    require(denom > 0,
+      "cochran_q: every block is all-0 or all-1 — no within-block " +
+        "variation to test")
+    val q = (k - 1) * (k * cagg.getAs[Double]("c2") - nTot * nTot) / denom
+    val p = 1.0 - graft.stats.Dist.chiSqCdf(q, (k - 1).toDouble)
+    Seq((ragg.getAs[Long]("blocks"), k, ragg.getAs[Long]("n"), q, k - 1, p))
+      .toDF("blocks", "k", "n_success", "q", "df", "p_value")
+  }
+
   /** Cronbach's alpha (Cronbach 1951) — internal-consistency reliability
     * of a k-item scale (k rubric scores, k quality heuristics meant to
     * measure one construct):

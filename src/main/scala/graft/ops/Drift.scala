@@ -207,6 +207,40 @@ object Drift {
         "is_anomaly")
   }
 
+  /** Durbin-Watson statistic over a period-bucketed metric (Durbin &
+    * Watson 1950) — the one-number lag-1 dependence readout (≈ 2(1−ρ₁);
+    * < 2 positive autocorrelation, > 2 negative) that contextualizes any
+    * per-period monitor assuming independence; [[ljungBox]] is the
+    * multi-lag test, this is the dashboard scalar:
+    *
+    *   DW = Σ_{t≥2}(y_t − y_{t−1})² / Σ(y_t − ȳ)²
+    *
+    * ONE row-scale aggregate to period cells + ONE cell-scale ordered
+    * window (the [[metricAnomaly]] idiom). Returns one row:
+    * (n_periods, dw, rho1). */
+  def durbinWatson(df: DataFrame, period: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = value.cast("double")
+    val cells = df.filter(period.isNotNull && v.isNotNull)
+      .groupBy(period.cast("long").as("period"))
+      .agg(avg(v).as("y"))
+    val st = cells.agg(count(lit(1)).as("t"), avg(col("y")).as("mu"),
+      sum(col("y") * col("y")).as("syy"), sum(col("y")).as("sy")).head()
+    val tN = st.getAs[Long]("t")
+    require(tN >= 3, s"durbin_watson: need at least 3 periods, got $tN")
+    val denom = st.getAs[Double]("syy") -
+      st.getAs[Double]("sy") * st.getAs[Double]("mu")
+    require(denom > 0, "durbin_watson: the period metric is constant")
+    val w = Window.orderBy(col("period"))
+    val num = cells
+      .withColumn("__d", col("y") - lag(col("y"), 1).over(w))
+      .agg(sum(col("__d") * col("__d"))).head().getDouble(0)
+    val dw = num / denom
+    Seq((tN, dw, 1.0 - dw / 2.0)).toDF("n_periods", "dw", "rho1")
+  }
+
   /** Ljung-Box autocorrelation test over a period-bucketed metric
     * (Ljung & Box 1978) — "is this series white noise?", the
     * residual-diagnostic companion to [[Regression.interruptedTs]] and

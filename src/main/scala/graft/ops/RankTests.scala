@@ -378,6 +378,131 @@ object RankTests {
     }
   }
 
+  /** Dunn's post-hoc test (Dunn 1964) — WHICH groups differ after
+    * [[kruskalWallis]] rejects: pairwise z tests on the SAME pooled
+    * average ranks (not pairwise Mann-Whitneys, whose rank bases change
+    * per pair), with the shared tie correction and BH adjustment across
+    * the k(k−1)/2 comparisons:
+    *
+    *   z_ij = (r̄_i − r̄_j) / √((N(N+1)/12 − ΣT/(12(N−1)))(1/n_i + 1/n_j))
+    *
+    * 100 TB shape: ONE tie-group rank pass (the [[kruskalWallis]]
+    * machinery) collapsing to k group cells; the pair table is k²
+    * driver arithmetic. Group count is guarded (pairs are quadratic in
+    * k — that is what post-hoc means). Returns one row per pair:
+    * (g1, g2, mean_rank_1, mean_rank_2, z, p_value, p_adjusted). */
+  def dunnTest(df: DataFrame, y: Column, group: Column,
+               maxGroups: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = y.cast("double")
+    val byVG = df.filter(yd.isNotNull && !isnan(yd) && group.isNotNull)
+      .groupBy(yd.as("v"), group.cast("string").as("g"))
+      .agg(count(lit(1)).as("cg"))
+    byVG.persist()
+    val (cells, tieNum) = try {
+      val byV = byVG.groupBy(col("v")).agg(sum(col("cg")).as("cnt"))
+      val ranks = avgRankCells(byV)
+      try {
+        val perG = byVG.join(ranks, "v")
+          .groupBy(col("g"))
+          .agg(sum(col("cg")).as("ng"),
+            sum(col("cg") * col("avg_rank")).as("rg"))
+          .orderBy(col("g"))
+          .limit(maxGroups + 1)
+          .collect()
+        val tn = ranks
+          .agg(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")))
+          .head().getLong(0)
+        (perG, tn)
+      } finally graft.Ckpt.release(ranks)
+    } finally { byVG.unpersist(); () }
+    require(cells.length >= 2, "dunn_test: need at least 2 groups")
+    require(cells.length <= maxGroups,
+      s"dunn_test: more than $maxGroups groups — k² pairwise comparisons " +
+        "is not a post-hoc anymore; raise maxGroups if really intended")
+    val n = cells.map(_.getAs[Long]("ng")).sum.toDouble
+    val varBase = n * (n + 1) / 12.0 - tieNum / (12.0 * (n - 1))
+    require(varBase > 0, "dunn_test: all values identical")
+    val pairs = for {
+      i <- cells.indices; j <- (i + 1) until cells.length
+    } yield {
+      val (gi, gj) = (cells(i), cells(j))
+      val (ni, nj) = (gi.getAs[Long]("ng").toDouble, gj.getAs[Long]("ng").toDouble)
+      val mi = gi.getAs[Double]("rg") / ni
+      val mj = gj.getAs[Double]("rg") / nj
+      val z = (mi - mj) / math.sqrt(varBase * (1 / ni + 1 / nj))
+      val p = 2.0 * (1.0 - Dist.normCdf(math.abs(z)))
+      (gi.getAs[String]("g"), gj.getAs[String]("g"), mi, mj, z, p)
+    }
+    // BH across the pair family (driver arithmetic — the family is k²)
+    val m = pairs.length
+    val byP = pairs.sortBy(_._6).zipWithIndex
+    val adj = new Array[Double](m)
+    var run = 1.0
+    byP.reverseIterator.foreach { case ((_, _, _, _, _, p), idx) =>
+      run = math.min(run, p * m / (idx + 1))
+      adj(idx) = run
+    }
+    val out = byP.map { case (t, idx) =>
+      (t._1, t._2, t._3, t._4, t._5, t._6, adj(idx))
+    }.sortBy(t => (t._1, t._2))
+    out.toDF("g1", "g2", "mean_rank_1", "mean_rank_2", "z", "p_value",
+      "p_adjusted")
+  }
+
+  /** One-sample KS test of a p-value (or any [0,1] score) column against
+    * Uniform(0,1) — the calibration audit for a p-value table (a healthy
+    * A/A or null family is uniform; clumping near 0 flags selection or
+    * dependence, near 0.5 flags over-conservative tests):
+    *
+    *   D = max(D⁺, D⁻),  D⁺ = max_i(i/n − p_(i)),  D⁻ = max_i(p_(i) − (i−1)/n)
+    *
+    * with the asymptotic Kolmogorov tail p = 2Σ(−1)^{k+1}e^{−2k²nD²}
+    * (truncated at k = 100, the [[Drift.changepoint]] series; asymptotic
+    * only — documented, exact small-n is not the use case for a table of
+    * thousands of tests).
+    *
+    * 100 TB shape: the distributed two-phase row number over sorted
+    * values ([[RangeCumSum.withRowNumber]]) + ONE closing aggregate —
+    * nothing single-partition, nothing collected. Returns one row:
+    * (n, d_plus, d_minus, d, p_value). */
+  def ksUniform(df: DataFrame, p: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pd = p.cast("double")
+    val base = df.filter(pd.isNotNull && !isnan(pd))
+      .select(pd.as("__p"))
+    val bad = base.filter(col("__p") < 0.0 || col("__p") > 1.0)
+      .limit(1).count()
+    require(bad == 0, "ks_uniform: values outside [0, 1] — this test is " +
+      "for p-values/scores on the unit interval")
+    RangeCumSum.withRowNumber(base, Seq(col("__p").asc), "__i") {
+      (ranked, n) =>
+        require(n >= 5, s"ks_uniform: need at least 5 rows, got $n")
+        val nd = n.toDouble
+        val r = ranked.agg(
+          max(col("__i") / nd - col("__p")).as("dp"),
+          max(col("__p") - (col("__i") - 1) / nd).as("dm")).head()
+        val dp = math.max(0.0, r.getAs[Double]("dp"))
+        val dm = math.max(0.0, r.getAs[Double]("dm"))
+        val d = math.max(dp, dm)
+        // the alternating series needs k ≈ 4.2/λ terms (λ² = nD²) — 100
+        // terms only cover λ ≥ 0.05, and a WELL-CALIBRATED table (the
+        // whole point of this audit) sits below that. 5000 terms cover
+        // λ ≥ 0.001; smaller λ is p = 1 to double precision, clamped
+        // exactly so the SQL replay agrees bit-for-bit
+        val lam2 = nd * d * d
+        val pv =
+          if (lam2 < 1e-6) 1.0
+          else math.min(1.0, 2.0 * (1 to 5000).map(k =>
+            (if (k % 2 == 1) 1.0 else -1.0) *
+              math.exp(-2.0 * k * k * lam2)).sum)
+        Seq((n, dp, dm, d, pv))
+          .toDF("n", "d_plus", "d_minus", "d", "p_value")
+    }
+  }
+
   /** Standardized two-sample effect sizes — the "how big, in units a
     * reader can compare across metrics" companion every test above
     * reports a p-value without: Cohen's d (pooled), Hedges' g (the

@@ -339,6 +339,56 @@ object Regression {
       .toDF("n0", "n1", "gap", "explained", "unexplained", "explained_share")
   }
 
+  /** Theil-Sen slope (Theil 1950, Sen 1968) — the median of all pairwise
+    * slopes: the 29%-breakdown robust trend line that OLS (#10) cannot
+    * be (one bad telemetry batch moves an OLS slope arbitrarily far).
+    *
+    *   slope = median{ (y_j − y_i)/(x_j − x_i) : x_i ≠ x_j },
+    *   intercept = median(y − slope·x)
+    *
+    * 100 TB shape: the estimator is INHERENTLY O(n²) pairs — this
+    * operator is for series-sized inputs (a metric by day, a per-cohort
+    * aggregate), so n is guarded at `maxRows` (cheap count first, error
+    * names the pre-aggregation escape). Within the cap everything stays
+    * distributed: the pair frame is a self-join on a RangeCumSum row id,
+    * the two medians are exact `percentile` aggregates — no driver
+    * materialization of pairs. Returns one row:
+    * (n, n_pairs, slope, intercept). */
+  def theilSen(df: DataFrame, x: Column, y: Column,
+               maxRows: Long = 20000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+    val n = base.limit((maxRows + 1).toInt).count()
+    require(n <= maxRows,
+      s"theil_sen: more than $maxRows rows — the pairwise-slope median " +
+        "is O(n²); pre-aggregate to period cells (the metric-by-day " +
+        "shape this estimator is for) or raise maxRows")
+    require(n >= 3, s"theil_sen: need at least 3 rows, got $n")
+    RangeCumSum.withRowNumber(base, Seq(col("__x").asc, col("__y").asc),
+        "__i") { (ranked, _) =>
+      val a = ranked.select(col("__i").as("ia"), col("__x").as("xa"),
+        col("__y").as("ya"))
+      val b = ranked.select(col("__i").as("ib"), col("__x").as("xb"),
+        col("__y").as("yb"))
+      val pairs = a.join(b, col("ia") < col("ib") && col("xa") =!= col("xb"))
+        .select(((col("yb") - col("ya")) / (col("xb") - col("xa")))
+          .as("__s"))
+      pairs.persist()
+      try {
+        val pr = pairs.agg(count(lit(1)).as("np"),
+          expr("percentile(__s, 0.5)").as("m")).head()
+        val np = pr.getAs[Long]("np")
+        require(np > 0, "theil_sen: x is constant — no defined pair slopes")
+        val slope = pr.getAs[Double]("m")
+        val icept = base.agg(
+          expr(s"percentile(__y - ${slope} * __x, 0.5)")).head().getDouble(0)
+        Seq((n, np, slope, icept)).toDF("n", "n_pairs", "slope", "intercept")
+      } finally { pairs.unpersist(); () }
+    }
+  }
+
   def rddBandwidth(df: DataFrame, y: Column, running: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

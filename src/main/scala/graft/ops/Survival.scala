@@ -377,6 +377,55 @@ object Survival {
       .toDF("observed1", "expected1", "variance", "chi2", "p_value")
   }
 
+  /** Log-rank power / required events (Schoenfeld 1983) — the survival
+    * planning companion to the mean-metric power row: with D observed
+    * events and allocation share p (arm-1 subject share),
+    *
+    *   z_power = √(D·p(1−p))·|ln HR| − z_{1−α/2},   power = Φ(z_power),
+    *   D_required(β) = (z_{1−α/2} + z_{1−β})² / (p(1−p)·ln²HR)
+    *
+    * — "can this cohort see a hazard ratio of HR at all, and how many
+    * events would it take". ONE conditional-count aggregate + driver
+    * closed forms; everything except the final Φ replays in SQL (oracle
+    * rows check through z_power, the q124 idiom). Returns one row:
+    * (n, events, share1, hr, z_power, power, required_events_80,
+    * required_events_90). */
+  def logRankPower(df: DataFrame, event: Column, t: Column, hr: Double,
+                   alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(hr > 0 && hr != 1.0,
+      s"logrank_power: hr must be positive and != 1, got $hr")
+    val ei = event.cast("int")
+    val ti = t.cast("int")
+    val r = df.filter(ei.isNotNull && ti.isNotNull).agg(
+      count(lit(1)).as("n"),
+      sum(when(ei === 1, 1L).otherwise(0L)).as("d"),
+      sum(when(ti === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when((ei =!= 0 && ei =!= 1) || (ti =!= 0 && ti =!= 1), 1L)
+        .otherwise(0L)).as("bad")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"logrank_power: ${r.getAs[Long]("bad")} rows have event/t outside {0, 1}")
+    val n = r.getAs[Long]("n")
+    val d = r.getAs[Long]("d")
+    require(n > 0 && d > 0, "logrank_power: no events observed")
+    val p = r.getAs[Long]("n1").toDouble / n
+    require(p > 0 && p < 1, "logrank_power: a single-arm cohort")
+    val za = graft.stats.Dist.normQuantile(1 - alpha / 2)
+    val lhr = math.abs(math.log(hr))
+    val zPower = math.sqrt(d * p * (1 - p)) * lhr - za
+    val power = graft.stats.Dist.normCdf(zPower)
+    def req(zb: Double): Double = {
+      val s = (za + zb) / lhr
+      s * s / (p * (1 - p))
+    }
+    Seq((n, d, p, hr, zPower, power,
+        req(graft.stats.Dist.normQuantile(0.8)),
+        req(graft.stats.Dist.normQuantile(0.9))))
+      .toDF("n", "events", "share1", "hr", "z_power", "power",
+        "required_events_80", "required_events_90")
+  }
+
   /** Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978) per group —
     * the hazard-scale companion to [[kaplanMeierBy]]: Ĥ(t) = Σ_{s≤t} d/n
     * with variance Σ d/n² (Aalen's form), plus the Fleming-Harrington

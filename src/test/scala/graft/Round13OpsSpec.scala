@@ -411,6 +411,132 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dunnTest: z matches the 2-group closed form, BH ordering") {
+    val rows = (1 to 600).map { i =>
+      val g = i % 3
+      ((i % 10).toDouble + (if (g == 2) 5.0 else 0.0), s"g$g")
+    }
+    val out = RankTests.dunnTest(rows.toDF("y", "g"), $"y", $"g").collect()
+    assert(out.length == 3) // 3 choose 2
+    // replay one pair by hand from pooled average ranks
+    val all = rows.map(_._1).sorted
+    def avgRank(v: Double): Double = {
+      val lo = all.indexWhere(_ == v) + 1
+      val hi = all.lastIndexWhere(_ == v) + 1
+      (lo + hi) / 2.0
+    }
+    val byG = rows.groupBy(_._2).view.mapValues(_.map(r => avgRank(r._1)))
+    val n = rows.length.toDouble
+    val ties = rows.map(_._1).groupBy(identity).values
+      .map(t => math.pow(t.size, 3) - t.size).sum
+    val vb = n * (n + 1) / 12 - ties / (12 * (n - 1))
+    val (m0, m2) = (byG("g0").sum / byG("g0").size,
+      byG("g2").sum / byG("g2").size)
+    val zHand = (m0 - m2) /
+      math.sqrt(vb * (1.0 / byG("g0").size + 1.0 / byG("g2").size))
+    val row02 = out.find(r => r.getAs[String]("g1") == "g0" &&
+      r.getAs[String]("g2") == "g2").get
+    assert(approx(row02.getAs[Double]("z"), zHand))
+    // the planted g2 shift is significant; g0 vs g1 is not
+    assert(row02.getAs[Double]("p_adjusted") < 1e-6)
+    val row01 = out.find(r => r.getAs[String]("g1") == "g0" &&
+      r.getAs[String]("g2") == "g1").get
+    assert(row01.getAs[Double]("p_value") > 0.05, row01.toString)
+    // BH never decreases a p-value
+    assert(out.forall(r =>
+      r.getAs[Double]("p_adjusted") >= r.getAs[Double]("p_value") - 1e-15))
+  }
+
+  test("ksUniform: exact D on a tiny grid, uniform vs clumped") {
+    // p = (0.2, 0.4, 0.6, 0.8, 1.0): D+ = max(i/5 - p_i) = 0,
+    // D- = max(p_i - (i-1)/5) = 0.2
+    val tiny = Seq(0.2, 0.4, 0.6, 0.8, 1.0).toDF("p")
+    val r = RankTests.ksUniform(tiny, $"p").head()
+    assert(approx(r.getAs[Double]("d_plus"), 0.0))
+    assert(approx(r.getAs[Double]("d_minus"), 0.2))
+    assert(approx(r.getAs[Double]("d"), 0.2))
+    // near-uniform lattice: large p; everything clumped at 0.01: p ~ 0
+    val unif = (0 until 2000).map(i => (i + 0.5) / 2000.0).toDF("p")
+    assert(RankTests.ksUniform(unif, $"p").head()
+      .getAs[Double]("p_value") > 0.99)
+    val clump = Seq.fill(2000)(0.01).toDF("p")
+    assert(RankTests.ksUniform(clump, $"p").head()
+      .getAs[Double]("p_value") < 1e-12)
+    intercept[IllegalArgumentException] {
+      RankTests.ksUniform(Seq(1.5).toDF("p"), $"p")
+    }
+  }
+
+  test("theilSen: exact line recovery, outlier immunity, guards") {
+    // exact line y = 3x + 1: every pair slope is 3
+    val line = (1 to 50).map(i => (i.toDouble, 3.0 * i + 1)).toDF("x", "y")
+    val r = Regression.theilSen(line, $"x", $"y").head()
+    assert(approx(r.getAs[Double]("slope"), 3.0))
+    assert(approx(r.getAs[Double]("intercept"), 1.0))
+    assert(r.getAs[Long]("n_pairs") == 50L * 49 / 2)
+    // one wild outlier: OLS slope moves, Theil-Sen stays ~3
+    val dirty = line.union(Seq((25.5, 1e6)).toDF("x", "y"))
+    val rd = Regression.theilSen(dirty, $"x", $"y").head()
+    assert(math.abs(rd.getAs[Double]("slope") - 3.0) < 0.2, rd.toString)
+    val g = intercept[IllegalArgumentException] {
+      Regression.theilSen(line, $"x", $"y", maxRows = 10)
+    }
+    assert(g.getMessage.contains("pre-aggregate"), g.getMessage)
+  }
+
+  test("cochranQ: k=2 equals McNemar chi-square without correction") {
+    // blocks with (m1, m2) readings: discordant 8 vs 2
+    val pairs = (Seq.fill(5)((1, 1)) ++ Seq.fill(5)((0, 0)) ++
+      Seq.fill(2)((1, 0)) ++ Seq.fill(8)((0, 1))).zipWithIndex
+    val rows = pairs.flatMap { case ((a, b), i) =>
+      Seq((i.toLong, "m1", a), (i.toLong, "m2", b)) }
+    val q = Agreement.cochranQ(rows.toDF("b", "t", "y"),
+      $"b", $"t", $"y").head()
+    // McNemar without cc: (8-2)^2/(8+2) = 3.6
+    assert(approx(q.getAs[Double]("q"), 3.6))
+    assert(q.getAs[Long]("df") == 1 && q.getAs[Long]("blocks") == 20)
+    intercept[IllegalArgumentException] { // incomplete block
+      Agreement.cochranQ(
+        (rows :+ (99L, "m1", 1)).toDF("b", "t", "y"), $"b", $"t", $"y")
+        .head()
+    }
+  }
+
+  test("durbinWatson: white noise ~2, trend ~0, alternation ~4") {
+    def dw(vals: Seq[Double]): Double =
+      Drift.durbinWatson(vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v) }.toDF("p", "v"), $"p", $"v")
+        .head().getAs[Double]("dw")
+    val noise = (1 to 500).map { i =>
+      var x = i.toLong * 0x9E3779B97F4A7C15L; x ^= (x >>> 32)
+      math.abs(x % 1000).toDouble
+    }
+    assert(math.abs(dw(noise) - 2.0) < 0.3, dw(noise).toString)
+    assert(dw((1 to 500).map(_.toDouble)) < 0.1)
+    assert(dw((1 to 500).map(i => if (i % 2 == 0) 1.0 else -1.0)) > 3.5)
+  }
+
+  test("logRankPower: closed forms and monotonicity") {
+    val df = (1 to 1000).map(i => (if (i % 4 == 0) 1 else 0, i % 2))
+      .toDF("ev", "t")
+    val r = Survival.logRankPower(df, $"ev", $"t", hr = 1.5).head()
+    assert(r.getAs[Long]("events") == 250 &&
+      approx(r.getAs[Double]("share1"), 0.5))
+    val za = graft.stats.Dist.normQuantile(0.975)
+    assert(approx(r.getAs[Double]("z_power"),
+      math.sqrt(250 * 0.25) * math.log(1.5) - za))
+    // required events shrink as the target HR grows
+    val r2 = Survival.logRankPower(df, $"ev", $"t", hr = 2.0).head()
+    assert(r2.getAs[Double]("required_events_80") <
+      r.getAs[Double]("required_events_80"))
+    // 90% power needs more events than 80%
+    assert(r.getAs[Double]("required_events_90") >
+      r.getAs[Double]("required_events_80"))
+    intercept[IllegalArgumentException] {
+      Survival.logRankPower(df, $"ev", $"t", hr = 1.0)
+    }
+  }
+
   test("round-13 gateway verbs dispatch and leave no storage") {
     val ev = (0 until 400).map(i =>
       (i.toLong, (i % 2), ((i / 2 * 7) % 10 < 3 + 2 * (i % 2)),
