@@ -136,6 +136,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT cochran_q(block, treatment, y)       FROM <matched binaries>
   * SELECT durbin_watson(period, value)         FROM <series>
   * SELECT logrank_power(event, t, hr[, alpha]) FROM <cohort>
+  * SELECT heaps_fit(id, text)                  FROM <documents>
+  * SELECT kmeans_eval(id, vec, label, k[, iters]) FROM <embeddings>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -291,7 +293,7 @@ object GraftGateway {
     "cumulative_incidence", "ewma", "ljung_box", "sprt", "hosmer_lemeshow",
     "classification_report", "cronbach_alpha", "oaxaca_blinder", "kmeans",
     "dunn_test", "ks_uniform", "theil_sen", "cochran_q", "durbin_watson",
-    "logrank_power")
+    "logrank_power", "heaps_fit", "kmeans_eval")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -670,6 +672,15 @@ object GraftGateway {
         // lag-1 dependence scalar over period cells
         require(a.length >= 2, "durbin_watson(period, value)")
         Drift.durbinWatson(df, c(a(0)), c(a(1)))
+      case "heaps_fit" =>
+        // vocabulary-growth curve fit V(N) = k N^beta over doc order
+        require(a.length >= 2, "heaps_fit(id, text)")
+        TextOps.heapsFit(df, c(a(0)), c(a(1)))
+      case "kmeans_eval" =>
+        // cluster purity + NMI against a label column
+        require(a.length >= 4, "kmeans_eval(id, vec, label, k[, iters])")
+        Ann.kmeansEval(df, c(a(0)), c(a(1)), c(a(2)), num(a(3)).toInt,
+          iters = if (a.length > 4) num(a(4)).toInt else 5)
       case "logrank_power" =>
         // Schoenfeld events/power planning at a named hazard ratio
         require(a.length >= 3, "logrank_power(event, t, hr[, alpha])")

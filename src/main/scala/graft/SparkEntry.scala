@@ -2453,6 +2453,28 @@ object SparkEntry {
           round(col("required_events_80"), 2).as("required_events_80"),
           round(col("required_events_90"), 2).as("required_events_90"))
     }),
+    "q218_heaps_fit" -> ((s, d) => {
+      // vocabulary growth over doc_id order: first-occurrence cells,
+      // cumulative (N, V) curve, ln-ln OLS — all windowed SQL
+      t(s, d, "documents").createOrReplaceTempView("doc_heaps")
+      GraftGateway.sql(s, "SELECT heaps_fit(doc_id, text) FROM doc_heaps")
+        .select(col("docs"), col("terms"), col("total_tokens"),
+          round(col("beta"), 6).as("beta"), round(col("k"), 4).as("k"),
+          round(col("r2"), 6).as("r2"))
+    }),
+    "q219_kmeans_eval" -> ((s, d) => {
+      // cluster quality vs the embeddings ground-truth label: the q209
+      // Lloyd replay + a label join; majority ties break (count desc,
+      // label desc) on both engines
+      t(s, d, "embeddings").createOrReplaceTempView("emb_ke")
+      GraftGateway.sql(s,
+          "SELECT kmeans_eval(vec_id, embedding, label, 4, 2) FROM emb_ke")
+        .select(col("cluster"), col("n"), col("majority_label"),
+          round(col("cluster_purity"), 6).as("cluster_purity"),
+          round(col("purity"), 6).as("purity"),
+          round(col("nmi"), 6).as("nmi"))
+        .orderBy(col("cluster"))
+    }),
     "q193_zipf_fit" -> ((s, d) => {
       // corpus Zipf diagnostics over the documents table: vocabulary
       // cells, distributed rank, one moment aggregate — slope/r2 replay
@@ -4157,6 +4179,102 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q218_heaps_fit" ->
+      // first-occurrence doc of each token, cumulative (N, V), ln-ln OLS
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |pd AS (SELECT doc_id, count(*) AS nt FROM tk GROUP BY doc_id),
+        |fo AS (SELECT fid, count(*) AS nv FROM (
+        |    SELECT token, min(doc_id) AS fid FROM tk GROUP BY token)
+        |  GROUP BY fid),
+        |cells AS (SELECT pd.doc_id, pd.nt, coalesce(fo.nv, 0) AS nv
+        |  FROM pd LEFT JOIN fo ON pd.doc_id = fo.fid),
+        |cum AS (SELECT
+        |    sum(nt) OVER w AS cn, sum(nv) OVER w AS cv
+        |  FROM cells
+        |  WINDOW w AS (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS md, count(*) AS docs,
+        |    max(cv) AS terms, max(cn) AS tot,
+        |    sum(ln(cn)) AS sx, sum(ln(cv)) AS sy,
+        |    sum(ln(cn) * ln(cv)) AS sxy, sum(ln(cn) * ln(cn)) AS sxx,
+        |    sum(ln(cv) * ln(cv)) AS syy
+        |  FROM cum)
+        |SELECT CAST(docs AS BIGINT) AS docs, CAST(terms AS BIGINT) AS terms,
+        |  CAST(tot AS BIGINT) AS total_tokens,
+        |  round((sxy - sx*sy/md) / (sxx - sx*sx/md), 6) AS beta,
+        |  round(exp((sy - (sxy - sx*sy/md)/(sxx - sx*sx/md)*sx)/md), 4)
+        |    AS k,
+        |  round(pow((sxy - sx*sy/md)/(sxx - sx*sx/md), 2)
+        |    * (sxx - sx*sx/md) / (syy - sy*sy/md), 6) AS r2
+        |FROM m""".stripMargin,
+    "q219_kmeans_eval" ->
+      // the q209 two-iteration Lloyd replay + the label join; purity and
+      // NMI as closed forms over (cluster, label) cells
+      """WITH init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+        |      AS cluster,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 4),
+        |a1 AS (SELECT e.vec_id, e.embedding, i.cluster,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.cv),
+        |        i.cluster) AS rk
+        |  FROM embeddings e, init i),
+        |c1 AS (SELECT cluster, g.i AS pos,
+        |    avg(CAST(embedding[g.i] AS DOUBLE)) AS v
+        |  FROM a1, generate_series(1, 64) g(i) WHERE rk = 1
+        |  GROUP BY cluster, g.i),
+        |cl1 AS (SELECT cluster, list(v ORDER BY pos) AS cv FROM c1
+        |  GROUP BY cluster),
+        |a2 AS (SELECT e.vec_id, e.embedding, i.cluster,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.cv),
+        |        i.cluster) AS rk
+        |  FROM embeddings e, cl1 i),
+        |c2 AS (SELECT cluster, g.i AS pos,
+        |    avg(CAST(embedding[g.i] AS DOUBLE)) AS v
+        |  FROM a2, generate_series(1, 64) g(i) WHERE rk = 1
+        |  GROUP BY cluster, g.i),
+        |cl2 AS (SELECT cluster, list(v ORDER BY pos) AS cv FROM c2
+        |  GROUP BY cluster),
+        |fin AS (SELECT e.vec_id, i.cluster,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), i.cv),
+        |        i.cluster) AS rk
+        |  FROM embeddings e, cl2 i),
+        |cells AS (SELECT f.cluster, CAST(e.label AS VARCHAR) AS lbl,
+        |    count(*) AS c
+        |  FROM fin f JOIN embeddings e ON f.vec_id = e.vec_id
+        |  WHERE f.rk = 1 GROUP BY f.cluster, lbl),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cells),
+        |pc AS (SELECT cluster, sum(c) AS nc FROM cells GROUP BY cluster),
+        |pl AS (SELECT lbl, sum(c) AS nl FROM cells GROUP BY lbl),
+        |maj AS (SELECT cluster, lbl, c,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY c DESC, lbl DESC) AS r
+        |  FROM cells),
+        |pur AS (SELECT sum(c) / (SELECT n FROM n) AS purity FROM maj
+        |  WHERE r = 1),
+        |hc AS (SELECT -sum(nc/(SELECT n FROM n)
+        |    * ln(nc/(SELECT n FROM n))) AS h FROM pc),
+        |hl AS (SELECT -sum(nl/(SELECT n FROM n)
+        |    * ln(nl/(SELECT n FROM n))) AS h FROM pl),
+        |mi AS (SELECT sum(cells.c/(SELECT n FROM n)
+        |    * ln((cells.c/(SELECT n FROM n))
+        |      / ((pc.nc/(SELECT n FROM n)) * (pl.nl/(SELECT n FROM n)))))
+        |    AS mi
+        |  FROM cells JOIN pc ON cells.cluster = pc.cluster
+        |  JOIN pl ON cells.lbl = pl.lbl)
+        |SELECT CAST(pc.cluster AS INT) AS cluster,
+        |  CAST(pc.nc AS BIGINT) AS n, maj.lbl AS majority_label,
+        |  round(CAST(maj.c AS DOUBLE) / pc.nc, 6) AS cluster_purity,
+        |  round(pur.purity, 6) AS purity,
+        |  round(mi.mi / sqrt(hc.h * hl.h), 6) AS nmi
+        |FROM pc JOIN maj ON pc.cluster = maj.cluster AND maj.r = 1,
+        |  pur, hc, hl, mi
+        |ORDER BY cluster""".stripMargin,
     "q212_dunn_test" ->
       // pooled window ranks -> k group cells -> pairwise z closed forms
       """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS v,

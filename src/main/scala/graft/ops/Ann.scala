@@ -362,7 +362,16 @@ object Ann {
     * row per cluster: (cluster, n, inertia) with inertia = Σ L2² to the
     * FINAL centroid (the convergence readout), ordered by cluster. */
   def kmeans(corpus: DataFrame, id: Column, vec: Column, k: Int,
-             iters: Int = 5, maxKDim: Long = 4000000L): DataFrame = {
+             iters: Int = 5, maxKDim: Long = 4000000L): DataFrame =
+    lloydAssign(corpus, id, vec, k, iters, maxKDim)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+      .orderBy(col("cluster"))
+
+  /** The [[kmeans]] loop, returning the final per-vector assignment
+    * (id, v, cluster, d2) instead of the cluster summary. */
+  private def lloydAssign(corpus: DataFrame, id: Column, vec: Column,
+                          k: Int, iters: Int, maxKDim: Long): DataFrame = {
     require(k >= 2, s"kmeans: k must be >= 2, got $k")
     require(iters >= 1, s"kmeans: iters must be >= 1, got $iters")
     val base = corpus.select(id.cast("long").as("id"),
@@ -400,8 +409,61 @@ object Ann {
       centroids = next
     }
     assigned(centroids)
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
-      .orderBy(col("cluster"))
+  }
+
+  /** Cluster-quality readout for [[kmeans]] against a ground-truth (or
+    * weak-label) column — the "did the embedding clusters mean anything"
+    * check before clusters drive semantic dedup or sampling quotas:
+    * per-cluster majority label + purity, and the overall purity and
+    * NMI (mutual information over the cluster × label cells, normalized
+    * by √(H_cluster·H_label)).
+    *
+    * 100 TB shape: the [[kmeans]] loop + ONE groupBy to (cluster, label)
+    * cells — label cardinality unbounded in the aggregate, the collected
+    * cell table is k × labels (guarded). Returns one row per cluster:
+    * (cluster, n, majority_label, cluster_purity, purity, nmi). */
+  def kmeansEval(corpus: DataFrame, id: Column, vec: Column, label: Column,
+                 k: Int, iters: Int = 5, maxCells: Long = 100000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lab = corpus.select(id.cast("long").as("id"),
+      label.cast("string").as("lbl"))
+    val cells = lloydAssign(corpus, id, vec, k, iters, 4000000L)
+      .join(lab, "id")
+      .filter(col("lbl").isNotNull)
+      .groupBy(col("cluster"), col("lbl")).agg(count(lit(1)).as("c"))
+      .orderBy(col("cluster"), col("lbl"))
+      .limit((maxCells + 1).toInt)
+      .collect()
+    require(cells.length <= maxCells,
+      s"kmeans_eval: more than $maxCells (cluster x label) cells — the " +
+        "label column is not categorical; bin it first")
+    val n = cells.map(_.getAs[Long]("c")).sum.toDouble
+    require(n > 0, "kmeans_eval: no labeled vectors")
+    val byCluster = cells.groupBy(_.getAs[Int]("cluster"))
+    val byLabel = cells.groupBy(_.getAs[String]("lbl"))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("c")).sum }
+    val purity = byCluster.values
+      .map(_.map(_.getAs[Long]("c")).max).sum / n
+    def h(counts: Iterable[Long]): Double =
+      -counts.map(_ / n).filter(_ > 0).map(p => p * math.log(p)).sum
+    val hc = h(byCluster.values.map(_.map(_.getAs[Long]("c")).sum))
+    val hl = h(byLabel.values)
+    val mi = cells.map { r =>
+      val pcl = r.getAs[Long]("c") / n
+      val pc = byCluster(r.getAs[Int]("cluster"))
+        .map(_.getAs[Long]("c")).sum / n
+      val pl = byLabel(r.getAs[String]("lbl")) / n
+      pcl * math.log(pcl / (pc * pl))
+    }.sum
+    val nmi = if (hc > 0 && hl > 0) mi / math.sqrt(hc * hl) else 0.0
+    val out = byCluster.toSeq.sortBy(_._1).map { case (cl, rs) =>
+      val nc = rs.map(_.getAs[Long]("c")).sum
+      val top = rs.maxBy(r => (r.getAs[Long]("c"), r.getAs[String]("lbl")))
+      (cl, nc, top.getAs[String]("lbl"), top.getAs[Long]("c").toDouble / nc,
+        purity, nmi)
+    }
+    out.toDF("cluster", "n", "majority_label", "cluster_purity", "purity",
+      "nmi")
   }
 }

@@ -186,6 +186,62 @@ object TextOps {
       .toDF("terms", "total_tokens", "f1", "f2", "chao1", "coverage")
   }
 
+  /** Heaps-law vocabulary-growth fit (Heaps 1978) — V(N) ≈ k·N^β over a
+    * DETERMINISTIC corpus order (the caller's id column): where
+    * [[zipfFit]] reads the frequency profile and [[chao1]] the unseen
+    * mass, this fits the growth CURVE — β well below the natural-text
+    * ~0.4-0.6 band means the next shard mostly repeats the head.
+    *
+    * Construction (all cell-scale after one token pass): each token's
+    * FIRST document (min doc rank), so V(r) = cumulative count of first
+    * occurrences and N(r) = cumulative token count over doc ranks; OLS
+    * of ln V on ln N across the per-doc curve points.
+    *
+    * 100 TB shape: ONE token-keyed exchange (min-combiner) + the doc
+    * frame's distributed row number; both cumulative sums ride
+    * [[RangeCumSum]] over DOC cells; ONE closing moment aggregate.
+    * Everything replays in windowed SQL. Returns one row:
+    * (docs, terms, total_tokens, beta, k, r2). */
+  def heapsFit(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(id.isNotNull && text.isNotNull)
+      .select(id.cast("long").as("__id"), text.as("__t"))
+    val tok = base.select(col("__id"),
+        explode(split(lower(col("__t")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    // per-doc cells: token count + count of tokens FIRST seen here
+    val perDoc = tok.groupBy(col("__id")).agg(count(lit(1)).as("nt"))
+    val firsts = tok.groupBy(col("token")).agg(min(col("__id")).as("fid"))
+      .groupBy(col("fid")).agg(count(lit(1)).as("nv"))
+    val cells = perDoc.join(firsts, perDoc("__id") === firsts("fid"), "left")
+      .select(col("__id"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
+    RangeCumSum.withCumSums(cells, Seq(col("__id")), Seq("nt", "nv")) {
+      (cum, totals) =>
+        val lx = log(col("cum_nt").cast("double"))
+        val ly = log(col("cum_nv").cast("double"))
+        val r = cum.agg(count(lit(1)).as("m"), sum(lx).as("sx"),
+          sum(ly).as("sy"), sum(lx * ly).as("sxy"), sum(lx * lx).as("sxx"),
+          sum(ly * ly).as("syy")).head()
+        val docs = r.getAs[Long]("m")
+        require(docs >= 10, s"heaps_fit: need at least 10 documents, got $docs")
+        val md = docs.toDouble
+        def g(c: String): Double = r.getAs[Double](c)
+        val cxx = g("sxx") - g("sx") * g("sx") / md
+        val cyy = g("syy") - g("sy") * g("sy") / md
+        val cxy = g("sxy") - g("sx") * g("sy") / md
+        require(cxx > 0, "heaps_fit: every document has the same cumulative " +
+          "token count — the corpus order is degenerate")
+        val flat = cyy <= 1e-12 * math.max(1.0, g("syy"))
+        val beta = if (flat) 0.0 else cxy / cxx
+        val lnk = (g("sy") - beta * g("sx")) / md
+        val r2 = if (flat) 1.0 else beta * beta * cxx / cyy
+        Seq((docs, totals("nv").toLong, totals("nt").toLong, beta,
+            math.exp(lnk), r2))
+          .toDF("docs", "terms", "total_tokens", "beta", "k", "r2")
+    }
+  }
+
   /** Gopher-style hard quality gates (Rae et al. 2021, appendix A1
     * subset): token-count bounds, mean-word-length bounds, duplicate-line
     * and top-bigram repetition caps, minimum stopword share. Unlike

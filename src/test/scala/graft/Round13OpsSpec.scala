@@ -537,6 +537,51 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("heapsFit: one-new-token-per-doc corpus reads beta ~ 1, repeats ~ 0") {
+    // doc i = "x t_i": N(r) = 2r, V(r) = r + 1 -> beta -> 1
+    val grow = (1 to 200).map(i => (i.toLong, s"x t$i")).toDF("id", "text")
+    val g = TextOps.heapsFit(grow, $"id", $"text").head()
+    assert(g.getAs[Long]("docs") == 200 && g.getAs[Long]("terms") == 201)
+    assert(g.getAs[Long]("total_tokens") == 400)
+    // V = r+1 over N = 2r is a pure power law only asymptotically — the
+    // r <= 200 curve fits beta ~ 0.95
+    assert(math.abs(g.getAs[Double]("beta") - 1.0) < 0.08, g.toString)
+    assert(g.getAs[Double]("r2") > 0.99)
+    // a corpus that only repeats: vocabulary saturates immediately ->
+    // the flat branch reads beta = 0 with r2 = 1 (exact flat fit)
+    val flat = (1 to 50).map(i => (i.toLong, "a b c")).toDF("id", "text")
+    val f = TextOps.heapsFit(flat, $"id", $"text").head()
+    assert(f.getAs[Double]("beta") == 0.0 && f.getAs[Double]("r2") == 1.0)
+    intercept[IllegalArgumentException] {
+      TextOps.heapsFit(grow.limit(5), $"id", $"text")
+    }
+  }
+
+  test("kmeansEval: labeled blobs read purity 1 / nmi 1; mixing lowers both") {
+    val pure = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 10.0
+      (i.toLong, Array.fill(6)(c) ++ Array(i / 100.0),
+        if (i % 2 == 0) "a" else "b")
+    }.toDF("id", "v", "lbl")
+    val r = Ann.kmeansEval(pure, $"id", $"v", $"lbl", k = 2, iters = 3)
+      .orderBy($"cluster").collect()
+    assert(r.length == 2)
+    assert(r.map(_.getAs[String]("majority_label")).toSet == Set("a", "b"))
+    assert(r.forall(x => approx(x.getAs[Double]("cluster_purity"), 1.0)))
+    assert(approx(r.head.getAs[Double]("purity"), 1.0))
+    assert(approx(r.head.getAs[Double]("nmi"), 1.0))
+    // labels independent of geometry: purity ~ 0.5-ish, nmi near 0
+    val mixed = pure.withColumn("lbl2",
+      when($"id" % 4 < 2, "a").otherwise("b"))
+    val m = Ann.kmeansEval(mixed, $"id", $"v", $"lbl2", k = 2, iters = 3)
+      .head()
+    assert(m.getAs[Double]("nmi") < 0.1, m.toString)
+    intercept[IllegalArgumentException] {
+      Ann.kmeansEval(pure, $"id", $"v", $"id", k = 2, iters = 1,
+        maxCells = 3)
+    }
+  }
+
   test("round-13 gateway verbs dispatch and leave no storage") {
     val ev = (0 until 400).map(i =>
       (i.toLong, (i % 2), ((i / 2 * 7) % 10 < 3 + 2 * (i % 2)),
