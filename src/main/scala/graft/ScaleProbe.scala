@@ -844,6 +844,15 @@ object ScaleProbe {
         col("x"), col("yy")).head()
       assert(r.getAs[Double]("tau_b") > 0.3, r.toString)
     }
+    time(s"heaps_fit (${rows / 100} docs, doc-order growth curve)") {
+      val docs = spark.range(rows / 100).select(col("id"),
+        concat_ws(" ",
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(52)), lit(2000000L))),
+          concat(lit("w"), pmod(col("id"), lit(1000L)))).as("text"))
+      val r = graft.ops.TextOps.heapsFit(docs, col("id"), col("text")).head()
+      assert(r.getAs[Double]("beta") > 0.1 && r.getAs[Double]("beta") < 1.0,
+        r.toString)
+    }
     time(s"chao1 (${rows / 100} docs)") {
       val docs = spark.range(rows / 100).select(
         concat_ws(" ",
