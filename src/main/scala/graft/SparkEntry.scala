@@ -2453,6 +2453,41 @@ object SparkEntry {
           round(col("required_events_80"), 2).as("required_events_80"),
           round(col("required_events_90"), 2).as("required_events_90"))
     }),
+    "q220_streaming_ewma" -> ((s, d) => {
+      // the EWMA chart as an always-on stream (q111 idiom): per
+      // event_type metric, 500-event periods close when a later period
+      // arrives, the LAST period per metric stays open in state — DuckDB
+      // mirrors by dropping each metric's max period. lambda = 0.25 is
+      // exact in binary, so no literal-representation skew either side
+      import org.apache.spark.sql.streaming.Trigger
+      val spark = s
+      import spark.implicits._
+      val ev = t(s, d, "events")
+      val stream = s.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val evs = stream.filter(col("value").isNotNull)
+        .select(col("event_type").as("metricId"),
+          (col("event_id") / 500).cast("long").as("period"),
+          col("value"))
+        .as[graft.streaming.StreamOps.EwmaEvent]
+      val out = graft.streaming.StreamOps.streamingEwma(evs,
+        lambda = 0.25, l = 3.0)
+      val sink = "q220_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
+      s.catalog.dropTempView(sink)
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("metricId").as("metric_id"), col("period"),
+          col("nEvents").as("n_events"),
+          round(col("metric"), 6).as("metric"),
+          round(col("ewma"), 6).as("ewma"),
+          round(col("baseline"), 6).as("baseline"),
+          round(col("limitLower"), 6).as("limit_lower"),
+          round(col("limitUpper"), 6).as("limit_upper"),
+          col("isAnomaly").as("is_anomaly"))
+        .orderBy(col("metric_id"), col("period"))
+    }),
     "q218_heaps_fit" -> ((s, d) => {
       // vocabulary growth over doc_id order: first-occurrence cells,
       // cumulative (N, V) curve, ln-ln OLS — all windowed SQL
@@ -4179,6 +4214,47 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q220_streaming_ewma" ->
+      // batch replay of the streaming semantics: per-metric period cells
+      // minus each metric's OPEN (max) period; causal prior mean/sd via
+      // exclusive windows; the z recursion as a per-metric recursive CTE
+      """WITH RECURSIVE cells AS (
+        |  SELECT event_type AS m, CAST(floor(event_id / 500) AS BIGINT)
+        |      AS p,
+        |    count(*) AS ne, avg(value) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |keep AS (SELECT * FROM cells
+        |  WHERE p < (SELECT max(p) FROM cells c2 WHERE c2.m = cells.m)),
+        |idx AS (SELECT m, p, ne, x,
+        |    row_number() OVER (PARTITION BY m ORDER BY p) - 1 AS i
+        |  FROM keep),
+        |pri AS (SELECT m, p, ne, x, i,
+        |    count(*) OVER w AS np, avg(x) OVER w AS mp,
+        |    stddev_samp(x) OVER w AS sp
+        |  FROM idx
+        |  WINDOW w AS (PARTITION BY m ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |z(m, i, z) AS (
+        |  SELECT m, i, x FROM idx WHERE i = 0
+        |  UNION ALL
+        |  SELECT idx.m, idx.i,
+        |    CAST(0.25 AS DOUBLE) * idx.x + CAST(0.75 AS DOUBLE) * z.z
+        |  FROM z JOIN idx ON idx.m = z.m AND idx.i = z.i + 1),
+        |f AS (SELECT pri.m, pri.p, pri.ne, pri.x, z.z, pri.i,
+        |    CASE WHEN pri.np = 0 THEN pri.x ELSE pri.mp END AS base,
+        |    3 * (CASE WHEN pri.np >= 2 THEN pri.sp ELSE 0 END)
+        |      * sqrt(CAST(0.25 AS DOUBLE) / 1.75
+        |        * (1 - pow(CAST(0.75 AS DOUBLE), 2.0 * (pri.i + 1))))
+        |      AS lim,
+        |    pri.np, CASE WHEN pri.np >= 2 THEN pri.sp ELSE 0 END AS sd
+        |  FROM pri JOIN z ON pri.m = z.m AND pri.i = z.i)
+        |SELECT m AS metric_id, p AS period, CAST(ne AS BIGINT) AS n_events,
+        |  round(x, 6) AS metric, round(z, 6) AS ewma,
+        |  round(base, 6) AS baseline,
+        |  round(base - lim, 6) AS limit_lower,
+        |  round(base + lim, 6) AS limit_upper,
+        |  (np >= 3 AND sd > 0 AND abs(z - base) > lim) AS is_anomaly
+        |FROM f ORDER BY metric_id, period""".stripMargin,
     "q218_heaps_fit" ->
       // first-occurrence doc of each token, cumulative (N, V), ln-ln OLS
       """WITH tok AS (SELECT doc_id,

@@ -217,6 +217,73 @@ object StreamOps {
       }
   }
 
+  case class EwmaEvent(metricId: String, period: Long, value: Double)
+  case class EwmaState(openPeriod: Long, sum: Double, cnt: Long,
+                       n: Long, mean: Double, m2: Double, z: Double,
+                       steps: Long)
+  case class EwmaOut(metricId: String, period: Long, nEvents: Long,
+                     metric: Double, ewma: Double, baseline: Double,
+                     limitLower: Double, limitUpper: Double,
+                     isAnomaly: Boolean)
+
+  /** Always-on EWMA control chart ([[graft.ops.Drift.ewmaMonitor]]'s
+    * streaming twin): per-metric state accumulates the OPEN period's
+    * sum/count and closes a period when a later one arrives (the
+    * [[sessionize]] contract — each metric's LAST period stays open in
+    * state, and late events for already-closed periods are dropped).
+    * On close: z ← λ·x̄ + (1−λ)·z (seeded at the first period's metric),
+    * flagged against the limits built from the PRIOR periods' running
+    * mean/sd (Welford state — the stream cannot know the global mean the
+    * batch op centers on, so the baseline is explicitly causal).
+    * State is 8 scalars per metric, bounded forever. Deterministic under
+    * a single AvailableNow batch — the oracle-gate shape. */
+  def streamingEwma(events: org.apache.spark.sql.Dataset[EwmaEvent],
+                    lambda: Double = 0.2, l: Double = 3.0,
+                    minHistory: Int = 3)
+      : org.apache.spark.sql.Dataset[EwmaOut] = {
+    require(lambda > 0 && lambda <= 1, s"streamingEwma: lambda in (0, 1]")
+    require(l > 0 && minHistory >= 2, "streamingEwma: l > 0, minHistory >= 2")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.metricId)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        case (id, evts, state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(
+            EwmaState(Long.MinValue, 0.0, 0L, 0L, 0.0, 0.0, 0.0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaOut]
+          def close(): Unit = if (st.cnt > 0) {
+            val x = st.sum / st.cnt
+            val zPrev = if (st.steps == 0) x else st.z
+            val z = lambda * x + (1 - lambda) * zPrev
+            val sd = if (st.n >= 2) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+            val ramp = 1.0 - math.pow(1.0 - lambda, 2.0 * (st.steps + 1))
+            val lim = l * sd * math.sqrt(lambda / (2.0 - lambda) * ramp)
+            val baseline = if (st.n == 0) x else st.mean
+            out += EwmaOut(id, st.openPeriod, st.cnt, x, z,
+              baseline, baseline - lim, baseline + lim,
+              st.n >= minHistory && sd > 0 && math.abs(z - baseline) > lim)
+            val n1 = st.n + 1
+            val d = x - st.mean
+            val mean1 = st.mean + d / n1
+            st = st.copy(n = n1, mean = mean1, m2 = st.m2 + d * (x - mean1),
+              z = z, steps = st.steps + 1, sum = 0.0, cnt = 0L)
+          }
+          evts.toSeq.sortBy(_.period).foreach { e =>
+            if (st.cnt == 0 && e.period > st.openPeriod)
+              st = st.copy(openPeriod = e.period)
+            if (e.period == st.openPeriod)
+              st = st.copy(sum = st.sum + e.value, cnt = st.cnt + 1)
+            else if (e.period > st.openPeriod) {
+              close()
+              st = st.copy(openPeriod = e.period, sum = e.value, cnt = 1L)
+            } // e.period < openPeriod: late for a closed period — dropped
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class SessionEvent(userId: Long, ts: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(userId: Long, start: Long, end: Long, n: Long,

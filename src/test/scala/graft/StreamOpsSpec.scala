@@ -182,6 +182,41 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(aa.last > 0.2, s"A/A false positive: $aa")
   }
 
+  test("streamingEwma: recursion by hand, shift flags, open period held") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.EwmaEvent]
+    val out = StreamOps.streamingEwma(input.toDS(), lambda = 0.5, l = 3.0)
+    val q = out.writeStream.format("memory").queryName("ewma_s")
+      .outputMode("update").start()
+    try {
+      // 20 quiet periods at ~10 (tiny wobble), 5 shifted to 14, plus an
+      // open 26th period that must NOT emit; 2 events per period
+      val evs = (0 until 26).flatMap { p =>
+        val v = if (p < 20) 10.0 + (p % 3 - 1) * 0.1 else 14.0
+        Seq(StreamOps.EwmaEvent("m", p.toLong, v - 0.5),
+          StreamOps.EwmaEvent("m", p.toLong, v + 0.5))
+      }
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      val rows = spark.table("ewma_s").as[StreamOps.EwmaOut].collect()
+        .sortBy(_.period)
+      assert(rows.length == 25 && rows.forall(_.nEvents == 2)) // 26th open
+      // replay the recursion: z seeds at the first period metric
+      var z = rows.head.metric
+      rows.zipWithIndex.foreach { case (r, i) =>
+        z = if (i == 0) r.metric else 0.5 * r.metric + 0.5 * z
+        assert(math.abs(r.ewma - z) < 1e-12, s"period $i")
+      }
+      assert(!rows.take(10).exists(_.isAnomaly))
+      assert(rows.last.isAnomaly, rows.last.toString)
+      // a late event for a closed period is dropped, state unharmed
+      input.addData(StreamOps.EwmaEvent("m", 3L, 100.0))
+      q.processAllAvailable()
+      assert(spark.table("ewma_s").count() == 25)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap (batch semantics check)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
