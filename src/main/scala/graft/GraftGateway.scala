@@ -138,6 +138,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT logrank_power(event, t, hr[, alpha]) FROM <cohort>
   * SELECT heaps_fit(id, text)                  FROM <documents>
   * SELECT kmeans_eval(id, vec, label, k[, iters]) FROM <embeddings>
+  * SELECT overlap(t, score[, bins])            FROM <scored cohort>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -293,7 +294,7 @@ object GraftGateway {
     "cumulative_incidence", "ewma", "ljung_box", "sprt", "hosmer_lemeshow",
     "classification_report", "cronbach_alpha", "oaxaca_blinder", "kmeans",
     "dunn_test", "ks_uniform", "theil_sen", "cochran_q", "durbin_watson",
-    "logrank_power", "heaps_fit", "kmeans_eval")
+    "logrank_power", "heaps_fit", "kmeans_eval", "overlap")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -672,6 +673,11 @@ object GraftGateway {
         // lag-1 dependence scalar over period cells
         require(a.length >= 2, "durbin_watson(period, value)")
         Drift.durbinWatson(df, c(a(0)), c(a(1)))
+      case "overlap" =>
+        // propensity positivity/common-support diagnostic
+        require(a.length >= 2, "overlap(t, score[, bins])")
+        Matching.overlap(df, c(a(0)), c(a(1)),
+          bins = if (a.length > 2) num(a(2)).toInt else 20)
       case "heaps_fit" =>
         // vocabulary-growth curve fit V(N) = k N^beta over doc order
         require(a.length >= 2, "heaps_fit(id, text)")

@@ -2453,6 +2453,23 @@ object SparkEntry {
           round(col("required_events_80"), 2).as("required_events_80"),
           round(col("required_events_90"), 2).as("required_events_90"))
     }),
+    "q221_overlap" -> ((s, d) => {
+      // positivity diagnostic: the arms' scores shift by 0.2, so the
+      // common-support and overlap-coefficient readouts sit strictly
+      // inside (0, 1) — every share replays as plain cell SQL
+      t(s, d, "lineitem")
+        .selectExpr("CAST(l_orderkey % 2 AS INT) AS t",
+          "(l_partkey % 97) / 193 + " +
+            "CASE WHEN l_orderkey % 2 = 1 THEN 0.3 ELSE 0.1 END AS score")
+        .createOrReplaceTempView("li_ovl")
+      GraftGateway.sql(s, "SELECT overlap(t, score, 20) FROM li_ovl")
+        .select(col("bin"), col("n0"), col("n1"),
+          round(col("share0"), 6).as("share0"),
+          round(col("share1"), 6).as("share1"),
+          round(col("common_support"), 6).as("common_support"),
+          round(col("ovl"), 6).as("ovl"))
+        .orderBy(col("bin"))
+    }),
     "q220_streaming_ewma" -> ((s, d) => {
       // the EWMA chart as an always-on stream (q111 idiom): per
       // event_type metric, 500-event periods close when a later period
@@ -4214,6 +4231,29 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q221_overlap" ->
+      // equal-width score cells per arm; shares, common support, OVL
+      """WITH b AS (SELECT CAST(l_orderkey % 2 AS INT) AS t,
+        |    (l_partkey % 97) / 193 +
+        |      CASE WHEN l_orderkey % 2 = 1 THEN 0.3 ELSE 0.1 END AS s
+        |  FROM lineitem),
+        |cells AS (SELECT least(CAST(floor(s * 20) AS INT), 19) AS bin,
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n1
+        |  FROM b WHERE s >= 0 AND s <= 1 GROUP BY 1),
+        |tot AS (SELECT sum(n0) AS t0, sum(n1) AS t1,
+        |    sum(CASE WHEN n0 > 0 AND n1 > 0 THEN n0 + n1 ELSE 0 END)
+        |      AS both FROM cells),
+        |ov AS (SELECT sum(least(CAST(n0 AS DOUBLE) / tot.t0,
+        |    CAST(n1 AS DOUBLE) / tot.t1)) AS ovl
+        |  FROM cells, tot GROUP BY tot.t0, tot.t1)
+        |SELECT bin, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  round(CAST(n0 AS DOUBLE) / tot.t0, 6) AS share0,
+        |  round(CAST(n1 AS DOUBLE) / tot.t1, 6) AS share1,
+        |  round(CAST(tot.both AS DOUBLE) / (tot.t0 + tot.t1), 6)
+        |    AS common_support,
+        |  round(ov.ovl, 6) AS ovl
+        |FROM cells, tot, ov ORDER BY bin""".stripMargin,
     "q220_streaming_ewma" ->
       // batch replay of the streaming semantics: per-metric period cells
       // minus each metric's OPEN (max) period; causal prior mean/sd via

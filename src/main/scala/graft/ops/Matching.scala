@@ -163,6 +163,53 @@ object Matching {
       idCols = idCols)
   }
 
+  /** Propensity-overlap / positivity diagnostic — the check IPW/AIPW
+    * (#31) and matching assume but never verify: bin the score into
+    * `bins` equal-width cells over [0, 1] and report, per bin, both
+    * arms' counts and shares, plus two scalars repeated per row (the
+    * calibration-table idiom):
+    *
+    *   common_support = share of rows in bins where BOTH arms appear,
+    *   ovl            = Σ_b min(share0_b, share1_b)   (overlap coefficient)
+    *
+    * ovl near 1 = the arms see the same score range (weights behave);
+    * a low common_support names the positivity violation before it
+    * becomes an exploding weight. ONE groupBy over ≤ bins cells.
+    * Returns (bin, n0, n1, share0, share1, common_support, ovl),
+    * ordered by bin. */
+  def overlap(df: DataFrame, treatment: Column, score: Column,
+              bins: Int = 20): DataFrame = {
+    require(bins >= 2, s"overlap: bins must be >= 2, got $bins")
+    val s = score.cast("double")
+    val ti = treatment.cast("int")
+    val bin = least(floor(s * bins).cast("int"), lit(bins - 1))
+    val cells = df
+      .filter(ti.isNotNull && s.isNotNull && s >= 0.0 && s <= 1.0)
+      .groupBy(bin.as("bin"))
+      .agg(sum(when(ti === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(ti === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(ti =!= 0 && ti =!= 1, 1L).otherwise(0L)).as("bad"))
+    val tot = cells.agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"),
+      sum(col("bad")).as("bad"),
+      sum(when(col("n0") > 0 && col("n1") > 0, col("n0") + col("n1"))
+        .otherwise(0L)).as("both")).head()
+    require(tot.getAs[Long]("bad") == 0,
+      s"overlap: ${tot.getAs[Long]("bad")} rows have treatment outside {0, 1}")
+    val (t0, t1) = (tot.getAs[Long]("t0"), tot.getAs[Long]("t1"))
+    require(t0 > 0 && t1 > 0, "overlap: both arms need rows with scores " +
+      "in [0, 1]")
+    val common = tot.getAs[Long]("both").toDouble / (t0 + t1)
+    val ovl = cells.agg(sum(least(
+      col("n0").cast("double") / t0,
+      col("n1").cast("double") / t1))).head().getDouble(0)
+    cells
+      .select(col("bin"), col("n0"), col("n1"),
+        (col("n0").cast("double") / t0).as("share0"),
+        (col("n1").cast("double") / t1).as("share1"),
+        lit(common).as("common_support"), lit(ovl).as("ovl"))
+      .orderBy(col("bin"))
+  }
+
   /** Standardized mean difference per covariate between treatment groups
     * (match.py:159-225): smd = (x̄₁−x̄₀)/sqrt((s₁²+s₀²)/2). One agg pass. */
   def smd(df: DataFrame, treatment: Column, cols: Seq[String]): DataFrame = {

@@ -582,6 +582,30 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("overlap: identical arms read 1/1, disjoint arms read 0/0") {
+    // score from the HALF-index: i % 10 shares parity with the i % 2 arm
+    // (the recurring trap — parity-locked fixtures put the arms in
+    // disjoint bins and fake a positivity violation)
+    val same = (1 to 400).map(i => (i % 2, (i / 2 % 10) / 10.0 + 0.05))
+      .toDF("t", "s")
+    val r = Matching.overlap(same, $"t", $"s", bins = 10).collect()
+    assert(approx(r.head.getAs[Double]("common_support"), 1.0))
+    assert(approx(r.head.getAs[Double]("ovl"), 1.0))
+    val disjoint = (1 to 400).map { i =>
+      val t = i % 2
+      (t, (i / 2 % 4) / 10.0 + 0.05 + 0.5 * t)
+    }.toDF("t", "s")
+    val d = Matching.overlap(disjoint, $"t", $"s", bins = 10).collect()
+    assert(approx(d.head.getAs[Double]("common_support"), 0.0))
+    assert(approx(d.head.getAs[Double]("ovl"), 0.0))
+    // per-bin shares sum to 1 within each arm
+    assert(approx(d.map(_.getAs[Double]("share0")).sum, 1.0))
+    assert(approx(d.map(_.getAs[Double]("share1")).sum, 1.0))
+    intercept[IllegalArgumentException] {
+      Matching.overlap(Seq((2, 0.5)).toDF("t", "s"), $"t", $"s").collect()
+    }
+  }
+
   test("round-13 gateway verbs dispatch and leave no storage") {
     val ev = (0 until 400).map(i =>
       (i.toLong, (i % 2), ((i / 2 * 7) % 10 < 3 + 2 * (i % 2)),
