@@ -139,6 +139,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT heaps_fit(id, text)                  FROM <documents>
   * SELECT kmeans_eval(id, vec, label, k[, iters]) FROM <embeddings>
   * SELECT overlap(t, score[, bins])            FROM <scored cohort>
+  * SELECT mad_outliers(x[, k])                 FROM <any>
+  * SELECT seasonal_strength(period, value, season) FROM <series>
+  * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -294,7 +297,8 @@ object GraftGateway {
     "cumulative_incidence", "ewma", "ljung_box", "sprt", "hosmer_lemeshow",
     "classification_report", "cronbach_alpha", "oaxaca_blinder", "kmeans",
     "dunn_test", "ks_uniform", "theil_sen", "cochran_q", "durbin_watson",
-    "logrank_power", "heaps_fit", "kmeans_eval", "overlap")
+    "logrank_power", "heaps_fit", "kmeans_eval", "overlap", "mad_outliers",
+    "seasonal_strength", "cluster_power")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -673,6 +677,20 @@ object GraftGateway {
         // lag-1 dependence scalar over period cells
         require(a.length >= 2, "durbin_watson(period, value)")
         Drift.durbinWatson(df, c(a(0)), c(a(1)))
+      case "mad_outliers" =>
+        // Hampel MAD fence: robust outlier share + kept range
+        require(a.nonEmpty, "mad_outliers(x[, k])")
+        Robust.madOutliers(df, c(a(0)),
+          k = if (a.length > 1) num(a(1)) else 3.0)
+      case "seasonal_strength" =>
+        // variance share of the phase-mean seasonal component
+        require(a.length >= 3, "seasonal_strength(period, value, season)")
+        Drift.seasonalStrength(df, c(a(0)), c(a(1)), num(a(2)).toInt)
+      case "cluster_power" =>
+        // cluster-randomized power at delta via the icc design effect
+        require(a.length >= 3, "cluster_power(y, cluster, delta[, alpha])")
+        SimpleTests.clusterPower(df, c(a(0)), c(a(1)), num(a(2)),
+          alpha = if (a.length > 3) num(a(3)) else 0.05)
       case "overlap" =>
         // propensity positivity/common-support diagnostic
         require(a.length >= 2, "overlap(t, score[, bins])")

@@ -2453,6 +2453,48 @@ object SparkEntry {
           round(col("required_events_80"), 2).as("required_events_80"),
           round(col("required_events_90"), 2).as("required_events_90"))
     }),
+    "q222_mad_outliers" -> ((s, d) => {
+      // Hampel MAD fence on price: exact medians (house percentile ==
+      // quantile_cont); the consistency constant comes from the library's
+      // own normal quantile, mirrored to 17 digits in the oracle
+      t(s, d, "lineitem").createOrReplaceTempView("li_mad")
+      GraftGateway.sql(s, "SELECT mad_outliers(l_extendedprice) FROM li_mad")
+        .select(col("n"), round(col("median"), 4).as("median"),
+          round(col("mad"), 4).as("mad"),
+          round(col("sigma_robust"), 4).as("sigma_robust"),
+          col("n_outliers"), round(col("outlier_share"), 6).as("outlier_share"),
+          round(col("min_kept"), 4).as("min_kept"),
+          round(col("max_kept"), 4).as("max_kept"))
+    }),
+    "q223_seasonal_strength" -> ((s, d) => {
+      // planted weekly cycle (+20 on phase 2 of 7): the variance-share
+      // readout lands strictly inside (0, 1); peak phase is exact
+      t(s, d, "events")
+        .selectExpr("CAST(floor(event_id / 100) AS BIGINT) AS period",
+          "value + CASE WHEN CAST(floor(event_id / 100) AS BIGINT) % 7 = 2 " +
+            "THEN 20 ELSE 0 END AS v")
+        .createOrReplaceTempView("ev_ss")
+      GraftGateway.sql(s, "SELECT seasonal_strength(period, v, 7) FROM ev_ss")
+        .select(col("n_periods"), col("season"),
+          round(col("var_total"), 4).as("var_total"),
+          round(col("var_residual"), 4).as("var_residual"),
+          round(col("strength"), 6).as("strength"),
+          col("peak_phase"), round(col("peak_lift"), 4).as("peak_lift"))
+    }),
+    "q224_cluster_power" -> ((s, d) => {
+      // cluster-randomized planning on the q173 cohort: the icc design
+      // effect feeds the two-sample normal power forms — rows check
+      // through z_power and the required-cluster closed forms
+      t(s, d, "events").createOrReplaceTempView("ev_cp")
+      GraftGateway.sql(s,
+          "SELECT cluster_power(value, user_id, 2) FROM ev_cp")
+        .select(col("n"), col("n_clusters"),
+          round(col("sigma"), 6).as("sigma"), round(col("icc"), 6).as("icc"),
+          round(col("deff"), 6).as("deff"),
+          round(col("se_diff"), 6).as("se_diff"),
+          round(col("z_power"), 4).as("z_power"),
+          col("clusters_per_arm_80"), col("clusters_per_arm_90"))
+    }),
     "q221_overlap" -> ((s, d) => {
       // positivity diagnostic: the arms' scores shift by 0.2, so the
       // common-support and overlap-coefficient readouts sit strictly
@@ -4231,6 +4273,85 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q222_mad_outliers" ->
+      // exact medians + the 17-digit consistency constant; fence counts
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (SELECT quantile_cont(x, 0.5) AS med FROM b),
+        |md AS (SELECT med, quantile_cont(abs(x - med), 0.5) AS mad
+        |  FROM b, m GROUP BY med),
+        |f AS (SELECT med, mad, mad / 0.67448975019608160 AS sig FROM md),
+        |c AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN x < med - 3 * sig OR x > med + 3 * sig
+        |      THEN 1 ELSE 0 END) AS o,
+        |    min(CASE WHEN x >= med - 3 * sig AND x <= med + 3 * sig
+        |      THEN x END) AS mnk,
+        |    max(CASE WHEN x >= med - 3 * sig AND x <= med + 3 * sig
+        |      THEN x END) AS mxk
+        |  FROM b, f GROUP BY med, mad, sig)
+        |SELECT CAST(n AS BIGINT) AS n, round(f.med, 4) AS median,
+        |  round(f.mad, 4) AS mad, round(f.sig, 4) AS sigma_robust,
+        |  CAST(o AS BIGINT) AS n_outliers,
+        |  round(CAST(o AS DOUBLE) / n, 6) AS outlier_share,
+        |  round(mnk, 4) AS min_kept, round(mxk, 4) AS max_kept
+        |FROM c, f""".stripMargin,
+    "q223_seasonal_strength" ->
+      // phase means joined back over period cells; variance shares
+      """WITH cells AS (
+        |  SELECT CAST(floor(event_id / 100) AS BIGINT) AS period,
+        |    avg(value + CASE WHEN CAST(floor(event_id / 100) AS BIGINT)
+        |      % 7 = 2 THEN 20 ELSE 0 END) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |ph AS (SELECT period % 7 AS phase, avg(y) AS pm FROM cells
+        |  GROUP BY 1),
+        |j AS (SELECT c.y, p.pm FROM cells c
+        |  JOIN ph p ON c.period % 7 = p.phase),
+        |st AS (SELECT count(*) AS t, var_samp(y) AS vt,
+        |    var_samp(y - pm) AS vr, avg(y) AS mu FROM j),
+        |pk AS (SELECT phase, pm FROM ph ORDER BY pm DESC, phase LIMIT 1)
+        |SELECT CAST(t AS BIGINT) AS n_periods, CAST(7 AS BIGINT) AS season,
+        |  round(vt, 4) AS var_total, round(vr, 4) AS var_residual,
+        |  round(greatest(0.0, 1.0 - vr / vt), 6) AS strength,
+        |  pk.phase AS peak_phase, round(pk.pm - st.mu, 4) AS peak_lift
+        |FROM st, pk""".stripMargin,
+    "q224_cluster_power" ->
+      // q173's icc closed forms + sigma + the 17-digit z constants
+      """WITH cells AS (SELECT user_id AS c, count(*) AS m,
+        |    sum(CAST(value AS DOUBLE)) AS s,
+        |    sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS ss
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT CAST(sum(m) AS DOUBLE) AS n, count(*) AS k,
+        |    CAST(sum(m*m) AS DOUBLE) AS m2, sum(s) AS s, sum(ss) AS ss,
+        |    sum(s*s/m) AS sb
+        |  FROM cells),
+        |f AS (SELECT n, k,
+        |    (sb - s*s/n) / (k - 1) AS msb,
+        |    (ss - sb) / (n - k) AS msw,
+        |    (n - m2/n) / (k - 1) AS m0,
+        |    sqrt((ss - s*s/n) / (n - 1)) AS sd
+        |  FROM a),
+        |g AS (SELECT n, k, sd,
+        |    (msb - msw) / (msb + (m0 - 1.0) * msw) AS rho
+        |  FROM f),
+        |h AS (SELECT n, k, sd, rho,
+        |    1.0 + (n / k - 1.0) * greatest(0.0, rho) AS deff,
+        |    n / k AS mbar
+        |  FROM g),
+        |p AS (SELECT *, 2.0 * sd * sqrt(deff / n) AS sedt FROM h)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_clusters,
+        |  round(sd, 6) AS sigma, round(rho, 6) AS icc,
+        |  round(deff, 6) AS deff, round(sedt, 6) AS se_diff,
+        |  round(2.0 / sedt - 1.9599639845400540, 4) AS z_power,
+        |  CAST(ceil((1.9599639845400540 + 0.84162123357291440)
+        |    * (1.9599639845400540 + 0.84162123357291440)
+        |    * 2.0 * sd * sd * deff / (4.0 * mbar)) AS BIGINT)
+        |    AS clusters_per_arm_80,
+        |  CAST(ceil((1.9599639845400540 + 1.2815515655446008)
+        |    * (1.9599639845400540 + 1.2815515655446008)
+        |    * 2.0 * sd * sd * deff / (4.0 * mbar)) AS BIGINT)
+        |    AS clusters_per_arm_90
+        |FROM p""".stripMargin,
     "q221_overlap" ->
       // equal-width score cells per arm; shares, common support, OVL
       """WITH b AS (SELECT CAST(l_orderkey % 2 AS INT) AS t,

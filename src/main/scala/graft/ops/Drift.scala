@@ -207,6 +207,57 @@ object Drift {
         "is_anomaly")
   }
 
+  /** Seasonal strength of a period-bucketed metric (the STL-style
+    * variance-explained readout, Hyndman & Athanasopoulos FPP3 §4.4,
+    * computed against the phase-mean seasonal component) — "how much of
+    * this series is just the daily/weekly cycle": the scalar that says
+    * whether [[metricAnomaly]]'s seasonal baseline is load-bearing and
+    * how big the cycle is before anyone reads a raw daily delta:
+    *
+    *   strength = max(0, 1 − Var(y − phase_mean)/Var(y)),
+    *   phase = period mod season
+    *
+    * ONE row-scale aggregate to period cells, ONE phase-cell aggregate
+    * broadcast back, ONE closing variance pass. Also reports the peak
+    * phase and its lift over the grand mean. Returns one row:
+    * (n_periods, season, var_total, var_residual, strength, peak_phase,
+    * peak_lift). */
+  def seasonalStrength(df: DataFrame, period: Column, value: Column,
+                       season: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(season >= 2, s"seasonal_strength: season must be >= 2, got $season")
+    val v = value.cast("double")
+    val cells = df.filter(period.isNotNull && v.isNotNull)
+      .groupBy(period.cast("long").as("period"))
+      .agg(avg(v).as("y"))
+    cells.persist()
+    try {
+      val phases = cells
+        .groupBy(pmod(col("period"), lit(season.toLong)).as("phase"))
+        .agg(avg(col("y")).as("pm"), count(lit(1)).as("pc"))
+      val r = cells
+        .join(broadcast(phases),
+          pmod(col("period"), lit(season.toLong)) === col("phase"))
+        .agg(count(lit(1)).as("t"), variance(col("y")).as("vt"),
+          variance(col("y") - col("pm")).as("vr"),
+          avg(col("y")).as("mu")).head()
+      val tN = r.getAs[Long]("t")
+      require(tN >= 2 * season,
+        s"seasonal_strength: need at least ${2 * season} periods (two full " +
+          s"cycles), got $tN")
+      val vt = r.getAs[Double]("vt")
+      require(vt > 0, "seasonal_strength: the period metric is constant")
+      val strength = math.max(0.0, 1.0 - r.getAs[Double]("vr") / vt)
+      val peak = phases.orderBy(col("pm").desc, col("phase")).head()
+      Seq((tN, season.toLong, vt, r.getAs[Double]("vr"), strength,
+          peak.getAs[Long]("phase"),
+          peak.getAs[Double]("pm") - r.getAs[Double]("mu")))
+        .toDF("n_periods", "season", "var_total", "var_residual",
+          "strength", "peak_phase", "peak_lift")
+    } finally { cells.unpersist(); () }
+  }
+
   /** Durbin-Watson statistic over a period-bucketed metric (Durbin &
     * Watson 1950) — the one-number lag-1 dependence readout (≈ 2(1−ρ₁);
     * < 2 positive autocorrelation, > 2 negative) that contextualizes any

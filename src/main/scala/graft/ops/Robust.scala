@@ -95,6 +95,51 @@ object Robust {
     * literals — plus driver closed forms. Everything through t and df
     * replays in plain SQL. Returns one row: (n0, n1, h0, h1, tmean0,
     * tmean1, diff, se, t_stat, df, p_value). */
+  /** MAD-based outlier screen (Hampel identifier; Leys et al. 2013's
+    * recommended default over mean±k·sd, whose own outliers inflate the
+    * fence) — the data-quality verb before a metric enters a mean-based
+    * test:
+    *
+    *   MAD = median(|x − median(x)|),  robust z = (x − med)/(1.4826·MAD),
+    *   outlier when |robust z| > k
+    *
+    * TWO exact-percentile passes (median, then the deviation median — the
+    * house percentile matches DuckDB's quantile_cont) + ONE counting
+    * pass. Returns one row: (n, median, mad, sigma_robust, n_outliers,
+    * outlier_share, min_kept, max_kept). */
+  def madOutliers(df: DataFrame, x: Column, k: Double = 3.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k > 0, s"mad_outliers: k must be > 0, got $k")
+    val xd = x.cast("double")
+    val base = df.filter(xd.isNotNull && !isnan(xd)).select(xd.as("__x"))
+    base.persist()
+    try {
+      val med = base.agg(expr("percentile(__x, 0.5)")).head().getDouble(0)
+      val mad = base.agg(expr(s"percentile(abs(__x - $med), 0.5)"))
+        .head().getDouble(0)
+      require(mad > 0,
+        "mad_outliers: MAD is 0 — more than half the values are identical; " +
+          "a deviation fence is undefined (use a frequency screen instead)")
+      // consistency constant 1/Phi^-1(0.75) from the SAME quantile code
+      // the rest of the library uses (never a recalled literal)
+      val sigma = mad / graft.stats.Dist.normQuantile(0.75)
+      val lo = med - k * sigma
+      val hi = med + k * sigma
+      val r = base.agg(count(lit(1)).as("n"),
+        sum(when(col("__x") < lo || col("__x") > hi, 1L).otherwise(0L))
+          .as("out"),
+        min(when(col("__x").between(lo, hi), col("__x"))).as("mnk"),
+        max(when(col("__x").between(lo, hi), col("__x"))).as("mxk")).head()
+      val n = r.getAs[Long]("n")
+      Seq((n, med, mad, sigma, r.getAs[Long]("out"),
+          r.getAs[Long]("out").toDouble / n,
+          r.getAs[Double]("mnk"), r.getAs[Double]("mxk")))
+        .toDF("n", "median", "mad", "sigma_robust", "n_outliers",
+          "outlier_share", "min_kept", "max_kept")
+    } finally { base.unpersist(); () }
+  }
+
   def yuenTest(df: DataFrame, y: Column, t: Column,
                trim: Double = 0.2): DataFrame = {
     val spark = df.sparkSession

@@ -748,4 +748,45 @@ object SimpleTests {
       .toDF("n", "n_clusters", "m_bar", "m0", "msb", "msw", "icc",
         "deff", "n_effective")
   }
+
+  /** Cluster-randomized power planning (Donner & Klar ch. 5) — "can THIS
+    * clustered cohort see a lift of δ when whole clusters are randomized":
+    * the [[icc]] design effect applied to the two-sample normal power
+    * forms, so intra-cluster correlation stops being a silent power leak:
+    *
+    *   se_diff = 2σ√(deff/n),   z_power = |δ|/se_diff − z_{1−α/2},
+    *   clusters/arm(β) = ⌈(z_{1−α/2}+z_{1−β})²·2σ²·deff / (δ²·m̄)⌉
+    *
+    * Rides ONE extra moment aggregate beside the [[icc]] cell pass; the
+    * Φ that turns z_power into power is the only non-SQL step (oracle
+    * rows check through z_power — the q124 idiom). Returns one row:
+    * (n, n_clusters, sigma, icc, deff, se_diff, z_power, power,
+    * clusters_per_arm_80, clusters_per_arm_90). */
+  def clusterPower(df: DataFrame, y: Column, cluster: Column,
+                   delta: Double, alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(delta != 0, "cluster_power: delta must be nonzero")
+    val i = icc(df, y, cluster).head()
+    val yd = y.cast("double")
+    val sd = df.filter(yd.isNotNull && cluster.isNotNull)
+      .agg(stddev_samp(yd)).head().getDouble(0)
+    require(sd > 0, "cluster_power: outcome has zero variance")
+    val n = i.getAs[Long]("n").toDouble
+    val deff = i.getAs[Double]("deff")
+    val mBar = i.getAs[Double]("m_bar")
+    val za = graft.stats.Dist.normQuantile(1 - alpha / 2)
+    val seDiff = 2.0 * sd * math.sqrt(deff / n)
+    val zPower = math.abs(delta) / seDiff - za
+    def req(zb: Double): Long = math.ceil(
+      (za + zb) * (za + zb) * 2.0 * sd * sd * deff /
+        (delta * delta * mBar)).toLong
+    Seq((i.getAs[Long]("n"), i.getAs[Long]("n_clusters"), sd,
+        i.getAs[Double]("icc"), deff, seDiff, zPower,
+        graft.stats.Dist.normCdf(zPower),
+        req(graft.stats.Dist.normQuantile(0.8)),
+        req(graft.stats.Dist.normQuantile(0.9))))
+      .toDF("n", "n_clusters", "sigma", "icc", "deff", "se_diff",
+        "z_power", "power", "clusters_per_arm_80", "clusters_per_arm_90")
+  }
 }

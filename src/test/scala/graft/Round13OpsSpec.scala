@@ -606,6 +606,67 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("madOutliers: hand fence, robustness to the outliers themselves") {
+    // median 5, MAD 2 on 1..9 (symmetric); one wild point doesn't move
+    // either (the property mean±k·sd lacks)
+    val clean = (1 to 9).map(_.toDouble)
+    val r = Robust.madOutliers(clean.toDF("x"), $"x").head()
+    assert(approx(r.getAs[Double]("median"), 5.0))
+    assert(approx(r.getAs[Double]("mad"), 2.0))
+    assert(r.getAs[Long]("n_outliers") == 0)
+    val dirty = (clean ++ Seq(1e9)).toDF("x")
+    val d = Robust.madOutliers(dirty, $"x").head()
+    assert(approx(d.getAs[Double]("median"), 5.5))
+    assert(d.getAs[Long]("n_outliers") == 1)
+    assert(d.getAs[Double]("max_kept") <= 9.0)
+    intercept[IllegalArgumentException] { // MAD 0
+      Robust.madOutliers(Seq(1.0, 1.0, 1.0, 2.0).toDF("x"), $"x").head()
+    }
+  }
+
+  test("seasonalStrength: pure cycle ~1, pure noise ~0, peak phase exact") {
+    val pure = (0 until 70).map(p => (p.toLong, 10.0 + 5 * (p % 7)))
+      .toDF("p", "v")
+    val r = Drift.seasonalStrength(pure, $"p", $"v", season = 7).head()
+    assert(approx(r.getAs[Double]("strength"), 1.0))
+    assert(r.getAs[Long]("peak_phase") == 6)
+    assert(approx(r.getAs[Double]("peak_lift"), 5 * 6 - 15.0)) // 6*5 - mean(0..30)
+    val noise = (0 until 70).map { p =>
+      var x = p.toLong * 0x9E3779B97F4A7C15L; x ^= (x >>> 32)
+      (p.toLong, math.abs(x % 1000).toDouble)
+    }.toDF("p", "v")
+    val n = Drift.seasonalStrength(noise, $"p", $"v", season = 7).head()
+    assert(n.getAs[Double]("strength") < 0.25, n.toString)
+    intercept[IllegalArgumentException] { // under two cycles
+      Drift.seasonalStrength(pure.limit(10), $"p", $"v", season = 7)
+    }
+  }
+
+  test("clusterPower: iid clusters match the unclustered form; icc inflates") {
+    // within-cluster-identical outcomes: icc ~ 1, deff ~ m_bar
+    val clustered = (1 to 2000).map { i =>
+      val c = i % 100
+      (c.toLong, (c % 13).toDouble)
+    }.toDF("c", "y")
+    val r = SimpleTests.clusterPower(clustered, $"y", $"c", delta = 2.0)
+      .head()
+    assert(r.getAs[Double]("deff") > 10, r.toString)
+    // iid outcomes (cluster uninformative): deff ~ 1, se matches the
+    // plain two-sample closed form 2*sigma*sqrt(1/n)
+    val iid = (1 to 2000).map { i =>
+      var x = i.toLong * 0x9E3779B97F4A7C15L; x ^= (x >>> 32)
+      ((i % 100).toLong, (x % 1000).toDouble / 100.0)
+    }.toDF("c", "y")
+    val r2 = SimpleTests.clusterPower(iid, $"y", $"c", delta = 2.0).head()
+    assert(r2.getAs[Double]("deff") < 1.3, r2.toString)
+    val sigma = r2.getAs[Double]("sigma")
+    val expected = 2 * sigma * math.sqrt(r2.getAs[Double]("deff") / 2000)
+    assert(approx(r2.getAs[Double]("se_diff"), expected))
+    // 90% power always needs at least as many clusters as 80%
+    assert(r2.getAs[Long]("clusters_per_arm_90") >=
+      r2.getAs[Long]("clusters_per_arm_80"))
+  }
+
   test("round-13 gateway verbs dispatch and leave no storage") {
     val ev = (0 until 400).map(i =>
       (i.toLong, (i % 2), ((i / 2 * 7) % 10 < 3 + 2 * (i % 2)),
