@@ -142,6 +142,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT mad_outliers(x[, k])                 FROM <any>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
+  * SELECT binomial_test(y, p0)                 FROM <small cohort>
+  * SELECT runs_test(period, value)             FROM <series>
+  * SELECT grubbs_test(x)                       FROM <any>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -298,7 +301,8 @@ object GraftGateway {
     "classification_report", "cronbach_alpha", "oaxaca_blinder", "kmeans",
     "dunn_test", "ks_uniform", "theil_sen", "cochran_q", "durbin_watson",
     "logrank_power", "heaps_fit", "kmeans_eval", "overlap", "mad_outliers",
-    "seasonal_strength", "cluster_power")
+    "seasonal_strength", "cluster_power", "binomial_test", "runs_test",
+    "grubbs_test")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -677,6 +681,18 @@ object GraftGateway {
         // lag-1 dependence scalar over period cells
         require(a.length >= 2, "durbin_watson(period, value)")
         Drift.durbinWatson(df, c(a(0)), c(a(1)))
+      case "binomial_test" =>
+        // exact one-sample rate test (minimum-likelihood two-sided)
+        require(a.length >= 2, "binomial_test(y, p0)")
+        SimpleTests.binomialTest(df, c(a(0)), num(a(1)))
+      case "runs_test" =>
+        // Wald-Wolfowitz randomness-around-the-median over period cells
+        require(a.length >= 2, "runs_test(period, value)")
+        Drift.runsTest(df, c(a(0)), c(a(1)))
+      case "grubbs_test" =>
+        // single-outlier significance for the most extreme value
+        require(a.nonEmpty, "grubbs_test(x)")
+        Robust.grubbsTest(df, c(a(0)))
       case "mad_outliers" =>
         // Hampel MAD fence: robust outlier share + kept range
         require(a.nonEmpty, "mad_outliers(x[, k])")

@@ -2453,6 +2453,44 @@ object SparkEntry {
           round(col("required_events_80"), 2).as("required_events_80"),
           round(col("required_events_90"), 2).as("required_events_90"))
     }),
+    "q225_binomial_test" -> ((s, d) => {
+      // exact rate test: 1000 trials at a planted 26% vs p0 = 0.3 — the
+      // full support enumerates via generate_series + lgamma
+      t(s, d, "events").filter(col("event_id") < 1000)
+        .selectExpr("CASE WHEN (CAST(floor(event_id / 2) AS BIGINT) * 13) " +
+          "% 50 < 13 THEN 1 ELSE 0 END AS y")
+        .createOrReplaceTempView("ev_bt")
+      GraftGateway.sql(s, "SELECT binomial_test(y, 0.3) FROM ev_bt")
+        .select(col("n"), col("successes"), round(col("rate"), 6).as("rate"),
+          round(col("p_two_sided"), 8).as("p_two_sided"),
+          round(col("p_greater"), 8).as("p_greater"))
+    }),
+    "q226_runs_test" -> ((s, d) => {
+      // randomness around the median of the period series: the planted
+      // weekly lift makes same-sign runs persist, so z goes negative
+      t(s, d, "events")
+        .selectExpr("CAST(floor(event_id / 100) AS BIGINT) AS period",
+          "value + CASE WHEN CAST(floor(event_id / 100) AS BIGINT) " +
+            "% 10 < 5 THEN 4 ELSE 0 END AS v")
+        .createOrReplaceTempView("ev_rt")
+      GraftGateway.sql(s, "SELECT runs_test(period, v) FROM ev_rt")
+        .select(col("n_periods"), col("n_above"), col("n_below"),
+          col("runs"), round(col("expected_runs"), 6).as("expected_runs"),
+          round(col("z"), 4).as("z"))
+    }),
+    "q227_grubbs_test" -> ((s, d) => {
+      // single-suspect outlier check on price + one planted spike row
+      // (union keeps the base table untouched); checks through G
+      val li = t(s, d, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val spark = s
+      import spark.implicits._
+      li.union(Seq(9.9e7).toDF("x")).createOrReplaceTempView("li_gr")
+      GraftGateway.sql(s, "SELECT grubbs_test(x) FROM li_gr")
+        .select(col("n"), round(col("mean"), 4).as("mean"),
+          round(col("sd"), 4).as("sd"), round(col("suspect"), 4).as("suspect"),
+          round(col("g"), 4).as("g"))
+    }),
     "q222_mad_outliers" -> ((s, d) => {
       // Hampel MAD fence on price: exact medians (house percentile ==
       // quantile_cont); the consistency constant comes from the library's
@@ -4273,6 +4311,62 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q225_binomial_test" ->
+      // the full n+1 support via generate_series + lgamma; R's
+      // minimum-likelihood two-sided rule with the 1+1e-7 tie tolerance
+      """WITH b AS (SELECT CASE WHEN
+        |    (CAST(floor(event_id / 2) AS BIGINT) * 13) % 50 < 13
+        |    THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_id < 1000),
+        |m AS (SELECT count(*) AS n, sum(y) AS s FROM b),
+        |lp AS (SELECT g.k AS k, m.s,
+        |    lgamma(m.n + 1.0) - lgamma(g.k + 1.0) - lgamma(m.n - g.k + 1.0)
+        |    + g.k * ln(CAST(0.3 AS DOUBLE))
+        |    + (m.n - g.k) * ln(CAST(0.7 AS DOUBLE)) AS l
+        |  FROM m, generate_series(0, 1000) g(k) WHERE g.k <= m.n),
+        |obs AS (SELECT l AS lobs FROM lp WHERE k = s)
+        |SELECT CAST(m.n AS BIGINT) AS n, CAST(m.s AS BIGINT) AS successes,
+        |  round(CAST(m.s AS DOUBLE) / m.n, 6) AS rate,
+        |  round(least(1.0, (SELECT sum(exp(l)) FROM lp, obs
+        |    WHERE l <= lobs + ln(1.0000001))), 8) AS p_two_sided,
+        |  round(least(1.0, (SELECT sum(exp(lp.l)) FROM lp, m
+        |    WHERE lp.k >= m.s)), 8) AS p_greater
+        |FROM m""".stripMargin,
+    "q226_runs_test" ->
+      // exact median split over period cells, lag-window run starts
+      """WITH cells AS (
+        |  SELECT CAST(floor(event_id / 100) AS BIGINT) AS period,
+        |    avg(value + CASE WHEN CAST(floor(event_id / 100) AS BIGINT)
+        |      % 10 < 5 THEN 4 ELSE 0 END) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |md AS (SELECT quantile_cont(y, 0.5) AS m FROM cells),
+        |sg AS (SELECT period,
+        |    CASE WHEN y > (SELECT m FROM md) THEN 1 ELSE 0 END AS s
+        |  FROM cells WHERE y <> (SELECT m FROM md)),
+        |rn AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY period) IS NULL
+        |    OR lag(s) OVER (ORDER BY period) <> s THEN 1 ELSE 0 END AS nw
+        |  FROM sg),
+        |ag AS (SELECT count(*) AS n, sum(s) AS n1, sum(nw) AS runs FROM rn)
+        |SELECT CAST(n AS BIGINT) AS n_periods, CAST(n1 AS BIGINT) AS n_above,
+        |  CAST(n - n1 AS BIGINT) AS n_below, CAST(runs AS BIGINT) AS runs,
+        |  round(2.0 * n1 * (n - n1) / n + 1, 6) AS expected_runs,
+        |  round((runs - (2.0 * n1 * (n - n1) / n + 1))
+        |    / sqrt(2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n)
+        |      / (CAST(n AS DOUBLE) * n * (n - 1))), 4) AS z
+        |FROM ag""".stripMargin,
+    "q227_grubbs_test" ->
+      // moments + the farther extreme; G closed form
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        |  UNION ALL SELECT 9.9e7),
+        |m AS (SELECT count(*) AS n, avg(x) AS mu, stddev_samp(x) AS sd,
+        |    max(x) AS mx, min(x) AS mn FROM b)
+        |SELECT CAST(n AS BIGINT) AS n, round(mu, 4) AS mean,
+        |  round(sd, 4) AS sd,
+        |  round(CASE WHEN mx - mu >= mu - mn THEN mx ELSE mn END, 4)
+        |    AS suspect,
+        |  round(abs((CASE WHEN mx - mu >= mu - mn THEN mx ELSE mn END) - mu)
+        |    / sd, 4) AS g
+        |FROM m""".stripMargin,
     "q222_mad_outliers" ->
       // exact medians + the 17-digit consistency constant; fence counts
       """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x

@@ -207,6 +207,58 @@ object Drift {
         "is_anomaly")
   }
 
+  /** Wald-Wolfowitz runs test over a period-bucketed metric (1940) —
+    * "is this series RANDOM around its median": too few runs flags
+    * persistence/trend, too many flags alternation; the
+    * distribution-free companion to [[durbinWatson]] (which assumes a
+    * linear lag-1 story):
+    *
+    *   R = runs of consecutive same-sign (y > median) cells,
+    *   E[R] = 2n₁n₀/n + 1,  Var = 2n₁n₀(2n₁n₀−n)/(n²(n−1)),  z = (R−E)/√Var
+    *
+    * Cells AT the median drop (the standard rule, documented). ONE
+    * row-scale aggregate to cells + one exact-percentile pass + one
+    * cell-scale lag window. Returns one row:
+    * (n_periods, n_above, n_below, runs, expected_runs, z, p_value). */
+  def runsTest(df: DataFrame, period: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = value.cast("double")
+    val cells = df.filter(period.isNotNull && v.isNotNull)
+      .groupBy(period.cast("long").as("period"))
+      .agg(avg(v).as("y"))
+    cells.persist()
+    try {
+      val med = cells.agg(expr("percentile(y, 0.5)")).head().getDouble(0)
+      val signed = cells.filter(col("y") =!= med)
+        .withColumn("s", (col("y") > med).cast("int"))
+      val w = Window.orderBy(col("period"))
+      val r = signed
+        .withColumn("__new",
+          when(lag(col("s"), 1).over(w).isNull ||
+            lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("n"), sum(col("s")).as("n1"),
+          sum(col("__new")).as("runs")).head()
+      val n = r.getAs[Long]("n")
+      val n1 = r.getAs[Long]("n1")
+      val n0 = n - n1
+      require(n >= 4 && n1 > 0 && n0 > 0,
+        "runs_test: need at least 4 non-median periods on both sides of " +
+          "the median")
+      val nd = n.toDouble
+      val e = 2.0 * n1 * n0 / nd + 1.0
+      val varR = 2.0 * n1 * n0 * (2.0 * n1 * n0 - nd) / (nd * nd * (nd - 1))
+      require(varR > 0, "runs_test: degenerate run variance")
+      val runs = r.getAs[Long]("runs")
+      val z = (runs - e) / math.sqrt(varR)
+      val p = 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z)))
+      Seq((n, n1, n0, runs, e, z, p))
+        .toDF("n_periods", "n_above", "n_below", "runs", "expected_runs",
+          "z", "p_value")
+    } finally { cells.unpersist(); () }
+  }
+
   /** Seasonal strength of a period-bucketed metric (the STL-style
     * variance-explained readout, Hyndman & Athanasopoulos FPP3 §4.4,
     * computed against the phase-mean seasonal component) — "how much of

@@ -140,6 +140,45 @@ object Robust {
     } finally { base.unpersist(); () }
   }
 
+  /** Grubbs' single-outlier test (Grubbs 1950) — "is the most extreme
+    * value a statistical outlier or just the tail": G = max|x − x̄|/s,
+    * with the t-based p (one extreme value tested against the normal
+    * cohort; for SHARES of outliers use [[madOutliers]] — Grubbs answers
+    * about exactly one suspect).
+    *
+    * ONE moments + argmax aggregate; the two-sided p inverts the Grubbs
+    * critical-value identity G_crit = ((n−1)/√n)·√(t²/(n−2+t²)) at
+    * significance α/(2n): p = min(1, 2n·P(t_{n−2} > t*)) with
+    * t* = √(n(n−2)G²/((n−1)² − nG²)). Oracle rows check through G and
+    * the suspect value (the q138 CDF idiom). Returns one row:
+    * (n, mean, sd, suspect, g, p_value). */
+  def grubbsTest(df: DataFrame, x: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xd = x.cast("double")
+    val r = df.filter(xd.isNotNull && !isnan(xd)).agg(
+      count(lit(1)).as("n"), avg(xd).as("m"), stddev_samp(xd).as("sd"),
+      max(xd).as("mx"), min(xd).as("mn")).head()
+    val n = r.getAs[Long]("n")
+    require(n >= 4, s"grubbs_test: need at least 4 rows, got $n")
+    val sd = r.getAs[Double]("sd")
+    require(sd > 0, "grubbs_test: the column is constant")
+    val m = r.getAs[Double]("m")
+    val (mx, mn) = (r.getAs[Double]("mx"), r.getAs[Double]("mn"))
+    val suspect = if (mx - m >= m - mn) mx else mn
+    val g = math.abs(suspect - m) / sd
+    val nd = n.toDouble
+    // invert G to the t scale; G at its algebraic max makes the radicand
+    // blow up -> p = 0 exactly
+    val rad = nd * (nd - 2) * g * g / ((nd - 1) * (nd - 1) - nd * g * g)
+    val p =
+      if (rad <= 0 || rad.isInfinite) 0.0
+      else math.min(1.0,
+        2.0 * nd * (1.0 - graft.stats.Dist.tCdf(math.sqrt(rad), nd - 2)))
+    Seq((n, m, sd, suspect, g, p))
+      .toDF("n", "mean", "sd", "suspect", "g", "p_value")
+  }
+
   def yuenTest(df: DataFrame, y: Column, t: Column,
                trim: Double = 0.2): DataFrame = {
     val spark = df.sparkSession

@@ -749,6 +749,54 @@ object SimpleTests {
         "deff", "n_effective")
   }
 
+  /** Exact one-sample binomial test — "is this success rate p₀", exactly,
+    * where the normal-approximation [[propTest]] under-covers at small n
+    * or extreme p₀: two-sided p by the minimum-likelihood rule (sum the
+    * outcomes at-most-as-likely as the observed one — R's binom.test,
+    * with its 1+1e-7 tie tolerance).
+    *
+    * ONE conditional-count aggregate; the enumeration is n+1 driver
+    * lgamma terms, so n is guarded with prop_test named as the at-scale
+    * alternative (an exact test at millions of trials is numerically the
+    * normal approximation anyway). Replays in SQL via generate_series +
+    * lgamma. Returns one row: (n, successes, rate, p0, p_two_sided,
+    * p_greater). */
+  def binomialTest(df: DataFrame, y: Column, p0: Double,
+                   maxN: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.commons.math3.special.Gamma.logGamma
+    require(p0 > 0 && p0 < 1, s"binomial_test: p0 in (0, 1), got $p0")
+    val yi = y.cast("int")
+    val r = df.filter(yi.isNotNull).agg(count(lit(1)).as("n"),
+      sum(when(yi === 1, 1L).otherwise(0L)).as("s"),
+      sum(when(yi =!= 0 && yi =!= 1, 1L).otherwise(0L)).as("bad")).head()
+    require(r.getAs[Long]("bad") == 0,
+      s"binomial_test: ${r.getAs[Long]("bad")} rows have y outside {0, 1}")
+    val n = r.getAs[Long]("n")
+    require(n > 0, "binomial_test: no rows")
+    require(n <= maxN,
+      s"binomial_test: n = $n exceeds maxN=$maxN — at this scale the " +
+        "exact enumeration equals the normal approximation; use prop_test")
+    val s = r.getAs[Long]("s")
+    val (lp, l1p) = (math.log(p0), math.log1p(-p0))
+    def logP(k: Long): Double =
+      logGamma(n + 1.0) - logGamma(k + 1.0) - logGamma(n - k + 1.0) +
+        k * lp + (n - k) * l1p
+    val lpObs = logP(s)
+    var pTwo = 0.0
+    var pGe = 0.0
+    var k = 0L
+    while (k <= n) {
+      val pk = math.exp(logP(k))
+      if (logP(k) <= lpObs + math.log1p(1e-7)) pTwo += pk
+      if (k >= s) pGe += pk
+      k += 1
+    }
+    Seq((n, s, s.toDouble / n, p0, math.min(1.0, pTwo), math.min(1.0, pGe)))
+      .toDF("n", "successes", "rate", "p0", "p_two_sided", "p_greater")
+  }
+
   /** Cluster-randomized power planning (Donner & Klar ch. 5) — "can THIS
     * clustered cohort see a lift of δ when whole clusters are randomized":
     * the [[icc]] design effect applied to the two-sample normal power

@@ -667,6 +667,64 @@ class Round13OpsSpec extends AnyFunSuite {
       r2.getAs[Long]("clusters_per_arm_80"))
   }
 
+  test("binomialTest: exhaustive n=4 support, null vs planted rates") {
+    // n=4, p0=0.5, s=4: P(4)=1/16; two-sided sums {0,4} -> 2/16
+    val all1 = Seq(1, 1, 1, 1).toDF("y")
+    val r = SimpleTests.binomialTest(all1, $"y", 0.5).head()
+    assert(approx(r.getAs[Double]("p_greater"), 1.0 / 16))
+    assert(approx(r.getAs[Double]("p_two_sided"), 2.0 / 16))
+    // s=2 of 4 at p0=0.5 is the mode: two-sided p = 1
+    val half = Seq(1, 1, 0, 0).toDF("y")
+    assert(approx(SimpleTests.binomialTest(half, $"y", 0.5).head()
+      .getAs[Double]("p_two_sided"), 1.0))
+    // a big planted deviation is detected
+    val dev = (1 to 500).map(i => if (i % 2 == 0) 1 else 0).toDF("y")
+    assert(SimpleTests.binomialTest(dev, $"y", 0.3).head()
+      .getAs[Double]("p_two_sided") < 1e-10)
+    val g = intercept[IllegalArgumentException] {
+      SimpleTests.binomialTest(dev, $"y", 0.3, maxN = 10)
+    }
+    assert(g.getMessage.contains("prop_test"), g.getMessage)
+  }
+
+  test("runsTest: hand run count, trend vs alternation vs noise") {
+    // periods: +,+,+,-,-,-  (values 9,9,9,1,1,1 around median 5): 2 runs
+    val hand = Seq(9.0, 9.0, 9.0, 1.0, 1.0, 1.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("p", "v")
+    val r = Drift.runsTest(hand, $"p", $"v").head()
+    assert(r.getAs[Long]("runs") == 2 && r.getAs[Long]("n_above") == 3)
+    assert(approx(r.getAs[Double]("expected_runs"), 2.0 * 9 / 6 + 1))
+    assert(r.getAs[Double]("z") < 0) // too FEW runs = persistence
+    // perfect alternation: maximal runs, z > 0
+    val alt = (0 until 100).map(i =>
+      (i.toLong, if (i % 2 == 0) 10.0 else 1.0)).toDF("p", "v")
+    assert(Drift.runsTest(alt, $"p", $"v").head().getAs[Double]("z") > 5)
+    // avalanche noise: |z| small
+    val noise = (0 until 200).map { i =>
+      var x = i.toLong * 0x9E3779B97F4A7C15L; x ^= (x >>> 32)
+      (i.toLong, math.abs(x % 1000).toDouble)
+    }.toDF("p", "v")
+    assert(math.abs(Drift.runsTest(noise, $"p", $"v").head()
+      .getAs[Double]("z")) < 2.5)
+  }
+
+  test("grubbsTest: planted spike detected, clean data not") {
+    val clean = (1 to 200).map { i =>
+      var x = i.toLong * 0x9E3779B97F4A7C15L; x ^= (x >>> 32)
+      math.abs(x % 1000).toDouble / 100.0
+    }
+    val rc = Robust.grubbsTest(clean.toDF("x"), $"x").head()
+    assert(rc.getAs[Double]("p_value") > 0.05, rc.toString)
+    val spiked = (clean :+ 1000.0).toDF("x")
+    val rs = Robust.grubbsTest(spiked, $"x"). head()
+    assert(approx(rs.getAs[Double]("suspect"), 1000.0))
+    assert(rs.getAs[Double]("p_value") < 1e-6, rs.toString)
+    // the suspect is the FARTHER extreme, low side too
+    val low = (clean :+ -1000.0).toDF("x")
+    assert(approx(Robust.grubbsTest(low, $"x").head()
+      .getAs[Double]("suspect"), -1000.0))
+  }
+
   test("round-13 gateway verbs dispatch and leave no storage") {
     val ev = (0 until 400).map(i =>
       (i.toLong, (i % 2), ((i / 2 * 7) % 10 < 3 + 2 * (i % 2)),
