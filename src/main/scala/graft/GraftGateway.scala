@@ -145,6 +145,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
   * SELECT runs_test(period, value)             FROM <series>
   * SELECT grubbs_test(x)                       FROM <any>
+  * SELECT ngram_novelty(text, 'ref_table'[, n]) FROM <new shard>
   * }}}
   *
   * The two rank tests auto-route to [[graft.ops.RankTests]]'s
@@ -302,7 +303,7 @@ object GraftGateway {
     "dunn_test", "ks_uniform", "theil_sen", "cochran_q", "durbin_watson",
     "logrank_power", "heaps_fit", "kmeans_eval", "overlap", "mad_outliers",
     "seasonal_strength", "cluster_power", "binomial_test", "runs_test",
-    "grubbs_test")
+    "grubbs_test", "ngram_novelty")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -681,6 +682,12 @@ object GraftGateway {
         // lag-1 dependence scalar over period cells
         require(a.length >= 2, "durbin_watson(period, value)")
         Drift.durbinWatson(df, c(a(0)), c(a(1)))
+      case "ngram_novelty" =>
+        // new-content share vs a reference corpus (same text column name)
+        require(a.length >= 2, "ngram_novelty(text, 'ref_table'[, n])")
+        val ref = spark.table(str(a(1)))
+        TextOps.ngramNovelty(df, ref, c(a(0)), c(a(0)),
+          n = if (a.length > 2) num(a(2)).toInt else 3)
       case "binomial_test" =>
         // exact one-sample rate test (minimum-likelihood two-sided)
         require(a.length >= 2, "binomial_test(y, p0)")

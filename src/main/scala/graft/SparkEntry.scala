@@ -2453,6 +2453,21 @@ object SparkEntry {
           round(col("required_events_80"), 2).as("required_events_80"),
           round(col("required_events_90"), 2).as("required_events_90"))
     }),
+    "q228_ngram_novelty" -> ((s, d) => {
+      // shard admission: the top half of doc_ids as the NEW shard vs the
+      // bottom half as the reference corpus — trigram sets anti-join on
+      // the gram key (the snapshot-diff shape)
+      val docs = t(s, d, "documents")
+      val half = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+      docs.filter(col("doc_id") > half).createOrReplaceTempView("q228_new")
+      docs.filter(col("doc_id") <= half).createOrReplaceTempView("q228_ref")
+      GraftGateway.sql(s,
+          "SELECT ngram_novelty(text, 'q228_ref', 3) FROM q228_new")
+        .select(col("ngrams_current"), col("ngrams_new"),
+          round(col("novelty_distinct"), 6).as("novelty_distinct"),
+          col("occurrences_current"), col("occurrences_new"),
+          round(col("novelty_weighted"), 6).as("novelty_weighted"))
+    }),
     "q225_binomial_test" -> ((s, d) => {
       // exact rate test: 1000 trials at a planted 26% vs p0 = 0.3 — the
       // full support enumerates via generate_series + lgamma
@@ -4311,6 +4326,33 @@ object SparkEntry {
         |  round((max(CASE WHEN r = 1 THEN alpha END)
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
+    "q228_ngram_novelty" ->
+      // per-doc DISTINCT trigrams via bounded position enumeration; the
+      // half split point is the exact doc_id median (quantile_cont ==
+      // the house percentile)
+      """WITH h AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
+        |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |tg AS (SELECT DISTINCT doc_id,
+        |    w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS g
+        |  FROM tk, generate_series(1, 500) g(i)
+        |  WHERE g.i <= len(w) - 2 AND len(w) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+        |  FROM tk WHERE len(w) < 3),
+        |cur AS (SELECT g, count(*) AS c FROM tg, h
+        |  WHERE doc_id > h.m GROUP BY g),
+        |ref AS (SELECT DISTINCT g FROM tg, h WHERE doc_id <= h.m),
+        |nw AS (SELECT count(*) AS d, coalesce(sum(c), 0) AS o FROM cur
+        |  WHERE g NOT IN (SELECT g FROM ref)),
+        |tot AS (SELECT count(*) AS d, sum(c) AS o FROM cur)
+        |SELECT CAST(tot.d AS BIGINT) AS ngrams_current,
+        |  CAST(nw.d AS BIGINT) AS ngrams_new,
+        |  round(CAST(nw.d AS DOUBLE) / tot.d, 6) AS novelty_distinct,
+        |  CAST(tot.o AS BIGINT) AS occurrences_current,
+        |  CAST(nw.o AS BIGINT) AS occurrences_new,
+        |  round(CAST(nw.o AS DOUBLE) / tot.o, 6) AS novelty_weighted
+        |FROM tot, nw""".stripMargin,
     "q225_binomial_test" ->
       // the full n+1 support via generate_series + lgamma; R's
       // minimum-likelihood two-sided rule with the 1+1e-7 tie tolerance

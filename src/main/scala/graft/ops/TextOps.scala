@@ -392,6 +392,50 @@ object TextOps {
           i => array_join(slice(w, i + 1, lit(n)), " "))))
   }
 
+  /** Cross-snapshot n-gram novelty — "how much NEW content does this
+    * corpus slice add over the reference corpus": the shard-admission
+    * readout beside [[chao1]] (unseen mass within ONE corpus) and
+    * [[heapsFit]] (growth along one corpus's own order). Per-document
+    * DISTINCT word n-grams on both sides ([[shingles]]);
+    *
+    *   novelty_distinct = |grams(cur) \ grams(ref)| / |grams(cur)|,
+    *   novelty_weighted = the same ratio over per-doc-distinct
+    *                      OCCURRENCES (head-gram repeats count)
+    *
+    * 100 TB shape: one gram-keyed exchange per side (map-side combined)
+    * + ONE shuffle anti join on the gram key — the snapshot-diff shape;
+    * gram cardinality unbounded, nothing collected but the output row.
+    * Returns one row: (ngrams_current, ngrams_new, novelty_distinct,
+    * occurrences_current, occurrences_new, novelty_weighted). */
+  def ngramNovelty(cur: DataFrame, ref: DataFrame, curText: Column,
+                   refText: Column, n: Int = 3): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    require(n >= 1, s"ngram_novelty: n must be >= 1, got $n")
+    def grams(df: DataFrame, text: Column): DataFrame = df
+      .filter(text.isNotNull)
+      .select(explode(shingles(text, n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val curG = grams(cur, curText)
+    val refG = grams(ref, refText).select(col("g"))
+    curG.persist()
+    try {
+      val tot = curG.agg(count(lit(1)).as("d"), sum(col("c")).as("o")).head()
+      val newG = curG.join(refG, Seq("g"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("d"),
+          coalesce(sum(col("c")), lit(0L)).as("o")).head()
+      val d = tot.getAs[Long]("d")
+      require(d > 0, "ngram_novelty: the current corpus has no n-grams")
+      val o = tot.getAs[Long]("o")
+      Seq((d, newG.getAs[Long]("d"),
+          newG.getAs[Long]("d").toDouble / d,
+          o, newG.getAs[Long]("o"),
+          newG.getAs[Long]("o").toDouble / o))
+        .toDF("ngrams_current", "ngrams_new", "novelty_distinct",
+          "occurrences_current", "occurrences_new", "novelty_weighted")
+    } finally { curG.unpersist(); () }
+  }
+
   /** SimHash-64 over token hashes: bit b of the fingerprint is the sign of
     * Σ_tokens (±1 depending on bit b of xxhash64(token)). One fused pass
     * over the token array per row ([[graft.expr.HashOps.simHash64]]) — the

@@ -725,6 +725,27 @@ class Round13OpsSpec extends AnyFunSuite {
       .getAs[Double]("suspect"), -1000.0))
   }
 
+  test("ngramNovelty: hand trigram sets, full overlap 0, disjoint 1") {
+    val cur = Seq("a b c d").toDF("text") // trigrams {a b c, b c d}
+    val ref = Seq("b c d e").toDF("text") // trigrams {b c d, c d e}
+    val r = TextOps.ngramNovelty(cur, ref, $"text", $"text", n = 3).head()
+    assert(r.getAs[Long]("ngrams_current") == 2 &&
+      r.getAs[Long]("ngrams_new") == 1)
+    assert(approx(r.getAs[Double]("novelty_distinct"), 0.5))
+    val same = TextOps.ngramNovelty(cur, cur, $"text", $"text", n = 3).head()
+    assert(approx(same.getAs[Double]("novelty_distinct"), 0.0))
+    val disj = TextOps.ngramNovelty(cur,
+      Seq("x y z w").toDF("text"), $"text", $"text", n = 3).head()
+    assert(approx(disj.getAs[Double]("novelty_weighted"), 1.0))
+    // weighted counts per-doc-distinct occurrences: a repeated gram in
+    // TWO docs counts twice in occurrences, once in distinct
+    val rep = TextOps.ngramNovelty(
+      Seq("a b c", "a b c x").toDF("text"), ref, $"text", $"text",
+      n = 3).head()
+    assert(rep.getAs[Long]("occurrences_current") == 3) // abc x2, bcx x1
+    assert(rep.getAs[Long]("ngrams_current") == 2)
+  }
+
   test("round-13 gateway verbs dispatch and leave no storage") {
     val ev = (0 until 400).map(i =>
       (i.toLong, (i % 2), ((i / 2 * 7) % 10 < 3 + 2 * (i % 2)),
