@@ -853,6 +853,31 @@ object ScaleProbe {
       assert(r.getAs[Double]("beta") > 0.1 && r.getAs[Double]("beta") < 1.0,
         r.toString)
     }
+    time(s"ngram_novelty trigrams (${rows / 100} new vs ${rows / 100} ref docs)") {
+      def corpus(seed: Int) = spark.range(rows / 100).select(
+        concat_ws(" ",
+          (0 until 8).map(j => concat(lit("w"),
+            pmod(xxhash64(col("id"), lit(seed + j)), lit(200000L)))): _*)
+          .as("text"))
+      val r = graft.ops.TextOps.ngramNovelty(corpus(60), corpus(90),
+        col("text"), col("text"), n = 3).head()
+      assert(r.getAs[Double]("novelty_distinct") > 0.5, r.toString)
+    }
+    time("theil_sen at the 20k-row cap (~2e8 distributed pair slopes)") {
+      val d = spark.range(20000).select(col("id").cast("double").as("x"),
+        (col("id") * 3 + pmod(xxhash64(col("id"), lit(61)), lit(100L)))
+          .cast("double").as("y"))
+      val r = graft.ops.Regression.theilSen(d, col("x"), col("y")).head()
+      assert(math.abs(r.getAs[Double]("slope") - 3.0) < 0.1, r.toString)
+    }
+    time(s"dunn_test 10 groups ($rankRows rows)") {
+      val d = spark.range(rankRows).select(
+        (pmod(xxhash64(col("id"), lit(62)), lit(100000L)).cast("double") +
+          (col("id") % 10) * 2000.0).as("v"),
+        (col("id") % 10).cast("string").as("g"))
+      val r = graft.ops.RankTests.dunnTest(d, col("v"), col("g")).collect()
+      assert(r.length == 45)
+    }
     time(s"chao1 (${rows / 100} docs)") {
       val docs = spark.range(rows / 100).select(
         concat_ws(" ",
