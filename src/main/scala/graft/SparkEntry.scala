@@ -4327,16 +4327,18 @@ object SparkEntry {
         |      - max(CASE WHEN r = 0 THEN alpha END)) / sqrt(sum(v)), 4) AS z
         |FROM v2""".stripMargin,
     "q228_ngram_novelty" ->
-      // per-doc DISTINCT trigrams via bounded position enumeration; the
-      // half split point is the exact doc_id median (quantile_cont ==
+      // per-doc DISTINCT trigrams via data-driven position enumeration
+      // (unnest(range(1, len-1)) — no fixed truncation, any doc length);
+      // the half split point is the exact doc_id median (quantile_cont ==
       // the house percentile)
       """WITH h AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
         |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS w
         |  FROM documents),
         |tg AS (SELECT DISTINCT doc_id,
-        |    w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS g
-        |  FROM tk, generate_series(1, 500) g(i)
-        |  WHERE g.i <= len(w) - 2 AND len(w) >= 3
+        |    w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+        |  FROM (SELECT doc_id, w,
+        |      unnest(range(1, greatest(1, len(w) - 1))) AS i FROM tk)
+        |  WHERE len(w) >= 3
         |  UNION
         |  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
         |  FROM tk WHERE len(w) < 3),

@@ -187,14 +187,17 @@ object Contingency {
     import spark.implicits._
     val xd = x.cast("double")
     val yd = y.cast("double")
+    // limit BEFORE collect so a mistakenly-continuous column pair bounds
+    // the driver collection itself, not just the post-hoc check
     val cells = df.filter(xd.isNotNull && yd.isNotNull)
       .groupBy(xd.as("x"), yd.as("y")).agg(count(lit(1)).as("c"))
+      .limit(maxCells + 1)
       .collect()
     require(cells.length >= 2, "ordinal_assoc: need at least 2 distinct cells")
     require(cells.length <= maxCells,
-      s"ordinal_assoc: ${cells.length} distinct (x, y) cells exceed " +
-        s"maxCells=$maxCells — this statistic is for ordinal domains; bin " +
-        "the columns first (cut_bins) or raise maxCells")
+      s"ordinal_assoc: more than $maxCells distinct (x, y) cells — this " +
+        "statistic is for ordinal domains; bin the columns first " +
+        "(cut_bins) or raise maxCells")
     val cs = cells.map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
     var conc = 0.0; var disc = 0.0; var tx = 0.0; var ty = 0.0
     var n = 0L

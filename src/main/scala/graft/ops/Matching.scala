@@ -174,7 +174,9 @@ object Matching {
     *
     * ovl near 1 = the arms see the same score range (weights behave);
     * a low common_support names the positivity violation before it
-    * becomes an exploding weight. ONE groupBy over ≤ bins cells.
+    * becomes an exploding weight. ONE groupBy over ≤ bins cells; scores
+    * outside [0, 1] and treatment values outside {0, 1} are both named
+    * errors counted in the same pass (never silently dropped).
     * Returns (bin, n0, n1, share0, share1, common_support, ovl),
     * ordered by bin. */
   def overlap(df: DataFrame, treatment: Column, score: Column,
@@ -182,19 +184,33 @@ object Matching {
     require(bins >= 2, s"overlap: bins must be >= 2, got $bins")
     val s = score.cast("double")
     val ti = treatment.cast("int")
-    val bin = least(floor(s * bins).cast("int"), lit(bins - 1))
-    val cells = df
-      .filter(ti.isNotNull && s.isNotNull && s >= 0.0 && s <= 1.0)
+    // a score outside [0, 1] signals the same upstream bug this
+    // diagnostic exists to catch — routed to sentinel bin -1 and counted
+    // in the SAME pass, then a named error (mirrors bad-treatment), not a
+    // silent filter drop
+    val bin = when(s < 0.0 || s > 1.0, lit(-1))
+      .otherwise(least(floor(s * bins).cast("int"), lit(bins - 1)))
+    val rawCells = df
+      .filter(ti.isNotNull && s.isNotNull && !isnan(s))
       .groupBy(bin.as("bin"))
       .agg(sum(when(ti === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(ti === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(ti =!= 0 && ti =!= 1, 1L).otherwise(0L)).as("bad"))
-    val tot = cells.agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"),
+    val cells = rawCells.filter(col("bin") >= 0)
+    val tot = rawCells.agg(
+      sum(when(col("bin") >= 0, col("n0")).otherwise(0L)).as("t0"),
+      sum(when(col("bin") >= 0, col("n1")).otherwise(0L)).as("t1"),
       sum(col("bad")).as("bad"),
-      sum(when(col("n0") > 0 && col("n1") > 0, col("n0") + col("n1"))
-        .otherwise(0L)).as("both")).head()
+      sum(when(col("bin") < 0, col("n0") + col("n1")).otherwise(0L))
+        .as("badScore"),
+      sum(when(col("bin") >= 0 && col("n0") > 0 && col("n1") > 0,
+        col("n0") + col("n1")).otherwise(0L)).as("both")).head()
     require(tot.getAs[Long]("bad") == 0,
       s"overlap: ${tot.getAs[Long]("bad")} rows have treatment outside {0, 1}")
+    require(tot.getAs[Long]("badScore") == 0,
+      s"overlap: ${tot.getAs[Long]("badScore")} rows have a propensity " +
+        "score outside [0, 1] — fix the scoring step (or clamp explicitly " +
+        "upstream if clipping is intended)")
     val (t0, t1) = (tot.getAs[Long]("t0"), tot.getAs[Long]("t1"))
     require(t0 > 0 && t1 > 0, "overlap: both arms need rows with scores " +
       "in [0, 1]")

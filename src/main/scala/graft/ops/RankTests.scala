@@ -265,8 +265,12 @@ object RankTests {
             sum(col("cg") * col("avg_rank")).as("rg"))
         perG.persist()
         try {
+          // cnt cast to double BEFORE cubing: a tie group above ~2.1M rows
+          // overflows Long silently in non-ANSI mode; the correction is a
+          // ratio, so double precision is sufficient
           val t = ranks.agg(
-            sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tieNum"),
+            sum(col("cnt").cast("double") * col("cnt") * col("cnt") -
+              col("cnt")).as("tieNum"),
             max(col("cnt")).as("maxTie")).head()
           val tt = perG.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"))
             .head()
@@ -287,7 +291,7 @@ object RankTests {
     require(ties.getAs[Long]("maxTie") < tot.getAs[Long]("n"),
       "kruskal_wallis: every value is identical — ranks are degenerate")
     val h = 12.0 / (n * (n + 1)) * dev
-    val c = 1.0 - ties.getAs[Long]("tieNum").toDouble / (n * n * n - n)
+    val c = 1.0 - ties.getAs[Double]("tieNum") / (n * n * n - n)
     val hc = h / c
     val p = 1.0 - Dist.chiSqCdf(hc, (k - 1).toDouble)
     Seq((tot.getAs[Long]("n"), k, h, hc, k - 1, p))
@@ -411,9 +415,11 @@ object RankTests {
           .orderBy(col("g"))
           .limit(maxGroups + 1)
           .collect()
+        // double before cubing — same Long-overflow guard as kruskalWallis
         val tn = ranks
-          .agg(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")))
-          .head().getLong(0)
+          .agg(sum(col("cnt").cast("double") * col("cnt") * col("cnt") -
+            col("cnt")))
+          .head().getDouble(0)
         (perG, tn)
       } finally graft.Ckpt.release(ranks)
     } finally { byVG.unpersist(); () }
@@ -459,9 +465,11 @@ object RankTests {
     *   D = max(D⁺, D⁻),  D⁺ = max_i(i/n − p_(i)),  D⁻ = max_i(p_(i) − (i−1)/n)
     *
     * with the asymptotic Kolmogorov tail p = 2Σ(−1)^{k+1}e^{−2k²nD²}
-    * (truncated at k = 100, the [[Drift.changepoint]] series; asymptotic
-    * only — documented, exact small-n is not the use case for a table of
-    * thousands of tests).
+    * summed to 5000 terms (the series needs ~4.2/λ terms to converge for
+    * small λ = √n·D — the well-calibrated regime; see the inline note
+    * below) with an exact p = 1 clamp below λ = 0.001; asymptotic only —
+    * documented, exact small-n is not the use case for a table of
+    * thousands of tests.
     *
     * 100 TB shape: the distributed two-phase row number over sorted
     * values ([[RangeCumSum.withRowNumber]]) + ONE closing aggregate —
