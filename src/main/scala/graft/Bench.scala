@@ -218,36 +218,66 @@ object Bench {
         .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
       val warmRe = """"warm":\s*([0-9.eE+-]+)""".r
       val sentRe = """"sentinel1":\s*([0-9.eE+-]+)""".r
-      val fresh = flagged.map { name =>
-        val (warm, sent) = try {
-          val cmd = (Seq(javaBin) ++ opens ++ Seq(
-            "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-            s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-            "-cp", cp, "graft.BenchOne", name))
-          val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-          val out = scala.io.Source.fromInputStream(p.getInputStream)
-            .getLines().toVector
-          p.waitFor()
-          val line = out.reverseIterator
-            .find(l => warmRe.findFirstMatchIn(l).isDefined)
-          (line.flatMap(l => warmRe.findFirstMatchIn(l).map(_.group(1).toDouble))
-             .getOrElse(-1.0),
-           line.flatMap(l => sentRe.findFirstMatchIn(l).map(_.group(1).toDouble))
-             .getOrElse(-1.0))
-        } catch { case _: Throwable => (-1.0, -1.0) }
-        (name, warm, sent)
-      }
+      val gcRe = """"gc_ms":\s*(-?[0-9]+)""".r
+      val jitRe = """"jit_ms":\s*(-?[0-9]+)""".r
+      case class Fork(warm: Double, sent: Double, gcMs: Long, jitMs: Long)
+      def forkOnce(name: String): Fork = try {
+        val cmd = (Seq(javaBin) ++ opens ++ Seq(
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+          "-cp", cp, "graft.BenchOne", name))
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream)
+          .getLines().toVector
+        p.waitFor()
+        val line = out.reverseIterator
+          .find(l => warmRe.findFirstMatchIn(l).isDefined)
+        def num(re: scala.util.matching.Regex, d: Double): Double =
+          line.flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
+            .getOrElse(d)
+        Fork(num(warmRe, -1.0), num(sentRe, -1.0),
+          num(gcRe, -1.0).toLong, num(jitRe, -1.0).toLong)
+      } catch { case _: Throwable => Fork(-1.0, -1.0, -1L, -1L) }
       // only a fresh number measured on a QUIET box may replace a board
       // min (r12: a loaded-box 31.8 s rerun overwrote q63's 13.7 s min —
       // both wrong, but the artifact presented the worse one as "fresh")
       val quietFresh = 2.0 * 0.42
-      results = results ++ fresh.collect {
-        case (n, w, s) if w >= 0 && (s > 0 && s <= quietFresh) &&
-            (results(n).sec < 0 || w < results(n).sec) =>
-          n -> Sample(w, 0L, -1L)
+      val fresh = flagged.map { name =>
+        val boardMin = results(name).sec
+        // a fresh-JVM rerun SLOWER than the in-run min is self-
+        // contradictory (r13 recorded a 70.8 s "fresh" q63 against a
+        // 15 s board min; true quiet warm was 2.9 s) — retry up to 2
+        // more times, keep the best QUIET sample, and if that still
+        // reads slower than the min it was meant to check, keep the min
+        // and mark the row unexplained instead of publishing the
+        // impossible number. GC/JIT ms from the fork land in the
+        // artifact either way so the rejection explains itself.
+        def quiet(f: Fork): Boolean =
+          f.warm >= 0 && f.sent > 0 && f.sent <= quietFresh
+        def contradicts(f: Fork): Boolean =
+          !quiet(f) || (boardMin > 0 && f.warm > boardMin)
+        def best(ss: Seq[Fork]): Fork =
+          ss.filter(quiet).sortBy(_.warm).headOption.getOrElse(ss.last)
+        var samples = Vector(forkOnce(name))
+        while (contradicts(best(samples)) && samples.size < 3)
+          samples :+= forkOnce(name)
+        val b = best(samples)
+        (name, b, samples.size, contradicts(b))
       }
-      freshJson = fresh.map { case (n, w, s) =>
-        "\"" + n + "\":" + f"""{"warm":$w%.3f,"sentinel1":$s%.3f}"""
+      results = results ++ fresh.collect {
+        case (n, f, _, false)
+            if results(n).sec < 0 || f.warm < results(n).sec =>
+          n -> Sample(f.warm, f.gcMs, -1L)
+      }
+      freshJson = fresh.map { case (n, f, tries, rejected) =>
+        val body =
+          if (rejected)
+            // no warm field: a rejected number must not be readable as a
+            // measurement (ask: no fresh_rerun value may exceed the min)
+            f"""{"unexplained":true,"warm_rejected":${f.warm}%.3f,"sentinel1":${f.sent}%.3f,"gc_ms":${f.gcMs},"jit_ms":${f.jitMs},"tries":$tries}"""
+          else
+            f"""{"warm":${f.warm}%.3f,"sentinel1":${f.sent}%.3f,"gc_ms":${f.gcMs},"jit_ms":${f.jitMs},"tries":$tries}"""
+        "\"" + n + "\":" + body
       }.mkString("{", ",", "}")
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.sec }

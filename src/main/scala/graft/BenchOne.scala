@@ -39,8 +39,25 @@ object BenchOne {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    }
+    def jitMs: Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else -1L
+    }
     val cold = once()
+    val (gc0, jit0) = (gcMs, jitMs)
     val warm = math.min(once(), once())
+    // GC + JIT milliseconds spent DURING the two warm executions: a fork
+    // rerun that disagrees with the in-run min must explain itself (a
+    // large jit_ms says "still compiling", a large gc_ms says "heap
+    // pressure") instead of leaving a bare implausible number
+    val (gcWarm, jitWarm) =
+      (gcMs - gc0, if (jit0 >= 0) jitMs - jit0 else -1L)
     // single-core load sentinel (Bench's absolute cross-run reference,
     // quiet ~0.42 s on this box class): the r12 driver artifact recorded a
     // 31.8 s "fresh rerun" for a query that reads 3.6 s quiet — the fork
@@ -53,7 +70,7 @@ object BenchOne {
         .selectExpr("sum(id % 7)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    println(f"""{"query":"$name","cold":$cold%.3f,"warm":$warm%.3f,"sentinel1":$sentinel1%.3f}""")
+    println(f"""{"query":"$name","cold":$cold%.3f,"warm":$warm%.3f,"sentinel1":$sentinel1%.3f,"gc_ms":$gcWarm,"jit_ms":$jitWarm}""")
     spark.stop()
   }
 }

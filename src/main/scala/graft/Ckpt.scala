@@ -32,12 +32,17 @@ object Ckpt {
     df
   }
 
-  /** Unpersist the checkpointed RDD(s) behind one frame immediately —
-    * for operators whose consumer is materialized in-op. */
-  def release(df: Dataset[_]): Unit = df match {
-    case d: org.apache.spark.sql.classic.Dataset[_] =>
-      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(d)
-    case _ => () // non-classic (e.g. Connect) frames: leave to GC
+  /** Unpersist the storage behind one frame immediately — for operators
+    * whose consumer is materialized in-op. Handles BOTH forms a graft op
+    * uses: a CacheManager-level `.persist()` (plain no-op when the frame
+    * was never cached) and a `localCheckpoint`'s pinned RDD blocks. */
+  def release(df: Dataset[_]): Unit = {
+    df.unpersist(blocking = false)
+    df match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(d)
+      case _ => () // non-classic (e.g. Connect) frames: leave to GC
+    }
   }
 
   /** Release every registered checkpoint (query boundary). */

@@ -75,7 +75,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT gini(value)                            FROM <any>
   * SELECT prop_test(success, t[, alpha])         FROM <any>
   * SELECT benford(value)                         FROM <any>
-  * SELECT yuen_test(y, t[, trim])                FROM <any>
+  * SELECT yuen_test(y, t[, trim][, 'exact'])     FROM <any>
   * SELECT mcnemar(a, b)                          FROM <paired readings>
   * SELECT cohens_kappa(a, b)                     FROM <paired labels>
   * SELECT fleiss_kappa(item, category)           FROM <rating rows>
@@ -85,7 +85,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT bland_altman(a, b)                     FROM <paired measures>
   * SELECT trend_test(success, score)             FROM <any>
   * SELECT spearman(x, y)                         FROM <any>
-  * SELECT levene(y, arm)                         FROM <any>
+  * SELECT levene(y, arm[, 'exact'])              FROM <any>
   * SELECT cluster_robust_ols(y, cluster, x...) FROM <any>
   * SELECT blp_test(ite, y, t)                 FROM <any>
   * SELECT anova(y, arm)                       FROM <any>
@@ -115,7 +115,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT mantel_haenszel(stratum, t, y)       FROM <any>
   * SELECT fisher_exact(a, b)                   FROM <small 2x2>
   * SELECT ordinal_assoc(x, y[, max_cells])     FROM <ordinal pairs>
-  * SELECT mood_median(y, group)                FROM <any>
+  * SELECT mood_median(y, group[, 'exact'])     FROM <any>
   * SELECT kruskal_wallis(y, group)             FROM <any>
   * SELECT brunner_munzel(y, t)                 FROM <any>
   * SELECT effect_size(y, t)                    FROM <any>
@@ -124,7 +124,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT ewma(period, value[, lambda[, L]])   FROM <series>
   * SELECT ljung_box(period, value[, lags])     FROM <series>
   * SELECT sprt(bucket, y, p0, p1[, alpha[, beta]]) FROM <events>
-  * SELECT hosmer_lemeshow(label, score[, bins]) FROM <scored>
+  * SELECT hosmer_lemeshow(label, score[, bins][, 'exact']) FROM <scored>
   * SELECT classification_report(label, predicted) FROM <scored>
   * SELECT cronbach_alpha(item1, item2, ...)    FROM <k-item scale>
   * SELECT oaxaca_blinder(y, group, x...)       FROM <any>
@@ -139,7 +139,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT heaps_fit(id, text)                  FROM <documents>
   * SELECT kmeans_eval(id, vec, label, k[, iters]) FROM <embeddings>
   * SELECT overlap(t, score[, bins])            FROM <scored cohort>
-  * SELECT mad_outliers(x[, k])                 FROM <any>
+  * SELECT mad_outliers(x[, k][, 'exact'])      FROM <any>
+  * SELECT bpe_token_count(text, 'merges'[, group])        FROM <docs>
+  * SELECT semantic_dedup(id, embedding, k[, thr[, iters]]) FROM <vectors>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -303,7 +305,7 @@ object GraftGateway {
     "dunn_test", "ks_uniform", "theil_sen", "cochran_q", "durbin_watson",
     "logrank_power", "heaps_fit", "kmeans_eval", "overlap", "mad_outliers",
     "seasonal_strength", "cluster_power", "binomial_test", "runs_test",
-    "grubbs_test", "ngram_novelty")
+    "grubbs_test", "ngram_novelty", "bpe_token_count", "semantic_dedup")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -335,6 +337,16 @@ object GraftGateway {
     case Literal(s: UTF8String, StringType) => s.toString
     case other => throw new IllegalArgumentException(
       s"expected a string literal, got ${other.sql}")
+  }
+
+  /** Optional trailing 'exact' flag (the box_stats idiom): true when the
+    * LAST argument is the string literal 'exact' — selects the
+    * sort-buffer exact percentile (oracle parity) over the default
+    * percentile_approx sketch (the 100 TB path). */
+  private def exactFlag(a: Seq[Expression]): Boolean = a.lastOption.exists {
+    case Literal(s: UTF8String, StringType) =>
+      s.toString.equalsIgnoreCase("exact")
+    case _ => false
   }
 
   private def dispatch(spark: SparkSession, verb: String, df: DataFrame,
@@ -560,9 +572,11 @@ object GraftGateway {
         Explore.benford(df, c(a(0)))
       case "yuen_test" =>
         // trimmed-means robust two-sample test, winsorized-variance SE
-        require(a.length >= 2, "yuen_test(y, t[, trim])")
-        Robust.yuenTest(df, c(a(0)), c(a(1)),
-          trim = if (a.length > 2) num(a(2)) else 0.2)
+        val aa = if (exactFlag(a)) a.dropRight(1) else a
+        require(aa.length >= 2, "yuen_test(y, t[, trim][, 'exact'])")
+        Robust.yuenTest(df, c(aa(0)), c(aa(1)),
+          trim = if (aa.length > 2) num(aa(2)) else 0.2,
+          exact = exactFlag(a))
       case "mcnemar" =>
         // paired binary marginal-shift test over discordant cells
         require(a.length >= 2, "mcnemar(a, b)")
@@ -598,8 +612,10 @@ object GraftGateway {
           maxCells = if (a.length > 2) num(a(2)).toInt else 5000)
       case "mood_median" =>
         // k-group counts-above-pooled-median test
-        require(a.length >= 2, "mood_median(y, group)")
-        Contingency.moodMedian(df, c(a(0)), c(a(1)))
+        val aa = if (exactFlag(a)) a.dropRight(1) else a
+        require(aa.length >= 2, "mood_median(y, group[, 'exact'])")
+        Contingency.moodMedian(df, c(aa(0)), c(aa(1)),
+          exact = exactFlag(a))
       case "kruskal_wallis" =>
         // k-group rank test (tie-corrected H)
         require(a.length >= 2, "kruskal_wallis(y, group)")
@@ -641,9 +657,12 @@ object GraftGateway {
           beta = if (a.length > 5) num(a(5)) else 0.2)
       case "hosmer_lemeshow" =>
         // decile-binned calibration goodness-of-fit test
-        require(a.length >= 2, "hosmer_lemeshow(label, score[, bins])")
-        MlEval.hosmerLemeshow(df, c(a(0)), c(a(1)),
-          bins = if (a.length > 2) num(a(2)).toInt else 10)
+        val aa = if (exactFlag(a)) a.dropRight(1) else a
+        require(aa.length >= 2,
+          "hosmer_lemeshow(label, score[, bins][, 'exact'])")
+        MlEval.hosmerLemeshow(df, c(aa(0)), c(aa(1)),
+          bins = if (aa.length > 2) num(aa(2)).toInt else 10,
+          exact = exactFlag(a))
       case "classification_report" =>
         // confusion counts + accuracy/precision/recall/F1/MCC
         require(a.length >= 2, "classification_report(label, predicted)")
@@ -688,6 +707,31 @@ object GraftGateway {
         val ref = spark.table(str(a(1)))
         TextOps.ngramNovelty(df, ref, c(a(0)), c(a(0)),
           n = if (a.length > 2) num(a(2)).toInt else 3)
+      case "semantic_dedup" =>
+        // kmeans buckets -> within-bucket cosine near-dup -> min-id rep
+        require(a.length >= 3,
+          "semantic_dedup(id, embedding, k[, threshold[, iters]])")
+        Dedup.semanticDedup(df, c(a(0)), c(a(1)), num(a(2)).toInt,
+          threshold = if (a.length > 3) num(a(3)) else 0.95,
+          iters = if (a.length > 4) num(a(4)).toInt else 3)
+      case "bpe_token_count" =>
+        // tokenizer-true byte-fallback BPE counts against a merge table
+        // (rank, left, right); per-group summary (one global row when no
+        // group column is given)
+        require(a.length >= 2,
+          "bpe_token_count(text, 'merges_table'[, group])")
+        val mt = spark.table(str(a(1)))
+        val merges = TextOps.bpeMergesFrom(mt, mt.col("rank"),
+          mt.col("left"), mt.col("right"))
+        val F = org.apache.spark.sql.functions
+        val bpe = TextOps.bpeTokenCount(c(a(0)), merges)
+        val aggs = Seq(F.count(F.lit(1)).as("n_docs"),
+          F.sum(bpe).as("bpe_tokens"),
+          F.sum(TextOps.wsTokenCount(c(a(0))).cast("long")).as("ws_tokens"))
+        if (a.length > 2)
+          df.groupBy(c(a(2)).as("group")).agg(aggs.head, aggs.tail: _*)
+            .orderBy(F.col("group"))
+        else df.agg(aggs.head, aggs.tail: _*)
       case "binomial_test" =>
         // exact one-sample rate test (minimum-likelihood two-sided)
         require(a.length >= 2, "binomial_test(y, p0)")
@@ -702,9 +746,11 @@ object GraftGateway {
         Robust.grubbsTest(df, c(a(0)))
       case "mad_outliers" =>
         // Hampel MAD fence: robust outlier share + kept range
-        require(a.nonEmpty, "mad_outliers(x[, k])")
-        Robust.madOutliers(df, c(a(0)),
-          k = if (a.length > 1) num(a(1)) else 3.0)
+        val aa = if (exactFlag(a)) a.dropRight(1) else a
+        require(aa.nonEmpty, "mad_outliers(x[, k][, 'exact'])")
+        Robust.madOutliers(df, c(aa(0)),
+          k = if (aa.length > 1) num(aa(1)) else 3.0,
+          exact = exactFlag(a))
       case "seasonal_strength" =>
         // variance share of the phase-mean seasonal component
         require(a.length >= 3, "seasonal_strength(period, value, season)")
@@ -755,8 +801,10 @@ object GraftGateway {
         RankTests.spearman(df, c(a(0)), c(a(1)))
       case "levene" =>
         // Brown-Forsythe equal-variance test (median-centered)
-        require(a.length >= 2, "levene(y, arm)")
-        SimpleTests.leveneTest(df, c(a(0)), c(a(1)))
+        val aa = if (exactFlag(a)) a.dropRight(1) else a
+        require(aa.length >= 2, "levene(y, arm[, 'exact'])")
+        SimpleTests.leveneTest(df, c(aa(0)), c(aa(1)),
+          exact = exactFlag(a))
       case "equivalence_test" =>
         // TOST: both one-sided Welch z tests against the +/- margin
         require(a.length >= 3, "equivalence_test(y, t, margin[, alpha])")

@@ -886,6 +886,44 @@ object ScaleProbe {
       val r = graft.ops.TextOps.chao1(docs, col("text")).head()
       assert(r.getAs[Double]("chao1") >= r.getAs[Long]("terms"), r.toString)
     }
+    // the five quantile-flagged ops on their 100 TB path: percentile_approx
+    // sketch (exact = false default) over an ALL-DISTINCT double column —
+    // the shape whose exact-percentile value buffer would OOM an executor
+    val adx = (xxhash64(col("id"), lit(71)).cast("double") / 1e19).as("x")
+    time(s"mad_outliers sketch path ($rows all-distinct doubles)") {
+      val d = spark.range(rows).select(adx)
+      val r = graft.ops.Robust.madOutliers(d, col("x")).head()
+      assert(r.getAs[Long]("n") == rows, r.toString)
+    }
+    time(s"yuen_test sketch path ($rows all-distinct doubles)") {
+      val d = spark.range(rows).select(adx,
+        (col("id") % 2).cast("int").as("t"))
+        .select((col("x") + col("t") * 10.0).as("y"), col("t"))
+      val r = graft.ops.Robust.yuenTest(d, col("y"), col("t")).head()
+      assert(math.abs(r.getAs[Double]("diff") - 10.0) < 0.5, r.toString)
+    }
+    time(s"mood_median sketch path ($rows all-distinct doubles, 10 groups)") {
+      val d = spark.range(rows).select(adx,
+        (col("id") % 10).cast("string").as("g"))
+      val r = graft.ops.Contingency.moodMedian(d, col("x"), col("g")).head()
+      assert(r.getAs[Long]("k") == 10, r.toString)
+    }
+    time(s"hosmer_lemeshow sketch path ($rows all-distinct scores)") {
+      val d = spark.range(rows).select(
+        (pmod(xxhash64(col("id"), lit(72)), lit(1000000000L)).cast("double")
+          / 1e9).as("s"))
+        .select(col("s"), (col("s") > 0.5).cast("int").as("y"))
+        .select((col("s") * 0.98 + 0.01).as("s"), col("y"))
+      val r = graft.ops.MlEval.hosmerLemeshow(d, col("y"), col("s")).head()
+      assert(r.getAs[Long]("bins") == 10, r.toString)
+    }
+    time(s"levene sketch path ($rows all-distinct doubles, 5 arms)") {
+      val d = spark.range(rows).select(adx,
+        (col("id") % 5).cast("string").as("a"))
+        .select((col("x") * (col("a").cast("int") + 1)).as("y"), col("a"))
+      val r = graft.ops.SimpleTests.leveneTest(d, col("y"), col("a")).head()
+      assert(r.getAs[Double]("p_value") < 0.01, r.toString)
+    }
     } // suite()
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt

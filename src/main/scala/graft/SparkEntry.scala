@@ -278,7 +278,8 @@ object SparkEntry {
       // per-doc window spans from the distributed range cumsum, summarized.
       val docs = t(s, d, "documents")
       graft.ops.Packing.contextChunks(docs, Seq(col("doc_id")),
-        graft.ops.TextOps.wsTokenCount(col("text")), ctx = 512) { packed =>
+        col("text"), ctx = 512,
+        tokenizer = graft.ops.TextOps.WhitespaceTokens) { packed =>
         packed.agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_windows") - lit(1)).cast("long").as("n_boundary_crossings"),
@@ -326,7 +327,8 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val budgets = Map("en" -> 10000L, "fr" -> 5000L, "zh" -> 3000L)
       graft.ops.Mixing.tokenBudgetSample(docs, col("lang"), col("n_chars"),
-          md5(col("doc_id").cast("string")), budgets) { sampled =>
+          md5(col("doc_id").cast("string")), budgets,
+          tokenizer = graft.ops.TextOps.PrecomputedCounts) { sampled =>
         val r = sampled.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("kept_tokens"),
@@ -2286,7 +2288,7 @@ object SparkEntry {
           "CASE WHEN (l_partkey * 13) % 193 < 39 + " +
             "((l_partkey % 97) * 7) DIV 10 THEN 1 ELSE 0 END AS y")
         .createOrReplaceTempView("li_hl")
-      GraftGateway.sql(s, "SELECT hosmer_lemeshow(y, score) FROM li_hl")
+      GraftGateway.sql(s, "SELECT hosmer_lemeshow(y, score, 'exact') FROM li_hl")
         .select(col("n"), col("bins"), round(col("chisq"), 4).as("chisq"),
           col("df"))
     }),
@@ -2371,7 +2373,7 @@ object SparkEntry {
       // (house percentile == quantile_cont), 2xk chi-square
       t(s, d, "lineitem").createOrReplaceTempView("li_mm")
       GraftGateway.sql(s,
-          "SELECT mood_median(l_extendedprice, l_returnflag) FROM li_mm")
+          "SELECT mood_median(l_extendedprice, l_returnflag, 'exact') FROM li_mm")
         .select(col("n"), col("k"),
           round(col("grand_median"), 4).as("grand_median"),
           round(col("chisq"), 4).as("chisq"), col("df"))
@@ -2468,6 +2470,43 @@ object SparkEntry {
           col("occurrences_current"), col("occurrences_new"),
           round(col("novelty_weighted"), 6).as("novelty_weighted"))
     }),
+    "q229_bpe_token_count" -> ((s, d) => {
+      // tokenizer-true token budgeting unit: byte-fallback BPE counts per
+      // language against a 12-merge hand vocab (well-formed: every operand
+      // is a byte or an earlier output). The oracle replays the EXACT
+      // merge algorithm — rank-ordered left-to-right sweeps to fixpoint,
+      // equivalent to min-rank-first for well-formed lists — via a
+      // recursive CTE over |-delimited token strings.
+      val spark = s
+      import spark.implicits._
+      val docs = t(s, d, "documents")
+      docs.createOrReplaceTempView("q229_docs")
+      Seq((1, "a", "t"), (2, "r", "o"), (3, "ro", "w"), (4, "d", "at"),
+          (5, "dat", "a"), (6, "e", "r"), (7, "t", "er"), (8, "s", "t"),
+          (9, "a", "n"), (10, "c", "an"), (11, "l", "l"), (12, "g", "g"))
+        .toDF("rank", "left", "right")
+        .createOrReplaceTempView("q229_merges")
+      GraftGateway.sql(s,
+        "SELECT bpe_token_count(text, 'q229_merges', lang) FROM q229_docs")
+        .withColumnRenamed("group", "lang")
+    }),
+    "q230_semantic_dedup" -> ((s, d) => {
+      // end-to-end semantic dedup on planted EXACT duplicates (copies of
+      // vec_id < 50 at +10000): kmeans buckets -> within-bucket cosine
+      // pairs -> min-id representative. threshold 0.99 isolates identical
+      // vectors (max non-identical cosine in the fixture is ~0.6), so the
+      // oracle's representative set is exactly the per-embedding min id —
+      // no kmeans replay needed (identical vectors share a cluster by
+      // construction of the deterministic argmin)
+      val e = t(s, d, "embeddings")
+      val planted = e.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      e.unionByName(planted).createOrReplaceTempView("q230_emb")
+      GraftGateway.sql(s,
+        "SELECT semantic_dedup(vec_id, embedding, 8, 0.99, 2) FROM q230_emb")
+        .select(col("id"), col("rep_id"), col("is_representative"))
+        .orderBy(col("id"))
+    }),
     "q225_binomial_test" -> ((s, d) => {
       // exact rate test: 1000 trials at a planted 26% vs p0 = 0.3 — the
       // full support enumerates via generate_series + lgamma
@@ -2511,7 +2550,7 @@ object SparkEntry {
       // quantile_cont); the consistency constant comes from the library's
       // own normal quantile, mirrored to 17 digits in the oracle
       t(s, d, "lineitem").createOrReplaceTempView("li_mad")
-      GraftGateway.sql(s, "SELECT mad_outliers(l_extendedprice) FROM li_mad")
+      GraftGateway.sql(s, "SELECT mad_outliers(l_extendedprice, 'exact') FROM li_mad")
         .select(col("n"), round(col("median"), 4).as("median"),
           round(col("mad"), 4).as("mad"),
           round(col("sigma_robust"), 4).as("sigma_robust"),
@@ -2668,7 +2707,7 @@ object SparkEntry {
       // replay closed-form (p needs the F CDF, q138 idiom)
       t(s, d, "lineitem").createOrReplaceTempView("li_lev")
       GraftGateway.sql(s,
-          "SELECT levene(l_quantity, l_returnflag) FROM li_lev")
+          "SELECT levene(l_quantity, l_returnflag, 'exact') FROM li_lev")
         .select(col("n"), col("k"), round(col("f_stat"), 6).as("f_stat"),
           col("df1"), col("df2"))
     }),
@@ -2725,7 +2764,7 @@ object SparkEntry {
         .select((col("l_extendedprice").cast("double") / 100).as("y"),
           (col("l_orderkey") % 2).cast("int").as("t"))
         .createOrReplaceTempView("li_yuen")
-      GraftGateway.sql(s, "SELECT yuen_test(y, t) FROM li_yuen")
+      GraftGateway.sql(s, "SELECT yuen_test(y, t, 'exact') FROM li_yuen")
         .select(col("n0"), col("n1"), col("h0"), col("h1"),
           round(col("tmean0"), 6).as("tmean0"),
           round(col("tmean1"), 6).as("tmean1"),
@@ -4355,6 +4394,54 @@ object SparkEntry {
         |  CAST(nw.o AS BIGINT) AS occurrences_new,
         |  round(CAST(nw.o AS DOUBLE) / tot.o, 6) AS novelty_weighted
         |FROM tot, nw""".stripMargin,
+    "q229_bpe_token_count" ->
+      // replay the DOCUMENTED merge algorithm: |-delimited token strings,
+      // rules applied in rank order, each swept (replace-all) to fixpoint
+      // before the next rank — equivalent to min-rank-first for the
+      // well-formed list (rule r cannot create a pair of rank < r)
+      """WITH RECURSIVE m(rk, l, r) AS (
+        |  SELECT * FROM (VALUES (1,'a','t'),(2,'r','o'),(3,'ro','w'),
+        |    (4,'d','at'),(5,'dat','a'),(6,'e','r'),(7,'t','er'),
+        |    (8,'s','t'),(9,'a','n'),(10,'c','an'),(11,'l','l'),
+        |    (12,'g','g'))),
+        |w AS (SELECT lang, unnest(string_split(text, ' ')) AS wd
+        |  FROM documents),
+        |init AS (SELECT lang,
+        |    regexp_replace(wd, '(.)', '|\1', 'g') || '|' AS ts FROM w),
+        |bpe AS (
+        |  SELECT lang, ts, 1 AS rk FROM init
+        |  UNION ALL
+        |  SELECT lang, CASE WHEN rep <> ts THEN rep ELSE ts END,
+        |    CASE WHEN rep <> ts THEN rk ELSE rk + 1 END
+        |  FROM (SELECT b.lang, b.ts, b.rk,
+        |      replace(b.ts, '|' || m.l || '|' || m.r || '|',
+        |        '|' || m.l || m.r || '|') AS rep
+        |    FROM bpe b JOIN m ON m.rk = b.rk) s),
+        |cnt AS (SELECT lang, len(ts) - len(replace(ts, '|', '')) - 1 AS n
+        |  FROM bpe WHERE rk = 13),
+        |bp AS (SELECT lang, CAST(sum(n) AS BIGINT) AS bpe_tokens
+        |  FROM cnt GROUP BY lang),
+        |wt AS (SELECT lang, CAST(count(*) AS BIGINT) AS ws_tokens
+        |  FROM w GROUP BY lang),
+        |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        |SELECT nd.lang AS lang, CAST(nd.n_docs AS BIGINT) AS n_docs,
+        |  bp.bpe_tokens, wt.ws_tokens
+        |FROM nd JOIN bp USING (lang) JOIN wt USING (lang)
+        |ORDER BY lang""".stripMargin,
+    "q230_semantic_dedup" ->
+      // at threshold 0.99 the duplicate groups are exactly the equality
+      // classes of the embedding vectors (planted copies), so the
+      // representative set replays as a per-embedding min id
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings
+        |  WHERE vec_id < 50),
+        |rep AS (SELECT embedding, min(vec_id) AS r FROM u
+        |  GROUP BY embedding)
+        |SELECT u.vec_id AS id, rep.r AS rep_id,
+        |  u.vec_id = rep.r AS is_representative
+        |FROM u JOIN rep ON u.embedding = rep.embedding
+        |ORDER BY id""".stripMargin,
     "q225_binomial_test" ->
       // the full n+1 support via generate_series + lgamma; R's
       // minimum-likelihood two-sided rule with the 1+1e-7 tie tolerance

@@ -358,25 +358,46 @@ object Ann {
     * [[cellOf]] codegen argmin over broadcast centroid literals, and the
     * centroid update is a posexplode + groupBy(cluster, dim) partial-agg
     * (k·dim cells cross the wire, not vectors); the k·dim driver state is
-    * guarded. Empty clusters keep their previous centroid. Returns one
+    * guarded. Empty clusters keep their previous centroid. The projected
+    * corpus is persisted (MEMORY_AND_DISK) across the iters+1 scans when
+    * `persistBase` is on (default) — turn it off at true 100 TB where
+    * nothing fits and the cache is pure spill churn. Returns one
     * row per cluster: (cluster, n, inertia) with inertia = Σ L2² to the
     * FINAL centroid (the convergence readout), ordered by cluster. */
   def kmeans(corpus: DataFrame, id: Column, vec: Column, k: Int,
-             iters: Int = 5, maxKDim: Long = 4000000L): DataFrame =
-    lloydAssign(corpus, id, vec, k, iters, maxKDim)
+             iters: Int = 5, maxKDim: Long = 4000000L,
+             persistBase: Boolean = true): DataFrame =
+    lloydAssign(corpus, id, vec, k, iters, maxKDim, persistBase)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
       .orderBy(col("cluster"))
 
   /** The [[kmeans]] loop, returning the final per-vector assignment
-    * (id, v, cluster, d2) instead of the cluster summary. */
+    * (id, v, cluster, d2) instead of the cluster summary — the bucketing
+    * input of [[Dedup.semanticDedup]]. */
+  def kmeansAssign(corpus: DataFrame, id: Column, vec: Column, k: Int,
+                   iters: Int = 5, maxKDim: Long = 4000000L,
+                   persistBase: Boolean = true): DataFrame =
+    lloydAssign(corpus, id, vec, k, iters, maxKDim, persistBase)
+
   private def lloydAssign(corpus: DataFrame, id: Column, vec: Column,
-                          k: Int, iters: Int, maxKDim: Long): DataFrame = {
+                          k: Int, iters: Int, maxKDim: Long,
+                          persistBase: Boolean = true): DataFrame = {
     require(k >= 2, s"kmeans: k must be >= 2, got $k")
     require(iters >= 1, s"kmeans: iters must be >= 1, got $iters")
     val base = corpus.select(id.cast("long").as("id"),
         vec.cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
+    // the projected corpus is re-scanned iters+1 times (one assignment
+    // pass per iteration + the final assignment) — persist it for the
+    // fits-in-memory case; MEMORY_AND_DISK falls back gracefully and at
+    // true 100 TB the flag turns the bracket off (nothing to cache).
+    // Registered with Ckpt so the storage is swept at the query boundary
+    // even though the final assignment DataFrame still reads from it.
+    if (persistBase) {
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Ckpt.register(base)
+    }
     val init = base.orderBy(col("id")).limit(k).collect()
     require(init.length == k, s"kmeans: corpus has only ${init.length} vectors")
     var centroids = init.map(_.getSeq[Double](1).toArray)

@@ -233,19 +233,23 @@ object Contingency {
     * to ANOVA (#58) and Kruskal-Wallis when only "above/below the
     * middle" can be trusted.
     *
-    * TWO row-scale passes: exact pooled median (the house exact
-    * `percentile`), then ONE groupBy(group) counting above/at-or-below;
+    * TWO row-scale passes: pooled median via [[Robust.pctile]]
+    * (`exact = false` default = the percentile_approx sketch, the 100 TB
+    * path; `exact = true` = the house exact `percentile`, gate parity),
+    * then ONE groupBy(group) counting above/at-or-below;
     * Pearson χ² over the resulting 2×k cells, df = k−1. Group
     * cardinality unbounded (cell-scale aggregate); ties AT the median
     * count as "not above" (document when comparing to tools that drop
     * them). Returns one row: (n, k, grand_median, chisq, df, p_value). */
-  def moodMedian(df: DataFrame, y: Column, group: Column): DataFrame = {
+  def moodMedian(df: DataFrame, y: Column, group: Column,
+                 exact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val yd = y.cast("double")
     val base = df.filter(yd.isNotNull && group.isNotNull)
       .select(yd.as("__y"), group.cast("string").as("__g"))
-    val med = base.agg(expr("percentile(__y, 0.5)")).head().getDouble(0)
+    val med = base.agg(Robust.pctile(col("__y"), lit(0.5), exact))
+      .head().getDouble(0)
     val g = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("ng"),
         sum(when(col("__y") > med, 1L).otherwise(0L)).as("ag"))

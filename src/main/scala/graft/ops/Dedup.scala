@@ -580,6 +580,61 @@ object Dedup {
     }
   }
 
+  /** Semantic dedup, end to end: k-means buckets → WITHIN-BUCKET
+    * embedding-cosine near-dup pairs → connected components → min-id
+    * representative. The composition users previously hand-wired from
+    * [[Ann.kmeans]] (q209) + [[embeddingNearDup]] (q39) +
+    * [[connectedComponents]] (q43): cluster semantically, dedup only
+    * inside a cluster, keep one representative per duplicate group.
+    *
+    * vs [[embeddingDedup]]: LSH tables are replaced by the LEARNED
+    * k-means buckets — recall concentrates where the corpus actually
+    * clusters, and the bucket granularity is an explicit knob (k) instead
+    * of a hash-bit count. Near-dups SPLIT ACROSS cluster boundaries are
+    * missed by construction (the standard SemDeDup trade — raise k for
+    * tighter buckets and rerun, or fall back to [[embeddingDedup]] for
+    * hash-style recall guarantees).
+    *
+    * 100 TB shape: the Lloyd loop is #126's one-codegen-pass-per-iter
+    * shape; pair expansion groups by CLUSTER (one keyed exchange), with
+    * the per-cluster member list guarded by `maxBucket` BEFORE expansion
+    * (k must scale with the corpus so clusters stay bucket-sized — the
+    * error names the knob); components run on the near-dup EDGE set
+    * (pointer jumping, O(log D) rounds). Returns one row per input
+    * vector: (id, cluster, rep_id, is_representative) with
+    * rep_id = min id of the duplicate group (own id when unique). */
+  def semanticDedup(corpus: DataFrame, id: Column, embedding: Column,
+                    k: Int, threshold: Double = 0.95, iters: Int = 3,
+                    maxBucket: Int = 2000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"semantic_dedup: threshold in (0, 1], got $threshold")
+    val asg0 = Ann.kmeansAssign(corpus, id, embedding, k, iters)
+      .select(col("id"), col("v"), col("cluster"))
+    val asg = graft.Ckpt.checkpoint(asg0)
+    val biggest = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    require(biggest <= maxBucket,
+      s"semantic_dedup: largest cluster has $biggest vectors " +
+        s"(maxBucket=$maxBucket) — pair expansion inside it is O(n²); " +
+        "raise k so clusters stay bucket-sized (or raise maxBucket " +
+        "knowingly)")
+    val cosine = graft.expr.VectorExprs.cosineSim(col("va"), col("vb"))
+    val pairs = asg
+      .groupBy(col("cluster"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(bucketPairs(col("members"))).as("p"))
+      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
+        col("p.id_a.v").as("va"), col("p.id_b.v").as("vb"))
+      .filter(cosine >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(pairs)
+    asg.join(comp, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("component"), col("id")).as("rep_id"))
+      .withColumn("is_representative", col("rep_id") === col("id"))
+  }
+
   /** Paragraph-level dedup (the RefinedWeb/CCNet boilerplate-removal step):
     * drop every paragraph whose normalized content appears in MORE THAN
     * `maxDocFreq` distinct documents (nav bars, cookie banners, shared

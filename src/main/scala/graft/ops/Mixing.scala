@@ -48,9 +48,17 @@ import org.apache.spark.sql.{Column, DataFrame}
   * persisted on its behalf), so `f` must materialize what it needs.
   */
 object Mixing {
+  /** `tokenizer` turns the `tokens` column into the budget unit:
+    * [[TextOps.PrecomputedCounts]] (default — `tokens` is already a
+    * count), [[TextOps.WhitespaceTokens]] or [[TextOps.BpeTokens]]
+    * (`tokens` is raw text; the tokenizer-true 100 TB budget). The count
+    * is computed INSIDE the narrow pass-1 projection, so the text column
+    * still never enters the exchange. */
   def tokenBudgetSample[T](df: DataFrame, stratum: Column, tokens: Column,
                            orderKey: Column, budgets: Map[String, Long],
-                           partitions: Int = 0)
+                           partitions: Int = 0,
+                           tokenizer: TextOps.Tokenizer =
+                             TextOps.PrecomputedCounts)
                           (f: DataFrame => T): T = {
     require(budgets.nonEmpty, "budgets must not be empty")
     require(budgets.values.forall(_ > 0), "budgets must be positive")
@@ -61,7 +69,7 @@ object Mixing {
     // pass 1 (narrow): per-stratum threshold order key. Only three thin
     // columns shuffle — at corpus scale the text/bytes stay in place.
     val narrow = df.select(stratum.cast("string").as("__stratum"),
-        orderKey.as("__ord"), tokens.cast("long").as("__tok"))
+        orderKey.as("__ord"), tokenizer.counts(tokens).cast("long").as("__tok"))
       .filter(col("__stratum").isin(budgets.keys.toSeq: _*) &&
         // null tokens can't count against a budget and null order keys
         // have no place in the value cut — exclude them HERE so pass 2's
@@ -112,7 +120,8 @@ object Mixing {
       // excluded from the budget prefix sum must not be re-admitted here.
       val tagged = df.withColumn("__s0", stratum.cast("string"))
         .withColumn("__o0", orderKey)
-        .filter(tokens.cast("long").isNotNull && col("__o0").isNotNull)
+        .filter(tokenizer.counts(tokens).cast("long").isNotNull &&
+          col("__o0").isNotNull)
       val sampled = tagged.join(broadcast(thresholds),
           tagged("__s0") === thresholds("__stratum") &&
             tagged("__o0") <= thresholds("__thr"), "left_semi")

@@ -175,13 +175,15 @@ object MlEval {
     *
     *   χ² = Σ_bins (O − E)² / (E(1 − p̄)),   df = bins − 2
     *
-    * TWO row-scale passes: exact score quantiles (the house exact
-    * `percentile`, so the oracle's quantile_cont agrees bit-for-bit),
+    * TWO row-scale passes: score quantiles via [[Robust.pctile]]
+    * (`exact = false` default = the percentile_approx sketch, the 100 TB
+    * path; `exact = true` = the house exact `percentile`, so the
+    * oracle's quantile_cont agrees bit-for-bit),
     * then ONE groupBy over ≤ `bins` cells. The χ² CDF gates the p-value,
     * so oracle rows check through the statistic. Returns one row:
     * (n, bins, chisq, df, p_value). */
   def hosmerLemeshow(df: DataFrame, label: Column, score: Column,
-                     bins: Int = 10): DataFrame = {
+                     bins: Int = 10, exact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(bins >= 3, s"hosmer_lemeshow: need at least 3 bins, got $bins")
@@ -189,9 +191,9 @@ object MlEval {
     val li = label.cast("int")
     val base = df.filter(li.isNotNull && s.isNotNull && s >= 0.0 && s <= 1.0)
       .select(li.as("__y"), s.as("__s"))
+    val ps = array((1 until bins).map(i => lit(i.toDouble / bins)): _*)
     val qs = base
-      .agg(expr(s"percentile(__s, array(${(1 until bins)
-        .map(i => i.toDouble / bins).mkString(",")}))"))
+      .agg(Robust.pctile(col("__s"), ps, exact))
       .head().getSeq[Double](0)
     // bin = number of interior quantiles strictly below the score — the
     // exact construction the oracle replays (ties land in the lower bin)

@@ -24,12 +24,17 @@ object Packing {
     * concatenated stream), `first_window` / `last_window` (ctx-window
     * indices the doc touches) and `n_windows` (how many — >1 means the doc
     * crosses a window boundary; 0 for empty/null-token docs, which occupy
-    * no span). */
+    * no span). `tokenizer` turns the `tokens` column into the count unit
+    * ([[TextOps.PrecomputedCounts]] default; [[TextOps.WhitespaceTokens]]
+    * / [[TextOps.BpeTokens]] take raw text — the tokenizer-true window
+    * budget; the count rides the same narrow cumsum projection). */
   def contextChunks[T](df: DataFrame, order: Seq[Column], tokens: Column,
-                       ctx: Int)(f: DataFrame => T): T = {
+                       ctx: Int,
+                       tokenizer: TextOps.Tokenizer =
+                         TextOps.PrecomputedCounts)(f: DataFrame => T): T = {
     require(ctx > 0, "ctx must be positive")
     val base = df.withColumn("__tok",
-      coalesce(tokens.cast("double"), lit(0.0)))
+      coalesce(tokenizer.counts(tokens).cast("double"), lit(0.0)))
     RangeCumSum.withCumSums(base, order, Seq("__tok")) { (cum, _) =>
       val n = col("__tok")
       val start = col("cum___tok") - n

@@ -25,6 +25,15 @@ object Robust {
   def winsorize(c: Column, lo: Double, hi: Double): Column =
     when(c.isNotNull, greatest(lit(lo), least(lit(hi), c)))
 
+  /** The house quantile column: `exact = true` uses Spark's sort-buffer
+    * `percentile` (== DuckDB `quantile_cont`, the oracle bridge — but a
+    * per-group VALUE BUFFER, an executor OOM on an all-distinct double
+    * column at full scale); `exact = false` (the 100 TB default) uses the
+    * constant-memory `percentile_approx` sketch at accuracy 100000.
+    * `ps` may be a scalar or an array of percentiles. */
+  def pctile(c: Column, ps: Column, exact: Boolean): Column =
+    if (exact) percentile(c, ps) else percentile_approx(c, ps, lit(100000))
+
   /** (lower, upper) percentile bounds of `x`. */
   def quantileBounds(df: DataFrame, x: Column, pLo: Double, pHi: Double,
                      exact: Boolean = false): (Double, Double) = {
@@ -82,8 +91,10 @@ object Robust {
     *   t = (x̄_t1 − x̄_t0) / √(d₀ + d₁),   d_k = s²_wk(n_k−1)/(h_k(h_k−1)),
     *   df by Welch–Satterthwaite on the d's
     *
-    * Trim points are the exact per-arm γ / 1−γ percentiles (Spark exact
-    * `percentile` == DuckDB `quantile_cont`, the house oracle bridge);
+    * Trim points are the per-arm γ / 1−γ percentiles via [[pctile]]
+    * (`exact = false` default: the percentile_approx sketch, the 100 TB
+    * path; `exact = true`: Spark exact `percentile` == DuckDB
+    * `quantile_cont`, the house oracle bridge);
     * the trimmed mean averages rows inside [lo, hi] (tie-inclusive, so
     * deterministic under ties) and the winsorized variance clamps all
     * rows to the same bounds — the operational definition is documented
@@ -103,11 +114,14 @@ object Robust {
     *   MAD = median(|x − median(x)|),  robust z = (x − med)/(1.4826·MAD),
     *   outlier when |robust z| > k
     *
-    * TWO exact-percentile passes (median, then the deviation median — the
-    * house percentile matches DuckDB's quantile_cont) + ONE counting
-    * pass. Returns one row: (n, median, mad, sigma_robust, n_outliers,
-    * outlier_share, min_kept, max_kept). */
-  def madOutliers(df: DataFrame, x: Column, k: Double = 3.0): DataFrame = {
+    * TWO quantile passes (median, then the deviation median) + ONE
+    * counting pass; `exact = false` (default) rides the
+    * [[pctile]] sketch — the 100 TB path — while `exact = true` is the
+    * gate-parity option (Spark exact `percentile` == DuckDB
+    * quantile_cont). Returns one row: (n, median, mad, sigma_robust,
+    * n_outliers, outlier_share, min_kept, max_kept). */
+  def madOutliers(df: DataFrame, x: Column, k: Double = 3.0,
+                  exact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(k > 0, s"mad_outliers: k must be > 0, got $k")
@@ -115,8 +129,9 @@ object Robust {
     val base = df.filter(xd.isNotNull && !isnan(xd)).select(xd.as("__x"))
     base.persist()
     try {
-      val med = base.agg(expr("percentile(__x, 0.5)")).head().getDouble(0)
-      val mad = base.agg(expr(s"percentile(abs(__x - $med), 0.5)"))
+      val med = base.agg(pctile(col("__x"), lit(0.5), exact))
+        .head().getDouble(0)
+      val mad = base.agg(pctile(abs(col("__x") - lit(med)), lit(0.5), exact))
         .head().getDouble(0)
       require(mad > 0,
         "mad_outliers: MAD is 0 — more than half the values are identical; " +
@@ -180,7 +195,7 @@ object Robust {
   }
 
   def yuenTest(df: DataFrame, y: Column, t: Column,
-               trim: Double = 0.2): DataFrame = {
+               trim: Double = 0.2, exact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(trim > 0 && trim < 0.5, s"yuen_test: trim in (0, 0.5), got $trim")
@@ -189,7 +204,7 @@ object Robust {
     val base = df.filter(yd.isNotNull && ti.isNotNull)
     val cells = base.groupBy(ti.as("t")).agg(
         count(lit(1)).as("n"),
-        percentile(yd, array(lit(trim), lit(1.0 - trim))).as("q"))
+        pctile(yd, array(lit(trim), lit(1.0 - trim)), exact).as("q"))
       .collect()
     require(cells.map(_.getInt(0)).sorted.toSeq == Seq(0, 1),
       s"yuen_test: treatment must take exactly the values {0, 1}, got " +

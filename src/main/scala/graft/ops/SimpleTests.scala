@@ -547,20 +547,23 @@ object SimpleTests {
     *
     *   z_i = |y_i − median_{arm(i)}|,  F = one-way ANOVA F on the z's
     *
-    * TWO row-scale passes — one (arm × median) cell aggregate (exact
-    * per-arm `percentile`, == DuckDB quantile_cont), one moment pass on
-    * |y − med| with the medians joined back at cell scale — + driver
-    * closed forms. Arm cardinality unbounded. Everything through F and
-    * the dofs replays in plain SQL. Returns one row: (n, k, f_stat,
+    * TWO row-scale passes — one (arm × median) cell aggregate
+    * ([[Robust.pctile]]: `exact = false` default rides the
+    * percentile_approx sketch, the 100 TB path; `exact = true` is the
+    * gate-parity exact `percentile` == DuckDB quantile_cont), one moment
+    * pass on |y − med| with the medians joined back at cell scale — +
+    * driver closed forms. Arm cardinality unbounded. Everything through
+    * F and the dofs replays in plain SQL. Returns one row: (n, k, f_stat,
     * df1, df2, p_value). */
-  def leveneTest(df: DataFrame, y: Column, arm: Column): DataFrame = {
+  def leveneTest(df: DataFrame, y: Column, arm: Column,
+                 exact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val yd = y.cast("double")
     val base = df.filter(yd.isNotNull && arm.isNotNull)
       .select(arm.cast("string").as("__a"), yd.as("__y"))
     val meds = base.groupBy(col("__a"))
-      .agg(percentile(col("__y"), lit(0.5)).as("__med"))
+      .agg(Robust.pctile(col("__y"), lit(0.5), exact).as("__med"))
     val cells = base.join(meds, "__a")
       .select(col("__a"), abs(col("__y") - col("__med")).as("__z"))
       .groupBy(col("__a"))

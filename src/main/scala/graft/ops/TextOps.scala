@@ -25,6 +25,51 @@ object TextOps {
   def charsPerToken(text: Column): Column =
     length(text).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
 
+  /** Tokenizer-true byte-fallback BPE token count over a broadcast merge
+    * list — the production budget unit ([[wsTokenCount]] drifts 30-40% vs
+    * a real tokenizer on code/CJK). Pure codegen
+    * ([[graft.expr.BpeCodec]]); the merge list is validated well-formed
+    * and size-guarded (the NgramLm maxBroadcastVocab idiom). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)],
+                    maxMerges: Int = 200000): Column = {
+    require(merges.length <= maxMerges,
+      s"bpe_token_count: ${merges.length} merges exceed maxMerges=" +
+        s"$maxMerges — the merge list ships with the plan to every task; " +
+        "raise the cap only if the serialized size is acceptable")
+    graft.expr.BpeExprs.tokenCount(text, new graft.expr.BpeCodec(merges))
+  }
+
+  /** Collect a merge table (rank, left, right) into the rank-ordered
+    * merge list [[bpeTokenCount]] wants — bounded BEFORE collection. */
+  def bpeMergesFrom(df: DataFrame, rank: Column, left: Column, right: Column,
+                    maxMerges: Int = 200000): Seq[(String, String)] = {
+    val rows = df.select(rank.cast("long").as("r"),
+        left.cast("string").as("l"), right.cast("string").as("t"))
+      .orderBy(col("r")).limit(maxMerges + 1).collect()
+    require(rows.length <= maxMerges,
+      s"bpe_merges: more than $maxMerges merges — raise maxMerges if the " +
+        "plan-shipped size is acceptable")
+    rows.toSeq.map(r => (r.getString(1), r.getString(2)))
+  }
+
+  /** How a mixing/packing op turns its token column into a COUNT — the
+    * `tokenizer` argument of [[Mixing.tokenBudgetSample]] and
+    * [[Packing.contextChunks]]. */
+  sealed trait Tokenizer { def counts(c: Column): Column }
+  /** The column already IS a count (chars, precomputed tokens) — default. */
+  case object PrecomputedCounts extends Tokenizer {
+    def counts(c: Column): Column = c.cast("long")
+  }
+  /** The column is raw text; count whitespace tokens. */
+  case object WhitespaceTokens extends Tokenizer {
+    def counts(c: Column): Column = wsTokenCount(c).cast("long")
+  }
+  /** The column is raw text; count true BPE tokens against `merges` —
+    * the tokenizer-true 100 TB budget path. */
+  final case class BpeTokens(merges: Seq[(String, String)]) extends Tokenizer {
+    def counts(c: Column): Column = bpeTokenCount(c, merges)
+  }
+
   // ---------------------------------------------------------------- language ID
 
   /** Stopword lists for the n-gram/stopword language heuristic. Tiny on

@@ -871,7 +871,7 @@ class OpsSpec extends AnyFunSuite {
     // trimmed rows 3..8 / 4..9, means 5.5 / 6.5 — diff exactly 1, h = 6
     val clean = ((1 to 10).map(i => (0, i.toDouble)) ++
       (1 to 10).map(i => (1, i + 1.0))).toDF("t", "y")
-    val r = graft.ops.Robust.yuenTest(clean, $"y", $"t").head()
+    val r = graft.ops.Robust.yuenTest(clean, $"y", $"t", exact = true).head()
     assert(r.getAs[Long]("h0") == 6 && r.getAs[Long]("h1") == 6, r.toString)
     assert(math.abs(r.getAs[Double]("tmean0") - 5.5) < 1e-12)
     assert(math.abs(r.getAs[Double]("diff") - 1.0) < 1e-12)

@@ -344,7 +344,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
         .getAs[Double]("icc"))
     assertClose(ics, "icc")
     val ys = layouts(base).map(d =>
-      graft.ops.Robust.yuenTest(d, $"y", $"t").head())
+      graft.ops.Robust.yuenTest(d, $"y", $"t", exact = true).head())
     assertClose(ys.map(_.getAs[Double]("diff")), "yuen diff")
     assert(ys.map(_.getAs[Long]("h1")).distinct.size == 1, "yuen h1")
     val mis = layouts(base.select(($"uin" % 5).cast("string").as("a"),

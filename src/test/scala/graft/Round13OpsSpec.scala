@@ -401,10 +401,14 @@ class Round13OpsSpec extends AnyFunSuite {
   test("moodMedian: hand 2-group split") {
     val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
       Seq(5.0, 6.0, 7.0, 8.0).map(("b", _))).toDF("g", "y")
-    val r = Contingency.moodMedian(df, $"y", $"g").head()
+    val r = Contingency.moodMedian(df, $"y", $"g", exact = true).head()
     assert(approx(r.getAs[Double]("grand_median"), 4.5))
     assert(approx(r.getAs[Double]("chisq"), 8.0))
     assert(r.getAs[Long]("df") == 1)
+    // sketch default (the 100 TB path): the approx median is a data value
+    // (4.0), which splits above/below identically here -> same chisq
+    val rs = Contingency.moodMedian(df, $"y", $"g").head()
+    assert(approx(rs.getAs[Double]("chisq"), 8.0))
     intercept[IllegalArgumentException] { // one-sided degenerate
       Contingency.moodMedian(
         Seq(("a", 1.0), ("b", 1.0)).toDF("g", "y"), $"y", $"g").head()
@@ -615,10 +619,15 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(approx(r.getAs[Double]("mad"), 2.0))
     assert(r.getAs[Long]("n_outliers") == 0)
     val dirty = (clean ++ Seq(1e9)).toDF("x")
-    val d = Robust.madOutliers(dirty, $"x").head()
+    val d = Robust.madOutliers(dirty, $"x", exact = true).head()
     assert(approx(d.getAs[Double]("median"), 5.5))
     assert(d.getAs[Long]("n_outliers") == 1)
     assert(d.getAs[Double]("max_kept") <= 9.0)
+    // sketch default (the 100 TB path): the fence still catches exactly
+    // the wild point (the approx median is a data value, 5 or 6)
+    val ds = Robust.madOutliers(dirty, $"x").head()
+    assert(ds.getAs[Long]("n_outliers") == 1)
+    assert(ds.getAs[Double]("max_kept") <= 9.0)
     intercept[IllegalArgumentException] { // MAD 0
       Robust.madOutliers(Seq(1.0, 1.0, 1.0, 2.0).toDF("x"), $"x").head()
     }
