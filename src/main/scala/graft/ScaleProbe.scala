@@ -886,6 +886,41 @@ object ScaleProbe {
       val r = graft.ops.TextOps.chao1(docs, col("text")).head()
       assert(r.getAs[Double]("chao1") >= r.getAs[Long]("terms"), r.toString)
     }
+    time(s"bpe_token_count 12-merge vocab (${rows / 100} docs x 40 words)") {
+      val vocab = array(Seq("data", "row", "filter", "scan", "small", "agg",
+        "fast", "stream", "key", "value", "table", "query", "batch", "merge",
+        "window", "spark", "order", "column", "join", "big").map(lit): _*)
+      val docs = spark.range(rows / 100).select(
+        concat_ws(" ", transform(sequence(lit(0), lit(39)),
+          i => element_at(vocab,
+            (pmod(xxhash64(col("id"), i), lit(20)) + 1).cast("int")))).as("text"))
+      val merges = Seq(("a", "t"), ("r", "o"), ("ro", "w"), ("d", "at"),
+        ("dat", "a"), ("e", "r"), ("t", "er"), ("s", "t"), ("a", "n"),
+        ("c", "an"), ("l", "l"), ("g", "g"))
+      val r = docs.agg(
+        sum(graft.ops.TextOps.bpeTokenCount(col("text"), merges))).head()
+      assert(r.getLong(0) > 0)
+    }
+    time("semantic_dedup 1M vectors x 16d, k=4096 (+10k planted dups)") {
+      val dim = 16
+      val vecs = spark.range(1000000L).select(
+        // 4096 blobs with REAL angular spread (within-blob cosine ~0.98,
+        // so only the planted exact copies clear the threshold); ids >=
+        // 990k duplicate (id - 990000)'s vector exactly — every planted
+        // pair shares a blob by the deterministic argmin
+        when(col("id") >= 990000L, col("id") - 990000L).otherwise(col("id"))
+          .as("src"),
+        col("id"))
+        .select(col("id"), transform(sequence(lit(0), lit(dim - 1)), d =>
+          pmod(xxhash64(pmod(col("src"), lit(4096L)), d), lit(1000L))
+            .cast("double") +
+            pmod(xxhash64(col("src"), d, lit(7L)), lit(200L)).cast("double"))
+          .as("v"))
+      val out = graft.ops.Dedup.semanticDedup(vecs, col("id"), col("v"),
+        k = 4096, threshold = 0.999999, iters = 2)
+      val dups = out.filter(!col("is_representative")).count()
+      assert(dups >= 10000L, s"found only $dups non-representatives")
+    }
     // the five quantile-flagged ops on their 100 TB path: percentile_approx
     // sketch (exact = false default) over an ALL-DISTINCT double column —
     // the shape whose exact-percentile value buffer would OOM an executor

@@ -49,6 +49,34 @@ object VectorOps {
     }
     java.lang.Double.valueOf(s)
   }
+
+  /** Argmin L2² over a plan-constant centroid table: (best d², index).
+    * Ties keep the LOWEST index — the same choice `array_min` over
+    * struct(d, cluster) makes, so swapping one for the other is
+    * result-identical. Null on any null element / length mismatch. */
+  def nearestCentroid(a: ArrayData,
+                      cs: Array[Array[Double]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    var best = Double.PositiveInfinity
+    var bi = -1
+    var c = 0
+    while (c < cs.length) { // inlined l2sq: no box per centroid per row
+      val v = cs(c)
+      if (v.length != n) return null
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val d = a.getDouble(i) - v(i)
+        s += d * d
+        i += 1
+      }
+      if (s < best) { best = s; bi = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bi))
+  }
 }
 
 /** Codegen'd cosine similarity over two array<double> columns. */
@@ -78,6 +106,47 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd argmin-L2² over a plan-constant centroid TABLE, returning
+  * struct(d: double, cluster: int). The k-means/IVF assignment kernel:
+  * the composed form — `array_min(array(k × struct(l2SqToLit, lit)))` —
+  * allocates k structs + one k-array per row and its generated code grows
+  * O(k·dim); this is ONE reference object and one tight loop, so k in the
+  * thousands (SemDeDup-scale bucketing) neither bloats codegen nor
+  * allocates. Tie-break (lowest index) and arithmetic order match the
+  * composed form exactly — result-identical, pinned in spec. */
+case class NearestCentroid(child: Expression, cs: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cs.nonEmpty, "nearest_centroid: centroid table is empty")
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.requireDoubleArray(child, prettyName)
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cluster", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.nearestCentroid(input.asInstanceOf[ArrayData], cs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cs, "double[][]")
+    val r = ctx.freshName("r")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      org.apache.spark.sql.catalyst.InternalRow $r =
+        graft.expr.VectorOps.nearestCentroid($a, $ref);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+  // Array has reference equality; compare contents for canonicalization
+  override def equals(o: Any): Boolean = o match {
+    case NearestCentroid(c, ocs) => c == child && ocs.length == cs.length &&
+      ocs.indices.forall(i => java.util.Arrays.equals(ocs(i), cs(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    child.hashCode() * 31 + cs.map(java.util.Arrays.hashCode).toSeq.hashCode()
 }
 
 /** Codegen'd squared L2 distance to a plan-constant vector. */
@@ -116,6 +185,9 @@ object VectorExprs {
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def l2SqToLit(a: Column, v: Array[Double]): Column =
     ColumnBridge.column(L2SqToLit(ColumnBridge.expression(a), v))
+
+  def nearestCentroid(a: Column, cs: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(a), cs))
 
   private[expr] def requireDoubleArray(e: Expression, name: String): TypeCheckResult =
     e.dataType match {

@@ -105,15 +105,12 @@ object Ann {
     best
   }
 
-  /** Cell assignment as a codegen'd argmin over centroid literals — one
-    * fused L2 kernel per centroid instead of a per-element lambda fold. */
-  def cellOf(index: IvfIndex, vec: Column): Column = {
-    val v = vec.cast("array<double>")
-    val dists = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(graft.expr.VectorExprs.l2SqToLit(v, c).as("d"), lit(i).as("cell"))
-    }
-    array_min(array(dists.toIndexedSeq: _*)).getField("cell")
-  }
+  /** Cell assignment as a codegen'd argmin over the centroid table — one
+    * tight loop against a single reference object (codegen size and
+    * per-row allocation independent of nlist). */
+  def cellOf(index: IvfIndex, vec: Column): Column =
+    graft.expr.VectorExprs.nearestCentroid(vec.cast("array<double>"),
+      index.centroids).getField("cluster")
 
   /** Product-quantization index (Jégou, Douze & Schmid 2011): the vector
     * space splits into `numSub` contiguous subspaces, each with its own
@@ -405,17 +402,16 @@ object Ann {
     require(k.toLong * dim <= maxKDim,
       s"kmeans: k x dim = ${k.toLong * dim} exceeds maxKDim=$maxKDim — " +
         "the centroid state broadcasts into codegen; shrink k or raise the cap")
-    // (d2 to nearest, nearest cluster) as one codegen argmin pass
-    def assigned(cs: Array[Array[Double]]): DataFrame = {
-      val dists = cs.zipWithIndex.map { case (c, i) =>
-        struct(graft.expr.VectorExprs.l2SqToLit(col("v"), c).as("d"),
-          lit(i).as("cluster"))
-      }
-      base.withColumn("__best", array_min(array(dists.toIndexedSeq: _*)))
+    // (d2 to nearest, nearest cluster) as one codegen argmin pass over the
+    // centroid TABLE (single reference object — no per-row struct array,
+    // codegen size independent of k; tie-break identical to the previous
+    // array_min-over-structs form)
+    def assigned(cs: Array[Array[Double]]): DataFrame =
+      base.withColumn("__best",
+          graft.expr.VectorExprs.nearestCentroid(col("v"), cs))
         .select(col("id"), col("v"),
           col("__best").getField("cluster").as("cluster"),
           col("__best").getField("d").as("d2"))
-    }
     for (_ <- 1 to iters) {
       val sums = assigned(centroids)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))

@@ -142,6 +142,38 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("raise k"), e.getMessage)
   }
 
+  test("nearestCentroid kernel: equals the composed array_min form, ties low") {
+    val cs = Array(Array(0.0, 0.0), Array(3.0, 4.0), Array(3.0, 4.0),
+      Array(-1.0, 1.0))
+    val df = Seq((0L, Array(0.0, 0.0)), (1L, Array(3.0, 3.9)),
+      (2L, Array(1.0, 2.0)), (3L, Array(-0.9, 0.9)),
+      (4L, null: Array[Double])).toDF("id", "v")
+    val kernel = df.select(col("id"),
+        graft.expr.VectorExprs.nearestCentroid(col("v"), cs).as("b"))
+      .select(col("id"), col("b.d").as("d"), col("b.cluster").as("c"))
+      .orderBy(col("id")).collect()
+    val composed = df.select(col("id"),
+        array_min(array(cs.zipWithIndex.map { case (cv, i) =>
+          struct(graft.expr.VectorExprs.l2SqToLit(col("v"), cv).as("d"),
+            lit(i).as("cluster"))
+        }.toIndexedSeq: _*)).as("b"))
+      .select(col("id"), col("b.d").as("d"), col("b.cluster").as("c"))
+      .orderBy(col("id")).collect()
+    kernel.zip(composed).foreach { case (k, m) =>
+      assert(k.isNullAt(1) == m.isNullAt(1), s"null mismatch at ${k.get(0)}")
+      if (!k.isNullAt(1)) {
+        assert(k.getDouble(1) == m.getDouble(1), s"d at ${k.get(0)}")
+        assert(k.getInt(2) == m.getInt(2), s"cluster at ${k.get(0)}")
+      }
+    }
+    // the duplicate centroid (index 2 == index 1): tie keeps index 1
+    assert(kernel(1).getInt(2) == 1)
+    // length mismatch -> null (both forms)
+    val bad = Seq((0L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
+    assert(bad.select(graft.expr.VectorExprs.nearestCentroid(col("v"), cs))
+      .head().isNullAt(0))
+  }
+
   test("semanticDedup: near-dups within a cluster merge at their threshold") {
     // id 0 and id 1: cosine just under 1 (tiny angle); threshold 0.99
     // merges them, 0.9999999 does not
