@@ -142,6 +142,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT mad_outliers(x[, k][, 'exact'])      FROM <any>
   * SELECT bpe_token_count(text, 'merges'[, group])        FROM <docs>
   * SELECT semantic_dedup(id, embedding, k[, thr[, iters]]) FROM <vectors>
+  * SELECT friedman(block, treatment, y)        FROM <complete panel>
+  * SELECT welch_anova(y, arm)                  FROM <any>
+  * SELECT jarque_bera(x)                       FROM <any>
+  * SELECT vocab_drift(text, 'ref_table')       FROM <docs>
+  * SELECT embedding_drift(label, vec, 'ref')   FROM <vectors>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -305,7 +310,9 @@ object GraftGateway {
     "dunn_test", "ks_uniform", "theil_sen", "cochran_q", "durbin_watson",
     "logrank_power", "heaps_fit", "kmeans_eval", "overlap", "mad_outliers",
     "seasonal_strength", "cluster_power", "binomial_test", "runs_test",
-    "grubbs_test", "ngram_novelty", "bpe_token_count", "semantic_dedup")
+    "grubbs_test", "ngram_novelty", "bpe_token_count", "semantic_dedup",
+    "friedman", "welch_anova", "jarque_bera", "vocab_drift",
+    "embedding_drift")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -707,13 +714,35 @@ object GraftGateway {
         val ref = spark.table(str(a(1)))
         TextOps.ngramNovelty(df, ref, c(a(0)), c(a(0)),
           n = if (a.length > 2) num(a(2)).toInt else 3)
+      case "friedman" =>
+        // k matched treatments on the same blocks, within-block ranks
+        require(a.length >= 3, "friedman(block, treatment, y)")
+        RankTests.friedmanTest(df, c(a(0)), c(a(1)), c(a(2)))
+      case "welch_anova" =>
+        // heteroskedastic k-group mean test (Welch 1951)
+        require(a.length >= 2, "welch_anova(y, arm)")
+        SimpleTests.welchAnova(df, c(a(0)), c(a(1)))
+      case "jarque_bera" =>
+        // moment-based normality check (skew + excess kurtosis)
+        require(a.nonEmpty, "jarque_bera(x)")
+        SimpleTests.jarqueBera(df, c(a(0)))
+      case "vocab_drift" =>
+        // token-distribution JS divergence vs a reference corpus
+        require(a.length >= 2, "vocab_drift(text, 'ref_table')")
+        TextOps.vocabDrift(df, spark.table(str(a(1))), c(a(0)), c(a(0)))
+      case "embedding_drift" =>
+        // per-label centroid shift vs a reference snapshot
+        require(a.length >= 3, "embedding_drift(label, vec, 'ref_table')")
+        Drift.embeddingDrift(df, spark.table(str(a(2))), c(a(0)), c(a(1)),
+          c(a(0)), c(a(1)))
       case "semantic_dedup" =>
         // kmeans buckets -> within-bucket cosine near-dup -> min-id rep
         require(a.length >= 3,
-          "semantic_dedup(id, embedding, k[, threshold[, iters]])")
+          "semantic_dedup(id, embedding, k[, threshold[, iters[, max_bucket]]])")
         Dedup.semanticDedup(df, c(a(0)), c(a(1)), num(a(2)).toInt,
           threshold = if (a.length > 3) num(a(3)) else 0.95,
-          iters = if (a.length > 4) num(a(4)).toInt else 3)
+          iters = if (a.length > 4) num(a(4)).toInt else 3,
+          maxBucket = if (a.length > 5) num(a(5)).toInt else 2000)
       case "bpe_token_count" =>
         // tokenizer-true byte-fallback BPE counts against a merge table
         // (rank, left, right); per-group summary (one global row when no

@@ -2502,10 +2502,75 @@ object SparkEntry {
       val planted = e.filter(col("vec_id") < 50)
         .withColumn("vec_id", col("vec_id") + 10000)
       e.unionByName(planted).createOrReplaceTempView("q230_emb")
+      // max_bucket 50000 keeps the fixed k=8 fixture sf-portable (the
+      // brute within-cluster pass is fine at gate scale; production uses
+      // k scaled to the corpus instead)
       GraftGateway.sql(s,
-        "SELECT semantic_dedup(vec_id, embedding, 8, 0.99, 2) FROM q230_emb")
+        "SELECT semantic_dedup(vec_id, embedding, 8, 0.99, 2, 50000) " +
+          "FROM q230_emb")
         .select(col("id"), col("rep_id"), col("is_representative"))
         .orderBy(col("id"))
+    }),
+    "q231_friedman" -> ((s, d) => {
+      // repeated measures: 700 blocks x 3 treatments from dense event ids
+      // (floor(id/3) blocks are complete by construction); the oracle
+      // replays the identical within-block rank() + tie-count windows
+      t(s, d, "events").filter(col("event_id") < 2100)
+        .select(floor(col("event_id") / 3).cast("long").as("blk"),
+          (col("event_id") % 3).cast("string").as("t"),
+          col("value").as("y"))
+        .createOrReplaceTempView("q231_fr")
+      GraftGateway.sql(s, "SELECT friedman(blk, t, y) FROM q231_fr")
+        .select(col("n_blocks"), col("k"),
+          round(col("chisq"), 6).as("chisq"), col("df"))
+    }),
+    "q232_welch_anova" -> ((s, d) => {
+      // heteroskedastic 3-group mean test on return flags; oracle checks
+      // through F* and the Welch dofs (the q190 levene idiom)
+      t(s, d, "lineitem").createOrReplaceTempView("q232_li")
+      GraftGateway.sql(s,
+        "SELECT welch_anova(l_extendedprice, l_returnflag) FROM q232_li")
+        .select(col("n"), col("k"), round(col("f_stat"), 6).as("f_stat"),
+          col("df1"), round(col("df2"), 4).as("df2"))
+    }),
+    "q233_jarque_bera" -> ((s, d) => {
+      // normality screen on a uniform-ish metric: skew ~ 0, excess
+      // kurtosis ~ -1.2, JB enormous — the oracle replays the raw-moment
+      // expansion term-for-term
+      t(s, d, "lineitem").createOrReplaceTempView("q233_li")
+      GraftGateway.sql(s, "SELECT jarque_bera(l_quantity) FROM q233_li")
+        .select(col("n"), round(col("mean"), 6).as("mean"),
+          round(col("sd"), 6).as("sd"),
+          round(col("skewness"), 6).as("skewness"),
+          round(col("ex_kurtosis"), 6).as("ex_kurtosis"),
+          round(col("jb"), 4).as("jb"))
+    }),
+    "q234_vocab_drift" -> ((s, d) => {
+      // token-distribution JS divergence: top doc_id half (new shard) vs
+      // bottom half (reference) — the q228 split, but weighing SHARED
+      // vocabulary usage instead of new-gram share
+      val docs = t(s, d, "documents")
+      val half = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+      docs.filter(col("doc_id") > half).createOrReplaceTempView("q234_new")
+      docs.filter(col("doc_id") <= half).createOrReplaceTempView("q234_ref")
+      GraftGateway.sql(s, "SELECT vocab_drift(text, 'q234_ref') FROM q234_new")
+        .select(col("tokens_current"), col("tokens_ref"),
+          col("vocab_current"), col("vocab_ref"), col("vocab_union"),
+          round(col("js_divergence"), 6).as("js_divergence"),
+          round(col("l1_distance"), 6).as("l1_distance"))
+    }),
+    "q235_embedding_drift" -> ((s, d) => {
+      // per-label centroid geometry between two slices of the embedding
+      // corpus (vec_id < 250 as "current", the rest as reference)
+      val e = t(s, d, "embeddings")
+      e.filter(col("vec_id") < 250).createOrReplaceTempView("q235_cur")
+      e.filter(col("vec_id") >= 250).createOrReplaceTempView("q235_ref")
+      GraftGateway.sql(s,
+        "SELECT embedding_drift(label, embedding, 'q235_ref') FROM q235_cur")
+        .select(col("label"), col("n_current"), col("n_ref"),
+          round(col("centroid_l2"), 6).as("centroid_l2"),
+          round(col("centroid_cosine"), 6).as("centroid_cosine"))
+        .orderBy(col("label"))
     }),
     "q225_binomial_test" -> ((s, d) => {
       // exact rate test: 1000 trials at a planted 26% vs p0 = 0.3 — the
@@ -4442,6 +4507,119 @@ object SparkEntry {
         |  u.vec_id = rep.r AS is_representative
         |FROM u JOIN rep ON u.embedding = rep.embedding
         |ORDER BY id""".stripMargin,
+    "q231_friedman" ->
+      // identical within-block rank construction: rank() + (ties-1)/2
+      """WITH b AS (SELECT CAST(floor(event_id / 3) AS BIGINT) AS blk,
+        |    CAST(event_id % 3 AS VARCHAR) AS t, value AS y
+        |  FROM events WHERE event_id < 2100),
+        |r AS (SELECT blk, t,
+        |    RANK() OVER (PARTITION BY blk ORDER BY y)
+        |      + (COUNT(*) OVER (PARTITION BY blk, y) - 1) / 2.0 AS r
+        |  FROM b),
+        |pt AS (SELECT t, sum(r) AS rj FROM r GROUP BY t),
+        |tot AS (SELECT count(*) AS k, sum(rj * rj) AS sumrj2 FROM pt),
+        |sc AS (SELECT sum(r * r) AS a, count(DISTINCT blk) AS n FROM r)
+        |SELECT CAST(sc.n AS BIGINT) AS n_blocks, CAST(tot.k AS BIGINT) AS k,
+        |  round((tot.k - 1) * (tot.sumrj2
+        |      - tot.k * sc.n * sc.n * (tot.k + 1) * (tot.k + 1) / 4.0)
+        |    / (sc.a - sc.n * tot.k * (tot.k + 1) * (tot.k + 1) / 4.0), 6)
+        |    AS chisq,
+        |  CAST(tot.k - 1 AS BIGINT) AS df
+        |FROM tot, sc""".stripMargin,
+    "q232_welch_anova" ->
+      """WITH c AS (SELECT l_returnflag AS a, count(*) AS nk,
+        |    avg(l_extendedprice) AS mk, var_samp(l_extendedprice) AS vk
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT a, nk, mk, nk / vk AS wk FROM c),
+        |s AS (SELECT sum(wk) AS sw, sum(wk * mk) AS swm, count(*) AS k,
+        |  sum(nk) AS n FROM w),
+        |f AS (SELECT
+        |    sum(wk * (mk - s.swm / s.sw) * (mk - s.swm / s.sw)) AS num,
+        |    sum((1.0 - wk / s.sw) * (1.0 - wk / s.sw) / (nk - 1.0)) AS lam
+        |  FROM w, s GROUP BY s.sw, s.swm)
+        |SELECT CAST(s.n AS BIGINT) AS n, CAST(s.k AS BIGINT) AS k,
+        |  round((f.num / (s.k - 1))
+        |    / (1.0 + 2.0 * (s.k - 2) / (s.k * s.k - 1) * f.lam), 6) AS f_stat,
+        |  CAST(s.k - 1 AS DOUBLE) AS df1,
+        |  round((s.k * s.k - 1) / (3.0 * f.lam), 4) AS df2
+        |FROM s, f""".stripMargin,
+    "q233_jarque_bera" ->
+      // raw central-moment expansion replicated term-for-term (the house
+      // IEEE-order rule); sd = sqrt(m2 n/(n-1))
+      """WITH s AS (SELECT count(*) AS n, sum(l_quantity) AS s1,
+        |    sum(l_quantity * l_quantity) AS s2,
+        |    sum(l_quantity * l_quantity * l_quantity) AS s3,
+        |    sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+        |  FROM lineitem),
+        |m AS (SELECT n, s1 / n AS m, s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3.0 * (s1 / n) * s2 / n
+        |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4.0 * (s1 / n) * s3 / n
+        |      + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM s)
+        |SELECT CAST(n AS BIGINT) AS n, round(m, 6) AS mean,
+        |  round(sqrt(m2 * n / (n - 1.0)), 6) AS sd,
+        |  round(m3 / (m2 ^ 1.5), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 6) AS ex_kurtosis,
+        |  round(n / 6.0 * ((m3 / (m2 ^ 1.5)) * (m3 / (m2 ^ 1.5))
+        |    + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0), 4)
+        |    AS jb
+        |FROM m""".stripMargin,
+    "q234_vocab_drift" ->
+      """WITH h AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
+        |tk AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |tc AS (SELECT tok, count(*) AS nc FROM tk, h
+        |  WHERE doc_id > h.m AND len(tok) > 0 GROUP BY tok),
+        |tr AS (SELECT tok, count(*) AS nr FROM tk, h
+        |  WHERE doc_id <= h.m AND len(tok) > 0 GROUP BY tok),
+        |j AS (SELECT coalesce(tc.nc, 0) AS nc, coalesce(tr.nr, 0) AS nr
+        |  FROM tc FULL OUTER JOIN tr ON tc.tok = tr.tok),
+        |t AS (SELECT sum(nc) AS tcn, sum(nr) AS trn, count(*) AS u,
+        |    sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS vc,
+        |    sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS vr FROM j),
+        |d AS (SELECT
+        |    sum(CASE WHEN nc > 0 THEN (nc / CAST(t.tcn AS DOUBLE))
+        |      * ln((nc / CAST(t.tcn AS DOUBLE))
+        |        / ((nc / CAST(t.tcn AS DOUBLE)
+        |          + nr / CAST(t.trn AS DOUBLE)) / 2.0)) ELSE 0.0 END) AS klp,
+        |    sum(CASE WHEN nr > 0 THEN (nr / CAST(t.trn AS DOUBLE))
+        |      * ln((nr / CAST(t.trn AS DOUBLE))
+        |        / ((nc / CAST(t.tcn AS DOUBLE)
+        |          + nr / CAST(t.trn AS DOUBLE)) / 2.0)) ELSE 0.0 END) AS klq,
+        |    sum(abs(nc / CAST(t.tcn AS DOUBLE)
+        |      - nr / CAST(t.trn AS DOUBLE))) AS l1
+        |  FROM j, t GROUP BY t.tcn, t.trn)
+        |SELECT CAST(t.tcn AS BIGINT) AS tokens_current,
+        |  CAST(t.trn AS BIGINT) AS tokens_ref,
+        |  CAST(t.vc AS BIGINT) AS vocab_current,
+        |  CAST(t.vr AS BIGINT) AS vocab_ref,
+        |  CAST(t.u AS BIGINT) AS vocab_union,
+        |  round(0.5 * d.klp + 0.5 * d.klq, 6) AS js_divergence,
+        |  round(d.l1, 6) AS l1_distance
+        |FROM t, d""".stripMargin,
+    "q235_embedding_drift" ->
+      """WITH cur AS (SELECT label, embedding FROM embeddings
+        |  WHERE vec_id < 250),
+        |ref AS (SELECT label, embedding FROM embeddings
+        |  WHERE vec_id >= 250),
+        |cc AS (SELECT label, g.i AS pos, avg(embedding[g.i]) AS c_cur,
+        |    count(*) AS n_cur
+        |  FROM cur, generate_series(1, 64) g(i) GROUP BY label, g.i),
+        |cr AS (SELECT label, g.i AS pos, avg(embedding[g.i]) AS c_ref,
+        |    count(*) AS n_ref
+        |  FROM ref, generate_series(1, 64) g(i) GROUP BY label, g.i),
+        |j AS (SELECT cc.label, cc.pos, cc.c_cur, cr.c_ref, cc.n_cur,
+        |    cr.n_ref
+        |  FROM cc JOIN cr ON cc.label = cr.label AND cc.pos = cr.pos)
+        |SELECT label, CAST(max(n_cur) AS BIGINT) AS n_current,
+        |  CAST(max(n_ref) AS BIGINT) AS n_ref,
+        |  round(sqrt(sum((c_cur - c_ref) * (c_cur - c_ref))), 6)
+        |    AS centroid_l2,
+        |  round(sum(c_cur * c_ref) / (sqrt(sum(c_cur * c_cur))
+        |    * sqrt(sum(c_ref * c_ref))), 6) AS centroid_cosine
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
     "q225_binomial_test" ->
       // the full n+1 support via generate_series + lgamma; R's
       // minimum-likelihood two-sided rule with the 1+1e-7 tie tolerance

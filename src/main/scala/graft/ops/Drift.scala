@@ -393,4 +393,45 @@ object Drift {
     import spark.implicits._
     out.toDF("lag", "acf", "q_stat", "df", "p_value")
   }
+  /** Embedding centroid drift between two snapshots — per-label centroid
+    * L2 shift and cosine between the current corpus and a reference
+    * (yesterday's crawl, the previous model's embedding of the same
+    * slice): the monitor that catches an embedding-pipeline change
+    * (model bump, preprocessing regression) BEFORE downstream dedup /
+    * ANN / semantic_dedup silently degrade. Labels present on only one
+    * side are dropped (inner join — a disappeared label is a volume
+    * question for [[binnedDrift]], not a geometry one).
+    *
+    * 100 TB shape: per side, ONE posexplode to (label, dim) partial-agg
+    * cells — label cardinality unbounded, labels x dim cells cross the
+    * wire, never vectors — + ONE cell join + ONE label-cell aggregate.
+    * Replays in SQL via per-dim enumeration. Returns one row per shared
+    * label: (label, n_current, n_ref, centroid_l2, centroid_cosine),
+    * ordered by label. */
+  def embeddingDrift(cur: DataFrame, ref: DataFrame, curLabel: Column,
+                     curVec: Column, refLabel: Column,
+                     refVec: Column): DataFrame = {
+    def cells(df: DataFrame, label: Column, vec: Column,
+              side: String): DataFrame = df
+      .select(label.cast("string").as("label"),
+        vec.cast("array<double>").as("__v"))
+      .filter(col("label").isNotNull && col("__v").isNotNull)
+      .select(col("label"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as(s"c_$side"), count(lit(1)).as(s"n_$side"))
+    val joined = cells(cur, curLabel, curVec, "cur")
+      .join(cells(ref, refLabel, refVec, "ref"), Seq("label", "pos"))
+    joined
+      .groupBy(col("label"))
+      .agg(
+        // every dim of one vector counts once per row -> n = any dim's n
+        max(col("n_cur")).as("n_current"),
+        max(col("n_ref")).as("n_ref"),
+        sqrt(sum((col("c_cur") - col("c_ref")) *
+          (col("c_cur") - col("c_ref")))).as("centroid_l2"),
+        (sum(col("c_cur") * col("c_ref")) /
+          (sqrt(sum(col("c_cur") * col("c_cur"))) *
+            sqrt(sum(col("c_ref") * col("c_ref"))))).as("centroid_cosine"))
+      .orderBy(col("label"))
+  }
 }

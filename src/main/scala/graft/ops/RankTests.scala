@@ -37,7 +37,9 @@ object RankTests {
           sum(col("cnt0") * col("avgRank")).as("r1"),
           sum(col("cnt")).as("n"),
           sum(col("cnt0")).as("n1"),
-          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tieNum"),
+          // double before cubing: a >2.1M-row tie group overflows Long
+          sum(col("cnt").cast("double") * col("cnt") * col("cnt") -
+            col("cnt")).as("tieNum"),
           max(col("cnt")).as("maxTie")).head()
     }
     val r1 = agg.getAs[Double]("r1")
@@ -46,7 +48,7 @@ object RankTests {
     val n2 = n - n1
     if (n1 == 0 || n2 == 0 || agg.getAs[Long]("maxTie") == agg.getAs[Long]("n"))
       return MannWhitneyResult(Double.NaN, Double.NaN)
-    val tieCorrection = 1.0 - agg.getAs[Long]("tieNum").toDouble / (n * n * n - n)
+    val tieCorrection = 1.0 - agg.getAs[Double]("tieNum") / (n * n * n - n)
     val u1 = n1 * n2 + n1 * (n1 + 1.0) / 2.0 - r1
     val u2 = n1 * n2 - u1
     val meanrank = n1 * n2 / 2.0 + (if (continuityCorrection) 0.5 else 0.0)
@@ -455,6 +457,77 @@ object RankTests {
     }.sortBy(t => (t._1, t._2))
     out.toDF("g1", "g2", "mean_rank_1", "mean_rank_2", "z", "p_value",
       "p_adjusted")
+  }
+
+  /** Friedman test (1937, Conover's tie-corrected form) — k matched
+    * treatments measured on the SAME blocks (users, days, prompts): the
+    * repeated-measures alternative to [[kruskalWallis]] (which assumes
+    * independent groups) and the CONTINUOUS sibling of
+    * [[Agreement.cochranQ]] (binary outcomes on blocks). Ranks are
+    * within-block (average ranks on ties), so between-block level shifts
+    * cancel by construction:
+    *
+    *   A = Σ r²_ij,   χ² = (k−1)(Σ_j R_j² − k·n²(k+1)²/4)
+    *                       / (A − n·k(k+1)²/4),   df = k−1
+    *
+    * (reduces to the classic 12/(nk(k+1))ΣR²−3n(k+1) when untied).
+    * Incomplete or duplicated (block, treatment) cells are a named error
+    * — Friedman needs a complete balanced panel.
+    *
+    * 100 TB shape: ONE exchange keyed by block; the rank window
+    * partitions BY BLOCK and a block holds exactly k rows, so the sort is
+    * O(k log k) per block with block cardinality unbounded; ONE treatment
+    * cell aggregate (k cells) + ONE scalar pass close it. Replays in SQL
+    * with the same rank()/count() window construction. Returns one row:
+    * (n_blocks, k, chisq, df, p_value). */
+  def friedmanTest(df: DataFrame, block: Column, treatment: Column,
+                   y: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val yd = y.cast("double")
+    val base = df.filter(yd.isNotNull && !isnan(yd) && block.isNotNull &&
+        treatment.isNotNull)
+      .select(block.cast("string").as("__b"),
+        treatment.cast("string").as("__t"), yd.as("__y"))
+    // average rank within block: rank() gives 1 + #strictly-less; the
+    // tie group of size c spans ranks [rank, rank+c-1] -> avg = rank +
+    // (c-1)/2. Both windows partition by block (and value), never global.
+    val r = rank().over(Window.partitionBy(col("__b")).orderBy(col("__y")))
+    val tie = count(lit(1)).over(
+      Window.partitionBy(col("__b"), col("__y")))
+    val ranked = base.withColumn("__r",
+      r.cast("double") + (tie.cast("double") - 1.0) / 2.0)
+    val perT = ranked.groupBy(col("__t"))
+      .agg(count(lit(1)).as("nb"), sum(col("__r")).as("rj"),
+        sum(col("__r") * col("__r")).as("r2j"),
+        countDistinct(col("__b")).as("db"))
+    val tot = perT.agg(count(lit(1)).as("k"),
+      min(col("nb")).as("mn"), max(col("nb")).as("mx"),
+      min(col("db")).as("mndb"),
+      sum(col("rj") * col("rj")).as("sumRj2"),
+      sum(col("r2j")).as("a"),
+      sum(col("nb")).as("total")).head()
+    val k = tot.getAs[Long]("k")
+    require(k >= 2, s"friedman: need at least 2 treatments, got $k")
+    val n = tot.getAs[Long]("mx")
+    require(tot.getAs[Long]("mn") == n && tot.getAs[Long]("mndb") == n &&
+        tot.getAs[Long]("total") == n * k,
+      "friedman: incomplete or duplicated (block, treatment) panel — " +
+        "every block needs exactly one row per treatment (aggregate " +
+        "replicates upstream, or drop incomplete blocks explicitly)")
+    require(n >= 2, s"friedman: need at least 2 blocks, got $n")
+    val nd = n.toDouble; val kd = k.toDouble
+    val a = tot.getAs[Double]("a")
+    val denom = a - nd * kd * (kd + 1) * (kd + 1) / 4.0
+    require(denom > 0,
+      "friedman: all treatments tie within every block — ranks are constant")
+    val chisq = (kd - 1) *
+      (tot.getAs[Double]("sumRj2") - kd * nd * nd * (kd + 1) * (kd + 1) / 4.0) /
+      denom
+    val p = 1.0 - Dist.chiSqCdf(chisq, kd - 1)
+    Seq((n, k, chisq, k - 1, p))
+      .toDF("n_blocks", "k", "chisq", "df", "p_value")
   }
 
   /** One-sample KS test of a p-value (or any [0,1] score) column against

@@ -840,4 +840,98 @@ object SimpleTests {
       .toDF("n", "n_clusters", "sigma", "icc", "deff", "se_diff",
         "z_power", "power", "clusters_per_arm_80", "clusters_per_arm_90")
   }
+
+  /** Welch's heteroskedastic one-way ANOVA (Welch 1951) — the k-group
+    * mean test that stays honest when arm variances differ (where
+    * [[anovaF]]'s pooled variance over-rejects; the k-group analogue of
+    * the Welch t-test, and the mean-based companion to the
+    * rank-based [[RankTests.kruskalWallis]]):
+    *
+    *   w_k = n_k/s²_k,  x̄_w = Σw x̄/Σw,
+    *   F* = [Σw_k(x̄_k − x̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ],
+    *   Λ = Σ(1 − w_k/Σw)²/(n_k − 1),  df₂ = (k²−1)/(3Λ)
+    *
+    * ONE (arm) moment-cell aggregate — arm cardinality unbounded — + ONE
+    * cell-scale aggregate + driver closed forms; everything through F*
+    * and the dofs replays in two-level SQL. Returns one row:
+    * (n, k, f_stat, df1, df2, p_value). */
+  def welchAnova(df: DataFrame, y: Column, arm: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = y.cast("double")
+    val cells = df.filter(yd.isNotNull && !isnan(yd) && arm.isNotNull)
+      .groupBy(arm.cast("string").as("__a"))
+      .agg(count(lit(1)).as("nk"), avg(yd).as("mk"),
+        var_samp(yd).as("vk"))
+    cells.persist()
+    try {
+      val chk = cells.agg(count(lit(1)).as("k"), min(col("nk")).as("mn"),
+        min(col("vk")).as("mv"), sum(col("nk")).as("n")).head()
+      val k = chk.getAs[Long]("k")
+      require(k >= 2, s"welch_anova: need at least 2 arms, got $k")
+      require(chk.getAs[Long]("mn") >= 2,
+        "welch_anova: every arm needs >= 2 rows for a variance")
+      require(chk.getAs[Double]("mv") > 0,
+        "welch_anova: an arm has zero variance — its weight n/s² is " +
+          "infinite (use anovaF, or jitter-check the constant arm)")
+      val w = cells.select(col("nk"), col("mk"),
+        (col("nk") / col("vk")).as("wk"))
+      val sw = w.agg(sum(col("wk")).as("sw"),
+        sum(col("wk") * col("mk")).as("swm")).head()
+      val sumW = sw.getAs[Double]("sw")
+      val xw = sw.getAs[Double]("swm") / sumW
+      val fin = w.agg(
+        sum(col("wk") * (col("mk") - xw) * (col("mk") - xw)).as("num"),
+        sum((lit(1.0) - col("wk") / sumW) * (lit(1.0) - col("wk") / sumW)
+          / (col("nk") - 1.0)).as("lam")).head()
+      val kd = k.toDouble
+      val lam = fin.getAs[Double]("lam")
+      val f = (fin.getAs[Double]("num") / (kd - 1)) /
+        (1.0 + 2.0 * (kd - 2) / (kd * kd - 1) * lam)
+      val df2 = (kd * kd - 1) / (3.0 * lam)
+      val p = 1.0 - Dist.fCdf(f, kd - 1, df2)
+      Seq((chk.getAs[Long]("n"), k, f, kd - 1, df2, p))
+        .toDF("n", "k", "f_stat", "df1", "df2", "p_value")
+    } finally { cells.unpersist(); () }
+  }
+
+  /** Jarque-Bera normality test (1980) — the sample-moment normality
+    * check run BEFORE trusting a t/F-based readout on a suspicious
+    * metric (heavy tails inflate type-I on small arms; for heavy-tail
+    * HANDLING see [[Robust.robustMeans]] / [[Robust.yuenTest]]):
+    *
+    *   skew = m₃/m₂^{3/2},  ex_kurt = m₄/m₂² − 3,
+    *   JB = n/6·(skew² + ex_kurt²/4) ~ χ²₂  (asymptotic)
+    *
+    * ONE raw-moment pass (Σx..Σx⁴) with the central moments expanded on
+    * the driver in a FIXED algebraic order the SQL oracle replicates
+    * term-for-term (raw-moment expansion cancels catastrophically for
+    * |mean| ≫ sd — document and center upstream if the metric lives at a
+    * huge offset). Returns one row:
+    * (n, mean, sd, skewness, ex_kurtosis, jb, p_value). */
+  def jarqueBera(df: DataFrame, x: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xd = x.cast("double")
+    val r = df.filter(xd.isNotNull && !isnan(xd)).agg(
+      count(lit(1)).as("n"), sum(xd).as("s1"),
+      sum(xd * xd).as("s2"), sum(xd * xd * xd).as("s3"),
+      sum(xd * xd * xd * xd).as("s4")).head()
+    val n = r.getAs[Long]("n")
+    require(n >= 8, s"jarque_bera: need at least 8 rows, got $n")
+    val nd = n.toDouble
+    val m = r.getAs[Double]("s1") / nd
+    val m2 = r.getAs[Double]("s2") / nd - m * m
+    require(m2 > 0, "jarque_bera: the column is constant")
+    val m3 = r.getAs[Double]("s3") / nd - 3.0 * m * r.getAs[Double]("s2") / nd +
+      2.0 * m * m * m
+    val m4 = r.getAs[Double]("s4") / nd - 4.0 * m * r.getAs[Double]("s3") / nd +
+      6.0 * m * m * r.getAs[Double]("s2") / nd - 3.0 * m * m * m * m
+    val skew = m3 / math.pow(m2, 1.5)
+    val exKurt = m4 / (m2 * m2) - 3.0
+    val jb = nd / 6.0 * (skew * skew + exKurt * exKurt / 4.0)
+    val p = 1.0 - Dist.chiSqCdf(jb, 2.0)
+    Seq((n, m, math.sqrt(m2 * nd / (nd - 1)), skew, exKurt, jb, p))
+      .toDF("n", "mean", "sd", "skewness", "ex_kurtosis", "jb", "p_value")
+  }
 }

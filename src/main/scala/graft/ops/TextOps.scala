@@ -532,4 +532,55 @@ object TextOps {
           " ").as("chunk_text"),
         least(n - col("__start"), lit(chunkSize)).cast("int").as("n_tokens"))
   }
+  /** Cross-corpus vocabulary drift — Jensen-Shannon divergence (and L1 /
+    * total-variation x2) between the TOKEN DISTRIBUTIONS of the current
+    * corpus and a reference snapshot: the data-mixing monitor that says a
+    * crawl slice's word usage shifted even when [[ngramNovelty]]'s
+    * new-content share is flat (novelty counts NEW grams; drift weighs
+    * usage of the SHARED vocabulary too):
+    *
+    *   JS = ½·KL(p ‖ m) + ½·KL(q ‖ m),  m = (p+q)/2  (natural log;
+    *   0 ≤ JS ≤ ln 2; zero-frequency terms contribute 0 to their side)
+    *
+    * 100 TB shape: one token-keyed exchange per side ([[vocabulary]]'s
+    * cells) + ONE full outer join on the token key + ONE scalar
+    * aggregate — vocabulary cardinality unbounded, nothing collected.
+    * Replays in plain SQL. Returns one row: (tokens_current, tokens_ref,
+    * vocab_current, vocab_ref, vocab_union, js_divergence, l1_distance). */
+  def vocabDrift(cur: DataFrame, ref: DataFrame, curText: Column,
+                 refText: Column): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    def cells(df: DataFrame, text: Column, name: String): DataFrame =
+      vocabulary(df, text).select(col("token"), col("n").as(name))
+    val joined = cells(cur, curText, "nc")
+      .join(cells(ref, refText, "nr"), Seq("token"), "full_outer")
+      .select(coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("nr"), lit(0L)).as("nr"))
+    joined.persist()
+    try {
+      val tot = joined.agg(sum(col("nc")).as("tc"), sum(col("nr")).as("tr"),
+        count(lit(1)).as("u"),
+        sum(when(col("nc") > 0, 1L).otherwise(0L)).as("vc"),
+        sum(when(col("nr") > 0, 1L).otherwise(0L)).as("vr")).head()
+      val tc = tot.getAs[Long]("tc"); val tr = tot.getAs[Long]("tr")
+      require(tc > 0 && tr > 0,
+        "vocab_drift: both corpora need at least one token")
+      val agg = joined.select(
+          (col("nc").cast("double") / tc).as("p"),
+          (col("nr").cast("double") / tr).as("q"))
+        .withColumn("m", (col("p") + col("q")) / 2.0)
+        .agg(
+          sum(when(col("p") > 0, col("p") * log(col("p") / col("m")))
+            .otherwise(lit(0.0))).as("klp"),
+          sum(when(col("q") > 0, col("q") * log(col("q") / col("m")))
+            .otherwise(lit(0.0))).as("klq"),
+          sum(abs(col("p") - col("q"))).as("l1")).head()
+      val js = 0.5 * agg.getAs[Double]("klp") + 0.5 * agg.getAs[Double]("klq")
+      Seq((tc, tr, tot.getAs[Long]("vc"), tot.getAs[Long]("vr"),
+          tot.getAs[Long]("u"), js, agg.getAs[Double]("l1")))
+        .toDF("tokens_current", "tokens_ref", "vocab_current", "vocab_ref",
+          "vocab_union", "js_divergence", "l1_distance")
+    } finally { joined.unpersist(); () }
+  }
 }

@@ -142,6 +142,113 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("raise k"), e.getMessage)
   }
 
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  test("friedmanTest: hand ranks, tie correction, panel guards") {
+    // 3 blocks x 3 treatments, untied: chisq = 12/(nk(k+1))SumR^2 - 3n(k+1)
+    //   b1 ranks (1,2,3), b2 (2,3,1), b3 (1,3,2) -> R = (4,8,6) -> 8/3
+    val rows = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 5.0), ("b2", "t2", 6.0), ("b2", "t3", 4.0),
+      ("b3", "t1", 1.0), ("b3", "t2", 9.0), ("b3", "t3", 5.0))
+      .toDF("b", "t", "y")
+    val r = RankTests.friedmanTest(rows, $"b", $"t", $"y").head()
+    assert(r.getAs[Long]("n_blocks") == 3 && r.getAs[Long]("k") == 3)
+    assert(approx(r.getAs[Double]("chisq"), 8.0 / 3.0), r.toString)
+    assert(r.getAs[Long]("df") == 2)
+    // tie in b1 (t1 = t2): ranks (1.5, 1.5, 3); hand chisq = 9/5.5
+    val tied = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 1.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 5.0), ("b2", "t2", 6.0), ("b2", "t3", 4.0),
+      ("b3", "t1", 1.0), ("b3", "t2", 9.0), ("b3", "t3", 5.0))
+      .toDF("b", "t", "y")
+    val rt = RankTests.friedmanTest(tied, $"b", $"t", $"y").head()
+    assert(approx(rt.getAs[Double]("chisq"), 9.0 / 5.5), rt.toString)
+    // incomplete panel is a named error
+    val e = intercept[IllegalArgumentException] {
+      RankTests.friedmanTest(rows.filter($"b" =!= "b1" || $"t" =!= "t2"),
+        $"b", $"t", $"y").head()
+    }
+    assert(e.getMessage.contains("panel"), e.getMessage)
+    // all-tied ranks are degenerate
+    intercept[IllegalArgumentException] {
+      RankTests.friedmanTest(
+        Seq(("b1", "t1", 1.0), ("b1", "t2", 1.0),
+          ("b2", "t1", 2.0), ("b2", "t2", 2.0)).toDF("b", "t", "y"),
+        $"b", $"t", $"y").head()
+    }
+  }
+
+  test("welchAnova: k=2 equals the Welch t-test squared; guards") {
+    // arms (0,2,4) and (10,14): t_welch^2 = 18.75, df2 = 32/19
+    val df2arm = Seq(("a", 0.0), ("a", 2.0), ("a", 4.0),
+      ("b", 10.0), ("b", 14.0)).toDF("g", "y")
+    val r = SimpleTests.welchAnova(df2arm, $"y", $"g").head()
+    assert(approx(r.getAs[Double]("f_stat"), 18.75), r.toString)
+    assert(approx(r.getAs[Double]("df1"), 1.0))
+    assert(approx(r.getAs[Double]("df2"), 32.0 / 19.0), r.toString)
+    // constant arm -> named error pointing at anovaF
+    val e = intercept[IllegalArgumentException] {
+      SimpleTests.welchAnova(
+        df2arm.union(Seq(("c", 5.0), ("c", 5.0)).toDF("g", "y")),
+        $"y", $"g").head()
+    }
+    assert(e.getMessage.contains("zero variance"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      SimpleTests.welchAnova(df2arm.filter($"g" === "a"), $"y", $"g").head()
+    }
+  }
+
+  test("jarqueBera: moments match stddev_samp/skewness/kurtosis built-ins") {
+    val xs = spark.range(10000).select(
+      (pmod(xxhash64($"id"), lit(100000L)).cast("double") / 100000.0).as("x"))
+    val r = SimpleTests.jarqueBera(xs, $"x").head()
+    val ref = xs.agg(stddev_samp($"x"), skewness($"x"), kurtosis($"x")).head()
+    assert(approx(r.getAs[Double]("sd"), ref.getDouble(0), 1e-6))
+    assert(approx(r.getAs[Double]("skewness"), ref.getDouble(1), 1e-4))
+    assert(approx(r.getAs[Double]("ex_kurtosis"), ref.getDouble(2), 1e-4))
+    // uniform: near-zero skew, excess kurtosis near -1.2, JB enormous
+    assert(math.abs(r.getAs[Double]("skewness")) < 0.1)
+    assert(math.abs(r.getAs[Double]("ex_kurtosis") + 1.2) < 0.1)
+    assert(r.getAs[Double]("jb") > 100 && r.getAs[Double]("p_value") < 1e-10)
+    intercept[IllegalArgumentException] {
+      SimpleTests.jarqueBera(Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+        .toDF("x"), $"x").head()
+    }
+  }
+
+  test("vocabDrift: identical -> 0, disjoint -> ln 2, hand shared case") {
+    val a = Seq("x y x", "z").toDF("text")
+    val b = Seq("x y", "x z").toDF("text")
+    val same = TextOps.vocabDrift(a, a, $"text", $"text").head()
+    assert(approx(same.getAs[Double]("js_divergence"), 0.0))
+    assert(approx(same.getAs[Double]("l1_distance"), 0.0))
+    val disj = TextOps.vocabDrift(Seq("p q").toDF("text"),
+      Seq("r s").toDF("text"), $"text", $"text").head()
+    assert(approx(disj.getAs[Double]("js_divergence"), math.log(2.0)), disj.toString)
+    assert(approx(disj.getAs[Double]("l1_distance"), 2.0))
+    // hand: a has p=(x .5, y .25, z .25); b has q=(x .5, y .25, z .25) -> 0
+    val h = TextOps.vocabDrift(a, b, $"text", $"text").head()
+    assert(approx(h.getAs[Double]("js_divergence"), 0.0))
+    assert(h.getAs[Long]("vocab_union") == 3)
+  }
+
+  test("embeddingDrift: hand centroids; ref-only labels dropped") {
+    val cur = Seq(("a", Array(1.0, 0.0)), ("a", Array(3.0, 0.0)),
+      ("b", Array(0.0, 1.0))).toDF("l", "v")
+    val ref = Seq(("a", Array(2.0, 0.0)), ("b", Array(1.0, 0.0)),
+      ("c", Array(9.0, 9.0))).toDF("l", "v")
+    val out = Drift.embeddingDrift(cur, ref, $"l", $"v", $"l", $"v").collect()
+    assert(out.length == 2) // label c has no current rows
+    val byL = out.map(r => r.getString(0) -> r).toMap
+    assert(byL("a").getAs[Long]("n_current") == 2)
+    assert(approx(byL("a").getAs[Double]("centroid_l2"), 0.0))
+    assert(approx(byL("a").getAs[Double]("centroid_cosine"), 1.0))
+    assert(approx(byL("b").getAs[Double]("centroid_l2"), math.sqrt(2.0)))
+    assert(approx(byL("b").getAs[Double]("centroid_cosine"), 0.0))
+  }
+
   test("nearestCentroid kernel: equals the composed array_min form, ties low") {
     val cs = Array(Array(0.0, 0.0), Array(3.0, 4.0), Array(3.0, 4.0),
       Array(-1.0, 1.0))
