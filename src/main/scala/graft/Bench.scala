@@ -98,10 +98,12 @@ object Bench {
     // prior-round per-query mins (the committed BENCH_SELF.json): the
     // regression gate below compares against them. Self-authored one-line
     // JSON, so a regex parse is exact.
-    val priorMins: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_SELF.json"))), "UTF-8")
+    // per-query ALL-TIME best across every committed bench artifact (not
+    // just the prior round's): the r13→r14 q63 lesson — when last round's
+    // min was itself inflated by in-JVM pressure, flagging against it
+    // alone lets the inflation persist round over round; the all-time
+    // best is the stable reference the fork rerun checks against
+    def parseQueries(txt: String): Map[String, Double] = {
       val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
       m.map(_.split(",").flatMap { kv =>
         kv.split(":") match {
@@ -111,6 +113,27 @@ object Bench {
           case _ => None
         }
       }.toMap).getOrElse(Map.empty)
+    }
+    val priorMins: Map[String, Double] = try {
+      val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").toSeq
+        .map(java.nio.file.Paths.get(_))
+      val committed = {
+        import scala.jdk.CollectionConverters._
+        val dir = java.nio.file.Paths.get(".")
+        java.nio.file.Files.list(dir).iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n == "BENCH_SELF.json" ||
+              (n.startsWith("BENCH_r") && n.endsWith(".json"))
+          }.toSeq
+      }
+      (explicit ++ committed).flatMap { p =>
+        try parseQueries(new String(java.nio.file.Files.readAllBytes(p),
+          "UTF-8")).toSeq
+        catch { case _: Throwable => Seq.empty }
+      }.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).filter(_ > 0).foldLeft(Double.MaxValue)(math.min)
+      }.filter(_._2 < Double.MaxValue)
     } catch { case _: Throwable => Map.empty[String, Double] }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // untimed sentinel warmup first: its own cold codegen/JIT otherwise
@@ -192,11 +215,20 @@ object Bench {
     // re-run at the END in a FRESH SparkContext (no accumulated session
     // state); the fresh numbers land in the artifact either way.
     val quietBox = !gateTriggered
-    val flagged = if (quietBox) ordered.map(_._1).filter { name =>
+    val regressed = if (quietBox) ordered.map(_._1).filter { name =>
       val cur = results(name).sec
       val prior = priorMins.getOrElse(name, -1.0)
       prior > 0 && cur > 0 && cur > 2.0 * prior && cur - prior > 0.5
     } else Seq.empty
+    // ALWAYS fork-verify the slowest board rows (when the box is quiet):
+    // in-JVM inflation concentrates exactly there, and when every
+    // committed artifact's number for a query is itself inflated the
+    // regression gate has no honest prior to flag against (the r13 q63
+    // lesson: board 14.99 s, true quiet warm 2.86 s, round after round)
+    val topSuspects = if (quietBox)
+      results.toSeq.filter(_._2.sec > 5.0).sortBy(-_._2.sec).take(3).map(_._1)
+    else Seq.empty
+    val flagged = (regressed ++ topSuspects).distinct
     var freshJson = "{}"
     if (flagged.nonEmpty) {
       // a fresh SparkContext in the OLD JVM still carries the session's
