@@ -2,6 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    val runStartNs = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - runStartNs) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // shuffle/checkpoint scratch on tmpfs when available: the block-manager
@@ -229,15 +231,61 @@ object Bench {
       results.toSeq.filter(_._2.sec > 5.0).sortBy(-_._2.sec).take(3).map(_._1)
     else Seq.empty
     val flagged = (regressed ++ topSuspects).distinct
+    // ---- board emission, callable BEFORE and AFTER the fork phase ----
+    // The r14 driver artifact died at the driver's wall timeout INSIDE the
+    // fork-verify phase and left `parsed: null` — a whole round's bench
+    // evidence lost to a verification step. The board must exist the
+    // moment the min-of-passes completes: emit (stdout + BENCH_SELF.json)
+    // right here, then re-emit with fork results when/if the forks finish.
+    // Both emissions are full-schema board lines; a reader that takes the
+    // LAST parseable line gets the most-verified one available.
+    val stJson = ordered.map { case (name, _) =>
+      val mx = passes.map(_.toMap.apply(name).storage).max
+      "\"" + name + "\":" + mx
+    }.mkString("{", ",", "}")
+    val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val pj = passes.map(p => f"${p.map(_._2.sec).filter(_ >= 0).sum}%.1f")
+      .mkString("[", ",", "]")
+    val gateJson = f"""{"triggered":$gateTriggered,"sentinel1_threshold":$gateThreshold%.3f}"""
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    def emitBoard(freshJson: String): Unit = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v.sec }
+        .mkString("{", ",", "}")
+      val gcJson = results.map { case (k, v) => "\"" + k + "\":" + v.gcMs }
+        .mkString("{", ",", "}")
+      val total =
+        if (results.nonEmpty) results.values.map(_.sec).filter(_ >= 0).sum
+        else 0.0
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_sec":$sj,"sentinel1_sec":$sentinel1,"pass_total_sec":$pj,"passes":${passes.length},"retries":$retries,"sentinel_gate":$gateJson,"gc_ms":$gcJson,"storage_bytes_presweep":$stJson,"regression_flagged":$flaggedJson,"fresh_rerun_sec":$freshJson}"""
+      println(json)
+      // the same line as a machine-readable artifact: the driver's log-tail
+      // capture has truncated the per-query map more than once (r9:
+      // `parsed: null`), so the authoritative numbers must not depend on
+      // it. Best-effort — a read-only working dir must not fail the bench.
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
+    emitBoard("{}") // the board is now safe regardless of what forks do
+    // ---- fork-verify phase, hard-capped ----
+    // a fresh SparkContext in the OLD JVM still carries the session's
+    // accumulated JVM-level state — measured on a quiet box: q63 read
+    // 10.5 s from a fresh context in the 193-query JVM and 4.4 s from
+    // a truly fresh JVM (its own in-JVM sentinel sat at ~4x quiet while
+    // an EXTERNAL JVM's sentinel read quiet). So fork graft.BenchOne
+    // and parse its warm numbers: the rerun then measures the operator,
+    // not the session's scar tissue. BUDGET (the r14 rc-124 lesson): ONE
+    // fork JVM takes the WHOLE flagged list per round (boot cost paid
+    // once, not per query), at most `maxForkJvms` rounds total, and the
+    // phase is skipped outright past `forkWallCutoff` elapsed seconds —
+    // the pre-fork board above is then the artifact.
     var freshJson = "{}"
-    if (flagged.nonEmpty) {
-      // a fresh SparkContext in the OLD JVM still carries the session's
-      // accumulated JVM-level state — measured on a quiet box: q63 read
-      // 10.5 s from a fresh context in the 193-query JVM and 4.4 s from
-      // a truly fresh JVM (its own in-JVM sentinel sat at ~4x quiet while
-      // an EXTERNAL JVM's sentinel read quiet). So fork graft.BenchOne
-      // per flagged query and parse its warm number: the rerun then
-      // measures the operator, not the session's scar tissue.
+    val maxForkJvms =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_FORKS", "4").toInt
+    val forkWallCutoff =
+      sys.env.getOrElse("SPARK_GRAFT_FORK_CUTOFF_SEC", "900").toDouble
+    if (flagged.nonEmpty && elapsedSec < forkWallCutoff) {
       spark.stop()
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val cp = System.getProperty("java.class.path")
@@ -248,96 +296,101 @@ object Bench {
         "sun.nio.ch", "sun.nio.cs", "sun.security.action",
         "sun.util.calendar")
         .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val qRe = """"query":\s*"([^"]+)"""".r
       val warmRe = """"warm":\s*([0-9.eE+-]+)""".r
       val sentRe = """"sentinel1":\s*([0-9.eE+-]+)""".r
       val gcRe = """"gc_ms":\s*(-?[0-9]+)""".r
       val jitRe = """"jit_ms":\s*(-?[0-9]+)""".r
       case class Fork(warm: Double, sent: Double, gcMs: Long, jitMs: Long)
-      def forkOnce(name: String): Fork = try {
+      // one JVM, the whole list; one parsed line per query
+      def forkList(names: Seq[String]): Map[String, Fork] = try {
         val cmd = (Seq(javaBin) ++ opens ++ Seq(
           "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
           s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-          "-cp", cp, "graft.BenchOne", name))
+          "-cp", cp, "graft.BenchOne") ++ names)
         val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
         val out = scala.io.Source.fromInputStream(p.getInputStream)
           .getLines().toVector
         p.waitFor()
-        val line = out.reverseIterator
-          .find(l => warmRe.findFirstMatchIn(l).isDefined)
-        def num(re: scala.util.matching.Regex, d: Double): Double =
-          line.flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
-            .getOrElse(d)
-        Fork(num(warmRe, -1.0), num(sentRe, -1.0),
-          num(gcRe, -1.0).toLong, num(jitRe, -1.0).toLong)
-      } catch { case _: Throwable => Fork(-1.0, -1.0, -1L, -1L) }
+        out.flatMap { l =>
+          for {
+            q <- qRe.findFirstMatchIn(l).map(_.group(1))
+            w <- warmRe.findFirstMatchIn(l).map(_.group(1).toDouble)
+          } yield {
+            def num(re: scala.util.matching.Regex): Double =
+              re.findFirstMatchIn(l).map(_.group(1).toDouble).getOrElse(-1.0)
+            q -> Fork(w, num(sentRe), num(gcRe).toLong, num(jitRe).toLong)
+          }
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
       // only a fresh number measured on a QUIET box may replace a board
       // min (r12: a loaded-box 31.8 s rerun overwrote q63's 13.7 s min —
       // both wrong, but the artifact presented the worse one as "fresh")
       val quietFresh = 2.0 * 0.42
-      val fresh = flagged.map { name =>
-        val boardMin = results(name).sec
-        // a fresh-JVM rerun SLOWER than the in-run min is self-
-        // contradictory (r13 recorded a 70.8 s "fresh" q63 against a
-        // 15 s board min; true quiet warm was 2.9 s) — retry up to 2
-        // more times, keep the best QUIET sample, and if that still
-        // reads slower than the min it was meant to check, keep the min
-        // and mark the row unexplained instead of publishing the
-        // impossible number. GC/JIT ms from the fork land in the
-        // artifact either way so the rejection explains itself.
-        def quiet(f: Fork): Boolean =
-          f.warm >= 0 && f.sent > 0 && f.sent <= quietFresh
-        def contradicts(f: Fork): Boolean =
-          !quiet(f) || (boardMin > 0 && f.warm > boardMin)
-        def best(ss: Seq[Fork]): Fork =
-          ss.filter(quiet).sortBy(_.warm).headOption.getOrElse(ss.last)
-        var samples = Vector(forkOnce(name))
-        while (contradicts(best(samples)) && samples.size < 3)
-          samples :+= forkOnce(name)
-        val b = best(samples)
-        (name, b, samples.size, contradicts(b))
+      def quiet(f: Fork): Boolean =
+        f.warm >= 0 && f.sent > 0 && f.sent <= quietFresh
+      // TOLERANCE BAND (r14 lesson: q143's fork read 7.436 s vs a 7.27 s
+      // board min — a 2.3% gap that CONFIRMS the row — but any-warm-
+      // above-min was treated as contradictory and the best-understood
+      // number on the board got labeled `unexplained`). A quiet fork warm
+      // within 15% of the min confirms it; only beyond that is the pair
+      // genuinely divergent and worth a retry / an unexplained flag.
+      def contradicts(f: Fork, boardMin: Double): Boolean =
+        !quiet(f) || (boardMin > 0 && f.warm > 1.15 * boardMin)
+      val samples =
+        scala.collection.mutable.Map.empty[String, Vector[Fork]]
+      var pending = flagged
+      var jvms = 0
+      var tries = Map.empty[String, Int].withDefaultValue(0)
+      while (pending.nonEmpty && jvms < maxForkJvms &&
+        elapsedSec < forkWallCutoff) {
+        val got = forkList(pending)
+        jvms += 1
+        pending.foreach { n =>
+          tries += n -> (tries(n) + 1)
+          got.get(n).foreach(f => samples(n) = samples.getOrElse(n, Vector()) :+ f)
+        }
+        pending = pending.filter { n =>
+          samples.get(n).forall(ss =>
+            ss.filter(quiet).forall(f => contradicts(f, results(n).sec)))
+        }
+      }
+      def best(ss: Vector[Fork]): Fork =
+        ss.filter(quiet).sortBy(_.warm).headOption.getOrElse(ss.last)
+      val fresh = flagged.map { n =>
+        val ss = samples.getOrElse(n, Vector(Fork(-1.0, -1.0, -1L, -1L)))
+        val b = best(ss)
+        (n, b, tries(n), contradicts(b, results(n).sec))
       }
       results = results ++ fresh.collect {
         case (n, f, _, false)
-            if results(n).sec < 0 || f.warm < results(n).sec =>
+            if quiet(f) && (results(n).sec < 0 || f.warm < results(n).sec) =>
           n -> Sample(f.warm, f.gcMs, -1L)
       }
-      freshJson = fresh.map { case (n, f, tries, rejected) =>
+      freshJson = fresh.map { case (n, f, t, rejected) =>
+        val boardMin = results(n).sec
         val body =
           if (rejected)
             // no warm field: a rejected number must not be readable as a
             // measurement (ask: no fresh_rerun value may exceed the min)
-            f"""{"unexplained":true,"warm_rejected":${f.warm}%.3f,"sentinel1":${f.sent}%.3f,"gc_ms":${f.gcMs},"jit_ms":${f.jitMs},"tries":$tries}"""
-          else
-            f"""{"warm":${f.warm}%.3f,"sentinel1":${f.sent}%.3f,"gc_ms":${f.gcMs},"jit_ms":${f.jitMs},"tries":$tries}"""
+            f"""{"unexplained":true,"warm_rejected":${f.warm}%.3f,"sentinel1":${f.sent}%.3f,"gc_ms":${f.gcMs},"jit_ms":${f.jitMs},"tries":$t}"""
+          else {
+            // confirmed: a quiet fork within the 15% band of the (possibly
+            // just-replaced) board min — the row is independently verified
+            val confirmed = boardMin > 0 && f.warm <= 1.15 * boardMin
+            f"""{"warm":${f.warm}%.3f,"confirmed":$confirmed,"sentinel1":${f.sent}%.3f,"gc_ms":${f.gcMs},"jit_ms":${f.jitMs},"tries":$t}"""
+          }
         "\"" + n + "\":" + body
       }.mkString("{", ",", "}")
+      emitBoard(freshJson)
+    } else if (flagged.nonEmpty) {
+      // past the wall cutoff: record that the fork phase was skipped so
+      // the artifact explains why flagged rows carry no fresh numbers
+      freshJson = """{"skipped":"fork_wall_cutoff"}"""
+      emitBoard(freshJson)
+      spark.stop()
+    } else {
+      spark.stop()
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.sec }
-      .mkString("{", ",", "}")
-    val gcJson = results.map { case (k, v) => "\"" + k + "\":" + v.gcMs }
-      .mkString("{", ",", "}")
-    // storage pinned at each query's end (pre-sweep), max across passes:
-    // nonzero rows here name exactly the ops that still leak checkpoints
-    val stJson = ordered.map { case (name, _) =>
-      val mx = passes.map(_.toMap.apply(name).storage).max
-      "\"" + name + "\":" + mx
-    }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.sec).filter(_ >= 0).sum else 0.0
-    val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
-    val pj = passes.map(p => f"${p.map(_._2.sec).filter(_ >= 0).sum}%.1f")
-      .mkString("[", ",", "]")
-    val gateJson = f"""{"triggered":$gateTriggered,"sentinel1_threshold":$gateThreshold%.3f}"""
-    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_sec":$sj,"sentinel1_sec":$sentinel1,"pass_total_sec":$pj,"passes":${passes.length},"retries":$retries,"sentinel_gate":$gateJson,"gc_ms":$gcJson,"storage_bytes_presweep":$stJson,"regression_flagged":$flaggedJson,"fresh_rerun_sec":$freshJson}"""
-    println(json)
-    // the same line as a machine-readable artifact: the driver's log-tail
-    // capture has truncated the per-query map more than once (r9:
-    // `parsed: null`), so the authoritative numbers must not depend on it.
-    // Best-effort — a read-only working dir must not fail the bench.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    spark.stop()
   }
 }

@@ -1,19 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Single-query A/B probe: run ONE SparkEntry query in a fresh JVM with the
-  * Bench session config and print cold (first execution) and warm (min of 2
-  * re-executions) seconds as one JSON line. This is the interleaved-pairs
-  * protocol BENCHAB.json documents — the only measurement this box's ±25%
-  * load drift cannot poison asymmetrically, since A and B runs alternate
-  * minutes apart.
+/** Single-JVM query probe: run one OR MORE SparkEntry queries in a fresh
+  * JVM with the Bench session config and print cold (first execution) and
+  * warm (min of 2 re-executions) seconds as one JSON line PER QUERY. This
+  * is the interleaved-pairs protocol BENCHAB.json documents — the only
+  * measurement this box's ±25% load drift cannot poison asymmetrically,
+  * since A and B runs alternate minutes apart.
   *
-  * Usage: runMain graft.BenchOne <queryName>  (env: SPARK_GRAFT_SF_DIR,
-  * SPARK_GRAFT_CPUS).
+  * Multiple names amortize the ~30 s Spark boot over the whole flagged
+  * list — Bench's fork-verify phase runs ONE of these instead of one JVM
+  * per flagged query (the per-query-JVM design is what pushed the r14
+  * driver bench past its wall budget, rc 124). Ckpt.sweep runs between
+  * queries so query N's checkpoints never pressure query N+1.
+  *
+  * Usage: runMain graft.BenchOne <queryName> [more names...]
+  * (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS).
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args.toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val localDir = {
@@ -33,12 +39,6 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val fn = SparkEntry.queries(name)
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
-    }
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -49,28 +49,40 @@ object BenchOne {
       if (c != null && c.isCompilationTimeMonitoringSupported)
         c.getTotalCompilationTime else -1L
     }
-    val cold = once()
-    val (gc0, jit0) = (gcMs, jitMs)
-    val warm = math.min(once(), once())
-    // GC + JIT milliseconds spent DURING the two warm executions: a fork
-    // rerun that disagrees with the in-run min must explain itself (a
-    // large jit_ms says "still compiling", a large gc_ms says "heap
-    // pressure") instead of leaving a bare implausible number
-    val (gcWarm, jitWarm) =
-      (gcMs - gc0, if (jit0 >= 0) jitMs - jit0 else -1L)
     // single-core load sentinel (Bench's absolute cross-run reference,
     // quiet ~0.42 s on this box class): the r12 driver artifact recorded a
     // 31.8 s "fresh rerun" for a query that reads 3.6 s quiet — the fork
     // escaped the session's scar tissue but not the box's external load,
     // and without a sentinel IN the forked JVM the artifact couldn't say
-    // which number to believe. Now every BenchOne line carries its own.
-    val sentinel1 = Array.fill(5) {
+    // which number to believe. Every BenchOne line carries its own,
+    // sampled right after its query so a load burst mid-list is localized.
+    def sentinel1(): Double = Array.fill(5) {
       val t0 = System.nanoTime()
       spark.range(0L, 320L * 1000 * 1000, 1, 1)
         .selectExpr("sum(id % 7)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    println(f"""{"query":"$name","cold":$cold%.3f,"warm":$warm%.3f,"sentinel1":$sentinel1%.3f,"gc_ms":$gcWarm,"jit_ms":$jitWarm}""")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once()
+      val (gc0, jit0) = (gcMs, jitMs)
+      val warm = math.min(once(), once())
+      // GC + JIT milliseconds spent DURING the two warm executions: a fork
+      // rerun that disagrees with the in-run min must explain itself (a
+      // large jit_ms says "still compiling", a large gc_ms says "heap
+      // pressure") instead of leaving a bare implausible number
+      val (gcWarm, jitWarm) =
+        (gcMs - gc0, if (jit0 >= 0) jitMs - jit0 else -1L)
+      val s1 = sentinel1()
+      println(f"""{"query":"$name","cold":$cold%.3f,"warm":$warm%.3f,"sentinel1":$s1%.3f,"gc_ms":$gcWarm,"jit_ms":$jitWarm}""")
+      // query boundary: this query's checkpoints must not pressure the next
+      try Ckpt.sweep(spark) catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }
