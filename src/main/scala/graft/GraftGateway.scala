@@ -141,7 +141,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT overlap(t, score[, bins])            FROM <scored cohort>
   * SELECT mad_outliers(x[, k][, 'exact'])      FROM <any>
   * SELECT bpe_token_count(text, 'merges'[, group])        FROM <docs>
-  * SELECT semantic_dedup(id, embedding, k[, thr[, iters]]) FROM <vectors>
+  * SELECT semantic_dedup(id, embedding, k[, thr[, iters[, maxb[, probes]]]]) FROM <vectors>
   * SELECT friedman(block, treatment, y)        FROM <complete panel>
   * SELECT welch_anova(y, arm)                  FROM <any>
   * SELECT jarque_bera(x)                       FROM <any>
@@ -736,13 +736,15 @@ object GraftGateway {
         Drift.embeddingDrift(df, spark.table(str(a(2))), c(a(0)), c(a(1)),
           c(a(0)), c(a(1)))
       case "semantic_dedup" =>
-        // kmeans buckets -> within-bucket cosine near-dup -> min-id rep
+        // kmeans buckets (each vector probes its top-p centroids) ->
+        // within-bucket cosine near-dup -> min-id rep
         require(a.length >= 3,
-          "semantic_dedup(id, embedding, k[, threshold[, iters[, max_bucket]]])")
+          "semantic_dedup(id, embedding, k[, threshold[, iters[, max_bucket[, probes]]]])")
         Dedup.semanticDedup(df, c(a(0)), c(a(1)), num(a(2)).toInt,
           threshold = if (a.length > 3) num(a(3)) else 0.95,
           iters = if (a.length > 4) num(a(4)).toInt else 3,
-          maxBucket = if (a.length > 5) num(a(5)).toInt else 2000)
+          maxBucket = if (a.length > 5) num(a(5)).toInt else 2000,
+          probes = if (a.length > 6) num(a(6)).toInt else 2)
       case "bpe_token_count" =>
         // tokenizer-true byte-fallback BPE counts against a merge table
         // (rank, left, right); per-group summary (one global row when no

@@ -917,7 +917,28 @@ object ScaleProbe {
             pmod(xxhash64(col("src"), d, lit(7L)), lit(200L)).cast("double"))
           .as("v"))
       val out = graft.ops.Dedup.semanticDedup(vecs, col("id"), col("v"),
-        k = 4096, threshold = 0.999999, iters = 2)
+        k = 4096, threshold = 0.999999, iters = 2, probes = 1)
+      val dups = out.filter(!col("is_representative")).count()
+      assert(dups >= 10000L, s"found only $dups non-representatives")
+    }
+    time("semantic_dedup probes=2 1M vectors x 16d, k=4096 (+10k planted dups)") {
+      // the SAME corpus on the default multi-assignment path: every
+      // vector probes its top-2 centroids, so bucket membership doubles
+      // and pair expansion pays ~4x per bucket — the price of closing
+      // the one-boundary recall miss (q236 gates the semantics; this
+      // entry certifies the cost stays bounded at corpus scale)
+      val dim = 16
+      val vecs = spark.range(1000000L).select(
+        when(col("id") >= 990000L, col("id") - 990000L).otherwise(col("id"))
+          .as("src"),
+        col("id"))
+        .select(col("id"), transform(sequence(lit(0), lit(dim - 1)), d =>
+          pmod(xxhash64(pmod(col("src"), lit(4096L)), d), lit(1000L))
+            .cast("double") +
+            pmod(xxhash64(col("src"), d, lit(7L)), lit(200L)).cast("double"))
+          .as("v"))
+      val out = graft.ops.Dedup.semanticDedup(vecs, col("id"), col("v"),
+        k = 4096, threshold = 0.999999, iters = 2, probes = 2)
       val dups = out.filter(!col("is_representative")).count()
       assert(dups >= 10000L, s"found only $dups non-representatives")
     }

@@ -2504,9 +2504,10 @@ object SparkEntry {
       e.unionByName(planted).createOrReplaceTempView("q230_emb")
       // max_bucket 50000 keeps the fixed k=8 fixture sf-portable (the
       // brute within-cluster pass is fine at gate scale; production uses
-      // k scaled to the corpus instead)
+      // k scaled to the corpus instead); probes pinned to 1 — this row
+      // documents the single-assignment baseline (q236 gates probes=2)
       GraftGateway.sql(s,
-        "SELECT semantic_dedup(vec_id, embedding, 8, 0.99, 2, 50000) " +
+        "SELECT semantic_dedup(vec_id, embedding, 8, 0.99, 2, 50000, 1) " +
           "FROM q230_emb")
         .select(col("id"), col("rep_id"), col("is_representative"))
         .orderBy(col("id"))
@@ -2571,6 +2572,34 @@ object SparkEntry {
           round(col("centroid_l2"), 6).as("centroid_l2"),
           round(col("centroid_cosine"), 6).as("centroid_cosine"))
         .orderBy(col("label"))
+    }),
+    "q236_semantic_dedup_probes" -> ((s, d) => {
+      // boundary-straddling near-duplicates: 4 axis-aligned 2-d blobs
+      // (direction from id % 4, magnitude 10 + id % 7 — all members of a
+      // blob are exactly parallel, cosine 1, so each blob is one dup
+      // group with rep = its min id) plus planted pairs u = (6.5, 7.5) /
+      // w = (7.5, 6.5) between blobs 0 and 1. After the deterministic
+      // 2-iter Lloyd fit, u's nearest centroid is blob 1's and w's is
+      // blob 0's, so single-assignment (probes = 1) misses every u-w
+      // edge BY CONSTRUCTION while the default probes = 2 puts u and w
+      // in both boundary buckets (Round15OpsSpec pins the p=1 miss).
+      // Every cross-group cosine is <= 0.76 and every in-group cosine is
+      // >= 0.98985 — margins so wide the representative set is the
+      // closed form the oracle replays (the q230 analytic-oracle idiom):
+      // rep = 13 for the 8 straddlers, else id % 4's blob min id.
+      t(s, d, "events").filter(col("event_id") < 1000)
+        .selectExpr("event_id AS vid",
+          "CASE WHEN event_id % 250 = 13 THEN array(6.5D, 7.5D) " +
+            "WHEN event_id % 250 = 14 THEN array(7.5D, 6.5D) " +
+            "WHEN event_id % 4 = 0 THEN array(10.0D + event_id % 7, 0.0D) " +
+            "WHEN event_id % 4 = 1 THEN array(0.0D, 10.0D + event_id % 7) " +
+            "WHEN event_id % 4 = 2 THEN array(-(10.0D + event_id % 7), 0.0D) " +
+            "ELSE array(0.0D, -(10.0D + event_id % 7)) END AS emb")
+        .createOrReplaceTempView("q236_emb")
+      GraftGateway.sql(s,
+        "SELECT semantic_dedup(vid, emb, 4, 0.95, 2, 2000, 2) FROM q236_emb")
+        .groupBy(col("rep_id")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("rep_id"))
     }),
     "q225_binomial_test" -> ((s, d) => {
       // exact rate test: 1000 trials at a planted 26% vs p0 = 0.3 — the
@@ -4620,6 +4649,17 @@ object SparkEntry {
         |  round(sum(c_cur * c_ref) / (sqrt(sum(c_cur * c_cur))
         |    * sqrt(sum(c_ref * c_ref))), 6) AS centroid_cosine
         |FROM j GROUP BY label ORDER BY label""".stripMargin,
+    "q236_semantic_dedup_probes" ->
+      // ground truth is analytic (the q230 idiom): the 8 straddlers
+      // (ids ≡ 13 or 14 mod 250) merge into one group with rep 13 —
+      // reachable only because probes = 2 shares a boundary bucket —
+      // and each axis blob collapses to its min id (= its residue mod 4)
+      """WITH b AS (SELECT event_id AS vid,
+        |    CASE WHEN event_id % 250 IN (13, 14) THEN 13
+        |         ELSE event_id % 4 END AS rep
+        |  FROM events WHERE event_id < 1000)
+        |SELECT CAST(rep AS BIGINT) AS rep_id, count(*) AS n_members
+        |FROM b GROUP BY rep ORDER BY rep_id""".stripMargin,
     "q225_binomial_test" ->
       // the full n+1 support via generate_series + lgamma; R's
       // minimum-likelihood two-sided rule with the 1+1e-7 tie tolerance

@@ -77,6 +77,45 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](best, bi))
   }
+
+  /** Top-`p` nearest centroid indices by L2², ascending distance — the
+    * multi-assignment kernel behind semantic-dedup `probes` (a vector
+    * lands in its p nearest buckets so near-duplicates straddling ONE
+    * k-means boundary still share a bucket). Insertion uses strict `<`
+    * over (distance, index): equal distances keep the EARLIER centroid
+    * index, so element 0 is exactly [[nearestCentroid]]'s answer. Null on
+    * any null element / length mismatch. */
+  def nearestCentroids(a: ArrayData, cs: Array[Array[Double]],
+                       p: Int): ArrayData = {
+    val n = a.numElements()
+    val m = math.min(p, cs.length)
+    val bd = Array.fill(m)(Double.PositiveInfinity)
+    val bi = Array.fill(m)(-1)
+    var c = 0
+    while (c < cs.length) {
+      val v = cs(c)
+      if (v.length != n) return null
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val d = a.getDouble(i) - v(i)
+        s += d * d
+        i += 1
+      }
+      // insertion into the fixed-size top list: strict < keeps the
+      // lower index on exact ties (centroids scan in index order)
+      var j = m - 1
+      if (s < bd(j)) {
+        while (j > 0 && s < bd(j - 1)) {
+          bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1
+        }
+        bd(j) = s; bi(j) = c
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bi)
+  }
 }
 
 /** Codegen'd cosine similarity over two array<double> columns. */
@@ -149,6 +188,46 @@ case class NearestCentroid(child: Expression, cs: Array[Array[Double]])
     child.hashCode() * 31 + cs.map(java.util.Arrays.hashCode).toSeq.hashCode()
 }
 
+/** Codegen'd top-`p` argmin-L2² over a plan-constant centroid TABLE,
+  * returning array<int> of centroid indices ascending by distance —
+  * element 0 is [[NearestCentroid]]'s cluster (same tie-break). The
+  * semantic-dedup multi-assignment kernel: one reference object, one
+  * tight loop, codegen size independent of k AND p. */
+case class NearestCentroids(child: Expression, cs: Array[Array[Double]],
+                            p: Int) extends UnaryExpression {
+  require(cs.nonEmpty, "nearest_centroids: centroid table is empty")
+  require(p >= 1, s"nearest_centroids: p must be >= 1, got $p")
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.requireDoubleArray(child, prettyName)
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.nearestCentroids(input.asInstanceOf[ArrayData], cs, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cs, "double[][]")
+    val r = ctx.freshName("r")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
+        graft.expr.VectorOps.nearestCentroids($a, $ref, $p);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+  // Array has reference equality; compare contents for canonicalization
+  override def equals(o: Any): Boolean = o match {
+    case NearestCentroids(c, ocs, op) => c == child && op == p &&
+      ocs.length == cs.length &&
+      ocs.indices.forall(i => java.util.Arrays.equals(ocs(i), cs(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (child.hashCode() * 31 + cs.map(java.util.Arrays.hashCode).toSeq
+      .hashCode()) * 31 + p
+}
+
 /** Codegen'd squared L2 distance to a plan-constant vector. */
 case class L2SqToLit(child: Expression, v: Array[Double])
     extends UnaryExpression {
@@ -188,6 +267,9 @@ object VectorExprs {
 
   def nearestCentroid(a: Column, cs: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(a), cs))
+
+  def nearestCentroids(a: Column, cs: Array[Array[Double]], p: Int): Column =
+    ColumnBridge.column(NearestCentroids(ColumnBridge.expression(a), cs, p))
 
   private[expr] def requireDoubleArray(e: Expression, name: String): TypeCheckResult =
     e.dataType match {

@@ -377,9 +377,48 @@ object Ann {
                    persistBase: Boolean = true): DataFrame =
     lloydAssign(corpus, id, vec, k, iters, maxKDim, persistBase)
 
+  /** [[kmeansAssign]] with MULTI-ASSIGNMENT: each vector additionally
+    * carries its top-`probes` nearest-centroid bucket indices (`buckets`,
+    * ascending distance; buckets[0] == cluster). The SemDeDup
+    * boundary-recall fix [[Dedup.semanticDedup]] builds on: a near-dup
+    * pair split by ONE k-means boundary still shares a bucket when both
+    * sides probe their 2 nearest centroids. Returns
+    * (id, v, cluster, d2, buckets). */
+  def kmeansAssignProbes(corpus: DataFrame, id: Column, vec: Column, k: Int,
+                         iters: Int = 5, probes: Int = 2,
+                         maxKDim: Long = 4000000L,
+                         persistBase: Boolean = true): DataFrame = {
+    require(probes >= 1 && probes <= k,
+      s"kmeans: probes must be in [1, k=$k], got $probes")
+    val (base, centroids) =
+      lloydFit(corpus, id, vec, k, iters, maxKDim, persistBase)
+    base.withColumn("__best",
+        graft.expr.VectorExprs.nearestCentroid(col("v"), centroids))
+      .withColumn("buckets",
+        graft.expr.VectorExprs.nearestCentroids(col("v"), centroids, probes))
+      .select(col("id"), col("v"),
+        col("__best").getField("cluster").as("cluster"),
+        col("__best").getField("d").as("d2"), col("buckets"))
+  }
+
   private def lloydAssign(corpus: DataFrame, id: Column, vec: Column,
                           k: Int, iters: Int, maxKDim: Long,
                           persistBase: Boolean = true): DataFrame = {
+    val (base, centroids) =
+      lloydFit(corpus, id, vec, k, iters, maxKDim, persistBase)
+    base.withColumn("__best",
+        graft.expr.VectorExprs.nearestCentroid(col("v"), centroids))
+      .select(col("id"), col("v"),
+        col("__best").getField("cluster").as("cluster"),
+        col("__best").getField("d").as("d2"))
+  }
+
+  /** The shared Lloyd fit: prepares (and optionally persists) the
+    * projected corpus, runs `iters` assignment/update rounds, and returns
+    * (base frame, final centroid table). */
+  private def lloydFit(corpus: DataFrame, id: Column, vec: Column,
+                       k: Int, iters: Int, maxKDim: Long,
+                       persistBase: Boolean): (DataFrame, Array[Array[Double]]) = {
     require(k >= 2, s"kmeans: k must be >= 2, got $k")
     require(iters >= 1, s"kmeans: iters must be >= 1, got $iters")
     val base = corpus.select(id.cast("long").as("id"),
@@ -425,7 +464,7 @@ object Ann {
       }
       centroids = next
     }
-    assigned(centroids)
+    (base, centroids)
   }
 
   /** Cluster-quality readout for [[kmeans]] against a ground-truth (or

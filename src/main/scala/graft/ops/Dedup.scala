@@ -590,37 +590,51 @@ object Dedup {
     * vs [[embeddingDedup]]: LSH tables are replaced by the LEARNED
     * k-means buckets — recall concentrates where the corpus actually
     * clusters, and the bucket granularity is an explicit knob (k) instead
-    * of a hash-bit count. Near-dups SPLIT ACROSS cluster boundaries are
-    * missed by construction (the standard SemDeDup trade — raise k for
-    * tighter buckets and rerun, or fall back to [[embeddingDedup]] for
-    * hash-style recall guarantees).
+    * of a hash-bit count.
+    *
+    * `probes` is the SemDeDup boundary-recall fix: each vector lands in
+    * its top-`probes` nearest-centroid buckets before pair expansion, so
+    * a near-dup pair split by ONE cluster boundary still shares a bucket
+    * (at probes = 1 such pairs are missed by construction — the classic
+    * single-assignment trade). probes = 2 closes the one-boundary miss
+    * for ~2× bucket membership (pair-expansion cost ~4× per bucket);
+    * pairs split across ≥ probes boundaries remain the residual trade —
+    * raise probes, or fall back to [[embeddingDedup]] for hash-style
+    * recall guarantees.
     *
     * 100 TB shape: the Lloyd loop is #126's one-codegen-pass-per-iter
-    * shape; pair expansion groups by CLUSTER (one keyed exchange), with
-    * the per-cluster member list guarded by `maxBucket` BEFORE expansion
-    * (k must scale with the corpus so clusters stay bucket-sized — the
-    * error names the knob); components run on the near-dup EDGE set
-    * (pointer jumping, O(log D) rounds). Returns one row per input
-    * vector: (id, cluster, rep_id, is_representative) with
-    * rep_id = min id of the duplicate group (own id when unique). */
+    * shape; pair expansion groups by BUCKET (one keyed exchange after the
+    * explode to top-`probes` memberships), with the per-bucket member
+    * list guarded by `maxBucket` BEFORE expansion (k must scale with the
+    * corpus so buckets stay bucket-sized — the error names the knob);
+    * a pair found in several shared buckets collapses to one edge before
+    * components; components run on the near-dup EDGE set (pointer
+    * jumping, O(log D) rounds). Returns one row per input vector:
+    * (id, cluster, rep_id, is_representative) with rep_id = min id of
+    * the duplicate group (own id when unique). */
   def semanticDedup(corpus: DataFrame, id: Column, embedding: Column,
                     k: Int, threshold: Double = 0.95, iters: Int = 3,
-                    maxBucket: Int = 2000): DataFrame = {
+                    maxBucket: Int = 2000, probes: Int = 2): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"semantic_dedup: threshold in (0, 1], got $threshold")
-    val asg0 = Ann.kmeansAssign(corpus, id, embedding, k, iters)
-      .select(col("id"), col("v"), col("cluster"))
+    require(probes >= 1 && probes <= k,
+      s"semantic_dedup: probes must be in [1, k=$k], got $probes")
+    val asg0 = Ann.kmeansAssignProbes(corpus, id, embedding, k, iters, probes)
+      .select(col("id"), col("v"), col("cluster"), col("buckets"))
     val asg = graft.Ckpt.checkpoint(asg0)
-    val biggest = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    // exploded bucket membership: one row per (vector, probed bucket)
+    val mem = asg.select(col("id"), col("v"),
+      explode(col("buckets")).as("bucket"))
+    val biggest = mem.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head().getLong(0)
     require(biggest <= maxBucket,
-      s"semantic_dedup: largest cluster has $biggest vectors " +
-        s"(maxBucket=$maxBucket) — pair expansion inside it is O(n²); " +
-        "raise k so clusters stay bucket-sized (or raise maxBucket " +
-        "knowingly)")
+      s"semantic_dedup: largest bucket has $biggest vectors " +
+        s"(maxBucket=$maxBucket, probes=$probes) — pair expansion inside " +
+        "it is O(n²); raise k so buckets stay bucket-sized (or raise " +
+        "maxBucket knowingly)")
     val cosine = graft.expr.VectorExprs.cosineSim(col("va"), col("vb"))
-    val pairs = asg
-      .groupBy(col("cluster"))
+    val rawPairs = mem
+      .groupBy(col("bucket"))
       .agg(collect_list(struct(col("id"), col("v"))).as("members"))
       .filter(size(col("members")) > 1)
       .select(explode(bucketPairs(col("members"))).as("p"))
@@ -628,6 +642,10 @@ object Dedup {
         col("p.id_a.v").as("va"), col("p.id_b.v").as("vb"))
       .filter(cosine >= threshold)
       .select(col("id_a"), col("id_b"))
+    // a pair sharing SEVERAL probed buckets surfaces once per shared
+    // bucket — collapse to one edge before components (probes = 1 cannot
+    // duplicate, so the extra exchange is skipped there)
+    val pairs = if (probes > 1) rawPairs.distinct() else rawPairs
     val comp = connectedComponents(pairs)
     asg.join(comp, Seq("id"), "left")
       .select(col("id"), col("cluster"),
