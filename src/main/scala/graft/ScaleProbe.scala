@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   * scale regression shows up as a diff instead of needing a manual
   * compare against the README table. */
 object ScaleProbe {
+  /** Synthetic production-scale BPE vocabulary, well-formed BY
+    * CONSTRUCTION and fully reachable in lowercase text: ranks 0..675 are
+    * every lowercase byte 2-gram (row-major), ranks 676.. are every
+    * (2-gram, 2-gram) 4-gram composition over the first `span` 2-grams —
+    * 676 + span² merges (33,076 at span = 180). Outputs are unique: a
+    * 4-letter string has exactly one 2+2 split. Shared by the 33k-merge
+    * probe entry and Round15OpsSpec (which pins hand-derivable counts
+    * and the big-codec == sub-codec equivalence on restricted text). */
+  private[graft] def syntheticMerges(span: Int = 180): Seq[(String, String)] = {
+    val alpha = ('a' to 'z').map(_.toString)
+    val g2 = for (l <- alpha; r <- alpha) yield (l, r)
+    val firstTokens = g2.take(span).map { case (l, r) => l + r }
+    val g4 = for (x <- firstTokens; y <- firstTokens) yield (x, y)
+    g2 ++ g4
+  }
+
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROWS", "100000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -899,6 +915,35 @@ object ScaleProbe {
         ("c", "an"), ("l", "l"), ("g", "g"))
       val r = docs.agg(
         sum(graft.ops.TextOps.bpeTokenCount(col("text"), merges))).head()
+      assert(r.getLong(0) > 0)
+    }
+    time(s"bpe_token_count 33k-merge vocab via bpeMergesFrom (${rows / 100} docs x 40 words)") {
+      // PRODUCTION vocabulary scale: a real tokenizer ships ~32-50k
+      // merges, and every adjacent pair in every merge round pays a
+      // binary search over that table — the 12-merge entry above cannot
+      // see that cost. The synthetic vocab is well-formed and REACHABLE
+      // (all 26² lowercase 2-grams, then every (2-gram, 2-gram) 4-gram
+      // composition over the first 180 2-grams = 33,076 merges), loaded
+      // through the DataFrame path a production merge table would use.
+      val spark2 = spark
+      import spark2.implicits._
+      val mergeDf = syntheticMerges(180).zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "left", "right")
+      val big = graft.ops.TextOps.bpeMergesFrom(mergeDf, col("rank"),
+        col("left"), col("right"))
+      assert(big.length >= 32000, s"vocab has only ${big.length} merges")
+      // words are 4-12 letter slices of a fixed lowercase literal —
+      // dense in 2-/4-gram merges, so the deep vocab actually applies
+      val letters = ("the" + "quickbrownfoxjumpsoverthelazydog" * 8)
+        .filter(_.isLetter).take(240).mkString
+      val docs = spark.range(rows / 100).selectExpr(
+        s"concat_ws(' ', transform(sequence(0, 39), w -> " +
+          s"substring('$letters', " +
+          "cast(pmod(xxhash64(id, w), 228) as int) + 1, " +
+          "cast(pmod(xxhash64(id, w, 3), 9) as int) + 4))) as text")
+      val r = docs.agg(
+        sum(graft.ops.TextOps.bpeTokenCount(col("text"), big))).head()
       assert(r.getLong(0) > 0)
     }
     time("semantic_dedup 1M vectors x 16d, k=4096 (+10k planted dups)") {

@@ -3957,16 +3957,26 @@ object SparkEntry {
         |  (SELECT CAST(g AS BIGINT) FROM t) AS n_buckets
         |FROM e""".stripMargin,
     "q161_fuzzy_join" ->
-      // same blocking equi-join + levenshtein gate; DuckDB's levenshtein
-      // agrees with Spark's on these plain-ASCII keys
+      // blocking + levenshtein gate; DuckDB's levenshtein agrees with
+      // Spark's on these plain-ASCII keys. The oracle blocks on the SAME
+      // composite key as the query (nation + all-but-last-2 name chars)
+      // instead of nation alone: the coarse key is O(per-nation²)
+      // levenshtein evals — the sf1 timeout — and the fine key loses no
+      // pair BY CONSTRUCTION (names are fixed-width, the right side ends
+      // 'x' vs the left's digit, so any dist<=1 pair spends its whole
+      // budget on that final char and agrees on the len-2 prefix)
       """WITH l AS (SELECT c_custkey AS id,
-        |    CAST(c_nationkey AS VARCHAR) AS block, c_name AS key
+        |    CAST(c_nationkey AS VARCHAR) || '#'
+        |      || substr(c_name, 1, length(c_name) - 2) AS block,
+        |    c_name AS key
         |  FROM customer),
         |r AS (SELECT c_custkey + 1000000 AS id,
-        |    CAST(c_nationkey AS VARCHAR) AS block,
+        |    CAST(c_nationkey AS VARCHAR) || '#'
+        |      || substr(c_name, 1, length(c_name) - 2) AS block,
         |    substr(c_name, 1, length(c_name) - 1) || 'x' AS key
         |  FROM customer),
-        |p AS (SELECT l.id AS id_a, r.id AS id_b, l.block AS block,
+        |p AS (SELECT l.id AS id_a, r.id AS id_b,
+        |    string_split(l.block, '#')[1] AS block,
         |    levenshtein(l.key, r.key) AS dist
         |  FROM l JOIN r ON l.block = r.block
         |  WHERE levenshtein(l.key, r.key) <= 1)
@@ -8289,16 +8299,38 @@ object SparkEntry {
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.3""".stripMargin,
     "q37_minhash_pairs" ->
+      // EXACT all-pairs semantics WITHOUT the quadratic self-join (the
+      // sf1 timeout): prefix filtering. Rank each doc's shingles rarest-
+      // first (global df, ties by shingle); J(A,B) >= 0.9 forces
+      // |A∩B| >= ceil(0.9|A|), and A's suffix of size ceil(0.9|A|)-1 is
+      // too small to hold them all (pigeonhole), so at least one
+      // intersection element sits in A's first |A|-ceil(0.9|A|)+1
+      // shingles — joining PREFIX shingles to the full posting list
+      // loses no qualifying pair. Prefix lengths use integer arithmetic
+      // ((9*sz+9)//10 = ceil(0.9*sz)) so fp rounding can't shorten them.
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
         |  FROM documents),
         |s AS (SELECT doc_id,
         |        list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS sh
-        |      FROM d)
+        |      FROM d),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |f AS (SELECT g, count(*) AS df FROM e GROUP BY g),
+        |r AS (SELECT e.doc_id, e.g,
+        |        row_number() OVER (PARTITION BY e.doc_id
+        |          ORDER BY f.df, e.g) AS rk,
+        |        count(*) OVER (PARTITION BY e.doc_id) AS sz
+        |      FROM e JOIN f ON e.g = f.g),
+        |p AS (SELECT doc_id, g FROM r
+        |      WHERE rk <= sz - ((9 * sz + 9) // 10) + 1),
+        |cand AS (SELECT DISTINCT least(p.doc_id, e2.doc_id) AS ia,
+        |        greatest(p.doc_id, e2.doc_id) AS ib
+        |      FROM p JOIN e e2 ON p.g = e2.g AND p.doc_id <> e2.doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |FROM cand JOIN s a ON a.doc_id = cand.ia
+        |  JOIN s b ON b.doc_id = cand.ib
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.9""".stripMargin,
     "q39_embed_neardup" ->

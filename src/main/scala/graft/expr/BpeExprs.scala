@@ -36,11 +36,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * broadcast-vocab idiom — ~100k merges is a few MB, guarded), the count
   * is a single generated call per row inside whole-stage codegen, and the
   * per-word working buffer is bounded by the longest whitespace-delimited
-  * word (capped — a pathological unbroken blob degrades to byte count
-  * beyond the cap rather than allocating unboundedly).
+  * word. The cap (256 bytes — far beyond any natural word; real
+  * tokenizers pre-split at a similar bound) degrades a pathological
+  * unbroken blob to its byte count, which also bounds [[countWord]]'s
+  * O(len² · log merges) rescan: at 256 bytes the worst word costs ~10⁶
+  * comparisons, not the ~10⁹ an 8 KiB blob would.
   */
 final class BpeCodec(mergeList: Seq[(String, String)],
-                     maxWordBytes: Int = 8192) extends Serializable {
+                     maxWordBytes: Int = 256) extends Serializable {
   // merge operands are byte strings under the ISO-8859-1 char<->byte
   // correspondence (plain ASCII merges are just ASCII; a vocab over
   // non-ASCII bytes names each byte by its 8859-1 character)

@@ -382,8 +382,10 @@ object Ann {
     * ascending distance; buckets[0] == cluster). The SemDeDup
     * boundary-recall fix [[Dedup.semanticDedup]] builds on: a near-dup
     * pair split by ONE k-means boundary still shares a bucket when both
-    * sides probe their 2 nearest centroids. Returns
-    * (id, v, cluster, d2, buckets). */
+    * sides probe their 2 nearest centroids. ONE argmin sweep: cluster is
+    * buckets(0) (the kernels share the tie-break — spec-pinned), so the
+    * final pass costs the same as single assignment. Returns
+    * (id, v, cluster, buckets). */
   def kmeansAssignProbes(corpus: DataFrame, id: Column, vec: Column, k: Int,
                          iters: Int = 5, probes: Int = 2,
                          maxKDim: Long = 4000000L,
@@ -392,13 +394,10 @@ object Ann {
       s"kmeans: probes must be in [1, k=$k], got $probes")
     val (base, centroids) =
       lloydFit(corpus, id, vec, k, iters, maxKDim, persistBase)
-    base.withColumn("__best",
-        graft.expr.VectorExprs.nearestCentroid(col("v"), centroids))
-      .withColumn("buckets",
+    base.withColumn("buckets",
         graft.expr.VectorExprs.nearestCentroids(col("v"), centroids, probes))
       .select(col("id"), col("v"),
-        col("__best").getField("cluster").as("cluster"),
-        col("__best").getField("d").as("d2"), col("buckets"))
+        element_at(col("buckets"), 1).as("cluster"), col("buckets"))
   }
 
   private def lloydAssign(corpus: DataFrame, id: Column, vec: Column,

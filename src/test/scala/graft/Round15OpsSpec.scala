@@ -73,6 +73,40 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(p1.keySet == p2.keySet)
   }
 
+  test("BpeCodec: counts stay correct at production vocabulary scale (33k merges)") {
+    val vocab = ScaleProbe.syntheticMerges(180)
+    assert(vocab.length == 676 + 180 * 180) // 33,076
+    val big = new graft.expr.BpeCodec(vocab) // well-formedness validated
+    def n(s: String): Long = big.countTokens(s.getBytes("UTF-8"))
+    // hand-derivable counts under min-rank-first (2-grams rank row-major,
+    // 4-grams only over the first 180 2-grams):
+    // "abab": (a,b)=rank 1 wins -> [ab,ab]; (ab,ab) is a 4-gram -> 1
+    assert(n("abab") == 1)
+    // "abcd": (a,b)=1 -> [ab,c,d]; (c,d)=55 -> [ab,cd]; (ab,cd) 4-gram -> 1
+    assert(n("abcd") == 1)
+    // "zzzz": (z,z)=675 -> [zz,zz]; "zz" is 2-gram #675 >= 180 so
+    // (zz,zz) is NOT in the 4-gram block -> 2
+    assert(n("zzzz") == 2)
+    assert(n("ab abab zzzz") == 1 + 1 + 2)
+    // big-codec == sub-codec equivalence: restrict text to {a..c}; the
+    // sub-vocabulary in the SAME relative rank order must count
+    // identically (only the relative order of APPLICABLE rules matters)
+    val subVocab = vocab.filter { case (l, r) =>
+      (l + r).forall(ch => ch >= 'a' && ch <= 'c') }
+    val sub = new graft.expr.BpeCodec(subVocab)
+    val rnd = new scala.util.Random(15)
+    (1 to 200).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      assert(big.countTokens(w.getBytes) == sub.countTokens(w.getBytes),
+        s"count mismatch on '$w'")
+    }
+    // the 256-byte word cap: an unbroken blob degrades to byte count,
+    // a word AT the cap still merges
+    assert(n("ab" * 200) == 400) // 400 bytes > 256
+    assert(n("ab" * 128) < 256)  // exactly 256 bytes: merged normally
+  }
+
   test("semanticDedup: probes bounds validated, maxBucket guard names probes") {
     val df = boundaryFixture
     val e = intercept[IllegalArgumentException] {
