@@ -147,6 +147,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT jarque_bera(x)                       FROM <any>
   * SELECT vocab_drift(text, 'ref_table')       FROM <docs>
   * SELECT embedding_drift(label, vec, 'ref')   FROM <vectors>
+  * SELECT partial_corr(x, y, z1[, z2...])      FROM <any>
+  * SELECT kendall_tau(x, y[, max_cells])       FROM <discrete pairs>
+  * SELECT ad_uniform(p)                        FROM <scores in (0,1)>
+  * SELECT page_hinkley(period, v, lambda[, delta]) FROM <series>
+  * SELECT hellinger(v, group, split1, split2, ...) FROM <two cohorts>
+  * SELECT fleming_harrington(grp, t, ev, rho, gamma) FROM <survival>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -312,7 +318,8 @@ object GraftGateway {
     "seasonal_strength", "cluster_power", "binomial_test", "runs_test",
     "grubbs_test", "ngram_novelty", "bpe_token_count", "semantic_dedup",
     "friedman", "welch_anova", "jarque_bera", "vocab_drift",
-    "embedding_drift")
+    "embedding_drift", "partial_corr", "kendall_tau", "ad_uniform",
+    "page_hinkley", "hellinger", "fleming_harrington")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -722,6 +729,36 @@ object GraftGateway {
         // heteroskedastic k-group mean test (Welch 1951)
         require(a.length >= 2, "welch_anova(y, arm)")
         SimpleTests.welchAnova(df, c(a(0)), c(a(1)))
+      case "partial_corr" =>
+        // correlation of (x, y) net of the controls, via the precision
+        // matrix of the full correlation matrix — one Gram pass
+        require(a.length >= 3, "partial_corr(x, y, z1[, z2, ...])")
+        MlEval.partialCorr(df, c(a(0)), c(a(1)), a.drop(2).map(c))
+      case "kendall_tau" =>
+        // tie-corrected ordinal association over (x, y) cells
+        require(a.length >= 2, "kendall_tau(x, y[, max_cells])")
+        Agreement.kendallTau(df, c(a(0)), c(a(1)),
+          maxCells = if (a.length > 2) num(a(2)).toInt else 100000)
+      case "ad_uniform" =>
+        // tail-weighted uniformity statistic over scores in (0, 1)
+        require(a.nonEmpty, "ad_uniform(p)")
+        RankTests.adUniform(df, c(a(0)))
+      case "page_hinkley" =>
+        // sequential mean-increase detector over period cells
+        require(a.length >= 3,
+          "page_hinkley(period, value, lambda[, delta])")
+        Drift.pageHinkley(df, c(a(0)), c(a(1)), lambda = num(a(2)),
+          delta = if (a.length > 3) num(a(3)) else 0.0)
+      case "hellinger" =>
+        // bounded binned distance (+ Bhattacharyya coefficient)
+        require(a.length >= 4, "hellinger(value, group, split1, split2, ...)")
+        Drift.hellinger(df, c(a(0)), c(a(1)), a.drop(2).map(num))
+      case "fleming_harrington" =>
+        // G^{rho,gamma}-weighted log-rank (late/early-difference tests)
+        require(a.length >= 5,
+          "fleming_harrington(group, time, event, rho, gamma)")
+        Survival.flemingHarrington(df, c(a(0)), c(a(1)), c(a(2)),
+          rho = num(a(3)), gamma = num(a(4)))
       case "jarque_bera" =>
         // moment-based normality check (skew + excess kurtosis)
         require(a.nonEmpty, "jarque_bera(x)")

@@ -2601,6 +2601,83 @@ object SparkEntry {
         .groupBy(col("rep_id")).agg(count(lit(1)).as("n_members"))
         .orderBy(col("rep_id"))
     }),
+    "q237_partial_corr" -> ((s, d) => {
+      // correlation of price and quantity NET of discount: one Gram pass,
+      // precision-matrix close on the driver; the oracle replays the
+      // single-control recursive closed form (analytically identical)
+      t(s, d, "lineitem").createOrReplaceTempView("q237_li")
+      GraftGateway.sql(s,
+        "SELECT partial_corr(l_extendedprice, l_quantity, l_discount) " +
+          "FROM q237_li")
+        .select(col("n"), round(col("r_xy"), 6).as("r_xy"),
+          round(col("partial_r"), 6).as("partial_r"),
+          round(col("t_stat"), 4).as("t_stat"), col("df"))
+    }),
+    "q238_kendall_tau" -> ((s, d) => {
+      // tie-heavy ordinal pair (7 x 3 lattice, correlated by construction
+      // since y = x + noise term); concordance/tie counts are integers,
+      // tau_b the one closed form — the oracle replays the cell self-join
+      t(s, d, "events")
+        .select((col("event_id") % 7).as("x"),
+          ((col("event_id") % 7) + (col("event_id") % 3)).as("y"))
+        .createOrReplaceTempView("q238_ev")
+      GraftGateway.sql(s, "SELECT kendall_tau(x, y) FROM q238_ev")
+        .select(col("n"), col("cells"), col("concordant"),
+          col("discordant"), col("ties_x"), col("ties_y"),
+          round(col("tau_b"), 6).as("tau_b"))
+    }),
+    "q239_ad_uniform" -> ((s, d) => {
+      // tail-weighted uniformity of a near-uniform score strictly inside
+      // (0, 1); rank weights replay as a row_number window in SQL
+      t(s, d, "events")
+        .select((((col("event_id") * 37) % 1000) + 0.5).cast("double")
+          ./(1000.0).as("p"))
+        .createOrReplaceTempView("q239_ev")
+      GraftGateway.sql(s, "SELECT ad_uniform(p) FROM q239_ev")
+        .select(col("n"), round(col("a2"), 6).as("a2"))
+    }),
+    "q240_page_hinkley" -> ((s, d) => {
+      // sequential mean-increase detection: +3 planted from period 50 on;
+      // the running-mean/cum-sum/min windows replay verbatim in SQL
+      t(s, d, "events")
+        .select(floor(col("event_id") / 100).cast("long").as("period"),
+          (col("value") + when(floor(col("event_id") / 100) >= 50, 3.0)
+            .otherwise(0.0)).as("v"))
+        .createOrReplaceTempView("q240_ev")
+      GraftGateway.sql(s,
+        "SELECT page_hinkley(period, v, 25, 0.25) FROM q240_ev")
+        .select(col("period"), round(col("metric"), 6).as("metric"),
+          round(col("ph"), 6).as("ph"), col("is_alarm"))
+        .orderBy(col("period"))
+    }),
+    "q241_hellinger" -> ((s, d) => {
+      // bounded binned distance on a planted +5 location shift (same
+      // binning contract as q118's PSI cells)
+      t(s, d, "lineitem")
+        .select((col("l_quantity") +
+          when(col("l_orderkey") % 2 === 1, 5.0).otherwise(0.0)).as("v"),
+          (col("l_orderkey") % 2).cast("int").as("g"))
+        .createOrReplaceTempView("q241_li")
+      GraftGateway.sql(s,
+        "SELECT hellinger(v, g, 10, 20, 30, 40) FROM q241_li")
+        .select(round(col("bhattacharyya"), 8).as("bhattacharyya"),
+          round(col("hellinger"), 6).as("hellinger"))
+    }),
+    "q242_fleming_harrington" -> ((s, d) => {
+      // G^{0,1} late-weighted log-rank on the q108 survival fixture: the
+      // pooled-KM weight window replays in SQL over event times
+      t(s, d, "lineitem").select(
+        (col("l_orderkey") % 2).cast("int").as("arm"),
+        col("l_quantity").cast("int").as("time"),
+        (col("l_linenumber") % 2).cast("int").as("event"))
+        .createOrReplaceTempView("q242_su")
+      GraftGateway.sql(s,
+        "SELECT fleming_harrington(arm, time, event, 0, 1) FROM q242_su")
+        .select(round(col("observed1_w"), 6).as("observed1_w"),
+          round(col("expected1_w"), 6).as("expected1_w"),
+          round(col("variance_w"), 6).as("variance_w"),
+          round(col("chi2"), 6).as("chi2"))
+    }),
     "q225_binomial_test" -> ((s, d) => {
       // exact rate test: 1000 trials at a planted 26% vs p0 = 0.3 — the
       // full support enumerates via generate_series + lgamma
@@ -4670,6 +4747,141 @@ object SparkEntry {
         |  FROM events WHERE event_id < 1000)
         |SELECT CAST(rep AS BIGINT) AS rep_id, count(*) AS n_members
         |FROM b GROUP BY rep ORDER BY rep_id""".stripMargin,
+    "q237_partial_corr" ->
+      // the single-control recursion r_xy.z = (r_xy − r_xz r_yz)/√(...)
+      // — analytically the precision-matrix form at k = 1
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(l_quantity AS DOUBLE) AS y,
+        |    CAST(l_discount AS DOUBLE) AS z FROM lineitem),
+        |c AS (SELECT count(*) AS n, corr(x, y) AS rxy, corr(x, z) AS rxz,
+        |    corr(y, z) AS ryz FROM b),
+        |pr AS (SELECT n, rxy,
+        |    (rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) AS p
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n, round(rxy, 6) AS r_xy,
+        |  round(p, 6) AS partial_r,
+        |  round(p * sqrt(n - 3.0) / sqrt(1 - p * p), 4) AS t_stat,
+        |  CAST(n - 3 AS DOUBLE) AS df
+        |FROM pr""".stripMargin,
+    "q238_kendall_tau" ->
+      // concordant/discordant from the cell self-join (each unordered
+      // pair counted twice, halved); tie pairs per marginal
+      """WITH b AS (SELECT event_id % 7 AS x,
+        |    (event_id % 7) + (event_id % 3) AS y FROM events),
+        |cells AS (SELECT x, y, count(*) AS c FROM b GROUP BY x, y),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cells),
+        |cd AS (SELECT
+        |    sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |          OR (a.x > b.x AND a.y > b.y)
+        |        THEN a.c * b.c ELSE 0 END) // 2 AS conc,
+        |    sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |          OR (a.x > b.x AND a.y < b.y)
+        |        THEN a.c * b.c ELSE 0 END) // 2 AS disc
+        |  FROM cells a, cells b),
+        |tx AS (SELECT sum(t * (t - 1) // 2) AS n1
+        |  FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT sum(t * (t - 1) // 2) AS n2
+        |  FROM (SELECT sum(c) AS t FROM cells GROUP BY y))
+        |SELECT CAST(n.n AS BIGINT) AS n,
+        |  (SELECT count(*) FROM cells) AS cells,
+        |  CAST(conc AS BIGINT) AS concordant,
+        |  CAST(disc AS BIGINT) AS discordant,
+        |  CAST(n1 AS BIGINT) AS ties_x, CAST(n2 AS BIGINT) AS ties_y,
+        |  round((conc - disc)
+        |    / sqrt((n.n * (n.n - 1) / 2 - n1) * (n.n * (n.n - 1) / 2 - n2)),
+        |    6) AS tau_b
+        |FROM cd, tx, ty, n""".stripMargin,
+    "q239_ad_uniform" ->
+      // the folded one-pass form: (2j−1)ln p + (2n+1−2j)ln(1−p) over
+      // ranked rows (tie blocks are contiguous, so the sum is tie-safe)
+      """WITH b AS (SELECT (((event_id * 37) % 1000) + 0.5) / 1000.0 AS p
+        |  FROM events),
+        |r AS (SELECT p, row_number() OVER (ORDER BY p) AS i FROM b),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b)
+        |SELECT CAST(nn.n AS BIGINT) AS n,
+        |  round(-nn.n - sum((2.0 * i - 1) * ln(p)
+        |    + (2.0 * nn.n + 1 - 2.0 * i) * ln(1 - p)) / nn.n, 6) AS a2
+        |FROM r, nn GROUP BY nn.n""".stripMargin,
+    "q240_page_hinkley" ->
+      // running mean -> cumulative deviation -> running min, all over
+      // period cells in the same ROWS frame
+      """WITH b AS (SELECT CAST(floor(event_id / 100) AS BIGINT) AS period,
+        |    value + CASE WHEN floor(event_id / 100) >= 50
+        |      THEN 3.0 ELSE 0.0 END AS v
+        |  FROM events),
+        |cells AS (SELECT period, avg(v) AS metric FROM b GROUP BY period),
+        |m AS (SELECT period, metric, avg(metric) OVER w AS rm
+        |  FROM cells WINDOW w AS (ORDER BY period
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT period, metric,
+        |    sum(metric - rm - 0.25) OVER w AS uu
+        |  FROM m WINDOW w AS (ORDER BY period
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ph AS (SELECT period, metric, uu - min(uu) OVER w AS ph
+        |  FROM u WINDOW w AS (ORDER BY period
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT period, round(metric, 6) AS metric, round(ph, 6) AS ph,
+        |  ph > 25.0 AS is_alarm
+        |FROM ph ORDER BY period""".stripMargin,
+    "q241_hellinger" ->
+      // q118's binning on the shifted value; BC = Σ√(pq), H = √(1−BC)
+      """WITH b AS (SELECT CASE
+        |      WHEN l_quantity + CASE WHEN l_orderkey % 2 = 1
+        |        THEN 5.0 ELSE 0.0 END < 10 THEN 0
+        |      WHEN l_quantity + CASE WHEN l_orderkey % 2 = 1
+        |        THEN 5.0 ELSE 0.0 END < 20 THEN 1
+        |      WHEN l_quantity + CASE WHEN l_orderkey % 2 = 1
+        |        THEN 5.0 ELSE 0.0 END < 30 THEN 2
+        |      WHEN l_quantity + CASE WHEN l_orderkey % 2 = 1
+        |        THEN 5.0 ELSE 0.0 END < 40 THEN 3
+        |      ELSE 4 END AS bin,
+        |    (l_orderkey % 2) AS g FROM lineitem),
+        |c AS (SELECT bin,
+        |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n_base,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n_cur
+        |  FROM b GROUP BY bin),
+        |t AS (SELECT sum(n_base) AS t0, sum(n_cur) AS t1 FROM c),
+        |s AS (SELECT greatest(n_base * 1.0 / (SELECT t0 FROM t), 1e-6) AS p,
+        |    greatest(n_cur * 1.0 / (SELECT t1 FROM t), 1e-6) AS q FROM c),
+        |bc AS (SELECT sum(sqrt(p * q)) AS bc FROM s)
+        |SELECT round(bc, 8) AS bhattacharyya,
+        |  round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger
+        |FROM bc""".stripMargin,
+    "q242_fleming_harrington" ->
+      // q108's at-risk construction + the pooled-KM S(t−) weight window
+      // over event times; rho = 0, gamma = 1 → w = 1 − S(t−)
+      """WITH s AS (SELECT CAST(l_orderkey % 2 AS INT) AS arm,
+        |              CAST(l_quantity AS INT) AS time,
+        |              CAST(l_linenumber % 2 AS INT) AS event FROM lineitem),
+        |g AS (SELECT time,
+        |        sum(CASE WHEN arm = 1 THEN event ELSE 0 END) AS d1,
+        |        sum(CASE WHEN arm = 0 THEN event ELSE 0 END) AS d0,
+        |        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS x1,
+        |        sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS x0
+        |      FROM s GROUP BY 1),
+        |o AS (SELECT *,
+        |        (SELECT sum(x1) FROM g) - sum(x1) OVER w + x1 AS n1,
+        |        (SELECT sum(x0) FROM g) - sum(x0) OVER w + x0 AS n0
+        |      FROM g WINDOW w AS (ORDER BY time
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |e AS (SELECT time, d1, d0, n1, n0 FROM o WHERE d1 + d0 > 0),
+        |w2 AS (SELECT *, exp(coalesce(sum(ln(1.0 - (d1 + d0) * 1.0
+        |          / (n1 + n0))) OVER (ORDER BY time
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0.0)) AS sp
+        |      FROM e),
+        |f AS (SELECT d1, (1.0 - sp) AS wt,
+        |        (d1 + d0) * n1 * 1.0 / (n1 + n0) AS e1,
+        |        CASE WHEN n1 + n0 > 1 THEN
+        |          (d1 + d0) * (n1 * 1.0 / (n1 + n0)) * (n0 * 1.0 / (n1 + n0))
+        |            * (n1 + n0 - d1 - d0) / (n1 + n0 - 1.0) ELSE 0.0 END AS v
+        |      FROM w2)
+        |SELECT round(sum(wt * d1), 6) AS observed1_w,
+        |  round(sum(wt * e1), 6) AS expected1_w,
+        |  round(sum(wt * wt * v), 6) AS variance_w,
+        |  round((sum(wt * d1) - sum(wt * e1)) * (sum(wt * d1) - sum(wt * e1))
+        |    / sum(wt * wt * v), 6) AS chi2
+        |FROM f""".stripMargin,
     "q225_binomial_test" ->
       // the full n+1 support via generate_series + lgamma; R's
       // minimum-likelihood two-sided rule with the 1+1e-7 tie tolerance

@@ -280,4 +280,78 @@ object Agreement {
     Seq((n, k.toLong, itemVar, totalVar, alpha))
       .toDF("n", "k", "sum_item_var", "total_var", "alpha")
   }
+
+  /** Kendall's τ-b (Kendall 1945, the tie-corrected form) — ordinal
+    * association for DISCRETE pairs (quality tier vs human grade, bucket
+    * vs bucket), where [[RankTests.spearman]]'s moment form treats ranks
+    * as interval. Over the (x, y) contingency cells:
+    *
+    *   C/D = Σ_{cell pairs} n_i n_j over concordant/discordant pairs,
+    *   τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),
+    *   n₀ = n(n−1)/2,  n₁ = Σ_x t_x(t_x−1)/2,  n₂ = Σ_y t_y(t_y−1)/2
+    *
+    * Statistic-only by design: the tie-corrected null variance is a
+    * four-term expansion this library will not ship from memory — rank
+    * the evidence with τ_b and the raw C/D counts, or bootstrap.
+    *
+    * 100 TB shape: ONE row-scale aggregate to (x, y) cells; the O(cells²)
+    * concordance sweep is driver-side and guarded by `maxCells` BEFORE
+    * collection (the ordinalAssoc idiom — τ-b is for DISCRETE columns;
+    * bucket continuous ones first). Returns one row:
+    * (n, cells, concordant, discordant, ties_x, ties_y, tau_b). */
+  def kendallTau(df: DataFrame, x: Column, y: Column,
+                 maxCells: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xs = x.cast("string"); val ys = y.cast("string")
+    val xd = x.cast("double"); val yd = y.cast("double")
+    // order cells by the NUMERIC value when castable, else lexically —
+    // both sides of a pair use the same order so the choice only has to
+    // be consistent
+    val cells = df.filter(xs.isNotNull && ys.isNotNull)
+      .groupBy(coalesce(xd.cast("string"), xs).as("x"),
+        coalesce(yd.cast("string"), ys).as("y"))
+      .agg(count(lit(1)).as("c"))
+      .limit(maxCells + 1).collect()
+    require(cells.length <= maxCells,
+      s"kendall_tau: more than $maxCells distinct (x, y) cells — τ-b is " +
+        "for discrete columns; bucket continuous inputs first (or raise " +
+        "maxCells knowingly)")
+    require(cells.nonEmpty, "kendall_tau: no complete pairs")
+    def key(s: String): (Double, String) = {
+      val d = try s.toDouble catch { case _: Throwable => Double.NaN }
+      if (d.isNaN) (Double.MaxValue, s) else (d, "")
+    }
+    val cs = cells.map(r => (key(r.getString(0)), key(r.getString(1)),
+      r.getLong(2)))
+    val n = cs.map(_._3).sum
+    var conc = 0L; var disc = 0L
+    var i = 0
+    while (i < cs.length) {
+      var j = i + 1
+      while (j < cs.length) {
+        val cmpX = Ordering[(Double, String)].compare(cs(i)._1, cs(j)._1)
+        val cmpY = Ordering[(Double, String)].compare(cs(i)._2, cs(j)._2)
+        if (cmpX != 0 && cmpY != 0) {
+          if (cmpX == cmpY) conc += cs(i)._3 * cs(j)._3
+          else disc += cs(i)._3 * cs(j)._3
+        }
+        j += 1
+      }
+      i += 1
+    }
+    def tiePairs(group: ((Double, String), (Double, String), Long) => (Double, String)): Long =
+      cs.groupBy(c => group(c._1, c._2, c._3)).values
+        .map(g => { val t = g.map(_._3).sum; t * (t - 1) / 2 }).sum
+    val n1 = tiePairs((a, _, _) => a)
+    val n2 = tiePairs((_, b, _) => b)
+    val n0 = n * (n - 1) / 2
+    require(n0 > n1 && n0 > n2,
+      "kendall_tau: a column is constant — τ-b is undefined")
+    val tau = (conc - disc).toDouble /
+      math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+    Seq((n, cs.length.toLong, conc, disc, n1, n2, tau))
+      .toDF("n", "cells", "concordant", "discordant", "ties_x", "ties_y",
+        "tau_b")
+  }
 }

@@ -57,6 +57,61 @@ object Drift {
     binnedDrift(df, value, group, bins, minShare)
       .agg(sum(col("js_term"))).head().getDouble(0)
 
+  /** Hellinger distance + Bhattacharyya coefficient over the same binned
+    * shares as [[psi]]/[[jensenShannon]] — the bounded-metric member of
+    * the family (H ∈ [0, 1] with a true triangle inequality, where PSI
+    * is unbounded and JS caps at ln 2):
+    *
+    *   BC = Σ √(p_i q_i),   H = √(max(0, 1 − BC))
+    *
+    * (the max guards the minShare floor pushing BC a hair over 1 on
+    * identical distributions). Same ONE ≤bins+1-cell aggregate. Returns
+    * one row: (bhattacharyya, hellinger). */
+  def hellinger(df: DataFrame, value: Column, group: Column,
+                bins: Seq[Double], minShare: Double = 1e-6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = binnedDrift(df, value, group, bins, minShare)
+      .agg(sum(sqrt(col("share_base") * col("share_cur")))).head()
+      .getDouble(0)
+    Seq((bc, math.sqrt(math.max(0.0, 1.0 - bc))))
+      .toDF("bhattacharyya", "hellinger")
+  }
+
+  /** Page-Hinkley mean-INCREASE detector (Page 1954; the sequential
+    * monitor between [[ewmaMonitor]]'s control chart and
+    * [[changepoint]]'s retrospective break): per period t,
+    *
+    *   m_t = mean(x₁..x_t),   U_t = Σ_{i≤t} (x_i − m_i − δ),
+    *   PH_t = U_t − min_{s≤t} U_s,   alarm when PH_t > λ
+    *
+    * δ is the drift allowance (shifts smaller than δ per period are
+    * tolerated), λ the evidence threshold. Detects INCREASES; monitor
+    * −value for drops (documented contract, not a hidden default).
+    *
+    * 100 TB shape: ONE row-scale aggregate to per-period cells + three
+    * stacked windows over CELLS ordered by period (running mean, running
+    * sum, running min) — no driver state, unbounded history, exact
+    * window replay in SQL. Returns one row per period:
+    * (period, metric, ph, is_alarm). */
+  def pageHinkley(df: DataFrame, period: Column, value: Column,
+                  lambda: Double, delta: Double = 0.0): DataFrame = {
+    require(lambda > 0, s"page_hinkley: lambda must be > 0, got $lambda")
+    val v = value.cast("double")
+    val cells = df.filter(period.isNotNull && v.isNotNull)
+      .groupBy(period.cast("long").as("period"))
+      .agg(avg(v).as("metric"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("period"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells
+      .withColumn("m", avg(col("metric")).over(w))
+      .withColumn("u", sum(col("metric") - col("m") - lit(delta)).over(w))
+      .withColumn("ph", col("u") - min(col("u")).over(w))
+      .withColumn("is_alarm", col("ph") > lambda)
+      .select(col("period"), col("metric"), col("ph"), col("is_alarm"))
+      .orderBy(col("period"))
+  }
+
   /** Seasonal metric anomaly detection for monitoring pipelines: per
     * period p, the baseline is the mean/sd of the SAME seasonal phase's
     * PRIOR periods (p − season, p − 2·season, ...), so daily cycles don't

@@ -144,6 +144,51 @@ object MlEval {
     rows.toDF("x_col", "y_col", "corr")
   }
 
+  /** Partial correlation of (x, y) CONTROLLING for covariates — "is the
+    * metric correlation real or is it all the confounder": the
+    * correlation between the residuals of x and y after each is
+    * regressed on the controls, computed WITHOUT fitting either
+    * regression. From the precision matrix P = R⁻¹ of the full
+    * correlation matrix over (x, y, controls):
+    *
+    *   r_xy·Z = −P₀₁ / √(P₀₀ P₁₁),   t = r√(df)/√(1−r²),  df = n−2−k
+    *
+    * (equivalent to the textbook recursive formula at any k — the spec
+    * pins the k = 2 recursion against this closed form). ONE Gram-matrix
+    * pass (the [[corrMatrix]] scan); the (k+2)² solve is driver-side.
+    * Rows with any null among the inputs drop listwise. Returns one row:
+    * (n, r_xy, partial_r, t_stat, df, p_value). */
+  def partialCorr(df: DataFrame, x: Column, y: Column,
+                  controls: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(controls.nonEmpty, "partial_corr: need at least one control")
+    val all = (x +: y +: controls).map(_.cast("double"))
+    val k = all.size
+    val complete = all.map(_.isNotNull).reduce(_ && _)
+    val m = df.filter(complete)
+      .agg(graft.functions.matrix_multiplication(all :+ lit(1.0))
+        .getField("matrix").as("m"))
+      .head().getSeq[Seq[Double]](0)
+    val nTot = m(k)(k)
+    val n = math.round(nTot)
+    require(n > 2 + controls.size,
+      s"partial_corr: need n > ${2 + controls.size} complete rows, got $n")
+    def cov(i: Int, j: Int): Double = m(i)(j) - m(i)(k) * m(j)(k) / nTot
+    val sd = (0 until k).map(i => math.sqrt(cov(i, i)))
+    require(sd.forall(_ > 0),
+      "partial_corr: a column is constant (zero variance)")
+    val r = Array.tabulate(k, k)((i, j) =>
+      if (i == j) 1.0 else cov(i, j) / (sd(i) * sd(j)))
+    val p = graft.stats.LinAlg.invert(r)
+    val pr = -p(0)(1) / math.sqrt(p(0)(0) * p(1)(1))
+    val dof = (n - 2 - controls.size).toDouble
+    val t = pr * math.sqrt(dof) / math.sqrt(math.max(1e-300, 1.0 - pr * pr))
+    val pv = graft.stats.Dist.tTwoSidedP(t, dof)
+    Seq((n, r(0)(1), pr, t, dof, pv))
+      .toDF("n", "r_xy", "partial_r", "t_stat", "df", "p_value")
+  }
+
   /** Calibration table + expected calibration error for a probability
     * score: rows bin by score into `nBins` equal-width bins ([0,1] range),
     * each bin reports (n, avg score, avg label, |gap|); ECE is the

@@ -584,6 +584,43 @@ object RankTests {
     }
   }
 
+  /** Anderson-Darling uniformity statistic (Anderson & Darling 1954) —
+    * the TAIL-sensitive companion to [[ksUniform]]: KS weighs the center
+    * of the ECDF, A² weighs the tails by 1/(F(1−F)), which is exactly
+    * where a p-value table's miscalibration does damage. Substituting
+    * j = n+1−i folds the classic form into one ranked pass:
+    *
+    *   A² = −n − (1/n) Σ_j [(2j−1) ln p₍ⱼ₎ + (2n+1−2j) ln(1−p₍ⱼ₎)]
+    *
+    * Statistic-only by design (compare A² against the published case-0
+    * critical values for your alpha; shipping a p-value approximation
+    * from memory is how tables go wrong). Values must be STRICTLY inside (0, 1) — 0/1 would put ln(0)
+    * in the sum; clamp upstream if your scores saturate, and the error
+    * says so. Same [[RangeCumSum]] shape as ksUniform (no global
+    * window). Returns one row: (n, a2). */
+  def adUniform(df: DataFrame, p: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pd = p.cast("double")
+    val base = df.filter(pd.isNotNull && !isnan(pd))
+      .select(pd.as("__p"))
+    val bad = base.filter(col("__p") <= 0.0 || col("__p") >= 1.0)
+      .limit(1).count()
+    require(bad == 0, "ad_uniform: values must be STRICTLY inside (0, 1) " +
+      "— ln(0) is in the statistic; clamp saturated scores upstream")
+    RangeCumSum.withRowNumber(base, Seq(col("__p").asc), "__i") {
+      (ranked, n) =>
+        require(n >= 5, s"ad_uniform: need at least 5 rows, got $n")
+        val nd = n.toDouble
+        val r = ranked.agg(
+          sum((lit(2.0) * col("__i") - 1.0) * log(col("__p")) +
+            (lit(2.0 * nd + 1.0) - lit(2.0) * col("__i")) *
+              log(lit(1.0) - col("__p"))).as("s")).head()
+        val a2 = -nd - r.getAs[Double]("s") / nd
+        Seq((n, a2)).toDF("n", "a2")
+    }
+  }
+
   /** Standardized two-sample effect sizes — the "how big, in units a
     * reader can compare across metrics" companion every test above
     * reports a p-value without: Cohen's d (pooled), Hedges' g (the

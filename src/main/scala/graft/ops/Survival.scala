@@ -377,6 +377,75 @@ object Survival {
       .toDF("observed1", "expected1", "variance", "chi2", "p_value")
   }
 
+  /** Fleming-Harrington G^{ρ,γ}-weighted log-rank test (Fleming &
+    * Harrington 1991 §7) — [[logRankTest]] with each event time weighted
+    * by w_t = Ŝ(t−)^ρ (1−Ŝ(t−))^γ over the pooled left-continuous KM
+    * curve: (ρ=0, γ=0) is the standard log-rank, (ρ=1, γ=0) the
+    * Peto-Peto early-difference test, (ρ=0, γ=1) weights LATE differences
+    * — the shape that finds a delayed-onset effect (the pattern
+    * immunotherapy-style interventions produce) where the unweighted
+    * test dilutes it:
+    *
+    *   χ² = (Σw·(O₁−E₁))² / Σw²·V  against χ²(1)
+    *
+    * Same ONE distinct-time collapse + [[RangeCumSum]] at-risk pass as
+    * logRankTest; the KM product for Ŝ(t−) is a ln-sum window over EVENT
+    * times only (cells, not rows — time granularity bounds it). Returns
+    * one row: (rho, gamma, observed1_w, expected1_w, variance_w, chi2,
+    * p_value). */
+  def flemingHarrington(df: DataFrame, group: Column, time: Column,
+                        event: Column = lit(1), rho: Double = 0.0,
+                        gamma: Double = 1.0): DataFrame = {
+    require(rho >= 0 && gamma >= 0,
+      s"fleming_harrington: rho and gamma must be >= 0, got ($rho, $gamma)")
+    val spark = df.sparkSession
+    val src = df.filter(time.isNotNull && event.isNotNull && group.isNotNull)
+      .select(group.cast("int").as("grp"), time.as("time"),
+        event.cast("int").as("ev"))
+    val per = src.groupBy(col("time")).agg(
+      sum(when(col("grp") === 1, col("ev")).otherwise(0)).cast("double").as("d1"),
+      sum(when(col("grp") === 0, col("ev")).otherwise(0)).cast("double").as("d0"),
+      sum(when(col("grp") === 1, 1).otherwise(0)).as("x1"),
+      sum(when(col("grp") === 0, 1).otherwise(0)).as("x0"))
+    val (o1w, e1w, vw) = RangeCumSum.withCumSums(per, Seq(col("time")),
+        Seq("x1", "x0")) { (cum, tot) =>
+      val n1 = lit(tot("x1")) - (col("cum_x1") - col("x1"))
+      val n0 = lit(tot("x0")) - (col("cum_x0") - col("x0"))
+      val n = n1 + n0
+      val d = col("d1") + col("d0")
+      // EVENT times only (cell scale); the pooled KM product for S(t−)
+      // is exp of the ln(1 − d/n) sum over STRICTLY EARLIER event times
+      val ev = cum.filter(d > 0)
+        .select(col("time"), col("d1"), d.as("d"), n1.as("n1"),
+          n0.as("n0"), n.as("n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("time"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val weighted = ev
+        .withColumn("s_prev", exp(coalesce(
+          sum(log(lit(1.0) - col("d") / col("n"))).over(w), lit(0.0))))
+        .withColumn("wt", pow(col("s_prev"), rho) *
+          pow(lit(1.0) - col("s_prev"), gamma))
+      val e1 = col("d") * col("n1") / col("n")
+      val v = when(col("n") > 1.0, col("d") * (col("n1") / col("n")) *
+        (col("n0") / col("n")) * (col("n") - col("d")) / (col("n") - 1.0))
+        .otherwise(lit(0.0))
+      val r = weighted.agg(
+        sum(col("wt") * col("d1")).as("o1w"),
+        sum(col("wt") * e1).as("e1w"),
+        sum(col("wt") * col("wt") * v).as("vw")).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    require(vw > 0.0, "fleming_harrington: zero weighted variance (a " +
+      "group has no subjects at risk at any event time, or every weight " +
+      "is 0 — gamma > 0 zeroes the FIRST event time by construction)")
+    val chi2 = (o1w - e1w) * (o1w - e1w) / vw
+    val p = 1.0 - graft.stats.Dist.chiSqCdf(chi2, 1.0)
+    import spark.implicits._
+    Seq((rho, gamma, o1w, e1w, vw, chi2, p))
+      .toDF("rho", "gamma", "observed1_w", "expected1_w", "variance_w",
+        "chi2", "p_value")
+  }
+
   /** Log-rank power / required events (Schoenfeld 1983) — the survival
     * planning companion to the mean-metric power row: with D observed
     * events and allocation share p (arm-1 subject share),

@@ -107,6 +107,143 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(n("ab" * 128) < 256)  // exactly 256 bytes: merged normally
   }
 
+  test("partialCorr: precision-matrix form equals the textbook recursion") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { _ =>
+      val z1 = rnd.nextGaussian(); val z2 = rnd.nextGaussian()
+      val x = 2.0 * z1 + 0.5 * z2 + rnd.nextGaussian()
+      val y = -1.5 * z1 + 0.3 * z2 + rnd.nextGaussian()
+      (x, y, z1, z2)
+    }
+    val df = rows.toDF("x", "y", "z1", "z2")
+    def corrOf(a: String, b: String): Double =
+      df.agg(corr(col(a), col(b))).head().getDouble(0)
+    // one control: closed form
+    val one = graft.ops.MlEval.partialCorr(df, col("x"), col("y"),
+      Seq(col("z1"))).head()
+    val (rxy, rxz, ryz) = (corrOf("x", "y"), corrOf("x", "z1"), corrOf("y", "z1"))
+    val expected1 = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(math.abs(one.getAs[Double]("partial_r") - expected1) < 1e-9)
+    assert(one.getAs[Double]("df") == 400.0 - 3.0)
+    // two controls: the recursion r_xy.z1z2 from the three one-control
+    // partials — an independent algebraic path to the same number
+    def pc(a: String, b: String, z: String): Double = {
+      val (rab, raz, rbz) = (corrOf(a, b), corrOf(a, z), corrOf(b, z))
+      (rab - raz * rbz) / math.sqrt((1 - raz * raz) * (1 - rbz * rbz))
+    }
+    val rec = (pc("x", "y", "z1") - pc("x", "z2", "z1") * pc("y", "z2", "z1")) /
+      math.sqrt((1 - math.pow(pc("x", "z2", "z1"), 2)) *
+        (1 - math.pow(pc("y", "z2", "z1"), 2)))
+    val two = graft.ops.MlEval.partialCorr(df, col("x"), col("y"),
+      Seq(col("z1"), col("z2"))).head()
+    assert(math.abs(two.getAs[Double]("partial_r") - rec) < 1e-9,
+      s"precision ${two.getAs[Double]("partial_r")} vs recursion $rec")
+    assert(two.getAs[Double]("df") == 400.0 - 4.0)
+    // controlling the confounders should shrink |r| toward the noise corr
+    assert(math.abs(two.getAs[Double]("partial_r")) <
+      math.abs(two.getAs[Double]("r_xy")))
+  }
+
+  test("kendallTau: hand cells, tie counts, guards") {
+    val df = Seq((1, 1), (2, 3), (2, 2), (3, 3)).toDF("x", "y")
+    val r = graft.ops.Agreement.kendallTau(df, col("x"), col("y")).head()
+    // pairs: C = 4 (11-23, 11-22, 11-33, 22-33), D = 0; x ties {2,2},
+    // y ties {3,3} -> n1 = n2 = 1, n0 = 6, tau = 4/sqrt(25) = 0.8
+    assert(r.getAs[Long]("concordant") == 4L)
+    assert(r.getAs[Long]("discordant") == 0L)
+    assert(r.getAs[Long]("ties_x") == 1L && r.getAs[Long]("ties_y") == 1L)
+    assert(math.abs(r.getAs[Double]("tau_b") - 0.8) < 1e-12)
+    // perfect reversal -> tau = -1
+    val rev = Seq((1, 3), (2, 2), (3, 1)).toDF("x", "y")
+    assert(math.abs(graft.ops.Agreement.kendallTau(rev, col("x"), col("y"))
+      .head().getAs[Double]("tau_b") + 1.0) < 1e-12)
+    val const = Seq((1, 1), (1, 2)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Agreement.kendallTau(const, col("x"), col("y"))
+    }
+    assert(e.getMessage.contains("constant"))
+    val g = intercept[IllegalArgumentException] {
+      graft.ops.Agreement.kendallTau(
+        Seq((1, 1), (2, 2), (3, 3)).toDF("x", "y"), col("x"), col("y"),
+        maxCells = 2)
+    }
+    assert(g.getMessage.contains("maxCells") || g.getMessage.contains("cells"))
+  }
+
+  test("adUniform: folded form equals the classic two-log arrangement") {
+    val ps = Seq(0.11, 0.28, 0.44, 0.63, 0.92, 0.05, 0.77)
+    val r = graft.ops.RankTests.adUniform(ps.toDF("p"), col("p")).head()
+    // independent path: the CLASSIC A^2 = -n - (1/n) sum_i (2i-1) *
+    // [ln u_(i) + ln(1 - u_(n+1-i))]
+    val s = ps.sorted
+    val n = s.length
+    val classic = -n - (1.0 / n) * (1 to n).map(i =>
+      (2.0 * i - 1) * (math.log(s(i - 1)) + math.log(1 - s(n - i)))).sum
+    assert(math.abs(r.getAs[Double]("a2") - classic) < 1e-9,
+      s"${r.getAs[Double]("a2")} vs $classic")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.RankTests.adUniform(
+        Seq(0.2, 0.5, 1.0, 0.4, 0.3).toDF("p"), col("p"))
+    }
+    assert(e.getMessage.contains("STRICTLY"))
+  }
+
+  test("pageHinkley: hand trajectory and alarm point") {
+    val df = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 10.0), (5L, 10.0))
+      .toDF("t", "v")
+    val out = graft.ops.Drift.pageHinkley(df, col("t"), col("v"),
+        lambda = 5.0).collect()
+    // m = [0,0,0,2.5,4]; U = [0,0,0,7.5,13.5]; min U = 0 -> PH = U
+    val ph = out.map(_.getAs[Double]("ph"))
+    assert(ph.zip(Seq(0.0, 0.0, 0.0, 7.5, 13.5))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 }, ph.toSeq.toString)
+    assert(out.map(_.getAs[Boolean]("is_alarm")).toSeq ==
+      Seq(false, false, false, true, true))
+  }
+
+  test("hellinger: identical -> 0, disjoint -> ~1, monotone in shift") {
+    // group from the BLOCK index, value from the within-block offset —
+    // v = i % 40 with g = i % 2 is the parity-locked fixture trap (group
+    // 0 would see only odd values)
+    val same = (0 until 200).map(i => (i % 40 + 1.0, (i / 40) % 2))
+      .toDF("v", "g")
+    val r0 = graft.ops.Drift.hellinger(same, col("v"), col("g"),
+      Seq(10.0, 20.0, 30.0)).head()
+    assert(math.abs(r0.getAs[Double]("hellinger")) < 1e-6)
+    // groups in disjoint bins
+    val dis = (1 to 200).map(i =>
+      (if (i % 2 == 0) 5.0 else 35.0, i % 2)).toDF("v", "g")
+    val r1 = graft.ops.Drift.hellinger(dis, col("v"), col("g"),
+      Seq(10.0, 20.0, 30.0)).head()
+    assert(r1.getAs[Double]("hellinger") > 0.99)
+  }
+
+  test("flemingHarrington: (0,0) equals the standard log-rank; gamma=1 late weights") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 300).map { i =>
+      (i % 2, 1 + rnd.nextInt(20), if (rnd.nextDouble() < 0.7) 1 else 0)
+    }
+    val df = rows.toDF("arm", "time", "event")
+    val std = graft.ops.Survival.logRankTest(df, col("arm"), col("time"),
+      col("event")).head()
+    val fh00 = graft.ops.Survival.flemingHarrington(df, col("arm"),
+      col("time"), col("event"), rho = 0.0, gamma = 0.0).head()
+    assert(math.abs(fh00.getAs[Double]("chi2") -
+      std.getAs[Double]("chi2")) < 1e-9)
+    assert(math.abs(fh00.getAs[Double]("observed1_w") -
+      std.getAs[Double]("observed1")) < 1e-9)
+    // gamma = 1: weights grow with time (1 - S(t-) is nondecreasing), so
+    // the weighted observed count is strictly below the unweighted one
+    // (weights < 1) but positive on this fixture
+    val fh01 = graft.ops.Survival.flemingHarrington(df, col("arm"),
+      col("time"), col("event"), rho = 0.0, gamma = 1.0).head()
+    assert(fh01.getAs[Double]("observed1_w") > 0.0)
+    assert(fh01.getAs[Double]("observed1_w") <
+      std.getAs[Double]("observed1"))
+    assert(fh01.getAs[Double]("variance_w") > 0.0)
+  }
+
   test("semanticDedup: probes bounds validated, maxBucket guard names probes") {
     val df = boundaryFixture
     val e = intercept[IllegalArgumentException] {
