@@ -153,6 +153,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT page_hinkley(period, v, lambda[, delta]) FROM <series>
   * SELECT hellinger(v, group, split1, split2, ...) FROM <two cohorts>
   * SELECT fleming_harrington(grp, t, ev, rho, gamma) FROM <survival>
+  * SELECT bowker_test(a, b)                    FROM <paired labels>
+  * SELECT lin_ccc(x, y)                        FROM <paired scores>
+  * SELECT brier_decomposition(y, forecast)     FROM <forecasts>
+  * SELECT ndcg(query, item, score, rel[, k])   FROM <rankings>
+  * SELECT flesch(text)                         FROM <docs>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -319,7 +324,8 @@ object GraftGateway {
     "grubbs_test", "ngram_novelty", "bpe_token_count", "semantic_dedup",
     "friedman", "welch_anova", "jarque_bera", "vocab_drift",
     "embedding_drift", "partial_corr", "kendall_tau", "ad_uniform",
-    "page_hinkley", "hellinger", "fleming_harrington")
+    "page_hinkley", "hellinger", "fleming_harrington", "bowker_test",
+    "lin_ccc", "brier_decomposition", "ndcg", "flesch")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -759,6 +765,33 @@ object GraftGateway {
           "fleming_harrington(group, time, event, rho, gamma)")
         Survival.flemingHarrington(df, c(a(0)), c(a(1)), c(a(2)),
           rho = num(a(3)), gamma = num(a(4)))
+      case "bowker_test" =>
+        // k-category symmetry of paired labels (k=2 == McNemar)
+        require(a.length >= 2, "bowker_test(a, b)")
+        Agreement.bowkerTest(df, c(a(0)), c(a(1)))
+      case "lin_ccc" =>
+        // concordance (identity-line agreement), not mere correlation
+        require(a.length >= 2, "lin_ccc(x, y)")
+        Agreement.linCcc(df, c(a(0)), c(a(1)))
+      case "brier_decomposition" =>
+        // proper-score calibration split over discrete forecast cells
+        require(a.length >= 2,
+          "brier_decomposition(label, forecast[, max_forecasts])")
+        MlEval.brierDecomposition(df, c(a(0)), c(a(1)),
+          maxForecasts = if (a.length > 2) num(a(2)).toLong else 10000L)
+      case "ndcg" =>
+        // per-query graded ranking quality at k
+        require(a.length >= 4, "ndcg(query, item, score, rel[, k])")
+        MlEval.ndcg(df, c(a(0)), c(a(1)), c(a(2)), c(a(3)),
+          k = if (a.length > 4) num(a(4)).toInt else 10)
+      case "flesch" =>
+        // per-doc readability + corpus summary
+        require(a.nonEmpty, "flesch(text)")
+        val F = org.apache.spark.sql.functions
+        val fre = TextOps.fleschReadingEase(c(a(0)))
+        df.agg(F.count(F.lit(1)).as("n_docs"),
+          F.avg(fre).as("avg_fre"),
+          F.min(fre).as("min_fre"), F.max(fre).as("max_fre"))
       case "jarque_bera" =>
         // moment-based normality check (skew + excess kurtosis)
         require(a.nonEmpty, "jarque_bera(x)")

@@ -2663,6 +2663,76 @@ object SparkEntry {
         .select(round(col("bhattacharyya"), 8).as("bhattacharyya"),
           round(col("hellinger"), 6).as("hellinger"))
     }),
+    "q243_bowker_test" -> ((s, d) => {
+      // paired labels with a planted ASYMMETRIC shift: every 5th item's
+      // second label moves one category up, so disagreement flows one way
+      // and the symmetry chi-square grows with n (p checked in spec; the
+      // oracle replays chisq/df closed-form over the cell self-join)
+      t(s, d, "events")
+        .select((col("event_id") % 4).as("a"),
+          ((col("event_id") % 4) + when(col("event_id") % 5 === 0, 1)
+            .otherwise(0)) % 4 as "b")
+        .createOrReplaceTempView("q243_ev")
+      GraftGateway.sql(s, "SELECT bowker_test(a, b) FROM q243_ev")
+        .select(col("n"), col("categories"),
+          round(col("chisq"), 6).as("chisq"), col("df"))
+    }),
+    "q244_lin_ccc" -> ((s, d) => {
+      // y is a location+scale-shifted copy of x plus discount noise:
+      // Pearson r stays high while CCC drops — exactly the gap the
+      // statistic exists to expose
+      t(s, d, "lineitem")
+        .select(col("l_quantity").cast("double").as("x"),
+          (col("l_quantity") * 0.9 + 2.0 + col("l_discount") * 10.0).as("y"))
+        .createOrReplaceTempView("q244_li")
+      GraftGateway.sql(s, "SELECT lin_ccc(x, y) FROM q244_li")
+        .select(col("n"), round(col("pearson_r"), 6).as("pearson_r"),
+          round(col("ccc"), 6).as("ccc"), round(col("c_b"), 6).as("c_b"),
+          round(col("location_shift"), 6).as("location_shift"),
+          round(col("scale_shift"), 6).as("scale_shift"))
+    }),
+    "q245_brier_decomposition" -> ((s, d) => {
+      // 10-cell forecast lattice with a deterministic outcome rule — the
+      // Murphy identity holds exactly on discrete forecasts, and every
+      // term is a cell closed form
+      t(s, d, "events")
+        .select((((col("event_id") % 10) * 10 + 5) / lit(100.0)).as("f"),
+          when((col("event_id") * 13) % 100 <
+            (col("event_id") % 10) * 10 + 5, 1.0).otherwise(0.0).as("y"))
+        .createOrReplaceTempView("q245_ev")
+      GraftGateway.sql(s,
+        "SELECT brier_decomposition(y, f) FROM q245_ev")
+        .select(col("n"), round(col("brier"), 8).as("brier"),
+          round(col("reliability"), 8).as("reliability"),
+          round(col("resolution"), 8).as("resolution"),
+          round(col("uncertainty"), 8).as("uncertainty"),
+          round(col("base_rate"), 8).as("base_rate"))
+    }),
+    "q246_ndcg" -> ((s, d) => {
+      // 50 queries x ~200 ranked items, graded relevance 0..3, heavy
+      // score ties broken by item id both sides (deterministic windows
+      // the oracle replays verbatim)
+      t(s, d, "events")
+        .select((col("event_id") % 50).as("q"), col("event_id").as("item"),
+          (((col("event_id") * 37) % 1000) / lit(1000.0)).as("score"),
+          ((col("event_id") * 13) % 4).cast("double").as("rel"))
+        .createOrReplaceTempView("q246_ev")
+      GraftGateway.sql(s,
+        "SELECT ndcg(q, item, score, rel, 10) FROM q246_ev")
+        .select(col("query"), col("n_items"),
+          round(col("dcg"), 6).as("dcg"), round(col("idcg"), 6).as("idcg"),
+          round(col("ndcg"), 6).as("ndcg"))
+        .orderBy(col("query"))
+    }),
+    "q247_flesch" -> ((s, d) => {
+      // corpus readability summary; every term (ws words, [.!?]+ runs,
+      // vowel groups) is a regexp count both engines evaluate identically
+      t(s, d, "documents").createOrReplaceTempView("q247_docs")
+      GraftGateway.sql(s, "SELECT flesch(text) FROM q247_docs")
+        .select(col("n_docs"), round(col("avg_fre"), 4).as("avg_fre"),
+          round(col("min_fre"), 4).as("min_fre"),
+          round(col("max_fre"), 4).as("max_fre"))
+    }),
     "q242_fleming_harrington" -> ((s, d) => {
       // G^{0,1} late-weighted log-rank on the q108 survival fixture: the
       // pooled-KM weight window replays in SQL over event times
@@ -4847,6 +4917,103 @@ object SparkEntry {
         |SELECT round(bc, 8) AS bhattacharyya,
         |  round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger
         |FROM bc""".stripMargin,
+    "q243_bowker_test" ->
+      // off-diagonal cell pairing i<j; chisq = sum (nij-nji)^2/(nij+nji)
+      """WITH b AS (SELECT event_id % 4 AS a,
+        |    ((event_id % 4) + CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+        |      % 4 AS b
+        |  FROM events),
+        |cells AS (SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b,
+        |    count(*) AS c FROM b GROUP BY 1, 2),
+        |off AS (SELECT least(a, b) AS i, greatest(a, b) AS j,
+        |    sum(CASE WHEN a < b THEN c ELSE 0 END) AS nij,
+        |    sum(CASE WHEN a > b THEN c ELSE 0 END) AS nji
+        |  FROM cells WHERE a <> b GROUP BY 1, 2),
+        |t AS (SELECT sum((nij - nji) * (nij - nji) * 1.0 / (nij + nji))
+        |    AS chisq, count(*) AS df
+        |  FROM off WHERE nij + nji > 0),
+        |k AS (SELECT count(DISTINCT v) AS cats FROM (
+        |    SELECT a AS v FROM cells UNION SELECT b FROM cells))
+        |SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cells) AS n,
+        |  CAST(k.cats AS BIGINT) AS categories,
+        |  round(t.chisq, 6) AS chisq, CAST(t.df AS BIGINT) AS df
+        |FROM t, k""".stripMargin,
+    "q244_lin_ccc" ->
+      // population moments; ccc/c_b/shift closed forms
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    l_quantity * 0.9 + 2.0 + l_discount * 10.0 AS y FROM lineitem),
+        |m AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+        |    var_pop(x) AS vx, var_pop(y) AS vy, covar_pop(x, y) AS cxy
+        |  FROM b),
+        |f AS (SELECT n, cxy / sqrt(vx * vy) AS pr,
+        |    2.0 * cxy / (vx + vy + (mx - my) * (mx - my)) AS ccc,
+        |    (mx - my) / pow(vx * vy, 0.25) AS u, sqrt(vx / vy) AS v
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n, round(pr, 6) AS pearson_r,
+        |  round(ccc, 6) AS ccc, round(ccc / pr, 6) AS c_b,
+        |  round(u, 6) AS location_shift, round(v, 6) AS scale_shift
+        |FROM f""".stripMargin,
+    "q245_brier_decomposition" ->
+      // Murphy terms over the 10 exact forecast cells
+      """WITH b AS (SELECT ((event_id % 10) * 10 + 5) / 100.0 AS f,
+        |    CASE WHEN (event_id * 13) % 100 < (event_id % 10) * 10 + 5
+        |      THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events),
+        |cells AS (SELECT f, count(*) AS nf, avg(y) AS o FROM b GROUP BY f),
+        |t AS (SELECT sum(nf) AS n,
+        |    sum(o * nf) / sum(nf) AS obar FROM cells),
+        |terms AS (SELECT
+        |    sum(nf * (f - o) * (f - o)) / (SELECT n FROM t) AS rel,
+        |    sum(nf * (o - (SELECT obar FROM t)) * (o - (SELECT obar FROM t)))
+        |      / (SELECT n FROM t) AS res
+        |  FROM cells)
+        |SELECT (SELECT CAST(n AS BIGINT) FROM t) AS n,
+        |  round(rel - res + (SELECT obar * (1 - obar) FROM t), 8) AS brier,
+        |  round(rel, 8) AS reliability, round(res, 8) AS resolution,
+        |  round((SELECT obar * (1 - obar) FROM t), 8) AS uncertainty,
+        |  round((SELECT obar FROM t), 8) AS base_rate
+        |FROM terms""".stripMargin,
+    "q246_ndcg" ->
+      // the same two row_number windows (score desc / rel desc, item asc)
+      """WITH b AS (SELECT event_id % 50 AS q, event_id AS item,
+        |    ((event_id * 37) % 1000) / 1000.0 AS score,
+        |    CAST((event_id * 13) % 4 AS DOUBLE) AS rel
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY q ORDER BY score DESC, item)
+        |      AS pos,
+        |    row_number() OVER (PARTITION BY q ORDER BY rel DESC, item)
+        |      AS ipos
+        |  FROM b),
+        |d AS (SELECT q, sum((pow(2.0, rel) - 1) / log2(pos + 1.0)) AS dcg
+        |  FROM r WHERE pos <= 10 GROUP BY q),
+        |i AS (SELECT q, sum((pow(2.0, rel) - 1) / log2(ipos + 1.0)) AS idcg
+        |  FROM r WHERE ipos <= 10 GROUP BY q),
+        |c AS (SELECT q, count(*) AS n_items FROM b GROUP BY q)
+        |SELECT c.q AS query, c.n_items,
+        |  round(coalesce(d.dcg, 0.0), 6) AS dcg,
+        |  round(coalesce(i.idcg, 0.0), 6) AS idcg,
+        |  round(CASE WHEN coalesce(i.idcg, 0) > 0
+        |    THEN d.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
+        |FROM c LEFT JOIN d ON c.q = d.q LEFT JOIN i ON c.q = i.q
+        |ORDER BY query""".stripMargin,
+    "q247_flesch" ->
+      // ws words, [.!?]+ sentence runs, vowel-group syllables — each a
+      // regexp count; the clamp and minimums replayed exactly
+      """WITH b AS (SELECT
+        |    greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
+        |      * 1.0 AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) * 1.0 AS s,
+        |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) * 1.0 AS vg
+        |  FROM documents),
+        |f AS (SELECT least(greatest(
+        |    206.835 - 1.015 * (w / s) - 84.6 * (greatest(vg, w) / w),
+        |    -200.0), 121.22) AS fre FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(fre), 4) AS avg_fre, round(min(fre), 4) AS min_fre,
+        |  round(max(fre), 4) AS max_fre
+        |FROM f""".stripMargin,
     "q242_fleming_harrington" ->
       // q108's at-risk construction + the pooled-KM S(t−) weight window
       // over event times; rho = 0, gamma = 1 → w = 1 − S(t−)

@@ -354,4 +354,88 @@ object Agreement {
       .toDF("n", "cells", "concordant", "discordant", "ties_x", "ties_y",
         "tau_b")
   }
+
+  /** Bowker's symmetry test (1948) — the k-category generalization of
+    * [[SimpleTests]]' McNemar: for PAIRED categorical ratings (model A's
+    * label vs model B's label on the same items), tests whether
+    * disagreements are symmetric (A→x,B→y as often as A→y,B→x):
+    *
+    *   χ² = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji)  ~ χ²(df),
+    *   df = #{i<j : n_ij + n_ji > 0}
+    *
+    * At k = 2 this is exactly McNemar's uncorrected statistic
+    * (spec-pinned). 100 TB shape: ONE (a, b) cell aggregate, off-diagonal
+    * pairing is a cell self-join — category cardinality bounded by the
+    * label space, not the data. Returns one row:
+    * (n, categories, chisq, df, p_value). */
+  def bowkerTest(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val as = a.cast("string"); val bs = b.cast("string")
+    val cells = df.filter(as.isNotNull && bs.isNotNull)
+      .groupBy(as.as("a"), bs.as("b")).agg(count(lit(1)).as("c"))
+    val lo = cells.select(least(col("a"), col("b")).as("i"),
+      greatest(col("a"), col("b")).as("j"),
+      when(col("a") < col("b"), col("c")).otherwise(lit(0L)).as("up"),
+      when(col("a") > col("b"), col("c")).otherwise(lit(0L)).as("dn"))
+      .filter(col("i") =!= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("up")).as("nij"), sum(col("dn")).as("nji"))
+      .filter(col("nij") + col("nji") > 0)
+    val r = cells.agg(sum(col("c")).as("n")).head()
+    val n = r.getAs[Long]("n")
+    require(n > 0, "bowker_test: no complete pairs")
+    val terms = lo.agg(
+      sum(pow(col("nij") - col("nji"), 2) /
+        (col("nij") + col("nji")).cast("double")).as("chisq"),
+      count(lit(1)).as("df")).head()
+    val dfree = terms.getAs[Long]("df")
+    require(dfree > 0,
+      "bowker_test: no off-diagonal disagreement — symmetry is trivially " +
+        "satisfied and the test is undefined")
+    val chisq =
+      if (terms.isNullAt(0)) 0.0 else terms.getAs[Double]("chisq")
+    val kAll = cells.select(col("a").as("v"))
+      .union(cells.select(col("b").as("v"))).distinct().count()
+    val p = 1.0 - graft.stats.Dist.chiSqCdf(chisq, dfree.toDouble)
+    Seq((n, kAll, chisq, dfree, p))
+      .toDF("n", "categories", "chisq", "df", "p_value")
+  }
+
+  /** Lin's concordance correlation coefficient (Lin 1989) — "does y not
+    * just CORRELATE with x but actually EQUAL it": the agreement measure
+    * for calibration-style comparisons (cheap scorer vs gold score,
+    * student model vs teacher), where Pearson r is blind to scale and
+    * location bias:
+    *
+    *   CCC = 2 s_xy / (s_x² + s_y² + (x̄ − ȳ)²),   C_b = CCC / r
+    *
+    * (population moments, Lin's original form). ONE moment aggregate.
+    * Returns one row: (n, pearson_r, ccc, c_b, location_shift,
+    * scale_shift). */
+  def linCcc(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xd = x.cast("double"); val yd = y.cast("double")
+    val r = df.filter(xd.isNotNull && yd.isNotNull)
+      .agg(count(lit(1)).as("n"), avg(xd).as("mx"), avg(yd).as("my"),
+        var_pop(xd).as("vx"), var_pop(yd).as("vy"),
+        covar_pop(xd, yd).as("cxy")).head()
+    val n = r.getAs[Long]("n")
+    require(n >= 2, s"lin_ccc: need at least 2 complete pairs, got $n")
+    val (mx, my) = (r.getAs[Double]("mx"), r.getAs[Double]("my"))
+    val (vx, vy) = (r.getAs[Double]("vx"), r.getAs[Double]("vy"))
+    val cxy = r.getAs[Double]("cxy")
+    require(vx > 0 && vy > 0, "lin_ccc: a column is constant")
+    val pr = cxy / math.sqrt(vx * vy)
+    val ccc = 2.0 * cxy / (vx + vy + (mx - my) * (mx - my))
+    // Lin's decomposition: v = scale shift, u = location shift (in the
+    // geometric-mean sd unit); C_b = CCC / r is the bias-correction
+    // factor — how far the best-fit line sits from the 45° identity
+    val v = math.sqrt(vx / vy)
+    val u = (mx - my) / math.pow(vx * vy, 0.25)
+    val cb = if (pr != 0.0) ccc / pr else Double.NaN
+    Seq((n, pr, ccc, cb, u, v))
+      .toDF("n", "pearson_r", "ccc", "c_b", "location_shift", "scale_shift")
+  }
 }

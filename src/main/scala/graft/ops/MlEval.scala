@@ -189,6 +189,100 @@ object MlEval {
       .toDF("n", "r_xy", "partial_r", "t_stat", "df", "p_value")
   }
 
+  /** Brier score with the Murphy (1973) decomposition — the proper-score
+    * companion to [[calibration]]'s ECE: grouping by the DISTINCT
+    * forecast values (exact, not binned — so the identity holds to
+    * machine precision),
+    *
+    *   Brier = REL − RES + UNC,
+    *   REL = Σ n_f (f − ō_f)²/n,  RES = Σ n_f (ō_f − ō)²/n,
+    *   UNC = ō(1 − ō)
+    *
+    * REL is miscalibration (punished), RES is discrimination (rewarded),
+    * UNC the irreducible base-rate term. Forecast cardinality is guarded
+    * (a continuous score has ~n distinct values — bucket it first, the
+    * error says so). ONE row-scale aggregate to forecast cells. Returns
+    * one row: (n, brier, reliability, resolution, uncertainty,
+    * base_rate). */
+  def brierDecomposition(df: DataFrame, label: Column, forecast: Column,
+                         maxForecasts: Long = 10000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y = label.cast("double"); val f = forecast.cast("double")
+    val cells = df.filter(y.isNotNull && f.isNotNull &&
+        f >= 0.0 && f <= 1.0)
+      .groupBy(f.as("f"))
+      .agg(count(lit(1)).as("nf"), avg(y).as("of"))
+    val kCells = cells.limit((maxForecasts + 1).toInt).count()
+    require(kCells <= maxForecasts,
+      s"brier_decomposition: more than $maxForecasts distinct forecast " +
+        "values — the exact Murphy decomposition is for DISCRETE " +
+        "forecasts; bucket a continuous score first (cut_bins)")
+    require(kCells > 0, "brier_decomposition: no rows in [0, 1]")
+    val tot = cells.agg(sum(col("nf")).as("n"),
+      (sum(col("of") * col("nf")) / sum(col("nf"))).as("obar")).head()
+    val n = tot.getAs[Long]("n")
+    val obar = tot.getAs[Double]("obar")
+    val terms = cells.agg(
+      (sum(col("nf") * pow(col("f") - col("of"), 2)) / n.toDouble).as("rel"),
+      (sum(col("nf") * pow(col("of") - obar, 2)) / n.toDouble).as("res"))
+      .head()
+    val rel = terms.getAs[Double]("rel")
+    val res = terms.getAs[Double]("res")
+    val unc = obar * (1.0 - obar)
+    Seq((n, rel - res + unc, rel, res, unc, obar))
+      .toDF("n", "brier", "reliability", "resolution", "uncertainty",
+        "base_rate")
+  }
+
+  /** NDCG@k (Järvelin & Kekäläinen 2002) — graded ranking quality per
+    * query, the retrieval-eval row beside [[rocAuc]]/[[prCurve]]'s
+    * binary classification tier (RAG retrievers, dedup candidate
+    * rankers, search):
+    *
+    *   DCG@k = Σ_{pos ≤ k} (2^rel − 1)/log₂(pos + 1),
+    *   NDCG = DCG / IDCG  (IDCG = DCG of the relevance-sorted ideal;
+    *   0 when the query has no relevant items)
+    *
+    * Ranking ties break by item id BOTH for the ranking (score desc, id
+    * asc) and the ideal (rel desc, id asc) — deterministic, replayable.
+    * 100 TB shape: two windows PARTITIONED BY QUERY (never global) + one
+    * per-query aggregate; query cardinality unbounded. Returns one row
+    * per query: (query, n_items, dcg, idcg, ndcg). */
+  def ndcg(df: DataFrame, query: Column, item: Column, score: Column,
+           rel: Column, k: Int = 10): DataFrame = {
+    require(k >= 1, s"ndcg: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+    val q = query.as("query"); val it = item.as("item")
+    val base = df.filter(query.isNotNull && item.isNotNull &&
+        score.isNotNull && rel.isNotNull)
+      .select(q, it, score.cast("double").as("score"),
+        rel.cast("double").as("rel"))
+    val gain = (pow(lit(2.0), col("rel")) - 1.0) /
+      log2(col("pos").cast("double") + 1.0)
+    val ranked = base
+      .withColumn("pos", row_number().over(w.partitionBy(col("query"))
+        .orderBy(col("score").desc, col("item").asc)))
+      .withColumn("ipos", row_number().over(w.partitionBy(col("query"))
+        .orderBy(col("rel").desc, col("item").asc)))
+    val dcg = ranked.filter(col("pos") <= k)
+      .groupBy(col("query"))
+      .agg(sum(gain).as("dcg"))
+    val igain = (pow(lit(2.0), col("rel")) - 1.0) /
+      log2(col("ipos").cast("double") + 1.0)
+    val idcg = ranked.filter(col("ipos") <= k)
+      .groupBy(col("query"))
+      .agg(count(lit(1)).as("n_items_topk"), sum(igain).as("idcg"))
+    val counts = base.groupBy(col("query")).agg(count(lit(1)).as("n_items"))
+    counts.join(dcg, Seq("query"), "left").join(idcg, Seq("query"), "left")
+      .select(col("query"), col("n_items"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        coalesce(col("idcg"), lit(0.0)).as("idcg"))
+      .withColumn("ndcg", when(col("idcg") > 0.0, col("dcg") / col("idcg"))
+        .otherwise(lit(0.0)))
+      .orderBy(col("query"))
+  }
+
   /** Calibration table + expected calibration error for a probability
     * score: rows bin by score into `nBins` equal-width bins ([0,1] range),
     * each bin reports (n, avg score, avg label, |gap|); ECE is the

@@ -142,6 +142,34 @@ object TextOps {
     round(lenOk * punctOk * swOk * wordLenOk, 6)
   }
 
+  /** Flesch reading ease (Flesch 1948) as pure column arithmetic — the
+    * classical readability member of the quality family (training-mix
+    * pipelines bucket corpora by it; extreme scores flag OCR junk and
+    * boilerplate):
+    *
+    *   FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * with the DOCUMENTED deterministic proxies: words = whitespace
+    * tokens, sentences = [.!?]+ runs (min 1), syllables = vowel-group
+    * count [aeiouyAEIOUY]+ per word (min 1 per word — the standard cheap
+    * heuristic; scores are comparable WITHIN a corpus, not clinical).
+    * Every term is a codegen'd regexp count, exactly replayable in SQL.
+    * Unbounded FRE is clamped to [-200, 121.22] (its no-text maximum) so
+    * degenerate one-word docs don't dominate corpus averages. */
+  def fleschReadingEase(text: Column): Column = {
+    val words = greatest(wsTokenCount(text), lit(1)).cast("double")
+    val sentences = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("double")
+    // vowel groups across the doc; the greatest with the word count
+    // gives every no-vowel word its minimum 1 syllable in aggregate
+    val vowelGroups = regexp_count(text, lit("[aeiouyAEIOUY]+"))
+      .cast("double")
+    val syllables = greatest(vowelGroups, words)
+    val fre = lit(206.835) - lit(1.015) * (words / sentences) -
+      lit(84.6) * (syllables / words)
+    least(greatest(fre, lit(-200.0)), lit(121.22))
+  }
+
   // ---------------------------------------------------------------- repetition
 
   /** Corpus vocabulary: token → occurrence count over lowercased

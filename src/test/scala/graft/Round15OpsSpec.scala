@@ -244,6 +244,112 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(fh01.getAs[Double]("variance_w") > 0.0)
   }
 
+  test("bowkerTest: k=2 equals McNemar's uncorrected z^2; asymmetry grows chisq") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 300).map { _ =>
+      val a = rnd.nextInt(2)
+      // asymmetric flips: 0->1 more often than 1->0
+      val b = if (a == 0 && rnd.nextDouble() < 0.3) 1
+              else if (a == 1 && rnd.nextDouble() < 0.1) 0 else a
+      (a, b)
+    }
+    val df = pairs.toDF("a", "b")
+    val bow = graft.ops.Agreement.bowkerTest(df, col("a"), col("b")).head()
+    val mcn = graft.ops.Agreement.mcnemar(df, col("a"), col("b")).head()
+    val z = mcn.getAs[Double]("z")
+    assert(math.abs(bow.getAs[Double]("chisq") - z * z) < 1e-9)
+    assert(bow.getAs[Long]("df") == 1L)
+    assert(bow.getAs[Double]("p_value") < 0.05) // the planted asymmetry
+    // symmetric 3-category disagreement -> small chisq, df = 3
+    val sym = Seq((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1), (0, 0))
+      .toDF("a", "b")
+    val bs = graft.ops.Agreement.bowkerTest(sym, col("a"), col("b")).head()
+    assert(bs.getAs[Double]("chisq") == 0.0 && bs.getAs[Long]("df") == 3L)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Agreement.bowkerTest(
+        Seq((1, 1), (2, 2)).toDF("a", "b"), col("a"), col("b"))
+    }
+    assert(e.getMessage.contains("off-diagonal"))
+  }
+
+  test("linCcc: identity -> 1, pure location shift closed form") {
+    val xs = (1 to 100).map(_.toDouble)
+    val same = xs.map(x => (x, x)).toDF("x", "y")
+    val r1 = graft.ops.Agreement.linCcc(same, col("x"), col("y")).head()
+    assert(math.abs(r1.getAs[Double]("ccc") - 1.0) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("pearson_r") - 1.0) < 1e-12)
+    // y = x + c: r = 1, ccc = 2v/(2v + c^2) with v = var_pop(x)
+    val c = 10.0
+    val shifted = xs.map(x => (x, x + c)).toDF("x", "y")
+    val r2 = graft.ops.Agreement.linCcc(shifted, col("x"), col("y")).head()
+    val v = xs.map(x => math.pow(x - xs.sum / xs.size, 2)).sum / xs.size
+    assert(math.abs(r2.getAs[Double]("ccc") - 2 * v / (2 * v + c * c)) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("pearson_r") - 1.0) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("location_shift") + c / math.sqrt(v)) < 1e-9)
+  }
+
+  test("brierDecomposition: Murphy identity equals the direct mean square") {
+    val rows = (0 until 1000).map { i =>
+      val f = (i % 10) * 0.1 + 0.05
+      val y = if ((i * 13) % 100 < (i % 10) * 10 + 5) 1.0 else 0.0
+      (y, f)
+    }
+    val df = rows.toDF("y", "f")
+    val r = graft.ops.MlEval.brierDecomposition(df, col("y"), col("f")).head()
+    val direct = rows.map { case (y, f) => (f - y) * (f - y) }.sum / rows.size
+    assert(math.abs(r.getAs[Double]("brier") - direct) < 1e-12,
+      s"${r.getAs[Double]("brier")} vs $direct")
+    assert(r.getAs[Double]("reliability") >= 0 &&
+      r.getAs[Double]("resolution") >= 0)
+    val g = intercept[IllegalArgumentException] {
+      graft.ops.MlEval.brierDecomposition(
+        (1 to 50).map(i => (0.0, i / 100.0)).toDF("y", "f"),
+        col("y"), col("f"), maxForecasts = 10)
+    }
+    assert(g.getMessage.contains("bucket"))
+  }
+
+  test("ndcg: hand case, perfect ranking, zero-relevance query") {
+    val df = Seq(
+      // query 1: scores rank items (2, 1, 3); rels 0, 3, 1
+      (1, 1, 0.5, 3.0), (1, 2, 0.9, 0.0), (1, 3, 0.1, 1.0),
+      // query 2: perfect ranking
+      (2, 1, 0.9, 3.0), (2, 2, 0.5, 1.0),
+      // query 3: nothing relevant
+      (3, 1, 0.9, 0.0), (3, 2, 0.5, 0.0)).toDF("q", "item", "s", "rel")
+    val out = graft.ops.MlEval.ndcg(df, col("q"), col("item"), col("s"),
+      col("rel"), k = 10).collect().map(r =>
+      r.getInt(0) -> (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"),
+        r.getAs[Double]("ndcg"))).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    // q1 ranking by score desc: item2(rel 0) pos1, item1(rel 3) pos2,
+    // item3(rel 1) pos3 -> dcg = 7/lg2(3) + 1/lg2(4); ideal: rel 3,1,0
+    val dcg1 = 7.0 / lg2(3) + 1.0 / lg2(4)
+    val idcg1 = 7.0 / lg2(2) + 1.0 / lg2(3)
+    assert(math.abs(out(1)._1 - dcg1) < 1e-12)
+    assert(math.abs(out(1)._2 - idcg1) < 1e-12)
+    assert(math.abs(out(1)._3 - dcg1 / idcg1) < 1e-12)
+    assert(math.abs(out(2)._3 - 1.0) < 1e-12) // perfect ranking
+    assert(out(3)._3 == 0.0 && out(3)._2 == 0.0) // idcg = 0 -> ndcg 0
+  }
+
+  test("fleschReadingEase: hand sentence and clamps") {
+    val df = Seq(
+      ("The cat sat. The dog ran!", 1),
+      ("", 2), // empty -> words 1, sentences 1, syll 1 -> clamp top
+      ("zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz " * 40, 3)
+    ).toDF("text", "id")
+    val out = df.select(col("id"),
+      graft.ops.TextOps.fleschReadingEase(col("text")).as("fre"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // 6 words, 2 sentence runs, 6 vowel groups:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(math.abs(out(1) - 119.19) < 1e-9, out(1).toString)
+    assert(out(2) == 121.22 || math.abs(out(2) - 121.22) < 1e-9)
+    // 560 no-vowel words, one implied sentence -> far below the clamp
+    assert(out(3) == -200.0)
+  }
+
   test("semanticDedup: probes bounds validated, maxBucket guard names probes") {
     val df = boundaryFixture
     val e = intercept[IllegalArgumentException] {
