@@ -158,6 +158,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT brier_decomposition(y, forecast)     FROM <forecasts>
   * SELECT ndcg(query, item, score, rel[, k])   FROM <rankings>
   * SELECT flesch(text)                         FROM <docs>
+  * SELECT mann_kendall(period, value)          FROM <series>
+  * SELECT distinct_n(text[, 1, 2, 3])          FROM <docs>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -325,7 +327,8 @@ object GraftGateway {
     "friedman", "welch_anova", "jarque_bera", "vocab_drift",
     "embedding_drift", "partial_corr", "kendall_tau", "ad_uniform",
     "page_hinkley", "hellinger", "fleming_harrington", "bowker_test",
-    "lin_ccc", "brier_decomposition", "ndcg", "flesch")
+    "lin_ccc", "brier_decomposition", "ndcg", "flesch", "mann_kendall",
+    "distinct_n")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -784,6 +787,17 @@ object GraftGateway {
         require(a.length >= 4, "ndcg(query, item, score, rel[, k])")
         MlEval.ndcg(df, c(a(0)), c(a(1)), c(a(2)), c(a(3)),
           k = if (a.length > 4) num(a(4)).toInt else 10)
+      case "mann_kendall" =>
+        // nonparametric monotone-trend significance over period cells
+        require(a.length >= 2, "mann_kendall(period, value[, max_periods])")
+        Drift.mannKendall(df, c(a(0)), c(a(1)),
+          maxPeriods = if (a.length > 2) num(a(2)).toInt else 10000)
+      case "distinct_n" =>
+        // generation-diversity: distinct/total n-grams per n
+        require(a.nonEmpty, "distinct_n(text[, n1, n2, ...])")
+        TextOps.distinctN(df, c(a(0)),
+          ns = if (a.length > 1) a.drop(1).map(num(_).toInt).toSeq
+               else Seq(1, 2, 3))
       case "flesch" =>
         // per-doc readability + corpus summary
         require(a.nonEmpty, "flesch(text)")

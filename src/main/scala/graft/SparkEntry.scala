@@ -2663,6 +2663,28 @@ object SparkEntry {
         .select(round(col("bhattacharyya"), 8).as("bhattacharyya"),
           round(col("hellinger"), 6).as("hellinger"))
     }),
+    "q248_mann_kendall" -> ((s, d) => {
+      // planted +0.25/period monotone trend; the noise term (id % 7) sums
+      // to an exact integer per 100-id period, so per-period means are
+      // bit-identical across engines and every pair sign is stable
+      t(s, d, "events")
+        .select(floor(col("event_id") / 100).cast("long").as("period"),
+          ((col("event_id") % 7).cast("double") +
+            floor(col("event_id") / 100) * 0.25).as("v"))
+        .createOrReplaceTempView("q248_ev")
+      GraftGateway.sql(s, "SELECT mann_kendall(period, v) FROM q248_ev")
+        .select(col("n_periods"), col("s"),
+          round(col("var_s"), 4).as("var_s"), round(col("z"), 6).as("z"))
+    }),
+    "q249_distinct_n" -> ((s, d) => {
+      // corpus diversity at n = 1..3; totals count occurrences (no
+      // per-doc distinct), the oracle enumerates the same windows
+      t(s, d, "documents").createOrReplaceTempView("q249_docs")
+      GraftGateway.sql(s, "SELECT distinct_n(text, 1, 2, 3) FROM q249_docs")
+        .select(col("n"), col("total_ngrams"), col("distinct_ngrams"),
+          round(col("distinct_ratio"), 8).as("distinct_ratio"))
+        .orderBy(col("n"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -4917,6 +4939,51 @@ object SparkEntry {
         |SELECT round(bc, 8) AS bhattacharyya,
         |  round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger
         |FROM bc""".stripMargin,
+    "q248_mann_kendall" ->
+      // pair-sign sum over period cells + the tie-corrected variance
+      """WITH b AS (SELECT CAST(floor(event_id / 100) AS BIGINT) AS period,
+        |    CAST(event_id % 7 AS DOUBLE)
+        |      + floor(event_id / 100) * 0.25 AS v
+        |  FROM events),
+        |cells AS (SELECT period, avg(v) AS m FROM b GROUP BY period),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM cells),
+        |sp AS (SELECT CAST(sum(CASE WHEN b2.m > a2.m THEN 1
+        |      WHEN b2.m < a2.m THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM cells a2 JOIN cells b2 ON a2.period < b2.period),
+        |tt AS (SELECT coalesce(sum(t * (t - 1.0) * (2 * t + 5)), 0.0) AS tt
+        |  FROM (SELECT CAST(count(*) AS DOUBLE) AS t FROM cells
+        |        GROUP BY m HAVING count(*) > 1)),
+        |v AS (SELECT (n.n * (n.n - 1) * (2 * n.n + 5) - tt.tt) / 18.0
+        |    AS var_s FROM n, tt)
+        |SELECT CAST(n.n AS BIGINT) AS n_periods, sp.s AS s,
+        |  round(v.var_s, 4) AS var_s,
+        |  round(CASE WHEN sp.s > 0 THEN (sp.s - 1) / sqrt(v.var_s)
+        |    WHEN sp.s < 0 THEN (sp.s + 1) / sqrt(v.var_s)
+        |    ELSE 0.0 END, 6) AS z
+        |FROM n, sp, v""".stripMargin,
+    "q249_distinct_n" ->
+      // n-gram windows by list comprehension (the q37 idiom); totals are
+      // occurrences, distincts global
+      """WITH d AS (SELECT string_split_regex(
+        |    lower(regexp_replace(text, '^\s+|\s+$', '')), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g1 AS (SELECT unnest(toks) AS g FROM d),
+        |g2 AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+        |    for i in range(1, len(toks))]) AS g FROM d),
+        |g3 AS (SELECT unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |    for i in range(1, len(toks) - 1)]) AS g FROM d),
+        |r AS (
+        |  SELECT 1 AS n, count(*) AS t, count(DISTINCT g) AS dd
+        |  FROM g1 WHERE length(g) > 0
+        |  UNION ALL
+        |  SELECT 2, count(*), count(DISTINCT g) FROM g2 WHERE length(g) > 0
+        |  UNION ALL
+        |  SELECT 3, count(*), count(DISTINCT g) FROM g3 WHERE length(g) > 0)
+        |SELECT CAST(n AS INT) AS n, CAST(t AS BIGINT) AS total_ngrams,
+        |  CAST(dd AS BIGINT) AS distinct_ngrams,
+        |  round(CASE WHEN t > 0 THEN dd * 1.0 / t ELSE 0.0 END, 8)
+        |    AS distinct_ratio
+        |FROM r ORDER BY n""".stripMargin,
     "q243_bowker_test" ->
       // off-diagonal cell pairing i<j; chisq = sum (nij-nji)^2/(nij+nji)
       """WITH b AS (SELECT event_id % 4 AS a,

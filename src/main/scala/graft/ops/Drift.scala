@@ -78,6 +78,63 @@ object Drift {
       .toDF("bhattacharyya", "hellinger")
   }
 
+  /** Mann-Kendall trend test (Mann 1945, Kendall 1975; the tie-corrected
+    * form) — the nonparametric "is this metric drifting at all"
+    * significance companion to [[RankTests]]' Theil-Sen slope (which
+    * estimates HOW FAST but carries no p): over the period-ordered
+    * metric cells,
+    *
+    *   S = Σ_{i<j} sgn(m_j − m_i),
+    *   Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (t = tie-group
+    *   sizes), z = (S ∓ 1)/√Var (continuity-corrected), two-sided p
+    *
+    * (Round15OpsSpec validates Var(S) EXACTLY against full permutation
+    * enumeration on a tied fixture — the formula is checked, not
+    * recalled). 100 TB shape: ONE row-scale aggregate to period cells;
+    * the O(P²) sign sweep is driver-side over COLLECTED cells, and
+    * `maxPeriods` (checked with a cheap count BEFORE collection) names
+    * the calendar-bounded contract, as ewmaMonitor does. Returns one
+    * row: (n_periods, s, var_s, z, p_value). */
+  def mannKendall(df: DataFrame, period: Column, value: Column,
+                  maxPeriods: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = value.cast("double")
+    val cellsDf = df.filter(period.isNotNull && v.isNotNull)
+      .groupBy(period.cast("long").as("period"))
+      .agg(avg(v).as("m"))
+    val nP = cellsDf.limit(maxPeriods + 1).count()
+    require(nP <= maxPeriods,
+      s"mann_kendall: more than $maxPeriods periods — the sign sweep is " +
+        "O(P²) on the driver; coarsen the period bucket (or raise " +
+        "maxPeriods knowingly)")
+    require(nP >= 4, s"mann_kendall: need at least 4 periods, got $nP")
+    val cells = cellsDf.orderBy(col("period")).collect()
+      .map(r => r.getDouble(1))
+    var s = 0L
+    var i = 0
+    while (i < cells.length) {
+      var j = i + 1
+      while (j < cells.length) {
+        s += java.lang.Double.compare(cells(j), cells(i)).sign
+        j += 1
+      }
+      i += 1
+    }
+    val n = cells.length.toDouble
+    val tieTerm = cells.groupBy(identity).values.map(_.length)
+      .filter(_ > 1).map(t => t.toDouble * (t - 1) * (2 * t + 5)).sum
+    val varS = (n * (n - 1) * (2 * n + 5) - tieTerm) / 18.0
+    require(varS > 0, "mann_kendall: every period has the same metric")
+    val z =
+      if (s > 0) (s - 1) / math.sqrt(varS)
+      else if (s < 0) (s + 1) / math.sqrt(varS)
+      else 0.0
+    val p = 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z)))
+    Seq((nP, s, varS, z, p))
+      .toDF("n_periods", "s", "var_s", "z", "p_value")
+  }
+
   /** Page-Hinkley mean-INCREASE detector (Page 1954; the sequential
     * monitor between [[ewmaMonitor]]'s control chart and
     * [[changepoint]]'s retrospective break): per period t,

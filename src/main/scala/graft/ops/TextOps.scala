@@ -170,6 +170,42 @@ object TextOps {
     least(greatest(fre, lit(-200.0)), lit(121.22))
   }
 
+  /** Distinct-n diversity (Li et al. 2016's distinct-1/2 generalized) —
+    * the generation-diversity readout for synthetic/model-written
+    * corpora: distinct n-grams over TOTAL n-gram occurrences, per n. A
+    * mode-collapsed or templated corpus scores low long before a human
+    * reads it; natural text sits high for n ≥ 2.
+    *
+    * N-grams are lowercased whitespace-word windows (the [[shingles]]
+    * convention WITHOUT the per-doc distinct — totals count occurrences);
+    * docs shorter than n contribute nothing at that n.
+    *
+    * 100 TB shape: per n, ONE explode + count/count-distinct aggregate
+    * (two token-keyed exchanges); gram cardinality unbounded, output is
+    * |ns| rows: (n, total_ngrams, distinct_ngrams, distinct_ratio). */
+  def distinctN(df: DataFrame, text: Column,
+                ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(ns.nonEmpty && ns.forall(_ >= 1),
+      s"distinct_n: ns must all be >= 1, got $ns")
+    val rows = ns.map { n =>
+      val w = split(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+")
+      val grams = when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " ")))
+      val r = df.filter(text.isNotNull)
+        .select(explode(grams).as("g"))
+        .filter(length(col("g")) > 0)
+        .agg(count(lit(1)).as("t"), countDistinct(col("g")).as("d")).head()
+      val t = r.getAs[Long]("t")
+      val d = r.getAs[Long]("d")
+      (n, t, d, if (t > 0) d.toDouble / t else 0.0)
+    }
+    rows.toDF("n", "total_ngrams", "distinct_ngrams", "distinct_ratio")
+      .orderBy(col("n"))
+  }
+
   // ---------------------------------------------------------------- repetition
 
   /** Corpus vocabulary: token → occurrence count over lowercased

@@ -350,6 +350,50 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out(3) == -200.0)
   }
 
+  test("mannKendall: Var(S) matches exact permutation enumeration on ties") {
+    // values with a tie group of 2 and one of 3: n = 7
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 5.0, 5.0)
+    def sOf(xs: Seq[Double]): Long = (for {
+      i <- xs.indices; j <- i + 1 until xs.size
+    } yield java.lang.Double.compare(xs(j), xs(i)).sign.toLong).sum
+    // exact null: S over ALL 7! orderings; Var from the enumeration
+    val perms = vals.permutations.toSeq
+    val ss = perms.map(p => sOf(p).toDouble)
+    val mean = ss.sum / ss.size
+    val exactVar = ss.map(s => (s - mean) * (s - mean)).sum / ss.size
+    // the op on a series carrying exactly these values
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("p", "v")
+    val r = graft.ops.Drift.mannKendall(df, col("p"), col("v")).head()
+    assert(math.abs(r.getAs[Double]("var_s") - exactVar) < 1e-9,
+      s"formula ${r.getAs[Double]("var_s")} vs enumerated $exactVar")
+    assert(r.getAs[Long]("s") == sOf(vals))
+    // strictly increasing series: S = n(n-1)/2, p tiny
+    val inc = (1 to 12).map(i => (i.toLong, i.toDouble)).toDF("p", "v")
+    val ri = graft.ops.Drift.mannKendall(inc, col("p"), col("v")).head()
+    assert(ri.getAs[Long]("s") == 66L)
+    assert(ri.getAs[Double]("p_value") < 0.01)
+    val g = intercept[IllegalArgumentException] {
+      graft.ops.Drift.mannKendall(inc, col("p"), col("v"), maxPeriods = 5)
+    }
+    assert(g.getMessage.contains("maxPeriods") ||
+      g.getMessage.contains("coarsen"))
+  }
+
+  test("distinctN: hand corpus, short docs, ratio bounds") {
+    val docs = Seq("a b a b", "a b", "c").toDF("text")
+    val out = graft.ops.TextOps.distinctN(docs, col("text"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 1-grams: a b a b a b c -> 7 total, 3 distinct
+    assert(out(1) == ((7L, 3L, 3.0 / 7)))
+    // 2-grams: "a b","b a","a b" + "a b" -> 4 total, 2 distinct
+    // (doc "c" is shorter than 2 and contributes nothing)
+    assert(out(2) == ((4L, 2L, 0.5)))
+    // 3-grams: "a b a","b a b" -> 2 total, 2 distinct
+    assert(out(3) == ((2L, 2L, 1.0)))
+  }
+
   test("semanticDedup: probes bounds validated, maxBucket guard names probes") {
     val df = boundaryFixture
     val e = intercept[IllegalArgumentException] {
