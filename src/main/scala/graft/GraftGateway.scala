@@ -160,6 +160,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT flesch(text)                         FROM <docs>
   * SELECT mann_kendall(period, value)          FROM <series>
   * SELECT distinct_n(text[, 1, 2, 3])          FROM <docs>
+  * SELECT poisson_reg(y, x...)                 FROM <counts>
+  * SELECT c_index(time, event, score)          FROM <survival>
+  * SELECT krippendorff(unit, value)            FROM <ratings>
+  * SELECT retrieval_eval(query, item, score, rel[, k]) FROM <rankings>
+  * SELECT dagostino_k2(x)                      FROM <sample>
+  * SELECT win_ratio(treatment, o1[, o2...])    FROM <composite>
+  * SELECT pagerank(src, dst[, d[, iters]])     FROM <edges>
+  * SELECT adf_test(period, value[, lags])      FROM <series>
+  * SELECT mmr(id, vec, rel, k[, lambda])       FROM <candidates>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -328,7 +337,9 @@ object GraftGateway {
     "embedding_drift", "partial_corr", "kendall_tau", "ad_uniform",
     "page_hinkley", "hellinger", "fleming_harrington", "bowker_test",
     "lin_ccc", "brier_decomposition", "ndcg", "flesch", "mann_kendall",
-    "distinct_n")
+    "distinct_n", "poisson_reg", "c_index", "krippendorff",
+    "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
+    "mmr")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -798,6 +809,51 @@ object GraftGateway {
         TextOps.distinctN(df, c(a(0)),
           ns = if (a.length > 1) a.drop(1).map(num(_).toInt).toSeq
                else Seq(1, 2, 3))
+      case "poisson_reg" =>
+        // count-outcome GLM (log link) with Pearson-dispersion readout
+        require(a.length >= 2, "poisson_reg(y, x...)")
+        MlWrappers.poissonSummaryDf(df, c(a(0)), a.drop(1).map(c),
+          a.drop(1).map(name))
+      case "c_index" =>
+        // Harrell's concordance of a survival risk score
+        require(a.length >= 3, "c_index(time, event, score[, max_cells])")
+        Survival.concordanceIndex(df, c(a(0)), c(a(1)), c(a(2)),
+          maxCells = if (a.length > 3) num(a(3)).toInt else 1000000)
+      case "krippendorff" =>
+        // ragged-coverage inter-annotator agreement (nominal)
+        require(a.length >= 2, "krippendorff(unit, value)")
+        Agreement.krippendorffAlpha(df, c(a(0)), c(a(1)))
+      case "retrieval_eval" =>
+        // binary-relevance MRR / recall@k / precision@k / hit-rate@k
+        require(a.length >= 4, "retrieval_eval(query, item, score, rel[, k])")
+        MlEval.retrievalEval(df, c(a(0)), c(a(1)), c(a(2)), c(a(3)),
+          k = if (a.length > 4) num(a(4)).toInt else 10)
+      case "dagostino_k2" =>
+        // finite-sample-calibrated omnibus normality (z_skew² + z_kurt²)
+        require(a.nonEmpty, "dagostino_k2(x)")
+        SimpleTests.dagostinoK2(df, c(a(0)))
+      case "win_ratio" =>
+        // hierarchical composite-endpoint pairwise comparison
+        require(a.length >= 2, "win_ratio(treatment, outcome1[, outcome2, ...])")
+        SimpleTests.winRatio(df, c(a(0)), a.drop(1).map(c))
+      case "pagerank" =>
+        // power-iteration centrality over the verb's input as edge table
+        require(a.length >= 2, "pagerank(src, dst[, damping[, iterations]])")
+        Graph.pageRank(df, c(a(0)), c(a(1)),
+          damping = if (a.length > 2) num(a(2)) else 0.85,
+          iterations = if (a.length > 3) num(a(3)).toInt else 10)
+      case "adf_test" =>
+        // unit-root stationarity gate over period cells
+        require(a.length >= 2, "adf_test(period, value[, lags])")
+        Regression.adfTest(df, c(a(0)), c(a(1)),
+          lags = if (a.length > 2) num(a(2)).toInt else 1)
+      case "mmr" =>
+        // diversity-aware greedy top-k over a retriever's candidates
+        require(a.length >= 4,
+          "mmr(id, vec, rel, k[, lambda[, max_candidates]])")
+        Ann.mmrSelect(df, c(a(0)), c(a(1)), c(a(2)), num(a(3)).toInt,
+          lambda = if (a.length > 4) num(a(4)) else 0.5,
+          maxCandidates = if (a.length > 5) num(a(5)).toInt else 1000)
       case "flesch" =>
         // per-doc readability + corpus summary
         require(a.nonEmpty, "flesch(text)")

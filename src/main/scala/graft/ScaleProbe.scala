@@ -1025,6 +1025,105 @@ object ScaleProbe {
       val r = graft.ops.SimpleTests.leveneTest(d, col("y"), col("a")).head()
       assert(r.getAs[Double]("p_value") < 0.01, r.toString)
     }
+    time(s"poisson_reg 2 covariates ($rows rows, IRLS)") {
+      // count outcome, ~8 aggregate passes; the loop compiles once
+      val d = spark.range(rows).select(
+        pmod(xxhash64(col("id"), lit(11)), lit(6L)).cast("double").as("y"),
+        (col("id") % 3).cast("double").as("x1"),
+        (pmod(xxhash64(col("id"), lit(12)), lit(1000L)).cast("double") / 1000.0).as("x2"))
+      val fit = graft.ops.MlWrappers.poissonIrls(d, col("y"),
+        Seq(col("x1"), col("x2")))
+      assert(fit.converged, s"did not converge in ${fit.iterations}")
+    }
+    time(s"c_index Fenwick sweep ($rows rows, 10k times x 50 scores)") {
+      // production shape: scores pre-quantized so the cell table stays
+      // bounded (500k cells through the guard, ONE groupBy + driver sweep)
+      val d = spark.range(rows).select(
+        (col("id") % 10000).cast("double").as("t"),
+        (col("id") % 4 =!= 0).cast("int").as("e"),
+        (pmod(xxhash64(col("id"), lit(13)), lit(50L)).cast("double") / 50.0).as("s"))
+      val r = graft.ops.Survival.concordanceIndex(d, col("t"), col("e"),
+        col("s")).head()
+      assert(r.getAs[Long]("n") == rows, r.toString)
+    }
+    time(s"krippendorff ($rows ratings, ${rows / 10} units)") {
+      // ragged-coverage agreement at corpus scale: ~10 ratings per unit,
+      // 20 nominal values; everything stays keyed, nothing collects
+      val d = spark.range(rows).select(
+        (col("id") / 10).as("u"),
+        pmod(xxhash64(col("id"), lit(14)), lit(20L)).cast("string").as("v"))
+      val r = graft.ops.Agreement.krippendorffAlpha(d, col("u"), col("v"))
+        .head()
+      assert(r.getAs[Long]("n") == rows, r.toString)
+    }
+    time(s"retrieval_eval ($rows rows, ${rows / 100} queries x 100 items)") {
+      val d = spark.range(rows).select(
+        (col("id") / 100).as("q"), col("id").as("i"),
+        (pmod(xxhash64(col("id"), lit(15)), lit(1000000L)).cast("double")).as("s"),
+        (pmod(xxhash64(col("id"), lit(16)), lit(50L)) === 0).cast("int").as("r"))
+      val out = graft.ops.MlEval.retrievalEval(d, col("q"), col("i"),
+        col("s"), col("r"), k = 10).head()
+      assert(out.getAs[Long]("n_queries") == rows / 100, out.toString)
+    }
+    time(s"dagostino_k2 ($rows rows, one moment pass)") {
+      val d = spark.range(rows).select(
+        (pmod(xxhash64(col("id"), lit(17)), lit(100000L)).cast("double") / 1000.0).as("x"))
+      val r = graft.ops.SimpleTests.dagostinoK2(d, col("x")).head()
+      assert(r.getAs[Long]("n") == rows, r.toString)
+    }
+    time("win_ratio 5000x5000 arms (2.5e7 distributed pair cascade)") {
+      val d = spark.range(10000L).select(
+        (col("id") % 2).cast("int").as("t"),
+        pmod(xxhash64(col("id"), lit(18)), lit(100L)).cast("double").as("o1"),
+        pmod(xxhash64(col("id"), lit(19)), lit(1000L)).cast("double").as("o2"))
+      val r = graft.ops.SimpleTests.winRatio(d, col("t"),
+        Seq(col("o1"), col("o2"))).head()
+      assert(r.getAs[Long]("pairs") == 25000000L, r.toString)
+    }
+    // The BASELINE claims ("OLS 100M sub-second", "second-level causal
+    // queries") are measured by the reference on a STORED table; the
+    // synthetic entries above also pay xxhash generation inside the
+    // timing. These cached-input twins separate operator cost from
+    // generator cost: the projected slice persists (untimed) and only the
+    // aggregate is on the clock — the stored-table read the claims assume.
+    locally {
+      val cached = df.select(col("y"), col("x1"), col("x2"), col("x3"))
+        .persist()
+      cached.count()
+      time("ols y ~ x1+x2+x3 (cached columnar input)") {
+        val r = cached.select(functions.ols(col("y"),
+          Seq(col("x1"), col("x2"), col("x3"))).as("m"))
+          .select("m.coefficients").head()
+        assert(math.abs(r.getSeq[Double](0).head - 2.0) < 0.01)
+      }
+    }
+    locally {
+      val cached = df.select(col("y"), col("t")).persist()
+      cached.count()
+      time("ttest_2samp y by t (cached columnar input)") {
+        cached.select(functions.ttest_2samp("x1", col("t"))(col("y")).as("r"))
+          .select("r.p_value").head()
+      }
+    }
+    time(s"pagerank 10 iters (${rows / 10} edges, ${rows / 100} nodes)") {
+      // 10 edges/node functional graph; 10 join+agg rounds under the
+      // persist-release bracket
+      val nNodes = rows / 100
+      val e = spark.range(rows / 10).select(
+        (col("id") % nNodes).as("s"),
+        pmod(xxhash64(col("id"), lit(20)), lit(nNodes)).as("d"))
+      val total = graft.ops.Graph.pageRank(e, col("s"), col("d"),
+          iterations = 10)
+        .agg(sum(col("rank"))).head().getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-6, s"rank mass $total")
+    }
+    time(s"adf_test lags=2 ($rows rows, 10k period cells)") {
+      val d = spark.range(rows).select((col("id") % 10000).as("p"),
+        (pmod(xxhash64(col("id"), lit(21)), lit(1000L)).cast("double") / 100.0).as("v"))
+      val r = graft.ops.Regression.adfTest(d, col("p"), col("v"), lags = 2)
+        .head()
+      assert(r.getAs[Boolean]("stationary_5pct"), r.toString)
+    }
     } // suite()
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt

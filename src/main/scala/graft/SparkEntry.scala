@@ -2685,6 +2685,155 @@ object SparkEntry {
           round(col("distinct_ratio"), 8).as("distinct_ratio"))
         .orderBy(col("n"))
     }),
+    "q250_poisson_reg" -> ((s, d) => {
+      // saturated binary-covariate fixture: the Poisson MLE has the
+      // closed form beta1 = ln(mean1/mean0), beta0 = ln(mean0), with
+      // se = sqrt(1/S0 + 1/S1) and sqrt(1/S0) (S_t = arm outcome sums) —
+      // the oracle replays those; IRLS must land on them to 6 decimals
+      t(s, d, "events")
+        .select((col("event_id") % 5).cast("double").as("y"),
+          (col("event_id") % 2).cast("int").as("x"))
+        .createOrReplaceTempView("q250_ev")
+      GraftGateway.sql(s, "SELECT poisson_reg(y, x) FROM q250_ev")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("dispersion"), 6).as("dispersion"), col("n"))
+        .orderBy(col("term"))
+    }),
+    "q251_c_index" -> ((s, d) => {
+      // bounded cohort (the oracle replays ALL pairs — quadratic by
+      // construction, so the fixture pins 2000 subjects); higher score
+      // must sit on earlier events to count concordant
+      t(s, d, "events").filter(col("event_id") < 2000)
+        .select(((col("event_id") % 50) + 1).cast("double").as("t"),
+          (col("event_id") % 3 =!= 0).cast("int").as("e"),
+          col("value").as("score"))
+        .createOrReplaceTempView("q251_ev")
+      GraftGateway.sql(s, "SELECT c_index(t, e, score) FROM q251_ev")
+        .select(col("n"), col("comparable"), col("concordant"),
+          col("tied_score"), col("discordant"),
+          round(col("c_index"), 8).as("c_index"))
+    }),
+    "q252_krippendorff" -> ((s, d) => {
+      // 500 units x ~20 ratings each, nominal categories = event_type;
+      // the oracle replays the coincidence-matrix form exactly
+      t(s, d, "events")
+        .select((col("event_id") % 500).as("unit"), col("event_type"))
+        .createOrReplaceTempView("q252_ev")
+      GraftGateway.sql(s, "SELECT krippendorff(unit, event_type) FROM q252_ev")
+        .select(col("units"), col("n"), col("n_values"),
+          round(col("d_o"), 8).as("d_o"), round(col("d_e"), 8).as("d_e"),
+          round(col("alpha"), 8).as("alpha"))
+    }),
+    "q253_retrieval_eval" -> ((s, d) => {
+      // 50 queries, rel = every 7th item; ranking ties break by item id
+      // (the ndcg convention) so both engines rank identically
+      t(s, d, "events")
+        .select((col("event_id") % 50).as("q"), col("event_id").as("i"),
+          col("value").as("s"),
+          (col("event_id") % 7 === 0).cast("int").as("r"))
+        .createOrReplaceTempView("q253_ev")
+      GraftGateway.sql(s, "SELECT retrieval_eval(q, i, s, r, 10) FROM q253_ev")
+        .select(col("n_queries"), col("n_scored"),
+          round(col("mrr"), 8).as("mrr"),
+          round(col("recall_at_k"), 8).as("recall_at_k"),
+          round(col("precision_at_k"), 8).as("precision_at_k"),
+          round(col("hit_rate_at_k"), 8).as("hit_rate_at_k"))
+    }),
+    "q254_dagostino_k2" -> ((s, d) => {
+      // l_quantity is integer-valued, so every raw-moment sum is exact in
+      // doubles on BOTH engines and the z-transform chain replays
+      // term-identically (the q233 jarque-bera discipline)
+      t(s, d, "lineitem").createOrReplaceTempView("q254_li")
+      GraftGateway.sql(s, "SELECT dagostino_k2(l_quantity) FROM q254_li")
+        .select(col("n"), round(col("skewness"), 8).as("skewness"),
+          round(col("ex_kurtosis"), 8).as("ex_kurtosis"),
+          round(col("z_skew"), 6).as("z_skew"),
+          round(col("z_kurt"), 6).as("z_kurt"),
+          round(col("k2"), 4).as("k2"))
+    }),
+    "q255_win_ratio" -> ((s, d) => {
+      // hierarchical composite: quantity decides, price breaks quantity
+      // ties; bounded cohort (the pair product is the statistic itself)
+      t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        .select((col("l_orderkey") % 2).cast("int").as("t"),
+          col("l_quantity").as("o1"), col("l_extendedprice").as("o2"))
+        .createOrReplaceTempView("q255_li")
+      GraftGateway.sql(s, "SELECT win_ratio(t, o1, o2) FROM q255_li")
+        .select(col("n_treat"), col("n_ctrl"), col("pairs"), col("wins"),
+          col("losses"), col("ties"),
+          round(col("win_ratio"), 6).as("win_ratio"),
+          round(col("z"), 6).as("z"))
+    }),
+    "q256_pagerank" -> ((s, d) => {
+      // 100-node functional graph (dst = 7*src-class + 3 mod 100): every
+      // node has an out-edge, so no dangling mass and the oracle's
+      // 10-iteration unrolled replay is exact
+      t(s, d, "events")
+        .select((col("event_id") % 100).as("src"),
+          ((col("event_id") * 7 + 3) % 100).as("dst"))
+        .createOrReplaceTempView("q256_ev")
+      GraftGateway.sql(s, "SELECT pagerank(src, dst, 0.85, 10) FROM q256_ev")
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy(col("node"))
+    }),
+    "q257_streaming_ph" -> ((s, d) => {
+      // Page-Hinkley as an always-on stream (q220 idiom): per event_type
+      // metric, 500-event periods close when a later period arrives; the
+      // streaming mean is sum/count, bit-identical to the batch window avg
+      import org.apache.spark.sql.streaming.Trigger
+      val spark = s
+      import spark.implicits._
+      val ev = t(s, d, "events")
+      val stream = s.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val evs = stream.filter(col("value").isNotNull)
+        .select(col("event_type").as("metricId"),
+          (col("event_id") / 500).cast("long").as("period"),
+          col("value"))
+        .as[graft.streaming.StreamOps.EwmaEvent]
+      val out = graft.streaming.StreamOps.streamingPageHinkley(evs,
+        lambda = 10.0, delta = 0.05)
+      val sink = "q257_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
+      s.catalog.dropTempView(sink)
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("metricId").as("metric_id"), col("period"),
+          col("nEvents").as("n_events"),
+          round(col("metric"), 6).as("metric"),
+          round(col("ph"), 6).as("ph"),
+          col("isAlarm").as("is_alarm"))
+        .orderBy(col("metric_id"), col("period"))
+    }),
+    "q258_adf_test" -> ((s, d) => {
+      // white-noise period cells — strongly mean-reverting, so the unit
+      // root rejects hard; lags=0 keeps the oracle a single-regressor
+      // closed form (the spec covers lags>=1 against commons-math OLS)
+      t(s, d, "events")
+        .select(floor(col("event_id") / 100).cast("long").as("period"),
+          col("value"))
+        .createOrReplaceTempView("q258_ev")
+      GraftGateway.sql(s, "SELECT adf_test(period, value, 0) FROM q258_ev")
+        .select(col("n_periods"), col("n_used"), col("lags"),
+          round(col("beta"), 6).as("beta"), round(col("se"), 6).as("se"),
+          round(col("adf_stat"), 4).as("adf_stat"), col("stationary_5pct"))
+    }),
+    "q259_mmr" -> ((s, d) => {
+      // diversity-aware top-5 from a 40-candidate pool; relevance is an
+      // exact rational both engines share, ties break by id at every pick
+      t(s, d, "embeddings").filter(col("vec_id") < 40)
+        .select(col("vec_id"), col("embedding"),
+          ((col("vec_id") * 37) % 97).cast("double") / 97.0 as "rel")
+        .createOrReplaceTempView("q259_emb")
+      GraftGateway.sql(s,
+        "SELECT mmr(vec_id, embedding, rel, 5, 0.7) FROM q259_emb")
+        .select(col("rank"), col("id"),
+          round(col("relevance"), 6).as("relevance"),
+          round(col("mmr_score"), 6).as("mmr_score"))
+        .orderBy(col("rank"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -3971,6 +4120,62 @@ object SparkEntry {
     })
   )
 
+  /** q256's oracle: PageRank's power iteration unrolled to `iters` chained
+    * CTEs (no recursive CTE — aggregation over the recursive reference is
+    * not portable SQL). The fixture graph has NO dangling node (every
+    * node class appears as a src), so the replay needs no dangling-mass
+    * term. */
+  private def pagerankOracle(iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT event_id % 100 AS src,
+        |    (event_id * 7 + 3) % 100 AS dst FROM events),
+        |nn AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nn),
+        |deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+        |  FROM e GROUP BY src),
+        |r0 AS (SELECT node, (SELECT 1.0 / n FROM cnt) AS pr FROM nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nn.node,
+         |  (SELECT 0.15 / n FROM cnt) + 0.85 * coalesce(m.mass, 0.0) AS pr
+         |  FROM nn LEFT JOIN (SELECT e.dst AS node,
+         |      sum(r.pr / deg.deg) AS mass
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN deg ON deg.node = e.src GROUP BY e.dst) m
+         |  ON nn.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$steps\nSELECT node, round(pr, 8) AS rank FROM r$iters ORDER BY node"
+  }
+
+  /** q259's oracle: the MMR greedy unrolled to k chained picks. Each step
+    * is ORDER BY score DESC, id LIMIT 1 over the not-yet-picked pool with
+    * a correlated max-cosine over the picks so far; vectors are CAST to
+    * DOUBLE[] because DuckDB's list_cosine_similarity computes in the
+    * input's width (FLOAT would put ~3e-8 noise against Spark's double
+    * path). */
+  private def mmrOracle(k: Int, lambda: Double): String = {
+    val head =
+      s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         |    CAST((vec_id * 37) % 97 AS DOUBLE) / 97.0 AS rel
+         |  FROM embeddings WHERE vec_id < 40),
+         |s1 AS (SELECT id, v, rel, $lambda * rel AS sc FROM c
+         |  ORDER BY sc DESC, id LIMIT 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val sel = (1 until i).map(j => s"SELECT v FROM s$j")
+        .mkString(" UNION ALL ")
+      val notIn = (1 until i).map(j => s"SELECT id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""s$i AS (SELECT r.id, r.v, r.rel,
+         |    $lambda * r.rel - ${1.0 - lambda} * (SELECT
+         |      max(list_cosine_similarity(r.v, s.v)) FROM ($sel) s) AS sc
+         |  FROM c r WHERE r.id NOT IN ($notIn)
+         |  ORDER BY sc DESC, r.id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT $i AS rank, id, round(rel, 6) AS relevance, " +
+        s"round(sc, 6) AS mmr_score FROM s$i").mkString(" UNION ALL ")
+    s"$head,\n$steps\n$out ORDER BY rank"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q105_tfidf" ->
       // same tokenizer, counts, and smoothed-idf/BM25 formulas replayed
@@ -4984,6 +5189,214 @@ object SparkEntry {
         |  round(CASE WHEN t > 0 THEN dd * 1.0 / t ELSE 0.0 END, 8)
         |    AS distinct_ratio
         |FROM r ORDER BY n""".stripMargin,
+    "q250_poisson_reg" ->
+      // saturated binary-covariate Poisson MLE closed form: slope =
+      // ln(mean1/mean0), se from the arm outcome sums; Pearson
+      // dispersion at the fitted cell means
+      """WITH a AS (SELECT CAST(event_id % 5 AS DOUBLE) AS y,
+        |    CAST(event_id % 2 AS INT) AS x FROM events),
+        |arm AS (SELECT x, count(*) AS cnt, sum(y) AS s, avg(y) AS m
+        |  FROM a GROUP BY x),
+        |b AS (SELECT
+        |  ln((SELECT m FROM arm WHERE x = 1) /
+        |     (SELECT m FROM arm WHERE x = 0)) AS b1,
+        |  ln((SELECT m FROM arm WHERE x = 0)) AS b0,
+        |  sqrt(1.0/(SELECT s FROM arm WHERE x = 0)
+        |     + 1.0/(SELECT s FROM arm WHERE x = 1)) AS se1,
+        |  sqrt(1.0/(SELECT s FROM arm WHERE x = 0)) AS se0,
+        |  (SELECT count(*) FROM a) AS n),
+        |disp AS (SELECT sum((y - m)*(y - m)/m)
+        |    / ((SELECT count(*) FROM a) - 2.0) AS phi
+        |  FROM a JOIN arm USING (x))
+        |SELECT 'x' AS term, round(b1, 6) AS estimate,
+        |  round(se1, 6) AS stderr, round(phi, 6) AS dispersion, n
+        |FROM b, disp
+        |UNION ALL
+        |SELECT '(intercept)', round(b0, 6), round(se0, 6), round(phi, 6), n
+        |FROM b, disp
+        |ORDER BY term""".stripMargin,
+    "q251_c_index" ->
+      // ground-truth ALL-pairs replay (the fixture is bounded for this):
+      // comparable iff the earlier subject's event is observed (or ties
+      // on time with the other censored); concordant iff the higher
+      // score sits on the earlier event
+      """WITH a AS (SELECT CAST((event_id % 50) + 1 AS DOUBLE) AS t,
+        |    CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END AS e,
+        |    value AS s
+        |  FROM events WHERE event_id < 2000),
+        |p AS (SELECT x.s AS sa, y.s AS sb
+        |  FROM a x JOIN a y
+        |  ON x.e = 1 AND (x.t < y.t OR (x.t = y.t AND y.e = 0)))
+        |SELECT (SELECT count(*) FROM a) AS n,
+        |  count(*) AS comparable,
+        |  sum(CASE WHEN sa > sb THEN 1 ELSE 0 END) AS concordant,
+        |  sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS tied_score,
+        |  sum(CASE WHEN sa < sb THEN 1 ELSE 0 END) AS discordant,
+        |  round((sum(CASE WHEN sa > sb THEN 1 ELSE 0 END)
+        |    + 0.5 * sum(CASE WHEN sa = sb THEN 1 ELSE 0 END))
+        |    / count(*), 8) AS c_index
+        |FROM p""".stripMargin,
+    "q252_krippendorff" ->
+      // coincidence-matrix nominal alpha: observed coincidences weight
+      // within-unit value pairs by 1/(m_u - 1); expectation from the
+      // value marginals over units with 2+ ratings
+      """WITH cells AS (SELECT event_id % 500 AS u, event_type AS v,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |mm AS (SELECT u, sum(c) AS m FROM cells GROUP BY u),
+        |j AS (SELECT cells.u, cells.v, cells.c, mm.m
+        |  FROM cells JOIN mm USING (u) WHERE mm.m >= 2),
+        |pv AS (SELECT v, sum(c * (c - 1.0) / (m - 1)) AS occ,
+        |    sum(c) AS nc FROM j GROUP BY v),
+        |tot AS (SELECT sum(occ) AS occ, sum(nc) AS n,
+        |    sum(nc * (nc - 1.0)) AS np, count(*) AS nv FROM pv)
+        |SELECT (SELECT count(DISTINCT u) FROM j) AS units,
+        |  CAST(n AS BIGINT) AS n, nv AS n_values,
+        |  round(1.0 - occ / n, 8) AS d_o,
+        |  round(1.0 - np / (n * (n - 1.0)), 8) AS d_e,
+        |  round(1.0 - (1.0 - occ / n) / (1.0 - np / (n * (n - 1.0))), 8)
+        |    AS alpha
+        |FROM tot""".stripMargin,
+    "q253_retrieval_eval" ->
+      // per-query first-relevant rank + top-k relevant counts; queries
+      // with no relevant item are counted but excluded from every mean
+      """WITH a AS (SELECT event_id % 50 AS q, event_id AS i, value AS s,
+        |    CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS r
+        |  FROM events),
+        |rk AS (SELECT *, row_number() OVER
+        |    (PARTITION BY q ORDER BY s DESC, i ASC) AS pos FROM a),
+        |pq AS (SELECT q, sum(r) AS nr,
+        |    min(CASE WHEN r = 1 THEN pos END) AS fr,
+        |    sum(CASE WHEN pos <= 10 THEN r ELSE 0 END) AS rt
+        |  FROM rk GROUP BY q)
+        |SELECT count(*) AS n_queries,
+        |  sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS n_scored,
+        |  round(avg(CASE WHEN nr > 0 THEN 1.0 / fr END), 8) AS mrr,
+        |  round(avg(CASE WHEN nr > 0 THEN rt * 1.0 / nr END), 8)
+        |    AS recall_at_k,
+        |  round(avg(CASE WHEN nr > 0 THEN rt / 10.0 END), 8)
+        |    AS precision_at_k,
+        |  round(avg(CASE WHEN nr > 0 THEN
+        |    (CASE WHEN rt > 0 THEN 1.0 ELSE 0.0 END) END), 8)
+        |    AS hit_rate_at_k
+        |FROM pq""".stripMargin,
+    "q254_dagostino_k2" ->
+      // the z-transform chain replayed term-identically from raw moments
+      // (products written out, never pow, so both engines share every
+      // intermediate bit on the integer-valued fixture)
+      """WITH r AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(l_quantity) AS s1,
+        |    sum(l_quantity * l_quantity) AS s2,
+        |    sum(l_quantity * l_quantity * l_quantity) AS s3,
+        |    sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |m AS (SELECT n, s1 / n AS mu, s2 / n - (s1/n)*(s1/n) AS m2,
+        |    s3/n - 3.0*(s1/n)*s2/n + 2.0*(s1/n)*(s1/n)*(s1/n) AS m3,
+        |    s4/n - 4.0*(s1/n)*s3/n + 6.0*(s1/n)*(s1/n)*s2/n
+        |      - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+        |  FROM r),
+        |g AS (SELECT n, m3 / pow(m2, 1.5) AS g1, m4 / (m2 * m2) AS b2
+        |  FROM m),
+        |sk AS (SELECT n, g1, b2,
+        |    g1 * sqrt((n+1)*(n+3)/(6.0*(n-2))) AS y,
+        |    -1.0 + sqrt(2.0 * (3.0*(n*n + 27*n - 70)*(n+1)*(n+3)
+        |      / ((n-2)*(n+5)*(n+7)*(n+9)) - 1.0)) AS w2
+        |  FROM g),
+        |z1t AS (SELECT n, g1, b2,
+        |    CASE WHEN y = 0 THEN 0.0
+        |    ELSE (1.0/sqrt(0.5*ln(w2))) * ln(y/sqrt(2.0/(w2-1.0))
+        |      + sqrt(y*y/(2.0/(w2-1.0)) + 1.0)) END AS z1
+        |  FROM sk),
+        |kt AS (SELECT n, g1, b2, z1,
+        |    (b2 - 3.0*(n-1)/(n+1))
+        |      / sqrt(24.0*n*(n-2)*(n-3)/((n+1)*(n+1)*(n+3)*(n+5))) AS xs,
+        |    6.0*(n*n - 5*n + 2)/((n+7)*(n+9))
+        |      * sqrt(6.0*(n+3)*(n+5)/(n*(n-2)*(n-3))) AS sb1
+        |  FROM z1t),
+        |kz AS (SELECT n, g1, b2, z1, xs,
+        |    6.0 + 8.0/sb1 * (2.0/sb1 + sqrt(1.0 + 4.0/(sb1*sb1))) AS a
+        |  FROM kt),
+        |z2t AS (SELECT n, g1, b2, z1,
+        |    ((1.0 - 2.0/(9.0*a))
+        |      - cbrt((1.0 - 2.0/a)/(1.0 + xs*sqrt(2.0/(a - 4.0)))))
+        |      / sqrt(2.0/(9.0*a)) AS z2
+        |  FROM kz)
+        |SELECT CAST(n AS BIGINT) AS n, round(g1, 8) AS skewness,
+        |  round(b2 - 3.0, 8) AS ex_kurtosis, round(z1, 6) AS z_skew,
+        |  round(z2, 6) AS z_kurt, round(z1*z1 + z2*z2, 4) AS k2
+        |FROM z2t""".stripMargin,
+    "q255_win_ratio" ->
+      // all treated x control pairs, lexicographic outcome cascade
+      """WITH a AS (SELECT l_orderkey % 2 AS t, l_quantity AS o1,
+        |    l_extendedprice AS o2 FROM lineitem WHERE l_orderkey < 2000),
+        |p AS (SELECT CASE WHEN x.o1 > y.o1 THEN 1 WHEN x.o1 < y.o1 THEN -1
+        |    WHEN x.o2 > y.o2 THEN 1 WHEN x.o2 < y.o2 THEN -1
+        |    ELSE 0 END AS v
+        |  FROM (SELECT * FROM a WHERE t = 1) x
+        |  CROSS JOIN (SELECT * FROM a WHERE t = 0) y)
+        |SELECT (SELECT count(*) FROM a WHERE t = 1) AS n_treat,
+        |  (SELECT count(*) FROM a WHERE t = 0) AS n_ctrl,
+        |  count(*) AS pairs,
+        |  sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS wins,
+        |  sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS losses,
+        |  sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS ties,
+        |  round(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) * 1.0
+        |    / sum(CASE WHEN v = -1 THEN 1 ELSE 0 END), 6) AS win_ratio,
+        |  round((sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)
+        |      - sum(CASE WHEN v = -1 THEN 1 ELSE 0 END))
+        |    / sqrt(CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS DOUBLE)),
+        |    6) AS z
+        |FROM p""".stripMargin,
+    "q256_pagerank" -> pagerankOracle(10),
+    "q258_adf_test" ->
+      // lags=0 Dickey-Fuller: dy on y_lag with constant — explicit
+      // moment closed form (no regr_* so every term is spelled out)
+      """WITH cells AS (SELECT CAST(floor(event_id / 100) AS BIGINT) AS p,
+        |    avg(value) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |l AS (SELECT p, y, lag(y) OVER (ORDER BY p) AS yl FROM cells),
+        |d AS (SELECT y - yl AS dy, yl FROM l WHERE yl IS NOT NULL),
+        |f AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(yl) AS sx,
+        |    sum(yl * yl) AS sxx, sum(dy) AS sy, sum(dy * dy) AS syy,
+        |    sum(yl * dy) AS sxy FROM d),
+        |b AS (SELECT n,
+        |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS beta,
+        |    sxx - sx * sx / n AS cxx,
+        |    (syy - sy * sy / n) AS cyy, (sxy - sx * sy / n) AS cxy
+        |  FROM f),
+        |s AS (SELECT n, beta,
+        |    sqrt(((cyy - beta * cxy) / (n - 2)) / cxx) AS se
+        |  FROM b)
+        |SELECT (SELECT count(*) FROM cells) AS n_periods,
+        |  CAST(n AS BIGINT) AS n_used, 0 AS lags,
+        |  round(beta, 6) AS beta, round(se, 6) AS se,
+        |  round(beta / se, 4) AS adf_stat,
+        |  beta / se < -2.86 AS stationary_5pct
+        |FROM s""".stripMargin,
+    "q259_mmr" -> mmrOracle(5, 0.7),
+    "q257_streaming_ph" ->
+      // batch replay of the streaming semantics: per-metric cells minus
+      // each metric's OPEN (max) period, then the q240 window chain
+      // partitioned by metric
+      """WITH cells AS (
+        |  SELECT event_type AS m, CAST(floor(event_id / 500) AS BIGINT)
+        |      AS p,
+        |    count(*) AS ne, avg(value) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |keep AS (SELECT * FROM cells
+        |  WHERE p < (SELECT max(p) FROM cells c2 WHERE c2.m = cells.m)),
+        |rm AS (SELECT m, p, ne, x, avg(x) OVER w AS mu
+        |  FROM keep WINDOW w AS (PARTITION BY m ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT m, p, ne, x, sum(x - mu - 0.05) OVER w AS uu
+        |  FROM rm WINDOW w AS (PARTITION BY m ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ph AS (SELECT m, p, ne, x, uu - min(uu) OVER w AS ph
+        |  FROM u WINDOW w AS (PARTITION BY m ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT m AS metric_id, p AS period, CAST(ne AS BIGINT) AS n_events,
+        |  round(x, 6) AS metric, round(ph, 6) AS ph,
+        |  ph > 10.0 AS is_alarm
+        |FROM ph ORDER BY metric_id, period""".stripMargin,
     "q243_bowker_test" ->
       // off-diagonal cell pairing i<j; chisq = sum (nij-nji)^2/(nij+nji)
       """WITH b AS (SELECT event_id % 4 AS a,

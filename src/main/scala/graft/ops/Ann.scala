@@ -521,4 +521,73 @@ object Ann {
     out.toDF("cluster", "n", "majority_label", "cluster_purity", "purity",
       "nmi")
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell-Goldstein 1998) —
+    * the diversity-aware re-ranker between a retriever's top-N and a
+    * context window: greedily pick k items maximizing
+    *
+    *   λ·rel(i) − (1−λ)·max_{j ∈ selected} cos(v_i, v_j)
+    *
+    * (the first pick has no diversity term — score is λ·rel alone). Ties
+    * break by id ascending at every step — deterministic, replayable.
+    *
+    * 100 TB shape: the candidate pool is a DISTRIBUTED top-`maxCandidates`
+    * by (rel desc, id) — Spark's TakeOrdered, no full sort — and only that
+    * bounded pool is collected for the O(N·k·dim) greedy sweep; the knob
+    * is the standard retrieve-then-rerank contract (N ≈ 100-1000), not a
+    * scale escape. Returns one row per pick:
+    * (rank, id, relevance, mmr_score), rank 1..k in pick order. */
+  def mmrSelect(df: DataFrame, id: Column, vec: Column, rel: Column,
+                k: Int, lambda: Double = 0.5,
+                maxCandidates: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"mmr: k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmr: lambda must be in [0, 1], got $lambda")
+    require(maxCandidates >= k,
+      s"mmr: maxCandidates=$maxCandidates must be >= k=$k")
+    val pool = df.filter(id.isNotNull && vec.isNotNull && rel.isNotNull)
+      .select(id.cast("long").as("id"),
+        vec.cast("array<double>").as("v"), rel.cast("double").as("rel"))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(maxCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    require(pool.nonEmpty, "mmr: no candidates")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Double], Double, Double)] // id, v, rel, score
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < math.min(k, pool.length)) {
+      var bestIdx = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < remaining.length) {
+        val (cid, cv, crel) = remaining(i)
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(cv, s._2)).max
+        val score = lambda * crel - (1.0 - lambda) * maxSim
+        // tie-break by id ascending (strict > keeps the earliest best,
+        // and remaining stays rel-desc/id-asc ordered only per pool; the
+        // explicit id compare makes the rule independent of pool order)
+        if (score > bestScore ||
+            (score == bestScore && bestIdx >= 0 && cid < remaining(bestIdx)._1)) {
+          bestIdx = i; bestScore = score
+        }
+        i += 1
+      }
+      val (bid, bv, brel) = remaining.remove(bestIdx)
+      selected += ((bid, bv, brel, bestScore))
+      ()
+    }
+    selected.zipWithIndex
+      .map { case ((sid, _, srel, sc), r) => (r + 1, sid, srel, sc) }
+      .toSeq.toDF("rank", "id", "relevance", "mmr_score")
+  }
 }

@@ -283,6 +283,46 @@ object MlEval {
       .orderBy(col("query"))
   }
 
+  /** Binary-relevance retrieval eval — MRR, recall@k, precision@k and
+    * hit-rate@k in one pass: the metrics a RAG retriever / dedup
+    * candidate ranker reports beside [[ndcg]]'s graded tier. Per query,
+    * items rank by (score desc, item asc) — the ndcg tie convention —
+    * and queries with NO relevant item are counted but excluded from
+    * every mean (the standard IR convention; their reciprocal rank and
+    * recall are undefined, not zero).
+    *
+    * 100 TB shape: ONE window PARTITIONED BY QUERY (never global) + one
+    * per-query aggregate + one O(1) summary; query cardinality
+    * unbounded. Returns one row: (n_queries, n_scored, mrr, recall_at_k,
+    * precision_at_k, hit_rate_at_k). */
+  def retrievalEval(df: DataFrame, query: Column, item: Column,
+                    score: Column, rel: Column, k: Int = 10): DataFrame = {
+    require(k >= 1, s"retrieval_eval: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.filter(query.isNotNull && item.isNotNull &&
+        score.isNotNull && rel.isNotNull)
+      .select(query.as("query"), item.as("item"),
+        score.cast("double").as("score"),
+        (rel.cast("double") > 0.0).cast("int").as("rel"))
+    val ranked = base.withColumn("pos",
+      row_number().over(w.partitionBy(col("query"))
+        .orderBy(col("score").desc, col("item").asc)))
+    val perQuery = ranked.groupBy(col("query")).agg(
+      sum(col("rel")).as("n_rel"),
+      min(when(col("rel") === 1, col("pos"))).as("first_rel"),
+      sum(when(col("pos") <= k, col("rel")).otherwise(0)).as("rel_topk"))
+    perQuery.agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("n_rel") > 0, 1L).otherwise(0L)).as("n_scored"),
+        avg(when(col("n_rel") > 0, lit(1.0) / col("first_rel"))).as("mrr"),
+        avg(when(col("n_rel") > 0,
+          col("rel_topk").cast("double") / col("n_rel"))).as("recall_at_k"),
+        avg(when(col("n_rel") > 0,
+          col("rel_topk").cast("double") / k)).as("precision_at_k"),
+        avg(when(col("n_rel") > 0,
+          (col("rel_topk") > 0).cast("double"))).as("hit_rate_at_k"))
+  }
+
   /** Calibration table + expected calibration error for a probability
     * score: rows bin by score into `nBins` equal-width bins ([0,1] range),
     * each bin reports (n, avg score, avg label, |gap|); ECE is the

@@ -164,6 +164,125 @@ object MlWrappers {
     LogisticFit(beta.take(k), beta(k), it, converged, se.take(k), se(k))
   }
 
+  /** Poisson GLM fit with inference: stderr/z/p per coefficient (xs
+    * order, intercept separate) from the final IRLS iteration's
+    * (XᵀWX)⁻¹, plus the Pearson dispersion φ = Σ(y−μ)²/μ / (n−p) — the
+    * overdispersion readout that tells a count-metric experimenter
+    * whether the Poisson variance assumption holds (φ ≫ 1 ⇒ scale the
+    * stderrs by √φ, the quasi-Poisson correction, or move to a
+    * negative-binomial model). */
+  case class PoissonFit(coefficients: Array[Double], intercept: Double,
+                        iterations: Int, converged: Boolean,
+                        stderr: Array[Double], interceptStderr: Double,
+                        dispersion: Double, n: Long) {
+    /** E[y|x] = exp(xᵀβ + b) as a codegen'd column. */
+    def predictMean(xs: Seq[Column]): Column = {
+      val lin = xs.zipWithIndex.map { case (x, i) => x.cast("double") * lit(coefficients(i)) }
+        .reduce(_ + _) + lit(intercept)
+      exp(lin)
+    }
+    def zValues: Array[Double] =
+      coefficients.zip(stderr).map { case (c, s) => c / s }
+    def pValues: Array[Double] =
+      zValues.map(z => 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z))))
+  }
+
+  /** IRLS Poisson regression (log link) — the count-outcome sibling of
+    * [[logisticIrls]] and the GLM the reference's OLS/logistic surface
+    * stops short of: per iteration, with η = Xβ and μ = exp(η),
+    *
+    *   w = μ,   z = η + (y − μ)/μ
+    *
+    * and the update is ONE weighted-OLS aggregate pass (McCullagh &
+    * Nelder 1989 §2.5's canonical-link scoring). Same 100 TB shape as
+    * logisticIrls: the iterate rides a broadcast one-row frame so the
+    * whole loop janino-compiles once (see logisticIrls' note), the
+    * (y, x…) slice is persisted across the ~5-15 iterations, O(k²)
+    * driver state. The intercept starts at log(ȳ) (the null model) so
+    * the first exp() stays in range on any y scale. Rows with a null or
+    * negative outcome are dropped listwise (a count can't be negative —
+    * the Poisson likelihood is undefined there). */
+  def poissonIrls(df: DataFrame, y: Column, xs: Seq[Column],
+                  maxIter: Int = 25, tol: Double = 1e-8): PoissonFit = {
+    require(maxIter > 0, "maxIter must be positive (stderr needs a final fit)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = xs.length
+    val slim = df.select(y.cast("double").as("__y") +:
+      xs.zipWithIndex.map { case (x, i) => x.cast("double").as(s"__x$i") }: _*)
+      .filter(col("__y").isNotNull && col("__y") >= 0.0)
+      .persist()
+    try {
+      val yd = col("__y")
+      val xsS = (0 until k).map(i => col(s"__x$i"))
+      val head = slim.agg(count(lit(1)).as("n"), avg(yd).as("ybar")).head()
+      val nRows = head.getAs[Long]("n")
+      val ybar = head.getAs[Double]("ybar")
+      require(nRows > k + 1, s"poisson_reg: need more than ${k + 1} rows, got $nRows")
+      require(ybar > 0.0, "poisson_reg: outcome is all-zero — the log link has no MLE")
+      var beta = Array.fill(k)(0.0) :+ math.log(ybar) // xs coefs ++ bias
+      var converged = false
+      var it = 0
+      var lastModel: OlsModel = null
+      while (it < maxIter && !converged) {
+        val withBeta = slim.crossJoin(broadcast(Seq(Tuple1(beta.toSeq)).toDF("__beta")))
+        val b = col("__beta")
+        val eta = xsS.zipWithIndex.map { case (x, i) =>
+          x * element_at(b, i + 1)
+        }.reduce(_ + _) + element_at(b, k + 1)
+        // clamp μ away from 0 (weight must stay positive-definite) and
+        // from overflow while the iterate is far from the optimum
+        val mu = least(greatest(exp(eta), lit(1e-10)), lit(1e15))
+        val z = eta + (yd - mu) / mu
+        val m = Regression.fitOls(withBeta, z, xsS, useBias = true, weight = mu)
+        lastModel = m
+        val next = m.summary.coefficients // xs ++ bias
+        val delta = next.zip(beta).map { case (a, b) => math.abs(a - b) }.max
+        beta = next
+        converged = delta < tol
+        it += 1
+      }
+      // Pearson dispersion at the converged μ: one more aggregate scan
+      val withBeta = slim.crossJoin(broadcast(Seq(Tuple1(beta.toSeq)).toDF("__beta")))
+      val b = col("__beta")
+      val eta = xsS.zipWithIndex.map { case (x, i) =>
+        x * element_at(b, i + 1)
+      }.reduce(_ + _) + element_at(b, k + 1)
+      val mu = least(greatest(exp(eta), lit(1e-10)), lit(1e15))
+      val pearson = withBeta.agg(
+        sum(org.apache.spark.sql.functions.pow(yd - mu, 2) / mu).as("x2")).head().getAs[Double]("x2")
+      val phi = pearson / (nRows - k - 1).toDouble
+      val se = (0 to k).map(i => math.sqrt(lastModel.xtxInv(i)(i))).toArray
+      PoissonFit(beta.take(k), beta(k), it, converged, se.take(k), se(k), phi, nRows)
+    } finally {
+      slim.unpersist()
+      ()
+    }
+  }
+
+  /** [[poissonIrls]] as a summary frame — one row per term (xs order,
+    * then "(intercept)"): (term, estimate, stderr, z_value, p_value)
+    * with the fit-level n / dispersion / iterations / converged columns
+    * repeated per row (the calibration-ece single-scan convenience). */
+  def poissonSummaryDf(df: DataFrame, y: Column, xs: Seq[Column],
+                       names: Seq[String], maxIter: Int = 25): DataFrame = {
+    require(names.length == xs.length,
+      s"poisson_reg: ${xs.length} covariates but ${names.length} names")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fit = poissonIrls(df, y, xs, maxIter = maxIter)
+    val rows = names.indices.map { i =>
+      (names(i), fit.coefficients(i), fit.stderr(i), fit.zValues(i),
+        fit.pValues(i), fit.n, fit.dispersion, fit.iterations, fit.converged)
+    } :+ (("(intercept)", fit.intercept, fit.interceptStderr,
+      fit.intercept / fit.interceptStderr,
+      2.0 * (1.0 - graft.stats.Dist.normCdf(
+        math.abs(fit.intercept / fit.interceptStderr))),
+      fit.n, fit.dispersion, fit.iterations, fit.converged))
+    rows.toDF("term", "estimate", "stderr", "z_value", "p_value", "n",
+      "dispersion", "iterations", "converged")
+  }
+
   /** AUC of a score column against binary labels via the Mann-Whitney
     * rank-sum identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀), computed with the
     * same shuffle-by-value average-rank aggregation as RankTests — O(distinct

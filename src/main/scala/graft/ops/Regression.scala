@@ -389,6 +389,60 @@ object Regression {
     }
   }
 
+  /** Augmented Dickey-Fuller unit-root test (Dickey-Fuller 1979;
+    * MacKinnon 2010 asymptotic constant-only critical values) — "is this
+    * metric series mean-reverting or a random walk", the stationarity
+    * gate before [[graft.ops.Drift.ewmaMonitor]]-style control charts
+    * (whose fixed baseline assumes it) and before trend tests read
+    * drift into a walk:
+    *
+    *   Δy_t = α + β·y_{t−1} + Σ_{i≤lags} γ_i·Δy_{t−i} + ε,
+    *   ADF = β̂/se(β̂), reject unit root when ADF < critical
+    *
+    * (critical values −3.43/−2.86/−2.57 at 1/5/10% are the published
+    * asymptotic constant-only row — the τ_μ distribution is nonstandard,
+    * so no interpolated p is invented; the spec validates the fit itself
+    * against commons-math OLS). 100 TB shape: ONE row-scale aggregate to
+    * period cells; the lag/difference windows and the OLS ride CELLS
+    * (calendar-bounded, the ewma contract). Returns one row: (n_periods,
+    * n_used, lags, beta, se, adf_stat, crit_1pct, crit_5pct, crit_10pct,
+    * stationary_5pct). */
+  def adfTest(df: DataFrame, period: Column, value: Column,
+              lags: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(lags >= 0 && lags <= 24,
+      s"adf_test: lags must be in [0, 24], got $lags")
+    val v = value.cast("double")
+    val cells = df.filter(period.isNotNull && v.isNotNull)
+      .groupBy(period.cast("long").as("period"))
+      .agg(avg(v).as("y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("period"))
+    val withLag = cells
+      .withColumn("y_lag", lag(col("y"), 1).over(w))
+      .withColumn("dy", col("y") - col("y_lag"))
+    val withDyLags = (1 to lags).foldLeft(withLag) { (d, i) =>
+      d.withColumn(s"dy_lag$i", lag(col("dy"), i).over(w))
+    }
+    val complete = withDyLags.filter(
+      (col("y_lag").isNotNull +: (1 to lags).map(i => col(s"dy_lag$i").isNotNull))
+        .reduce(_ && _))
+    val xs = col("y_lag") +: (1 to lags).map(i => col(s"dy_lag$i"))
+    val m = Regression.fitOls(complete, col("dy"), xs, useBias = true)
+    val s = m.summary
+    val nPeriods = s.n + lags + 1 // complete rows exclude the seed rows
+    require(s.n > xs.length + 2,
+      s"adf_test: only ${s.n} usable periods after differencing/lagging — " +
+        "coarsen the period bucket or lower lags")
+    val beta = s.coefficients(0)
+    val se = s.stderr(0)
+    val stat = beta / se
+    val (c1, c5, c10) = (-3.43, -2.86, -2.57)
+    Seq((nPeriods, s.n, lags, beta, se, stat, c1, c5, c10, stat < c5))
+      .toDF("n_periods", "n_used", "lags", "beta", "se", "adf_stat",
+        "crit_1pct", "crit_5pct", "crit_10pct", "stationary_5pct")
+  }
+
   def rddBandwidth(df: DataFrame, y: Column, running: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

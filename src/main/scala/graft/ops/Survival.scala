@@ -583,4 +583,90 @@ object Survival {
           col("cnt").as("n_event"), col("cif"))
     }
   }
+
+  /** Harrell's concordance index (Harrell et al. 1982) — THE
+    * discrimination readout for a survival risk score (the AUC of
+    * time-to-event models): over comparable pairs,
+    *
+    *   C = (concordant + 0.5·score-ties) / comparable
+    *
+    * where (i, j) is comparable iff i's event is observed and precedes
+    * j's time (t_i < t_j, e_i = 1), or they tie on time with i an event
+    * and j censored (j is known to outlive i); concordant iff the
+    * higher-risk score sits on the earlier event (s_i > s_j). Two events
+    * tied on time are NOT comparable — the lifelines/standard convention.
+    *
+    * 100 TB shape: NO pair expansion — rows collapse to (time, score)
+    * cells in ONE groupBy, the cell frame is guarded by `maxCells`
+    * BEFORE collection, and the pair counts come from an O(C log C)
+    * driver sweep: times descending, a Fenwick tree over score ranks
+    * counts how many already-seen (i.e. later-time) cells sit below /
+    * at / above each event cell's score. Continuous production scores
+    * should be rounded to taste to keep the cell count bounded — the
+    * error message names the knob. Returns one row:
+    * (n, comparable, concordant, tied_score, discordant, c_index). */
+  def concordanceIndex(df: DataFrame, time: Column, event: Column,
+                       score: Column, maxCells: Int = 1000000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cellsDf = df
+      .filter(time.isNotNull && event.isNotNull && score.isNotNull)
+      .groupBy(time.cast("double").as("t"), score.cast("double").as("s"))
+      .agg(sum(event.cast("int")).as("nEvent"), count(lit(1)).as("nAll"))
+    val nCells = cellsDf.limit(maxCells + 1).count()
+    require(nCells <= maxCells,
+      s"c_index: more than $maxCells distinct (time, score) cells — round " +
+        "the score (or raise maxCells knowingly); the cell sweep is " +
+        "driver-side")
+    require(nCells >= 2, s"c_index: need at least 2 cells, got $nCells")
+    val cells = cellsDf.collect().map(r => (r.getDouble(0), r.getDouble(1),
+      r.getLong(2), r.getLong(3)))
+    // score ranks for the Fenwick tree
+    val ranks = cells.map(_._2).distinct.sorted.zipWithIndex.toMap
+    val m = ranks.size
+    val fen = new Array[Long](m + 1)
+    def fenAdd(i0: Int, v: Long): Unit = {
+      var i = i0 + 1
+      while (i <= m) { fen(i) += v; i += i & -i }
+    }
+    def fenSumTo(i0: Int): Long = { // inclusive prefix count of ranks <= i0
+      var i = i0 + 1; var s = 0L
+      while (i > 0) { s += fen(i); i -= i & -i }
+      s
+    }
+    var seen = 0L // total count already added (times strictly later)
+    var conc = 0L; var tied = 0L; var disc = 0L
+    // sweep time blocks descending
+    val byTime = cells.groupBy(_._1).toArray.sortBy(-_._1)
+    byTime.foreach { case (_, block) =>
+      // same-time comparisons: event i vs censored j (j outlives i)
+      val censAtT = block.map { case (_, s, nE, nA) => (s, nA - nE) }
+        .filter(_._2 > 0)
+      block.foreach { case (_, s, nE, _) =>
+        if (nE > 0) {
+          val r = ranks(s)
+          val below = fenSumTo(r - 1)
+          val at = fenSumTo(r) - below
+          conc += nE * below
+          tied += nE * at
+          disc += nE * (seen - below - at)
+          censAtT.foreach { case (cs, nC) =>
+            if (s > cs) conc += nE * nC
+            else if (s == cs) tied += nE * nC
+            else disc += nE * nC
+          }
+        }
+      }
+      // only AFTER the block's comparisons does the block join "later"
+      block.foreach { case (_, s, _, nA) => fenAdd(ranks(s), nA); seen += nA }
+    }
+    val comparable = conc + tied + disc
+    require(comparable > 0,
+      "c_index: no comparable pairs (no observed event precedes another subject's time)")
+    val n = cells.map(_._4).sum
+    val c = (conc + 0.5 * tied) / comparable.toDouble
+    Seq((n, comparable, conc, tied, disc, c))
+      .toDF("n", "comparable", "concordant", "tied_score", "discordant",
+        "c_index")
+  }
 }

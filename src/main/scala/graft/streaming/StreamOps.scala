@@ -284,6 +284,64 @@ object StreamOps {
       }
   }
 
+  case class PhState(openPeriod: Long, sum: Double, cnt: Long,
+                     steps: Long, sumX: Double, u: Double, minU: Double)
+  case class PhOut(metricId: String, period: Long, nEvents: Long,
+                   metric: Double, ph: Double, isAlarm: Boolean)
+
+  /** Always-on Page-Hinkley mean-increase detector
+    * ([[graft.ops.Drift.pageHinkley]]'s streaming twin, same period-close
+    * contract as [[streamingEwma]]): on each period close with metric x,
+    *
+    *   m = (Σ closed x)/T  (inclusive running mean as sum/count — the
+    *   same arithmetic as the batch window's avg, not Welford, so the
+    *   two paths agree bit-for-bit)
+    *   U ← U + (x − m − δ),   PH = U − min U,   alarm iff PH > λ
+    *
+    * — term-identical to the batch op's window form, so the two agree on
+    * the same closed periods (spec-pinned). State is 7 scalars per
+    * metric, bounded forever; late events for closed periods drop.
+    * Deterministic under a single AvailableNow batch. */
+  def streamingPageHinkley(events: org.apache.spark.sql.Dataset[EwmaEvent],
+                           lambda: Double, delta: Double = 0.0)
+      : org.apache.spark.sql.Dataset[PhOut] = {
+    require(lambda > 0, s"streamingPageHinkley: lambda must be > 0, got $lambda")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.metricId)
+      .flatMapGroupsWithState[PhState, PhOut](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        case (id, evts, state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(
+            PhState(Long.MinValue, 0.0, 0L, 0L, 0.0, 0.0, Double.MaxValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PhOut]
+          def close(): Unit = if (st.cnt > 0) {
+            val x = st.sum / st.cnt
+            val t = st.steps + 1
+            val sumX = st.sumX + x
+            val mean = sumX / t
+            val u = st.u + (x - mean - delta)
+            val minU = math.min(st.minU, u)
+            val ph = u - minU
+            out += PhOut(id, st.openPeriod, st.cnt, x, ph, ph > lambda)
+            st = st.copy(steps = t, sumX = sumX, u = u, minU = minU,
+              sum = 0.0, cnt = 0L)
+          }
+          evts.toSeq.sortBy(_.period).foreach { e =>
+            if (st.cnt == 0 && e.period > st.openPeriod)
+              st = st.copy(openPeriod = e.period)
+            if (e.period == st.openPeriod)
+              st = st.copy(sum = st.sum + e.value, cnt = st.cnt + 1)
+            else if (e.period > st.openPeriod) {
+              close()
+              st = st.copy(openPeriod = e.period, sum = e.value, cnt = 1L)
+            } // late for a closed period — dropped
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class SessionEvent(userId: Long, ts: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(userId: Long, start: Long, end: Long, n: Long,

@@ -408,4 +408,348 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(g.getMessage.contains("maxBucket") &&
       g.getMessage.contains("probes"), g.getMessage)
   }
+
+  // ------------------------------------------------------------ poisson
+
+  test("poissonIrls: binary covariate lands on the closed-form MLE") {
+    // y depends on t only through cell membership -> MLE is the log of
+    // the cell means; se1 = sqrt(1/S0 + 1/S1), se0 = sqrt(1/S0)
+    val rows = (0 until 2000).map(i => ((i % 5).toDouble, i % 2))
+    val df = rows.toDF("y", "x")
+    val fit = graft.ops.MlWrappers.poissonIrls(df, col("y"), Seq(col("x")))
+    val (m0, m1) = (2.0, 2.0) // i%5 means by parity over a full cycle
+    val (s0, s1) = (1000 * m0, 1000 * m1)
+    assert(fit.converged)
+    assert(math.abs(fit.intercept - math.log(m0)) < 1e-8)
+    assert(math.abs(fit.coefficients(0) - math.log(m1 / m0)) < 1e-8)
+    assert(math.abs(fit.stderr(0) - math.sqrt(1 / s0 + 1 / s1)) < 1e-8)
+    assert(math.abs(fit.interceptStderr - math.sqrt(1 / s0)) < 1e-8)
+  }
+
+  test("poissonIrls: multi-covariate score equations vanish at the optimum") {
+    val rows = (0 until 3000).map { i =>
+      val x1 = (i % 3).toDouble; val x2 = (i % 7) / 7.0
+      // deterministic counts loosely tied to the covariates
+      val y = ((i * 13) % 5 + x1).toDouble
+      (y, x1, x2)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val fit = graft.ops.MlWrappers.poissonIrls(df, col("y"),
+      Seq(col("x1"), col("x2")))
+    assert(fit.converged)
+    // Poisson MLE first-order conditions: sum (y - mu) * x_j == 0
+    val b = fit.coefficients
+    val resid = rows.map { case (y, x1, x2) =>
+      val mu = math.exp(b(0) * x1 + b(1) * x2 + fit.intercept)
+      (y - mu, x1, x2)
+    }
+    val scale = rows.map(_._1).sum
+    assert(math.abs(resid.map(_._1).sum) / scale < 1e-6)
+    assert(math.abs(resid.map(r => r._1 * r._2).sum) / scale < 1e-6)
+    assert(math.abs(resid.map(r => r._1 * r._3).sum) / scale < 1e-6)
+    assert(fit.dispersion > 0)
+  }
+
+  test("poissonIrls: all-zero outcome raises a named error") {
+    val df = Seq((0.0, 1), (0.0, 0), (0.0, 1), (0.0, 0)).toDF("y", "x")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.MlWrappers.poissonIrls(df, col("y"), Seq(col("x")))
+    }
+    assert(e.getMessage.contains("all-zero"), e.getMessage)
+  }
+
+  // ------------------------------------------------------------ c-index
+
+  test("concordanceIndex: Fenwick sweep matches all-pairs enumeration") {
+    val rows = (0 until 120).map { i =>
+      ((i % 8).toDouble, i % 2, ((i * 37) % 11).toDouble)
+    }
+    val df = rows.toDF("t", "e", "s")
+    // first-principles pair count (the definition, not the algorithm)
+    var conc = 0L; var tied = 0L; var disc = 0L
+    for ((ti, ei, si) <- rows; (tj, _, sj) <- rows) {
+      val comparable = ei == 1 && ti < tj
+      if (comparable) {
+        if (si > sj) conc += 1 else if (si == sj) tied += 1 else disc += 1
+      }
+    }
+    // same-time event-vs-censored pairs
+    for ((ti, ei, si) <- rows; (tj, ej, sj) <- rows
+         if ei == 1 && ej == 0 && ti == tj) {
+      if (si > sj) conc += 1 else if (si == sj) tied += 1 else disc += 1
+    }
+    val r = graft.ops.Survival.concordanceIndex(df, col("t"), col("e"),
+      col("s")).head()
+    assert(r.getAs[Long]("concordant") == conc)
+    assert(r.getAs[Long]("tied_score") == tied)
+    assert(r.getAs[Long]("discordant") == disc)
+    val expC = (conc + 0.5 * tied) / (conc + tied + disc)
+    assert(math.abs(r.getAs[Double]("c_index") - expC) < 1e-12)
+  }
+
+  test("concordanceIndex: perfect and anti-perfect scores; maxCells guard") {
+    // all events, distinct times, score == -time (higher risk earlier)
+    val perfect = (1 to 20).map(i => (i.toDouble, 1, -i.toDouble))
+      .toDF("t", "e", "s")
+    assert(graft.ops.Survival.concordanceIndex(perfect, col("t"), col("e"),
+      col("s")).head().getAs[Double]("c_index") == 1.0)
+    val anti = (1 to 20).map(i => (i.toDouble, 1, i.toDouble))
+      .toDF("t", "e", "s")
+    assert(graft.ops.Survival.concordanceIndex(anti, col("t"), col("e"),
+      col("s")).head().getAs[Double]("c_index") == 0.0)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Survival.concordanceIndex(perfect, col("t"), col("e"),
+        col("s"), maxCells = 5)
+    }
+    assert(e.getMessage.contains("maxCells"), e.getMessage)
+  }
+
+  // ------------------------------------------------------- krippendorff
+
+  test("krippendorffAlpha matches first-principles pair enumeration") {
+    val ratings = Seq(
+      (0, "a"), (0, "a"), (0, "b"),
+      (1, "b"), (1, "b"),
+      (2, "a"), // single rating: dropped by definition
+      (3, "a"), (3, "b"), (3, "b"), (3, "c"),
+      (4, "c"), (4, "c"), (4, "c"))
+    val df = ratings.toDF("u", "v")
+    // definition: weighted within-unit disagreeing pairs / expectation
+    val kept = ratings.groupBy(_._1).filter(_._2.length >= 2)
+    val n = kept.values.map(_.length).sum.toDouble
+    var dis = 0.0
+    kept.values.foreach { rs =>
+      val m = rs.length
+      for (i <- rs.indices; j <- rs.indices if i != j)
+        if (rs(i)._2 != rs(j)._2) dis += 1.0 / (m - 1)
+    }
+    val dO = dis / n
+    val marg = kept.values.flatten.groupBy(_._2).view.mapValues(_.size).toMap
+    val dE = 1.0 - marg.values.map(c => c.toDouble * (c - 1)).sum / (n * (n - 1))
+    val expAlpha = 1.0 - dO / dE
+    val r = graft.ops.Agreement.krippendorffAlpha(df, col("u"), col("v"))
+      .head()
+    assert(r.getAs[Long]("units") == 4) // unit 2 dropped
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(math.abs(r.getAs[Double]("d_o") - dO) < 1e-12)
+    assert(math.abs(r.getAs[Double]("d_e") - dE) < 1e-12)
+    assert(math.abs(r.getAs[Double]("alpha") - expAlpha) < 1e-12)
+    // perfect agreement -> alpha == 1 exactly (d_o == 0)
+    val perf = Seq((0, "x"), (0, "x"), (1, "y"), (1, "y")).toDF("u", "v")
+    assert(graft.ops.Agreement.krippendorffAlpha(perf, col("u"), col("v"))
+      .head().getAs[Double]("alpha") == 1.0)
+  }
+
+  // ----------------------------------------------------- retrieval eval
+
+  test("retrievalEval: hand fixture, zero-relevant queries excluded") {
+    val df = Seq(
+      // q1: rel at pos 3 of 4
+      (1, 10, 4.0, 0), (1, 11, 3.0, 0), (1, 12, 2.0, 1), (1, 13, 1.0, 0),
+      // q2: rel at pos 1
+      (2, 20, 9.0, 1), (2, 21, 8.0, 0),
+      // q3: no relevant item
+      (3, 30, 5.0, 0), (3, 31, 4.0, 0)
+    ).toDF("q", "i", "s", "r")
+    val r = graft.ops.MlEval.retrievalEval(df, col("q"), col("i"), col("s"),
+      col("r"), k = 2).head()
+    assert(r.getAs[Long]("n_queries") == 3)
+    assert(r.getAs[Long]("n_scored") == 2)
+    assert(math.abs(r.getAs[Double]("mrr") - (1.0 / 3 + 1.0) / 2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("recall_at_k") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("precision_at_k") - 0.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hit_rate_at_k") - 0.5) < 1e-12)
+  }
+
+  // ------------------------------------------------------ dagostino k2
+
+  test("dagostinoK2: exact zero skew-z on a symmetric fixture; guards") {
+    val df = (0 until 20).flatMap(_ => Seq(-2.0, -1.0, 0.0, 1.0, 2.0))
+      .toDF("x")
+    val r = graft.ops.SimpleTests.dagostinoK2(df, col("x")).head()
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("z_skew") == 0.0)
+    // light-tailed (platykurtic) fixture -> negative kurtosis z
+    assert(r.getAs[Double]("z_kurt") < 0.0)
+    assert(r.getAs[Double]("k2") ==
+      r.getAs[Double]("z_kurt") * r.getAs[Double]("z_kurt"))
+    val small = (0 until 10).map(_.toDouble).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.dagostinoK2(small, col("x"))
+    }
+    assert(e.getMessage.contains("20"), e.getMessage)
+    // heavy right tail -> positive skew z
+    val skewed = ((0 until 90).map(_ => 1.0) ++ (0 until 10).map(_ => 50.0))
+      .toDF("x")
+    assert(graft.ops.SimpleTests.dagostinoK2(skewed, col("x")).head()
+      .getAs[Double]("z_skew") > 2.0)
+  }
+
+  // ---------------------------------------------------------- win ratio
+
+  test("winRatio: matches pair enumeration; ties cascade to outcome 2") {
+    val rows = (0 until 40).map { i =>
+      (i % 2, (i % 5).toDouble, ((i * 7) % 11).toDouble)
+    }
+    val df = rows.toDF("t", "o1", "o2")
+    val treat = rows.filter(_._1 == 1); val ctrl = rows.filter(_._1 == 0)
+    var w = 0L; var l = 0L; var tie = 0L
+    for ((_, a1, a2) <- treat; (_, b1, b2) <- ctrl) {
+      if (a1 > b1) w += 1 else if (a1 < b1) l += 1
+      else if (a2 > b2) w += 1 else if (a2 < b2) l += 1 else tie += 1
+    }
+    val r = graft.ops.SimpleTests.winRatio(df, col("t"),
+      Seq(col("o1"), col("o2"))).head()
+    assert(r.getAs[Long]("wins") == w)
+    assert(r.getAs[Long]("losses") == l)
+    assert(r.getAs[Long]("ties") == tie)
+    assert(math.abs(r.getAs[Double]("win_ratio") - w.toDouble / l) < 1e-12)
+    // guard BEFORE expansion
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.winRatio(df, col("t"), Seq(col("o1")),
+        maxPairs = 10)
+    }
+    assert(e.getMessage.contains("maxPairs"), e.getMessage)
+    // higherWins = false flips wins and losses exactly
+    val f = graft.ops.SimpleTests.winRatio(df, col("t"),
+      Seq(col("o1"), col("o2")), higherWins = false).head()
+    assert(f.getAs[Long]("wins") == l && f.getAs[Long]("losses") == w)
+  }
+
+  // ------------------------------------------------------- streaming ph
+
+  test("streamingPageHinkley agrees with the batch op on closed periods") {
+    import spark.implicits._
+    // 12 periods x 10 events, +4 planted from period 8 on
+    val rows = (0 until 120).map { i =>
+      val p = i / 10
+      ("m1", p.toLong, (i % 5).toDouble + (if (p >= 8) 4.0 else 0.0))
+    }
+    val batch = graft.ops.Drift.pageHinkley(
+      rows.toDF("m", "period", "v"), col("period"), col("v"),
+      lambda = 2.0, delta = 0.1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    // streaming over the same events in one MemoryStream batch
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.StreamOps.EwmaEvent]
+    ms.addData(rows.map(r =>
+      graft.streaming.StreamOps.EwmaEvent(r._1, r._2, r._3)): _*)
+    val out = graft.streaming.StreamOps.streamingPageHinkley(
+      ms.toDS(), lambda = 2.0, delta = 0.1)
+    val sink = "ph_spec_sink"
+    spark.catalog.dropTempView(sink)
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    val stream = try {
+      q.processAllAvailable()
+      spark.table(sink)
+        .collect().map(r => r.getAs[Long]("period") ->
+          (r.getAs[Double]("ph"), r.getAs[Boolean]("isAlarm"))).toMap
+    } finally q.stop()
+    // streaming closes periods 0..10 (11 stays open); batch has all 12
+    assert(stream.keySet == (0L to 10L).toSet)
+    stream.foreach { case (p, (ph, alarm)) =>
+      assert(math.abs(ph - batch(p)._1) < 1e-9, s"period $p")
+      assert(alarm == batch(p)._2, s"period $p alarm")
+    }
+    // the planted jump alarms
+    assert(stream(9L)._2 || stream(10L)._2, "planted +4 jump never alarmed")
+  }
+
+  // ------------------------------------------------------------- adf
+
+  test("adfTest: lags=1 fit matches commons-math OLS; white noise rejects") {
+    import spark.implicits._
+    val series = (0 until 150).map(p =>
+      (p.toLong, ((p * 29) % 13).toDouble)) // bounded noise: stationary
+    val df = series.toDF("period", "v")
+    val r = graft.ops.Regression.adfTest(df, col("period"), col("v"),
+      lags = 1).head()
+    // independent fit: commons-math on the same differenced/lagged design
+    val y = series.map(_._2).toArray
+    val dy = y.indices.drop(1).map(t => y(t) - y(t - 1))
+    val rowsUsed = (2 until y.length).map { t =>
+      (dy(t - 1), Array(y(t - 1), dy(t - 2)))
+    }
+    val reg = new org.apache.commons.math3.stat.regression
+      .OLSMultipleLinearRegression()
+    reg.newSampleData(rowsUsed.map(_._1).toArray,
+      rowsUsed.map(_._2).toArray)
+    val beta = reg.estimateRegressionParameters() // intercept first
+    val se = reg.estimateRegressionParametersStandardErrors()
+    assert(math.abs(r.getAs[Double]("beta") - beta(1)) < 1e-8)
+    assert(math.abs(r.getAs[Double]("se") - se(1)) < 1e-8)
+    assert(r.getAs[Long]("n_used") == rowsUsed.length)
+    assert(r.getAs[Boolean]("stationary_5pct"),
+      s"white noise must reject the unit root, stat ${r.getAs[Double]("adf_stat")}")
+    // a (deterministic) random walk must NOT reject: ±1 steps from an
+    // LCG sign bit (seed 42 walks to ADF ≈ −1.7, well inside the
+    // non-rejection region; a multiplicative-hash parity walk here was
+    // anti-correlated and mean-reverted at −10)
+    var acc = 0.0
+    var lcgState = 42L
+    val walk = (0 until 150).map { p =>
+      lcgState = lcgState * 6364136223846793005L + 1442695040888963407L
+      acc += (if (lcgState < 0) 1.0 else -1.0)
+      (p.toLong, acc)
+    }
+    val rw = graft.ops.Regression.adfTest(walk.toDF("period", "v"),
+      col("period"), col("v"), lags = 1).head()
+    assert(!rw.getAs[Boolean]("stationary_5pct"),
+      s"random walk rejected: stat ${rw.getAs[Double]("adf_stat")}")
+  }
+
+  // ------------------------------------------------------------- mmr
+
+  test("mmrSelect: hand fixture — relevance vs diversity trade") {
+    import spark.implicits._
+    // two near-identical high-relevance vectors + one orthogonal lower-rel
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), 1.0),
+      (2L, Seq(0.999, 0.04), 0.95), // near-dup of 1, high rel
+      (3L, Seq(0.0, 1.0), 0.5)      // orthogonal, lower rel
+    ).toDF("id", "v", "rel")
+      .withColumn("v", col("v").cast("array<double>"))
+    // lambda 0.5: pick 1 first (rel 1.0); then 3 beats 2 because 2's
+    // similarity ~1 wipes its relevance edge
+    val picks = graft.ops.Ann.mmrSelect(df, col("id"), col("v"), col("rel"),
+      k = 3, lambda = 0.5).select("rank", "id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(picks(1) == 1L && picks(2) == 3L && picks(3) == 2L, picks.toString)
+    // lambda 1.0 is pure relevance order
+    val pure = graft.ops.Ann.mmrSelect(df, col("id"), col("v"), col("rel"),
+      k = 3, lambda = 1.0).select("rank", "id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pure(1) == 1L && pure(2) == 2L && pure(3) == 3L)
+    // k > candidates returns all candidates, ranked
+    assert(graft.ops.Ann.mmrSelect(df, col("id"), col("v"), col("rel"),
+      k = 10, lambda = 0.5).count() == 3)
+  }
+
+  // ----------------------------------------------------------- pagerank
+
+  test("pageRank: 2-cycle is uniform; dangling mass redistributes; sum==1") {
+    val cycle = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val r = graft.ops.Graph.pageRank(cycle, col("s"), col("d"),
+        iterations = 7)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.5) < 1e-12 && math.abs(r(2L) - 0.5) < 1e-12)
+    // hand-computed single iteration with a dangling node:
+    // A -> B, B dangling; r0 = (.5, .5), D = .5
+    // rA = .15/2 + .85*(0 + .25) = .2875 ; rB = .075 + .85*(.5 + .25)
+    val dang = Seq((1L, 2L)).toDF("s", "d")
+    val r1 = graft.ops.Graph.pageRank(dang, col("s"), col("d"),
+        iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r1(1L) - 0.2875) < 1e-12)
+    assert(math.abs(r1(2L) - 0.7125) < 1e-12)
+    // rank mass conserved on a bigger graph
+    val edges = (0 until 300).map(i => (i % 30, (i * 11 + 5) % 30))
+      .toDF("s", "d")
+    val total = graft.ops.Graph.pageRank(edges, col("s"), col("d"),
+      iterations = 10).agg(sum(col("rank"))).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
 }
