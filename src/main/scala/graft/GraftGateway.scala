@@ -169,6 +169,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT pagerank(src, dst[, d[, iters]])     FROM <edges>
   * SELECT adf_test(period, value[, lags])      FROM <series>
   * SELECT mmr(id, vec, rel, k[, lambda])       FROM <candidates>
+  * SELECT chow_test(y, group, x...)            FROM <two regimes>
+  * SELECT breusch_pagan(y, x...)               FROM <fit>
+  * SELECT k_anonymity(k, quasi_id...)          FROM <release>
+  * SELECT mmd_rff(group, vec[, D[, gamma]])    FROM <embeddings>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -339,7 +343,7 @@ object GraftGateway {
     "lin_ccc", "brier_decomposition", "ndcg", "flesch", "mann_kendall",
     "distinct_n", "poisson_reg", "c_index", "krippendorff",
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
-    "mmr")
+    "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -854,6 +858,24 @@ object GraftGateway {
         Ann.mmrSelect(df, c(a(0)), c(a(1)), c(a(2)), num(a(3)).toInt,
           lambda = if (a.length > 4) num(a(4)) else 0.5,
           maxCandidates = if (a.length > 5) num(a(5)).toInt else 1000)
+      case "chow_test" =>
+        // structural break: did the regression change between regimes
+        require(a.length >= 3, "chow_test(y, group, x...)")
+        Regression.chowTest(df, c(a(0)), a.drop(2).map(c), c(a(1)))
+      case "breusch_pagan" =>
+        // residual-variance-vs-covariates heteroskedasticity LM test
+        require(a.length >= 2, "breusch_pagan(y, x...)")
+        Regression.breuschPagan(df, c(a(0)), a.drop(1).map(c))
+      case "k_anonymity" =>
+        // privacy audit: min equivalence-class size over quasi-ids
+        require(a.length >= 2, "k_anonymity(k, quasi_id...)")
+        Explore.kAnonymity(df, a.drop(1).map(c), num(a(0)).toInt)
+      case "mmd_rff" =>
+        // embedding-distribution two-sample MMD, linear-time RFF form
+        require(a.length >= 2, "mmd_rff(group, vec[, features[, gamma]])")
+        Drift.mmdRff(df, c(a(0)), c(a(1)),
+          features = if (a.length > 2) num(a(2)).toInt else 32,
+          gamma = if (a.length > 3) num(a(3)) else 0.015625)
       case "flesch" =>
         // per-doc readability + corpus summary
         require(a.nonEmpty, "flesch(text)")

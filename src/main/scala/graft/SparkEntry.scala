@@ -2834,6 +2834,51 @@ object SparkEntry {
           round(col("mmr_score"), 6).as("mmr_score"))
         .orderBy(col("rank"))
     }),
+    "q260_chow_test" -> ((s, d) => {
+      // planted regime break: slope shifts by +0.5 in regime 1, so the
+      // pooled fit can't absorb it and F lands far in the tail
+      t(s, d, "lineitem")
+        .select((col("l_extendedprice") +
+          when(col("l_orderkey") % 2 === 1, col("l_quantity") * 0.5)
+            .otherwise(0.0)).as("y"),
+          col("l_quantity").as("x"),
+          (col("l_orderkey") % 2).cast("int").as("g"))
+        .createOrReplaceTempView("q260_li")
+      GraftGateway.sql(s, "SELECT chow_test(y, g, x) FROM q260_li")
+        .select(col("n1"), col("n0"), col("k"),
+          round(col("f_stat"), 2).as("f_stat"))
+    }),
+    "q261_breusch_pagan" -> ((s, d) => {
+      // extendedprice ≈ qty x unit price, so the residual spread grows
+      // with quantity — a naturally heteroskedastic fixture
+      t(s, d, "lineitem")
+        .select(col("l_extendedprice").as("y"), col("l_quantity").as("x"))
+        .createOrReplaceTempView("q261_li")
+      GraftGateway.sql(s, "SELECT breusch_pagan(y, x) FROM q261_li")
+        .select(col("n"), col("k"), round(col("r2_aux"), 6).as("r2_aux"),
+          round(col("lm"), 2).as("lm"))
+    }),
+    "q262_k_anonymity" -> ((s, d) => {
+      // release audit over (nation, segment) quasi-ids at k=10
+      t(s, d, "customer").createOrReplaceTempView("q262_cu")
+      GraftGateway.sql(s,
+        "SELECT k_anonymity(10, c_nationkey, c_mktsegment) FROM q262_cu")
+        .select(col("n"), col("classes"), col("min_class_size"), col("k"),
+          col("violating_classes"), col("violating_rows"),
+          col("k_anonymous"))
+    }),
+    "q263_mmd_rff" -> ((s, d) => {
+      // embedding-distribution two-sample: labels 0-4 vs 5-9; the RFF
+      // matrix derives from integer-modular Box-Muller, so both engines
+      // construct the identical frequencies from (f, d) alone
+      t(s, d, "embeddings")
+        .select((col("label") < 5).cast("int").as("g"), col("embedding"))
+        .createOrReplaceTempView("q263_emb")
+      GraftGateway.sql(s,
+        "SELECT mmd_rff(g, embedding, 32, 0.015625) FROM q263_emb")
+        .select(col("n_x"), col("n_y"), col("features"), col("gamma"),
+          round(col("mmd2"), 8).as("mmd2"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -5373,6 +5418,94 @@ object SparkEntry {
         |  beta / se < -2.86 AS stationary_5pct
         |FROM s""".stripMargin,
     "q259_mmr" -> mmrOracle(5, 0.7),
+    "q260_chow_test" ->
+      // per-regime + pooled single-regressor SSE closed forms:
+      // SSE = Cyy - Cxy^2/Cxx; F over k+1 = 2 restrictions
+      """WITH a AS (SELECT l_extendedprice + CASE WHEN l_orderkey % 2 = 1
+        |      THEN l_quantity * 0.5 ELSE 0.0 END AS y,
+        |    l_quantity AS x, CAST(l_orderkey % 2 AS INT) AS g
+        |  FROM lineitem),
+        |m AS (SELECT g, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy,
+        |    sum(y*y) AS syy
+        |  FROM a GROUP BY g),
+        |p AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy,
+        |    sum(y*y) AS syy
+        |  FROM a),
+        |sse AS (SELECT
+        |  (SELECT (syy - sy*sy/n) - (sxy - sx*sy/n)*(sxy - sx*sy/n)
+        |     / (sxx - sx*sx/n) FROM p) AS ssep,
+        |  (SELECT (syy - sy*sy/n) - (sxy - sx*sy/n)*(sxy - sx*sy/n)
+        |     / (sxx - sx*sx/n) FROM m WHERE g = 1) AS sse1,
+        |  (SELECT (syy - sy*sy/n) - (sxy - sx*sy/n)*(sxy - sx*sy/n)
+        |     / (sxx - sx*sx/n) FROM m WHERE g = 0) AS sse0,
+        |  (SELECT n FROM m WHERE g = 1) AS n1,
+        |  (SELECT n FROM m WHERE g = 0) AS n0)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+        |  1 AS k,
+        |  round(((ssep - sse1 - sse0) / 2)
+        |    / ((sse1 + sse0) / (n1 + n0 - 4)), 2) AS f_stat
+        |FROM sse""".stripMargin,
+    "q261_breusch_pagan" ->
+      // first fit's residuals squared, then the aux r2 closed form;
+      // LM = n * r2_aux (Koenker's studentized form)
+      """WITH a AS (SELECT l_extendedprice AS y, l_quantity AS x
+        |  FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy FROM a),
+        |b AS (SELECT n, (sxy - sx*sy/n)/(sxx - sx*sx/n) AS beta,
+        |    sy/n - (sxy - sx*sy/n)/(sxx - sx*sx/n) * sx/n AS alpha
+        |  FROM m),
+        |r AS (SELECT a.x,
+        |    (a.y - b.alpha - b.beta*a.x)*(a.y - b.alpha - b.beta*a.x) AS u
+        |  FROM a, b),
+        |m2 AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(u) AS su, sum(x*x) AS sxx, sum(x*u) AS sxu,
+        |    sum(u*u) AS suu FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, 1 AS k,
+        |  round((sxu - sx*su/n)*(sxu - sx*su/n)
+        |    / ((sxx - sx*sx/n)*(suu - su*su/n)), 6) AS r2_aux,
+        |  round(n * (sxu - sx*su/n)*(sxu - sx*su/n)
+        |    / ((sxx - sx*sx/n)*(suu - su*su/n)), 2) AS lm
+        |FROM m2""".stripMargin,
+    "q262_k_anonymity" ->
+      // equivalence classes over the quasi-id tuple; min size vs k
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment, count(*) AS c
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT sum(c) AS n, count(*) AS classes,
+        |  min(c) AS min_class_size, 10 AS k,
+        |  sum(CASE WHEN c < 10 THEN 1 ELSE 0 END) AS violating_classes,
+        |  sum(CASE WHEN c < 10 THEN c ELSE 0 END) AS violating_rows,
+        |  min(c) >= 10 AS k_anonymous
+        |FROM cells""".stripMargin,
+    "q263_mmd_rff" ->
+      // per-(group, feature) mean of sqrt(2/D) cos(w_f . v + b_f) with
+      // w from the SAME integer-modular Box-Muller both engines derive;
+      // MMD^2 = sum_f (zbar_x - zbar_y)^2
+      """WITH v AS (SELECT CAST(label < 5 AS INT) AS g,
+        |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |zf AS (SELECT g, f.f AS f,
+        |    avg(sqrt(2.0/32) * cos(list_sum([
+        |      sqrt(-2 * ln(((f.f*2654435761 + (i-1)*40503 + 17) % 1048576
+        |          + 1) / 1048577.0))
+        |        * cos(2*pi() * (((f.f*1099087573 + (i-1)*2654435761 + 31)
+        |            % 1048576 + 1) / 1048577.0))
+        |        * sqrt(2*0.015625) * e[i]
+        |      for i in range(1, len(e)+1)])
+        |      + 2*pi() * ((f.f*40503 + 7) % 1048576) / 1048576.0)) AS z,
+        |    count(*) AS n
+        |  FROM v CROSS JOIN (SELECT unnest(range(32)) AS f) f
+        |  GROUP BY g, f.f),
+        |d AS (SELECT f, max(CASE WHEN g = 1 THEN z END) AS zx,
+        |    max(CASE WHEN g = 0 THEN z END) AS zy,
+        |    max(CASE WHEN g = 1 THEN n END) AS nx,
+        |    max(CASE WHEN g = 0 THEN n END) AS ny
+        |  FROM zf GROUP BY f)
+        |SELECT max(nx) AS n_x, max(ny) AS n_y, 32 AS features,
+        |  0.015625 AS gamma,
+        |  round(sum((zx - zy)*(zx - zy)), 8) AS mmd2
+        |FROM d""".stripMargin,
     "q257_streaming_ph" ->
       // batch replay of the streaming semantics: per-metric cells minus
       // each metric's OPEN (max) period, then the q240 window chain

@@ -546,4 +546,76 @@ object Drift {
             sqrt(sum(col("c_ref") * col("c_ref"))))).as("centroid_cosine"))
       .orderBy(col("label"))
   }
+
+  /** The deterministic RFF frequency matrix behind [[mmdRff]]: Box-Muller
+    * normals from integer-modular uniforms, so BOTH engines (and any
+    * re-run) derive the identical matrix from (f, d) alone — no RNG, no
+    * seed to ship. Scaled by √(2γ) for the RBF kernel
+    * k(x,y) = exp(−γ‖x−y‖²). */
+  private[graft] def rffW(f: Int, d: Int, gamma: Double): Double = {
+    val m = 1048576L
+    val u1 = ((f * 2654435761L + d * 40503L + 17L) % m + 1).toDouble / (m + 1)
+    val u2 = ((f * 1099087573L + d * 2654435761L + 31L) % m + 1).toDouble / (m + 1)
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2) *
+      math.sqrt(2.0 * gamma)
+  }
+  private[graft] def rffB(f: Int): Double =
+    2.0 * math.Pi * ((f * 40503L + 7L) % 1048576L).toDouble / 1048576.0
+
+  /** MMD² two-sample test for embedding distributions via random Fourier
+    * features (Gretton et al. 2012 §6 + Rahimi-Recht 2007) — "did the
+    * embedding DISTRIBUTION shift", where [[embeddingDrift]] only sees
+    * the per-label centroid (mean): with z_f(x) = √(2/D)·cos(w_fᵀx + b_f)
+    * and w ~ N(0, 2γI) fixed by the deterministic integer-modular
+    * Box-Muller above,
+    *
+    *   MMD² ≈ ‖z̄(X) − z̄(Y)‖²
+    *
+    * — the LINEAR-time estimator of the RBF-kernel MMD (the exact
+    * quadratic form is a pair expansion this engine refuses at corpus
+    * scale). Significance composes with the permutation verb; the
+    * statistic alone ranks drift across snapshots.
+    *
+    * 100 TB shape: ONE row-scale pass computes the D features per row
+    * (D·dim multiply-adds inside the projection) and partial-aggregates
+    * to 2·D (group, feature) cells; O(D) driver close. Returns one row:
+    * (n_x, n_y, features, gamma, mmd2). */
+  def mmdRff(df: DataFrame, group: Column, vec: Column,
+             features: Int = 32, gamma: Double = 0.015625): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(features >= 4 && features <= 4096,
+      s"mmd_rff: features must be in [4, 4096], got $features")
+    require(gamma > 0, s"mmd_rff: gamma must be > 0, got $gamma")
+    val g = group.cast("int")
+    val base = df.filter(g.isNotNull && vec.isNotNull)
+      .select(g.as("g"), vec.cast("array<double>").as("v"))
+    val bad = base.filter(col("g") =!= 0 && col("g") =!= 1).limit(1).count()
+    require(bad == 0, "mmd_rff: group must be 0/1")
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    val wLit = typedLit((0 until features).map(f =>
+      (0 until dim).map(d => rffW(f, d, gamma))))
+    val bLit = typedLit((0 until features).map(rffB))
+    val scale = math.sqrt(2.0 / features)
+    val zs = transform(sequence(lit(0), lit(features - 1)), f =>
+      cos(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, d) =>
+        acc + element_at(element_at(wLit, f + 1), d + 1) *
+          element_at(col("v"), d + 1)) + element_at(bLit, f + 1)) * scale)
+    val cells = base
+      .select(col("g"), posexplode(zs).as(Seq("f", "z")))
+      .groupBy(col("g"), col("f"))
+      .agg(avg(col("z")).as("zbar"), count(lit(1)).as("n"))
+    val r = cells.groupBy(col("f"))
+      .agg(max(when(col("g") === 1, col("zbar"))).as("zx"),
+        max(when(col("g") === 0, col("zbar"))).as("zy"),
+        max(when(col("g") === 1, col("n"))).as("nx"),
+        max(when(col("g") === 0, col("n"))).as("ny"))
+      .agg(sum((col("zx") - col("zy")) * (col("zx") - col("zy"))).as("mmd2"),
+        max(col("nx")).as("nx"), max(col("ny")).as("ny")).head()
+    require(!r.isNullAt(1) && !r.isNullAt(2),
+      "mmd_rff: need rows in both groups")
+    Seq((r.getAs[Long]("nx"), r.getAs[Long]("ny"), features, gamma,
+        r.getAs[Double]("mmd2")))
+      .toDF("n_x", "n_y", "features", "gamma", "mmd2")
+  }
 }

@@ -289,4 +289,35 @@ object Explore {
           .toDF("n", "total", "mean", "gini", "top1_share", "top10_share")
     }
   }
+
+  /** k-anonymity audit (Sweeney 2002) — the privacy gate next to
+    * [[TextOps]]' PII redaction a dataset release runs on its
+    * quasi-identifier columns: every combination of the quasi-ids must be
+    * shared by at least k rows, or the rare combination re-identifies.
+    * NULL in a quasi-id is its own equivalence class (the conservative
+    * read — a null pattern can re-identify too).
+    *
+    * 100 TB shape: ONE groupBy over the quasi-id tuple + one cell-scale
+    * aggregate; class cardinality unbounded, O(1) driver. Returns one
+    * row: (n, classes, min_class_size, k, violating_classes,
+    * violating_rows, k_anonymous). */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(quasiIds.nonEmpty, "k_anonymity: need at least one quasi-id column")
+    require(k >= 2, s"k_anonymity: k must be >= 2, got $k")
+    val cells = df
+      .groupBy(quasiIds.zipWithIndex.map { case (c, i) => c.as(s"__q$i") }: _*)
+      .agg(count(lit(1)).as("c"))
+    val r = cells.agg(sum(col("c")).as("n"), count(lit(1)).as("classes"),
+      min(col("c")).as("minc"),
+      sum(when(col("c") < k, 1L).otherwise(0L)).as("vc"),
+      sum(when(col("c") < k, col("c")).otherwise(0L)).as("vr")).head()
+    require(!r.isNullAt(0), "k_anonymity: the table is empty")
+    val minC = r.getAs[Long]("minc")
+    Seq((r.getAs[Long]("n"), r.getAs[Long]("classes"), minC, k,
+        r.getAs[Long]("vc"), r.getAs[Long]("vr"), minC >= k))
+      .toDF("n", "classes", "min_class_size", "k", "violating_classes",
+        "violating_rows", "k_anonymous")
+  }
 }

@@ -443,6 +443,75 @@ object Regression {
         "crit_1pct", "crit_5pct", "crit_10pct", "stationary_5pct")
   }
 
+  /** Chow structural-break test (Chow 1960) — "did the relationship
+    * change between the two regimes" (pre/post launch, control/treated
+    * market, before/after a pipeline change):
+    *
+    *   F = [(SSE_pooled − SSE₁ − SSE₂)/(k+1)] /
+    *       [(SSE₁ + SSE₂)/(n₁ + n₂ − 2(k+1))]   ~  F(k+1, n₁+n₂−2(k+1))
+    *
+    * with SSE from each regime's own OLS fit (intercept included, hence
+    * k+1 restrictions). THREE one-pass OLS aggregates (pooled + per
+    * regime) — no row ever leaves the executors. `group` must be 0/1;
+    * anything else is a named error. Returns one row:
+    * (n1, n2, k, sse_pooled, sse1, sse2, f_stat, p_value). */
+  def chowTest(df: DataFrame, y: Column, xs: Seq[Column],
+               group: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = group.cast("int")
+    val base = df.filter(y.isNotNull && g.isNotNull &&
+      xs.map(_.isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
+    val bad = base.filter(g =!= 0 && g =!= 1).limit(1).count()
+    require(bad == 0, "chow_test: group must be 0/1")
+    val k = xs.length
+    def sse(d: DataFrame): (Long, Double) = {
+      val s = fitOls(d, y, xs, useBias = true).summary
+      val dfree = (s.n - k - 1).toDouble
+      (s.n, s.residual_stderr * s.residual_stderr * dfree)
+    }
+    val (n, ssePooled) = sse(base)
+    val (n1, sse1) = sse(base.filter(g === 1))
+    val (n0, sse0) = sse(base.filter(g === 0))
+    require(n1 > k + 1 && n0 > k + 1,
+      s"chow_test: each regime needs more than ${k + 1} rows, got $n1 / $n0")
+    val df2 = (n - 2L * (k + 1)).toDouble
+    val f = ((ssePooled - sse1 - sse0) / (k + 1)) / ((sse1 + sse0) / df2)
+    val p =
+      if (f <= 0) 1.0
+      else 1.0 - Dist.fCdf(f, (k + 1).toDouble, df2)
+    Seq((n1, n0, k, ssePooled, sse1, sse0, f, p))
+      .toDF("n1", "n0", "k", "sse_pooled", "sse1", "sse0", "f_stat",
+        "p_value")
+  }
+
+  /** Breusch-Pagan heteroskedasticity test (1979, the LM form) — "do the
+    * residuals fan out with the covariates", the assumption check behind
+    * plain-OLS stderrs (fails ⇒ use [[clusterRobustOls]]'s sandwich or
+    * WLS):
+    *
+    *   fit y ~ X, then û² ~ X;  LM = n·R²_aux  ~  χ²(k)
+    *
+    * (the studentized Koenker form — robust to non-normal errors, the
+    * default in every stats package). TWO one-pass OLS aggregates; the
+    * residual column is a codegen'd expression of the broadcast first
+    * fit, never materialized. Returns one row:
+    * (n, k, r2_aux, lm, p_value). */
+  def breuschPagan(df: DataFrame, y: Column, xs: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(y.isNotNull &&
+      xs.map(_.isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
+    val m = fitOls(base, y, xs, useBias = true)
+    val pred = Regression.predict(m, xs)
+    val u2 = (y.cast("double") - pred) * (y.cast("double") - pred)
+    val aux = fitOls(base, u2, xs, useBias = true).summary
+    val lm = aux.n * aux.r2
+    val p = 1.0 - Dist.chiSqCdf(lm, xs.length.toDouble)
+    Seq((aux.n, xs.length, aux.r2, lm, p))
+      .toDF("n", "k", "r2_aux", "lm", "p_value")
+  }
+
   def rddBandwidth(df: DataFrame, y: Column, running: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

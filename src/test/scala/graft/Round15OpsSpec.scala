@@ -728,6 +728,110 @@ class Round15OpsSpec extends AnyFunSuite {
       k = 10, lambda = 0.5).count() == 3)
   }
 
+  // --------------------------------------------------------- chow / bp
+
+  test("chowTest: identical regimes -> F ~ 0; planted slope break rejects") {
+    import spark.implicits._
+    // 420 = lcm(20, 7, 2) * 3: noise and x perfectly balanced per regime
+    val same = (0 until 420).map { i =>
+      val x = (i % 20).toDouble
+      (2.0 * x + (i % 7) - 3.0, x, i % 2)
+    }.toDF("y", "x", "g")
+    val rSame = graft.ops.Regression.chowTest(same, col("y"),
+      Seq(col("x")), col("g")).head()
+    assert(rSame.getAs[Double]("p_value") > 0.01, rSame.toString)
+    val break_ = (0 until 420).map { i =>
+      val x = (i % 20).toDouble
+      val slope = if (i % 2 == 1) 5.0 else 2.0
+      (slope * x + (i % 7) - 3.0, x, i % 2)
+    }.toDF("y", "x", "g")
+    val rBreak = graft.ops.Regression.chowTest(break_, col("y"),
+      Seq(col("x")), col("g")).head()
+    assert(rBreak.getAs[Double]("f_stat") > 100.0, rBreak.toString)
+    assert(rBreak.getAs[Double]("p_value") < 1e-6)
+    // SSE identity: pooled >= sum of parts (the restriction only costs)
+    assert(rBreak.getAs[Double]("sse_pooled") >=
+      rBreak.getAs[Double]("sse1") + rBreak.getAs[Double]("sse0") - 1e-6)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Regression.chowTest(
+        Seq((1.0, 1.0, 2)).toDF("y", "x", "g"), col("y"), Seq(col("x")),
+        col("g"))
+    }
+    assert(e.getMessage.contains("0/1"), e.getMessage)
+  }
+
+  test("breuschPagan: homoskedastic accepts, fanning residuals reject") {
+    import spark.implicits._
+    // 550 = 2 * lcm(25, 11): the noise lattice is exactly balanced
+    // against x, so the aux r2 is ~0 by construction, not by luck
+    val homo = (0 until 550).map { i =>
+      val x = (i % 25).toDouble
+      (3.0 * x + ((i * 13) % 11) - 5.0, x)
+    }.toDF("y", "x")
+    val rH = graft.ops.Regression.breuschPagan(homo, col("y"),
+      Seq(col("x"))).head()
+    assert(rH.getAs[Double]("p_value") > 0.01, rH.toString)
+    val hetero = (0 until 550).map { i =>
+      val x = (i % 25).toDouble
+      (3.0 * x + x * (((i * 13) % 11) - 5.0), x) // spread grows with x
+    }.toDF("y", "x")
+    val rX = graft.ops.Regression.breuschPagan(hetero, col("y"),
+      Seq(col("x"))).head()
+    assert(rX.getAs[Double]("p_value") < 1e-4, rX.toString)
+    assert(rX.getAs[Double]("lm") > rH.getAs[Double]("lm"))
+  }
+
+  // -------------------------------------------------------- k-anonymity
+
+  test("kAnonymity: hand classes, null is its own class, guards") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1),          // class of 3
+      ("b", 1), ("b", 1),                    // class of 2
+      ("c", 2),                              // singleton -> violates
+      (null.asInstanceOf[String], 2), (null.asInstanceOf[String], 2)
+    ).toDF("seg", "code")
+    val r = graft.ops.Explore.kAnonymity(df,
+      Seq(col("seg"), col("code")), k = 2).head()
+    assert(r.getAs[Long]("n") == 8)
+    assert(r.getAs[Long]("classes") == 4) // null pair is its own class
+    assert(r.getAs[Long]("min_class_size") == 1)
+    assert(r.getAs[Long]("violating_classes") == 1)
+    assert(r.getAs[Long]("violating_rows") == 1)
+    assert(!r.getAs[Boolean]("k_anonymous"))
+    val ok = graft.ops.Explore.kAnonymity(df.filter(col("seg") =!= "c"),
+      Seq(col("seg"), col("code")), k = 2).head()
+    assert(ok.getAs[Boolean]("k_anonymous"))
+  }
+
+  // ------------------------------------------------------------- mmd
+
+  test("mmdRff: same distribution ~ 0, shifted distribution separates") {
+    import spark.implicits._
+    def blob(n: Int, shift: Double, g: Int) = (0 until n).map { i =>
+      (g, Seq((i % 7).toDouble + shift, ((i * 3) % 5).toDouble - shift,
+        (i % 4).toDouble))
+    }
+    val same = (blob(200, 0.0, 1) ++ blob(200, 0.0, 0))
+      .toDF("g", "v").withColumn("v", col("v").cast("array<double>"))
+    val mSame = graft.ops.Drift.mmdRff(same, col("g"), col("v"),
+      features = 64, gamma = 0.05).head().getAs[Double]("mmd2")
+    val far = (blob(200, 0.0, 1) ++ blob(200, 3.0, 0))
+      .toDF("g", "v").withColumn("v", col("v").cast("array<double>"))
+    val mFar = graft.ops.Drift.mmdRff(far, col("g"), col("v"),
+      features = 64, gamma = 0.05).head().getAs[Double]("mmd2")
+    // identical empirical distributions -> exactly equal feature means
+    assert(mSame < 1e-20, s"same-dist mmd2 $mSame")
+    assert(mFar > 1e-3, s"shifted mmd2 $mFar")
+    // the W matrix is pure (f, d) arithmetic: re-derive one entry by hand
+    val m = 1048576L
+    val u1 = ((3 * 2654435761L + 2 * 40503L + 17L) % m + 1).toDouble / (m + 1)
+    val u2 = ((3 * 1099087573L + 2 * 2654435761L + 31L) % m + 1).toDouble / (m + 1)
+    val w32 = math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.Pi * u2) *
+      math.sqrt(2 * 0.05)
+    assert(graft.ops.Drift.rffW(3, 2, 0.05) == w32)
+  }
+
   // ----------------------------------------------------------- pagerank
 
   test("pageRank: 2-cycle is uniform; dangling mass redistributes; sum==1") {
