@@ -173,6 +173,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT breusch_pagan(y, x...)               FROM <fit>
   * SELECT k_anonymity(k, quasi_id...)          FROM <release>
   * SELECT mmd_rff(group, vec[, D[, gamma]])    FROM <embeddings>
+  * SELECT cochran_armitage(dose, y)            FROM <dose-response>
+  * SELECT auc_ci(label, score[, alpha])        FROM <scored>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -343,7 +345,8 @@ object GraftGateway {
     "lin_ccc", "brier_decomposition", "ndcg", "flesch", "mann_kendall",
     "distinct_n", "poisson_reg", "c_index", "krippendorff",
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
-    "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff")
+    "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
+    "cochran_armitage", "auc_ci")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -876,6 +879,15 @@ object GraftGateway {
         Drift.mmdRff(df, c(a(0)), c(a(1)),
           features = if (a.length > 2) num(a(2)).toInt else 32,
           gamma = if (a.length > 3) num(a(3)) else 0.015625)
+      case "cochran_armitage" =>
+        // one-df ordered dose-response trend in a binary rate
+        require(a.length >= 2, "cochran_armitage(dose, y)")
+        Contingency.cochranArmitage(df, c(a(0)), c(a(1)))
+      case "auc_ci" =>
+        // DeLong AUC variance / CI / test against 0.5
+        require(a.length >= 2, "auc_ci(label, score[, alpha])")
+        MlEval.aucCi(df, c(a(0)), c(a(1)),
+          alpha = if (a.length > 2) num(a(2)) else 0.05)
       case "flesch" =>
         // per-doc readability + corpus summary
         require(a.nonEmpty, "flesch(text)")

@@ -2879,6 +2879,34 @@ object SparkEntry {
         .select(col("n_x"), col("n_y"), col("features"), col("gamma"),
           round(col("mmd2"), 8).as("mmd2"))
     }),
+    "q264_cochran_armitage" -> ((s, d) => {
+      // planted dose-response: success threshold widens by 5 points per
+      // dose level, so the rate climbs monotonically with dose
+      t(s, d, "events")
+        .select((col("event_id") % 4).cast("double").as("dose"),
+          (col("event_id") % 100 <
+            lit(40) + (col("event_id") % 4) * 5).cast("int").as("y"))
+        .createOrReplaceTempView("q264_ev")
+      GraftGateway.sql(s, "SELECT cochran_armitage(dose, y) FROM q264_ev")
+        .select(col("n"), col("k"),
+          round(col("pooled_rate"), 8).as("pooled_rate"),
+          round(col("t"), 4).as("t"), round(col("var_t"), 4).as("var_t"),
+          round(col("z"), 6).as("z"))
+    }),
+    "q265_auc_ci" -> ((s, d) => {
+      // label-separated scores (+20 on positives) so AUC is high and the
+      // DeLong variance is exercised on real tie structure
+      t(s, d, "events")
+        .select((col("event_id") % 3 === 0).cast("int").as("y"),
+          (col("value") +
+            when(col("event_id") % 3 === 0, 20.0).otherwise(0.0)).as("s"))
+        .createOrReplaceTempView("q265_ev")
+      GraftGateway.sql(s, "SELECT auc_ci(y, s) FROM q265_ev")
+        .select(col("n_pos"), col("n_neg"), round(col("auc"), 8).as("auc"),
+          round(col("se"), 8).as("se"),
+          round(col("ci_low"), 6).as("ci_low"),
+          round(col("ci_high"), 6).as("ci_high"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -5506,6 +5534,60 @@ object SparkEntry {
         |  0.015625 AS gamma,
         |  round(sum((zx - zy)*(zx - zy)), 8) AS mmd2
         |FROM d""".stripMargin,
+    "q264_cochran_armitage" ->
+      // dose cells -> the trend statistic's moment closed form
+      """WITH a AS (SELECT CAST(event_id % 4 AS DOUBLE) AS w,
+        |    CASE WHEN event_id % 100 < 40 + (event_id % 4) * 5
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |cells AS (SELECT w, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(y) AS DOUBLE) AS r FROM a GROUP BY w),
+        |m AS (SELECT sum(n) AS nn, sum(r) AS rr, sum(n*w) AS snw,
+        |    sum(n*w*w) AS snw2, sum(r*w) AS srw, count(*) AS k
+        |  FROM cells),
+        |f AS (SELECT nn, k, rr/nn AS pbar,
+        |    srw - (rr/nn) * snw AS t,
+        |    (rr/nn) * (1 - rr/nn) * (snw2 - snw*snw/nn) AS v
+        |  FROM m)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS INT) AS k,
+        |  round(pbar, 8) AS pooled_rate, round(t, 4) AS t,
+        |  round(v, 4) AS var_t, round(t / sqrt(v), 6) AS z
+        |FROM f""".stripMargin,
+    "q265_auc_ci" ->
+      // distinct-score cells, placement values by cumulative windows,
+      // DeLong variances as weighted cell variances
+      """WITH a AS (SELECT CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END
+        |      AS y,
+        |    value + CASE WHEN event_id % 3 = 0 THEN 20.0 ELSE 0.0 END AS s
+        |  FROM events),
+        |cells AS (SELECT s AS v, CAST(sum(y) AS DOUBLE) AS np,
+        |    CAST(sum(1 - y) AS DOUBLE) AS nn FROM a GROUP BY s),
+        |c2 AS (SELECT v, np, nn,
+        |    coalesce(sum(nn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_below,
+        |    sum(np) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        |  FROM cells),
+        |tot AS (SELECT sum(np) AS n1, sum(nn) AS n0 FROM cells),
+        |pv AS (SELECT np, nn,
+        |    (neg_below + 0.5 * nn) / t.n0 AS v10,
+        |    ((t.n1 - cum_pos) + 0.5 * np) / t.n1 AS v01
+        |  FROM c2, tot t),
+        |au AS (SELECT sum(np * v10) / t.n1 AS auc FROM pv, tot t
+        |  GROUP BY t.n1),
+        |se AS (SELECT sqrt(
+        |    (sum(np * (v10 - au.auc) * (v10 - au.auc)) / (t.n1 - 1)) / t.n1
+        |    + (sum(nn * (v01 - au.auc) * (v01 - au.auc)) / (t.n0 - 1)) / t.n0)
+        |      AS se
+        |  FROM pv, tot t, au GROUP BY t.n1, t.n0)
+        |SELECT CAST(t.n1 AS BIGINT) AS n_pos, CAST(t.n0 AS BIGINT) AS n_neg,
+        |  round(au.auc, 8) AS auc, round(se.se, 8) AS se,
+        |  round(greatest(0.0, au.auc - 1.959963984540054 * se.se), 6)
+        |    AS ci_low,
+        |  round(least(1.0, au.auc + 1.959963984540054 * se.se), 6)
+        |    AS ci_high
+        |FROM tot t, au, se""".stripMargin,
     "q257_streaming_ph" ->
       // batch replay of the streaming semantics: per-metric cells minus
       // each metric's OPEN (max) period, then the q240 window chain

@@ -323,6 +323,56 @@ object MlEval {
           (col("rel_topk") > 0).cast("double"))).as("hit_rate_at_k"))
   }
 
+  /** AUC with a DeLong (1988) confidence interval — the inference tier
+    * [[MlWrappers.auc]]'s point estimate lacks: with the per-positive
+    * placement values V10ᵢ = P̂(Xᵢ > Y) and per-negative V01ⱼ = P̂(X > Yⱼ)
+    * (ties half-weighted),
+    *
+    *   Var(AUC) = S10/n₁ + S01/n₀   (S = sample variances of V10/V01)
+    *
+    * and the z/p are against H₀: AUC = 0.5. 100 TB shape: rows collapse
+    * to distinct-score cells in ONE groupBy; the placement values ride
+    * [[RangeCumSum]]'s two-phase prefix sums (no global window); two
+    * cell-scale aggregates close it. Returns one row:
+    * (n_pos, n_neg, auc, se, ci_low, ci_high, z, p_value). */
+  def aucCi(df: DataFrame, label: Column, score: Column,
+            alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1, s"auc_ci: alpha in (0,1), got $alpha")
+    val s = score.cast("double")
+    val y = label.cast("int")
+    val cells = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+      .groupBy(s.as("v"))
+      .agg(sum(when(y === 1, 1L).otherwise(0L)).cast("double").as("np"),
+        sum(when(y === 1, 0L).otherwise(1L)).cast("double").as("nn"))
+    RangeCumSum.withCumSums(cells, Seq(col("v")), Seq("np", "nn")) {
+      (cum, totals) =>
+        val n1 = totals("np"); val n0 = totals("nn")
+        require(n1 >= 2 && n0 >= 2,
+          s"auc_ci: need at least 2 of each class, got pos=$n1 neg=$n0")
+        val v10 = (col("cum_nn") - col("nn") + col("nn") * 0.5) / n0
+        val v01 = ((lit(n1) - col("cum_np")) + col("np") * 0.5) / n1
+        val first = cum.agg(
+          (sum(col("np") * v10) / n1).as("auc")).head().getDouble(0)
+        val r = cum.agg(
+          (sum(col("np") * (v10 - first) * (v10 - first)) / (n1 - 1)).as("s10"),
+          (sum(col("nn") * (v01 - first) * (v01 - first)) / (n0 - 1)).as("s01"))
+          .head()
+        val se = math.sqrt(r.getAs[Double]("s10") / n1 +
+          r.getAs[Double]("s01") / n0)
+        val zq = graft.stats.Dist.normQuantile(1.0 - alpha / 2.0)
+        val z = if (se > 0) (first - 0.5) / se else Double.NaN
+        val p = if (se > 0)
+          2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z))) else Double.NaN
+        Seq((n1.toLong, n0.toLong, first, se,
+            math.max(0.0, first - zq * se), math.min(1.0, first + zq * se),
+            z, p))
+          .toDF("n_pos", "n_neg", "auc", "se", "ci_low", "ci_high", "z",
+            "p_value")
+    }
+  }
+
   /** Calibration table + expected calibration error for a probability
     * score: rows bin by score into `nBins` equal-width bins ([0,1] range),
     * each bin reports (n, avg score, avg label, |gap|); ECE is the

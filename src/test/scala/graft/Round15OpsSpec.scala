@@ -832,6 +832,77 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(graft.ops.Drift.rffW(3, 2, 0.05) == w32)
   }
 
+  // ------------------------------------------------- cochran-armitage
+
+  test("cochranArmitage: closed form by enumeration; flat rate ~ 0") {
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      val dose = (i % 4).toDouble
+      (dose, if (i % 100 < 30 + 10 * (i % 4)) 1 else 0)
+    }
+    val df = rows.toDF("dose", "y")
+    val r = graft.ops.Contingency.cochranArmitage(df, col("dose"),
+      col("y")).head()
+    // enumerate the definition directly
+    val byDose = rows.groupBy(_._1)
+    val n = rows.length.toDouble
+    val pBar = rows.map(_._2).sum / n
+    val snw = byDose.map { case (w, rs) => rs.length * w }.sum
+    val snw2 = byDose.map { case (w, rs) => rs.length * w * w }.sum
+    val srw = byDose.map { case (w, rs) => rs.map(_._2).sum * w }.sum
+    val t = srw - pBar * snw
+    val v = pBar * (1 - pBar) * (snw2 - snw * snw / n)
+    assert(math.abs(r.getAs[Double]("t") - t) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_t") - v) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z") - t / math.sqrt(v)) < 1e-9)
+    assert(r.getAs[Double]("p_value") < 1e-3, "planted trend must reject")
+    // flat rate: y alternates by BLOCK of 4 so each dose sees exactly
+    // half successes -> t exactly 0 (i % 2 would alias dose parity)
+    val flat = (0 until 400).map { i =>
+      ((i % 4).toDouble, if ((i / 4) % 2 == 0) 1 else 0)
+    }.toDF("dose", "y")
+    val rf = graft.ops.Contingency.cochranArmitage(flat, col("dose"),
+      col("y")).head()
+    assert(rf.getAs[Double]("t") == 0.0)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Contingency.cochranArmitage(
+        Seq((1.0, 2)).toDF("dose", "y"), col("dose"), col("y"))
+    }
+    assert(e.getMessage.contains("0/1"), e.getMessage)
+  }
+
+  // ---------------------------------------------------------- auc ci
+
+  test("aucCi: DeLong variance matches per-sample enumeration") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      val y = if (i % 3 == 0) 1 else 0
+      (y, ((i * 7) % 23).toDouble + (if (y == 1) 5.0 else 0.0))
+    }
+    val df = rows.toDF("y", "s")
+    val r = graft.ops.MlEval.aucCi(df, col("y"), col("s")).head()
+    // brute-force placement values
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    def v10(x: Double) =
+      neg.map(yj => if (x > yj) 1.0 else if (x == yj) 0.5 else 0.0).sum / neg.length
+    def v01(yj: Double) =
+      pos.map(x => if (x > yj) 1.0 else if (x == yj) 0.5 else 0.0).sum / pos.length
+    val vs10 = pos.map(v10); val vs01 = neg.map(v01)
+    val auc = vs10.sum / pos.length
+    def svar(xs: Seq[Double]) =
+      xs.map(v => (v - auc) * (v - auc)).sum / (xs.length - 1)
+    val se = math.sqrt(svar(vs10) / pos.length + svar(vs01) / neg.length)
+    assert(math.abs(r.getAs[Double]("auc") - auc) < 1e-12,
+      s"auc ${r.getAs[Double]("auc")} vs $auc")
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-12,
+      s"se ${r.getAs[Double]("se")} vs $se")
+    // matches the point-estimate op and brackets it
+    val point = graft.ops.MlWrappers.auc(df, col("s"), col("y"))
+    assert(math.abs(point - auc) < 1e-12)
+    assert(r.getAs[Double]("ci_low") < auc && auc < r.getAs[Double]("ci_high"))
+  }
+
   // ----------------------------------------------------------- pagerank
 
   test("pageRank: 2-cycle is uniform; dangling mass redistributes; sum==1") {

@@ -8,8 +8,12 @@ Recipe (matches the round-14 sf1 artifact's description):
   and joined tables (orders<->lineitem on orderkey, customer<->orders on
   custkey, ...) stay consistent within a copy;
 - dimension tables (region, nation) are NOT replicated;
-- documents.text is salted with a per-copy suffix token so corpus
-  uniqueness assumptions (dedup fixtures) hold across copies.
+- documents.text is salted with a PER-ROW suffix token (' s<final id>')
+  so corpus-uniqueness assumptions hold globally: the sf0.1 base table
+  itself contains a latent normalized-text collision (doc 179 vs 2523 —
+  invisible at the sf0.01 gate, which has no doc 2523) that would break
+  the closed-form dedup oracles (q115/q127) at any replication factor;
+  n_chars is recomputed to match the salted text.
 
 Usage: python3 tools/gen_sf1.py [src_dir] [dst_dir]
 """
@@ -65,10 +69,10 @@ rep("events",
     f"event_type, value, props")
 rep("documents",
     f"doc_id + {{i}}*{OFF['doc_id']} AS doc_id, "
-    f"CASE WHEN {{i}} = 0 THEN text ELSE text || ' sfx{{i}}' END AS text, "
+    f"text || ' s' || CAST(doc_id + {{i}}*{OFF['doc_id']} AS VARCHAR) AS text, "
     f"lang, source, "
     # keep the length column consistent with the salted text
-    f"n_chars + (CASE WHEN {{i}} = 0 THEN 0 ELSE 5 END) AS n_chars")
+    f"n_chars + 2 + length(CAST(doc_id + {{i}}*{OFF['doc_id']} AS VARCHAR)) AS n_chars")
 rep("embeddings",
     f"vec_id + {{i}}*{OFF['vec_id']} AS vec_id, embedding, label")
 print("done ->", DST)
