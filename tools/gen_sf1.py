@@ -73,6 +73,19 @@ rep("documents",
     f"lang, source, "
     # keep the length column consistent with the salted text
     f"n_chars + 2 + length(CAST(doc_id + {{i}}*{OFF['doc_id']} AS VARCHAR)) AS n_chars")
-rep("embeddings",
-    f"vec_id + {{i}}*{OFF['vec_id']} AS vec_id, embedding, label")
+# embeddings: copies 1-9 EXCLUDE the PQ/IVF-PQ probe vectors (vec_id < 10)
+# — an exact replica of a probe quantizes to the probe's own argmin codes,
+# so it ties the planted zero-distance copies those fixtures' recall gates
+# assume are unique (q150/q154 read recall 0.40 from the tie scramble, an
+# artifact of replication, not of the operator). Everything else stays an
+# exact copy so the near-dup pair structure the dedup fixtures exercise
+# survives. 19,910 rows instead of 20,000.
+con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/embeddings.parquet'")
+emb_parts = [
+    f"SELECT vec_id + {i}*{OFF['vec_id']} AS vec_id, embedding, label FROM src" +
+    ("" if i == 0 else " WHERE vec_id >= 10")
+    for i in range(10)]
+con.execute(f"COPY ({' UNION ALL '.join(emb_parts)}) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)")
+print("embeddings",
+      con.execute(f"SELECT count(*) FROM '{DST}/embeddings.parquet'").fetchone()[0])
 print("done ->", DST)

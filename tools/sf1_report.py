@@ -13,14 +13,25 @@ Classification per query:
   timeout while the Spark parquet exists
 - spark_missing: Verify produced no output directory (Spark-side failure)
 
-Usage: sf1_report.py <verifyOut> <sfDir> [timeout_sec_per_query]
-Prints a JSON object {name: status} plus a summary to stderr.
+Usage: sf1_report.py <verifyOut> <sfDir> [timeout_sec_per_query] [done.log]
+Prints a JSON object {name: status} plus a summary to stderr. Each oracle
+runs in a CHILD PROCESS killed at the timeout — SIGALRM cannot interrupt a
+DuckDB C call, so an in-process alarm never fires until the query is done.
+A done.log of "name status" lines (this script's own stderr format) skips
+already-classified queries, so a killed run resumes.
 """
-import duckdb, json, sys, os, signal
+import duckdb, json, sys, os
+import multiprocessing as mp
 import numpy as np
 
 out, sf = sys.argv[1], sys.argv[2]
 tmo = int(sys.argv[3]) if len(sys.argv) > 3 else 600
+done = {}
+if len(sys.argv) > 4 and os.path.exists(sys.argv[4]):
+    for line in open(sys.argv[4]):
+        parts = line.strip().split(" ", 1)
+        if len(parts) == 2 and parts[0].startswith("q"):
+            done[parts[0]] = parts[1]
 
 TABLES = ["lineitem", "orders", "customer", "nation", "region", "part",
           "supplier", "events", "documents", "embeddings"]
@@ -28,46 +39,30 @@ TABLES = ["lineitem", "orders", "customer", "nation", "region", "part",
 oracles = json.load(open(os.path.join(out, "oracle_sql.json")))
 
 
-class Timeout(Exception):
-    pass
-
-
-def alarm(_sig, _frm):
-    raise Timeout()
-
-
-signal.signal(signal.SIGALRM, alarm)
-
-statuses = {}
-for name in sorted(oracles):
+def classify(name, q):
+    """Child-process body: run the oracle + compare, put status on q."""
     qdir = os.path.join(out, name)
-    if not os.path.isdir(qdir):
-        statuses[name] = "spark_missing"
-        continue
     con = duckdb.connect()
     con.execute("SET threads TO 16")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     try:
-        signal.alarm(tmo)
         odf = con.execute(oracles[name]).fetchdf()
-        signal.alarm(0)
         sdf = duckdb.connect().execute(
             f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetchdf()
         ocols = sorted(odf.columns)
         scols = sorted(sdf.columns)
         if ocols != scols:
-            statuses[name] = f"schema_mismatch {scols} vs {ocols}"
-            continue
+            q.put(f"schema_mismatch {scols} vs {ocols}")
+            return
         o = odf[ocols].sort_values(ocols).reset_index(drop=True)
         s = sdf[ocols].sort_values(ocols).reset_index(drop=True)
         if len(o) != len(s):
-            statuses[name] = (
-                "oracle_pinned_sf0.01_by_design"
-                if "oracle_sf" in oracles[name]
-                else f"row_mismatch {len(s)} vs {len(o)}")
-            continue
+            q.put("oracle_pinned_sf0.01_by_design"
+                  if "oracle_sf" in oracles[name]
+                  else f"row_mismatch {len(s)} vs {len(o)}")
+            return
         status = "match"
         max_delta = 0.0
         for c in ocols:
@@ -89,14 +84,34 @@ for name in sorted(oracles):
                 status = "oracle_pinned_sf0.01_by_design"
             elif status == "value_mismatch" and max_delta < 3e-6:
                 status = f"round6_boundary_flip_max_{max_delta:.1e}"
-        statuses[name] = status
-    except Timeout:
-        statuses[name] = "oracle_quadratic_timeout_spark_ok"
+        q.put(status)
     except Exception as e:
-        statuses[name] = f"oracle_err {str(e)[:160]}"
+        q.put(f"oracle_err {str(e)[:160]}")
     finally:
-        signal.alarm(0)
         con.close()
+
+
+statuses = {}
+for name in sorted(oracles):
+    if name in done:
+        statuses[name] = done[name]
+        continue
+    if not os.path.isdir(os.path.join(out, name)):
+        statuses[name] = "spark_missing"
+        continue
+    q = mp.Queue()
+    proc = mp.Process(target=classify, args=(name, q))
+    proc.start()
+    proc.join(tmo)
+    if proc.is_alive():
+        proc.terminate()
+        proc.join(10)
+        if proc.is_alive():
+            proc.kill()
+            proc.join()
+        statuses[name] = "oracle_quadratic_timeout_spark_ok"
+    else:
+        statuses[name] = q.get() if not q.empty() else "oracle_err child_died"
     print(name, statuses[name], file=sys.stderr, flush=True)
 
 print(json.dumps(statuses, indent=1))
