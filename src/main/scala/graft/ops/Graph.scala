@@ -54,13 +54,21 @@ object Graph {
       try {
       val n = base.count()
       require(n > 0, "pagerank: the edge table is empty")
-      var ranks = base.select(col("node"), col("deg"),
-        lit(1.0 / n).as("rank")).persist()
-      ranks.count() // materialize before the loop so the bracket holds
+      // the iterate is a localCheckpoint, not a persist: ONE eager action
+      // per round materializes it AND truncates the lineage, so every
+      // round's plan has the same tiny shape (scan ⋈ scan → agg → join)
+      // instead of a growing persisted chain — with the per-round
+      // dangling job skipped on dangling-free graphs (the common case
+      // after link cleaning), a round costs exactly one job
+      var ranks = graft.Ckpt.register(base.select(col("node"), col("deg"),
+        lit(1.0 / n).as("rank")).localCheckpoint(true))
+      val hasDangling = base.filter(col("deg").isNull).limit(1).count() > 0
       var it = 0
       while (it < iterations) {
-        val dangling = ranks.filter(col("deg").isNull)
-          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+        val dangling =
+          if (!hasDangling) 0.0
+          else ranks.filter(col("deg").isNull)
+            .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
         val contrib = e.join(ranks, e("src") === ranks("node"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("rank") / col("deg")).as("in_mass"))
@@ -69,17 +77,12 @@ object Graph {
             (lit((1.0 - damping) / n) +
               lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
                 lit(dangling / n))).as("rank"))
-          .persist()
-        next.count()
-        ranks.unpersist()
-        ranks = next
+          .localCheckpoint(true)
+        graft.Ckpt.release(ranks)
+        ranks = graft.Ckpt.register(next)
         it += 1
       }
-      val out = ranks.select(col("node"), col("rank"))
-      // hand the rows out of the persist bracket before releasing it
-      val result = out.localCheckpoint()
-      ranks.unpersist()
-      graft.Ckpt.register(result)
+      ranks.select(col("node"), col("rank"))
       } finally {
         base.unpersist()
         ()
