@@ -1050,7 +1050,7 @@ object ScaleProbe {
       // ragged-coverage agreement at corpus scale: ~10 ratings per unit,
       // 20 nominal values; everything stays keyed, nothing collects
       val d = spark.range(rows).select(
-        (col("id") / 10).as("u"),
+        floor(col("id") / 10).cast("long").as("u"),
         pmod(xxhash64(col("id"), lit(14)), lit(20L)).cast("string").as("v"))
       val r = graft.ops.Agreement.krippendorffAlpha(d, col("u"), col("v"))
         .head()
@@ -1058,7 +1058,7 @@ object ScaleProbe {
     }
     time(s"retrieval_eval ($rows rows, ${rows / 100} queries x 100 items)") {
       val d = spark.range(rows).select(
-        (col("id") / 100).as("q"), col("id").as("i"),
+        floor(col("id") / 100).cast("long").as("q"), col("id").as("i"),
         (pmod(xxhash64(col("id"), lit(15)), lit(1000000L)).cast("double")).as("s"),
         (pmod(xxhash64(col("id"), lit(16)), lit(50L)) === 0).cast("int").as("r"))
       val out = graft.ops.MlEval.retrievalEval(d, col("q"), col("i"),
