@@ -175,6 +175,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT mmd_rff(group, vec[, D[, gamma]])    FROM <embeddings>
   * SELECT cochran_armitage(dose, y)            FROM <dose-response>
   * SELECT auc_ci(label, score[, alpha])        FROM <scored>
+  * SELECT g_test(a, b)                         FROM <contingency>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -346,7 +347,7 @@ object GraftGateway {
     "distinct_n", "poisson_reg", "c_index", "krippendorff",
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
-    "cochran_armitage", "auc_ci")
+    "cochran_armitage", "auc_ci", "g_test")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -888,6 +889,11 @@ object GraftGateway {
         require(a.length >= 2, "auc_ci(label, score[, alpha])")
         MlEval.aucCi(df, c(a(0)), c(a(1)),
           alpha = if (a.length > 2) num(a(2)) else 0.05)
+      case "g_test" =>
+        // log-likelihood-ratio independence (the collocation G-square)
+        require(a.length >= 2, "g_test(a, b[, max_cells])")
+        SimpleTests.gTest(df, c(a(0)), c(a(1)),
+          maxCells = if (a.length > 2) num(a(2)).toInt else 100000)
       case "flesch" =>
         // per-doc readability + corpus summary
         require(a.nonEmpty, "flesch(text)")

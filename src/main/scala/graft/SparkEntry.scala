@@ -2907,6 +2907,15 @@ object SparkEntry {
           round(col("ci_low"), 6).as("ci_low"),
           round(col("ci_high"), 6).as("ci_high"))
     }),
+    "q266_g_test" -> ((s, d) => {
+      // returnflag x linestatus dependence (the q140 chisq fixture's
+      // G-square sibling); G2 = 2 sum O ln(O/E) over observed cells
+      t(s, d, "lineitem").createOrReplaceTempView("q266_li")
+      GraftGateway.sql(s,
+        "SELECT g_test(l_returnflag, l_linestatus) FROM q266_li")
+        .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+          round(col("g2"), 4).as("g2"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -5588,6 +5597,22 @@ object SparkEntry {
         |  round(least(1.0, au.auc + 1.959963984540054 * se.se), 6)
         |    AS ci_high
         |FROM tot t, au, se""".stripMargin,
+    "q266_g_test" ->
+      // cell counts -> marginals -> 2 sum O ln(O/E); zero cells drop out
+      """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+        |    count(*) AS c FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(c) AS r FROM cells GROUP BY a),
+        |ct AS (SELECT b, sum(c) AS t FROM cells GROUP BY b),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cells),
+        |g AS (SELECT 2.0 * sum(c * ln(c / (rt.r * ct.t / n.n))) AS g2
+        |  FROM cells JOIN rt USING (a) JOIN ct USING (b), n)
+        |SELECT CAST(n.n AS BIGINT) AS n,
+        |  (SELECT count(*) FROM rt) AS n_rows,
+        |  (SELECT count(*) FROM ct) AS n_cols,
+        |  ((SELECT count(*) FROM rt) - 1)
+        |    * ((SELECT count(*) FROM ct) - 1) AS dof,
+        |  round(g.g2, 4) AS g2
+        |FROM n, g""".stripMargin,
     "q257_streaming_ph" ->
       // batch replay of the streaming semantics: per-metric cells minus
       // each metric's OPEN (max) period, then the q240 window chain

@@ -143,6 +143,45 @@ object SimpleTests {
       .toDF("n", "n_rows", "n_cols", "dof", "chisq", "p_value", "cramers_v")
   }
 
+  /** G-test of independence (Dunning 1993's log-likelihood ratio — the
+    * collocation/keyness standard for text: for sparse cells Pearson's
+    * [[chisqIndependence]] over-rejects while G² stays calibrated, which
+    * is why corpus-linguistics tooling ranks bigrams and keywords by G²):
+    *
+    *   G² = 2 Σ O ln(O/E)   over the full r×c grid (O = 0 terms are 0),
+    *   ~ χ²((r−1)(c−1))
+    *
+    * Same cell shape and guards as chisqIndependence — ONE groupBy to
+    * contingency cells, maxCells BEFORE collection, O(r·c) driver close.
+    * Returns one row: (n, n_rows, n_cols, dof, g2, p_value). */
+  def gTest(df: DataFrame, a: Column, b: Column,
+            maxCells: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .agg(count(lit(1)).as("c"))
+      .limit(maxCells + 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"g_test: more than $maxCells contingency cells — these are not " +
+        "categorical columns; raise maxCells if they really are")
+    val rowT = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val colT = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val n = cells.map(_._3).sum
+    require(rowT.size >= 2 && colT.size >= 2,
+      s"g_test: need at least a 2x2 table, got ${rowT.size}x${colT.size}")
+    val g2 = 2.0 * cells.iterator.map { case (ra, cb, obs) =>
+      val exp = rowT(ra).toDouble * colT(cb) / n
+      obs * math.log(obs / exp) // only observed cells contribute (O ln O/E)
+    }.sum
+    val dof = (rowT.size - 1) * (colT.size - 1)
+    val p = 1.0 - Dist.chiSqCdf(g2, dof.toDouble)
+    Seq((n, rowT.size.toLong, colT.size.toLong, dof.toLong, g2, p))
+      .toDF("n", "n_rows", "n_cols", "dof", "g2", "p_value")
+  }
+
   /** Mutual information between two categorical columns (feature/label
     * dependence screen; Cover & Thomas ch. 2) — the model-free "does this
     * attribute predict that label at all" number a pipeline runs before

@@ -903,6 +903,32 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("ci_low") < auc && auc < r.getAs[Double]("ci_high"))
   }
 
+  // ------------------------------------------------------------- g-test
+
+  test("gTest: hand 2x2 closed form; independent lattice ~ 0; sparse-safe") {
+    import spark.implicits._
+    // 2x2 with counts 30/10/10/30
+    val rows = Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(30)(("y", "v"))
+    val r = graft.ops.SimpleTests.gTest(rows.toDF("a", "b"), col("a"),
+      col("b")).head()
+    // closed form: 2 sum O ln(O/E), E = 20 everywhere
+    val exp = 2.0 * (30 * math.log(30.0 / 20) * 2 + 10 * math.log(10.0 / 20) * 2)
+    assert(math.abs(r.getAs[Double]("g2") - exp) < 1e-10)
+    assert(r.getAs[Long]("dof") == 1)
+    assert(r.getAs[Double]("p_value") < 1e-4)
+    // exactly independent lattice -> G2 exactly 0
+    val ind = (0 until 120).map(i => ((i % 2).toString, (i % 3).toString))
+      .toDF("a", "b")
+    val ri = graft.ops.SimpleTests.gTest(ind, col("a"), col("b")).head()
+    assert(math.abs(ri.getAs[Double]("g2")) < 1e-10)
+    // a structurally-zero cell must not NaN the statistic
+    val sparse = (Seq.fill(20)(("x", "u")) ++ Seq.fill(20)(("y", "v")) ++
+      Seq.fill(1)(("x", "v"))).toDF("a", "b")
+    val rs = graft.ops.SimpleTests.gTest(sparse, col("a"), col("b")).head()
+    assert(!rs.getAs[Double]("g2").isNaN && rs.getAs[Double]("g2") > 0)
+  }
+
   // ----------------------------------------------------------- pagerank
 
   test("pageRank: 2-cycle is uniform; dangling mass redistributes; sum==1") {
