@@ -141,7 +141,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT overlap(t, score[, bins])            FROM <scored cohort>
   * SELECT mad_outliers(x[, k][, 'exact'])      FROM <any>
   * SELECT bpe_token_count(text, 'merges'[, group])        FROM <docs>
-  * SELECT semantic_dedup(id, embedding, k[, thr[, iters[, maxb[, probes]]]]) FROM <vectors>
+  * SELECT semantic_dedup(id, embedding, k[, thr[, iters[, maxb[, probes[, rank]]]]]) FROM <vectors>
   * SELECT friedman(block, treatment, y)        FROM <complete panel>
   * SELECT welch_anova(y, arm)                  FROM <any>
   * SELECT jarque_bera(x)                       FROM <any>
@@ -881,7 +881,9 @@ object GraftGateway {
           features = if (a.length > 2) num(a(2)).toInt else 32,
           gamma = if (a.length > 3) num(a(3)) else 0.015625)
       case "cochran_armitage" =>
-        // one-df ordered dose-response trend in a binary rate
+        // ALIAS of trend_test (SURVEY #106 = #180: the identical
+        // statistic) — delegates to trendTest's distributed path with
+        // dose-response column names; note the argument order swap
         require(a.length >= 2, "cochran_armitage(dose, y)")
         Contingency.cochranArmitage(df, c(a(0)), c(a(1)))
       case "auc_ci" =>
@@ -917,14 +919,16 @@ object GraftGateway {
           c(a(0)), c(a(1)))
       case "semantic_dedup" =>
         // kmeans buckets (each vector probes its top-p centroids) ->
-        // within-bucket cosine near-dup -> min-id rep
+        // within-bucket cosine near-dup -> min-id rep, or max-RANK rep
+        // when the optional 8th arg names a rank/authority column
         require(a.length >= 3,
-          "semantic_dedup(id, embedding, k[, threshold[, iters[, max_bucket[, probes]]]])")
+          "semantic_dedup(id, embedding, k[, threshold[, iters[, max_bucket[, probes[, rank]]]]])")
         Dedup.semanticDedup(df, c(a(0)), c(a(1)), num(a(2)).toInt,
           threshold = if (a.length > 3) num(a(3)) else 0.95,
           iters = if (a.length > 4) num(a(4)).toInt else 3,
           maxBucket = if (a.length > 5) num(a(5)).toInt else 2000,
-          probes = if (a.length > 6) num(a(6)).toInt else 2)
+          probes = if (a.length > 6) num(a(6)).toInt else 2,
+          rank = if (a.length > 7) Some(c(a(7))) else None)
       case "bpe_token_count" =>
         // tokenizer-true byte-fallback BPE counts against a merge table
         // (rank, left, right); per-group summary (one global row when no

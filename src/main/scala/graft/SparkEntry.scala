@@ -2624,7 +2624,13 @@ object SparkEntry {
       GraftGateway.sql(s, "SELECT kendall_tau(x, y) FROM q238_ev")
         .select(col("n"), col("cells"), col("concordant"),
           col("discordant"), col("ties_x"), col("ties_y"),
-          round(col("tau_b"), 6).as("tau_b"))
+          round(col("tau_b"), 6).as("tau_b"),
+          // var_s raw: ~n³ magnitude, so ANY decimal rounding sits below
+          // the double ulp — both engines build it from the same
+          // left-to-right exact-integer moments, so the raw double is
+          // bit-identical while round() would add a divergence point
+          col("var_s"),
+          round(col("z"), 6).as("z"))
     }),
     "q239_ad_uniform" -> ((s, d) => {
       // tail-weighted uniformity of a near-uniform score strictly inside
@@ -2915,6 +2921,39 @@ object SparkEntry {
         "SELECT g_test(l_returnflag, l_linestatus) FROM q266_li")
         .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
           round(col("g2"), 4).as("g2"))
+    }),
+    "q267_dedup_rank_election" -> ((s, d) => {
+      // the PageRank -> dedup composition (canonical-member election):
+      // the q236 4-blob + straddler fixture, plus a planted link graph
+      // where every member links to its group's HUB (blob b -> id b+4,
+      // straddlers -> 514; hubs self-loop, so no dangling mass). The
+      // hub is the only in-linked node of each dup component, so its
+      // PageRank strictly exceeds every other member's and the rank
+      // election must return the hub — NOT the min id (blob 0's min id
+      // is 0, its hub is 4) — making the rep set a closed form the
+      // oracle replays without floats.
+      val emb = t(s, d, "events").filter(col("event_id") < 1000)
+        .selectExpr("event_id AS vid",
+          "CASE WHEN event_id % 250 = 13 THEN array(6.5D, 7.5D) " +
+            "WHEN event_id % 250 = 14 THEN array(7.5D, 6.5D) " +
+            "WHEN event_id % 4 = 0 THEN array(10.0D + event_id % 7, 0.0D) " +
+            "WHEN event_id % 4 = 1 THEN array(0.0D, 10.0D + event_id % 7) " +
+            "WHEN event_id % 4 = 2 THEN array(-(10.0D + event_id % 7), 0.0D) " +
+            "ELSE array(0.0D, -(10.0D + event_id % 7)) END AS emb",
+          "CASE WHEN event_id % 250 IN (13, 14) THEN 514L " +
+            "ELSE (event_id % 4) + 4L END AS hub")
+      val ranks = graft.ops.Graph.pageRank(
+        emb.select(col("vid").as("src"), col("hub").as("dst")),
+        col("src"), col("dst"), damping = 0.85, iterations = 5)
+      emb.join(ranks, emb("vid") === ranks("node"), "left")
+        .select(col("vid"), col("emb"),
+          coalesce(col("rank"), lit(0.0)).as("pr"))
+        .createOrReplaceTempView("q267_emb")
+      GraftGateway.sql(s,
+        "SELECT semantic_dedup(vid, emb, 4, 0.95, 2, 2000, 2, pr) " +
+          "FROM q267_emb")
+        .groupBy(col("rep_id")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("rep_id"))
     }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
@@ -5157,10 +5196,21 @@ object SparkEntry {
         |          OR (a.x > b.x AND a.y < b.y)
         |        THEN a.c * b.c ELSE 0 END) // 2 AS disc
         |  FROM cells a, cells b),
-        |tx AS (SELECT sum(t * (t - 1) // 2) AS n1
+        |tx AS (SELECT sum(t * (t - 1) // 2) AS n1,
+        |    sum(CAST(t AS DOUBLE) * (t - 1)) AS t1,
+        |    sum(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)) AS t2,
+        |    sum(CAST(t AS DOUBLE) * (t - 1) * (t - 2)) AS t3
         |  FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
-        |ty AS (SELECT sum(t * (t - 1) // 2) AS n2
-        |  FROM (SELECT sum(c) AS t FROM cells GROUP BY y))
+        |ty AS (SELECT sum(t * (t - 1) // 2) AS n2,
+        |    sum(CAST(t AS DOUBLE) * (t - 1)) AS u1,
+        |    sum(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)) AS u2,
+        |    sum(CAST(t AS DOUBLE) * (t - 1) * (t - 2)) AS u3
+        |  FROM (SELECT sum(c) AS t FROM cells GROUP BY y)),
+        |vs AS (SELECT
+        |    (n.n * (n.n - 1) * (2 * n.n + 5) - t2 - u2) / 18.0
+        |      + t3 * u3 / (9.0 * n.n * (n.n - 1) * (n.n - 2))
+        |      + t1 * u1 / (2.0 * n.n * (n.n - 1)) AS var_s
+        |  FROM tx, ty, n)
         |SELECT CAST(n.n AS BIGINT) AS n,
         |  (SELECT count(*) FROM cells) AS cells,
         |  CAST(conc AS BIGINT) AS concordant,
@@ -5168,8 +5218,10 @@ object SparkEntry {
         |  CAST(n1 AS BIGINT) AS ties_x, CAST(n2 AS BIGINT) AS ties_y,
         |  round((conc - disc)
         |    / sqrt((n.n * (n.n - 1) / 2 - n1) * (n.n * (n.n - 1) / 2 - n2)),
-        |    6) AS tau_b
-        |FROM cd, tx, ty, n""".stripMargin,
+        |    6) AS tau_b,
+        |  var_s,
+        |  round((conc - disc) / sqrt(var_s), 6) AS z
+        |FROM cd, tx, ty, n, vs""".stripMargin,
     "q239_ad_uniform" ->
       // the folded one-pass form: (2j−1)ln p + (2n+1−2j)ln(1−p) over
       // ranked rows (tie blocks are contiguous, so the sum is tie-safe)
@@ -5311,9 +5363,12 @@ object SparkEntry {
         |  ON x.e = 1 AND (x.t < y.t OR (x.t = y.t AND y.e = 0)))
         |SELECT (SELECT count(*) FROM a) AS n,
         |  count(*) AS comparable,
-        |  sum(CASE WHEN sa > sb THEN 1 ELSE 0 END) AS concordant,
-        |  sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS tied_score,
-        |  sum(CASE WHEN sa < sb THEN 1 ELSE 0 END) AS discordant,
+        |  CAST(sum(CASE WHEN sa > sb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS concordant,
+        |  CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS tied_score,
+        |  CAST(sum(CASE WHEN sa < sb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS discordant,
         |  round((sum(CASE WHEN sa > sb THEN 1 ELSE 0 END)
         |    + 0.5 * sum(CASE WHEN sa = sb THEN 1 ELSE 0 END))
         |    / count(*), 8) AS c_index
@@ -5351,7 +5406,8 @@ object SparkEntry {
         |    sum(CASE WHEN pos <= 10 THEN r ELSE 0 END) AS rt
         |  FROM rk GROUP BY q)
         |SELECT count(*) AS n_queries,
-        |  sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS n_scored,
+        |  CAST(sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_scored,
         |  round(avg(CASE WHEN nr > 0 THEN 1.0 / fr END), 8) AS mrr,
         |  round(avg(CASE WHEN nr > 0 THEN rt * 1.0 / nr END), 8)
         |    AS recall_at_k,
@@ -5418,9 +5474,10 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM a WHERE t = 1) AS n_treat,
         |  (SELECT count(*) FROM a WHERE t = 0) AS n_ctrl,
         |  count(*) AS pairs,
-        |  sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS wins,
-        |  sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS losses,
-        |  sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS ties,
+        |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+        |  CAST(sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS losses,
+        |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
         |  round(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) * 1.0
         |    / sum(CASE WHEN v = -1 THEN 1 ELSE 0 END), 6) AS win_ratio,
         |  round((sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)
@@ -5510,10 +5567,12 @@ object SparkEntry {
       // equivalence classes over the quasi-id tuple; min size vs k
       """WITH cells AS (SELECT c_nationkey, c_mktsegment, count(*) AS c
         |  FROM customer GROUP BY 1, 2)
-        |SELECT sum(c) AS n, count(*) AS classes,
+        |SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS classes,
         |  min(c) AS min_class_size, 10 AS k,
-        |  sum(CASE WHEN c < 10 THEN 1 ELSE 0 END) AS violating_classes,
-        |  sum(CASE WHEN c < 10 THEN c ELSE 0 END) AS violating_rows,
+        |  CAST(sum(CASE WHEN c < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violating_classes,
+        |  CAST(sum(CASE WHEN c < 10 THEN c ELSE 0 END) AS BIGINT)
+        |    AS violating_rows,
         |  min(c) >= 10 AS k_anonymous
         |FROM cells""".stripMargin,
     "q263_mmd_rff" ->
@@ -5558,7 +5617,7 @@ object SparkEntry {
         |    srw - (rr/nn) * snw AS t,
         |    (rr/nn) * (1 - rr/nn) * (snw2 - snw*snw/nn) AS v
         |  FROM m)
-        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS INT) AS k,
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
         |  round(pbar, 8) AS pooled_rate, round(t, 4) AS t,
         |  round(v, 4) AS var_t, round(t / sqrt(v), 6) AS z
         |FROM f""".stripMargin,
@@ -5613,6 +5672,17 @@ object SparkEntry {
         |    * ((SELECT count(*) FROM ct) - 1) AS dof,
         |  round(g.g2, 4) AS g2
         |FROM n, g""".stripMargin,
+    "q267_dedup_rank_election" ->
+      // the planted star graph makes each dup component's rep a CLOSED
+      // FORM (its hub — the unique in-linked, hence max-PageRank,
+      // member): blob b (id % 4 = b, straddlers carved out) -> b + 4,
+      // the 8 straddlers (id % 250 in {13, 14}) -> 514
+      """WITH a AS (SELECT event_id AS vid,
+        |    CASE WHEN event_id % 250 IN (13, 14) THEN 514
+        |         ELSE (event_id % 4) + 4 END AS rep
+        |  FROM events WHERE event_id < 1000)
+        |SELECT CAST(rep AS BIGINT) AS rep_id, count(*) AS n_members
+        |FROM a GROUP BY rep ORDER BY rep""".stripMargin,
     "q257_streaming_ph" ->
       // batch replay of the streaming semantics: per-metric cells minus
       // each metric's OPEN (max) period, then the q240 window chain

@@ -290,15 +290,26 @@ object Agreement {
     *   τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),
     *   n₀ = n(n−1)/2,  n₁ = Σ_x t_x(t_x−1)/2,  n₂ = Σ_y t_y(t_y−1)/2
     *
-    * Statistic-only by design: the tie-corrected null variance is a
-    * four-term expansion this library will not ship from memory — rank
-    * the evidence with τ_b and the raw C/D counts, or bootstrap.
+    * Inference: S = C − D under the null of independence conditional on
+    * BOTH tie-marginal structures has the exact permutation variance
+    * (Kendall, "Rank Correlation Methods" ch. 4 — the τ sibling of
+    * [[graft.ops.Drift.mannKendall]]'s tie-corrected Var(S)):
+    *
+    *   Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5) − Σu(u−1)(2u+5)] / 18
+    *          + [Σt(t−1)(t−2)][Σu(u−1)(u−2)] / (9n(n−1)(n−2))
+    *          + [Σt(t−1)][Σu(u−1)] / (2n(n−1))
+    *
+    * (t over x-marginals, u over y-marginals; spec-validated against the
+    * full permutation enumeration of S on a tied fixture). z = S/√Var(S)
+    * with no continuity correction — at cell scale the ±1 correction is
+    * noise and the uncorrected z replays exactly in SQL.
     *
     * 100 TB shape: ONE row-scale aggregate to (x, y) cells; the O(cells²)
     * concordance sweep is driver-side and guarded by `maxCells` BEFORE
     * collection (the ordinalAssoc idiom — τ-b is for DISCRETE columns;
     * bucket continuous ones first). Returns one row:
-    * (n, cells, concordant, discordant, ties_x, ties_y, tau_b). */
+    * (n, cells, concordant, discordant, ties_x, ties_y, tau_b, var_s, z,
+    * p_value). */
   def kendallTau(df: DataFrame, x: Column, y: Column,
                  maxCells: Int = 100000): DataFrame = {
     val spark = df.sparkSession
@@ -350,9 +361,29 @@ object Agreement {
       "kendall_tau: a column is constant — τ-b is undefined")
     val tau = (conc - disc).toDouble /
       math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
-    Seq((n, cs.length.toLong, conc, disc, n1, n2, tau))
+    // tie-corrected null Var(S): marginal moments in DOUBLE (t can be
+    // ~n, and t(t-1)(2t+5) wraps Long past ~2e6 rows on one margin)
+    def marginMoments(group: ((Double, String), (Double, String)) => (Double, String))
+      : (Double, Double, Double) = {
+      val ts = cs.groupBy(c => group(c._1, c._2)).values
+        .map(_.map(_._3).sum.toDouble)
+      (ts.map(t => t * (t - 1)).sum,
+        ts.map(t => t * (t - 1) * (2 * t + 5)).sum,
+        ts.map(t => t * (t - 1) * (t - 2)).sum)
+    }
+    val (t1, t2, t3) = marginMoments((a, _) => a)
+    val (u1, u2, u3) = marginMoments((_, b) => b)
+    val nd = n.toDouble
+    var varS = (nd * (nd - 1) * (2 * nd + 5) - t2 - u2) / 18.0
+    if (n > 2)
+      varS += t3 * u3 / (9.0 * nd * (nd - 1) * (nd - 2))
+    varS += t1 * u1 / (2.0 * nd * (nd - 1))
+    require(varS > 0, "kendall_tau: the null variance is degenerate")
+    val z = (conc - disc) / math.sqrt(varS)
+    val p = 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z)))
+    Seq((n, cs.length.toLong, conc, disc, n1, n2, tau, varS, z, p))
       .toDF("n", "cells", "concordant", "discordant", "ties_x", "ties_y",
-        "tau_b")
+        "tau_b", "var_s", "z", "p_value")
   }
 
   /** Bowker's symmetry test (1948) — the k-category generalization of
@@ -471,16 +502,19 @@ object Agreement {
     val perValue = withTot.groupBy(col("v"))
       .agg(sum(col("c") * (col("c") - 1) / (col("m") - 1)).as("occ"),
         sum(col("c")).as("nc"))
+    // npairs in DOUBLE: nc*(nc-1) in Long wraps silently past ~3e9
+    // ratings on one value (non-ANSI Spark), corrupting d_e at corpus
+    // scale — float rounding degrades gracefully, wraparound does not
     val r = perValue.agg(sum(col("occ")).as("occ"),
       sum(col("nc")).as("n"),
-      sum(col("nc") * (col("nc") - 1)).as("npairs"),
+      sum(col("nc").cast("double") * (col("nc") - 1)).as("npairs"),
       count(lit(1)).as("nv")).head()
     require(!r.isNullAt(1), "krippendorff: no unit has 2+ ratings")
     val n = r.getAs[Long]("n").toDouble
     val units = withTot.select(col("u")).distinct().count()
     require(n >= 2, s"krippendorff: need at least 2 ratings, got $n")
     val dO = 1.0 - r.getAs[Double]("occ") / n
-    val dE = 1.0 - r.getAs[Long]("npairs") / (n * (n - 1))
+    val dE = 1.0 - r.getAs[Double]("npairs") / (n * (n - 1))
     require(dE > 0,
       "krippendorff: every rating has the same value — agreement is undefined")
     val alpha = 1.0 - dO / dE

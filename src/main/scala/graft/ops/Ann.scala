@@ -555,9 +555,17 @@ object Ann {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     require(pool.nonEmpty, "mmr: no candidates")
+    // a mismatched-dimension vector would otherwise be silently scored
+    // on a prefix, masking upstream data errors in the selection order
+    val dim = pool.head._2.length
+    pool.find(_._2.length != dim).foreach { case (bid, bv, _) =>
+      throw new IllegalArgumentException(
+        s"mmr: candidate $bid has dimension ${bv.length}, expected $dim " +
+          "(all pooled vectors must share one dimension)")
+    }
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
+      val n = a.length
       while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
     }

@@ -274,48 +274,17 @@ object Contingency {
       .toDF("n", "k", "grand_median", "chisq", "df", "p_value")
   }
 
-  /** Cochran-Armitage trend test (Cochran 1954, Armitage 1955) — "does
-    * the success RATE climb with the ordered dose", the one-df ordered
-    * alternative the overall chi-square ([[graft.ops.SimpleTests]])
-    * dilutes across k−1 df (dose-response curves, severity tiers,
-    * data-quality buckets vs downstream acceptance):
-    *
-    *   T = Σ r_i w_i − p̄ Σ n_i w_i,
-    *   Var(T) = p̄(1−p̄)·(Σ n_i w_i² − (Σ n_i w_i)²/N),   z = T/√Var
-    *
-    * with w_i the group's own numeric dose value (the standard choice;
-    * pre-map ordinal labels to scores first). ONE row-scale aggregate to
-    * k dose cells + an O(k) driver close. Returns one row:
+  /** Cochran-Armitage trend test — ALIAS of
+    * [[graft.ops.SimpleTests.trendTest]] (the identical one-df ordered
+    * dose-response statistic; SURVEY rows #106 and #180 are one
+    * operator). trendTest is the single implementation: ONE (dose) cell
+    * aggregate with unbounded arm cardinality + ONE cell-scale aggregate
+    * — no driver-side collect of the dose domain, so a continuous dose
+    * column cannot OOM the driver (the r15 duplicate here collected
+    * every distinct dose value; deleted in r16). Columns renamed to the
+    * dose-response vocabulary. Returns one row:
     * (n, k, pooled_rate, t, var_t, z, p_value). */
-  def cochranArmitage(df: DataFrame, dose: Column, y: Column): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val w = dose.cast("double")
-    val yy = y.cast("int")
-    val bad = df.filter(yy.isNotNull && yy =!= 0 && yy =!= 1).limit(1).count()
-    require(bad == 0, "cochran_armitage: y must be 0/1")
-    val cells = df.filter(w.isNotNull && yy.isNotNull)
-      .groupBy(w.as("w"))
-      .agg(count(lit(1)).cast("double").as("n"),
-        sum(yy).cast("double").as("r"))
-      .collect()
-    require(cells.length >= 2,
-      s"cochran_armitage: need at least 2 dose levels, got ${cells.length}")
-    val n = cells.map(_.getAs[Double]("n")).sum
-    val rTot = cells.map(_.getAs[Double]("r")).sum
-    val pBar = rTot / n
-    require(pBar > 0 && pBar < 1,
-      "cochran_armitage: the outcome is constant — no trend is defined")
-    val snw = cells.map(c => c.getAs[Double]("n") * c.getAs[Double]("w")).sum
-    val snw2 = cells.map(c =>
-      c.getAs[Double]("n") * c.getAs[Double]("w") * c.getAs[Double]("w")).sum
-    val srw = cells.map(c => c.getAs[Double]("r") * c.getAs[Double]("w")).sum
-    val t = srw - pBar * snw
-    val varT = pBar * (1 - pBar) * (snw2 - snw * snw / n)
-    require(varT > 0, "cochran_armitage: the dose column is constant")
-    val z = t / math.sqrt(varT)
-    val p = 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z)))
-    Seq((n.toLong, cells.length, pBar, t, varT, z, p))
+  def cochranArmitage(df: DataFrame, dose: Column, y: Column): DataFrame =
+    SimpleTests.trendTest(df, y, dose)
       .toDF("n", "k", "pooled_rate", "t", "var_t", "z", "p_value")
-  }
 }

@@ -288,6 +288,33 @@ object Dedup {
     labels
   }
 
+  /** Representative election by RANK for duplicate components: given
+    * [[connectedComponents]]' (id, component) labels and a per-id rank
+    * (a [[graft.ops.Graph.pageRank]] authority score, a quality score,
+    * a recency weight), elect each component's HIGHEST-rank member as
+    * rep_id (ties → min id; ids absent from `ranks` sort below every
+    * ranked member). The canonical-member election Graph.scala's
+    * scaladoc names: keep the most-linked page of a duplicate cluster,
+    * not the lexically-smallest URL.
+    *
+    * 100 TB shape: ONE broadcast-or-shuffle join of the component labels
+    * with the rank table + ONE component-keyed max — both keyed frames
+    * are dup-GRAPH-sized (vertices of the near-dup graph), not
+    * corpus-sized; the argmax rides a struct max, no window. Returns
+    * (component, rep_id). */
+  def electRepresentatives(components: DataFrame, ranks: DataFrame,
+                           id: Column, rank: Column): DataFrame = {
+    val r = ranks.select(id.cast("long").as("id"),
+      rank.cast("double").as("__rank"))
+    components.select(col("id").cast("long").as("id"), col("component"))
+      .join(r, Seq("id"), "left")
+      .groupBy(col("component"))
+      .agg(max(struct(
+        coalesce(col("__rank"), lit(Double.NegativeInfinity)).as("r"),
+        (-col("id")).as("negid"))).as("best"))
+      .select(col("component"), (-col("best.negid")).cast("long").as("rep_id"))
+  }
+
   /** Rows to keep under MinHash dedup: candidate pairs form a near-dup
     * graph; each connected component keeps exactly its minimum id (true
     * transitive closure via [[connectedComponents]], not greedy pair-drop —
@@ -611,10 +638,18 @@ object Dedup {
     * components; components run on the near-dup EDGE set (pointer
     * jumping, O(log D) rounds). Returns one row per input vector:
     * (id, cluster, rep_id, is_representative) with rep_id = min id of
-    * the duplicate group (own id when unique). */
+    * the duplicate group (own id when unique).
+    *
+    * `rank`: optional per-row authority/quality score from `corpus` (a
+    * [[graft.ops.Graph.pageRank]] score, a quality score) — when given,
+    * each duplicate group's representative is its HIGHEST-rank member
+    * (ties → min id) via [[electRepresentatives]], instead of the min
+    * id. The election adds one dup-graph-sized join + component-keyed
+    * max — never a corpus-scale shuffle. */
   def semanticDedup(corpus: DataFrame, id: Column, embedding: Column,
                     k: Int, threshold: Double = 0.95, iters: Int = 3,
-                    maxBucket: Int = 2000, probes: Int = 2): DataFrame = {
+                    maxBucket: Int = 2000, probes: Int = 2,
+                    rank: Option[Column] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"semantic_dedup: threshold in (0, 1], got $threshold")
     require(probes >= 1 && probes <= k,
@@ -647,9 +682,21 @@ object Dedup {
     // duplicate, so the extra exchange is skipped there)
     val pairs = if (probes > 1) rawPairs.distinct() else rawPairs
     val comp = connectedComponents(pairs)
-    asg.join(comp, Seq("id"), "left")
+    val labeled = asg.join(comp, Seq("id"), "left")
       .select(col("id"), col("cluster"),
-        coalesce(col("component"), col("id")).as("rep_id"))
+        coalesce(col("component"), col("id")).as("component"))
+    val withRep = rank match {
+      case None =>
+        // min-id election is the component label itself — free
+        labeled.withColumn("rep_id", col("component"))
+      case Some(rk) =>
+        // rank election only over REAL dup groups (comp covers exactly
+        // the dup-graph vertices); singletons stay their own rep
+        val elected = electRepresentatives(comp, corpus, id, rk)
+        labeled.join(elected, Seq("component"), "left")
+          .withColumn("rep_id", coalesce(col("rep_id"), col("id")))
+    }
+    withRep.select(col("id"), col("cluster"), col("rep_id"))
       .withColumn("is_representative", col("rep_id") === col("id"))
   }
 

@@ -342,12 +342,19 @@ object MlEval {
     require(alpha > 0 && alpha < 1, s"auc_ci: alpha in (0,1), got $alpha")
     val s = score.cast("double")
     val y = label.cast("int")
+    // label-domain count rides the same cell aggregate and surfaces via
+    // withCumSums' totals (the cells frame is persisted there, so the
+    // check costs nothing extra) — a label of 2 or -1 must raise the
+    // house named error, not silently count as a negative
     val cells = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
       .groupBy(s.as("v"))
       .agg(sum(when(y === 1, 1L).otherwise(0L)).cast("double").as("np"),
-        sum(when(y === 1, 0L).otherwise(1L)).cast("double").as("nn"))
-    RangeCumSum.withCumSums(cells, Seq(col("v")), Seq("np", "nn")) {
+        sum(when(y === 1, 0L).otherwise(1L)).cast("double").as("nn"),
+        sum(when(y =!= 0 && y =!= 1, 1L).otherwise(0L)).as("bad"))
+    RangeCumSum.withCumSums(cells, Seq(col("v")), Seq("np", "nn", "bad")) {
       (cum, totals) =>
+        require(totals("bad") == 0.0,
+          s"auc_ci: ${totals("bad").toLong} rows have label outside {0, 1}")
         val n1 = totals("np"); val n0 = totals("nn")
         require(n1 >= 2 && n0 >= 2,
           s"auc_ci: need at least 2 of each class, got pos=$n1 neg=$n0")

@@ -1068,9 +1068,20 @@ object SimpleTests {
         outcomes.map(_.isNotNull).reduce(_ && _))
       .select((treatment.cast("int").as("t") +:
         outcomes.zipWithIndex.map { case (o, i) => o.cast("double").as(s"o$i") }): _*)
-    val cnt = base.groupBy(col("t")).agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n1 = cnt.getOrElse(1, 0L); val n0 = cnt.getOrElse(0, 0L)
+    // ONE scalar aggregate for both arm sizes AND the treatment-domain
+    // check (house named-error contract: a t of 2 must not be silently
+    // dropped from both arms) — O(1) driver even for a pathological
+    // many-valued treatment column, unlike a groupBy(t).collect()
+    val cr = base.agg(
+      coalesce(sum(when(col("t") === 1, 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("t") === 0, 1L).otherwise(0L)), lit(0L)).as("n0"),
+      coalesce(sum(when(col("t") =!= 0 && col("t") =!= 1, 1L)
+        .otherwise(0L)), lit(0L)).as("bad"))
+      .head()
+    val badT = cr.getAs[Long]("bad")
+    require(badT == 0,
+      s"win_ratio: $badT rows have treatment outside {0, 1}")
+    val n1 = cr.getAs[Long]("n1"); val n0 = cr.getAs[Long]("n0")
     require(n1 > 0 && n0 > 0, s"win_ratio: need both arms, got t=1: $n1, t=0: $n0")
     require(n1 * n0 <= maxPairs,
       s"win_ratio: ${n1}x$n0 pairs exceed maxPairs=$maxPairs — compare " +

@@ -189,6 +189,9 @@ object TextOps {
     import spark.implicits._
     require(ns.nonEmpty && ns.forall(_ >= 1),
       s"distinct_n: ns must all be >= 1, got $ns")
+    // dedupe: a repeated n would stack its gram column twice and the
+    // groupBy(n) merge would double total_ngrams / halve distinct_ratio
+    val nsD = ns.distinct
     // Gram construction stays NATIVE-codegen end to end: posexplode the
     // token array once, then per-doc window leads + concat_ws + stack.
     // (The obvious transform/slice/array_join array comprehension is a
@@ -200,7 +203,7 @@ object TextOps {
     val w = split(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+")
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__doc")).orderBy(col("__p"))
-    val maxN = ns.max
+    val maxN = nsD.max
     // the doc id must bind BEFORE the generator — inside the same select
     // it would re-evaluate per exploded token and break the leads
     val toks = df.filter(text.isNotNull)
@@ -210,15 +213,15 @@ object TextOps {
     val withLeads = (1 until maxN).foldLeft(toks) { (d, i) =>
       d.withColumn(s"__w$i", lead(col("__w"), i).over(win))
     }
-    val gramCols = ns.map { n =>
+    val gramCols = nsD.map { n =>
       val parts = col("__w") +: (1 until n).map(i => col(s"__w$i"))
       val gram = concat_ws(" ", parts: _*)
       if (n == 1) gram.as(s"__g$n")
       else when(col(s"__w${n - 1}").isNotNull, gram).as(s"__g$n")
     }
     val stacked = withLeads.select(gramCols: _*)
-      .select(expr(s"stack(${ns.length}, " +
-        ns.map(n => s"$n, __g$n").mkString(", ") + ") AS (n, g)"))
+      .select(expr(s"stack(${nsD.length}, " +
+        nsD.map(n => s"$n, __g$n").mkString(", ") + ") AS (n, g)"))
       .filter(col("g").isNotNull)
     val counts = stacked
       .groupBy(col("n"), col("g"))
@@ -226,7 +229,7 @@ object TextOps {
       .groupBy(col("n"))
       .agg(sum(col("c")).as("t"), count(lit(1)).as("d"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val rows = ns.map { n =>
+    val rows = nsD.map { n =>
       val (t, d) = counts.getOrElse(n, (0L, 0L))
       (n, t, d, if (t > 0) d.toDouble / t else 0.0)
     }

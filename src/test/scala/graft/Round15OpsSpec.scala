@@ -868,7 +868,7 @@ class Round15OpsSpec extends AnyFunSuite {
       graft.ops.Contingency.cochranArmitage(
         Seq((1.0, 2)).toDF("dose", "y"), col("dose"), col("y"))
     }
-    assert(e.getMessage.contains("0/1"), e.getMessage)
+    assert(e.getMessage.contains("{0, 1}"), e.getMessage)
   }
 
   // ---------------------------------------------------------- auc ci

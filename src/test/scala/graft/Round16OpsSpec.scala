@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 additions: the τ-b tie-corrected null variance (validated
+  * against full permutation enumeration — the mannKendall Var(S)
+  * discipline), domain guards promoted from ADVICE, and the
+  * Cochran-Armitage alias collapse. */
+class Round16OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("kendallTau: Var(S) equals the exact permutation variance on ties") {
+    // tied fixture on BOTH margins: x marginals (2,2,2), y marginals
+    // (2,2,2) with a non-diagonal pairing
+    val xs = Seq(1, 1, 2, 2, 3, 3)
+    val ys = Seq(1, 2, 2, 3, 3, 1)
+    def sOf(y: Seq[Int]): Long = {
+      var s = 0L
+      for (i <- xs.indices; j <- i + 1 until xs.length) {
+        val cx = Integer.compare(xs(i), xs(j))
+        val cy = Integer.compare(y(i), y(j))
+        if (cx != 0 && cy != 0) s += (if (cx == cy) 1 else -1)
+      }
+      s
+    }
+    // the null: y permuted against fixed x — enumerate ALL 6! pairings
+    val perms = ys.permutations.toVector
+    val ss = perms.map(p => sOf(p).toDouble)
+    val mean = ss.sum / ss.length
+    assert(math.abs(mean) < 1e-9, s"E[S] must be 0, got $mean")
+    val empVar = ss.map(s => (s - mean) * (s - mean)).sum / ss.length
+    val r = graft.ops.Agreement.kendallTau(
+      xs.zip(ys).toDF("x", "y"), col("x"), col("y")).head()
+    // var_s depends only on the two tie-marginal structures, so the
+    // observed pairing's var_s IS the permutation variance
+    assert(math.abs(r.getAs[Double]("var_s") - empVar) < 1e-9,
+      s"formula ${r.getAs[Double]("var_s")} vs enumeration $empVar")
+    // z/p consistency with the returned S = C - D
+    val s = (r.getAs[Long]("concordant") - r.getAs[Long]("discordant")).toDouble
+    assert(math.abs(r.getAs[Double]("z") -
+      s / math.sqrt(r.getAs[Double]("var_s"))) < 1e-12)
+    val p = r.getAs[Double]("p_value")
+    assert(p > 0.0 && p <= 1.0)
+  }
+
+  test("kendallTau: no-ties Var(S) reduces to n(n-1)(2n+5)/18") {
+    val xs = Seq(1, 2, 3, 4, 5)
+    val ys = Seq(2, 1, 4, 3, 5)
+    val r = graft.ops.Agreement.kendallTau(
+      xs.zip(ys).toDF("x", "y"), col("x"), col("y")).head()
+    val n = 5.0
+    assert(math.abs(r.getAs[Double]("var_s") -
+      n * (n - 1) * (2 * n + 5) / 18.0) < 1e-12)
+  }
+
+  test("cochranArmitage alias: identical numbers to trendTest") {
+    val df = (0 until 300).map { i =>
+      ((i % 3).toDouble, if (i % 50 < 10 + 5 * (i % 3)) 1 else 0)
+    }.toDF("dose", "y")
+    val a = graft.ops.Contingency.cochranArmitage(df, col("dose"), col("y"))
+      .head()
+    val b = graft.ops.SimpleTests.trendTest(df, col("y"), col("dose")).head()
+    assert(a.getAs[Long]("n") == b.getAs[Long]("n"))
+    assert(a.getAs[Double]("t") == b.getAs[Double]("t_stat"))
+    assert(a.getAs[Double]("var_t") == b.getAs[Double]("var_t"))
+    assert(a.getAs[Double]("z") == b.getAs[Double]("z"))
+    // column names follow the dose-response vocabulary
+    assert(a.schema.fieldNames.toSeq ==
+      Seq("n", "k", "pooled_rate", "t", "var_t", "z", "p_value"))
+  }
+
+  test("aucCi: label outside {0,1} raises the named error") {
+    val bad = Seq((0, 1.0), (1, 2.0), (2, 3.0), (0, 0.5), (1, 2.5))
+      .toDF("y", "s")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.MlEval.aucCi(bad, col("y"), col("s"))
+    }
+    assert(e.getMessage.contains("outside {0, 1}"), e.getMessage)
+  }
+
+  test("winRatio: treatment outside {0,1} raises the named error") {
+    val bad = Seq((0, 1.0), (1, 2.0), (2, 3.0), (0, 0.5), (1, 2.5))
+      .toDF("t", "o")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SimpleTests.winRatio(bad, col("t"), Seq(col("o")))
+    }
+    assert(e.getMessage.contains("outside {0, 1}"), e.getMessage)
+  }
+
+  test("distinctN: duplicate ns are idempotent, not double-counted") {
+    val df = Seq("a b c a b", "x y").toDF("text")
+    val once = graft.ops.TextOps.distinctN(df, col("text"), Seq(1, 2))
+      .orderBy("n").collect()
+    val dup = graft.ops.TextOps.distinctN(df, col("text"), Seq(1, 2, 1, 2))
+      .orderBy("n").collect()
+    assert(once.length == dup.length)
+    once.zip(dup).foreach { case (a, b) =>
+      assert(a.getAs[Long]("total_ngrams") == b.getAs[Long]("total_ngrams"))
+      assert(a.getAs[Long]("distinct_ngrams") ==
+        b.getAs[Long]("distinct_ngrams"))
+    }
+    // sanity on the values themselves: 7 unigrams / 5 distinct
+    assert(once(0).getAs[Long]("total_ngrams") == 7L)
+    assert(once(0).getAs[Long]("distinct_ngrams") == 5L)
+  }
+
+  test("mmrSelect: mismatched vector dimension raises the named error") {
+    val df = Seq((1L, Seq(1.0, 0.0), 0.9), (2L, Seq(0.0, 1.0, 0.5), 0.8))
+      .toDF("id", "v", "rel")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Ann.mmrSelect(df, col("id"), col("v"), col("rel"), k = 2)
+    }
+    assert(e.getMessage.contains("dimension"), e.getMessage)
+  }
+
+  test("electRepresentatives: max rank wins, ties break to min id, " +
+    "unranked ids lose") {
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val ranks = Seq((1L, 0.1), (2L, 0.9), (3L, 0.9), (11L, 0.5))
+      .toDF("id", "r") // id 10 has no rank -> -inf
+    val out = graft.ops.Dedup.electRepresentatives(
+        comp, ranks, col("id"), col("r"))
+      .orderBy("component").collect()
+    // component 1: ranks (0.1, 0.9, 0.9) -> tie between 2 and 3 -> 2
+    assert(out(0).getAs[Long]("rep_id") == 2L)
+    // component 10: id 10 unranked sorts below 11's 0.5
+    assert(out(1).getAs[Long]("rep_id") == 11L)
+  }
+
+  test("semanticDedup: rank election picks the max-rank member as rep") {
+    // two parallel-vector dup groups; rank makes the LAST id the rep
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), 1.0), (2L, Seq(2.0, 0.0), 2.0),
+      (3L, Seq(3.0, 0.0), 3.0),
+      (10L, Seq(0.0, 1.0), 10.0), (11L, Seq(0.0, 2.0), 99.0))
+      .toDF("id", "v", "pr")
+      .withColumn("v", col("v").cast("array<double>"))
+    // probes = k = 2: every point lands in BOTH buckets, so the cosine
+    // threshold alone defines the groups (single-assignment can split
+    // the parallel trio across buckets)
+    val out = graft.ops.Dedup.semanticDedup(df, col("id"), col("v"),
+        k = 2, threshold = 0.95, iters = 2, probes = 2,
+        rank = Some(col("pr")))
+      .orderBy("id").collect()
+    val reps = out.map(r => r.getAs[Long]("id") -> r.getAs[Long]("rep_id"))
+      .toMap
+    assert(reps(1L) == 3L && reps(2L) == 3L && reps(3L) == 3L, reps.toString)
+    assert(reps(10L) == 11L && reps(11L) == 11L, reps.toString)
+    // default (no rank) still elects min id
+    val dft = graft.ops.Dedup.semanticDedup(df, col("id"), col("v"),
+        k = 2, threshold = 0.95, iters = 2, probes = 2)
+      .orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("rep_id")).toMap
+    assert(dft(3L) == 1L && dft(11L) == 10L, dft.toString)
+  }
+
+  test("krippendorffAlpha: double npairs path keeps the small-case value") {
+    // 4 units x 3 raters, mostly agreeing — hand value via the pre-fix
+    // Long path on small data must be unchanged by the double cast
+    val rows = Seq(
+      (1, "a"), (1, "a"), (1, "a"),
+      (2, "b"), (2, "b"), (2, "a"),
+      (3, "a"), (3, "a"), (3, "b"),
+      (4, "b"), (4, "b"), (4, "b"))
+    val r = graft.ops.Agreement.krippendorffAlpha(
+      rows.toDF("u", "v"), col("u"), col("v")).head()
+    // observed: units 1,4 perfect (6 agreeing pairs each of 6... ) —
+    // replay the definition directly
+    val n = 12.0
+    val occA = 3 * 2.0 / 2 + 1 * 0.0 + 2 * 1.0 / 2 + 0.0 // per-unit a-pairs / (m-1)
+    // cleaner: coincidence matrix arithmetic
+    // unit contributions o_vv' = n_v*(n_v-1)/(m-1) for same-value pairs
+    val oAA = 3.0 * 2 / 2 + 1.0 * 0 / 2 + 2.0 * 1 / 2 + 0
+    val oBB = 0 + 2.0 * 1 / 2 + 1.0 * 0 / 2 + 3.0 * 2 / 2
+    val dO = 1.0 - (oAA + oBB) / n
+    val nA = 6.0; val nB = 6.0
+    val dE = 1.0 - (nA * (nA - 1) + nB * (nB - 1)) / (n * (n - 1))
+    val alpha = 1.0 - dO / dE
+    assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-12,
+      s"got ${r.getAs[Double]("alpha")}, want $alpha (occA=$occA)")
+  }
+}
