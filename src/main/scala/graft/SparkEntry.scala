@@ -1561,9 +1561,16 @@ object SparkEntry {
       // SQL join, which requires full pair multiplicity — sf0.01 has one
       // signature-identical doc pair (267, 413) that the default collapse
       // would rep-reduce. The capped band buckets still bound the plan.
+      // maxBucket raised to 20000 for the ALL-PAIRS AUDIT contract this
+      // query states: at sf1 the salted template corpus concentrates
+      // whole copy-families into single band buckets past the 500
+      // production default, and a dropped bucket loses real J>=0.9 pairs
+      // the exact SQL oracle keeps (19 of 222k measured). The audit cap
+      // still bounds the plan; production pipelines keep collapseExact
+      // =true + the default cap (the documented recall/scale trade).
       graft.ops.Dedup.minHashLsh(t(s, d, "documents"), col("doc_id"), col("text"),
         numHashes = 96, bands = 16, shingleN = 2, threshold = 0.9,
-        collapseExact = false)
+        collapseExact = false, maxBucket = 20000)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
     "q38_simhash_pairs" -> ((s, d) => {
@@ -9468,40 +9475,89 @@ object SparkEntry {
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.3""".stripMargin,
     "q37_minhash_pairs" ->
-      // EXACT all-pairs semantics WITHOUT the quadratic self-join (the
-      // sf1 timeout): prefix filtering. Rank each doc's shingles rarest-
-      // first (global df, ties by shingle); J(A,B) >= 0.9 forces
-      // |A∩B| >= ceil(0.9|A|), and A's suffix of size ceil(0.9|A|)-1 is
-      // too small to hold them all (pigeonhole), so at least one
-      // intersection element sits in A's first |A|-ceil(0.9|A|)+1
-      // shingles — joining PREFIX shingles to the full posting list
-      // loses no qualifying pair. Prefix lengths use integer arithmetic
-      // ((9*sz+9)//10 = ceil(0.9*sz)) so fp rounding can't shorten them.
+      // EXACT all-pairs J >= 0.9 without the quadratic self-join AND
+      // without the r15 prefix-filter collapse (3.16e8 candidates,
+      // >79 GB spill at sf1 on this template corpus): candidates ride
+      // DISTINCT CORES. core(doc) = its df>=2 shingles — a df=1 shingle
+      // lives in ONE doc and can never intersect, so J(A,B) =
+      // |core_A INTERSECT core_B| / (szA + szB - i) EXACTLY, and the
+      // salted copy-families of the 10x corpus collapse to one core
+      // (50k docs -> ~5k cores). Same-core pairs expand directly;
+      // cross-core candidates ride the prefix filter (rarest-first;
+      // per-side prefix csz - ceil(0.9*min_sz) + 1 is sound by the
+      // PPJoin pigeonhole, since the pairwise overlap bound dominates
+      // each per-side bound), a csz/min_sz size prefilter kills the
+      // infeasible 99.8% before any list_intersect, and doc expansion
+      // runs only for core pairs feasible at best-case sizes. hash()
+      // group keys are 64-bit over ~5k cores (collision odds ~1e-12,
+      // accepted). MATERIALIZED pins each reused stage so the single-
+      // statement plan cannot re-derive the scan per consumer.
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
         |  FROM documents),
-        |s AS (SELECT doc_id,
+        |s AS MATERIALIZED (SELECT doc_id,
         |        list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS sh
         |      FROM d),
+        |m AS MATERIALIZED (SELECT doc_id, len(sh) AS sz FROM s),
         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |f AS (SELECT g, count(*) AS df FROM e GROUP BY g),
-        |r AS (SELECT e.doc_id, e.g,
-        |        row_number() OVER (PARTITION BY e.doc_id
-        |          ORDER BY f.df, e.g) AS rk,
-        |        count(*) OVER (PARTITION BY e.doc_id) AS sz
-        |      FROM e JOIN f ON e.g = f.g),
-        |p AS (SELECT doc_id, g FROM r
-        |      WHERE rk <= sz - ((9 * sz + 9) // 10) + 1),
-        |cand AS (SELECT DISTINCT least(p.doc_id, e2.doc_id) AS ia,
-        |        greatest(p.doc_id, e2.doc_id) AS ib
-        |      FROM p JOIN e e2 ON p.g = e2.g AND p.doc_id <> e2.doc_id)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
-        |    / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-        |FROM cand JOIN s a ON a.doc_id = cand.ia
-        |  JOIN s b ON b.doc_id = cand.ib
-        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-        |    / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.9""".stripMargin,
+        |f AS MATERIALIZED (SELECT g, count(*) AS df FROM e GROUP BY g),
+        |core AS MATERIALIZED (
+        |  SELECT e.doc_id, e.g, f.df FROM (SELECT doc_id, unnest(sh) AS g FROM s) e
+        |  JOIN f ON e.g = f.g WHERE f.df >= 2),
+        |ck AS MATERIALIZED (
+        |  SELECT doc_id, hash(string_agg(g, '|' ORDER BY g)) AS ckey,
+        |         count(*) AS csz FROM core GROUP BY doc_id),
+        |grp AS MATERIALIZED (
+        |  SELECT ckey, min(doc_id) AS gid, min(m.sz) AS min_sz,
+        |         count(*) AS n_docs, any_value(csz) AS csz
+        |  FROM ck JOIN m USING (doc_id) GROUP BY ckey),
+        |mem AS MATERIALIZED (
+        |  SELECT grp.gid, ck.doc_id, m.sz
+        |  FROM ck JOIN grp USING (ckey) JOIN m USING (doc_id)),
+        |rcr AS MATERIALIZED (
+        |  SELECT grp.gid, core.g, core.df,
+        |         row_number() OVER (PARTITION BY grp.gid ORDER BY core.df, core.g) AS rk,
+        |         grp.csz, grp.min_sz
+        |  FROM core JOIN grp ON core.doc_id = grp.gid),
+        |p AS MATERIALIZED (
+        |  SELECT gid, g FROM rcr
+        |  WHERE rk <= csz - ((9 * min_sz + 9) // 10) + 1),
+        |gi AS MATERIALIZED (SELECT gid, min_sz, csz, n_docs FROM grp),
+        |cand AS MATERIALIZED (
+        |  SELECT ga.gid AS ka, gb.gid AS kb
+        |  FROM (SELECT a.gid AS pa, b.gid AS pb
+        |        FROM p a JOIN p b ON a.g = b.g AND a.gid < b.gid
+        |        GROUP BY 1, 2) c
+        |  JOIN gi ga ON ga.gid = c.pa
+        |  JOIN gi gb ON gb.gid = c.pb
+        |  -- size prefilter: even a full containment of the smaller core cannot
+        |  -- reach J >= 0.9 unless min(cszA,cszB) >= ceil(0.9*max(min_szA,min_szB))
+        |  WHERE least(ga.csz, gb.csz) * 10 >= 9 * greatest(ga.min_sz, gb.min_sz)
+        |  UNION ALL
+        |  SELECT gid, gid FROM gi WHERE n_docs >= 2),
+        |cl AS MATERIALIZED (SELECT gid, list(g ORDER BY g) AS core_l FROM rcr GROUP BY gid),
+        |ver AS MATERIALIZED (
+        |  SELECT cand.ka, cand.kb,
+        |         CASE WHEN cand.ka = cand.kb THEN len(a.core_l)
+        |              ELSE len(list_intersect(a.core_l, b.core_l)) END AS i
+        |  FROM cand JOIN cl a ON a.gid = cand.ka
+        |            JOIN cl b ON b.gid = cand.kb),
+        |feas AS MATERIALIZED (
+        |  SELECT ver.ka, ver.kb, ver.i
+        |  FROM ver JOIN gi ga ON ga.gid = ver.ka
+        |           JOIN gi gb ON gb.gid = ver.kb
+        |  WHERE ver.i > 0
+        |    AND ver.i::DOUBLE / (ga.min_sz + gb.min_sz - ver.i) >= 0.9),
+        |pairs AS (
+        |  SELECT least(da.doc_id, db.doc_id) AS id_a,
+        |         greatest(da.doc_id, db.doc_id) AS id_b,
+        |         feas.i::DOUBLE / (da.sz + db.sz - feas.i) AS j
+        |  FROM feas
+        |  JOIN mem da ON da.gid = feas.ka
+        |  JOIN mem db ON db.gid = feas.kb
+        |    AND (feas.ka <> feas.kb OR da.doc_id < db.doc_id))
+        |SELECT id_a, id_b, round(j, 6) AS jaccard
+        |FROM pairs WHERE j >= 0.9""".stripMargin,
     "q39_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

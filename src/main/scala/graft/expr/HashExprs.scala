@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * per row and compute every coordinate in a tight JIT'd loop, while staying
   * inside whole-stage codegen (the generated code calls the static kernels
   * below). Bit-for-bit identical to the composed versions (same xxhash64
-  * seeding, same Kirsch-Mitzenmacher double hashing, same mod-prime wrap) —
+  * seeding, same per-slice affine permutations, same mod-prime wrap) —
   * verified in PipelineOpsSpec.
   */
 object HashOps {
@@ -27,12 +27,45 @@ object HashOps {
   private val Mask = 0x3FFFFFFFL
   private val Seed = 42L // Spark's default xxhash64 seed
 
-  /** MinHash signature: mins(i) = min over shingles of (h1 + i*h2) mod p,
-    * h1/h2 from one xxhash64 of the shingle bytes (h2 chains the full h1
-    * exactly like the composed xxhash64(s, lit(1))). */
+  /** Per-slice affine-permutation coefficients over p = 2^31 − 1:
+    * h_c(x) = (a_c·x + b_c) mod p with (a_c, b_c) drawn independently
+    * per slice from seeded xxhash. The pre-r16 Kirsch-Mitzenmacher walk
+    * (h1 + c·h2 mod p) shared BOTH coefficients per ELEMENT, so across
+    * slices the rankings were driven by each element's own slope h2 —
+    * once c·h2 spreads past the h1 range, the globally-smallest-slope
+    * element of a set wins nearly every remaining slice. For LSH that
+    * is a recall pathology: if that dominating element is one of a
+    * near-dup pair's few UNSHARED shingles, every band of the pair
+    * disagrees at once (measured at sf1: 19 true J >= 0.94 pairs with
+    * 0/16 equal bands, 68/96 equal hashes where J predicts ~94/96).
+    * With per-slice coefficients every element within a slice shares
+    * one map, and slices are independent — P(slice agrees) = J. */
+  def sliceA(c: Int): Long =
+    java.lang.Long.remainderUnsigned(XXH64.hashInt(c, 0xA11CEL),
+      MinHashPrime - 1) + 1
+  def sliceB(c: Int): Long =
+    java.lang.Long.remainderUnsigned(XXH64.hashInt(c, 0xB0B5EEDL),
+      MinHashPrime)
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]()
+  private def coeffs(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k,
+      _ => (Array.tabulate(k)(sliceA), Array.tabulate(k)(sliceB)))
+  /** (a·x + b) mod p for p = 2^31 − 1 by Mersenne folding: a, b < p and
+    * x < 2^30, so t < 2^61 and two folds + one subtract reduce fully. */
+  @inline private def affineModP(a: Long, x: Long, b: Long): Long = {
+    var t = a * x + b
+    t = (t & MinHashPrime) + (t >>> 31)
+    t = (t & MinHashPrime) + (t >>> 31)
+    if (t >= MinHashPrime) t - MinHashPrime else t
+  }
+
+  /** MinHash signature: mins(c) = min over shingles of (a_c·x + b_c)
+    * mod p, x = 30 masked bits of one xxhash64 of the shingle bytes. */
   def minHashSig(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(new Array[Any](k)) // array_min([]) = null
+    val (as, bs) = coeffs(k)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var j = 0
@@ -40,14 +73,11 @@ object HashOps {
       // xxhash64(null) leaves the seed untouched — mirror that
       val h1full = if (arr.isNullAt(j)) Seed
         else XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
-      val h1 = h1full & Mask
-      val h2 = XXH64.hashInt(1, h1full) & Mask
-      var v = h1 // == (h1 + 0*h2) mod p since h1 < 2^30 < p
+      val x = h1full & Mask
       var i = 0
       while (i < k) {
+        val v = affineModP(as(i), x, bs(i))
         if (v < mins(i)) mins(i) = v
-        v += h2 // both < p, so one conditional subtract == mod p
-        if (v >= MinHashPrime) v -= MinHashPrime
         i += 1
       }
       j += 1
@@ -60,7 +90,7 @@ object HashOps {
     * Bit-identical to `minHashSig(shingles(text, n), k)`: tokens split on
     * the six ASCII regex-\s whitespace bytes (safe byte-wise in UTF-8),
     * each window of n tokens hashed as the space-joined byte sequence with
-    * the same XXH64 seed, then the same Kirsch-Mitzenmacher double hashing.
+    * the same XXH64 seed, then the same per-slice affine permutations.
     * (array_distinct in the composed path cannot change a minimum, and
     * fewer than n tokens hash as one all-tokens shingle — both mirrored.)
     * The composed path allocates ~3 objects per shingle; this allocates
@@ -90,6 +120,7 @@ object HashOps {
         m += 1
       }
     }
+    val (as, bs) = coeffs(k)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val sn = if (m < n) m else n
@@ -110,14 +141,11 @@ object HashOps {
       }
       val h1full = XXH64.hashUnsafeBytes(buf,
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, blen, Seed)
-      val h1 = h1full & Mask
-      val h2 = XXH64.hashInt(1, h1full) & Mask
-      var v = h1
+      val x = h1full & Mask
       var c = 0
       while (c < k) {
+        val v = affineModP(as(c), x, bs(c))
         if (v < mins(c)) mins(c) = v
-        v += h2
-        if (v >= MinHashPrime) v -= MinHashPrime
         c += 1
       }
       w += 1

@@ -94,12 +94,17 @@ object Dedup {
           .otherwise("changed").as("status"))
   }
 
-  /** k minhashes of a precomputed shingle array via double hashing
-    * (Kirsch-Mitzenmacher): one xxhash64 pass per shingle produces (h1, h2),
-    * then minhash_i = min over shingles of (h1 + i·h2) mod p — arithmetic,
-    * not k string hashes. The mod-prime wraparound is essential: without it
-    * the min is dominated by argmin(h2) for large i, correlating every
-    * coordinate. Fused into ONE traversal of the shingle array per row
+  /** k minhashes of a precomputed shingle array via per-slice affine
+    * permutations: one xxhash64 pass per shingle produces x, then
+    * minhash_c = min over shingles of (a_c·x + b_c) mod p with seeded
+    * per-slice (a_c, b_c) — arithmetic, not k string hashes. Per-SLICE
+    * coefficients matter: the r15 per-element double-hash walk
+    * (h1 + c·h2) let each element's own slope h2 drive the cross-slice
+    * rankings, so the smallest-slope element of a set won nearly every
+    * high-c slice — and when that element was one of a near-dup pair's
+    * few unshared shingles, all bands disagreed at once (a measured
+    * 19-pair recall hole at sf1; see [[graft.expr.HashOps.sliceA]]).
+    * Fused into ONE traversal of the shingle array per row
     * ([[graft.expr.MinHashSig]]) — the k-separate-array-expressions
     * composition costs k× more traversals (~2 ms/doc at k=96). */
   def minHashesFromShingles(sh: Column, numHashes: Int): Column =

@@ -70,10 +70,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       .withColumn("toks", split(lower(trim($"text")), "\\s+"))
     // composed reference versions (the pre-fusion implementations)
     val p = 2147483647L
-    val h1 = transform($"sh", s => xxhash64(s).bitwiseAND(0x3FFFFFFFL))
-    val h2 = transform($"sh", s => xxhash64(s, lit(1)).bitwiseAND(0x3FFFFFFFL))
+    val x = transform($"sh", s => xxhash64(s).bitwiseAND(0x3FFFFFFFL))
     val composedSig = array((0 until 32).map { i =>
-      array_min(zip_with(h1, h2, (a, b) => pmod(a + lit(i.toLong) * b, lit(p))))
+      array_min(transform(x, v =>
+        pmod(lit(graft.expr.HashOps.sliceA(i)) * v +
+          lit(graft.expr.HashOps.sliceB(i)), lit(p))))
     }: _*)
     val hashes = transform($"toks", t => xxhash64(t))
     val composedSim = (0 until 64).map { b =>
