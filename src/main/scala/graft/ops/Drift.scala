@@ -122,6 +122,10 @@ object Drift {
       i += 1
     }
     val n = cells.length.toDouble
+    // tie groups are EXACT-double ties (groupBy identity on the period
+    // means): consistent with the SQL oracle's GROUP BY on the same
+    // doubles; near-equal means produced by float noise do NOT tie —
+    // the documented contract, since any epsilon would be arbitrary
     val tieTerm = cells.groupBy(identity).values.map(_.length)
       .filter(_ > 1).map(t => t.toDouble * (t - 1) * (2 * t + 5)).sum
     val varS = (n * (n - 1) * (2 * n + 5) - tieTerm) / 18.0
@@ -590,9 +594,19 @@ object Drift {
     val g = group.cast("int")
     val base = df.filter(g.isNotNull && vec.isNotNull)
       .select(g.as("g"), vec.cast("array<double>").as("v"))
-    val bad = base.filter(col("g") =!= 0 && col("g") =!= 1).limit(1).count()
-    require(bad == 0, "mmd_rff: group must be 0/1")
-    val dim = base.select(size(col("v"))).head().getInt(0)
+    // ONE scalar pre-pass: group-domain check + dimension (plus a
+    // mixed-dimension guard — a short vector would otherwise silently
+    // null its z features), instead of two separate driver actions
+    val pre = base.agg(
+      coalesce(sum(when(col("g") =!= 0 && col("g") =!= 1, 1L)
+        .otherwise(0L)), lit(0L)).as("bad"),
+      min(size(col("v"))).as("dmin"),
+      max(size(col("v"))).as("dmax")).head()
+    require(pre.getAs[Long]("bad") == 0, "mmd_rff: group must be 0/1")
+    require(!pre.isNullAt(1), "mmd_rff: no rows with group and vector")
+    val dim = pre.getAs[Int]("dmin")
+    require(dim == pre.getAs[Int]("dmax"),
+      s"mmd_rff: mixed vector dimensions [$dim, ${pre.getAs[Int]("dmax")}]")
     val wLit = typedLit((0 until features).map(f =>
       (0 until dim).map(d => rffW(f, d, gamma))))
     val bLit = typedLit((0 until features).map(rffB))
