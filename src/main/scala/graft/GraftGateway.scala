@@ -176,6 +176,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT cochran_armitage(dose, y)            FROM <dose-response>
   * SELECT auc_ci(label, score[, alpha])        FROM <scored>
   * SELECT g_test(a, b)                         FROM <contingency>
+  * SELECT ope(r, p_target, p_logging[, qhat[, clip]]) FROM <logs>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -347,7 +348,7 @@ object GraftGateway {
     "distinct_n", "poisson_reg", "c_index", "krippendorff",
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
-    "cochran_armitage", "auc_ci", "g_test")
+    "cochran_armitage", "auc_ci", "g_test", "ope")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -896,6 +897,14 @@ object GraftGateway {
         require(a.length >= 2, "g_test(a, b[, max_cells])")
         SimpleTests.gTest(df, c(a(0)), c(a(1)),
           maxCells = if (a.length > 2) num(a(2)).toInt else 100000)
+      case "ope" =>
+        // off-policy IPS/SNIPS(/DR) value of a target policy on logs
+        require(a.length >= 3,
+          "ope(reward, p_target, p_logging[, qhat[, clip]])")
+        PolicyEval.opeEval(df, c(a(0)), c(a(1)), c(a(2)),
+          qhat = if (a.length > 3) Some(c(a(3))) else None,
+          wClip = if (a.length > 4) num(a(4))
+            else Double.PositiveInfinity)
       case "flesch" =>
         // per-doc readability + corpus summary
         require(a.nonEmpty, "flesch(text)")

@@ -2962,6 +2962,27 @@ object SparkEntry {
         .groupBy(col("rep_id")).agg(count(lit(1)).as("n_members"))
         .orderBy(col("rep_id"))
     }),
+    "q268_ope" -> ((s, d) => {
+      // off-policy value of a planted target policy on logged traffic:
+      // propensities are exact decimal grids, reward integer-valued, the
+      // outcome model a coarse per-row baseline; clip at 2.0 exercises
+      // the clipped_share path (max raw ratio 0.5/0.2 = 2.5)
+      t(s, d, "events")
+        .select(((col("event_id") % 4 + 2) / lit(10.0)).as("pl"),
+          ((col("event_id") % 5 + 1) / lit(10.0)).as("pt"),
+          (col("event_id") % 7).cast("double").as("r"),
+          ((col("event_id") % 3) * lit(0.5)).as("q"))
+        .createOrReplaceTempView("q268_ev")
+      GraftGateway.sql(s, "SELECT ope(r, pt, pl, q, 2.0) FROM q268_ev")
+        .select(col("n"), round(col("ess"), 4).as("ess"),
+          round(col("clipped_share"), 8).as("clipped_share"),
+          round(col("ips"), 8).as("ips"),
+          round(col("ips_se"), 8).as("ips_se"),
+          round(col("snips"), 8).as("snips"),
+          round(col("snips_se"), 8).as("snips_se"),
+          round(col("dr"), 8).as("dr"),
+          round(col("dr_se"), 8).as("dr_se"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -5690,6 +5711,37 @@ object SparkEntry {
         |  FROM events WHERE event_id < 1000)
         |SELECT CAST(rep AS BIGINT) AS rep_id, count(*) AS n_members
         |FROM a GROUP BY rep ORDER BY rep""".stripMargin,
+    "q268_ope" ->
+      // the three estimators' moment closed forms, replayed term-shaped
+      // (same max(0,.) guards, same variance expressions)
+      """WITH a AS (SELECT (event_id % 4 + 2) / 10.0 AS pl,
+        |    (event_id % 5 + 1) / 10.0 AS pt,
+        |    CAST(event_id % 7 AS DOUBLE) AS r,
+        |    (event_id % 3) * 0.5 AS q
+        |  FROM events),
+        |b AS (SELECT least(pt / pl, 2.0) AS w, pt / pl AS wraw, r, q
+        |  FROM a),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(w) AS sw, sum(w*w) AS sww, sum(w*r) AS swr,
+        |    sum(w*w*r) AS swwr, sum(w*r*w*r) AS swr2,
+        |    sum(q + w*(r - q)) AS sd,
+        |    sum((q + w*(r - q)) * (q + w*(r - q))) AS sd2,
+        |    CAST(sum(CASE WHEN wraw > 2.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS clipped
+        |  FROM b)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(sw * sw / sww, 4) AS ess,
+        |  round(clipped / n, 8) AS clipped_share,
+        |  round(swr / n, 8) AS ips,
+        |  round(sqrt(greatest(0.0, (swr2 - n * (swr/n) * (swr/n))
+        |    / (n - 1)) / n), 8) AS ips_se,
+        |  round(swr / sw, 8) AS snips,
+        |  round(sqrt(greatest(0.0, swr2 - 2 * (swr/sw) * swwr
+        |    + (swr/sw) * (swr/sw) * sww)) / sw, 8) AS snips_se,
+        |  round(sd / n, 8) AS dr,
+        |  round(sqrt(greatest(0.0, (sd2 - n * (sd/n) * (sd/n))
+        |    / (n - 1)) / n), 8) AS dr_se
+        |FROM m""".stripMargin,
     "q257_streaming_ph" ->
       // batch replay of the streaming semantics: per-metric cells minus
       // each metric's OPEN (max) period, then the q240 window chain

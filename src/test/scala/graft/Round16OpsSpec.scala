@@ -157,6 +157,60 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(dft(3L) == 1L && dft(11L) == 10L, dft.toString)
   }
 
+  test("opeEval: hand moments; identity policy; clip; guards") {
+    import graft.ops.PolicyEval
+    val rows = Seq(
+      (1.0, 0.5, 0.25, 0.8), (0.0, 0.2, 0.4, 0.1),
+      (2.0, 0.3, 0.3, 1.0), (1.0, 0.1, 0.5, 0.4),
+      (3.0, 0.6, 0.2, 2.0), (0.0, 0.4, 0.4, 0.2))
+    val df = rows.toDF("r", "pt", "pl", "q")
+    val out = PolicyEval.opeEval(df, col("r"), col("pt"), col("pl"),
+      qhat = Some(col("q"))).head()
+    // independent replay of the definitions
+    val ws = rows.map { case (_, pt, pl, _) => pt / pl }
+    val n = rows.length.toDouble
+    val ips = rows.zip(ws).map { case ((r, _, _, _), w) => w * r }.sum / n
+    val snips = rows.zip(ws).map { case ((r, _, _, _), w) => w * r }.sum / ws.sum
+    val dr = rows.zip(ws).map { case ((r, _, _, q), w) => q + w * (r - q) }.sum / n
+    assert(math.abs(out.getAs[Double]("ips") - ips) < 1e-12)
+    assert(math.abs(out.getAs[Double]("snips") - snips) < 1e-12)
+    assert(math.abs(out.getAs[Double]("dr") - dr) < 1e-12)
+    val ess = math.pow(ws.sum, 2) / ws.map(w => w * w).sum
+    assert(math.abs(out.getAs[Double]("ess") - ess) < 1e-9)
+    // identity policy: pt == pl -> every w = 1, all three = mean reward
+    val same = rows.map { case (r, _, pl, q) => (r, pl, pl, q) }
+      .toDF("r", "pt", "pl", "q")
+    val so = PolicyEval.opeEval(same, col("r"), col("pt"), col("pl"),
+      qhat = Some(col("q"))).head()
+    val mr = rows.map(_._1).sum / n
+    assert(math.abs(so.getAs[Double]("ips") - mr) < 1e-12)
+    assert(math.abs(so.getAs[Double]("snips") - mr) < 1e-12)
+    assert(math.abs(so.getAs[Double]("dr") - mr) < 1e-12)
+    assert(so.getAs[Double]("clipped_share") == 0.0)
+    // clip at 1.5: the w = 0.6/0.2 = 3 and 0.5/0.25 = 2 rows clip
+    val co = PolicyEval.opeEval(df, col("r"), col("pt"), col("pl"),
+      wClip = 1.5).head()
+    assert(math.abs(co.getAs[Double]("clipped_share") - 2.0 / 6) < 1e-12)
+    val wc = ws.map(math.min(_, 1.5))
+    val ipsC = rows.zip(wc).map { case ((r, _, _, _), w) => w * r }.sum / n
+    assert(math.abs(co.getAs[Double]("ips") - ipsC) < 1e-12)
+    // no qhat -> dr is null
+    assert(co.isNullAt(co.fieldIndex("dr")))
+    // guards: zero logging propensity; partial qhat
+    val e1 = intercept[IllegalArgumentException] {
+      PolicyEval.opeEval(Seq((1.0, 0.5, 0.0), (1.0, 0.5, 0.5))
+        .toDF("r", "pt", "pl"), col("r"), col("pt"), col("pl"))
+    }
+    assert(e1.getMessage.contains("propensities"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      PolicyEval.opeEval(
+        Seq((1.0, 0.5, 0.5, Some(0.2)), (2.0, 0.4, 0.4, None))
+          .toDF("r", "pt", "pl", "q"),
+        col("r"), col("pt"), col("pl"), qhat = Some(col("q")))
+    }
+    assert(e2.getMessage.contains("qhat"), e2.getMessage)
+  }
+
   test("krippendorffAlpha: double npairs path keeps the small-case value") {
     // 4 units x 3 raters, mostly agreeing — hand value via the pre-fix
     // Long path on small data must be unchanged by the double cast
