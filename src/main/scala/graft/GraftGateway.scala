@@ -177,6 +177,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT auc_ci(label, score[, alpha])        FROM <scored>
   * SELECT g_test(a, b)                         FROM <contingency>
   * SELECT ope(r, p_target, p_logging[, qhat[, clip]]) FROM <logs>
+  * SELECT neg_bin_reg(y, x...)                 FROM <overdispersed counts>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -348,7 +349,7 @@ object GraftGateway {
     "distinct_n", "poisson_reg", "c_index", "krippendorff",
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
-    "cochran_armitage", "auc_ci", "g_test", "ope")
+    "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -822,6 +823,12 @@ object GraftGateway {
         // count-outcome GLM (log link) with Pearson-dispersion readout
         require(a.length >= 2, "poisson_reg(y, x...)")
         MlWrappers.poissonSummaryDf(df, c(a(0)), a.drop(1).map(c),
+          a.drop(1).map(name))
+      case "neg_bin_reg" =>
+        // overdispersed-count GLM (NB2): Poisson pilot -> moment alpha
+        // -> weighted IRLS
+        require(a.length >= 2, "neg_bin_reg(y, x...)")
+        MlWrappers.negBinSummaryDf(df, c(a(0)), a.drop(1).map(c),
           a.drop(1).map(name))
       case "c_index" =>
         // Harrell's concordance of a survival risk score

@@ -2983,6 +2983,26 @@ object SparkEntry {
           round(col("dr"), 8).as("dr"),
           round(col("dr_se"), 8).as("dr_se"))
     }),
+    "q269_neg_bin_reg" -> ((s, d) => {
+      // saturated binary-covariate NB2: the planted id%6 lattice gives
+      // arm0 y in {0,0,2}, arm1 y in {0,1,9} — heavily overdispersed in
+      // arm1 — so the MLE means are the arm means (slope ln(m1/m0)),
+      // the moment alpha closes from the arm stats, and the NB weights
+      // give the closed-form (X'WX)^-1 the oracle replays
+      t(s, d, "events")
+        .select(
+          when(col("event_id") % 6 === 3, 1.0)
+            .when(col("event_id") % 6 === 4, 2.0)
+            .when(col("event_id") % 6 === 5, 9.0)
+            .otherwise(0.0).as("y"),
+          (col("event_id") % 2).cast("int").as("x"))
+        .createOrReplaceTempView("q269_ev")
+      GraftGateway.sql(s, "SELECT neg_bin_reg(y, x) FROM q269_ev")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("alpha"), 6).as("alpha"), col("n"))
+        .orderBy(col("term"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -5742,6 +5762,38 @@ object SparkEntry {
         |  round(sqrt(greatest(0.0, (sd2 - n * (sd/n) * (sd/n))
         |    / (n - 1)) / n), 8) AS dr_se
         |FROM m""".stripMargin,
+    "q269_neg_bin_reg" ->
+      // saturated NB2 closed form: arm means are the MLE for ANY
+      // positive working weight, alpha = sum((y-m)^2 - m)/sum(m^2) from
+      // the Poisson pilot (= arm means), W_k = n_k m_k/(1 + alpha m_k),
+      // var(b0) = 1/W0, var(b1) = 1/W0 + 1/W1
+      """WITH a AS (SELECT CASE WHEN event_id % 6 = 3 THEN 1.0
+        |      WHEN event_id % 6 = 4 THEN 2.0
+        |      WHEN event_id % 6 = 5 THEN 9.0 ELSE 0.0 END AS y,
+        |    CAST(event_id % 2 AS INT) AS x FROM events),
+        |arm AS (SELECT x, count(*) AS cnt, avg(y) AS m FROM a GROUP BY x),
+        |al AS (SELECT sum((y - m)*(y - m) - m) / sum(m * m) AS alpha
+        |  FROM a JOIN arm USING (x)),
+        |w AS (SELECT
+        |    (SELECT cnt * m / (1 + al.alpha * m) FROM arm WHERE x = 0)
+        |      AS w0,
+        |    (SELECT cnt * m / (1 + al.alpha * m) FROM arm WHERE x = 1)
+        |      AS w1,
+        |    al.alpha AS alpha FROM al),
+        |b AS (SELECT
+        |    ln((SELECT m FROM arm WHERE x = 1)
+        |      / (SELECT m FROM arm WHERE x = 0)) AS b1,
+        |    ln((SELECT m FROM arm WHERE x = 0)) AS b0,
+        |    (SELECT count(*) FROM a) AS n)
+        |SELECT 'x' AS term, round(b1, 6) AS estimate,
+        |  round(sqrt(1.0/w0 + 1.0/w1), 6) AS stderr,
+        |  round(alpha, 6) AS alpha, n
+        |FROM b, w
+        |UNION ALL
+        |SELECT '(intercept)', round(b0, 6), round(sqrt(1.0/w0), 6),
+        |  round(alpha, 6), n
+        |FROM b, w
+        |ORDER BY term""".stripMargin,
     "q257_streaming_ph" ->
       // batch replay of the streaming semantics: per-metric cells minus
       // each metric's OPEN (max) period, then the q240 window chain

@@ -283,6 +283,120 @@ object MlWrappers {
       "dispersion", "iterations", "converged")
   }
 
+  /** Negative-binomial (NB2) regression — the overdispersed-count sibling
+    * of [[poissonIrls]]: log link, Var(y) = μ + αμ². Real count data
+    * (events per user, tokens per doc, crashes per build) routinely
+    * carries Var ≫ mean, where the Poisson SEs are too small by
+    * √dispersion and every p-value lies; NB2 models the overdispersion
+    * instead of post-hoc inflating (Cameron & Trivedi 2013 ch. 3-4).
+    *
+    * Two stages, both distributed:
+    *  1. [[poissonIrls]] for the pilot means, then α̂ by the
+    *     Cameron-Trivedi auxiliary moment regression (their eq. 3.37,
+    *     no-intercept OLS of ((y−μ̂)²−μ̂)/μ̂ on μ̂, which closes to
+    *     α̂ = Σ((y−μ̂)² − μ̂) / Σμ̂² — ONE aggregate);
+    *  2. IRLS with the NB2 working weight w = μ/(1 + αμ) (the Fisher
+    *     scoring weight for fixed α), same broadcast-iterate shape as
+    *     the Poisson loop, SEs from the converged (XᵀWX)⁻¹.
+    *
+    * α̂ ≤ 0 (under-dispersed or equi-dispersed data) is a NAMED error
+    * pointing back at poisson_reg — fitting NB2 there would divide by a
+    * vanishing variance ratio and report garbage α. α is method-of-
+    * moments, not ML — the standard two-step estimator; its own
+    * sampling error is not propagated into the SEs (documented, as in
+    * the textbook treatment). */
+  def negBinIrls(df: DataFrame, y: Column, xs: Seq[Column],
+                 maxIter: Int = 25, tol: Double = 1e-8): NegBinFit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = xs.length
+    val pilot = poissonIrls(df, y, xs, maxIter = maxIter, tol = tol)
+    val slim = df.select(y.cast("double").as("__y") +:
+      xs.zipWithIndex.map { case (x, i) => x.cast("double").as(s"__x$i") }: _*)
+      .filter(col("__y").isNotNull && col("__y") >= 0.0)
+      .persist()
+    try {
+      val yd = col("__y")
+      val xsS = (0 until k).map(i => col(s"__x$i"))
+      def muOf(beta: Array[Double]): (DataFrame, Column) = {
+        val withBeta =
+          slim.crossJoin(broadcast(Seq(Tuple1(beta.toSeq)).toDF("__beta")))
+        val b = col("__beta")
+        val eta = xsS.zipWithIndex.map { case (x, i) =>
+          x * element_at(b, i + 1)
+        }.reduce(_ + _) + element_at(b, k + 1)
+        (withBeta, least(greatest(exp(eta), lit(1e-10)), lit(1e15)))
+      }
+      val pilotBeta = pilot.coefficients :+ pilot.intercept
+      val (pf, pmu) = muOf(pilotBeta)
+      val mom = pf.agg(
+        sum((yd - pmu) * (yd - pmu) - pmu).as("num"),
+        sum(pmu * pmu).as("den")).head()
+      val alpha = mom.getAs[Double]("num") / mom.getAs[Double]("den")
+      require(alpha > 0,
+        f"neg_bin: moment dispersion alpha = $alpha%.6f <= 0 — the data " +
+          "is not overdispersed; use poisson_reg")
+      var beta = pilotBeta
+      var converged = false
+      var it = 0
+      var lastModel: OlsModel = null
+      while (it < maxIter && !converged) {
+        val (withBeta, mu) = muOf(beta)
+        val b2 = col("__beta")
+        val eta = xsS.zipWithIndex.map { case (x, i) =>
+          x * element_at(b2, i + 1)
+        }.reduce(_ + _) + element_at(b2, k + 1)
+        val z = eta + (yd - mu) / mu
+        val w = mu / (lit(1.0) + lit(alpha) * mu)
+        val m = Regression.fitOls(withBeta, z, xsS, useBias = true, weight = w)
+        lastModel = m
+        val next = m.summary.coefficients
+        val delta = next.zip(beta).map { case (a, b) => math.abs(a - b) }.max
+        beta = next
+        converged = delta < tol
+        it += 1
+      }
+      val se = (0 to k).map(i => math.sqrt(lastModel.xtxInv(i)(i))).toArray
+      NegBinFit(beta.take(k), beta(k), alpha, it, converged,
+        se.take(k), se(k), pilot.n)
+    } finally {
+      slim.unpersist()
+      ()
+    }
+  }
+
+  case class NegBinFit(coefficients: Array[Double], intercept: Double,
+                       alpha: Double, iterations: Int, converged: Boolean,
+                       stderr: Array[Double], interceptStderr: Double,
+                       n: Long) {
+    def zValues: Array[Double] =
+      coefficients.zip(stderr).map { case (c, s) => c / s }
+    def pValues: Array[Double] = zValues.map(z =>
+      2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z))))
+  }
+
+  /** [[negBinIrls]] as a summary frame — one row per term (xs order, then
+    * "(intercept)"): (term, estimate, stderr, z_value, p_value) with the
+    * fit-level n / alpha / iterations / converged repeated per row. */
+  def negBinSummaryDf(df: DataFrame, y: Column, xs: Seq[Column],
+                      names: Seq[String], maxIter: Int = 25): DataFrame = {
+    require(names.length == xs.length,
+      s"neg_bin: ${xs.length} covariates but ${names.length} names")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fit = negBinIrls(df, y, xs, maxIter = maxIter)
+    val rows = names.indices.map { i =>
+      (names(i), fit.coefficients(i), fit.stderr(i), fit.zValues(i),
+        fit.pValues(i), fit.n, fit.alpha, fit.iterations, fit.converged)
+    } :+ (("(intercept)", fit.intercept, fit.interceptStderr,
+      fit.intercept / fit.interceptStderr,
+      2.0 * (1.0 - graft.stats.Dist.normCdf(
+        math.abs(fit.intercept / fit.interceptStderr))),
+      fit.n, fit.alpha, fit.iterations, fit.converged))
+    rows.toDF("term", "estimate", "stderr", "z_value", "p_value", "n",
+      "alpha", "iterations", "converged")
+  }
+
   /** AUC of a score column against binary labels via the Mann-Whitney
     * rank-sum identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀), computed with the
     * same shuffle-by-value average-rank aggregation as RankTests — O(distinct

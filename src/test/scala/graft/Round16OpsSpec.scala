@@ -211,6 +211,47 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("qhat"), e2.getMessage)
   }
 
+  test("negBinIrls: saturated closed form; alpha moments; guards") {
+    import graft.ops.MlWrappers
+    // arm0 y in {0,0,2} (x60), arm1 y in {0,1,9} (x60) - planted
+    // overdispersion; saturated MLE means = arm means
+    val rows = (0 until 360).map { i =>
+      val v = (i % 6) match {
+        case 3 => 1.0; case 4 => 2.0; case 5 => 9.0; case _ => 0.0
+      }
+      (v, i % 2)
+    }
+    val df = rows.toDF("y", "x")
+    val fit = MlWrappers.negBinIrls(df, col("y"), Seq(col("x")))
+    val m0 = rows.filter(_._2 == 0).map(_._1).sum / 180.0
+    val m1 = rows.filter(_._2 == 1).map(_._1).sum / 180.0
+    assert(math.abs(fit.intercept - math.log(m0)) < 1e-6)
+    assert(math.abs(fit.coefficients(0) - math.log(m1 / m0)) < 1e-6)
+    // moment alpha replayed by hand at the arm means
+    val num = rows.map { case (y, x) =>
+      val m = if (x == 0) m0 else m1; (y - m) * (y - m) - m
+    }.sum
+    val den = rows.map { case (_, x) =>
+      val m = if (x == 0) m0 else m1; m * m
+    }.sum
+    val alpha = num / den
+    assert(math.abs(fit.alpha - alpha) < 1e-6, s"${fit.alpha} vs $alpha")
+    // closed-form SEs from the NB working weights
+    val w0 = 180.0 * m0 / (1 + alpha * m0)
+    val w1 = 180.0 * m1 / (1 + alpha * m1)
+    assert(math.abs(fit.interceptStderr - math.sqrt(1 / w0)) < 1e-6)
+    assert(math.abs(fit.stderr(0) - math.sqrt(1 / w0 + 1 / w1)) < 1e-6)
+    // NB SEs must exceed the Poisson SEs on overdispersed data
+    val pois = MlWrappers.poissonIrls(df, col("y"), Seq(col("x")))
+    assert(fit.stderr(0) > pois.stderr(0))
+    // equidispersed (constant positive y) -> named alpha error
+    val e = intercept[IllegalArgumentException] {
+      MlWrappers.negBinIrls((0 until 40).map(i => (1.0, i % 2)).toDF("y", "x"),
+        col("y"), Seq(col("x")))
+    }
+    assert(e.getMessage.contains("overdispersed"), e.getMessage)
+  }
+
   test("krippendorffAlpha: double npairs path keeps the small-case value") {
     // 4 units x 3 raters, mostly agreeing — hand value via the pre-fix
     // Long path on small data must be unchanged by the double cast
