@@ -178,6 +178,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT g_test(a, b)                         FROM <contingency>
   * SELECT ope(r, p_target, p_logging[, qhat[, clip]]) FROM <logs>
   * SELECT neg_bin_reg(y, x...)                 FROM <overdispersed counts>
+  * SELECT isotonic_calibrate(score, label[, max_cells]) FROM <scored>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -349,7 +350,8 @@ object GraftGateway {
     "distinct_n", "poisson_reg", "c_index", "krippendorff",
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
-    "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg")
+    "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
+    "isotonic_calibrate")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -824,6 +826,11 @@ object GraftGateway {
         require(a.length >= 2, "poisson_reg(y, x...)")
         MlWrappers.poissonSummaryDf(df, c(a(0)), a.drop(1).map(c),
           a.drop(1).map(name))
+      case "isotonic_calibrate" =>
+        // monotone score -> P(label) map (pool-adjacent-violators)
+        require(a.length >= 2, "isotonic_calibrate(score, label[, max_cells])")
+        MlEval.isotonicCalibrate(df, c(a(0)), c(a(1)),
+          maxCells = if (a.length > 2) num(a(2)).toInt else 100000)
       case "neg_bin_reg" =>
         // overdispersed-count GLM (NB2): Poisson pilot -> moment alpha
         // -> weighted IRLS

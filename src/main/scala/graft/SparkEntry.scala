@@ -3003,6 +3003,25 @@ object SparkEntry {
           round(col("alpha"), 6).as("alpha"), col("n"))
         .orderBy(col("term"))
     }),
+    "q270_isotonic_calibrate" -> ((s, d) => {
+      // 10 score levels with planted per-level positive rates
+      // [.1,.2,.3,.4,.5,.45,.6,.7,.8,.9] driven by an independent
+      // sub-position — monotone except the (4,5) inversion, which PAVA
+      // pools to their weighted mean (0.4 < pooled < 0.6, margins wide
+      // enough that count imbalance cannot change the pooling) — so the
+      // oracle replays the fit as a closed-form CASE over level cells
+      t(s, d, "events")
+        .select((col("event_id") % 10).cast("double").as("s"),
+          (((col("event_id") / 10).cast("long") % 20) <
+            element_at(typedLit(Seq(2, 4, 6, 8, 10, 9, 12, 14, 16, 18)),
+              (col("event_id") % 10).cast("int") + 1)).cast("int").as("y"))
+        .createOrReplaceTempView("q270_ev")
+      GraftGateway.sql(s, "SELECT isotonic_calibrate(s, y) FROM q270_ev")
+        .select(col("score"), col("n"),
+          round(col("raw_rate"), 8).as("raw_rate"),
+          round(col("calibrated"), 8).as("calibrated"))
+        .orderBy(col("score"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -5794,6 +5813,23 @@ object SparkEntry {
         |  round(alpha, 6), n
         |FROM b, w
         |ORDER BY term""".stripMargin,
+    "q270_isotonic_calibrate" ->
+      // the planted inversion makes the PAVA fit a closed form: levels
+      // 4 and 5 pool to their weighted mean, every other level keeps
+      // its own rate (margins guarantee no cascade)
+      """WITH a AS (SELECT CAST(event_id % 10 AS DOUBLE) AS s,
+        |    CASE WHEN (event_id // 10) % 20 <
+        |      [2, 4, 6, 8, 10, 9, 12, 14, 16, 18][(event_id % 10) + 1]
+        |    THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |cells AS (SELECT s, count(*) AS n, sum(y) AS pos,
+        |    avg(CAST(y AS DOUBLE)) AS rate FROM a GROUP BY s),
+        |pool AS (SELECT sum(pos) * 1.0 / sum(n) AS pm FROM cells
+        |  WHERE s IN (4, 5))
+        |SELECT s AS score, n, round(rate, 8) AS raw_rate,
+        |  round(CASE WHEN s IN (4, 5) THEN pool.pm ELSE rate END, 8)
+        |    AS calibrated
+        |FROM cells, pool ORDER BY s""".stripMargin,
     "q257_streaming_ph" ->
       // batch replay of the streaming semantics: per-metric cells minus
       // each metric's OPEN (max) period, then the q240 window chain

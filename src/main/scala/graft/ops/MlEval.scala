@@ -380,6 +380,68 @@ object MlEval {
     }
   }
 
+  /** Isotonic calibration (pool-adjacent-violators; Ayer et al. 1955,
+    * Zadrozny & Elkan 2002) — the CALIBRATOR beside [[calibration]]'s
+    * table and [[hosmerLemeshow]]'s test: the monotone non-decreasing
+    * map from score to P(label=1) that minimizes squared error, the
+    * standard post-hoc fix when a ranker's scores order well but read
+    * as probabilities badly.
+    *
+    * 100 TB shape: ONE groupBy to (distinct score) cells — n and the
+    * positive count per cell — then the weighted PAVA runs on the
+    * DRIVER over cells, guarded by `maxCells` BEFORE collection (the
+    * ordinalAssoc idiom: isotonic regression is over score LEVELS;
+    * bucket a continuous score first, or raise maxCells knowingly).
+    * PAVA itself is the textbook stack algorithm, O(cells). Label
+    * domain outside {0, 1} is a named error riding the cell pass.
+    * Returns the mapping, one row per distinct score ascending:
+    * (score, n, raw_rate, calibrated) — join it back on score (or
+    * range-join for unseen scores) to apply. */
+  def isotonicCalibrate(df: DataFrame, score: Column, label: Column,
+                        maxCells: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = score.cast("double")
+    val y = label.cast("int")
+    val cellsDf = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+      .groupBy(s.as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(y === 1, 1L).otherwise(0L)).as("pos"),
+        sum(when(y =!= 0 && y =!= 1, 1L).otherwise(0L)).as("bad"))
+    val cells = cellsDf.limit(maxCells + 1).collect()
+    require(cells.length <= maxCells,
+      s"isotonic_calibrate: more than $maxCells distinct scores — " +
+        "bucket the score first (or raise maxCells knowingly)")
+    require(cells.nonEmpty, "isotonic_calibrate: no complete rows")
+    val bad = cells.map(_.getAs[Long]("bad")).sum
+    require(bad == 0,
+      s"isotonic_calibrate: $bad rows have label outside {0, 1}")
+    val sorted = cells.map(r => (r.getAs[Double]("v"), r.getAs[Long]("n"),
+      r.getAs[Long]("pos"))).sortBy(_._1)
+    // weighted PAVA: blocks of (weight, sum, startIdx); merge backwards
+    // while the previous block's mean exceeds the new one's
+    case class Block(w: Double, s: Double, from: Int) { def m: Double = s / w }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    sorted.zipWithIndex.foreach { case ((_, n, pos), i) =>
+      var b = Block(n.toDouble, pos.toDouble, i)
+      while (stack.nonEmpty && stack.last.m >= b.m) {
+        val p = stack.remove(stack.length - 1)
+        b = Block(p.w + b.w, p.s + b.s, p.from)
+      }
+      stack += b
+    }
+    val fitted = new Array[Double](sorted.length)
+    for (bi <- stack.indices) {
+      val b = stack(bi)
+      val end = if (bi + 1 < stack.length) stack(bi + 1).from
+        else sorted.length
+      (b.from until end).foreach(i => fitted(i) = b.m)
+    }
+    sorted.zipWithIndex.map { case ((v, n, pos), i) =>
+      (v, n, pos.toDouble / n, fitted(i))
+    }.toSeq.toDF("score", "n", "raw_rate", "calibrated")
+  }
+
   /** Calibration table + expected calibration error for a probability
     * score: rows bin by score into `nBins` equal-width bins ([0,1] range),
     * each bin reports (n, avg score, avg label, |gap|); ECE is the

@@ -252,6 +252,49 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("overdispersed"), e.getMessage)
   }
 
+  test("isotonicCalibrate: PAVA pools violators; monotone; guards") {
+    import graft.ops.MlEval
+    // levels 0..3 with rates .1 .4 .3 .2 (inversion cascade) then .8:
+    // PAVA pools {1,2,3} -> .3; fitted = [.1, .3, .3, .3, .8]
+    val rows = (0 until 500).flatMap { i =>
+      val lvl = i % 5
+      val rate = Seq(0.1, 0.4, 0.3, 0.2, 0.8)(lvl)
+      // deterministic sub-position drives the label
+      Seq((lvl.toDouble, if ((i / 5) % 10 < rate * 10) 1 else 0))
+    }
+    val out = MlEval.isotonicCalibrate(rows.toDF("s", "y"), col("s"),
+      col("y")).orderBy("score").collect()
+    val cal = out.map(_.getAs[Double]("calibrated"))
+    assert(math.abs(cal(0) - 0.1) < 1e-12)
+    assert(math.abs(cal(1) - 0.3) < 1e-12 && math.abs(cal(2) - 0.3) < 1e-12
+      && math.abs(cal(3) - 0.3) < 1e-12, cal.toSeq.toString)
+    assert(math.abs(cal(4) - 0.8) < 1e-12)
+    // monotone non-decreasing always
+    assert(cal.sliding(2).forall(p => p(0) <= p(1)))
+    // raw rates preserved
+    assert(math.abs(out(1).getAs[Double]("raw_rate") - 0.4) < 1e-12)
+    // already-monotone input is unchanged
+    val mono = (0 until 300).map { i =>
+      (i % 3 * 1.0, if ((i / 3) % 10 < (i % 3) * 3 + 1) 1 else 0)
+    }
+    val mo = MlEval.isotonicCalibrate(mono.toDF("s", "y"), col("s"),
+      col("y")).orderBy("score").collect()
+    mo.foreach(r => assert(r.getAs[Double]("calibrated") ==
+      r.getAs[Double]("raw_rate")))
+    // guards
+    val e1 = intercept[IllegalArgumentException] {
+      MlEval.isotonicCalibrate(Seq((1.0, 2)).toDF("s", "y"), col("s"),
+        col("y"))
+    }
+    assert(e1.getMessage.contains("{0, 1}"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      MlEval.isotonicCalibrate(
+        Seq((1.0, 1), (2.0, 0), (3.0, 1)).toDF("s", "y"),
+        col("s"), col("y"), maxCells = 2)
+    }
+    assert(e2.getMessage.contains("distinct scores"), e2.getMessage)
+  }
+
   test("krippendorffAlpha: double npairs path keeps the small-case value") {
     // 4 units x 3 raters, mostly agreeing — hand value via the pre-fix
     // Long path on small data must be unchanged by the double cast
