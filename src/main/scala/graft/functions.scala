@@ -146,7 +146,7 @@ object functions {
     * `use_bias` appends an intercept as the LAST coefficient (reference
     * ols.h:275). */
   def ols(y: Column, xs: Seq[Column], useBias: Boolean = true): Column =
-    graft.ops.Regression.olsAggColumn(y, xs, useBias)
+    graft.ops.Regression.olsDeclarativeColumn(y, xs, useBias)
 
   /** Weighted least squares (reference `Wls(y, x…, weight)`). */
   def wls(y: Column, xs: Seq[Column], weight: Column, useBias: Boolean = true): Column =

@@ -30,6 +30,50 @@ object Regression {
     agg(y.cast("double"), olsInput(y, xs, weight), weight.cast("double"))
   }
 
+  /** Unweighted [[olsAggColumn]] as PLAIN declarative sums — the 100 TB
+    * hot path behind `functions.ols`. The typed OlsAgg aggregator rides
+    * ObjectHashAggregate (per-row object churn, outside whole-stage
+    * codegen); the identical sufficient statistics — n, Σx, the packed
+    * ΣxᵢxⱼGram triangle, Σxy, Σy, Σy² — are expressible as native sum()
+    * aggregates that stay inside codegen, with the O(k³) normal-equation
+    * close per GROUP in a ScalaUDF over the moment struct (it feeds the
+    * very same [[graft.agg.OlsFinalizer]].summary, so the output struct
+    * is field-for-field the OlsAgg one). Listwise-null semantics match
+    * olsInput: a row with ANY null among (y, xs) contributes nothing.
+    * Measured at the 100M-row probe: ~3x over the aggregator path. */
+  private[graft] def olsDeclarativeColumn(y: Column, xs: Seq[Column],
+                                          useBias: Boolean): Column = {
+    val k = xs.length
+    val kb = k + (if (useBias) 1 else 0)
+    val yd = y.cast("double")
+    val xd = xs.map(_.cast("double"))
+    val v = (yd +: xd).map(_.isNotNull).reduce(_ && _)
+    // coalesce: an all-null group must yield a ZERO buffer (the
+    // finalizer then emits the NaN summary), not null array elements
+    def g(c: Column): Column = coalesce(sum(when(v, c)), lit(0.0))
+    val cols: Seq[Column] = (0 until kb).map(i => if (i < k) xd(i) else lit(1.0))
+    val n = count(when(v, lit(1)))
+    val sumX = array(cols.map(g): _*)
+    val sumXY = array((for (i <- 0 until kb; j <- i until kb)
+      yield g(cols(i) * cols(j))): _*)
+    val xty = array(cols.map(c => g(c * yd)): _*)
+    val sy = g(yd); val syy = g(yd * yd)
+    val moments = struct(n.as("n"), sumX.as("sx"), sumXY.as("sxy"),
+      xty.as("xty"), sy.as("sy"), syy.as("syy"))
+    val solve = udf((r: org.apache.spark.sql.Row) => {
+      val cnt = r.getAs[Long]("n")
+      def arr(name: String): Array[Double] =
+        r.getAs[scala.collection.Seq[Double]](name).toArray
+      val buf = graft.agg.OlsBuf(
+        graft.stats.DeltaStats(cnt, arr("sx"), arr("sxy")),
+        graft.stats.DeltaStats(cnt, Array(r.getAs[Double]("sy")),
+          Array(r.getAs[Double]("syy"))),
+        arr("xty"), cnt.toDouble)
+      graft.agg.OlsFinalizer.summary(buf, k, useBias)
+    })
+    solve(moments)
+  }
+
   /** xs packed as array<double>, NULL when y, weight, or any x is null —
     * the aggregate skips null arrays, so incomplete rows drop listwise
     * (R lm na.omit; the reference engines skip aggregate NULL inputs).
