@@ -1124,6 +1124,44 @@ object ScaleProbe {
         .head()
       assert(r.getAs[Boolean]("stationary_5pct"), r.toString)
     }
+    time(s"ope IPS/SNIPS/DR ($rows rows, one moment pass)") {
+      val d = spark.range(rows).select(
+        ((col("id") % 4 + 2) / lit(10.0)).as("pl"),
+        ((col("id") % 5 + 1) / lit(10.0)).as("pt"),
+        (col("id") % 7).cast("double").as("r"),
+        ((col("id") % 3) * lit(0.5)).as("q"))
+      val o = graft.ops.PolicyEval.opeEval(d, col("r"), col("pt"),
+        col("pl"), qhat = Some(col("q")), wClip = 2.0).head()
+      assert(o.getAs[Double]("snips") > 0, o.toString)
+    }
+    time(s"neg_bin_reg y ~ x ($rows rows, pilot + moment alpha + IRLS)") {
+      val d = spark.range(rows).select(
+        when(col("id") % 6 === 3, 1.0).when(col("id") % 6 === 4, 2.0)
+          .when(col("id") % 6 === 5, 9.0).otherwise(0.0).as("y"),
+        (col("id") % 2).cast("int").as("x"))
+      val r = graft.ops.MlWrappers.negBinIrls(d, col("y"), Seq(col("x")))
+      assert(r.alpha > 0 && r.converged, s"alpha ${r.alpha}")
+    }
+    time(s"isotonic_calibrate ($rows rows, 10k score cells)") {
+      val d = spark.range(rows).select(
+        (col("id") % 10000).cast("double").as("s"),
+        (pmod(xxhash64(col("id"), lit(23)), lit(100L)) <
+          least((col("id") % 10000) / lit(110) + 5, lit(95))).cast("int")
+          .as("y"))
+      val r = graft.ops.MlEval.isotonicCalibrate(d, col("s"), col("y"))
+      assert(r.count() == 10000L)
+    }
+    time(s"elect_representatives (${rows / 10} labeled vertices)") {
+      // dup components of ~10 members each + a rank table
+      val comp = spark.range(rows / 10).select(col("id"),
+        (col("id") - col("id") % 10).as("component"))
+      val ranks = spark.range(rows / 10).select(col("id"),
+        pmod(xxhash64(col("id"), lit(29)), lit(1000L)).cast("double")
+          .as("r"))
+      val n = graft.ops.Dedup.electRepresentatives(comp, ranks,
+        col("id"), col("r")).count()
+      assert(n == rows / 100, s"$n components")
+    }
     } // suite()
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt

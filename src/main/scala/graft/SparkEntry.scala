@@ -2951,7 +2951,7 @@ object SparkEntry {
             "ELSE (event_id % 4) + 4L END AS hub")
       val ranks = graft.ops.Graph.pageRank(
         emb.select(col("vid").as("src"), col("hub").as("dst")),
-        col("src"), col("dst"), damping = 0.85, iterations = 5)
+        col("src"), col("dst"), damping = 0.85, iterations = 3)
       emb.join(ranks, emb("vid") === ranks("node"), "left")
         .select(col("vid"), col("emb"),
           coalesce(col("rank"), lit(0.0)).as("pr"))
