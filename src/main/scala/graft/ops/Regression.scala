@@ -127,12 +127,47 @@ object Regression {
   def fitOlsMultiWeighted(df: DataFrame, targets: Seq[(Column, Seq[Column], Column)],
                           useBias: Boolean = true): Seq[OlsModel] = {
     require(targets.nonEmpty, "need at least one target")
-    val aggs = targets.zipWithIndex.map { case ((y, xs, w), i) =>
-      olsBufColumn(y, xs, useBias, w).as(s"b$i")
+    // DECLARATIVE moments instead of the typed OlsBufAgg: the buffer's
+    // sufficient statistics are plain sums — x-side Σ√w·xᵢ and the
+    // packed Σw·xᵢxⱼ triangle, y-side Σ√w·y and Σw·y², Σw·y·xᵢ, Σw, n —
+    // which stay inside whole-stage codegen where the Aggregator rides
+    // ObjectHashAggregate (~3x at the 100M probe; IRLS loops pay this
+    // once per iteration). The one collected row per target is rebuilt
+    // into the exact OlsBuf the finalizer already consumes, so model
+    // numerics and the listwise-null / null-weight-drops-row semantics
+    // are unchanged.
+    val aggs = targets.zipWithIndex.flatMap { case ((y0, xs0, w0), i) =>
+      val k = xs0.length
+      val kb = k + (if (useBias) 1 else 0)
+      val yd = y0.cast("double")
+      val wd = w0.cast("double")
+      val xd = xs0.map(_.cast("double"))
+      val v = ((yd +: xd) :+ wd).map(_.isNotNull).reduce(_ && _)
+      def g(c: Column): Column = coalesce(sum(when(v, c)), lit(0.0))
+      val sw = sqrt(wd)
+      val cols: Seq[Column] =
+        (0 until kb).map(j => if (j < k) xd(j) else lit(1.0))
+      Seq(
+        count(when(v, lit(1))).as(s"n$i"),
+        array(cols.map(c => g(c * sw)): _*).as(s"sx$i"),
+        array((for (a <- 0 until kb; b <- a until kb)
+          yield g(cols(a) * cols(b) * wd)): _*).as(s"sxy$i"),
+        array(cols.map(c => g(c * yd * wd)): _*).as(s"xty$i"),
+        g(yd * sw).as(s"sy$i"),
+        g(yd * yd * wd).as(s"syy$i"),
+        g(wd).as(s"sw$i"))
     }
     val row = df.select(aggs: _*).head()
-    targets.zipWithIndex.map { case ((_, xs, _), i) =>
-      modelFromBuf(bufFromRow(row.getStruct(i)), xs.length, useBias)
+    targets.zipWithIndex.map { case ((_, xs0, _), i) =>
+      val cnt = row.getAs[Long](s"n$i")
+      def arr(name: String): Array[Double] =
+        row.getAs[scala.collection.Seq[Double]](name).toArray
+      val buf = graft.agg.OlsBuf(
+        graft.stats.DeltaStats(cnt, arr(s"sx$i"), arr(s"sxy$i")),
+        graft.stats.DeltaStats(cnt, Array(row.getAs[Double](s"sy$i")),
+          Array(row.getAs[Double](s"syy$i"))),
+        arr(s"xty$i"), row.getAs[Double](s"sw$i"))
+      modelFromBuf(buf, xs0.length, useBias)
     }
   }
 
