@@ -179,6 +179,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT ope(r, p_target, p_logging[, qhat[, clip]]) FROM <logs>
   * SELECT neg_bin_reg(y, x...)                 FROM <overdispersed counts>
   * SELECT isotonic_calibrate(score, label[, max_cells]) FROM <scored>
+  * SELECT weighted_kappa(a, b[, 'quadratic'|'linear']) FROM <ordinal pairs>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -351,7 +352,7 @@ object GraftGateway {
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
-    "isotonic_calibrate")
+    "isotonic_calibrate", "weighted_kappa")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -826,6 +827,12 @@ object GraftGateway {
         require(a.length >= 2, "poisson_reg(y, x...)")
         MlWrappers.poissonSummaryDf(df, c(a(0)), a.drop(1).map(c),
           a.drop(1).map(name))
+      case "weighted_kappa" =>
+        // ordinal chance-corrected agreement (quadratic|linear weights)
+        require(a.length >= 2,
+          "weighted_kappa(a, b[, 'quadratic'|'linear'])")
+        Agreement.weightedKappa(df, c(a(0)), c(a(1)),
+          weighting = if (a.length > 2) str(a(2)) else "quadratic")
       case "isotonic_calibrate" =>
         // monotone score -> P(label) map (pool-adjacent-violators)
         require(a.length >= 2, "isotonic_calibrate(score, label[, max_cells])")

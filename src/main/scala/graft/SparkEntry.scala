@@ -3022,6 +3022,25 @@ object SparkEntry {
           round(col("calibrated"), 8).as("calibrated"))
         .orderBy(col("score"))
     }),
+    "q271_weighted_kappa" -> ((s, d) => {
+      // ordinal judge-vs-judge grades on a 5-level scale: mostly equal,
+      // planted 1-step and 2-step disagreements — quadratic weights
+      // punish the 2-step ones 4x; all five labels appear on both sides
+      // so the sorted-union index equals the value itself and the oracle
+      // replays weights as value distance over (k-1) = 4
+      t(s, d, "events")
+        .select((col("event_id") % 5).cast("double").as("a"),
+          ((col("event_id") % 5 +
+            when(col("event_id") % 7 === 0, 1).otherwise(0) +
+            when(col("event_id") % 11 === 0, 2).otherwise(0)) % 5)
+            .cast("double").as("b"))
+        .createOrReplaceTempView("q271_ev")
+      GraftGateway.sql(s, "SELECT weighted_kappa(a, b) FROM q271_ev")
+        .select(col("n"), col("categories"), col("weighting"),
+          round(col("po_w"), 8).as("po_w"), round(col("pe_w"), 8).as("pe_w"),
+          round(col("kappa_w"), 8).as("kappa_w"),
+          round(col("se"), 8).as("se"), round(col("z"), 4).as("z"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -5750,6 +5769,45 @@ object SparkEntry {
         |  FROM events WHERE event_id < 1000)
         |SELECT CAST(rep AS BIGINT) AS rep_id, count(*) AS n_members
         |FROM a GROUP BY rep ORDER BY rep""".stripMargin,
+    "q271_weighted_kappa" ->
+      // cells + full marginal grid; quadratic agreement weights from
+      // value distance (all 5 labels present on both sides, so sorted-
+      // union index == value); po/pe/kappa and the Fleiss-Cohen-Everitt
+      // variance as the same cell-scale closed forms
+      """WITH x AS (SELECT CAST(event_id % 5 AS DOUBLE) AS a,
+        |    CAST((event_id % 5 + CASE WHEN event_id % 7 = 0 THEN 1
+        |      ELSE 0 END + CASE WHEN event_id % 11 = 0 THEN 2 ELSE 0 END)
+        |      % 5 AS DOUBLE) AS b
+        |  FROM events),
+        |cells AS (SELECT a, b, count(*) AS c FROM x GROUP BY a, b),
+        |nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cells),
+        |pa AS (SELECT a, sum(c) AS ca FROM cells GROUP BY a),
+        |pb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY b),
+        |grid AS (SELECT pa.a, pb.b, pa.ca / nn.n AS pia,
+        |    pb.cb / nn.n AS pjb,
+        |    1 - ((pa.a - pb.b) / 4) * ((pa.a - pb.b) / 4) AS w
+        |  FROM pa, pb, nn),
+        |po AS (SELECT sum((1 - ((a - b) / 4) * ((a - b) / 4)) * c)
+        |    / (SELECT n FROM nn) AS po FROM cells),
+        |pe AS (SELECT sum(w * pia * pjb) AS pe FROM grid),
+        |wa AS (SELECT a, sum(pjb * w) AS wai FROM grid GROUP BY a),
+        |wb AS (SELECT b, sum(pia * w) AS wbj FROM grid GROUP BY b),
+        |s2 AS (SELECT sum((c / nn.n) * pow(
+        |      (1 - ((cells.a - cells.b) / 4) * ((cells.a - cells.b) / 4))
+        |        * (1 - pe.pe) - (wa.wai + wb.wbj) * (1 - po.po), 2))
+        |    AS s2
+        |  FROM cells JOIN wa USING (a) JOIN wb USING (b), nn, pe, po),
+        |f AS (SELECT nn.n AS n, po.po AS po, pe.pe AS pe,
+        |    (po.po - pe.pe) / (1 - pe.pe) AS kap,
+        |    sqrt(greatest(0.0, (s2.s2 - pow(po.po * pe.pe - 2 * pe.pe
+        |      + po.po, 2)) / (nn.n * pow(1 - pe.pe, 4)))) AS se
+        |  FROM nn, po, pe, s2)
+        |SELECT CAST(n AS BIGINT) AS n, 5 AS categories,
+        |  'quadratic' AS weighting,
+        |  round(po, 8) AS po_w, round(pe, 8) AS pe_w,
+        |  round(kap, 8) AS kappa_w, round(se, 8) AS se,
+        |  round(kap / se, 4) AS z
+        |FROM f""".stripMargin,
     "q268_ope" ->
       // the three estimators' moment closed forms, replayed term-shaped
       // (same max(0,.) guards, same variance expressions)

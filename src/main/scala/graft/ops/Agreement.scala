@@ -91,6 +91,96 @@ object Agreement {
       .toDF("n", "categories", "po", "pe", "kappa", "se", "z")
   }
 
+  /** Weighted Cohen's kappa (Cohen 1968) — chance-corrected agreement for
+    * ORDINAL paired labels, where [[cohensKappa]] treats a 1-vs-2
+    * disagreement the same as 1-vs-5 (LLM-judge grades, severity tiers,
+    * star ratings). With categories indexed 0..k−1 by their sorted
+    * order, agreement weights
+    *
+    *   w_ij = 1 − ((i−j)/(k−1))²   (quadratic, the default — the form
+    *                                that equals the ICC asymptotically)
+    *   w_ij = 1 − |i−j|/(k−1)      (linear)
+    *
+    *   κ_w = (p_o − p_e)/(1 − p_e),  p_o = Σ w_ij p_ij,
+    *   p_e = Σ w_ij p_i• p_•j
+    *
+    * with the Fleiss–Cohen–Everitt (1969) large-sample variance:
+    *
+    *   var = [Σ p_ij (w_ij(1−p_e) − (w̄_i• + w̄_•j)(1−p_o))²
+    *          − (p_o p_e − 2p_e + p_o)²] / (n(1−p_e)⁴)
+    *
+    * where w̄_i• = Σ_j p_•j w_ij and w̄_•j = Σ_i p_i• w_ij. Category
+    * indices come from the SORTED distinct union of both raters' values
+    * (numeric order when both cast; else lexical — documented, matching
+    * the common scikit convention).
+    *
+    * 100 TB shape: ONE (a, b) cell aggregate; the O(k²) close is
+    * driver-side over cells, guarded by `maxCells` BEFORE collection
+    * (the kendallTau idiom — the label space is bounded by construction;
+    * bucket continuous scores first). Returns one row:
+    * (n, categories, weighting, po_w, pe_w, kappa_w, se, z, p_value). */
+  def weightedKappa(df: DataFrame, a: Column, b: Column,
+                    weighting: String = "quadratic",
+                    maxCells: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(weighting == "quadratic" || weighting == "linear",
+      s"weighted_kappa: weighting must be quadratic|linear, got $weighting")
+    val as = a.cast("string"); val bs = b.cast("string")
+    val ad = a.cast("double"); val bd = b.cast("double")
+    val cellsDf = df.filter(as.isNotNull && bs.isNotNull)
+      .groupBy(coalesce(ad.cast("string"), as).as("a"),
+        coalesce(bd.cast("string"), bs).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val cells = cellsDf.limit(maxCells + 1).collect()
+    require(cells.length <= maxCells,
+      s"weighted_kappa: more than $maxCells distinct (a, b) cells — " +
+        "κ_w is for bounded label spaces; bucket continuous scores first")
+    require(cells.nonEmpty, "weighted_kappa: no complete pairs")
+    def key(s: String): (Double, String) = {
+      val d = try s.toDouble catch { case _: Throwable => Double.NaN }
+      if (d.isNaN) (Double.MaxValue, s) else (d, "")
+    }
+    val cs = cells.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val labels = (cs.map(_._1) ++ cs.map(_._2)).distinct
+      .sortBy(key)
+    val idx = labels.zipWithIndex.toMap
+    val k = labels.length
+    require(k >= 2, "weighted_kappa: both raters are constant")
+    val n = cs.map(_._3).sum.toDouble
+    def w(i: Int, j: Int): Double = {
+      val d = (i - j).toDouble / (k - 1)
+      if (weighting == "quadratic") 1.0 - d * d else 1.0 - math.abs(d)
+    }
+    val p = Array.ofDim[Double](k, k)
+    cs.foreach { case (la, lb, c) => p(idx(la))(idx(lb)) += c / n }
+    val pa = Array.tabulate(k)(i => p(i).sum)
+    val pb = Array.tabulate(k)(j => (0 until k).map(p(_)(j)).sum)
+    var po = 0.0; var pe = 0.0
+    for (i <- 0 until k; j <- 0 until k) {
+      po += w(i, j) * p(i)(j); pe += w(i, j) * pa(i) * pb(j)
+    }
+    require(pe < 1.0,
+      "weighted_kappa: expected agreement is 1 — κ_w is undefined")
+    val kap = (po - pe) / (1 - pe)
+    val wa = Array.tabulate(k)(i => (0 until k).map(j => pb(j) * w(i, j)).sum)
+    val wb = Array.tabulate(k)(j => (0 until k).map(i => pa(i) * w(i, j)).sum)
+    var s2 = 0.0
+    for (i <- 0 until k; j <- 0 until k) {
+      val t = w(i, j) * (1 - pe) - (wa(i) + wb(j)) * (1 - po)
+      s2 += p(i)(j) * t * t
+    }
+    val c2 = po * pe - 2 * pe + po
+    val varK = math.max(0.0, (s2 - c2 * c2) /
+      (n * math.pow(1 - pe, 4)))
+    val se = math.sqrt(varK)
+    val z = if (se > 0) kap / se else 0.0
+    val pv = 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z)))
+    Seq((n.toLong, k.toLong, weighting, po, pe, kap, se, z, pv))
+      .toDF("n", "categories", "weighting", "po_w", "pe_w", "kappa_w",
+        "se", "z", "p_value")
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for ANY
     * number of raters: the multi-annotator generalization of
     * [[cohensKappa]], for labeling pipelines where each item is rated by

@@ -295,6 +295,67 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("distinct scores"), e2.getMessage)
   }
 
+  test("weightedKappa: FCE variance matches numeric delta method; " +
+    "k=2 quadratic equals unweighted kappa") {
+    import graft.ops.Agreement
+    val rows = (0 until 400).map { i =>
+      val a = i % 5
+      val b = (a + (if (i % 7 == 0) 1 else 0) + (if (i % 11 == 0) 2 else 0)) % 5
+      (a, b)
+    }
+    val r = Agreement.weightedKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .head()
+    // independent replay of po/pe/kappa from the definition
+    val k = 5
+    val n = rows.length.toDouble
+    val p = Array.ofDim[Double](k, k)
+    rows.foreach { case (a, b) => p(a)(b) += 1 / n }
+    def w(i: Int, j: Int) = 1.0 - math.pow((i - j).toDouble / (k - 1), 2)
+    def kappaOf(q: Array[Array[Double]]): Double = {
+      val tot = q.map(_.sum).sum
+      val pa = q.map(_.sum / tot)
+      val pb = (0 until k).map(j => (0 until k).map(q(_)(j)).sum / tot)
+      var po = 0.0; var pe = 0.0
+      for (i <- 0 until k; j <- 0 until k) {
+        po += w(i, j) * q(i)(j) / tot; pe += w(i, j) * pa(i) * pb(j)
+      }
+      (po - pe) / (1 - pe)
+    }
+    assert(math.abs(r.getAs[Double]("kappa_w") - kappaOf(p)) < 1e-12)
+    // numeric delta method: gradient of kappa(cells) by central
+    // differences, multinomial covariance (diag(p) - pp')/n
+    val g = Array.ofDim[Double](k, k)
+    val eps = 1e-7
+    for (i <- 0 until k; j <- 0 until k) {
+      val up = p.map(_.clone); up(i)(j) += eps
+      val dn = p.map(_.clone); dn(i)(j) -= eps
+      g(i)(j) = (kappaOf(up) - kappaOf(dn)) / (2 * eps)
+    }
+    var egg = 0.0; var eg = 0.0
+    for (i <- 0 until k; j <- 0 until k) {
+      egg += p(i)(j) * g(i)(j) * g(i)(j); eg += p(i)(j) * g(i)(j)
+    }
+    val varNum = (egg - eg * eg) / n
+    val seFce = r.getAs[Double]("se")
+    assert(math.abs(seFce * seFce - varNum) < 1e-8,
+      s"FCE ${seFce * seFce} vs delta $varNum")
+    // k=2: quadratic weights degenerate to identity -> unweighted kappa
+    val bin = rows.map { case (a, b) => (a % 2, b % 2) }.toDF("a", "b")
+    val kw = Agreement.weightedKappa(bin, col("a"), col("b")).head()
+    val ku = Agreement.cohensKappa(bin, col("a"), col("b")).head()
+    assert(math.abs(kw.getAs[Double]("kappa_w") -
+      ku.getAs[Double]("kappa")) < 1e-12)
+    // linear weighting runs and differs from quadratic on k=5
+    val lin = Agreement.weightedKappa(rows.toDF("a", "b"), col("a"),
+      col("b"), weighting = "linear").head()
+    assert(lin.getAs[Double]("kappa_w") != r.getAs[Double]("kappa_w"))
+    val e = intercept[IllegalArgumentException] {
+      Agreement.weightedKappa(Seq((1, 1)).toDF("a", "b"), col("a"),
+        col("b"))
+    }
+    assert(e.getMessage.contains("constant"), e.getMessage)
+  }
+
   test("krippendorffAlpha: double npairs path keeps the small-case value") {
     // 4 units x 3 raters, mostly agreeing — hand value via the pre-fix
     // Long path on small data must be unchanged by the double cast
