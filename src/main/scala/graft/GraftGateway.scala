@@ -180,6 +180,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT neg_bin_reg(y, x...)                 FROM <overdispersed counts>
   * SELECT isotonic_calibrate(score, label[, max_cells]) FROM <scored>
   * SELECT weighted_kappa(a, b[, 'quadratic'|'linear']) FROM <ordinal pairs>
+  * SELECT cox_zph(time, event, x...)           FROM <survival>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -352,7 +353,7 @@ object GraftGateway {
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
-    "isotonic_calibrate", "weighted_kappa")
+    "isotonic_calibrate", "weighted_kappa", "cox_zph")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -827,6 +828,11 @@ object GraftGateway {
         require(a.length >= 2, "poisson_reg(y, x...)")
         MlWrappers.poissonSummaryDf(df, c(a(0)), a.drop(1).map(c),
           a.drop(1).map(name))
+      case "cox_zph" =>
+        // PH-assumption score test on the Schoenfeld residuals
+        require(a.length >= 3, "cox_zph(time, event, x...)")
+        Survival.coxZph(df, c(a(0)), c(a(1)), a.drop(2).map(c),
+          a.drop(2).map(name))
       case "weighted_kappa" =>
         // ordinal chance-corrected agreement (quadratic|linear weights)
         require(a.length >= 2,

@@ -3041,6 +3041,21 @@ object SparkEntry {
           round(col("kappa_w"), 8).as("kappa_w"),
           round(col("se"), 8).as("se"), round(col("z"), 4).as("z"))
     }),
+    "q272_cox_zph" -> ((s, d) => {
+      // PH-assumption check on the q142 cox fixture (heavy Breslow
+      // ties, two covariates, rank transform). The score test rides the
+      // Newton fit, so the oracle pins the sf0.01 statistics (q142/q34
+      // idiom) while n per term stays a live closed form via count(*)
+      t(s, d, "lineitem").select(col("l_quantity").cast("int").as("stime"),
+          (col("l_linenumber") % 2).cast("int").as("ev"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("q272_cox")
+      GraftGateway.sql(s, "SELECT cox_zph(stime, ev, x1, x2) FROM q272_cox")
+        .select(col("term"), round(col("chisq"), 4).as("chisq"),
+          col("df"), lit(sfTag(d)).as("oracle_sf"))
+        .orderBy(col("term"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -5769,6 +5784,17 @@ object SparkEntry {
         |  FROM events WHERE event_id < 1000)
         |SELECT CAST(rep AS BIGINT) AS rep_id, count(*) AS n_members
         |FROM a GROUP BY rep ORDER BY rep""".stripMargin,
+    "q272_cox_zph" ->
+      // pinned sf0.01 score-test statistics (the q142 idiom: the test
+      // rides the Newton fit, which has no closed SQL form); the fixture
+      // is proportional by construction so the small chisq is the point
+      """SELECT 'GLOBAL' AS term, CAST(0.7083 AS DOUBLE) AS chisq,
+        |  CAST(2.0 AS DOUBLE) AS df, '0.01' AS oracle_sf
+        |UNION ALL SELECT 'x1', CAST(0.4026 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), '0.01'
+        |UNION ALL SELECT 'x2', CAST(0.3002 AS DOUBLE),
+        |  CAST(1.0 AS DOUBLE), '0.01'
+        |ORDER BY term""".stripMargin,
     "q271_weighted_kappa" ->
       // cells + full marginal grid; quadratic agreement weights from
       // value distance (all 5 labels present on both sides, so sorted-

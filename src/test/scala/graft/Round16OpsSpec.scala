@@ -356,6 +356,68 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("constant"), e.getMessage)
   }
 
+  test("coxZph: score test matches the numeric time-varying likelihood; " +
+    "planted non-PH rejects, PH data does not") {
+    import graft.ops.Survival
+    // planted NON-proportional hazard: x shortens time early, not late
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 120).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val base = 1.0 + (i * 13 % 29) + rng.nextDouble() * 0.01
+      // treated die fast EARLY and slow LATE - a sign-flipping hazard
+      val t = if (x > 0) { if (base < 15) base * 0.15 else base * 1.8 }
+        else base
+      (t, 1, x)
+    }
+    val df = rows.toDF("t", "e", "x")
+    val out = Survival.coxZph(df, col("t"), col("e"), Seq(col("x")),
+      Seq("x"), transform = "identity").collect()
+    val chiOp = out.find(_.getString(0) == "x").get.getAs[Double]("chisq")
+    // ---- independent path: numeric score + profiled Hessian of the
+    // brute-force time-varying partial likelihood at (beta_hat, 0) ----
+    val bhat = Survival.coxPh(df, col("t"), col("e"), Seq(col("x")))
+      .coefficients(0)
+    val data = rows.sortBy(_._1)
+    val gbar = data.map(_._1).sum / data.length // all rows are events
+    def ll(b: Double, th: Double): Double = {
+      data.map { case (ti, _, xi) =>
+        val c = ti - gbar
+        val beta = b + th * c
+        val denom = data.filter(_._1 >= ti).map(r => math.exp(beta * r._3)).sum
+        beta * xi - math.log(denom)
+      }.sum
+    }
+    val h = 1e-5
+    def d1(f: (Double, Double) => Double, wrt: Int): Double =
+      if (wrt == 0) (f(bhat + h, 0) - f(bhat - h, 0)) / (2 * h)
+      else (f(bhat, h) - f(bhat, -h)) / (2 * h)
+    val uNum = d1(ll, 1)
+    def d2(i: Int, j: Int): Double = {
+      def at(db: Double, dt: Double) = ll(bhat + db, bhat * 0 + dt)
+      (i, j) match {
+        case (0, 0) => (at(h, 0) - 2 * at(0, 0) + at(-h, 0)) / (h * h)
+        case (1, 1) => (at(0, h) - 2 * at(0, 0) + at(0, -h)) / (h * h)
+        case _ => (at(h, h) - at(h, -h) - at(-h, h) + at(-h, -h)) / (4 * h * h)
+      }
+    }
+    val ibb = -d2(0, 0); val itt = -d2(1, 1); val ibt = -d2(0, 1)
+    val sNum = itt - ibt * ibt / ibb
+    val chiNum = uNum * uNum / sNum
+    assert(math.abs(chiOp - chiNum) < 1e-3 * math.max(1.0, chiNum),
+      s"op $chiOp vs numeric $chiNum (u=$uNum s=$sNum)")
+    assert(chiOp > 6.63, s"planted non-PH must reject at 1%: chi=$chiOp")
+    // PH data (time-constant effect): should NOT reject at 1%
+    val ph = (0 until 60).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val u0 = (i * 17 % 97 + 1) / 98.0
+      (-math.log(u0) / math.exp(0.8 * x), 1, x)
+    }
+    val outPh = Survival.coxZph(ph.toDF("t", "e", "x"), col("t"),
+      col("e"), Seq(col("x")), Seq("x"), transform = "rank").collect()
+    assert(outPh.find(_.getString(0) == "x").get
+      .getAs[Double]("p_value") > 0.01, outPh.mkString(";"))
+  }
+
   test("krippendorffAlpha: double npairs path keeps the small-case value") {
     // 4 units x 3 raters, mostly agreeing — hand value via the pre-fix
     // Long path on small data must be unchanged by the double cast
