@@ -5,8 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-16 additions: the τ-b tie-corrected null variance (validated
   * against full permutation enumeration — the mannKendall Var(S)
-  * discipline), domain guards promoted from ADVICE, and the
-  * Cochran-Armitage alias collapse. */
+  * discipline), domain guards promoted from ADVICE, the Cochran-Armitage
+  * alias collapse, rank-elected dedup representatives, off-policy
+  * evaluation (IPS/SNIPS/DR), the NB2 count GLM, isotonic calibration,
+  * weighted Cohen's kappa (FCE variance vs a numeric delta method), and
+  * the Cox PH-assumption score test (vs a numeric profiled Hessian of
+  * the brute-force time-varying partial likelihood). */
 class Round16OpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
