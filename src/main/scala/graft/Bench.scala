@@ -272,7 +272,20 @@ object Bench {
       // summary is bounded (~200 chars + flagged names) and printed LAST
       // on every emission, so the tail always ends in a parseable board
       // line; the per-query map lives in BENCH_SELF.json ($outPath).
-      println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"sentinel1_sec":$sentinel1,"passes":${passes.length},"regression_flagged":$flaggedJson,"queries_in":"$outPath"}""")
+      val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"sentinel1_sec":$sentinel1,"passes":${passes.length},"regression_flagged":$flaggedJson,"queries_in":"$outPath"}"""
+      println(compact)
+      // STANDALONE BOARD ARTIFACT — the r16 driver still recorded
+      // `parsed: null` even though the compact line was in its 2 KB tail:
+      // sbt wraps stdout in `[info] ` and appends `[success] Total time`,
+      // so a bare-JSON/last-line parser misses it. A tiny file the driver
+      // (or any reader) can open directly cannot be prefix-wrapped or
+      // pushed out of a tail. Written at EVERY emission (pre-fork and
+      // final), best-effort like BENCH_SELF.json.
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_BOARD", "BENCH_BOARD.json")),
+        (compact + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     }
     emitBoard("{}") // the board is now safe regardless of what forks do
     // ---- fork-verify phase, hard-capped ----

@@ -2632,11 +2632,16 @@ object SparkEntry {
         .select(col("n"), col("cells"), col("concordant"),
           col("discordant"), col("ties_x"), col("ties_y"),
           round(col("tau_b"), 6).as("tau_b"),
-          // var_s raw: ~n³ magnitude, so ANY decimal rounding sits below
-          // the double ulp — both engines build it from the same
-          // left-to-right exact-integer moments, so the raw double is
-          // bit-identical while round() would add a divergence point
-          col("var_s"),
+          // var_s at bounded RELATIVE precision: raw var_s is ~n³, and
+          // the tie-moment terms t(t-1)(2t+5) exceed 2^53 once a margin's
+          // tie count passes ~150k (sf1's y margin holds ~333k), after
+          // which cross-engine summation order can flip the last ulp and
+          // break the hash on the raw double. Scaling by n³ puts the
+          // value at O(1) where a 12-dp round absorbs ulp noise while
+          // keeping ~11 significant digits of the formula to check.
+          round(col("var_s") /
+            (col("n").cast("double") * col("n").cast("double") *
+              col("n").cast("double")), 12).as("var_s_scaled"),
           round(col("z"), 6).as("z"))
     }),
     "q239_ad_uniform" -> ((s, d) => {
@@ -5320,7 +5325,7 @@ object SparkEntry {
         |  round((conc - disc)
         |    / sqrt((n.n * (n.n - 1) / 2 - n1) * (n.n * (n.n - 1) / 2 - n2)),
         |    6) AS tau_b,
-        |  var_s,
+        |  round(var_s / (n.n * n.n * n.n), 12) AS var_s_scaled,
         |  round((conc - disc) / sqrt(var_s), 6) AS z
         |FROM cd, tx, ty, n, vs""".stripMargin,
     "q239_ad_uniform" ->

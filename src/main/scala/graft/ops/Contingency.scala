@@ -285,6 +285,19 @@ object Contingency {
     * dose-response vocabulary. Returns one row:
     * (n, k, pooled_rate, t, var_t, z, p_value). */
   def cochranArmitage(df: DataFrame, dose: Column, y: Column): DataFrame =
-    SimpleTests.trendTest(df, y, dose)
+    try SimpleTests.trendTest(df, y, dose)
       .toDF("n", "k", "pooled_rate", "t", "var_t", "z", "p_value")
+    catch {
+      // the delegate's requirement messages name trendTest's vocabulary
+      // (verb "trend_test", columns "success"/"score") — a SQL user who
+      // invoked cochran_armitage(dose, y) must see THIS verb's vocabulary
+      // in the named error, not the delegate's
+      case e: IllegalArgumentException if e.getMessage != null &&
+        e.getMessage.contains("trend_test:") =>
+        throw new IllegalArgumentException(e.getMessage
+          .replace("trend_test:", "cochran_armitage:")
+          .replace("success", "y")
+          .replace("distinct scores", "distinct doses")
+          .replace("score variance", "dose variance"))
+    }
 }

@@ -315,7 +315,12 @@ object Dedup {
       .join(r, Seq("id"), "left")
       .groupBy(col("component"))
       .agg(max(struct(
-        coalesce(col("__rank"), lit(Double.NegativeInfinity)).as("r"),
+        // nanvl BEFORE coalesce: Spark's double ordering sorts NaN above
+        // every real number, so a corrupt (NaN) rank would otherwise WIN
+        // every election; both NaN and null ranks must lose to any real
+        // score
+        coalesce(nanvl(col("__rank"), lit(Double.NegativeInfinity)),
+          lit(Double.NegativeInfinity)).as("r"),
         (-col("id")).as("negid"))).as("best"))
       .select(col("component"), (-col("best.negid")).cast("long").as("rep_id"))
   }
@@ -696,8 +701,16 @@ object Dedup {
         labeled.withColumn("rep_id", col("component"))
       case Some(rk) =>
         // rank election only over REAL dup groups (comp covers exactly
-        // the dup-graph vertices); singletons stay their own rep
-        val elected = electRepresentatives(comp, corpus, id, rk)
+        // the dup-graph vertices); singletons stay their own rep. The
+        // rank frame is semi-joined down to comp's ids FIRST so the
+        // election join is dup-graph × dup-graph, never a corpus-scale
+        // shuffle (the semi-join itself moves only the 2-column rank
+        // projection, and AQE can then broadcast the slimmed side).
+        val rankSlim = corpus
+          .select(id.cast("long").as("id"), rk.cast("double").as("__r"))
+          .join(comp.select(col("id")), Seq("id"), "left_semi")
+        val elected =
+          electRepresentatives(comp, rankSlim, col("id"), col("__r"))
         labeled.join(elected, Seq("component"), "left")
           .withColumn("rep_id", coalesce(col("rep_id"), col("id")))
     }
