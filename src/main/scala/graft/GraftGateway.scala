@@ -179,6 +179,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT ope(r, p_target, p_logging[, qhat[, clip]]) FROM <logs>
   * SELECT neg_bin_reg(y, x...)                 FROM <overdispersed counts>
   * SELECT isotonic_calibrate(score, label[, max_cells]) FROM <scored>
+  * SELECT isotonic_score(score, label, 'train_table'[, max_cells]) FROM <target>
   * SELECT weighted_kappa(a, b[, 'quadratic'|'linear']) FROM <ordinal pairs>
   * SELECT cox_zph(time, event, x...)           FROM <survival>
   * SELECT seasonal_strength(period, value, season) FROM <series>
@@ -353,14 +354,15 @@ object GraftGateway {
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
-    "isotonic_calibrate", "weighted_kappa", "cox_zph")
+    "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
     * (small one-row-per-something tables) that compose via cross join when
     * the siblings are global aggregates. */
   private val transformVerbs = Set("exact_matching", "caliper_matching",
-    "cut_bins", "incremental_dedup", "conformal_interval", "fdr_bh")
+    "cut_bins", "incremental_dedup", "conformal_interval", "fdr_bh",
+    "isotonic_score")
   private def handles(v: String): Boolean = verbs(v.toLowerCase)
 
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -844,6 +846,15 @@ object GraftGateway {
         require(a.length >= 2, "isotonic_calibrate(score, label[, max_cells])")
         MlEval.isotonicCalibrate(df, c(a(0)), c(a(1)),
           maxCells = if (a.length > 2) num(a(2)).toInt else 100000)
+      case "isotonic_score" =>
+        // calibrate-then-score: fit on a registered train table (same
+        // score/label column names — the snapshot_diff convention), apply
+        // the step function to the FROM side's score column
+        require(a.length >= 3,
+          "isotonic_score(score, label, 'train_table'[, max_cells])")
+        val train = spark.table(str(a(2)))
+        MlEval.isotonicScore(train, c(a(0)), c(a(1)), df, c(a(0)),
+          maxCells = if (a.length > 3) num(a(3)).toInt else 100000)
       case "neg_bin_reg" =>
         // overdispersed-count GLM (NB2): Poisson pilot -> moment alpha
         // -> weighted IRLS

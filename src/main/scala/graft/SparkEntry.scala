@@ -2373,7 +2373,15 @@ object SparkEntry {
         .select(col("n"), col("cells"), col("concordant"),
           col("discordant"), round(col("tau_b"), 6).as("tau_b"),
           round(col("gamma"), 6).as("gamma"),
-          round(col("somers_d"), 6).as("somers_d"))
+          // Agresti inference (r17): delta-method ASEs scaled into O(1)
+          // by multiplying out the pair-count magnitude (ase ~ 1/n), z
+          // from the H0 test-based variance; p omitted (no normal CDF in
+          // the oracle engine — z encodes it)
+          round(col("gamma_ase") * sqrt(col("n")), 6).as("gamma_ase_sqn"),
+          round(col("gamma_z"), 4).as("gamma_z"),
+          round(col("somers_d"), 6).as("somers_d"),
+          round(col("somers_ase") * sqrt(col("n")), 6).as("somers_ase_sqn"),
+          round(col("somers_z"), 4).as("somers_z"))
     }),
     "q211_mood_median" -> ((s, d) => {
       // median test of price across return flags: pooled exact median
@@ -3005,7 +3013,13 @@ object SparkEntry {
       GraftGateway.sql(s, "SELECT neg_bin_reg(y, x) FROM q269_ev")
         .select(col("term"), round(col("estimate"), 6).as("estimate"),
           round(col("stderr"), 6).as("stderr"),
-          round(col("alpha"), 6).as("alpha"), col("n"))
+          round(col("alpha"), 6).as("alpha"),
+          // r17 inference: auxiliary-regression SE of alpha and the
+          // boundary-corrected Poisson-vs-NB2 LR stat — both close over
+          // the arm cells on this saturated fixture, so the oracle
+          // replays them live (p omitted: no chi-square CDF in SQL)
+          round(col("alpha_se"), 6).as("alpha_se"),
+          round(col("lr_stat"), 4).as("lr_stat"), col("n"))
         .orderBy(col("term"))
     }),
     "q270_isotonic_calibrate" -> ((s, d) => {
@@ -3060,6 +3074,28 @@ object SparkEntry {
         .select(col("term"), round(col("chisq"), 4).as("chisq"),
           col("df"), lit(sfTag(d)).as("oracle_sf"))
         .orderBy(col("term"))
+    }),
+    "q273_isotonic_score" -> ((s, d) => {
+      // calibrate-then-score: fit on the q270 fixture (closed-form PAVA
+      // — only the (4,5) inversion pools), apply the step function to a
+      // HELD-OUT score grid at half-integer steps spanning below-range
+      // (-1.0, -0.5 clamp to the first block), between-level fractions
+      // (carry the level below), and above-range (9.5..11 carry level 9)
+      t(s, d, "events")
+        .select((col("event_id") % 10).cast("double").as("sc"),
+          (((col("event_id") / 10).cast("long") % 20) <
+            element_at(typedLit(Seq(2, 4, 6, 8, 10, 9, 12, 14, 16, 18)),
+              (col("event_id") % 10).cast("int") + 1)).cast("int").as("y"))
+        .createOrReplaceTempView("q273_train")
+      t(s, d, "events")
+        .select(((col("event_id") % 25).cast("double") * 0.5 - 1.0).as("sc"))
+        .createOrReplaceTempView("q273_tgt")
+      GraftGateway.sql(s,
+        "SELECT isotonic_score(sc, y, 'q273_train') FROM q273_tgt")
+        .groupBy(col("sc").as("score"),
+          round(col("calibrated"), 8).as("calibrated"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("score"))
     }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
@@ -5888,6 +5924,18 @@ object SparkEntry {
         |    (SELECT cnt * m / (1 + al.alpha * m) FROM arm WHERE x = 1)
         |      AS w1,
         |    al.alpha AS alpha FROM al),
+        |ase AS (SELECT sqrt(
+        |    sum((((y-m)*(y-m) - m)/m - al.alpha*m)
+        |      * (((y-m)*(y-m) - m)/m - al.alpha*m))
+        |      / (count(*) - 1) / sum(m*m)) AS alpha_se
+        |  FROM a JOIN arm USING (x), al GROUP BY al.alpha),
+        |ll AS (SELECT
+        |    sum(y*ln(m) - m - lgamma(y + 1)) AS ll_pois,
+        |    sum(lgamma(y + 1/al.alpha) - lgamma(1/al.alpha)
+        |      - lgamma(y + 1)
+        |      + (1/al.alpha)*ln((1/al.alpha)/(1/al.alpha + m))
+        |      + y*ln(m/(1/al.alpha + m))) AS ll_nb
+        |  FROM a JOIN arm USING (x), al GROUP BY al.alpha),
         |b AS (SELECT
         |    ln((SELECT m FROM arm WHERE x = 1)
         |      / (SELECT m FROM arm WHERE x = 0)) AS b1,
@@ -5895,12 +5943,14 @@ object SparkEntry {
         |    (SELECT count(*) FROM a) AS n)
         |SELECT 'x' AS term, round(b1, 6) AS estimate,
         |  round(sqrt(1.0/w0 + 1.0/w1), 6) AS stderr,
-        |  round(alpha, 6) AS alpha, n
-        |FROM b, w
+        |  round(alpha, 6) AS alpha, round(alpha_se, 6) AS alpha_se,
+        |  round(2*(ll_nb - ll_pois), 4) AS lr_stat, n
+        |FROM b, w, ase, ll
         |UNION ALL
         |SELECT '(intercept)', round(b0, 6), round(sqrt(1.0/w0), 6),
-        |  round(alpha, 6), n
-        |FROM b, w
+        |  round(alpha, 6), round(alpha_se, 6),
+        |  round(2*(ll_nb - ll_pois), 4), n
+        |FROM b, w, ase, ll
         |ORDER BY term""".stripMargin,
     "q270_isotonic_calibrate" ->
       // the planted inversion makes the PAVA fit a closed form: levels
@@ -5919,6 +5969,32 @@ object SparkEntry {
         |  round(CASE WHEN s IN (4, 5) THEN pool.pm ELSE rate END, 8)
         |    AS calibrated
         |FROM cells, pool ORDER BY s""".stripMargin,
+    "q273_isotonic_score" ->
+      // q270's closed-form fit as a mapping table, applied to the
+      // held-out grid with the step-function rule: fitted value of the
+      // largest training score <= s, clamped to the first block below
+      // range (the correlated-subquery ASOF)
+      """WITH a AS (SELECT CAST(event_id % 10 AS DOUBLE) AS sc,
+        |    CASE WHEN (event_id // 10) % 20 <
+        |      [2, 4, 6, 8, 10, 9, 12, 14, 16, 18][(event_id % 10) + 1]
+        |    THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |cells AS (SELECT sc, avg(CAST(y AS DOUBLE)) AS rate, sum(y) AS pos,
+        |    count(*) AS n FROM a GROUP BY sc),
+        |pool AS (SELECT sum(pos) * 1.0 / sum(n) AS pm FROM cells
+        |  WHERE sc IN (4, 5)),
+        |map AS (SELECT sc AS score,
+        |    CASE WHEN sc IN (4, 5) THEN pool.pm ELSE rate END AS cal
+        |  FROM cells, pool),
+        |tgt AS (SELECT (event_id % 25) * 0.5 - 1.0 AS sc FROM events),
+        |app AS (SELECT sc, coalesce(
+        |    (SELECT cal FROM map WHERE map.score <= tgt.sc
+        |     ORDER BY map.score DESC LIMIT 1),
+        |    (SELECT cal FROM map ORDER BY score ASC LIMIT 1))
+        |  AS calibrated FROM tgt)
+        |SELECT sc AS score, round(calibrated, 8) AS calibrated,
+        |  count(*) AS n
+        |FROM app GROUP BY sc, calibrated ORDER BY score""".stripMargin,
     "q257_streaming_ph" ->
       // batch replay of the streaming semantics: per-metric cells minus
       // each metric's OPEN (max) period, then the q240 window chain
@@ -6920,7 +6996,10 @@ object SparkEntry {
         |  round(sum(dist * dist), 3) AS inertia
         |FROM fin WHERE rk = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
     "q210_ordinal_assoc" ->
-      // concordant/discordant pair counting over the cell self-join
+      // concordant/discordant pair counting over the cell self-join;
+      // inference (r17) from per-cell neighbor masses A/B: the SAME
+      // self-join aggregated per LEFT cell, then the Agresti ASE /
+      // test-based var0 sums over cells with the x-margin joined back
       """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
         |    CAST(floor(l_extendedprice / 5000) AS BIGINT) AS y
         |  FROM lineitem),
@@ -6938,14 +7017,47 @@ object SparkEntry {
         |      THEN CAST(a.c AS DOUBLE)*b.c ELSE 0 END) / 2 AS ty
         |  FROM cells a, cells b
         |  WHERE NOT (a.x = b.x AND a.y = b.y)),
-        |m AS (SELECT count(*) AS nc, sum(c) AS n FROM cells)
+        |m AS (SELECT count(*) AS nc, CAST(sum(c) AS DOUBLE) AS n
+        |  FROM cells),
+        |ab AS (SELECT a.x, a.y, a.c,
+        |    sum(CASE WHEN (b.x > a.x AND b.y > a.y)
+        |      OR (b.x < a.x AND b.y < a.y)
+        |      THEN CAST(b.c AS DOUBLE) ELSE 0 END) AS am,
+        |    sum(CASE WHEN (b.x > a.x AND b.y < a.y)
+        |      OR (b.x < a.x AND b.y > a.y)
+        |      THEN CAST(b.c AS DOUBLE) ELSE 0 END) AS bm
+        |  FROM cells a, cells b GROUP BY a.x, a.y, a.c),
+        |rt AS (SELECT x, CAST(sum(c) AS DOUBLE) AS nr FROM cells
+        |  GROUP BY x),
+        |s AS (SELECT
+        |    sum(ab.c * (2*disc*am - 2*conc*bm) * (2*disc*am - 2*conc*bm))
+        |      AS s_gam,
+        |    sum(ab.c * (am - bm) * (am - bm)) AS s_cd2,
+        |    sum(ab.c * (2*(conc+disc+ty)*(am - bm)
+        |        - 2*(conc - disc)*(m.n - rt.nr))
+        |      * (2*(conc+disc+ty)*(am - bm)
+        |        - 2*(conc - disc)*(m.n - rt.nr))) AS s_som
+        |  FROM ab JOIN rt ON ab.x = rt.x, p, m
+        |  GROUP BY conc, disc, ty, m.n)
         |SELECT CAST(n AS BIGINT) AS n, CAST(nc AS BIGINT) AS cells,
         |  conc AS concordant, disc AS discordant,
         |  round((conc - disc)/sqrt((conc+disc+tx)*(conc+disc+ty)), 6)
         |    AS tau_b,
         |  round((conc - disc)/(conc + disc), 6) AS gamma,
-        |  round((conc - disc)/(conc + disc + ty), 6) AS somers_d
-        |FROM p, m""".stripMargin,
+        |  round(4*sqrt(s_gam)/((2*conc+2*disc)*(2*conc+2*disc))
+        |    * sqrt(n), 6) AS gamma_ase_sqn,
+        |  round(((conc - disc)/(conc + disc))
+        |    / sqrt(16*(s_cd2 - (2*conc-2*disc)*(2*conc-2*disc)/n)
+        |        / ((2*conc+2*disc)*(2*conc+2*disc))), 4) AS gamma_z,
+        |  round((conc - disc)/(conc + disc + ty), 6) AS somers_d,
+        |  round(2*sqrt(s_som)
+        |    / ((2*(conc+disc+ty))*(2*(conc+disc+ty)))
+        |    * sqrt(n), 6) AS somers_ase_sqn,
+        |  round(((conc - disc)/(conc + disc + ty))
+        |    / sqrt(4*(s_cd2 - (2*conc-2*disc)*(2*conc-2*disc)/n)
+        |        / ((2*(conc+disc+ty))*(2*(conc+disc+ty)))), 4)
+        |    AS somers_z
+        |FROM p, m, s""".stripMargin,
     "q211_mood_median" ->
       // pooled exact median, 2xk above/below chi-square
       """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS y,

@@ -166,21 +166,40 @@ object Contingency {
 
   /** Ordinal association over a contingency table — Kendall's tau-b,
     * Goodman-Kruskal gamma and Somers' D(y|x) from concordant/discordant
-    * pair counts (Agresti, Analysis of Ordinal Categorical Data §2):
-    * the monotone-association readout for ORDINAL columns (ratings,
-    * quality buckets, Likert scales) where Pearson's r overclaims and
-    * row-level Kendall is O(n²).
+    * pair counts (Agresti, Analysis of Ordinal Categorical Data §2),
+    * WITH asymptotic inference for gamma and Somers' D (Agresti §3.4 /
+    * Goodman-Kruskal 1963 delta-method ASEs, plus the H0 "test-based"
+    * variances — the SAS PROC FREQ pair of variance estimates): the
+    * monotone-association readout for ORDINAL columns (ratings, quality
+    * buckets, Likert scales) where Pearson's r overclaims and row-level
+    * Kendall is O(n²).
     *
-    *   C = Σ_{i<j, both strictly greater} n_i·n_j,   D likewise reversed,
+    * With per-cell neighbor sums A_ij (concordant mass) and B_ij
+    * (discordant mass), P = Σ n_ij·A_ij = 2C, Q = Σ n_ij·B_ij = 2D:
+    *
     *   tau_b = (C−D)/√((C+D+Tx)(C+D+Ty)),   gamma = (C−D)/(C+D),
-    *   somers_d = (C−D)/(C+D+Ty)
+    *   somers_d(y|x) = (P−Q)/w,  w = n² − Σ_i n_i+²  (= 2(C+D+Ty))
+    *   ASE²(gamma)   = 16 Σ n_ij (Q·A_ij − P·B_ij)² / (P+Q)⁴
+    *   ASE²(somers)  = 4 Σ n_ij (w(A_ij−B_ij) − (P−Q)(n−n_i+))² / w⁴
+    *   var0(gamma)   = 16 (Σ n_ij (A_ij−B_ij)² − (P−Q)²/n) / (P+Q)²
+    *   var0(somers)  =  4 (Σ n_ij (A_ij−B_ij)² − (P−Q)²/n) / w²
+    *
+    * ASEs are the confidence-interval SEs; z/p use var0 (the
+    * independence-null variance estimate, the standard test pairing —
+    * gamma_z = gamma/√var0(gamma) etc.). Validated in spec against a
+    * brute-force O(n²) row-pair implementation (exact), a numeric
+    * delta-method gradient under the multinomial covariance (ASEs), and
+    * the exact permutation-null variance of C−D on a tied fixture (the
+    * kendall_tau discipline — Somers' denominator is margin-fixed, so
+    * its exact permutation z is S/√Var(S)).
     *
     * 100 TB shape: ONE row-scale groupBy to (x, y) cells — pair counting
     * then runs on CELLS, O(cells²) on the driver, so row count is
     * unbounded while the ordinal domain stays small (that is what
     * "ordinal" means; the `maxCells` guard names the contract). Replays
     * in SQL via a cells self-join. Returns one row:
-    * (n, cells, concordant, discordant, tau_b, gamma, somers_d). */
+    * (n, cells, concordant, discordant, tau_b, gamma, gamma_ase,
+    * gamma_z, gamma_p, somers_d, somers_ase, somers_z, somers_p). */
   def ordinalAssoc(df: DataFrame, x: Column, y: Column,
                    maxCells: Int = 5000): DataFrame = {
     val spark = df.sparkSession
@@ -199,20 +218,29 @@ object Contingency {
         "statistic is for ordinal domains; bin the columns first " +
         "(cut_bins) or raise maxCells")
     val cs = cells.map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    val m = cs.length
+    // per-cell concordant/discordant neighbor mass (A_ij / B_ij): each
+    // unordered cell pair contributes to BOTH ends, so the i<j loop
+    // stays O(cells²/2)
+    val aMass = new Array[Double](m)
+    val bMass = new Array[Double](m)
     var conc = 0.0; var disc = 0.0; var tx = 0.0; var ty = 0.0
     var n = 0L
     var i = 0
-    while (i < cs.length) {
+    while (i < m) {
       n += cs(i)._3
       var j = i + 1
-      while (j < cs.length) {
+      while (j < m) {
         val (xi, yi, ni) = cs(i)
         val (xj, yj, nj) = cs(j)
         val w = ni.toDouble * nj
         if (xi == xj) { if (yi != yj) tx += w }
         else if (yi == yj) ty += w
-        else if ((xi < xj) == (yi < yj)) conc += w
-        else disc += w
+        else if ((xi < xj) == (yi < yj)) {
+          conc += w; aMass(i) += nj.toDouble; aMass(j) += ni.toDouble
+        } else {
+          disc += w; bMass(i) += nj.toDouble; bMass(j) += ni.toDouble
+        }
         j += 1
       }
       i += 1
@@ -223,9 +251,41 @@ object Contingency {
       math.sqrt((conc + disc + tx) * (conc + disc + ty))
     val gamma = (conc - disc) / (conc + disc)
     val somersD = (conc - disc) / (conc + disc + ty)
-    Seq((n, cells.length.toLong, conc, disc, tauB, gamma, somersD))
-      .toDF("n", "cells", "concordant", "discordant", "tau_b", "gamma",
-        "somers_d")
+    // x-margin totals n_i+ (Somers' D(y|x) conditions on x)
+    val rowTot = cs.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val nd = n.toDouble
+    val p2 = 2.0 * conc; val q2 = 2.0 * disc // P, Q (double-counted)
+    val wS = 2.0 * (conc + disc + ty)        // = n² − Σ n_i+²
+    var sGam = 0.0; var sCd2 = 0.0; var sSom = 0.0
+    i = 0
+    while (i < m) {
+      val (xi, _, ni) = cs(i)
+      val d = aMass(i) - bMass(i)
+      val gTerm = q2 * aMass(i) - p2 * bMass(i)
+      val sTerm = wS * d - (p2 - q2) * (nd - rowTot(xi))
+      sGam += ni * gTerm * gTerm
+      sCd2 += ni * d * d
+      sSom += ni * sTerm * sTerm
+      i += 1
+    }
+    val pq = p2 + q2
+    val gammaAse = 4.0 * math.sqrt(sGam) / (pq * pq)
+    val somersAse = 2.0 * math.sqrt(sSom) / (wS * wS)
+    val var0Core = sCd2 - (p2 - q2) * (p2 - q2) / nd
+    val gammaVar0 = 16.0 * var0Core / (pq * pq)
+    val somersVar0 = 4.0 * var0Core / (wS * wS)
+    def zp(est: Double, v0: Double): (Double, Double) =
+      if (v0 > 0) {
+        val z = est / math.sqrt(v0)
+        (z, 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z))))
+      } else (Double.NaN, Double.NaN)
+    val (gz, gp) = zp(gamma, gammaVar0)
+    val (sz, sp) = zp(somersD, somersVar0)
+    Seq((n, cells.length.toLong, conc, disc, tauB,
+      gamma, gammaAse, gz, gp, somersD, somersAse, sz, sp))
+      .toDF("n", "cells", "concordant", "discordant", "tau_b",
+        "gamma", "gamma_ase", "gamma_z", "gamma_p",
+        "somers_d", "somers_ase", "somers_z", "somers_p")
   }
 
   /** Mood's median test — k-group location test on counts above the

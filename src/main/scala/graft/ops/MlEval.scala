@@ -442,6 +442,58 @@ object MlEval {
     }.toSeq.toDF("score", "n", "raw_rate", "calibrated")
   }
 
+  /** Isotonic calibrate-then-score — the APPLY verb for
+    * [[isotonicCalibrate]] (which returns the mapping and tells the
+    * caller to "join it back"): fit the monotone map on `train`, then
+    * score `target` (a held-out frame, tomorrow's traffic) including
+    * scores never seen in training. Application is the step function the
+    * PAVA fit actually is — calibrated(s) = the fitted value of the
+    * LARGEST training score ≤ s (right-continuous, last-value carried
+    * forward), scores below the smallest training score clamp to the
+    * first block's value. Interpolating between blocks is a different
+    * modeling choice (sklearn's default) this verb deliberately does not
+    * make silently: the PAVA solution is piecewise constant.
+    *
+    * 100 TB shape: the fit is isotonicCalibrate's one cell pass
+    * (maxCells-guarded); the mapping then COMPRESSES to its PAVA blocks
+    * (one (lower-bound, value) pair per block — ≤ distinct scores, and
+    * typically far fewer) and ships in the task closure, so application
+    * is a broadcast binary search, O(log blocks) per row: no join, no
+    * shuffle, no window on the target side. Returns `target` plus the
+    * `out` column (null where the target score is null/NaN). */
+  def isotonicScore(train: DataFrame, score: Column, label: Column,
+                    target: DataFrame, targetScore: Column,
+                    maxCells: Int = 100000,
+                    out: String = "calibrated"): DataFrame = {
+    // the mapping DF is built from a driver-local Seq (bounded by the
+    // maxCells guard inside the fit), so this collect is driver-cheap
+    val mapping = isotonicCalibrate(train, score, label, maxCells)
+      .select(col("score"), col("calibrated")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    // compress to block lower bounds: consecutive equal fitted values
+    // are one PAVA block
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    mapping.foreach { case (s, v) =>
+      if (vals.isEmpty || vals.last != v) { bounds += s; vals += v }
+    }
+    val bArr = bounds.toArray
+    val vArr = vals.toArray
+    val step = udf { (s: java.lang.Double) =>
+      if (s == null || s.isNaN) null
+      else {
+        // count of bounds ≤ s via binary search; -1 clamps below-range
+        var lo = 0; var hi = bArr.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (bArr(mid) <= s) lo = mid + 1 else hi = mid
+        }
+        java.lang.Double.valueOf(vArr(math.max(0, lo - 1)))
+      }
+    }
+    target.withColumn(out, step(targetScore.cast("double")))
+  }
+
   /** Calibration table + expected calibration error for a probability
     * score: rows bin by score into `nBins` equal-width bins ([0,1] range),
     * each bin reports (n, avg score, avg label, |gap|); ECE is the

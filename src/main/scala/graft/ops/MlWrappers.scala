@@ -357,8 +357,45 @@ object MlWrappers {
         it += 1
       }
       val se = (0 to k).map(i => math.sqrt(lastModel.xtxInv(i)(i))).toArray
+      // α uncertainty + Poisson-vs-NB2 adjudication (one extra aggregate
+      // per frame, riding the cached slim):
+      //  - alpha_se: the plain OLS SE of the Cameron-Trivedi auxiliary
+      //    no-intercept regression that DEFINED α̂ (u = ((y−μ̂)²−μ̂)/μ̂ on
+      //    μ̂): se² = Σ(u−α̂μ̂)²/(n−1) / Σμ̂² — the textbook auxiliary
+      //    t-test for overdispersion (CT 2013 §3.4), at the pilot μ̂.
+      //  - LR test vs Poisson: 2(llNB2 − llPois) with the moment α̂
+      //    plugged in (llNB2 at the ML α would be ≥ this, so the
+      //    statistic is conservative — the documented two-step caveat);
+      //    α = 0 sits on the boundary, so p = ½·P(χ²₁ > LR) (the
+      //    Self-Liang ½χ²₀+½χ²₁ mixture).
+      val lg = udf((v: Double) =>
+        org.apache.commons.math3.special.Gamma.logGamma(v))
+      val (pf2, pmu2) = muOf(pilotBeta)
+      val u = ((yd - pmu2) * (yd - pmu2) - pmu2) / pmu2
+      val auxRes = u - lit(alpha) * pmu2
+      val aux = pf2.agg(
+        sum(auxRes * auxRes).as("ss"),
+        sum(pmu2 * pmu2).as("sx2"),
+        count(lit(1)).as("nn"),
+        sum(yd * log(pmu2) - pmu2 - lg(yd + 1.0)).as("ll_pois")).head()
+      val nAux = aux.getAs[Long]("nn").toDouble
+      val alphaSe = math.sqrt(
+        aux.getAs[Double]("ss") / (nAux - 1) / aux.getAs[Double]("sx2"))
+      val r = 1.0 / alpha
+      // lgamma(r) is a scalar — fold it driver-side instead of calling
+      // the udf once per row on a constant
+      val lgR = org.apache.commons.math3.special.Gamma.logGamma(r)
+      val (ff, fmu) = muOf(beta)
+      val llNb = ff.agg(sum(
+        lg(yd + r) - lit(lgR) - lg(yd + 1.0) +
+          lit(r) * log(lit(r) / (lit(r) + fmu)) +
+          yd * log(fmu / (lit(r) + fmu))).as("ll")).head().getAs[Double]("ll")
+      val llPois = aux.getAs[Double]("ll_pois")
+      val lr = 2.0 * (llNb - llPois)
+      val lrP = 0.5 *
+        (1.0 - graft.stats.Dist.chiSqCdf(math.max(lr, 0.0), 1.0))
       NegBinFit(beta.take(k), beta(k), alpha, it, converged,
-        se.take(k), se(k), pilot.n)
+        se.take(k), se(k), pilot.n, alphaSe, llPois, llNb, lr, lrP)
     } finally {
       slim.unpersist()
       ()
@@ -368,7 +405,8 @@ object MlWrappers {
   case class NegBinFit(coefficients: Array[Double], intercept: Double,
                        alpha: Double, iterations: Int, converged: Boolean,
                        stderr: Array[Double], interceptStderr: Double,
-                       n: Long) {
+                       n: Long, alphaSe: Double, llPois: Double,
+                       llNb: Double, lrStat: Double, lrP: Double) {
     def zValues: Array[Double] =
       coefficients.zip(stderr).map { case (c, s) => c / s }
     def pValues: Array[Double] = zValues.map(z =>
@@ -377,7 +415,10 @@ object MlWrappers {
 
   /** [[negBinIrls]] as a summary frame — one row per term (xs order, then
     * "(intercept)"): (term, estimate, stderr, z_value, p_value) with the
-    * fit-level n / alpha / iterations / converged repeated per row. */
+    * fit-level n / alpha / alpha_se / alpha_t / lr_stat / lr_p /
+    * iterations / converged repeated per row (alpha_se is the
+    * Cameron-Trivedi auxiliary-regression SE; lr_stat/lr_p the
+    * boundary-corrected Poisson-vs-NB2 likelihood ratio). */
   def negBinSummaryDf(df: DataFrame, y: Column, xs: Seq[Column],
                       names: Seq[String], maxIter: Int = 25): DataFrame = {
     require(names.length == xs.length,
@@ -387,14 +428,18 @@ object MlWrappers {
     val fit = negBinIrls(df, y, xs, maxIter = maxIter)
     val rows = names.indices.map { i =>
       (names(i), fit.coefficients(i), fit.stderr(i), fit.zValues(i),
-        fit.pValues(i), fit.n, fit.alpha, fit.iterations, fit.converged)
+        fit.pValues(i), fit.n, fit.alpha, fit.alphaSe,
+        fit.alpha / fit.alphaSe, fit.lrStat, fit.lrP,
+        fit.iterations, fit.converged)
     } :+ (("(intercept)", fit.intercept, fit.interceptStderr,
       fit.intercept / fit.interceptStderr,
       2.0 * (1.0 - graft.stats.Dist.normCdf(
         math.abs(fit.intercept / fit.interceptStderr))),
-      fit.n, fit.alpha, fit.iterations, fit.converged))
+      fit.n, fit.alpha, fit.alphaSe, fit.alpha / fit.alphaSe,
+      fit.lrStat, fit.lrP, fit.iterations, fit.converged))
     rows.toDF("term", "estimate", "stderr", "z_value", "p_value", "n",
-      "alpha", "iterations", "converged")
+      "alpha", "alpha_se", "alpha_t", "lr_stat", "lr_p",
+      "iterations", "converged")
   }
 
   /** AUC of a score column against binary labels via the Mann-Whitney

@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 additions: Agresti asymptotic inference for ordinal_assoc
+  * (gamma / Somers' D ASEs validated three ways — a brute-force O(n²)
+  * row-pair implementation, a numeric delta-method gradient under the
+  * multinomial covariance, and the exact permutation-null variance on a
+  * tied fixture, the kendall_tau discipline), the isotonic apply verb,
+  * the Poisson-vs-NB2 likelihood-ratio test, and the cox_zph
+  * per-covariate trend direction. */
+class Round17OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // tied fixture on both margins (3×3 lattice, 12 rows, non-uniform)
+  private val oaXs = Seq(1, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3)
+  private val oaYs = Seq(1, 1, 2, 3, 1, 2, 2, 1, 2, 3, 3, 3)
+
+  /** brute-force row-pair computation of every ordinalAssoc output —
+    * an independent O(n²) code path with per-ROW neighbor masses (rows
+    * of one cell share A/B, so the cell sums match exactly). */
+  private def bruteOrdinal(xs: Seq[Int], ys: Seq[Int])
+  : Map[String, Double] = {
+    val n = xs.length
+    val a = new Array[Double](n); val b = new Array[Double](n)
+    var conc = 0.0; var disc = 0.0; var tx = 0.0; var ty = 0.0
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val cx = Integer.compare(xs(i), xs(j))
+      val cy = Integer.compare(ys(i), ys(j))
+      if (cx == 0) { if (cy != 0) tx += 1 }
+      else if (cy == 0) ty += 1
+      else if (cx == cy) { conc += 1; a(i) += 1; a(j) += 1 }
+      else { disc += 1; b(i) += 1; b(j) += 1 }
+    }
+    val p = 2 * conc; val q = 2 * disc
+    val w = 2 * (conc + disc + ty)
+    val rowTot = xs.groupBy(identity).map { case (k, v) => k -> v.size }
+    var sGam = 0.0; var sCd2 = 0.0; var sSom = 0.0
+    for (i <- 0 until n) {
+      val d = a(i) - b(i)
+      val g = q * a(i) - p * b(i)
+      val s = w * d - (p - q) * (n - rowTot(xs(i)))
+      sGam += g * g; sCd2 += d * d; sSom += s * s
+    }
+    val gamma = (conc - disc) / (conc + disc)
+    val somers = (conc - disc) / (conc + disc + ty)
+    Map(
+      "gamma" -> gamma,
+      "somers_d" -> somers,
+      "gamma_ase" -> 4 * math.sqrt(sGam) / ((p + q) * (p + q)),
+      "somers_ase" -> 2 * math.sqrt(sSom) / (w * w),
+      "gamma_var0" -> 16 * (sCd2 - (p - q) * (p - q) / n) / ((p + q) * (p + q)),
+      "somers_var0" -> 4 * (sCd2 - (p - q) * (p - q) / n) / (w * w))
+  }
+
+  test("ordinalAssoc: cell-path inference equals the brute row-pair path") {
+    val r = graft.ops.Contingency.ordinalAssoc(
+      oaXs.zip(oaYs).toDF("x", "y"), col("x"), col("y")).head()
+    val bf = bruteOrdinal(oaXs, oaYs)
+    for (k <- Seq("gamma", "somers_d", "gamma_ase", "somers_ase"))
+      assert(math.abs(r.getAs[Double](k) - bf(k)) < 1e-12,
+        s"$k: cell ${r.getAs[Double](k)} vs brute ${bf(k)}")
+    assert(math.abs(r.getAs[Double]("gamma_z") -
+      bf("gamma") / math.sqrt(bf("gamma_var0"))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("somers_z") -
+      bf("somers_d") / math.sqrt(bf("somers_var0"))) < 1e-12)
+  }
+
+  test("ordinalAssoc: ASEs match a numeric delta-method gradient") {
+    // statistic as a function of cell PROPORTIONS; multinomial
+    // covariance (diag(p) − pp^T)/n; both statistics are 0-homogeneous
+    // so Σ p_k g_k = 0 and var = Σ p_k g_k² / n
+    val cells = oaXs.zip(oaYs).groupBy(identity).toSeq
+      .map { case ((x, y), v) => (x, y, v.size.toDouble) }
+    val n = oaXs.length.toDouble
+    def stat(cnt: Seq[Double], which: String): Double = {
+      var conc = 0.0; var disc = 0.0; var ty = 0.0
+      for (i <- cells.indices; j <- i + 1 until cells.length) {
+        val (xi, yi, _) = cells(i); val (xj, yj, _) = cells(j)
+        val w = cnt(i) * cnt(j)
+        if (xi != xj) {
+          if (yi == yj) ty += w
+          else if ((xi < xj) == (yi < yj)) conc += w
+          else disc += w
+        }
+      }
+      if (which == "gamma") (conc - disc) / (conc + disc)
+      else (conc - disc) / (conc + disc + ty)
+    }
+    val base = cells.map(_._3)
+    def numericAse(which: String): Double = {
+      val h = 1e-6
+      val grad = cells.indices.map { k =>
+        val up = base.updated(k, base(k) + h)
+        val dn = base.updated(k, base(k) - h)
+        (stat(up, which) - stat(dn, which)) / (2 * h)
+      }
+      // delta method with multinomial counts: Var = Σ n_k g_k² − (Σ n_k g_k)²/n
+      val s2 = cells.indices.map(k => base(k) * grad(k) * grad(k)).sum
+      val s1 = cells.indices.map(k => base(k) * grad(k)).sum
+      math.sqrt(s2 - s1 * s1 / n)
+    }
+    val r = graft.ops.Contingency.ordinalAssoc(
+      oaXs.zip(oaYs).toDF("x", "y"), col("x"), col("y")).head()
+    assert(math.abs(r.getAs[Double]("gamma_ase") - numericAse("gamma")) < 1e-5,
+      s"gamma: ${r.getAs[Double]("gamma_ase")} vs ${numericAse("gamma")}")
+    assert(math.abs(r.getAs[Double]("somers_ase") - numericAse("somers")) < 1e-5,
+      s"somers: ${r.getAs[Double]("somers_ase")} vs ${numericAse("somers")}")
+  }
+
+  test("ordinalAssoc: Somers' z tracks the exact permutation null") {
+    // Somers' denominator is margin-fixed, so the exact permutation z is
+    // S/√Var_perm(S) with S = C − D; enumerate all 12! / (multiplicities)
+    // pairings via distinct permutations of the y multiset
+    val perms = oaYs.permutations.toVector
+    def sOf(y: Seq[Int]): Double = {
+      var s = 0.0
+      for (i <- oaXs.indices; j <- i + 1 until oaXs.length) {
+        val cx = Integer.compare(oaXs(i), oaXs(j))
+        val cy = Integer.compare(y(i), y(j))
+        if (cx != 0 && cy != 0) s += (if (cx == cy) 1 else -1)
+      }
+      s
+    }
+    val ss = perms.map(sOf)
+    val mean = ss.sum / ss.length
+    val empVar = ss.map(s => (s - mean) * (s - mean)).sum / ss.length
+    assert(math.abs(mean) < 1e-9)
+    // the exact null variance agrees with kendallTau's four-term Var(S)
+    val kt = graft.ops.Agreement.kendallTau(
+      oaXs.zip(oaYs).toDF("x", "y"), col("x"), col("y")).head()
+    assert(math.abs(kt.getAs[Double]("var_s") - empVar) < 1e-9)
+    // the var0-based somers_z approximates the exact z on this fixture
+    val r = graft.ops.Contingency.ordinalAssoc(
+      oaXs.zip(oaYs).toDF("x", "y"), col("x"), col("y")).head()
+    val sObs = (kt.getAs[Long]("concordant") -
+      kt.getAs[Long]("discordant")).toDouble
+    val zExact = sObs / math.sqrt(empVar)
+    val zAsym = r.getAs[Double]("somers_z")
+    assert(math.abs(zAsym - zExact) / math.abs(zExact) < 0.15,
+      s"asymptotic $zAsym vs exact-permutation $zExact")
+  }
+
+  test("isotonicScore: step-function application with clamping") {
+    // train: scores 1,2,3,4 with rates .2,.6,.4,.8 — PAVA pools (2,3)
+    // to .5, so blocks are [1→.2, 2→.5, 4→.8]
+    val train = Seq(
+      (1.0, 1), (1.0, 0), (1.0, 0), (1.0, 0), (1.0, 0),
+      (2.0, 1), (2.0, 1), (2.0, 1), (2.0, 0), (2.0, 0),
+      (3.0, 1), (3.0, 1), (3.0, 0), (3.0, 0), (3.0, 0),
+      (4.0, 1), (4.0, 1), (4.0, 1), (4.0, 1), (4.0, 0)
+    ).toDF("s", "y")
+    val target = Seq(
+      Some(0.5),  // below range → clamp to first block (.2)
+      Some(1.0),  // exact boundary → .2
+      Some(1.9),  // between 1 and 2 → carry 1's block (.2)
+      Some(2.0),  // boundary of pooled block → .5
+      Some(3.7),  // inside pooled block → .5
+      Some(4.0),  // boundary → .8
+      Some(99.0), // above range → carry last block (.8)
+      None        // null → null
+    ).toDF("s")
+    val out = graft.ops.MlEval.isotonicScore(
+      train, col("s"), col("y"), target, col("s"))
+      .collect().map(r =>
+        (Option(r.get(0)).map(_.asInstanceOf[Double]),
+          Option(r.get(1)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(Some(0.5)) == Some(0.2))
+    assert(out(Some(1.0)) == Some(0.2))
+    assert(out(Some(1.9)) == Some(0.2))
+    assert(out(Some(2.0)) == Some(0.5))
+    assert(out(Some(3.7)) == Some(0.5))
+    assert(out(Some(4.0)) == Some(0.8))
+    assert(out(Some(99.0)) == Some(0.8))
+    assert(out(None).isEmpty)
+  }
+
+  test("negBinIrls: alpha SE and Poisson-vs-NB2 LR close on the saturated fixture") {
+    // the q269 lattice: arm0 y in {0,0,2}, arm1 y in {0,1,9}; arm means
+    // are the MLE for BOTH models, so every inference term closes
+    val rows = (0 until 60).map { i =>
+      val y = (i % 6) match { case 3 => 1.0; case 4 => 2.0; case 5 => 9.0; case _ => 0.0 }
+      (y, i % 2)
+    }
+    val fit = graft.ops.MlWrappers.negBinIrls(
+      rows.toDF("y", "x"), col("y"), Seq(col("x")))
+    import org.apache.commons.math3.special.Gamma.logGamma
+    val m = rows.groupBy(_._2).map { case (x, v) =>
+      x -> v.map(_._1).sum / v.size }
+    val mu = rows.map { case (_, x) => m(x) }
+    val ys = rows.map(_._1)
+    val alpha = ys.zip(mu).map { case (y, u) => (y - u) * (y - u) - u }.sum /
+      mu.map(u => u * u).sum
+    assert(math.abs(fit.alpha - alpha) < 1e-9)
+    // auxiliary OLS SE at the pilot means
+    val uRes = ys.zip(mu).map { case (y, u) =>
+      ((y - u) * (y - u) - u) / u - alpha * u }
+    val se = math.sqrt(uRes.map(r => r * r).sum / (ys.length - 1) /
+      mu.map(u => u * u).sum)
+    assert(math.abs(fit.alphaSe - se) < 1e-9,
+      s"alpha_se ${fit.alphaSe} vs closed $se")
+    // log-likelihoods term by term
+    val llP = ys.zip(mu).map { case (y, u) =>
+      y * math.log(u) - u - logGamma(y + 1) }.sum
+    val r = 1.0 / alpha
+    val llN = ys.zip(mu).map { case (y, u) =>
+      logGamma(y + r) - logGamma(r) - logGamma(y + 1) +
+        r * math.log(r / (r + u)) + y * math.log(u / (r + u)) }.sum
+    assert(math.abs(fit.llPois - llP) < 1e-8)
+    assert(math.abs(fit.llNb - llN) < 1e-8)
+    assert(math.abs(fit.lrStat - 2 * (llN - llP)) < 1e-8)
+    // overdispersed fixture: NB2 must beat Poisson decisively (LR ≈ 79
+    // here, so the boundary p underflows to 0 in double — allowed)
+    assert(fit.lrStat > 10)
+    assert(fit.lrP >= 0 && fit.lrP <= 0.5)
+  }
+
+  test("ordinalAssoc: no ties collapses gamma = somers_d = tau_b") {
+    val xs = Seq(1, 2, 3, 4, 5, 6, 7)
+    val ys = Seq(2, 1, 4, 3, 6, 5, 7)
+    val r = graft.ops.Contingency.ordinalAssoc(
+      xs.zip(ys).toDF("x", "y"), col("x"), col("y")).head()
+    val g = r.getAs[Double]("gamma")
+    assert(math.abs(g - r.getAs[Double]("somers_d")) < 1e-12)
+    assert(math.abs(g - r.getAs[Double]("tau_b")) < 1e-12)
+    assert(r.getAs[Double]("gamma_ase") > 0)
+    assert(r.getAs[Double]("somers_ase") > 0)
+  }
+}
