@@ -182,6 +182,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT isotonic_score(score, label, 'train_table'[, max_cells]) FROM <target>
   * SELECT weighted_kappa(a, b[, 'quadratic'|'linear']) FROM <ordinal pairs>
   * SELECT cox_zph(time, event, x...)           FROM <survival>
+  * SELECT cox_ph_strat(time, event, stratum, x...) FROM <survival>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -354,7 +355,8 @@ object GraftGateway {
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
-    "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph")
+    "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph",
+    "cox_ph_strat")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -453,6 +455,18 @@ object GraftGateway {
         require(a.length >= 3, "cox_ph(time, event, x...)")
         val r = Survival.coxPh(df, c(a(0)), c(a(1)), a.drop(2).map(c))
         val terms = a.drop(2).map(name).zipWithIndex.map { case (nm, j) =>
+          (nm, r.coefficients(j), r.stderr(j), r.z_values(j), r.p_values(j),
+            r.n, r.nEvents)
+        }
+        terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
+          "n", "n_events")
+      case "cox_ph_strat" =>
+        // stratified PH regression: per-stratum baseline, shared beta;
+        // one row per covariate (score row = stratified log-rank)
+        require(a.length >= 4, "cox_ph_strat(time, event, stratum, x...)")
+        val r = Survival.coxPhStratified(df, c(a(0)), c(a(1)), c(a(2)),
+          a.drop(3).map(c))
+        val terms = a.drop(3).map(name).zipWithIndex.map { case (nm, j) =>
           (nm, r.coefficients(j), r.stderr(j), r.z_values(j), r.p_values(j),
             r.n, r.nEvents)
         }

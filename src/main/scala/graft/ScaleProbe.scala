@@ -1151,6 +1151,57 @@ object ScaleProbe {
       val r = graft.ops.MlEval.isotonicCalibrate(d, col("s"), col("y"))
       assert(r.count() == 10000L)
     }
+    time(s"weighted_kappa ($rows ordinal pairs, 10 levels)") {
+      // ordinal grades with planted 1-step disagreements: ONE cell
+      // aggregate (<=100 cells), the FCE variance closes on the driver
+      val d = spark.range(rows).select(
+        (col("id") % 10).cast("double").as("a"),
+        ((col("id") % 10 + (pmod(xxhash64(col("id"), lit(31)), lit(3L)) === 0)
+          .cast("int")) % 10).cast("double").as("b"))
+      val r = graft.ops.Agreement.weightedKappa(d, col("a"), col("b")).head()
+      assert(r.getAs[Long]("n") == rows && !r.getAs[Double]("kappa_w").isNaN)
+    }
+    time(s"cox_zph 2 covariates ($rows rows, 10k times)") {
+      // the cox_ph fit plus ONE more cell aggregate at beta-hat and the
+      // O(m k^2) driver close over the 10k cells
+      val out = graft.ops.Survival.coxZph(survDf, col("stime"), col("ev"),
+        Seq(col("arm").cast("double"),
+          (pmod(xxhash64(col("arm2"), lit(7)), lit(1000L)).cast("double")
+            / 1000.0)), Seq("a", "h")).collect()
+      assert(out.length == 3 && !out.head.getAs[Double]("chisq").isNaN)
+    }
+    time(s"cox_ph_strat 2 covariates ($rows rows, 4 strata x 10k times)") {
+      // stratified fit: same per-iteration aggregate keyed by (stratum,
+      // time); ~40k driver cells, suffix sums reset per stratum. The
+      // stratum is an INDEPENDENT hash — survDf's arm is a function of
+      // arm2, which would leave zero within-stratum covariate variance
+      // (a genuinely singular stratified information, not a probe bug)
+      val sdf = df.select(
+        pmod(xxhash64(col("id"), lit(41)), lit(4L)).cast("string").as("site"),
+        (col("id") % 2).cast("double").as("arm"),
+        pmod(xxhash64(col("id"), lit(91)), lit(10000L)).cast("int").as("stime"),
+        (pmod(xxhash64(col("id"), lit(92)), lit(10L)) < 7).cast("int").as("ev"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(1000L)).cast("double")
+          / 1000.0).as("x2"))
+      val r = graft.ops.Survival.coxPhStratified(sdf,
+        col("stime"), col("ev"), col("site"), Seq(col("arm"), col("x2")))
+      assert(r.iterations < 20 && !r.coefficients(0).isNaN)
+    }
+    time(s"isotonic_score fit 10k cells + apply $rows rows") {
+      // calibrate-then-score: the PAVA fit's cell pass plus a broadcast
+      // binary-search application over the full target frame
+      val tr = spark.range(rows / 10).select(
+        (col("id") % 10000).cast("double").as("s"),
+        (pmod(xxhash64(col("id"), lit(23)), lit(100L)) <
+          least((col("id") % 10000) / lit(110) + 5, lit(95))).cast("int")
+          .as("y"))
+      val tgt = spark.range(rows).select(
+        (pmod(xxhash64(col("id"), lit(37)), lit(1100000L)).cast("double")
+          / 100.0 - 500.0).as("s"))
+      val n = graft.ops.MlEval.isotonicScore(tr, col("s"), col("y"),
+        tgt, col("s")).filter(col("calibrated").isNotNull).count()
+      assert(n == rows, s"scored $n")
+    }
     time(s"elect_representatives (${rows / 10} labeled vertices)") {
       // dup components of ~10 members each + a rank table
       val comp = spark.range(rows / 10).select(col("id"),

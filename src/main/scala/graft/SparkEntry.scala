@@ -3072,7 +3072,12 @@ object SparkEntry {
         .createOrReplaceTempView("q272_cox")
       GraftGateway.sql(s, "SELECT cox_zph(stime, ev, x1, x2) FROM q272_cox")
         .select(col("term"), round(col("chisq"), 4).as("chisq"),
-          col("df"), lit(sfTag(d)).as("oracle_sf"))
+          col("df"),
+          // r17: the trend DIRECTION θ̂ = S⁻¹u per covariate (null on
+          // the GLOBAL row) — a failing test also says which way the
+          // hazard ratio drifts
+          round(col("theta"), 6).as("theta"),
+          lit(sfTag(d)).as("oracle_sf"))
         .orderBy(col("term"))
     }),
     "q273_isotonic_score" -> ((s, d) => {
@@ -3096,6 +3101,24 @@ object SparkEntry {
           round(col("calibrated"), 8).as("calibrated"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("score"))
+    }),
+    "q274_cox_ph_strat" -> ((s, d) => {
+      // the q272 cox fixture with a 3-level stratum riding the same
+      // cells: per-stratum baseline, shared beta. The Newton fit has no
+      // closed SQL form, so the oracle pins the sf0.01 estimates (q142
+      // idiom) while n / n_events stay live closed forms
+      t(s, d, "lineitem").select(col("l_quantity").cast("int").as("stime"),
+          (col("l_linenumber") % 2).cast("int").as("ev"),
+          (col("l_suppkey") % 3).cast("string").as("site"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("q274_cox")
+      GraftGateway.sql(s,
+        "SELECT cox_ph_strat(stime, ev, site, x1, x2) FROM q274_cox")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"), col("n"), col("n_events"),
+          lit(sfTag(d)).as("oracle_sf"))
+        .orderBy(col("term"))
     }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
@@ -5830,11 +5853,23 @@ object SparkEntry {
       // rides the Newton fit, which has no closed SQL form); the fixture
       // is proportional by construction so the small chisq is the point
       """SELECT 'GLOBAL' AS term, CAST(0.7083 AS DOUBLE) AS chisq,
-        |  CAST(2.0 AS DOUBLE) AS df, '0.01' AS oracle_sf
+        |  CAST(2.0 AS DOUBLE) AS df, CAST(NULL AS DOUBLE) AS theta,
+        |  '0.01' AS oracle_sf
         |UNION ALL SELECT 'x1', CAST(0.4026 AS DOUBLE),
-        |  CAST(1.0 AS DOUBLE), '0.01'
+        |  CAST(1.0 AS DOUBLE), CAST(-0.000822 AS DOUBLE), '0.01'
         |UNION ALL SELECT 'x2', CAST(0.3002 AS DOUBLE),
-        |  CAST(1.0 AS DOUBLE), '0.01'
+        |  CAST(1.0 AS DOUBLE), CAST(-0.000414 AS DOUBLE), '0.01'
+        |ORDER BY term""".stripMargin,
+    "q274_cox_ph_strat" ->
+      // pinned sf0.01 stratified-Newton estimates (q142 idiom); n and
+      // n_events are live closed forms (every event row is its own cell)
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(l_linenumber % 2) AS BIGINT) AS ne FROM lineitem)
+        |SELECT 'x1' AS term, CAST(0.018348 AS DOUBLE) AS estimate,
+        |  CAST(0.018591 AS DOUBLE) AS stderr, n, ne AS n_events,
+        |  '0.01' AS oracle_sf FROM m
+        |UNION ALL SELECT 'x2', CAST(-0.001792 AS DOUBLE),
+        |  CAST(0.010801 AS DOUBLE), n, ne, '0.01' FROM m
         |ORDER BY term""".stripMargin,
     "q271_weighted_kappa" ->
       // cells + full marginal grid; quadratic agreement weights from

@@ -378,6 +378,11 @@ object Survival {
     val evTimes = base0.filter(col("__e") === 1)
       .select(col("__t")).distinct().orderBy(col("__t"))
       .limit(maxTimes + 1).collect().map(_.getDouble(0))
+    // local contract (the preceding coxPh call already enforced it, but
+    // this collect must not depend on a sibling's guard staying upstream)
+    require(evTimes.length <= maxTimes,
+      s"cox_zph: more than $maxTimes distinct event times — bucket the " +
+        "time column first (or raise maxTimes knowingly)")
     val base = base0.withColumn("__tb",
         graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
       .filter(col("__tb").isNotNull)
@@ -440,13 +445,184 @@ object Survival {
     val sM = Array.tabulate(k, k)((j, l) => aM(j)(l) - bcb(j)(l))
     val sInv = graft.stats.LinAlg.invert(sM)
     val chiG = graft.stats.LinAlg.quadForm(u, sInv, u)
+    // trend DIRECTION (r17): θ̂ = S⁻¹u is the one-step (Fisher-scoring
+    // from 0) estimate of the time-interaction slope β_j(t) = β_j +
+    // θ_j(g(t) − ḡ) — a failing test now also says WHICH WAY the hazard
+    // ratio drifts (θ_j > 0: effect grows with g(t)); se from the same
+    // profiled information, θ̂_j/se_j consistent with √chisq_j only up
+    // to the off-diagonal mixing (both are reported). GLOBAL gets nulls.
+    val theta = graft.stats.LinAlg.matVec(sInv, u)
     val rows = names.indices.map { j =>
       val chi = u(j) * u(j) / sM(j)(j)
       (names(j), chi, 1.0,
-        1.0 - graft.stats.Dist.chiSqCdf(chi, 1.0))
+        1.0 - graft.stats.Dist.chiSqCdf(chi, 1.0),
+        Option(theta(j)), Option(math.sqrt(sInv(j)(j))))
     } :+ (("GLOBAL", chiG, k.toDouble,
-      1.0 - graft.stats.Dist.chiSqCdf(chiG, k.toDouble)))
-    rows.toDF("term", "chisq", "df", "p_value")
+      1.0 - graft.stats.Dist.chiSqCdf(chiG, k.toDouble),
+      Option.empty[Double], Option.empty[Double]))
+    rows.toDF("term", "chisq", "df", "p_value", "theta", "theta_se")
+  }
+
+  /** Stratified Cox proportional hazards — [[coxPh]] with a per-stratum
+    * baseline hazard (site, cohort, calendar wave): the partial
+    * likelihood FACTORIZES over strata (each stratum's risk sets are its
+    * own), β is shared, and nothing about the baseline within a stratum
+    * is modeled — the standard remedy when [[coxZph]] rejects on a
+    * covariate you can stratify away (Therneau & Grambsch ch. 3).
+    *
+    * 100 TB shape: identical to coxPh with the stratum key riding the
+    * SAME aggregates — per Newton iteration ONE row-scale aggregate to
+    * (stratum, event-time) cells; suffix sums then RESET at each stratum
+    * boundary in the driver scan (cells ordered by stratum, time desc).
+    * `maxTimes` bounds the TOTAL cell count across strata (that is what
+    * the driver holds). Censored subjects pre-bucket to their stratum's
+    * own event-time grid via one broadcast per-stratum binary search,
+    * materialized ONCE before the loop (the lookup is a udf here — the
+    * per-stratum arrays make the single-array codegen expression
+    * inapplicable — so the bucketed base persists and each Newton pass
+    * stays pure codegen). The score test at β = 0 is the STRATIFIED
+    * k-way log-rank test (spec-pinned against summed per-stratum O/E/V
+    * for a binary covariate with no in-stratum ties). */
+  def coxPhStratified(df: DataFrame, time: Column, event: Column,
+                      stratum: Column, xs: Seq[Column],
+                      maxIter: Int = 20, tol: Double = 1e-9,
+                      maxTimes: Int = 200000): CoxResult = {
+    require(xs.nonEmpty, "cox_ph_strat: need at least one covariate")
+    val k = xs.length
+    val complete = (Seq(time, event, stratum) ++ xs)
+      .map(_.isNotNull).reduce(_ && _)
+    val base0 = df.filter(complete).select(
+      stratum.cast("string").as("__s") +: time.cast("double").as("__t") +:
+        event.cast("int").as("__e") +:
+        xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
+    base0.persist()
+    var base: DataFrame = null
+    try {
+      val nAll = base0.count()
+      val evRows = base0.filter(col("__e") === 1)
+        .select(col("__s"), col("__t")).distinct()
+        .orderBy(col("__s"), col("__t"))
+        .limit(maxTimes + 1)
+        .collect()
+      require(evRows.length <= maxTimes,
+        s"cox_ph_strat: more than $maxTimes distinct (stratum, event " +
+          "time) cells — coarsen the time column or raise maxTimes if " +
+          "the driver can hold the cells")
+      require(evRows.nonEmpty, "cox_ph_strat: no events")
+      val timesByS: Map[String, Array[Double]] = evRows
+        .groupBy(_.getString(0))
+        .map { case (s, rs) => s -> rs.map(_.getDouble(1)).sorted }
+      val spark = df.sparkSession
+      val bc = spark.sparkContext.broadcast(timesByS)
+      val floorUdf = udf { (s: String, t: java.lang.Double) =>
+        if (t == null) null
+        else {
+          val arr = bc.value.getOrElse(s, Array.empty[Double])
+          var lo = 0; var hi = arr.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (arr(mid) <= t) lo = mid + 1 else hi = mid
+          }
+          if (lo == 0) null else java.lang.Double.valueOf(arr(lo - 1))
+        }
+      }
+      base = base0.withColumn("__tb", floorUdf(col("__s"), col("__t")))
+        .filter(col("__tb").isNotNull)
+        .persist()
+      base.count() // pay the udf lookup once, not once per Newton pass
+      val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
+      def cells(beta: Array[Double]): Array[Row] = {
+        val eta =
+          if (beta.forall(_ == 0.0)) lit(0.0)
+          else (0 until k).map(j => col(s"__x$j") * lit(beta(j)))
+            .reduce(_ + _)
+        val w = exp(eta)
+        val aggs =
+          sum(col("__e")).cast("double").as("d") +:
+            ((0 until k).map(j =>
+              sum(col("__e") * col(s"__x$j")).as(s"sx$j")) ++
+              Seq(sum(w).as("a0")) ++
+              (0 until k).map(j => sum(col(s"__x$j") * w).as(s"a1_$j")) ++
+              pairs.map { case (j, l) =>
+                sum(col(s"__x$j") * col(s"__x$l") * w).as(s"a2_${j}_$l") })
+        base.groupBy(col("__s"), col("__tb").as("__t"))
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy(col("__s"), col("__t").desc)
+          .collect()
+      }
+      // driver scan with suffix sums RESET per stratum; cell layout is
+      // (__s, __t, d, sx*, a0, a1_*, a2_*) — indexes shift +1 vs coxPh
+      def scan(cs: Array[Row], beta: Array[Double])
+          : (Double, Array[Double], Array[Array[Double]]) = {
+        var curS: String = null
+        var s0 = 0.0
+        var s1 = new Array[Double](k)
+        var s2 = graft.stats.LinAlg.zeros(k, k)
+        var ll = 0.0
+        val g = new Array[Double](k)
+        val info = graft.stats.LinAlg.zeros(k, k)
+        cs.foreach { r =>
+          val st = r.getString(0)
+          if (st != curS) {
+            curS = st; s0 = 0.0
+            s1 = new Array[Double](k)
+            s2 = graft.stats.LinAlg.zeros(k, k)
+          }
+          val d = r.getDouble(2)
+          s0 += r.getDouble(3 + k)
+          (0 until k).foreach(j => s1(j) += r.getDouble(4 + k + j))
+          pairs.zipWithIndex.foreach { case ((j, l), ix) =>
+            s2(j)(l) += r.getDouble(4 + 2 * k + ix)
+            if (j != l) s2(l)(j) = s2(j)(l)
+          }
+          if (d > 0) {
+            ll -= d * math.log(s0)
+            (0 until k).foreach { j =>
+              val sx = r.getDouble(3 + j)
+              ll += beta(j) * sx
+              g(j) += sx - d * s1(j) / s0
+            }
+            (0 until k).foreach { j =>
+              (0 until k).foreach { l =>
+                info(j)(l) += d * (s2(j)(l) / s0 - (s1(j) / s0) * (s1(l) / s0))
+              }
+            }
+          }
+        }
+        (ll, g, info)
+      }
+      val cs0 = cells(new Array[Double](k))
+      val nEvents = cs0.map(_.getDouble(2)).sum.round
+      require(nEvents > 0, "cox_ph_strat: no events")
+      val (_, g0, i0) = scan(cs0, new Array[Double](k))
+      val i0inv = graft.stats.LinAlg.invert(i0)
+      val scoreChi2 = graft.stats.LinAlg.quadForm(g0, i0inv, g0)
+      val scoreP = 1.0 - graft.stats.Dist.chiSqCdf(scoreChi2, k.toDouble)
+      var beta = new Array[Double](k)
+      var it = 0
+      var ll = 0.0
+      var info = i0
+      var done = false
+      while (!done && it < maxIter) {
+        val cs = if (it == 0) cs0 else cells(beta)
+        val (l, g, i) = scan(cs, beta)
+        ll = l; info = i
+        val step = graft.stats.LinAlg.matVec(graft.stats.LinAlg.invert(i), g)
+        beta = beta.zip(step).map { case (b, s) => b + s }
+        it += 1
+        done = step.map(math.abs).max < tol
+      }
+      val cov = graft.stats.LinAlg.invert(info)
+      val se = Array.tabulate(k)(j => math.sqrt(cov(j)(j)))
+      val z = Array.tabulate(k)(j => beta(j) / se(j))
+      val p = z.map(zz => 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(zz))))
+      CoxResult(beta, se, z, p, nAll, nEvents, cs0.length, it, ll, scoreChi2,
+        scoreP)
+    } finally {
+      base0.unpersist()
+      if (base != null) base.unpersist()
+      ()
+    }
   }
 
   /** Two-sample log-rank test (Mantel–Cox) for group ∈ {0, 1}: at each

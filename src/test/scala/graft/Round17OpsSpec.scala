@@ -217,6 +217,96 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(fit.lrP >= 0 && fit.lrP <= 0.5)
   }
 
+  test("coxZph: theta reports the drift direction and closes with chisq") {
+    import graft.ops.Survival
+    // the r16 planted non-PH fixture: treated die fast EARLY, slow LATE
+    // — beta(t) decreasing in t, so theta must be negative
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 120).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val base = 1.0 + (i * 13 % 29) + rng.nextDouble() * 0.01
+      val t = if (x > 0) { if (base < 15) base * 0.15 else base * 1.8 }
+        else base
+      (t, 1, x)
+    }
+    val out = Survival.coxZph(rows.toDF("t", "e", "x"), col("t"),
+      col("e"), Seq(col("x")), Seq("x"), transform = "identity").collect()
+    val r = out.find(_.getString(0) == "x").get
+    val theta = r.getAs[Double]("theta")
+    val se = r.getAs[Double]("theta_se")
+    assert(theta < 0, s"drift direction must be negative, got $theta")
+    // k = 1 identity: (theta/se)^2 == chisq exactly (same S scalar)
+    val chi = r.getAs[Double]("chisq")
+    assert(math.abs((theta / se) * (theta / se) - chi) < 1e-9 * chi,
+      s"(theta/se)^2 ${(theta / se) * (theta / se)} vs chisq $chi")
+    // GLOBAL row carries no direction
+    val g = out.find(_.getString(0) == "GLOBAL").get
+    assert(g.isNullAt(g.fieldIndex("theta")))
+    assert(g.isNullAt(g.fieldIndex("theta_se")))
+  }
+
+  test("coxPhStratified: one stratum reduces exactly to coxPh") {
+    import graft.ops.Survival
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 80).map { i =>
+      val x = (i % 3).toDouble
+      (1.0 + (i * 17 % 41) + rng.nextDouble() * 0.01, i % 2, x)
+    }
+    val df = rows.toDF("t", "e", "x")
+    val a = Survival.coxPhStratified(df, col("t"), col("e"), lit("all"),
+      Seq(col("x")))
+    val b = Survival.coxPh(df, col("t"), col("e"), Seq(col("x")))
+    assert(math.abs(a.coefficients(0) - b.coefficients(0)) < 1e-9)
+    assert(math.abs(a.stderr(0) - b.stderr(0)) < 1e-9)
+    assert(math.abs(a.logLik - b.logLik) < 1e-9)
+    assert(math.abs(a.scoreChi2 - b.scoreChi2) < 1e-9)
+    assert(a.nEvents == b.nEvents)
+  }
+
+  test("coxPhStratified: score test equals the summed-strata log-rank; " +
+    "fit maximizes the brute stratified partial likelihood") {
+    import graft.ops.Survival
+    // two strata, binary x, all distinct times within each stratum (no
+    // ties, so Breslow == exact == log-rank variance per stratum)
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 90).map { i =>
+      val s = if (i % 2 == 0) "a" else "b"
+      val x = if ((i / 2) % 2 == 0) 1.0 else 0.0
+      val base = 1.0 + i * 0.37 + rng.nextDouble() * 0.001
+      val t = if (x > 0 && s == "a") base * 0.6 else base
+      (s, t, if (i % 7 == 0) 0 else 1, x)
+    }
+    val df = rows.toDF("s", "t", "e", "x")
+    val fit = Survival.coxPhStratified(df, col("t"), col("e"), col("s"),
+      Seq(col("x")))
+    // per-stratum log-rank components summed
+    val lrA = Survival.logRankTest(df.filter(col("s") === "a"), col("x"),
+      col("t"), col("e")).head()
+    val lrB = Survival.logRankTest(df.filter(col("s") === "b"), col("x"),
+      col("t"), col("e")).head()
+    val oe = (lrA.getAs[Double]("observed1") - lrA.getAs[Double]("expected1")) +
+      (lrB.getAs[Double]("observed1") - lrB.getAs[Double]("expected1"))
+    val v = lrA.getAs[Double]("variance") + lrB.getAs[Double]("variance")
+    val chiStrat = oe * oe / v
+    assert(math.abs(fit.scoreChi2 - chiStrat) < 1e-9 * math.max(1.0, chiStrat),
+      s"score ${fit.scoreChi2} vs stratified log-rank $chiStrat")
+    // brute stratified partial likelihood: ll at beta_hat matches, and
+    // the numeric gradient vanishes there
+    val byS = rows.groupBy(_._1)
+    def ll(beta: Double): Double = byS.values.map { rs =>
+      rs.filter(_._3 == 1).map { case (_, ti, _, xi) =>
+        val denom = rs.filter(_._2 >= ti).map(r => math.exp(beta * r._4)).sum
+        beta * xi - math.log(denom)
+      }.sum
+    }.sum
+    val bh = fit.coefficients(0)
+    assert(math.abs(fit.logLik - ll(bh)) < 1e-8,
+      s"ll ${fit.logLik} vs brute ${ll(bh)}")
+    val h = 1e-6
+    val grad = (ll(bh + h) - ll(bh - h)) / (2 * h)
+    assert(math.abs(grad) < 1e-4, s"gradient at beta_hat: $grad")
+  }
+
   test("ordinalAssoc: no ties collapses gamma = somers_d = tau_b") {
     val xs = Seq(1, 2, 3, 4, 5, 6, 7)
     val ys = Seq(2, 1, 4, 3, 6, 5, 7)
