@@ -146,6 +146,13 @@ object Bench {
     val sentinels = scala.collection.mutable.ArrayBuffer(sentinel())
     val passes = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Sample)]]
     val maxPasses = 4
+    // committed-artifact stability: min-of-2 on a quiet box reads
+    // systematically ~10-15% above min-of-4 (single samples still carry
+    // per-query jitter the min hasn't yet absorbed), so round-board runs
+    // set SPARK_GRAFT_BENCH_MIN_PASSES=4; the default 2 keeps ad-hoc
+    // iteration cheap
+    val minPasses = math.min(maxPasses,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_PASSES", "2").toInt)
     var done = false
     while (!done) {
       passes += ordered.map { case (name, fn) => name -> time(fn) }
@@ -165,7 +172,7 @@ object Bench {
       val postDrift = (post.max - post.min) / post.min
       val preDrift = (sentinels.head - post.min) / post.min
       done = passes.length >= maxPasses ||
-        (passes.length >= 2 && postDrift <= 0.25 && preDrift <= 0.80)
+        (passes.length >= minPasses && postDrift <= 0.25 && preDrift <= 0.80)
     }
     // single-core sentinel: same idea, one partition — cpus-independent, so
     // its quiet value is an ABSOLUTE cross-run reference (~0.4 s measured

@@ -107,6 +107,23 @@ object BenchOne {
       // pressure") instead of leaving a bare implausible number
       val (gcWarm, jitWarm) =
         (gcMs - gc0, if (jit0 >= 0) jitMs - jit0 else -1L)
+      // JIT QUIESCE before sampling the load sentinel: the settled-warm
+      // loop leaves background C2 threads still compiling for several
+      // seconds on codegen-heavy queries, which inflates the sentinel and
+      // reads as EXTERNAL load (the r17 board's q267 fork rejected itself
+      // at sentinel1 0.94 with 45 s of jit_ms). Wait until compilation
+      // goes quiet (<50 ms per 200 ms window), bounded at 5 s.
+      locally {
+        val tq0 = System.nanoTime()
+        var lastJit = jitMs
+        var quiet = false
+        while (!quiet && (System.nanoTime() - tq0) < 5e9.toLong) {
+          Thread.sleep(200)
+          val now = jitMs
+          quiet = now < 0 || now - lastJit < 50
+          lastJit = now
+        }
+      }
       val s1 = sentinel1()
       println(f"""{"query":"$name","cold":$cold%.3f,"warm":$warm%.3f,"warm_runs":$runs,"jit_settled":$settled,"sentinel1":$s1%.3f,"gc_ms":$gcWarm,"jit_ms":$jitWarm}""")
       // query boundary: this query's checkpoints must not pressure the next

@@ -654,8 +654,10 @@ object Dedup {
     * [[graft.ops.Graph.pageRank]] score, a quality score) — when given,
     * each duplicate group's representative is its HIGHEST-rank member
     * (ties → min id) via [[electRepresentatives]], instead of the min
-    * id. The election adds one dup-graph-sized join + component-keyed
-    * max — never a corpus-scale shuffle. */
+    * id. The 2-column rank projection is first semi-joined down to the
+    * dup-graph ids (one exchange of that slim projection), so the
+    * election itself is a dup-graph-sized join + component-keyed max —
+    * never a corpus-scale shuffle. */
   def semanticDedup(corpus: DataFrame, id: Column, embedding: Column,
                     k: Int, threshold: Double = 0.95, iters: Int = 3,
                     maxBucket: Int = 2000, probes: Int = 2,
