@@ -183,6 +183,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT weighted_kappa(a, b[, 'quadratic'|'linear']) FROM <ordinal pairs>
   * SELECT cox_zph(time, event, x...)           FROM <survival>
   * SELECT cox_ph_strat(time, event, stratum, x...) FROM <survival>
+  * SELECT cox_survival(time, event, x..., 'beta_csv|fit', 'profile_csv') FROM <survival>
+  * SELECT rmst_diff(time, event, tau, group)   FROM <survival>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -356,7 +358,7 @@ object GraftGateway {
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
     "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph",
-    "cox_ph_strat")
+    "cox_ph_strat", "cox_survival", "rmst_diff")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -472,6 +474,19 @@ object GraftGateway {
         }
         terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
           "n", "n_events")
+      case "cox_survival" =>
+        // Breslow baseline hazard + survival at a covariate profile; the
+        // last two args are string literals: beta CSV (or 'fit' to fit
+        // coxPh first) and the profile CSV
+        require(a.length >= 4,
+          "cox_survival(time, event, x..., 'beta_csv|fit', 'profile_csv')")
+        val betaArg = str(a(a.length - 2))
+        val prof = str(a.last).split(",").map(_.trim.toDouble).toSeq
+        val xcols = a.slice(2, a.length - 2).map(c)
+        val betaOpt =
+          if (betaArg == "fit") None
+          else Some(betaArg.split(",").map(_.trim.toDouble))
+        Survival.coxSurvival(df, c(a(0)), c(a(1)), xcols, prof, betaOpt)
       case "kaplan_meier" =>
         require(a.length >= 2, "kaplan_meier(time, event[, group])")
         if (a.length > 2) Survival.kaplanMeierBy(df, c(a(2)), c(a(0)), c(a(1)))
@@ -482,6 +497,10 @@ object GraftGateway {
         Survival.rmst(df, c(a(0)), c(a(1)), num(a(2)),
           group = if (a.length > 3) c(a(3))
             else org.apache.spark.sql.functions.lit("all"))
+      case "rmst_diff" =>
+        // hazard-ratio-free between-arm effect in time units
+        require(a.length >= 4, "rmst_diff(time, event, tau, group)")
+        Survival.rmstDiff(df, c(a(0)), c(a(1)), num(a(2)), c(a(3)))
       case "log_rank_test" =>
         require(a.length >= 3, "log_rank_test(group, time, event)")
         Survival.logRankTest(df, c(a(0)), c(a(1)), c(a(2)))

@@ -1187,6 +1187,19 @@ object ScaleProbe {
         col("stime"), col("ev"), col("site"), Seq(col("arm"), col("x2")))
       assert(r.iterations < 20 && !r.coefficients(0).isNaN)
     }
+    time(s"cox_survival stored-beta ($rows rows, 10k times)") {
+      // ONE cell aggregate at the given beta + O(m) driver scan — the
+      // coxPh pass without the Newton loop
+      val n = graft.ops.Survival.coxSurvival(survDf, col("stime"),
+        col("ev"), Seq(col("arm").cast("double")), Seq(1.0),
+        beta = Some(Array(0.1))).count()
+      assert(n == 10000L, s"$n curve rows")
+    }
+    time(s"rmst_diff tau=5000 ($rows rows, 2 arms x 10k times)") {
+      val r = graft.ops.Survival.rmstDiff(survDf, col("stime"),
+        col("ev"), 5000.0, col("arm")).head()
+      assert(!r.getAs[Double]("diff").isNaN)
+    }
     time(s"isotonic_score fit 10k cells + apply $rows rows") {
       // calibrate-then-score: the PAVA fit's cell pass plus a broadcast
       // binary-search application over the full target frame

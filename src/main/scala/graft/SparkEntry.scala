@@ -3120,6 +3120,44 @@ object SparkEntry {
           lit(sfTag(d)).as("oracle_sf"))
         .orderBy(col("term"))
     }),
+    "q276_rmst_diff" -> ((s, d) => {
+      // hazard-ratio-free between-arm effect on the q177 KM fixture with
+      // a binary arm: per-arm RMST/variance replay as the q177 window
+      // chain, the difference closes as arithmetic over the two arm rows
+      t(s, d, "lineitem")
+        .select((col("l_orderkey") % 2).cast("int").as("g"),
+          col("l_quantity").cast("int").as("time"),
+          (col("l_linenumber") % 2).cast("int").as("event"))
+        .createOrReplaceTempView("q276_su")
+      GraftGateway.sql(s,
+        "SELECT rmst_diff(time, event, 40.0, g) FROM q276_su")
+        .select(col("tau"), col("n0"), col("n1"),
+          round(col("rmst0"), 6).as("rmst0"),
+          round(col("rmst1"), 6).as("rmst1"),
+          round(col("diff"), 6).as("diff"), round(col("se"), 6).as("se"),
+          round(col("z"), 4).as("z"),
+          round(col("lower"), 6).as("lower"),
+          round(col("upper"), 6).as("upper"))
+    }),
+    "q275_cox_survival" -> ((s, d) => {
+      // scoring a STORED Cox model (the eval_ml_method idiom): explicit
+      // beta literals make every output a live closed form at any sf —
+      // Breslow H0 is a suffix/prefix window chain over time cells in
+      // SQL; the q142 fixture has an event at every distinct time, so
+      // raw-time cells equal bucketed cells in both engines
+      t(s, d, "lineitem").select(col("l_quantity").cast("int").as("stime"),
+          (col("l_linenumber") % 2).cast("int").as("ev"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("q275_cox")
+      GraftGateway.sql(s,
+        "SELECT cox_survival(stime, ev, x1, x2, '0.02,-0.01', '5.0,1.0') " +
+          "FROM q275_cox")
+        .select(col("time"), col("n_events"), round(col("s0"), 4).as("s0"),
+          round(col("h0_cum"), 6).as("h0_cum"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy(col("time"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -5871,6 +5909,86 @@ object SparkEntry {
         |UNION ALL SELECT 'x2', CAST(-0.001792 AS DOUBLE),
         |  CAST(0.010801 AS DOUBLE), n, ne, '0.01' FROM m
         |ORDER BY term""".stripMargin,
+    "q276_rmst_diff" ->
+      // the q177 KM window chain per binary arm, then the difference,
+      // pooled se, z and CI close as arithmetic over the two arm rows
+      """WITH s AS (SELECT CAST(l_orderkey % 2 AS INT) AS arm,
+        |              CAST(l_quantity AS INT) AS time,
+        |              CAST(l_linenumber % 2 AS INT) AS event FROM lineitem),
+        |g AS (SELECT arm, time, sum(event) AS d, count(*) AS c
+        |      FROM s GROUP BY 1, 2),
+        |o AS (SELECT arm, time, d, c,
+        |        sum(c) OVER (PARTITION BY arm ORDER BY time
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+        |      FROM g),
+        |t AS (SELECT arm, sum(c) AS tot FROM g GROUP BY 1),
+        |r AS (SELECT o.arm, time, d, c, tot - cumc + c AS n_risk
+        |      FROM o JOIN t ON o.arm = t.arm),
+        |km AS (SELECT arm, time, d, c, n_risk,
+        |  exp(sum(ln(1.0 - d * 1.0 / n_risk))
+        |    OVER (PARTITION BY arm ORDER BY time
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv
+        |  FROM r),
+        |leq AS (SELECT *, CAST(time AS DOUBLE) AS td FROM km
+        |  WHERE time <= 40.0),
+        |e AS (SELECT arm, td, d, n_risk, surv,
+        |    coalesce(least(lead(td) OVER (PARTITION BY arm ORDER BY td),
+        |      40.0), 40.0) AS nxt,
+        |    min(td) OVER (PARTITION BY arm) AS frst
+        |  FROM leq),
+        |e2 AS (SELECT arm, td, d, n_risk, frst,
+        |    surv * (nxt - td) AS contrib FROM e),
+        |e3 AS (SELECT arm, td, d, n_risk, frst, contrib,
+        |    frst + sum(contrib) OVER (PARTITION BY arm) AS total,
+        |    coalesce(sum(contrib) OVER (PARTITION BY arm ORDER BY td
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS prefix
+        |  FROM e2),
+        |e4 AS (SELECT arm, d, total,
+        |    total - (frst + prefix) AS aj,
+        |    CASE WHEN d > 0 AND n_risk > d
+        |      THEN (total - (frst + prefix)) * (total - (frst + prefix))
+        |        * d / (n_risk * (n_risk - d)) ELSE 0.0 END AS vterm
+        |  FROM e3),
+        |ga AS (SELECT arm, max(total) AS rmst, sum(vterm) AS v
+        |    FROM e4 GROUP BY 1),
+        |tn AS (SELECT arm, sum(c) AS n FROM g GROUP BY 1),
+        |f AS (SELECT
+        |    max(CASE WHEN ga.arm = 0 THEN ga.rmst END) AS r0,
+        |    max(CASE WHEN ga.arm = 1 THEN ga.rmst END) AS r1,
+        |    max(CASE WHEN ga.arm = 0 THEN ga.v END) AS v0,
+        |    max(CASE WHEN ga.arm = 1 THEN ga.v END) AS v1,
+        |    max(CASE WHEN tn.arm = 0 THEN tn.n END) AS n0,
+        |    max(CASE WHEN tn.arm = 1 THEN tn.n END) AS n1
+        |  FROM ga JOIN tn ON ga.arm = tn.arm)
+        |SELECT 40.0 AS tau, CAST(n0 AS BIGINT) AS n0,
+        |  CAST(n1 AS BIGINT) AS n1,
+        |  round(r0, 6) AS rmst0, round(r1, 6) AS rmst1,
+        |  round(r1 - r0, 6) AS diff, round(sqrt(v0 + v1), 6) AS se,
+        |  round((r1 - r0) / sqrt(v0 + v1), 4) AS z,
+        |  round(r1 - r0 - 1.959963984540054 * sqrt(v0 + v1), 6) AS lower,
+        |  round(r1 - r0 + 1.959963984540054 * sqrt(v0 + v1), 6) AS upper
+        |FROM f""".stripMargin,
+    "q275_cox_survival" ->
+      // Breslow baseline at the GIVEN beta: suffix risk sum desc, hazard
+      // prefix sum asc, survival at the profile's risk score — all live
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS t,
+        |    l_linenumber % 2 AS ev,
+        |    exp(0.02 * (l_discount * 10.0) - 0.01 * (l_orderkey % 2))
+        |      AS w
+        |  FROM lineitem),
+        |cells AS (SELECT t, CAST(sum(ev) AS DOUBLE) AS d, sum(w) AS a0
+        |  FROM b GROUP BY t),
+        |suff AS (SELECT t, d, sum(a0) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0
+        |  FROM cells),
+        |h AS (SELECT t, d, s0, sum(d / s0) OVER (ORDER BY t ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h0
+        |  FROM suff WHERE d > 0)
+        |SELECT t AS time, CAST(d AS BIGINT) AS n_events,
+        |  round(s0, 4) AS s0, round(h0, 6) AS h0_cum,
+        |  round(exp(-h0 * exp(0.02 * 5.0 - 0.01 * 1.0)), 6) AS survival
+        |FROM h ORDER BY time""".stripMargin,
     "q271_weighted_kappa" ->
       // cells + full marginal grid; quadratic agreement weights from
       // value distance (all 5 labels present on both sides, so sorted-

@@ -175,6 +175,44 @@ object Survival {
       .withColumn("upper", col("rmst") + lit(z) * col("se"))
   }
 
+  /** RMST DIFFERENCE test (Royston-Parmar 2013, Uno et al. 2014) — the
+    * hazard-ratio-free between-arm effect: Δ = RMST₁(τ) − RMST₀(τ) in
+    * time units ("treated patients live 1.3 months longer through month
+    * 24"), valid with NO proportional-hazards assumption — the
+    * recommended readout when [[coxZph]] rejects and no stratification
+    * variable absorbs the drift. z = Δ/√(se₁² + se₀²) (the two arms'
+    * Greenwood-type variances are independent), two-sided p, CI.
+    *
+    * 100 TB shape: [[rmst]]'s per-group cell pass (everything after the
+    * first groupBy runs on |groups|×|times| cells), then an O(1) driver
+    * close over the TWO group rows. Group must be binary {0, 1}.
+    * Returns one row: (tau, n0, n1, rmst0, rmst1, diff, se, z, p_value,
+    * lower, upper). */
+  def rmstDiff(df: DataFrame, time: Column, event: Column, tau: Double,
+               group: Column, alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val per = rmst(df, time, event, tau, group.cast("int").cast("string"),
+      alpha).collect()
+    val byG = per.map(r => r.getAs[String]("group") -> r).toMap
+    require(byG.keySet == Set("0", "1"),
+      s"rmst_diff: group must be binary {0, 1}, got ${byG.keySet.toSeq.sorted.mkString(", ")}")
+    val (r0, r1) = (byG("0"), byG("1"))
+    val d = r1.getAs[Double]("rmst") - r0.getAs[Double]("rmst")
+    val se = math.sqrt(
+      r1.getAs[Double]("se") * r1.getAs[Double]("se") +
+        r0.getAs[Double]("se") * r0.getAs[Double]("se"))
+    val z = if (se > 0) d / se else Double.NaN
+    val p = if (se > 0)
+      2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z))) else Double.NaN
+    val zq = graft.stats.Dist.normQuantile(1.0 - alpha / 2)
+    Seq((tau, r0.getAs[Long]("n"), r1.getAs[Long]("n"),
+      r0.getAs[Double]("rmst"), r1.getAs[Double]("rmst"),
+      d, se, z, p, d - zq * se, d + zq * se))
+      .toDF("tau", "n0", "n1", "rmst0", "rmst1", "diff", "se", "z",
+        "p_value", "lower", "upper")
+  }
+
   case class CoxResult(coefficients: Array[Double], stderr: Array[Double],
                        z_values: Array[Double], p_values: Array[Double],
                        n: Long, nEvents: Long, nTimes: Int, iterations: Int,
@@ -623,6 +661,80 @@ object Survival {
       if (base != null) base.unpersist()
       ()
     }
+  }
+
+  /** Cox SURVIVAL-CURVE prediction — the apply verb after [[coxPh]]
+    * (the isotonic_score pattern: a fit is only useful once you can
+    * score with it): the Breslow cumulative baseline hazard
+    * H₀(t) = Σ_{event times s ≤ t} d_s / S0(s) at a coefficient vector
+    * β, and the predicted survival S(t|x*) = exp(−H₀(t)·e^{x*ᵀβ}) at a
+    * covariate profile x* (Breslow 1972; Therneau-Grambsch ch. 10).
+    *
+    * `beta = None` fits [[coxPh]] first (calibrate-then-score); passing
+    * β explicitly scores a STORED model — the eval_ml_method idiom, and
+    * the form whose oracle stays live SQL at every scale factor (both
+    * engines compute from the same literals).
+    *
+    * With β = 0 and profile = 0 the curve reduces exactly to the
+    * Nelson-Aalen estimator (spec-pinned against it).
+    *
+    * 100 TB shape: ONE row-scale aggregate to per-event-time cells
+    * (d_t, S0 ingredients) at β — the coxPh cell pass without the
+    * Newton loop — then an O(m) driver suffix/prefix scan over
+    * ≤ maxTimes cells. Censored subjects pre-bucket to the greatest
+    * event time ≤ their own via the same codegen binary search.
+    * Returns one row per event time ascending:
+    * (time, n_events, s0, h0_cum, survival). */
+  def coxSurvival(df: DataFrame, time: Column, event: Column,
+                  xs: Seq[Column], profile: Seq[Double],
+                  beta: Option[Array[Double]] = None,
+                  maxIter: Int = 20, tol: Double = 1e-9,
+                  maxTimes: Int = 200000): DataFrame = {
+    require(xs.nonEmpty, "cox_survival: need at least one covariate")
+    val k = xs.length
+    require(profile.length == k,
+      s"cox_survival: $k covariates but ${profile.length} profile values")
+    val b = beta.getOrElse(
+      coxPh(df, time, event, xs, maxIter, tol, maxTimes).coefficients)
+    require(b.length == k,
+      s"cox_survival: $k covariates but ${b.length} beta values")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val complete = (Seq(time, event) ++ xs).map(_.isNotNull).reduce(_ && _)
+    val base0 = df.filter(complete).select(
+      time.cast("double").as("__t") +: event.cast("int").as("__e") +:
+        xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
+    val evTimes = base0.filter(col("__e") === 1)
+      .select(col("__t")).distinct().orderBy(col("__t"))
+      .limit(maxTimes + 1).collect().map(_.getDouble(0))
+    require(evTimes.length <= maxTimes,
+      s"cox_survival: more than $maxTimes distinct event times — coarsen " +
+        "the time column or raise maxTimes knowingly")
+    require(evTimes.nonEmpty, "cox_survival: no events")
+    val base = base0.withColumn("__tb",
+        graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
+      .filter(col("__tb").isNotNull)
+    val eta =
+      if (b.forall(_ == 0.0)) lit(0.0)
+      else (0 until k).map(j => col(s"__x$j") * lit(b(j))).reduce(_ + _)
+    val cs = base.groupBy(col("__tb").as("__t"))
+      .agg(sum(col("__e")).cast("double").as("d"),
+        sum(exp(eta)).as("a0"))
+      .orderBy(col("__t").desc)
+      .collect()
+    // suffix S0 on the desc pass, then ascending H0 accumulation
+    var s0 = 0.0
+    val desc = cs.map { r =>
+      s0 += r.getDouble(2)
+      (r.getDouble(0), r.getDouble(1), s0)
+    }
+    val risk = math.exp(profile.zip(b).map { case (p, bj) => p * bj }.sum)
+    var h0 = 0.0
+    val rows = desc.reverse.filter(_._2 > 0).map { case (t, d, s) =>
+      h0 += d / s
+      (t, d.round, s, h0, math.exp(-h0 * risk))
+    }
+    rows.toSeq.toDF("time", "n_events", "s0", "h0_cum", "survival")
   }
 
   /** Two-sample log-rank test (Mantel–Cox) for group ∈ {0, 1}: at each

@@ -307,6 +307,83 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(math.abs(grad) < 1e-4, s"gradient at beta_hat: $grad")
   }
 
+  test("coxSurvival: beta=0 is Nelson-Aalen; hand identity; fit path") {
+    import graft.ops.Survival
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 70).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val base = 1.0 + (i * 13 % 23) + rng.nextDouble() * 0.01
+      (if (x > 0) base * 0.7 else base, if (i % 5 == 0) 0 else 1, x)
+    }
+    val df = rows.toDF("t", "e", "x")
+    // beta = 0, profile = 0: h0_cum must equal the Nelson-Aalen
+    // cumulative hazard at every event time, survival its FH transform
+    val cs = Survival.coxSurvival(df, col("t"), col("e"), Seq(col("x")),
+      Seq(0.0), beta = Some(Array(0.0))).collect()
+      .map(r => r.getAs[Double]("time") ->
+        (r.getAs[Double]("h0_cum"), r.getAs[Double]("survival"))).toMap
+    val na = Survival.nelsonAalen(df, col("t"), col("e")).collect()
+      .filter(_.getAs[Long]("n_event") > 0)
+      .map(r => r.getAs[Double]("time") ->
+        (r.getAs[Double]("cum_hazard"), r.getAs[Double]("fh_survival")))
+    assert(na.nonEmpty && na.length == cs.size)
+    na.foreach { case (t, (h, s)) =>
+      assert(math.abs(cs(t)._1 - h) < 1e-9, s"H0($t): ${cs(t)._1} vs $h")
+      assert(math.abs(cs(t)._2 - s) < 1e-9)
+    }
+    // hand identity at a nonzero beta: H0 from a brute risk-set loop
+    val b = 0.4
+    val out = Survival.coxSurvival(df, col("t"), col("e"), Seq(col("x")),
+      Seq(2.0), beta = Some(Array(b))).collect()
+    val evT = rows.filter(_._2 == 1).map(_._1).distinct.sorted
+    var h0 = 0.0
+    val brute = evT.map { t =>
+      val d = rows.count(r => r._1 == t && r._2 == 1).toDouble
+      val s0 = rows.filter(_._1 >= t).map(r => math.exp(b * r._3)).sum
+      h0 += d / s0
+      t -> h0
+    }.toMap
+    out.foreach { r =>
+      val t = r.getAs[Double]("time")
+      assert(math.abs(r.getAs[Double]("h0_cum") - brute(t)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("survival") -
+        math.exp(-brute(t) * math.exp(2.0 * b))) < 1e-9)
+    }
+    // fit path runs and survival is monotone non-increasing
+    val fitted = Survival.coxSurvival(df, col("t"), col("e"),
+      Seq(col("x")), Seq(1.0)).collect().map(_.getAs[Double]("survival"))
+    assert(fitted.zip(fitted.tail).forall { case (a2, b2) => b2 <= a2 + 1e-12 })
+  }
+
+  test("rmstDiff: closes over the per-arm rmst rows; binary-group guard") {
+    import graft.ops.Survival
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 100).map { i =>
+      val g = i % 2
+      val base = 1.0 + (i * 7 % 31) + rng.nextDouble() * 0.01
+      (if (g == 1) base * 1.4 else base, if (i % 6 == 0) 0 else 1, g)
+    }
+    val df = rows.toDF("t", "e", "g")
+    val d = Survival.rmstDiff(df, col("t"), col("e"), 25.0, col("g")).head()
+    val per = Survival.rmst(df, col("t"), col("e"), 25.0,
+      col("g").cast("string")).collect()
+      .map(r => r.getAs[String]("group") -> r).toMap
+    val expDiff = per("1").getAs[Double]("rmst") - per("0").getAs[Double]("rmst")
+    val expSe = math.sqrt(
+      math.pow(per("1").getAs[Double]("se"), 2) +
+        math.pow(per("0").getAs[Double]("se"), 2))
+    assert(math.abs(d.getAs[Double]("diff") - expDiff) < 1e-12)
+    assert(math.abs(d.getAs[Double]("se") - expSe) < 1e-12)
+    assert(math.abs(d.getAs[Double]("z") - expDiff / expSe) < 1e-12)
+    // treated arm survives longer by construction
+    assert(d.getAs[Double]("diff") > 0)
+    val err = intercept[IllegalArgumentException] {
+      Survival.rmstDiff(rows.map(r => (r._1, r._2, r._3 + 1)).toDF("t", "e", "g"),
+        col("t"), col("e"), 25.0, col("g")).head()
+    }
+    assert(err.getMessage.contains("binary"), err.getMessage)
+  }
+
   test("ordinalAssoc: no ties collapses gamma = somers_d = tau_b") {
     val xs = Seq(1, 2, 3, 4, 5, 6, 7)
     val ys = Seq(2, 1, 4, 3, 6, 5, 7)
