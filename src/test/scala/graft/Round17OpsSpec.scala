@@ -7,9 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * (gamma / Somers' D ASEs validated three ways — a brute-force O(n²)
   * row-pair implementation, a numeric delta-method gradient under the
   * multinomial covariance, and the exact permutation-null variance on a
-  * tied fixture, the kendall_tau discipline), the isotonic apply verb,
-  * the Poisson-vs-NB2 likelihood-ratio test, and the cox_zph
-  * per-covariate trend direction. */
+  * tied fixture, the kendall_tau discipline), the isotonic apply verb
+  * (step-function boundary/between/clamp/null semantics), the NB2 alpha
+  * SE + Poisson-vs-NB2 likelihood-ratio test (closed term-by-term on
+  * the saturated fixture), the cox_zph per-covariate trend direction
+  * (k=1 identity (θ/se)² = χ² and the planted-drift sign), stratified
+  * Cox PH (one-stratum ≡ coxPh; score test ≡ summed per-stratum
+  * log-rank; brute stratified partial likelihood maximized at β̂), Cox
+  * survival prediction (exact Nelson-Aalen reduction at β = 0; brute
+  * risk-set H₀ identity; fit-path monotonicity), and the RMST
+  * difference test (per-arm composition to 1e-12; binary-group guard). */
 class Round17OpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
