@@ -151,8 +151,12 @@ object Bench {
     // per-query jitter the min hasn't yet absorbed), so round-board runs
     // set SPARK_GRAFT_BENCH_MIN_PASSES=4; the default 2 keeps ad-hoc
     // iteration cheap
-    val minPasses = math.min(maxPasses,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_PASSES", "2").toInt)
+    // clamped parse: a malformed value falls back to the default instead
+    // of throwing before any benchmarking, and 0/1 is floored to 2 so the
+    // min-of-N stability contract above cannot be silently weakened
+    val minPasses = math.min(maxPasses, math.max(2,
+      sys.env.get("SPARK_GRAFT_BENCH_MIN_PASSES")
+        .flatMap(_.trim.toIntOption).getOrElse(2)))
     var done = false
     while (!done) {
       passes += ordered.map { case (name, fn) => name -> time(fn) }

@@ -452,8 +452,10 @@ object GraftGateway {
           mdeType = if (a.length > 4) str(a(4)) else "abs")
         Seq((obs, p)).toDF("observed", "p_value")
       case "cox_ph" =>
-        // proportional-hazards regression; one row per covariate plus the
-        // score (log-rank) test row
+        // proportional-hazards regression; one row per covariate (the
+        // score/log-rank test is computed in the fit but not exposed at
+        // this SQL surface — CoxResult.scoreChi2/scoreP carry it for
+        // library callers)
         require(a.length >= 3, "cox_ph(time, event, x...)")
         val r = Survival.coxPh(df, c(a(0)), c(a(1)), a.drop(2).map(c))
         val terms = a.drop(2).map(name).zipWithIndex.map { case (nm, j) =>
@@ -464,7 +466,9 @@ object GraftGateway {
           "n", "n_events")
       case "cox_ph_strat" =>
         // stratified PH regression: per-stratum baseline, shared beta;
-        // one row per covariate (score row = stratified log-rank)
+        // one row per covariate (the stratified-log-rank score test is
+        // computed in the fit but not exposed at this SQL surface —
+        // CoxResult.scoreChi2/scoreP carry it for library callers)
         require(a.length >= 4, "cox_ph_strat(time, event, stratum, x...)")
         val r = Survival.coxPhStratified(df, c(a(0)), c(a(1)), c(a(2)),
           a.drop(3).map(c))
@@ -478,14 +482,23 @@ object GraftGateway {
         // Breslow baseline hazard + survival at a covariate profile; the
         // last two args are string literals: beta CSV (or 'fit' to fit
         // coxPh first) and the profile CSV
-        require(a.length >= 4,
+        // >= 5: (time, event, at least one x, beta CSV, profile CSV) — a
+        // 4-arg call would silently eat the beta/profile literals as the
+        // covariate list and fail deeper with an unrelated message
+        require(a.length >= 5,
           "cox_survival(time, event, x..., 'beta_csv|fit', 'profile_csv')")
+        def csv(lit: String, what: String): Array[Double] =
+          lit.split(",").map { tok =>
+            tok.trim.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+              s"cox_survival: $what '$lit' is not a comma-separated " +
+                s"number list (offending token '${tok.trim}')"))
+          }
         val betaArg = str(a(a.length - 2))
-        val prof = str(a.last).split(",").map(_.trim.toDouble).toSeq
+        val prof = csv(str(a.last), "profile_csv").toSeq
         val xcols = a.slice(2, a.length - 2).map(c)
         val betaOpt =
           if (betaArg == "fit") None
-          else Some(betaArg.split(",").map(_.trim.toDouble))
+          else Some(csv(betaArg, "beta_csv"))
         Survival.coxSurvival(df, c(a(0)), c(a(1)), xcols, prof, betaOpt)
       case "kaplan_meier" =>
         require(a.length >= 2, "kaplan_meier(time, event[, group])")

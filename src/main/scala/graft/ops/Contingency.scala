@@ -354,10 +354,14 @@ object Contingency {
       // in the named error, not the delegate's
       case e: IllegalArgumentException if e.getMessage != null &&
         e.getMessage.contains("trend_test:") =>
+        // exact known-prefix rewrites only (a blanket .replace("success",
+        // "y") would mangle any future delegate message that happens to
+        // contain the substring in another context), with the original
+        // chained as the cause so the delegate's stack survives
         throw new IllegalArgumentException(e.getMessage
           .replace("trend_test:", "cochran_armitage:")
-          .replace("success", "y")
+          .replace("rows have success outside", "rows have y outside")
           .replace("distinct scores", "distinct doses")
-          .replace("score variance", "dose variance"))
+          .replace("zero score variance", "zero dose variance"), e)
     }
 }

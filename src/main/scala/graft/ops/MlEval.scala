@@ -457,10 +457,13 @@ object MlEval {
     * 100 TB shape: the fit is isotonicCalibrate's one cell pass
     * (maxCells-guarded); the mapping then COMPRESSES to its PAVA blocks
     * (one (lower-bound, value) pair per block — ≤ distinct scores, and
-    * typically far fewer) and ships in the task closure, so application
-    * is a broadcast binary search, O(log blocks) per row: no join, no
-    * shuffle, no window on the target side. Returns `target` plus the
-    * `out` column (null where the target score is null/NaN). */
+    * typically far fewer) and ships as two referenced arrays inside the
+    * codegen [[graft.expr.SortedStepLookup]] expression, so application
+    * is a handful of generated bytecodes per row (O(log blocks) binary
+    * search): no join, no shuffle, no window, and — since r18 — no
+    * ScalaUDF boxing on the target side, which is the verb's whole
+    * design target (scoring tomorrow's traffic). Returns `target` plus
+    * the `out` column (null where the target score is null/NaN). */
   def isotonicScore(train: DataFrame, score: Column, label: Column,
                     target: DataFrame, targetScore: Column,
                     maxCells: Int = 100000,
@@ -477,21 +480,8 @@ object MlEval {
     mapping.foreach { case (s, v) =>
       if (vals.isEmpty || vals.last != v) { bounds += s; vals += v }
     }
-    val bArr = bounds.toArray
-    val vArr = vals.toArray
-    val step = udf { (s: java.lang.Double) =>
-      if (s == null || s.isNaN) null
-      else {
-        // count of bounds ≤ s via binary search; -1 clamps below-range
-        var lo = 0; var hi = bArr.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (bArr(mid) <= s) lo = mid + 1 else hi = mid
-        }
-        java.lang.Double.valueOf(vArr(math.max(0, lo - 1)))
-      }
-    }
-    target.withColumn(out, step(targetScore.cast("double")))
+    target.withColumn(out, graft.expr.SearchExprs.sortedStepLookup(
+      targetScore.cast("double"), bounds.toArray, vals.toArray))
   }
 
   /** Calibration table + expected calibration error for a probability

@@ -514,11 +514,11 @@ object Survival {
     * boundary in the driver scan (cells ordered by stratum, time desc).
     * `maxTimes` bounds the TOTAL cell count across strata (that is what
     * the driver holds). Censored subjects pre-bucket to their stratum's
-    * own event-time grid via one broadcast per-stratum binary search,
-    * materialized ONCE before the loop (the lookup is a udf here — the
-    * per-stratum arrays make the single-array codegen expression
-    * inapplicable — so the bucketed base persists and each Newton pass
-    * stays pure codegen). The score test at β = 0 is the STRATIFIED
+    * own event-time grid via the codegen per-group binary search
+    * ([[graft.expr.PerGroupFloorLookup]] — the per-stratum grids flatten
+    * to three referenced arrays), materialized ONCE before the loop so
+    * each Newton pass stays pure codegen over the bucketed base. The
+    * score test at β = 0 is the STRATIFIED
     * k-way log-rank test (spec-pinned against summed per-stratum O/E/V
     * for a binary covariate with no in-stratum ties). */
   def coxPhStratified(df: DataFrame, time: Column, event: Column,
@@ -547,27 +547,24 @@ object Survival {
           "time) cells — coarsen the time column or raise maxTimes if " +
           "the driver can hold the cells")
       require(evRows.nonEmpty, "cox_ph_strat: no events")
-      val timesByS: Map[String, Array[Double]] = evRows
-        .groupBy(_.getString(0))
+      // per-stratum event-time grids flattened to (sorted strata, flat
+      // times, offsets) — three referenced objects inside the codegen
+      // per-group binary search (graft.expr.PerGroupFloorLookup), which
+      // replaced the r17 broadcast UDF: no ScalaUDF boxing, no broadcast
+      // variable to destroy (the r17 ADVICE leak), and the bucketing
+      // projection stays inside whole-stage codegen
+      val grouped = evRows.groupBy(_.getString(0))
         .map { case (s, rs) => s -> rs.map(_.getDouble(1)).sorted }
-      val spark = df.sparkSession
-      val bc = spark.sparkContext.broadcast(timesByS)
-      val floorUdf = udf { (s: String, t: java.lang.Double) =>
-        if (t == null) null
-        else {
-          val arr = bc.value.getOrElse(s, Array.empty[Double])
-          var lo = 0; var hi = arr.length
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (arr(mid) <= t) lo = mid + 1 else hi = mid
-          }
-          if (lo == 0) null else java.lang.Double.valueOf(arr(lo - 1))
-        }
-      }
-      base = base0.withColumn("__tb", floorUdf(col("__s"), col("__t")))
+        .toArray.sortBy(_._1)
+      val strata = grouped.map(_._1)
+      val flat = grouped.flatMap(_._2)
+      val offsets = grouped.scanLeft(0)(_ + _._2.length)
+      base = base0.withColumn("__tb",
+          graft.expr.SearchExprs.perGroupFloorLookup(col("__s"), col("__t"),
+            strata, flat, offsets))
         .filter(col("__tb").isNotNull)
         .persist()
-      base.count() // pay the udf lookup once, not once per Newton pass
+      base.count() // pay the bucketing once, not once per Newton pass
       val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
       def cells(beta: Array[Double]): Array[Row] = {
         val eta =
