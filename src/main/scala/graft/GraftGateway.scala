@@ -92,7 +92,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT fdr_bh(p_value[, 'bh'|'by'|'holm']) FROM <test table>
   * SELECT chisq_independence(a, b)            FROM <any>
   * SELECT eb_shrink_means(group, y)           FROM <any>
-  * SELECT cox_ph(time, event, x...)           FROM <any>
+  * SELECT cox_ph(time, event, x...[, 'efron']) FROM <any>
   * SELECT rmst(time, event, tau[, group])     FROM <any>
   * SELECT msprt_by(exp, bucket, y, t[, tau])  FROM <events>
   * SELECT image_dhash(id, content)            FROM <images>
@@ -182,7 +182,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT isotonic_score(score, label, 'train_table'[, max_cells]) FROM <target>
   * SELECT weighted_kappa(a, b[, 'quadratic'|'linear']) FROM <ordinal pairs>
   * SELECT cox_zph(time, event, x...)           FROM <survival>
-  * SELECT cox_ph_strat(time, event, stratum, x...) FROM <survival>
+  * SELECT cox_ph_strat(time, event, stratum, x...[, 'efron']) FROM <survival>
   * SELECT cox_survival(time, event, x..., 'beta_csv|fit', 'profile_csv') FROM <survival>
   * SELECT rmst_diff(time, event, tau, group)   FROM <survival>
   * SELECT seasonal_strength(period, value, season) FROM <series>
@@ -403,6 +403,17 @@ object GraftGateway {
     case _ => false
   }
 
+  /** Optional trailing ties-convention flag for the Cox verbs: Some
+    * convention when the LAST argument is the string literal 'efron' or
+    * 'breslow' (any other trailing expression is a covariate). */
+  private def tiesFlag(a: Seq[Expression]): Option[String] =
+    a.lastOption.collect {
+      case Literal(s: UTF8String, StringType)
+          if s.toString.equalsIgnoreCase("efron") ||
+            s.toString.equalsIgnoreCase("breslow") =>
+        s.toString.toLowerCase
+    }
+
   private def dispatch(spark: SparkSession, verb: String, df: DataFrame,
                        a: Seq[Expression]): DataFrame = {
     import spark.implicits._
@@ -455,10 +466,14 @@ object GraftGateway {
         // proportional-hazards regression; one row per covariate (the
         // score/log-rank test is computed in the fit but not exposed at
         // this SQL surface — CoxResult.scoreChi2/scoreP carry it for
-        // library callers)
-        require(a.length >= 3, "cox_ph(time, event, x...)")
-        val r = Survival.coxPh(df, c(a(0)), c(a(1)), a.drop(2).map(c))
-        val terms = a.drop(2).map(name).zipWithIndex.map { case (nm, j) =>
+        // library callers). Optional trailing 'efron'|'breslow' selects
+        // the tie convention (default breslow).
+        val ties = tiesFlag(a)
+        val ax = if (ties.isDefined) a.dropRight(1) else a
+        require(ax.length >= 3, "cox_ph(time, event, x...[, 'efron'])")
+        val r = Survival.coxPh(df, c(ax(0)), c(ax(1)), ax.drop(2).map(c),
+          ties = ties.getOrElse("breslow"))
+        val terms = ax.drop(2).map(name).zipWithIndex.map { case (nm, j) =>
           (nm, r.coefficients(j), r.stderr(j), r.z_values(j), r.p_values(j),
             r.n, r.nEvents)
         }
@@ -468,11 +483,15 @@ object GraftGateway {
         // stratified PH regression: per-stratum baseline, shared beta;
         // one row per covariate (the stratified-log-rank score test is
         // computed in the fit but not exposed at this SQL surface —
-        // CoxResult.scoreChi2/scoreP carry it for library callers)
-        require(a.length >= 4, "cox_ph_strat(time, event, stratum, x...)")
-        val r = Survival.coxPhStratified(df, c(a(0)), c(a(1)), c(a(2)),
-          a.drop(3).map(c))
-        val terms = a.drop(3).map(name).zipWithIndex.map { case (nm, j) =>
+        // CoxResult.scoreChi2/scoreP carry it for library callers).
+        // Optional trailing 'efron'|'breslow' tie convention.
+        val ties = tiesFlag(a)
+        val ax = if (ties.isDefined) a.dropRight(1) else a
+        require(ax.length >= 4,
+          "cox_ph_strat(time, event, stratum, x...[, 'efron'])")
+        val r = Survival.coxPhStratified(df, c(ax(0)), c(ax(1)), c(ax(2)),
+          ax.drop(3).map(c), ties = ties.getOrElse("breslow"))
+        val terms = ax.drop(3).map(name).zipWithIndex.map { case (nm, j) =>
           (nm, r.coefficients(j), r.stderr(j), r.z_values(j), r.p_values(j),
             r.n, r.nEvents)
         }

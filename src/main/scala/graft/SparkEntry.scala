@@ -3158,6 +3158,26 @@ object SparkEntry {
           round(col("survival"), 6).as("survival"))
         .orderBy(col("time"))
     }),
+    "q277_cox_ph_efron" -> ((s, d) => {
+      // the q142 heavy-tie fixture under Efron's convention (R
+      // survival::coxph's default — ~690 tied events per distinct time
+      // is exactly the shape where Breslow attenuates beta toward 0:
+      // x1 reads 0.020925 here vs 0.018778 under Breslow). The Newton
+      // fit has no closed SQL form, so the oracle pins the sf0.01
+      // estimates (q142 idiom) while n / n_events stay live closed forms
+      t(s, d, "lineitem").select(col("l_quantity").cast("int").as("stime"),
+          (col("l_linenumber") % 2).cast("int").as("ev"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("q277_cox")
+      GraftGateway.sql(s,
+        "SELECT cox_ph(stime, ev, x1, x2, 'efron') FROM q277_cox")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("z_value"), 4).as("z_value"),
+          col("n"), col("n_events"), lit(sfTag(d)).as("oracle_sf"))
+        .orderBy(col("term"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -7958,6 +7978,19 @@ object SparkEntry {
         |  round(d, 6) AS estimate, round(lambda, 6) AS lambda,
         |  round(least(1.0, 1.0 / mx), 6) AS p_always_valid
         |FROM f ORDER BY experiment, bucket""".stripMargin,
+    "q277_cox_ph_efron" ->
+      // pinned Efron-ties Newton estimates at sf0.01 (q142 idiom); n and
+      // n_events are live closed forms
+      """WITH s AS (SELECT count(*) AS n,
+        |    CAST(sum(l_linenumber % 2) AS BIGINT) AS n_events FROM lineitem)
+        |SELECT 'x1' AS term, CAST(0.020925 AS DOUBLE) AS estimate,
+        |  CAST(0.018589 AS DOUBLE) AS stderr,
+        |  CAST(1.1256 AS DOUBLE) AS z_value,
+        |  CAST(n AS BIGINT) AS n, n_events, '0.01' AS oracle_sf FROM s
+        |UNION ALL SELECT 'x2', CAST(-0.002595 AS DOUBLE),
+        |  CAST(0.010800 AS DOUBLE), CAST(-0.2403 AS DOUBLE),
+        |  CAST(n AS BIGINT), n_events, '0.01' FROM s
+        |ORDER BY term""".stripMargin,
     "q142_cox_ph" ->
       // pinned Newton estimates at sf0.01 (no closed SQL form for the
       // partial-likelihood fit); n and n_events are live closed forms

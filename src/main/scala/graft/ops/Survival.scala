@@ -218,10 +218,145 @@ object Survival {
                        n: Long, nEvents: Long, nTimes: Int, iterations: Int,
                        logLik: Double, scoreChi2: Double, scoreP: Double)
 
-  /** Cox proportional hazards (Breslow tie handling) — the
-    * covariate-adjusted hazard model one step past [[kaplanMeierBy]] /
-    * [[logRankTest]] (the reference's survival tier stops at the single
-    * KM curve). Newton–Raphson on the partial likelihood.
+  private def requireTies(verb: String, ties: String): Boolean = {
+    require(ties == "breslow" || ties == "efron",
+      s"$verb: ties must be breslow|efron, got $ties")
+    ties == "efron"
+  }
+
+  /** Per-(bucketed-time[, stratum]) cell aggregate columns shared by the
+    * Cox family: event count d, event-covariate sums sx, the risk-set
+    * moments A = Σ (1, x, xxᵀ)·e^η, and — when `efron` — the within-tie
+    * event moments C = Σ_{events} (1, x, xxᵀ)·e^η that Efron's correction
+    * subtracts in l/d fractions. One distributed pass either way. */
+  private def coxCellAggs(k: Int, pairs: IndexedSeq[(Int, Int)],
+                          beta: Array[Double], efron: Boolean): Seq[Column] = {
+    val eta =
+      if (beta.forall(_ == 0.0)) lit(0.0)
+      else (0 until k).map(j => col(s"__x$j") * lit(beta(j))).reduce(_ + _)
+    val w = exp(eta)
+    sum(col("__e")).cast("double").as("d") +:
+      ((0 until k).map(j => sum(col("__e") * col(s"__x$j")).as(s"sx$j")) ++
+        Seq(sum(w).as("a0")) ++
+        (0 until k).map(j => sum(col(s"__x$j") * w).as(s"a1_$j")) ++
+        pairs.map { case (j, l) =>
+          sum(col(s"__x$j") * col(s"__x$l") * w).as(s"a2_${j}_$l") } ++
+        (if (!efron) Seq.empty[Column]
+         else Seq(sum(col("__e") * w).as("c0")) ++
+           (0 until k).map(j =>
+             sum(col("__e") * col(s"__x$j") * w).as(s"c1_$j")) ++
+           pairs.map { case (j, l) =>
+             sum(col("__e") * col(s"__x$j") * col(s"__x$l") * w)
+               .as(s"c2_${j}_$l") }))
+  }
+
+  /** One driver scan over the collected cells: suffix-accumulates the
+    * risk-set moments (cells ordered time-DESC; when `stratified`, ordered
+    * (stratum ASC, time DESC) and the suffix sums RESET at each stratum
+    * boundary) and returns (logLik, gradient, information = −Hessian).
+    * Breslow uses the full suffix sums for all d tied factors; Efron
+    * subtracts the within-tie C moments in l/d fractions (identical when
+    * every d = 1). Cell layout: [stratum,] time, d, sx*k, a0, a1*k, a2*P
+    * [, c0, c1*k, c2*P]. */
+  private def coxScan(cs: Array[Row], beta: Array[Double], k: Int,
+                      pairs: IndexedSeq[(Int, Int)], efron: Boolean,
+                      stratified: Boolean)
+      : (Double, Array[Double], Array[Array[Double]]) = {
+    val off = if (stratified) 1 else 0
+    val nP = pairs.length
+    var curS: String = null
+    var s0 = 0.0
+    var s1 = new Array[Double](k)
+    var s2 = graft.stats.LinAlg.zeros(k, k)
+    var ll = 0.0
+    val g = new Array[Double](k)
+    val info = graft.stats.LinAlg.zeros(k, k)
+    cs.foreach { r =>
+      if (stratified) {
+        val st = r.getString(0)
+        if (st != curS) {
+          curS = st; s0 = 0.0
+          s1 = new Array[Double](k)
+          s2 = graft.stats.LinAlg.zeros(k, k)
+        }
+      }
+      val d = r.getDouble(off + 1)
+      s0 += r.getDouble(off + 2 + k)
+      (0 until k).foreach(j => s1(j) += r.getDouble(off + 3 + k + j))
+      pairs.zipWithIndex.foreach { case ((j, l), ix) =>
+        s2(j)(l) += r.getDouble(off + 3 + 2 * k + ix)
+        if (j != l) s2(l)(j) = s2(j)(l)
+      }
+      if (d > 0) {
+        (0 until k).foreach { j =>
+          val sx = r.getDouble(off + 2 + j)
+          ll += beta(j) * sx
+          g(j) += sx
+        }
+        if (!efron || d <= 1.0) {
+          ll -= d * math.log(s0)
+          (0 until k).foreach(j => g(j) -= d * s1(j) / s0)
+          (0 until k).foreach { j =>
+            (0 until k).foreach { l =>
+              info(j)(l) += d * (s2(j)(l) / s0 - (s1(j) / s0) * (s1(l) / s0))
+            }
+          }
+        } else {
+          val c0 = r.getDouble(off + 3 + 2 * k + nP)
+          val c1 = Array.tabulate(k)(j => r.getDouble(off + 4 + 2 * k + nP + j))
+          val c2 = graft.stats.LinAlg.zeros(k, k)
+          pairs.zipWithIndex.foreach { case ((j, l), ix) =>
+            c2(j)(l) = r.getDouble(off + 4 + 3 * k + nP + ix)
+            if (j != l) c2(l)(j) = c2(j)(l)
+          }
+          val di = math.round(d).toInt
+          val e1 = new Array[Double](k)
+          var l = 0
+          while (l < di) {
+            val phi = l.toDouble / di
+            val den = s0 - phi * c0
+            ll -= math.log(den)
+            var j = 0
+            while (j < k) {
+              e1(j) = (s1(j) - phi * c1(j)) / den
+              g(j) -= e1(j)
+              j += 1
+            }
+            j = 0
+            while (j < k) {
+              var m = 0
+              while (m < k) {
+                info(j)(m) += (s2(j)(m) - phi * c2(j)(m)) / den - e1(j) * e1(m)
+                m += 1
+              }
+              j += 1
+            }
+            l += 1
+          }
+        }
+      }
+    }
+    (ll, g, info)
+  }
+
+  /** Cox proportional hazards — the covariate-adjusted hazard model one
+    * step past [[kaplanMeierBy]] / [[logRankTest]] (the reference's
+    * survival tier stops at the single KM curve). Newton–Raphson on the
+    * partial likelihood.
+    *
+    * `ties`: "breslow" (default — the artifact-stable estimator every
+    * committed oracle row pins) or "efron" (Efron 1977 — R
+    * `survival::coxph` and lifelines' default). With d tied events at t,
+    * Breslow uses the full risk-set sums S for all d factors; Efron
+    * removes the tied events' own weight in fractions l/d, replacing S
+    * with S − (l/d)·C for l = 0..d−1, where C = Σ_{events@t} (1, x,
+    * xxᵀ)·e^η. On day-granular (heavily tied) event times Breslow biases
+    * β toward 0 — users cross-checking against R should pass "efron".
+    * The two are IDENTICAL when no event time has d > 1 (spec-pinned).
+    * The Efron cell state is the Breslow state plus the three C-moment
+    * groups — same ONE distributed pass per Newton iteration; the driver
+    * scan's extra l/d loop is O(total events) worst case, pure
+    * arithmetic.
     *
     * 100 TB shape: per Newton iteration, ONE row-scale aggregate collapses
     * subjects to per-EVENT-time cells carrying the event count d_t, the
@@ -253,8 +388,9 @@ object Survival {
     * pins. Rows with null time/event/any-x drop listwise. */
   def coxPh(df: DataFrame, time: Column, event: Column, xs: Seq[Column],
             maxIter: Int = 20, tol: Double = 1e-9,
-            maxTimes: Int = 200000): CoxResult = {
+            maxTimes: Int = 200000, ties: String = "breslow"): CoxResult = {
     require(xs.nonEmpty, "cox_ph: need at least one covariate")
+    val efron = requireTies("cox_ph", ties)
     val k = xs.length
     val complete = (Seq(time, event) ++ xs)
       .map(_.isNotNull).reduce(_ && _)
@@ -285,58 +421,15 @@ object Survival {
         .filter(col("__tb").isNotNull)
       val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
       def cells(beta: Array[Double]): Array[Row] = {
-        val eta =
-          if (beta.forall(_ == 0.0)) lit(0.0)
-          else (0 until k).map(j => col(s"__x$j") * lit(beta(j)))
-            .reduce(_ + _)
-        val w = exp(eta)
-        val aggs =
-          sum(col("__e")).cast("double").as("d") +:
-            ((0 until k).map(j =>
-              sum(col("__e") * col(s"__x$j")).as(s"sx$j")) ++
-              Seq(sum(w).as("a0")) ++
-              (0 until k).map(j => sum(col(s"__x$j") * w).as(s"a1_$j")) ++
-              pairs.map { case (j, l) =>
-                sum(col(s"__x$j") * col(s"__x$l") * w).as(s"a2_${j}_$l") })
+        val aggs = coxCellAggs(k, pairs, beta, efron)
         base.groupBy(col("__tb").as("__t"))
           .agg(aggs.head, aggs.tail: _*)
           .orderBy(col("__t").desc) // suffix accumulation = desc prefix
           .collect()
       }
-      // one driver scan over the desc-ordered cells: returns
-      // (logLik, gradient, information = -Hessian)
       def scan(cs: Array[Row], beta: Array[Double])
-          : (Double, Array[Double], Array[Array[Double]]) = {
-        var s0 = 0.0
-        val s1 = new Array[Double](k)
-        val s2 = graft.stats.LinAlg.zeros(k, k)
-        var ll = 0.0
-        val g = new Array[Double](k)
-        val info = graft.stats.LinAlg.zeros(k, k)
-        cs.foreach { r =>
-          val d = r.getDouble(1)
-          s0 += r.getDouble(2 + k)
-          (0 until k).foreach(j => s1(j) += r.getDouble(3 + k + j))
-          pairs.zipWithIndex.foreach { case ((j, l), ix) =>
-            s2(j)(l) += r.getDouble(3 + 2 * k + ix)
-            if (j != l) s2(l)(j) = s2(j)(l)
-          }
-          if (d > 0) {
-            ll -= d * math.log(s0)
-            (0 until k).foreach { j =>
-              val sx = r.getDouble(2 + j)
-              ll += beta(j) * sx
-              g(j) += sx - d * s1(j) / s0
-            }
-            (0 until k).foreach { j =>
-              (0 until k).foreach { l =>
-                info(j)(l) += d * (s2(j)(l) / s0 - (s1(j) / s0) * (s1(l) / s0))
-              }
-            }
-          }
-        }
-        (ll, g, info)
-      }
+          : (Double, Array[Double], Array[Array[Double]]) =
+        coxScan(cs, beta, k, pairs, efron, stratified = false)
       val cs0 = cells(new Array[Double](k))
       // n counts ALL complete rows — including subjects censored before
       // the first event, who are in no cell (a0 no longer sums to n)
@@ -425,15 +518,7 @@ object Survival {
         graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
       .filter(col("__tb").isNotNull)
     val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
-    val eta = (0 until k).map(j => col(s"__x$j") * lit(beta(j))).reduce(_ + _)
-    val w = exp(eta)
-    val aggs =
-      sum(col("__e")).cast("double").as("d") +:
-        ((0 until k).map(j => sum(col("__e") * col(s"__x$j")).as(s"sx$j")) ++
-          Seq(sum(w).as("a0")) ++
-          (0 until k).map(j => sum(col(s"__x$j") * w).as(s"a1_$j")) ++
-          pairs.map { case (j, l) =>
-            sum(col(s"__x$j") * col(s"__x$l") * w).as(s"a2_${j}_$l") })
+    val aggs = coxCellAggs(k, pairs, beta, efron = false)
     val cs = base.groupBy(col("__tb").as("__t"))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("__t").desc)
@@ -524,8 +609,10 @@ object Survival {
   def coxPhStratified(df: DataFrame, time: Column, event: Column,
                       stratum: Column, xs: Seq[Column],
                       maxIter: Int = 20, tol: Double = 1e-9,
-                      maxTimes: Int = 200000): CoxResult = {
+                      maxTimes: Int = 200000,
+                      ties: String = "breslow"): CoxResult = {
     require(xs.nonEmpty, "cox_ph_strat: need at least one covariate")
+    val efron = requireTies("cox_ph_strat", ties)
     val k = xs.length
     val complete = (Seq(time, event, stratum) ++ xs)
       .map(_.isNotNull).reduce(_ && _)
@@ -567,65 +654,17 @@ object Survival {
       base.count() // pay the bucketing once, not once per Newton pass
       val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
       def cells(beta: Array[Double]): Array[Row] = {
-        val eta =
-          if (beta.forall(_ == 0.0)) lit(0.0)
-          else (0 until k).map(j => col(s"__x$j") * lit(beta(j)))
-            .reduce(_ + _)
-        val w = exp(eta)
-        val aggs =
-          sum(col("__e")).cast("double").as("d") +:
-            ((0 until k).map(j =>
-              sum(col("__e") * col(s"__x$j")).as(s"sx$j")) ++
-              Seq(sum(w).as("a0")) ++
-              (0 until k).map(j => sum(col(s"__x$j") * w).as(s"a1_$j")) ++
-              pairs.map { case (j, l) =>
-                sum(col(s"__x$j") * col(s"__x$l") * w).as(s"a2_${j}_$l") })
+        val aggs = coxCellAggs(k, pairs, beta, efron)
         base.groupBy(col("__s"), col("__tb").as("__t"))
           .agg(aggs.head, aggs.tail: _*)
           .orderBy(col("__s"), col("__t").desc)
           .collect()
       }
       // driver scan with suffix sums RESET per stratum; cell layout is
-      // (__s, __t, d, sx*, a0, a1_*, a2_*) — indexes shift +1 vs coxPh
+      // (__s, __t, d, sx*, a0, a1_*, a2_*[, c*]) — indexes shift +1
       def scan(cs: Array[Row], beta: Array[Double])
-          : (Double, Array[Double], Array[Array[Double]]) = {
-        var curS: String = null
-        var s0 = 0.0
-        var s1 = new Array[Double](k)
-        var s2 = graft.stats.LinAlg.zeros(k, k)
-        var ll = 0.0
-        val g = new Array[Double](k)
-        val info = graft.stats.LinAlg.zeros(k, k)
-        cs.foreach { r =>
-          val st = r.getString(0)
-          if (st != curS) {
-            curS = st; s0 = 0.0
-            s1 = new Array[Double](k)
-            s2 = graft.stats.LinAlg.zeros(k, k)
-          }
-          val d = r.getDouble(2)
-          s0 += r.getDouble(3 + k)
-          (0 until k).foreach(j => s1(j) += r.getDouble(4 + k + j))
-          pairs.zipWithIndex.foreach { case ((j, l), ix) =>
-            s2(j)(l) += r.getDouble(4 + 2 * k + ix)
-            if (j != l) s2(l)(j) = s2(j)(l)
-          }
-          if (d > 0) {
-            ll -= d * math.log(s0)
-            (0 until k).foreach { j =>
-              val sx = r.getDouble(3 + j)
-              ll += beta(j) * sx
-              g(j) += sx - d * s1(j) / s0
-            }
-            (0 until k).foreach { j =>
-              (0 until k).foreach { l =>
-                info(j)(l) += d * (s2(j)(l) / s0 - (s1(j) / s0) * (s1(l) / s0))
-              }
-            }
-          }
-        }
-        (ll, g, info)
-      }
+          : (Double, Array[Double], Array[Array[Double]]) =
+        coxScan(cs, beta, k, pairs, efron, stratified = true)
       val cs0 = cells(new Array[Double](k))
       val nEvents = cs0.map(_.getDouble(2)).sum.round
       require(nEvents > 0, "cox_ph_strat: no events")

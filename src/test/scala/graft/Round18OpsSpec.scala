@@ -89,6 +89,144 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Efron tie handling for coxPh / coxPhStratified
+  // ---------------------------------------------------------------
+
+  /** brute-force Efron log partial likelihood, one covariate: per event
+    * time, risk set by direct filter, the within-tie sum subtracted in
+    * l/d fractions — an independent O(n·m) code path. */
+  private def bruteEfron1(data: Seq[(Double, Int, Double)])(b: Double): Double = {
+    val evTimes = data.filter(_._2 == 1).map(_._1).distinct.sorted
+    evTimes.map { t =>
+      val risk = data.filter(_._1 >= t)
+      val dead = data.filter(r => r._1 == t && r._2 == 1)
+      val d = dead.size
+      val c0 = dead.map(r => math.exp(b * r._3)).sum
+      val s0 = risk.map(r => math.exp(b * r._3)).sum
+      dead.map(r => b * r._3).sum -
+        (0 until d).map(l => math.log(s0 - (l.toDouble / d) * c0)).sum
+    }.sum
+  }
+
+  /** brute Efron log partial likelihood, two covariates. */
+  private def bruteEfron2(data: Seq[(Double, Int, Double, Double)])
+                         (b1: Double, b2: Double): Double = {
+    val evTimes = data.filter(_._2 == 1).map(_._1).distinct.sorted
+    evTimes.map { t =>
+      val risk = data.filter(_._1 >= t)
+      val dead = data.filter(r => r._1 == t && r._2 == 1)
+      val d = dead.size
+      def eta(r: (Double, Int, Double, Double)) = b1 * r._3 + b2 * r._4
+      val c0 = dead.map(r => math.exp(eta(r))).sum
+      val s0 = risk.map(r => math.exp(eta(r))).sum
+      dead.map(eta).sum -
+        (0 until d).map(l => math.log(s0 - (l.toDouble / d) * c0)).sum
+    }.sum
+  }
+
+  private def ternaryMax(f: Double => Double, lo0: Double, hi0: Double): Double = {
+    var lo = lo0; var hi = hi0
+    while (hi - lo > 1e-11) {
+      val m1 = lo + (hi - lo) / 3
+      val m2 = hi - (hi - lo) / 3
+      if (f(m1) < f(m2)) lo = m1 else hi = m2
+    }
+    (lo + hi) / 2
+  }
+
+  // heavily tied fixture: 3 event times with d = 3, 2, 2, interleaved
+  // censoring, a planted positive effect (higher x fails earlier)
+  private val tiedFix: Seq[(Double, Int, Double)] = Seq(
+    (2.0, 1, 1.9), (2.0, 1, 1.2), (2.0, 1, 0.4), (2.0, 0, 0.3),
+    (4.0, 1, 1.1), (4.0, 1, 0.2), (4.5, 0, 1.4),
+    (7.0, 1, 0.8), (7.0, 1, 0.1),
+    (9.0, 1, 0.5), (9.0, 0, 0.0), (11.0, 0, 0.6))
+
+  test("coxPh efron maximizes the brute tied partial likelihood (k=1) " +
+    "and reports its value as logLik") {
+    val df = tiedFix.toDF("t", "e", "x")
+    val fit = ops.Survival.coxPh(df, col("t"), col("e"), Seq(col("x")),
+      ties = "efron")
+    val brute = bruteEfron1(tiedFix) _
+    val bHat = ternaryMax(brute, -5.0, 5.0)
+    assert(math.abs(fit.coefficients(0) - bHat) < 1e-7,
+      s"fit ${fit.coefficients(0)} vs brute $bHat")
+    assert(math.abs(fit.logLik - brute(bHat)) < 1e-9)
+    // the two conventions genuinely differ on this fixture, and Breslow
+    // attenuates the planted positive effect toward 0
+    val bres = ops.Survival.coxPh(df, col("t"), col("e"), Seq(col("x")))
+    assert(bres.coefficients(0) < fit.coefficients(0))
+    assert(math.abs(bres.coefficients(0) - fit.coefficients(0)) > 1e-3)
+  }
+
+  test("coxPh efron: zero numeric gradient of the brute likelihood at " +
+    "the fitted beta (k=2), logLik matches brute") {
+    val fix2 = tiedFix.zipWithIndex.map { case ((t, e, x), i) =>
+      (t, e, x, ((i * 7) % 5).toDouble / 4.0)
+    }
+    val df = fix2.toDF("t", "e", "x1", "x2")
+    val fit = ops.Survival.coxPh(df, col("t"), col("e"),
+      Seq(col("x1"), col("x2")), ties = "efron")
+    val Array(b1, b2) = fit.coefficients
+    val brute = bruteEfron2(fix2) _
+    assert(math.abs(fit.logLik - brute(b1, b2)) < 1e-9)
+    val h = 1e-6
+    val g1 = (brute(b1 + h, b2) - brute(b1 - h, b2)) / (2 * h)
+    val g2 = (brute(b1, b2 + h) - brute(b1, b2 - h)) / (2 * h)
+    assert(math.abs(g1) < 1e-4, s"grad1 $g1")
+    assert(math.abs(g2) < 1e-4, s"grad2 $g2")
+  }
+
+  test("coxPh efron == breslow exactly when no event time is tied") {
+    // distinct event times: every d = 1, the two conventions coincide
+    val fix = Seq(
+      (1.0, 1, 0.7), (2.0, 1, 1.3), (3.0, 0, 0.2), (4.0, 1, 0.9),
+      (5.0, 1, 0.1), (6.0, 0, 1.0), (7.0, 1, 0.4), (9.0, 1, 1.1))
+    val df = fix.toDF("t", "e", "x")
+    val ef = ops.Survival.coxPh(df, col("t"), col("e"), Seq(col("x")),
+      ties = "efron")
+    val br = ops.Survival.coxPh(df, col("t"), col("e"), Seq(col("x")))
+    assert(math.abs(ef.coefficients(0) - br.coefficients(0)) < 1e-12)
+    assert(math.abs(ef.stderr(0) - br.stderr(0)) < 1e-12)
+    assert(math.abs(ef.logLik - br.logLik) < 1e-12)
+  }
+
+  test("coxPhStratified efron maximizes the summed per-stratum brute " +
+    "likelihood; one stratum reduces to coxPh efron") {
+    // two strata with different baselines, shared planted effect
+    val sA = tiedFix.map { case (t, e, x) => ("A", t, e, x) }
+    val sB = tiedFix.map { case (t, e, x) => ("B", t * 2.0 + 1.0, e, 1.0 - x) }
+    val both = sA ++ sB
+    val df = both.toDF("s", "t", "e", "x")
+    val fit = ops.Survival.coxPhStratified(df, col("t"), col("e"), col("s"),
+      Seq(col("x")), ties = "efron")
+    def brute(b: Double): Double =
+      bruteEfron1(sA.map(r => (r._2, r._3, r._4)))(b) +
+        bruteEfron1(sB.map(r => (r._2, r._3, r._4)))(b)
+    val bHat = ternaryMax(brute, -5.0, 5.0)
+    assert(math.abs(fit.coefficients(0) - bHat) < 1e-7,
+      s"fit ${fit.coefficients(0)} vs brute $bHat")
+    assert(math.abs(fit.logLik - brute(bHat)) < 1e-9)
+    // single stratum ≡ the unstratified efron fit
+    val one = ops.Survival.coxPhStratified(tiedFix.toDF("t", "e", "x"),
+      col("t"), col("e"), lit("only"), Seq(col("x")), ties = "efron")
+    val flat = ops.Survival.coxPh(tiedFix.toDF("t", "e", "x"),
+      col("t"), col("e"), Seq(col("x")), ties = "efron")
+    assert(math.abs(one.coefficients(0) - flat.coefficients(0)) < 1e-10)
+    assert(math.abs(one.stderr(0) - flat.stderr(0)) < 1e-10)
+  }
+
+  test("cox verbs reject an unknown ties convention by name") {
+    val df = tiedFix.toDF("t", "e", "x")
+    val ex = intercept[IllegalArgumentException] {
+      ops.Survival.coxPh(df, col("t"), col("e"), Seq(col("x")),
+        ties = "exact")
+    }
+    assert(ex.getMessage.contains("cox_ph") &&
+      ex.getMessage.contains("breslow|efron"))
+  }
+
   test("perGroupFloorLookup matches per-group floorIndex on a random grid") {
     val rnd = new scala.util.Random(18)
     val perGroup = (0 until 7).map { gi =>
