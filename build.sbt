@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked `run` output through VERBATIM: by default sbt routes it
+// through its logger, and the "[info] " prefix on every line is exactly
+// why the driver's stdout-tail parser recorded `parsed: null` for the
+// Bench board two rounds running — the final compact JSON line must
+// reach stdout bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

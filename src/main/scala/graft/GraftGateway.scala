@@ -185,6 +185,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT cox_ph_strat(time, event, stratum, x...[, 'efron']) FROM <survival>
   * SELECT cox_survival(time, event, x..., 'beta_csv|fit', 'profile_csv') FROM <survival>
   * SELECT rmst_diff(time, event, tau, group)   FROM <survival>
+  * SELECT cox_ph_cluster(time, event, cluster, x...) FROM <survival>
+  * SELECT fine_gray(time, cause, x...)          FROM <competing risks>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -358,7 +360,8 @@ object GraftGateway {
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
     "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph",
-    "cox_ph_strat", "cox_survival", "rmst_diff")
+    "cox_ph_strat", "cox_survival", "rmst_diff", "cox_ph_cluster",
+    "fine_gray")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -497,6 +500,30 @@ object GraftGateway {
         }
         terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
           "n", "n_events")
+      case "cox_ph_cluster" =>
+        // Lin-Wei cluster-robust sandwich SEs beside the model SEs; one
+        // row per covariate
+        require(a.length >= 4, "cox_ph_cluster(time, event, cluster, x...)")
+        val r = Survival.coxPhRobust(df, c(a(0)), c(a(1)), c(a(2)),
+          a.drop(3).map(c))
+        val terms = a.drop(3).map(name).zipWithIndex.map { case (nm, j) =>
+          (nm, r.coefficients(j), r.seModel(j), r.seRobust(j),
+            r.zRobust(j), r.pRobust(j), r.n, r.nEvents, r.nClusters)
+        }
+        terms.toDF("term", "estimate", "se_model", "se_robust", "z_robust",
+          "p_value", "n", "n_events", "n_clusters")
+      case "fine_gray" =>
+        // subdistribution-hazard regression for competing risks; cause:
+        // 0 = censored, 1 = modeled, >= 2 = competing; one row per
+        // covariate
+        require(a.length >= 3, "fine_gray(time, cause, x...)")
+        val r = Survival.fineGray(df, c(a(0)), c(a(1)), a.drop(2).map(c))
+        val terms = a.drop(2).map(name).zipWithIndex.map { case (nm, j) =>
+          (nm, r.coefficients(j), r.stderr(j), r.z_values(j), r.p_values(j),
+            r.n, r.nEvents, r.nCompeting)
+        }
+        terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
+          "n", "n_events", "n_competing")
       case "cox_survival" =>
         // Breslow baseline hazard + survival at a covariate profile; the
         // last two args are string literals: beta CSV (or 'fit' to fit

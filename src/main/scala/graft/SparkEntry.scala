@@ -3178,6 +3178,51 @@ object SparkEntry {
           col("n"), col("n_events"), lit(sfTag(d)).as("oracle_sf"))
         .orderBy(col("term"))
     }),
+    "q278_cox_ph_cluster" -> ((s, d) => {
+      // Lin-Wei sandwich SEs on the q142 fixture with cluster =
+      // l_orderkey % 200 — x2 = l_orderkey % 2 is CLUSTER-CONSTANT
+      // (every cluster's orders share parity), the designed use case:
+      // its robust SE reads above the model SE. Point estimates equal
+      // q142's Breslow fit (same subjects); the sandwich has no closed
+      // SQL form, so the oracle pins the sf0.01 SEs (q142 idiom) while
+      // n / n_events / n_clusters stay live closed forms
+      t(s, d, "lineitem").select(
+          (col("l_orderkey") % 200).cast("string").as("cl"),
+          col("l_quantity").cast("int").as("stime"),
+          (col("l_linenumber") % 2).cast("int").as("ev"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("q278_cox")
+      GraftGateway.sql(s,
+        "SELECT cox_ph_cluster(stime, ev, cl, x1, x2) FROM q278_cox")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("se_model"), 6).as("se_model"),
+          round(col("se_robust"), 6).as("se_robust"),
+          round(col("z_robust"), 4).as("z_robust"),
+          col("n"), col("n_events"), col("n_clusters"),
+          lit(sfTag(d)).as("oracle_sf"))
+        .orderBy(col("term"))
+    }),
+    "q279_fine_gray" -> ((s, d) => {
+      // competing-risks regression: cause = l_linenumber % 3 splits the
+      // cohort into censored / modeled / competing thirds over the q142
+      // tied time grid. The IPCW Newton fit has no closed SQL form, so
+      // the oracle pins the sf0.01 estimates (q142 idiom) while
+      // n / n_events / n_competing stay live closed forms
+      t(s, d, "lineitem").select(col("l_quantity").cast("int").as("stime"),
+          (col("l_linenumber") % 3).cast("int").as("cause"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("q279_cr")
+      GraftGateway.sql(s,
+        "SELECT fine_gray(stime, cause, x1, x2) FROM q279_cr")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("z_value"), 4).as("z_value"),
+          col("n"), col("n_events"), col("n_competing"),
+          lit(sfTag(d)).as("oracle_sf"))
+        .orderBy(col("term"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -7990,6 +8035,41 @@ object SparkEntry {
         |UNION ALL SELECT 'x2', CAST(-0.002595 AS DOUBLE),
         |  CAST(0.010800 AS DOUBLE), CAST(-0.2403 AS DOUBLE),
         |  CAST(n AS BIGINT), n_events, '0.01' FROM s
+        |ORDER BY term""".stripMargin,
+    "q278_cox_ph_cluster" ->
+      // pinned sandwich SEs at sf0.01 (q142 idiom); n / n_events /
+      // n_clusters are live closed forms
+      """WITH s AS (SELECT count(*) AS n,
+        |    CAST(sum(l_linenumber % 2) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT l_orderkey % 200) AS BIGINT)
+        |      AS n_clusters FROM lineitem)
+        |SELECT 'x1' AS term, CAST(0.018778 AS DOUBLE) AS estimate,
+        |  CAST(0.018590 AS DOUBLE) AS se_model,
+        |  CAST(0.017730 AS DOUBLE) AS se_robust,
+        |  CAST(1.0591 AS DOUBLE) AS z_robust,
+        |  CAST(n AS BIGINT) AS n, n_events, n_clusters,
+        |  '0.01' AS oracle_sf FROM s
+        |UNION ALL SELECT 'x2', CAST(-0.001958 AS DOUBLE),
+        |  CAST(0.010800 AS DOUBLE), CAST(0.010915 AS DOUBLE),
+        |  CAST(-0.1793 AS DOUBLE),
+        |  CAST(n AS BIGINT), n_events, n_clusters, '0.01' FROM s
+        |ORDER BY term""".stripMargin,
+    "q279_fine_gray" ->
+      // pinned IPCW Newton estimates at sf0.01 (q142 idiom); n /
+      // n_events / n_competing are live closed forms over the cause split
+      """WITH s AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_linenumber % 3 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN l_linenumber % 3 = 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_competing FROM lineitem)
+        |SELECT 'x1' AS term, CAST(0.024000 AS DOUBLE) AS estimate,
+        |  CAST(0.021498 AS DOUBLE) AS stderr,
+        |  CAST(1.1164 AS DOUBLE) AS z_value,
+        |  CAST(n AS BIGINT) AS n, n_events, n_competing,
+        |  '0.01' AS oracle_sf FROM s
+        |UNION ALL SELECT 'x2', CAST(0.013329 AS DOUBLE),
+        |  CAST(0.012490 AS DOUBLE), CAST(1.0672 AS DOUBLE),
+        |  CAST(n AS BIGINT), n_events, n_competing, '0.01' FROM s
         |ORDER BY term""".stripMargin,
     "q142_cox_ph" ->
       // pinned Newton estimates at sf0.01 (no closed SQL form for the

@@ -466,6 +466,395 @@ object Survival {
     }
   }
 
+  case class CoxRobustResult(coefficients: Array[Double],
+                             seModel: Array[Double], seRobust: Array[Double],
+                             zRobust: Array[Double], pRobust: Array[Double],
+                             n: Long, nEvents: Long, nClusters: Long,
+                             iterations: Int)
+
+  /** Cluster-robust (Lin & Wei 1989 sandwich) standard errors for
+    * [[coxPh]] — the survival sibling of the q136 cluster-robust OLS:
+    * when randomization (or the dependence structure) is at a CLUSTER
+    * (site, household, user-with-repeat-spells), model-based Cox SEs
+    * understate the variance. At the converged β̂,
+    *
+    *   V = I⁻¹ · [Σ_c (Σ_{i∈c} U_i)(Σ_{i∈c} U_i)ᵀ] · I⁻¹,
+    *   U_i = δ_i·(x_i − x̄(T_i)) − e^{η_i}·(x_i·H₀(T_i) − H₁(T_i)),
+    *
+    * where x̄(t) = S1/S0 at t, H₀(t) = Σ_{s≤t} d/S0, H₁(t) =
+    * Σ_{s≤t} d·S1/S0² (U_i is the score residual; Σ_i U_i equals the
+    * gradient at β̂ ≈ 0, spec-pinned). Breslow ties (the residual
+    * decomposition above is the Breslow one).
+    *
+    * 100 TB shape: the [[coxPh]] fit, then ONE more cell aggregate at β̂
+    * (driver scan turns the ≤ maxTimes cells into the three per-event-
+    * time arrays), then ONE row-scale aggregate: each row's U_i comes
+    * from codegen [[graft.expr.SortedStepLookup]]s against the broadcast
+    * arrays (no join, no shuffle on the subject side), cluster sums ride
+    * a groupBy(cluster), and the k(k+1)/2 outer-product moments collapse
+    * in the closing aggregate. Nothing driver-side scales with clusters.
+    * Subjects censored before the first event have U = 0 (in no risk
+    * set) and contribute only to n. */
+  def coxPhRobust(df: DataFrame, time: Column, event: Column,
+                  cluster: Column, xs: Seq[Column],
+                  maxIter: Int = 20, tol: Double = 1e-9,
+                  maxTimes: Int = 200000): CoxRobustResult = {
+    require(xs.nonEmpty, "cox_ph_cluster: need at least one covariate")
+    val k = xs.length
+    // the fit drops rows with a null cluster too: the sandwich and the
+    // point estimates must see the same subjects
+    val fit = coxPh(df.filter(cluster.isNotNull), time, event, xs,
+      maxIter, tol, maxTimes)
+    val beta = fit.coefficients
+    val complete = (Seq(time, event, cluster) ++ xs)
+      .map(_.isNotNull).reduce(_ && _)
+    val base0 = df.filter(complete).select(
+      cluster.cast("string").as("__c") +: time.cast("double").as("__t") +:
+        event.cast("int").as("__e") +:
+        xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
+    val evTimes = base0.filter(col("__e") === 1)
+      .select(col("__t")).distinct().orderBy(col("__t"))
+      .limit(maxTimes + 1).collect().map(_.getDouble(0))
+    require(evTimes.length <= maxTimes,
+      s"cox_ph_cluster: more than $maxTimes distinct event times — " +
+        "coarsen the time column or raise maxTimes knowingly")
+    require(evTimes.nonEmpty, "cox_ph_cluster: no events")
+    val m = evTimes.length
+    val base = base0.withColumn("__tb",
+      graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
+    val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
+    // ONE cell aggregate at beta-hat -> per-event-time xbar/H0/H1 arrays
+    // and the information matrix (desc suffix scan, then asc prefix)
+    val aggs = coxCellAggs(k, pairs, beta, efron = false)
+    val cs = base.filter(col("__tb").isNotNull)
+      .groupBy(col("__tb").as("__t"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("__t").desc)
+      .collect()
+    val (_, _, info) = coxScan(cs, beta, k, pairs, efron = false,
+      stratified = false)
+    // suffix sums per cell, keyed by time ASC for the prefix pass
+    val timeIx = evTimes.zipWithIndex.toMap
+    val s0At = new Array[Double](m)
+    val dAt = new Array[Double](m)
+    val s1At = Array.ofDim[Double](k, m)
+    var s0 = 0.0
+    val s1 = new Array[Double](k)
+    cs.foreach { r =>
+      val ix = timeIx(r.getDouble(0))
+      dAt(ix) = r.getDouble(1)
+      s0 += r.getDouble(2 + k)
+      (0 until k).foreach(j => s1(j) += r.getDouble(3 + k + j))
+      s0At(ix) = s0
+      (0 until k).foreach(j => s1At(j)(ix) = s1(j))
+    }
+    val xbar = Array.tabulate(k, m)((j, ix) => s1At(j)(ix) / s0At(ix))
+    val h0 = new Array[Double](m)
+    val h1 = Array.ofDim[Double](k, m)
+    var acc0 = 0.0
+    val acc1 = new Array[Double](k)
+    var ix = 0
+    while (ix < m) {
+      if (dAt(ix) > 0) {
+        acc0 += dAt(ix) / s0At(ix)
+        (0 until k).foreach(j =>
+          acc1(j) += dAt(ix) * s1At(j)(ix) / (s0At(ix) * s0At(ix)))
+      }
+      h0(ix) = acc0
+      (0 until k).foreach(j => h1(j)(ix) = acc1(j))
+      ix += 1
+    }
+    // per-row score residual via codegen step lookups (exact hits: __tb
+    // IS an event time); rows bucketed below the first event have U = 0
+    def look(arr: Array[Double]): Column =
+      graft.expr.SearchExprs.sortedStepLookup(col("__tb"), evTimes, arr)
+    val eta = (0 until k).map(j => col(s"__x$j") * lit(beta(j)))
+      .reduce(_ + _)
+    val uCols = (0 until k).map { j =>
+      when(col("__tb").isNull, lit(0.0)).otherwise(
+        col("__e") * (col(s"__x$j") - look(xbar(j))) -
+          exp(eta) * (col(s"__x$j") * look(h0) - look(h1(j))))
+        .as(s"__u$j")
+    }
+    val perCluster = base.select(col("__c") +: uCols: _*)
+      .groupBy(col("__c"))
+      .agg(sum(col("__u0")).as("__s0"),
+        (1 until k).map(j => sum(col(s"__u$j")).as(s"__s$j")): _*)
+    val bAggs = count(lit(1)).as("n_clusters") +:
+      pairs.map { case (j, l) =>
+        sum(col(s"__s$j") * col(s"__s$l")).as(s"b_${j}_$l") }
+    val bRow = perCluster.agg(bAggs.head, bAggs.tail: _*).head()
+    val nClusters = bRow.getLong(0)
+    require(nClusters >= 2,
+      "cox_ph_cluster: need at least 2 clusters for a sandwich variance")
+    val bM = graft.stats.LinAlg.zeros(k, k)
+    pairs.zipWithIndex.foreach { case ((j, l), pix) =>
+      bM(j)(l) = bRow.getDouble(1 + pix)
+      if (j != l) bM(l)(j) = bM(j)(l)
+    }
+    val iInv = graft.stats.LinAlg.invert(info)
+    val v = graft.stats.LinAlg.matMul(graft.stats.LinAlg.matMul(iInv, bM),
+      iInv)
+    val seR = Array.tabulate(k)(j => math.sqrt(v(j)(j)))
+    val zR = Array.tabulate(k)(j => beta(j) / seR(j))
+    val pR = zR.map(z => 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z))))
+    CoxRobustResult(beta, fit.stderr, seR, zR, pR, fit.n, fit.nEvents,
+      nClusters, fit.iterations)
+  }
+
+  case class FineGrayResult(coefficients: Array[Double],
+                            stderr: Array[Double], z_values: Array[Double],
+                            p_values: Array[Double], n: Long, nEvents: Long,
+                            nCompeting: Long, nCensored: Long, nTimes: Int,
+                            iterations: Int, logLik: Double)
+
+  /** Fine–Gray competing-risks regression (Fine & Gray 1999) — the
+    * covariate-adjusted sibling of [[cumulativeIncidence]] (which, like
+    * coxPh next to kaplanMeier, only DESCRIBES): models the
+    * SUBDISTRIBUTION hazard of cause 1, so exp(β) answers "does x raise
+    * the share who will have churned for reason 1 by day t" — the
+    * question a cause-specific [[coxPh]] (censoring competing events)
+    * answers WRONGLY whenever competing events remove subjects.
+    *
+    * `cause`: 0 = right-censored, 1 = the event modeled, ≥ 2 = competing.
+    * Subjects with a competing event at s REMAIN in every later risk set,
+    * IPCW-weighted by Ĝ(t−)/Ĝ(s−) where Ĝ is the censoring KM (left
+    * limits both sides — the Fine–Gray weight w_i(t) = Ĝ(t−)/Ĝ(T_i∧t −);
+    * with no censoring every weight is 1 and the fit REDUCES EXACTLY to
+    * [[coxPh]] on the recode "competing ⇒ censored past the last event
+    * time", spec-pinned). Breslow tie handling. SEs are model-based
+    * (inverse pseudo-information): exact under no censoring; with
+    * censoring they ignore the Ĝ-estimation step that Fine & Gray's
+    * robust variance accounts for — read them as approximate.
+    *
+    * 100 TB shape: the censoring KM rides ONE distributed distinct-time
+    * cell pass ([[RangeCumSum]] prefix — continuous CENSORING times stay
+    * distributed and are never collected; Ĝ is only EVALUATED at the ≤
+    * maxTimes cause-1 event times and at competing rows' own times, the
+    * latter via one row-scale join paid once). Each subject pre-buckets
+    * ONCE into its two roles — at-risk rows floor to the greatest event
+    * time ≤ T (suffix side), competing rows strict-ceil to the smallest
+    * event time > T carrying their 1/Ĝ(T−) factor (prefix side) — both
+    * via codegen sorted lookups, persisted before the loop. Per Newton
+    * iteration ONE distributed aggregate to ≤ 2·maxTimes (role, time)
+    * cells; the driver scan accumulates the at-risk suffix and the
+    * competing prefix and combines W(t) = S^A(t) + Ĝ(t−)·P^B(t). */
+  def fineGray(df: DataFrame, time: Column, cause: Column, xs: Seq[Column],
+               maxIter: Int = 20, tol: Double = 1e-9,
+               maxTimes: Int = 200000): FineGrayResult = {
+    require(xs.nonEmpty, "fine_gray: need at least one covariate")
+    val k = xs.length
+    val spark = df.sparkSession
+    val complete = (Seq(time, cause) ++ xs).map(_.isNotNull).reduce(_ && _)
+    val base0 = df.filter(complete).select(
+      time.cast("double").as("__t") +: cause.cast("int").as("__c") +:
+        xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
+    base0.persist()
+    var roles: DataFrame = null
+    try {
+      val counts = base0.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("__c") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__c") < 0, 1L).otherwise(0L)).as("bad")).head()
+      require(counts.getAs[Long]("bad") == 0,
+        s"fine_gray: ${counts.getAs[Long]("bad")} rows have a negative " +
+          "cause (0 = censored, 1 = modeled event, >= 2 = competing)")
+      val nAll = counts.getAs[Long]("n")
+      val nEvents = counts.getAs[Long]("n1")
+      val nCompeting = counts.getAs[Long]("nc")
+      val nCensored = counts.getAs[Long]("n0")
+      require(nEvents > 0, "fine_gray: no cause-1 events")
+      val evTimes = base0.filter(col("__c") === 1)
+        .select(col("__t")).distinct().orderBy(col("__t"))
+        .limit(maxTimes + 1).collect().map(_.getDouble(0))
+      require(evTimes.length <= maxTimes,
+        s"fine_gray: more than $maxTimes distinct cause-1 event times — " +
+          "coarsen the time column or raise maxTimes knowingly")
+      val m = evTimes.length
+      // censoring KM left limit Ĝ(u−) at every DISTINCT ROW TIME u, as a
+      // distributed cell frame: n_at_risk by RangeCumSum, the ln(1−dc/n)
+      // prefix by a second RangeCumSum, exclusive (strictly earlier
+      // censor terms). Censoring-time cardinality never reaches the
+      // driver.
+      val tc = base0.groupBy(col("__t").as("time"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("__c") === 0, 1L).otherwise(0L)).as("dc"))
+      val gFrame = RangeCumSum.withCumSums(tc, Seq(col("time")),
+          Seq("n_total")) { (cum, totals) =>
+        val atRisk = lit(totals("n_total")) -
+          (col("cum_n_total") - col("n_total"))
+        val withLn = cum.withColumn("__ln",
+          when(col("dc") === 0, lit(0.0))
+            .otherwise(when(col("dc") >= atRisk, lit(Double.NegativeInfinity))
+              .otherwise(log(lit(1.0) - col("dc") / atRisk))))
+        RangeCumSum.withCumSums(withLn, Seq(col("time")), Seq("__ln")) {
+          (cum2, _) =>
+            cum2.select(col("time"),
+                exp(col("cum___ln") - col("__ln")).as("g_minus"))
+              .transform(d => graft.Ckpt.register(d.localCheckpoint()))
+        }
+      }
+      // Ĝ(t−) aligned with evTimes (event times are row times, so the
+      // inner join hits every one; ≤ maxTimes rows collected)
+      import spark.implicits._
+      val evDf = evTimes.toSeq.toDF("time")
+      val gT = gFrame.join(broadcast(evDf), "time")
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val gTminus = evTimes.map(gT)
+      // role frames: A = at-risk suffix (every subject, floor bucket),
+      // B = competing prefix (strict-ceil bucket via the shifted step
+      // lookup: bounds = −∞ +: evTimes, values = evTimes :+ NaN — NaN
+      // marks "no event time after T", filtered out), wfac = 1/Ĝ(T−)
+      // joined once from the distributed cell frame
+      val roleA = base0.withColumn("__tb",
+          graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
+        .filter(col("__tb").isNotNull)
+        .withColumn("__role", lit("A"))
+        .withColumn("__wfac", lit(1.0))
+        .withColumn("__e", when(col("__c") === 1, 1).otherwise(0))
+      val ceilBounds = Double.NegativeInfinity +: evTimes
+      val ceilValues = evTimes :+ Double.NaN
+      val roleB = base0.filter(col("__c") >= 2)
+        .withColumn("__tb", graft.expr.SearchExprs.sortedStepLookup(
+          col("__t"), ceilBounds, ceilValues))
+        .filter(!isnan(col("__tb")))
+        .join(gFrame.withColumnRenamed("time", "__t"), Seq("__t"))
+        .withColumn("__role", lit("B"))
+        .withColumn("__wfac", lit(1.0) / col("g_minus"))
+        .withColumn("__e", lit(0))
+        .drop("g_minus")
+      val cols = Seq("__role", "__tb", "__wfac", "__e") ++
+        (0 until k).map(j => s"__x$j")
+      roles = roleA.select(cols.map(col): _*)
+        .unionByName(roleB.select(cols.map(col): _*))
+        .persist()
+      roles.count() // pay the bucketing + Ĝ join once, not per pass
+      val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
+      val timeIx = evTimes.zipWithIndex.toMap
+      def cells(beta: Array[Double]): Array[Row] = {
+        val eta =
+          if (beta.forall(_ == 0.0)) lit(0.0)
+          else (0 until k).map(j => col(s"__x$j") * lit(beta(j)))
+            .reduce(_ + _)
+        val w = col("__wfac") * exp(eta)
+        val aggs =
+          sum(col("__e")).cast("double").as("d") +:
+            ((0 until k).map(j =>
+              sum(col("__e") * col(s"__x$j")).as(s"sx$j")) ++
+              Seq(sum(w).as("w0")) ++
+              (0 until k).map(j => sum(col(s"__x$j") * w).as(s"w1_$j")) ++
+              pairs.map { case (j, l) =>
+                sum(col(s"__x$j") * col(s"__x$l") * w).as(s"w2_${j}_$l") })
+        roles.groupBy(col("__role"), col("__tb"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+      }
+      val nP = pairs.length
+      // driver scan: at-risk suffix (event times desc) + competing
+      // prefix (asc), combined per event time with the Ĝ(t−) factor
+      def scan(cs: Array[Row], beta: Array[Double])
+          : (Double, Array[Double], Array[Array[Double]]) = {
+        // per-event-time moment tables, zero-filled
+        val dA = new Array[Double](m)
+        val sxA = Array.ofDim[Double](k, m)
+        val a0 = new Array[Double](m)
+        val a1 = Array.ofDim[Double](k, m)
+        val a2 = Array.ofDim[Double](nP, m)
+        val b0 = new Array[Double](m)
+        val b1 = Array.ofDim[Double](k, m)
+        val b2 = Array.ofDim[Double](nP, m)
+        cs.foreach { r =>
+          val ix = timeIx(r.getDouble(1))
+          val isA = r.getString(0) == "A"
+          if (isA) {
+            dA(ix) = r.getDouble(2)
+            (0 until k).foreach(j => sxA(j)(ix) = r.getDouble(3 + j))
+            a0(ix) = r.getDouble(3 + k)
+            (0 until k).foreach(j => a1(j)(ix) = r.getDouble(4 + k + j))
+            (0 until nP).foreach(p => a2(p)(ix) = r.getDouble(4 + 2 * k + p))
+          } else {
+            b0(ix) = r.getDouble(3 + k)
+            (0 until k).foreach(j => b1(j)(ix) = r.getDouble(4 + k + j))
+            (0 until nP).foreach(p => b2(p)(ix) = r.getDouble(4 + 2 * k + p))
+          }
+        }
+        // suffix the A side in place (desc)
+        var ix = m - 2
+        while (ix >= 0) {
+          a0(ix) += a0(ix + 1)
+          (0 until k).foreach(j => a1(j)(ix) += a1(j)(ix + 1))
+          (0 until nP).foreach(p => a2(p)(ix) += a2(p)(ix + 1))
+          ix -= 1
+        }
+        // prefix the B side in place (asc; a B cell at t means a
+        // competing time strictly below t, so inclusive is correct)
+        ix = 1
+        while (ix < m) {
+          b0(ix) += b0(ix - 1)
+          (0 until k).foreach(j => b1(j)(ix) += b1(j)(ix - 1))
+          (0 until nP).foreach(p => b2(p)(ix) += b2(p)(ix - 1))
+          ix += 1
+        }
+        var ll = 0.0
+        val g = new Array[Double](k)
+        val info = graft.stats.LinAlg.zeros(k, k)
+        val w1 = new Array[Double](k)
+        val w2 = graft.stats.LinAlg.zeros(k, k)
+        ix = 0
+        while (ix < m) {
+          val d = dA(ix)
+          if (d > 0) {
+            val gm = gTminus(ix)
+            val w0 = a0(ix) + gm * b0(ix)
+            (0 until k).foreach(j => w1(j) = a1(j)(ix) + gm * b1(j)(ix))
+            pairs.zipWithIndex.foreach { case ((j, l), p) =>
+              w2(j)(l) = a2(p)(ix) + gm * b2(p)(ix)
+              if (j != l) w2(l)(j) = w2(j)(l)
+            }
+            ll -= d * math.log(w0)
+            (0 until k).foreach { j =>
+              ll += beta(j) * sxA(j)(ix)
+              g(j) += sxA(j)(ix) - d * w1(j) / w0
+            }
+            (0 until k).foreach { j =>
+              (0 until k).foreach { l =>
+                info(j)(l) += d * (w2(j)(l) / w0 - (w1(j) / w0) * (w1(l) / w0))
+              }
+            }
+          }
+          ix += 1
+        }
+        (ll, g, info)
+      }
+      var beta = new Array[Double](k)
+      var it = 0
+      var ll = 0.0
+      var info: Array[Array[Double]] = null
+      var done = false
+      while (!done && it < maxIter) {
+        val cs = cells(beta)
+        val (l, g, i) = scan(cs, beta)
+        ll = l; info = i
+        val step = graft.stats.LinAlg.matVec(graft.stats.LinAlg.invert(i), g)
+        beta = beta.zip(step).map { case (b, s) => b + s }
+        it += 1
+        done = step.map(math.abs).max < tol
+      }
+      val cov = graft.stats.LinAlg.invert(info)
+      val se = Array.tabulate(k)(j => math.sqrt(cov(j)(j)))
+      val z = Array.tabulate(k)(j => beta(j) / se(j))
+      val p = z.map(zz => 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(zz))))
+      FineGrayResult(beta, se, z, p, nAll, nEvents, nCompeting, nCensored,
+        m, it, ll)
+    } finally {
+      base0.unpersist()
+      if (roles != null) roles.unpersist()
+      ()
+    }
+  }
+
   /** Proportional-hazards assumption check for [[coxPh]] — the Grambsch &
     * Therneau (1994) test, derived here as the PARTITIONED SCORE TEST it
     * is: extend the model to β_j(t) = β_j + θ_j·(g(t) − ḡ) and score-test

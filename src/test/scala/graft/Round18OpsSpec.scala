@@ -217,6 +217,226 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(math.abs(one.stderr(0) - flat.stderr(0)) < 1e-10)
   }
 
+  // ---------------------------------------------------------------
+  // Cluster-robust (Lin-Wei sandwich) Cox SEs
+  // ---------------------------------------------------------------
+
+  /** brute Breslow log partial likelihood, one covariate. */
+  private def bruteBreslow1(data: Seq[(Double, Int, Double)])(b: Double): Double = {
+    val evTimes = data.filter(_._2 == 1).map(_._1).distinct.sorted
+    evTimes.map { t =>
+      val dead = data.filter(r => r._1 == t && r._2 == 1)
+      val s0 = data.filter(_._1 >= t).map(r => math.exp(b * r._3)).sum
+      dead.map(r => b * r._3).sum - dead.size * math.log(s0)
+    }.sum
+  }
+
+  /** brute observed information at b (Breslow, k=1): Σ_event-times
+    * d·(S2/S0 − x̄²) by direct risk-set filters. */
+  private def bruteInfo1(data: Seq[(Double, Int, Double)], b: Double): Double = {
+    val evTimes = data.filter(_._2 == 1).map(_._1).distinct.sorted
+    evTimes.map { t =>
+      val risk = data.filter(_._1 >= t)
+      val s0 = risk.map(r => math.exp(b * r._3)).sum
+      val s1 = risk.map(r => r._3 * math.exp(b * r._3)).sum
+      val s2 = risk.map(r => r._3 * r._3 * math.exp(b * r._3)).sum
+      val d = data.count(r => r._1 == t && r._2 == 1).toDouble
+      d * (s2 / s0 - (s1 / s0) * (s1 / s0))
+    }.sum
+  }
+
+  /** brute per-subject score residuals at b (Breslow), one covariate:
+    * U_i = δ_i(x_i − x̄(t_i)) − Σ_{event s ≤ t_i} (d_s/S0(s))·e^{bx_i}·
+    * (x_i − x̄(s)) — computed by direct risk-set filters. */
+  private def bruteResiduals(data: Seq[(Double, Int, Double)],
+                             b: Double): Seq[Double] = {
+    val evTimes = data.filter(_._2 == 1).map(_._1).distinct.sorted
+    def s0(t: Double) = data.filter(_._1 >= t).map(r => math.exp(b * r._3)).sum
+    def xbar(t: Double) =
+      data.filter(_._1 >= t).map(r => r._3 * math.exp(b * r._3)).sum / s0(t)
+    def d(t: Double) = data.count(r => r._1 == t && r._2 == 1).toDouble
+    data.map { r =>
+      val own = if (r._2 == 1) r._3 - xbar(r._1) else 0.0
+      val cum = evTimes.filter(_ <= r._1).map { s =>
+        (d(s) / s0(s)) * math.exp(b * r._3) * (r._3 - xbar(s))
+      }.sum
+      own - cum
+    }
+  }
+
+  test("coxPhRobust: per-row clusters reproduce the brute Lin-Wei " +
+    "sandwich; residuals sum to the gradient ~ 0") {
+    val withC = tiedFix.zipWithIndex.map { case ((t, e, x), i) =>
+      (s"r$i", t, e, x)
+    }
+    val df = withC.toDF("cl", "t", "e", "x")
+    val r = ops.Survival.coxPhRobust(df, col("t"), col("e"), col("cl"),
+      Seq(col("x")))
+    val b = r.coefficients(0)
+    val us = bruteResiduals(tiedFix, b)
+    assert(math.abs(us.sum) < 1e-8, s"gradient identity: ${us.sum}")
+    val i2 = bruteInfo1(tiedFix, b)
+    val bMat = us.map(u => u * u).sum
+    val want = math.sqrt(bMat) / i2
+    assert(math.abs(r.seRobust(0) - want) < 1e-6,
+      s"robust se ${r.seRobust(0)} vs brute $want")
+    assert(r.nClusters === tiedFix.size)
+    // model SE present and different from robust on this fixture
+    assert(r.seModel(0) > 0 && math.abs(r.seModel(0) - r.seRobust(0)) > 1e-6)
+  }
+
+  test("coxPhRobust: genuine clusters sum residuals within cluster " +
+    "before the outer product") {
+    val withC = tiedFix.zipWithIndex.map { case ((t, e, x), i) =>
+      (s"c${i % 4}", t, e, x)
+    }
+    val df = withC.toDF("cl", "t", "e", "x")
+    val r = ops.Survival.coxPhRobust(df, col("t"), col("e"), col("cl"),
+      Seq(col("x")))
+    val b = r.coefficients(0)
+    val us = bruteResiduals(tiedFix, b)
+    val perC = us.zipWithIndex.groupBy(_._2 % 4).values
+      .map(_.map(_._1).sum)
+    val bMat = perC.map(s => s * s).sum
+    val i2 = bruteInfo1(tiedFix, b)
+    val want = math.sqrt(bMat) / i2
+    assert(math.abs(r.seRobust(0) - want) < 1e-6,
+      s"robust se ${r.seRobust(0)} vs brute $want")
+    assert(r.nClusters === 4)
+  }
+
+  test("coxPhRobust: k=2 runs, z/p consistent with beta/se, and a " +
+    "single cluster is a named error") {
+    val fix2 = tiedFix.zipWithIndex.map { case ((t, e, x), i) =>
+      (s"c${i % 3}", t, e, x, ((i * 7) % 5).toDouble / 4.0)
+    }
+    val df = fix2.toDF("cl", "t", "e", "x1", "x2")
+    val r = ops.Survival.coxPhRobust(df, col("t"), col("e"), col("cl"),
+      Seq(col("x1"), col("x2")))
+    (0 until 2).foreach { j =>
+      assert(r.seRobust(j) > 0)
+      assert(math.abs(r.zRobust(j) - r.coefficients(j) / r.seRobust(j)) < 1e-12)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      ops.Survival.coxPhRobust(df, col("t"), col("e"), lit("one"),
+        Seq(col("x1")))
+    }
+    assert(ex.getMessage.contains("cox_ph_cluster") &&
+      ex.getMessage.contains("2 clusters"))
+  }
+
+  // ---------------------------------------------------------------
+  // Fine-Gray competing-risks regression
+  // ---------------------------------------------------------------
+
+  /** brute Fine-Gray log pseudo-likelihood (Breslow ties), one covariate,
+    * same convention as the implementation: Ĝ left limits both sides,
+    * competing subjects stay in every later risk set with weight
+    * Ĝ(t−)/Ĝ(s−), censored subjects leave. Direct filters throughout. */
+  private def bruteFineGray(data: Seq[(Double, Int, Double)])(b: Double): Double = {
+    def gMinus(u: Double): Double =
+      data.map(_._1).distinct.sorted.filter(_ < u).map { s =>
+        val n = data.count(_._1 >= s).toDouble
+        val dc = data.count(r => r._1 == s && r._2 == 0).toDouble
+        if (dc == 0) 1.0 else 1.0 - dc / n
+      }.product
+    val evTimes = data.filter(_._2 == 1).map(_._1).distinct.sorted
+    evTimes.map { t =>
+      val dead = data.filter(r => r._1 == t && r._2 == 1)
+      val atRisk = data.filter(_._1 >= t).map(r => math.exp(b * r._3)).sum
+      val competing = data.filter(r => r._2 >= 2 && r._1 < t)
+        .map(r => math.exp(b * r._3) / gMinus(r._1)).sum
+      val w0 = atRisk + gMinus(t) * competing
+      dead.map(r => b * r._3).sum - dead.size * math.log(w0)
+    }.sum
+  }
+
+  // competing-risks fixture: cause 0/1/2 interleaved over tied times
+  private val crFix: Seq[(Double, Int, Double)] = Seq(
+    (1.0, 1, 1.2), (1.0, 2, 0.9), (2.0, 0, 0.4), (2.0, 1, 1.6),
+    (3.0, 2, 0.2), (3.0, 1, 0.7), (4.0, 0, 1.1), (5.0, 1, 0.3),
+    (5.0, 1, 1.0), (6.0, 2, 0.8), (7.0, 1, 0.5), (8.0, 0, 0.1),
+    (9.0, 1, 0.6), (10.0, 0, 1.3))
+
+  test("fineGray with NO censoring reduces exactly to coxPh on the " +
+    "'competing stays forever' recode") {
+    val noCens = crFix.filter(_._2 != 0)
+    val df = noCens.toDF("t", "c", "x")
+    val fg = ops.Survival.fineGray(df, col("t"), col("c"), Seq(col("x")))
+    // recode: competing subjects become censored PAST the last time, so
+    // they sit in every risk set — the subdistribution risk set
+    val tMax = noCens.map(_._1).max + 1.0
+    val recoded = noCens.map { case (t, c, x) =>
+      if (c >= 2) (tMax, 0, x) else (t, 1, x)
+    }
+    val cox = ops.Survival.coxPh(recoded.toDF("t", "e", "x"),
+      col("t"), col("e"), Seq(col("x")))
+    assert(math.abs(fg.coefficients(0) - cox.coefficients(0)) < 1e-8,
+      s"fg ${fg.coefficients(0)} vs cox ${cox.coefficients(0)}")
+    assert(math.abs(fg.stderr(0) - cox.stderr(0)) < 1e-8)
+    assert(math.abs(fg.logLik - cox.logLik) < 1e-9)
+  }
+
+  test("fineGray with censoring maximizes the brute IPCW pseudo-" +
+    "likelihood and reports its value as logLik") {
+    val df = crFix.toDF("t", "c", "x")
+    val fg = ops.Survival.fineGray(df, col("t"), col("c"), Seq(col("x")))
+    val brute = bruteFineGray(crFix) _
+    val bHat = ternaryMax(brute, -5.0, 5.0)
+    assert(math.abs(fg.coefficients(0) - bHat) < 1e-7,
+      s"fit ${fg.coefficients(0)} vs brute $bHat")
+    assert(math.abs(fg.logLik - brute(bHat)) < 1e-9)
+    assert(fg.nEvents === crFix.count(_._2 == 1))
+    assert(fg.nCompeting === crFix.count(_._2 >= 2))
+    assert(fg.nCensored === crFix.count(_._2 == 0))
+  }
+
+  test("fineGray k=2: zero numeric gradient of the brute likelihood at " +
+    "the fitted beta; named errors for no events and negative cause") {
+    val fix2 = crFix.zipWithIndex.map { case ((t, c, x), i) =>
+      (t, c, x, ((i * 3) % 4).toDouble / 3.0)
+    }
+    // direct 2-covariate brute (inline, same convention)
+    def bruteFG2(b1: Double, b2: Double): Double = {
+      val data = fix2
+      def gMinus(u: Double): Double =
+        data.map(_._1).distinct.sorted.filter(_ < u).map { s =>
+          val n = data.count(_._1 >= s).toDouble
+          val dc = data.count(r => r._1 == s && r._2 == 0).toDouble
+          if (dc == 0) 1.0 else 1.0 - dc / n
+        }.product
+      def eta(r: (Double, Int, Double, Double)) = b1 * r._3 + b2 * r._4
+      val evTimes = data.filter(_._2 == 1).map(_._1).distinct.sorted
+      evTimes.map { t =>
+        val dead = data.filter(r => r._1 == t && r._2 == 1)
+        val atRisk = data.filter(_._1 >= t).map(r => math.exp(eta(r))).sum
+        val competing = data.filter(r => r._2 >= 2 && r._1 < t)
+          .map(r => math.exp(eta(r)) / gMinus(r._1)).sum
+        val w0 = atRisk + gMinus(t) * competing
+        dead.map(eta).sum - dead.size * math.log(w0)
+      }.sum
+    }
+    val df = fix2.toDF("t", "c", "x1", "x2")
+    val fg = ops.Survival.fineGray(df, col("t"), col("c"),
+      Seq(col("x1"), col("x2")))
+    val Array(b1, b2) = fg.coefficients
+    assert(math.abs(fg.logLik - bruteFG2(b1, b2)) < 1e-9)
+    val h = 1e-6
+    assert(math.abs((bruteFG2(b1 + h, b2) - bruteFG2(b1 - h, b2)) / (2 * h)) < 1e-4)
+    assert(math.abs((bruteFG2(b1, b2 + h) - bruteFG2(b1, b2 - h)) / (2 * h)) < 1e-4)
+    val exNoEv = intercept[IllegalArgumentException] {
+      ops.Survival.fineGray(df.filter(col("c") =!= 1), col("t"), col("c"),
+        Seq(col("x1")))
+    }
+    assert(exNoEv.getMessage.contains("fine_gray") &&
+      exNoEv.getMessage.contains("no cause-1"))
+    val exNeg = intercept[IllegalArgumentException] {
+      ops.Survival.fineGray(df.withColumn("c2", col("c") - 1), col("t"),
+        col("c2"), Seq(col("x1")))
+    }
+    assert(exNeg.getMessage.contains("negative"))
+  }
+
   test("cox verbs reject an unknown ties convention by name") {
     val df = tiedFix.toDF("t", "e", "x")
     val ex = intercept[IllegalArgumentException] {
