@@ -1187,6 +1187,41 @@ object ScaleProbe {
         col("stime"), col("ev"), col("site"), Seq(col("arm"), col("x2")))
       assert(r.iterations < 20 && !r.coefficients(0).isNaN)
     }
+    time(s"cox_ph efron 2 covariates ($rows rows, 10k times, ~7k-deep ties)") {
+      // Efron cells = Breslow cells + the three C-moment groups (same
+      // ONE pass per Newton iteration); the driver scan's l/d loop runs
+      // O(total events) ~ 70M pure-arithmetic iterations per pass
+      val r = graft.ops.Survival.coxPh(survDf, col("stime"), col("ev"),
+        Seq(col("arm").cast("double"),
+          (pmod(xxhash64(col("arm2"), lit(7)), lit(1000L)).cast("double")
+            / 1000.0)), ties = "efron")
+      assert(r.iterations < 20 && !r.coefficients(0).isNaN)
+    }
+    time(s"cox_ph_cluster 2 covariates ($rows rows, 100k clusters)") {
+      // the fit + one cell pass at beta-hat + one row-scale residual
+      // aggregate (codegen step lookups) + a cluster-scale outer-moment
+      // aggregate
+      val cdf = survDf.withColumn("cl",
+        pmod(xxhash64(col("stime"), lit(53)), lit(100000L)).cast("string"))
+      val r = graft.ops.Survival.coxPhRobust(cdf, col("stime"), col("ev"),
+        col("cl"), Seq(col("arm").cast("double"),
+          (pmod(xxhash64(col("arm2"), lit(7)), lit(1000L)).cast("double")
+            / 1000.0)))
+      assert(r.nClusters == 100000L && r.seRobust.forall(_ > 0))
+    }
+    time(s"fine_gray 2 covariates ($rows rows, 3 causes, 10k times)") {
+      // censoring-KM cell pass + one-time role bucketing/join, then ONE
+      // (role, time) cell aggregate per Newton pass
+      val fdf = df.select(
+        pmod(xxhash64(col("id"), lit(91)), lit(10000L)).cast("int").as("stime"),
+        pmod(xxhash64(col("id"), lit(92)), lit(3L)).cast("int").as("cause"),
+        (col("id") % 2).cast("double").as("x1"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(1000L)).cast("double")
+          / 1000.0).as("x2"))
+      val r = graft.ops.Survival.fineGray(fdf, col("stime"), col("cause"),
+        Seq(col("x1"), col("x2")))
+      assert(r.iterations < 20 && !r.coefficients(0).isNaN)
+    }
     time(s"cox_survival stored-beta ($rows rows, 10k times)") {
       // ONE cell aggregate at the given beta + O(m) driver scan — the
       // coxPh pass without the Newton loop

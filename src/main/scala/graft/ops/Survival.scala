@@ -224,6 +224,42 @@ object Survival {
     ties == "efron"
   }
 
+  /** The three Efron within-tie sums over l = 0..d−1 with denominator
+    * den(l) = s0 − (l/d)·c0:  (Σ log den, Σ 1/den, Σ 1/den²).
+    *
+    * Small d runs the explicit loop; past the threshold the sums CLOSE
+    * via the polygamma recurrences (den(l) = (c0/d)·(x − l) with
+    * x = s0·d/c0 ≥ d, so Σ log = d·log(c0/d) + lnΓ(x+1) − lnΓ(x−d+1),
+    * Σ 1/den = (d/c0)·(ψ(x+1) − ψ(x−d+1)), Σ 1/den² =
+    * (d/c0)²·(ψ′(x−d+1) − ψ′(x+1))) — the O(d) driver loop per tied
+    * cell would otherwise be O(total events) per Newton pass, the only
+    * part of the Efron cost that grows with ROWS rather than cells
+    * (measured 70M-iteration scans at the 100M-row probe). Loop and
+    * closed form agree to float precision (spec-pinned across d). */
+  private[graft] def efronSums(s0: Double, c0: Double, d: Int)
+      : (Double, Double, Double) = {
+    if (d <= 16) {
+      var sLog = 0.0; var s1 = 0.0; var s2 = 0.0
+      var l = 0
+      while (l < d) {
+        val den = s0 - (l.toDouble / d) * c0
+        sLog += math.log(den)
+        s1 += 1.0 / den
+        s2 += 1.0 / (den * den)
+        l += 1
+      }
+      (sLog, s1, s2)
+    } else {
+      import org.apache.commons.math3.special.Gamma.{digamma, logGamma, trigamma}
+      val scale = c0 / d
+      val x = s0 / scale
+      val sLog = d * math.log(scale) + logGamma(x + 1) - logGamma(x - d + 1)
+      val s1 = (digamma(x + 1) - digamma(x - d + 1)) / scale
+      val s2 = (trigamma(x - d + 1) - trigamma(x + 1)) / (scale * scale)
+      (sLog, s1, s2)
+    }
+  }
+
   /** Per-(bucketed-time[, stratum]) cell aggregate columns shared by the
     * Cox family: event count d, event-covariate sums sx, the risk-set
     * moments A = Σ (1, x, xxᵀ)·e^η, and — when `efron` — the within-tie
@@ -309,29 +345,31 @@ object Survival {
             c2(j)(l) = r.getDouble(off + 4 + 3 * k + nP + ix)
             if (j != l) c2(l)(j) = c2(j)(l)
           }
+          // the l = 0..d−1 sums close via [[efronSums]] and the partial
+          // fraction (s1 − φc1)/den = c1/c0 + A/den, A = s1 − s0·c1/c0 —
+          // O(k²) per tied cell instead of O(d·k²)
           val di = math.round(d).toInt
-          val e1 = new Array[Double](k)
-          var l = 0
-          while (l < di) {
-            val phi = l.toDouble / di
-            val den = s0 - phi * c0
-            ll -= math.log(den)
-            var j = 0
-            while (j < k) {
-              e1(j) = (s1(j) - phi * c1(j)) / den
-              g(j) -= e1(j)
-              j += 1
+          val (sLog, sDen1, sDen2) = efronSums(s0, c0, di)
+          ll -= sLog
+          val aV = Array.tabulate(k)(j => s1(j) - s0 * c1(j) / c0)
+          var j = 0
+          while (j < k) {
+            g(j) -= di * c1(j) / c0 + aV(j) * sDen1
+            j += 1
+          }
+          j = 0
+          while (j < k) {
+            var mm = 0
+            while (mm < k) {
+              val first = di * c2(j)(mm) / c0 +
+                (s2(j)(mm) - s0 * c2(j)(mm) / c0) * sDen1
+              val second = di * c1(j) * c1(mm) / (c0 * c0) +
+                (c1(j) * aV(mm) + c1(mm) * aV(j)) / c0 * sDen1 +
+                aV(j) * aV(mm) * sDen2
+              info(j)(mm) += first - second
+              mm += 1
             }
-            j = 0
-            while (j < k) {
-              var m = 0
-              while (m < k) {
-                info(j)(m) += (s2(j)(m) - phi * c2(j)(m)) / den - e1(j) * e1(m)
-                m += 1
-              }
-              j += 1
-            }
-            l += 1
+            j += 1
           }
         }
       }

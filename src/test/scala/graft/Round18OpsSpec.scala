@@ -437,6 +437,50 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(exNeg.getMessage.contains("negative"))
   }
 
+  test("efronSums: polygamma closed form agrees with the explicit loop " +
+    "across the threshold, and deep ties still match the brute maximum") {
+    // direct loop reference (independent of the production small-d path)
+    def loop(s0: Double, c0: Double, d: Int): (Double, Double, Double) = {
+      var sLog = 0.0; var s1 = 0.0; var s2 = 0.0
+      (0 until d).foreach { l =>
+        val den = s0 - (l.toDouble / d) * c0
+        sLog += math.log(den); s1 += 1.0 / den; s2 += 1.0 / (den * den)
+      }
+      (sLog, s1, s2)
+    }
+    for {
+      d <- Seq(1, 2, 15, 16, 17, 40, 700, 7001)
+      (s0, c0) <- Seq((10.0 * d, 1.0 * d), (3.7 * d, 3.7 * d / 2),
+        (1.0 * d, 1.0 * d), (1e6, 17.0))
+      if s0 >= c0
+    } {
+      val (wl, w1, w2) = loop(s0, c0, d)
+      val (gl, g1, g2) = ops.Survival.efronSums(s0, c0, d)
+      // commons-math3 digamma/trigamma document ~1e-8 RELATIVE error
+      // (asymptotic-expansion branch) — the bound the production path
+      // inherits; logGamma is ~1e-13
+      assert(math.abs(gl - wl) < 1e-8 * math.max(1.0, math.abs(wl)),
+        s"sumLog d=$d s0=$s0 c0=$c0: $gl vs $wl")
+      assert(math.abs(g1 - w1) < 5e-8 * math.max(1.0, w1),
+        s"sum1 d=$d s0=$s0 c0=$c0: $g1 vs $w1")
+      assert(math.abs(g2 - w2) < 1e-7 * math.max(1.0, w2),
+        s"sum2 d=$d s0=$s0 c0=$c0: $g2 vs $w2")
+    }
+    // end-to-end through the closed-form path: 3 times x 40-deep ties
+    val deep = (0 until 150).map { i =>
+      val t = (i % 3 + 1).toDouble
+      val ev = if (i < 120) 1 else 0
+      (t, ev, ((i * 13) % 11).toDouble / 10.0)
+    }
+    val fit = ops.Survival.coxPh(deep.toDF("t", "e", "x"), col("t"),
+      col("e"), Seq(col("x")), ties = "efron")
+    val brute = bruteEfron1(deep) _
+    val bHat = ternaryMax(brute, -5.0, 5.0)
+    assert(math.abs(fit.coefficients(0) - bHat) < 1e-7,
+      s"deep-tie fit ${fit.coefficients(0)} vs brute $bHat")
+    assert(math.abs(fit.logLik - brute(bHat)) < 1e-8)
+  }
+
   test("cox verbs reject an unknown ties convention by name") {
     val df = tiedFix.toDF("t", "e", "x")
     val ex = intercept[IllegalArgumentException] {
