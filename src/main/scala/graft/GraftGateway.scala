@@ -187,6 +187,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT rmst_diff(time, event, tau, group)   FROM <survival>
   * SELECT cox_ph_cluster(time, event, cluster, x...) FROM <survival>
   * SELECT fine_gray(time, cause, x...)          FROM <competing risks>
+  * SELECT fine_gray_cif(time, cause, x..., 'beta_csv|fit', 'profile_csv') FROM <competing risks>
   * SELECT seasonal_strength(period, value, season) FROM <series>
   * SELECT cluster_power(y, cluster, delta[, alpha]) FROM <clustered>
   * SELECT binomial_test(y, p0)                 FROM <small cohort>
@@ -361,7 +362,7 @@ object GraftGateway {
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
     "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph",
     "cox_ph_strat", "cox_survival", "rmst_diff", "cox_ph_cluster",
-    "fine_gray")
+    "fine_gray", "fine_gray_cif")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -524,6 +525,25 @@ object GraftGateway {
         }
         terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
           "n", "n_events", "n_competing")
+      case "fine_gray_cif" =>
+        // Breslow-type baseline subdistribution hazard + predicted
+        // cumulative incidence at a covariate profile; last two args are
+        // string literals: beta CSV (or 'fit') and the profile CSV
+        require(a.length >= 5,
+          "fine_gray_cif(time, cause, x..., 'beta_csv|fit', 'profile_csv')")
+        def fgCsv(lit: String, what: String): Array[Double] =
+          lit.split(",").map { tok =>
+            tok.trim.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+              s"fine_gray_cif: $what '$lit' is not a comma-separated " +
+                s"number list (offending token '${tok.trim}')"))
+          }
+        val fgBetaArg = str(a(a.length - 2))
+        val fgProf = fgCsv(str(a.last), "profile_csv").toSeq
+        val fgX = a.slice(2, a.length - 2).map(c)
+        val fgBeta =
+          if (fgBetaArg == "fit") None
+          else Some(fgCsv(fgBetaArg, "beta_csv"))
+        Survival.fineGrayCif(df, c(a(0)), c(a(1)), fgX, fgProf, fgBeta)
       case "cox_survival" =>
         // Breslow baseline hazard + survival at a covariate profile; the
         // last two args are string literals: beta CSV (or 'fit' to fit

@@ -1201,8 +1201,14 @@ object ScaleProbe {
       // the fit + one cell pass at beta-hat + one row-scale residual
       // aggregate (codegen step lookups) + a cluster-scale outer-moment
       // aggregate
-      val cdf = survDf.withColumn("cl",
-        pmod(xxhash64(col("stime"), lit(53)), lit(100000L)).cast("string"))
+      // clusters hash from the ROW id (hashing stime would cap distinct
+      // clusters at the 10k distinct times — the r18 first-run assert)
+      val cdf = df.select(
+        (col("id") % 2).cast("int").as("arm"),
+        (col("id") % 4).cast("int").as("arm2"),
+        pmod(xxhash64(col("id"), lit(91)), lit(10000L)).cast("int").as("stime"),
+        (pmod(xxhash64(col("id"), lit(92)), lit(10L)) < 7).cast("int").as("ev"),
+        pmod(xxhash64(col("id"), lit(53)), lit(100000L)).cast("string").as("cl"))
       val r = graft.ops.Survival.coxPhRobust(cdf, col("stime"), col("ev"),
         col("cl"), Seq(col("arm").cast("double"),
           (pmod(xxhash64(col("arm2"), lit(7)), lit(1000L)).cast("double")

@@ -3223,6 +3223,24 @@ object SparkEntry {
           lit(sfTag(d)).as("oracle_sf"))
         .orderBy(col("term"))
     }),
+    "q280_fine_gray_cif" -> ((s, d) => {
+      // scoring a STORED Fine-Gray model (the q275 idiom): explicit beta
+      // literals keep every output a live closed form at any sf — the
+      // censoring KM, both role sums, and the hazard prefix replay as
+      // window chains over the 50 time cells in SQL
+      t(s, d, "lineitem").select(col("l_quantity").cast("int").as("stime"),
+          (col("l_linenumber") % 3).cast("int").as("cause"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("q280_cr")
+      GraftGateway.sql(s,
+        "SELECT fine_gray_cif(stime, cause, x1, x2, '0.02,0.01', " +
+          "'5.0,1.0') FROM q280_cr")
+        .select(col("time"), col("n_events"), round(col("w0"), 4).as("w0"),
+          round(col("h0_cum"), 6).as("h0_cum"),
+          round(col("cif"), 6).as("cif"))
+        .orderBy(col("time"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -8054,6 +8072,47 @@ object SparkEntry {
         |  CAST(-0.1793 AS DOUBLE),
         |  CAST(n AS BIGINT), n_events, n_clusters, '0.01' FROM s
         |ORDER BY term""".stripMargin,
+    "q280_fine_gray_cif" ->
+      // fully LIVE at explicit beta literals (q275 idiom): censoring-KM
+      // left limits, the at-risk suffix, the IPCW competing prefix, and
+      // the hazard prefix all replay as window chains over time cells
+      """WITH s AS (SELECT CAST(l_quantity AS INT) AS t,
+        |    CAST(l_linenumber % 3 AS INT) AS c,
+        |    exp(0.02 * (l_discount * 10.0) + 0.01 * (l_orderkey % 2)) AS w
+        |  FROM lineitem),
+        |cells AS (SELECT t, count(*) AS n_tot,
+        |    sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS dc,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    sum(w) AS wall,
+        |    sum(CASE WHEN c >= 2 THEN w ELSE 0 END) AS wcomp
+        |  FROM s GROUP BY t),
+        |o AS (SELECT *, sum(n_tot) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |  FROM cells),
+        |tot AS (SELECT sum(n_tot) AS n FROM cells),
+        |r AS (SELECT o.*, tot.n - cum_n + n_tot AS atrisk FROM o, tot),
+        |g AS (SELECT *, exp(coalesce(sum(ln(1.0 -
+        |      CAST(dc AS DOUBLE) / atrisk)) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+        |    AS g_minus
+        |  FROM r),
+        |a AS (SELECT *,
+        |    sum(wall) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS a0,
+        |    coalesce(sum(wcomp / g_minus) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS b0prev
+        |  FROM g),
+        |ev AS (SELECT t, d1, a0 + g_minus * b0prev AS w0 FROM a
+        |  WHERE d1 > 0),
+        |h AS (SELECT t, d1, w0, sum(CAST(d1 AS DOUBLE) / w0) OVER (
+        |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS h0
+        |  FROM ev)
+        |SELECT CAST(t AS DOUBLE) AS time, d1 AS n_events,
+        |  round(w0, 4) AS w0, round(h0, 6) AS h0_cum,
+        |  round(1.0 - exp(-h0 * exp(0.02 * 5.0 + 0.01 * 1.0)), 6) AS cif
+        |FROM h ORDER BY time""".stripMargin,
     "q279_fine_gray" ->
       // pinned IPCW Newton estimates at sf0.01 (q142 idiom); n /
       // n_events / n_competing are live closed forms over the cause split

@@ -677,10 +677,26 @@ object Survival {
     * iteration ONE distributed aggregate to ≤ 2·maxTimes (role, time)
     * cells; the driver scan accumulates the at-risk suffix and the
     * competing prefix and combines W(t) = S^A(t) + Ĝ(t−)·P^B(t). */
-  def fineGray(df: DataFrame, time: Column, cause: Column, xs: Seq[Column],
-               maxIter: Int = 20, tol: Double = 1e-9,
-               maxTimes: Int = 200000): FineGrayResult = {
-    require(xs.nonEmpty, "fine_gray: need at least one covariate")
+  /** Shared Fine-Gray preparation: complete-case base, cause counts
+    * (with the domain guard), the cause-1 event-time grid, the censoring
+    * KM left limits at those times, and the persisted two-role frame
+    * (at-risk suffix role A, IPCW competing prefix role B). Both
+    * [[fineGray]] and [[fineGrayCif]] ride it; close() releases the two
+    * persists. */
+  private case class FgPrep(base0: DataFrame, roles: DataFrame,
+                            evTimes: Array[Double], gTminus: Array[Double],
+                            n: Long, nEvents: Long, nCompeting: Long,
+                            nCensored: Long) {
+    def close(): Unit = {
+      base0.unpersist()
+      roles.unpersist()
+      ()
+    }
+  }
+
+  private def fineGrayPrep(df: DataFrame, time: Column, cause: Column,
+                           xs: Seq[Column], maxTimes: Int,
+                           verb: String): FgPrep = {
     val k = xs.length
     val spark = df.sparkSession
     val complete = (Seq(time, cause) ++ xs).map(_.isNotNull).reduce(_ && _)
@@ -688,87 +704,96 @@ object Survival {
       time.cast("double").as("__t") +: cause.cast("int").as("__c") +:
         xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
     base0.persist()
-    var roles: DataFrame = null
-    try {
-      val counts = base0.agg(
-        count(lit(1)).as("n"),
-        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("nc"),
-        sum(when(col("__c") === 0, 1L).otherwise(0L)).as("n0"),
-        sum(when(col("__c") < 0, 1L).otherwise(0L)).as("bad")).head()
-      require(counts.getAs[Long]("bad") == 0,
-        s"fine_gray: ${counts.getAs[Long]("bad")} rows have a negative " +
-          "cause (0 = censored, 1 = modeled event, >= 2 = competing)")
-      val nAll = counts.getAs[Long]("n")
-      val nEvents = counts.getAs[Long]("n1")
-      val nCompeting = counts.getAs[Long]("nc")
-      val nCensored = counts.getAs[Long]("n0")
-      require(nEvents > 0, "fine_gray: no cause-1 events")
-      val evTimes = base0.filter(col("__c") === 1)
-        .select(col("__t")).distinct().orderBy(col("__t"))
-        .limit(maxTimes + 1).collect().map(_.getDouble(0))
-      require(evTimes.length <= maxTimes,
-        s"fine_gray: more than $maxTimes distinct cause-1 event times — " +
-          "coarsen the time column or raise maxTimes knowingly")
-      val m = evTimes.length
-      // censoring KM left limit Ĝ(u−) at every DISTINCT ROW TIME u, as a
-      // distributed cell frame: n_at_risk by RangeCumSum, the ln(1−dc/n)
-      // prefix by a second RangeCumSum, exclusive (strictly earlier
-      // censor terms). Censoring-time cardinality never reaches the
-      // driver.
-      val tc = base0.groupBy(col("__t").as("time"))
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col("__c") === 0, 1L).otherwise(0L)).as("dc"))
-      val gFrame = RangeCumSum.withCumSums(tc, Seq(col("time")),
-          Seq("n_total")) { (cum, totals) =>
-        val atRisk = lit(totals("n_total")) -
-          (col("cum_n_total") - col("n_total"))
-        val withLn = cum.withColumn("__ln",
-          when(col("dc") === 0, lit(0.0))
-            .otherwise(when(col("dc") >= atRisk, lit(Double.NegativeInfinity))
-              .otherwise(log(lit(1.0) - col("dc") / atRisk))))
-        RangeCumSum.withCumSums(withLn, Seq(col("time")), Seq("__ln")) {
-          (cum2, _) =>
-            cum2.select(col("time"),
-                exp(col("cum___ln") - col("__ln")).as("g_minus"))
-              .transform(d => graft.Ckpt.register(d.localCheckpoint()))
-        }
+    val counts = base0.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("__c") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("__c") < 0, 1L).otherwise(0L)).as("bad")).head()
+    require(counts.getAs[Long]("bad") == 0,
+      s"$verb: ${counts.getAs[Long]("bad")} rows have a negative " +
+        "cause (0 = censored, 1 = modeled event, >= 2 = competing)")
+    require(counts.getAs[Long]("n1") > 0, s"$verb: no cause-1 events")
+    val evTimes = base0.filter(col("__c") === 1)
+      .select(col("__t")).distinct().orderBy(col("__t"))
+      .limit(maxTimes + 1).collect().map(_.getDouble(0))
+    require(evTimes.length <= maxTimes,
+      s"$verb: more than $maxTimes distinct cause-1 event times — " +
+        "coarsen the time column or raise maxTimes knowingly")
+    // censoring KM left limit Ĝ(u−) at every DISTINCT ROW TIME u, as a
+    // distributed cell frame: n_at_risk by RangeCumSum, the ln(1−dc/n)
+    // prefix by a second RangeCumSum, exclusive (strictly earlier
+    // censor terms). Censoring-time cardinality never reaches the
+    // driver.
+    val tc = base0.groupBy(col("__t").as("time"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("__c") === 0, 1L).otherwise(0L)).as("dc"))
+    val gFrame = RangeCumSum.withCumSums(tc, Seq(col("time")),
+        Seq("n_total")) { (cum, totals) =>
+      val atRisk = lit(totals("n_total")) -
+        (col("cum_n_total") - col("n_total"))
+      val withLn = cum.withColumn("__ln",
+        when(col("dc") === 0, lit(0.0))
+          .otherwise(when(col("dc") >= atRisk, lit(Double.NegativeInfinity))
+            .otherwise(log(lit(1.0) - col("dc") / atRisk))))
+      RangeCumSum.withCumSums(withLn, Seq(col("time")), Seq("__ln")) {
+        (cum2, _) =>
+          cum2.select(col("time"),
+              exp(col("cum___ln") - col("__ln")).as("g_minus"))
+            .transform(d => graft.Ckpt.register(d.localCheckpoint()))
       }
-      // Ĝ(t−) aligned with evTimes (event times are row times, so the
-      // inner join hits every one; ≤ maxTimes rows collected)
-      import spark.implicits._
-      val evDf = evTimes.toSeq.toDF("time")
-      val gT = gFrame.join(broadcast(evDf), "time")
-        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
-      val gTminus = evTimes.map(gT)
-      // role frames: A = at-risk suffix (every subject, floor bucket),
-      // B = competing prefix (strict-ceil bucket via the shifted step
-      // lookup: bounds = −∞ +: evTimes, values = evTimes :+ NaN — NaN
-      // marks "no event time after T", filtered out), wfac = 1/Ĝ(T−)
-      // joined once from the distributed cell frame
-      val roleA = base0.withColumn("__tb",
-          graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
-        .filter(col("__tb").isNotNull)
-        .withColumn("__role", lit("A"))
-        .withColumn("__wfac", lit(1.0))
-        .withColumn("__e", when(col("__c") === 1, 1).otherwise(0))
-      val ceilBounds = Double.NegativeInfinity +: evTimes
-      val ceilValues = evTimes :+ Double.NaN
-      val roleB = base0.filter(col("__c") >= 2)
-        .withColumn("__tb", graft.expr.SearchExprs.sortedStepLookup(
-          col("__t"), ceilBounds, ceilValues))
-        .filter(!isnan(col("__tb")))
-        .join(gFrame.withColumnRenamed("time", "__t"), Seq("__t"))
-        .withColumn("__role", lit("B"))
-        .withColumn("__wfac", lit(1.0) / col("g_minus"))
-        .withColumn("__e", lit(0))
-        .drop("g_minus")
-      val cols = Seq("__role", "__tb", "__wfac", "__e") ++
-        (0 until k).map(j => s"__x$j")
-      roles = roleA.select(cols.map(col): _*)
-        .unionByName(roleB.select(cols.map(col): _*))
-        .persist()
-      roles.count() // pay the bucketing + Ĝ join once, not per pass
+    }
+    // Ĝ(t−) aligned with evTimes (event times are row times, so the
+    // inner join hits every one; ≤ maxTimes rows collected)
+    import spark.implicits._
+    val evDf = evTimes.toSeq.toDF("time")
+    val gT = gFrame.join(broadcast(evDf), "time")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val gTminus = evTimes.map(gT)
+    // role frames: A = at-risk suffix (every subject, floor bucket),
+    // B = competing prefix (strict-ceil bucket via the shifted step
+    // lookup: bounds = −∞ +: evTimes, values = evTimes :+ NaN — NaN
+    // marks "no event time after T", filtered out), wfac = 1/Ĝ(T−)
+    // joined once from the distributed cell frame
+    val roleA = base0.withColumn("__tb",
+        graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
+      .filter(col("__tb").isNotNull)
+      .withColumn("__role", lit("A"))
+      .withColumn("__wfac", lit(1.0))
+      .withColumn("__e", when(col("__c") === 1, 1).otherwise(0))
+    val ceilBounds = Double.NegativeInfinity +: evTimes
+    val ceilValues = evTimes :+ Double.NaN
+    val roleB = base0.filter(col("__c") >= 2)
+      .withColumn("__tb", graft.expr.SearchExprs.sortedStepLookup(
+        col("__t"), ceilBounds, ceilValues))
+      .filter(!isnan(col("__tb")))
+      .join(gFrame.withColumnRenamed("time", "__t"), Seq("__t"))
+      .withColumn("__role", lit("B"))
+      .withColumn("__wfac", lit(1.0) / col("g_minus"))
+      .withColumn("__e", lit(0))
+      .drop("g_minus")
+    val cols = Seq("__role", "__tb", "__wfac", "__e") ++
+      (0 until k).map(j => s"__x$j")
+    val roles = roleA.select(cols.map(col): _*)
+      .unionByName(roleB.select(cols.map(col): _*))
+      .persist()
+    roles.count() // pay the bucketing + Ĝ join once, not per pass
+    FgPrep(base0, roles, evTimes, gTminus, counts.getAs[Long]("n"),
+      counts.getAs[Long]("n1"), counts.getAs[Long]("nc"),
+      counts.getAs[Long]("n0"))
+  }
+
+  def fineGray(df: DataFrame, time: Column, cause: Column, xs: Seq[Column],
+               maxIter: Int = 20, tol: Double = 1e-9,
+               maxTimes: Int = 200000): FineGrayResult = {
+    require(xs.nonEmpty, "fine_gray: need at least one covariate")
+    val k = xs.length
+    val prep = fineGrayPrep(df, time, cause, xs, maxTimes, "fine_gray")
+    try {
+      val roles = prep.roles
+      val evTimes = prep.evTimes
+      val gTminus = prep.gTminus
+      val m = evTimes.length
       val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
       val timeIx = evTimes.zipWithIndex.toMap
       def cells(beta: Array[Double]): Array[Row] = {
@@ -884,12 +909,82 @@ object Survival {
       val se = Array.tabulate(k)(j => math.sqrt(cov(j)(j)))
       val z = Array.tabulate(k)(j => beta(j) / se(j))
       val p = z.map(zz => 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(zz))))
-      FineGrayResult(beta, se, z, p, nAll, nEvents, nCompeting, nCensored,
-        m, it, ll)
+      FineGrayResult(beta, se, z, p, prep.n, prep.nEvents, prep.nCompeting,
+        prep.nCensored, m, it, ll)
     } finally {
-      base0.unpersist()
-      if (roles != null) roles.unpersist()
-      ()
+      prep.close()
+    }
+  }
+
+  /** Fine-Gray CUMULATIVE-INCIDENCE prediction — the APPLY verb after
+    * [[fineGray]] (the cox_survival pattern): the Breslow-type baseline
+    * subdistribution hazard Λ₁₀(t) = Σ_{event times s ≤ t} d_s/W₀(s) at
+    * a coefficient vector β, and the predicted cumulative incidence
+    * CIF₁(t|x*) = 1 − exp(−Λ₁₀(t)·e^{x*ᵀβ}) at a covariate profile x*
+    * (the PH structure the subdistribution model imposes). `beta = None`
+    * fits [[fineGray]] first; explicit β scores a STORED model — the
+    * form whose oracle stays live SQL at every scale factor (the q275
+    * idiom: with explicit β literals, the censoring KM, both role sums,
+    * and the hazard prefix all replay as window chains over time cells).
+    *
+    * With no competing events, no censoring, β = 0 and profile = 0 the
+    * curve reduces exactly to 1 − exp(−NelsonAalen) (spec-pinned against
+    * [[nelsonAalen]]'s fh_survival complement).
+    *
+    * 100 TB shape: [[fineGrayPrep]]'s one-time distributed passes, then
+    * ONE (role, time) cell aggregate at β (the fineGray pass without
+    * the Newton loop — only the 0th moments) and an O(m) driver
+    * suffix/prefix scan. Returns one row per cause-1 event time
+    * ascending: (time, n_events, w0, h0_cum, cif). */
+  def fineGrayCif(df: DataFrame, time: Column, cause: Column,
+                  xs: Seq[Column], profile: Seq[Double],
+                  beta: Option[Array[Double]] = None,
+                  maxIter: Int = 20, tol: Double = 1e-9,
+                  maxTimes: Int = 200000): DataFrame = {
+    require(xs.nonEmpty, "fine_gray_cif: need at least one covariate")
+    val k = xs.length
+    require(profile.length == k,
+      s"fine_gray_cif: $k covariates but ${profile.length} profile values")
+    val b = beta.getOrElse(
+      fineGray(df, time, cause, xs, maxIter, tol, maxTimes).coefficients)
+    require(b.length == k,
+      s"fine_gray_cif: $k covariates but ${b.length} beta values")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prep = fineGrayPrep(df, time, cause, xs, maxTimes, "fine_gray_cif")
+    try {
+      val evTimes = prep.evTimes
+      val m = evTimes.length
+      val timeIx = evTimes.zipWithIndex.toMap
+      val eta =
+        if (b.forall(_ == 0.0)) lit(0.0)
+        else (0 until k).map(j => col(s"__x$j") * lit(b(j))).reduce(_ + _)
+      val cs = prep.roles.groupBy(col("__role"), col("__tb"))
+        .agg(sum(col("__e")).cast("double").as("d"),
+          sum(col("__wfac") * exp(eta)).as("w0"))
+        .collect()
+      val dA = new Array[Double](m)
+      val a0 = new Array[Double](m)
+      val b0 = new Array[Double](m)
+      cs.foreach { r =>
+        val ix = timeIx(r.getDouble(1))
+        if (r.getString(0) == "A") { dA(ix) = r.getDouble(2); a0(ix) = r.getDouble(3) }
+        else b0(ix) = r.getDouble(3)
+      }
+      var ix = m - 2
+      while (ix >= 0) { a0(ix) += a0(ix + 1); ix -= 1 }
+      ix = 1
+      while (ix < m) { b0(ix) += b0(ix - 1); ix += 1 }
+      val risk = math.exp(profile.zip(b).map { case (p, bj) => p * bj }.sum)
+      var h = 0.0
+      val rows = (0 until m).map { i =>
+        val w0 = a0(i) + prep.gTminus(i) * b0(i)
+        h += dA(i) / w0
+        (evTimes(i), dA(i).round, w0, h, 1.0 - math.exp(-h * risk))
+      }
+      rows.toDF("time", "n_events", "w0", "h0_cum", "cif")
+    } finally {
+      prep.close()
     }
   }
 

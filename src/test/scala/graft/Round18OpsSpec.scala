@@ -437,6 +437,60 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(exNeg.getMessage.contains("negative"))
   }
 
+  test("fineGrayCif: no competing + no censoring at beta=0/profile=0 " +
+    "reduces exactly to 1 - exp(-NelsonAalen)") {
+    val pure = crFix.map { case (t, _, x) => (t, 1, x) } // all cause 1
+    val df = pure.toDF("t", "c", "x")
+    val cif = ops.Survival.fineGrayCif(df, col("t"), col("c"),
+      Seq(col("x")), Seq(0.0), Some(Array(0.0))).collect()
+    val na = ops.Survival.nelsonAalen(pure.toDF("t", "e", "x"),
+        col("t"), lit(1)).orderBy(col("time")).collect()
+    assert(cif.length === na.length)
+    cif.zip(na).foreach { case (cr, nr) =>
+      assert(cr.getDouble(0) === nr.getAs[Double]("time"))
+      val want = 1.0 - nr.getAs[Double]("fh_survival")
+      assert(math.abs(cr.getAs[Double]("cif") - want) < 1e-12,
+        s"t=${cr.getDouble(0)}")
+    }
+  }
+
+  test("fineGrayCif: monotone in [0,1], stored-beta equals fit-path at " +
+    "the fitted coefficients, and h0 matches the brute W0 chain") {
+    val df = crFix.toDF("t", "c", "x")
+    val fit = ops.Survival.fineGray(df, col("t"), col("c"), Seq(col("x")))
+    val viaFit = ops.Survival.fineGrayCif(df, col("t"), col("c"),
+      Seq(col("x")), Seq(0.5)).orderBy(col("time")).collect()
+    val viaStored = ops.Survival.fineGrayCif(df, col("t"), col("c"),
+      Seq(col("x")), Seq(0.5), Some(fit.coefficients))
+      .orderBy(col("time")).collect()
+    viaFit.zip(viaStored).foreach { case (a, b) =>
+      assert(math.abs(a.getAs[Double]("cif") - b.getAs[Double]("cif")) < 1e-12)
+    }
+    val cifs = viaFit.map(_.getAs[Double]("cif"))
+    assert(cifs.forall(v => v >= 0.0 && v <= 1.0))
+    assert(cifs.zip(cifs.tail).forall { case (a, b) => b >= a - 1e-15 })
+    // brute W0 at the fitted beta, same convention as bruteFineGray
+    val b0 = fit.coefficients(0)
+    def gMinus(u: Double): Double =
+      crFix.map(_._1).distinct.sorted.filter(_ < u).map { s =>
+        val n = crFix.count(_._1 >= s).toDouble
+        val dc = crFix.count(r => r._1 == s && r._2 == 0).toDouble
+        if (dc == 0) 1.0 else 1.0 - dc / n
+      }.product
+    val evTimes = crFix.filter(_._2 == 1).map(_._1).distinct.sorted
+    var h = 0.0
+    evTimes.zip(viaFit).foreach { case (t, row) =>
+      val atRisk = crFix.filter(_._1 >= t).map(r => math.exp(b0 * r._3)).sum
+      val competing = crFix.filter(r => r._2 >= 2 && r._1 < t)
+        .map(r => math.exp(b0 * r._3) / gMinus(r._1)).sum
+      val w0 = atRisk + gMinus(t) * competing
+      val d = crFix.count(r => r._1 == t && r._2 == 1)
+      h += d / w0
+      assert(math.abs(row.getAs[Double]("w0") - w0) < 1e-9, s"w0 at $t")
+      assert(math.abs(row.getAs[Double]("h0_cum") - h) < 1e-12, s"h0 at $t")
+    }
+  }
+
   test("efronSums: polygamma closed form agrees with the explicit loop " +
     "across the threshold, and deep ties still match the brute maximum") {
     // direct loop reference (independent of the production small-d path)
