@@ -1228,6 +1228,21 @@ object ScaleProbe {
         Seq(col("x1"), col("x2")))
       assert(r.iterations < 20 && !r.coefficients(0).isNaN)
     }
+    time(s"fine_gray_cif stored-beta ($rows rows, 3 causes, 10k times)") {
+      // the fineGray pass without the Newton loop: prep's one-time
+      // passes + ONE (role, time) cell aggregate at the stored beta +
+      // an O(m) driver suffix/prefix scan
+      val fdf = df.select(
+        pmod(xxhash64(col("id"), lit(91)), lit(10000L)).cast("int").as("stime"),
+        pmod(xxhash64(col("id"), lit(92)), lit(3L)).cast("int").as("cause"),
+        (col("id") % 2).cast("double").as("x1"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(1000L)).cast("double")
+          / 1000.0).as("x2"))
+      val n = graft.ops.Survival.fineGrayCif(fdf, col("stime"), col("cause"),
+        Seq(col("x1"), col("x2")), Seq(1.0, 0.5),
+        beta = Some(Array(0.1, -0.2))).count()
+      assert(n == 10000L, s"$n curve rows")
+    }
     time(s"cox_survival stored-beta ($rows rows, 10k times)") {
       // ONE cell aggregate at the given beta + O(m) driver scan — the
       // coxPh pass without the Newton loop
