@@ -362,7 +362,7 @@ object GraftGateway {
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
     "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph",
     "cox_ph_strat", "cox_survival", "rmst_diff", "cox_ph_cluster",
-    "fine_gray", "fine_gray_cif")
+    "fine_gray", "fine_gray_cif", "gray_test")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -525,6 +525,12 @@ object GraftGateway {
         }
         terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
           "n", "n_events", "n_competing")
+      case "gray_test" =>
+        // Gray's K-sample test for equality of cumulative-incidence
+        // functions (rho = 0), as the Fine-Gray score test at beta = 0;
+        // one row per group with the shared chi2/df/p replicated
+        require(a.length == 3, "gray_test(time, cause, group)")
+        Survival.grayTest(df, c(a(0)), c(a(1)), c(a(2)))
       case "fine_gray_cif" =>
         // Breslow-type baseline subdistribution hazard + predicted
         // cumulative incidence at a covariate profile; last two args are

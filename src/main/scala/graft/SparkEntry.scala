@@ -3241,6 +3241,24 @@ object SparkEntry {
           round(col("cif"), 6).as("cif"))
         .orderBy(col("time"))
     }),
+    "q281_gray_test" -> ((s, d) => {
+      // Gray's 2-sample test for equal cumulative-incidence functions
+      // over the q279 competing-risks cohort, split by order parity. The
+      // score test at beta = 0 is closed-form, so the ENTIRE statistic
+      // stays a live oracle: the censoring KM, both per-group role
+      // chains, and the score/information sums replay as window chains
+      t(s, d, "lineitem").select(col("l_quantity").cast("int").as("stime"),
+          (col("l_linenumber") % 3).cast("int").as("cause"),
+          (col("l_orderkey") % 2).as("grp"))
+        .createOrReplaceTempView("q281_cr")
+      GraftGateway.sql(s,
+        "SELECT gray_test(stime, cause, grp) FROM q281_cr")
+        .select(col("group_value"), col("n"), col("n_events"),
+          col("n_competing"), col("observed"),
+          round(col("expected"), 4).as("expected"),
+          round(col("chi2"), 6).as("chi2"), col("df"))
+        .orderBy(col("group_value"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -8113,6 +8131,74 @@ object SparkEntry {
         |  round(w0, 4) AS w0, round(h0, 6) AS h0_cum,
         |  round(1.0 - exp(-h0 * exp(0.02 * 5.0 + 0.01 * 1.0)), 6) AS cif
         |FROM h ORDER BY time""".stripMargin,
+    "q281_gray_test" ->
+      // fully LIVE (the statistic is a score test at beta = 0, no
+      // Newton): censoring-KM left limits, per-group at-risk suffixes,
+      // per-group IPCW competing prefixes, then the score u and
+      // information i close the chi2 in one aggregate
+      """WITH s AS (SELECT CAST(l_quantity AS INT) AS t,
+        |    CAST(l_linenumber % 3 AS INT) AS c,
+        |    CAST(l_orderkey % 2 AS INT) AS g
+        |  FROM lineitem),
+        |cells AS (SELECT t, count(*) AS n_tot,
+        |    sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS dc,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS d1,
+        |    CAST(sum(CASE WHEN c = 1 AND g = 1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS d1g,
+        |    CAST(count(*) AS DOUBLE) AS wall,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS wallg,
+        |    CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS wcomp,
+        |    CAST(sum(CASE WHEN c >= 2 AND g = 1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS wcompg
+        |  FROM s GROUP BY t),
+        |o AS (SELECT *, sum(n_tot) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |  FROM cells),
+        |tot AS (SELECT sum(n_tot) AS n FROM cells),
+        |r AS (SELECT o.*, tot.n - cum_n + n_tot AS atrisk FROM o, tot),
+        |gkm AS (SELECT *, exp(coalesce(sum(ln(1.0 -
+        |      CAST(dc AS DOUBLE) / atrisk)) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+        |    AS g_minus
+        |  FROM r),
+        |a AS (SELECT *,
+        |    sum(wall) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS a0,
+        |    sum(wallg) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS a0g,
+        |    coalesce(sum(wcomp / g_minus) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS b0p,
+        |    coalesce(sum(wcompg / g_minus) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS b0pg
+        |  FROM gkm),
+        |ev AS (SELECT t, d1, d1g, a0 + g_minus * b0p AS w0,
+        |    a0g + g_minus * b0pg AS w0g
+        |  FROM a WHERE d1 > 0),
+        |stat AS (SELECT
+        |    sum(d1 - d1g) AS obs0, sum(d1 * (1.0 - w0g / w0)) AS exp0,
+        |    sum(d1g) AS obs1, sum(d1 * w0g / w0) AS exp1,
+        |    sum(d1g - d1 * w0g / w0) AS u,
+        |    sum(d1 * (w0g / w0) * (1.0 - w0g / w0)) AS i
+        |  FROM ev),
+        |cnt AS (SELECT CAST(l_orderkey % 2 AS VARCHAR) AS group_value,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_linenumber % 3 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN l_linenumber % 3 = 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_competing
+        |  FROM lineitem GROUP BY 1)
+        |SELECT c.group_value, c.n, c.n_events, c.n_competing,
+        |  CASE WHEN c.group_value = '0' THEN s2.obs0 ELSE s2.obs1 END
+        |    AS observed,
+        |  round(CASE WHEN c.group_value = '0' THEN s2.exp0 ELSE s2.exp1
+        |    END, 4) AS expected,
+        |  round(s2.u * s2.u / s2.i, 6) AS chi2,
+        |  CAST(1 AS BIGINT) AS df
+        |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
     "q279_fine_gray" ->
       // pinned IPCW Newton estimates at sf0.01 (q142 idiom); n /
       // n_events / n_competing are live closed forms over the cause split

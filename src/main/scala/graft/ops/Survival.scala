@@ -988,6 +988,149 @@ object Survival {
     }
   }
 
+  /** Gray's K-sample test for equality of cause-1 cumulative-incidence
+    * functions under competing risks (Gray 1988, ρ = 0) — computed as
+    * the SCORE test of the [[fineGray]] subdistribution-hazard model at
+    * β = 0 with K−1 group indicators: Gray's statistic is the
+    * IPCW-weighted subdistribution log-rank, which is the Fine-Gray
+    * partial-likelihood score; the variance here is the model
+    * information at 0 (the score-test form, as in a Cox score test vs
+    * the plain log-rank).
+    *
+    * With no competing events, no censoring, and UNTIED event times the
+    * statistic reduces exactly to the standard log-rank χ²
+    * ([[logRankTest]] — spec-pinned; under ties the log-rank
+    * hypergeometric variance carries an extra (n−d)/(n−1) factor the
+    * score information does not).
+    *
+    * 100 TB shape: [[fineGrayPrep]]'s one-time distributed passes with
+    * the group INDEX as the single carried covariate, then ONE
+    * (role, time, group) cell aggregate — no Newton loop — and an
+    * O(m·K) driver scan; the driver-cell count is bounded by an
+    * explicit m·K ≤ 2M require BEFORE the collect.
+    *
+    * Returns one row per group ascending by group value:
+    * (group_value, n, n_events, n_competing, observed, expected) with
+    * the shared K-sample (chi2, df, p_value) replicated per row —
+    * observed/expected are the cause-1 event counts vs their
+    * null-hypothesis IPCW-weighted expectations (the log-rank O/E
+    * analogue on the subdistribution scale). */
+  def grayTest(df: DataFrame, time: Column, cause: Column, group: Column,
+               maxGroups: Int = 100, maxTimes: Int = 200000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val groups = df.filter(time.isNotNull && cause.isNotNull &&
+        group.isNotNull)
+      .select(group.cast("string").as("g")).distinct()
+      .orderBy(col("g")).limit(maxGroups + 1).collect().map(_.getString(0))
+    require(groups.length >= 2,
+      s"gray_test: need at least 2 groups, got ${groups.length}")
+    require(groups.length <= maxGroups,
+      s"gray_test: more than $maxGroups distinct groups — coarsen the " +
+        "group column or raise maxGroups knowingly")
+    val kG = groups.length
+    val gIdxCol = (array_position(typedLit(groups.toSeq),
+      group.cast("string")) - 1).cast("double")
+    val prep = fineGrayPrep(df, time, cause, Seq(gIdxCol), maxTimes,
+      "gray_test")
+    try {
+      val evTimes = prep.evTimes
+      val m = evTimes.length
+      require(m.toLong * kG <= 2000000L,
+        s"gray_test: $m event times x $kG groups exceeds the 2M " +
+          "driver-cell bound — coarsen the time or group column")
+      val timeIx = evTimes.zipWithIndex.toMap
+      val cs = prep.roles.groupBy(col("__role"), col("__tb"), col("__x0"))
+        .agg(sum(col("__e")).cast("double").as("d"),
+          sum(col("__wfac")).as("w0"))
+        .collect()
+      val dA = Array.ofDim[Double](kG, m)
+      val a0 = Array.ofDim[Double](kG, m)
+      val b0 = Array.ofDim[Double](kG, m)
+      cs.foreach { r =>
+        val ix = timeIx(r.getDouble(1))
+        val gi = r.getDouble(2).toInt
+        if (r.getString(0) == "A") {
+          dA(gi)(ix) = r.getDouble(3); a0(gi)(ix) = r.getDouble(4)
+        } else b0(gi)(ix) = r.getDouble(4)
+      }
+      var gi = 0
+      while (gi < kG) {
+        var ix = m - 2
+        while (ix >= 0) { a0(gi)(ix) += a0(gi)(ix + 1); ix -= 1 }
+        ix = 1
+        while (ix < m) { b0(gi)(ix) += b0(gi)(ix - 1); ix += 1 }
+        gi += 1
+      }
+      val obs = new Array[Double](kG)
+      val expd = new Array[Double](kG)
+      val u = new Array[Double](kG - 1) // groups 1..K-1; group 0 reference
+      val info = graft.stats.LinAlg.zeros(kG - 1, kG - 1)
+      val w0g = new Array[Double](kG)
+      var ix = 0
+      while (ix < m) {
+        val gm = prep.gTminus(ix)
+        var dTot = 0.0
+        var w0 = 0.0
+        gi = 0
+        while (gi < kG) {
+          dTot += dA(gi)(ix)
+          w0g(gi) = a0(gi)(ix) + gm * b0(gi)(ix)
+          w0 += w0g(gi)
+          gi += 1
+        }
+        if (dTot > 0 && w0 > 0) {
+          gi = 0
+          while (gi < kG) {
+            val e = dTot * w0g(gi) / w0
+            obs(gi) += dA(gi)(ix)
+            expd(gi) += e
+            if (gi >= 1) {
+              u(gi - 1) += dA(gi)(ix) - e
+              val fi = w0g(gi) / w0
+              var gj = 1
+              while (gj <= gi) {
+                val fj = w0g(gj) / w0
+                val add = dTot * ((if (gi == gj) fi else 0.0) - fi * fj)
+                info(gi - 1)(gj - 1) += add
+                if (gi != gj) info(gj - 1)(gi - 1) += add
+                gj += 1
+              }
+            }
+            gi += 1
+          }
+        }
+        ix += 1
+      }
+      val chi2 =
+        try {
+          val iu = graft.stats.LinAlg.matVec(
+            graft.stats.LinAlg.invert(info), u)
+          u.zip(iu).map { case (a, b) => a * b }.sum
+        } catch {
+          case e: Exception => throw new IllegalArgumentException(
+            "gray_test: singular information matrix (a group has no " +
+              "weighted risk mass at any cause-1 event time)", e)
+        }
+      val dfT = (kG - 1).toDouble
+      val p = 1.0 - graft.stats.Dist.chiSqCdf(chi2, dfT)
+      val counts = prep.base0.groupBy(col("__x0")).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("__c") === 1, 1L).otherwise(0L)).as("ne"),
+          sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("nc"))
+        .collect().map(r => r.getDouble(0).toInt ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("ne"), r.getAs[Long]("nc"))))
+        .toMap
+      groups.indices.map { g =>
+        val (n, ne, nc) = counts.getOrElse(g, (0L, 0L, 0L))
+        (groups(g), n, ne, nc, obs(g), expd(g), chi2, (kG - 1).toLong, p)
+      }.toDF("group_value", "n", "n_events", "n_competing", "observed",
+        "expected", "chi2", "df", "p_value")
+    } finally {
+      prep.close()
+    }
+  }
+
   /** Proportional-hazards assumption check for [[coxPh]] — the Grambsch &
     * Therneau (1994) test, derived here as the PARTITIONED SCORE TEST it
     * is: extend the model to β_j(t) = β_j + θ_j·(g(t) − ḡ) and score-test

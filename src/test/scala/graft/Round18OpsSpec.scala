@@ -570,4 +570,121 @@ class Round18OpsSpec extends AnyFunSuite {
       assert(gotV === want, s"group $g value $v grid ${arr.mkString(",")}")
     }
   }
+
+  // ---------------------------------------------------------------
+  // grayTest: Gray's K-sample CIF test (Fine-Gray score test at 0)
+  // ---------------------------------------------------------------
+
+  test("grayTest with no competing events, no censoring, untied times " +
+    "reduces exactly to the log-rank chi2") {
+    // untied event times, every subject an event, two groups
+    val fix = Seq(
+      (1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1), (5.0, 1), (6.0, 0),
+      (7.0, 1), (8.0, 0), (9.0, 1), (10.0, 0), (11.0, 1), (12.0, 0))
+    val df = fix.toDF("t", "grp").select(col("t"), lit(1).as("c"),
+      col("grp"))
+    val gray = ops.Survival.grayTest(df, col("t"), col("c"), col("grp"))
+      .orderBy(col("group_value")).collect()
+    val lr = ops.Survival.logRankTest(fix.toDF("t", "grp"), col("grp"),
+      col("t")).head()
+    assert(gray.length === 2)
+    assert(math.abs(gray(0).getAs[Double]("chi2") -
+      lr.getAs[Double]("chi2")) < 1e-9,
+      s"gray ${gray(0).getAs[Double]("chi2")} vs lr ${lr.getAs[Double]("chi2")}")
+    assert(gray(0).getAs[Long]("df") === 1L)
+    // observed/expected on group 1 match the log-rank O1/E1
+    assert(math.abs(gray(1).getAs[Double]("observed") -
+      lr.getAs[Double]("observed1")) < 1e-12)
+    assert(math.abs(gray(1).getAs[Double]("expected") -
+      lr.getAs[Double]("expected1")) < 1e-9)
+  }
+
+  test("grayTest matches a brute-force IPCW score/information build " +
+    "with competing risks and censoring (K=2)") {
+    val data = crFix.zipWithIndex.map { case ((t, c, _), i) => (t, c, i % 2) }
+    val df = data.toDF("t", "c", "grp")
+    val got = ops.Survival.grayTest(df, col("t"), col("c"), col("grp"))
+      .orderBy(col("group_value")).collect()
+    // brute: pooled censoring KM left limit, per-group IPCW risk mass
+    def gMinus(u: Double): Double =
+      data.map(_._1).distinct.sorted.filter(_ < u).map { s =>
+        val n = data.count(_._1 >= s).toDouble
+        val dc = data.count(r => r._1 == s && r._2 == 0).toDouble
+        if (dc == 0) 1.0 else 1.0 - dc / n
+      }.product
+    val evTimes = data.filter(_._2 == 1).map(_._1).distinct.sorted
+    var u = 0.0
+    var inf = 0.0
+    val obs = Array(0.0, 0.0)
+    val expd = Array(0.0, 0.0)
+    evTimes.foreach { t =>
+      val w0g = (0 to 1).map { g =>
+        val atRisk = data.count(r => r._1 >= t && r._3 == g).toDouble
+        val comp = data.filter(r => r._2 >= 2 && r._1 < t && r._3 == g)
+          .map(r => 1.0 / gMinus(r._1)).sum
+        atRisk + gMinus(t) * comp
+      }
+      val w0 = w0g.sum
+      val d = (0 to 1).map(g =>
+        data.count(r => r._1 == t && r._2 == 1 && r._3 == g).toDouble)
+      val dTot = d.sum
+      (0 to 1).foreach { g =>
+        obs(g) += d(g); expd(g) += dTot * w0g(g) / w0
+      }
+      val f = w0g(1) / w0
+      u += d(1) - dTot * f
+      inf += dTot * (f - f * f)
+    }
+    val chi2 = u * u / inf
+    assert(math.abs(got(0).getAs[Double]("chi2") - chi2) < 1e-9,
+      s"got ${got(0).getAs[Double]("chi2")} want $chi2")
+    (0 to 1).foreach { g =>
+      assert(math.abs(got(g).getAs[Double]("observed") - obs(g)) < 1e-12)
+      assert(math.abs(got(g).getAs[Double]("expected") - expd(g)) < 1e-9)
+      assert(got(g).getAs[Long]("n") ===
+        data.count(_._3 == g).toLong)
+      assert(got(g).getAs[Long]("n_events") ===
+        data.count(r => r._3 == g && r._2 == 1).toLong)
+      assert(got(g).getAs[Long]("n_competing") ===
+        data.count(r => r._3 == g && r._2 >= 2).toLong)
+    }
+    val p = got(0).getAs[Double]("p_value")
+    assert(p > 0.0 && p <= 1.0)
+  }
+
+  test("grayTest K=3: observed sums to total cause-1 events, expected " +
+    "sums to observed, df=2, and relabeling groups preserves chi2") {
+    val data = crFix.zipWithIndex.map { case ((t, c, _), i) => (t, c, i % 3) }
+    val df = data.toDF("t", "c", "grp")
+    val got = ops.Survival.grayTest(df, col("t"), col("c"), col("grp"))
+      .orderBy(col("group_value")).collect()
+    assert(got.length === 3)
+    assert(got(0).getAs[Long]("df") === 2L)
+    val sumObs = got.map(_.getAs[Double]("observed")).sum
+    val sumExp = got.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(sumObs - data.count(_._2 == 1)) < 1e-12)
+    assert(math.abs(sumExp - sumObs) < 1e-9)
+    // relabel groups with strings in a DIFFERENT sort order; the test
+    // statistic is label-invariant even though the reference group moves
+    val relabeled = data.map { case (t, c, g) => (t, c, s"z${2 - g}") }
+    val got2 = ops.Survival.grayTest(relabeled.toDF("t", "c", "grp"),
+      col("t"), col("c"), col("grp")).head()
+    assert(math.abs(got2.getAs[Double]("chi2") -
+      got(0).getAs[Double]("chi2")) < 1e-9)
+  }
+
+  test("grayTest names its errors: single group and too many groups") {
+    val df = crFix.toDF("t", "c", "x")
+    val ex1 = intercept[IllegalArgumentException] {
+      ops.Survival.grayTest(df, col("t"), col("c"), lit("only"))
+    }
+    assert(ex1.getMessage.contains("gray_test") &&
+      ex1.getMessage.contains("at least 2"))
+    val ex2 = intercept[IllegalArgumentException] {
+      ops.Survival.grayTest(df.withColumn("g", col("x")), col("t"),
+        col("c"), col("g"), maxGroups = 2)
+    }
+    assert(ex2.getMessage.contains("gray_test") &&
+      ex2.getMessage.contains("maxGroups"))
+  }
 }
