@@ -362,7 +362,7 @@ object GraftGateway {
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
     "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph",
     "cox_ph_strat", "cox_survival", "rmst_diff", "cox_ph_cluster",
-    "fine_gray", "fine_gray_cif", "gray_test")
+    "fine_gray", "fine_gray_cif", "gray_test", "aft")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -525,6 +525,30 @@ object GraftGateway {
         }
         terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
           "n", "n_events", "n_competing")
+      case "aft" =>
+        // parametric AFT survival regression (survreg's distributions);
+        // optional trailing 'weibull'|'lognormal'|'loglogistic' literal
+        // (default weibull); one row per term: intercept, covariates,
+        // log_scale (sigma = exp(log_scale); for weibull its z-test is
+        // the exponential-vs-Weibull test)
+        val aftDist = a.lastOption.collect {
+          case Literal(s: UTF8String, StringType)
+              if Set("weibull", "lognormal", "loglogistic")(
+                s.toString.toLowerCase) =>
+            s.toString.toLowerCase
+        }
+        val ax = if (aftDist.isDefined) a.dropRight(1) else a
+        require(ax.length >= 2,
+          "aft(time, event, x...[, 'weibull'|'lognormal'|'loglogistic'])")
+        val r = graft.ops.Aft.aftFit(df, c(ax(0)), c(ax(1)),
+          ax.drop(2).map(c), names = ax.drop(2).map(name),
+          dist = aftDist.getOrElse("weibull"))
+        val terms = r.terms.indices.map { j =>
+          (r.terms(j), r.estimates(j), r.stderr(j), r.zValues(j),
+            r.pValues(j), r.n, r.nEvents, r.dist)
+        }
+        terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
+          "n", "n_events", "dist")
       case "gray_test" =>
         // Gray's K-sample test for equality of cumulative-incidence
         // functions (rho = 0), as the Fine-Gray score test at beta = 0;

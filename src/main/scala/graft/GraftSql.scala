@@ -319,10 +319,11 @@ object GraftSql {
     fn("cdf") { a => cdfTUdf(toCol(a(0)), toCol(a(1))) } // reference cdf.cpp: Student-t CDF
     val cdfNormUdf = udf((x: Double) => Dist.normCdf(x))
     fn("cdf_norm") { a => cdfNormUdf(toCol(a(0))) }
-    val erfUdf = udf((x: Double) => org.apache.commons.math3.special.Erf.erf(x))
-    fn("erf") { a => erfUdf(toCol(a(0))) }
-    val erfcUdf = udf((x: Double) => org.apache.commons.math3.special.Erf.erfc(x))
-    fn("erfc") { a => erfcUdf(toCol(a(0))) }
+    // codegen expressions, not UDFs — these also sit in iterative hot
+    // paths (Aft's lognormal Newton pass), where a ScalaUDF would pay a
+    // per-row serialization tax
+    fn("erf") { a => graft.expr.MathExprs.erf(toCol(a(0)).cast("double")) }
+    fn("erfc") { a => graft.expr.MathExprs.erfc(toCol(a(0)).cast("double")) }
     val lgammaUdf = udf((x: Double) => org.apache.commons.math3.special.Gamma.logGamma(x))
     fn("lgamma") { a => lgammaUdf(toCol(a(0))) }
     val tgammaUdf = udf((x: Double) => org.apache.commons.math3.special.Gamma.gamma(x))

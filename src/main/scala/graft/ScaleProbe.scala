@@ -1243,6 +1243,22 @@ object ScaleProbe {
         beta = Some(Array(0.1, -0.2))).count()
       assert(n == 10000L, s"$n curve rows")
     }
+    time(s"aft weibull 2 covariates ($rows rows, ~30% censored)") {
+      // ONE distributed aggregate per damped-Newton iteration (O(k^2)
+      // codegen sums over z); accepted line-search trials cost no
+      // extra pass
+      val adf = df.select(
+        (pmod(xxhash64(col("id"), lit(91)), lit(10000L)) + 1L)
+          .cast("double").as("stime"),
+        (pmod(xxhash64(col("id"), lit(92)), lit(10L)) < 7).cast("int")
+          .as("ev"),
+        (col("id") % 2).cast("double").as("ax1"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(1000L)).cast("double")
+          / 1000.0).as("ax2"))
+      val r = graft.ops.Aft.aftFit(adf, col("stime"), col("ev"),
+        Seq(col("ax1"), col("ax2")), Seq("ax1", "ax2"))
+      assert(r.iterations < 30 && !r.estimates(0).isNaN)
+    }
     time(s"cox_survival stored-beta ($rows rows, 10k times)") {
       // ONE cell aggregate at the given beta + O(m) driver scan — the
       // coxPh pass without the Newton loop

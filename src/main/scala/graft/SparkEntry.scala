@@ -3259,6 +3259,40 @@ object SparkEntry {
           round(col("chi2"), 6).as("chi2"), col("df"))
         .orderBy(col("group_value"))
     }),
+    "q282_aft_weibull" -> ((s, d) => {
+      // parametric Weibull AFT fit over the q277 censored cohort. The
+      // damped-Newton MLE has no closed SQL form, so the oracle pins
+      // the sf0.01 estimates (q142 idiom); n / n_events stay live
+      t(s, d, "lineitem").select(col("l_quantity").cast("int").as("stime"),
+          when(col("l_linenumber") % 3 === 1, 1).otherwise(0).as("ev"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("q282_surv")
+      GraftGateway.sql(s,
+        "SELECT aft(stime, ev, x1, x2) FROM q282_surv")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("z_value"), 4).as("z_value"),
+          col("n"), col("n_events"), col("dist"),
+          lit(sfTag(d)).as("oracle_sf"))
+        .orderBy(col("term"))
+    }),
+    "q283_aft_lognormal" -> ((s, d) => {
+      // lognormal AFT with NO censoring reduces in closed form to OLS
+      // of log t on x with sigma^2 = RSS/n and se(log_scale) =
+      // 1/sqrt(2n) — so even though the engine path is the iterative
+      // damped Newton, the oracle stays fully LIVE at any sf
+      t(s, d, "lineitem").select(col("l_quantity").cast("int").as("stime"),
+          lit(1).as("ev"), (col("l_discount") * 10.0).as("x1"))
+        .createOrReplaceTempView("q283_surv")
+      GraftGateway.sql(s,
+        "SELECT aft(stime, ev, x1, 'lognormal') FROM q283_surv")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("z_value"), 4).as("z_value"),
+          col("n"), col("n_events"), col("dist"))
+        .orderBy(col("term"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -8199,6 +8233,60 @@ object SparkEntry {
         |  round(s2.u * s2.u / s2.i, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS df
         |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
+    "q282_aft_weibull" ->
+      // pinned damped-Newton MLE at sf0.01 (q142 idiom); n / n_events
+      // are live closed forms over the event split
+      """WITH s AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_linenumber % 3 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_events FROM lineitem)
+        |SELECT * FROM (
+        |SELECT 'intercept' AS term, CAST(3.849520 AS DOUBLE) AS estimate,
+        |  CAST(0.008350 AS DOUBLE) AS stderr,
+        |  CAST(461.0421 AS DOUBLE) AS z_value,
+        |  CAST(n AS BIGINT) AS n, n_events, 'weibull' AS dist,
+        |  '0.01' AS oracle_sf FROM s
+        |UNION ALL SELECT 'log_scale', CAST(-0.532764 AS DOUBLE),
+        |  CAST(0.005277 AS DOUBLE), CAST(-100.9553 AS DOUBLE),
+        |  CAST(n AS BIGINT), n_events, 'weibull', '0.01' FROM s
+        |UNION ALL SELECT 'x1', CAST(-0.015583 AS DOUBLE),
+        |  CAST(0.012629 AS DOUBLE), CAST(-1.2339 AS DOUBLE),
+        |  CAST(n AS BIGINT), n_events, 'weibull', '0.01' FROM s
+        |UNION ALL SELECT 'x2', CAST(-0.003921 AS DOUBLE),
+        |  CAST(0.007331 AS DOUBLE), CAST(-0.5348 AS DOUBLE),
+        |  CAST(n AS BIGINT), n_events, 'weibull', '0.01' FROM s
+        |) ORDER BY term""".stripMargin,
+    "q283_aft_lognormal" ->
+      // fully LIVE despite the iterative engine path: lognormal AFT
+      // with no censoring is OLS of log t on x in closed form, with
+      // sigma^2 = RSS/n (the MLE, not the dof-corrected variance) and
+      // se(log_scale) = 1/sqrt(2n)
+      """WITH s AS (SELECT ln(CAST(l_quantity AS INT)) AS y,
+        |    l_discount * 10.0 AS x FROM lineitem),
+        |m AS (SELECT count(*) AS n, avg(y) AS ybar, avg(x) AS xbar,
+        |    covar_pop(y, x) AS sxy, var_pop(x) AS sxx, avg(x * x) AS xx
+        |  FROM s),
+        |f AS (SELECT n, sxy / sxx AS b1, ybar - sxy / sxx * xbar AS b0,
+        |    sxx, xx FROM m),
+        |r AS (SELECT f.n, f.b0, f.b1, f.sxx, f.xx,
+        |    sqrt((SELECT avg((y - f.b0 - f.b1 * x) *
+        |      (y - f.b0 - f.b1 * x)) FROM s)) AS sigma
+        |  FROM f)
+        |SELECT * FROM (
+        |SELECT 'intercept' AS term, round(b0, 6) AS estimate,
+        |  round(sigma * sqrt(xx / (n * sxx)), 6) AS stderr,
+        |  round(b0 / (sigma * sqrt(xx / (n * sxx))), 4) AS z_value,
+        |  CAST(n AS BIGINT) AS n, CAST(n AS BIGINT) AS n_events,
+        |  'lognormal' AS dist FROM r
+        |UNION ALL
+        |SELECT 'log_scale', round(ln(sigma), 6),
+        |  round(1.0 / sqrt(2.0 * n), 6),
+        |  round(ln(sigma) * sqrt(2.0 * n), 4),
+        |  CAST(n AS BIGINT), CAST(n AS BIGINT), 'lognormal' FROM r
+        |UNION ALL
+        |SELECT 'x1', round(b1, 6), round(sigma / sqrt(n * sxx), 6),
+        |  round(b1 / (sigma / sqrt(n * sxx)), 4),
+        |  CAST(n AS BIGINT), CAST(n AS BIGINT), 'lognormal' FROM r
+        |) ORDER BY term""".stripMargin,
     "q279_fine_gray" ->
       // pinned IPCW Newton estimates at sf0.01 (q142 idiom); n /
       // n_events / n_competing are live closed forms over the cause split

@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parametric accelerated-failure-time (AFT) regression for right-
+  * censored durations: log T = x'β + σ·W with the error W standard
+  * extreme-value (`dist = "weibull"`), standard normal (`"lognormal"`)
+  * or standard logistic (`"loglogistic"`) — R `survreg`'s three
+  * workhorse distributions. The parametric sibling of
+  * [[Survival.coxPh]]: where Cox leaves the baseline free, AFT buys
+  * extrapolation beyond the observed follow-up and the time-ratio
+  * reading exp(β) = "multiplies survival time by", at the price of a
+  * shape assumption. (Spark MLlib's AFTSurvivalRegression fits only
+  * Weibull and reports no standard errors, so it cannot answer the
+  * inference question this verb exists for.)
+  *
+  * Damped ascent-guaranteed Newton on θ = (β₀..β_k, log σ) with the
+  * observed information (ridged until the solve direction is an ascent
+  * direction, then a likelihood backtracking line search — the surface
+  * is not globally concave, and pure Newton from a moment init
+  * demonstrably walks onto the flat σ→∞ ridge); SEs from the inverse
+  * observed information at the optimum. For
+  * `weibull`, the log_scale row's z-test is the classic
+  * exponential-vs-Weibull test (σ = 1 ⇔ constant hazard); for
+  * `lognormal` with no censoring the fit reduces in closed form to OLS
+  * of log t on x with σ̂² = RSS/n and se(log σ̂) = 1/√(2n) — both
+  * spec-pinned, alongside brute numeric-gradient pins at the optimum
+  * for the censored Weibull/loglogistic paths.
+  *
+  * 100 TB shape: ONE distributed aggregate per iteration — O(k²)
+  * `sum()` expressions over codegen columns of z = (log t − x'β)/σ
+  * (the lognormal branch uses the codegen [[graft.expr.MathExprs.erfc]],
+  * not a UDF) — and an O(k³) driver solve; a line-search trial costs no
+  * extra pass when accepted, because its stats row IS the next
+  * iteration's aggregate. Robustness: exp(z) is clamped at z = 50 (a
+  * 50-σ residual) so a bad intermediate β can't overflow the sums, and
+  * the lognormal hazard switches to its Mills-ratio asymptote beyond
+  * z = 26 where erfc underflows.
+  */
+object Aft {
+
+  /** `terms` = "intercept" +: covariate names :+ "log_scale";
+    * `estimates(last)` is log σ̂ (σ̂ = exp of it). */
+  case class AftResult(terms: Array[String], estimates: Array[Double],
+                       stderr: Array[Double], zValues: Array[Double],
+                       pValues: Array[Double], n: Long, nEvents: Long,
+                       dist: String, iterations: Int, logLik: Double)
+
+  def aftFit(df: DataFrame, time: Column, event: Column, xs: Seq[Column],
+             names: Seq[String], dist: String = "weibull",
+             maxIter: Int = 50, tol: Double = 1e-9): AftResult = {
+    require(Set("weibull", "lognormal", "loglogistic")(dist),
+      s"aft: dist must be weibull|lognormal|loglogistic, got '$dist'")
+    require(names.length == xs.length,
+      s"aft: ${xs.length} covariates but ${names.length} names")
+    val k = xs.length
+    val np = k + 2 // intercept + covariates + log-scale
+    val complete = (Seq(time, event) ++ xs).map(_.isNotNull).reduce(_ && _)
+    val base = df.filter(complete).select(
+      time.cast("double").as("__t") +: event.cast("int").as("__d") +:
+        xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
+      .withColumn("__y", log(col("__t")))
+    base.persist()
+    try {
+      val m0 = base.agg(count(lit(1)).as("n"),
+        sum(col("__d")).cast("long").as("ne"),
+        sum(when(col("__t") <= 0.0, 1L).otherwise(0L)).as("bad_t"),
+        sum(when(col("__d") =!= 0 && col("__d") =!= 1, 1L).otherwise(0L))
+          .as("bad_d"),
+        avg(col("__y")).as("mu"),
+        coalesce(stddev_pop(col("__y")), lit(0.0)).as("sd")).head()
+      require(m0.getAs[Long]("bad_t") == 0,
+        s"aft: ${m0.getAs[Long]("bad_t")} rows have time <= 0 — log-time " +
+          "is undefined; filter or shift them first")
+      require(m0.getAs[Long]("bad_d") == 0,
+        s"aft: ${m0.getAs[Long]("bad_d")} rows have an event value " +
+          "other than 0/1 (1 = event, 0 = right-censored)")
+      val n = m0.getAs[Long]("n")
+      val nEvents = m0.getAs[Long]("ne")
+      require(nEvents > 0, "aft: no events (event = 1 rows)")
+      require(n > np.toLong,
+        s"aft: $n complete rows cannot identify $np parameters")
+
+      var theta = new Array[Double](np)
+      theta(0) = m0.getAs[Double]("mu")
+      theta(np - 1) = math.log(math.max(m0.getAs[Double]("sd"), 1e-3))
+      val pairs = for { j <- 0 until (k + 1); l <- j until (k + 1) }
+        yield (j, l)
+      def xcol(j: Int): Column = if (j == 0) lit(1.0) else col(s"__x${j - 1}")
+
+      // ONE distributed pass: the log-likelihood plus every moment the
+      // gradient/Hessian at `at` needs
+      def statsAt(at: Array[Double]): org.apache.spark.sql.Row = {
+        val s = math.exp(at(np - 1))
+        val eta = (0 until (k + 1)).map(j => xcol(j) * lit(at(j)))
+          .reduce(_ + _)
+        val z = (col("__y") - eta) / lit(s)
+        // per-row (u, u') for events and (v, v') for censored rows, where
+        // u = (log f)'(z), v = (log S)'(z); plus the log-density and
+        // log-survival themselves for the reported likelihood
+        val (u, up, vS, vp, lf, ls) = dist match {
+          case "weibull" =>
+            val ez = exp(least(z, lit(50.0)))
+            (lit(1.0) - ez, lit(0.0) - ez, lit(0.0) - ez, lit(0.0) - ez,
+              z - ez, lit(0.0) - ez)
+          case "loglogistic" =>
+            val p = lit(1.0) / (lit(1.0) + exp(least(lit(0.0) - z, lit(50.0))))
+            val sp = when(z > 30.0, z)
+              .otherwise(log1p(exp(least(z, lit(30.0)))))
+            (lit(1.0) - lit(2.0) * p, lit(-2.0) * p * (lit(1.0) - p),
+              lit(0.0) - p, lit(0.0) - p * (lit(1.0) - p),
+              z - lit(2.0) * sp, lit(0.0) - sp)
+          case _ => // lognormal
+            val c0 = math.log(math.sqrt(2.0 * math.Pi))
+            val phi = exp(lit(0.0) - z * z / lit(2.0)) /
+              lit(math.sqrt(2.0 * math.Pi))
+            val sTail = lit(0.5) *
+              graft.expr.MathExprs.erfc(z / lit(math.sqrt(2.0)))
+            val lam = when(z > 26.0, z + lit(1.0) / z).otherwise(phi / sTail)
+            val lnS = when(z > 26.0,
+              lit(0.0) - z * z / lit(2.0) - log(z) - lit(c0))
+              .otherwise(log(sTail))
+            (lit(0.0) - z, lit(-1.0), lit(0.0) - lam,
+              lam * z - lam * lam, lit(0.0) - z * z / lit(2.0) - lit(c0),
+              lnS)
+        }
+        val d1 = col("__d") === 1
+        val gz = when(d1, u).otherwise(vS)
+        val hz = when(d1, up).otherwise(vp)
+        val lli = when(d1, lf - lit(at(np - 1))).otherwise(ls)
+        val aggs =
+          Seq(sum(lli).as("ll"), sum(gz * z).as("sgz"),
+            sum(hz * z * z).as("shzz")) ++
+            (0 until (k + 1)).map(j => sum(gz * xcol(j)).as(s"sg$j")) ++
+            (0 until (k + 1)).map(j => sum(hz * z * xcol(j)).as(s"shz$j")) ++
+            pairs.map { case (j, l) =>
+              sum(hz * xcol(j) * xcol(l)).as(s"sh${j}_$l") }
+        base.agg(aggs.head, aggs.tail: _*).head()
+      }
+      // gradient and NEGATIVE Hessian from a stats row taken at `at`
+      def gradNegH(r: org.apache.spark.sql.Row, at: Array[Double])
+          : (Array[Double], Array[Array[Double]]) = {
+        val s = math.exp(at(np - 1))
+        val grad = new Array[Double](np)
+        (0 until (k + 1)).foreach(j =>
+          grad(j) = -r.getAs[Double](s"sg$j") / s)
+        grad(np - 1) = -(r.getAs[Double]("sgz") + nEvents.toDouble)
+        val h = graft.stats.LinAlg.zeros(np, np)
+        pairs.foreach { case (j, l) =>
+          h(j)(l) = r.getAs[Double](s"sh${j}_$l") / (s * s)
+          h(l)(j) = h(j)(l)
+        }
+        (0 until (k + 1)).foreach { j =>
+          h(j)(np - 1) =
+            (r.getAs[Double](s"shz$j") + r.getAs[Double](s"sg$j")) / s
+          h(np - 1)(j) = h(j)(np - 1)
+        }
+        h(np - 1)(np - 1) = r.getAs[Double]("shzz") + r.getAs[Double]("sgz")
+        (grad, h.map(_.map(x => -x)))
+      }
+
+      // damped ascent-guaranteed Newton: the AFT log-likelihood in
+      // (beta, log sigma) is NOT globally concave (the information is
+      // indefinite away from the optimum — pure Newton from a moment
+      // init demonstrably walks onto the flat sigma -> infinity ridge),
+      // so (a) ridge the negative Hessian until the solve direction is
+      // an ASCENT direction, (b) backtrack on the likelihood. The line
+      // search costs no extra pass on the accepted trial: its stats row
+      // IS the next iteration's aggregate.
+      var it = 0
+      var done = false
+      var st = statsAt(theta)
+      var ll = st.getAs[Double]("ll")
+      require(!ll.isNaN && !ll.isInfinity,
+        "aft: non-finite likelihood at the moment init — rescale " +
+          "extreme covariates or times")
+      var info: Array[Array[Double]] = null // negative Hessian at theta
+      while (!done && it < maxIter) {
+        val (g, negH) = gradNegH(st, theta)
+        info = negH
+        var mu = 0.0
+        var dir: Array[Double] = null
+        var tries = 0
+        while (dir == null && tries < 60) {
+          val a = Array.tabulate(np, np)((i, j) =>
+            negH(i)(j) + (if (i == j) mu else 0.0))
+          val cand =
+            try Some(graft.stats.LinAlg.matVec(
+              graft.stats.LinAlg.invert(a), g))
+            catch { case _: RuntimeException | _: IllegalArgumentException => None }
+          cand match {
+            case Some(v)
+                if v.zip(g).map { case (a1, b1) => a1 * b1 }.sum > 0 &&
+                  v.forall(x => !x.isNaN && !x.isInfinity) =>
+              dir = v
+            case _ =>
+              mu =
+                if (mu == 0.0)
+                  1e-3 * math.max(1.0, (0 until np).map(i =>
+                    math.abs(negH(i)(i))).max)
+                else mu * 10.0
+          }
+          tries += 1
+        }
+        require(dir != null,
+          "aft: could not find an ascent direction (degenerate " +
+            "information) — check for collinear covariates")
+        var f = 1.0
+        var halvings = 0
+        var accepted = false
+        while (!accepted && halvings < 25) {
+          val trial = Array.tabulate(np)(j => theta(j) + f * dir(j))
+          val stT = statsAt(trial)
+          val llT = stT.getAs[Double]("ll")
+          if (!llT.isNaN && !llT.isInfinity && llT >= ll - 1e-12) {
+            theta = trial; st = stT; ll = llT; accepted = true
+          } else { f /= 2.0; halvings += 1 }
+        }
+        require(accepted,
+          s"aft: line search failed to improve the likelihood at " +
+            s"iteration $it (dist = $dist)")
+        it += 1
+        val stepMax = dir.map(x => math.abs(f * x)).max
+        val (gNew, _) = gradNegH(st, theta)
+        done = stepMax < tol &&
+          gNew.map(math.abs).max < 1e-7 * (1.0 + math.abs(ll))
+      }
+      // observed information at the accepted final point
+      info = gradNegH(st, theta)._2
+      val cov = graft.stats.LinAlg.invert(info)
+      val se = Array.tabulate(np)(j => math.sqrt(cov(j)(j)))
+      val zv = Array.tabulate(np)(j => theta(j) / se(j))
+      val pv = zv.map(z =>
+        2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z))))
+      AftResult(("intercept" +: names :+ "log_scale").toArray,
+        theta, se, zv, pv, n, nEvents, dist, it, ll)
+    } finally {
+      base.unpersist()
+      ()
+    }
+  }
+}
