@@ -362,7 +362,7 @@ object GraftGateway {
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
     "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph",
     "cox_ph_strat", "cox_survival", "rmst_diff", "cox_ph_cluster",
-    "fine_gray", "fine_gray_cif", "gray_test", "aft")
+    "fine_gray", "fine_gray_cif", "gray_test", "aft", "aft_survival")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -549,6 +549,37 @@ object GraftGateway {
         }
         terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
           "n", "n_events", "dist")
+      case "aft_survival" =>
+        // predicted survival curve at a covariate profile from a stored
+        // (or freshly fitted) AFT model; optional trailing dist literal,
+        // then the last two string args are params CSV (intercept,
+        // coefficients, log_scale — aft's estimate column verbatim; or
+        // 'fit') and the profile CSV
+        val asDist = a.lastOption.collect {
+          case Literal(s: UTF8String, StringType)
+              if Set("weibull", "lognormal", "loglogistic")(
+                s.toString.toLowerCase) =>
+            s.toString.toLowerCase
+        }
+        val ax = if (asDist.isDefined) a.dropRight(1) else a
+        require(ax.length >= 4,
+          "aft_survival(time, event, x..., 'params_csv|fit', " +
+            "'profile_csv'[, 'weibull'|'lognormal'|'loglogistic'])")
+        def asCsv(lit0: String, what: String): Array[Double] =
+          lit0.split(",").map { tok =>
+            tok.trim.toDoubleOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"aft_survival: $what '$lit0' is not a comma-separated " +
+                  s"number list (offending token '${tok.trim}')"))
+          }
+        val asParamsArg = str(ax(ax.length - 2))
+        val asProf = asCsv(str(ax.last), "profile_csv").toSeq
+        val asX = ax.slice(2, ax.length - 2).map(c)
+        val asParams =
+          if (asParamsArg == "fit") None
+          else Some(asCsv(asParamsArg, "params_csv"))
+        graft.ops.Aft.aftSurvival(df, c(ax(0)), c(ax(1)), asX, asProf,
+          asParams, asDist.getOrElse("weibull"))
       case "gray_test" =>
         // Gray's K-sample test for equality of cumulative-incidence
         // functions (rho = 0), as the Fine-Gray score test at beta = 0;

@@ -1228,6 +1228,17 @@ object ScaleProbe {
         Seq(col("x1"), col("x2")))
       assert(r.iterations < 20 && !r.coefficients(0).isNaN)
     }
+    time(s"gray_test 4 groups ($rows rows, 3 causes, 10k times)") {
+      // prep's one-time passes + ONE (role, time, group) cell aggregate
+      // (no Newton loop) + an O(m*K) driver scan
+      val gdf = df.select(
+        pmod(xxhash64(col("id"), lit(91)), lit(10000L)).cast("int").as("stime"),
+        pmod(xxhash64(col("id"), lit(92)), lit(3L)).cast("int").as("cause"),
+        (col("id") % 4).cast("string").as("grp"))
+      val r = graft.ops.Survival.grayTest(gdf, col("stime"), col("cause"),
+        col("grp")).collect()
+      assert(r.length == 4 && !r.head.getAs[Double]("chi2").isNaN)
+    }
     time(s"fine_gray_cif stored-beta ($rows rows, 3 causes, 10k times)") {
       // the fineGray pass without the Newton loop: prep's one-time
       // passes + ONE (role, time) cell aggregate at the stored beta +
@@ -1258,6 +1269,20 @@ object ScaleProbe {
       val r = graft.ops.Aft.aftFit(adf, col("stime"), col("ev"),
         Seq(col("ax1"), col("ax2")), Seq("ax1", "ax2"))
       assert(r.iterations < 30 && !r.estimates(0).isNaN)
+    }
+    time(s"aft_survival stored-params ($rows rows, 10k distinct times)") {
+      // one distinct-time collapse + a codegen closed-form expression;
+      // no driver scan, no collect
+      val adf = df.select(
+        (pmod(xxhash64(col("id"), lit(91)), lit(10000L)) + 1L)
+          .cast("double").as("stime"),
+        (pmod(xxhash64(col("id"), lit(92)), lit(10L)) < 7).cast("int")
+          .as("ev"),
+        (col("id") % 2).cast("double").as("ax1"))
+      val n = graft.ops.Aft.aftSurvival(adf, col("stime"), col("ev"),
+        Seq(col("ax1")), Seq(1.0),
+        params = Some(Array(8.0, 0.1, -0.3))).count()
+      assert(n == 10000L, s"$n curve rows")
     }
     time(s"cox_survival stored-beta ($rows rows, 10k times)") {
       // ONE cell aggregate at the given beta + O(m) driver scan — the

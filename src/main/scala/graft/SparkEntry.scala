@@ -3293,6 +3293,22 @@ object SparkEntry {
           col("n"), col("n_events"), col("dist"))
         .orderBy(col("term"))
     }),
+    "q284_aft_survival" -> ((s, d) => {
+      // scoring a STORED Weibull AFT model (the q275/q280 idiom):
+      // explicit param literals keep the whole curve a closed form per
+      // distinct time — live at any sf, no collect anywhere
+      t(s, d, "lineitem").select(col("l_quantity").cast("int").as("stime"),
+          when(col("l_linenumber") % 3 === 1, 1).otherwise(0).as("ev"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("q284_surv")
+      GraftGateway.sql(s,
+        "SELECT aft_survival(stime, ev, x1, x2, '3.8,0.02,0.01,-0.5', " +
+          "'5.0,1.0') FROM q284_surv")
+        .select(col("time"), round(col("survival"), 6).as("survival"),
+          round(col("cum_hazard"), 6).as("cum_hazard"))
+        .orderBy(col("time"))
+    }),
     "q243_bowker_test" -> ((s, d) => {
       // paired labels with a planted ASYMMETRIC shift: every 5th item's
       // second label moves one category up, so disagreement flows one way
@@ -8233,6 +8249,18 @@ object SparkEntry {
         |  round(s2.u * s2.u / s2.i, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS df
         |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
+    "q284_aft_survival" ->
+      // fully LIVE: z = (ln t - eta*)/sigma at the stored params, then
+      // weibull S = exp(-exp(z)) per distinct time — pure closed form
+      """WITH tg AS (SELECT DISTINCT CAST(l_quantity AS INT) AS t
+        |  FROM lineitem WHERE l_quantity > 0),
+        |z AS (SELECT CAST(t AS DOUBLE) AS time,
+        |    (ln(CAST(t AS DOUBLE)) - (3.8 + 0.02 * 5.0 + 0.01 * 1.0))
+        |      / exp(-0.5) AS zv
+        |  FROM tg)
+        |SELECT time, round(exp(-exp(zv)), 6) AS survival,
+        |  round(exp(zv), 6) AS cum_hazard
+        |FROM z ORDER BY time""".stripMargin,
     "q282_aft_weibull" ->
       // pinned damped-Newton MLE at sf0.01 (q142 idiom); n / n_events
       // are live closed forms over the event split

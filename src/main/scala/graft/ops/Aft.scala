@@ -240,4 +240,51 @@ object Aft {
       ()
     }
   }
+
+  /** AFT survival-curve prediction — the APPLY verb after [[aftFit]]
+    * (the cox_survival pattern): S(t | x*) and the cumulative hazard at
+    * a covariate profile, one row per distinct positive observed time
+    * ascending. `params` = (β₀, β₁..β_k, log σ) — [[aftFit]]'s estimate
+    * vector verbatim; `None` fits first. With explicit params the whole
+    * curve is a CLOSED FORM per distinct time (z = (log t − x*'β)/σ;
+    * weibull S = exp(−e^z), lognormal S = ½·erfc(z/√2) via the codegen
+    * expression, loglogistic S = 1/(1+e^z)) — the form whose oracle
+    * stays live SQL at every scale factor.
+    *
+    * 100 TB shape: strictly better than even [[Survival.coxSurvival]] —
+    * ONE distinct-time collapse and a codegen per-cell expression; no
+    * driver scan, no collect, no bound on the number of distinct times.
+    * Returns (time, survival, cum_hazard). */
+  def aftSurvival(df: DataFrame, time: Column, event: Column,
+                  xs: Seq[Column], profile: Seq[Double],
+                  params: Option[Array[Double]] = None,
+                  dist: String = "weibull"): DataFrame = {
+    require(Set("weibull", "lognormal", "loglogistic")(dist),
+      s"aft_survival: dist must be weibull|lognormal|loglogistic, " +
+        s"got '$dist'")
+    val k = xs.length
+    require(profile.length == k,
+      s"aft_survival: $k covariates but ${profile.length} profile values")
+    val p = params.getOrElse(aftFit(df, time, event, xs,
+      names = (0 until k).map(j => s"x$j"), dist = dist).estimates)
+    require(p.length == k + 2,
+      s"aft_survival: $k covariates need ${k + 2} params " +
+        s"(intercept, coefficients, log_scale), got ${p.length}")
+    val eta = p(0) + profile.zip(p.slice(1, k + 1))
+      .map { case (x, b) => x * b }.sum
+    val s = math.exp(p(k + 1))
+    val z = (log(col("time")) - lit(eta)) / lit(s)
+    val surv = dist match {
+      case "weibull" => exp(lit(0.0) - exp(least(z, lit(50.0))))
+      case "loglogistic" =>
+        lit(1.0) / (lit(1.0) + exp(least(z, lit(50.0))))
+      case _ =>
+        lit(0.5) * graft.expr.MathExprs.erfc(z / lit(math.sqrt(2.0)))
+    }
+    df.filter(time.isNotNull && time.cast("double") > 0)
+      .select(time.cast("double").as("time")).distinct()
+      .select(col("time"), surv.as("survival"),
+        (lit(0.0) - log(surv)).as("cum_hazard"))
+      .orderBy(col("time"))
+  }
 }

@@ -143,6 +143,55 @@ class AftSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("aft") && e4.getMessage.contains("0/1"))
   }
 
+  test("aftSurvival stored-params: closed form per distinct positive " +
+    "time for all three distributions, monotone, fit == stored") {
+    val df = fix.toDF("t", "d", "x")
+    val params = Array(0.6, 0.8, -1.4)
+    val times = fix.map(_._1).distinct.sorted
+    def z(t: Double) = (math.log(t) - 0.6 - 0.8 * 1.5) / math.exp(-1.4)
+    val want = Map(
+      "weibull" -> ((t: Double) => math.exp(-math.exp(z(t)))),
+      "lognormal" -> ((t: Double) => 1.0 - graft.stats.Dist.normCdf(z(t))),
+      "loglogistic" -> ((t: Double) => 1.0 / (1.0 + math.exp(z(t)))))
+    want.foreach { case (dist, f) =>
+      val got = ops.Aft.aftSurvival(df, col("t"), col("d"), Seq(col("x")),
+        Seq(1.5), Some(params), dist).collect()
+      assert(got.length === times.length, dist)
+      got.zip(times).foreach { case (r, t) =>
+        assert(r.getDouble(0) === t)
+        assert(math.abs(r.getAs[Double]("survival") - f(t)) < 1e-12,
+          s"$dist t=$t")
+        assert(math.abs(r.getAs[Double]("cum_hazard") + math.log(f(t))) < 1e-9,
+          s"$dist cumhaz t=$t")
+      }
+      val survs = got.map(_.getAs[Double]("survival"))
+      assert(survs.zip(survs.tail).forall { case (a, b) => b <= a + 1e-15 },
+        s"$dist monotone")
+    }
+    // fit path: equals stored at the fitted estimates
+    val fit = ops.Aft.aftFit(df, col("t"), col("d"), Seq(col("x")),
+      Seq("x"))
+    val viaFit = ops.Aft.aftSurvival(df, col("t"), col("d"),
+      Seq(col("x")), Seq(1.5), None).collect()
+    val viaStored = ops.Aft.aftSurvival(df, col("t"), col("d"),
+      Seq(col("x")), Seq(1.5), Some(fit.estimates)).collect()
+    viaFit.zip(viaStored).foreach { case (a, b) =>
+      assert(math.abs(a.getAs[Double]("survival") -
+        b.getAs[Double]("survival")) < 1e-12)
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      ops.Aft.aftSurvival(df, col("t"), col("d"), Seq(col("x")),
+        Seq(1.5), Some(Array(0.6, -1.4)))
+    }
+    assert(e1.getMessage.contains("aft_survival") &&
+      e1.getMessage.contains("params"))
+    val e2 = intercept[IllegalArgumentException] {
+      ops.Aft.aftSurvival(df, col("t"), col("d"), Seq(col("x")),
+        Seq(1.5, 2.0), Some(params))
+    }
+    assert(e2.getMessage.contains("profile"))
+  }
+
   test("codegen erf/erfc match commons-math over a probe range and " +
     "pass null through") {
     val probes = Seq(-8.0, -2.5, -1.0, -0.1, 0.0, 0.3, 1.0, 4.2, 9.0, 27.5)
