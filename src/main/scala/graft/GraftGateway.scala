@@ -333,7 +333,8 @@ object GraftGateway {
     "chunk_documents", "msprt", "msprt_by", "cluster_robust_ols", "blp_test",
     "anova", "fdr_bh", "chisq_independence", "eb_shrink_means", "cox_ph",
     "image_dhash", "audio_fingerprint", "video_metadata", "hamming_pairs",
-    "ratio_mde", "synth_control", "synth_placebo", "group_sequential",
+    "ratio_mde", "synth_control", "synth_placebo", "synth_did",
+    "group_sequential",
     "event_study",
     "event_study_curve", "top_k", "funnel", "retention", "e_value",
     "profile_diff", "weighted_sample", "srm_sequential", "fuzzy_join",
@@ -1350,6 +1351,15 @@ object GraftGateway {
           "synth_control(unit, period, y, 'treated_unit', pre_end)")
         SynthControl.synthControl(df, c(a(0)), c(a(1)), c(a(2)),
           str(a(3)), num(a(4))).path
+      case "synth_did" =>
+        // synthetic difference-in-differences: simplex unit AND time
+        // weights (ridge-regularized, intercept profiled out) around a
+        // weighted two-way DID; jackknife SE over >= 2 treated units,
+        // in-space placebo SE for a single one
+        require(a.length >= 5,
+          "synth_did(unit, period, y, treated01, pre_end)")
+        SynthControl.synthDid(df, c(a(0)), c(a(1)), c(a(2)), c(a(3)),
+          num(a(4)))
       case "synth_placebo" =>
         // in-space placebo inference for synth_control (ADH 2010 §2.2):
         // every donor refit as pseudo-treated, treated post/pre RMSE

@@ -1270,6 +1270,20 @@ object ScaleProbe {
         Seq(col("ax1"), col("ax2")), Seq("ax1", "ax2"))
       assert(r.iterations < 30 && !r.estimates(0).isNaN)
     }
+    time(s"synth_did (${rows} rows, 24 units x 12 periods, 6 treated)") {
+      // ONE distributed cell collapse; the double FW fit + jackknife
+      // replicates are driver arithmetic over 288 cells
+      val pdf = df.select(
+        pmod(xxhash64(col("id"), lit(61)), lit(24L)).cast("string").as("u"),
+        pmod(xxhash64(col("id"), lit(62)), lit(12L)).cast("double").as("p"),
+        (col("x1") + col("x2")).as("v"),
+        (pmod(xxhash64(col("id"), lit(61)), lit(24L)) < 6).cast("int")
+          .as("tr"))
+      val r = graft.ops.SynthControl.synthDid(pdf, col("u"), col("p"),
+        col("v"), col("tr"), 5.5).head()
+      assert(!r.getAs[Double]("att").isNaN &&
+        r.getAs[Long]("n_treated") == 6L)
+    }
     time(s"aft_survival stored-params ($rows rows, 10k distinct times)") {
       // one distinct-time collapse + a codegen closed-form expression;
       // no driver scan, no collect

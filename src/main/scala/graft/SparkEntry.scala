@@ -3293,6 +3293,25 @@ object SparkEntry {
           col("n"), col("n_events"), col("dist"))
         .orderBy(col("term"))
     }),
+    "q285_synth_did" -> ((s, d) => {
+      // synthetic DID over a supplier x quantity-bucket panel: suppliers
+      // 0-2 of 12 are 'treated', periods > 3.5 are post. The double
+      // Frank-Wolfe fit has no closed SQL form, so the oracle pins the
+      // sf0.01 estimates (q142 idiom); the design counts stay live
+      t(s, d, "lineitem").select(
+          (col("l_suppkey") % 12).cast("string").as("u"),
+          (col("l_quantity") % 8).cast("double").as("p"),
+          (col("l_extendedprice") / 1000.0).as("v"),
+          ((col("l_suppkey") % 12) < 3).cast("int").as("tr"))
+        .createOrReplaceTempView("q285_panel")
+      GraftGateway.sql(s,
+        "SELECT synth_did(u, p, v, tr, 3.5) FROM q285_panel")
+        .select(round(col("att"), 6).as("att"),
+          round(col("se"), 6).as("se"), col("se_method"),
+          round(col("z_value"), 4).as("z_value"),
+          col("n_treated"), col("n_donors"), col("n_pre"), col("n_post"),
+          lit(sfTag(d)).as("oracle_sf"))
+    }),
     "q284_aft_survival" -> ((s, d) => {
       // scoring a STORED Weibull AFT model (the q275/q280 idiom):
       // explicit param literals keep the whole curve a closed form per
@@ -8249,6 +8268,20 @@ object SparkEntry {
         |  round(s2.u * s2.u / s2.i, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS df
         |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
+    "q285_synth_did" ->
+      // pinned double-Frank-Wolfe estimates at sf0.01 (q142 idiom); the
+      // panel design counts are live closed forms
+      """WITH d AS (SELECT count(DISTINCT l_suppkey % 12) AS nu
+        |  FROM lineitem)
+        |SELECT CAST(-0.221058 AS DOUBLE) AS att,
+        |  CAST(0.430857 AS DOUBLE) AS se,
+        |  'jackknife_treated' AS se_method,
+        |  CAST(-0.5131 AS DOUBLE) AS z_value,
+        |  CAST(3 AS BIGINT) AS n_treated,
+        |  CAST(nu - 3 AS BIGINT) AS n_donors,
+        |  CAST(4 AS BIGINT) AS n_pre, CAST(4 AS BIGINT) AS n_post,
+        |  '0.01' AS oracle_sf
+        |FROM d""".stripMargin,
     "q284_aft_survival" ->
       // fully LIVE: z = (ln t - eta*)/sigma at the stored params, then
       // weibull S = exp(-exp(z)) per distinct time — pure closed form

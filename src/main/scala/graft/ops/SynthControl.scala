@@ -75,10 +75,13 @@ object SynthControl {
         .toMap)
   }
 
-  /** Pairwise Frank–Wolfe solve of min ||Aw − b||² over the unit simplex.
-    * Returns (weights, iterations, duality gap). */
+  /** Pairwise Frank–Wolfe solve of min ||Aw − b||² + ridge·||w||² over
+    * the unit simplex (ridge = 0 is the plain synthetic-control fit;
+    * [[synthDid]] passes ζ²·T_pre — the objective stays quadratic, so
+    * the exact pairwise step only gains a ridge term in gradient and
+    * curvature). Returns (weights, iterations, duality gap). */
   private def fwFit(b: Array[Double], A: Array[Array[Double]],
-                    maxIter: Int, tol: Double)
+                    maxIter: Int, tol: Double, ridge: Double = 0.0)
       : (Array[Double], Int, Double) = {
     val nPre = b.length
     val k = A(0).length
@@ -109,7 +112,7 @@ object SynthControl {
       while (j < k) {
         var s = 0.0; var t = 0
         while (t < nPre) { s += A(t)(j) * (aw(t) - b(t)); t += 1 }
-        g(j) = 2.0 * s; j += 1
+        g(j) = 2.0 * s + 2.0 * ridge * w(j); j += 1
       }
       var best = 0
       var away = -1
@@ -134,9 +137,10 @@ object SynthControl {
           val v = A(t)(best) - A(t)(away)
           ad(t) = v; ad2 += v * v; t += 1
         }
+        val curv = ad2 + 2.0 * ridge // ||d||² = 2 for e_best − e_away
         val gamma =
-          if (ad2 <= 0.0) 0.0
-          else math.min(w(away), (g(away) - g(best)) / (2.0 * ad2))
+          if (curv <= 0.0) 0.0
+          else math.min(w(away), (g(away) - g(best)) / (2.0 * curv))
         if (gamma <= 0.0) gap = 0.0 // no descent pair left: at the optimum
         else {
           w(away) -= gamma
@@ -261,5 +265,154 @@ object SynthControl {
       StructField("p_value", DoubleType)))
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
+  /** Synthetic difference-in-differences (Arkhangelsky, Athey,
+    * Hirshberg, Imbens & Wager 2021): the weighted two-way DID
+    *
+    *   τ̂ = (ȳ_tr,post − Σ_t λ̂_t ȳ_tr,t) − Σ_i ω̂_i (ȳ_i,post − Σ_t λ̂_t y_it)
+    *
+    * with UNIT weights ω̂ (simplex + intercept, ridge ζ_ω²·T_pre,
+    * ζ_ω = (N_tr·T_post)^¼·σ̂_Δ over the donor pre-period first
+    * differences — the paper's default) matching donors to the treated
+    * pre-trend, and TIME weights λ̂ (simplex + intercept, ridge
+    * ζ_λ²·N_co, ζ_λ = 10⁻⁶·σ̂_Δ for uniqueness) matching pre-periods to
+    * the donor post mean. Both fits run the same exact-step pairwise
+    * [[fwFit]] with the intercept profiled out by centering. Where
+    * synth_control needs a perfect pre-fit to be credible, the DID
+    * differencing absorbs level gaps — a parallel-shifted donor pool is
+    * fine — and where plain DID needs parallel trends for ALL donors,
+    * the weights construct a pool where they hold.
+    *
+    * Inference: N_tr ≥ 2 → leave-one-treated-out jackknife (each
+    * replicate REFITS both weight vectors); N_tr = 1 → in-space placebo
+    * SE (each donor in turn plays the treated unit over the remaining
+    * pool, capped at maxPlacebos; the truly treated unit is excluded
+    * from every placebo pool). Exact-recovery identity (spec-pinned):
+    * when the treated pre-path is a convex donor combination and the
+    * effect is an additive post shift, τ̂ recovers the shift exactly
+    * for ANY time weights.
+    *
+    * 100 TB shape: the [[synthControl]] contract — ONE distributed
+    * (unit, period) cell collapse with a take-ordered maxCells guard
+    * BEFORE collection; every weight fit and replicate is driver
+    * arithmetic over those cells.
+    *
+    * @param treated 0/1 flag; a unit is treated when it is flagged on
+    *                any row (the treated block = treated units × periods
+    *                after preEnd)
+    * @return one row: (att, se, se_method, z_value, p_value, n_treated,
+    *         n_donors, n_pre, n_post) */
+  def synthDid(df: DataFrame, unit: Column, period: Column, y: Column,
+               treated: Column, preEnd: Double,
+               maxIter: Int = 2000, tol: Double = 1e-12,
+               maxCells: Int = 200000, maxPlacebos: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .filter(unit.isNotNull && period.isNotNull && y.isNotNull &&
+        treated.isNotNull)
+      .groupBy(unit.cast("string").as("u"), period.cast("double").as("p"))
+      .agg(avg(y.cast("double")).as("v"), max(treated.cast("int")).as("tr"))
+      .orderBy(col("u"), col("p"))
+      .limit(maxCells + 1) // take-ordered: bounded BEFORE collection
+      .collect()
+    require(cells.length <= maxCells,
+      s"synth_did produced more than $maxCells (unit x period) cells — " +
+        "these are not panel units/periods; raise maxCells if they are")
+    val periods = cells.map(_.getDouble(1)).distinct.sorted
+    val pre = periods.filter(_ <= preEnd)
+    val post = periods.filter(_ > preEnd)
+    require(pre.length >= 2,
+      s"synth_did: need >= 2 pre-periods at preEnd=$preEnd, got ${pre.length}")
+    require(post.nonEmpty, s"synth_did: no post-periods after preEnd=$preEnd")
+    val byUnit = cells.groupBy(_.getString(0))
+    val full = byUnit.filter(_._2.length == periods.length)
+    val path: Map[String, Map[Double, Double]] =
+      full.view.mapValues(_.map(r => r.getDouble(1) -> r.getDouble(2)).toMap)
+        .toMap
+    val treatedUnits = full.filter(_._2.exists(_.getInt(3) == 1))
+      .keys.toArray.sorted
+    val donorUnits = full.filter(!_._2.exists(_.getInt(3) == 1))
+      .keys.toArray.sorted
+    require(treatedUnits.nonEmpty,
+      "synth_did: no complete treated units (treated = 1 on some row; " +
+        "incomplete units are excluded — balance the panel upstream)")
+    require(donorUnits.length >= 2,
+      s"synth_did: need >= 2 complete donor units, got ${donorUnits.length}")
+
+    def centered(b: Array[Double], a: Array[Array[Double]])
+        : (Array[Double], Array[Array[Double]]) = {
+      val n = b.length
+      val bm = b.sum / n
+      val k = a(0).length
+      val cm = Array.tabulate(k)(j => (0 until n).map(t => a(t)(j)).sum / n)
+      (b.map(_ - bm), Array.tabulate(n, k)((t, j) => a(t)(j) - cm(j)))
+    }
+    def estimate(tUnits: Array[String], dUnits: Array[String]): Double = {
+      val nTr = tUnits.length
+      val nCo = dUnits.length
+      val tPre = pre.length
+      val tPost = post.length
+      val diffs = for { u <- dUnits; i <- 0 until (tPre - 1) }
+        yield path(u)(pre(i + 1)) - path(u)(pre(i))
+      val sdDelta =
+        if (diffs.length < 2) 0.0
+        else {
+          val m = diffs.sum / diffs.length
+          math.sqrt(diffs.map(d => (d - m) * (d - m)).sum /
+            (diffs.length - 1))
+        }
+      val zetaOmega = math.pow(nTr.toDouble * tPost, 0.25) * sdDelta
+      val zetaLambda = 1e-6 * sdDelta
+      val bOmega = pre.map(p => tUnits.map(u => path(u)(p)).sum / nTr)
+      val aOmega = Array.tabulate(tPre, nCo)((t, j) => path(dUnits(j))(pre(t)))
+      val (bO, aO) = centered(bOmega, aOmega)
+      val (omega, _, _) =
+        fwFit(bO, aO, maxIter, tol, ridge = zetaOmega * zetaOmega * tPre)
+      val bLambda = dUnits.map(u => post.map(p => path(u)(p)).sum / tPost)
+      val aLambda = Array.tabulate(nCo, tPre)((i, t) => path(dUnits(i))(pre(t)))
+      val (bL, aL) = centered(bLambda, aLambda)
+      val (lambda, _, _) =
+        fwFit(bL, aL, maxIter, tol, ridge = zetaLambda * zetaLambda * nCo)
+      val yTrPost = post.map(p => tUnits.map(u => path(u)(p)).sum / nTr)
+        .sum / tPost
+      val yTrPreL = pre.indices.map(t =>
+        lambda(t) * tUnits.map(u => path(u)(pre(t))).sum / nTr).sum
+      val yCoPost = dUnits.indices.map(i =>
+        omega(i) * post.map(p => path(dUnits(i))(p)).sum / tPost).sum
+      val yCoPreL = dUnits.indices.map(i => omega(i) *
+        pre.indices.map(t => lambda(t) * path(dUnits(i))(pre(t))).sum).sum
+      (yTrPost - yTrPreL) - (yCoPost - yCoPreL)
+    }
+
+    val att = estimate(treatedUnits, donorUnits)
+    val (se, seMethod) =
+      if (treatedUnits.length >= 2) {
+        val taus = treatedUnits.map(u =>
+          estimate(treatedUnits.filter(_ != u), donorUnits))
+        val m = taus.sum / taus.length
+        val v = (taus.length - 1).toDouble / taus.length *
+          taus.map(t => (t - m) * (t - m)).sum
+        (math.sqrt(v), "jackknife_treated")
+      } else {
+        require(donorUnits.length >= 3,
+          "synth_did: placebo SE for a single treated unit needs >= 3 " +
+            "donors (each placebo pool must keep >= 2)")
+        val placebos = donorUnits.take(maxPlacebos)
+        val taus = placebos.map(u =>
+          estimate(Array(u), donorUnits.filter(_ != u)))
+        val m = taus.sum / taus.length
+        (math.sqrt(taus.map(t => (t - m) * (t - m)).sum /
+          (taus.length - 1)), s"placebo_${placebos.length}")
+      }
+    val z = if (se > 0) att / se else Double.NaN
+    val p =
+      if (se > 0) 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z)))
+      else Double.NaN
+    Seq((att, se, seMethod, z, p, treatedUnits.length.toLong,
+      donorUnits.length.toLong, pre.length.toLong, post.length.toLong))
+      .toDF("att", "se", "se_method", "z_value", "p_value", "n_treated",
+        "n_donors", "n_pre", "n_post")
   }
 }

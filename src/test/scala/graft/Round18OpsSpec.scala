@@ -673,6 +673,93 @@ class Round18OpsSpec extends AnyFunSuite {
       got(0).getAs[Double]("chi2")) < 1e-9)
   }
 
+  // ---------------------------------------------------------------
+  // synthDid: synthetic difference-in-differences
+  // ---------------------------------------------------------------
+
+  // periods 1..8 (pre <= 4.5): two NONPARALLEL donors, treated units =
+  // the 0.5/0.5 donor mix + unit-specific LEVELS + an additive post
+  // effect of 5 — levels must be absorbed by the DID differencing and
+  // the intercepted weight fits, and the effect recovered exactly
+  private def sdidFix(effect: Double): Seq[(String, Double, Double, Int)] = {
+    val periods = (1 to 8).map(_.toDouble)
+    def d1(t: Double) = 10.0 + t
+    def d2(t: Double) = 20.0 + 2.0 * t
+    val mix = (t: Double) => 0.5 * d1(t) + 0.5 * d2(t)
+    periods.flatMap { t =>
+      val post = if (t > 4.5) 1.0 else 0.0
+      Seq(
+        ("d1", t, d1(t), 0), ("d2", t, d2(t), 0),
+        ("tr_a", t, mix(t) + 3.0 + effect * post, 1),
+        ("tr_b", t, mix(t) - 2.0 + effect * post, 1))
+    }
+  }
+
+  test("synthDid recovers an additive post effect EXACTLY when the " +
+    "treated pre-path is a convex donor mix (unit levels absorbed), " +
+    "and is invariant to a global level shift") {
+    val df = sdidFix(5.0).toDF("u", "p", "v", "tr")
+    val r = ops.SynthControl.synthDid(df, col("u"), col("p"), col("v"),
+      col("tr"), 4.5).head()
+    assert(math.abs(r.getAs[Double]("att") - 5.0) < 1e-8,
+      s"att ${r.getAs[Double]("att")}")
+    assert(r.getAs[String]("se_method") === "jackknife_treated")
+    assert(r.getAs[Long]("n_treated") === 2L)
+    assert(r.getAs[Long]("n_donors") === 2L)
+    assert(r.getAs[Long]("n_pre") === 4L && r.getAs[Long]("n_post") === 4L)
+    // each leave-one-treated-out replicate also recovers 5 exactly
+    assert(r.getAs[Double]("se") < 1e-8)
+    val shifted = sdidFix(5.0).map { case (u, p, v, t) =>
+      (u, p, v + 1000.0, t) }.toDF("u", "p", "v", "tr")
+    val r2 = ops.SynthControl.synthDid(shifted, col("u"), col("p"),
+      col("v"), col("tr"), 4.5).head()
+    assert(math.abs(r2.getAs[Double]("att") - 5.0) < 1e-6)
+    // null effect: att collapses to 0
+    val r0 = ops.SynthControl.synthDid(sdidFix(0.0).toDF("u", "p", "v", "tr"),
+      col("u"), col("p"), col("v"), col("tr"), 4.5).head()
+    assert(math.abs(r0.getAs[Double]("att")) < 1e-8)
+  }
+
+  test("synthDid single treated unit: in-space placebo SE over the " +
+    "donor pool, gateway verb works") {
+    val periods = (1 to 8).map(_.toDouble)
+    val rows = periods.flatMap { t =>
+      val post = if (t > 4.5) 1.0 else 0.0
+      Seq(("d1", t, 10.0 + t, 0), ("d2", t, 20.0 + 2.0 * t, 0),
+        ("d3", t, 5.0 + 0.5 * t + 0.3 * math.sin(t), 0),
+        ("d4", t, 8.0 + 3.0 * t - 0.2 * t * t, 0),
+        ("tr", t, 14.0 + 1.4 * t + 4.0 * post, 1))
+    }
+    rows.toDF("u", "p", "v", "tr").createOrReplaceTempView("sdid_one")
+    val r = GraftGateway.sql(spark,
+      "SELECT synth_did(u, p, v, tr, 4.5) FROM sdid_one").head()
+    assert(r.getAs[Long]("n_treated") === 1L)
+    assert(r.getAs[String]("se_method") === "placebo_4")
+    assert(r.getAs[Double]("se") > 0.0)
+    assert(!r.getAs[Double]("att").isNaN)
+  }
+
+  test("synthDid names its errors: no treated, too few donors, too few " +
+    "pre-periods") {
+    val df = sdidFix(5.0).toDF("u", "p", "v", "tr")
+    val e1 = intercept[IllegalArgumentException] {
+      ops.SynthControl.synthDid(df, col("u"), col("p"), col("v"),
+        lit(0), 4.5)
+    }
+    assert(e1.getMessage.contains("synth_did") &&
+      e1.getMessage.contains("no complete treated"))
+    val e2 = intercept[IllegalArgumentException] {
+      ops.SynthControl.synthDid(df.filter(col("u") =!= "d2"), col("u"),
+        col("p"), col("v"), col("tr"), 4.5)
+    }
+    assert(e2.getMessage.contains(">= 2 complete donor"))
+    val e3 = intercept[IllegalArgumentException] {
+      ops.SynthControl.synthDid(df, col("u"), col("p"), col("v"),
+        col("tr"), 1.5)
+    }
+    assert(e3.getMessage.contains(">= 2 pre-periods"))
+  }
+
   test("grayTest names its errors: single group and too many groups") {
     val df = crFix.toDF("t", "c", "x")
     val ex1 = intercept[IllegalArgumentException] {
