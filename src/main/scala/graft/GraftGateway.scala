@@ -347,7 +347,8 @@ object GraftGateway {
     "spearman", "levene", "fleiss_kappa", "zipf_fit", "chao1",
     "mantel_haenszel", "fisher_exact", "ordinal_assoc", "mood_median",
     "kruskal_wallis", "brunner_munzel", "effect_size", "nelson_aalen",
-    "cumulative_incidence", "ewma", "ljung_box", "sprt", "hosmer_lemeshow",
+    "cumulative_incidence", "ewma", "ljung_box", "acf_pacf", "vif",
+    "sprt", "hosmer_lemeshow",
     "classification_report", "cronbach_alpha", "oaxaca_blinder", "kmeans",
     "dunn_test", "ks_uniform", "theil_sen", "cochran_q", "durbin_watson",
     "logrank_power", "heaps_fit", "kmeans_eval", "overlap", "mad_outliers",
@@ -873,6 +874,17 @@ object GraftGateway {
         require(a.length >= 2, "ljung_box(period, value[, lags])")
         Drift.ljungBox(df, c(a(0)), c(a(1)),
           lags = if (a.length > 2) num(a(2)).toInt else 10)
+      case "acf_pacf" =>
+        // Box-Jenkins order identification: ACF + Durbin-Levinson PACF
+        // per lag with the white-noise band
+        require(a.length >= 2, "acf_pacf(period, value[, lags])")
+        Drift.acfPacf(df, c(a(0)), c(a(1)),
+          lags = if (a.length > 2) num(a(2)).toInt else 10)
+      case "vif" =>
+        // multicollinearity diagnostic: variance inflation factors over
+        // the covariate correlation matrix
+        require(a.length >= 2, "vif(x1, x2, ...)")
+        Regression.vif(df, a.map(c), a.map(name))
       case "sprt" =>
         // classic Wald SPRT for a Bernoulli rate, sticky decision
         require(a.length >= 4, "sprt(bucket, y, p0, p1[, alpha[, beta]])")

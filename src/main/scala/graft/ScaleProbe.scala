@@ -1270,6 +1270,26 @@ object ScaleProbe {
         Seq(col("ax1"), col("ax2")), Seq("ax1", "ax2"))
       assert(r.iterations < 30 && !r.estimates(0).isNaN)
     }
+    time(s"acf_pacf 48 lags ($rows rows, 100k periods)") {
+      // one row-scale collapse to 100k period cells, 48 lag columns on
+      // one ordered cell window, one cell aggregate + O(m^2) driver DL
+      val sdf = df.select(
+        pmod(xxhash64(col("id"), lit(71)), lit(100000L)).as("p"),
+        col("y"))
+      val r = graft.ops.Drift.acfPacf(sdf, col("p"), col("y"), lags = 48)
+        .collect()
+      assert(r.length == 48 && !r.head.getAs[Double]("pacf").isNaN)
+    }
+    time(s"vif 4 covariates ($rows rows)") {
+      // one moment aggregate (4 means + 10 cross moments), driver inverse
+      // NB the 4th column is a NONLINEAR mix — an exact linear
+      // combination is the collinear error path, probed in the spec
+      val r = graft.ops.Regression.vif(df,
+        Seq(col("x1"), col("x2"), col("x3"),
+          col("x1") + col("x2") * col("x2") * 0.5),
+        Seq("x1", "x2", "x3", "mix")).collect()
+      assert(r.length == 4 && r.forall(_.getAs[Double]("vif") >= 1.0 - 1e-9))
+    }
     time(s"synth_did (${rows} rows, 24 units x 12 periods, 6 treated)") {
       // ONE distributed cell collapse; the double FW fit + jackknife
       // replicates are driver arithmetic over 288 cells

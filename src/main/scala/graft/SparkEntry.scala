@@ -3293,6 +3293,34 @@ object SparkEntry {
           col("n"), col("n_events"), col("dist"))
         .orderBy(col("term"))
     }),
+    "q286_acf_pacf" -> ((s, d) => {
+      // Box-Jenkins order identification over the q202 period series:
+      // ACF + Durbin-Levinson PACF per lag. At 3 lags the DL recursion
+      // unrolls to closed forms, so the WHOLE output stays a live oracle
+      t(s, d, "events")
+        .selectExpr("CAST(floor(event_id / 100) AS BIGINT) AS period",
+          "value")
+        .createOrReplaceTempView("ev_ap")
+      GraftGateway.sql(s, "SELECT acf_pacf(period, value, 3) FROM ev_ap")
+        .select(col("lag"), round(col("acf"), 6).as("acf"),
+          round(col("pacf"), 6).as("pacf"),
+          round(col("ci_band"), 6).as("ci_band"))
+        .orderBy(col("lag"))
+    }),
+    "q287_vif" -> ((s, d) => {
+      // multicollinearity screen over three lineitem measures; the
+      // 3x3 correlation inverse unrolls to cofactor closed forms, so
+      // the oracle stays live through vif/tolerance/r_squared
+      t(s, d, "lineitem").select(
+          col("l_quantity").cast("double").as("x1"),
+          col("l_extendedprice").as("x2"), col("l_discount").as("x3"))
+        .createOrReplaceTempView("q287_x")
+      GraftGateway.sql(s, "SELECT vif(x1, x2, x3) FROM q287_x")
+        .select(col("term"), round(col("vif"), 6).as("vif"),
+          round(col("tolerance"), 6).as("tolerance"),
+          round(col("r_squared"), 6).as("r_squared"), col("n"))
+        .orderBy(col("term"))
+    }),
     "q285_synth_did" -> ((s, d) => {
       // synthetic DID over a supplier x quantity-bucket panel: suppliers
       // 0-2 of 12 are 'treated', periods > 3.5 are post. The double
@@ -8268,6 +8296,58 @@ object SparkEntry {
         |  round(s2.u * s2.u / s2.i, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS df
         |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
+    "q286_acf_pacf" ->
+      // the q202 lag-sum self-join plus the Durbin-Levinson recursion
+      // unrolled to closed forms at 3 lags
+      """WITH cells AS (
+        |  SELECT CAST(floor(event_id / 100) AS BIGINT) AS period,
+        |    avg(value) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |st AS (SELECT count(*) AS t, avg(y) AS mu,
+        |    sum(y*y) - sum(y)*avg(y) AS denom FROM cells),
+        |idx AS (SELECT y, row_number() OVER (ORDER BY period) AS i
+        |  FROM cells),
+        |lagk AS (SELECT g.k AS lag,
+        |    sum((a.y - st.mu) * (b.y - st.mu)) AS sk
+        |  FROM generate_series(1, 3) g(k)
+        |  JOIN idx a ON true JOIN idx b ON b.i = a.i + g.k, st
+        |  GROUP BY g.k),
+        |acfx AS (SELECT lag, sk / st.denom AS r FROM lagk, st),
+        |rv AS (SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    max(CASE WHEN lag = 2 THEN r END) AS r2,
+        |    max(CASE WHEN lag = 3 THEN r END) AS r3 FROM acfx),
+        |dl AS (SELECT *, r1 AS p1,
+        |    (r2 - r1*r1) / (1.0 - r1*r1) AS p2 FROM rv),
+        |dl2 AS (SELECT *, r1 - p2*r1 AS phi21 FROM dl),
+        |dl3 AS (SELECT *, (r3 - phi21*r2 - p2*r1)
+        |    / (1.0 - phi21*r1 - p2*r2) AS p3 FROM dl2)
+        |SELECT CAST(lag AS BIGINT) AS lag, round(r, 6) AS acf,
+        |  round(CASE lag WHEN 1 THEN d.p1 WHEN 2 THEN d.p2
+        |    ELSE d.p3 END, 6) AS pacf,
+        |  round(1.96 / sqrt(st.t), 6) AS ci_band
+        |FROM acfx, dl3 d, st ORDER BY lag""".stripMargin,
+    "q287_vif" ->
+      // 3x3 correlation-inverse diagonal via cofactor closed forms:
+      // det = 1 + 2 r12 r13 r23 - r12^2 - r13^2 - r23^2
+      """WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,
+        |    l_extendedprice AS x2, l_discount AS x3 FROM lineitem),
+        |c AS (SELECT corr(x1, x2) AS r12, corr(x1, x3) AS r13,
+        |    corr(x2, x3) AS r23, CAST(count(*) AS BIGINT) AS n FROM s),
+        |d AS (SELECT *, 1 + 2*r12*r13*r23 - r12*r12 - r13*r13 - r23*r23
+        |    AS det FROM c)
+        |SELECT * FROM (
+        |SELECT 'x1' AS term, round((1 - r23*r23) / det, 6) AS vif,
+        |  round(det / (1 - r23*r23), 6) AS tolerance,
+        |  round(1 - det / (1 - r23*r23), 6) AS r_squared, n FROM d
+        |UNION ALL
+        |SELECT 'x2', round((1 - r13*r13) / det, 6),
+        |  round(det / (1 - r13*r13), 6),
+        |  round(1 - det / (1 - r13*r13), 6), n FROM d
+        |UNION ALL
+        |SELECT 'x3', round((1 - r12*r12) / det, 6),
+        |  round(det / (1 - r12*r12), 6),
+        |  round(1 - det / (1 - r12*r12), 6), n FROM d
+        |) ORDER BY term""".stripMargin,
     "q285_synth_did" ->
       // pinned double-Frank-Wolfe estimates at sf0.01 (q142 idiom); the
       // panel design counts are live closed forms

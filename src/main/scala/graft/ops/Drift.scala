@@ -509,6 +509,64 @@ object Drift {
     import spark.implicits._
     out.toDF("lag", "acf", "q_stat", "df", "p_value")
   }
+  /** Autocorrelation + PARTIAL autocorrelation of a period-bucketed
+    * metric — the Box–Jenkins order-identification pair ([[ljungBox]]
+    * answers "is it white noise?"; this answers "which AR/MA order?"):
+    * ACF r_k as in ljungBox, PACF φ_kk by Durbin–Levinson over the r_k
+    * (φ_11 = r_1; φ_kk = (r_k − Σ_j φ_{k−1,j} r_{k−j}) /
+    * (1 − Σ_j φ_{k−1,j} r_j)), with the ±1.96/√T white-noise band.
+    *
+    * 100 TB shape: identical to [[ljungBox]] — ONE row-scale aggregate
+    * to per-period cells, the m lags ride one ordered window over
+    * cells (periods are calendar-bounded), ONE cell aggregate; the
+    * Durbin–Levinson recursion is O(m²) driver arithmetic. Returns one
+    * row per lag k = 1..m: (lag, acf, pacf, ci_band). */
+  def acfPacf(df: DataFrame, period: Column, value: Column,
+              lags: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    require(lags >= 1, s"acf_pacf: lags must be >= 1, got $lags")
+    val v = value.cast("double")
+    val cells = df.filter(period.isNotNull && v.isNotNull)
+      .groupBy(period.cast("long").as("period"))
+      .agg(avg(v).as("y"))
+    val st = cells.agg(count(lit(1)).as("t"), avg(col("y")).as("mu"),
+      sum(col("y") * col("y")).as("syy"), sum(col("y")).as("sy")).head()
+    val tN = st.getAs[Long]("t")
+    require(tN > lags + 1,
+      s"acf_pacf: need more than ${lags + 1} periods for $lags lags, got $tN")
+    val mu = st.getAs[Double]("mu")
+    val denom = st.getAs[Double]("syy") - st.getAs[Double]("sy") * mu
+    require(denom > 0, "acf_pacf: the period metric is constant")
+    val w = Window.orderBy(col("period"))
+    val lagged = cells.select(
+      (col("y") - mu).as("e") +:
+        (1 to lags).map(k => (lag(col("y"), k).over(w) - mu).as(s"e$k")): _*)
+    val sums = lagged.agg(
+      (1 to lags).map(k => sum(col("e") * col(s"e$k")).as(s"s$k")).head,
+      (2 to lags).map(k => sum(col("e") * col(s"e$k")).as(s"s$k")): _*).head()
+    val r = (1 to lags).map(k => sums.getAs[Double](s"s$k") / denom).toArray
+    // Durbin–Levinson: phi(k)(j) = AR(k) coefficients; pacf(k) = phi(k)(k)
+    val pacf = new Array[Double](lags)
+    var prev = new Array[Double](0)
+    for (k <- 1 to lags) {
+      val num = r(k - 1) -
+        (1 until k).map(j => prev(j - 1) * r(k - j - 1)).sum
+      val den = 1.0 - (1 until k).map(j => prev(j - 1) * r(j - 1)).sum
+      val phiKK = if (math.abs(den) < 1e-300) Double.NaN else num / den
+      pacf(k - 1) = phiKK
+      val next = new Array[Double](k)
+      (1 until k).foreach(j =>
+        next(j - 1) = prev(j - 1) - phiKK * prev(k - j - 1))
+      next(k - 1) = phiKK
+      prev = next
+    }
+    val band = 1.96 / math.sqrt(tN.toDouble)
+    import spark.implicits._
+    (1 to lags).map(k => (k.toLong, r(k - 1), pacf(k - 1), band))
+      .toDF("lag", "acf", "pacf", "ci_band")
+  }
+
   /** Embedding centroid drift between two snapshots — per-label centroid
     * L2 shift and cosine between the current corpus and a reference
     * (yesterday's crawl, the previous model's embedding of the same

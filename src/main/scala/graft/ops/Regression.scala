@@ -591,6 +591,66 @@ object Regression {
       .toDF("n", "k", "r2_aux", "lm", "p_value")
   }
 
+  /** Variance inflation factors — the standard multicollinearity
+    * diagnostic BEFORE reading OLS/logistic coefficient SEs:
+    * VIF_j = [R⁻¹]_jj over the covariate correlation matrix R,
+    * equivalently 1/(1−R²_j) from regressing x_j on the other
+    * covariates (identical by the partitioned-inverse identity;
+    * tolerance = 1/VIF, r_squared = 1 − 1/VIF). Rule-of-thumb flags
+    * (VIF > 5 / > 10) are the caller's policy — the numbers are exact.
+    *
+    * 100 TB shape: ONE row-scale moment aggregate (k means + k(k+1)/2
+    * cross moments, all codegen sums), O(k³) driver inverse. Returns
+    * one row per covariate: (term, vif, tolerance, r_squared, n). */
+  def vif(df: DataFrame, xs: Seq[Column], names: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(xs.length >= 2, "vif: need at least 2 covariates")
+    require(names.length == xs.length,
+      s"vif: ${xs.length} covariates but ${names.length} names")
+    val k = xs.length
+    val complete = xs.map(_.isNotNull).reduce(_ && _)
+    val base = df.filter(complete).select(
+      xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
+    val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (0 until k).map(j => avg(col(s"__x$j")).as(s"m$j")) ++
+      pairs.map { case (j, l) =>
+        avg(col(s"__x$j") * col(s"__x$l")).as(s"p${j}_$l") }
+    val r0 = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = r0.getAs[Long]("n")
+    require(n > k.toLong, s"vif: $n complete rows cannot support $k covariates")
+    val m = Array.tabulate(k)(j => r0.getAs[Double](s"m$j"))
+    val cov = LinAlg.zeros(k, k)
+    pairs.foreach { case (j, l) =>
+      cov(j)(l) = r0.getAs[Double](s"p${j}_$l") - m(j) * m(l)
+      cov(l)(j) = cov(j)(l)
+    }
+    (0 until k).foreach(j => require(cov(j)(j) > 0,
+      s"vif: covariate '${names(j)}' is constant"))
+    val sd = Array.tabulate(k)(j => math.sqrt(cov(j)(j)))
+    val corr = Array.tabulate(k, k)((j, l) => cov(j)(l) / (sd(j) * sd(l)))
+    val inv =
+      try LinAlg.invert(corr)
+      catch {
+        case e: RuntimeException => throw new IllegalArgumentException(
+          "vif: singular correlation matrix (perfectly collinear " +
+            "covariates) — drop one of the aliased columns", e)
+      }
+    // VIF = [R^-1]_jj >= 1 exactly; a diagonal below 1 (or non-finite)
+    // means the inverse ran through a near-machine-zero pivot — exact
+    // collinearity that survived floating point, not a real answer
+    (0 until k).foreach(j => require(
+      inv(j)(j).isFinite && inv(j)(j) >= 1.0 - 1e-6,
+      s"vif: correlation matrix is numerically singular at " +
+        s"'${names(j)}' (perfectly collinear covariates) — drop one of " +
+        "the aliased columns"))
+    (0 until k).map { j =>
+      val v = inv(j)(j)
+      (names(j), v, 1.0 / v, 1.0 - 1.0 / v, n)
+    }.toDF("term", "vif", "tolerance", "r_squared", "n")
+  }
+
   def rddBandwidth(df: DataFrame, y: Column, running: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

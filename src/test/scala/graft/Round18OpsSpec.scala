@@ -674,6 +674,100 @@ class Round18OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // acfPacf: Box-Jenkins order identification
+  // ---------------------------------------------------------------
+
+  test("acfPacf: acf matches ljungBox, pacf follows Durbin-Levinson " +
+    "closed forms, band is 1.96/sqrt(T)") {
+    val ys = Seq(3.0, 5.0, 4.0, 6.0, 5.5, 7.0, 6.2, 8.1, 7.4, 9.0,
+      8.2, 10.1, 9.3, 11.0, 10.4, 12.2)
+    val df = ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }
+      .toDF("p", "y")
+    val got = ops.Drift.acfPacf(df, col("p"), col("y"), lags = 3)
+      .orderBy(col("lag")).collect()
+    val lb = ops.Drift.ljungBox(df, col("p"), col("y"), lags = 3)
+      .orderBy(col("lag")).collect()
+    got.zip(lb).foreach { case (a, b) =>
+      assert(math.abs(a.getAs[Double]("acf") - b.getAs[Double]("acf")) < 1e-12)
+    }
+    val r = got.map(_.getAs[Double]("acf"))
+    val p1 = r(0)
+    val p2 = (r(1) - r(0) * r(0)) / (1.0 - r(0) * r(0))
+    // DL step to k=3: phi21 = r1(1 - phi22), phi22 = p2
+    val phi21 = p1 - p2 * p1
+    val p3 = (r(2) - phi21 * r(1) - p2 * r(0)) /
+      (1.0 - phi21 * r(0) - p2 * r(1))
+    val wantP = Seq(p1, p2, p3)
+    got.map(_.getAs[Double]("pacf")).zip(wantP).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"pacf $g vs $w")
+    }
+    assert(math.abs(got(0).getAs[Double]("ci_band") -
+      1.96 / math.sqrt(16.0)) < 1e-12)
+    val ex = intercept[IllegalArgumentException] {
+      ops.Drift.acfPacf(df, col("p"), lit(1.0), lags = 3)
+    }
+    assert(ex.getMessage.contains("acf_pacf") &&
+      ex.getMessage.contains("constant"))
+  }
+
+  // ---------------------------------------------------------------
+  // vif: variance inflation factors
+  // ---------------------------------------------------------------
+
+  test("vif: k=2 symmetry 1/(1-r^2), near-collinear triple blows up, " +
+    "orthogonal columns give exactly 1, named errors") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val x1 = rnd.nextDouble()
+      val x2 = rnd.nextDouble()
+      (x1, x2, x1 + x2 + 0.01 * rnd.nextDouble())
+    }
+    val df = rows.toDF("x1", "x2", "x3")
+    // k=2: both terms = 1/(1-r^2)
+    val v2 = ops.Regression.vif(df, Seq(col("x1"), col("x2")),
+      Seq("x1", "x2")).orderBy(col("term")).collect()
+    val xs1 = rows.map(_._1); val xs2 = rows.map(_._2)
+    val n = rows.length
+    val m1 = xs1.sum / n; val m2 = xs2.sum / n
+    val c12 = xs1.zip(xs2).map { case (a, b) => (a - m1) * (b - m2) }.sum
+    val v1 = xs1.map(a => (a - m1) * (a - m1)).sum
+    val v2s = xs2.map(b => (b - m2) * (b - m2)).sum
+    val r = c12 / math.sqrt(v1 * v2s)
+    val want = 1.0 / (1.0 - r * r)
+    v2.foreach { row =>
+      assert(math.abs(row.getAs[Double]("vif") - want) < 1e-9)
+      assert(math.abs(row.getAs[Double]("tolerance") * want - 1.0) < 1e-9)
+    }
+    // near-collinear: x3 ~ x1 + x2 => all three VIFs large
+    val v3 = ops.Regression.vif(df,
+      Seq(col("x1"), col("x2"), col("x3")), Seq("x1", "x2", "x3"))
+      .collect()
+    assert(v3.forall(_.getAs[Double]("vif") > 100.0),
+      v3.map(_.getAs[Double]("vif")).mkString(","))
+    // exactly orthogonal: alternating patterns with zero correlation
+    val ortho = (0 until 8).map { i =>
+      (if (i % 2 == 0) 1.0 else -1.0, if (i % 4 < 2) 1.0 else -1.0)
+    }.toDF("a", "b")
+    val vo = ops.Regression.vif(ortho, Seq(col("a"), col("b")),
+      Seq("a", "b")).collect()
+    vo.foreach(row => assert(math.abs(row.getAs[Double]("vif") - 1.0) < 1e-12))
+    val e1 = intercept[IllegalArgumentException] {
+      ops.Regression.vif(df, Seq(col("x1"), lit(2.0)), Seq("x1", "c"))
+    }
+    assert(e1.getMessage.contains("vif") && e1.getMessage.contains("constant"))
+    val e2 = intercept[IllegalArgumentException] {
+      ops.Regression.vif(df,
+        Seq(col("x1"), col("x2"), col("x1") + col("x2")),
+        Seq("x1", "x2", "sum"))
+    }
+    assert(e2.getMessage.contains("collinear"))
+    val e3 = intercept[IllegalArgumentException] {
+      ops.Regression.vif(df, Seq(col("x1")), Seq("x1"))
+    }
+    assert(e3.getMessage.contains("at least 2"))
+  }
+
+  // ---------------------------------------------------------------
   // synthDid: synthetic difference-in-differences
   // ---------------------------------------------------------------
 
