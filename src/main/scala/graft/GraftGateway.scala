@@ -344,7 +344,8 @@ object GraftGateway {
     "interrupted_time_series", "changepoint", "weighted_ttest", "gini",
     "prop_test", "benford", "yuen_test", "mcnemar", "cohens_kappa",
     "rdd_bandwidth", "mutual_info", "bland_altman", "trend_test",
-    "spearman", "levene", "fleiss_kappa", "zipf_fit", "chao1",
+    "spearman", "levene", "bartlett", "breslow_day", "design_effect",
+    "fleiss_kappa", "zipf_fit", "chao1",
     "mantel_haenszel", "fisher_exact", "ordinal_assoc", "mood_median",
     "kruskal_wallis", "brunner_munzel", "effect_size", "nelson_aalen",
     "cumulative_incidence", "ewma", "ljung_box", "acf_pacf", "vif",
@@ -1253,6 +1254,21 @@ object GraftGateway {
         require(aa.length >= 2, "levene(y, arm[, 'exact'])")
         SimpleTests.leveneTest(df, c(aa(0)), c(aa(1)),
           exact = exactFlag(a))
+      case "bartlett" =>
+        // parametric equal-variance test; disagreement with levene is
+        // itself a normality diagnostic
+        require(a.length >= 2, "bartlett(y, arm)")
+        SimpleTests.bartlettTest(df, c(a(0)), c(a(1)))
+      case "breslow_day" =>
+        // homogeneity of per-stratum odds ratios (the CMH assumption),
+        // with the Tarone correction
+        require(a.length >= 3, "breslow_day(stratum, t, y)")
+        Contingency.breslowDay(df, c(a(0)), c(a(1)), c(a(2)))
+      case "design_effect" =>
+        // Kish design effect + effective sample size of a weight column
+        require(a.length >= 1, "design_effect(w[, group])")
+        SimpleTests.designEffect(df, c(a(0)),
+          group = if (a.length > 1) Some(c(a(1))) else None)
       case "equivalence_test" =>
         // TOST: both one-sided Welch z tests against the +/- margin
         require(a.length >= 3, "equivalence_test(y, t, margin[, alpha])")

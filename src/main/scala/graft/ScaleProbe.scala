@@ -1270,6 +1270,32 @@ object ScaleProbe {
         Seq(col("ax1"), col("ax2")), Seq("ax1", "ax2"))
       assert(r.iterations < 30 && !r.estimates(0).isNaN)
     }
+    time(s"bartlett 8 arms ($rows rows)") {
+      val r = graft.ops.SimpleTests.bartlettTest(
+        df.withColumn("arm", (col("id") % 8).cast("string")),
+        col("y"), col("arm")).head()
+      assert(r.getAs[Long]("k") == 8L)
+    }
+    time(s"breslow_day ($rows rows, 100k strata)") {
+      // one 2x2 cell aggregate + two cell-scale closing aggregates with
+      // the quadratic solve as a codegen cell expression
+      val bdf = df.select(
+        pmod(xxhash64(col("id"), lit(81)), lit(100000L)).cast("string")
+          .as("st"),
+        (col("id") % 2).cast("int").as("t"),
+        (pmod(xxhash64(col("id"), lit(82)), lit(10L)) < 4).cast("int")
+          .as("yy"))
+      val r = graft.ops.Contingency.breslowDay(bdf, col("st"), col("t"),
+        col("yy")).head()
+      assert(r.getAs[Long]("strata") == 100000L)
+    }
+    time(s"design_effect grouped ($rows rows, 16 groups)") {
+      val r = graft.ops.SimpleTests.designEffect(
+        df.withColumn("w", col("y") * col("y") + 1.0)
+          .withColumn("g", (col("id") % 16).cast("string")),
+        col("w"), Some(col("g"))).collect()
+      assert(r.length == 16)
+    }
     time(s"acf_pacf 48 lags ($rows rows, 100k periods)") {
       // one row-scale collapse to 100k period cells, 48 lag columns on
       // one ordered cell window, one cell aggregate + O(m^2) driver DL

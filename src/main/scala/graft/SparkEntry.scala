@@ -3293,6 +3293,44 @@ object SparkEntry {
           col("n"), col("n_events"), col("dist"))
         .orderBy(col("term"))
     }),
+    "q288_bartlett" -> ((s, d) => {
+      // parametric equal-variance test across return-flag arms; the
+      // whole statistic is closed-form over per-arm variance cells
+      t(s, d, "lineitem").select(col("l_quantity").cast("double").as("y"),
+          col("l_returnflag").as("arm"))
+        .createOrReplaceTempView("q288_arms")
+      GraftGateway.sql(s, "SELECT bartlett(y, arm) FROM q288_arms")
+        .select(col("n"), col("k"),
+          round(col("statistic"), 4).as("statistic"), col("df"))
+    }),
+    "q289_breslow_day" -> ((s, d) => {
+      // odds-ratio homogeneity across supplier-bucket strata (the CMH
+      // assumption check); the per-stratum quadratic solve replays as
+      // closed-form SQL, so the oracle stays fully live
+      t(s, d, "lineitem").select((col("l_suppkey") % 7).cast("string").as("st"),
+          (col("l_orderkey") % 2).cast("int").as("t"),
+          (col("l_quantity") > 25).cast("int").as("y"))
+        .createOrReplaceTempView("q289_strata")
+      GraftGateway.sql(s, "SELECT breslow_day(st, t, y) FROM q289_strata")
+        .select(col("strata"), col("strata_skipped"),
+          round(col("or_mh"), 6).as("or_mh"),
+          round(col("bd_chisq"), 4).as("bd_chisq"),
+          round(col("tarone_chisq"), 4).as("tarone_chisq"), col("df"))
+    }),
+    "q290_design_effect" -> ((s, d) => {
+      // Kish design effect / effective sample size of quantity-as-weight
+      // per return flag — the honest-precision line before any weighted
+      // estimate
+      t(s, d, "lineitem").select(col("l_quantity").cast("double").as("w"),
+          col("l_returnflag").as("g"))
+        .createOrReplaceTempView("q290_w")
+      GraftGateway.sql(s, "SELECT design_effect(w, g) FROM q290_w")
+        .select(col("group_value"), col("n"),
+          round(col("sum_w"), 4).as("sum_w"),
+          round(col("deff"), 6).as("deff"),
+          round(col("ess"), 4).as("ess"))
+        .orderBy(col("group_value"))
+    }),
     "q286_acf_pacf" -> ((s, d) => {
       // Box-Jenkins order identification over the q202 period series:
       // ACF + Durbin-Levinson PACF per lag. At 3 lags the DL recursion
@@ -8296,6 +8334,74 @@ object SparkEntry {
         |  round(s2.u * s2.u / s2.i, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS df
         |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
+    "q288_bartlett" ->
+      // per-arm sample variances, then the textbook closed form
+      """WITH cells AS (SELECT l_returnflag AS a, count(*) AS nk,
+        |    var_samp(CAST(l_quantity AS DOUBLE)) AS v
+        |  FROM lineitem GROUP BY 1),
+        |st AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    sum((nk - 1) * v) AS sw, sum((nk - 1) * ln(v)) AS slog,
+        |    sum(1.0 / (nk - 1)) AS sinv FROM cells)
+        |SELECT n, k,
+        |  round(((n - k) * ln(sw / (n - k)) - slog)
+        |    / (1 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))), 4)
+        |    AS statistic,
+        |  CAST(k - 1 AS DOUBLE) AS df
+        |FROM st""".stripMargin,
+    "q289_breslow_day" ->
+      // MH common OR, then the per-stratum expected-a quadratic and the
+      // harmonic variance as closed forms; Tarone subtracts the
+      // score-sum correction
+      """WITH cells AS (SELECT CAST(l_suppkey % 7 AS VARCHAR) AS s,
+        |    CAST(sum(CASE WHEN l_orderkey % 2 = 1 AND l_quantity > 25
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+        |    CAST(sum(CASE WHEN l_orderkey % 2 = 1 AND l_quantity <= 25
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+        |    CAST(sum(CASE WHEN l_orderkey % 2 = 0 AND l_quantity > 25
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+        |    CAST(sum(CASE WHEN l_orderkey % 2 = 0 AND l_quantity <= 25
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS d
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT sum(a*d/(a+b+c+d)) AS sr, sum(b*c/(a+b+c+d)) AS ss
+        |  FROM cells),
+        |q AS (SELECT cells.*, m.sr/m.ss AS orr, a+b AS r1, a+c AS c1,
+        |    a+b+c+d AS n FROM cells, m),
+        |e AS (SELECT *, (1.0 - orr) AS qa,
+        |    (n - r1 - c1) + orr*(r1+c1) AS qb, -orr*r1*c1 AS qc FROM q),
+        |x AS (SELECT *, CASE WHEN abs(qa) < 1e-12 THEN r1*c1/n
+        |    WHEN ((-qb + sqrt(qb*qb - 4*qa*qc))/(2*qa))
+        |        > greatest(0.0, r1+c1-n)
+        |      AND ((-qb + sqrt(qb*qb - 4*qa*qc))/(2*qa)) < least(r1, c1)
+        |    THEN (-qb + sqrt(qb*qb - 4*qa*qc))/(2*qa)
+        |    ELSE (-qb - sqrt(qb*qb - 4*qa*qc))/(2*qa) END AS e0 FROM e),
+        |x2 AS (SELECT *, least(greatest(e0,
+        |    greatest(0.0, r1+c1-n) + 1e-12),
+        |    least(r1, c1) - 1e-12) AS ee FROM x),
+        |v AS (SELECT *, 1.0/(1.0/ee + 1.0/(r1-ee) + 1.0/(c1-ee)
+        |    + 1.0/(n-r1-c1+ee)) AS vv FROM x2),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS strata, max(orr) AS orr,
+        |    sum((a-ee)*(a-ee)/vv) AS t0, sum(a-ee) AS sd, sum(vv) AS sv
+        |  FROM v)
+        |SELECT strata, CAST(0 AS BIGINT) AS strata_skipped,
+        |  round(orr, 6) AS or_mh, round(t0, 4) AS bd_chisq,
+        |  round(t0 - sd*sd/sv, 4) AS tarone_chisq,
+        |  CAST(strata - 1 AS BIGINT) AS df
+        |FROM f""".stripMargin,
+    "q290_design_effect" ->
+      // two weight moments per group
+      """SELECT l_returnflag AS group_value,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(CAST(l_quantity AS DOUBLE)), 4) AS sum_w,
+        |  round(count(*) * sum(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_quantity AS DOUBLE))
+        |    / (sum(CAST(l_quantity AS DOUBLE))
+        |      * sum(CAST(l_quantity AS DOUBLE))), 6) AS deff,
+        |  round(sum(CAST(l_quantity AS DOUBLE))
+        |      * sum(CAST(l_quantity AS DOUBLE))
+        |    / sum(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_quantity AS DOUBLE)), 4) AS ess
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q286_acf_pacf" ->
       // the q202 lag-sum self-join plus the Durbin-Levinson recursion
       // unrolled to closed forms at 3 lags

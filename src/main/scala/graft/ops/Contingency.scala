@@ -97,6 +97,108 @@ object Contingency {
         "or_lower", "or_upper", "cmh_chisq", "p_value")
   }
 
+  /** Breslow–Day test for homogeneity of odds ratios across strata
+    * (Breslow & Day 1980 §IV.4) with the Tarone (1985) correction — the
+    * check [[mantelHaenszel]] silently assumes: CMH pools a COMMON odds
+    * ratio, and when the per-stratum ORs genuinely differ the pooled
+    * number is the wrong summary (effect modification, not
+    * confounding). Per usable stratum with margins (r1 = a+b,
+    * c1 = a+c, n), the expected a under the MH common OR solves
+    *
+    *   (1−OR)·x² + [(n−r1−c1) + OR·(r1+c1)]·x − OR·r1·c1 = 0
+    *
+    * on max(0, r1+c1−n) < x < min(r1, c1) (the OR = 1 limit is the
+    * independence expectation r1·c1/n); V = the harmonic cell variance
+    * 1/(1/E + 1/(r1−E) + 1/(c1−E) + 1/(n−r1−c1+E));
+    * T = Σ(a−E)²/V ~ χ²_{K−1}, and Tarone subtracts (Σ(a−E))²/ΣV.
+    * Strata with a zero margin carry no OR information and are
+    * excluded (strata_skipped).
+    *
+    * 100 TB shape: per-stratum 2×2 cells in ONE distributed aggregate
+    * ([[mantelHaenszel]]'s shape), then the MH-OR sums and the
+    * (a−E)-moment sums as two cell aggregates with the quadratic solve
+    * as a codegen cell expression — no collect at any stratum count. */
+  def breslowDay(df: DataFrame, stratum: Column, t: Column,
+                 y: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ti = t.cast("int")
+    val yi = y.cast("int")
+    val cells = df
+      .filter(stratum.isNotNull && ti.isNotNull && yi.isNotNull)
+      .groupBy(stratum.cast("string").as("s"))
+      .agg(
+        sum(when(ti === 1 && yi === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(ti === 1 && yi === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(ti === 0 && yi === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(ti === 0 && yi === 0, 1L).otherwise(0L)).as("d"),
+        sum(when((ti =!= 0 && ti =!= 1) || (yi =!= 0 && yi =!= 1), 1L)
+          .otherwise(0L)).as("bad"))
+      .persist()
+    try {
+      val (aa, bb, cc, dd) = (col("a").cast("double"),
+        col("b").cast("double"), col("c").cast("double"),
+        col("d").cast("double"))
+      val n = aa + bb + cc + dd
+      val ok = n >= 2.0
+      val r1 = cells.agg(sum(col("bad")).as("bad"),
+        sum(when(ok, aa * dd / n).otherwise(0.0)).as("sumR"),
+        sum(when(ok, bb * cc / n).otherwise(0.0)).as("sumS")).head()
+      require(r1.getAs[Long]("bad") == 0,
+        s"breslow_day: ${r1.getAs[Long]("bad")} rows have t or y " +
+          "outside {0, 1}")
+      val (sumR, sumS) = (r1.getAs[Double]("sumR"), r1.getAs[Double]("sumS"))
+      require(sumR > 0 && sumS > 0,
+        "breslow_day: a zero diagonal across every stratum — the MH " +
+          "common odds ratio is degenerate (0 or infinite)")
+      val orMh = sumR / sumS
+      val rr1 = aa + bb
+      val cc1 = aa + cc
+      val usable = rr1 > 0.0 && cc1 > 0.0 && rr1 < n && cc1 < n
+      val qA = lit(1.0 - orMh)
+      val qB = (n - rr1 - cc1) + lit(orMh) * (rr1 + cc1)
+      val qC = lit(-orMh) * rr1 * cc1
+      val disc = qB * qB - lit(4.0) * qA * qC
+      val sq = sqrt(greatest(disc, lit(0.0)))
+      val x1 = (lit(0.0) - qB + sq) / (lit(2.0) * qA)
+      val x2 = (lit(0.0) - qB - sq) / (lit(2.0) * qA)
+      val lo = greatest(lit(0.0), rr1 + cc1 - n)
+      val hi = least(rr1, cc1)
+      val pick = when(abs(qA) < 1e-12, rr1 * cc1 / n)
+        .when(x1 > lo && x1 < hi, x1)
+        .otherwise(x2)
+      // float-safety clamp: the interior solution exists for every
+      // usable stratum, but a root can land on the boundary in floats,
+      // where V's harmonic terms divide by zero
+      val e = least(greatest(pick, lo + lit(1e-12)), hi - lit(1e-12))
+      val v = lit(1.0) / (lit(1.0) / e + lit(1.0) / (rr1 - e) +
+        lit(1.0) / (cc1 - e) + lit(1.0) / (n - rr1 - cc1 + e))
+      def u(c0: Column): Column = sum(when(usable, c0).otherwise(0.0))
+      val r2 = cells.agg(
+        sum(when(usable, 1L).otherwise(0L)).as("k"),
+        sum(when(!usable, 1L).otherwise(0L)).as("skipped"),
+        u((aa - e) * (aa - e) / v).as("t0"),
+        u(aa - e).as("sd"), u(v).as("sv")).head()
+      val k = r2.getAs[Long]("k")
+      require(k >= 2,
+        s"breslow_day: need >= 2 strata with all four margins nonzero, " +
+          s"got $k")
+      val t0 = r2.getAs[Double]("t0")
+      val sv = r2.getAs[Double]("sv")
+      val tarone = t0 - r2.getAs[Double]("sd") * r2.getAs[Double]("sd") / sv
+      val dfT = (k - 1).toDouble
+      val p0 = 1.0 - graft.stats.Dist.chiSqCdf(t0, dfT)
+      val pT = 1.0 - graft.stats.Dist.chiSqCdf(math.max(tarone, 0.0), dfT)
+      Seq((k, r2.getAs[Long]("skipped"), orMh, t0, p0,
+        math.max(tarone, 0.0), pT, dfT.toLong))
+        .toDF("strata", "strata_skipped", "or_mh", "bd_chisq", "p_value",
+          "tarone_chisq", "tarone_p", "df")
+    } finally {
+      cells.unpersist()
+      ()
+    }
+  }
+
   /** Fisher's exact test for a 2×2 table — the small-count companion to
     * [[SimpleTests.chisq]] (whose χ² approximation breaks below ~5
     * expected per cell): condition on both margins, enumerate the

@@ -631,6 +631,54 @@ object SimpleTests {
       .toDF("n", "k", "f_stat", "df1", "df2", "p_value")
   }
 
+  /** Bartlett's test for homogeneity of variances (Bartlett 1937) — the
+    * parametric companion to [[leveneTest]]: more powerful under
+    * normality, famously sensitive to heavy tails (which is exactly why
+    * both belong in the toolbox — disagreement between them IS the
+    * normality diagnostic):
+    *
+    *   T = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C ~ χ²_{k−1},
+    *   C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1))
+    *
+    * 100 TB shape: ONE row-scale aggregate to per-arm cells, ONE cell
+    * aggregate (the ln s_i² terms are cell-level codegen columns — no
+    * collect at any arm count). Returns one row:
+    * (n, k, statistic, df, p_value). */
+  def bartlettTest(df: DataFrame, y: Column, arm: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val yd = y.cast("double")
+    val base = df.filter(yd.isNotNull && arm.isNotNull)
+      .select(arm.cast("string").as("__a"), yd.as("__y"))
+    val cells = base.groupBy(col("__a"))
+      .agg(count(lit(1)).as("nk"), sum(col("__y")).as("s"),
+        sum(col("__y") * col("__y")).as("ss"))
+      .select(col("nk"),
+        ((col("ss") - col("s") * col("s") / col("nk")) / (col("nk") - 1))
+          .as("v"))
+    val r = cells.agg(sum(col("nk")).as("n"), count(lit(1)).as("k"),
+      sum((col("nk") - 1) * col("v")).as("sw"),
+      sum(when(col("v") > 0, (col("nk") - 1) * log(col("v")))
+        .otherwise(lit(0.0))).as("slog"),
+      sum(lit(1.0) / (col("nk") - 1)).as("sinv"),
+      min(col("nk")).as("minN"), min(col("v")).as("minV")).head()
+    val n = r.getAs[Long]("n")
+    val k = r.getAs[Long]("k")
+    require(k >= 2, s"bartlett: need at least 2 arms, got $k")
+    require(r.getAs[Long]("minN") >= 2, "bartlett: every arm needs >= 2 rows")
+    require(r.getAs[Double]("minV") > 0,
+      "bartlett: an arm has zero variance — ln s² is undefined " +
+        "(drop constant arms or use levene)")
+    val nd = n.toDouble
+    val sp2 = r.getAs[Double]("sw") / (nd - k)
+    val c = 1.0 + (r.getAs[Double]("sinv") - 1.0 / (nd - k)) /
+      (3.0 * (k - 1))
+    val t = ((nd - k) * math.log(sp2) - r.getAs[Double]("slog")) / c
+    val p = 1.0 - Dist.chiSqCdf(t, (k - 1).toDouble)
+    Seq((n, k, t, (k - 1).toDouble, p))
+      .toDF("n", "k", "statistic", "df", "p_value")
+  }
+
   /** Cochran–Armitage trend test (Armitage 1955): is a binary rate
     * MONOTONE in an ordered exposure (dose bucket, ramp percentage,
     * price tier)? The k-arm χ² (#60/#62) ignores the ordering and wastes
@@ -692,6 +740,53 @@ object SimpleTests {
     * closed forms; everything through z replays in plain SQL. Returns
     * one row: (n0, n1, ess0, ess1, mean0, mean1, diff, se, z,
     * p_value). */
+  /** Kish design effect and effective sample size for a weighting
+    * scheme (Kish 1965) — the line to read BEFORE [[weightedTtest]] or
+    * any IPW estimate: deff = n·Σw²/(Σw)² says how much variance the
+    * weights cost (1 = self-weighting; 4 = the weighted n buys a
+    * quarter of its nominal precision), ess = n/deff is the honest
+    * sample size. Optional group column → one row per group ascending.
+    *
+    * 100 TB shape: ONE aggregate (two weight moments), per group when
+    * grouped. Returns (group_value?, n, sum_w, deff, ess). */
+  def designEffect(df: DataFrame, w: Column,
+                   group: Option[Column] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wd = w.cast("double")
+    val base0 = df.filter(wd.isNotNull)
+    val aggs = Seq(count(lit(1)).as("n"), sum(wd).as("sw"),
+      sum(wd * wd).as("sww"),
+      sum(when(wd < 0, 1L).otherwise(0L)).as("bad"))
+    val rows = group match {
+      case Some(g) =>
+        val collected = base0.filter(g.isNotNull)
+          .groupBy(g.cast("string").as("g"))
+          .agg(aggs.head, aggs.tail: _*).orderBy(col("g"))
+          .limit(10001).collect() // take-ordered: bounded BEFORE collect
+        require(collected.length <= 10000,
+          "design_effect: more than 10000 groups — this is a per-cell " +
+            "metric at that cardinality; aggregate upstream instead")
+        collected.map(r => (Some(r.getString(0)), r)).toSeq
+      case None => Seq((None, base0.agg(aggs.head, aggs.tail: _*).head()))
+    }
+    require(rows.nonEmpty, "design_effect: no rows with a non-null weight")
+    val out = rows.map { case (g, r) =>
+      require(r.getAs[Long]("bad") == 0,
+        s"design_effect: ${r.getAs[Long]("bad")} rows have a negative " +
+          s"weight${g.map(gg => s" in group '$gg'").getOrElse("")}")
+      val n = r.getAs[Long]("n")
+      val sw = r.getAs[Double]("sw")
+      val sww = r.getAs[Double]("sww")
+      require(sw > 0,
+        s"design_effect: zero total weight" +
+          s"${g.map(gg => s" in group '$gg'").getOrElse("")}")
+      val deff = n.toDouble * sww / (sw * sw)
+      (g.getOrElse("__all__"), n, sw, deff, sw * sw / sww)
+    }
+    out.toDF("group_value", "n", "sum_w", "deff", "ess")
+  }
+
   def weightedTtest(df: DataFrame, y: Column, t: Column,
                     weight: Column): DataFrame = {
     val spark = df.sparkSession

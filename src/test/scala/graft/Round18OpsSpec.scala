@@ -674,6 +674,125 @@ class Round18OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // bartlettTest / breslowDay / designEffect
+  // ---------------------------------------------------------------
+
+  test("bartlettTest matches the textbook closed form and names its " +
+    "errors") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 60).map { i =>
+      val arm = i % 3
+      (s"a$arm", 10.0 + arm + (1.0 + 0.5 * arm) * rnd.nextGaussian())
+    }
+    val df = data.toDF("arm", "y")
+    val got = ops.SimpleTests.bartlettTest(df, col("y"), col("arm")).head()
+    // brute
+    val byArm = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = byArm.size
+    val n = data.length
+    val vars = byArm.view.mapValues { ys =>
+      val m = ys.sum / ys.length
+      ys.map(v => (v - m) * (v - m)).sum / (ys.length - 1)
+    }.toMap
+    val sp2 = byArm.map { case (a, ys) => (ys.length - 1) * vars(a) }.sum /
+      (n - k)
+    val c = 1.0 + (byArm.values.map(ys => 1.0 / (ys.length - 1)).sum -
+      1.0 / (n - k)) / (3.0 * (k - 1))
+    val t = ((n - k) * math.log(sp2) -
+      byArm.map { case (a, ys) => (ys.length - 1) * math.log(vars(a)) }.sum) / c
+    assert(math.abs(got.getAs[Double]("statistic") - t) < 1e-9,
+      s"got ${got.getAs[Double]("statistic")} want $t")
+    assert(got.getAs[Long]("k") === 3L)
+    assert(got.getAs[Double]("p_value") > 0 &&
+      got.getAs[Double]("p_value") <= 1)
+    val e1 = intercept[IllegalArgumentException] {
+      ops.SimpleTests.bartlettTest(df, col("y"), lit("one"))
+    }
+    assert(e1.getMessage.contains("bartlett") &&
+      e1.getMessage.contains("at least 2"))
+    val e2 = intercept[IllegalArgumentException] {
+      ops.SimpleTests.bartlettTest(
+        df.withColumn("y2", when(col("arm") === "a0", 5.0)
+          .otherwise(col("y"))), col("y2"), col("arm"))
+    }
+    assert(e2.getMessage.contains("zero variance"))
+  }
+
+  test("breslowDay matches a brute per-stratum quadratic build; " +
+    "homogeneous strata give a small statistic") {
+    // 3 strata with similar ORs + one with a planted different OR
+    val tables = Seq( // (a, b, c, d) per stratum
+      (20L, 10L, 12L, 18L), (35L, 15L, 20L, 30L), (12L, 8L, 7L, 13L),
+      (5L, 25L, 22L, 8L))
+    val rows = tables.zipWithIndex.flatMap { case ((a, b, c, d), s) =>
+      Seq.fill(a.toInt)((s"s$s", 1, 1)) ++ Seq.fill(b.toInt)((s"s$s", 1, 0)) ++
+        Seq.fill(c.toInt)((s"s$s", 0, 1)) ++ Seq.fill(d.toInt)((s"s$s", 0, 0))
+    }
+    val df = rows.toDF("s", "t", "y")
+    val got = ops.Contingency.breslowDay(df, col("s"), col("t"), col("y"))
+      .head()
+    // brute
+    val orMh = tables.map { case (a, b, c, d) =>
+      a.toDouble * d / (a + b + c + d) }.sum /
+      tables.map { case (a, b, c, d) => b.toDouble * c / (a + b + c + d) }.sum
+    var t0 = 0.0; var sd0 = 0.0; var sv0 = 0.0
+    tables.foreach { case (a, b, c, d) =>
+      val n = (a + b + c + d).toDouble
+      val r1 = (a + b).toDouble; val c1 = (a + c).toDouble
+      val qa = 1.0 - orMh
+      val qb = (n - r1 - c1) + orMh * (r1 + c1)
+      val qc = -orMh * r1 * c1
+      val sq = math.sqrt(qb * qb - 4 * qa * qc)
+      val x1 = (-qb + sq) / (2 * qa); val x2 = (-qb - sq) / (2 * qa)
+      val lo = math.max(0.0, r1 + c1 - n); val hi = math.min(r1, c1)
+      val e = if (x1 > lo && x1 < hi) x1 else x2
+      val v = 1.0 / (1.0 / e + 1.0 / (r1 - e) + 1.0 / (c1 - e) +
+        1.0 / (n - r1 - c1 + e))
+      t0 += (a - e) * (a - e) / v; sd0 += a - e; sv0 += v
+    }
+    assert(math.abs(got.getAs[Double]("bd_chisq") - t0) < 1e-9,
+      s"got ${got.getAs[Double]("bd_chisq")} want $t0")
+    assert(math.abs(got.getAs[Double]("tarone_chisq") -
+      (t0 - sd0 * sd0 / sv0)) < 1e-9)
+    assert(math.abs(got.getAs[Double]("or_mh") - orMh) < 1e-12)
+    assert(got.getAs[Long]("strata") === 4L && got.getAs[Long]("df") === 3L)
+    // homogeneous: every stratum shares OR = 3 exactly in expectation
+    val homo = Seq((30L, 10L, 10L, 10L), (60L, 20L, 20L, 20L),
+      (15L, 5L, 5L, 5L))
+    val hrows = homo.zipWithIndex.flatMap { case ((a, b, c, d), s) =>
+      Seq.fill(a.toInt)((s"s$s", 1, 1)) ++ Seq.fill(b.toInt)((s"s$s", 1, 0)) ++
+        Seq.fill(c.toInt)((s"s$s", 0, 1)) ++ Seq.fill(d.toInt)((s"s$s", 0, 0))
+    }
+    val gh = ops.Contingency.breslowDay(hrows.toDF("s", "t", "y"),
+      col("s"), col("t"), col("y")).head()
+    assert(gh.getAs[Double]("bd_chisq") < 1e-9, // identical tables: exact fit
+      s"homogeneous chisq ${gh.getAs[Double]("bd_chisq")}")
+    assert(gh.getAs[Double]("p_value") > 0.999)
+  }
+
+  test("designEffect: equal weights give deff exactly 1, known skewed " +
+    "weights match the closed form, grouped and error paths work") {
+    val eq = (1 to 40).map(i => (1.0 + i * 0.0, s"g${i % 2}"))
+      .toDF("w", "g")
+    val r1 = ops.SimpleTests.designEffect(eq, col("w")).head()
+    assert(math.abs(r1.getAs[Double]("deff") - 1.0) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("ess") - 40.0) < 1e-9)
+    val ws = Seq(1.0, 2.0, 3.0, 4.0)
+    val r2 = ops.SimpleTests.designEffect(ws.toDF("w"), col("w")).head()
+    val deff = 4.0 * ws.map(w => w * w).sum / math.pow(ws.sum, 2)
+    assert(math.abs(r2.getAs[Double]("deff") - deff) < 1e-12)
+    val rg = ops.SimpleTests.designEffect(eq, col("w"), Some(col("g")))
+      .orderBy(col("group_value")).collect()
+    assert(rg.length === 2 && rg(0).getString(0) === "g0" &&
+      rg(0).getAs[Long]("n") === 20L)
+    val e1 = intercept[IllegalArgumentException] {
+      ops.SimpleTests.designEffect(Seq(-1.0, 2.0).toDF("w"), col("w"))
+    }
+    assert(e1.getMessage.contains("design_effect") &&
+      e1.getMessage.contains("negative"))
+  }
+
+  // ---------------------------------------------------------------
   // acfPacf: Box-Jenkins order identification
   // ---------------------------------------------------------------
 
