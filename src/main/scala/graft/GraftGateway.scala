@@ -365,7 +365,8 @@ object GraftGateway {
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
     "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph",
     "cox_ph_strat", "cox_survival", "rmst_diff", "cox_ph_cluster",
-    "fine_gray", "fine_gray_cif", "gray_test", "aft", "aft_survival")
+    "fine_gray", "fine_gray_cif", "gray_test", "aft", "aft_survival",
+    "ordinal_logit")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -552,6 +553,19 @@ object GraftGateway {
         }
         terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
           "n", "n_events", "dist")
+      case "ordinal_logit" =>
+        // proportional-odds cumulative-logit regression (polr's model
+        // and sign convention); rows: cut_1..cut_{J-1} thresholds then
+        // the covariates
+        require(a.length >= 2, "ordinal_logit(y, x...)")
+        val r = graft.ops.Ordinal.ordinalLogit(df, c(a(0)),
+          a.drop(1).map(c), names = a.drop(1).map(name))
+        val terms = r.terms.indices.map { j =>
+          (r.terms(j), r.estimates(j), r.stderr(j), r.zValues(j),
+            r.pValues(j), r.n, r.levels.length.toLong)
+        }
+        terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
+          "n", "n_levels")
       case "aft_survival" =>
         // predicted survival curve at a covariate profile from a stored
         // (or freshly fitted) AFT model; optional trailing dist literal,

@@ -1270,6 +1270,16 @@ object ScaleProbe {
         Seq(col("ax1"), col("ax2")), Seq("ax1", "ax2"))
       assert(r.iterations < 30 && !r.estimates(0).isNaN)
     }
+    time(s"ordinal_logit 5 levels 2 covariates ($rows rows)") {
+      // one O((J+k)^2)-sum aggregate per damped-Newton iteration
+      val odf = df.select(
+        (pmod(xxhash64(col("id"), lit(95)), lit(5L)) + 1).cast("double")
+          .as("tier"),
+        col("x1"), col("x2"))
+      val r = graft.ops.Ordinal.ordinalLogit(odf, col("tier"),
+        Seq(col("x1"), col("x2")), Seq("x1", "x2"))
+      assert(r.iterations < 30 && !r.estimates(0).isNaN)
+    }
     time(s"bartlett 8 arms ($rows rows)") {
       val r = graft.ops.SimpleTests.bartlettTest(
         df.withColumn("arm", (col("id") % 8).cast("string")),

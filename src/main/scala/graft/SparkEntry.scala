@@ -3293,6 +3293,22 @@ object SparkEntry {
           col("n"), col("n_events"), col("dist"))
         .orderBy(col("term"))
     }),
+    "q291_ordinal_logit" -> ((s, d) => {
+      // proportional-odds regression of a 4-level quantity tier. The
+      // damped-Newton MLE has no closed SQL form, so the oracle pins
+      // the sf0.01 estimates (q142 idiom); n / n_levels stay live
+      t(s, d, "lineitem").select(
+          ceil(col("l_quantity") / 13.0).cast("double").as("tier"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("q291_ord")
+      GraftGateway.sql(s, "SELECT ordinal_logit(tier, x1, x2) FROM q291_ord")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("z_value"), 4).as("z_value"),
+          col("n"), col("n_levels"), lit(sfTag(d)).as("oracle_sf"))
+        .orderBy(col("term"))
+    }),
     "q288_bartlett" -> ((s, d) => {
       // parametric equal-variance test across return-flag arms; the
       // whole statistic is closed-form over per-arm variance cells
@@ -8334,6 +8350,30 @@ object SparkEntry {
         |  round(s2.u * s2.u / s2.i, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS df
         |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
+    "q291_ordinal_logit" ->
+      // pinned damped-Newton MLE at sf0.01 (q142 idiom); n / n_levels
+      // are live closed forms
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT ceil(l_quantity / 13.0)) AS BIGINT)
+        |      AS nl FROM lineitem)
+        |SELECT * FROM (
+        |SELECT 'cut_1' AS term, CAST(-1.030948 AS DOUBLE) AS estimate,
+        |  CAST(0.017215 AS DOUBLE) AS stderr,
+        |  CAST(-59.8863 AS DOUBLE) AS z_value,
+        |  n, nl AS n_levels, '0.01' AS oracle_sf FROM s
+        |UNION ALL SELECT 'cut_2', CAST(0.083183 AS DOUBLE),
+        |  CAST(0.016641 AS DOUBLE), CAST(4.9986 AS DOUBLE),
+        |  n, nl, '0.01' FROM s
+        |UNION ALL SELECT 'cut_3', CAST(1.274454 AS DOUBLE),
+        |  CAST(0.017549 AS DOUBLE), CAST(72.6231 AS DOUBLE),
+        |  n, nl, '0.01' FROM s
+        |UNION ALL SELECT 'x1', CAST(-0.004948 AS DOUBLE),
+        |  CAST(0.025146 AS DOUBLE), CAST(-0.1968 AS DOUBLE),
+        |  n, nl, '0.01' FROM s
+        |UNION ALL SELECT 'x2', CAST(-0.006618 AS DOUBLE),
+        |  CAST(0.014615 AS DOUBLE), CAST(-0.4528 AS DOUBLE),
+        |  n, nl, '0.01' FROM s
+        |) ORDER BY term""".stripMargin,
     "q288_bartlett" ->
       // per-arm sample variances, then the textbook closed form
       """WITH cells AS (SELECT l_returnflag AS a, count(*) AS nk,

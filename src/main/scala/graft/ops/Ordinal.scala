@@ -1,0 +1,245 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Proportional-odds (cumulative-logit) ordinal regression — R
+  * `MASS::polr`'s model, the missing middle between [[MlWrappers]]'
+  * binary logistic and a full multinomial: ordered outcomes (severity
+  * tiers, star ratings, LLM-judge grades 1..5) where binary collapsing
+  * throws away the ordering and multinomial ignores it.
+  *
+  *   P(Y ≤ j | x) = σ(θ_j − x'β),  θ_1 < … < θ_{J−1}
+  *
+  * (polr's sign convention: positive β pushes mass to HIGHER
+  * categories). Damped ascent-guaranteed Newton on (θ, β) — the
+  * cumulative-logit likelihood is concave, but the ridge + likelihood
+  * backtracking loop (the [[Aft]] recipe) also enforces the threshold
+  * ordering for free: a step that crosses thresholds makes some row's
+  * cell probability non-positive, the trial likelihood goes NaN, and
+  * the line search rejects it. SEs from the inverse observed
+  * information at the optimum.
+  *
+  * With J = 2 the model IS binary logistic regression: β identical and
+  * θ_1 = −intercept (spec-pinned against logisticIrls to 1e-6).
+  *
+  * 100 TB shape: ONE distributed aggregate per iteration — the
+  * per-row category picks its (θ_c, θ_{c−1}) pair via when-chains over
+  * a literal level array, every gradient/Hessian entry is a codegen
+  * `sum()` (O((J+k)²) of them), and an accepted line-search trial's
+  * stats row doubles as the next iteration's aggregate (the Aft
+  * idiom). O((J+k)³) driver solve. Levels are the sorted distinct
+  * numeric values of y, bounded by maxLevels BEFORE collection.
+  */
+object Ordinal {
+
+  /** `terms` = cut_1.. cut_{J−1} (thresholds, ascending) then the
+    * covariate names. */
+  case class OrdinalFit(terms: Array[String], estimates: Array[Double],
+                        stderr: Array[Double], zValues: Array[Double],
+                        pValues: Array[Double], levels: Array[Double],
+                        n: Long, iterations: Int, logLik: Double)
+
+  def ordinalLogit(df: DataFrame, y: Column, xs: Seq[Column],
+                   names: Seq[String], maxIter: Int = 50,
+                   tol: Double = 1e-9, maxLevels: Int = 50): OrdinalFit = {
+    require(xs.nonEmpty, "ordinal_logit: need at least one covariate")
+    require(names.length == xs.length,
+      s"ordinal_logit: ${xs.length} covariates but ${names.length} names")
+    val k = xs.length
+    val complete = (y +: xs).map(_.isNotNull).reduce(_ && _)
+    val base = df.filter(complete).select(
+      y.cast("double").as("__y") +:
+        xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
+    base.persist()
+    try {
+      val levels = base.select(col("__y")).distinct()
+        .orderBy(col("__y")).limit(maxLevels + 1).collect()
+        .map(_.getDouble(0))
+      require(levels.length >= 2,
+        s"ordinal_logit: need >= 2 outcome levels, got ${levels.length}")
+      require(levels.length <= maxLevels,
+        s"ordinal_logit: more than $maxLevels distinct outcome levels — " +
+          "this is not an ordinal outcome (bucket it first, or raise " +
+          "maxLevels knowingly)")
+      val nJ = levels.length
+      val nTh = nJ - 1
+      val np = nTh + k
+      // category index 1..J via the sorted level array
+      val cIdx = array_position(typedLit(levels.toSeq), col("__y"))
+        .cast("int")
+      val counts = base.groupBy(cIdx.as("__c")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getAs[Long]("n")).toMap
+      val n = counts.values.sum
+      require(n > np.toLong,
+        s"ordinal_logit: $n complete rows cannot identify $np parameters")
+      // init: thresholds at the empirical cumulative logits, beta = 0
+      val theta0 = new Array[Double](np)
+      var cum = 0L
+      (1 to nTh).foreach { j =>
+        cum += counts.getOrElse(j, 0L)
+        val p = math.min(math.max(cum.toDouble / n, 1e-6), 1.0 - 1e-6)
+        theta0(j - 1) = math.log(p / (1.0 - p))
+      }
+      var param = theta0
+
+      // ONE distributed pass at `at`: ll + every gradient/Hessian moment
+      def statsAt(at: Array[Double]): Row = {
+        val eta =
+          if (at.drop(nTh).forall(_ == 0.0)) lit(0.0)
+          else (0 until k).map(j => col(s"__x$j") * lit(at(nTh + j)))
+            .reduce(_ + _)
+        def thC(j: Int): Column = lit(at(j - 1)) // theta_j, j = 1..J-1
+        def sig(c: Column): Column = lit(1.0) / (lit(1.0) + exp(lit(0.0) - c))
+        // per-row A = theta_c - eta (or +inf), B = theta_{c-1} - eta
+        // (or -inf) via when-chains over the category index
+        val cc = cIdx
+        def chainA(f: Int => Column, last: Column): Column =
+          (1 to nTh).foldLeft(when(cc === nJ, last)) { (acc, j) =>
+            acc.when(cc === j, f(j))
+          }
+        def chainB(f: Int => Column, first: Column): Column =
+          (2 to nJ).foldLeft(when(cc === 1, first)) { (acc, j) =>
+            acc.when(cc === j, f(j - 1))
+          }
+        val fA0 = chainA(j => sig(thC(j) - eta), lit(1.0))  // F(A); F(+inf)=1
+        val fB0 = chainB(j => sig(thC(j) - eta), lit(0.0))  // F(B); F(-inf)=0
+        val p0 = fA0 - fB0
+        val p = greatest(p0, lit(1e-300))
+        val dA = fA0 * (lit(1.0) - fA0) // f(A); 0 at +inf
+        val dB = fB0 * (lit(1.0) - fB0) // f(B); 0 at -inf
+        val dpA = dA * (lit(1.0) - lit(2.0) * fA0) // f'(A)
+        val dpB = dB * (lit(1.0) - lit(2.0) * fB0) // f'(B)
+        val gEta = lit(0.0) - (dA - dB) / p
+        val hEta = (dpA - dpB) / p - (dA - dB) * (dA - dB) / (p * p)
+        // threshold-j masks: row contributes through A iff c == j,
+        // through B iff c == j+1
+        def mA(j: Int): Column = (cc === j).cast("double")
+        def mB(j: Int): Column = (cc === j + 1).cast("double")
+        def xcol(l: Int): Column = col(s"__x$l")
+        val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+        aggs += sum(log(p0)).as("ll")
+        (1 to nTh).foreach { j =>
+          aggs += sum(mA(j) * dA / p - mB(j) * dB / p).as(s"gth$j")
+        }
+        (0 until k).foreach { l =>
+          aggs += sum(gEta * xcol(l)).as(s"gb$l")
+        }
+        (1 to nTh).foreach { j =>
+          aggs += sum(mA(j) * (dpA / p - dA * dA / (p * p)) +
+            mB(j) * (lit(0.0) - dpB / p - dB * dB / (p * p))).as(s"hth$j")
+        }
+        (1 until nTh).foreach { j => // adjacent-threshold cross: rows c == j+1
+          aggs += sum(mB(j) * dA * dB / (p * p)).as(s"hthx$j")
+        }
+        (1 to nTh).foreach { j =>
+          (0 until k).foreach { l =>
+            aggs += sum((mA(j) * (lit(0.0) - dpA / p +
+              dA * (dA - dB) / (p * p)) +
+              mB(j) * (dpB / p - dB * (dA - dB) / (p * p))) * xcol(l))
+              .as(s"hc${j}_$l")
+          }
+        }
+        (0 until k).foreach { l1 =>
+          (l1 until k).foreach { l2 =>
+            aggs += sum(hEta * xcol(l1) * xcol(l2)).as(s"hb${l1}_$l2")
+          }
+        }
+        base.agg(aggs.head, aggs.tail.toSeq: _*).head()
+      }
+      def gradNegH(r: Row): (Array[Double], Array[Array[Double]]) = {
+        val g = new Array[Double](np)
+        (1 to nTh).foreach(j => g(j - 1) = r.getAs[Double](s"gth$j"))
+        (0 until k).foreach(l => g(nTh + l) = r.getAs[Double](s"gb$l"))
+        val h = graft.stats.LinAlg.zeros(np, np)
+        (1 to nTh).foreach(j => h(j - 1)(j - 1) = r.getAs[Double](s"hth$j"))
+        (1 until nTh).foreach { j =>
+          h(j - 1)(j) = r.getAs[Double](s"hthx$j"); h(j)(j - 1) = h(j - 1)(j)
+        }
+        (1 to nTh).foreach { j =>
+          (0 until k).foreach { l =>
+            h(j - 1)(nTh + l) = r.getAs[Double](s"hc${j}_$l")
+            h(nTh + l)(j - 1) = h(j - 1)(nTh + l)
+          }
+        }
+        (0 until k).foreach { l1 =>
+          (l1 until k).foreach { l2 =>
+            h(nTh + l1)(nTh + l2) = r.getAs[Double](s"hb${l1}_$l2")
+            h(nTh + l2)(nTh + l1) = h(nTh + l1)(nTh + l2)
+          }
+        }
+        (g, h.map(_.map(x => -x)))
+      }
+
+      var st = statsAt(param)
+      var ll = st.getAs[Double]("ll")
+      require(!ll.isNaN && !ll.isInfinity,
+        "ordinal_logit: non-finite likelihood at the empirical init")
+      var it = 0
+      var done = false
+      while (!done && it < maxIter) {
+        val (g, negH) = gradNegH(st)
+        var mu = 0.0
+        var dir: Array[Double] = null
+        var tries = 0
+        while (dir == null && tries < 60) {
+          val a = Array.tabulate(np, np)((i, j) =>
+            negH(i)(j) + (if (i == j) mu else 0.0))
+          val cand =
+            try Some(graft.stats.LinAlg.matVec(
+              graft.stats.LinAlg.invert(a), g))
+            catch {
+              case _: RuntimeException | _: IllegalArgumentException => None
+            }
+          cand match {
+            case Some(v)
+                if v.zip(g).map { case (x1, x2) => x1 * x2 }.sum > 0 &&
+                  v.forall(x => !x.isNaN && !x.isInfinity) =>
+              dir = v
+            case _ =>
+              mu =
+                if (mu == 0.0)
+                  1e-3 * math.max(1.0, (0 until np).map(i =>
+                    math.abs(negH(i)(i))).max)
+                else mu * 10.0
+          }
+          tries += 1
+        }
+        require(dir != null,
+          "ordinal_logit: could not find an ascent direction " +
+            "(degenerate information) — check for collinear covariates")
+        var f = 1.0
+        var halvings = 0
+        var accepted = false
+        while (!accepted && halvings < 25) {
+          val trial = Array.tabulate(np)(j => param(j) + f * dir(j))
+          // a trial that crosses thresholds produces a non-positive
+          // cell probability -> NaN ll -> rejected here
+          val stT = statsAt(trial)
+          val llT = stT.getAs[Double]("ll")
+          if (!llT.isNaN && !llT.isInfinity && llT >= ll - 1e-12) {
+            param = trial; st = stT; ll = llT; accepted = true
+          } else { f /= 2.0; halvings += 1 }
+        }
+        require(accepted,
+          s"ordinal_logit: line search failed at iteration $it")
+        it += 1
+        val stepMax = dir.map(x => math.abs(f * x)).max
+        val (gNew, _) = gradNegH(st)
+        done = stepMax < tol &&
+          gNew.map(math.abs).max < 1e-7 * (1.0 + math.abs(ll))
+      }
+      val info = gradNegH(st)._2
+      val cov = graft.stats.LinAlg.invert(info)
+      val se = Array.tabulate(np)(j => math.sqrt(cov(j)(j)))
+      val zv = Array.tabulate(np)(j => param(j) / se(j))
+      val pv = zv.map(z =>
+        2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z))))
+      val terms = ((1 to nTh).map(j => s"cut_$j") ++ names).toArray
+      OrdinalFit(terms, param, se, zv, pv, levels, n, it, ll)
+    } finally {
+      base.unpersist()
+      ()
+    }
+  }
+}
