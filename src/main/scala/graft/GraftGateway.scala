@@ -362,7 +362,7 @@ object GraftGateway {
     "distinct_n", "poisson_reg", "c_index", "krippendorff",
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
-    "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg",
+    "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg", "gamma_reg",
     "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph",
     "cox_ph_strat", "cox_survival", "rmst_diff", "cox_ph_cluster",
     "fine_gray", "fine_gray_cif", "gray_test", "aft", "aft_survival",
@@ -1030,6 +1030,12 @@ object GraftGateway {
         // count-outcome GLM (log link) with Pearson-dispersion readout
         require(a.length >= 2, "poisson_reg(y, x...)")
         MlWrappers.poissonSummaryDf(df, c(a(0)), a.drop(1).map(c),
+          a.drop(1).map(name))
+      case "gamma_reg" =>
+        // positive-continuous GLM (log link, Var = phi*mu^2): revenue /
+        // latency / LTV outcomes; exp(beta) reads as a mean ratio
+        require(a.length >= 2, "gamma_reg(y, x...)")
+        MlWrappers.gammaSummaryDf(df, c(a(0)), a.drop(1).map(c),
           a.drop(1).map(name))
       case "cox_zph" =>
         // PH-assumption score test on the Schoenfeld residuals

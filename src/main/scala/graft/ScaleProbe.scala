@@ -1270,6 +1270,16 @@ object ScaleProbe {
         Seq(col("ax1"), col("ax2")), Seq("ax1", "ax2"))
       assert(r.iterations < 30 && !r.estimates(0).isNaN)
     }
+    time(s"gamma_reg 3 covariates ($rows rows)") {
+      // one unweighted OLS scan per IRLS iteration + a dispersion scan
+      val gdf = df.withColumn("gy",
+        exp(col("x1") * 0.3 + col("x2") * 0.1) *
+          (pmod(xxhash64(col("id"), lit(97)), lit(1000L)).cast("double")
+            / 1000.0 + 0.5))
+      val r = graft.ops.MlWrappers.gammaIrls(gdf, col("gy"),
+        Seq(col("x1"), col("x2"), col("x3")))
+      assert(r.converged && r.dispersion > 0)
+    }
     time(s"ordinal_logit 5 levels 2 covariates ($rows rows)") {
       // one O((J+k)^2)-sum aggregate per damped-Newton iteration
       val odf = df.select(

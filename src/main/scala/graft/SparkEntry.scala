@@ -3293,6 +3293,23 @@ object SparkEntry {
           col("n"), col("n_events"), col("dist"))
         .orderBy(col("term"))
     }),
+    "q292_gamma_reg" -> ((s, d) => {
+      // gamma GLM of a positive skewed outcome (price in thousands) on
+      // discount and quantity. The IRLS MLE has no closed SQL form, so
+      // the oracle pins the sf0.01 estimates (q142 idiom); n stays live
+      t(s, d, "lineitem").select(
+          (col("l_extendedprice") / 1000.0).as("y"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_quantity") / 10.0).as("x2"))
+        .createOrReplaceTempView("q292_rev")
+      GraftGateway.sql(s, "SELECT gamma_reg(y, x1, x2) FROM q292_rev")
+        .select(col("term"), round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("z_value"), 4).as("z_value"), col("n"),
+          round(col("dispersion"), 6).as("dispersion"),
+          lit(sfTag(d)).as("oracle_sf"))
+        .orderBy(col("term"))
+    }),
     "q291_ordinal_logit" -> ((s, d) => {
       // proportional-odds regression of a 4-level quantity tier. The
       // damped-Newton MLE has no closed SQL form, so the oracle pins
@@ -8350,6 +8367,23 @@ object SparkEntry {
         |  round(s2.u * s2.u / s2.i, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS df
         |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
+    "q292_gamma_reg" ->
+      // pinned IRLS MLE at sf0.01 (q142 idiom); n is a live closed form
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+        |SELECT * FROM (
+        |SELECT '(intercept)' AS term, CAST(3.961445 AS DOUBLE)
+        |    AS estimate,
+        |  CAST(0.006152 AS DOUBLE) AS stderr,
+        |  CAST(643.9554 AS DOUBLE) AS z_value, n,
+        |  CAST(0.321531 AS DOUBLE) AS dispersion,
+        |  '0.01' AS oracle_sf FROM s
+        |UNION ALL SELECT 'x1', CAST(0.012848 AS DOUBLE),
+        |  CAST(0.007969 AS DOUBLE), CAST(1.6123 AS DOUBLE), n,
+        |  CAST(0.321531 AS DOUBLE), '0.01' FROM s
+        |UNION ALL SELECT 'x2', CAST(0.001357 AS DOUBLE),
+        |  CAST(0.001604 AS DOUBLE), CAST(0.8462 AS DOUBLE), n,
+        |  CAST(0.321531 AS DOUBLE), '0.01' FROM s
+        |) ORDER BY term""".stripMargin,
     "q291_ordinal_logit" ->
       // pinned damped-Newton MLE at sf0.01 (q142 idiom); n / n_levels
       // are live closed forms

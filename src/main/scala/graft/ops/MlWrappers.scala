@@ -283,6 +283,126 @@ object MlWrappers {
       "dispersion", "iterations", "converged")
   }
 
+  /** Gamma GLM fit (log link) with inference. */
+  case class GammaFit(coefficients: Array[Double], intercept: Double,
+                      iterations: Int, converged: Boolean,
+                      stderr: Array[Double], interceptStderr: Double,
+                      dispersion: Double, n: Long) {
+    def zValues: Array[Double] =
+      coefficients.zip(stderr).map { case (c, s) => c / s }
+    def pValues: Array[Double] =
+      zValues.map(z => 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z))))
+  }
+
+  /** IRLS Gamma regression (log link) — the POSITIVE-CONTINUOUS-outcome
+    * sibling of [[poissonIrls]]: revenue per user, latency, LTV —
+    * right-skewed positive outcomes with a roughly constant coefficient
+    * of variation (Var(y) = φμ², exactly the mean-variance shape that
+    * makes OLS-on-levels heteroskedastic and OLS-on-logs answer a
+    * different question: E[ln y], not ln E[y]). exp(β) reads as a mean
+    * RATIO, the number a revenue experiment wants.
+    *
+    * The log-link gamma IRLS is the cleanest of the family: the Fisher
+    * weight (dμ/dη)²/V(μ) = μ²/(φμ²) is CONSTANT, so each iteration is
+    * one UNWEIGHTED OLS of the working response z = η + (y−μ)/μ — the
+    * [[logisticIrls]] broadcast-iterate shape with w = 1. SEs are
+    * φ̂·(XᵀX)⁻¹ with the Pearson dispersion φ̂ = Σ((y−μ̂)/μ̂)²/(n−p)
+    * (φ is a free parameter here, unlike Poisson's fixed 1 — omitting
+    * it would understate every SE by the outcome's CV²). The
+    * intercept-only fit closes exactly: μ̂ = ȳ (spec-pinned).
+    *
+    * Rows with y ≤ 0 are a NAMED error (the gamma density has no mass
+    * there — a zero-inflated outcome needs a hurdle upstream), not a
+    * silent filter. */
+  def gammaIrls(df: DataFrame, y: Column, xs: Seq[Column],
+                maxIter: Int = 25, tol: Double = 1e-8): GammaFit = {
+    require(maxIter > 0, "maxIter must be positive (stderr needs a final fit)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = xs.length
+    val complete = (y +: xs).map(_.isNotNull).reduce(_ && _)
+    val slim = df.filter(complete).select(y.cast("double").as("__y") +:
+      xs.zipWithIndex.map { case (x, i) => x.cast("double").as(s"__x$i") }: _*)
+      .persist()
+    try {
+      val yd = col("__y")
+      val xsS = (0 until k).map(i => col(s"__x$i"))
+      val head = slim.agg(count(lit(1)).as("n"), avg(yd).as("ybar"),
+        sum(when(yd <= 0.0, 1L).otherwise(0L)).as("bad")).head()
+      val nRows = head.getAs[Long]("n")
+      require(head.getAs[Long]("bad") == 0,
+        s"gamma_reg: ${head.getAs[Long]("bad")} rows have y <= 0 — the " +
+          "gamma density has no mass there (hurdle or shift the outcome)")
+      require(nRows > k + 1,
+        s"gamma_reg: need more than ${k + 1} rows, got $nRows")
+      val ybar = head.getAs[Double]("ybar")
+      var beta = Array.fill(k)(0.0) :+ math.log(ybar) // xs coefs ++ bias
+      var converged = false
+      var it = 0
+      var lastModel: OlsModel = null
+      while (it < maxIter && !converged) {
+        val withBeta = slim.crossJoin(
+          broadcast(Seq(Tuple1(beta.toSeq)).toDF("__beta")))
+        val b = col("__beta")
+        // foldLeft from the bias term: the intercept-only fit (k = 0)
+        // is legitimate here — it closes exactly to ln(mean y)
+        val eta = xsS.zipWithIndex.map { case (x, i) =>
+          x * element_at(b, i + 1)
+        }.foldLeft(element_at(b, k + 1): Column)(_ + _)
+        val mu = least(greatest(exp(eta), lit(1e-300)), lit(1e300))
+        val z = eta + (yd - mu) / mu
+        val m = Regression.fitOls(withBeta, z, xsS, useBias = true)
+        lastModel = m
+        val next = m.summary.coefficients // xs ++ bias
+        val delta = next.zip(beta).map { case (a, b2) => math.abs(a - b2) }.max
+        beta = next
+        converged = delta < tol
+        it += 1
+      }
+      // Pearson dispersion at the converged μ: one more aggregate scan
+      val withBeta = slim.crossJoin(
+        broadcast(Seq(Tuple1(beta.toSeq)).toDF("__beta")))
+      val b = col("__beta")
+      val eta = xsS.zipWithIndex.map { case (x, i) =>
+        x * element_at(b, i + 1)
+      }.foldLeft(element_at(b, k + 1): Column)(_ + _)
+      val mu = least(greatest(exp(eta), lit(1e-300)), lit(1e300))
+      val pearson = withBeta.agg(
+        sum(org.apache.spark.sql.functions.pow((yd - mu) / mu, 2)).as("x2"))
+        .head().getAs[Double]("x2")
+      val phi = pearson / (nRows - k - 1).toDouble
+      val se = (0 to k).map(i =>
+        math.sqrt(phi * lastModel.xtxInv(i)(i))).toArray
+      GammaFit(beta.take(k), beta(k), it, converged, se.take(k), se(k),
+        phi, nRows)
+    } finally {
+      slim.unpersist()
+      ()
+    }
+  }
+
+  /** [[gammaIrls]] as a summary frame — the [[poissonSummaryDf]]
+    * shape. */
+  def gammaSummaryDf(df: DataFrame, y: Column, xs: Seq[Column],
+                     names: Seq[String], maxIter: Int = 25): DataFrame = {
+    require(names.length == xs.length,
+      s"gamma_reg: ${xs.length} covariates but ${names.length} names")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fit = gammaIrls(df, y, xs, maxIter = maxIter)
+    val rows = names.indices.map { i =>
+      (names(i), fit.coefficients(i), fit.stderr(i), fit.zValues(i),
+        fit.pValues(i), fit.n, fit.dispersion, fit.iterations,
+        fit.converged)
+    } :+ (("(intercept)", fit.intercept, fit.interceptStderr,
+      fit.intercept / fit.interceptStderr,
+      2.0 * (1.0 - graft.stats.Dist.normCdf(
+        math.abs(fit.intercept / fit.interceptStderr))),
+      fit.n, fit.dispersion, fit.iterations, fit.converged))
+    rows.toDF("term", "estimate", "stderr", "z_value", "p_value", "n",
+      "dispersion", "iterations", "converged")
+  }
+
   /** Negative-binomial (NB2) regression — the overdispersed-count sibling
     * of [[poissonIrls]]: log link, Var(y) = μ + αμ². Real count data
     * (events per user, tokens per doc, crashes per build) routinely

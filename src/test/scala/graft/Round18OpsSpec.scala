@@ -674,6 +674,52 @@ class Round18OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // gammaIrls: positive-continuous GLM (log link)
+  // ---------------------------------------------------------------
+
+  test("gammaIrls: intercept-only closes to mean(y) exactly, score " +
+    "equations vanish at the fit, scale equivariance, named y<=0 error") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map { i =>
+      val x = (i % 10) / 5.0
+      // mean exp(0.5 + 0.6x), gamma-ish multiplicative noise
+      val noise = math.exp(0.5 * rnd.nextGaussian() - 0.125)
+      (math.exp(0.5 + 0.6 * x) * noise, x)
+    }
+    val df = rows.toDF("y", "x")
+    // intercept-only: mu-hat = mean(y) EXACTLY (the score closes)
+    val fI = ops.MlWrappers.gammaIrls(df, col("y"), Seq.empty)
+    val ybar = rows.map(_._1).sum / rows.length
+    assert(math.abs(math.exp(fI.intercept) - ybar) < 1e-9 * ybar,
+      s"${math.exp(fI.intercept)} vs $ybar")
+    // full fit: score equations sum(y/mu - 1) = 0 and sum((y/mu - 1)x) = 0
+    val fit = ops.MlWrappers.gammaIrls(df, col("y"), Seq(col("x")))
+    assert(fit.converged)
+    val scores = rows.map { case (yv, xv) =>
+      val mu = math.exp(fit.intercept + fit.coefficients(0) * xv)
+      (yv / mu - 1.0, (yv / mu - 1.0) * xv)
+    }
+    assert(math.abs(scores.map(_._1).sum) < 1e-6,
+      s"score0 ${scores.map(_._1).sum}")
+    assert(math.abs(scores.map(_._2).sum) < 1e-6,
+      s"scoreX ${scores.map(_._2).sum}")
+    // scale equivariance: y -> 100y shifts only the intercept by ln 100
+    val f100 = ops.MlWrappers.gammaIrls(
+      rows.map { case (yv, xv) => (yv * 100.0, xv) }.toDF("y", "x"),
+      col("y"), Seq(col("x")))
+    assert(math.abs(f100.intercept - fit.intercept - math.log(100.0)) < 1e-7)
+    assert(math.abs(f100.coefficients(0) - fit.coefficients(0)) < 1e-7)
+    assert(math.abs(f100.dispersion - fit.dispersion) < 1e-7)
+    assert(math.abs(f100.stderr(0) - fit.stderr(0)) < 1e-7)
+    val e1 = intercept[IllegalArgumentException] {
+      ops.MlWrappers.gammaIrls(df.withColumn("y2", col("y") - 3.0),
+        col("y2"), Seq(col("x")))
+    }
+    assert(e1.getMessage.contains("gamma_reg") &&
+      e1.getMessage.contains("y <= 0"))
+  }
+
+  // ---------------------------------------------------------------
   // bartlettTest / breslowDay / designEffect
   // ---------------------------------------------------------------
 
