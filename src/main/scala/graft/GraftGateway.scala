@@ -366,7 +366,7 @@ object GraftGateway {
     "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph",
     "cox_ph_strat", "cox_survival", "rmst_diff", "cox_ph_cluster",
     "fine_gray", "fine_gray_cif", "gray_test", "aft", "aft_survival",
-    "ordinal_logit")
+    "ordinal_logit", "ordinal_score")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -374,7 +374,7 @@ object GraftGateway {
     * the siblings are global aggregates. */
   private val transformVerbs = Set("exact_matching", "caliper_matching",
     "cut_bins", "incremental_dedup", "conformal_interval", "fdr_bh",
-    "isotonic_score")
+    "isotonic_score", "ordinal_score")
   private def handles(v: String): Boolean = verbs(v.toLowerCase)
 
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -553,6 +553,23 @@ object GraftGateway {
         }
         terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
           "n", "n_events", "dist")
+      case "ordinal_score" =>
+        // per-row category probabilities + argmax class from a stored
+        // proportional-odds model; last two args are the thresholds CSV
+        // and the betas CSV (ordinal_logit's estimate column split at
+        // the cut count)
+        require(a.length >= 3,
+          "ordinal_score(x..., 'thetas_csv', 'betas_csv')")
+        def osCsv(lit0: String, what: String): Array[Double] =
+          lit0.split(",").map { tok =>
+            tok.trim.toDoubleOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"ordinal_score: $what '$lit0' is not a comma-separated " +
+                  s"number list (offending token '${tok.trim}')"))
+          }
+        val osTh = osCsv(str(a(a.length - 2)), "thetas_csv")
+        val osB = osCsv(str(a.last), "betas_csv")
+        graft.ops.Ordinal.ordinalScore(df, a.dropRight(2).map(c), osTh, osB)
       case "ordinal_logit" =>
         // proportional-odds cumulative-logit regression (polr's model
         // and sign convention); rows: cut_1..cut_{J-1} thresholds then

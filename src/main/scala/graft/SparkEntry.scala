@@ -3293,6 +3293,23 @@ object SparkEntry {
           col("n"), col("n_events"), col("dist"))
         .orderBy(col("term"))
     }),
+    "q293_ordinal_score" -> ((s, d) => {
+      // scoring a STORED proportional-odds model (the isotonic_score
+      // pattern): per-row class probabilities are pure sigmoid closed
+      // forms, collapsed per predicted class so the oracle stays live
+      // and the output bounded at any sf
+      t(s, d, "lineitem").select((col("l_discount") * 10.0).as("x1"))
+        .createOrReplaceTempView("q293_x")
+      GraftGateway.sql(s,
+        "SELECT ordinal_score(x1, '-0.2,0.3,0.8', '1.2') FROM q293_x")
+        .groupBy(col("pred_class"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("prob_1")), 6).as("avg_p1"),
+          round(avg(col("prob_2")), 6).as("avg_p2"),
+          round(avg(col("prob_3")), 6).as("avg_p3"),
+          round(avg(col("prob_4")), 6).as("avg_p4"))
+        .orderBy(col("pred_class"))
+    }),
     "q292_gamma_reg" -> ((s, d) => {
       // gamma GLM of a positive skewed outcome (price in thousands) on
       // discount and quantity. The IRLS MLE has no closed SQL form, so
@@ -8367,6 +8384,27 @@ object SparkEntry {
         |  round(s2.u * s2.u / s2.i, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS df
         |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
+    "q293_ordinal_score" ->
+      // per-row cumulative sigmoids, category differences, argmax (ties
+      // to the LOWEST class — matches the engine's strict-> fold), then
+      // the per-class collapse
+      """WITH s AS (SELECT l_discount * 10.0 AS x FROM lineitem),
+        |p AS (SELECT
+        |    1.0/(1.0 + exp(-(-0.2 - 1.2*x))) AS c1,
+        |    1.0/(1.0 + exp(-(0.3 - 1.2*x))) AS c2,
+        |    1.0/(1.0 + exp(-(0.8 - 1.2*x))) AS c3
+        |  FROM s),
+        |pr AS (SELECT c1 AS p1, c2 - c1 AS p2, c3 - c2 AS p3,
+        |    1.0 - c3 AS p4 FROM p),
+        |cls AS (SELECT *, CASE
+        |    WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 THEN 1
+        |    WHEN p2 >= p3 AND p2 >= p4 THEN 2
+        |    WHEN p3 >= p4 THEN 3 ELSE 4 END AS pred_class FROM pr)
+        |SELECT CAST(pred_class AS INT) AS pred_class,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(p1), 6) AS avg_p1, round(avg(p2), 6) AS avg_p2,
+        |  round(avg(p3), 6) AS avg_p3, round(avg(p4), 6) AS avg_p4
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     "q292_gamma_reg" ->
       // pinned IRLS MLE at sf0.01 (q142 idiom); n is a live closed form
       """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)

@@ -242,4 +242,46 @@ object Ordinal {
       ()
     }
   }
+
+  /** Ordinal predicted class probabilities — the APPLY verb after
+    * [[ordinalLogit]] (the isotonic_score / aft_survival pattern): adds
+    * prob_1..prob_J (category probabilities in level order,
+    * P(Y = j | x) = σ(θ_j − η) − σ(θ_{j−1} − η)) and pred_class (the
+    * 1-based argmax) to every input row. `thetas`/`betas` are
+    * [[ordinalLogit]]'s estimate vector split at the cut count —
+    * explicit values score a STORED model as pure codegen per-row
+    * arithmetic (the form whose oracle stays live SQL); pass the fit's
+    * estimates to chain. Thresholds must ascend (named error).
+    *
+    * 100 TB shape: a pure per-row projection — no aggregate, no
+    * shuffle, no collect. */
+  def ordinalScore(df: DataFrame, xs: Seq[Column], thetas: Array[Double],
+                   betas: Array[Double]): DataFrame = {
+    require(xs.length == betas.length,
+      s"ordinal_score: ${xs.length} covariates but ${betas.length} betas")
+    require(thetas.nonEmpty, "ordinal_score: need at least one threshold")
+    require(thetas.zip(thetas.tail).forall { case (a, b) => a < b },
+      s"ordinal_score: thresholds must strictly ascend, got " +
+        thetas.mkString(","))
+    val nJ = thetas.length + 1
+    val eta =
+      if (betas.forall(_ == 0.0)) lit(0.0)
+      else xs.zip(betas).map { case (x, b) => x.cast("double") * lit(b) }
+        .reduce(_ + _)
+    def sig(c: Column): Column = lit(1.0) / (lit(1.0) + exp(lit(0.0) - c))
+    val cum = (1 to (nJ - 1)).map(j => sig(lit(thetas(j - 1)) - eta))
+    val probs = (1 to nJ).map { j =>
+      val hi = if (j == nJ) lit(1.0) else cum(j - 1)
+      val lo = if (j == 1) lit(0.0) else cum(j - 2)
+      (hi - lo).as(s"prob_$j")
+    }
+    val withP = df.select(col("*") +: probs: _*)
+    val pred = (2 to nJ).foldLeft((lit(1), col("prob_1"))) {
+      case ((bestIx, bestP), j) =>
+        val better = col(s"prob_$j") > bestP
+        (when(better, lit(j)).otherwise(bestIx),
+          when(better, col(s"prob_$j")).otherwise(bestP))
+    }._1
+    withP.withColumn("pred_class", pred)
+  }
 }

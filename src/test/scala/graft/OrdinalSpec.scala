@@ -88,6 +88,44 @@ class OrdinalSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("more than 3"))
   }
 
+  test("ordinalScore: probabilities match the sigmoid closed form, sum " +
+    "to 1, argmax class; named errors for bad thresholds and arity") {
+    val df = fix.toDF("y", "x")
+    val thetas = Array(-0.5, 0.8, 2.1)
+    val betas = Array(1.1)
+    val got = ops.Ordinal.ordinalScore(df, Seq(col("x")), thetas, betas)
+      .collect()
+    def sig(v: Double) = 1.0 / (1.0 + math.exp(-v))
+    got.foreach { r =>
+      val x = r.getAs[Double]("x")
+      val eta = 1.1 * x
+      val cum = thetas.map(t => sig(t - eta))
+      val want = (0 to 3).map { j =>
+        val hi = if (j == 3) 1.0 else cum(j)
+        val lo = if (j == 0) 0.0 else cum(j - 1)
+        hi - lo
+      }
+      (1 to 4).foreach { j =>
+        assert(math.abs(r.getAs[Double](s"prob_$j") - want(j - 1)) < 1e-12)
+      }
+      assert(math.abs((1 to 4).map(j => r.getAs[Double](s"prob_$j")).sum
+        - 1.0) < 1e-12)
+      val argmax = want.zipWithIndex.maxBy(_._1)._2 + 1
+      assert(r.getAs[Int]("pred_class") === argmax, s"x=$x")
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      ops.Ordinal.ordinalScore(df, Seq(col("x")), Array(1.0, 0.5),
+        Array(1.0))
+    }
+    assert(e1.getMessage.contains("ordinal_score") &&
+      e1.getMessage.contains("ascend"))
+    val e2 = intercept[IllegalArgumentException] {
+      ops.Ordinal.ordinalScore(df, Seq(col("x")), Array(0.5),
+        Array(1.0, 2.0))
+    }
+    assert(e2.getMessage.contains("betas"))
+  }
+
   test("ordinal_logit gateway verb emits one row per threshold and " +
     "covariate") {
     fix.toDF("y", "x").createOrReplaceTempView("ord_t")
