@@ -363,7 +363,8 @@ object GraftGateway {
     "retrieval_eval", "dagostino_k2", "win_ratio", "pagerank", "adf_test",
     "mmr", "chow_test", "breusch_pagan", "k_anonymity", "mmd_rff",
     "cochran_armitage", "auc_ci", "g_test", "ope", "neg_bin_reg", "gamma_reg",
-    "isotonic_calibrate", "isotonic_score", "weighted_kappa", "cox_zph",
+    "isotonic_calibrate", "isotonic_score", "platt_score",
+    "weighted_kappa", "cox_zph",
     "cox_ph_strat", "cox_survival", "rmst_diff", "cox_ph_cluster",
     "fine_gray", "fine_gray_cif", "gray_test", "aft", "aft_survival",
     "ordinal_logit", "ordinal_score")
@@ -374,7 +375,7 @@ object GraftGateway {
     * the siblings are global aggregates. */
   private val transformVerbs = Set("exact_matching", "caliper_matching",
     "cut_bins", "incremental_dedup", "conformal_interval", "fdr_bh",
-    "isotonic_score", "ordinal_score")
+    "isotonic_score", "ordinal_score", "platt_score")
   private def handles(v: String): Boolean = verbs(v.toLowerCase)
 
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -1079,6 +1080,13 @@ object GraftGateway {
         val train = spark.table(str(a(2)))
         MlEval.isotonicScore(train, c(a(0)), c(a(1)), df, c(a(0)),
           maxCells = if (a.length > 3) num(a(3)).toInt else 100000)
+      case "platt_score" =>
+        // parametric calibrate-then-score (isotonic_score's signature):
+        // fit sigma(a + b*score) on the registered train table, apply
+        // to the FROM side's score column as one codegen sigmoid
+        require(a.length >= 3, "platt_score(score, label, 'train_table')")
+        MlEval.plattScore(spark.table(str(a(2))), c(a(0)), c(a(1)),
+          df, c(a(0)))
       case "neg_bin_reg" =>
         // overdispersed-count GLM (NB2): Poisson pilot -> moment alpha
         // -> weighted IRLS

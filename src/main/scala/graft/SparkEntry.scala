@@ -3293,6 +3293,25 @@ object SparkEntry {
           col("n"), col("n_events"), col("dist"))
         .orderBy(col("term"))
     }),
+    "q294_platt_score" -> ((s, d) => {
+      // parametric calibrate-then-score: logistic of (quantity > 25) on
+      // the discount score, applied back to the same table and
+      // collapsed per distinct score. The 2-parameter fit is iterative,
+      // so the oracle pins (a, b) at sf0.01 and replays the sigmoid +
+      // collapse live
+      t(s, d, "lineitem").select((col("l_discount") * 10.0).as("sc"),
+          (col("l_quantity") > 25).cast("double").as("lbl"))
+        .createOrReplaceTempView("q294_cal")
+      GraftGateway.sql(s,
+        "SELECT platt_score(sc, lbl, 'q294_cal') FROM q294_cal")
+        .groupBy(col("sc")).agg(count(lit(1)).as("n"),
+          round(avg(col("calibrated")), 6).as("avg_cal"),
+          round(avg(col("lbl")), 6).as("rate"))
+        .withColumn("sc", round(col("sc"), 2))
+        .select(col("sc"), col("n"), col("avg_cal"), col("rate"),
+          lit(sfTag(d)).as("oracle_sf"))
+        .orderBy(col("sc"))
+    }),
     "q293_ordinal_score" -> ((s, d) => {
       // scoring a STORED proportional-odds model (the isotonic_score
       // pattern): per-row class probabilities are pure sigmoid closed
@@ -8384,6 +8403,23 @@ object SparkEntry {
         |  round(s2.u * s2.u / s2.i, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS df
         |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
+    "q294_platt_score" ->
+      // pinned sigmoid values per score cell at sf0.01 (calibrated is
+      // CONSTANT within a cell, so the 11 pins capture the whole fit);
+      // n and the empirical rate stay live
+      """WITH cells AS (SELECT round(l_discount * 10.0, 2) AS sc,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    round(avg(CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END),
+        |      6) AS rate
+        |  FROM lineitem GROUP BY 1),
+        |pins(sc, avg_cal) AS (VALUES
+        |  (0.0, 0.500912), (0.1, 0.500382), (0.2, 0.499852),
+        |  (0.3, 0.499322), (0.4, 0.498792), (0.5, 0.498262),
+        |  (0.6, 0.497732), (0.7, 0.497202), (0.8, 0.496672),
+        |  (0.9, 0.496142), (1.0, 0.495612))
+        |SELECT c.sc, c.n, p.avg_cal, c.rate, '0.01' AS oracle_sf
+        |FROM cells c JOIN pins p ON c.sc = p.sc
+        |ORDER BY c.sc""".stripMargin,
     "q293_ordinal_score" ->
       // per-row cumulative sigmoids, category differences, argmax (ties
       // to the LOWEST class — matches the engine's strict-> fold), then

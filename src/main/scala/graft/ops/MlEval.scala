@@ -464,6 +464,31 @@ object MlEval {
     * ScalaUDF boxing on the target side, which is the verb's whole
     * design target (scoring tomorrow's traffic). Returns `target` plus
     * the `out` column (null where the target score is null/NaN). */
+  /** Platt scaling — the PARAMETRIC sibling of [[isotonicScore]]
+    * (Platt 1999): fit the 1-covariate logistic σ(a + b·score) on the
+    * train frame, apply it to the target frame. Where isotonic needs
+    * enough mass per step cell, Platt's two parameters stay stable on
+    * small calibration sets, at the price of the sigmoid shape
+    * assumption — ship both and read the calibration plot. The
+    * logistic intercept score equation makes mean(calibrated) over the
+    * TRAIN slice equal mean(label) EXACTLY (spec-pinned) — Platt
+    * calibration cannot be globally biased.
+    *
+    * 100 TB shape: the [[MlWrappers.logisticIrls]] scans run on the
+    * train side only; the apply is one per-row codegen sigmoid — no
+    * join, no shuffle, no state on the target side. */
+  def plattScore(train: DataFrame, score: Column, label: Column,
+                 target: DataFrame, targetScore: Column,
+                 out: String = "calibrated"): DataFrame = {
+    val fit = MlWrappers.logisticIrls(train, label, Seq(score))
+    require(fit.converged,
+      "platt_score: the logistic calibration did not converge — check " +
+        "for a degenerate (constant-label or constant-score) train slice")
+    val eta = lit(fit.intercept) +
+      targetScore.cast("double") * lit(fit.coefficients(0))
+    target.withColumn(out, lit(1.0) / (lit(1.0) + exp(lit(0.0) - eta)))
+  }
+
   def isotonicScore(train: DataFrame, score: Column, label: Column,
                     target: DataFrame, targetScore: Column,
                     maxCells: Int = 100000,

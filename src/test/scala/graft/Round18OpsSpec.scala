@@ -674,6 +674,42 @@ class Round18OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // plattScore: parametric calibration
+  // ---------------------------------------------------------------
+
+  test("plattScore: calibrated equals the fitted sigmoid per row, is " +
+    "monotone, and mean(calibrated) over train equals mean(label) " +
+    "exactly (the intercept score equation)") {
+    val rows = (0 until 240).map { i =>
+      val s = i / 240.0
+      val u = (math.sin(i * 2.39996) + 1.0) / 2.0
+      (s, if (u < 1.0 / (1.0 + math.exp(-(3.0 * s - 1.5)))) 1.0 else 0.0)
+    }
+    val df = rows.toDF("s", "y")
+    val fit = ops.MlWrappers.logisticIrls(df, col("y"), Seq(col("s")))
+    val got = ops.MlEval.plattScore(df, col("s"), col("y"), df, col("s"))
+      .orderBy(col("s")).collect()
+    got.foreach { r =>
+      val want = 1.0 / (1.0 +
+        math.exp(-(fit.intercept + fit.coefficients(0) * r.getAs[Double]("s"))))
+      assert(math.abs(r.getAs[Double]("calibrated") - want) < 1e-12)
+    }
+    val cal = got.map(_.getAs[Double]("calibrated"))
+    assert(cal.zip(cal.tail).forall { case (a, b) => b >= a },
+      "not monotone (b should be positive on this fixture)")
+    val meanCal = cal.sum / cal.length
+    val meanY = rows.map(_._2).sum / rows.length
+    assert(math.abs(meanCal - meanY) < 1e-8, s"$meanCal vs $meanY")
+    // gateway wiring: train table registered by name
+    df.createOrReplaceTempView("platt_train")
+    df.createOrReplaceTempView("platt_target")
+    val viaSql = GraftGateway.sql(spark,
+      "SELECT platt_score(s, y, 'platt_train') FROM platt_target")
+    assert(viaSql.columns.contains("calibrated") &&
+      viaSql.count() === 240L)
+  }
+
+  // ---------------------------------------------------------------
   // gammaIrls: positive-continuous GLM (log link)
   // ---------------------------------------------------------------
 
