@@ -367,7 +367,7 @@ object GraftGateway {
     "weighted_kappa", "cox_zph",
     "cox_ph_strat", "cox_survival", "rmst_diff", "cox_ph_cluster",
     "fine_gray", "fine_gray_cif", "gray_test", "aft", "aft_survival",
-    "ordinal_logit", "ordinal_score")
+    "ordinal_logit", "ordinal_score", "multinomial_logit")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -554,6 +554,26 @@ object GraftGateway {
         }
         terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
           "n", "n_events", "dist")
+      case "multinomial_logit" =>
+        // softmax regression vs the lowest level as reference (nnet's
+        // convention); one row per (class_value, term)
+        require(a.length >= 2, "multinomial_logit(y, x...)")
+        val r = graft.ops.Multinomial.multinomialLogit(df, c(a(0)),
+          a.drop(1).map(c), names = a.drop(1).map(name))
+        val termNames = "(intercept)" +: a.drop(1).map(name)
+        val rows = for {
+          j <- 1 until r.levels.length
+          m <- termNames.indices
+        } yield {
+          val est = r.estimates(j - 1)(m)
+          val se = r.stderr(j - 1)(m)
+          val z = est / se
+          (r.levels(j), termNames(m), est, se, z,
+            2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z))),
+            r.n, r.levels.length.toLong)
+        }
+        rows.toDF("class_value", "term", "estimate", "stderr", "z_value",
+          "p_value", "n", "n_levels")
       case "ordinal_score" =>
         // per-row category probabilities + argmax class from a stored
         // proportional-odds model; last two args are the thresholds CSV

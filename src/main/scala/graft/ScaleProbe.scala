@@ -1270,6 +1270,16 @@ object ScaleProbe {
         Seq(col("ax1"), col("ax2")), Seq("ax1", "ax2"))
       assert(r.iterations < 30 && !r.estimates(0).isNaN)
     }
+    time(s"multinomial_logit 4 classes 2 covariates ($rows rows)") {
+      // one softmax-moment aggregate per damped-Newton iteration
+      val mdf = df.select(
+        (pmod(xxhash64(col("id"), lit(96)), lit(4L)) + 1).cast("double")
+          .as("cls"),
+        col("x1"), col("x2"))
+      val r = graft.ops.Multinomial.multinomialLogit(mdf, col("cls"),
+        Seq(col("x1"), col("x2")), Seq("x1", "x2"))
+      assert(r.iterations < 30 && !r.estimates(0)(0).isNaN)
+    }
     time(s"gamma_reg 3 covariates ($rows rows)") {
       // one unweighted OLS scan per IRLS iteration + a dispersion scan
       val gdf = df.withColumn("gy",

@@ -3293,6 +3293,24 @@ object SparkEntry {
           col("n"), col("n_events"), col("dist"))
         .orderBy(col("term"))
     }),
+    "q295_multinomial_logit" -> ((s, d) => {
+      // softmax regression of a 3-level quantity tier vs the lowest
+      // tier. The damped-Newton MLE has no closed SQL form, so the
+      // oracle pins the sf0.01 estimates (q142 idiom); n stays live
+      t(s, d, "lineitem").select(
+          ceil(col("l_quantity") / 17.0).cast("double").as("tier"),
+          (col("l_discount") * 10.0).as("x1"),
+          (col("l_orderkey") % 2).cast("double").as("x2"))
+        .createOrReplaceTempView("q295_mn")
+      GraftGateway.sql(s,
+        "SELECT multinomial_logit(tier, x1, x2) FROM q295_mn")
+        .select(col("class_value"), col("term"),
+          round(col("estimate"), 6).as("estimate"),
+          round(col("stderr"), 6).as("stderr"),
+          round(col("z_value"), 4).as("z_value"),
+          col("n"), col("n_levels"), lit(sfTag(d)).as("oracle_sf"))
+        .orderBy(col("class_value"), col("term"))
+    }),
     "q294_platt_score" -> ((s, d) => {
       // parametric calibrate-then-score: logistic of (quantity > 25) on
       // the discount score, applied back to the same table and
@@ -8403,6 +8421,22 @@ object SparkEntry {
         |  round(s2.u * s2.u / s2.i, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS df
         |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
+    "q295_multinomial_logit" ->
+      // pinned damped-Newton MLE at sf0.01 (q142 idiom); n is live
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+        |pins(class_value, term, estimate, stderr, z_value) AS (VALUES
+        |  (2.0, '(intercept)', 0.040792, 0.021993, 1.8548),
+        |  (2.0, 'x1', -0.049959, 0.034033, -1.4679),
+        |  (2.0, 'x2', -0.045375, 0.019774, -2.2947),
+        |  (3.0, '(intercept)', -0.059830, 0.022447, -2.6654),
+        |  (3.0, 'x1', -0.018034, 0.034622, -0.5209),
+        |  (3.0, 'x2', -0.010427, 0.020114, -0.5184))
+        |SELECT p.class_value, p.term,
+        |  CAST(p.estimate AS DOUBLE) AS estimate,
+        |  CAST(p.stderr AS DOUBLE) AS stderr,
+        |  CAST(p.z_value AS DOUBLE) AS z_value,
+        |  s.n, CAST(3 AS BIGINT) AS n_levels, '0.01' AS oracle_sf
+        |FROM pins p, s ORDER BY p.class_value, p.term""".stripMargin,
     "q294_platt_score" ->
       // pinned sigmoid values per score cell at sf0.01 (calibrated is
       // CONSTANT within a cell, so the 11 pins capture the whole fit);

@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Multinomial (softmax) logistic regression — R `nnet::multinom`'s
+  * model, completing the categorical-GLM family beside
+  * [[MlWrappers.logisticIrls]] (binary) and [[Ordinal.ordinalLogit]]
+  * (ordered): UNORDERED outcomes (variant arms, content categories,
+  * routing decisions) where ordinal's single shared slope is the wrong
+  * structure.
+  *
+  *   P(Y = j | x) = exp(η_j) / Σ_l exp(η_l),  η_1 ≡ 0 (the lowest
+  *   level is the reference class, nnet's convention), η_j = β_j'x̃
+  *
+  * The log-likelihood is globally concave; the fit still runs the
+  * damped ascent-guaranteed Newton (the [[Aft]] recipe) for uniformity
+  * and float safety. SEs from the inverse observed information. With
+  * J = 2 the model IS binary logistic regression for class 2 vs class
+  * 1 — coefficients and SEs identical (spec-pinned against
+  * logisticIrls to 1e-6).
+  *
+  * 100 TB shape: ONE distributed aggregate per iteration — the per-row
+  * class probabilities are codegen softmax columns over literal-β
+  * linear terms, gradient (J−1)(k+1) sums, Hessian
+  * (J−1)J/2 · (k+1)(k+2)/2 sums — then an O(((J−1)(k+1))³) driver
+  * solve; an accepted line-search trial's stats row doubles as the
+  * next iteration's aggregate. Levels bounded by maxLevels BEFORE
+  * collection.
+  */
+object Multinomial {
+
+  /** One entry per non-reference class (levels(1)..levels(J−1)), each
+    * with intercept-first coefficient vectors. */
+  case class MultinomialFit(levels: Array[Double],
+                            estimates: Array[Array[Double]],
+                            stderr: Array[Array[Double]],
+                            n: Long, iterations: Int, logLik: Double)
+
+  def multinomialLogit(df: DataFrame, y: Column, xs: Seq[Column],
+                       names: Seq[String], maxIter: Int = 50,
+                       tol: Double = 1e-9,
+                       maxLevels: Int = 20): MultinomialFit = {
+    require(xs.nonEmpty, "multinomial_logit: need at least one covariate")
+    require(names.length == xs.length,
+      s"multinomial_logit: ${xs.length} covariates but ${names.length} names")
+    val k = xs.length
+    val complete = (y +: xs).map(_.isNotNull).reduce(_ && _)
+    val base = df.filter(complete).select(
+      y.cast("double").as("__y") +:
+        xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
+    base.persist()
+    try {
+      val levels = base.select(col("__y")).distinct()
+        .orderBy(col("__y")).limit(maxLevels + 1).collect()
+        .map(_.getDouble(0))
+      require(levels.length >= 2,
+        s"multinomial_logit: need >= 2 outcome levels, got ${levels.length}")
+      require(levels.length <= maxLevels,
+        s"multinomial_logit: more than $maxLevels distinct outcome " +
+          "levels — bucket the outcome first (or raise maxLevels knowingly)")
+      val nJ = levels.length
+      val kp = k + 1 // intercept + covariates, intercept first
+      val np = (nJ - 1) * kp
+      val cIdx = array_position(typedLit(levels.toSeq), col("__y"))
+        .cast("int")
+      val n = base.count()
+      require(n > np.toLong,
+        s"multinomial_logit: $n complete rows cannot identify $np parameters")
+      def xcol(m: Int): Column = if (m == 0) lit(1.0) else col(s"__x${m - 1}")
+      // parameter layout: class j (2..J) block of kp entries
+      def pix(j: Int, m: Int): Int = (j - 2) * kp + m
+
+      def statsAt(at: Array[Double]): Row = {
+        // eta_j for non-reference classes, clamped for exp safety
+        val etas = (2 to nJ).map { j =>
+          least(greatest(
+            (0 until kp).map(m => xcol(m) * lit(at(pix(j, m))))
+              .reduce(_ + _), lit(-50.0)), lit(50.0))
+        }
+        val denom = etas.map(exp).foldLeft(lit(1.0): Column)(_ + _)
+        val probs = etas.map(e => exp(e) / denom) // P_2..P_J
+        val cc = cIdx
+        // ll_i = eta_{c} - ln(denom), eta_1 = 0
+        val etaOfC = (2 to nJ).foldLeft(when(cc === 1, lit(0.0))) {
+          (acc, j) => acc.when(cc === j, etas(j - 2))
+        }
+        val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+        aggs += sum(etaOfC - log(denom)).as("ll")
+        (2 to nJ).foreach { j =>
+          val resid = (cc === j).cast("double") - probs(j - 2)
+          (0 until kp).foreach { m =>
+            aggs += sum(resid * xcol(m)).as(s"g${j}_$m")
+          }
+        }
+        (2 to nJ).foreach { j =>
+          (j to nJ).foreach { l =>
+            val w =
+              if (j == l) probs(j - 2) * (lit(1.0) - probs(j - 2))
+              else lit(0.0) - probs(j - 2) * probs(l - 2)
+            (0 until kp).foreach { m1 =>
+              (m1 until kp).foreach { m2 =>
+                aggs += sum(w * xcol(m1) * xcol(m2))
+                  .as(s"h${j}_${l}_${m1}_$m2")
+              }
+            }
+          }
+        }
+        base.agg(aggs.head, aggs.tail.toSeq: _*).head()
+      }
+      def gradNegH(r: Row): (Array[Double], Array[Array[Double]]) = {
+        val g = new Array[Double](np)
+        (2 to nJ).foreach { j =>
+          (0 until kp).foreach { m =>
+            g(pix(j, m)) = r.getAs[Double](s"g${j}_$m")
+          }
+        }
+        val negH = graft.stats.LinAlg.zeros(np, np)
+        (2 to nJ).foreach { j =>
+          (j to nJ).foreach { l =>
+            (0 until kp).foreach { m1 =>
+              (m1 until kp).foreach { m2 =>
+                val v = r.getAs[Double](s"h${j}_${l}_${m1}_$m2")
+                // -H = +sum(w x x') with w as built (Fisher information)
+                val cells = Seq(
+                  (pix(j, m1), pix(l, m2)), (pix(j, m2), pix(l, m1)),
+                  (pix(l, m1), pix(j, m2)), (pix(l, m2), pix(j, m1)))
+                cells.distinct.foreach { case (a0, b0) => negH(a0)(b0) = v }
+              }
+            }
+          }
+        }
+        (g, negH)
+      }
+
+      var param = new Array[Double](np)
+      var st = statsAt(param)
+      var ll = st.getAs[Double]("ll")
+      require(!ll.isNaN && !ll.isInfinity,
+        "multinomial_logit: non-finite likelihood at the zero init")
+      var it = 0
+      var done = false
+      while (!done && it < maxIter) {
+        val (g, negH) = gradNegH(st)
+        var mu = 0.0
+        var dir: Array[Double] = null
+        var tries = 0
+        while (dir == null && tries < 60) {
+          val a = Array.tabulate(np, np)((i, j) =>
+            negH(i)(j) + (if (i == j) mu else 0.0))
+          val cand =
+            try Some(graft.stats.LinAlg.matVec(
+              graft.stats.LinAlg.invert(a), g))
+            catch {
+              case _: RuntimeException | _: IllegalArgumentException => None
+            }
+          cand match {
+            case Some(v)
+                if v.zip(g).map { case (x1, x2) => x1 * x2 }.sum > 0 &&
+                  v.forall(x => !x.isNaN && !x.isInfinity) =>
+              dir = v
+            case _ =>
+              mu =
+                if (mu == 0.0)
+                  1e-3 * math.max(1.0, (0 until np).map(i =>
+                    math.abs(negH(i)(i))).max)
+                else mu * 10.0
+          }
+          tries += 1
+        }
+        require(dir != null,
+          "multinomial_logit: could not find an ascent direction " +
+            "(degenerate information) — check for collinear covariates " +
+            "or a perfectly separable class")
+        var f = 1.0
+        var halvings = 0
+        var accepted = false
+        while (!accepted && halvings < 25) {
+          val trial = Array.tabulate(np)(j => param(j) + f * dir(j))
+          val stT = statsAt(trial)
+          val llT = stT.getAs[Double]("ll")
+          if (!llT.isNaN && !llT.isInfinity && llT >= ll - 1e-12) {
+            param = trial; st = stT; ll = llT; accepted = true
+          } else { f /= 2.0; halvings += 1 }
+        }
+        require(accepted,
+          s"multinomial_logit: line search failed at iteration $it")
+        it += 1
+        val stepMax = dir.map(x => math.abs(f * x)).max
+        val (gNew, _) = gradNegH(st)
+        done = stepMax < tol &&
+          gNew.map(math.abs).max < 1e-7 * (1.0 + math.abs(ll))
+      }
+      val info = gradNegH(st)._2
+      val cov = graft.stats.LinAlg.invert(info)
+      val est = Array.tabulate(nJ - 1, kp)((j, m) => param(j * kp + m))
+      val se = Array.tabulate(nJ - 1, kp)((j, m) =>
+        math.sqrt(cov(j * kp + m)(j * kp + m)))
+      MultinomialFit(levels, est, se, n, it, ll)
+    } finally {
+      base.unpersist()
+      ()
+    }
+  }
+}
