@@ -367,7 +367,8 @@ object GraftGateway {
     "weighted_kappa", "cox_zph",
     "cox_ph_strat", "cox_survival", "rmst_diff", "cox_ph_cluster",
     "fine_gray", "fine_gray_cif", "gray_test", "aft", "aft_survival",
-    "ordinal_logit", "ordinal_score", "multinomial_logit")
+    "ordinal_logit", "ordinal_score", "multinomial_logit",
+    "multinomial_score")
   /** Verbs whose output is a TRANSFORM of the input table (all input
     * columns preserved + output columns added) — beside other projections
     * they rewrite as transform-then-project. The rest are summary verbs
@@ -375,7 +376,8 @@ object GraftGateway {
     * the siblings are global aggregates. */
   private val transformVerbs = Set("exact_matching", "caliper_matching",
     "cut_bins", "incremental_dedup", "conformal_interval", "fdr_bh",
-    "isotonic_score", "ordinal_score", "platt_score")
+    "isotonic_score", "ordinal_score", "platt_score",
+    "multinomial_score")
   private def handles(v: String): Boolean = verbs(v.toLowerCase)
 
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -554,6 +556,20 @@ object GraftGateway {
         }
         terms.toDF("term", "estimate", "stderr", "z_value", "p_value",
           "n", "n_events", "dist")
+      case "multinomial_score" =>
+        // per-row softmax probabilities + argmax class from a stored
+        // multinomial model; last two args: betas CSV (intercept-first
+        // per non-reference class, class order) and the class count
+        require(a.length >= 3,
+          "multinomial_score(x..., 'betas_csv', n_classes)")
+        val msB = str(a(a.length - 2)).split(",").map { tok =>
+          tok.trim.toDoubleOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"multinomial_score: betas_csv is not a comma-separated " +
+                s"number list (offending token '${tok.trim}')"))
+        }
+        graft.ops.Multinomial.multinomialScore(df,
+          a.dropRight(2).map(c), msB, num(a.last).toInt)
       case "multinomial_logit" =>
         // softmax regression vs the lowest level as reference (nnet's
         // convention); one row per (class_value, term)

@@ -3293,6 +3293,23 @@ object SparkEntry {
           col("n"), col("n_events"), col("dist"))
         .orderBy(col("term"))
     }),
+    "q296_multinomial_score" -> ((s, d) => {
+      // scoring a STORED softmax model: per-row class probabilities are
+      // pure exp closed forms, collapsed per predicted class so the
+      // oracle stays live and the output bounded at any sf
+      t(s, d, "lineitem").select((col("l_discount") * 10.0).as("x1"),
+          (col("l_quantity") / 25.0).as("x2"))
+        .createOrReplaceTempView("q296_x")
+      GraftGateway.sql(s,
+        "SELECT multinomial_score(x1, x2, " +
+          "'0.2,-0.5,0.8,-0.4,0.6,-0.9', 3) FROM q296_x")
+        .groupBy(col("pred_class"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("prob_1")), 6).as("avg_p1"),
+          round(avg(col("prob_2")), 6).as("avg_p2"),
+          round(avg(col("prob_3")), 6).as("avg_p3"))
+        .orderBy(col("pred_class"))
+    }),
     "q295_multinomial_logit" -> ((s, d) => {
       // softmax regression of a 3-level quantity tier vs the lowest
       // tier. The damped-Newton MLE has no closed SQL form, so the
@@ -8421,6 +8438,23 @@ object SparkEntry {
         |  round(s2.u * s2.u / s2.i, 6) AS chi2,
         |  CAST(1 AS BIGINT) AS df
         |FROM cnt c, stat s2 ORDER BY c.group_value""".stripMargin,
+    "q296_multinomial_score" ->
+      // per-row softmax closed forms, argmax (ties to the LOWEST class
+      // — the engine's strict-> fold), per-class collapse
+      """WITH s AS (SELECT l_discount * 10.0 AS x1,
+        |    l_quantity / 25.0 AS x2 FROM lineitem),
+        |e AS (SELECT exp(0.2 - 0.5*x1 + 0.8*x2) AS e2,
+        |    exp(-0.4 + 0.6*x1 - 0.9*x2) AS e3 FROM s),
+        |p AS (SELECT 1.0/(1.0 + e2 + e3) AS p1, e2/(1.0 + e2 + e3) AS p2,
+        |    e3/(1.0 + e2 + e3) AS p3 FROM e),
+        |cls AS (SELECT *, CASE
+        |    WHEN p1 >= p2 AND p1 >= p3 THEN 1
+        |    WHEN p2 >= p3 THEN 2 ELSE 3 END AS pred_class FROM p)
+        |SELECT CAST(pred_class AS INT) AS pred_class,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(p1), 6) AS avg_p1, round(avg(p2), 6) AS avg_p2,
+        |  round(avg(p3), 6) AS avg_p3
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     "q295_multinomial_logit" ->
       // pinned damped-Newton MLE at sf0.01 (q142 idiom); n is live
       """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),

@@ -202,4 +202,45 @@ object Multinomial {
       ()
     }
   }
+
+  /** Softmax predicted class probabilities — the APPLY verb after
+    * [[multinomialLogit]] (the ordinal_score pattern): adds
+    * prob_1..prob_J (class probabilities in level order; prob_1 is the
+    * reference class) and pred_class (1-based argmax, ties to the
+    * LOWEST class) to every input row. `betas` is one intercept-first
+    * row per non-reference class, flattened in class order —
+    * [[multinomialLogit]]'s estimate blocks verbatim.
+    *
+    * 100 TB shape: a pure per-row codegen softmax projection — no
+    * aggregate, no shuffle, no collect. */
+  def multinomialScore(df: DataFrame, xs: Seq[Column],
+                       betas: Array[Double], nClasses: Int): DataFrame = {
+    val k = xs.length
+    val kp = k + 1
+    require(nClasses >= 2,
+      s"multinomial_score: need >= 2 classes, got $nClasses")
+    require(betas.length == (nClasses - 1) * kp,
+      s"multinomial_score: $nClasses classes with $k covariates need " +
+        s"${(nClasses - 1) * kp} betas (intercept-first per " +
+        s"non-reference class), got ${betas.length}")
+    def xcol(m: Int): Column =
+      if (m == 0) lit(1.0) else xs(m - 1).cast("double")
+    val etas = (2 to nClasses).map { j =>
+      least(greatest((0 until kp).map(m =>
+        xcol(m) * lit(betas((j - 2) * kp + m))).reduce(_ + _),
+        lit(-50.0)), lit(50.0))
+    }
+    val denom = etas.map(exp).foldLeft(lit(1.0): Column)(_ + _)
+    val probs = (lit(1.0) / denom) +: etas.map(e => exp(e) / denom)
+    val withP = df.select(
+      col("*") +: probs.zipWithIndex.map { case (p, i) =>
+        p.as(s"prob_${i + 1}") }: _*)
+    val pred = (2 to nClasses).foldLeft((lit(1), col("prob_1"))) {
+      case ((bestIx, bestP), j) =>
+        val better = col(s"prob_$j") > bestP
+        (when(better, lit(j)).otherwise(bestIx),
+          when(better, col(s"prob_$j")).otherwise(bestP))
+    }._1
+    withP.withColumn("pred_class", pred)
+  }
 }

@@ -75,6 +75,44 @@ class MultinomialSpec extends AnyFunSuite {
     assert(math.abs(mn.stderr(0)(1) - lg.stderr(0)) < 1e-5)
   }
 
+  test("multinomialScore: softmax probabilities match the closed form, " +
+    "sum to 1, argmax class, chain with the fit, named arity error") {
+    val df = fix.toDF("y", "x")
+    val betas = Array(0.4, 0.9, -0.7, 1.3) // class2 (b0,b1), class3 (b0,b1)
+    val got = ops.Multinomial.multinomialScore(df, Seq(col("x")), betas, 3)
+      .collect()
+    got.foreach { r =>
+      val x = r.getAs[Double]("x")
+      val e2 = 0.4 + 0.9 * x
+      val e3 = -0.7 + 1.3 * x
+      val d = 1.0 + math.exp(e2) + math.exp(e3)
+      val want = Seq(1.0 / d, math.exp(e2) / d, math.exp(e3) / d)
+      (1 to 3).foreach(j =>
+        assert(math.abs(r.getAs[Double](s"prob_$j") - want(j - 1)) < 1e-12))
+      assert(math.abs((1 to 3).map(j => r.getAs[Double](s"prob_$j")).sum
+        - 1.0) < 1e-12)
+      val argmax = want.zipWithIndex.maxBy(_._1)._2 + 1
+      assert(r.getAs[Int]("pred_class") === argmax)
+    }
+    // chain: scoring with the fit's own estimates reproduces the share
+    // identity (sum of prob_j equals the class count)
+    val fit = ops.Multinomial.multinomialLogit(df, col("y"), Seq(col("x")),
+      Seq("x"))
+    val scored = ops.Multinomial.multinomialScore(df, Seq(col("x")),
+      fit.estimates.flatten, 3)
+    val sums = scored.agg(sum(col("prob_1")), sum(col("prob_2")),
+      sum(col("prob_3"))).head()
+    (1 to 3).foreach { cl =>
+      assert(math.abs(sums.getDouble(cl - 1) -
+        fix.count(_._1 == cl.toDouble)) < 1e-6)
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      ops.Multinomial.multinomialScore(df, Seq(col("x")), Array(1.0), 3)
+    }
+    assert(e1.getMessage.contains("multinomial_score") &&
+      e1.getMessage.contains("betas"))
+  }
+
   test("multinomial_logit gateway verb and named errors") {
     fix.toDF("y", "x").createOrReplaceTempView("mn_t")
     val got = GraftGateway.sql(spark,
