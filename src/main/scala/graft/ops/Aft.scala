@@ -209,22 +209,39 @@ object Aft {
         var f = 1.0
         var halvings = 0
         var accepted = false
+        var sawFinite = false
+        // acceptance tolerance is RELATIVE to |ll|: at row scale the
+        // log-likelihood is O(n), where a distributed sum's float noise
+        // alone is ~1e-12·|ll| — an absolute 1e-12 bar would reject
+        // every trial once the true improvement drops under the noise
+        // floor (the r18 board caught exactly this at sf0.1)
+        val noise = 1e-9 * (1.0 + math.abs(ll))
         while (!accepted && halvings < 25) {
           val trial = Array.tabulate(np)(j => theta(j) + f * dir(j))
           val stT = statsAt(trial)
           val llT = stT.getAs[Double]("ll")
-          if (!llT.isNaN && !llT.isInfinity && llT >= ll - 1e-12) {
-            theta = trial; st = stT; ll = llT; accepted = true
+          if (!llT.isNaN && !llT.isInfinity) {
+            sawFinite = true
+            if (llT >= ll - noise) {
+              theta = trial; st = stT; ll = llT; accepted = true
+            } else { f /= 2.0; halvings += 1 }
           } else { f /= 2.0; halvings += 1 }
         }
-        require(accepted,
-          s"aft: line search failed to improve the likelihood at " +
-            s"iteration $it (dist = $dist)")
-        it += 1
-        val stepMax = dir.map(x => math.abs(f * x)).max
-        val (gNew, _) = gradNegH(st, theta)
-        done = stepMax < tol &&
-          gNew.map(math.abs).max < 1e-7 * (1.0 + math.abs(ll))
+        if (!accepted) {
+          require(sawFinite,
+            s"aft: non-finite likelihood in every backtracking trial " +
+              s"at iteration $it (dist = $dist) — rescale extreme " +
+              "covariates")
+          // every finite trial sat within noise of the incumbent: the
+          // surface is flat at float resolution — converged
+          done = true
+        } else {
+          it += 1
+          val stepMax = dir.map(x => math.abs(f * x)).max
+          val (gNew, _) = gradNegH(st, theta)
+          done = stepMax < tol &&
+            gNew.map(math.abs).max < 1e-7 * (1.0 + math.abs(ll))
+        }
       }
       // observed information at the accepted final point
       info = gradNegH(st, theta)._2

@@ -211,23 +211,36 @@ object Ordinal {
         var f = 1.0
         var halvings = 0
         var accepted = false
+        var sawFinite = false
+        // noise-RELATIVE acceptance (the Aft rationale): at row scale
+        // |ll| is O(n) and a distributed sum's float noise ~1e-12·|ll|
+        // would defeat an absolute bar once improvements shrink to it
+        val noise = 1e-9 * (1.0 + math.abs(ll))
         while (!accepted && halvings < 25) {
           val trial = Array.tabulate(np)(j => param(j) + f * dir(j))
           // a trial that crosses thresholds produces a non-positive
           // cell probability -> NaN ll -> rejected here
           val stT = statsAt(trial)
           val llT = stT.getAs[Double]("ll")
-          if (!llT.isNaN && !llT.isInfinity && llT >= ll - 1e-12) {
-            param = trial; st = stT; ll = llT; accepted = true
+          if (!llT.isNaN && !llT.isInfinity) {
+            sawFinite = true
+            if (llT >= ll - noise) {
+              param = trial; st = stT; ll = llT; accepted = true
+            } else { f /= 2.0; halvings += 1 }
           } else { f /= 2.0; halvings += 1 }
         }
-        require(accepted,
-          s"ordinal_logit: line search failed at iteration $it")
-        it += 1
-        val stepMax = dir.map(x => math.abs(f * x)).max
-        val (gNew, _) = gradNegH(st)
-        done = stepMax < tol &&
-          gNew.map(math.abs).max < 1e-7 * (1.0 + math.abs(ll))
+        if (!accepted) {
+          require(sawFinite,
+            s"ordinal_logit: non-finite likelihood in every " +
+              s"backtracking trial at iteration $it")
+          done = true // flat at float resolution: converged
+        } else {
+          it += 1
+          val stepMax = dir.map(x => math.abs(f * x)).max
+          val (gNew, _) = gradNegH(st)
+          done = stepMax < tol &&
+            gNew.map(math.abs).max < 1e-7 * (1.0 + math.abs(ll))
+        }
       }
       val info = gradNegH(st)._2
       val cov = graft.stats.LinAlg.invert(info)
