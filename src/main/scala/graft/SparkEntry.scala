@@ -1095,11 +1095,11 @@ object SparkEntry {
       // 8×8 PNG per part row (channel values from the key), decode it back,
       // and aggregate the per-channel means — a solid n=2^k image decodes
       // to mean exactly c/255, so the oracle is closed form over `part`
-      val p = t(s, d, "part").select(
+      val p = graft.ops.Par.ensure(t(s, d, "part").select(
         col("p_partkey").cast("long").as("id"),
         (col("p_partkey") % 251).cast("int").as("r"),
         (col("p_partkey") % 241).cast("int").as("g"),
-        (col("p_partkey") % 239).cast("int").as("b"))
+        (col("p_partkey") % 239).cast("int").as("b")))
       val png = p.withColumn("content",
         graft.ops.Multimodal.solidPng(col("r"), col("g"), col("b"), lit(8), lit(8)))
       graft.ops.Multimodal.decodeImages(png.select(col("id"), col("content")))
@@ -1687,7 +1687,10 @@ object SparkEntry {
       // (patterns live in [40,200], no clip), so precisely the planted
       // copies pair at hamming 0 and the pair set is a closed form
       // copy ids: high-bit tag, same rationale as q144
-      val base = t(s, d, "part").select(col("p_partkey").cast("long").as("id"))
+      // parallelize BEFORE the render projection: repartitioning after
+      // would shuffle the rendered bytes and still render on one core
+      val base = graft.ops.Par.ensure(
+        t(s, d, "part").select(col("p_partkey").cast("long").as("id")))
       val imgs = base.select(col("id"),
           graft.ops.Multimodal.patternPng(col("id"), lit(64), lit(64),
             lit(0)).as("content"))
@@ -1695,9 +1698,15 @@ object SparkEntry {
           .select((col("id") + (1L << 40)).as("id"),
             graft.ops.Multimodal.patternPng(col("id"), lit(64), lit(64),
               lit(20)).as("content")))
-      val hashed = graft.ops.Multimodal.imageDHash(imgs)
+      // checkpoint the hash table ONCE: both consumers below (the decode
+      // census and the pair kernel) would otherwise re-run the whole
+      // PNG render + decode codec pass (guide §8: fingerprints are the
+      // lightweight proxy — compute them once, reuse everywhere). The
+      // pair kernel's own materialization is then redundant.
+      val hashed = graft.Ckpt.checkpoint(
+        graft.ops.Multimodal.imageDHash(imgs), eager = true)
       val pairs = graft.ops.Dedup.hammingPairs(hashed, col("id"),
-        col("dhash"), maxHamming = 3)
+        col("dhash"), maxHamming = 3, materialize = false)
       hashed.agg(count(lit(1)).as("n_images"),
           sum(col("decode_ok").cast("long")).as("n_decoded"))
         .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
@@ -4112,8 +4121,9 @@ object SparkEntry {
       // BOTH through the gateway, on a 1-in-4 subset of q143's
       // planted-copy PNG fixture. Copies (key % 20 == 0, all of which sit
       // inside the % 4 subset) pair with their originals at hamming 0.
-      val base = t(s, d, "part").filter(col("p_partkey") % 4 === 0)
-        .select(col("p_partkey").cast("long").as("id"))
+      val base = graft.ops.Par.ensure(
+        t(s, d, "part").filter(col("p_partkey") % 4 === 0)
+          .select(col("p_partkey").cast("long").as("id")))
       val imgs = base.select(col("id"),
           graft.ops.Multimodal.patternPng(col("id"), lit(64), lit(64),
             lit(0)).as("content"))

@@ -33,6 +33,65 @@ case class OlsBuf(x: DeltaStats, y: DeltaStats, xty: Array[Double],
     weightSum += o.weightSum
     this
   }
+
+  /** `cnt` identical rows in one O(k²) step — the driver-side cell path
+    * of the IRLS fits ([[graft.stats.DesignCells]]). Every accumulated
+    * quantity is linear in the row count, so this equals `cnt` calls of
+    * [[update]](yv, xs, w) without the O(cnt) loop: sums gain
+    * cnt·(√w·term), cross products cnt·(w·term), counts cnt. */
+  def addCell(yv: Double, xs: Array[Double], w: Double, cnt: Long): Unit = {
+    val sw = if (w == 1.0) 1.0 else math.sqrt(w)
+    val c = cnt.toDouble
+    val k = xs.length
+    var i = 0
+    while (i < k) { x.sumX(i) += c * sw * xs(i); i += 1 }
+    i = 0
+    var p = 0
+    while (i < k) {
+      val xi = xs(i)
+      var j = i
+      while (j < k) { x.sumXY(p) += c * w * xi * xs(j); j += 1; p += 1 }
+      i += 1
+    }
+    x.count += cnt
+    y.sumX(0) += c * sw * yv
+    y.sumXY(0) += c * w * yv * yv
+    y.count += cnt
+    i = 0
+    while (i < k) { xty(i) += c * w * yv * xs(i); i += 1 }
+    weightSum += c * w
+  }
+
+  /** [[addCell]] from y-MOMENTS of a cell whose rows share x (and hence
+    * share the IRLS weight) but vary in y: given Σy and Σy² over the
+    * cell's rows and a per-row working response z = a + b·y (linear in
+    * y), accumulates exactly what `update(z_r, xs, w)` over the rows
+    * would — Σz = cnt·a + b·Σy and Σz² = cnt·a² + 2ab·Σy + b²·Σy². */
+  def addCellYMoments(a: Double, b: Double, sumY: Double, sumY2: Double,
+                      xs: Array[Double], w: Double, cnt: Long): Unit = {
+    val sw = if (w == 1.0) 1.0 else math.sqrt(w)
+    val c = cnt.toDouble
+    val sz = c * a + b * sumY
+    val sz2 = c * a * a + 2.0 * a * b * sumY + b * b * sumY2
+    val k = xs.length
+    var i = 0
+    while (i < k) { x.sumX(i) += c * sw * xs(i); i += 1 }
+    i = 0
+    var p = 0
+    while (i < k) {
+      val xi = xs(i)
+      var j = i
+      while (j < k) { x.sumXY(p) += c * w * xi * xs(j); j += 1; p += 1 }
+      i += 1
+    }
+    x.count += cnt
+    y.sumX(0) += sw * sz
+    y.sumXY(0) += w * sz2
+    y.count += cnt
+    i = 0
+    while (i < k) { xty(i) += w * sz * xs(i); i += 1 }
+    weightSum += c * w
+  }
 }
 
 object OlsBuf {

@@ -49,7 +49,8 @@ object Aft {
 
   def aftFit(df: DataFrame, time: Column, event: Column, xs: Seq[Column],
              names: Seq[String], dist: String = "weibull",
-             maxIter: Int = 50, tol: Double = 1e-9): AftResult = {
+             maxIter: Int = 50, tol: Double = 1e-9,
+             maxCells: Int = 4096): AftResult = {
     require(Set("weibull", "lognormal", "loglogistic")(dist),
       s"aft: dist must be weibull|lognormal|loglogistic, got '$dist'")
     require(names.length == xs.length,
@@ -63,35 +64,67 @@ object Aft {
       .withColumn("__y", log(col("__t")))
     base.persist()
     try {
-      val m0 = base.agg(count(lit(1)).as("n"),
-        sum(col("__d")).cast("long").as("ne"),
-        sum(when(col("__t") <= 0.0, 1L).otherwise(0L)).as("bad_t"),
-        sum(when(col("__d") =!= 0 && col("__d") =!= 1, 1L).otherwise(0L))
-          .as("bad_d"),
-        avg(col("__y")).as("mu"),
-        coalesce(stddev_pop(col("__y")), lit(0.0)).as("sd")).head()
-      require(m0.getAs[Long]("bad_t") == 0,
-        s"aft: ${m0.getAs[Long]("bad_t")} rows have time <= 0 — log-time " +
+      // low-cardinality design collapse (guide §1.2 step 1): ONE
+      // groupBy pass; when the distinct (t, d, x…) rows fit in
+      // maxCells, the whole Newton loop runs driver-side over weighted
+      // cells — zero distributed passes per iteration, identical
+      // per-row likelihood math times the cell count. Columns:
+      // 0 = __t, 1 = __d, 2..k+1 = __x*, k+2 = __y.
+      val cellsOpt = graft.stats.DesignCells.collect(base, maxCells)
+      val (n, nEvents, badT, badD, mu0, sd0) = cellsOpt match {
+        case Some((cells, cnts)) =>
+          var nn = 0L; var ne = 0L; var bt = 0L; var bd = 0L; var sy = 0.0
+          var i = 0
+          while (i < cells.length) {
+            val c = cells(i); val w = cnts(i)
+            nn += w
+            if (c(1) == 1.0) ne += w
+            if (c(0) <= 0.0) bt += w
+            if (c(1) != 0.0 && c(1) != 1.0) bd += w
+            sy += w * c(k + 2)
+            i += 1
+          }
+          val mu = sy / nn
+          var m2 = 0.0
+          i = 0
+          while (i < cells.length) {
+            val d0 = cells(i)(k + 2) - mu
+            m2 += cnts(i) * d0 * d0
+            i += 1
+          }
+          (nn, ne, bt, bd, mu, math.sqrt(m2 / nn))
+        case None =>
+          val m0 = base.agg(count(lit(1)).as("n"),
+            sum(col("__d")).cast("long").as("ne"),
+            sum(when(col("__t") <= 0.0, 1L).otherwise(0L)).as("bad_t"),
+            sum(when(col("__d") =!= 0 && col("__d") =!= 1, 1L).otherwise(0L))
+              .as("bad_d"),
+            avg(col("__y")).as("mu"),
+            coalesce(stddev_pop(col("__y")), lit(0.0)).as("sd")).head()
+          (m0.getAs[Long]("n"), m0.getAs[Long]("ne"),
+            m0.getAs[Long]("bad_t"), m0.getAs[Long]("bad_d"),
+            m0.getAs[Double]("mu"), m0.getAs[Double]("sd"))
+      }
+      require(badT == 0,
+        s"aft: $badT rows have time <= 0 — log-time " +
           "is undefined; filter or shift them first")
-      require(m0.getAs[Long]("bad_d") == 0,
-        s"aft: ${m0.getAs[Long]("bad_d")} rows have an event value " +
+      require(badD == 0,
+        s"aft: $badD rows have an event value " +
           "other than 0/1 (1 = event, 0 = right-censored)")
-      val n = m0.getAs[Long]("n")
-      val nEvents = m0.getAs[Long]("ne")
       require(nEvents > 0, "aft: no events (event = 1 rows)")
       require(n > np.toLong,
         s"aft: $n complete rows cannot identify $np parameters")
 
       var theta = new Array[Double](np)
-      theta(0) = m0.getAs[Double]("mu")
-      theta(np - 1) = math.log(math.max(m0.getAs[Double]("sd"), 1e-3))
+      theta(0) = mu0
+      theta(np - 1) = math.log(math.max(sd0, 1e-3))
       val pairs = for { j <- 0 until (k + 1); l <- j until (k + 1) }
         yield (j, l)
       def xcol(j: Int): Column = if (j == 0) lit(1.0) else col(s"__x${j - 1}")
 
       // ONE distributed pass: the log-likelihood plus every moment the
       // gradient/Hessian at `at` needs
-      def statsAt(at: Array[Double]): org.apache.spark.sql.Row = {
+      def statsAtDist(at: Array[Double]): org.apache.spark.sql.Row = {
         val s = math.exp(at(np - 1))
         val eta = (0 until (k + 1)).map(j => xcol(j) * lit(at(j)))
           .reduce(_ + _)
@@ -138,6 +171,87 @@ object Aft {
               sum(hz * xcol(j) * xcol(l)).as(s"sh${j}_$l") }
         base.agg(aggs.head, aggs.tail: _*).head()
       }
+      // driver-side mirror of statsAtDist over the collapsed cells: the
+      // SAME per-row formulas (clamps included) times the cell count,
+      // summed in the deterministic sorted-cell order. Field names match
+      // statsAtDist's aggregate aliases so gradNegH reads either row.
+      def statsAtLocal(cells: Array[Array[Double]], cnts: Array[Long])
+                      (at: Array[Double]): org.apache.spark.sql.Row = {
+        val s = math.exp(at(np - 1))
+        val c0 = math.log(math.sqrt(2.0 * math.Pi))
+        val nFields = 3 + 2 * (k + 1) + pairs.length
+        val acc = new Array[Double](nFields)
+        val ixLl = 0; val ixSgz = 1; val ixShzz = 2
+        def ixSg(j: Int) = 3 + j
+        def ixShz(j: Int) = 3 + (k + 1) + j
+        def ixSh(pi: Int) = 3 + 2 * (k + 1) + pi
+        var i = 0
+        while (i < cells.length) {
+          val cell = cells(i)
+          val w = cnts(i).toDouble
+          val z = (cell(k + 2) - (0 until (k + 1)).map(j =>
+            (if (j == 0) 1.0 else cell(j + 1)) * at(j)).sum) / s
+          var u = 0.0; var up = 0.0; var vS = 0.0; var vp = 0.0
+          var lf = 0.0; var ls = 0.0
+          dist match {
+            case "weibull" =>
+              val ez = math.exp(math.min(z, 50.0))
+              u = 1.0 - ez; up = -ez; vS = -ez; vp = -ez
+              lf = z - ez; ls = -ez
+            case "loglogistic" =>
+              val p = 1.0 / (1.0 + math.exp(math.min(-z, 50.0)))
+              val sp = if (z > 30.0) z
+                       else math.log1p(math.exp(math.min(z, 30.0)))
+              u = 1.0 - 2.0 * p; up = -2.0 * p * (1.0 - p)
+              vS = -p; vp = -p * (1.0 - p)
+              lf = z - 2.0 * sp; ls = -sp
+            case _ => // lognormal
+              val phi = math.exp(-z * z / 2.0) / math.sqrt(2.0 * math.Pi)
+              val sTail = 0.5 * org.apache.commons.math3.special.Erf
+                .erfc(z / math.sqrt(2.0))
+              val lam = if (z > 26.0) z + 1.0 / z else phi / sTail
+              val lnS = if (z > 26.0) -z * z / 2.0 - math.log(z) - c0
+                        else math.log(sTail)
+              u = -z; up = -1.0; vS = -lam; vp = lam * z - lam * lam
+              lf = -z * z / 2.0 - c0; ls = lnS
+          }
+          val d1 = cell(1) == 1.0
+          val gz = if (d1) u else vS
+          val hz = if (d1) up else vp
+          val lli = if (d1) lf - at(np - 1) else ls
+          def xv(j: Int): Double = if (j == 0) 1.0 else cell(j + 1)
+          acc(ixLl) += w * lli
+          acc(ixSgz) += w * gz * z
+          acc(ixShzz) += w * hz * z * z
+          var j = 0
+          while (j < k + 1) {
+            acc(ixSg(j)) += w * gz * xv(j)
+            acc(ixShz(j)) += w * hz * z * xv(j)
+            j += 1
+          }
+          var pi = 0
+          while (pi < pairs.length) {
+            val (pj, pl) = pairs(pi)
+            acc(ixSh(pi)) += w * hz * xv(pj) * xv(pl)
+            pi += 1
+          }
+          i += 1
+        }
+        val names0 = Seq("ll", "sgz", "shzz") ++
+          (0 until (k + 1)).map(j => s"sg$j") ++
+          (0 until (k + 1)).map(j => s"shz$j") ++
+          pairs.map { case (j, l) => s"sh${j}_$l" }
+        val schema = org.apache.spark.sql.types.StructType(names0.map(f =>
+          org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.DoubleType)))
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          acc.map(_.asInstanceOf[Any]), schema)
+      }
+      val statsAt: Array[Double] => org.apache.spark.sql.Row =
+        cellsOpt match {
+          case Some((cells, cnts)) => statsAtLocal(cells, cnts)
+          case None => statsAtDist
+        }
       // gradient and NEGATIVE Hessian from a stats row taken at `at`
       def gradNegH(r: org.apache.spark.sql.Row, at: Array[Double])
           : (Array[Double], Array[Array[Double]]) = {

@@ -115,7 +115,8 @@ object MlWrappers {
     * once. (A foldable typedLit would not work: element_at(literal,
     * literal) constant-folds back to an inlined double.) */
   def logisticIrls(df: DataFrame, y: Column, xs: Seq[Column],
-                   maxIter: Int = 25, tol: Double = 1e-8): LogisticFit = {
+                   maxIter: Int = 25, tol: Double = 1e-8,
+                   maxCells: Int = 4096): LogisticFit = {
     require(maxIter > 0, "maxIter must be positive (stderr needs a final fit)")
     val spark = df.sparkSession
     import spark.implicits._
@@ -134,6 +135,40 @@ object MlWrappers {
     try {
       val yd = col("__y")
       val xsS = (0 until k).map(i => col(s"__x$i"))
+      // low-cardinality design collapse (guide §1.2 step 1): when the
+      // distinct COVARIATE rows fit in maxCells, one groupBy pass with
+      // per-cell y moments replaces every IRLS aggregate — z is linear
+      // in y given x and w depends only on x, so the per-cell moments
+      // reproduce the row-scale weighted OLS buffer exactly. The whole
+      // loop then runs driver-side: zero distributed passes/iteration.
+      val cellsOpt = graft.stats.DesignCells.collectByX(slim, "__y", maxCells)
+      cellsOpt match {
+        case Some(cells) =>
+          while (it < maxIter && !converged) {
+            val buf = graft.agg.OlsBuf.zero(k + 1)
+            var i = 0
+            while (i < cells.length) {
+              val c = cells(i)
+              var eta = beta(k)
+              var m = 0
+              while (m < k) { eta += c.xs(m) * beta(m); m += 1 }
+              val p0 = 1.0 / (1.0 + math.exp(-eta))
+              val p = math.min(math.max(p0, 1e-10), 1.0 - 1e-10)
+              val w = p * (1.0 - p)
+              // z = η + (y − p)/w = (η − p/w) + y/w
+              buf.addCellYMoments(eta - p / w, 1.0 / w, c.sumY, c.sumY2,
+                c.xs :+ 1.0, w, c.n)
+              i += 1
+            }
+            val m = Regression.modelFromBuf(buf, k, useBias = true)
+            lastModel = m
+            val next = m.summary.coefficients
+            val delta = next.zip(beta).map { case (a, b) => math.abs(a - b) }.max
+            beta = next
+            converged = delta < tol
+            it += 1
+          }
+        case None =>
       while (it < maxIter && !converged) {
         val withBeta = slim.crossJoin(broadcast(Seq(Tuple1(beta.toSeq)).toDF("__beta")))
         val b = col("__beta")
@@ -152,6 +187,7 @@ object MlWrappers {
         beta = next
         converged = delta < tol
         it += 1
+      }
       }
     } finally {
       slim.unpersist()
@@ -203,7 +239,8 @@ object MlWrappers {
     * negative outcome are dropped listwise (a count can't be negative —
     * the Poisson likelihood is undefined there). */
   def poissonIrls(df: DataFrame, y: Column, xs: Seq[Column],
-                  maxIter: Int = 25, tol: Double = 1e-8): PoissonFit = {
+                  maxIter: Int = 25, tol: Double = 1e-8,
+                  maxCells: Int = 4096): PoissonFit = {
     require(maxIter > 0, "maxIter must be positive (stderr needs a final fit)")
     val spark = df.sparkSession
     import spark.implicits._
@@ -215,6 +252,67 @@ object MlWrappers {
     try {
       val yd = col("__y")
       val xsS = (0 until k).map(i => col(s"__x$i"))
+      // low-cardinality design collapse (guide §1.2 step 1): z is linear
+      // in y given x and the Fisher weight μ depends only on x, so the
+      // per-x-cell y moments reproduce every IRLS aggregate (and the
+      // Pearson pass) exactly — the loop runs driver-side.
+      val cellsOpt = graft.stats.DesignCells.collectByX(slim, "__y", maxCells)
+      cellsOpt match {
+        case Some(cells) =>
+          val nRows = cells.map(_.n).sum
+          val ybar = cells.map(_.sumY).sum / nRows
+          require(nRows > k + 1,
+            s"poisson_reg: need more than ${k + 1} rows, got $nRows")
+          require(ybar > 0.0,
+            "poisson_reg: outcome is all-zero — the log link has no MLE")
+          var beta = Array.fill(k)(0.0) :+ math.log(ybar)
+          var converged = false
+          var it = 0
+          var lastModel: OlsModel = null
+          def muOf(c: graft.stats.DesignCells.XCell): Double = {
+            var eta = beta(k)
+            var m = 0
+            while (m < k) { eta += c.xs(m) * beta(m); m += 1 }
+            math.min(math.max(math.exp(eta), 1e-10), 1e15)
+          }
+          while (it < maxIter && !converged) {
+            val buf = graft.agg.OlsBuf.zero(k + 1)
+            var i = 0
+            while (i < cells.length) {
+              val c = cells(i)
+              var eta = beta(k)
+              var m0 = 0
+              while (m0 < k) { eta += c.xs(m0) * beta(m0); m0 += 1 }
+              val mu = math.min(math.max(math.exp(eta), 1e-10), 1e15)
+              // z = η + (y − μ)/μ = (η − 1) + y/μ
+              buf.addCellYMoments(eta - 1.0, 1.0 / mu, c.sumY, c.sumY2,
+                c.xs :+ 1.0, mu, c.n)
+              i += 1
+            }
+            val m = Regression.modelFromBuf(buf, k, useBias = true)
+            lastModel = m
+            val next = m.summary.coefficients
+            val delta = next.zip(beta).map { case (a, b) => math.abs(a - b) }.max
+            beta = next
+            converged = delta < tol
+            it += 1
+          }
+          // Pearson dispersion at the converged μ: per-cell closed form
+          // Σ(y−μ)²/μ = (Σy² − 2μΣy + nμ²)/μ
+          var pearson = 0.0
+          var i = 0
+          while (i < cells.length) {
+            val c = cells(i)
+            val mu = muOf(c)
+            pearson += (c.sumY2 - 2.0 * mu * c.sumY + c.n * mu * mu) / mu
+            i += 1
+          }
+          val phi = pearson / (nRows - k - 1).toDouble
+          val se = (0 to k).map(i0 => math.sqrt(lastModel.xtxInv(i0)(i0))).toArray
+          return PoissonFit(beta.take(k), beta(k), it, converged,
+            se.take(k), se(k), phi, nRows)
+        case None =>
+      }
       val head = slim.agg(count(lit(1)).as("n"), avg(yd).as("ybar")).head()
       val nRows = head.getAs[Long]("n")
       val ybar = head.getAs[Double]("ybar")
@@ -315,7 +413,8 @@ object MlWrappers {
     * there — a zero-inflated outcome needs a hurdle upstream), not a
     * silent filter. */
   def gammaIrls(df: DataFrame, y: Column, xs: Seq[Column],
-                maxIter: Int = 25, tol: Double = 1e-8): GammaFit = {
+                maxIter: Int = 25, tol: Double = 1e-8,
+                maxCells: Int = 4096): GammaFit = {
     require(maxIter > 0, "maxIter must be positive (stderr needs a final fit)")
     val spark = df.sparkSession
     import spark.implicits._
@@ -327,6 +426,69 @@ object MlWrappers {
     try {
       val yd = col("__y")
       val xsS = (0 until k).map(i => col(s"__x$i"))
+      // low-cardinality design collapse (guide §1.2 step 1): the
+      // log-link gamma IRLS weight is CONSTANT and z is linear in y
+      // given x, so per-x-cell y moments reproduce every unweighted-OLS
+      // aggregate (and the Pearson pass) exactly — driver-side loop.
+      val cellsOpt = graft.stats.DesignCells.collectByX(slim, "__y", maxCells)
+      cellsOpt match {
+        case Some(cells) =>
+          val nRows = cells.map(_.n).sum
+          val bad = cells.map(_.nNonPos).sum
+          require(bad == 0,
+            s"gamma_reg: $bad rows have y <= 0 — the " +
+              "gamma density has no mass there (hurdle or shift the outcome)")
+          require(nRows > k + 1,
+            s"gamma_reg: need more than ${k + 1} rows, got $nRows")
+          val ybar = cells.map(_.sumY).sum / nRows
+          var beta = Array.fill(k)(0.0) :+ math.log(ybar)
+          var converged = false
+          var it = 0
+          var lastModel: OlsModel = null
+          def muOf(c: graft.stats.DesignCells.XCell): Double = {
+            var eta = beta(k)
+            var m = 0
+            while (m < k) { eta += c.xs(m) * beta(m); m += 1 }
+            math.min(math.max(math.exp(eta), 1e-300), 1e300)
+          }
+          while (it < maxIter && !converged) {
+            val buf = graft.agg.OlsBuf.zero(k + 1)
+            var i = 0
+            while (i < cells.length) {
+              val c = cells(i)
+              var eta = beta(k)
+              var m0 = 0
+              while (m0 < k) { eta += c.xs(m0) * beta(m0); m0 += 1 }
+              val mu = math.min(math.max(math.exp(eta), 1e-300), 1e300)
+              // z = η + (y − μ)/μ = (η − 1) + y/μ; w = 1 (log link)
+              buf.addCellYMoments(eta - 1.0, 1.0 / mu, c.sumY, c.sumY2,
+                c.xs :+ 1.0, 1.0, c.n)
+              i += 1
+            }
+            val m = Regression.modelFromBuf(buf, k, useBias = true)
+            lastModel = m
+            val next = m.summary.coefficients
+            val delta = next.zip(beta).map { case (a, b2) => math.abs(a - b2) }.max
+            beta = next
+            converged = delta < tol
+            it += 1
+          }
+          // Pearson: Σ((y−μ)/μ)² = (Σy² − 2μΣy + nμ²)/μ²
+          var pearson = 0.0
+          var i = 0
+          while (i < cells.length) {
+            val c = cells(i)
+            val mu = muOf(c)
+            pearson += (c.sumY2 - 2.0 * mu * c.sumY + c.n * mu * mu) / (mu * mu)
+            i += 1
+          }
+          val phi = pearson / (nRows - k - 1).toDouble
+          val se = (0 to k).map(i0 =>
+            math.sqrt(phi * lastModel.xtxInv(i0)(i0))).toArray
+          return GammaFit(beta.take(k), beta(k), it, converged,
+            se.take(k), se(k), phi, nRows)
+        case None =>
+      }
       val head = slim.agg(count(lit(1)).as("n"), avg(yd).as("ybar"),
         sum(when(yd <= 0.0, 1L).otherwise(0L)).as("bad")).head()
       val nRows = head.getAs[Long]("n")
@@ -426,7 +588,8 @@ object MlWrappers {
     * sampling error is not propagated into the SEs (documented, as in
     * the textbook treatment). */
   def negBinIrls(df: DataFrame, y: Column, xs: Seq[Column],
-                 maxIter: Int = 25, tol: Double = 1e-8): NegBinFit = {
+                 maxIter: Int = 25, tol: Double = 1e-8,
+                 maxCells: Int = 4096): NegBinFit = {
     val spark = df.sparkSession
     import spark.implicits._
     val k = xs.length
@@ -438,6 +601,107 @@ object MlWrappers {
     try {
       val yd = col("__y")
       val xsS = (0 until k).map(i => col(s"__x$i"))
+      // low-cardinality design collapse (guide §1.2 step 1): the NB2
+      // likelihood needs lgamma(y + r) per row (nonlinear in y), so the
+      // collapse keys on the FULL (y, x…) row — count outcomes are
+      // naturally low-cardinality. Everything (moment α, IRLS passes,
+      // auxiliary SE, both likelihoods) then runs driver-side.
+      val cellsOpt = graft.stats.DesignCells.collect(slim, maxCells)
+      cellsOpt match {
+        case Some((cells, cnts)) =>
+          val pilotBeta0 = pilot.coefficients :+ pilot.intercept
+          def muAt(b: Array[Double], cell: Array[Double]): Double = {
+            var eta = b(k)
+            var m = 0
+            while (m < k) { eta += cell(m + 1) * b(m); m += 1 }
+            math.min(math.max(math.exp(eta), 1e-10), 1e15)
+          }
+          def etaAt(b: Array[Double], cell: Array[Double]): Double = {
+            var eta = b(k)
+            var m = 0
+            while (m < k) { eta += cell(m + 1) * b(m); m += 1 }
+            eta
+          }
+          var num = 0.0; var den = 0.0
+          var i = 0
+          while (i < cells.length) {
+            val cell = cells(i); val w = cnts(i).toDouble
+            val pmu = muAt(pilotBeta0, cell)
+            val yv = cell(0)
+            num += w * ((yv - pmu) * (yv - pmu) - pmu)
+            den += w * pmu * pmu
+            i += 1
+          }
+          val alpha = num / den
+          require(alpha > 0,
+            f"neg_bin: moment dispersion alpha = $alpha%.6f <= 0 — the data " +
+              "is not overdispersed; use poisson_reg")
+          var beta = pilotBeta0
+          var converged = false
+          var it = 0
+          var lastModel: OlsModel = null
+          while (it < maxIter && !converged) {
+            val buf = graft.agg.OlsBuf.zero(k + 1)
+            i = 0
+            while (i < cells.length) {
+              val cell = cells(i)
+              val eta = etaAt(beta, cell)
+              val mu = math.min(math.max(math.exp(eta), 1e-10), 1e15)
+              val z = eta + (cell(0) - mu) / mu
+              val w = mu / (1.0 + alpha * mu)
+              val xsB = new Array[Double](k + 1)
+              var m = 0
+              while (m < k) { xsB(m) = cell(m + 1); m += 1 }
+              xsB(k) = 1.0
+              buf.addCell(z, xsB, w, cnts(i))
+              i += 1
+            }
+            val m = Regression.modelFromBuf(buf, k, useBias = true)
+            lastModel = m
+            val next = m.summary.coefficients
+            val delta = next.zip(beta).map { case (a, b) => math.abs(a - b) }.max
+            beta = next
+            converged = delta < tol
+            it += 1
+          }
+          val se = (0 to k).map(i0 =>
+            math.sqrt(lastModel.xtxInv(i0)(i0))).toArray
+          import org.apache.commons.math3.special.Gamma.logGamma
+          var ss = 0.0; var sx2 = 0.0; var nn = 0L; var llPois = 0.0
+          i = 0
+          while (i < cells.length) {
+            val cell = cells(i); val w = cnts(i).toDouble
+            val pmu = muAt(pilotBeta0, cell)
+            val yv = cell(0)
+            val u = ((yv - pmu) * (yv - pmu) - pmu) / pmu
+            val auxRes = u - alpha * pmu
+            ss += w * auxRes * auxRes
+            sx2 += w * pmu * pmu
+            nn += cnts(i)
+            llPois += w * (yv * math.log(pmu) - pmu - logGamma(yv + 1.0))
+            i += 1
+          }
+          val alphaSe = math.sqrt(ss / (nn - 1).toDouble / sx2)
+          val r0 = 1.0 / alpha
+          val lgR0 = logGamma(r0)
+          var llNb = 0.0
+          i = 0
+          while (i < cells.length) {
+            val cell = cells(i); val w = cnts(i).toDouble
+            val fmu = muAt(beta, cell)
+            val yv = cell(0)
+            llNb += w * (logGamma(yv + r0) - lgR0 - logGamma(yv + 1.0) +
+              r0 * math.log(r0 / (r0 + fmu)) +
+              yv * math.log(fmu / (r0 + fmu)))
+            i += 1
+          }
+          val lr = 2.0 * (llNb - llPois)
+          val lrP = 0.5 *
+            (1.0 - graft.stats.Dist.chiSqCdf(math.max(lr, 0.0), 1.0))
+          return NegBinFit(beta.take(k), beta(k), alpha, it, converged,
+            se.take(k), se(k), pilot.n, alphaSe, llPois, llNb, lr, lrP)
+        case None =>
+      }
       def muOf(beta: Array[Double]): (DataFrame, Column) = {
         val withBeta =
           slim.crossJoin(broadcast(Seq(Tuple1(beta.toSeq)).toDF("__beta")))

@@ -40,7 +40,8 @@ object Multinomial {
   def multinomialLogit(df: DataFrame, y: Column, xs: Seq[Column],
                        names: Seq[String], maxIter: Int = 50,
                        tol: Double = 1e-9,
-                       maxLevels: Int = 20): MultinomialFit = {
+                       maxLevels: Int = 20,
+                       maxCells: Int = 4096): MultinomialFit = {
     require(xs.nonEmpty, "multinomial_logit: need at least one covariate")
     require(names.length == xs.length,
       s"multinomial_logit: ${xs.length} covariates but ${names.length} names")
@@ -51,9 +52,19 @@ object Multinomial {
         xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
     base.persist()
     try {
-      val levels = base.select(col("__y")).distinct()
-        .orderBy(col("__y")).limit(maxLevels + 1).collect()
-        .map(_.getDouble(0))
+      // low-cardinality design collapse (guide §1.2 step 1): ONE
+      // groupBy pass replaces the level scan, the row count, AND every
+      // per-iteration aggregate — the Newton loop then runs driver-side
+      // over weighted cells. Columns: 0 = __y, 1..k = __x*.
+      val cellsOpt = graft.stats.DesignCells.collect(base, maxCells)
+      val levels = cellsOpt match {
+        case Some((cells, _)) =>
+          cells.map(_(0)).distinct.sorted.take(maxLevels + 1)
+        case None =>
+          base.select(col("__y")).distinct()
+            .orderBy(col("__y")).limit(maxLevels + 1).collect()
+            .map(_.getDouble(0))
+      }
       require(levels.length >= 2,
         s"multinomial_logit: need >= 2 outcome levels, got ${levels.length}")
       require(levels.length <= maxLevels,
@@ -64,14 +75,17 @@ object Multinomial {
       val np = (nJ - 1) * kp
       val cIdx = array_position(typedLit(levels.toSeq), col("__y"))
         .cast("int")
-      val n = base.count()
+      val n = cellsOpt match {
+        case Some((_, cnts)) => cnts.sum
+        case None => base.count()
+      }
       require(n > np.toLong,
         s"multinomial_logit: $n complete rows cannot identify $np parameters")
       def xcol(m: Int): Column = if (m == 0) lit(1.0) else col(s"__x${m - 1}")
       // parameter layout: class j (2..J) block of kp entries
       def pix(j: Int, m: Int): Int = (j - 2) * kp + m
 
-      def statsAt(at: Array[Double]): Row = {
+      def statsAtDist(at: Array[Double]): Row = {
         // eta_j for non-reference classes, clamped for exp safety
         val etas = (2 to nJ).map { j =>
           least(greatest(
@@ -107,6 +121,88 @@ object Multinomial {
           }
         }
         base.agg(aggs.head, aggs.tail.toSeq: _*).head()
+      }
+      // driver-side mirror of statsAtDist over the collapsed cells: the
+      // SAME per-row softmax formulas (η clamps included) times the cell
+      // count, in deterministic sorted-cell order. Field names match
+      // the aggregate aliases so gradNegH reads either row.
+      def statsAtLocal(cells: Array[Array[Double]], cnts: Array[Long])
+                      (at: Array[Double]): Row = {
+        val cellCat = cells.map(c => levels.indexOf(c(0)) + 1)
+        var ll = 0.0
+        val g = Array.ofDim[Double](nJ + 1, kp)
+        // h(j)(l)(m1)(m2) for j <= l, m1 <= m2
+        val h = Array.ofDim[Double](nJ + 1, nJ + 1, kp, kp)
+        val etas = new Array[Double](nJ - 1)
+        var i = 0
+        while (i < cells.length) {
+          val cell = cells(i)
+          val w = cnts(i).toDouble
+          val c = cellCat(i)
+          def xv(m: Int): Double = if (m == 0) 1.0 else cell(m)
+          var j = 2
+          while (j <= nJ) {
+            var e = 0.0
+            var m = 0
+            while (m < kp) { e += xv(m) * at(pix(j, m)); m += 1 }
+            etas(j - 2) = math.min(math.max(e, -50.0), 50.0)
+            j += 1
+          }
+          // denom = 1 + Σ exp(η_j), left fold order as the Column code
+          var denom = 1.0
+          j = 2
+          while (j <= nJ) { denom += math.exp(etas(j - 2)); j += 1 }
+          val etaOfC = if (c == 1) 0.0 else etas(c - 2)
+          ll += w * (etaOfC - math.log(denom))
+          j = 2
+          while (j <= nJ) {
+            val pj = math.exp(etas(j - 2)) / denom
+            val resid = (if (c == j) 1.0 else 0.0) - pj
+            var m = 0
+            while (m < kp) { g(j)(m) += w * resid * xv(m); m += 1 }
+            var l = j
+            while (l <= nJ) {
+              val pl = math.exp(etas(l - 2)) / denom
+              val wjl = if (j == l) pj * (1.0 - pj) else -pj * pl
+              var m1 = 0
+              while (m1 < kp) {
+                var m2 = m1
+                while (m2 < kp) {
+                  h(j)(l)(m1)(m2) += w * wjl * xv(m1) * xv(m2)
+                  m2 += 1
+                }
+                m1 += 1
+              }
+              l += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val names0 = scala.collection.mutable.ArrayBuffer.empty[String]
+        val vals = scala.collection.mutable.ArrayBuffer.empty[Double]
+        names0 += "ll"; vals += ll
+        (2 to nJ).foreach { j =>
+          (0 until kp).foreach { m => names0 += s"g${j}_$m"; vals += g(j)(m) }
+        }
+        (2 to nJ).foreach { j =>
+          (j to nJ).foreach { l =>
+            (0 until kp).foreach { m1 =>
+              (m1 until kp).foreach { m2 =>
+                names0 += s"h${j}_${l}_${m1}_$m2"; vals += h(j)(l)(m1)(m2)
+              }
+            }
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType(names0.map(f =>
+          org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.DoubleType)).toSeq)
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          vals.map(_.asInstanceOf[Any]).toArray, schema)
+      }
+      val statsAt: Array[Double] => Row = cellsOpt match {
+        case Some((cells, cnts)) => statsAtLocal(cells, cnts)
+        case None => statsAtDist
       }
       def gradNegH(r: Row): (Array[Double], Array[Array[Double]]) = {
         val g = new Array[Double](np)

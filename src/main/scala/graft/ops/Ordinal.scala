@@ -42,7 +42,8 @@ object Ordinal {
 
   def ordinalLogit(df: DataFrame, y: Column, xs: Seq[Column],
                    names: Seq[String], maxIter: Int = 50,
-                   tol: Double = 1e-9, maxLevels: Int = 50): OrdinalFit = {
+                   tol: Double = 1e-9, maxLevels: Int = 50,
+                   maxCells: Int = 4096): OrdinalFit = {
     require(xs.nonEmpty, "ordinal_logit: need at least one covariate")
     require(names.length == xs.length,
       s"ordinal_logit: ${xs.length} covariates but ${names.length} names")
@@ -53,9 +54,19 @@ object Ordinal {
         xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
     base.persist()
     try {
-      val levels = base.select(col("__y")).distinct()
-        .orderBy(col("__y")).limit(maxLevels + 1).collect()
-        .map(_.getDouble(0))
+      // low-cardinality design collapse (guide §1.2 step 1): ONE
+      // groupBy pass replaces the level scan, the count scan, AND every
+      // per-iteration aggregate — the Newton loop then runs driver-side
+      // over weighted cells. Columns: 0 = __y, 1..k = __x*.
+      val cellsOpt = graft.stats.DesignCells.collect(base, maxCells)
+      val levels = cellsOpt match {
+        case Some((cells, _)) =>
+          cells.map(_(0)).distinct.sorted.take(maxLevels + 1)
+        case None =>
+          base.select(col("__y")).distinct()
+            .orderBy(col("__y")).limit(maxLevels + 1).collect()
+            .map(_.getDouble(0))
+      }
       require(levels.length >= 2,
         s"ordinal_logit: need >= 2 outcome levels, got ${levels.length}")
       require(levels.length <= maxLevels,
@@ -68,8 +79,14 @@ object Ordinal {
       // category index 1..J via the sorted level array
       val cIdx = array_position(typedLit(levels.toSeq), col("__y"))
         .cast("int")
-      val counts = base.groupBy(cIdx.as("__c")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getAs[Long]("n")).toMap
+      val counts = cellsOpt match {
+        case Some((cells, cnts)) =>
+          cells.indices.groupBy(i => levels.indexOf(cells(i)(0)) + 1)
+            .map { case (c, is) => c -> is.map(cnts).sum }
+        case None =>
+          base.groupBy(cIdx.as("__c")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getInt(0) -> r.getAs[Long]("n")).toMap
+      }
       val n = counts.values.sum
       require(n > np.toLong,
         s"ordinal_logit: $n complete rows cannot identify $np parameters")
@@ -84,7 +101,7 @@ object Ordinal {
       var param = theta0
 
       // ONE distributed pass at `at`: ll + every gradient/Hessian moment
-      def statsAt(at: Array[Double]): Row = {
+      def statsAtDist(at: Array[Double]): Row = {
         val eta =
           if (at.drop(nTh).forall(_ == 0.0)) lit(0.0)
           else (0 until k).map(j => col(s"__x$j") * lit(at(nTh + j)))
@@ -146,6 +163,95 @@ object Ordinal {
           }
         }
         base.agg(aggs.head, aggs.tail.toSeq: _*).head()
+      }
+      // driver-side mirror of statsAtDist over the collapsed cells: the
+      // SAME per-row formulas (clamps, the skip-nonpositive-p0 behavior
+      // of Spark's null-skipping sum(log(p0))) times the cell count, in
+      // deterministic sorted-cell order. Field names match the
+      // aggregate aliases so gradNegH reads either row.
+      def statsAtLocal(cells: Array[Array[Double]], cnts: Array[Long])
+                      (at: Array[Double]): Row = {
+        def sig(v: Double): Double = 1.0 / (1.0 + math.exp(-v))
+        val cellCat = cells.map(c => levels.indexOf(c(0)) + 1)
+        var ll = 0.0
+        val gth = new Array[Double](nTh + 1)
+        val gb = new Array[Double](k)
+        val hth = new Array[Double](nTh + 1)
+        val hthx = new Array[Double](nTh + 1)
+        val hc = Array.ofDim[Double](nTh + 1, k)
+        val hb = Array.ofDim[Double](k, k)
+        var i = 0
+        while (i < cells.length) {
+          val cell = cells(i)
+          val w = cnts(i).toDouble
+          val c = cellCat(i)
+          var eta = 0.0
+          var l = 0
+          while (l < k) { eta += cell(l + 1) * at(nTh + l); l += 1 }
+          val fA = if (c == nJ) 1.0 else sig(at(c - 1) - eta)
+          val fB = if (c == 1) 0.0 else sig(at(c - 2) - eta)
+          val p0 = fA - fB
+          val p = math.max(p0, 1e-300)
+          val dA = fA * (1.0 - fA)
+          val dB = fB * (1.0 - fB)
+          val dpA = dA * (1.0 - 2.0 * fA)
+          val dpB = dB * (1.0 - 2.0 * fB)
+          val gEta = -(dA - dB) / p
+          val hEta = (dpA - dpB) / p - (dA - dB) * (dA - dB) / (p * p)
+          // Spark's sum(log(p0)) skips null (p0 <= 0) contributions and
+          // is NaN-sticky on NaN — mirror both
+          if (p0.isNaN) ll = Double.NaN
+          else if (p0 > 0.0) ll += w * math.log(p0)
+          if (c <= nTh) {
+            gth(c) += w * dA / p
+            hth(c) += w * (dpA / p - dA * dA / (p * p))
+          }
+          if (c >= 2) {
+            gth(c - 1) -= w * dB / p
+            hth(c - 1) += w * (-dpB / p - dB * dB / (p * p))
+            if (c - 1 < nTh) hthx(c - 1) += w * dA * dB / (p * p)
+          }
+          l = 0
+          while (l < k) {
+            val xv = cell(l + 1)
+            gb(l) += w * gEta * xv
+            if (c <= nTh)
+              hc(c)(l) += w * (-dpA / p + dA * (dA - dB) / (p * p)) * xv
+            if (c >= 2 && c - 1 <= nTh)
+              hc(c - 1)(l) += w * (dpB / p - dB * (dA - dB) / (p * p)) * xv
+            var l2 = l
+            while (l2 < k) {
+              hb(l)(l2) += w * hEta * xv * cell(l2 + 1)
+              l2 += 1
+            }
+            l += 1
+          }
+          i += 1
+        }
+        val names0 = scala.collection.mutable.ArrayBuffer.empty[String]
+        val vals = scala.collection.mutable.ArrayBuffer.empty[Double]
+        names0 += "ll"; vals += ll
+        (1 to nTh).foreach { j => names0 += s"gth$j"; vals += gth(j) }
+        (0 until k).foreach { l => names0 += s"gb$l"; vals += gb(l) }
+        (1 to nTh).foreach { j => names0 += s"hth$j"; vals += hth(j) }
+        (1 until nTh).foreach { j => names0 += s"hthx$j"; vals += hthx(j) }
+        (1 to nTh).foreach { j =>
+          (0 until k).foreach { l => names0 += s"hc${j}_$l"; vals += hc(j)(l) }
+        }
+        (0 until k).foreach { l1 =>
+          (l1 until k).foreach { l2 =>
+            names0 += s"hb${l1}_$l2"; vals += hb(l1)(l2)
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType(names0.map(f =>
+          org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.DoubleType)).toSeq)
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          vals.map(_.asInstanceOf[Any]).toArray, schema)
+      }
+      val statsAt: Array[Double] => Row = cellsOpt match {
+        case Some((cells, cnts)) => statsAtLocal(cells, cnts)
+        case None => statsAtDist
       }
       def gradNegH(r: Row): (Array[Double], Array[Array[Double]]) = {
         val g = new Array[Double](np)
