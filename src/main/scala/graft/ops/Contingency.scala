@@ -410,8 +410,13 @@ object Contingency {
     val yd = y.cast("double")
     val base = df.filter(yd.isNotNull && group.isNotNull)
       .select(yd.as("__y"), group.cast("string").as("__g"))
-    val med = base.agg(Robust.pctile(col("__y"), lit(0.5), exact))
-      .head().getDouble(0)
+    // exact path: histogram + prefix-sum order statistic (same value as
+    // Spark `percentile`, none of its all-values aggregation buffer)
+    val med =
+      if (exact)
+        Robust.exactQuantiles(base, col("__y"), Seq(0.5), "mood_median")(0)
+      else base.agg(Robust.pctile(col("__y"), lit(0.5), exact))
+        .head().getDouble(0)
     val g = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("ng"),
         sum(when(col("__y") > med, 1L).otherwise(0L)).as("ag"))

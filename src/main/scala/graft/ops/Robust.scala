@@ -34,21 +34,84 @@ object Robust {
   def pctile(c: Column, ps: Column, exact: Boolean): Column =
     if (exact) percentile(c, ps) else percentile_approx(c, ps, lit(100000))
 
+  /** Exact quantile_cont over a (value, count) HISTOGRAM frame — the
+    * 100 TB-safe exact quantile (guide §2.3/§5): Spark's exact
+    * `percentile` buffers EVERY value in one aggregation buffer, which
+    * on an all-distinct double column is an executor OOM at scale and a
+    * single-threaded merge+sort at any scale. Here the row-scale work
+    * is an ordinary map-side-combined groupBy; the order statistics
+    * come from a [[RangeCumSum]] prefix sum over the distinct values
+    * (fully parallel, constant memory) and only the two rows straddling
+    * each target rank are collected. Interpolation matches Spark
+    * `percentile` / DuckDB `quantile_cont` exactly (spec-pinned):
+    * pos = p·(n−1); (hi−pos)·v_lo + (pos−lo)·v_hi.
+    *
+    * `byV` must have a double `v` column and a count `c` column; NaN
+    * values sort last, matching Spark's double ordering. Returns one
+    * value per requested percentile; `n == 0` is a named error. */
+  def exactQuantilesOnCounts(byV: DataFrame, ps: Seq[Double],
+                             verb: String = "exact_quantiles"): Array[Double] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"$verb: percentiles must be in [0, 1], got ${ps.mkString(",")}")
+    RangeCumSum.withCumSums(byV.select(col("v").cast("double").as("v"),
+      col("c").cast("double").as("c")), Seq(col("v")), Seq("c")) {
+      (cum, totals) =>
+        val n = totals("c").toLong
+        require(n > 0, s"$verb: no non-null values " +
+          "(empty input would otherwise read as 0.0)")
+        val idx = ps.flatMap { p =>
+          val pos = p * (n - 1)
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+        }.distinct
+        // 0-based rank i lives in the row with cum_c − c <= i < cum_c
+        val cond = idx.map(i =>
+          (col("cum_c") - col("c") <= lit(i.toDouble)) &&
+            (lit(i.toDouble) < col("cum_c"))).reduce(_ || _)
+        val hit = cum.filter(cond)
+          .select(col("v"), col("c"), col("cum_c")).collect()
+        def at(i: Long): Double = hit.find { r =>
+          r.getDouble(2) - r.getDouble(1) <= i && i < r.getDouble(2)
+        }.map(_.getDouble(0)).getOrElse(
+          throw new IllegalStateException(s"$verb: rank $i not covered"))
+        ps.map { p =>
+          val pos = p * (n - 1)
+          val lo = math.floor(pos).toLong
+          val hi = math.ceil(pos).toLong
+          if (hi == lo) at(lo)
+          else (hi - pos) * at(lo) + (pos - lo) * at(hi)
+        }.toArray
+    }
+  }
+
+  /** [[exactQuantilesOnCounts]] over a column: builds the value
+    * histogram (one map-side-combined pass over non-null rows) and
+    * reads the quantiles off it. */
+  def exactQuantiles(df: DataFrame, x: Column, ps: Seq[Double],
+                     verb: String = "exact_quantiles"): Array[Double] = {
+    val xd = x.cast("double")
+    val byV = df.filter(xd.isNotNull).groupBy(xd.as("v"))
+      .agg(count(lit(1)).as("c"))
+    exactQuantilesOnCounts(byV, ps, verb)
+  }
+
   /** (lower, upper) percentile bounds of `x`. */
   def quantileBounds(df: DataFrame, x: Column, pLo: Double, pHi: Double,
                      exact: Boolean = false): (Double, Double) = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles [$pLo, $pHi]")
-    val q =
-      if (exact)
-        df.select(percentile(x, array(lit(pLo), lit(pHi))).as("q"))
-      else
-        df.select(percentile_approx(x, array(lit(pLo), lit(pHi)),
-          lit(100000)).as("q"))
-    val row = q.head()
-    require(!row.isNullAt(0),
-      "quantile_bounds: no non-null values (empty input would otherwise read as 0.0)")
-    val r = row.getSeq[Double](0)
-    (r(0), r(1))
+    if (exact) {
+      // histogram + prefix-sum order statistics: same values as Spark
+      // `percentile`, without its per-group all-values buffer
+      val r = exactQuantiles(df, x, Seq(pLo, pHi), "quantile_bounds")
+      (r(0), r(1))
+    } else {
+      val q = df.select(percentile_approx(x, array(lit(pLo), lit(pHi)),
+        lit(100000)).as("q"))
+      val row = q.head()
+      require(!row.isNullAt(0),
+        "quantile_bounds: no non-null values (empty input would otherwise read as 0.0)")
+      val r = row.getSeq[Double](0)
+      (r(0), r(1))
+    }
   }
 
   /** Weighted mean with design-effect diagnostics: one row
@@ -127,6 +190,40 @@ object Robust {
     require(k > 0, s"mad_outliers: k must be > 0, got $k")
     val xd = x.cast("double")
     val base = df.filter(xd.isNotNull && !isnan(xd)).select(xd.as("__x"))
+    if (exact) {
+      // ONE row-scale pass (was three): collapse to the (value, count)
+      // histogram once; the median, the deviation median (|v − med| is
+      // a pure function of the distinct values, so its histogram derives
+      // from this one), and every fence statistic then run on the tiny
+      // distinct-value frame. Also removes Spark `percentile`'s
+      // all-values aggregation buffer — the documented executor-OOM
+      // hazard of the exact path on an all-distinct column at scale.
+      val byV = base.groupBy(col("__x").as("v")).agg(count(lit(1)).as("c"))
+      byV.persist()
+      try {
+        val med = exactQuantilesOnCounts(byV, Seq(0.5), "mad_outliers")(0)
+        val devV = byV.select(abs(col("v") - lit(med)).as("v"), col("c"))
+          .groupBy(col("v")).agg(sum(col("c")).as("c"))
+        val mad = exactQuantilesOnCounts(devV, Seq(0.5), "mad_outliers")(0)
+        require(mad > 0,
+          "mad_outliers: MAD is 0 — more than half the values are identical; " +
+            "a deviation fence is undefined (use a frequency screen instead)")
+        val sigma = mad / graft.stats.Dist.normQuantile(0.75)
+        val lo = med - k * sigma
+        val hi = med + k * sigma
+        val r = byV.agg(sum(col("c")).as("n"),
+          sum(when(col("v") < lo || col("v") > hi, col("c"))
+            .otherwise(0L)).as("out"),
+          min(when(col("v").between(lo, hi), col("v"))).as("mnk"),
+          max(when(col("v").between(lo, hi), col("v"))).as("mxk")).head()
+        val n = r.getAs[Long]("n")
+        Seq((n, med, mad, sigma, r.getAs[Long]("out"),
+            r.getAs[Long]("out").toDouble / n,
+            r.getAs[Double]("mnk"), r.getAs[Double]("mxk")))
+          .toDF("n", "median", "mad", "sigma_robust", "n_outliers",
+            "outlier_share", "min_kept", "max_kept")
+      } finally { byV.unpersist(); () }
+    } else {
     base.persist()
     try {
       val med = base.agg(pctile(col("__x"), lit(0.5), exact))
@@ -153,6 +250,7 @@ object Robust {
         .toDF("n", "median", "mad", "sigma_robust", "n_outliers",
           "outlier_share", "min_kept", "max_kept")
     } finally { base.unpersist(); () }
+    }
   }
 
   /** Grubbs' single-outlier test (Grubbs 1950) — "is the most extreme
