@@ -377,6 +377,210 @@ object Survival {
     (ll, g, info)
   }
 
+  /** Greatest index i with sorted(i) <= v, or −1 — the driver-side twin
+    * of the codegen floor bucket
+    * ([[graft.expr.SearchExprs.sortedFloorLookup]]) used when the design
+    * has collapsed to cells. */
+  private def floorIdx(sorted: Array[Double], v: Double): Int = {
+    var lo = 0; var hi = sorted.length - 1; var res = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) <= v) { res = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    res
+  }
+
+  /** Driver-side replay of [[coxCellAggs]]'s bucketed groupBy over
+    * COLLAPSED design cells (the [[graft.stats.DesignCells]] idiom,
+    * guide §1.2 step 1): each distinct (t, e, x…) row contributes its
+    * row formula times its multiplicity, accumulated per bucketed event
+    * time in the cells' sorted order (deterministic), emitted time-DESC
+    * in the exact layout [[coxScan]] reads. `tbIdx(i)` = floor bucket of
+    * cell i (−1 = censored before the first event, dropped exactly like
+    * the row path's `__tb IS NULL` filter). Zero distributed passes. */
+  private def localCoxCells(dc: Array[Array[Double]], cnts: Array[Long],
+                            tbIdx: Array[Int], evTimes: Array[Double],
+                            k: Int, pairs: IndexedSeq[(Int, Int)],
+                            beta: Array[Double], efron: Boolean): Array[Row] = {
+    val m = evTimes.length
+    val nP = pairs.length
+    val d = new Array[Double](m)
+    val sx = Array.ofDim[Double](k, m)
+    val a0 = new Array[Double](m)
+    val a1 = Array.ofDim[Double](k, m)
+    val a2 = Array.ofDim[Double](nP, m)
+    val c0 = if (efron) new Array[Double](m) else null
+    val c1 = if (efron) Array.ofDim[Double](k, m) else null
+    val c2 = if (efron) Array.ofDim[Double](nP, m) else null
+    var i = 0
+    while (i < dc.length) {
+      val ix = tbIdx(i)
+      if (ix >= 0) {
+        val c = dc(i)
+        val cnt = cnts(i).toDouble
+        var eta = 0.0
+        var j = 0
+        while (j < k) { eta += beta(j) * c(2 + j); j += 1 }
+        val w = cnt * math.exp(eta)
+        val e = c(1)
+        d(ix) += e * cnt
+        j = 0
+        while (j < k) { sx(j)(ix) += e * c(2 + j) * cnt; j += 1 }
+        a0(ix) += w
+        j = 0
+        while (j < k) { a1(j)(ix) += c(2 + j) * w; j += 1 }
+        var p = 0
+        while (p < nP) {
+          val (pj, pl) = pairs(p)
+          a2(p)(ix) += c(2 + pj) * c(2 + pl) * w
+          p += 1
+        }
+        if (efron) {
+          c0(ix) += e * w
+          j = 0
+          while (j < k) { c1(j)(ix) += e * c(2 + j) * w; j += 1 }
+          p = 0
+          while (p < nP) {
+            val (pj, pl) = pairs(p)
+            c2(p)(ix) += e * c(2 + pj) * c(2 + pl) * w
+            p += 1
+          }
+        }
+      }
+      i += 1
+    }
+    Array.tabulate(m) { r =>
+      val ix = m - 1 - r // time DESC, as the distributed orderBy
+      val breslowPart = Seq(evTimes(ix), d(ix)) ++
+        (0 until k).map(sx(_)(ix)) ++ Seq(a0(ix)) ++
+        (0 until k).map(a1(_)(ix)) ++ (0 until nP).map(a2(_)(ix))
+      Row.fromSeq(if (!efron) breslowPart
+      else breslowPart ++ Seq(c0(ix)) ++ (0 until k).map(c1(_)(ix)) ++
+        (0 until nP).map(c2(_)(ix)))
+    }
+  }
+
+  /** [[localCoxCells]] with a stratum key: per-stratum event-time grids,
+    * buckets within each stratum's own grid, rows ordered (stratum ASC,
+    * time DESC) with the stratum string leading — the layout
+    * [[coxScan]]'s stratified reset expects. `stratIdx(i)` / `tbIdx(i)`
+    * give cell i's stratum and in-grid bucket (−1 = dropped). */
+  private def localCoxCellsStrat(dc: Array[Array[Double]],
+                                 cnts: Array[Long], stratIdx: Array[Int],
+                                 tbIdx: Array[Int], strata: Array[String],
+                                 grids: Array[Array[Double]],
+                                 offsets: Array[Int], k: Int,
+                                 pairs: IndexedSeq[(Int, Int)],
+                                 beta: Array[Double],
+                                 efron: Boolean): Array[Row] = {
+    val m = offsets(strata.length) // total (stratum, time) slots
+    val nP = pairs.length
+    val d = new Array[Double](m)
+    val sx = Array.ofDim[Double](k, m)
+    val a0 = new Array[Double](m)
+    val a1 = Array.ofDim[Double](k, m)
+    val a2 = Array.ofDim[Double](nP, m)
+    val c0 = if (efron) new Array[Double](m) else null
+    val c1 = if (efron) Array.ofDim[Double](k, m) else null
+    val c2 = if (efron) Array.ofDim[Double](nP, m) else null
+    var i = 0
+    while (i < dc.length) {
+      val bx = tbIdx(i)
+      if (bx >= 0) {
+        val ix = offsets(stratIdx(i)) + bx
+        val c = dc(i)
+        val cnt = cnts(i).toDouble
+        var eta = 0.0
+        var j = 0
+        while (j < k) { eta += beta(j) * c(2 + j); j += 1 }
+        val w = cnt * math.exp(eta)
+        val e = c(1)
+        d(ix) += e * cnt
+        j = 0
+        while (j < k) { sx(j)(ix) += e * c(2 + j) * cnt; j += 1 }
+        a0(ix) += w
+        j = 0
+        while (j < k) { a1(j)(ix) += c(2 + j) * w; j += 1 }
+        var p = 0
+        while (p < nP) {
+          val (pj, pl) = pairs(p)
+          a2(p)(ix) += c(2 + pj) * c(2 + pl) * w
+          p += 1
+        }
+        if (efron) {
+          c0(ix) += e * w
+          j = 0
+          while (j < k) { c1(j)(ix) += e * c(2 + j) * w; j += 1 }
+          p = 0
+          while (p < nP) {
+            val (pj, pl) = pairs(p)
+            c2(p)(ix) += e * c(2 + pj) * c(2 + pl) * w
+            p += 1
+          }
+        }
+      }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Row](m)
+    var si = 0
+    while (si < strata.length) {
+      val grid = grids(si)
+      var r = grid.length - 1
+      while (r >= 0) { // time DESC within the stratum
+        val ix = offsets(si) + r
+        val breslowPart = Seq(strata(si), grid(r), d(ix)) ++
+          (0 until k).map(sx(_)(ix)) ++ Seq(a0(ix)) ++
+          (0 until k).map(a1(_)(ix)) ++ (0 until nP).map(a2(_)(ix))
+        out += Row.fromSeq(if (!efron) breslowPart
+        else breslowPart ++ Seq(c0(ix)) ++ (0 until k).map(c1(_)(ix)) ++
+          (0 until nP).map(c2(_)(ix)))
+        r -= 1
+      }
+      si += 1
+    }
+    out.toArray
+  }
+
+  /** The shared Newton driver over a cell source: score test at β = 0,
+    * then undamped Newton to tol. `cellsFn` is either ONE distributed
+    * aggregate per call (row path) or pure driver arithmetic over
+    * collapsed design cells ([[localCoxCells]]) — identical math either
+    * way, which [[coxScan]] consumes unchanged. */
+  private def coxFitLoop(cellsFn: Array[Double] => Array[Row], k: Int,
+                         pairs: IndexedSeq[(Int, Int)], efron: Boolean,
+                         stratified: Boolean, maxIter: Int, tol: Double,
+                         nAll: Long, verb: String): CoxResult = {
+    val dIdx = if (stratified) 2 else 1
+    val cs0 = cellsFn(new Array[Double](k))
+    val nEvents = cs0.map(_.getDouble(dIdx)).sum.round
+    require(nEvents > 0, s"$verb: no events")
+    val (_, g0, i0) = coxScan(cs0, new Array[Double](k), k, pairs, efron,
+      stratified)
+    val i0inv = graft.stats.LinAlg.invert(i0)
+    val scoreChi2 = graft.stats.LinAlg.quadForm(g0, i0inv, g0)
+    val scoreP = 1.0 - graft.stats.Dist.chiSqCdf(scoreChi2, k.toDouble)
+    var beta = new Array[Double](k)
+    var it = 0
+    var ll = 0.0
+    var info = i0
+    var done = false
+    while (!done && it < maxIter) {
+      val cs = if (it == 0) cs0 else cellsFn(beta)
+      val (l, g, i) = coxScan(cs, beta, k, pairs, efron, stratified)
+      ll = l; info = i
+      val step = graft.stats.LinAlg.matVec(graft.stats.LinAlg.invert(i), g)
+      beta = beta.zip(step).map { case (b, s) => b + s }
+      it += 1
+      done = step.map(math.abs).max < tol
+    }
+    val cov = graft.stats.LinAlg.invert(info)
+    val se = Array.tabulate(k)(j => math.sqrt(cov(j)(j)))
+    val z = Array.tabulate(k)(j => beta(j) / se(j))
+    val p = z.map(zz => 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(zz))))
+    CoxResult(beta, se, z, p, nAll, nEvents, cs0.length, it, ll, scoreChi2,
+      scoreP)
+  }
+
   /** Cox proportional hazards — the covariate-adjusted hazard model one
     * step past [[kaplanMeierBy]] / [[logRankTest]] (the reference's
     * survival tier stops at the single KM curve). Newton–Raphson on the
@@ -426,7 +630,8 @@ object Survival {
     * pins. Rows with null time/event/any-x drop listwise. */
   def coxPh(df: DataFrame, time: Column, event: Column, xs: Seq[Column],
             maxIter: Int = 20, tol: Double = 1e-9,
-            maxTimes: Int = 200000, ties: String = "breslow"): CoxResult = {
+            maxTimes: Int = 200000, ties: String = "breslow",
+            maxCells: Int = 32768): CoxResult = {
     require(xs.nonEmpty, "cox_ph: need at least one covariate")
     val efron = requireTies("cox_ph", ties)
     val k = xs.length
@@ -437,67 +642,64 @@ object Survival {
         xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
     base0.persist()
     try {
-      val nAll = base0.count()
-      // distinct EVENT times only — the take-ordered guard bounds the
-      // collection BEFORE it happens, and bounds what the message names
-      val evTimes = base0.filter(col("__e") === 1)
-        .select(col("__t")).distinct()
-        .orderBy(col("__t"))
-        .limit(maxTimes + 1)
-        .collect().map(_.getDouble(0))
-      require(evTimes.length <= maxTimes,
-        s"cox_ph: more than $maxTimes distinct event times — coarsen the " +
-          "time column or raise maxTimes if the driver can hold the cells")
-      require(evTimes.nonEmpty, "cox_ph: no events")
-      // bucketed view over the persisted base: greatest event time <= t
-      // via the codegen binary-search expression (the referenced array
-      // ships once per generated class — no ScalaUDF boxing, and the
-      // whole-stage codegen span over the per-iteration aggregate stays
-      // unbroken; an earlier UDF here cost ~0.9x extra per Newton pass)
-      val base = base0.withColumn("__tb",
-          graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
-        .filter(col("__tb").isNotNull)
       val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
-      def cells(beta: Array[Double]): Array[Row] = {
-        val aggs = coxCellAggs(k, pairs, beta, efron)
-        base.groupBy(col("__tb").as("__t"))
-          .agg(aggs.head, aggs.tail: _*)
-          .orderBy(col("__t").desc) // suffix accumulation = desc prefix
-          .collect()
+      // low-cardinality design collapse (guide §1.2 step 1, the
+      // FitCells idiom): ONE groupBy probe pass; when the distinct
+      // (t, e, x…) rows fit in maxCells, the event-time grid, the
+      // bucketing, the score test, and every Newton pass run driver-side
+      // over weighted cells — zero distributed passes per iteration at
+      // any data scale. Past the bound, the row path below is untouched.
+      // The Cox-family default (32768) is higher than the GLM fits'
+      // 4096 because survival designs carry the TIME in the key (days ×
+      // event × bucketed x easily passes 4k while staying trivially
+      // driver-sized: 32k cells × ~10 doubles ≈ 2.6 MB, and the probe's
+      // head() bounds the collection before it happens).
+      graft.stats.DesignCells.collect(base0, maxCells) match {
+        case Some((dc, cnts)) =>
+          val nAll = cnts.sum
+          val evTimes = dc.iterator.filter(c => c(1) == 1.0).map(_(0))
+            .toArray.distinct.sorted
+          require(evTimes.length <= maxTimes,
+            s"cox_ph: more than $maxTimes distinct event times — coarsen the " +
+              "time column or raise maxTimes if the driver can hold the cells")
+          require(evTimes.nonEmpty, "cox_ph: no events")
+          val tbIdx = dc.map(c => floorIdx(evTimes, c(0)))
+          coxFitLoop(b => localCoxCells(dc, cnts, tbIdx, evTimes, k, pairs,
+            b, efron), k, pairs, efron, stratified = false, maxIter, tol,
+            nAll, "cox_ph")
+        case None =>
+          // n counts ALL complete rows — including subjects censored
+          // before the first event, who are in no cell
+          val nAll = base0.count()
+          // distinct EVENT times only — the take-ordered guard bounds the
+          // collection BEFORE it happens, and bounds what the message names
+          val evTimes = base0.filter(col("__e") === 1)
+            .select(col("__t")).distinct()
+            .orderBy(col("__t"))
+            .limit(maxTimes + 1)
+            .collect().map(_.getDouble(0))
+          require(evTimes.length <= maxTimes,
+            s"cox_ph: more than $maxTimes distinct event times — coarsen the " +
+              "time column or raise maxTimes if the driver can hold the cells")
+          require(evTimes.nonEmpty, "cox_ph: no events")
+          // bucketed view over the persisted base: greatest event time <= t
+          // via the codegen binary-search expression (the referenced array
+          // ships once per generated class — no ScalaUDF boxing, and the
+          // whole-stage codegen span over the per-iteration aggregate stays
+          // unbroken; an earlier UDF here cost ~0.9x extra per Newton pass)
+          val base = base0.withColumn("__tb",
+              graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
+            .filter(col("__tb").isNotNull)
+          def cells(beta: Array[Double]): Array[Row] = {
+            val aggs = coxCellAggs(k, pairs, beta, efron)
+            base.groupBy(col("__tb").as("__t"))
+              .agg(aggs.head, aggs.tail: _*)
+              .orderBy(col("__t").desc) // suffix accumulation = desc prefix
+              .collect()
+          }
+          coxFitLoop(cells, k, pairs, efron, stratified = false, maxIter,
+            tol, nAll, "cox_ph")
       }
-      def scan(cs: Array[Row], beta: Array[Double])
-          : (Double, Array[Double], Array[Array[Double]]) =
-        coxScan(cs, beta, k, pairs, efron, stratified = false)
-      val cs0 = cells(new Array[Double](k))
-      // n counts ALL complete rows — including subjects censored before
-      // the first event, who are in no cell (a0 no longer sums to n)
-      val n = nAll
-      val nEvents = cs0.map(_.getDouble(1)).sum.round
-      require(nEvents > 0, "cox_ph: no events")
-      val (_, g0, i0) = scan(cs0, new Array[Double](k))
-      val i0inv = graft.stats.LinAlg.invert(i0)
-      val scoreChi2 = graft.stats.LinAlg.quadForm(g0, i0inv, g0)
-      val scoreP = 1.0 - graft.stats.Dist.chiSqCdf(scoreChi2, k.toDouble)
-      var beta = new Array[Double](k)
-      var it = 0
-      var ll = 0.0
-      var info = i0
-      var done = false
-      while (!done && it < maxIter) {
-        val cs = if (it == 0) cs0 else cells(beta)
-        val (l, g, i) = scan(cs, beta)
-        ll = l; info = i
-        val step = graft.stats.LinAlg.matVec(graft.stats.LinAlg.invert(i), g)
-        beta = beta.zip(step).map { case (b, s) => b + s }
-        it += 1
-        done = step.map(math.abs).max < tol
-      }
-      val cov = graft.stats.LinAlg.invert(info)
-      val se = Array.tabulate(k)(j => math.sqrt(cov(j)(j)))
-      val z = Array.tabulate(k)(j => beta(j) / se(j))
-      val p = z.map(zz => 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(zz))))
-      CoxResult(beta, se, z, p, n, nEvents, cs0.length, it, ll, scoreChi2,
-        scoreP)
     } finally {
       base0.unpersist()
       ()
@@ -679,14 +881,79 @@ object Survival {
     * competing prefix and combines W(t) = S^A(t) + Ĝ(t−)·P^B(t). */
   /** Shared Fine-Gray preparation: complete-case base, cause counts
     * (with the domain guard), the cause-1 event-time grid, the censoring
-    * KM left limits at those times, and the persisted two-role frame
-    * (at-risk suffix role A, IPCW competing prefix role B). Both
-    * [[fineGray]] and [[fineGrayCif]] ride it; close() releases the two
+    * KM left limits at those times, and the two-role view (at-risk
+    * suffix role A, IPCW competing prefix role B). [[fineGray]],
+    * [[fineGrayCif]] and [[grayTest]] ride it through the three cell
+    * accessors, each of which is ONE distributed aggregate on the row
+    * path ([[FgDist]]) or pure driver arithmetic over collapsed design
+    * cells ([[FgLocal]] — the coxPh idiom; with the design collapsed,
+    * the censoring KM, the role bucketing, and every Newton pass cost
+    * ZERO distributed passes). close() releases the row path's two
     * persists. */
-  private case class FgPrep(base0: DataFrame, roles: DataFrame,
-                            evTimes: Array[Double], gTminus: Array[Double],
-                            n: Long, nEvents: Long, nCompeting: Long,
-                            nCensored: Long) {
+  private sealed trait FgPrep {
+    def evTimes: Array[Double]
+    def gTminus: Array[Double]
+    def n: Long; def nEvents: Long; def nCompeting: Long; def nCensored: Long
+    /** Per-(role, bucketed time) cells with the full moments at `beta`:
+      * (role, tb, d, sx*k, w0, w1*k, w2*P). */
+    def momentCells(beta: Array[Double], k: Int,
+                    pairs: IndexedSeq[(Int, Int)]): Array[Row]
+    /** Per-(role, tb) cells with only the 0th moments: (role, tb, d, w0). */
+    def w0Cells(beta: Array[Double], k: Int): Array[Row]
+    /** [[grayTest]]'s K-group pass at β = 0, keyed by the single
+      * group-index covariate: (role, tb, x0, d, w0). */
+    def groupedW0Cells(): Array[Row]
+    /** Per-group-index (n, n_cause1, n_competing) — gray_test counts. */
+    def groupCounts(): Map[Int, (Long, Long, Long)]
+    def close(): Unit
+  }
+
+  private final case class FgDist(base0: DataFrame, roles: DataFrame,
+                                  evTimes: Array[Double],
+                                  gTminus: Array[Double], n: Long,
+                                  nEvents: Long, nCompeting: Long,
+                                  nCensored: Long) extends FgPrep {
+    private def etaCol(beta: Array[Double], k: Int): Column =
+      if (beta.forall(_ == 0.0)) lit(0.0)
+      else (0 until k).map(j => col(s"__x$j") * lit(beta(j))).reduce(_ + _)
+
+    def momentCells(beta: Array[Double], k: Int,
+                    pairs: IndexedSeq[(Int, Int)]): Array[Row] = {
+      val w = col("__wfac") * exp(etaCol(beta, k))
+      val aggs =
+        sum(col("__e")).cast("double").as("d") +:
+          ((0 until k).map(j =>
+            sum(col("__e") * col(s"__x$j")).as(s"sx$j")) ++
+            Seq(sum(w).as("w0")) ++
+            (0 until k).map(j => sum(col(s"__x$j") * w).as(s"w1_$j")) ++
+            pairs.map { case (j, l) =>
+              sum(col(s"__x$j") * col(s"__x$l") * w).as(s"w2_${j}_$l") })
+      roles.groupBy(col("__role"), col("__tb"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+    }
+
+    def w0Cells(beta: Array[Double], k: Int): Array[Row] =
+      roles.groupBy(col("__role"), col("__tb"))
+        .agg(sum(col("__e")).cast("double").as("d"),
+          sum(col("__wfac") * exp(etaCol(beta, k))).as("w0"))
+        .collect()
+
+    def groupedW0Cells(): Array[Row] =
+      roles.groupBy(col("__role"), col("__tb"), col("__x0"))
+        .agg(sum(col("__e")).cast("double").as("d"),
+          sum(col("__wfac")).as("w0"))
+        .collect()
+
+    def groupCounts(): Map[Int, (Long, Long, Long)] =
+      base0.groupBy(col("__x0")).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("__c") === 1, 1L).otherwise(0L)).as("ne"),
+          sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("nc"))
+        .collect().map(r => r.getDouble(0).toInt ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("ne"), r.getAs[Long]("nc"))))
+        .toMap
+
     def close(): Unit = {
       base0.unpersist()
       roles.unpersist()
@@ -694,9 +961,141 @@ object Survival {
     }
   }
 
+  /** A collapsed role cell: one distinct (role, bucket, e, wfac, x…) row
+    * with its multiplicity. */
+  private final case class FgRoleCell(isA: Boolean, tbIx: Int, e: Int,
+                                      wfac: Double, xs: Array[Double],
+                                      cnt: Long)
+
+  private final case class FgLocal(cells: Array[FgRoleCell],
+                                   baseDc: Array[Array[Double]],
+                                   baseCnts: Array[Long],
+                                   evTimes: Array[Double],
+                                   gTminus: Array[Double], n: Long,
+                                   nEvents: Long, nCompeting: Long,
+                                   nCensored: Long) extends FgPrep {
+    def momentCells(beta: Array[Double], k: Int,
+                    pairs: IndexedSeq[(Int, Int)]): Array[Row] = {
+      val m = evTimes.length
+      val nP = pairs.length
+      val d = Array.ofDim[Double](2, m)
+      val sx = Array.ofDim[Double](2, k, m)
+      val w0 = Array.ofDim[Double](2, m)
+      val w1 = Array.ofDim[Double](2, k, m)
+      val w2 = Array.ofDim[Double](2, nP, m)
+      var i = 0
+      while (i < cells.length) {
+        val c = cells(i)
+        val r = if (c.isA) 0 else 1
+        val ix = c.tbIx
+        var eta = 0.0
+        var j = 0
+        while (j < k) { eta += beta(j) * c.xs(j); j += 1 }
+        val w = c.wfac * math.exp(eta) * c.cnt
+        d(r)(ix) += c.e.toDouble * c.cnt
+        j = 0
+        while (j < k) { sx(r)(j)(ix) += c.e * c.xs(j) * c.cnt; j += 1 }
+        w0(r)(ix) += w
+        j = 0
+        while (j < k) { w1(r)(j)(ix) += c.xs(j) * w; j += 1 }
+        var p = 0
+        while (p < nP) {
+          val (pj, pl) = pairs(p)
+          w2(r)(p)(ix) += c.xs(pj) * c.xs(pl) * w
+          p += 1
+        }
+        i += 1
+      }
+      // all 2m (role, time) rows; zero rows are no-ops for every consumer
+      // (they zero-fill per-time tables keyed by timeIx)
+      val out = new Array[Row](2 * m)
+      var o = 0
+      var r = 0
+      while (r < 2) {
+        var ix = 0
+        while (ix < m) {
+          out(o) = Row.fromSeq(
+            Seq(if (r == 0) "A" else "B", evTimes(ix), d(r)(ix)) ++
+              (0 until k).map(sx(r)(_)(ix)) ++ Seq(w0(r)(ix)) ++
+              (0 until k).map(w1(r)(_)(ix)) ++ (0 until nP).map(w2(r)(_)(ix)))
+          o += 1
+          ix += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    def w0Cells(beta: Array[Double], k: Int): Array[Row] = {
+      val m = evTimes.length
+      val d = Array.ofDim[Double](2, m)
+      val w0 = Array.ofDim[Double](2, m)
+      var i = 0
+      while (i < cells.length) {
+        val c = cells(i)
+        val r = if (c.isA) 0 else 1
+        var eta = 0.0
+        var j = 0
+        while (j < k) { eta += beta(j) * c.xs(j); j += 1 }
+        d(r)(c.tbIx) += c.e.toDouble * c.cnt
+        w0(r)(c.tbIx) += c.wfac * math.exp(eta) * c.cnt
+        i += 1
+      }
+      val out = new Array[Row](2 * m)
+      var o = 0
+      var r = 0
+      while (r < 2) {
+        var ix = 0
+        while (ix < m) {
+          out(o) = Row(if (r == 0) "A" else "B", evTimes(ix), d(r)(ix),
+            w0(r)(ix))
+          o += 1
+          ix += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    def groupedW0Cells(): Array[Row] = {
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[(Int, Int, Int), (Double, Double)]
+      var i = 0
+      while (i < cells.length) {
+        val c = cells(i)
+        val key = (if (c.isA) 0 else 1, c.tbIx, c.xs(0).toInt)
+        val (d0, w0) = acc.getOrElse(key, (0.0, 0.0))
+        acc(key) = (d0 + c.e.toDouble * c.cnt, w0 + c.wfac * c.cnt)
+        i += 1
+      }
+      acc.iterator.map { case ((r, ix, gi), (d0, w0)) =>
+        Row(if (r == 0) "A" else "B", evTimes(ix), gi.toDouble, d0, w0)
+      }.toArray
+    }
+
+    def groupCounts(): Map[Int, (Long, Long, Long)] = {
+      val acc = scala.collection.mutable.HashMap
+        .empty[Int, (Long, Long, Long)]
+      var i = 0
+      while (i < baseDc.length) {
+        val c = baseDc(i)
+        val gi = c(2).toInt
+        val cnt = baseCnts(i)
+        val (nn, ne, nc) = acc.getOrElse(gi, (0L, 0L, 0L))
+        acc(gi) = (nn + cnt,
+          ne + (if (c(1) == 1.0) cnt else 0L),
+          nc + (if (c(1) >= 2.0) cnt else 0L))
+        i += 1
+      }
+      acc.toMap
+    }
+
+    def close(): Unit = ()
+  }
+
   private def fineGrayPrep(df: DataFrame, time: Column, cause: Column,
                            xs: Seq[Column], maxTimes: Int,
-                           verb: String): FgPrep = {
+                           verb: String, maxCells: Int = 32768): FgPrep = {
     val k = xs.length
     val spark = df.sparkSession
     val complete = (Seq(time, cause) ++ xs).map(_.isNotNull).reduce(_ && _)
@@ -704,6 +1103,86 @@ object Survival {
       time.cast("double").as("__t") +: cause.cast("int").as("__c") +:
         xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
     base0.persist()
+    // low-cardinality design collapse (the coxPh idiom): with the
+    // distinct (t, cause, x…) rows in maxCells, the domain counts, the
+    // censoring KM, the role bucketing, AND every downstream cell pass
+    // run driver-side — the whole verb costs ONE distributed pass
+    graft.stats.DesignCells.collect(base0, maxCells) match {
+      case Some((dc, cnts)) =>
+        base0.unpersist()
+        var n = 0L; var n1 = 0L; var ncp = 0L; var n0 = 0L; var bad = 0L
+        var i = 0
+        while (i < dc.length) {
+          val c = dc(i)(1); val w = cnts(i)
+          n += w
+          if (c == 1.0) n1 += w
+          else if (c >= 2.0) ncp += w
+          else if (c == 0.0) n0 += w
+          if (c < 0.0) bad += w
+          i += 1
+        }
+        require(bad == 0,
+          s"$verb: $bad rows have a negative " +
+            "cause (0 = censored, 1 = modeled event, >= 2 = competing)")
+        require(n1 > 0, s"$verb: no cause-1 events")
+        val evTimes = dc.iterator.filter(c => c(1) == 1.0).map(_(0))
+          .toArray.distinct.sorted
+        require(evTimes.length <= maxTimes,
+          s"$verb: more than $maxTimes distinct cause-1 event times — " +
+            "coarsen the time column or raise maxTimes knowingly")
+        // censoring KM left limit Ĝ(u−) at every distinct row time —
+        // the same exclusive ln(1 − dc/atRisk) prefix the RangeCumSum
+        // pair computes on the row path, over the cells
+        val rowTimes = dc.map(_(0)).distinct.sorted
+        val rIdx = rowTimes.zipWithIndex.toMap
+        val nTot = new Array[Double](rowTimes.length)
+        val dcn = new Array[Double](rowTimes.length)
+        i = 0
+        while (i < dc.length) {
+          val ix = rIdx(dc(i)(0))
+          nTot(ix) += cnts(i).toDouble
+          if (dc(i)(1) == 0.0) dcn(ix) += cnts(i).toDouble
+          i += 1
+        }
+        val gAt = new Array[Double](rowTimes.length)
+        var lnPrefix = 0.0
+        var cumBefore = 0.0
+        i = 0
+        while (i < rowTimes.length) {
+          gAt(i) = math.exp(lnPrefix) // exclusive: strictly earlier terms
+          val atRisk = n.toDouble - cumBefore
+          lnPrefix +=
+            (if (dcn(i) == 0.0) 0.0
+             else if (dcn(i) >= atRisk) Double.NegativeInfinity
+             else math.log(1.0 - dcn(i) / atRisk))
+          cumBefore += nTot(i)
+          i += 1
+        }
+        val gTminus = evTimes.map(t => gAt(rIdx(t)))
+        // two-role cells: A = at-risk floor bucket, B = IPCW competing
+        // strict-ceil bucket carrying 1/Ĝ(T−) — the exact twin of the
+        // row path's sortedFloorLookup / shifted sortedStepLookup pair
+        val rc = scala.collection.mutable.ArrayBuffer.empty[FgRoleCell]
+        i = 0
+        while (i < dc.length) {
+          val c = dc(i)
+          val xsv = java.util.Arrays.copyOfRange(c, 2, 2 + k)
+          val aIx = floorIdx(evTimes, c(0))
+          if (aIx >= 0)
+            rc += FgRoleCell(isA = true, aIx,
+              if (c(1) == 1.0) 1 else 0, 1.0, xsv, cnts(i))
+          if (c(1) >= 2.0) {
+            val bIx = aIx + 1 // smallest event time strictly > T
+            if (bIx < evTimes.length)
+              rc += FgRoleCell(isA = false, bIx, 0,
+                1.0 / gAt(rIdx(c(0))), xsv, cnts(i))
+          }
+          i += 1
+        }
+        return FgLocal(rc.toArray, dc, cnts, evTimes, gTminus, n, n1,
+          ncp, n0)
+      case None => ()
+    }
     val counts = base0.agg(
       count(lit(1)).as("n"),
       sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
@@ -778,42 +1257,27 @@ object Survival {
       .unionByName(roleB.select(cols.map(col): _*))
       .persist()
     roles.count() // pay the bucketing + Ĝ join once, not per pass
-    FgPrep(base0, roles, evTimes, gTminus, counts.getAs[Long]("n"),
+    FgDist(base0, roles, evTimes, gTminus, counts.getAs[Long]("n"),
       counts.getAs[Long]("n1"), counts.getAs[Long]("nc"),
       counts.getAs[Long]("n0"))
   }
 
   def fineGray(df: DataFrame, time: Column, cause: Column, xs: Seq[Column],
                maxIter: Int = 20, tol: Double = 1e-9,
-               maxTimes: Int = 200000): FineGrayResult = {
+               maxTimes: Int = 200000,
+               maxCells: Int = 32768): FineGrayResult = {
     require(xs.nonEmpty, "fine_gray: need at least one covariate")
     val k = xs.length
-    val prep = fineGrayPrep(df, time, cause, xs, maxTimes, "fine_gray")
+    val prep = fineGrayPrep(df, time, cause, xs, maxTimes, "fine_gray",
+      maxCells)
     try {
-      val roles = prep.roles
       val evTimes = prep.evTimes
       val gTminus = prep.gTminus
       val m = evTimes.length
       val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
       val timeIx = evTimes.zipWithIndex.toMap
-      def cells(beta: Array[Double]): Array[Row] = {
-        val eta =
-          if (beta.forall(_ == 0.0)) lit(0.0)
-          else (0 until k).map(j => col(s"__x$j") * lit(beta(j)))
-            .reduce(_ + _)
-        val w = col("__wfac") * exp(eta)
-        val aggs =
-          sum(col("__e")).cast("double").as("d") +:
-            ((0 until k).map(j =>
-              sum(col("__e") * col(s"__x$j")).as(s"sx$j")) ++
-              Seq(sum(w).as("w0")) ++
-              (0 until k).map(j => sum(col(s"__x$j") * w).as(s"w1_$j")) ++
-              pairs.map { case (j, l) =>
-                sum(col(s"__x$j") * col(s"__x$l") * w).as(s"w2_${j}_$l") })
-        roles.groupBy(col("__role"), col("__tb"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-      }
+      def cells(beta: Array[Double]): Array[Row] =
+        prep.momentCells(beta, k, pairs)
       val nP = pairs.length
       // driver scan: at-risk suffix (event times desc) + competing
       // prefix (asc), combined per event time with the Ĝ(t−) factor
@@ -940,29 +1404,25 @@ object Survival {
                   xs: Seq[Column], profile: Seq[Double],
                   beta: Option[Array[Double]] = None,
                   maxIter: Int = 20, tol: Double = 1e-9,
-                  maxTimes: Int = 200000): DataFrame = {
+                  maxTimes: Int = 200000, maxCells: Int = 32768): DataFrame = {
     require(xs.nonEmpty, "fine_gray_cif: need at least one covariate")
     val k = xs.length
     require(profile.length == k,
       s"fine_gray_cif: $k covariates but ${profile.length} profile values")
     val b = beta.getOrElse(
-      fineGray(df, time, cause, xs, maxIter, tol, maxTimes).coefficients)
+      fineGray(df, time, cause, xs, maxIter, tol, maxTimes,
+        maxCells).coefficients)
     require(b.length == k,
       s"fine_gray_cif: $k covariates but ${b.length} beta values")
     val spark = df.sparkSession
     import spark.implicits._
-    val prep = fineGrayPrep(df, time, cause, xs, maxTimes, "fine_gray_cif")
+    val prep = fineGrayPrep(df, time, cause, xs, maxTimes, "fine_gray_cif",
+      maxCells)
     try {
       val evTimes = prep.evTimes
       val m = evTimes.length
       val timeIx = evTimes.zipWithIndex.toMap
-      val eta =
-        if (b.forall(_ == 0.0)) lit(0.0)
-        else (0 until k).map(j => col(s"__x$j") * lit(b(j))).reduce(_ + _)
-      val cs = prep.roles.groupBy(col("__role"), col("__tb"))
-        .agg(sum(col("__e")).cast("double").as("d"),
-          sum(col("__wfac") * exp(eta)).as("w0"))
-        .collect()
+      val cs = prep.w0Cells(b, k)
       val dA = new Array[Double](m)
       val a0 = new Array[Double](m)
       val b0 = new Array[Double](m)
@@ -1016,7 +1476,8 @@ object Survival {
     * null-hypothesis IPCW-weighted expectations (the log-rank O/E
     * analogue on the subdistribution scale). */
   def grayTest(df: DataFrame, time: Column, cause: Column, group: Column,
-               maxGroups: Int = 100, maxTimes: Int = 200000): DataFrame = {
+               maxGroups: Int = 100, maxTimes: Int = 200000,
+               maxCells: Int = 32768): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val groups = df.filter(time.isNotNull && cause.isNotNull &&
@@ -1032,7 +1493,7 @@ object Survival {
     val gIdxCol = (array_position(typedLit(groups.toSeq),
       group.cast("string")) - 1).cast("double")
     val prep = fineGrayPrep(df, time, cause, Seq(gIdxCol), maxTimes,
-      "gray_test")
+      "gray_test", maxCells)
     try {
       val evTimes = prep.evTimes
       val m = evTimes.length
@@ -1040,10 +1501,7 @@ object Survival {
         s"gray_test: $m event times x $kG groups exceeds the 2M " +
           "driver-cell bound — coarsen the time or group column")
       val timeIx = evTimes.zipWithIndex.toMap
-      val cs = prep.roles.groupBy(col("__role"), col("__tb"), col("__x0"))
-        .agg(sum(col("__e")).cast("double").as("d"),
-          sum(col("__wfac")).as("w0"))
-        .collect()
+      val cs = prep.groupedW0Cells()
       val dA = Array.ofDim[Double](kG, m)
       val a0 = Array.ofDim[Double](kG, m)
       val b0 = Array.ofDim[Double](kG, m)
@@ -1114,13 +1572,7 @@ object Survival {
         }
       val dfT = (kG - 1).toDouble
       val p = 1.0 - graft.stats.Dist.chiSqCdf(chi2, dfT)
-      val counts = prep.base0.groupBy(col("__x0")).agg(
-          count(lit(1)).as("n"),
-          sum(when(col("__c") === 1, 1L).otherwise(0L)).as("ne"),
-          sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("nc"))
-        .collect().map(r => r.getDouble(0).toInt ->
-          ((r.getAs[Long]("n"), r.getAs[Long]("ne"), r.getAs[Long]("nc"))))
-        .toMap
+      val counts = prep.groupCounts()
       groups.indices.map { g =>
         val (n, ne, nc) = counts.getOrElse(g, (0L, 0L, 0L))
         (groups(g), n, ne, nc, obs(g), expd(g), chi2, (kG - 1).toLong, p)
@@ -1157,7 +1609,7 @@ object Survival {
   def coxZph(df: DataFrame, time: Column, event: Column, xs: Seq[Column],
              names: Seq[String], transform: String = "rank",
              maxIter: Int = 20, tol: Double = 1e-9,
-             maxTimes: Int = 200000): DataFrame = {
+             maxTimes: Int = 200000, maxCells: Int = 32768): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(names.length == xs.length,
@@ -1165,29 +1617,47 @@ object Survival {
     require(transform == "rank" || transform == "identity",
       s"cox_zph: transform must be rank|identity, got $transform")
     val k = xs.length
-    val fit = coxPh(df, time, event, xs, maxIter, tol, maxTimes)
+    val fit = coxPh(df, time, event, xs, maxIter, tol, maxTimes,
+      maxCells = maxCells)
     val beta = fit.coefficients
     val complete = (Seq(time, event) ++ xs).map(_.isNotNull).reduce(_ && _)
     val base0 = df.filter(complete).select(
       time.cast("double").as("__t") +: event.cast("int").as("__e") +:
         xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
-    val evTimes = base0.filter(col("__e") === 1)
-      .select(col("__t")).distinct().orderBy(col("__t"))
-      .limit(maxTimes + 1).collect().map(_.getDouble(0))
-    // local contract (the preceding coxPh call already enforced it, but
-    // this collect must not depend on a sibling's guard staying upstream)
-    require(evTimes.length <= maxTimes,
-      s"cox_zph: more than $maxTimes distinct event times — bucket the " +
-        "time column first (or raise maxTimes knowingly)")
-    val base = base0.withColumn("__tb",
-        graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
-      .filter(col("__tb").isNotNull)
     val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
-    val aggs = coxCellAggs(k, pairs, beta, efron = false)
-    val cs = base.groupBy(col("__tb").as("__t"))
-      .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col("__t").desc)
-      .collect()
+    // the residual pass at β̂: driver arithmetic over collapsed design
+    // cells when the design fits (the coxPh idiom), else the distributed
+    // per-event-time cell aggregate
+    val (evTimes, cs) = graft.stats.DesignCells.collect(base0,
+        maxCells) match {
+      case Some((dc, cnts)) =>
+        val ev = dc.iterator.filter(c => c(1) == 1.0).map(_(0))
+          .toArray.distinct.sorted
+        require(ev.length <= maxTimes,
+          s"cox_zph: more than $maxTimes distinct event times — bucket the " +
+            "time column first (or raise maxTimes knowingly)")
+        val tbIdx = dc.map(c => floorIdx(ev, c(0)))
+        (ev, localCoxCells(dc, cnts, tbIdx, ev, k, pairs, beta,
+          efron = false))
+      case None =>
+        val ev = base0.filter(col("__e") === 1)
+          .select(col("__t")).distinct().orderBy(col("__t"))
+          .limit(maxTimes + 1).collect().map(_.getDouble(0))
+        // local contract (the preceding coxPh call already enforced it,
+        // but this collect must not depend on a sibling's guard staying
+        // upstream)
+        require(ev.length <= maxTimes,
+          s"cox_zph: more than $maxTimes distinct event times — bucket the " +
+            "time column first (or raise maxTimes knowingly)")
+        val base = base0.withColumn("__tb",
+            graft.expr.SearchExprs.sortedFloorLookup(col("__t"), ev))
+          .filter(col("__tb").isNotNull)
+        val aggs = coxCellAggs(k, pairs, beta, efron = false)
+        (ev, base.groupBy(col("__tb").as("__t"))
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy(col("__t").desc)
+          .collect())
+    }
     // g per event time (by the ASC time order) and the event-weighted mean
     val rankOf = evTimes.zipWithIndex.map { case (t, i) => t -> (i + 1.0) }.toMap
     def gOf(t: Double): Double =
@@ -1275,7 +1745,8 @@ object Survival {
                       stratum: Column, xs: Seq[Column],
                       maxIter: Int = 20, tol: Double = 1e-9,
                       maxTimes: Int = 200000,
-                      ties: String = "breslow"): CoxResult = {
+                      ties: String = "breslow",
+                      maxCells: Int = 32768): CoxResult = {
     require(xs.nonEmpty, "cox_ph_strat: need at least one covariate")
     val efron = requireTies("cox_ph_strat", ties)
     val k = xs.length
@@ -1288,75 +1759,79 @@ object Survival {
     base0.persist()
     var base: DataFrame = null
     try {
-      val nAll = base0.count()
-      val evRows = base0.filter(col("__e") === 1)
-        .select(col("__s"), col("__t")).distinct()
-        .orderBy(col("__s"), col("__t"))
-        .limit(maxTimes + 1)
-        .collect()
-      require(evRows.length <= maxTimes,
-        s"cox_ph_strat: more than $maxTimes distinct (stratum, event " +
-          "time) cells — coarsen the time column or raise maxTimes if " +
-          "the driver can hold the cells")
-      require(evRows.nonEmpty, "cox_ph_strat: no events")
-      // per-stratum event-time grids flattened to (sorted strata, flat
-      // times, offsets) — three referenced objects inside the codegen
-      // per-group binary search (graft.expr.PerGroupFloorLookup), which
-      // replaced the r17 broadcast UDF: no ScalaUDF boxing, no broadcast
-      // variable to destroy (the r17 ADVICE leak), and the bucketing
-      // projection stays inside whole-stage codegen
-      val grouped = evRows.groupBy(_.getString(0))
-        .map { case (s, rs) => s -> rs.map(_.getDouble(1)).sorted }
-        .toArray.sortBy(_._1)
-      val strata = grouped.map(_._1)
-      val flat = grouped.flatMap(_._2)
-      val offsets = grouped.scanLeft(0)(_ + _._2.length)
-      base = base0.withColumn("__tb",
-          graft.expr.SearchExprs.perGroupFloorLookup(col("__s"), col("__t"),
-            strata, flat, offsets))
-        .filter(col("__tb").isNotNull)
-        .persist()
-      base.count() // pay the bucketing once, not once per Newton pass
       val pairs = for { j <- 0 until k; l <- j until k } yield (j, l)
-      def cells(beta: Array[Double]): Array[Row] = {
-        val aggs = coxCellAggs(k, pairs, beta, efron)
-        base.groupBy(col("__s"), col("__tb").as("__t"))
-          .agg(aggs.head, aggs.tail: _*)
-          .orderBy(col("__s"), col("__t").desc)
-          .collect()
+      // low-cardinality design collapse (the coxPh idiom with the
+      // stratum riding the cell key): one probe pass, then grids,
+      // bucketing, and every Newton pass in driver arithmetic
+      graft.stats.DesignCells.collectWithKey(base0, maxCells) match {
+        case Some((keys, dc, cnts)) =>
+          val nAll = cnts.sum
+          // per-stratum event-time grids from the cells (sorted strata)
+          val evByS = keys.indices.filter(i => dc(i)(1) == 1.0)
+            .groupBy(keys(_))
+            .map { case (s, is) =>
+              s -> is.map(i => dc(i)(0)).distinct.sorted.toArray }
+          val strata = evByS.keys.toArray.sorted
+          val grids = strata.map(evByS)
+          val offsets = grids.scanLeft(0)(_ + _.length)
+          require(offsets(strata.length) <= maxTimes,
+            s"cox_ph_strat: more than $maxTimes distinct (stratum, event " +
+              "time) cells — coarsen the time column or raise maxTimes if " +
+              "the driver can hold the cells")
+          require(offsets(strata.length) > 0, "cox_ph_strat: no events")
+          val sIdxOf = strata.zipWithIndex.toMap
+          // a censored-only stratum has no grid: its cells drop, exactly
+          // like the row path's null-bucket filter
+          val stratIdx = keys.map(s => sIdxOf.getOrElse(s, -1))
+          val tbIdx = dc.indices.toArray.map { i =>
+            if (stratIdx(i) < 0) -1
+            else floorIdx(grids(stratIdx(i)), dc(i)(0))
+          }
+          coxFitLoop(b => localCoxCellsStrat(dc, cnts, stratIdx, tbIdx,
+            strata, grids, offsets, k, pairs, b, efron), k, pairs, efron,
+            stratified = true, maxIter, tol, nAll, "cox_ph_strat")
+        case None =>
+          val nAll = base0.count()
+          val evRows = base0.filter(col("__e") === 1)
+            .select(col("__s"), col("__t")).distinct()
+            .orderBy(col("__s"), col("__t"))
+            .limit(maxTimes + 1)
+            .collect()
+          require(evRows.length <= maxTimes,
+            s"cox_ph_strat: more than $maxTimes distinct (stratum, event " +
+              "time) cells — coarsen the time column or raise maxTimes if " +
+              "the driver can hold the cells")
+          require(evRows.nonEmpty, "cox_ph_strat: no events")
+          // per-stratum event-time grids flattened to (sorted strata, flat
+          // times, offsets) — three referenced objects inside the codegen
+          // per-group binary search (graft.expr.PerGroupFloorLookup), which
+          // replaced the r17 broadcast UDF: no ScalaUDF boxing, no broadcast
+          // variable to destroy (the r17 ADVICE leak), and the bucketing
+          // projection stays inside whole-stage codegen
+          val grouped = evRows.groupBy(_.getString(0))
+            .map { case (s, rs) => s -> rs.map(_.getDouble(1)).sorted }
+            .toArray.sortBy(_._1)
+          val strata = grouped.map(_._1)
+          val flat = grouped.flatMap(_._2)
+          val offsets = grouped.scanLeft(0)(_ + _._2.length)
+          base = base0.withColumn("__tb",
+              graft.expr.SearchExprs.perGroupFloorLookup(col("__s"), col("__t"),
+                strata, flat, offsets))
+            .filter(col("__tb").isNotNull)
+            .persist()
+          base.count() // pay the bucketing once, not once per Newton pass
+          // cell layout is (__s, __t, d, sx*, a0, a1_*, a2_*[, c*]) —
+          // coxScan's stratified reset reads the leading stratum string
+          def cells(beta: Array[Double]): Array[Row] = {
+            val aggs = coxCellAggs(k, pairs, beta, efron)
+            base.groupBy(col("__s"), col("__tb").as("__t"))
+              .agg(aggs.head, aggs.tail: _*)
+              .orderBy(col("__s"), col("__t").desc)
+              .collect()
+          }
+          coxFitLoop(cells, k, pairs, efron, stratified = true, maxIter,
+            tol, nAll, "cox_ph_strat")
       }
-      // driver scan with suffix sums RESET per stratum; cell layout is
-      // (__s, __t, d, sx*, a0, a1_*, a2_*[, c*]) — indexes shift +1
-      def scan(cs: Array[Row], beta: Array[Double])
-          : (Double, Array[Double], Array[Array[Double]]) =
-        coxScan(cs, beta, k, pairs, efron, stratified = true)
-      val cs0 = cells(new Array[Double](k))
-      val nEvents = cs0.map(_.getDouble(2)).sum.round
-      require(nEvents > 0, "cox_ph_strat: no events")
-      val (_, g0, i0) = scan(cs0, new Array[Double](k))
-      val i0inv = graft.stats.LinAlg.invert(i0)
-      val scoreChi2 = graft.stats.LinAlg.quadForm(g0, i0inv, g0)
-      val scoreP = 1.0 - graft.stats.Dist.chiSqCdf(scoreChi2, k.toDouble)
-      var beta = new Array[Double](k)
-      var it = 0
-      var ll = 0.0
-      var info = i0
-      var done = false
-      while (!done && it < maxIter) {
-        val cs = if (it == 0) cs0 else cells(beta)
-        val (l, g, i) = scan(cs, beta)
-        ll = l; info = i
-        val step = graft.stats.LinAlg.matVec(graft.stats.LinAlg.invert(i), g)
-        beta = beta.zip(step).map { case (b, s) => b + s }
-        it += 1
-        done = step.map(math.abs).max < tol
-      }
-      val cov = graft.stats.LinAlg.invert(info)
-      val se = Array.tabulate(k)(j => math.sqrt(cov(j)(j)))
-      val z = Array.tabulate(k)(j => beta(j) / se(j))
-      val p = z.map(zz => 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(zz))))
-      CoxResult(beta, se, z, p, nAll, nEvents, cs0.length, it, ll, scoreChi2,
-        scoreP)
     } finally {
       base0.unpersist()
       if (base != null) base.unpersist()
@@ -1390,13 +1865,14 @@ object Survival {
                   xs: Seq[Column], profile: Seq[Double],
                   beta: Option[Array[Double]] = None,
                   maxIter: Int = 20, tol: Double = 1e-9,
-                  maxTimes: Int = 200000): DataFrame = {
+                  maxTimes: Int = 200000, maxCells: Int = 32768): DataFrame = {
     require(xs.nonEmpty, "cox_survival: need at least one covariate")
     val k = xs.length
     require(profile.length == k,
       s"cox_survival: $k covariates but ${profile.length} profile values")
     val b = beta.getOrElse(
-      coxPh(df, time, event, xs, maxIter, tol, maxTimes).coefficients)
+      coxPh(df, time, event, xs, maxIter, tol, maxTimes,
+        maxCells = maxCells).coefficients)
     require(b.length == k,
       s"cox_survival: $k covariates but ${b.length} beta values")
     val spark = df.sparkSession
@@ -1405,29 +1881,61 @@ object Survival {
     val base0 = df.filter(complete).select(
       time.cast("double").as("__t") +: event.cast("int").as("__e") +:
         xs.zipWithIndex.map { case (x, j) => x.cast("double").as(s"__x$j") }: _*)
-    val evTimes = base0.filter(col("__e") === 1)
-      .select(col("__t")).distinct().orderBy(col("__t"))
-      .limit(maxTimes + 1).collect().map(_.getDouble(0))
-    require(evTimes.length <= maxTimes,
-      s"cox_survival: more than $maxTimes distinct event times — coarsen " +
-        "the time column or raise maxTimes knowingly")
-    require(evTimes.nonEmpty, "cox_survival: no events")
-    val base = base0.withColumn("__tb",
-        graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
-      .filter(col("__tb").isNotNull)
-    val eta =
-      if (b.forall(_ == 0.0)) lit(0.0)
-      else (0 until k).map(j => col(s"__x$j") * lit(b(j))).reduce(_ + _)
-    val cs = base.groupBy(col("__tb").as("__t"))
-      .agg(sum(col("__e")).cast("double").as("d"),
-        sum(exp(eta)).as("a0"))
-      .orderBy(col("__t").desc)
-      .collect()
+    // the one cell pass at β: driver arithmetic over collapsed design
+    // cells when the design fits (the coxPh idiom), else distributed
+    val cs: Array[(Double, Double, Double)] = // (t, d, a0) time-DESC
+      graft.stats.DesignCells.collect(base0, maxCells) match {
+        case Some((dc, cnts)) =>
+          val ev = dc.iterator.filter(c => c(1) == 1.0).map(_(0))
+            .toArray.distinct.sorted
+          require(ev.length <= maxTimes,
+            s"cox_survival: more than $maxTimes distinct event times — coarsen " +
+              "the time column or raise maxTimes knowingly")
+          require(ev.nonEmpty, "cox_survival: no events")
+          val m = ev.length
+          val d = new Array[Double](m)
+          val a0 = new Array[Double](m)
+          var i = 0
+          while (i < dc.length) {
+            val ix = floorIdx(ev, dc(i)(0))
+            if (ix >= 0) {
+              val c = dc(i)
+              var eta = 0.0
+              var j = 0
+              while (j < k) { eta += b(j) * c(2 + j); j += 1 }
+              d(ix) += c(1) * cnts(i)
+              a0(ix) += cnts(i) * math.exp(eta)
+              ()
+            }
+            i += 1
+          }
+          Array.tabulate(m)(r => (ev(m - 1 - r), d(m - 1 - r), a0(m - 1 - r)))
+        case None =>
+          val evTimes = base0.filter(col("__e") === 1)
+            .select(col("__t")).distinct().orderBy(col("__t"))
+            .limit(maxTimes + 1).collect().map(_.getDouble(0))
+          require(evTimes.length <= maxTimes,
+            s"cox_survival: more than $maxTimes distinct event times — coarsen " +
+              "the time column or raise maxTimes knowingly")
+          require(evTimes.nonEmpty, "cox_survival: no events")
+          val base = base0.withColumn("__tb",
+              graft.expr.SearchExprs.sortedFloorLookup(col("__t"), evTimes))
+            .filter(col("__tb").isNotNull)
+          val eta =
+            if (b.forall(_ == 0.0)) lit(0.0)
+            else (0 until k).map(j => col(s"__x$j") * lit(b(j))).reduce(_ + _)
+          base.groupBy(col("__tb").as("__t"))
+            .agg(sum(col("__e")).cast("double").as("d"),
+              sum(exp(eta)).as("a0"))
+            .orderBy(col("__t").desc)
+            .collect()
+            .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      }
     // suffix S0 on the desc pass, then ascending H0 accumulation
     var s0 = 0.0
-    val desc = cs.map { r =>
-      s0 += r.getDouble(2)
-      (r.getDouble(0), r.getDouble(1), s0)
+    val desc = cs.map { case (t, d, a) =>
+      s0 += a
+      (t, d, s0)
     }
     val risk = math.exp(profile.zip(b).map { case (p, bj) => p * bj }.sum)
     var h0 = 0.0

@@ -75,6 +75,49 @@ object DesignCells {
     (Some((ord.map(cells).toArray, ord.map(counts).toArray)))
   }
 
+  /** [[collect]] with a leading STRING key column (stratum idiom): groups
+    * by ALL columns, reads column 0 as the string key and the rest as
+    * doubles. Cells sort by (key, values) so driver-side summation order
+    * is deterministic. Returns None past maxCells distinct rows or on a
+    * null key / null / NaN value (caller's row-path semantics apply). */
+  def collectWithKey(slim: DataFrame, maxCells: Int)
+      : Option[(Array[String], Array[Array[Double]], Array[Long])] = {
+    val cols = slim.columns
+    val grouped = slim.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__w"))
+    val rows = grouped.head(maxCells + 1)
+    if (rows.length > maxCells) return None
+    val k = cols.length - 1
+    val keys = new Array[String](rows.length)
+    val cells = new Array[Array[Double]](rows.length)
+    val counts = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0)) return None
+      keys(i) = r.getString(0)
+      val v = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        if (r.isNullAt(j + 1)) return None
+        val d = r.get(j + 1) match {
+          case x: java.lang.Number => x.doubleValue()
+          case _ => return None
+        }
+        if (d.isNaN) return None
+        v(j) = d
+        j += 1
+      }
+      cells(i) = v
+      counts(i) = r.getAs[Long]("__w")
+      i += 1
+    }
+    val ord = (0 until rows.length).sortBy(i0 => (keys(i0), cells(i0).toSeq))(
+      scala.math.Ordering.Tuple2(implicitly[Ordering[String]],
+        scala.math.Ordering.Implicits.seqOrdering[Seq, Double]))
+    Some((ord.map(keys).toArray, ord.map(cells).toArray,
+      ord.map(counts).toArray))
+  }
+
   /** A covariate cell of [[collectByX]]: the x values plus the y moments
     * every GLM working response needs (z linear in y per x-cell): count,
     * Σy, Σy², and the count of nonpositive y (domain checks). */
