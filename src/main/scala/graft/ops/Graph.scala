@@ -34,7 +34,8 @@ object Graph {
     * soon as the next materializes). Returns (node, rank), one row per
     * node. */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
-               damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+               damping: Double = 0.85, iterations: Int = 10,
+               maxLocalEdges: Int = 1000000): DataFrame = {
     require(damping > 0.0 && damping < 1.0,
       s"pagerank: damping must be in (0, 1), got $damping")
     require(iterations >= 1 && iterations <= 200,
@@ -44,6 +45,53 @@ object Graph {
       .distinct()
       .persist()
     try {
+      // driver power-iteration fast path (the r18 design-collapse idiom,
+      // guarded): when the DISTINCT edge list fits `maxLocalEdges`, the
+      // whole power iteration runs over driver arrays — zero distributed
+      // rounds — with the identical formula, dangling redistribution,
+      // and iteration count. The accumulation ORDER differs from the
+      // distributed sum's, but that order is already partition-dependent
+      // on the row path; edges iterate sorted here so the driver result
+      // is run-to-run deterministic.
+      if (e.count() <= maxLocalEdges) {
+        val es = e.collect()
+        val ids = es.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+          .distinct.sorted
+        require(ids.nonEmpty, "pagerank: the edge table is empty")
+        val idx = ids.zipWithIndex.toMap
+        val nn = ids.length
+        val deg = new Array[Long](nn)
+        es.foreach(r => deg(idx(r.getLong(0))) += 1)
+        val eIdx = es.map(r => (idx(r.getLong(0)), idx(r.getLong(1))))
+          .sorted
+        var rank = Array.fill(nn)(1.0 / nn)
+        var it = 0
+        while (it < iterations) {
+          var dangling = 0.0
+          var i = 0
+          while (i < nn) { if (deg(i) == 0) dangling += rank(i); i += 1 }
+          val contrib = new Array[Double](nn)
+          var j = 0
+          while (j < eIdx.length) {
+            val (s0, d0) = eIdx(j)
+            contrib(d0) += rank(s0) / deg(s0)
+            j += 1
+          }
+          val next = new Array[Double](nn)
+          i = 0
+          while (i < nn) {
+            next(i) = (1.0 - damping) / nn +
+              damping * (contrib(i) + dangling / nn)
+            i += 1
+          }
+          rank = next
+          it += 1
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return ids.indices.map(i => (ids(i), rank(i))).toSeq
+          .toDF("node", "rank")
+      }
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
       val outDeg = e.groupBy(col("src").as("node"))

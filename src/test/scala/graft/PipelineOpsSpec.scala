@@ -425,6 +425,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(0) < 60 && r.getLong(1) < 60))
   }
 
+  test("connectedComponents: driver union-find equals the distributed loop") {
+    // random multigraph with self-loops, stars, and long chains — the
+    // r18 fast path (collected union-find) must produce the identical
+    // (id, component = min id) labeling as the min-label propagation
+    // loop (forced via maxLocalEdges = 0)
+    val rng = new scala.util.Random(7)
+    val es = (0 until 500).map(_ =>
+      (rng.nextInt(300).toLong, rng.nextInt(300).toLong)) ++
+      (900L until 950L).map(i => (i, i + 1)) // a 51-node chain
+    val pairs = es.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.connectedComponents(pairs, maxLocalEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+  }
+
   test("connectedComponents closes transitive chains; minHashDedup keeps one per cluster") {
     // star through 3: greedy drop-larger-of-each-pair would keep 1 AND 2
     val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L),

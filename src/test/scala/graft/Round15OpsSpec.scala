@@ -953,4 +953,20 @@ class Round15OpsSpec extends AnyFunSuite {
       iterations = 10).agg(sum(col("rank"))).head().getDouble(0)
     assert(math.abs(total - 1.0) < 1e-9)
   }
+
+  test("pageRank: driver power-iteration equals the distributed loop") {
+    // functional graph with dangling nodes and parallel-edge collapse —
+    // the r18 fast path (collected arrays) must match the distributed
+    // rounds (forced via maxLocalEdges = 0) far below the oracle's 8dp
+    val edges = ((0 until 400).map(i => ((i * 3) % 40L, (i * 7 + 3) % 50L))
+      ++ Seq((60L, 61L))).toDF("s", "d") // 61 and the 40..49 sinks dangle
+    val fast = graft.ops.Graph.pageRank(edges, col("s"), col("d"),
+        iterations = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val slow = graft.ops.Graph.pageRank(edges, col("s"), col("d"),
+        iterations = 10, maxLocalEdges = 0)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (k, v) => assert(math.abs(v - slow(k)) < 1e-12) }
+  }
 }
