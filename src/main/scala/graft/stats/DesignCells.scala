@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Low-cardinality design collapse for iterative fits (optimization
@@ -35,12 +35,41 @@ import org.apache.spark.sql.functions._
   */
 object DesignCells {
 
+  /** The exact probe's groupBy-all-columns is cheap when the design
+    * collapses, but on a NON-collapsing design over a large input it
+    * hash-aggregates (and partially shuffles) up to one cell per row —
+    * measured 2–3× whole-fit regressions at the 100M-row probe
+    * (cox_ph_strat 21 → 68 s, fine_gray 19 → 36 s before this gate).
+    * So past `bigInputBytes` of estimated input, a constant-memory
+    * `approx_count_distinct` pass decides first: far past the bound
+    * (2× slack swamps the sketch's 5% rsd, so a truly-collapsing
+    * design is never misrouted) the caller's row path proceeds with no
+    * expensive probe. Under the size threshold the exact probe runs
+    * directly — worst case a few million distinct rows, bounded-cheap —
+    * so bench-scale fits pay NO extra pass. Unknown statistics read as
+    * big (safe side). */
+  private val bigInputBytes = BigInt(1L << 30)
+
+  private def farPastBound(slim: DataFrame, structCol: Column,
+                           maxCells: Int): Boolean = {
+    val big =
+      try slim.queryExecution.optimizedPlan.stats.sizeInBytes > bigInputBytes
+      catch { case _: Throwable => true }
+    big && {
+      val est = slim.agg(
+        approx_count_distinct(structCol).as("__d")).head().getLong(0)
+      est > 2L * maxCells
+    }
+  }
+
   /** One pass over `slim` (all columns castable to double): Some(cells,
     * counts) when the design has <= maxCells distinct rows, else None.
     * `cells(i)` holds the column values of distinct row i in `slim`
     * column order; `counts(i)` its multiplicity. */
   def collect(slim: DataFrame, maxCells: Int): Option[(Array[Array[Double]], Array[Long])] = {
     val cols = slim.columns
+    if (maxCells <= 0) return None
+    if (farPastBound(slim, struct(cols.map(col): _*), maxCells)) return None
     val grouped = slim.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__w"))
     // head(maxCells + 1) stops the collection early on a non-collapsing
     // design; the aggregate itself is one hash-agg pass either way
@@ -83,6 +112,8 @@ object DesignCells {
   def collectWithKey(slim: DataFrame, maxCells: Int)
       : Option[(Array[String], Array[Array[Double]], Array[Long])] = {
     val cols = slim.columns
+    if (maxCells <= 0) return None
+    if (farPastBound(slim, struct(cols.map(col): _*), maxCells)) return None
     val grouped = slim.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__w"))
     val rows = grouped.head(maxCells + 1)
     if (rows.length > maxCells) return None
@@ -135,6 +166,8 @@ object DesignCells {
                  maxCells: Int): Option[Array[XCell]] = {
     val keys = slim.columns.filterNot(_ == yName)
     val yd = col(yName)
+    if (maxCells <= 0) return None
+    if (farPastBound(slim, struct(keys.map(col): _*), maxCells)) return None
     val grouped = slim.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("__n"), sum(yd).as("__sy"),
       sum(yd * yd).as("__syy"),
