@@ -518,11 +518,11 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
       val sink = "q73_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
-      val q = graft.streaming.StreamOps.windowedMetrics(stream, tsExpr,
-          col("event_type"), col("value"), "1 hour", "10 minutes")
-        .writeStream.format("memory").queryName(sink).outputMode("complete")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.StreamRun.runAvailableNow(
+        graft.streaming.StreamOps.windowedMetrics(stream, tsExpr,
+            col("event_type"), col("value"), "1 hour", "10 minutes")
+          .writeStream.format("memory").queryName(sink).outputMode("complete"),
+        s, graft.streaming.StreamRun.inputBytes(d, "events.parquet"))
       s.table(sink)
         .select(unix_timestamp(col("window.start")).as("w_start"),
           col("group").as("event_type"), col("n"),
@@ -2831,9 +2831,9 @@ object SparkEntry {
         lambda = 10.0, delta = 0.05)
       val sink = "q257_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
       s.catalog.dropTempView(sink)
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.StreamRun.runAvailableNow(
+        out.writeStream.format("memory").queryName(sink).outputMode("update"),
+        s, graft.streaming.StreamRun.inputBytes(d, "events.parquet"))
       s.table(sink)
         .select(col("metricId").as("metric_id"), col("period"),
           col("nEvents").as("n_events"),
@@ -3710,9 +3710,9 @@ object SparkEntry {
         lambda = 0.25, l = 3.0)
       val sink = "q220_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
       s.catalog.dropTempView(sink)
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.StreamRun.runAvailableNow(
+        out.writeStream.format("memory").queryName(sink).outputMode("update"),
+        s, graft.streaming.StreamRun.inputBytes(d, "events.parquet"))
       s.table(sink)
         .select(col("metricId").as("metric_id"), col("period"),
           col("nEvents").as("n_events"),
@@ -4593,12 +4593,12 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
       val sink = "q132_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
-      val q = graft.streaming.StreamOps.windowedSrm(stream, tsExpr,
-          col("user_id") % 2, ratios = Seq(1.0, 1.0),
-          windowDuration = "1 hour", watermarkDelay = "10 minutes")
-        .writeStream.format("memory").queryName(sink).outputMode("complete")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.StreamRun.runAvailableNow(
+        graft.streaming.StreamOps.windowedSrm(stream, tsExpr,
+            col("user_id") % 2, ratios = Seq(1.0, 1.0),
+            windowDuration = "1 hour", watermarkDelay = "10 minutes")
+          .writeStream.format("memory").queryName(sink).outputMode("complete"),
+        s, graft.streaming.StreamRun.inputBytes(d, "events.parquet"))
       s.table(sink)
         .select(unix_timestamp(col("window.start")).as("w_start"),
           col("c0"), col("c1"), col("c_unexpected"),
@@ -4619,12 +4619,12 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
       val sink = "q133_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
-      val q = graft.streaming.StreamOps.windowedTtest(stream, tsExpr,
-          (col("user_id") % 2).cast("int"), col("value"),
-          windowDuration = "6 hours", watermarkDelay = "30 minutes")
-        .writeStream.format("memory").queryName(sink).outputMode("complete")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.StreamRun.runAvailableNow(
+        graft.streaming.StreamOps.windowedTtest(stream, tsExpr,
+            (col("user_id") % 2).cast("int"), col("value"),
+            windowDuration = "6 hours", watermarkDelay = "30 minutes")
+          .writeStream.format("memory").queryName(sink).outputMode("complete"),
+        s, graft.streaming.StreamRun.inputBytes(d, "events.parquet"))
       s.table(sink).filter(col("n0") >= 2 && col("n1") >= 2)
         .select(unix_timestamp(col("window.start")).as("w_start"),
           col("n0"), col("n1"),
@@ -4650,13 +4650,13 @@ object SparkEntry {
       val stream = s.readStream.schema(ev.schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
       val sink = "q129_mem_" + math.abs(s.sparkContext.applicationId.hashCode)
-      val q = graft.streaming.StreamOps.windowedPsi(stream, tsExpr,
-          col("value"), bins = Seq(15.0, 35.0, 70.0),
-          baselineShares = Seq(0.25, 0.25, 0.25, 0.25),
-          windowDuration = "1 hour", watermarkDelay = "10 minutes")
-        .writeStream.format("memory").queryName(sink).outputMode("complete")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.StreamRun.runAvailableNow(
+        graft.streaming.StreamOps.windowedPsi(stream, tsExpr,
+            col("value"), bins = Seq(15.0, 35.0, 70.0),
+            baselineShares = Seq(0.25, 0.25, 0.25, 0.25),
+            windowDuration = "1 hour", watermarkDelay = "10 minutes")
+          .writeStream.format("memory").queryName(sink).outputMode("complete"),
+        s, graft.streaming.StreamRun.inputBytes(d, "events.parquet"))
       s.table(sink)
         .select(unix_timestamp(col("window.start")).as("w_start"),
           col("n_window"), round(col("psi"), 6).as("psi"))
@@ -4684,9 +4684,9 @@ object SparkEntry {
       // append-mode memory sink accumulates across re-runs in one session
       // (Bench passes): reset the table first
       s.catalog.dropTempView(sink)
-      val q = sess.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.StreamRun.runAvailableNow(
+        sess.writeStream.format("memory").queryName(sink).outputMode("append"),
+        s, graft.streaming.StreamRun.inputBytes(d, "events.parquet"))
       s.table(sink).agg(
         count(lit(1)).as("n_sessions"),
         countDistinct(col("userId")).as("n_users"),

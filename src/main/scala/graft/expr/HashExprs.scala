@@ -219,6 +219,93 @@ object HashOps {
       if (uniq == nShingles) hs else java.util.Arrays.copyOf(hs, uniq))
   }
 
+  /** Composite shingle KEYS for collision-audited hash-encoded gram
+    * counting ([[graft.ops.TextOps.ngramNovelty]]): per document, the
+    * DISTINCT word n-grams as (h1, h2, len) triples where h1/h2 are two
+    * independently-seeded XXH64 hashes of the space-joined gram bytes and
+    * len its byte length. Tokenization is byte-identical to
+    * [[shingleHashes]] (same whitespace set, same <n-words ⇒ one
+    * all-tokens shingle edge); distinct is over the FULL triple, so two
+    * grams whose h1 collide within one document both survive to the
+    * aggregate, where a (h1, len) group with min(h2) ≠ max(h2) flags the
+    * collision and the caller falls back to exact strings. */
+  def shingleKeys(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    var cap = 16
+    var starts = new Array[Int](cap); var ends = new Array[Int](cap)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        if (m == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(m) = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends(m) = i
+        m += 1
+      }
+    }
+    val sn = if (m < n) m else n
+    val nShingles = if (m < n) 1 else m - n + 1
+    val h1 = new Array[Long](nShingles)
+    val h2 = new Array[Long](nShingles)
+    val ln = new Array[Int](nShingles)
+    var buf = new Array[Byte](64)
+    var w = 0
+    while (w < nShingles) {
+      var blen = 0
+      var j = 0
+      while (j < sn) {
+        val tl = ends(w + j) - starts(w + j)
+        if (blen + tl + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, blen + tl + 1))
+        if (j > 0) { buf(blen) = ' '; blen += 1 }
+        System.arraycopy(bytes, starts(w + j), buf, blen, tl)
+        blen += tl
+        j += 1
+      }
+      h1(w) = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, blen, Seed)
+      h2(w) = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, blen, Seed2)
+      ln(w) = blen
+      w += 1
+    }
+    // distinct over the full (h1, h2, len) triple via index sort
+    val ord = new Array[Integer](nShingles)
+    i = 0
+    while (i < nShingles) { ord(i) = i; i += 1 }
+    java.util.Arrays.sort(ord, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        var c = java.lang.Long.compare(h1(a), h1(b))
+        if (c == 0) c = java.lang.Long.compare(h2(a), h2(b))
+        if (c == 0) c = java.lang.Integer.compare(ln(a), ln(b))
+        c
+      }
+    })
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nShingles)
+    i = 0
+    while (i < nShingles) {
+      val o = ord(i).intValue()
+      if (i == 0 || {
+        val p = ord(i - 1).intValue()
+        h1(p) != h1(o) || h2(p) != h2(o) || ln(p) != ln(o)
+      }) out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h1(o), h2(o), ln(o)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private val Seed2 = 0x9E3779B97F4A7C15L // independent second XXH64 seed
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): rolling Karp-Rabin hashes of the character k-grams, then
     * the minimum hash of every window of w consecutive k-gram hashes
@@ -375,6 +462,31 @@ case class ShingleHashes(child: Expression, shingleN: Int)
     copy(child = newChild)
 }
 
+/** Fused composite shingle keys (h1, h2, len) of a (pre-normalized)
+  * string column — see [[HashOps.shingleKeys]]. */
+case class ShingleKeys(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  require(shingleN > 0, "shingleN must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false),
+    StructField("len", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "shingle_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.shingleKeys(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashOps.shingleKeys($c, $shingleN)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleKeys =
+    copy(child = newChild)
+}
+
 /** One-pass winnowing fingerprints of a string column. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -407,6 +519,8 @@ object HashExprs {
       shingleN, numHashes))
   def shingleHashes(normalizedText: Column, shingleN: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(normalizedText), shingleN))
+  def shingleKeys(normalizedText: Column, shingleN: Int): Column =
+    ColumnBridge.column(ShingleKeys(ColumnBridge.expression(normalizedText), shingleN))
 
   private[expr] def requireStringArray(child: Expression, name: String): TypeCheckResult =
     child.dataType match {

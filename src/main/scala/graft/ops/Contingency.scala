@@ -404,12 +404,74 @@ object Contingency {
     * count as "not above" (document when comparing to tools that drop
     * them). Returns one row: (n, k, grand_median, chisq, df, p_value). */
   def moodMedian(df: DataFrame, y: Column, group: Column,
-                 exact: Boolean = false): DataFrame = {
+                 exact: Boolean = false,
+                 maxLocalCells: Int = Robust.MaxLocalCells): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val yd = y.cast("double")
     val base = df.filter(yd.isNotNull && group.isNotNull)
       .select(yd.as("__y"), group.cast("string").as("__g"))
+    if (exact) {
+      // bounded driver collapse (Robust.MaxLocalCells idiom): the grand
+      // median AND the per-group above/below counts are pure functions of
+      // the (group, value, count) cells — ONE distributed pass (was: a
+      // value-histogram quantile pass plus a separate group-count pass
+      // plus two cell aggregates). NaN values bail; past the bound the
+      // path below runs untouched (forced via maxLocalCells = 0).
+      val byGV = base.groupBy(col("__g"), col("__y"))
+        .agg(count(lit(1)).as("c"))
+      Robust.localCells(byGV, maxLocalCells) match {
+        case Some(rows)
+            if rows.forall(r => !r.getDouble(1).isNaN) =>
+          val m = rows.length
+          // value histogram (merge across groups) for the grand median
+          val keys = new Array[Double](m)
+          locally { var i0 = 0; while (i0 < m) { keys(i0) = rows(i0).getDouble(1); i0 += 1 } }
+          val ord = Robust.sortPerm(keys)
+          val vs = new Array[Double](m); val cs = new Array[Long](m)
+          var w = -1
+          var i = 0
+          while (i < m) {
+            val r = rows(ord(i))
+            if (w >= 0 && vs(w) == r.getDouble(1)) cs(w) += r.getLong(2)
+            else { w += 1; vs(w) = r.getDouble(1); cs(w) = r.getLong(2) }
+            i += 1
+          }
+          val med = Robust.quantilesOnLocalHist(
+            java.util.Arrays.copyOf(vs, w + 1),
+            java.util.Arrays.copyOf(cs, w + 1), Seq(0.5), "mood_median")(0)
+          // per-group (n, above) in sorted-group order (deterministic)
+          val byG = scala.collection.mutable.TreeMap.empty[String, (Long, Long)]
+          i = 0
+          while (i < m) {
+            val r = rows(i)
+            val g = r.getString(0); val c = r.getLong(2)
+            val a = if (r.getDouble(1) > med) c else 0L
+            val prev = byG.getOrElse(g, (0L, 0L))
+            byG(g) = (prev._1 + c, prev._2 + a)
+            i += 1
+          }
+          val k = byG.size.toLong
+          require(k >= 2, s"mood_median: need at least 2 groups, got $k")
+          val nTot = byG.valuesIterator.map(_._1).sum.toDouble
+          val aTot = byG.valuesIterator.map(_._2).sum.toDouble
+          require(aTot > 0 && aTot < nTot,
+            "mood_median: every value is on one side of the median — the " +
+              "above-share is degenerate (heavy ties at the median?)")
+          var chisq = 0.0
+          byG.valuesIterator.foreach { case (ng, ag) =>
+            val e = ng * (aTot / nTot)
+            val e2 = ng * ((nTot - aTot) / nTot)
+            val d1 = ag - e
+            val d2 = (ng - ag) - e2
+            chisq += d1 * d1 / e + d2 * d2 / e2
+          }
+          val p = 1.0 - graft.stats.Dist.chiSqCdf(chisq, (k - 1).toDouble)
+          return Seq((nTot.toLong, k, med, chisq, k - 1, p))
+            .toDF("n", "k", "grand_median", "chisq", "df", "p_value")
+        case _ => ()
+      }
+    }
     // exact path: histogram + prefix-sum order statistic (same value as
     // Spark `percentile`, none of its all-values aggregation buffer)
     val med =

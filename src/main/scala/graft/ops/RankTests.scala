@@ -79,13 +79,79 @@ object RankTests {
     * the value key (ordinary shuffle joins — rank assignment is
     * inherently a shuffle), then ONE corr aggregate. Nothing ever sits
     * in a single partition. Returns one row: (n, rho, z, p_value). */
-  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+  def spearman(df: DataFrame, x: Column, y: Column,
+               maxLocalCells: Int = Robust.MaxLocalCells): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df
       .filter(x.isNotNull && y.isNotNull && !isnan(x.cast("double")) &&
         !isnan(y.cast("double")))
       .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+    // bounded driver collapse (Robust.MaxLocalCells idiom): average ranks
+    // and every moment are pure functions of the (x, y, count) PAIR cells,
+    // so ONE map-side-combined groupBy pass + plain Scala replaces the two
+    // RangeCumSum rank tables, their checkpoints, and the two row-scale
+    // rank-attach joins. Past the bound the join path below is untouched.
+    Robust.localCells(base.groupBy(col("__x"), col("__y"))
+        .agg(count(lit(1)).as("c")), maxLocalCells) match {
+      case Some(rows) =>
+        val m = rows.length
+        val xs = new Array[Double](m); val ys = new Array[Double](m)
+        val cs = new Array[Long](m)
+        var n = 0L
+        var i = 0
+        while (i < m) {
+          val r = rows(i)
+          xs(i) = r.getDouble(0); ys(i) = r.getDouble(1); cs(i) = r.getLong(2)
+          n += cs(i)
+          i += 1
+        }
+        require(n >= 4, s"spearman: need at least 4 complete rows, got $n")
+        // (value -> average rank) per column: tie-group cumulative counts,
+        // rank = (cum - cnt + cum + 1) / 2 — the RangeCumSum formula
+        def avgRanks(vals: Array[Double]): Array[Double] = {
+          val ord = Robust.sortPerm(vals)
+          val rk = new Array[Double](m)
+          var j = 0
+          var cum = 0L
+          while (j < m) {
+            // tie group [j, e): identical values (may span several cells)
+            var e = j
+            var cnt = 0L
+            while (e < m && vals(ord(e)) == vals(ord(j))) { cnt += cs(ord(e)); e += 1 }
+            val r = ((cum.toDouble + cnt) - cnt + (cum.toDouble + cnt) + 1) / 2.0
+            while (j < e) { rk(ord(j)) = r; j += 1 }
+            cum += cnt
+          }
+          rk
+        }
+        val rx = avgRanks(xs)
+        val ry = avgRanks(ys)
+        var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+        i = 0
+        while (i < m) {
+          val c = cs(i).toDouble
+          sx += rx(i) * c; sy += ry(i) * c
+          sxy += rx(i) * ry(i) * c
+          sxx += rx(i) * rx(i) * c; syy += ry(i) * ry(i) * c
+          i += 1
+        }
+        val nd = n.toDouble
+        val vx = sxx - sx * sx / nd
+        val vy = syy - sy * sy / nd
+        require(vx > 0 && vy > 0,
+          "spearman: a column is constant — rank correlation is undefined")
+        val rho = (sxy - sx * sy / nd) / math.sqrt(vx * vy)
+        val z =
+          if (math.abs(rho) >= 1.0) Double.PositiveInfinity * math.signum(rho)
+          else 0.5 * math.log((1 + rho) / (1 - rho)) *
+            math.sqrt((n - 3) / 1.06)
+        val p =
+          if (z.isInfinite) 0.0
+          else 2.0 * (1.0 - graft.stats.Dist.normCdf(math.abs(z)))
+        return Seq((n, rho, z, p)).toDF("n", "rho", "z", "p_value")
+      case None => ()
+    }
     base.persist()
     try {
       // (value -> average rank) table for one column; checkpointed so it
@@ -191,13 +257,44 @@ object RankTests {
     * everywhere except each range partition's last row — those few rows
     * get their successor from the collected per-partition first values
     * (P scalars on the driver, not data). No global-order window. */
-  def wasserstein1(df: DataFrame, value: Column, treatment: Column): Double = {
+  def wasserstein1(df: DataFrame, value: Column, treatment: Column,
+                   maxLocalCells: Int = Robust.MaxLocalCells): Double = {
     val byValue = df
       .filter(!isnan(value) && value.isNotNull && treatment.isNotNull)
       .select(value.cast("double").as("v"), treatment.cast("int").as("t"))
       .groupBy(col("v"))
       .agg(sum(when(col("t") === 0, 1L).otherwise(0L)).as("c0"),
         sum(when(col("t") =!= 0, 1L).otherwise(0L)).as("c1"))
+    // bounded driver collapse (Robust.MaxLocalCells idiom): the ECDF gap
+    // sum is a pure function of the (value, c0, c1) cells in value order —
+    // ONE distributed pass + a driver scan replaces the RangeCumSum
+    // prefix sums, the per-partition boundary collect, and the lead
+    // window. Past the bound the distributed path below runs untouched.
+    Robust.localCells(byValue, maxLocalCells).foreach { rows =>
+      val m = rows.length
+      val keys = new Array[Double](m)
+      locally { var i0 = 0; while (i0 < m) { keys(i0) = rows(i0).getDouble(0); i0 += 1 } }
+      val ord = Robust.sortPerm(keys)
+      var tn0 = 0L; var tn1 = 0L
+      var i = 0
+      while (i < m) {
+        val r = rows(ord(i)); tn0 += r.getLong(1); tn1 += r.getLong(2)
+        i += 1
+      }
+      if (tn0 == 0L || tn1 == 0L) return Double.NaN
+      var cum0 = 0L; var cum1 = 0L; var w1 = 0.0
+      i = 0
+      while (i < m) {
+        val r = rows(ord(i))
+        cum0 += r.getLong(1); cum1 += r.getLong(2)
+        if (i + 1 < m) {
+          val gap = math.abs(cum0.toDouble / tn0 - cum1.toDouble / tn1)
+          w1 += gap * (rows(ord(i + 1)).getDouble(0) - r.getDouble(0))
+        }
+        i += 1
+      }
+      return w1
+    }
     RangeCumSum.withCumSums(byValue, Seq(col("v")), Seq("c0", "c1")) { (cum, totals) =>
       val tn0 = totals("c0"); val tn1 = totals("c1")
       if (tn0 == 0 || tn1 == 0) Double.NaN

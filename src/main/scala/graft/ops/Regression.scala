@@ -434,7 +434,7 @@ object Regression {
     * materialization of pairs. Returns one row:
     * (n, n_pairs, slope, intercept). */
   def theilSen(df: DataFrame, x: Column, y: Column,
-               maxRows: Long = 20000L): DataFrame = {
+               maxRows: Long = 20000L, maxLocalRows: Long = 4096L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.filter(x.isNotNull && y.isNotNull)
@@ -445,6 +445,59 @@ object Regression {
         "is O(n²); pre-aggregate to period cells (the metric-by-day " +
         "shape this estimator is for) or raise maxRows")
     require(n >= 3, s"theil_sen: need at least 3 rows, got $n")
+    // bounded driver collapse (the Robust.MaxLocalCells idiom): the verb
+    // is already O(n²) with n capped at `maxRows`, so under a tighter
+    // driver bound (default 4096 rows → ≤ 8.4M pair slopes, a primitive
+    // array) the pair frame, its persist, and the two all-values exact
+    // `percentile` buffers collapse to plain Scala after ONE bounded
+    // collect. The slope multiset is enumeration-order-independent and
+    // the median interpolation is the same quantile_cont formula. NaN
+    // values bail to the distributed twin (Spark percentile's NaN
+    // ordering stays authoritative); forced via maxLocalRows = 0 in the
+    // spec.
+    if (n <= maxLocalRows) {
+      val rows = base.collect()
+      if (rows.forall(r => !r.getDouble(0).isNaN && !r.getDouble(1).isNaN)) {
+        val ni = rows.length
+        val xs = new Array[Double](ni); val ys = new Array[Double](ni)
+        var i = 0
+        while (i < ni) { xs(i) = rows(i).getDouble(0); ys(i) = rows(i).getDouble(1); i += 1 }
+        var np = 0L
+        i = 0
+        while (i < ni) {
+          var j = i + 1
+          while (j < ni) { if (xs(i) != xs(j)) np += 1; j += 1 }
+          i += 1
+        }
+        require(np > 0, "theil_sen: x is constant — no defined pair slopes")
+        val slopes = new Array[Double](np.toInt)
+        var w = 0
+        i = 0
+        while (i < ni) {
+          var j = i + 1
+          while (j < ni) {
+            if (xs(i) != xs(j)) {
+              slopes(w) = (ys(j) - ys(i)) / (xs(j) - xs(i)); w += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        // median with Spark `percentile` / quantile_cont interpolation
+        def medianOf(a: Array[Double]): Double = {
+          java.util.Arrays.sort(a)
+          val pos = 0.5 * (a.length - 1)
+          val l = math.floor(pos).toInt; val h = math.ceil(pos).toInt
+          if (l == h) a(l) else (h - pos) * a(l) + (pos - l) * a(h)
+        }
+        val slope = medianOf(slopes)
+        val resid = new Array[Double](ni)
+        i = 0
+        while (i < ni) { resid(i) = ys(i) - slope * xs(i); i += 1 }
+        val icept = medianOf(resid)
+        return Seq((n, np, slope, icept)).toDF("n", "n_pairs", "slope", "intercept")
+      }
+    }
     RangeCumSum.withRowNumber(base, Seq(col("__x").asc, col("__y").asc),
         "__i") { (ranked, _) =>
       val a = ranked.select(col("__i").as("ia"), col("__x").as("xa"),

@@ -549,9 +549,67 @@ object TextOps {
     * occurrences_current, occurrences_new, novelty_weighted). */
   def ngramNovelty(cur: DataFrame, ref: DataFrame, curText: Column,
                    refText: Column, n: Int = 3): DataFrame = {
+    require(n >= 1, s"ngram_novelty: n must be >= 1, got $n")
+    // FAST PATH (guide §2.3 "shuffle keys instead of payloads"): encode
+    // each per-doc-distinct gram as a fused (h1, h2, len) composite key
+    // (no gram string is ever materialized — the kernel hashes the
+    // space-joined bytes in place), union both sides with a side tag, and
+    // close every count in ONE gram-keyed exchange (the string path below
+    // costs two string-keyed exchanges + an anti-join shuffle, each
+    // carrying the gram text). Counting by (h1, len) is exact unless two
+    // DISTINCT grams share (h1, len) — audited in the same aggregate via
+    // the independent h2 witness (min ≠ max flags it); a flagged run
+    // recomputes on exact strings, so a collision can only cost time,
+    // never change the counts. Undetectable needs the same h1 AND h2 AND
+    // byte length on two distinct grams (~2^-128 per pair).
+    def keys(df: DataFrame, text: Column, side: Int): DataFrame = df
+      .filter(text.isNotNull)
+      .select(explode(graft.expr.HashExprs.shingleKeys(lower(text), n)).as("k"))
+      .select(col("k.h1").as("h1"), col("k.len").as("len"),
+        col("k.h2").as("h2"), lit(side).as("side"))
+    val keyed = keys(cur, curText, 1).unionAll(keys(ref, refText, 0))
+    noveltyOnKeys(keyed).getOrElse(
+      ngramNoveltyExact(cur, ref, curText, refText, n))
+  }
+
+  /** The collision-audited count closure over a (h1, len, h2, side)
+    * key frame: None when any (h1, len) group carries two h2 witnesses
+    * (a detected h1 collision between distinct grams — caller must
+    * recompute on exact strings), Some(result row) otherwise. Factored
+    * out so the collision branch is unit-testable with crafted keys. */
+  private[ops] def noveltyOnKeys(keyed: DataFrame): Option[DataFrame] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val byKey = keyed.groupBy(col("h1"), col("len")).agg(
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("oc"),
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("orf"),
+      min(col("h2")).as("mn"), max(col("h2")).as("mx"))
+    val r = byKey.agg(
+      sum(when(col("oc") > 0, 1L).otherwise(0L)).as("d"),
+      sum(when(col("oc") > 0, col("oc")).otherwise(0L)).as("o"),
+      sum(when(col("oc") > 0 && col("orf") === 0, 1L).otherwise(0L)).as("dn"),
+      sum(when(col("oc") > 0 && col("orf") === 0, col("oc")).otherwise(0L)).as("on"),
+      sum(when(col("mn") =!= col("mx"), 1L).otherwise(0L)).as("coll")).head()
+    if (!r.isNullAt(r.fieldIndex("coll")) && r.getAs[Long]("coll") > 0) None
+    else {
+      val d = if (r.isNullAt(r.fieldIndex("d"))) 0L else r.getAs[Long]("d")
+      require(d > 0, "ngram_novelty: the current corpus has no n-grams")
+      val o = r.getAs[Long]("o")
+      val dn = r.getAs[Long]("dn"); val on = r.getAs[Long]("on")
+      Some(Seq((d, dn, dn.toDouble / d, o, on, on.toDouble / o))
+        .toDF("ngrams_current", "ngrams_new", "novelty_distinct",
+          "occurrences_current", "occurrences_new", "novelty_weighted"))
+    }
+  }
+
+  /** The exact-string path (the pre-encoding implementation): two
+    * gram-keyed exchanges + one anti join on the gram text. Authoritative
+    * on a detected hash collision; spec-pinned equal to the fast path. */
+  private[ops] def ngramNoveltyExact(cur: DataFrame, ref: DataFrame,
+                                     curText: Column, refText: Column,
+                                     n: Int): DataFrame = {
     val spark = cur.sparkSession
     import spark.implicits._
-    require(n >= 1, s"ngram_novelty: n must be >= 1, got $n")
     def grams(df: DataFrame, text: Column): DataFrame = df
       .filter(text.isNotNull)
       .select(explode(shingles(text, n)).as("g"))
