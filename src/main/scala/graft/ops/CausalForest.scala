@@ -111,7 +111,8 @@ object CausalForest {
           maxDepth: Int = 4, minNodeSize: Long = 50, bins: Int = 16,
           mtry: Int = 0, sampleFraction: Double = 0.5,
           honest: Boolean = true, seed: Long = 42L,
-          criterion: String = "gradient"): Model = {
+          criterion: String = "gradient",
+          maxLocalCells: Int = 1 << 18): Model = {
     require(criterion == "gradient" || criterion == "effect",
       "criterion must be gradient (GRF pseudo-outcomes) or effect (Athey-Imbens)")
     require(features.nonEmpty && numTrees > 0)
@@ -170,9 +171,25 @@ object CausalForest {
       .withColumn("__tree", col("__th.tree"))
       .withColumn("__half", col("__th.half"))
       .drop("__th", "__rh") // __rh only seeds the membership draw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val growFrame = if (honest) exploded.filter(col("__half") === 0) else exploded
     val estFrame = if (honest) exploded.filter(col("__half") === 1) else exploded
+    // Low-cardinality BINNED-design collapse (the DesignCells idiom,
+    // guide §1.2 step 1): navigation compares raw f against bin
+    // BOUNDARIES, and f <= boundaries(f)(bi) ⟺ bin(f) <= bi, so node
+    // assignment — and with it every level histogram AND the estimation
+    // moments — is a pure function of (tree, half, bin-vector, arm) plus
+    // the y moments (growth needs Σy per cell, estimation Σy²). One
+    // map-side-combined pass collects the cells; the whole depth loop and
+    // the honest estimation then run in plain Scala — zero distributed
+    // passes per level at any data scale (was D+1 scans of the exploded
+    // frame plus its MEMORY_AND_DISK persist). Past the bound (bins^k
+    // distinct vectors on many wide features) or on NaN designs, the row
+    // path below is byte-identical, exploded persisted as before.
+    val slim = exploded.select(col("__tree") +: col("__half") +:
+      (0 until k).map(i => col(s"__b$i")) :+ col("__t") :+ col("__y"): _*)
+    val forestCells = graft.stats.DesignCells.collectByX(slim, "__y", maxLocalCells)
+    if (forestCells.isEmpty)
+      exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 
       // tree growth state
@@ -229,6 +246,74 @@ object CausalForest {
           .drop((0 to steps).map(s2 => s"__nav$s2"): _*)
       }
 
+      // bin index of each split, tracked beside thr for the cell path's
+      // navigation (f <= boundaries(f)(bi) ⟺ bin(f) <= bi, so walking the
+      // tree on bin vectors is EXACTLY the row path's raw-value walk)
+      val thrBin = Array.fill(numTrees)(scala.collection.mutable.ArrayBuffer(-1))
+      // unpacked design cells (cell path only): per cell its tree, half,
+      // bin vector, arm, count and y moments — in DesignCells' sorted
+      // order, so every driver accumulation below is deterministic
+      val fc = forestCells.getOrElse(Array.empty)
+      def cellNode(b: Int, binVec: Array[Int]): Int = {
+        var nd = 0
+        while (feat(b)(nd) >= 0)
+          nd = if (binVec(feat(b)(nd)) <= thrBin(b)(nd)) lch(b)(nd) else rch(b)(nd)
+        nd
+      }
+      def cellBins(c: graft.stats.DesignCells.XCell): Array[Int] =
+        Array.tabulate(k)(j => c.xs(2 + j).toInt)
+      /** The level histogram over the GROW half: per (tree, node, feat,
+        * bin, arm) counts and Σy — from the collected cells (zero
+        * distributed passes) or from one distributed aggregate. */
+      def levelHist(mtryDraw: Map[(Int, Int), Array[Int]])
+          : Map[(Int, Int), Array[Cell]] = forestCells match {
+        case Some(_) =>
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[(Int, Int, Int, Int, Int), (Long, Double)]
+          fc.foreach { c =>
+            if (!honest || c.xs(1) == 0.0) {
+              val b = c.xs(0).toInt
+              val bv = cellBins(c)
+              val nd = cellNode(b, bv)
+              mtryDraw.get((b, nd)).foreach(_.foreach { f =>
+                val key = (b, nd, f, bv(f), c.xs(2 + k).toInt)
+                val prev = acc.getOrElse(key, (0L, 0.0))
+                acc(key) = (prev._1 + c.n, prev._2 + c.sumY)
+              })
+            }
+          }
+          acc.toSeq.map { case ((b, nd, f, bi, t), (cnt, s)) =>
+            Cell(b, nd, f, bi, t, cnt, s)
+          }.toArray.groupBy(c => (c.tree, c.node))
+        case None =>
+          // per-(tree, node) candidate features as ONE positional literal
+          // array (null for non-open nodes → explode drops the row),
+          // mirroring withNodeCol's keying — no per-open-node when-chain,
+          // so the expression stays the same size at any open-node count
+          val selData: Seq[Option[Seq[Int]]] =
+            for { b <- 0 until numTrees; i <- 0 until maxN } yield
+              mtryDraw.get((b, i)).map(_.toSeq)
+          val selL = typedLit(selData)
+          val binsArr = array((0 until k).map(i => col(s"__b$i")): _*)
+          // no per-level open-trees filter: its literal list would change
+          // the generated source every level (ints inline into codegen),
+          // and the explode below already drops rows of closed trees —
+          // their (tree, node) slot in selL is null, and explode(null)
+          // emits nothing. Closed trees cost only navigation arithmetic.
+          withNodeCol(growFrame)
+            .withColumn("__feat", explode(element_at(selL,
+              (col("__tree") * maxN + col("__node") + 1).cast("int"))))
+            .withColumn("__bin", element_at(binsArr, col("__feat") + 1))
+            .groupBy(col("__tree").as("tree"), col("__node").as("node"),
+              col("__feat").as("feat"), col("__bin").as("bin"), col("__t"))
+            .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("s"))
+            .collect()
+            .map(r => Cell(r.getAs[Int]("tree"), r.getAs[Int]("node"),
+              r.getAs[Int]("feat"), r.getAs[Int]("bin"), r.getAs[Int]("__t"),
+              r.getAs[Long]("cnt"), r.getAs[Double]("s")))
+            .groupBy(c => (c.tree, c.node))
+      }
+
       var depth = 0
       while (depth < maxDepth && open.nonEmpty) {
         // GRF-fidelity: an independent mtry draw per OPEN NODE (per split),
@@ -239,32 +324,7 @@ object CausalForest {
         val mtryDraw: Map[(Int, Int), Array[Int]] = openSorted.map { bn =>
           bn -> rng.shuffle((0 until k).toList).take(useMtry).toArray
         }.toMap
-        // per-(tree, node) candidate features as ONE positional literal
-        // array (null for non-open nodes → explode drops the row), mirroring
-        // withNodeCol's keying — no per-open-node when-chain, so the
-        // expression stays the same size at any open-node count
-        val selData: Seq[Option[Seq[Int]]] =
-          for { b <- 0 until numTrees; i <- 0 until maxN } yield
-            mtryDraw.get((b, i)).map(_.toSeq)
-        val selL = typedLit(selData)
-        val binsArr = array((0 until k).map(i => col(s"__b$i")): _*)
-        // no per-level open-trees filter: its literal list would change the
-        // generated source every level (ints inline into codegen), and the
-        // explode below already drops rows of closed trees — their
-        // (tree, node) slot in selL is null, and explode(null) emits
-        // nothing. Closed trees cost only the navigation arithmetic.
-        val hist = withNodeCol(growFrame)
-          .withColumn("__feat", explode(element_at(selL,
-            (col("__tree") * maxN + col("__node") + 1).cast("int"))))
-          .withColumn("__bin", element_at(binsArr, col("__feat") + 1))
-          .groupBy(col("__tree").as("tree"), col("__node").as("node"),
-            col("__feat").as("feat"), col("__bin").as("bin"), col("__t"))
-          .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("s"))
-          .collect()
-          .map(r => Cell(r.getAs[Int]("tree"), r.getAs[Int]("node"),
-            r.getAs[Int]("feat"), r.getAs[Int]("bin"), r.getAs[Int]("__t"),
-            r.getAs[Long]("cnt"), r.getAs[Double]("s")))
-          .groupBy(c => (c.tree, c.node))
+        val hist = levelHist(mtryDraw)
 
         val nextOpen = scala.collection.mutable.Set[(Int, Int)]()
         for ((b, node) <- openSorted) {
@@ -273,9 +333,11 @@ object CausalForest {
             case (f, bi, improvement) =>
               importance(f) += improvement
               feat(b)(node) = f; thr(b)(node) = boundaries(f)(bi)
+              thrBin(b)(node) = bi
               val l = feat(b).length
               feat(b) += -1; thr(b) += Double.NaN; lch(b) += -1; rch(b) += -1
               feat(b) += -1; thr(b) += Double.NaN; lch(b) += -1; rch(b) += -1
+              thrBin(b) += -1; thrBin(b) += -1
               lch(b)(node) = l; rch(b)(node) = l + 1
               nextOpen += ((b, l)); nextOpen += ((b, l + 1))
           }
@@ -285,17 +347,39 @@ object CausalForest {
       }
 
       // estimation pass (honest half = 1): per-(tree, leaf, arm) moments
-      // including variance for honest leaf standard errors — reuses the
-      // persisted exploded membership
-      val est = withNodeCol(estFrame)
-        .groupBy(col("__tree").as("tree"), col("__node").as("node"), col("__t"))
-        .agg(count(lit(1)).as("cnt"), avg(col("__y")).as("m"),
-          var_samp(col("__y")).as("v"))
-        .collect()
-        .map(r => (r.getAs[Int]("tree"), r.getAs[Int]("node"), r.getAs[Int]("__t")) ->
-          (r.getAs[Long]("cnt"), r.getAs[Double]("m"),
-            Option(r.getAs[Any]("v")).fold(0.0)(_.asInstanceOf[Double])))
-        .toMap
+      // including variance for honest leaf standard errors — from the
+      // collected cells (Σy² rides the XCell moments; var_samp = (Σy² −
+      // (Σy)²/n)/(n−1), clamped at 0 against cancellation) or from one
+      // distributed aggregate over the persisted exploded membership
+      val est: Map[(Int, Int, Int), (Long, Double, Double)] = forestCells match {
+        case Some(_) =>
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[(Int, Int, Int), (Long, Double, Double)]
+          fc.foreach { c =>
+            if (!honest || c.xs(1) == 1.0) {
+              val b = c.xs(0).toInt
+              val nd = cellNode(b, cellBins(c))
+              val key = (b, nd, c.xs(2 + k).toInt)
+              val prev = acc.getOrElse(key, (0L, 0.0, 0.0))
+              acc(key) = (prev._1 + c.n, prev._2 + c.sumY, prev._3 + c.sumY2)
+            }
+          }
+          acc.map { case (key, (n, sy, syy)) =>
+            val m = sy / n
+            val v = if (n > 1) math.max(0.0, (syy - sy * sy / n) / (n - 1)) else 0.0
+            key -> ((n, m, v))
+          }.toMap
+        case None =>
+          withNodeCol(estFrame)
+            .groupBy(col("__tree").as("tree"), col("__node").as("node"), col("__t"))
+            .agg(count(lit(1)).as("cnt"), avg(col("__y")).as("m"),
+              var_samp(col("__y")).as("v"))
+            .collect()
+            .map(r => (r.getAs[Int]("tree"), r.getAs[Int]("node"), r.getAs[Int]("__t")) ->
+              (r.getAs[Long]("cnt"), r.getAs[Double]("m"),
+                Option(r.getAs[Any]("v")).fold(0.0)(_.asInstanceOf[Double])))
+            .toMap
+      }
 
       val trees = (0 until numTrees).map { b =>
         val nN = feat(b).length

@@ -123,6 +123,33 @@ class LocalCollapseSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
 
+  test("CausalForest: binned-design cell collapse == row path (forced)") {
+    val df = (0 until 6000).map { i =>
+      val h = if (i % 3 == 0) 1 else 0
+      val t = i % 2
+      val u = ((i * 2654435761L) % 1000) / 1000.0 - 0.5
+      (10.0 + 5 * h + t * (2.0 + 8 * h) + u, t, (i % 50).toDouble,
+        (i % 11) / 10.0)
+    }.toDF("y", "t", "f1", "f2").repartition(9)
+    val fs = Seq("f1" -> col("f1"), "f2" -> col("f2"))
+    val fast = CausalForest.fit(df, col("y"), col("t"), fs, numTrees = 4,
+      maxDepth = 3, minNodeSize = 50, bins = 16)
+    val dist = CausalForest.fit(df, col("y"), col("t"), fs, numTrees = 4,
+      maxDepth = 3, minNodeSize = 50, bins = 16, maxLocalCells = 0)
+    assert(fast.trees.length == dist.trees.length)
+    fast.trees.zip(dist.trees).foreach { case (a, b) =>
+      assert(a.feature.toSeq == b.feature.toSeq, "tree structure differs")
+      assert(a.threshold.toSeq.map(d => if (d.isNaN) "nan" else f"$d%.12f")
+        == b.threshold.toSeq.map(d => if (d.isNaN) "nan" else f"$d%.12f"))
+      a.effect.zip(b.effect).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-8, s"leaf effect $x vs $y") }
+      a.stderr.zip(b.stderr).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-6, s"leaf stderr $x vs $y") }
+    }
+    fast.variableImportance.zip(dist.variableImportance).foreach {
+      case (x, y) => assert(math.abs(x - y) < 1e-8, s"importance $x vs $y") }
+  }
+
   // ---- ngram_novelty hash-encoded path ----
 
   test("ngramNovelty: hash-encoded path == exact-string path") {
